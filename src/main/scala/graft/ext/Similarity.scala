@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an `array<float>` embedding column.
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) probe
+  * set against a full scan of the corpus; exact, one pass, no shuffle of
+  * the corpus side. Scale path: random-hyperplane LSH bucketing — corpus
+  * and probes hash to signature buckets, candidates are bucket-mates, so
+  * the join touches a tiny fraction of pairs; approximate but tunable via
+  * signature bits.
+  *
+  * All vector math is `zip_with`/`aggregate` higher-order functions over
+  * the array column with explicit double casts — deterministic
+  * left-to-right folds, no UDFs.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product with per-element double casting. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, z) => acc + z)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, z) => acc + z))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k neighbors for each probe vector.
+    *
+    * @param corpus (id, vec) DataFrame
+    * @param probes (qId, qVec) DataFrame — MUST be small; it is broadcast
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, id: String, vec: String,
+      probes: DataFrame, qId: String, qVec: String,
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(probes))
+      .filter(col(id) =!= col(qId))
+      .withColumn("cosine", cosine(col(qVec), col(vec)))
+    val w = Window.partitionBy(qId).orderBy(col("cosine").desc, col(id))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qId), col(id), col("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (bit, dim):
+    * xxhash64 folded to [-1, 1]. No RNG state — reproducible across runs
+    * and executors.
+    */
+  private def planeComponent(bit: Int, dim: Column): Column =
+    (pmod(xxhash64(lit(bit), dim), lit(2000001)).cast("double") - 1000000.0) / 1000000.0
+
+  /** Random-hyperplane signature: `bits` sign bits packed into a long.
+    * Vectors with small cosine distance collide with high probability
+    * (SimHash/LSH family).
+    */
+  def hyperplaneSignature(vec: Column, bits: Int): Column = {
+    val bitVals = (0 until bits).map { b =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") * planeComponent(b, i)),
+        lit(0.0), (acc, z) => acc + z)
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitVals.reduce((a, b) => a + b)
+  }
+
+  /** Approximate top-k: candidates are signature-bucket mates, ranked by
+    * exact cosine within the bucket. One shuffle on the signature key; at
+    * 100 TB use several independent signature tables (OR-amplification)
+    * and union the candidates.
+    */
+  def lshTopK(
+      corpus: DataFrame, id: String, vec: String,
+      probes: DataFrame, qId: String, qVec: String,
+      k: Int, bits: Int = 12): DataFrame = {
+    val sigCorpus = corpus.withColumn("_sig", hyperplaneSignature(col(vec), bits))
+    val sigProbes = probes.withColumn("_sig", hyperplaneSignature(col(qVec), bits))
+    val candidates = sigCorpus.join(broadcast(sigProbes), Seq("_sig"))
+      .filter(col(id) =!= col(qId))
+      .withColumn("cosine", cosine(col(qVec), col(vec)))
+    val w = Window.partitionBy(qId).orderBy(col("cosine").desc, col(id))
+    candidates.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qId), col(id), col("cosine"))
+  }
+}

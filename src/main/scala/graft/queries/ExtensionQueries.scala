@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import QueryDef.table
+
+/** North-star extension queries: dedup, similarity search, text analysis,
+  * multimodal metadata — over the `documents` / `embeddings` testdata.
+  * SQL-expressible variants carry DuckDB oracles; the sketch-based ones
+  * (MinHash, SimHash, LSH) are declared oracle-free (driver records a
+  * rows-only check) and are instead invariant-tested in ScalaTest against
+  * exact Jaccard / exact cosine.
+  */
+object ExtensionQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) = table(s, d, "documents")
+  private def embs(s: org.apache.spark.sql.SparkSession, d: String) = table(s, d, "embeddings")
+
+  // --- dedup ----------------------------------------------------------------
+
+  /** Exact dedup via hash-groupBy on the text (one shuffle on the content
+    * key; at 100 TB group on md5(text) so the shuffle key is 16 bytes, not
+    * the document).
+    */
+  val qDedupExact = QueryDef(
+    "q_dedup_exact",
+    (s, d) => Dedup.exactGroups(docs(s, d), "doc_id", col("text"))
+      .select("keep_id", "n_dups").orderBy("keep_id"),
+    Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY text ORDER BY keep_id"""))
+
+  /** Exact n-gram Jaccard pairs on a bounded slice (pairwise verification
+    * is the post-LSH step at scale; bounded here so the oracle join stays
+    * small).
+    */
+  val qNgramJaccard = QueryDef(
+    "q_ngram_jaccard",
+    (s, d) => Dedup.ngramJaccardPairs(
+        docs(s, d).filter(col("doc_id") < 200), "doc_id", "text", 0.8)
+      .orderBy("id1", "id2"),
+    Some("""WITH toks AS (
+              SELECT DISTINCT doc_id, t FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+                FROM documents WHERE doc_id < 200) u),
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+            pairs AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+              FROM toks a JOIN toks b ON a.t = b.t AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id1, id2,
+              round(shared / CAST(s1.n + s2.n - shared AS DOUBLE), 4) AS jaccard
+            FROM pairs
+            JOIN sizes s1 ON id1 = s1.doc_id
+            JOIN sizes s2 ON id2 = s2.doc_id
+            WHERE round(shared / CAST(s1.n + s2.n - shared AS DOUBLE), 4) >= 0.8
+            ORDER BY id1, id2"""))
+
+  /** MinHash+LSH candidate pairs — not ANSI-SQL-expressible (keyed xxhash64
+    * permutations); correctness is invariant-tested against exact Jaccard
+    * in DedupSpec. Rows-only driver check.
+    */
+  val qDedupMinhash = QueryDef(
+    "q_dedup_minhash",
+    (s, d) => Dedup.minhashCandidatePairs(docs(s, d), "doc_id", "text")
+      .orderBy("id1", "id2"),
+    None)
+
+  /** SimHash near-dup pairs (Hamming <= 3 within 16-bit band buckets). */
+  val qDedupSimhash = QueryDef(
+    "q_dedup_simhash",
+    (s, d) => Dedup.simhashPairs(docs(s, d), "doc_id", "text")
+      .orderBy("id1", "id2"),
+    None)
+
+  /** Embedding-cosine near-duplicates via hyperplane-LSH buckets. */
+  val qDedupEmbed = QueryDef(
+    "q_dedup_embed",
+    (s, d) => Dedup.embeddingNearDupPairs(embs(s, d), "vec_id", "embedding",
+        threshold = 0.4, bits = 6)
+      .orderBy("id1", "id2"),
+    None)
+
+  // --- similarity search ----------------------------------------------------
+
+  /** Brute-force cosine top-10 for 3 probe vectors — the exact ANN
+    * baseline. Probe side broadcast; corpus scanned once; vector math is
+    * deterministic `zip_with`/`aggregate` folds.
+    */
+  val qEmbedCosineTopk = QueryDef(
+    "q_embed_cosine_topk",
+    (s, d) => {
+      val e = embs(s, d).select("vec_id", "embedding")
+      val probes = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.bruteForceTopK(e, "vec_id", "embedding", probes, "q_id", "q_emb", 10)
+        .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("q_id", "vec_id")
+    },
+    Some("""WITH elems AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings),
+            norms AS (
+              SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM elems GROUP BY vec_id),
+            dots AS (
+              SELECT p.vec_id AS q_id, e.vec_id AS vec_id, sum(p.v * e.v) AS dot
+              FROM elems p JOIN elems e ON p.i = e.i
+              WHERE p.vec_id < 3 AND e.vec_id <> p.vec_id
+              GROUP BY 1, 2),
+            cos AS (
+              SELECT q_id, d.vec_id, d.dot / (nq.nrm * ne.nrm) AS c
+              FROM dots d
+              JOIN norms nq ON d.q_id = nq.vec_id
+              JOIN norms ne ON d.vec_id = ne.vec_id)
+            SELECT q_id, vec_id, round(c, 4) AS cosine
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn
+                  FROM cos) r
+            WHERE rn <= 10 ORDER BY q_id, vec_id"""))
+
+  /** LSH-bucketed approximate top-k — the scale path. Approximate by
+    * construction; recall vs the brute-force baseline is asserted in
+    * SimilaritySpec. Rows-only driver check.
+    */
+  val qAnnLsh = QueryDef(
+    "q_ann_lsh",
+    (s, d) => {
+      val e = embs(s, d).select("vec_id", "embedding")
+      val probes = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.lshTopK(e, "vec_id", "embedding", probes, "q_id", "q_emb", 10, bits = 6)
+        .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("q_id", "vec_id")
+    },
+    None)
+
+  // --- text analysis --------------------------------------------------------
+
+  val qTextTokens = QueryDef(
+    "q_text_tokens",
+    (s, d) => docs(s, d)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len_chars"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars,
+              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+            FROM documents ORDER BY doc_id"""))
+
+  val qTextQuality = QueryDef(
+    "q_text_quality",
+    (s, d) => docs(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.avgTokenLength(col("text")).as("avg_token_len"),
+        TextAnalysis.stopwordRatio(col("text"), Seq("the", "a")).as("stopword_ratio"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              round(CAST(length(text) AS DOUBLE)
+                / len(regexp_split_to_array(trim(text), '\s+')), 4) AS avg_token_len,
+              round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                      t -> t = 'the' OR t = 'a')) AS DOUBLE)
+                / len(regexp_split_to_array(trim(text), '\s+')), 4) AS stopword_ratio
+            FROM documents ORDER BY doc_id"""))
+
+  val qLangId = QueryDef(
+    "q_lang_id",
+    (s, d) => docs(s, d)
+      .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_guess"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CASE WHEN es_n > en_n AND es_n > de_n THEN 'es'
+                   WHEN de_n > en_n AND de_n >= es_n THEN 'de'
+                   WHEN en_n > 0 THEN 'en'
+                   ELSE 'und' END AS lang_guess
+            FROM (
+              SELECT doc_id,
+                len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                  t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and')) AS en_n,
+                len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                  t -> t = 'el' OR t = 'la' OR t = 'los' OR t = 'las' OR t = 'de')) AS es_n,
+                len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                  t -> t = 'der' OR t = 'die' OR t = 'das' OR t = 'und')) AS de_n
+              FROM documents) t
+            ORDER BY doc_id"""))
+
+  /** md5 content fingerprint — bit-exact across engines, so directly
+    * oracle-checkable.
+    */
+  val qDocFingerprint = QueryDef(
+    "q_doc_fingerprint",
+    (s, d) => docs(s, d)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, md5(lower(trim(text))) AS fp
+            FROM documents ORDER BY doc_id"""))
+
+  // --- multimodal -----------------------------------------------------------
+
+  /** Opaque-binary metadata path: byte length of the payload column plus a
+    * field extracted from the sidecar metadata — the schema shape multimodal
+    * tables use (payload BINARY + typed metadata), exercised on the JSON
+    * props string cast to binary.
+    */
+  val qMultimodalMeta = QueryDef(
+    "q_multimodal_meta",
+    (s, d) => table(s, d, "events")
+      .select(col("event_id"),
+        length(col("props").cast("binary")).cast("long").as("payload_bytes"),
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k_val"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+              octet_length(CAST(props AS BLOB)) AS payload_bytes,
+              CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_val
+            FROM events ORDER BY event_id"""))
+
+  val all: Seq[QueryDef] = Seq(
+    qDedupExact, qNgramJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
+    qEmbedCosineTopk, qAnnLsh, qTextTokens, qTextQuality, qLangId,
+    qDocFingerprint, qMultimodalMeta)
+}

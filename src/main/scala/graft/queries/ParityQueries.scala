@@ -1,0 +1,600 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import QueryDef.table
+
+/** Reference-parity operator queries over the driver testdata, one per row
+  * of SURVEY.md §2's operator inventory. Each is idiomatic declarative
+  * Spark — Catalyst handles pushdown/pruning/broadcast — with a DuckDB
+  * oracle in ANSI SQL.
+  *
+  * Scale notes are attached per query where the plan shape matters at
+  * 100 TB (broadcast vs shuffle join, shared window partitioning,
+  * TakeOrderedAndProject for top-k).
+  */
+object ParityQueries {
+
+  /** Events with `ts` normalized to epoch-NANOSECOND longs. The testdata's
+    * `ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects as a timestamp; it is read as LongType nanos
+    * (`spark.sql.legacy.parquet.nanosAsLong=true`, set by Verify/Bench)
+    * and all event-time math here is integer arithmetic on those nanos —
+    * which also makes ordering and gap semantics bit-exact with the
+    * DuckDB oracle's nanosecond timestamps, with no µs-truncation ties.
+    */
+  private def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts", unix_micros(col("ts")) * 1000)
+    }
+  }
+
+  /** Per-user event ordering used by all sessionization queries: event time
+    * (ns) with event_id as the deterministic tiebreak.
+    */
+  private val userOrder = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+
+  /** Whole-second epoch used for gap math — integer division of the nanos,
+    * matching the oracle's `floor(epoch(ts))`.
+    */
+  private val tsSec: Column = expr("ts div 1000000000")
+
+  /** Calendar day of the event (UTC). */
+  private val tsDay: Column = to_date(timestamp_seconds(tsSec))
+
+  // --- S-family: scans -----------------------------------------------------
+
+  val qScanParquet = QueryDef(
+    "q_scan_parquet",
+    (s, d) => events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id, user_id, event_type, value
+            FROM events ORDER BY event_id"""))
+
+  // --- F-family: filters (pushed into the parquet scan by Catalyst) -------
+
+  val qFilterNotnull = QueryDef(
+    "q_filter_notnull",
+    (s, d) => events(s, d)
+      .filter(col("props").isNotNull)
+      .select("event_id").orderBy("event_id"),
+    Some("SELECT event_id FROM events WHERE props IS NOT NULL ORDER BY event_id"))
+
+  val qFilterTs = QueryDef(
+    "q_filter_ts",
+    (s, d) => events(s, d)
+      // 2024-01-15T00:00:00Z in epoch nanos; whole-second boundary, so the
+      // ns-vs-µs representations agree on membership.
+      .filter(col("ts") >= lit(1705276800L * 1000000000L))
+      .select("event_id").orderBy("event_id"),
+    Some("""SELECT event_id FROM events
+            WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' ORDER BY event_id"""))
+
+  val qFilterNeq = QueryDef(
+    "q_filter_neq",
+    (s, d) => events(s, d)
+      .filter(col("event_type") =!= "error")
+      .select("event_id").orderBy("event_id"),
+    Some("SELECT event_id FROM events WHERE event_type <> 'error' ORDER BY event_id"))
+
+  // --- P-family: projection / derived columns ------------------------------
+
+  val qProject = QueryDef(
+    "q_project",
+    (s, d) => events(s, d)
+      .select(col("event_id"), col("value"),
+        round(col("value") * 1.1, 4).as("value_adj"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id, value, round(value * 1.1, 4) AS value_adj
+            FROM events ORDER BY event_id"""))
+
+  // --- D-family: deduplication ---------------------------------------------
+
+  val qDedupFull = QueryDef(
+    "q_dedup_full",
+    (s, d) => events(s, d)
+      .select("user_id", "event_type").distinct()
+      .orderBy("user_id", "event_type"),
+    Some("""SELECT DISTINCT user_id, event_type
+            FROM events ORDER BY user_id, event_type"""))
+
+  /** Keep-LAST dedup: latest row per (user_id, event_type) under a total
+    * order — the reference's keep-last-in-ingest-order (src/cleaning.py:51)
+    * re-expressed on event-time with an explicit tiebreak, as a
+    * `row_number` window rather than `dropDuplicates` (which keeps an
+    * arbitrary row).
+    */
+  val qDedupKey = QueryDef(
+    "q_dedup_key",
+    (s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          tsSec.as("ts_sec"))
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT user_id, event_type, event_id,
+              CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events) t
+            WHERE rn = 1 ORDER BY user_id, event_type"""))
+
+  // --- M-family: missing values / coercion ---------------------------------
+
+  val qFillna = QueryDef(
+    "q_fillna",
+    (s, d) => events(s, d)
+      .select(col("event_id"),
+        coalesce(nullif(col("event_type"), lit("error")), lit("unknown"))
+          .as("event_type_filled"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+              coalesce(nullif(event_type, 'error'), 'unknown') AS event_type_filled
+            FROM events ORDER BY event_id"""))
+
+  val qTrimAll = QueryDef(
+    "q_trim_all",
+    (s, d) => events(s, d)
+      .select(col("event_id"),
+        trim(concat(lit("  "), col("event_type"), lit("\t "))).as("trimmed"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+              trim(concat('  ', event_type, chr(9), ' ')) AS trimmed
+            FROM events ORDER BY event_id"""))
+
+  // --- N-family: normalization vocabulary ----------------------------------
+
+  /** The reference's text-canonicalization kernel (lower, trim, separator
+    * runs -> "_"; src/normalization.py:34-40) applied to a synthesized
+    * dirty string.
+    */
+  val qNormText = QueryDef(
+    "q_norm_text",
+    (s, d) => events(s, d)
+      .select(col("event_id"),
+        regexp_replace(
+          regexp_replace(
+            lower(trim(concat(lit("  "), col("event_type"), lit(" - "), col("event_type")))),
+            "[\\s\\-]+", "_"),
+          "_+", "_").as("norm"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+              regexp_replace(regexp_replace(
+                lower(trim(concat('  ', event_type, ' - ', event_type))),
+                '[\s\-]+', '_', 'g'), '_+', '_', 'g') AS norm
+            FROM events ORDER BY event_id"""))
+
+  /** Synonym map with pass-through fallback (src/normalization.py:56-75):
+    * a `typedlit` map + `try_element_at` + `coalesce` — constant-folded,
+    * codegen-friendly, no UDF.
+    */
+  val qMapStatus = QueryDef(
+    "q_map_status",
+    (s, d) => {
+      val m = Map("error" -> "failure", "purchase" -> "success", "signup" -> "success")
+      events(s, d)
+        .select(col("event_id"),
+          coalesce(try_element_at(typedlit(m), col("event_type")), col("event_type"))
+            .as("status_class"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+              CASE WHEN event_type = 'error' THEN 'failure'
+                   WHEN event_type IN ('purchase', 'signup') THEN 'success'
+                   ELSE event_type END AS status_class
+            FROM events ORDER BY event_id"""))
+
+  /** Same mapping pattern feeding an aggregation (map + groupBy fuse into
+    * one stage before the exchange).
+    */
+  val qMapSeverity = QueryDef(
+    "q_map_severity",
+    (s, d) => {
+      val m = Map("error" -> "failure", "purchase" -> "success", "signup" -> "success")
+      events(s, d)
+        .select(coalesce(try_element_at(typedlit(m), col("event_type")), col("event_type"))
+          .as("status_class"))
+        .groupBy("status_class").agg(count(lit(1)).as("n"))
+        .orderBy("status_class")
+    },
+    Some("""SELECT CASE WHEN event_type = 'error' THEN 'failure'
+                        WHEN event_type IN ('purchase', 'signup') THEN 'success'
+                        ELSE event_type END AS status_class,
+                   count(*) AS n
+            FROM events GROUP BY 1 ORDER BY status_class"""))
+
+  /** Ordinal encode with NULL for unmapped values — chained `when` without
+    * `otherwise` (src/feature_engineering.py:19-32).
+    */
+  val qSeverityScore = QueryDef(
+    "q_severity_score",
+    (s, d) => events(s, d)
+      .select(col("event_id"),
+        when(col("event_type") === "error", 4)
+          .when(col("event_type") === "purchase", 2)
+          .when(col("event_type") === "signup", 1)
+          .as("score"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+              CASE event_type WHEN 'error' THEN 4 WHEN 'purchase' THEN 2
+                              WHEN 'signup' THEN 1 END AS score
+            FROM events ORDER BY event_id"""))
+
+  val qNormIp = QueryDef(
+    "q_norm_ip",
+    (s, d) => {
+      val ipRaw = when(col("event_type") === "error", lit("  "))
+        .otherwise(concat(lit("10.0.0."), col("user_id").cast("string")))
+      events(s, d)
+        .select(col("event_id"),
+          when(trim(ipRaw) === "", "0.0.0.0").otherwise(trim(ipRaw)).as("ip"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+              CASE WHEN trim(ip_raw) = '' THEN '0.0.0.0' ELSE trim(ip_raw) END AS ip
+            FROM (SELECT event_id,
+                    CASE WHEN event_type = 'error' THEN '  '
+                         ELSE concat('10.0.0.', CAST(user_id AS VARCHAR)) END AS ip_raw
+                  FROM events) t
+            ORDER BY event_id"""))
+
+  // --- T-family: date/time --------------------------------------------------
+
+  /** Round-trip parse at the pinned canonical format (SURVEY.md §2.6 T1):
+    * format, reparse with `to_timestamp`, surface as epoch seconds.
+    */
+  val qParseTs = QueryDef(
+    "q_parse_ts",
+    (s, d) => events(s, d)
+      .select(col("event_id"),
+        unix_timestamp(
+          to_timestamp(date_format(timestamp_seconds(tsSec), "yyyy-MM-dd HH:mm:ss"),
+            "yyyy-MM-dd HH:mm:ss")).as("parsed_sec"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+              CAST(floor(epoch(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                '%Y-%m-%d %H:%M:%S'))) AS BIGINT) AS parsed_sec
+            FROM events ORDER BY event_id"""))
+
+  val qDateFloor = QueryDef(
+    "q_date_floor",
+    (s, d) => events(s, d)
+      .groupBy(col("user_id"), tsDay.as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("user_id", "day"),
+    Some("""SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+            ORDER BY user_id, day"""))
+
+  /** Per-user consecutive-event gap in whole seconds (reference T3,
+    * src/feature_engineering.py:74-77); NULL (not inf) marks the first
+    * event per user.
+    */
+  val qTimeDelta = QueryDef(
+    "q_time_delta",
+    (s, d) => events(s, d)
+      .select(col("event_id"),
+        (tsSec - lag(tsSec, 1).over(userOrder)).as("gap_sec"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+              CAST(floor(epoch(ts)) AS BIGINT)
+                - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS gap_sec
+            FROM events ORDER BY event_id"""))
+
+  val qMinmaxTs = QueryDef(
+    "q_minmax_ts",
+    (s, d) => events(s, d)
+      .agg(count(lit(1)).as("n"),
+        min(tsSec).as("ts_min_sec"), max(tsSec).as("ts_max_sec")),
+    Some("""SELECT count(*) AS n,
+              min(CAST(floor(epoch(ts)) AS BIGINT)) AS ts_min_sec,
+              max(CAST(floor(epoch(ts)) AS BIGINT)) AS ts_max_sec
+            FROM events"""))
+
+  // --- A-family: aggregations ----------------------------------------------
+
+  /** Grouped count broadcast to every row — a window count over the shared
+    * per-user partitioning, not a groupBy + join (reference A1).
+    */
+  val qCountOver = QueryDef(
+    "q_count_over",
+    (s, d) => events(s, d)
+      .select(col("event_id"),
+        count(col("event_id")).over(Window.partitionBy("user_id")).as("user_total"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+              count(event_id) OVER (PARTITION BY user_id) AS user_total
+            FROM events ORDER BY event_id"""))
+
+  /** Two-level aggregation: daily counts per user, then the per-user mean
+    * of those counts (reference A2). Both aggregations share the user_id
+    * grouping so the second needs no extra exchange.
+    */
+  val qDailyAvg = QueryDef(
+    "q_daily_avg",
+    (s, d) => events(s, d)
+      .groupBy(col("user_id"), tsDay.as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(round(avg("n"), 6).as("daily_avg"))
+      .orderBy("user_id"),
+    Some("""SELECT user_id, round(avg(n), 6) AS daily_avg
+            FROM (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+                  FROM events GROUP BY user_id, CAST(ts AS DATE)) t
+            GROUP BY user_id ORDER BY user_id"""))
+
+  val qGlobalAgg = QueryDef(
+    "q_global_agg",
+    (s, d) => table(s, d, "orders")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum("o_totalprice"), 2).as("sum_price"),
+        round(avg("o_totalprice"), 4).as("avg_price"),
+        min(to_date(col("o_orderdate"))).as("min_date"),
+        max(to_date(col("o_orderdate"))).as("max_date")),
+    Some("""SELECT count(*) AS n_rows,
+              round(sum(o_totalprice), 2) AS sum_price,
+              round(avg(o_totalprice), 4) AS avg_price,
+              min(CAST(o_orderdate AS DATE)) AS min_date,
+              max(CAST(o_orderdate AS DATE)) AS max_date
+            FROM orders"""))
+
+  /** Exact distinct counts (reference A5). At 100 TB the documented scale
+    * variant is `approx_count_distinct` (HLL) — exact kept here because the
+    * oracle is exact.
+    */
+  val qCountDistinct = QueryDef(
+    "q_count_distinct",
+    (s, d) => events(s, d)
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types")),
+    Some("""SELECT count(DISTINCT user_id) AS n_users,
+              count(DISTINCT event_type) AS n_types FROM events"""))
+
+  /** Per-column null counts in ONE pass (reference A6) — a single
+    * projection of conditional sums, not one job per column.
+    */
+  val qNullCounts = QueryDef(
+    "q_null_counts",
+    (s, d) => {
+      val e = events(s, d)
+      e.select(e.columns.toSeq.map(c =>
+        sum(col(c).isNull.cast("long")).as(s"${c}_nulls")): _*)
+    },
+    Some("""SELECT count(*) - count(event_id) AS event_id_nulls,
+              count(*) - count(ts) AS ts_nulls,
+              count(*) - count(user_id) AS user_id_nulls,
+              count(*) - count(event_type) AS event_type_nulls,
+              count(*) - count(value) AS value_nulls,
+              count(*) - count(props) AS props_nulls
+            FROM events"""))
+
+  /** Frequency top-k (reference A7): Catalyst rewrites orderBy+limit to
+    * TakeOrderedAndProject — a distributed top-k, no global sort.
+    * Deterministic secondary key on the value.
+    */
+  val qTopkValues = QueryDef(
+    "q_topk_values",
+    (s, d) => events(s, d)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type")).limit(5),
+    Some("""SELECT event_type, count(*) AS n FROM events
+            GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5"""))
+
+  /** Domain validation as set difference (reference src/cleaning.py:119-130). */
+  val qDomainCheck = QueryDef(
+    "q_domain_check",
+    (s, d) => events(s, d)
+      .select("event_type").distinct()
+      .filter(!col("event_type").isin("click", "view", "purchase"))
+      .orderBy("event_type"),
+    Some("""SELECT DISTINCT event_type FROM events
+            WHERE event_type NOT IN ('click', 'view', 'purchase')
+            ORDER BY event_type"""))
+
+  // --- J-family: joins ------------------------------------------------------
+
+  /** Left join of a tiny per-user aggregate back onto events (reference J1).
+    * The build side is <= |users| rows — Catalyst/AQE broadcasts it, so no
+    * shuffle of the probe side.
+    */
+  val qJoinLeft = QueryDef(
+    "q_join_left",
+    (s, d) => {
+      val e = events(s, d)
+      val avgs = e.groupBy("user_id")
+        .agg(round(avg("value"), 4).as("user_avg_value"))
+      e.select("event_id", "user_id")
+        .join(broadcast(avgs), Seq("user_id"), "left")
+        .select("event_id", "user_id", "user_avg_value")
+        .orderBy("event_id")
+    },
+    Some("""SELECT e.event_id, e.user_id, u.user_avg_value
+            FROM events e
+            LEFT JOIN (SELECT user_id, round(avg(value), 4) AS user_avg_value
+                       FROM events GROUP BY user_id) u
+              ON e.user_id = u.user_id
+            ORDER BY e.event_id"""))
+
+  /** Composite-key join (reference J2): per-(user, day) counts joined back
+    * on both keys.
+    */
+  val qJoinComposite = QueryDef(
+    "q_join_composite",
+    (s, d) => {
+      val e = events(s, d).withColumn("day", tsDay)
+      val daily = e.groupBy("user_id", "day").agg(count(lit(1)).as("user_day_events"))
+      e.join(broadcast(daily), Seq("user_id", "day"))
+        .select("event_id", "user_day_events")
+        .orderBy("event_id")
+    },
+    Some("""SELECT e.event_id, d.user_day_events
+            FROM events e
+            JOIN (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS user_day_events
+                  FROM events GROUP BY 1, 2) d
+              ON e.user_id = d.user_id AND CAST(e.ts AS DATE) = d.day
+            ORDER BY e.event_id"""))
+
+  /** Multi-way inner equi-join over the star schema: orders ⋈ customer ⋈
+    * nation. Dimension tables broadcast; the fact table never shuffles.
+    */
+  val qJoinInner = QueryDef(
+    "q_join_inner",
+    (s, d) => table(s, d, "orders")
+      .join(broadcast(table(s, d, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("order_count"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("n_name"),
+    Some("""SELECT n_name, count(*) AS order_count,
+              round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name"""))
+
+  // --- W-family: windows & sessionization ----------------------------------
+
+  val qSort = QueryDef(
+    "q_sort",
+    (s, d) => events(s, d)
+      .select("event_id", "user_id", "value")
+      .orderBy(col("user_id"), col("value").desc, col("event_id")),
+    Some("""SELECT event_id, user_id, value FROM events
+            ORDER BY user_id, value DESC, event_id"""))
+
+  val qLag = QueryDef(
+    "q_lag",
+    (s, d) => events(s, d)
+      .select(col("event_id"), lag(col("value"), 1).over(userOrder).as("prev_value"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+              lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+            FROM events ORDER BY event_id"""))
+
+  /** Session id assignment (reference W3): strict `gap > 1800s` starts a
+    * new session; NULL gap (first event per user) does too, so ids start
+    * at 1. lag + running sum share one per-user sort — a single exchange.
+    */
+  private def withSessionId(e: DataFrame): DataFrame = {
+    val gap = tsSec - lag(tsSec, 1).over(userOrder)
+    e.withColumn("session_id",
+      sum((gap.isNull || gap > 1800).cast("long"))
+        .over(userOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  private val sessionIdSql =
+    """SELECT *, CAST(SUM(CASE WHEN gap_sec IS NULL OR gap_sec > 1800 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       FROM (SELECT event_id, user_id, ts,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                 - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS gap_sec
+             FROM events) g"""
+
+  val qSessionId = QueryDef(
+    "q_session_id",
+    (s, d) => withSessionId(events(s, d))
+      .select("event_id", "user_id", "session_id")
+      .orderBy("event_id"),
+    Some(s"""SELECT event_id, user_id, session_id
+             FROM ($sessionIdSql) t ORDER BY event_id"""))
+
+  /** Per-session multi-aggregate (reference A3 + T4). */
+  val qSessionAgg = QueryDef(
+    "q_session_agg",
+    (s, d) => withSessionId(events(s, d))
+      .groupBy("user_id", "session_id")
+      .agg(count(col("event_id")).as("session_event_count"),
+        min(tsSec).as("session_start_sec"),
+        (max(tsSec) - min(tsSec)).as("session_duration_sec"))
+      .orderBy("user_id", "session_id"),
+    Some(s"""SELECT user_id, session_id,
+               count(event_id) AS session_event_count,
+               min(CAST(floor(epoch(ts)) AS BIGINT)) AS session_start_sec,
+               max(CAST(floor(epoch(ts)) AS BIGINT))
+                 - min(CAST(floor(epoch(ts)) AS BIGINT)) AS session_duration_sec
+             FROM ($sessionIdSql) t
+             GROUP BY user_id, session_id ORDER BY user_id, session_id"""))
+
+  /** The full sessionization composite (reference W4 = W2+W3+A3+J2):
+    * per-row session id plus its session's stats joined back on the
+    * composite key.
+    */
+  val qSessionize = QueryDef(
+    "q_sessionize",
+    (s, d) => {
+      val sid = withSessionId(events(s, d))
+      val stats = sid.groupBy("user_id", "session_id")
+        .agg(count(col("event_id")).as("session_event_count"),
+          (max(tsSec) - min(tsSec)).as("session_duration_sec"))
+      sid.join(stats, Seq("user_id", "session_id"), "left")
+        .select("event_id", "user_id", "session_id",
+          "session_event_count", "session_duration_sec")
+        .orderBy("event_id")
+    },
+    Some(s"""SELECT t.event_id, t.user_id, t.session_id,
+               st.session_event_count, st.session_duration_sec
+             FROM ($sessionIdSql) t
+             JOIN (SELECT user_id, session_id,
+                     count(event_id) AS session_event_count,
+                     max(CAST(floor(epoch(ts)) AS BIGINT))
+                       - min(CAST(floor(epoch(ts)) AS BIGINT)) AS session_duration_sec
+                   FROM ($sessionIdSql) s2
+                   GROUP BY user_id, session_id) st
+               ON t.user_id = st.user_id AND t.session_id = st.session_id
+             ORDER BY t.event_id"""))
+
+  // --- flagship ------------------------------------------------------------
+
+  /** TPC-H Q1-style pricing summary on lineitem — the flagship aggregate:
+    * partial+final hash aggregation, all expressions codegen'd, scan prunes
+    * to the 7 referenced columns.
+    */
+  val q1Agg = QueryDef(
+    "q1_agg",
+    (s, d) => table(s, d, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              round(avg(l_quantity), 4) AS avg_qty,
+              round(avg(l_discount), 6) AS avg_disc,
+              count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  val all: Seq[QueryDef] = Seq(
+    q1Agg, qScanParquet, qFilterNotnull, qFilterTs, qFilterNeq, qProject,
+    qDedupFull, qDedupKey, qFillna, qTrimAll, qNormText, qMapStatus,
+    qMapSeverity, qSeverityScore, qNormIp, qParseTs, qDateFloor, qTimeDelta,
+    qMinmaxTs, qCountOver, qDailyAvg, qGlobalAgg, qCountDistinct, qNullCounts,
+    qTopkValues, qDomainCheck, qJoinLeft, qJoinComposite, qJoinInner, qSort,
+    qLag, qSessionId, qSessionAgg, qSessionize)
+}
