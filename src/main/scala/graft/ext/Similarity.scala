@@ -55,19 +55,23 @@ object Similarity {
   private def planeComponent(bit: Int, dim: Column): Column =
     (pmod(xxhash64(lit(bit), dim), lit(2000001)).cast("double") - 1000000.0) / 1000000.0
 
-  /** Random-hyperplane signature: `bits` sign bits packed into a long.
-    * Vectors with small cosine distance collide with high probability
-    * (SimHash/LSH family).
+  /** Random-hyperplane signatures as a table transform: vectors explode to
+    * (id, dim, value) rows once, each signature bit is a codegen'd
+    * conditional-sum aggregate of value×plane(bit, dim), and the packed
+    * long is reassembled from the projection signs. Vectors with small
+    * cosine distance collide with high probability (SimHash/LSH family).
+    * One shuffle on the vector id; no interpreted higher-order functions.
     */
-  def hyperplaneSignature(vec: Column, bits: Int): Column = {
-    val bitVals = (0 until bits).map { b =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(b, i)),
-        lit(0.0), (acc, z) => acc + z)
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+  def hyperplaneSignatures(df: DataFrame, id: String, vec: String, bits: Int): DataFrame = {
+    val elems = df.select(col(id), posexplode(col(vec)).as(Seq("i", "v")))
+    val projs = (0 until bits).map { b =>
+      sum(col("v").cast("double") * planeComponent(b, col("i"))).as(s"p$b")
     }
-    bitVals.reduce((a, b) => a + b)
+    val agg = elems.groupBy(id).agg(projs.head, projs.tail: _*)
+    val sig = (0 until bits).map { b =>
+      when(col(s"p$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, b) => a + b)
+    agg.select(col(id), sig.as("_sig"))
   }
 
   /** Approximate top-k: candidates are signature-bucket mates, ranked by
@@ -79,8 +83,8 @@ object Similarity {
       corpus: DataFrame, id: String, vec: String,
       probes: DataFrame, qId: String, qVec: String,
       k: Int, bits: Int = 12): DataFrame = {
-    val sigCorpus = corpus.withColumn("_sig", hyperplaneSignature(col(vec), bits))
-    val sigProbes = probes.withColumn("_sig", hyperplaneSignature(col(qVec), bits))
+    val sigCorpus = corpus.join(hyperplaneSignatures(corpus, id, vec, bits), id)
+    val sigProbes = probes.join(hyperplaneSignatures(probes, qId, qVec, bits), qId)
     val candidates = sigCorpus.join(broadcast(sigProbes), Seq("_sig"))
       .filter(col(id) =!= col(qId))
       .withColumn("cosine", cosine(col(qVec), col(vec)))

@@ -56,14 +56,18 @@ object ExtensionQueries {
             WHERE round(shared / CAST(s1.n + s2.n - shared AS DOUBLE), 4) >= 0.8
             ORDER BY id1, id2"""))
 
-  /** MinHash+LSH candidate pairs — not ANSI-SQL-expressible (keyed xxhash64
-    * permutations); correctness is invariant-tested against exact Jaccard
-    * in DedupSpec. Rows-only driver check.
+  /** MinHash+LSH dedup as a per-document keep/drop assignment (the
+    * pairwise candidate list is quadratic on this corpus — ~8M pairs from
+    * 5k docs — so the scalable operator emits cluster representatives
+    * instead). Not ANSI-SQL-expressible (keyed xxhash64 permutations);
+    * invariant-tested against exact Jaccard in DedupSpec. Rows-only
+    * driver check.
     */
   val qDedupMinhash = QueryDef(
     "q_dedup_minhash",
-    (s, d) => Dedup.minhashCandidatePairs(docs(s, d), "doc_id", "text")
-      .orderBy("id1", "id2"),
+    (s, d) => Dedup.minhashDedup(docs(s, d), "doc_id", "text")
+      .select("doc_id", "rep_id", "is_dup")
+      .orderBy("doc_id"),
     None)
 
   /** SimHash near-dup pairs (Hamming <= 3 within 16-bit band buckets). */

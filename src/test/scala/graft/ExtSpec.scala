@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Unit + invariant tests for the training-data extension operators. */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),        // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat"),        // near dup of 0
+    (3L, "completely different content about spark engines"),
+    (4L, "el rapido zorro marron salta sobre el perro"),
+    (5L, "a a a the the of and")).toDF("doc_id", "text")
+
+  test("exact dedup groups duplicate texts under the smallest id") {
+    val g = Dedup.exactGroups(docs, "doc_id", col("text"))
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toMap
+    assert(g(0L) === 2L) // docs 0 and 1
+    assert(g(2L) === 1L)
+  }
+
+  test("ngram jaccard: hand-computed overlap") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // docs 0,1 identical -> jaccard 1.0
+    assert(pairs((0L, 1L)) === 1.0)
+    // docs 0,2: tokens {the,quick,brown,fox,jumps,over,lazy,dog} vs {...cat}
+    // shared 7, union 9 -> 0.7778
+    assert(pairs((0L, 2L)) === 0.7778)
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("minhash signatures of identical docs are identical; dedup assigns shared rep") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 32).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sig(0L) === sig(1L))
+    assert(sig(0L) !== sig(3L))
+
+    val rep = Dedup.minhashDedup(docs, "doc_id", "text")
+      .select("doc_id", "rep_id").as[(Long, Long)].collect().toMap
+    assert(rep(1L) === 0L)     // exact dup maps to representative 0
+    assert(rep(0L) === 0L)
+    assert(rep.forall { case (id, r) => r <= id })
+  }
+
+  test("minhash candidate pairs surface exact and near duplicates") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    // near-dup 0-2 has jaccard 0.78; with 8 bands of 4 the expected surface
+    // probability is 1-(1-0.78^4)^8 ≈ 0.97 — deterministic here, assert it
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.contains((0L, 4L)))
+  }
+
+  test("simhash: HOF column variant and scale-path table variant agree") {
+    val fromCol = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sim"))
+      .as[(Long, Long)].collect().toMap
+    val fromTable = Dedup.simhashTable(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fromCol === fromTable)
+    assert(fromCol(0L) === fromCol(1L)) // identical docs, identical fingerprint
+  }
+
+  test("simhash pairs: identical docs at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.exists { case (a, b, h) => a == 0L && b == 1L && h == 0 })
+  }
+
+  test("cosine: identical=1, orthogonal=0; brute-force top-k ranks correctly") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+      (3L, Array(0.9f, 0.1f, 0.0f)))   // close to 0
+      .toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        probes, "q_id", "q_emb", k = 3)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toMap
+    assert(top(1L) === 1.0)
+    assert(math.abs(top(2L)) < 1e-12)
+    assert(top(3L) > 0.99 && top(3L) < 1.0)
+  }
+
+  test("hyperplane LSH: identical vectors share a signature; lshTopK finds them") {
+    val vecs = Seq(
+      (0L, Array.tabulate(16)(i => i.toFloat)),
+      (1L, Array.tabulate(16)(i => i.toFloat)),
+      (2L, Array.tabulate(16)(i => -i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val sigs = Similarity.hyperplaneSignatures(vecs, "vec_id", "embedding", 8)
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) === sigs(1L))
+    assert(sigs(0L) !== sigs(2L)) // antipodal vectors flip every bit
+
+    val probes = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val found = Similarity.lshTopK(vecs, "vec_id", "embedding",
+        probes, "q_id", "q_emb", k = 5, bits = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(found.contains(1L))
+  }
+
+  test("text analysis: tokens, stopwords, language id, fingerprint") {
+    val one = docs.filter(col("doc_id") === 0)
+    assert(one.select(TextAnalysis.tokenCount(col("text"))).as[Long].head() === 9L)
+    assert(one.select(TextAnalysis.stopwordRatio(col("text"), Seq("the", "a")))
+      .as[Double].head() === 0.2222)
+
+    val langs = docs.select(col("doc_id"), TextAnalysis.languageId(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(langs(0L) === "en")
+    assert(langs(4L) === "es")
+    assert(langs(3L) === "und") // no markers at all
+
+    val fp = docs.filter(col("doc_id") === 0)
+      .select(TextAnalysis.fingerprint(col("text"))).as[String].head()
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("the quick brown fox jumps over the lazy dog".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(fp === expected)
+  }
+
+  test("multimodal: stubbed feature extraction preserves ids and byte counts") {
+    val media = Seq(
+      (1L, "image", Array[Byte](1, 2, 3, 4, 5)),
+      (2L, "video", Array[Byte](9, 8, 7)))
+      .toDF("media_id", "kind", "payload")
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).n_bytes === 5L)
+    assert(feats(2L).n_bytes === 3L)
+    assert(feats(1L).n_frames === 1) // images are single-frame
+    assert(feats(2L).n_frames >= 1)
+    assert(feats(1L).width >= 1 && feats(1L).height >= 1)
+
+    val frames = Multimodal.sampleFrames(spark, media, everyN = 10)
+    assert(frames.filter(col("media_id") === 2L).count() >= 1)
+    assert(frames.columns.toSeq ===
+      Seq("media_id", "kind", "frame_idx", "content_hash"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.etl.{Cleaning, Features, Normalization}
+
+/** Property-based invariants (SURVEY.md §5.2.4). Collections are generated
+  * by ScalaCheck (fixed seeds — the scalatestplus bridge is not in the
+  * offline cache), executed through the real Spark transforms.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Run the property over `n` deterministic ScalaCheck samples. */
+  private def forAll[T](gen: Gen[T], n: Int = 8)(body: T => Unit): Unit =
+    (1 to n).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+
+  private val dirtyString =
+    Gen.oneOf("OK", " failed ", "Denied", "", "  ", "weird-Value", "log in", "A--B")
+
+  test("normalization is idempotent: normalize(normalize(x)) == normalize(x)") {
+    forAll(Gen.listOfN(12, dirtyString)) { values =>
+      val df = values.zipWithIndex
+        .map { case (v, i) => (i.toString, v, v, v) }
+        .toDF("event_id", "status", "severity", "event_type")
+      val once = Normalization.normalizeCategoricals(df)
+      val twice = Normalization.normalizeCategoricals(once)
+      assert(once.collect().toSeq === twice.collect().toSeq)
+    }
+  }
+
+  test("dedup is idempotent and never increases row multiplicity per key") {
+    forAll(Gen.listOfN(20, Gen.choose(1L, 6L))) { keys =>
+      val df = keys.zipWithIndex
+        .map { case (k, i) => (k, s"payload$k", i.toLong) }
+        .toDF("event_id", "payload", "_ingest_order")
+      val once = Cleaning.removeDuplicates(df)
+      assert(once.groupBy("event_id").count()
+        .filter(col("count") > 1).count() === 0)
+      assert(Cleaning.removeDuplicates(once).count() === once.count())
+    }
+  }
+
+  test("session invariants: ids contiguous from 1, count matches rows, duration = max-min") {
+    val eventsGen = Gen.listOfN(30, for {
+      user <- Gen.oneOf("u1", "u2", "u3")
+      offsetSec <- Gen.choose(0L, 200000L)
+    } yield (user, offsetSec))
+
+    forAll(eventsGen) { evs =>
+      val base = java.sql.Timestamp.valueOf("2025-01-01 00:00:00").getTime
+      val df = evs.distinct.zipWithIndex.map { case ((u, off), i) =>
+        (i.toLong, new java.sql.Timestamp(base + off * 1000), u)
+      }.toDF("event_id", "timestamp", "user_id")
+
+      val out = Features.addSessionFeatures(df, gapMinutes = 30).cache()
+
+      // session ids per user are a contiguous 1..N range
+      val perUser = out.groupBy("user_id")
+        .agg(min("session_id").as("lo"), max("session_id").as("hi"),
+          countDistinct("session_id").as("n"))
+        .as[(String, Long, Long, Long)].collect()
+      perUser.foreach { case (_, lo, hi, n) =>
+        assert(lo === 1L); assert(hi === n)
+      }
+
+      // per-session row count equals session_event_count; duration = max-min
+      val bad = out.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("rows"),
+          first("session_event_count").as("declared"),
+          (max(col("timestamp").cast("double")) -
+            min(col("timestamp").cast("double"))).as("span"),
+          first("session_duration_seconds").as("declared_span"))
+        .filter(col("rows") =!= col("declared") ||
+          abs(col("span") - col("declared_span")) > 1e-6)
+      assert(bad.count() === 0)
+      out.unpersist()
+      ()
+    }
+  }
+
+  test("handle_missing_values leaves no nulls in the filled columns") {
+    val maybeStr = Gen.option(dirtyString)
+    forAll(Gen.listOfN(15, Gen.zip(Gen.option(Gen.choose(1L, 50L)), maybeStr))) { rows =>
+      val df = rows.map { case (id, s) => (id, s, s, s, s, s) }
+        .toDF("event_id", "user_id", "event_type", "status", "severity", "source_ip")
+      val out = Cleaning.handleMissingValues(df)
+      val nullCounts = out.select(
+        Seq("user_id", "event_type", "status", "severity", "source_ip")
+          .map(c => sum(col(c).isNull.cast("long")).as(c)): _*).collect()(0)
+      assert(nullCounts.toSeq.forall(_ == 0L))
+      assert(out.filter(col("event_id").isNull).count() === 0)
+    }
+  }
+}
