@@ -13,7 +13,12 @@ case class PipelineConfig(
     sessionGapMinutes: Int = 30,
     summary: Boolean = false,
     validateMode: String = "warn",
-    dropUnknownSeverity: Boolean = false)
+    dropUnknownSeverity: Boolean = false,
+    /** Emit rows sorted by (user_id, timestamp) like the reference's file
+      * output. Callers that re-sort downstream can disable the extra
+      * global exchange.
+      */
+    sortOutput: Boolean = true)
 
 /** End-to-end batch pipeline (reference: src/pipeline.py:18-69): CSV scan ->
   * required-column validation -> missing-value handling -> dedup ->
@@ -69,9 +74,9 @@ object Pipeline {
     // Final output order is the sessionization sort, with ingest order as
     // the stable tiebreak (reference: src/feature_engineering.py:72 and the
     // golden file's (user_id, timestamp) order — SURVEY.md §1.5).
-    val ordered = featured
-      .orderBy(col("user_id"), col("timestamp"), col(EventSchema.ingestOrderCol))
-      .drop(EventSchema.ingestOrderCol)
+    val ordered = (if (config.sortOutput)
+      featured.orderBy(col("user_id"), col("timestamp"), col(EventSchema.ingestOrderCol))
+    else featured).drop(EventSchema.ingestOrderCol)
 
     // Reference column order: input columns, then features in the order
     // they were engineered (golden header, data/processed_events.csv:1).

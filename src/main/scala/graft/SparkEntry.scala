@@ -1,12 +1,13 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{ExtensionQueries, ParityQueries, QueryDef}
+import graft.queries.{ExtensionQueries, ParityQueries, PipelineQuery, QueryDef}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private def allDefs: Seq[QueryDef] = ParityQueries.all ++ ExtensionQueries.all
+  private def allDefs: Seq[QueryDef] =
+    ParityQueries.all ++ ExtensionQueries.all ++ PipelineQuery.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.etl.Normalization
+import graft.schema.EventSchema
+
+/** Structured Streaming twins of the reference's three stateful operators
+  * (SURVEY.md §2.12, §7.4). Batch is authoritative; these run the SAME
+  * DataFrame transforms on an unbounded source, with watermarks bounding
+  * state.
+  *
+  * Documented divergence from batch: rows later than the watermark are
+  * DROPPED in streaming, while batch re-sorts them into place (it sees
+  * everything). The reference has no late-data story at all — it is a
+  * single-shot batch program.
+  */
+object StreamingPipeline {
+
+  /** Streaming twin of D2 (key dedup): at-most-once per event_id within the
+    * watermark horizon. Batch keep-LAST cannot be expressed incrementally
+    * (the "last" row may always still arrive), so streaming keeps the
+    * FIRST and the divergence is documented — the reference's dedup is
+    * pre-parse ingest-order anyway (SURVEY.md §1.5).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("timestamp", watermark)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** Streaming twin of the cleaning+normalization stages: stateless, so
+    * identical semantics to batch — the same Column expressions applied to
+    * a streaming DataFrame.
+    */
+  def normalizeStream(events: DataFrame): DataFrame =
+    events.transform(Normalization.normalizeCategoricals)
+
+  /** Streaming twin of W4 (sessionization aggregates): Spark's native
+    * `session_window` with the same inactivity gap. Emits one row per
+    * closed session with count and duration — the per-session half of the
+    * batch operator (per-ROW session ids need flatMapGroupsWithState and
+    * arbitrary state; the aggregate form covers the analytics use).
+    */
+  def sessionStream(
+      events: DataFrame,
+      gapMinutes: Int = 30,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("timestamp", watermark)
+      .groupBy(col("user_id"), session_window(col("timestamp"), s"$gapMinutes minutes"))
+      .agg(count(col("event_id")).as("session_event_count"),
+        min("timestamp").as("session_start"),
+        max("timestamp").as("session_end"))
+      .withColumn("session_duration_seconds",
+        col("session_end").cast("double") - col("session_start").cast("double"))
+      .select("user_id", "session_start", "session_end",
+        "session_event_count", "session_duration_seconds")
+
+  /** Streaming twin of A2's daily buckets: tumbling 1-day event-time
+    * windows per user.
+    */
+  def dailyCountsStream(
+      events: DataFrame,
+      watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("timestamp", watermark)
+      .groupBy(col("user_id"), window(col("timestamp"), "1 day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("window.start").as("day"), col("n"))
+}

@@ -1,0 +1,77 @@
+package graft
+
+/** Physical-plan audits: the properties that matter at 100 TB, asserted on
+  * the actual Catalyst output (SURVEY.md §4). These run `.explain` only —
+  * no jobs execute.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("filters are pushed into the parquet scan") {
+    val p = planOf("q_filter_notnull")
+    assert(p.contains("PushedFilters: [IsNotNull(props)]"), p.take(2000))
+
+    val p2 = planOf("q_filter_neq")
+    assert(p2.contains("IsNotNull(event_type)") &&
+      p2.contains("Not(EqualTo(event_type,error))"), p2.take(2000))
+  }
+
+  test("column pruning reaches the scan: projection reads only needed columns") {
+    val p = planOf("q_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("event_id") && readSchema.contains("value"))
+    assert(!readSchema.contains("props") && !readSchema.contains("user_id"),
+      s"scan reads more than projected: $readSchema")
+  }
+
+  test("star-schema join broadcasts the dimension tables, never shuffles the fact table") {
+    val p = planOf("q_join_inner")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), "dimension join degraded to sort-merge")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (distributed top-k, no global sort)") {
+    val p = planOf("q_topk_values")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("flagship aggregate runs partial+final hash aggregation inside codegen") {
+    val p = planOf("q1_agg")
+    // partial (before the exchange) + final (after) hash aggregation
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(3000))
+    // AQE finalizes the plan at runtime — execute, then audit the final
+    // adaptive plan for whole-stage-codegen spans.
+    val df = SparkEntry.queries("q1_agg")(spark, dir)
+    df.collect() // a direct action finalizes THIS df's adaptive plan
+    val finalPlan = df.queryExecution.executedPlan.toString
+    // codegen'd stages print as "*(n) Operator" in the final adaptive plan
+    assert(finalPlan.contains("isFinalPlan=true") && finalPlan.contains("*("),
+      finalPlan.take(3000))
+  }
+
+  test("sessionization reuses ONE per-user exchange for lag + running sum") {
+    // The session-id assignment needs exactly one hash partitioning by
+    // user_id — lag and the running sum share it. More exchanges would mean
+    // redundant shuffles of the full event stream at scale.
+    val df = SparkEntry.queries("q_session_id")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 user_id exchange, found $exchanges:\n${p.take(3000)}")
+  }
+
+  test("per-user analytics in the full pipeline share the user partitioning") {
+    val df = SparkEntry.queries("q_sessionize")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // window(lag+sum) over user + session stats agg + join back: the plan
+    // must not shuffle the events more than these stages require.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 4, s"too many exchanges ($exchanges):\n${p.take(3000)}")
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingPipeline
+
+/** Drives the streaming twins with a MemoryStream source and a memory
+  * sink, processing synchronously (processAllAvailable) so the batch of
+  * injected events acts like a bounded stream.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  case class Ev(event_id: Long, timestamp: Timestamp, user_id: String)
+
+  test("session_window twin: inactivity gap splits sessions, duration matches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingPipeline.sessionStream(input.toDF(), gapMinutes = 30)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      input.addData(
+        Ev(1, ts("2025-01-01 10:00:00"), "u"),
+        Ev(2, ts("2025-01-01 10:10:00"), "u"),
+        Ev(3, ts("2025-01-01 11:30:00"), "u"), // 80-minute gap -> new session
+        Ev(4, ts("2025-01-01 10:05:00"), "v"))
+      q.processAllAvailable()
+      val out = spark.table("sessions_out")
+        .select("user_id", "session_event_count", "session_duration_seconds")
+        .as[(String, Long, Double)].collect().sortBy(r => (r._1, r._3))
+      // u: [10:00,10:10] count 2 dur 600s; [11:30] count 1 dur 0; v: count 1
+      assert(out.count(_._1 == "u") === 2)
+      assert(out.filter(_._1 == "u").map(_._2).sorted.toSeq === Seq(1L, 2L))
+      assert(out.filter(_._1 == "u").map(_._3).sorted.toSeq === Seq(0.0, 600.0))
+      assert(out.filter(_._1 == "v") === Array(("v", 1L, 0.0)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark twin: repeated event_ids collapse") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingPipeline.dedupStream(input.toDF(), watermark = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(
+        Ev(1, ts("2025-01-01 10:00:00"), "u"),
+        Ev(1, ts("2025-01-01 10:00:05"), "u"), // duplicate id within watermark
+        Ev(2, ts("2025-01-01 10:01:00"), "u"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("daily tumbling twin: one bucket per user per day") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingPipeline.dailyCountsStream(input.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("daily_out").start()
+    try {
+      input.addData(
+        Ev(1, ts("2025-01-01 10:00:00"), "u"),
+        Ev(2, ts("2025-01-01 23:00:00"), "u"),
+        Ev(3, ts("2025-01-02 01:00:00"), "u"))
+      q.processAllAvailable()
+      val out = spark.table("daily_out")
+        .select(col("user_id"), col("day").cast("string"), col("n"))
+        .as[(String, String, Long)].collect().sortBy(_._2)
+      assert(out.toSeq === Seq(
+        ("u", "2025-01-01 00:00:00", 2L),
+        ("u", "2025-01-02 00:00:00", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateless normalization behaves identically on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Raw(event_id: Long, status: String)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.normalizeStream(
+        input.toDF().toDF("event_id", "status"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("norm_out").start()
+    try {
+      input.addData((1L, "OK"), (2L, "denied "), (3L, "weird"))
+      q.processAllAvailable()
+      val out = spark.table("norm_out").as[(Long, String)].collect().toMap
+      assert(out === Map(1L -> "success", 2L -> "failure", 3L -> "weird"))
+    } finally q.stop()
+  }
+}
