@@ -28,7 +28,19 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, z) => acc + z))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine via built-in higher-order functions — the reference
+    * formulation, kept for cross-checking the native expression (both
+    * accumulate left-to-right in doubles, so they are bit-identical).
+    */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Cosine similarity — the native codegen'd Catalyst expression
+    * ([[graft.functions.FloatVectorCosine]]): one fused primitive loop
+    * inside whole-stage codegen instead of an interpreted lambda per
+    * element.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.float_vector_cosine(a, b)
 
   /** Exact top-k neighbors for each probe vector.
     *

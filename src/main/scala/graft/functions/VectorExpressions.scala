@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: cosine similarity between two
+  * `array<float>` columns in ONE fused loop (dot product and both norms
+  * accumulated together), with full whole-stage-codegen support.
+  *
+  * This is the performance path for similarity search: the equivalent
+  * `zip_with`/`aggregate` higher-order formulation evaluates an
+  * interpreted lambda per element, while this compiles to a tight
+  * primitive loop inside the generated stage. Accumulation is
+  * left-to-right in doubles — bit-identical to the sequential HOF fold,
+  * so the two paths are interchangeable in oracle-checked queries.
+  */
+case class FloatVectorCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vector_cosine"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = xs.getFloat(i).toDouble
+      val y = ys.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0;
+        double $na = 0.0;
+        double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $x = (double) $a.getFloat($i);
+          double $y = (double) $b.getFloat($i);
+          $dot += $x * $y;
+          $na += $x * $x;
+          $nb += $y * $y;
+        }
+        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+
+  /** Column-level cosine similarity backed by the native expression. */
+  def float_vector_cosine(a: Column, b: Column): Column =
+    Bridge.column(FloatVectorCosine(Bridge.expression(a), Bridge.expression(b)))
+}

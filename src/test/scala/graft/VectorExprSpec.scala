@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Similarity
+import graft.functions.VectorFunctions.float_vector_cosine
+
+/** Native FloatVectorCosine vs the higher-order-function formulation:
+  * bit-identical results (same left-to-right double accumulation), null
+  * handling, and codegen execution.
+  */
+class VectorExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("native cosine is bit-identical to the HOF fold on real embeddings") {
+    val pairs = vecs.limit(50).crossJoin(
+      vecs.limit(50).select(col("vec_id").as("id2"), col("embedding").as("emb2")))
+    val diffs = pairs.select(
+      float_vector_cosine(col("embedding"), col("emb2")).as("native"),
+      Similarity.cosineHof(col("embedding"), col("emb2")).as("hof"))
+      .filter(col("native") =!= col("hof")) // exact comparison, not tolerance
+      .count()
+    assert(diffs === 0)
+  }
+
+  test("null inputs yield null, not an error") {
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),
+      (None, Some(Array(1.0f, 1.0f))),
+      (Some(Array(1.0f, 1.0f)), None))
+      .toDF("a", "b")
+    val out = df.select(float_vector_cosine(col("a"), col("b"))).collect()
+    assert(out(0).isNullAt(0) === false)
+    assert(out(1).isNullAt(0))
+    assert(out(2).isNullAt(0))
+  }
+
+  test("known values: identical, orthogonal, antipodal") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0))
+      .toDF("a", "b", "expect")
+    df.select(float_vector_cosine(col("a"), col("b")).as("got"), col("expect"))
+      .collect().foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("the expression executes inside whole-stage codegen (no fallback)") {
+    val df = vecs.select(
+      float_vector_cosine(col("embedding"), col("embedding")).as("c"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"expected codegen'd project:\n${p.take(1500)}")
+  }
+
+  test("type mismatch is rejected at analysis time") {
+    val bad = Seq((Array(1.0, 2.0), Array(1.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(float_vector_cosine(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array<float>"))
+  }
+}
