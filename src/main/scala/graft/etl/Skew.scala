@@ -1,0 +1,53 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for per-key analytics (SURVEY.md §7.5(5)).
+  *
+  * After the cleaning fill, `user_id = "unknown"` becomes a mega-key: every
+  * window over `Window.partitionBy("user_id")` sends the whole key to ONE
+  * task. AQE splits skewed JOINS automatically but cannot split a window
+  * partition — that needs restructuring, done here with the classic
+  * two-phase salt: partial aggregate on (key, salt), final aggregate on
+  * (key), join the result back. Works for any algebraic aggregate
+  * (count/sum/min/max); rank-style windows cannot be salted this way.
+  */
+object Skew {
+
+  /** Per-user event count (reference A1: `q_count_over` semantics) computed
+    * skew-safely: rows scatter over `saltBuckets` partial groups, the tiny
+    * (users × salt) partial table collapses to per-user totals, and a
+    * broadcast join attaches the total to every row. Equivalent to
+    * `count(event_id).over(Window.partitionBy("user_id"))` — verified in
+    * SkewSpec — but no single task ever holds a whole hot key.
+    */
+  def countOverSalted(
+      df: DataFrame,
+      key: String,
+      countCol: String,
+      out: String,
+      saltBuckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
+    val partial = salted.groupBy(col(key), col("_salt"))
+      .agg(count(col(countCol)).as("_partial"))
+    val totals = partial.groupBy(key).agg(sum("_partial").as(out))
+    salted.drop("_salt").join(broadcast(totals), Seq(key), "left")
+      .withColumn(out, coalesce(col(out), lit(0L)))
+  }
+
+  /** Decide between the window and salted formulations from a cheap
+    * key-histogram sample. At 100 TB the histogram itself must not scan
+    * everything — sample a fraction and extrapolate.
+    */
+  def pickCountStrategy(
+      df: DataFrame, key: String, skewThreshold: Double = 0.2,
+      sampleFraction: Double = 0.01): String = {
+    val sample = df.sample(sampleFraction).groupBy(key).count()
+    val Array(total, top) = sample
+      .agg(sum("count"), max("count")).collect()(0)
+      .toSeq.map(v => Option(v).fold(0L)(_.asInstanceOf[Long])).toArray
+    if (total > 0 && top.toDouble / total >= skewThreshold) "salted" else "window"
+  }
+}

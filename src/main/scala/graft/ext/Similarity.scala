@@ -86,6 +86,41 @@ object Similarity {
     agg.select(col(id), sig.as("_sig"))
   }
 
+  /** IVF (inverted-file) approximate top-k — the other classic ANN scale
+    * path. A small coarse-quantizer table (here: the `nCentroids`
+    * lowest-id vectors, deterministic; production would k-means) is
+    * broadcast; every corpus vector joins its nearest centroid's inverted
+    * list (one broadcast pass, no shuffle of the corpus); probes search
+    * only their `nProbe` nearest lists. Recall is tunable via `nProbe`;
+    * candidates are ranked by exact cosine.
+    */
+  def ivfTopK(
+      corpus: DataFrame, id: String, vec: String,
+      probes: DataFrame, qId: String, qVec: String,
+      k: Int, nCentroids: Int = 64, nProbe: Int = 8): DataFrame = {
+    val centroids = corpus.orderBy(col(id)).limit(nCentroids)
+      .select(col(id).as("_c_id"), col(vec).as("_c_vec"))
+    val assignW = Window.partitionBy(id).orderBy(col("_c_sim").desc, col("_c_id"))
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .withColumn("_c_sim", cosine(col(vec), col("_c_vec")))
+      .withColumn("_rn", row_number().over(assignW))
+      .filter(col("_rn") === 1)
+      .select(col(id), col(vec), col("_c_id"))
+    val probeW = Window.partitionBy(qId).orderBy(col("_c_sim").desc, col("_c_id"))
+    val probeLists = probes.crossJoin(broadcast(centroids))
+      .withColumn("_c_sim", cosine(col(qVec), col("_c_vec")))
+      .withColumn("_rn", row_number().over(probeW))
+      .filter(col("_rn") <= nProbe)
+      .select(col(qId), col(qVec), col("_c_id"))
+    val candidates = assigned.join(broadcast(probeLists), Seq("_c_id"))
+      .filter(col(id) =!= col(qId))
+      .withColumn("cosine", cosine(col(qVec), col(vec)))
+    val w = Window.partitionBy(qId).orderBy(col("cosine").desc, col(id))
+    candidates.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qId), col(id), col("cosine"))
+  }
+
   /** Approximate top-k: candidates are signature-bucket mates, ranked by
     * exact cosine within the bucket. One shuffle on the signature key; at
     * 100 TB use several independent signature tables (OR-amplification)

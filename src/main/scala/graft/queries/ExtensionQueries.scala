@@ -139,6 +139,23 @@ object ExtensionQueries {
     },
     None)
 
+  /** IVF approximate top-k — coarse-quantizer inverted lists, nProbe
+    * tunable recall. Rows-only driver check; recall vs brute force is
+    * asserted in ExtSpec.
+    */
+  val qAnnIvf = QueryDef(
+    "q_ann_ivf",
+    (s, d) => {
+      val e = embs(s, d).select("vec_id", "embedding")
+      val probes = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.ivfTopK(e, "vec_id", "embedding", probes, "q_id", "q_emb",
+          k = 10, nCentroids = 32, nProbe = 8)
+        .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("q_id", "vec_id")
+    },
+    None)
+
   // --- text analysis --------------------------------------------------------
 
   val qTextTokens = QueryDef(
@@ -219,6 +236,6 @@ object ExtensionQueries {
 
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qNgramJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
-    qEmbedCosineTopk, qAnnLsh, qTextTokens, qTextQuality, qLangId,
+    qEmbedCosineTopk, qAnnLsh, qAnnIvf, qTextTokens, qTextQuality, qLangId,
     qDocFingerprint, qMultimodalMeta)
 }

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.schema.EventSchema
+
+/** Source readers with the engine's ingest conventions: header'd CSV (the
+  * reference's input format — reference: src/pipeline.py:20), parquet, and
+  * JSON-lines, each optionally stamped with `_ingest_order` so the
+  * order-dependent keep-last dedup is well-defined downstream
+  * (SURVEY.md §1.5).
+  *
+  * Scale notes: `monotonically_increasing_id` is (partition << 33 | row) —
+  * monotone with file order when each file maps to one split; multi-split
+  * files or globs need an explicit order column in the data itself, which
+  * is why `withIngestOrder` is a visible knob and not a silent default for
+  * every reader.
+  */
+object Sources {
+
+  def csv(spark: SparkSession, path: String,
+      withIngestOrder: Boolean = true,
+      inferSchema: Boolean = true): DataFrame =
+    stamp(spark.read
+      .option("header", "true")
+      .option("inferSchema", inferSchema.toString)
+      .csv(path), withIngestOrder)
+
+  def parquet(spark: SparkSession, path: String,
+      withIngestOrder: Boolean = false): DataFrame =
+    stamp(spark.read.parquet(path), withIngestOrder)
+
+  /** JSON-lines (one object per line) — the common raw-event feed shape. */
+  def jsonLines(spark: SparkSession, path: String,
+      withIngestOrder: Boolean = true): DataFrame =
+    stamp(spark.read.json(path), withIngestOrder)
+
+  private def stamp(df: DataFrame, withIngestOrder: Boolean): DataFrame =
+    if (withIngestOrder)
+      df.withColumn(EventSchema.ingestOrderCol, monotonically_increasing_id())
+    else df
+
+  /** CSV sink matching the reference's output conventions (header, single
+    * file, reference timestamp rendering — reference: src/pipeline.py:50-51).
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ssxxx")
+      .mode("overwrite")
+      .csv(path)
+}

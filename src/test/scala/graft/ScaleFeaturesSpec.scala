@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.etl.Skew
+import graft.ext.Similarity
+import graft.functions.GraftFunctions
+import graft.sources.Sources
+
+/** Tests for the scale-path features: skew-salted aggregation, SQL function
+  * registration, source readers, IVF ANN.
+  */
+class ScaleFeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted count-over matches the window formulation, including a mega-key") {
+    // 1000 rows of the hot key + sparse normal keys — the fill-created
+    // "unknown" shape (SURVEY.md §7.5(5))
+    val rows = (1 to 1000).map(i => (i.toLong, "unknown")) ++
+      (1 to 20).map(i => (1000L + i, s"user$i"))
+    val df = rows.toDF("event_id", "user_id")
+
+    val windowed = df.withColumn("n",
+      count(col("event_id")).over(Window.partitionBy("user_id")))
+      .select("event_id", "n").as[(Long, Long)].collect().toMap
+    val salted = Skew.countOverSalted(df, "user_id", "event_id", "n")
+      .select("event_id", "n").as[(Long, Long)].collect().toMap
+    assert(salted === windowed)
+
+    assert(Skew.pickCountStrategy(df, "user_id", sampleFraction = 1.0) === "salted")
+    val uniform = (1 to 200).map(i => (i.toLong, s"u${i % 50}")).toDF("event_id", "user_id")
+    assert(Skew.pickCountStrategy(uniform, "user_id", sampleFraction = 1.0) === "window")
+  }
+
+  test("float_vector_cosine is callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f)), (Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("a", "b").createOrReplaceTempView("vec_pairs")
+    val out = spark.sql(
+      "SELECT float_vector_cosine(a, b) AS c FROM vec_pairs ORDER BY c DESC")
+      .as[Double].collect()
+    assert(out.toSeq === Seq(1.0, 0.0))
+  }
+
+  test("sources: csv round-trip with ingest order, json lines") {
+    val dir = Files.createTempDirectory("graft-sources").toString
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("event_id", "payload")
+    Sources.writeCsv(df, s"$dir/csv")
+    val back = Sources.csv(spark, s"$dir/csv")
+    assert(back.columns.contains("_ingest_order"))
+    assert(back.count() === 3)
+    // single-file write + read preserves ingest order
+    val ordered = back.orderBy("_ingest_order")
+      .select("event_id").as[Long].collect()
+    assert(ordered.toSeq === Seq(1L, 2L, 3L))
+
+    val jsonPath = s"$dir/events.jsonl"
+    Files.writeString(java.nio.file.Paths.get(jsonPath),
+      """{"event_id": 1, "user_id": "u"}
+        |{"event_id": 2, "user_id": "v"}""".stripMargin)
+    val j = Sources.jsonLines(spark, jsonPath)
+    assert(j.count() === 2)
+    assert(j.columns.contains("_ingest_order"))
+  }
+
+  test("IVF top-k finds the exact nearest neighbors of in-list probes") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val probes = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        probes, "q_id", "q_emb", 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding",
+        probes, "q_id", "q_emb", 10, nCentroids = 32, nProbe = 16)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+
+    assert(ivf.nonEmpty)
+    // approximate: with nProbe=16 of 32 lists, expect >= 40% recall of the
+    // exact top-10 on random data
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
+}
