@@ -50,10 +50,15 @@ object Features {
       count(col("event_id")).over(Window.partitionBy("user_id")))
   }
 
-  /** Average events per day per user: count per (user, day), then mean of
-    * the daily counts per user, merged back with a left join
-    * (reference: src/feature_engineering.py:42-59). The aggregate side is
-    * tiny (one row per user) so the join broadcasts.
+  /** Average events per day per user
+    * (reference: src/feature_engineering.py:42-59). The reference counts
+    * per (user, day) then means those counts and merges back; the mean of
+    * per-day counts is identically rows(user) / distinct_days(user), so
+    * this computes both numbers as window aggregates over the SAME
+    * per-user partitioning the other features already shuffle on — no
+    * aggregate-side join, no recomputation of the upstream plan for a
+    * build side. (`collect_set` holds at most the distinct days of one
+    * user — bounded state.)
     */
   def addUserActivityBaseline(df: DataFrame): DataFrame = {
     val ok = df.columns.contains("timestamp") &&
@@ -61,12 +66,11 @@ object Features {
       df.schema("timestamp").dataType == TimestampType
     if (!ok) df
     else {
-      val perUser = df.select("user_id", "timestamp")
-        .withColumn("date", date_trunc("DAY", col("timestamp")))
-        .groupBy("user_id", "date").count()
-        .groupBy("user_id")
-        .agg(avg("count").cast(DoubleType).as("user_daily_avg_events"))
-      df.join(perUser, Seq("user_id"), "left")
+      val w = Window.partitionBy("user_id")
+      df.withColumn("user_daily_avg_events",
+        (count(lit(1)).over(w).cast(DoubleType) /
+          size(collect_set(date_trunc("DAY", col("timestamp"))).over(w)))
+          .cast(DoubleType))
     }
   }
 
@@ -101,15 +105,16 @@ object Features {
       val withSid = df.withColumn("session_id",
         sum(newSession.cast(LongType)).over(running))
 
-      val stats = withSid.groupBy("user_id", "session_id").agg(
-        count(col("event_id")).as("session_event_count"),
-        min("timestamp").as("_session_start"),
-        max("timestamp").as("_session_end"))
+      // Per-session stats as window aggregates over (user_id, session_id)
+      // — the reference's groupBy+merge (src/feature_engineering.py:85-93)
+      // would recompute the whole upstream plan for the aggregate side and
+      // shuffle twice; one window partitioning yields identical values.
+      val wSess = Window.partitionBy("user_id", "session_id")
+      withSid
+        .withColumn("session_event_count", count(col("event_id")).over(wSess))
         .withColumn("session_duration_seconds",
-          col("_session_end").cast(DoubleType) - col("_session_start").cast(DoubleType))
-        .drop("_session_start", "_session_end")
-
-      withSid.join(stats, Seq("user_id", "session_id"), "left")
+          max(col("timestamp").cast(DoubleType)).over(wSess) -
+            min(col("timestamp").cast(DoubleType)).over(wSess))
     }
   }
 
