@@ -538,11 +538,14 @@ object ParityQueries {
   val qSessionize = QueryDef(
     "q_sessionize",
     (s, d) => {
-      val sid = withSessionId(events(s, d))
-      val stats = sid.groupBy("user_id", "session_id")
-        .agg(count(col("event_id")).as("session_event_count"),
-          (max(tsSec) - min(tsSec)).as("session_duration_sec"))
-      sid.join(stats, Seq("user_id", "session_id"), "left")
+      // Per-session stats as window aggregates — one (user, session)
+      // partitioning instead of groupBy + join-back (which would recompute
+      // the session-id plan for the build side).
+      val wSess = Window.partitionBy("user_id", "session_id")
+      withSessionId(events(s, d))
+        .withColumn("session_event_count", count(col("event_id")).over(wSess))
+        .withColumn("session_duration_sec",
+          max(tsSec).over(wSess) - min(tsSec).over(wSess))
         .select("event_id", "user_id", "session_id",
           "session_event_count", "session_duration_sec")
         .orderBy("event_id")

@@ -203,5 +203,42 @@ object PipelineQuery {
       JOIN stats st ON s.user_id = st.user_id AND s.session_id = st.session_id
       ORDER BY s.user_id, ts_sec, s.event_id"""))
 
-  val all: Seq[QueryDef] = Seq(qE2ePipeline)
+  /** Apples-to-apples throughput benchmark at the baseline's scale: the
+    * full pipeline over a security-schema synthesis of LINEITEM (~600k
+    * rows at sf0.1 — the row count BASELINE.md measures the reference at,
+    * where it runs 20.5 s single-threaded). Rows-only correctness check
+    * (the hash-matched variant is q_e2e_pipeline); this entry exists so
+    * BENCH reports a directly comparable number.
+    */
+  val qE2eThroughput = QueryDef(
+    "q_e2e_throughput",
+    (s, d) => {
+      val li = table(s, d, "lineitem")
+      val raw = li.select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("event_id"),
+        monotonically_increasing_id().as("_ingest_order"),
+        when(col("l_orderkey") % 50 === 0, lit("not a timestamp"))
+          .otherwise(date_format(
+            col("l_shipdate") + expr("make_interval(0,0,0,0,0,0, l_orderkey % 86399)"),
+            "yyyy-MM-dd HH:mm:ss")).as("timestamp"),
+        concat(lit("User-"), pmod(col("l_suppkey"), lit(500)).cast("string")).as("user_id"),
+        when(col("l_returnflag") === "A", "Log-In")
+          .when(col("l_returnflag") === "N", "file access ")
+          .otherwise(" LOG OUT").as("event_type"),
+        when(col("l_linestatus") === "O", "ok").otherwise("FAILED").as("status"),
+        when(pmod(col("l_partkey"), lit(6)) === 0, "informational")
+          .when(pmod(col("l_partkey"), lit(6)) === 1, "WARN")
+          .when(pmod(col("l_partkey"), lit(6)) === 2, "crit")
+          .when(pmod(col("l_partkey"), lit(6)) === 3, "")
+          .when(pmod(col("l_partkey"), lit(6)) === 4, "High")
+          .otherwise("notice").as("severity"),
+        concat(lit("10.1."), pmod(col("l_suppkey"), lit(255)).cast("string")).as("source_ip"))
+      Pipeline.transform(raw,
+        PipelineConfig(input = "", output = "", sessionGapMinutes = 30,
+          sortOutput = false))
+        .select("event_id", "user_id", "session_id", "session_event_count")
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(qE2ePipeline, qE2eThroughput)
 }
