@@ -50,4 +50,21 @@ object Sources {
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ssxxx")
       .mode("overwrite")
       .csv(path)
+
+  /** Persist a table bucketed + sorted on a join key. Two tables bucketed
+    * the same way join WITHOUT any exchange — the 100 TB strategy for
+    * repeated large-large joins (e.g. events ⋈ user dimensions on
+    * user_id): pay one shuffle at write time, join shuffle-free forever
+    * after. Verified by ScaleFeaturesSpec (no Exchange in the join plan).
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, path: String,
+      key: String, buckets: Int = 32): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .option("path", path)
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(table)
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.etl.Normalization
 import graft.schema.EventSchema
@@ -56,6 +57,51 @@ object StreamingPipeline {
         col("session_end").cast("double") - col("session_start").cast("double"))
       .select("user_id", "session_start", "session_end",
         "session_event_count", "session_duration_seconds")
+
+  /** Row shape for [[sessionIdsStream]] (public for the Catalyst encoder). */
+  case class SessionEvent(event_id: Long, timestamp: java.sql.Timestamp, user_id: String)
+
+  /** Per-user session-assignment state: last seen event time + running id. */
+  case class SessionState(lastTsMillis: Long, sessionId: Long)
+
+  case class SessionAssignment(event_id: Long, user_id: String, session_id: Long)
+
+  /** Streaming twin of W3 — PER-ROW session ids, the reference's exact
+    * output shape (session_id starting at 1 per user, new session on
+    * strict gap > threshold), which `session_window` cannot produce.
+    * Custom state per user via `flatMapGroupsWithState`: the state is 16
+    * bytes per user (last event time + running session counter).
+    *
+    * Divergence from batch (documented, inherent to incremental
+    * processing): within one trigger the group's rows are sorted by event
+    * time, but a row arriving in a LATER trigger with an earlier
+    * timestamp is assigned against the state as-is (batch would re-sort
+    * globally). Bound disorder with an upstream watermark + a
+    * trigger-interval larger than typical disorder.
+    */
+  def sessionIdsStream(
+      spark: SparkSession,
+      events: DataFrame,
+      gapMinutes: Int = 30): Dataset[SessionAssignment] = {
+    import spark.implicits._
+    val gapMillis = gapMinutes * 60000L
+    events
+      .selectExpr("event_id", "timestamp", "user_id")
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: String, rows: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+          val out = rows.toSeq.sortBy(e => (e.timestamp.getTime, e.event_id)).map { e =>
+            val t = e.timestamp.getTime
+            val newSession = st.sessionId == 0L || (t - st.lastTsMillis) > gapMillis
+            st = SessionState(t, if (newSession) st.sessionId + 1 else st.sessionId)
+            SessionAssignment(e.event_id, user, st.sessionId)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
 
   /** Streaming twin of A2's daily buckets: tumbling 1-day event-time
     * windows per user.

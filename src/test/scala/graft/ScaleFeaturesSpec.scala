@@ -66,6 +66,31 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(j.columns.contains("_ingest_order"))
   }
 
+  test("bucketed tables join with NO exchange (co-located join)") {
+    val dir = Files.createTempDirectory("graft-bucketed").toString
+    val events = (1 to 500).map(i => (i.toLong, s"u${i % 40}", i * 1.5))
+      .toDF("event_id", "user_id", "value")
+    val users = (0 until 40).map(i => (s"u$i", s"org${i % 5}"))
+      .toDF("user_id", "org")
+    Sources.writeBucketed(events, "ev_bucketed", s"$dir/ev", "user_id", buckets = 8)
+    Sources.writeBucketed(users, "us_bucketed", s"$dir/us", "user_id", buckets = 8)
+    try {
+      // disable broadcast so the join would otherwise shuffle both sides
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("ev_bucketed")
+        .join(spark.table("us_bucketed"), "user_id")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n${plan.take(2000)}")
+      assert(joined.count() === 500)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+      spark.sql("DROP TABLE IF EXISTS us_bucketed")
+    }
+  }
+
   test("IVF top-k finds the exact nearest neighbors of in-list probes") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")

@@ -80,6 +80,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState twin: per-row session ids persist across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingPipeline.sessionIdsStream(spark, input.toDF(), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sid_out").start()
+    try {
+      // trigger 1: two events 10 minutes apart -> one session
+      input.addData(
+        Ev(1, ts("2025-01-01 10:00:00"), "u"),
+        Ev(2, ts("2025-01-01 10:10:00"), "u"))
+      q.processAllAvailable()
+      // trigger 2: 20 min after last (same session), then 40-min gap (new),
+      // plus a different user starting at session 1 — state must have
+      // survived the trigger boundary
+      input.addData(
+        Ev(3, ts("2025-01-01 10:30:00"), "u"),
+        Ev(4, ts("2025-01-01 11:10:00"), "u"),
+        Ev(5, ts("2025-01-01 09:00:00"), "v"))
+      q.processAllAvailable()
+      val out = spark.table("sid_out")
+        .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+      assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L))
+    } finally q.stop()
+  }
+
   test("stateless normalization behaves identically on a stream") {
     implicit val sqlCtx = spark.sqlContext
     case class Raw(event_id: Long, status: String)
