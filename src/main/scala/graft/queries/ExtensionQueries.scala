@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Similarity, Sketches, TextAnalysis}
 import QueryDef.table
 
 /** North-star extension queries: dedup, similarity search, text analysis,
@@ -215,6 +215,23 @@ object ExtensionQueries {
     Some("""SELECT doc_id, md5(lower(trim(text))) AS fp
             FROM documents ORDER BY doc_id"""))
 
+  /** SpaceSaving heavy hitters over event_type. k=16 exceeds the column's
+    * cardinality, so the sketch degenerates to EXACT counts — directly
+    * oracle-checkable — while the approximation guarantees (O(k) memory on
+    * high-cardinality keys) are unit-tested in ExtSpec.
+    */
+  val qHeavyHitters = QueryDef(
+    "q_heavy_hitters",
+    (s, d) => {
+      val hh = table(s, d, "events")
+        .agg(Sketches.spaceSaving(16)(col("event_type")).as("hh"))
+      hh.select(explode(col("hh")).as("h"))
+        .select(col("h.value").as("event_type"), col("h.count").as("n"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n FROM events
+            GROUP BY event_type ORDER BY event_type"""))
+
   // --- multimodal -----------------------------------------------------------
 
   /** Opaque-binary metadata path: byte length of the payload column plus a
@@ -237,5 +254,5 @@ object ExtensionQueries {
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qNgramJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qEmbedCosineTopk, qAnnLsh, qAnnIvf, qTextTokens, qTextQuality, qLangId,
-    qDocFingerprint, qMultimodalMeta)
+    qDocFingerprint, qMultimodalMeta, qHeavyHitters)
 }

@@ -129,6 +129,33 @@ class ExtSpec extends SparkSpec {
     assert(fp === expected)
   }
 
+  test("SpaceSaving: exact when k >= cardinality, bounded error under eviction") {
+    import graft.ext.Sketches
+    // exact regime: 3 distinct values, k=8
+    val data = (Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(5)("c"))
+    val exact = data.toDF("v")
+      .agg(Sketches.spaceSaving(8)(col("v")).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select("h.value", "h.count", "h.error")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(exact === Seq(("a", 50L, 0L), ("b", 30L, 0L), ("c", 5L, 0L)))
+
+    // eviction regime: 40 distinct values, k=4; the two true heavy hitters
+    // (frequency > N/k) must survive with count >= true count
+    val skewed = Seq.fill(200)("hot1") ++ Seq.fill(150)("hot2") ++
+      (1 to 38).flatMap(i => Seq.fill(3)(s"cold$i"))
+    val hh = skewed.toDF("v")
+      .agg(Sketches.spaceSaving(4)(col("v")).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select("h.value", "h.count", "h.error")
+      .as[(String, Long, Long)].collect()
+      .map { case (v, c, e) => v -> ((c, e)) }.toMap
+    assert(hh.size === 4)
+    assert(hh.contains("hot1") && hh.contains("hot2"))
+    val (c1, e1) = hh("hot1")
+    assert(c1 >= 200L && c1 - e1 <= 200L) // overestimate bounded by error
+  }
+
   test("multimodal: stubbed feature extraction preserves ids and byte counts") {
     val media = Seq(
       (1L, "image", Array[Byte](1, 2, 3, 4, 5)),

@@ -65,6 +65,33 @@ class GoldenPipelineSpec extends SparkSpec {
     }
   }
 
+  test("default flags (gap=30, keep unknown severity) match a rerun-of-reference snapshot") {
+    // processed_events_gap30_defaults.csv was produced by running the
+    // reference itself with documented defaults (SURVEY.md §5.2.1 case 2);
+    // the committed golden needs non-default flags (§2.14 caveat).
+    val outDir = Files.createTempDirectory("graft-golden30").toString + "/out"
+    Pipeline.run(spark, PipelineConfig(
+      input = resource("raw_events.csv"),
+      output = outDir,
+      sessionGapMinutes = 30,
+      dropUnknownSeverity = false,
+      validateMode = "strict"))
+    val produced = spark.read.option("header", "true")
+      .option("inferSchema", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ssxxx")
+      .csv(outDir)
+    val golden = spark.read.option("header", "true")
+      .option("inferSchema", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ssxxx")
+      .csv(resource("processed_events_gap30_defaults.csv"))
+    val got = canonical(produced)
+    val want = canonical(golden)
+    assert(got.length === want.length, s"row count ${got.length} != ${want.length}")
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g === w, s"row $i differs:\n  got  $g\n  want $w")
+    }
+  }
+
   test("default gap=30 splits alice's 40+ minute gaps into separate sessions") {
     val raw = Pipeline.readRaw(spark, resource("raw_events.csv"))
     val out = Pipeline.transform(raw, PipelineConfig(
