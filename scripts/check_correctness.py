@@ -76,10 +76,10 @@ def main(sf_dir: str, out_dir: str) -> int:
         bad = []
         for c in g.columns:
             gs, ws = g[c], w[c]
-            if pd.api.types.is_float_dtype(gs):
-                eq = (gs.isna() & ws.isna()) | ((gs - ws).abs() <= 1e-9)
-            else:
-                eq = (gs.isna() & ws.isna()) | (gs == ws)
+            # exact equality, even for floats: the query suite's determinism
+            # policy (exact decimal sums, identical-operand divisions) makes
+            # both engines produce bit-identical doubles
+            eq = (gs.isna() & ws.isna()) | (gs == ws)
             if not eq.fillna(False).all():
                 i = int((~eq.fillna(False)).idxmax())
                 bad.append(f"col {c} first diff @row {i}: got={gs[i]!r} want={ws[i]!r}")

@@ -44,7 +44,7 @@ object Dedup {
     val s2 = sizes.withColumnRenamed(id, "id2").withColumnRenamed("n_toks", "n2")
     shared.join(broadcast(s1), Seq("id1")).join(broadcast(s2), Seq("id2"))
       .withColumn("jaccard",
-        round(col("shared").cast("double") / (col("n1") + col("n2") - col("shared")), 4))
+        col("shared").cast("double") / (col("n1") + col("n2") - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }

@@ -19,9 +19,13 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
-  /** Characters per token — a cheap fluency signal. */
+  /** Characters per token — a cheap fluency signal. Raw quotient, no
+    * round(): the operands are integers on every engine, so the IEEE
+    * division is bit-identical, while round() algorithms differ on exact
+    * halves (which terminating quotients hit often).
+    */
   def avgTokenLength(text: Column): Column =
-    round(length(text).cast("double") / tokenCount(text), 4)
+    length(text).cast("double") / tokenCount(text)
 
   def stopwordCount(text: Column, stopwords: Seq[String]): Column =
     size(filter(tokens(text), t => t.isin(stopwords: _*))).cast("long")
@@ -30,12 +34,12 @@ object TextAnalysis {
     * prose, near-zero suggests tables/code/boilerplate.
     */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
-    round(stopwordCount(text, stopwords).cast("double") / tokenCount(text), 4)
+    stopwordCount(text, stopwords).cast("double") / tokenCount(text)
 
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column =
-    round(length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") /
-      length(text), 4)
+    length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") /
+      length(text)
 
   /** Marker-token language-ID heuristic: count language-specific stopword
     * hits per candidate language, pick the argmax with a fixed tie-break

@@ -49,11 +49,11 @@ object ExtensionQueries {
               FROM toks a JOIN toks b ON a.t = b.t AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
             SELECT id1, id2,
-              round(shared / CAST(s1.n + s2.n - shared AS DOUBLE), 4) AS jaccard
+              shared / CAST(s1.n + s2.n - shared AS DOUBLE) AS jaccard
             FROM pairs
             JOIN sizes s1 ON id1 = s1.doc_id
             JOIN sizes s2 ON id2 = s2.doc_id
-            WHERE round(shared / CAST(s1.n + s2.n - shared AS DOUBLE), 4) >= 0.8
+            WHERE shared / CAST(s1.n + s2.n - shared AS DOUBLE) >= 0.8
             ORDER BY id1, id2"""))
 
   /** MinHash+LSH dedup as a per-document keep/drop assignment (the
@@ -176,11 +176,11 @@ object ExtensionQueries {
         TextAnalysis.stopwordRatio(col("text"), Seq("the", "a")).as("stopword_ratio"))
       .orderBy("doc_id"),
     Some("""SELECT doc_id,
-              round(CAST(length(text) AS DOUBLE)
-                / len(regexp_split_to_array(trim(text), '\s+')), 4) AS avg_token_len,
-              round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+              CAST(length(text) AS DOUBLE)
+                / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len,
+              CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
                       t -> t = 'the' OR t = 'a')) AS DOUBLE)
-                / len(regexp_split_to_array(trim(text), '\s+')), 4) AS stopword_ratio
+                / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio
             FROM documents ORDER BY doc_id"""))
 
   val qLangId = QueryDef(

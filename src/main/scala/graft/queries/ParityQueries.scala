@@ -46,6 +46,20 @@ object ParityQueries {
   /** Calendar day of the event (UTC). */
   private val tsDay: Column = to_date(timestamp_seconds(tsSec))
 
+  /** Exact order-independent sum of a 2-decimal double column: summed as
+    * DECIMAL (exact rational arithmetic, immune to fp summation order),
+    * cast back to double. Without this, round(sum(double), n) can land on
+    * a rounding boundary and differ from the oracle in the last digit —
+    * observed at sf0.1 (one part in ~10^9 flipped a 4-decimal round).
+    */
+  private def exactSum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Exact mean built from the exact sum (identical operands on both
+    * engines -> identical division -> identical rounding).
+    */
+  private def exactAvg(c: Column): Column = exactSum(c) / count(c)
+
   // --- S-family: scans -----------------------------------------------------
 
   val qScanParquet = QueryDef(
@@ -87,10 +101,12 @@ object ParityQueries {
   val qProject = QueryDef(
     "q_project",
     (s, d) => events(s, d)
+      // raw product, no round(): both engines compute the identical IEEE
+      // double, while their round() algorithms disagree on exact halves
       .select(col("event_id"), col("value"),
-        round(col("value") * 1.1, 4).as("value_adj"))
+        (col("value") * 1.1).as("value_adj"))
       .orderBy("event_id"),
-    Some("""SELECT event_id, value, round(value * 1.1, 4) AS value_adj
+    Some("""SELECT event_id, value, value * 1.1 AS value_adj
             FROM events ORDER BY event_id"""))
 
   // --- D-family: deduplication ---------------------------------------------
@@ -327,9 +343,9 @@ object ParityQueries {
       .groupBy(col("user_id"), tsDay.as("day"))
       .agg(count(lit(1)).as("n"))
       .groupBy("user_id")
-      .agg(round(avg("n"), 6).as("daily_avg"))
+      .agg((sum("n").cast("double") / count("n")).as("daily_avg"))
       .orderBy("user_id"),
-    Some("""SELECT user_id, round(avg(n), 6) AS daily_avg
+    Some("""SELECT user_id, CAST(sum(n) AS DOUBLE) / count(n) AS daily_avg
             FROM (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
                   FROM events GROUP BY user_id, CAST(ts AS DATE)) t
             GROUP BY user_id ORDER BY user_id"""))
@@ -338,13 +354,14 @@ object ParityQueries {
     "q_global_agg",
     (s, d) => table(s, d, "orders")
       .agg(count(lit(1)).as("n_rows"),
-        round(sum("o_totalprice"), 2).as("sum_price"),
-        round(avg("o_totalprice"), 4).as("avg_price"),
+        exactSum(col("o_totalprice")).as("sum_price"),
+        exactAvg(col("o_totalprice")).as("avg_price"),
         min(to_date(col("o_orderdate"))).as("min_date"),
         max(to_date(col("o_orderdate"))).as("max_date")),
     Some("""SELECT count(*) AS n_rows,
-              round(sum(o_totalprice), 2) AS sum_price,
-              round(avg(o_totalprice), 4) AS avg_price,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                / count(o_totalprice) AS avg_price,
               min(CAST(o_orderdate AS DATE)) AS min_date,
               max(CAST(o_orderdate AS DATE)) AS max_date
             FROM orders"""))
@@ -413,7 +430,7 @@ object ParityQueries {
     (s, d) => {
       val e = events(s, d)
       val avgs = e.groupBy("user_id")
-        .agg(round(avg("value"), 4).as("user_avg_value"))
+        .agg(exactAvg(col("value")).as("user_avg_value"))
       e.select("event_id", "user_id")
         .join(broadcast(avgs), Seq("user_id"), "left")
         .select("event_id", "user_id", "user_avg_value")
@@ -421,7 +438,9 @@ object ParityQueries {
     },
     Some("""SELECT e.event_id, e.user_id, u.user_avg_value
             FROM events e
-            LEFT JOIN (SELECT user_id, round(avg(value), 4) AS user_avg_value
+            LEFT JOIN (SELECT user_id,
+                         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                           / count(value) AS user_avg_value
                        FROM events GROUP BY user_id) u
               ON e.user_id = u.user_id
             ORDER BY e.event_id"""))
@@ -457,10 +476,10 @@ object ParityQueries {
         col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(count(lit(1)).as("order_count"),
-        round(sum("o_totalprice"), 2).as("total_price"))
+        exactSum(col("o_totalprice")).as("total_price"))
       .orderBy("n_name"),
     Some("""SELECT n_name, count(*) AS order_count,
-              round(sum(o_totalprice), 2) AS total_price
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -574,19 +593,25 @@ object ParityQueries {
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_discount"), 6).as("avg_disc"),
+        exactSum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
+        exactAvg(col("l_quantity")).as("avg_qty"),
+        exactAvg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus"),
     Some("""SELECT l_returnflag, l_linestatus,
-              round(sum(l_quantity), 2) AS sum_qty,
-              round(sum(l_extendedprice), 2) AS sum_base_price,
-              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-              round(avg(l_quantity), 4) AS avg_qty,
-              round(avg(l_discount), 6) AS avg_disc,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                AS sum_disc_price,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                / count(l_quantity) AS avg_qty,
+              CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                / count(l_discount) AS avg_disc,
               count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

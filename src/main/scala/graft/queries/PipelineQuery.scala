@@ -87,7 +87,7 @@ object PipelineQuery {
         col("user_id"), col("event_type"), col("status"),
         col("severity"), col("source_ip"), col("severity_score"),
         col("user_event_count_total"),
-        round(col("user_daily_avg_events"), 6).as("user_daily_avg_events"),
+        col("user_daily_avg_events"),
         col("session_id"), col("session_event_count"),
         col("session_duration_seconds"))
         .orderBy("user_id", "ts_sec", "event_id")
@@ -173,10 +173,10 @@ object PipelineQuery {
           count(event_id) OVER (PARTITION BY user_id) AS user_event_count_total
         FROM norm),
       daily AS (
-        SELECT user_id, avg(n) AS user_daily_avg_events
-        FROM (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
-              FROM norm GROUP BY 1, 2) dc
-        GROUP BY user_id),
+        SELECT user_id,
+          CAST(count(*) AS DOUBLE) / count(DISTINCT CAST(ts AS DATE))
+            AS user_daily_avg_events
+        FROM norm GROUP BY user_id),
       gaps AS (
         SELECT *, CAST(floor(epoch(ts)) AS BIGINT)
             - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
@@ -196,7 +196,7 @@ object PipelineQuery {
       SELECT s.event_id, CAST(floor(epoch(s.ts)) AS BIGINT) AS ts_sec,
         s.user_id, s.event_type, s.status, s.severity, s.source_ip,
         s.severity_score, s.user_event_count_total,
-        round(d.user_daily_avg_events, 6) AS user_daily_avg_events,
+        d.user_daily_avg_events,
         s.session_id, st.session_event_count, st.session_duration_seconds
       FROM sess s
       JOIN daily d ON s.user_id = d.user_id

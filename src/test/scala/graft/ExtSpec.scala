@@ -30,8 +30,8 @@ class ExtSpec extends SparkSpec {
     // docs 0,1 identical -> jaccard 1.0
     assert(pairs((0L, 1L)) === 1.0)
     // docs 0,2: tokens {the,quick,brown,fox,jumps,over,lazy,dog} vs {...cat}
-    // shared 7, union 9 -> 0.7778
-    assert(pairs((0L, 2L)) === 0.7778)
+    // shared 7, union 9
+    assert(pairs((0L, 2L)) === 7.0 / 9)
     assert(!pairs.contains((0L, 3L)))
   }
 
@@ -113,7 +113,7 @@ class ExtSpec extends SparkSpec {
     val one = docs.filter(col("doc_id") === 0)
     assert(one.select(TextAnalysis.tokenCount(col("text"))).as[Long].head() === 9L)
     assert(one.select(TextAnalysis.stopwordRatio(col("text"), Seq("the", "a")))
-      .as[Double].head() === 0.2222)
+      .as[Double].head() === 2.0 / 9)
 
     val langs = docs.select(col("doc_id"), TextAnalysis.languageId(col("text")))
       .as[(Long, String)].collect().toMap
