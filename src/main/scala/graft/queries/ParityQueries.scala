@@ -485,6 +485,92 @@ object ParityQueries {
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name ORDER BY n_name"""))
 
+  /** Semi join: customers that have at least one order — `left_semi`
+    * (EXISTS) touches only the probe side's columns and short-circuits on
+    * first match; no row multiplication, build side broadcastable.
+    */
+  val qJoinSemi = QueryDef(
+    "q_join_semi",
+    (s, d) => table(s, d, "customer")
+      .join(table(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey").orderBy("c_custkey"),
+    Some("""SELECT c_custkey FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey"""))
+
+  /** Anti join: customers with no URGENT order — `left_anti` (NOT EXISTS)
+    * against a filtered build side (every customer has SOME order in this
+    * data, so the unfiltered anti set would be empty).
+    */
+  val qJoinAnti = QueryDef(
+    "q_join_anti",
+    (s, d) => table(s, d, "customer")
+      .join(table(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey").orderBy("c_custkey"),
+    Some("""SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey"""))
+
+  // --- set operations -------------------------------------------------------
+
+  /** UNION / INTERSECT / EXCEPT in one query: nation keys vs customer
+    * nation keys, tagged by which set operation produced the row.
+    */
+  val qSetOps = QueryDef(
+    "q_set_ops",
+    (s, d) => {
+      val nations = table(s, d, "nation").select(col("n_nationkey").as("k"))
+      val custNations = table(s, d, "customer")
+        .select(col("c_nationkey").cast("int").as("k"))
+      val union = nations.union(custNations).distinct()
+        .withColumn("op", lit("union"))
+      val intersect = nations.intersect(custNations)
+        .withColumn("op", lit("intersect"))
+      val except = nations.except(custNations)
+        .withColumn("op", lit("except"))
+      union.unionByName(intersect).unionByName(except)
+        .orderBy("op", "k")
+    },
+    Some("""WITH n AS (SELECT n_nationkey AS k FROM nation),
+                 c AS (SELECT CAST(c_nationkey AS INTEGER) AS k FROM customer)
+            SELECT k, 'union' AS op FROM (SELECT k FROM n UNION SELECT k FROM c) u
+            UNION ALL
+            SELECT k, 'intersect' AS op FROM (SELECT k FROM n INTERSECT SELECT k FROM c) i
+            UNION ALL
+            SELECT k, 'except' AS op FROM (SELECT k FROM n EXCEPT SELECT k FROM c) e
+            ORDER BY op, k"""))
+
+  /** ROLLUP: subtotals + grand total over the Q1 grouping keys. The
+    * rollup's NULL subtotal keys sort NULLS FIRST on both engines
+    * (explicit in the oracle — DuckDB defaults to NULLS LAST).
+    */
+  val qRollup = QueryDef(
+    "q_rollup",
+    (s, d) => table(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), exactSum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  /** The documented at-scale variant of A5: HyperLogLog approximate
+    * distinct. Sketch values are engine-specific, so no SQL oracle —
+    * accuracy vs the exact count is asserted in QueriesSpec (rows-only
+    * driver check).
+    */
+  val qApproxDistinct = QueryDef(
+    "q_approx_distinct",
+    (s, d) => events(s, d)
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users")),
+    None)
+
   // --- W-family: windows & sessionization ----------------------------------
 
   val qSort = QueryDef(
@@ -623,6 +709,7 @@ object ParityQueries {
     qDedupFull, qDedupKey, qFillna, qTrimAll, qNormText, qMapStatus,
     qMapSeverity, qSeverityScore, qNormIp, qParseTs, qDateFloor, qTimeDelta,
     qMinmaxTs, qCountOver, qDailyAvg, qGlobalAgg, qCountDistinct, qNullCounts,
-    qTopkValues, qDomainCheck, qJoinLeft, qJoinComposite, qJoinInner, qSort,
+    qTopkValues, qDomainCheck, qJoinLeft, qJoinComposite, qJoinInner,
+    qJoinSemi, qJoinAnti, qSetOps, qRollup, qApproxDistinct, qSort,
     qLag, qSessionId, qSessionAgg, qSessionize)
 }

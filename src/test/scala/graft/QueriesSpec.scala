@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + semantic checks for queries whose oracle is rows-only. */
+class QueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every declared query returns rows at sf0.001") {
+    val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empties.isEmpty, s"queries with empty results: $empties")
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle entries without queries: $missing")
+  }
+
+  test("approx distinct is within the configured HLL error of exact") {
+    val r = SparkEntry.queries("q_approx_distinct")(spark, dir).collect()(0)
+    val approx = r.getAs[Long]("approx_users")
+    val exact = r.getAs[Long]("exact_users")
+    assert(math.abs(approx - exact).toDouble / exact <= 0.1,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("entry() flagship returns the Q1 grouping") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty)
+    assert(rows(0).schema.fieldNames.contains("sum_qty"))
+  }
+}
