@@ -126,6 +126,50 @@ object Dedup {
       .withColumn("is_dup", col(id) =!= col("rep_id"))
   }
 
+  /** Full transitive near-dup CLUSTERS: iterate the bucket-min label
+    * propagation of [[minhashDedup]] to a fixed point (connected
+    * components over the doc–bucket bipartite graph). Converges in
+    * O(log(diameter)) rounds — each round is two shuffles (bucket-min,
+    * doc-min), no pairwise materialization ever. `maxIter` bounds runaway
+    * chains; convergence is detected by counting changed labels.
+    */
+  def minhashDedupClusters(
+      df: DataFrame, id: String, text: String,
+      bands: Int = 8, rowsPerBand: Int = 4, maxIter: Int = 10): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = minhashSignatures(df, id, text, k)
+    val bandBuckets = (0 until bands).map { b =>
+      xxhash64(lit(b) +: (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"mh$i")): _*)
+    }
+    val banded = sig.select(col(id), explode(array(bandBuckets: _*)).as("bucket"))
+      .persist()
+    banded.count() // materialize once; reused every iteration
+
+    var labels = banded.select(col(id)).distinct()
+      .withColumn("label", col(id)).persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val bucketMin = banded.join(labels, id)
+        .groupBy("bucket").agg(min("label").as("bucket_min"))
+      val next = banded.join(bucketMin, Seq("bucket"))
+        .groupBy(id).agg(min("bucket_min").as("prop"))
+        .join(labels, id)
+        .select(col(id), least(col("label"), col("prop")).as("label"))
+        .persist()
+      next.count()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), id)
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    banded.unpersist()
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   /** 64-bit SimHash over word tokens: each token's xxhash64 votes ±1 per
     * bit position, the sign of each accumulated bit forms the fingerprint.
     * One pass, pure Column expressions.

@@ -51,6 +51,17 @@ object Sources {
       .mode("overwrite")
       .csv(path)
 
+  /** Hive-style partitioned parquet layout: one directory per value of
+    * `partitionCol`. Readers filtering on the partition column prune whole
+    * directories at planning time (`PartitionFilters` in the scan) —
+    * at 100 TB, partitioning by ingestion day is the first-order lever for
+    * time-ranged queries. Keep partition cardinality moderate (days, not
+    * user ids): each value is a directory + files.
+    */
+  def writePartitioned(
+      df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.partitionBy(partitionCol).mode("overwrite").parquet(path)
+
   /** Persist a table bucketed + sorted on a join key. Two tables bucketed
     * the same way join WITHOUT any exchange — the 100 TB strategy for
     * repeated large-large joins (e.g. events ⋈ user dimensions on

@@ -58,6 +58,24 @@ class ExtSpec extends SparkSpec {
     assert(!pairs.contains((0L, 4L)))
   }
 
+  test("minhash clustering is transitive: chained near-dups share one cluster") {
+    // x ~ y (1 word differs), y ~ z (another word differs); x and z differ
+    // in 2 of 10 words. Transitive closure must place all three together
+    // even if x and z never share a bucket directly.
+    val chain = Seq(
+      (10L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (11L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 CHANGED"),
+      (12L, "ALTERED w2 w3 w4 w5 w6 w7 w8 w9 CHANGED"),
+      (13L, "totally unrelated text about other things entirely"))
+      .toDF("doc_id", "text")
+    val clusters = graft.ext.Dedup.minhashDedupClusters(chain, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(10L) === 10L)
+    assert(clusters(11L) === 10L)
+    assert(clusters(12L) === 10L) // reached transitively through 11
+    assert(clusters(13L) === 13L)
+  }
+
   test("simhash: HOF column variant and scale-path table variant agree") {
     val fromCol = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sim"))
       .as[(Long, Long)].collect().toMap

@@ -66,6 +66,18 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(j.columns.contains("_ingest_order"))
   }
 
+  test("partitioned writes prune whole partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-part").toString + "/events"
+    val df = (1 to 300).map(i => (i.toLong, s"2025-01-${i % 3 + 1}", i * 1.0))
+      .toDF("event_id", "day", "value")
+    Sources.writePartitioned(df, dir, "day")
+    val read = spark.read.parquet(dir).filter(col("day") === "2025-01-2")
+    assert(read.count() === 100)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("isnotnull(day"),
+      s"partition filter not pushed:\n${plan.take(1500)}")
+  }
+
   test("bucketed tables join with NO exchange (co-located join)") {
     val dir = Files.createTempDirectory("graft-bucketed").toString
     val events = (1 to 500).map(i => (i.toLong, s"u${i % 40}", i * 1.5))
