@@ -72,7 +72,7 @@ object Cleaning {
     val withOrd = if (hadOrder) df else df.withColumn(ord, monotonically_increasing_id())
     val dataCols = withOrd.columns.filterNot(_ == ord)
 
-    val fullW = Window.partitionBy(dataCols.map(col): _*).orderBy(col(ord).desc)
+    val fullW = Window.partitionBy(dataCols.toIndexedSeq.map(col): _*).orderBy(col(ord).desc)
     val keyW = Window.partitionBy(col("event_id")).orderBy(col(ord).desc)
 
     val out = withOrd
