@@ -590,6 +590,24 @@ object ParityQueries {
               lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
             FROM events ORDER BY event_id"""))
 
+  /** Rolling event-time aggregate: events per user in the trailing hour —
+    * a RANGE frame over epoch seconds (frame specs beyond W3's running
+    * total; the common rate-limiter / burst-detector shape).
+    */
+  val qRollingCount = QueryDef(
+    "q_rolling_count",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(tsSec)
+        .rangeBetween(-3600L, 0L)
+      events(s, d)
+        .select(col("event_id"), count(lit(1)).over(w).as("events_last_hour"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+              count(*) OVER (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS events_last_hour
+            FROM events ORDER BY event_id"""))
+
   /** Session id assignment (reference W3): strict `gap > 1800s` starts a
     * new session; NULL gap (first event per user) does too, so ids start
     * at 1. lag + running sum share one per-user sort — a single exchange.
@@ -711,5 +729,5 @@ object ParityQueries {
     qMinmaxTs, qCountOver, qDailyAvg, qGlobalAgg, qCountDistinct, qNullCounts,
     qTopkValues, qDomainCheck, qJoinLeft, qJoinComposite, qJoinInner,
     qJoinSemi, qJoinAnti, qSetOps, qRollup, qApproxDistinct, qSort,
-    qLag, qSessionId, qSessionAgg, qSessionize)
+    qLag, qRollingCount, qSessionId, qSessionAgg, qSessionize)
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TemporalJoins
+
+/** As-of and range joins verified against brute-force formulations. */
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join attaches the latest prior value per key, inclusive at ties") {
+    val events = Seq(
+      ("u", 100L, 1L), ("u", 205L, 2L), ("u", 300L, 3L),
+      ("v", 150L, 4L), ("w", 50L, 5L))
+      .toDF("user_id", "t", "event_id")
+    val quotes = Seq(
+      ("u", 90L, 1.0), ("u", 205L, 2.0), ("u", 250L, 3.0),
+      ("v", 10L, 4.0), ("v", 160L, 5.0))
+      .toDF("user_id", "qt", "price")
+
+    val got = TemporalJoins.asofJoin(events, quotes, "user_id", "t", "qt")
+      .select("event_id", "price").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+
+    assert(got(1L) === Some(1.0)) // t=100 -> quote at 90
+    assert(got(2L) === Some(2.0)) // t=205 -> quote AT 205 (inclusive)
+    assert(got(3L) === Some(3.0)) // t=300 -> quote at 250
+    assert(got(4L) === Some(4.0)) // t=150 -> v's quote at 10 (160 is later)
+    assert(got(5L) === None)      // w has no quotes
+
+    // brute force cross-check on the same data
+    val brute = events.as("e").join(quotes.as("q"),
+        $"e.user_id" === $"q.user_id" && $"q.qt" <= $"e.t", "left")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_id").orderBy(col("qt").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select("event_id", "price").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === brute)
+  }
+
+  test("binned range join equals the naive theta join") {
+    val points = (1 to 200).map(i => ("k" + i % 3, i * 7L, i.toLong))
+      .toDF("key", "t", "pid")
+    val intervals = (1 to 30).map(i => ("k" + i % 3, i * 40L, i * 40L + 55L, i.toLong))
+      .toDF("key", "lo", "hi", "iid")
+
+    val got = TemporalJoins.rangeJoinBinned(points, "t", intervals, "lo", "hi",
+        "key", binWidth = 64)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = points.join(intervals, Seq("key"))
+      .filter(col("t") >= col("lo") && col("t") <= col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got === naive)
+    assert(got.nonEmpty)
+  }
+
+  test("as-of join plan uses a single per-key exchange (no pair blowup)") {
+    val events = Seq(("u", 100L, 1L)).toDF("user_id", "t", "event_id")
+    val quotes = Seq(("u", 90L, 1.0)).toDF("user_id", "qt", "price")
+    val df = TemporalJoins.asofJoin(events, quotes, "user_id", "t", "qt")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of should not contain a join node:\n${plan.take(1200)}")
+  }
+}
