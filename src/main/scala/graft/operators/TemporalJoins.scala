@@ -31,26 +31,40 @@ object TemporalJoins {
       key: String, leftTime: String, rightTime: String): DataFrame = {
     val rightVals = right.columns.filter(c => c != key && c != rightTime).toSeq
     val leftCols = left.columns.toSeq
+    // Reserved working columns — refuse collisions rather than silently
+    // overwrite caller data.
+    val (t, side, payload) = ("_graft_asof_t", "_graft_asof_side", "_graft_asof_payload")
+    require(!(left.columns ++ right.columns).exists(Set(t, side, payload)),
+      s"asofJoin reserves columns $t/$side/$payload")
+
+    // The right row's values travel as ONE struct: the struct itself is
+    // non-null for every right row even when its fields are null, so the
+    // forward fill (a) never skips a matched row whose value is genuinely
+    // NULL and (b) never stitches fields from different right rows.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      right.schema.fields.filter(f => rightVals.contains(f.name)))
 
     val taggedLeft = left
-      .withColumn("_t", col(leftTime))
-      .withColumn("_side", lit(1))
-      .select(Seq(col(key), col("_t"), col("_side")) ++
-        leftCols.filterNot(_ == key).map(col) ++
-        rightVals.map(c => lit(null).as(c)): _*)
+      .withColumn(t, col(leftTime))
+      .withColumn(side, lit(1))
+      .withColumn(payload, lit(null).cast(payloadType))
+      .select(Seq(col(key), col(t), col(side), col(payload)) ++
+        leftCols.filterNot(_ == key).map(col): _*)
     val taggedRight = right
-      .withColumn("_t", col(rightTime))
-      .withColumn("_side", lit(0))
-      .select(Seq(col(key), col("_t"), col("_side")) ++
-        leftCols.filterNot(_ == key).map(c => lit(null).as(c)) ++
-        rightVals.map(col): _*)
+      .withColumn(t, col(rightTime))
+      .withColumn(side, lit(0))
+      .withColumn(payload, struct(rightVals.map(col): _*))
+      .select(Seq(col(key), col(t), col(side), col(payload)) ++
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(
+          left.schema(c).dataType).as(c)): _*)
 
-    val w = Window.partitionBy(key).orderBy(col("_t"), col("_side"))
+    val w = Window.partitionBy(key).orderBy(col(t), col(side))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(taggedLeft.unionByName(taggedRight)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("_side") === 1).drop("_t", "_side")
+    taggedLeft.unionByName(taggedRight)
+      .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
+      .filter(col(side) === 1)
+      .select(leftCols.map(col) ++
+        rightVals.map(c => col(s"$payload.$c").as(c)): _*)
   }
 
   /** Inner range join: left rows with a point `leftTime` against right
@@ -66,12 +80,21 @@ object TemporalJoins {
       left: DataFrame, leftTime: String,
       right: DataFrame, rightStart: String, rightEnd: String,
       key: String, binWidth: Long): DataFrame = {
-    val lb = left.withColumn("_bin", (col(leftTime) / binWidth).cast("long"))
-    val rb = right.withColumn("_bin",
-      explode(sequence((col(rightStart) / binWidth).cast("long"),
-        (col(rightEnd) / binWidth).cast("long"))))
-    lb.join(rb, Seq(key, "_bin"))
+    val bin = "_graft_range_bin"
+    require(!(left.columns ++ right.columns).contains(bin),
+      s"rangeJoinBinned reserves column $bin")
+    // INTEGER division (`div`): `/` on longs is double division in Spark
+    // and silently mis-bins values beyond 2^53 — epoch NANOSECONDS
+    // (~1.7e18, this repo's event clock) would lose matches at bin
+    // boundaries. Truncating division is monotone, which is all the
+    // binning needs.
+    def binOf(c: String): Column =
+      expr(s"CAST(`$c` AS BIGINT) div $binWidth")
+    val lb = left.withColumn(bin, binOf(leftTime))
+    val rb = right.withColumn(bin,
+      explode(sequence(binOf(rightStart), binOf(rightEnd))))
+    lb.join(rb, Seq(key, bin))
       .filter(col(leftTime) >= col(rightStart) && col(leftTime) <= col(rightEnd))
-      .drop("_bin")
+      .drop(bin)
   }
 }

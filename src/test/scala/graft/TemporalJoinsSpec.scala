@@ -40,6 +40,39 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("as-of join preserves genuine NULLs and never stitches right rows") {
+    val events = Seq(("u", 300L, 1L)).toDF("user_id", "t", "event_id")
+    // latest right row (qt=200) has a=NULL, b=2; earlier row has a=1, b=NULL.
+    // The correct as-of result is THAT row's values (NULL, 2) — not the
+    // cross-row stitch (1, 2), and not a stale (1, NULL).
+    val quotes = Seq(
+      ("u", 100L, Some(1.0), None: Option[Double]),
+      ("u", 200L, None: Option[Double], Some(2.0)))
+      .toDF("user_id", "qt", "a", "b")
+    val r = TemporalJoins.asofJoin(events, quotes, "user_id", "t", "qt").collect()(0)
+    assert(r.isNullAt(r.fieldIndex("a")), "genuine NULL must not be back-filled")
+    assert(r.getDouble(r.fieldIndex("b")) === 2.0)
+  }
+
+  test("binned range join is exact at epoch-nanosecond magnitudes") {
+    // values ~1.7e18 exceed double's 2^53 integer precision: double-divide
+    // binning mis-bins boundary points; integer `div` binning must not.
+    val base = 1700000000000000000L
+    val points = (0 until 400).map(i => ("k", base + i * 997L, i.toLong))
+      .toDF("key", "t", "pid")
+    val intervals = (0 until 40).map(i =>
+      ("k", base + i * 10000L, base + i * 10000L + 1500L, i.toLong))
+      .toDF("key", "lo", "hi", "iid")
+    val got = TemporalJoins.rangeJoinBinned(points, "t", intervals, "lo", "hi",
+        "key", binWidth = 4096)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = points.join(intervals, Seq("key"))
+      .filter(col("t") >= col("lo") && col("t") <= col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got === naive)
+    assert(got.nonEmpty)
+  }
+
   test("binned range join equals the naive theta join") {
     val points = (1 to 200).map(i => ("k" + i % 3, i * 7L, i.toLong))
       .toDF("key", "t", "pid")
