@@ -36,6 +36,12 @@ object TemporalJoins {
     val (t, side, payload) = ("_graft_asof_t", "_graft_asof_side", "_graft_asof_payload")
     require(!(left.columns ++ right.columns).exists(Set(t, side, payload)),
       s"asofJoin reserves columns $t/$side/$payload")
+    // Refuse left/right value-name collisions up front — the output would
+    // otherwise carry two same-named columns and fail far from the cause.
+    val collisions = rightVals.toSet intersect leftCols.toSet
+    require(collisions.isEmpty,
+      s"asofJoin: right value columns collide with left columns: " +
+        s"${collisions.mkString(", ")} — rename before joining")
 
     // The right row's values travel as ONE struct: the struct itself is
     // non-null for every right row even when its fields are null, so the
@@ -81,6 +87,7 @@ object TemporalJoins {
       right: DataFrame, rightStart: String, rightEnd: String,
       key: String, binWidth: Long): DataFrame = {
     val bin = "_graft_range_bin"
+    require(binWidth > 0, s"rangeJoinBinned: binWidth must be positive, got $binWidth")
     require(!(left.columns ++ right.columns).contains(bin),
       s"rangeJoinBinned reserves column $bin")
     // INTEGER division (`div`): `/` on longs is double division in Spark

@@ -89,6 +89,22 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("guards: zero binWidth and column collisions fail loudly") {
+    val l = Seq(("k", 1L, 1L)).toDF("key", "t", "pid")
+    val r = Seq(("k", 0L, 5L, 1L)).toDF("key", "lo", "hi", "iid")
+    val e1 = intercept[IllegalArgumentException] {
+      TemporalJoins.rangeJoinBinned(l, "t", r, "lo", "hi", "key", binWidth = 0)
+    }
+    assert(e1.getMessage.contains("binWidth"))
+
+    val le = Seq(("u", 1L, 1L)).toDF("user_id", "t", "event_id")
+    val re = Seq(("u", 1L, 9L)).toDF("user_id", "qt", "event_id") // collides
+    val e2 = intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoin(le, re, "user_id", "t", "qt")
+    }
+    assert(e2.getMessage.contains("event_id"))
+  }
+
   test("as-of join plan uses a single per-key exchange (no pair blowup)") {
     val events = Seq(("u", 100L, 1L)).toDF("user_id", "t", "event_id")
     val quotes = Seq(("u", 90L, 1.0)).toDF("user_id", "qt", "price")
