@@ -45,6 +45,18 @@ def main(sf_dir: str, out_dir: str) -> int:
         oracles = json.load(f)
 
     failures, checked, rows_only = [], 0, 0
+
+    # Declared queries with no output directory failed inside Verify —
+    # flag them instead of silently skipping.
+    try:
+        with open(f"{out_dir}/queries.json") as f:
+            declared = set(json.load(f))
+    except FileNotFoundError:
+        declared = set(oracles)
+    produced = {d.rstrip("/").split("/")[-1] for d in glob.glob(f"{out_dir}/*/")}
+    for missing in sorted(declared - produced):
+        failures.append((missing, "query produced no output (failed in Verify)"))
+
     for name in sorted(glob.glob(f"{out_dir}/*/")):
         qname = name.rstrip("/").split("/")[-1]
         files = glob.glob(f"{name}/part-*.parquet") or glob.glob(f"{name}/*.parquet")

@@ -66,9 +66,12 @@ object Features {
       df.schema("timestamp").dataType == TimestampType
     if (!ok) df
     else {
+      // count(timestamp), not count(*): pandas' groupby drops NaT days, so
+      // the reference mean is over non-null-timestamp rows/days only; an
+      // all-NULL user gets 0/0 = NaN, matching the reference's NaN.
       val w = Window.partitionBy("user_id")
       df.withColumn("user_daily_avg_events",
-        (count(lit(1)).over(w).cast(DoubleType) /
+        (count(col("timestamp")).over(w).cast(DoubleType) /
           size(collect_set(date_trunc("DAY", col("timestamp"))).over(w)))
           .cast(DoubleType))
     }

@@ -33,7 +33,9 @@ object Dedup {
     */
   def ngramJaccardPairs(
       df: DataFrame, id: String, text: String, threshold: Double): DataFrame = {
-    val toks = docTokens(df, id, text).cache()
+    // no cache: the posting list is read twice (sizes + self-join) and a
+    // session-lifetime cached block per call would leak executor memory
+    val toks = docTokens(df, id, text)
     val sizes = toks.groupBy(id).agg(count(lit(1)).as("n_toks"))
     val a = toks.withColumnRenamed(id, "id1")
     val b = toks.withColumnRenamed(id, "id2")
@@ -71,6 +73,16 @@ object Dedup {
       .agg(min(permuted(col("h"), 0)).as("mh0"),
         (1 until k).map(i => min(permuted(col("h"), i)).as(s"mh$i")): _*)
 
+  /** Band-bucket hash columns over a minhash signature table: one bucket
+    * id per band, from xxhash64(band, that band's signature slice). Shared
+    * by every LSH consumer so the banding scheme cannot diverge.
+    */
+  private def bandBucketCols(bands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      xxhash64(lit(b) +: (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"mh$i")): _*)
+    }
+
   /** MinHash+LSH candidate pairs: signatures are cut into `bands` bands of
     * `rowsPerBand` values; documents agreeing on any whole band land in
     * the same bucket. Pairs are generated ONLY within buckets (the classic
@@ -82,16 +94,11 @@ object Dedup {
       bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
     val sig = minhashSignatures(df, id, text, k)
-    val bandBuckets = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*)
-          .as("bucket"))
-    }
-    val banded = sig.select(col(id), explode(array(bandBuckets: _*)).as("bb"))
-      .select(col(id), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = sig.select(col(id),
+      explode(array(bandBucketCols(bands, rowsPerBand): _*)).as("bucket"))
     val a = banded.withColumnRenamed(id, "id1")
     val b = banded.withColumnRenamed(id, "id2")
-    a.join(b, Seq("band", "bucket"))
+    a.join(b, Seq("bucket"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
   }
@@ -113,11 +120,8 @@ object Dedup {
       bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
     val sig = minhashSignatures(df, id, text, k)
-    val bandBuckets = (0 until bands).map { b =>
-      xxhash64(lit(b) +: (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => col(s"mh$i")): _*)
-    }
-    val banded = sig.select(col(id), explode(array(bandBuckets: _*)).as("bucket"))
+    val banded = sig.select(col(id),
+      explode(array(bandBucketCols(bands, rowsPerBand): _*)).as("bucket"))
     val bucketReps = banded.groupBy("bucket")
       .agg(min(col(id)).as("bucket_rep"), count(lit(1)).as("bucket_size"))
     banded.join(bucketReps, Seq("bucket"))
@@ -138,11 +142,8 @@ object Dedup {
       bands: Int = 8, rowsPerBand: Int = 4, maxIter: Int = 10): DataFrame = {
     val k = bands * rowsPerBand
     val sig = minhashSignatures(df, id, text, k)
-    val bandBuckets = (0 until bands).map { b =>
-      xxhash64(lit(b) +: (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => col(s"mh$i")): _*)
-    }
-    val banded = sig.select(col(id), explode(array(bandBuckets: _*)).as("bucket"))
+    val banded = sig.select(col(id),
+      explode(array(bandBucketCols(bands, rowsPerBand): _*)).as("bucket"))
       .persist()
     banded.count() // materialize once; reused every iteration
 

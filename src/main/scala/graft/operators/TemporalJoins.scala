@@ -64,7 +64,12 @@ object TemporalJoins {
         leftCols.filterNot(_ == key).map(c => lit(null).cast(
           left.schema(c).dataType).as(c)): _*)
 
-    val w = Window.partitionBy(key).orderBy(col(t), col(side))
+    // The payload struct itself is the final order key: several right rows
+    // sharing (key, time) would otherwise be resolved by partition
+    // accident. Struct ordering is field-wise and deterministic — the
+    // largest value tuple wins, consistently across runs. Left rows' NULL
+    // payloads are inert (all equal within their (t, side=1) group).
+    val w = Window.partitionBy(key).orderBy(col(t), col(side), col(payload))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     taggedLeft.unionByName(taggedRight)
       .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))

@@ -17,21 +17,13 @@ import QueryDef.table
   */
 object ParityQueries {
 
-  /** Events with `ts` normalized to epoch-NANOSECOND longs. The testdata's
-    * `ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects as a timestamp; it is read as LongType nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong=true`, set by Verify/Bench)
-    * and all event-time math here is integer arithmetic on those nanos —
-    * which also makes ordering and gap semantics bit-exact with the
-    * DuckDB oracle's nanosecond timestamps, with no µs-truncation ties.
+  /** Events with `ts` as epoch-nanos longs (shared normalizer — see
+    * [[QueryDef.eventsTable]]); all event-time math here is integer
+    * arithmetic on those nanos, which makes ordering and gap semantics
+    * bit-exact with the DuckDB oracle's nanosecond timestamps.
     */
-  private def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => raw
-      case _ => raw.withColumn("ts", unix_micros(col("ts")) * 1000)
-    }
-  }
+  private def events(s: SparkSession, d: String): DataFrame =
+    QueryDef.eventsTable(s, d)
 
   /** Per-user event ordering used by all sessionization queries: event time
     * (ns) with event_id as the deterministic tiebreak.

@@ -22,13 +22,7 @@ import QueryDef.table
 object PipelineQuery {
 
   private def synthRaw(s: SparkSession, d: String): DataFrame = {
-    val e = {
-      val raw = table(s, d, "events")
-      raw.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType => raw
-        case _ => raw.withColumn("ts", unix_micros(col("ts")) * 1000)
-      }
-    }
+    val e = QueryDef.eventsTable(s, d)
     val base = e.select(
       col("event_id"),
       (col("event_id") * 2).as("_ingest_order"),

@@ -25,4 +25,21 @@ object QueryDef {
   /** Read one testdata table. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table with `ts` normalized to epoch-NANOSECOND longs.
+    * The testdata's ts is parquet TIMESTAMP(NANOS), which Spark's reader
+    * rejects as a timestamp; it is read as LongType nanos
+    * (`spark.sql.legacy.parquet.nanosAsLong=true`, set by Verify/Bench).
+    * ONE shared normalizer — event-time semantics must not diverge
+    * between query files.
+    */
+  def eventsTable(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn(
+        "ts", org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")) * 1000)
+    }
+  }
 }
