@@ -16,17 +16,21 @@ object Main {
   def parseArgs(args: Array[String]): PipelineConfig = {
     var cfg = PipelineConfig(input = "data/raw_events.csv", output = "data/processed_events")
     var i = 0
+    def valueOf(flag: String): String = {
+      require(i + 1 < args.length, s"$flag requires a value")
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "--input" => cfg = cfg.copy(input = args(i + 1)); i += 2
-        case "--output" => cfg = cfg.copy(output = args(i + 1)); i += 2
+        case "--input" => cfg = cfg.copy(input = valueOf("--input")); i += 2
+        case "--output" => cfg = cfg.copy(output = valueOf("--output")); i += 2
         case "--session-gap-minutes" =>
-          cfg = cfg.copy(sessionGapMinutes = args(i + 1).toInt); i += 2
+          cfg = cfg.copy(sessionGapMinutes = valueOf("--session-gap-minutes").toInt); i += 2
         case "--summary" => cfg = cfg.copy(summary = true); i += 1
         case "--drop-unknown-severity" =>
           cfg = cfg.copy(dropUnknownSeverity = true); i += 1
         case "--validate" =>
-          val mode = args(i + 1)
+          val mode = valueOf("--validate")
           require(Set("off", "warn", "strict").contains(mode),
             s"--validate must be off|warn|strict, got: $mode")
           cfg = cfg.copy(validateMode = mode); i += 2

@@ -18,7 +18,12 @@ case class PipelineConfig(
       * output. Callers that re-sort downstream can disable the extra
       * global exchange.
       */
-    sortOutput: Boolean = true)
+    sortOutput: Boolean = true,
+    /** Write one CSV file (the reference's contract). Disable at
+      * distributed output sizes — coalesce(1) funnels the write through a
+      * single task.
+      */
+    singleFileOutput: Boolean = true)
 
 /** End-to-end batch pipeline (reference: src/pipeline.py:18-69): CSV scan ->
   * required-column validation -> missing-value handling -> dedup ->
@@ -72,11 +77,15 @@ object Pipeline {
     val featured = Features.runAll(filtered, config.sessionGapMinutes)
 
     // Final output order is the sessionization sort, with ingest order as
-    // the stable tiebreak (reference: src/feature_engineering.py:72 and the
-    // golden file's (user_id, timestamp) order — SURVEY.md §1.5).
-    val ordered = (if (config.sortOutput)
-      featured.orderBy(col("user_id"), col("timestamp"), col(EventSchema.ingestOrderCol))
-    else featured).drop(EventSchema.ingestOrderCol)
+    // the stable tiebreak when present (reference:
+    // src/feature_engineering.py:72 and the golden file's (user_id,
+    // timestamp) order — SURVEY.md §1.5). Inputs built without readRaw
+    // may lack _ingest_order; sort on what exists rather than crash.
+    val sortCols = Seq(col("user_id"), col("timestamp")) ++
+      (if (featured.columns.contains(EventSchema.ingestOrderCol))
+        Seq(col(EventSchema.ingestOrderCol)) else Nil)
+    val ordered = (if (config.sortOutput) featured.orderBy(sortCols: _*)
+      else featured).drop(EventSchema.ingestOrderCol)
 
     // Reference column order: input columns, then features in the order
     // they were engineered (golden header, data/processed_events.csv:1).
@@ -91,21 +100,24 @@ object Pipeline {
     val raw = readRaw(spark, config.input)
 
     val processed = transform(raw, config).cache()
+    try {
+      if (config.validateMode.toLowerCase != "off") {
+        println("[Pipeline] Validating schema…")
+        Validation.check(processed, config.validateMode)
+      }
 
-    if (config.validateMode.toLowerCase != "off") {
-      println("[Pipeline] Validating schema…")
-      Validation.check(processed, config.validateMode)
-    }
+      println(s"[Pipeline] Writing processed output: ${config.output}")
+      // single-file output mirrors the reference's one-CSV contract;
+      // disable for distributed-size outputs (one task writes otherwise)
+      val out = if (config.singleFileOutput) processed.coalesce(1) else processed
+      out.write
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ssxxx")
+        .mode("overwrite")
+        .csv(config.output)
 
-    println(s"[Pipeline] Writing processed output: ${config.output}")
-    processed.coalesce(1).write
-      .option("header", "true")
-      .option("timestampFormat", "yyyy-MM-dd HH:mm:ssxxx")
-      .mode("overwrite")
-      .csv(config.output)
-
-    if (config.summary) Summary.report(processed)
-    processed.unpersist()
+      if (config.summary) Summary.report(processed)
+    } finally processed.unpersist()
     println("[Pipeline] Done.")
   }
 }

@@ -94,6 +94,13 @@ object Features {
   def addSessionFeatures(df: DataFrame, gapMinutes: Int = 30): DataFrame = {
     if (!df.columns.contains("timestamp")) df
     else {
+      // Fail loudly on a non-timestamp column (the pandas reference raises
+      // on .dt too): silently casting a StringType to double would NULL
+      // every gap and make each row its own session.
+      require(df.schema("timestamp").dataType == TimestampType,
+        s"addSessionFeatures requires a TimestampType 'timestamp' column, " +
+          s"got ${df.schema("timestamp").dataType.simpleString} — run " +
+          "Normalization.standardizeTimestamps first")
       val ord = EventSchema.ingestOrderCol
       val orderCols: Seq[Column] =
         if (df.columns.contains(ord)) Seq(col("timestamp"), col(ord))

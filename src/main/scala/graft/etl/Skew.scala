@@ -33,7 +33,13 @@ object Skew {
     val partial = salted.groupBy(col(key), col("_salt"))
       .agg(count(col(countCol)).as("_partial"))
     val totals = partial.groupBy(key).agg(sum("_partial").as(out))
-    salted.drop("_salt").join(broadcast(totals), Seq(key), "left")
+    // null-SAFE join key: Window.partitionBy groups NULL keys together, so
+    // the equivalence to the window formulation must hold for them too (a
+    // plain equi-join would leave NULL-key rows unmatched at count 0)
+    salted.drop("_salt")
+      .join(broadcast(totals.withColumnRenamed(key, "_sk_key")),
+        col(key) <=> col("_sk_key"), "left")
+      .drop("_sk_key")
       .withColumn(out, coalesce(col(out), lit(0L)))
   }
 

@@ -25,27 +25,36 @@ object Validation {
       return issues.toMap
     }
 
-    df.schema("timestamp").dataType match {
-      case TimestampType =>
-        val nulls = df.filter(col("timestamp").isNull).count()
-        if (nulls > 0) issues("timestamp_null_count") = nulls.toString
-      case other =>
-        issues("timestamp_dtype") = other.simpleString
+    val tsIsTimestamp = df.schema("timestamp").dataType == TimestampType
+    if (!tsIsTimestamp)
+      issues("timestamp_dtype") = df.schema("timestamp").dataType.simpleString
+
+    // ONE pass for all data-dependent checks: the null count and the
+    // distinct invalid values per domain column fold into a single
+    // aggregation job (collect_set skips the NULLs that `when` emits for
+    // allowed values; invalid sets are tiny by construction).
+    def invalidSet(column: String, allowed: Set[String]) =
+      collect_set(when(col(column).isNotNull &&
+        !col(column).isin(allowed.toSeq: _*), col(column).cast(StringType)))
+
+    val aggs =
+      (if (tsIsTimestamp)
+        Seq(sum(col("timestamp").isNull.cast("long")).as("_ts_nulls"))
+      else Nil) ++ Seq(
+        invalidSet("status", EventSchema.allowedStatus).as("_bad_status"),
+        invalidSet("severity", EventSchema.allowedSeverity).as("_bad_severity"))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+
+    if (tsIsTimestamp) {
+      val nulls = row.getAs[Long]("_ts_nulls")
+      if (nulls > 0) issues("timestamp_null_count") = nulls.toString
     }
-
-    def invalidValues(column: String, allowed: Set[String]): Seq[String] =
-      df.select(col(column).cast(StringType))
-        .filter(col(column).isNotNull && !col(column).isin(allowed.toSeq: _*))
-        .distinct()
-        .collect().map(_.getString(0)).toSeq.sorted
-
-    val badStatus = invalidValues("status", EventSchema.allowedStatus)
-    if (badStatus.nonEmpty)
-      issues("invalid_status_values") = badStatus.mkString("[", ", ", "]")
-
-    val badSeverity = invalidValues("severity", EventSchema.allowedSeverity)
-    if (badSeverity.nonEmpty)
-      issues("invalid_severity_values") = badSeverity.mkString("[", ", ", "]")
+    def report(field: String, key: String): Unit = {
+      val bad = row.getAs[scala.collection.Seq[String]](field).toSeq.sorted
+      if (bad.nonEmpty) issues(key) = bad.mkString("[", ", ", "]")
+    }
+    report("_bad_status", "invalid_status_values")
+    report("_bad_severity", "invalid_severity_values")
 
     issues.toMap
   }

@@ -137,6 +137,46 @@ class EtlSpec extends SparkSpec {
     assert(out("v") === 1.0)
   }
 
+  test("session features refuse a non-timestamp column loudly") {
+    val df = Seq((1L, "2025-01-01 00:00:00", "u"))
+      .toDF("event_id", "timestamp", "user_id") // timestamp is a STRING
+    val e = intercept[IllegalArgumentException] {
+      Features.addSessionFeatures(df)
+    }
+    assert(e.getMessage.contains("TimestampType"))
+  }
+
+  test("transform works on inputs without _ingest_order") {
+    val df = Seq(
+      (1L, "2025-01-01 10:00:00", "u", "login", "ok", "low", "1.1.1.1"),
+      (2L, "2025-01-01 10:05:00", "u", "logout", "ok", "low", "1.1.1.1"))
+      .toDF("event_id", "timestamp", "user_id", "event_type", "status",
+        "severity", "source_ip")
+    val out = Pipeline.transform(df, PipelineConfig(input = "", output = ""))
+    assert(out.count() === 2)
+    assert(!out.columns.contains("_ingest_order"))
+  }
+
+  test("CLI parser reports a missing flag value instead of crashing") {
+    val e = intercept[IllegalArgumentException] {
+      Main.parseArgs(Array("--input"))
+    }
+    assert(e.getMessage.contains("--input requires a value"))
+  }
+
+  test("salted count matches the window even with NULL keys") {
+    import graft.etl.Skew
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, Some("u")), (2L, None), (3L, None), (4L, Some("v")))
+      .toDF("event_id", "user_id")
+    val windowed = df.withColumn("n",
+      count(col("event_id")).over(Window.partitionBy("user_id")))
+      .select("event_id", "n").as[(Long, Long)].collect().toMap
+    val salted = Skew.countOverSalted(df, "user_id", "event_id", "n")
+      .select("event_id", "n").as[(Long, Long)].collect().toMap
+    assert(salted === windowed) // NULL-key rows count 2, not 0
+  }
+
   test("required-column validation raises with the missing columns named") {
     val e = intercept[IllegalArgumentException] {
       Cleaning.validateRequiredColumns(Seq((1L, "x")).toDF("event_id", "user_id"))
