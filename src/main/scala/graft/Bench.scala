@@ -40,11 +40,13 @@ object Bench {
     val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       scala.concurrent.Future {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     }
     val results = scala.concurrent.Await.result(
@@ -53,10 +55,14 @@ object Bench {
     val wall = (System.nanoTime() - wall0) / 1e9
     pool.shutdown()
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Failed queries are EXCLUDED from the timing map and listed by name —
+    // a fast failure must not read as a performance win.
+    val qs = results.collect { case (k, v, true) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sum = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","sum_query_sec":$sum,"parallelism":$par,"queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val sum = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","sum_query_sec":$sum,"parallelism":$par,"failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

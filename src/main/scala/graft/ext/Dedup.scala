@@ -168,7 +168,14 @@ object Dedup {
       iter += 1
     }
     banded.unpersist()
-    labels.withColumnRenamed("label", "cluster_id")
+    // Truncate the N-iteration lineage and release the loop's cached
+    // blocks: the returned frame must not pin per-iteration caches (their
+    // lifetime would otherwise be the session's) nor recompute the whole
+    // loop on first use.
+    val result = labels.withColumnRenamed("label", "cluster_id")
+      .localCheckpoint(true)
+    labels.unpersist()
+    result
   }
 
   /** 64-bit SimHash over word tokens: each token's xxhash64 votes ±1 per
@@ -240,8 +247,10 @@ object Dedup {
     val b = sigs.select(col(id).as("id2"), col(vec).as("v2"), col("_sig"))
     a.join(b, Seq("_sig"))
       .filter(col("id1") < col("id2"))
-      .withColumn("cosine", round(Similarity.cosine(col("v1"), col("v2")), 4))
-      .filter(col("cosine") >= threshold)
-      .select("id1", "id2", "cosine")
+      // filter on the EXACT cosine; rounding first would admit pairs up to
+      // 5e-5 below the threshold. Round only for display.
+      .withColumn("_exact", Similarity.cosine(col("v1"), col("v2")))
+      .filter(col("_exact") >= threshold)
+      .select(col("id1"), col("id2"), round(col("_exact"), 4).as("cosine"))
   }
 }

@@ -87,31 +87,37 @@ object Similarity {
   }
 
   /** IVF (inverted-file) approximate top-k — the other classic ANN scale
-    * path. A small coarse-quantizer table (here: the `nCentroids`
-    * lowest-id vectors, deterministic; production would k-means) is
-    * broadcast; every corpus vector joins its nearest centroid's inverted
-    * list (one broadcast pass, no shuffle of the corpus); probes search
-    * only their `nProbe` nearest lists. Recall is tunable via `nProbe`;
+    * path. The coarse quantizer is DRIVER-SIDE (nCentroids <= a few
+    * hundred rows — here the lowest-id vectors, deterministic; production
+    * would k-means): its vectors embed into the plan as literals, so
+    * centroid assignment is a per-row argmax over an array of
+    * (similarity, centroid) structs — NO window, NO join, NO shuffle of
+    * the corpus. Probes search only their `nProbe` nearest lists;
     * candidates are ranked by exact cosine.
     */
   def ivfTopK(
       corpus: DataFrame, id: String, vec: String,
       probes: DataFrame, qId: String, qVec: String,
       k: Int, nCentroids: Int = 64, nProbe: Int = 8): DataFrame = {
-    val centroids = corpus.orderBy(col(id)).limit(nCentroids)
-      .select(col(id).as("_c_id"), col(vec).as("_c_vec"))
-    val assignW = Window.partitionBy(id).orderBy(col("_c_sim").desc, col("_c_id"))
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .withColumn("_c_sim", cosine(col(vec), col("_c_vec")))
-      .withColumn("_rn", row_number().over(assignW))
-      .filter(col("_rn") === 1)
-      .select(col(id), col(vec), col("_c_id"))
-    val probeW = Window.partitionBy(qId).orderBy(col("_c_sim").desc, col("_c_id"))
-    val probeLists = probes.crossJoin(broadcast(centroids))
-      .withColumn("_c_sim", cosine(col(qVec), col("_c_vec")))
-      .withColumn("_rn", row_number().over(probeW))
-      .filter(col("_rn") <= nProbe)
+    val centroids: Array[(Long, Array[Float])] = corpus
+      .orderBy(col(id)).limit(nCentroids)
+      .select(col(id).cast("long"), col(vec))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+    // (similarity, -centroidId) structs: array_max picks the best
+    // similarity with the LOWEST centroid id as deterministic tiebreak.
+    def simStructs(v: Column) = array(centroids.map { case (cid, cvec) =>
+      struct(cosine(v, typedlit(cvec)).as("sim"), lit(-cid).as("negid"))
+    }: _*)
+
+    val assigned = corpus.withColumn("_c_id", -array_max(simStructs(col(vec))).getField("negid"))
+    val probeLists = probes
+      .withColumn("_cands", slice(reverse(array_sort(simStructs(col(qVec)))), 1, nProbe))
+      .withColumn("_cand", explode(col("_cands")))
+      .withColumn("_c_id", -col("_cand.negid"))
       .select(col(qId), col(qVec), col("_c_id"))
+
     val candidates = assigned.join(broadcast(probeLists), Seq("_c_id"))
       .filter(col(id) =!= col(qId))
       .withColumn("cosine", cosine(col(qVec), col(vec)))

@@ -37,10 +37,20 @@ case class FloatVectorCosine(left: Expression, right: Expression)
         s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
+  // NULL (not NaN, not a truncated score) for the two degenerate cases,
+  // matching the zip_with/aggregate formulation exactly:
+  //  - length mismatch: HOF zip_with pads with null -> null sum; silently
+  //    truncating would rank a wrong-but-plausible score into top-k;
+  //  - zero-norm vector: Spark's Divide yields NULL on /0, and NULL sorts
+  //    LAST under desc — an IEEE NaN would sort FIRST and make zero
+  //    vectors everyone's nearest neighbor.
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -53,7 +63,8 @@ case class FloatVectorCosine(left: Expression, right: Expression)
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -66,18 +77,26 @@ case class FloatVectorCosine(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0;
-        double $na = 0.0;
-        double $nb = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $x = (double) $a.getFloat($i);
-          double $y = (double) $b.getFloat($i);
-          $dot += $x * $y;
-          $na += $x * $x;
-          $nb += $y * $y;
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $dot = 0.0;
+          double $na = 0.0;
+          double $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $x = (double) $a.getFloat($i);
+            double $y = (double) $b.getFloat($i);
+            $dot += $x * $y;
+            $na += $x * $x;
+            $nb += $y * $y;
+          }
+          if ($na == 0.0 || $nb == 0.0) {
+            ${ev.isNull} = true;
+          } else {
+            ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+          }
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       """
     })
 

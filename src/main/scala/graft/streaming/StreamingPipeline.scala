@@ -82,24 +82,41 @@ object StreamingPipeline {
   def sessionIdsStream(
       spark: SparkSession,
       events: DataFrame,
-      gapMinutes: Int = 30): Dataset[SessionAssignment] = {
+      gapMinutes: Int = 30,
+      stateTtlMinutes: Int = 120,
+      watermark: String = "1 hour"): Dataset[SessionAssignment] = {
     import spark.implicits._
     val gapMillis = gapMinutes * 60000L
+    val ttlMillis = stateTtlMinutes * 60000L
     events
+      .withWatermark("timestamp", watermark)
       .selectExpr("event_id", "timestamp", "user_id")
       .as[SessionEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      // EventTimeTimeout bounds the state store: an idle user's 16-byte
+      // entry is evicted `stateTtlMinutes` past their last event (relative
+      // to the watermark) instead of living for the life of the query —
+      // unbounded user cardinality would otherwise grow state forever. A
+      // returning user restarts at session 1, the same as a fresh key.
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (user: String, rows: Iterator[SessionEvent], state: GroupState[SessionState]) => {
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
-          val out = rows.toSeq.sortBy(e => (e.timestamp.getTime, e.event_id)).map { e =>
-            val t = e.timestamp.getTime
-            val newSession = st.sessionId == 0L || (t - st.lastTsMillis) > gapMillis
-            st = SessionState(t, if (newSession) st.sessionId + 1 else st.sessionId)
-            SessionAssignment(e.event_id, user, st.sessionId)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+            val out = rows.toSeq.sortBy(e => (e.timestamp.getTime, e.event_id)).map { e =>
+              val t = e.timestamp.getTime
+              val newSession = st.sessionId == 0L || (t - st.lastTsMillis) > gapMillis
+              st = SessionState(t, if (newSession) st.sessionId + 1 else st.sessionId)
+              SessionAssignment(e.event_id, user, st.sessionId)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(st.lastTsMillis + ttlMillis,
+                state.getCurrentWatermarkMs() + 1))
+            out.iterator
           }
-          state.update(st)
-          out.iterator
         })
   }
 

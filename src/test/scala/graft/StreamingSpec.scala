@@ -94,11 +94,13 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       // trigger 2: 20 min after last (same session), then 40-min gap (new),
       // plus a different user starting at session 1 — state must have
-      // survived the trigger boundary
+      // survived the trigger boundary. (v's event must be within the
+      // 1-hour watermark of trigger 1's max event time or it is dropped
+      // as late — the documented streaming divergence.)
       input.addData(
         Ev(3, ts("2025-01-01 10:30:00"), "u"),
         Ev(4, ts("2025-01-01 11:10:00"), "u"),
-        Ev(5, ts("2025-01-01 09:00:00"), "v"))
+        Ev(5, ts("2025-01-01 09:30:00"), "v"))
       q.processAllAvailable()
       val out = spark.table("sid_out")
         .select("event_id", "session_id").as[(Long, Long)].collect().toMap

@@ -38,6 +38,29 @@ class VectorExprSpec extends SparkSpec {
     assert(out(2).isNullAt(0))
   }
 
+  test("zero-norm vectors and length mismatches yield NULL, matching the HOF path") {
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f), Array(1.0f, 1.0f)),   // zero-norm left
+      (2L, Array(1.0f, 1.0f), Array(0.0f, 0.0f)),   // zero-norm right
+      (3L, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))) // length mismatch
+      .toDF("id", "a", "b")
+    val out = df.select(col("id"), float_vector_cosine(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out === Map(1L -> true, 2L -> true, 3L -> true))
+
+    // NULL (not NaN) means zero vectors sort LAST under desc — they must
+    // never win a top-k window
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val top1 = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        probes, "q_id", "q_emb", k = 1)
+      .select("vec_id").as[Long].head()
+    assert(top1 === 1L, "zero vector must not be the nearest neighbor")
+  }
+
   test("known values: identical, orthogonal, antipodal") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
