@@ -244,11 +244,15 @@ object ExtensionQueries {
     (s, d) => table(s, d, "events")
       .select(col("event_id"),
         length(col("props").cast("binary")).cast("long").as("payload_bytes"),
-        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k_val"))
+        // nullif guards the empty-string extract: under ANSI mode (Spark 4
+        // default) CAST('' AS BIGINT) throws; a props without "k" must
+        // yield NULL, not kill the query
+        nullif(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1), lit(""))
+          .cast("long").as("k_val"))
       .orderBy("event_id"),
     Some("""SELECT event_id,
               octet_length(CAST(props AS BLOB)) AS payload_bytes,
-              CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_val
+              TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_val
             FROM events ORDER BY event_id"""))
 
   val all: Seq[QueryDef] = Seq(
