@@ -37,6 +37,19 @@ object StreamingPipeline {
   def normalizeStream(events: DataFrame): DataFrame =
     events.transform(Normalization.normalizeCategoricals)
 
+  /** The full STATELESS prefix of the batch pipeline on a stream: missing-
+    * value handling, timestamp standardization, categorical normalization
+    * — the exact `DataFrame => DataFrame` transforms batch runs, applied
+    * to an unbounded source. Only the order-dependent dedup (needs
+    * [[dedupStream]] + watermark) and the global sort are excluded; batch
+    * output and streaming output agree row-for-row on the overlap
+    * (verified in StreamingSpec against the reference fixture).
+    */
+  def cleanStream(raw: DataFrame): DataFrame =
+    raw.transform(graft.etl.Cleaning.handleMissingValues)
+      .transform(Normalization.standardizeTimestamps(_))
+      .transform(Normalization.normalizeCategoricals)
+
   /** Streaming twin of W4 (sessionization aggregates): Spark's native
     * `session_window` with the same inactivity gap. Emits one row per
     * closed session with count and duration — the per-session half of the

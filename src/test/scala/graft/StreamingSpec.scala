@@ -108,6 +108,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream of the reference fixture matches batch cleaning row-for-row") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq("event_id", "timestamp", "user_id", "event_type",
+      "status", "severity", "source_ip").map(StructField(_, StringType)))
+    val rawPath = getClass.getResource("/raw_events.csv").getPath
+
+    // batch truth: same stateless transforms on a batch read
+    val batch = StreamingPipeline.cleanStream(
+      spark.read.option("header", "true").schema(schema).csv(rawPath))
+      .collect().map(_.toSeq).toSet
+
+    // streaming: the csv directory as an unbounded file source
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(rawPath),
+      dir.resolve("raw_events.csv"))
+    val stream = spark.readStream
+      .option("header", "true").schema(schema).csv(dir.toString)
+    val q = StreamingPipeline.cleanStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("clean_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("clean_out").collect().map(_.toSeq).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateless normalization behaves identically on a stream") {
     implicit val sqlCtx = spark.sqlContext
     case class Raw(event_id: Long, status: String)
