@@ -147,6 +147,14 @@ class ExtSpec extends SparkSpec {
     assert(fp === expected)
   }
 
+  test("punctuation ratio counts punctuation characters over total length") {
+    val df = Seq((1L, "a,b.c!"), (2L, "abcdef")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.punctRatio(col("text")))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) === 3.0 / 6)
+    assert(out(2L) === 0.0)
+  }
+
   test("SpaceSaving: exact when k >= cardinality, bounded error under eviction") {
     import graft.ext.Sketches
     // exact regime: 3 distinct values, k=8
