@@ -62,10 +62,12 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for (bit, dim):
     * xxhash64 folded to [-1, 1]. No RNG state — reproducible across runs
-    * and executors.
+    * and executors. `table` seeds independent signature families for
+    * OR-amplification.
     */
-  private def planeComponent(bit: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(bit), dim), lit(2000001)).cast("double") - 1000000.0) / 1000000.0
+  private def planeComponent(bit: Int, dim: Column, table: Int = 0): Column =
+    (pmod(xxhash64(lit(table * 1000 + bit), dim), lit(2000001)).cast("double")
+      - 1000000.0) / 1000000.0
 
   /** Random-hyperplane signatures as a table transform: vectors explode to
     * (id, dim, value) rows once, each signature bit is a codegen'd
@@ -74,10 +76,12 @@ object Similarity {
     * cosine distance collide with high probability (SimHash/LSH family).
     * One shuffle on the vector id; no interpreted higher-order functions.
     */
-  def hyperplaneSignatures(df: DataFrame, id: String, vec: String, bits: Int): DataFrame = {
+  def hyperplaneSignatures(
+      df: DataFrame, id: String, vec: String, bits: Int,
+      table: Int = 0): DataFrame = {
     val elems = df.select(col(id), posexplode(col(vec)).as(Seq("i", "v")))
     val projs = (0 until bits).map { b =>
-      sum(col("v").cast("double") * planeComponent(b, col("i"))).as(s"p$b")
+      sum(col("v").cast("double") * planeComponent(b, col("i"), table)).as(s"p$b")
     }
     val agg = elems.groupBy(id).agg(projs.head, projs.tail: _*)
     val sig = (0 until bits).map { b =>
@@ -135,10 +139,33 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, id: String, vec: String,
       probes: DataFrame, qId: String, qVec: String,
-      k: Int, bits: Int = 12): DataFrame = {
-    val sigCorpus = corpus.join(hyperplaneSignatures(corpus, id, vec, bits), id)
-    val sigProbes = probes.join(hyperplaneSignatures(probes, qId, qVec, bits), qId)
-    val candidates = sigCorpus.join(broadcast(sigProbes), Seq("_sig"))
+      k: Int, bits: Int = 12): DataFrame =
+    lshTopKMulti(corpus, id, vec, probes, qId, qVec, k, bits, tables = 1)
+
+  /** OR-amplified LSH top-k: `tables` INDEPENDENT signature families (each
+    * its own hyperplane set); a candidate surfaces if it bucket-matches
+    * the probe in ANY table. Collision probability rises from p^1 to
+    * 1-(1-p)^L, trading `tables`x signature cost for recall — the
+    * standard multi-table construction, preferable to fewer bits per
+    * table at equal cost because precision stays high within each table.
+    */
+  def lshTopKMulti(
+      corpus: DataFrame, id: String, vec: String,
+      probes: DataFrame, qId: String, qVec: String,
+      k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    val candidateIds = (0 until tables).map { t =>
+      val sigCorpus = corpus.select(col(id))
+        .join(hyperplaneSignatures(corpus, id, vec, bits, t), id)
+      val sigProbes = probes.select(col(qId))
+        .join(hyperplaneSignatures(probes, qId, qVec, bits, t), qId)
+      sigCorpus.join(broadcast(sigProbes), Seq("_sig"))
+        .select(col(qId), col(id))
+    }.reduce(_ unionByName _).distinct()
+
+    val candidates = candidateIds
+      .join(corpus, id)
+      .join(broadcast(probes), qId)
       .filter(col(id) =!= col(qId))
       .withColumn("cosine", cosine(col(qVec), col(vec)))
     val w = Window.partitionBy(qId).orderBy(col("cosine").desc, col(id))

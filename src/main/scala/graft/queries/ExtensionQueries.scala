@@ -30,6 +30,19 @@ object ExtensionQueries {
     Some("""SELECT min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY text ORDER BY keep_id"""))
 
+  /** Exact dedup keyed on md5(text) instead of the text itself — the
+    * 100 TB shape: the shuffle key is 16 bytes regardless of document
+    * size. md5 is bit-exact across engines, so this is directly
+    * oracle-checkable.
+    */
+  val qDedupExactHash = QueryDef(
+    "q_dedup_exact_hash",
+    (s, d) => Dedup.exactGroups(docs(s, d), "doc_id", md5(col("text")))
+      .select("dedup_key", "keep_id", "n_dups").orderBy("keep_id"),
+    Some("""SELECT md5(text) AS dedup_key, min(doc_id) AS keep_id,
+              count(*) AS n_dups
+            FROM documents GROUP BY md5(text) ORDER BY keep_id"""))
+
   /** Exact n-gram Jaccard pairs on a bounded slice (pairwise verification
     * is the post-LSH step at scale; bounded here so the oracle join stays
     * small).
@@ -256,7 +269,7 @@ object ExtensionQueries {
             FROM events ORDER BY event_id"""))
 
   val all: Seq[QueryDef] = Seq(
-    qDedupExact, qNgramJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
+    qDedupExact, qDedupExactHash, qNgramJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qEmbedCosineTopk, qAnnLsh, qAnnIvf, qTextTokens, qTextQuality, qLangId,
     qDocFingerprint, qMultimodalMeta, qHeavyHitters)
 }

@@ -103,6 +103,29 @@ class ScaleFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("multi-table LSH recall dominates single-table at equal bits") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        probes, "q_id", "q_emb", 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    // bits=4: random-data top neighbors sit near cosine 0.5 (~60 deg), so
+    // per-bit collision ~0.67 -> single-table recall ~0.67^4 ~ 0.2 and
+    // 4-table OR-amplification ~ 1-(1-0.2)^4 ~ 0.6
+    def recallOf(tables: Int): Double = {
+      val got = Similarity.lshTopKMulti(e, "vec_id", "embedding",
+          probes, "q_id", "q_emb", 10, bits = 4, tables = tables)
+        .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val r1 = recallOf(1)
+    val r4 = recallOf(4)
+    assert(r4 >= r1, s"4-table recall $r4 < 1-table $r1")
+    assert(r4 >= 0.25, s"4-table recall too low: $r4")
+  }
+
   test("IVF top-k finds the exact nearest neighbors of in-list probes") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
