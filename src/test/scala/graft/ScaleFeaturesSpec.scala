@@ -66,6 +66,17 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(j.columns.contains("_ingest_order"))
   }
 
+  test("parquet source reader round-trips with optional ingest order") {
+    val dir = Files.createTempDirectory("graft-pq").toString + "/t"
+    Seq((1L, "x"), (2L, "y")).toDF("event_id", "payload")
+      .write.parquet(dir)
+    val plain = Sources.parquet(spark, dir)
+    assert(!plain.columns.contains("_ingest_order"))
+    assert(plain.count() === 2)
+    val stamped = Sources.parquet(spark, dir, withIngestOrder = true)
+    assert(stamped.columns.contains("_ingest_order"))
+  }
+
   test("partitioned writes prune whole partitions at the scan") {
     val dir = Files.createTempDirectory("graft-part").toString + "/events"
     val df = (1 to 300).map(i => (i.toLong, s"2025-01-${i % 3 + 1}", i * 1.0))
