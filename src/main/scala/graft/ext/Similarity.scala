@@ -154,12 +154,11 @@ object Similarity {
       probes: DataFrame, qId: String, qVec: String,
       k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
     require(tables >= 1, s"tables must be >= 1, got $tables")
+    // hyperplaneSignatures already emits exactly (id, _sig) — join the
+    // signature tables directly, no re-scan of corpus/probes per table
     val candidateIds = (0 until tables).map { t =>
-      val sigCorpus = corpus.select(col(id))
-        .join(hyperplaneSignatures(corpus, id, vec, bits, t), id)
-      val sigProbes = probes.select(col(qId))
-        .join(hyperplaneSignatures(probes, qId, qVec, bits, t), qId)
-      sigCorpus.join(broadcast(sigProbes), Seq("_sig"))
+      hyperplaneSignatures(corpus, id, vec, bits, t)
+        .join(broadcast(hyperplaneSignatures(probes, qId, qVec, bits, t)), Seq("_sig"))
         .select(col(qId), col(id))
     }.reduce(_ unionByName _).distinct()
 

@@ -114,10 +114,15 @@ class StreamingSpec extends SparkSpec {
       "status", "severity", "source_ip").map(StructField(_, StringType)))
     val rawPath = getClass.getResource("/raw_events.csv").getPath
 
-    // batch truth: same stateless transforms on a batch read
-    val batch = StreamingPipeline.cleanStream(
+    // batch truth: same stateless transforms on a batch read. Compared as
+    // SORTED multisets — the fixture contains duplicate rows that
+    // cleanStream deliberately keeps, and a Set compare would hide a
+    // dropped or doubled copy.
+    def canonical(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+      rows.map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val batch = canonical(StreamingPipeline.cleanStream(
       spark.read.option("header", "true").schema(schema).csv(rawPath))
-      .collect().map(_.toSeq).toSet
+      .collect())
 
     // streaming: the csv directory as an unbounded file source
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
@@ -130,7 +135,7 @@ class StreamingSpec extends SparkSpec {
       .format("memory").queryName("clean_out").start()
     try {
       q.processAllAvailable()
-      val streamed = spark.table("clean_out").collect().map(_.toSeq).toSet
+      val streamed = canonical(spark.table("clean_out").collect())
       assert(streamed === batch)
       assert(streamed.nonEmpty)
     } finally q.stop()
