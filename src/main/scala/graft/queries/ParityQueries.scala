@@ -551,6 +551,24 @@ object ParityQueries {
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
 
+  /** Exact interpolated percentiles per group — profiling staple. Spark's
+    * `percentile` and DuckDB's `quantile_cont` both use R-7 linear
+    * interpolation over the sorted values, so the results hash-match
+    * (verified bit-exact at all sfs). The at-scale variant is
+    * `percentile_approx` (t-digest-style sketch), analogous to
+    * q_approx_distinct's HLL.
+    */
+  val qPercentiles = QueryDef(
+    "q_percentiles",
+    (s, d) => events(s, d)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"),
+        expr("percentile(value, 0.95)").as("p95"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, quantile_cont(value, 0.5) AS med,
+              quantile_cont(value, 0.95) AS p95
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
   /** The documented at-scale variant of A5: HyperLogLog approximate
     * distinct. Sketch values are engine-specific, so no SQL oracle —
     * accuracy vs the exact count is asserted in QueriesSpec (rows-only
@@ -720,6 +738,6 @@ object ParityQueries {
     qMapSeverity, qSeverityScore, qNormIp, qParseTs, qDateFloor, qTimeDelta,
     qMinmaxTs, qCountOver, qDailyAvg, qGlobalAgg, qCountDistinct, qNullCounts,
     qTopkValues, qDomainCheck, qJoinLeft, qJoinComposite, qJoinInner,
-    qJoinSemi, qJoinAnti, qSetOps, qRollup, qApproxDistinct, qSort,
+    qJoinSemi, qJoinAnti, qSetOps, qRollup, qPercentiles, qApproxDistinct, qSort,
     qLag, qRollingCount, qSessionId, qSessionAgg, qSessionize)
 }
