@@ -28,8 +28,12 @@ object Skew {
       countCol: String,
       out: String,
       saltBuckets: Int = 16): DataFrame = {
+    // salt derived from stable row content, NOT monotonically_increasing_id:
+    // a stage retry recomputes the same salt for the same row, so partial
+    // groups are deterministic under task retry. Collisions within a salt
+    // bucket are fine — the bucket only spreads work.
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(xxhash64(col(countCol), col(key)), lit(saltBuckets)))
     val partial = salted.groupBy(col(key), col("_salt"))
       .agg(count(col(countCol)).as("_partial"))
     val totals = partial.groupBy(key).agg(sum("_partial").as(out))

@@ -219,21 +219,37 @@ object Dedup {
     agg.select(col(id), sim.as("sim"))
   }
 
-  /** SimHash near-dup candidates: bucket on the high 16 bits (a band), then
-    * verify with full Hamming distance <= maxHamming within buckets. At
-    * scale, repeat with rotated bands for recall (4 bands of 16 bits
-    * guarantee finding all pairs within Hamming distance 3).
+  /** SimHash near-dup candidates with GUARANTEED recall at Hamming <= 3:
+    * the 64-bit fingerprint splits into 4 disjoint 16-bit bands; a pair
+    * within Hamming distance 3 differs in at most 3 bands (pigeonhole), so
+    * it MUST agree exactly on at least one band and surfaces in that
+    * band's bucket. Candidates are the union over bands (each row explodes
+    * to 4 (band, key) buckets — O(n·4), no pairwise stage), then verified
+    * with full Hamming distance. More generally, b bands guarantee recall
+    * for maxHamming <= b-1; the default 4 bands cover the default 3.
     */
   def simhashPairs(df: DataFrame, id: String, text: String, maxHamming: Int = 3): DataFrame = {
+    val bands = 4
+    require(maxHamming <= bands - 1,
+      s"$bands bands only guarantee recall for Hamming <= ${bands - 1}, got $maxHamming")
     val sigs = simhashTable(df, id, text)
-    val bucketed = sigs.withColumn("bucket", shiftright(col("sim"), 48))
+    // bucket key = (band index, that band's 16 bits): band b is bits
+    // [16b, 16b+16). The band index is part of the key so band 0's bucket
+    // space never collides with band 1's.
+    val bandKeys = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        shiftright(col("sim"), 16 * bnd).bitwiseAND(0xFFFFL).as("bits"))
+    }
+    val bucketed = sigs.select(col(id), col("sim"),
+      explode(array(bandKeys: _*)).as("bucket"))
     val a = bucketed.select(col(id).as("id1"), col("sim").as("sim1"), col("bucket"))
     val b = bucketed.select(col(id).as("id2"), col("sim").as("sim2"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("id1") < col("id2"))
       .withColumn("hamming", bit_count(col("sim1").bitwiseXOR(col("sim2"))))
       .filter(col("hamming") <= maxHamming)
-      .select("id1", "id2", "hamming")
+      // a pair can match in several bands — dedup across bands
+      .select("id1", "id2", "hamming").distinct()
   }
 
   /** Embedding-cosine near-duplicates: LSH-bucketed candidate pairs

@@ -91,6 +91,37 @@ class ExtSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, h) => a == 0L && b == 1L && h == 0 })
   }
 
+  test("simhash pairs: ALL hamming<=3 pairs found (4-band pigeonhole recall)") {
+    // Long docs (300 distinct words) with one word swapped per variant:
+    // large token sets push each bit's vote sum away from zero, so a
+    // single-token change flips only a few fingerprint bits — producing
+    // genuine pairs in the 1..3 Hamming range whose differing bits land in
+    // arbitrary bands.
+    val base = (1 to 300).map(i => s"w$i")
+    val corpus = (0 until 24).map { i =>
+      val words = if (i == 0) base else base.updated((i * 13) % 300, s"X$i")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+
+    val sims = Dedup.simhashTable(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val expected = (for {
+      a <- sims.keys; b <- sims.keys if a < b
+      h = java.lang.Long.bitCount(sims(a) ^ sims(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    val found = Dedup.simhashPairs(corpus, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSet
+
+    assert(expected.nonEmpty, "corpus must contain hamming<=3 pairs")
+    assert(found === expected) // exact recall AND precision within the radius
+    // witness that single-band (high-16-bit) bucketing was lossy: at least
+    // one recovered pair disagrees on the high band, so the pre-fix code
+    // would have missed it
+    assert(expected.exists { case (a, b, h) =>
+      h >= 1 && (sims(a) >>> 48) != (sims(b) >>> 48)
+    })
+  }
+
   test("cosine: identical=1, orthogonal=0; brute-force top-k ranks correctly") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
