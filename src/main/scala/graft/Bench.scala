@@ -33,21 +33,30 @@ object Bench {
     // per-query seconds (measured under that concurrency) and their sum
     // are also reported.
     val par = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAR", "4").toInt
+    // Optional comma-separated filter for quick profiling runs.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (String, Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val wall0 = System.nanoTime()
-    val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      scala.concurrent.Future {
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-          }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
-      }
+    val futures = selected.map { case (name, fn) =>
+      scala.concurrent.Future(timed(name, fn))
     }
     val results = scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(futures),
@@ -55,14 +64,24 @@ object Bench {
     val wall = (System.nanoTime() - wall0) / 1e9
     pool.shutdown()
 
+    // Solo phase: the headline queries re-run SERIALLY so their seconds are
+    // contention-free and regressions are attributable (parallel-suite
+    // numbers cross-contaminate: 4 heavy queries share one 32-core pool).
+    val headline = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOLO",
+        "q_rollup,q_e2e_throughput,q_e2e_pipeline,q_join_inner,q_sessionize")
+      .split(",").map(_.trim).filter(n => n.nonEmpty && SparkEntry.queries.contains(n))
+    val solo = headline.map(n => timed(n, SparkEntry.queries(n)))
+
     // Failed queries are EXCLUDED from the timing map and listed by name —
     // a fast failure must not read as a performance win.
     val qs = results.collect { case (k, v, true) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
+    val soloJs = solo.collect { case (k, v, true) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val failed = (results ++ solo).collect { case (k, _, false) => "\"" + k + "\"" }
+      .distinct.mkString("[", ",", "]")
     val sum = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","sum_query_sec":$sum,"parallelism":$par,"failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","sum_query_sec":$sum,"parallelism":$par,"failed":$failed,"queries":$qs,"solo":$soloJs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
