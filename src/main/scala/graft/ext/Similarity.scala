@@ -90,34 +90,140 @@ object Similarity {
     agg.select(col(id), sig.as("_sig"))
   }
 
+  /** Lowest-id vectors as centroids — the naive deterministic quantizer,
+    * kept for comparison tests. Arbitrary list balance: a popular region
+    * of the space maps to one dense inverted list.
+    */
+  private[graft] def lowestIdCentroids(
+      corpus: DataFrame, id: String, vec: String,
+      nCentroids: Int): Array[(Long, Array[Float])] = corpus
+    .orderBy(col(id)).limit(nCentroids)
+    .select(col(id).cast("long"), col(vec))
+    .collect()
+    .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  /** Deterministic uniform sample of vectors: global top-`n` ordered by
+    * xxhash64(id). Executes as TakeOrderedAndProject — each partition
+    * keeps only its local top-n, so the driver receives O(n·dim) bytes
+    * regardless of corpus size. No fraction guess, no extra count() pass,
+    * reproducible across runs and executors.
+    */
+  private def hashSample(
+      corpus: DataFrame, id: String, vec: String, n: Int): Array[Array[Double]] =
+    corpus.select(col(vec))
+      .orderBy(xxhash64(col(id)))
+      .limit(n)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** Sampled spherical k-means coarse quantizer. The sample is bounded
+    * (nCentroids × samplesPerCentroid rows via [[hashSample]]), so Lloyd
+    * iterations run driver-side over at most a few thousand unit vectors —
+    * microseconds of CPU, zero extra cluster jobs beyond the one sampling
+    * scan. Assignment is by max cosine (vectors are L2-normalized, so
+    * dot = cosine); each new centroid is the normalized mean of its
+    * members; an emptied cluster keeps its previous centroid. Entirely
+    * deterministic: hash-ordered sample, first-k-distinct init, argmax
+    * ties broken by lowest centroid index.
+    *
+    * Compared to [[lowestIdCentroids]] this spreads centroids over the
+    * occupied region of the space, so inverted-list populations even out —
+    * the property that matters at 100 TB, where one dense list is a hot
+    * partition and a cold cache.
+    */
+  private[graft] def kmeansCentroids(
+      corpus: DataFrame, id: String, vec: String,
+      nCentroids: Int, iters: Int = 8,
+      samplesPerCentroid: Int = 32): Array[(Long, Array[Float])] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) null else v.map(_ / n)
+    }
+    val sample = hashSample(corpus, id, vec, nCentroids * samplesPerCentroid)
+      .map(normalize).filter(_ != null)
+    require(sample.nonEmpty, "k-means quantizer: corpus has no non-zero vectors")
+
+    // init: first k distinct unit vectors of the hash-shuffled sample
+    val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+    for (v <- sample if init.size < nCentroids) if (seen.add(v.toSeq)) init += v
+    var centroids = init.toArray
+    val dim = sample.head.length
+
+    def argmaxDot(v: Array[Double]): Int = {
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < centroids.length) {
+        var d = 0.0; var i = 0
+        val cv = centroids(c)
+        while (i < dim) { d += v(i) * cv(i); i += 1 }
+        if (d > bestDot) { bestDot = d; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      for (v <- sample) {
+        val c = argmaxDot(v)
+        val s = sums(c); var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+        counts(c) += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else { val m = normalize(sums(c)); if (m == null) old else m }
+      }
+    }
+    centroids.zipWithIndex.map { case (cv, c) => (c.toLong, cv.map(_.toFloat)) }
+  }
+
+  /** (similarity, -centroidId) structs: array_max picks the best
+    * similarity with the LOWEST centroid id as deterministic tiebreak.
+    */
+  private def simStructs(v: Column, centroids: Array[(Long, Array[Float])]): Column =
+    array(centroids.map { case (cid, cvec) =>
+      struct(cosine(v, typedlit(cvec)).as("sim"), lit(-cid).as("negid"))
+    }: _*)
+
+  /** Per-row nearest-centroid assignment with the centroid set embedded as
+    * plan literals — a codegen'd argmax, NO window, NO join, NO shuffle.
+    */
+  private[graft] def assignToCentroids(
+      df: DataFrame, vec: String,
+      centroids: Array[(Long, Array[Float])]): DataFrame =
+    df.withColumn("_c_id", -array_max(simStructs(col(vec), centroids)).getField("negid"))
+
+  private[graft] def centroidsFor(
+      corpus: DataFrame, id: String, vec: String,
+      nCentroids: Int, quantizer: String): Array[(Long, Array[Float])] =
+    quantizer match {
+      case "kmeans" => kmeansCentroids(corpus, id, vec, nCentroids)
+      case "lowid"  => lowestIdCentroids(corpus, id, vec, nCentroids)
+      case other => throw new IllegalArgumentException(
+        s"unknown IVF quantizer '$other' (expected kmeans|lowid)")
+    }
+
   /** IVF (inverted-file) approximate top-k — the other classic ANN scale
-    * path. The coarse quantizer is DRIVER-SIDE (nCentroids <= a few
-    * hundred rows — here the lowest-id vectors, deterministic; production
-    * would k-means): its vectors embed into the plan as literals, so
-    * centroid assignment is a per-row argmax over an array of
-    * (similarity, centroid) structs — NO window, NO join, NO shuffle of
-    * the corpus. Probes search only their `nProbe` nearest lists;
-    * candidates are ranked by exact cosine.
+    * path. The coarse quantizer is DRIVER-SIDE and bounded (sampled
+    * spherical k-means by default — see [[kmeansCentroids]]): its vectors
+    * embed into the plan as literals, so centroid assignment is a per-row
+    * argmax over an array of (similarity, centroid) structs — NO window,
+    * NO join, NO shuffle of the corpus. Probes search only their `nProbe`
+    * nearest lists; candidates are ranked by exact cosine.
     */
   def ivfTopK(
       corpus: DataFrame, id: String, vec: String,
       probes: DataFrame, qId: String, qVec: String,
-      k: Int, nCentroids: Int = 64, nProbe: Int = 8): DataFrame = {
-    val centroids: Array[(Long, Array[Float])] = corpus
-      .orderBy(col(id)).limit(nCentroids)
-      .select(col(id).cast("long"), col(vec))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      k: Int, nCentroids: Int = 64, nProbe: Int = 8,
+      quantizer: String = "kmeans"): DataFrame = {
+    val centroids = centroidsFor(corpus, id, vec, nCentroids, quantizer)
 
-    // (similarity, -centroidId) structs: array_max picks the best
-    // similarity with the LOWEST centroid id as deterministic tiebreak.
-    def simStructs(v: Column) = array(centroids.map { case (cid, cvec) =>
-      struct(cosine(v, typedlit(cvec)).as("sim"), lit(-cid).as("negid"))
-    }: _*)
-
-    val assigned = corpus.withColumn("_c_id", -array_max(simStructs(col(vec))).getField("negid"))
+    val assigned = assignToCentroids(corpus, vec, centroids)
     val probeLists = probes
-      .withColumn("_cands", slice(reverse(array_sort(simStructs(col(qVec)))), 1, nProbe))
+      .withColumn("_cands",
+        slice(reverse(array_sort(simStructs(col(qVec), centroids))), 1, nProbe))
       .withColumn("_cand", explode(col("_cands")))
       .withColumn("_c_id", -col("_cand.negid"))
       .select(col(qId), col(qVec), col("_c_id"))

@@ -156,4 +156,48 @@ class ScaleFeaturesSpec extends SparkSpec {
     val recall = (ivf & exact).size.toDouble / exact.size
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
+
+  test("k-means quantizer: better list balance than lowest-id, recall not worse") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        probes, "q_id", "q_emb", 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+
+    // inverted-list population skew = max/mean list size after assignment
+    def skewOf(quantizer: String): Double = {
+      val cents = Similarity.centroidsFor(e, "vec_id", "embedding", 16, quantizer)
+      val sizes = Similarity.assignToCentroids(e, "embedding", cents)
+        .groupBy("_c_id").count().select("count").as[Long].collect()
+      sizes.max.toDouble / (sizes.sum.toDouble / sizes.length)
+    }
+    def recallOf(quantizer: String): Double = {
+      val got = Similarity.ivfTopK(e, "vec_id", "embedding",
+          probes, "q_id", "q_emb", 10, nCentroids = 16, nProbe = 4,
+          quantizer = quantizer)
+        .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+      (got & exact).size.toDouble / exact.size
+    }
+
+    val (skewKm, skewLow) = (skewOf("kmeans"), skewOf("lowid"))
+    assert(skewKm < skewLow,
+      s"k-means list skew $skewKm not below lowest-id $skewLow")
+    val (recKm, recLow) = (recallOf("kmeans"), recallOf("lowid"))
+    assert(recKm >= recLow,
+      s"k-means recall $recKm below lowest-id $recLow at equal nProbe")
+  }
+
+  test("k-means quantizer is deterministic and centroids are unit-norm") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val c1 = Similarity.kmeansCentroids(e, "vec_id", "embedding", 8)
+    val c2 = Similarity.kmeansCentroids(e, "vec_id", "embedding", 8)
+    assert(c1.map(_._2.toSeq).toSeq === c2.map(_._2.toSeq).toSeq)
+    for ((_, v) <- c1) {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-4, s"centroid norm $n not ~1")
+    }
+  }
 }
