@@ -106,13 +106,16 @@ object Similarity {
     * xxhash64(id). Executes as TakeOrderedAndProject — each partition
     * keeps only its local top-n, so the driver receives O(n·dim) bytes
     * regardless of corpus size. No fraction guess, no extra count() pass,
-    * reproducible across runs and executors.
+    * reproducible across runs and executors. The sort key column is kept
+    * through the orderBy (not resolved via missing-reference fixup) and
+    * projected away afterwards.
     */
   private def hashSample(
       corpus: DataFrame, id: String, vec: String, n: Int): Array[Array[Double]] =
-    corpus.select(col(vec))
-      .orderBy(xxhash64(col(id)))
+    corpus.select(col(vec), xxhash64(col(id)).as("_h"))
+      .orderBy(col("_h"))
       .limit(n)
+      .select(col(vec))
       .collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
@@ -195,6 +198,31 @@ object Similarity {
       centroids: Array[(Long, Array[Float])]): DataFrame =
     df.withColumn("_c_id", -array_max(simStructs(col(vec), centroids)).getField("negid"))
 
+  /** Closure-spilled multi-assignment (the SPANN construction, Chen et al.
+    * 2021, arXiv:2111.08566 §4.2): a vector joins every inverted list whose
+    * centroid similarity is within `spillDelta` of its BEST centroid, capped
+    * at `spillCap` lists. Boundary vectors — the ones a hard argmax assigns
+    * arbitrarily — are replicated into each adjacent list, so a probe
+    * scanning only its own nearest lists still sees them; interior vectors
+    * stay single-assigned. Index size is bounded by `spillCap`×; on
+    * clustered corpora the closure rarely triggers, on unstructured ones it
+    * approaches the cap (the worst case for any geometric partition).
+    * Emits one row per (vector, list) membership; still NO join/shuffle —
+    * a per-row sorted-prefix filter over the plan-literal centroid array,
+    * then an explode.
+    */
+  private[graft] def assignSpilled(
+      df: DataFrame, vec: String,
+      centroids: Array[(Long, Array[Float])],
+      spillDelta: Double, spillCap: Int): DataFrame = {
+    val ranked = reverse(array_sort(simStructs(col(vec), centroids)))
+    val best = element_at(ranked, 1).getField("sim")
+    val kept = slice(
+      filter(ranked, s => s.getField("sim") >= best - lit(spillDelta)),
+      1, spillCap)
+    df.withColumn("_c_id", explode(transform(kept, s => -s.getField("negid"))))
+  }
+
   private[graft] def centroidsFor(
       corpus: DataFrame, id: String, vec: String,
       nCentroids: Int, quantizer: String): Array[(Long, Array[Float])] =
@@ -209,18 +237,29 @@ object Similarity {
     * path. The coarse quantizer is DRIVER-SIDE and bounded (sampled
     * spherical k-means by default — see [[kmeansCentroids]]): its vectors
     * embed into the plan as literals, so centroid assignment is a per-row
-    * argmax over an array of (similarity, centroid) structs — NO window,
-    * NO join, NO shuffle of the corpus. Probes search only their `nProbe`
-    * nearest lists; candidates are ranked by exact cosine.
+    * expression over an array of (similarity, centroid) structs — NO
+    * window, NO join, NO shuffle of the corpus. Probes search only their
+    * `nProbe` nearest lists; candidates are ranked by exact cosine.
+    *
+    * The `"kmeans"` quantizer builds a SPANN-style index: balanced
+    * centroids (even list sizes — no hot partition at scale) plus
+    * closure-spilled list membership ([[assignSpilled]]) to recover the
+    * recall that balancing alone costs at small `nProbe`. The `"lowid"`
+    * quantizer is the naive baseline — arbitrary data-point centroids,
+    * hard single assignment — kept for comparison tests.
     */
   def ivfTopK(
       corpus: DataFrame, id: String, vec: String,
       probes: DataFrame, qId: String, qVec: String,
       k: Int, nCentroids: Int = 64, nProbe: Int = 8,
-      quantizer: String = "kmeans"): DataFrame = {
+      quantizer: String = "kmeans",
+      spillDelta: Double = 0.3, spillCap: Int = 4): DataFrame = {
     val centroids = centroidsFor(corpus, id, vec, nCentroids, quantizer)
 
-    val assigned = assignToCentroids(corpus, vec, centroids)
+    val assigned =
+      if (quantizer == "kmeans")
+        assignSpilled(corpus, vec, centroids, spillDelta, spillCap)
+      else assignToCentroids(corpus, vec, centroids)
     val probeLists = probes
       .withColumn("_cands",
         slice(reverse(array_sort(simStructs(col(qVec), centroids))), 1, nProbe))
@@ -231,8 +270,16 @@ object Similarity {
     val candidates = assigned.join(broadcast(probeLists), Seq("_c_id"))
       .filter(col(id) =!= col(qId))
       .withColumn("cosine", cosine(col(qVec), col(vec)))
+    // Spilled membership can surface the same (probe, candidate) pair from
+    // several probed lists. Under ORDER BY (cosine DESC, id) duplicates are
+    // adjacent (same pair ⇒ same deterministic cosine), so a lag() over the
+    // SAME window spec drops them with no extra shuffle, and the re-rank
+    // window below reuses the qId exchange+sort.
     val w = Window.partitionBy(qId).orderBy(col("cosine").desc, col(id))
-    candidates.withColumn("rn", row_number().over(w))
+    candidates
+      .withColumn("_dup", lag(col(id), 1).over(w) === col(id))
+      .filter(col("_dup").isNull || !col("_dup"))
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col(qId), col(id), col("cosine"))
   }

@@ -189,6 +189,28 @@ class ScaleFeaturesSpec extends SparkSpec {
       s"k-means recall $recKm below lowest-id $recLow at equal nProbe")
   }
 
+  test("IVF recall at the shipped defaults (nCentroids=64, nProbe=8)") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val probes = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        probes, "q_id", "q_emb", 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding",
+        probes, "q_id", "q_emb", 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    // uniform-random embeddings are the worst case for a geometric
+    // partition; the closure spill holds recall up even here
+    assert(recall >= 0.6, s"IVF default-config recall too low: $recall")
+    // spill never duplicates a (probe, candidate) pair in the output
+    val raw = Similarity.ivfTopK(e, "vec_id", "embedding",
+        probes, "q_id", "q_emb", 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+    assert(raw.length === raw.toSet.size, "duplicate pairs in IVF top-k")
+  }
+
   test("k-means quantizer is deterministic and centroids are unit-norm") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
