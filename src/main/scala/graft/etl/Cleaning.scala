@@ -54,33 +54,34 @@ object Cleaning {
     stringCols.foldLeft(filled)((d, c) => d.withColumn(c, trim(col(c))))
   }
 
-  /** Duplicate removal (reference: src/cleaning.py:43-55):
-    *  1. drop fully-duplicated rows, keeping the LAST occurrence in ingest
-    *     order;
-    *  2. then drop duplicates by `event_id`, keeping the LAST occurrence.
+  /** Duplicate removal (reference: src/cleaning.py:43-55). The reference
+    * runs two passes — drop full-row duplicates keeping the LAST in ingest
+    * order, then drop duplicates by `event_id` keeping the LAST — but the
+    * two compose to a single keep-last-per-`event_id`: `event_id` is one of
+    * the full-row key's columns, so the max-ingest-order row of an
+    * `event_id` group has max order within its own full-row group too — it
+    * survives pass 1 and is exactly pass 2's survivor. One `event_id`-keyed
+    * window therefore produces the identical result while skipping a
+    * shuffle+sort on the widest possible key (every data column) — the
+    * dominant cost of the e2e pipeline at scale.
     *
     * Spark has no inherent row order, so "last" is defined by an explicit
     * `_ingest_order` column (added at scan time by [[graft.Pipeline]]); if
     * absent, one is synthesized with `monotonically_increasing_id()`, which
     * reproduces file order only for single-file / single-partition ingest
-    * (SURVEY.md §1.5, §7.5). Implemented as `row_number` windows rather than
-    * `dropDuplicates` because the latter keeps an arbitrary row.
+    * (SURVEY.md §1.5, §7.5). Implemented as a `row_number` window rather
+    * than `dropDuplicates` because the latter keeps an arbitrary row.
     */
   def removeDuplicates(df: DataFrame): DataFrame = {
     val ord = EventSchema.ingestOrderCol
     val hadOrder = df.columns.contains(ord)
     val withOrd = if (hadOrder) df else df.withColumn(ord, monotonically_increasing_id())
-    val dataCols = withOrd.columns.filterNot(_ == ord)
 
-    val fullW = Window.partitionBy(dataCols.toIndexedSeq.map(col): _*).orderBy(col(ord).desc)
     val keyW = Window.partitionBy(col("event_id")).orderBy(col(ord).desc)
-
     val out = withOrd
-      .withColumn("_rn_full", row_number().over(fullW))
-      .filter(col("_rn_full") === 1)
       .withColumn("_rn_key", row_number().over(keyW))
       .filter(col("_rn_key") === 1)
-      .drop("_rn_full", "_rn_key")
+      .drop("_rn_key")
 
     if (hadOrder) out else out.drop(ord)
   }

@@ -203,6 +203,13 @@ object PipelineQuery {
     * where it runs 20.5 s single-threaded). Rows-only correctness check
     * (the hash-matched variant is q_e2e_pipeline); this entry exists so
     * BENCH reports a directly comparable number.
+    *
+    * Output has FEWER rows than the input scan: the synthesized
+    * `event_id = l_orderkey*10 + l_linenumber` collides because testdata
+    * lineitem contains duplicate (l_orderkey, l_linenumber) pairs (44,930
+    * distinct ids over 58,824 rows at sf0.01), and keep-last dedup
+    * correctly collapses each id to one survivor. PipelineSpec pins
+    * output rows == distinct surviving event_ids.
     */
   val qE2eThroughput = QueryDef(
     "q_e2e_throughput",

@@ -28,6 +28,19 @@ class QueriesSpec extends SparkSpec {
       s"approx $approx vs exact $exact")
   }
 
+  test("e2e throughput emits exactly one row per surviving event_id") {
+    // event_id = l_orderkey*10 + l_linenumber COLLIDES (testdata lineitem
+    // has duplicate (l_orderkey, l_linenumber) pairs), so keep-last dedup
+    // legitimately emits fewer rows than the scan — pin that the output is
+    // exactly one row per distinct surviving id, not a silent row loss.
+    val out = SparkEntry.queries("q_e2e_throughput")(spark, dir)
+    val n = out.count()
+    val distinctIds = out.select("event_id").distinct().count()
+    assert(n === distinctIds, s"$n rows vs $distinctIds distinct event_ids")
+    val scanned = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    assert(n > 0 && n < scanned)
+  }
+
   test("entry() flagship returns the Q1 grouping") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.nonEmpty)
