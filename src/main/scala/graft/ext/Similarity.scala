@@ -305,13 +305,27 @@ object Similarity {
   def lshTopKMulti(
       corpus: DataFrame, id: String, vec: String,
       probes: DataFrame, qId: String, qVec: String,
-      k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
+      k: Int, bits: Int = 12, tables: Int = 4,
+      probeHamming: Int = 0): DataFrame = {
     require(tables >= 1, s"tables must be >= 1, got $tables")
+    require(probeHamming >= 0 && probeHamming <= 1,
+      s"probeHamming must be 0 or 1, got $probeHamming")
     // hyperplaneSignatures already emits exactly (id, _sig) — join the
-    // signature tables directly, no re-scan of corpus/probes per table
+    // signature tables directly, no re-scan of corpus/probes per table.
+    // Multi-probe (probeHamming=1): each probe ALSO looks in every bucket
+    // one bit-flip away — the near-miss buckets a borderline hyperplane
+    // projection lands in (Lv et al., VLDB 2007). The flips are bitwise ops
+    // on the already-computed signature, so recall rises WITHOUT another
+    // corpus-wide signature pass — the whole point vs adding tables.
     val candidateIds = (0 until tables).map { t =>
+      val probeSig = hyperplaneSignatures(probes, qId, qVec, bits, t)
+      val probed =
+        if (probeHamming == 0) probeSig
+        else probeSig.select(col(qId), explode(array(
+          col("_sig") +: (0 until bits).map(b =>
+            col("_sig").bitwiseXOR(lit(1L << b))): _*)).as("_sig"))
       hyperplaneSignatures(corpus, id, vec, bits, t)
-        .join(broadcast(hyperplaneSignatures(probes, qId, qVec, bits, t)), Seq("_sig"))
+        .join(broadcast(probed), Seq("_sig"))
         .select(col(qId), col(id))
     }.reduce(_ unionByName _).distinct()
 

@@ -137,6 +137,29 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(r4 >= 0.25, s"4-table recall too low: $r4")
   }
 
+  test("multi-probe LSH (1 table + bit flips) beats 2 single-probe tables") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        probes, "q_id", "q_emb", 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallOf(tables: Int, hamming: Int): Double = {
+      val got = Similarity.lshTopKMulti(e, "vec_id", "embedding",
+          probes, "q_id", "q_emb", 10, bits = 4, tables = tables,
+          probeHamming = hamming)
+        .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    // multi-probe computes ONE corpus signature family; two tables compute
+    // two — equal-or-better recall at half the corpus-side signature cost
+    val mp = recallOf(1, 1)
+    val sp2 = recallOf(2, 0)
+    assert(mp >= sp2, s"multi-probe recall $mp < 2-table single-probe $sp2")
+    assert(mp >= 0.3, s"multi-probe recall too low: $mp")
+  }
+
   test("IVF top-k finds the exact nearest neighbors of in-list probes") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
