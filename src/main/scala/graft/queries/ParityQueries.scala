@@ -274,6 +274,52 @@ object ParityQueries {
                 '%Y-%m-%d %H:%M:%S'))) AS BIGINT) AS parsed_sec
             FROM events ORDER BY event_id"""))
 
+  /** Lenient multi-format parse (SURVEY.md §2.6 T1 extension): mixed-format
+    * timestamp strings — the reference's own fixture mixes 6 formats
+    * (reference: data/raw_events.csv:2-41) — parsed through
+    * [[graft.etl.Normalization.standardizeTimestamps]]'s `lenientFormats`
+    * chain, first match wins, unparseable rows dropped. Strings are
+    * synthesized deterministically (format chosen by event_id % 5, one
+    * branch deliberately unparseable) so the DuckDB oracle can replay the
+    * identical coalesce(try_strptime…) chain.
+    */
+  val qParseTsLenient = QueryDef(
+    "q_parse_ts_lenient",
+    (s, d) => {
+      val t = timestamp_seconds(tsSec)
+      val raw = events(s, d).select(
+        col("event_id"),
+        when(col("event_id") % 5 === 0, date_format(t, "yyyy-MM-dd HH:mm:ss"))
+          .when(col("event_id") % 5 === 1, date_format(t, "dd-MM-yyyy HH:mm:ss"))
+          .when(col("event_id") % 5 === 2, date_format(t, "yyyy/MM/dd HH:mm"))
+          .when(col("event_id") % 5 === 3, date_format(t, "MM/dd/yyyy HH:mm:ss"))
+          .otherwise(concat(lit("ts="), col("ts"))).as("timestamp"))
+      graft.etl.Normalization.standardizeTimestamps(raw,
+          lenientFormats = Seq("dd-MM-yyyy HH:mm:ss", "yyyy/MM/dd HH:mm",
+            "MM/dd/yyyy HH:mm:ss"))
+        .select(col("event_id"),
+          unix_timestamp(col("timestamp")).as("parsed_sec"))
+        .orderBy("event_id")
+    },
+    Some("""WITH base AS (
+              SELECT event_id,
+                CASE event_id % 5
+                  WHEN 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+                  WHEN 1 THEN strftime(ts, '%d-%m-%Y %H:%M:%S')
+                  WHEN 2 THEN strftime(ts, '%Y/%m/%d %H:%M')
+                  WHEN 3 THEN strftime(ts, '%m/%d/%Y %H:%M:%S')
+                  ELSE 'ts=' || CAST(epoch_ns(ts) AS VARCHAR) END AS raw
+              FROM events),
+            parsed AS (
+              SELECT event_id, coalesce(
+                try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
+                try_strptime(raw, '%d-%m-%Y %H:%M:%S'),
+                try_strptime(raw, '%Y/%m/%d %H:%M'),
+                try_strptime(raw, '%m/%d/%Y %H:%M:%S')) AS p
+              FROM base)
+            SELECT event_id, CAST(floor(epoch(p)) AS BIGINT) AS parsed_sec
+            FROM parsed WHERE p IS NOT NULL ORDER BY event_id"""))
+
   val qDateFloor = QueryDef(
     "q_date_floor",
     (s, d) => events(s, d)
@@ -735,7 +781,8 @@ object ParityQueries {
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanParquet, qFilterNotnull, qFilterTs, qFilterNeq, qProject,
     qDedupFull, qDedupKey, qFillna, qTrimAll, qNormText, qMapStatus,
-    qMapSeverity, qSeverityScore, qNormIp, qParseTs, qDateFloor, qTimeDelta,
+    qMapSeverity, qSeverityScore, qNormIp, qParseTs, qParseTsLenient,
+    qDateFloor, qTimeDelta,
     qMinmaxTs, qCountOver, qDailyAvg, qGlobalAgg, qCountDistinct, qNullCounts,
     qTopkValues, qDomainCheck, qJoinLeft, qJoinComposite, qJoinInner,
     qJoinSemi, qJoinAnti, qSetOps, qRollup, qPercentiles, qApproxDistinct, qSort,
