@@ -108,6 +108,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session aggregates match batch q_session_agg on real testdata") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: (user, session start, count, duration) — session_id
+    // numbering is batch-only, so compare the id-free multiset
+    val batch = SparkEntry.queries("q_session_agg")(spark, dir)
+      .select(col("user_id"), col("session_start_sec"),
+        col("session_event_count"), col("session_duration_sec").cast("double"))
+      .as[(String, Long, Long, Double)].collect().sorted
+
+    // same source rows, second-floored event-time timestamps (batch gap
+    // math floors to seconds), one MemoryStream batch with a watermark
+    // horizon behind all of it — nothing is late, parity must be exact
+    val evs = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"),
+        timestamp_seconds(expr("ts div 1000000000")).as("timestamp"),
+        col("user_id"))
+      .as[(Long, Timestamp, String)].collect()
+      .map { case (i, t, u) => Ev(i, t, u) }
+    val input = MemoryStream[Ev]
+    val q = StreamingPipeline.sessionStream(input.toDF(), gapMinutes = 30)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sess_parity_out").start()
+    try {
+      input.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("sess_parity_out")
+        .select(col("user_id"), col("session_start").cast("long"),
+          col("session_event_count"), col("session_duration_seconds"))
+        .as[(String, Long, Long, Double)].collect().sorted
+      assert(streamed.length === batch.length,
+        s"session count: streaming ${streamed.length} vs batch ${batch.length}")
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("file-source stream of the reference fixture matches batch cleaning row-for-row") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq("event_id", "timestamp", "user_id", "event_type",
