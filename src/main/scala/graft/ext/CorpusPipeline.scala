@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed LLM-corpus preparation flow — the realistic use of the
+  * dedup + similarity operators in sequence, the way a training-data
+  * pipeline chains them at scale:
+  *
+  *  1. EXACT dedup on the canonicalized content fingerprint
+  *     (md5(lower(trim(text))) — 16-byte shuffle key regardless of
+  *     document size), keeping the lowest id per fingerprint;
+  *  2. NEAR-dup dedup over the exact survivors with MinHash+LSH keep/drop
+  *     assignment (O(n·bands), no pairwise stage);
+  *  3. ANN similarity search over the surviving corpus' embeddings
+  *     (multi-probe hyperplane LSH).
+  *
+  * Each stage consumes the previous stage's survivors, so downstream cost
+  * shrinks with every pass — the cheap exact pass runs first, the
+  * per-token MinHash only hashes surviving documents, and the ANN index
+  * is built over the deduplicated corpus only.
+  */
+object CorpusPipeline {
+
+  /** Survivor set after exact-fingerprint then MinHash-LSH dedup: the rows
+    * of `docs` whose id is (a) the lowest id of its exact-content group and
+    * (b) its own MinHash cluster representative among exact survivors.
+    *
+    * Default banding is 4 bands × 8 rows — a HIGH-PRECISION near-dup
+    * threshold (collision probability stays negligible below Jaccard ≈0.8)
+    * suited to corpus preparation, where over-merging loses real data;
+    * [[Dedup.minhashDedup]]'s own 8×4 default is the aggressive recall-
+    * oriented setting and collapses this testdata to a handful of cluster
+    * representatives.
+    */
+  def dedupCorpus(
+      docs: DataFrame, id: String, text: String,
+      bands: Int = 4, rowsPerBand: Int = 8): DataFrame = {
+    val exactKeep = Dedup
+      .exactGroups(docs, id, TextAnalysis.fingerprint(col(text)))
+      .select(col("keep_id").as(id))
+    val exactSurvivors = docs.join(exactKeep, Seq(id), "left_semi")
+    val nearKeep = Dedup.minhashDedup(exactSurvivors, id, text, bands, rowsPerBand)
+      .filter(!col("is_dup"))
+      .select(col(id))
+    exactSurvivors.join(nearKeep, Seq(id), "left_semi")
+  }
+
+  /** End-to-end demo: dedup `docs`, restrict `embeddings` to the surviving
+    * ids, then run multi-probe LSH top-k with the `nProbes` lowest
+    * surviving ids as probes. Returns (q_id, candidate id, cosine).
+    */
+  def run(
+      docs: DataFrame, docId: String, text: String,
+      embeddings: DataFrame, vecId: String, vec: String,
+      k: Int = 10, nProbes: Int = 3,
+      bits: Int = 4, tables: Int = 2): DataFrame = {
+    val survivors = dedupCorpus(docs, docId, text).select(col(docId).as(vecId))
+    val corpus = embeddings.join(survivors, Seq(vecId), "left_semi")
+    val probes = corpus.orderBy(col(vecId)).limit(nProbes)
+      .select(col(vecId).as("q_id"), col(vec).as("q_emb"))
+    Similarity.lshTopKMulti(corpus, vecId, vec, probes, "q_id", "q_emb",
+      k, bits, tables, probeHamming = 1)
+  }
+}

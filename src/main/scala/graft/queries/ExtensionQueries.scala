@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity, Sketches, TextAnalysis}
+import graft.ext.{CorpusPipeline, Dedup, Similarity, Sketches, TextAnalysis}
 import QueryDef.table
 
 /** North-star extension queries: dedup, similarity search, text analysis,
@@ -169,6 +169,22 @@ object ExtensionQueries {
     },
     None)
 
+  /** The composed corpus-preparation pipeline: exact fingerprint dedup →
+    * MinHash-LSH near-dup dedup → multi-probe LSH ANN over the surviving
+    * embeddings. Not SQL-expressible (keyed xxhash64 signature families);
+    * stage invariants — survivors have unique fingerprints, re-running the
+    * near-dup pass on survivors finds nothing, ANN output stays inside the
+    * survivor set — are asserted in ExtSpec. Rows-only driver check.
+    */
+  val qCorpusPipeline = QueryDef(
+    "q_corpus_pipeline",
+    (s, d) => CorpusPipeline.run(
+        docs(s, d), "doc_id", "text",
+        embs(s, d), "vec_id", "embedding")
+      .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
+      .orderBy("q_id", "vec_id"),
+    None)
+
   // --- text analysis --------------------------------------------------------
 
   val qTextTokens = QueryDef(
@@ -271,5 +287,5 @@ object ExtensionQueries {
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupExactHash, qNgramJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qEmbedCosineTopk, qAnnLsh, qAnnIvf, qTextTokens, qTextQuality, qLangId,
-    qDocFingerprint, qMultimodalMeta, qHeavyHitters)
+    qDocFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusPipeline)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{CorpusPipeline, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Unit + invariant tests for the training-data extension operators. */
 class ExtSpec extends SparkSpec {
@@ -211,6 +211,38 @@ class ExtSpec extends SparkSpec {
     assert(hh.contains("hot1") && hh.contains("hot2"))
     val (c1, e1) = hh("hot1")
     assert(c1 >= 200L && c1 - e1 <= 200L) // overestimate bounded by error
+  }
+
+  test("corpus pipeline: each dedup stage's invariant holds on real testdata") {
+    val d = "/root/testdata/sf0.001"
+    val corpus = spark.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
+    val survivors = CorpusPipeline.dedupCorpus(corpus, "doc_id", "text")
+
+    // stage 1: survivors carry pairwise-distinct content fingerprints
+    val n = survivors.count()
+    val distinctFp = survivors
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .distinct().count()
+    assert(n === distinctFp, s"$n survivors but $distinctFp distinct fingerprints")
+    assert(n > 0 && n < corpus.count())
+
+    // stage 2: the near-dup pass is a fixed point — re-running it (same
+    // banding as dedupCorpus) over the survivor set finds nothing to drop
+    val redo = Dedup.minhashDedup(survivors, "doc_id", "text",
+        bands = 4, rowsPerBand = 8)
+      .filter(col("is_dup")).count()
+    assert(redo === 0L, s"$redo near-dups survived dedupCorpus")
+
+    // stage 3: ANN answers stay inside the survivor set and respect k
+    val embs = spark.read.parquet(s"$d/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val ann = CorpusPipeline.run(corpus, "doc_id", "text",
+      embs, "vec_id", "embedding", k = 10, nProbes = 3)
+    val out = ann.select("q_id", "vec_id").as[(Long, Long)].collect()
+    val survivorIds = survivors.select("doc_id").as[Long].collect().toSet
+    assert(out.nonEmpty)
+    assert(out.forall { case (q, v) => survivorIds(q) && survivorIds(v) && q != v })
+    assert(out.groupBy(_._1).forall(_._2.length <= 10))
   }
 
   test("multimodal: stubbed feature extraction preserves ids and byte counts") {
