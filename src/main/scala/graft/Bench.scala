@@ -88,9 +88,28 @@ object Bench {
     val failed = (results ++ solo).collect { case (k, _, false) => "\"" + k + "\"" }
       .distinct.mkString("[", ",", "]")
     val sum = results.collect { case (_, v, true) => v }.sum
+
+    // IVF inverted-list skew (max/mean list size) per quantizer at
+    // q_ann_ivf's nCentroids — quantizer changes get judged on measured
+    // balance, not plan-reading. Hard assignment on purpose: spill
+    // replication would mask the underlying centroid geometry.
+    val ivfSkew = try {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val entries = Seq("kmeans", "lowid").map { q =>
+        val cents = graft.ext.Similarity.centroidsFor(e, "vec_id", "embedding", 32, q)
+        val sizes = graft.ext.Similarity.assignToCentroids(e, "embedding", cents)
+          .groupBy("_c_id").count()
+          .select("count").collect().map(_.getLong(0))
+        val skew = sizes.max.toDouble / (sizes.sum.toDouble / sizes.length)
+        "\"" + q + "\":" + skew
+      }
+      entries.mkString("{", ",", "}")
+    } catch { case _: Throwable => "{}" }
+
     // "value" = parallel-suite wall clock; "solo_wall_sec" = the serial
     // cold-ish headline phase that ran FIRST — keep the two separate.
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","sum_query_sec":$sum,"solo_wall_sec":$soloWall,"parallelism":$par,"failed":$failed,"queries":$qs,"solo":$soloJs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","sum_query_sec":$sum,"solo_wall_sec":$soloWall,"parallelism":$par,"failed":$failed,"queries":$qs,"solo":$soloJs,"ivf_list_skew":$ivfSkew,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,10 +30,13 @@ object Skew {
       saltBuckets: Int = 16): DataFrame = {
     // salt derived from stable row content, NOT monotonically_increasing_id:
     // a stage retry recomputes the same salt for the same row, so partial
-    // groups are deterministic under task retry. Collisions within a salt
-    // bucket are fine — the bucket only spreads work.
+    // groups are deterministic under task retry. Hash EVERY column — a
+    // two-column hash degenerates to one bucket when the hot key carries a
+    // low-cardinality countCol. Only fully-identical rows still share a
+    // bucket (the floor for any content-derived salt); a corpus that is
+    // mostly copies of ONE row needs an exact-dedup pass before analytics.
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(col(countCol), col(key)), lit(saltBuckets)))
+      pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(saltBuckets)))
     val partial = salted.groupBy(col(key), col("_salt"))
       .agg(count(col(countCol)).as("_partial"))
     val totals = partial.groupBy(key).agg(sum("_partial").as(out))
