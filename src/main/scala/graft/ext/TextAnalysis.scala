@@ -11,13 +11,31 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenization — the "BPE-ish" splitter is a regex on
-    * whitespace runs; swap the pattern for a subword regex when a real
-    * tokenizer vocabulary is available.
+  /** Whitespace tokenization — the coarse splitter used by the quality
+    * metrics below.
     */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-style PRE-tokenization (the split GPT-class tokenizers apply
+    * before merges): runs of letters, runs of digits, and runs of other
+    * non-space characters are separate tokens, each optionally absorbing
+    * one leading space. Deliberately restricted to constructs RE2 and the
+    * JVM regex engine interpret identically (no lookaround, no \\p classes)
+    * so the count is oracle-checkable cross-engine; a production tokenizer
+    * would plug its vocabulary's merge table in downstream of this split.
+    */
+  val subwordPattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  def subwordTokens(text: Column): Column =
+    regexp_extract_all(text, lit(subwordPattern), lit(0))
+
+  /** Pre-merge token count — the standard proxy for "how many BPE tokens
+    * will this cost" when the merge vocabulary isn't on the cluster.
+    */
+  def subwordTokenCount(text: Column): Column =
+    size(subwordTokens(text)).cast("long")
 
   /** Characters per token — a cheap fluency signal. Raw quotient, no
     * round(): the operands are integers on every engine, so the IEEE

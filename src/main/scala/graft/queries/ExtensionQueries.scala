@@ -197,6 +197,24 @@ object ExtensionQueries {
               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
             FROM documents ORDER BY doc_id"""))
 
+  /** BPE-style pre-tokenization count next to the whitespace count — the
+    * "how many tokens will this document cost" signal. The restricted
+    * pattern parses identically under RE2 (DuckDB) and the JVM regex
+    * engine, so the counts hash-match.
+    */
+  val qTextSubword = QueryDef(
+    "q_text_subword",
+    (s, d) => docs(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.subwordTokenCount(col("text")).as("n_subwords"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS n_subwords,
+              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+            FROM documents ORDER BY doc_id"""))
+
   val qTextQuality = QueryDef(
     "q_text_quality",
     (s, d) => docs(s, d)
@@ -286,6 +304,6 @@ object ExtensionQueries {
 
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupExactHash, qNgramJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
-    qEmbedCosineTopk, qAnnLsh, qAnnIvf, qTextTokens, qTextQuality, qLangId,
+    qEmbedCosineTopk, qAnnLsh, qAnnIvf, qTextTokens, qTextSubword, qTextQuality, qLangId,
     qDocFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusPipeline)
 }

@@ -178,6 +178,17 @@ class ExtSpec extends SparkSpec {
     assert(fp === expected)
   }
 
+  test("subword pre-tokenization splits letter/digit/punct runs with leading space") {
+    val df = Seq((1L, "don't stop, it's 2x faster!")).toDF("doc_id", "text")
+    val toks = df.select(TextAnalysis.subwordTokens(col("text")))
+      .as[Seq[String]].collect()(0)
+    assert(toks === Seq("don", "'", "t", " stop", ",", " it", "'", "s",
+      " 2", "x", " faster", "!"))
+    val counts = df.select(TextAnalysis.subwordTokenCount(col("text")),
+      TextAnalysis.tokenCount(col("text"))).as[(Long, Long)].collect()(0)
+    assert(counts === ((12L, 5L)))
+  }
+
   test("punctuation ratio counts punctuation characters over total length") {
     val df = Seq((1L, "a,b.c!"), (2L, "abcdef")).toDF("doc_id", "text")
     val out = df.select(col("doc_id"), TextAnalysis.punctRatio(col("text")))

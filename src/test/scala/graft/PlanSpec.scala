@@ -66,6 +66,23 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 user_id exchange, found $exchanges:\n${p.take(3000)}")
   }
 
+  test("pipeline dedup is ONE event_id-keyed window, not a wide-key pass") {
+    // Keep-last dedup must compile to a single row_number window keyed on
+    // event_id. A second window partitioned by every data column (the
+    // reference's literal two-pass structure) would shuffle+sort ~600k-row
+    // batches on the widest possible key — the dominant e2e cost at scale.
+    // tree-form plan prints each Window node once; "row_number" alone
+    // would also count the WindowGroupLimit partial/final pair Spark
+    // pushes below the exchange (top-1-per-key before the shuffle — keep)
+    val p = SparkEntry.queries("q_e2e_throughput")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val dedupWindows = "Window \\[row_number".r.findAllIn(p).length
+    assert(dedupWindows == 1,
+      s"expected 1 dedup window, found $dedupWindows:\n${p.take(3000)}")
+    assert(p.contains("WindowGroupLimit"),
+      "rank-limit pushdown missing: dedup shuffles full duplicate groups")
+  }
+
   test("per-user analytics in the full pipeline share the user partitioning") {
     val df = SparkEntry.queries("q_sessionize")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
