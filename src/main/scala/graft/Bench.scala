@@ -92,8 +92,10 @@ object Bench {
     // IVF inverted-list skew (max/mean list size) per quantizer at
     // q_ann_ivf's nCentroids — quantizer changes get judged on measured
     // balance, not plan-reading. Hard assignment on purpose: spill
-    // replication would mask the underlying centroid geometry.
-    val ivfSkew = try {
+    // replication would mask the underlying centroid geometry. Skipped
+    // under SPARK_GRAFT_BENCH_ONLY — a filtered profiling run must not pay
+    // two full-corpus assignment passes of fixed overhead.
+    val ivfSkew = if (only.nonEmpty) "{}" else try {
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select("vec_id", "embedding")
       val entries = Seq("kmeans", "lowid").map { q =>

@@ -39,11 +39,21 @@ object CorpusPipeline {
     val exactKeep = Dedup
       .exactGroups(docs, id, TextAnalysis.fingerprint(col(text)))
       .select(col("keep_id").as(id))
+    // localCheckpoint: the survivor set feeds the MinHash pass AND the
+    // final semi-join — without it the fingerprint aggregate runs twice.
+    // At a real 100 TB deployment this inter-stage materialization goes to
+    // durable storage instead of executor-local blocks.
     val exactSurvivors = docs.join(exactKeep, Seq(id), "left_semi")
-    val nearKeep = Dedup.minhashDedup(exactSurvivors, id, text, bands, rowsPerBand)
-      .filter(!col("is_dup"))
-      .select(col(id))
-    exactSurvivors.join(nearKeep, Seq(id), "left_semi")
+      .localCheckpoint(true)
+    val mh = Dedup.minhashDedup(exactSurvivors, id, text, bands, rowsPerBand)
+    val nearKeep = mh.filter(!col("is_dup")).select(col(id))
+    // Tokenless documents (NULL text — zero exploded token rows) never
+    // reach minhashDedup's output; they are NOT duplicates and must pass
+    // through, not silently vanish. Stage 1 already collapsed them to one
+    // survivor per fingerprint.
+    val tokenless = exactSurvivors.select(col(id))
+      .join(mh.select(col(id)), Seq(id), "left_anti")
+    exactSurvivors.join(nearKeep.unionByName(tokenless), Seq(id), "left_semi")
   }
 
   /** End-to-end demo: dedup `docs`, restrict `embeddings` to the surviving
@@ -56,7 +66,12 @@ object CorpusPipeline {
       k: Int = 10, nProbes: Int = 3,
       bits: Int = 4, tables: Int = 2): DataFrame = {
     val survivors = dedupCorpus(docs, docId, text).select(col(docId).as(vecId))
+    // checkpoint the surviving corpus: lshTopKMulti scans it once per
+    // signature table plus once for candidate verification, and the probe
+    // selection reads it too — without truncation each consumer would
+    // replay the whole dedup lineage
     val corpus = embeddings.join(survivors, Seq(vecId), "left_semi")
+      .localCheckpoint(true)
     val probes = corpus.orderBy(col(vecId)).limit(nProbes)
       .select(col(vecId).as("q_id"), col(vec).as("q_emb"))
     Similarity.lshTopKMulti(corpus, vecId, vec, probes, "q_id", "q_emb",

@@ -256,6 +256,20 @@ class ExtSpec extends SparkSpec {
     assert(out.groupBy(_._1).forall(_._2.length <= 10))
   }
 
+  test("corpus pipeline: tokenless (NULL-text) docs pass through, not silently dropped") {
+    val corpus = Seq(
+      (0L, Some("the quick brown fox jumps over the lazy dog")),
+      (1L, Some("the quick brown fox jumps over the lazy dog")), // exact dup
+      (2L, None),                                                // NULL text
+      (3L, None))                                                // NULL dup of 2
+      .toDF("doc_id", "text")
+    val ids = CorpusPipeline.dedupCorpus(corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    // 1 collapses into 0 (exact); NULLs collapse to one survivor (2) which
+    // has zero token rows and must still survive the MinHash stage
+    assert(ids === Set(0L, 2L))
+  }
+
   test("multimodal: stubbed feature extraction preserves ids and byte counts") {
     val media = Seq(
       (1L, "image", Array[Byte](1, 2, 3, 4, 5)),

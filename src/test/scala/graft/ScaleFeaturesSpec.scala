@@ -220,18 +220,15 @@ class ScaleFeaturesSpec extends SparkSpec {
     val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
         probes, "q_id", "q_emb", 10)
       .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
-    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding",
-        probes, "q_id", "q_emb", 10)
-      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
-    val recall = (ivf & exact).size.toDouble / exact.size
-    // uniform-random embeddings are the worst case for a geometric
-    // partition; the closure spill holds recall up even here
-    assert(recall >= 0.6, s"IVF default-config recall too low: $recall")
-    // spill never duplicates a (probe, candidate) pair in the output
     val raw = Similarity.ivfTopK(e, "vec_id", "embedding",
         probes, "q_id", "q_emb", 10)
       .select("q_id", "vec_id").as[(Long, Long)].collect()
+    // spill never duplicates a (probe, candidate) pair in the output
     assert(raw.length === raw.toSet.size, "duplicate pairs in IVF top-k")
+    val recall = (raw.toSet & exact).size.toDouble / exact.size
+    // uniform-random embeddings are the worst case for a geometric
+    // partition; the closure spill holds recall up even here
+    assert(recall >= 0.6, s"IVF default-config recall too low: $recall")
   }
 
   test("k-means quantizer is deterministic and centroids are unit-norm") {
