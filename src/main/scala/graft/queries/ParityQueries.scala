@@ -627,6 +627,23 @@ object ParityQueries {
         countDistinct(col("user_id")).as("exact_users")),
     None)
 
+  /** The at-scale variant of q_percentiles: `percentile_approx` (a
+    * Greenwald-Khanna-style mergeable quantile sketch — fixed memory per
+    * group regardless of group size, partial+final merge like any
+    * algebraic aggregate, vs exact percentile's full sort per group).
+    * Sketch results are engine-specific, so rows-only driver check; both
+    * values emitted so QueriesSpec asserts the approximation against the
+    * exact quantile's group-wise error bound.
+    */
+  val qApproxPercentiles = QueryDef(
+    "q_approx_percentiles",
+    (s, d) => events(s, d)
+      .groupBy("event_type")
+      .agg(expr("percentile_approx(value, 0.5, 1000)").as("approx_med"),
+        expr("percentile(value, 0.5)").as("exact_med"))
+      .orderBy("event_type"),
+    None)
+
   // --- W-family: windows & sessionization ----------------------------------
 
   val qSort = QueryDef(
@@ -785,6 +802,7 @@ object ParityQueries {
     qDateFloor, qTimeDelta,
     qMinmaxTs, qCountOver, qDailyAvg, qGlobalAgg, qCountDistinct, qNullCounts,
     qTopkValues, qDomainCheck, qJoinLeft, qJoinComposite, qJoinInner,
-    qJoinSemi, qJoinAnti, qSetOps, qRollup, qPercentiles, qApproxDistinct, qSort,
+    qJoinSemi, qJoinAnti, qSetOps, qRollup, qPercentiles, qApproxDistinct,
+    qApproxPercentiles, qSort,
     qLag, qRollingCount, qSessionId, qSessionAgg, qSessionize)
 }

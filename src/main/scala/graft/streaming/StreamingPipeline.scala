@@ -19,6 +19,22 @@ import graft.schema.EventSchema
   */
 object StreamingPipeline {
 
+  /** Production state-store configuration: RocksDB provider with changelog
+    * checkpointing. The default in-memory HDFS-backed provider keeps every
+    * key in executor heap — fine for tests, fatal at 100 TB event streams
+    * where session/dedup state exceeds memory. RocksDB spills to local SSD,
+    * bounds heap via block-cache settings, and changelog checkpointing
+    * ships per-batch deltas instead of full snapshots. Apply BEFORE
+    * starting queries; provider changes don't take effect on a running
+    * checkpoint.
+    */
+  def applyRocksDbStateStore(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+  }
+
   /** Streaming twin of D2 (key dedup): at-most-once per event_id within the
     * watermark horizon. Batch keep-LAST cannot be expressed incrementally
     * (the "last" row may always still arrive), so streaming keeps the

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 /** Smoke + semantic checks for queries whose oracle is rows-only. */
 class QueriesSpec extends SparkSpec {
+  import spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
 
@@ -26,6 +27,18 @@ class QueriesSpec extends SparkSpec {
     val exact = r.getAs[Long]("exact_users")
     assert(math.abs(approx - exact).toDouble / exact <= 0.1,
       s"approx $approx vs exact $exact")
+  }
+
+  test("approx percentile tracks the exact median per group") {
+    val rows = SparkEntry.queries("q_approx_percentiles")(spark, dir)
+      .select("approx_med", "exact_med").as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    for ((approx, exact) <- rows) {
+      // GK sketch with accuracy 1000 on ~2k-row groups: rank error <= ~0.1%;
+      // assert a loose value-space bound so data drift doesn't flake
+      assert(math.abs(approx - exact) <= math.max(1.0, math.abs(exact)) * 0.05,
+        s"approx median $approx vs exact $exact")
+    }
   }
 
   test("e2e throughput emits exactly one row per surviving event_id") {

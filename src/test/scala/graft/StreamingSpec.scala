@@ -177,6 +177,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("RocksDB state store provider runs the stateful twins end-to-end") {
+    implicit val sqlCtx = spark.sqlContext
+    StreamingPipeline.applyRocksDbStateStore(spark)
+    try {
+      val input = MemoryStream[Ev]
+      val q = StreamingPipeline.sessionIdsStream(spark, input.toDF(), gapMinutes = 30)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("rocksdb_out").start()
+      try {
+        input.addData(
+          Ev(1, ts("2025-01-01 10:00:00"), "u"),
+          Ev(2, ts("2025-01-01 11:00:00"), "u")) // 60-min gap -> session 2
+        q.processAllAvailable()
+        // a stateful operator actually ran under the RocksDB provider
+        assert(q.lastProgress.stateOperators.nonEmpty)
+        val out = spark.table("rocksdb_out")
+          .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+        assert(out === Map(1L -> 1L, 2L -> 2L))
+      } finally q.stop()
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+  }
+
   test("stateless normalization behaves identically on a stream") {
     implicit val sqlCtx = spark.sqlContext
     case class Raw(event_id: Long, status: String)
