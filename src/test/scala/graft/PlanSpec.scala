@@ -83,6 +83,66 @@ class PlanSpec extends SparkSpec {
       "rank-limit pushdown missing: dedup shuffles full duplicate groups")
   }
 
+  test("dynamic partition pruning: a selective dim filter prunes fact partitions at runtime") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString + "/fact"
+    val fact = (1 to 3000).map(i => (i.toLong, s"2025-01-${i % 30 + 1}", i * 1.0))
+      .toDF("event_id", "day", "value")
+    graft.sources.Sources.writePartitioned(fact, dir, "day")
+    // the dim must be a real source scan: a literal LocalRelation folds
+    // the filter away and leaves no selective predicate for DPP to use
+    val dimDir = dir.stripSuffix("/fact") + "/dim"
+    (1 to 30).map(i => (s"2025-01-$i", if (i == 5) "keep" else "drop"))
+      .toDF("day", "tag").write.parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = spark.read.parquet(dir)
+      .join(dim.filter(col("tag") === "keep"), "day")
+    // a direct action finalizes THIS df's adaptive plan (a .count() or
+    // .write builds its own QueryExecution and would leave this one cold)
+    assert(joined.collect().length === 100)
+    val p = joined.queryExecution.executedPlan.toString
+    // the fact scan's partition filter must reference a runtime subquery
+    // fed by the dim side — at 100 TB this is the difference between
+    // reading one day and reading the decade
+    assert(p.contains("dynamicpruning"), s"no DPP filter in plan:\n${p.take(3000)}")
+  }
+
+  test("AQE splits a skewed shuffle join at runtime") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one mega-key (90% of rows) + a long tail, broadcast disabled so the
+    // join must shuffle, AQE thresholds lowered to fire at test scale
+    val conf = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1")
+    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = (1 to 60000)
+        .map(i => (if (i % 10 != 0) "hot" else s"u$i", s"payload-$i-${"x" * 40}"))
+        .toDF("user_id", "payload")
+      // exactly ONE hot build row: the probe side is skewed but the join
+      // output stays linear (hot x hot would explode multiplicatively)
+      val right = (1 to 2000).map(i => (if (i == 1) "hot" else s"u$i", i))
+        .toDF("user_id", "score")
+      val joined = left.join(right, "user_id")
+      // collect() is the one action bound to THIS df's QueryExecution
+      // (foreach/count/write each build their own); output is ~60k small
+      // rows since only one build row is hot
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"))
+      assert(p.contains("skew=true"),
+        s"AQE did not split the skewed join:\n${p.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("per-user analytics in the full pipeline share the user partitioning") {
     val df = SparkEntry.queries("q_sessionize")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
