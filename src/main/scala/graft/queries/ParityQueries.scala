@@ -631,16 +631,20 @@ object ParityQueries {
     * Greenwald-Khanna-style mergeable quantile sketch — fixed memory per
     * group regardless of group size, partial+final merge like any
     * algebraic aggregate, vs exact percentile's full sort per group).
-    * Sketch results are engine-specific, so rows-only driver check; both
-    * values emitted so QueriesSpec asserts the approximation against the
-    * exact quantile's group-wise error bound.
+    * Sketch-ONLY on purpose: bundling the exact percentile here would make
+    * the benched cost the full per-group sort the sketch exists to avoid.
+    * Accuracy 100 (≈1% rank error) stays below the ~2k-row test groups so
+    * the approximation path is genuinely exercised (at accuracy ≥ group
+    * size the sketch degenerates to exact and the error test is vacuous).
+    * Sketch results are engine-specific, so rows-only driver check;
+    * QueriesSpec bounds the error against an independently computed exact
+    * median.
     */
   val qApproxPercentiles = QueryDef(
     "q_approx_percentiles",
     (s, d) => events(s, d)
       .groupBy("event_type")
-      .agg(expr("percentile_approx(value, 0.5, 1000)").as("approx_med"),
-        expr("percentile(value, 0.5)").as("exact_med"))
+      .agg(expr("percentile_approx(value, 0.5, 100)").as("approx_med"))
       .orderBy("event_type"),
     None)
 

@@ -30,14 +30,18 @@ class QueriesSpec extends SparkSpec {
   }
 
   test("approx percentile tracks the exact median per group") {
-    val rows = SparkEntry.queries("q_approx_percentiles")(spark, dir)
-      .select("approx_med", "exact_med").as[(Double, Double)].collect()
-    assert(rows.nonEmpty)
-    for ((approx, exact) <- rows) {
-      // GK sketch with accuracy 1000 on ~2k-row groups: rank error <= ~0.1%;
-      // assert a loose value-space bound so data drift doesn't flake
-      assert(math.abs(approx - exact) <= math.max(1.0, math.abs(exact)) * 0.05,
-        s"approx median $approx vs exact $exact")
+    val approx = SparkEntry.queries("q_approx_percentiles")(spark, dir)
+      .select("event_type", "approx_med").as[(String, Double)].collect().toMap
+    // exact medians computed HERE, independent of the benched sketch query
+    val exactRows = SparkEntry.queries("q_percentiles")(spark, dir)
+      .select("event_type", "med").as[(String, Double)].collect().toMap
+    assert(approx.nonEmpty && approx.keySet === exactRows.keySet)
+    for ((etype, a) <- approx) {
+      val exact = exactRows(etype)
+      // accuracy=100 -> ~1% rank error; near-uniform values make rank and
+      // value error comparable, so a 5% value bound holds with margin
+      assert(math.abs(a - exact) <= math.max(1.0, math.abs(exact)) * 0.05,
+        s"$etype: approx median $a vs exact $exact")
     }
   }
 
