@@ -254,13 +254,28 @@ object Dedup {
 
   /** Embedding-cosine near-duplicates: LSH-bucketed candidate pairs
     * verified by exact cosine >= threshold.
+    *
+    * `probeHamming = 1` also pairs vectors whose signatures differ in
+    * exactly one bit (multi-probe: one side's bucket key explodes to its
+    * 1-bit flips) — recall rises without another signature pass, and
+    * precision is untouched because every candidate is still verified by
+    * exact cosine. No pair can surface twice: for a fixed pair the exact
+    * match and each single-bit flip are mutually exclusive signature
+    * relations, so no distinct() is needed.
     */
   def embeddingNearDupPairs(
       df: DataFrame, id: String, vec: String,
-      threshold: Double, bits: Int = 10): DataFrame = {
+      threshold: Double, bits: Int = 10, probeHamming: Int = 0): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 1,
+      s"probeHamming must be 0 or 1, got $probeHamming")
     val sigs = df.join(Similarity.hyperplaneSignatures(df, id, vec, bits), id)
     val a = sigs.select(col(id).as("id1"), col(vec).as("v1"), col("_sig"))
-    val b = sigs.select(col(id).as("id2"), col(vec).as("v2"), col("_sig"))
+    val b0 = sigs.select(col(id).as("id2"), col(vec).as("v2"), col("_sig"))
+    val b =
+      if (probeHamming == 0) b0
+      else b0.select(col("id2"), col("v2"), explode(array(
+        col("_sig") +: (0 until bits).map(i =>
+          col("_sig").bitwiseXOR(lit(1L << i))): _*)).as("_sig"))
     a.join(b, Seq("_sig"))
       .filter(col("id1") < col("id2"))
       // filter on the EXACT cosine; rounding first would admit pairs up to

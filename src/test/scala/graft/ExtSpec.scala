@@ -224,6 +224,21 @@ class ExtSpec extends SparkSpec {
     assert(c1 >= 200L && c1 - e1 <= 200L) // overestimate bounded by error
   }
 
+  test("multi-probe embedding near-dup: superset of single-probe pairs, no duplicates") {
+    val d = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$d/embeddings.parquet").select("vec_id", "embedding")
+    def pairsOf(hamming: Int) = Dedup.embeddingNearDupPairs(
+        e, "vec_id", "embedding", threshold = 0.35, bits = 8,
+        probeHamming = hamming)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    val single = pairsOf(0)
+    val multi = pairsOf(1)
+    assert(multi.length === multi.toSet.size, "duplicate pairs under multi-probe")
+    assert(single.toSet.subsetOf(multi.toSet),
+      "multi-probe lost pairs single-probe found")
+    assert(multi.length >= single.length)
+  }
+
   test("corpus pipeline: each dedup stage's invariant holds on real testdata") {
     val d = "/root/testdata/sf0.001"
     val corpus = spark.read.parquet(s"$d/documents.parquet").select("doc_id", "text")
