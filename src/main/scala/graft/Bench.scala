@@ -34,8 +34,11 @@ object Bench {
     // are also reported.
     val par = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAR", "4").toInt
     // Optional comma-separated filter for quick profiling runs.
+    // empty/whitespace-only ONLY (an unset shell var interpolated by a
+    // wrapper) means "no filter", not "run nothing silently"
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
 
@@ -98,12 +101,17 @@ object Bench {
     val ivfSkew = if (only.nonEmpty) "{}" else try {
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select("vec_id", "embedding")
+      val nCentroids = 32
       val entries = Seq("kmeans", "lowid").map { q =>
-        val cents = graft.ext.Similarity.centroidsFor(e, "vec_id", "embedding", 32, q)
+        val cents = graft.ext.Similarity.centroidsFor(e, "vec_id", "embedding",
+          nCentroids, q)
         val sizes = graft.ext.Similarity.assignToCentroids(e, "embedding", cents)
           .groupBy("_c_id").count()
           .select("count").collect().map(_.getLong(0))
-        val skew = sizes.max.toDouble / (sizes.sum.toDouble / sizes.length)
+        // mean over ALL centroids: groupBy omits empty lists, and dividing
+        // by the non-empty count would flatter exactly the quantizers that
+        // empty lists out
+        val skew = sizes.max.toDouble / (sizes.sum.toDouble / nCentroids)
         "\"" + q + "\":" + skew
       }
       entries.mkString("{", ",", "}")

@@ -67,13 +67,16 @@ object Features {
     if (!ok) df
     else {
       // count(timestamp), not count(*): pandas' groupby drops NaT days, so
-      // the reference mean is over non-null-timestamp rows/days only; an
-      // all-NULL user gets 0/0 = NaN, matching the reference's NaN.
+      // the reference mean is over non-null-timestamp rows/days only. An
+      // all-NULL user (reachable with dropInvalid=false) has 0 days — the
+      // explicit NaN branch matches the reference's 0/0 = NaN AND keeps
+      // ANSI mode (Spark 4 default) from throwing DIVIDE_BY_ZERO.
       val w = Window.partitionBy("user_id")
+      val cnt = count(col("timestamp")).over(w).cast(DoubleType)
+      val days = size(collect_set(date_trunc("DAY", col("timestamp"))).over(w))
       df.withColumn("user_daily_avg_events",
-        (count(col("timestamp")).over(w).cast(DoubleType) /
-          size(collect_set(date_trunc("DAY", col("timestamp"))).over(w)))
-          .cast(DoubleType))
+        when(days === 0, lit(Double.NaN))
+          .otherwise(cnt / days.cast(DoubleType)))
     }
   }
 

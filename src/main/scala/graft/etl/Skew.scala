@@ -28,6 +28,12 @@ object Skew {
       countCol: String,
       out: String,
       saltBuckets: Int = 16): DataFrame = {
+    // reserved working names + the output column must not collide with
+    // caller data (same contract as TemporalJoins.asofJoin) — withColumn
+    // would silently clobber it
+    for (c <- Seq("_salt", "_sk_key", out))
+      require(!df.columns.contains(c),
+        s"countOverSalted reserves column name '$c'; input already has it")
     // salt derived from stable row content, NOT monotonically_increasing_id:
     // a stage retry recomputes the same salt for the same row, so partial
     // groups are deterministic under task retry. Hash EVERY column — a

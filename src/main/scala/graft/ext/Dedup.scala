@@ -204,8 +204,12 @@ object Dedup {
   /** Scale-path SimHash: distinct tokens explode once, each bit position
     * is a codegen'd conditional-sum aggregate (64 sums in one hash
     * aggregation), and the fingerprint is reassembled from the bit votes.
-    * Same result as [[simhash64]], ~10x faster on wide corpora because
-    * nothing runs interpreted.
+    * Same result as [[simhash64]] for documents with at least one token,
+    * ~10x faster on wide corpora because nothing runs interpreted.
+    * Documented divergence: NULL-text documents explode to zero token rows
+    * and are ABSENT from this table (and from [[simhashPairs]] buckets),
+    * whereas [[simhash64]] returns a NULL fingerprint row for them —
+    * either way they never participate in near-dup pairing.
     */
   def simhashTable(df: DataFrame, id: String, text: String): DataFrame = {
     val hashed = docTokens(df, id, text).withColumn("h", xxhash64(col("tok")))
@@ -273,9 +277,8 @@ object Dedup {
     val b0 = sigs.select(col(id).as("id2"), col(vec).as("v2"), col("_sig"))
     val b =
       if (probeHamming == 0) b0
-      else b0.select(col("id2"), col("v2"), explode(array(
-        col("_sig") +: (0 until bits).map(i =>
-          col("_sig").bitwiseXOR(lit(1L << i))): _*)).as("_sig"))
+      else b0.select(col("id2"), col("v2"),
+        Similarity.expandSig(col("_sig"), bits).as("_sig"))
     a.join(b, Seq("_sig"))
       .filter(col("id1") < col("id2"))
       // filter on the EXACT cosine; rounding first would admit pairs up to

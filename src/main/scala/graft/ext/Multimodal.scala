@@ -37,11 +37,14 @@ object Multimodal {
     * hash so downstream logic is exercised with stable values.
     */
   private def decodeStub(m: MediaIn): MediaFeatures = {
-    val h = java.util.Arrays.hashCode(m.payload).toLong & 0x7fffffffL
+    // NULL payload (nullable BINARY per the schema contract) decodes as an
+    // empty asset, not an executor-killing NPE mid-partition
+    val bytes = if (m.payload == null) Array.emptyByteArray else m.payload
+    val h = java.util.Arrays.hashCode(bytes).toLong & 0x7fffffffL
     MediaFeatures(
       media_id = m.media_id,
       kind = m.kind,
-      n_bytes = m.payload.length.toLong,
+      n_bytes = bytes.length.toLong,
       content_hash = h,
       width = (h % 1920).toInt + 1,
       height = (h % 1080).toInt + 1,
@@ -67,6 +70,7 @@ object Multimodal {
     * rows multiply, payload does not travel with them.
     */
   def sampleFrames(spark: SparkSession, df: DataFrame, everyN: Int): DataFrame = {
+    require(everyN > 0, s"everyN must be positive, got $everyN")
     val feats = extractFeatures(spark, df)
     feats.toDF()
       .withColumn("frame_idx",

@@ -90,6 +90,15 @@ object Similarity {
     agg.select(col(id), sig.as("_sig"))
   }
 
+  /** All multi-probe consumers share this expansion: the signature itself
+    * plus every 1-bit flip (the near-miss buckets of borderline hyperplane
+    * projections). One definition so the probing scheme cannot diverge
+    * between the ANN and near-dup paths.
+    */
+  private[graft] def expandSig(sig: Column, bits: Int): Column =
+    explode(array(sig +: (0 until bits).map(b =>
+      sig.bitwiseXOR(lit(1L << b))): _*))
+
   /** Lowest-id vectors as centroids — the naive deterministic quantizer,
     * kept for comparison tests. Arbitrary list balance: a popular region
     * of the space maps to one dense inverted list.
@@ -321,9 +330,7 @@ object Similarity {
       val probeSig = hyperplaneSignatures(probes, qId, qVec, bits, t)
       val probed =
         if (probeHamming == 0) probeSig
-        else probeSig.select(col(qId), explode(array(
-          col("_sig") +: (0 until bits).map(b =>
-            col("_sig").bitwiseXOR(lit(1L << b))): _*)).as("_sig"))
+        else probeSig.select(col(qId), expandSig(col("_sig"), bits).as("_sig"))
       hyperplaneSignatures(corpus, id, vec, bits, t)
         .join(broadcast(probed), Seq("_sig"))
         .select(col(qId), col(id))

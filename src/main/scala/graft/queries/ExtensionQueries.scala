@@ -270,13 +270,18 @@ object ExtensionQueries {
   val qHeavyHitters = QueryDef(
     "q_heavy_hitters",
     (s, d) => {
+      // NULLs filtered on BOTH sides: the sketch skips null inputs while
+      // SQL GROUP BY emits a NULL group — without the symmetric filter one
+      // NULL event_type would silently break the hash parity
       val hh = table(s, d, "events")
+        .filter(col("event_type").isNotNull)
         .agg(Sketches.spaceSaving(16)(col("event_type")).as("hh"))
       hh.select(explode(col("hh")).as("h"))
         .select(col("h.value").as("event_type"), col("h.count").as("n"))
         .orderBy("event_type")
     },
     Some("""SELECT event_type, count(*) AS n FROM events
+            WHERE event_type IS NOT NULL
             GROUP BY event_type ORDER BY event_type"""))
 
   // --- multimodal -----------------------------------------------------------

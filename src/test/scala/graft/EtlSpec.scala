@@ -137,6 +137,20 @@ class EtlSpec extends SparkSpec {
     assert(out("v") === 1.0)
   }
 
+  test("activity baseline: all-NULL-timestamp user gets NaN, not an ANSI divide error") {
+    // reachable with standardizeTimestamps(dropInvalid = false); without
+    // the explicit 0-days branch, ANSI mode throws DIVIDE_BY_ZERO here
+    val df = Seq(
+      (1L, Option.empty[java.sql.Timestamp], "ghost"),
+      (2L, Some(java.sql.Timestamp.valueOf("2025-01-01 10:00:00")), "u"))
+      .toDF("event_id", "timestamp", "user_id")
+    val out = Features.addUserActivityBaseline(df)
+      .select("user_id", "user_daily_avg_events").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(out("ghost").isNaN)
+    assert(out("u") === 1.0)
+  }
+
   test("session features refuse a non-timestamp column loudly") {
     val df = Seq((1L, "2025-01-01 00:00:00", "u"))
       .toDF("event_id", "timestamp", "user_id") // timestamp is a STRING

@@ -302,5 +302,16 @@ class ExtSpec extends SparkSpec {
     assert(frames.filter(col("media_id") === 2L).count() >= 1)
     assert(frames.columns.toSeq ===
       Seq("media_id", "kind", "frame_idx", "content_hash"))
+
+    // NULL payload (nullable BINARY) decodes as an empty asset, not an NPE
+    val withNull = Seq((3L, "image", Option.empty[Array[Byte]]))
+      .toDF("media_id", "kind", "payload")
+    val nf = Multimodal.extractFeatures(spark, withNull).collect()(0)
+    assert(nf.n_bytes === 0L && nf.media_id === 3L)
+
+    // zero step caught at the call site, not deep inside the plan
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(spark, media, everyN = 0)
+    }
   }
 }
