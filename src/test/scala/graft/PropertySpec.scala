@@ -5,6 +5,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
 import graft.etl.{Cleaning, Features, Normalization}
+import graft.ext.{Dedup, TextAnalysis}
 
 /** Property-based invariants (SURVEY.md §5.2.4). Collections are generated
   * by ScalaCheck (fixed seeds — the scalatestplus bridge is not in the
@@ -80,6 +81,47 @@ class PropertySpec extends SparkSpec {
       assert(bad.count() === 0)
       out.unpersist()
       ()
+    }
+  }
+
+  test("subword pre-tokenization is lossless on single-spaced text") {
+    // every non-space character lands in exactly one token and each token
+    // absorbs at most its one leading space, so for single-spaced input
+    // the concatenation reconstructs the original text exactly
+    val word = Gen.nonEmptyListOf(
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('!', '.', ',', '\'', '-', '#')))
+      .map(_.mkString)
+    forAll(Gen.nonEmptyListOf(word).map(_.take(12))) { words =>
+      val text = words.mkString(" ")
+      val toks = Seq(Tuple1(text)).toDF("text")
+        .select(TextAnalysis.subwordTokens(col("text")))
+        .as[Seq[String]].collect()(0)
+      assert(toks.mkString === text, s"lossy split of '$text': $toks")
+      // and the subword count refines the whitespace count
+      val (nSub, nWs) = Seq(Tuple1(text)).toDF("text")
+        .select(TextAnalysis.subwordTokenCount(col("text")),
+          TextAnalysis.tokenCount(col("text")))
+        .as[(Long, Long)].collect()(0)
+      assert(nSub >= nWs)
+    }
+  }
+
+  test("minhash signatures are invariant to partitioning and row order") {
+    // the signature is an aggregate over a doc's token SET — how the rows
+    // are partitioned or ordered on the cluster must not change it; a
+    // violation here means non-deterministic dedup at scale
+    val doc = Gen.nonEmptyListOf(
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
+      .map(_.take(8).mkString(" "))
+    forAll(Gen.listOfN(6, doc)) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val a = Dedup.minhashSignatures(
+          rows.toDF("doc_id", "text"), "doc_id", "text", k = 8)
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      val b = Dedup.minhashSignatures(
+          rows.reverse.toDF("doc_id", "text").repartition(7), "doc_id", "text", k = 8)
+        .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      assert(a === b)
     }
   }
 
