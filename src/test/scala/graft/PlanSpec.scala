@@ -108,6 +108,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dynamicpruning"), s"no DPP filter in plan:\n${p.take(3000)}")
   }
 
+  test("runtime bloom filter prunes shuffle-join probe rows at the scan") {
+    import org.apache.spark.sql.functions._
+    // DPP's complement for NON-partition join keys: a bloom filter built
+    // from the selective dim side is pushed into the fact scan as
+    // might_contain, dropping non-joining rows before the shuffle. At
+    // 100 TB this cuts the dominant shuffle by the dim's selectivity.
+    val conf = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // thresholds sized so the rule fires at test scale: creation side
+      // must be under the max, and the min-scan-size gate is disabled
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      val base = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+      spark.range(0, 200000).withColumn("payload", concat(lit("x"), col("id")))
+        .write.parquet(s"$base/fact")
+      spark.range(0, 5000)
+        .withColumn("tag", when(col("id") % 100 === 0, "keep").otherwise("drop"))
+        .write.parquet(s"$base/dim")
+      val fact = spark.read.parquet(s"$base/fact")
+      val dim = spark.read.parquet(s"$base/dim").filter(col("tag") === "keep")
+      val joined = fact.join(dim, "id")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter in plan:\n${p.take(3000)}")
+      assert(joined.count() === 50)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("AQE splits a skewed shuffle join at runtime") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
