@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -83,4 +84,42 @@ object TextAnalysis {
     * exact-dedup key at any scale.
     */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  /** Rolling-hash LOCAL fingerprints by winnowing (Schleimer, Wilkerson,
+    * Aiken, SIGMOD 2003 — the MOSS algorithm): hash every character
+    * `k`-gram, slide a window of `w` consecutive gram hashes, keep each
+    * window's minimum. Guarantee: two documents sharing any substring of
+    * length >= w + k - 1 share at least one fingerprint — the
+    * partial-overlap detector md5-of-the-whole-document cannot be.
+    *
+    * Plan shape: positions explode once (one row per k-gram), the gram
+    * hash is a codegen'd substr+xxhash64, and the window minimum rides ONE
+    * per-document sort — the same exchange profile as the other
+    * per-document operators. Output: (id, fingerprint) distinct pairs.
+    * Documents shorter than `k + w - 1` characters have no full window and
+    * yield NO rows (they are below the guarantee's match length; pair with
+    * [[fingerprint]] for whole-document identity on short texts).
+    */
+  def winnowFingerprints(
+      df: DataFrame, id: String, text: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
+    val grams = df
+      .filter(length(col(text)) >= k + w - 1)
+      .select(col(id),
+        explode(sequence(lit(0), length(col(text)) - k)).as("pos"),
+        (length(col(text)) - k - (w - 1)).as("_last_start"),
+        col(text))
+      .select(col(id), col("pos"), col("_last_start"),
+        xxhash64(col(text).substr(col("pos") + 1, lit(k))).as("h"))
+    val win = Window.partitionBy(id).orderBy("pos").rowsBetween(0, w - 1)
+    grams
+      .select(col(id), col("pos"), col("_last_start"),
+        min(col("h")).over(win).as("fingerprint"))
+      // only FULL windows select (the classic algorithm); trailing partial
+      // windows would add spurious suffix minima
+      .filter(col("pos") <= col("_last_start"))
+      .select(col(id), col("fingerprint"))
+      .distinct()
+  }
 }

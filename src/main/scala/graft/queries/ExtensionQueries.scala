@@ -262,6 +262,19 @@ object ExtensionQueries {
     Some("""SELECT doc_id, md5(lower(trim(text))) AS fp
             FROM documents ORDER BY doc_id"""))
 
+  /** Winnowing rolling-hash fingerprints — LOCAL fingerprints with a
+    * shared-substring guarantee, vs q_doc_fingerprint's whole-document
+    * md5. xxhash64 gram hashes are engine-specific, so rows-only driver
+    * check; the winnowing guarantee (substring of length >= w+k-1 implies
+    * a shared fingerprint) is asserted in ExtSpec.
+    */
+  val qDocWinnow = QueryDef(
+    "q_doc_winnow",
+    (s, d) => TextAnalysis.winnowFingerprints(docs(s, d), "doc_id", "text")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_fingerprints"))
+      .orderBy("doc_id"),
+    None)
+
   /** SpaceSaving heavy hitters over event_type. k=16 exceeds the column's
     * cardinality, so the sketch degenerates to EXACT counts — directly
     * oracle-checkable — while the approximation guarantees (O(k) memory on
@@ -310,5 +323,5 @@ object ExtensionQueries {
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupExactHash, qNgramJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
     qEmbedCosineTopk, qAnnLsh, qAnnIvf, qTextTokens, qTextSubword, qTextQuality, qLangId,
-    qDocFingerprint, qMultimodalMeta, qHeavyHitters, qCorpusPipeline)
+    qDocFingerprint, qDocWinnow, qMultimodalMeta, qHeavyHitters, qCorpusPipeline)
 }

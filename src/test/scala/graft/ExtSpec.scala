@@ -189,6 +189,26 @@ class ExtSpec extends SparkSpec {
     assert(counts === ((12L, 5L)))
   }
 
+  test("winnowing: docs sharing a long substring share a fingerprint, disjoint docs don't") {
+    val k = 8; val w = 4
+    val shared = "zyxwvutsrqponmlk" // 16 chars >= w + k - 1 = 11
+    val df = Seq(
+      (1L, s"aaaa bbbb $shared cccc dddd"),
+      (2L, s"1111 2222 3333 $shared 44"),
+      (3L, "completely unrelated words here with no overlap at all"),
+      (4L, "tiny")) // shorter than k+w-1: no full window, no rows
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(df, "doc_id", "text", k, w)
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // guarantee: a shared substring of length >= w+k-1 forces a shared
+    // fingerprint (some full window of gram hashes lies inside it)
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared substring produced no shared fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "disjoint docs share a fingerprint (hash collision or window bug)")
+    assert(!fps.contains(4L), "sub-window doc should yield no fingerprints")
+  }
+
   test("punctuation ratio counts punctuation characters over total length") {
     val df = Seq((1L, "a,b.c!"), (2L, "abcdef")).toDF("doc_id", "text")
     val out = df.select(col("doc_id"), TextAnalysis.punctRatio(col("text")))
