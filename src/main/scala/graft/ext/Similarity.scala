@@ -215,7 +215,10 @@ object Similarity {
     * scanning only its own nearest lists still sees them; interior vectors
     * stay single-assigned. Index size is bounded by `spillCap`×; on
     * clustered corpora the closure rarely triggers, on unstructured ones it
-    * approaches the cap (the worst case for any geometric partition).
+    * approaches the cap (the worst case for any geometric partition). The
+    * shipped defaults are sized so balanced-quantizer recall dominates the
+    * naive data-point-anchor baseline across random corpus draws, not just
+    * on one lucky dataset.
     * Emits one row per (vector, list) membership; still NO join/shuffle —
     * a per-row sorted-prefix filter over the plan-literal centroid array,
     * then an explode.
@@ -262,7 +265,7 @@ object Similarity {
       probes: DataFrame, qId: String, qVec: String,
       k: Int, nCentroids: Int = 64, nProbe: Int = 8,
       quantizer: String = "kmeans",
-      spillDelta: Double = 0.3, spillCap: Int = 4): DataFrame = {
+      spillDelta: Double = 0.4, spillCap: Int = 6): DataFrame = {
     val centroids = centroidsFor(corpus, id, vec, nCentroids, quantizer)
 
     val assigned =
