@@ -199,6 +199,13 @@ object Similarity {
       struct(cosine(v, typedlit(cvec)).as("sim"), lit(-cid).as("negid"))
     }: _*)
 
+  /** The centroid structs ranked best-first — the shared ordering both the
+    * spilled index build and the probe-side list selection cut prefixes
+    * from, so the two can't diverge on ranking semantics.
+    */
+  private def rankedSims(v: Column, centroids: Array[(Long, Array[Float])]): Column =
+    reverse(array_sort(simStructs(v, centroids)))
+
   /** Per-row nearest-centroid assignment with the centroid set embedded as
     * plan literals — a codegen'd argmax, NO window, NO join, NO shuffle.
     */
@@ -227,7 +234,7 @@ object Similarity {
       df: DataFrame, vec: String,
       centroids: Array[(Long, Array[Float])],
       spillDelta: Double, spillCap: Int): DataFrame = {
-    val ranked = reverse(array_sort(simStructs(col(vec), centroids)))
+    val ranked = rankedSims(col(vec), centroids)
     val best = element_at(ranked, 1).getField("sim")
     val kept = slice(
       filter(ranked, s => s.getField("sim") >= best - lit(spillDelta)),
@@ -273,8 +280,7 @@ object Similarity {
         assignSpilled(corpus, vec, centroids, spillDelta, spillCap)
       else assignToCentroids(corpus, vec, centroids)
     val probeLists = probes
-      .withColumn("_cands",
-        slice(reverse(array_sort(simStructs(col(qVec), centroids))), 1, nProbe))
+      .withColumn("_cands", slice(rankedSims(col(qVec), centroids), 1, nProbe))
       .withColumn("_cand", explode(col("_cands")))
       .withColumn("_c_id", -col("_cand.negid"))
       .select(col(qId), col(qVec), col("_c_id"))
