@@ -552,6 +552,63 @@ object ParityQueries {
                                 AND o_orderpriority = '1-URGENT')
             ORDER BY c_custkey"""))
 
+  /** Backward as-of join ([[graft.operators.TemporalJoins.asofJoin]]): every
+    * event picks up the latest "mark" at-or-before its event time for the
+    * same user — the canonical feature-as-of-time join. Marks are a
+    * deterministic event subset aggregated to one value per (user, ts) so
+    * the as-of match is unique. DuckDB replays it with its native
+    * ASOF LEFT JOIN — a bit-exact oracle for an operator Spark lacks.
+    */
+  val qAsofJoin = QueryDef(
+    "q_asof_join",
+    (s, d) => {
+      val e = events(s, d).select("event_id", "user_id", "ts")
+      val marks = events(s, d)
+        .filter(col("event_id") % 10 === 0)
+        .groupBy("user_id", "ts")
+        .agg(min(col("value")).as("mark_value"))
+      graft.operators.TemporalJoins.asofJoin(
+          e, marks, key = "user_id", leftTime = "ts", rightTime = "ts")
+        .select("event_id", "mark_value")
+        .orderBy("event_id")
+    },
+    Some("""WITH marks AS (
+              SELECT user_id, ts, min(value) AS mark_value FROM events
+              WHERE event_id % 10 = 0 GROUP BY user_id, ts)
+            SELECT e.event_id, m.mark_value
+            FROM events e ASOF LEFT JOIN marks m
+              ON e.user_id = m.user_id AND e.ts >= m.ts
+            ORDER BY e.event_id"""))
+
+  /** Binned range join ([[graft.operators.TemporalJoins.rangeJoinBinned]]):
+    * events against one-hour spans opened by every 100th event, same user,
+    * point-in-interval. The oracle is the plain inequality join — small
+    * enough at test scale, while the binned form is the one that survives
+    * 100 TB (equi-join on (key, bin), no per-key cross product).
+    */
+  val qRangeJoin = QueryDef(
+    "q_range_join",
+    (s, d) => {
+      val hourNs = 3600L * 1000000000L
+      val e = events(s, d).select("event_id", "user_id", "ts")
+      val spans = events(s, d)
+        .filter(col("event_id") % 100 === 0)
+        .select(col("event_id").as("span_id"), col("user_id"),
+          col("ts").as("s"), (col("ts") + hourNs).as("e"))
+      graft.operators.TemporalJoins.rangeJoinBinned(
+          e, "ts", spans, "s", "e", key = "user_id", binWidth = hourNs)
+        .select("event_id", "span_id")
+        .orderBy("event_id", "span_id")
+    },
+    Some("""WITH spans AS (
+              SELECT event_id AS span_id, user_id, ts AS s,
+                     ts + INTERVAL 1 HOUR AS e
+              FROM events WHERE event_id % 100 = 0)
+            SELECT ev.event_id, sp.span_id
+            FROM events ev JOIN spans sp
+              ON ev.user_id = sp.user_id AND ev.ts >= sp.s AND ev.ts <= sp.e
+            ORDER BY ev.event_id, sp.span_id"""))
+
   // --- set operations -------------------------------------------------------
 
   /** UNION / INTERSECT / EXCEPT in one query: nation keys vs customer
@@ -806,7 +863,8 @@ object ParityQueries {
     qDateFloor, qTimeDelta,
     qMinmaxTs, qCountOver, qDailyAvg, qGlobalAgg, qCountDistinct, qNullCounts,
     qTopkValues, qDomainCheck, qJoinLeft, qJoinComposite, qJoinInner,
-    qJoinSemi, qJoinAnti, qSetOps, qRollup, qPercentiles, qApproxDistinct,
+    qJoinSemi, qJoinAnti, qAsofJoin, qRangeJoin,
+    qSetOps, qRollup, qPercentiles, qApproxDistinct,
     qApproxPercentiles, qSort,
     qLag, qRollingCount, qSessionId, qSessionAgg, qSessionize)
 }
