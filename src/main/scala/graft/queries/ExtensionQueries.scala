@@ -83,6 +83,18 @@ object ExtensionQueries {
       .orderBy("doc_id"),
     None)
 
+  /** Full TRANSITIVE near-dup clusters (connected components over the
+    * doc-bucket graph via iterated bucket-min label propagation — see
+    * [[Dedup.minhashDedupClusters]]). Not SQL-expressible; convergence
+    * and transitivity invariants are asserted in ExtSpec. Rows-only
+    * driver check.
+    */
+  val qDedupClusters = QueryDef(
+    "q_dedup_clusters",
+    (s, d) => Dedup.minhashDedupClusters(docs(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    None)
+
   /** SimHash near-dup pairs (Hamming <= 3 within 16-bit band buckets). */
   val qDedupSimhash = QueryDef(
     "q_dedup_simhash",
@@ -321,7 +333,8 @@ object ExtensionQueries {
             FROM events ORDER BY event_id"""))
 
   val all: Seq[QueryDef] = Seq(
-    qDedupExact, qDedupExactHash, qNgramJaccard, qDedupMinhash, qDedupSimhash, qDedupEmbed,
+    qDedupExact, qDedupExactHash, qNgramJaccard, qDedupMinhash, qDedupClusters,
+    qDedupSimhash, qDedupEmbed,
     qEmbedCosineTopk, qAnnLsh, qAnnIvf, qTextTokens, qTextSubword, qTextQuality, qLangId,
     qDocFingerprint, qDocWinnow, qMultimodalMeta, qHeavyHitters, qCorpusPipeline)
 }

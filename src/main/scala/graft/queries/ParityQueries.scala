@@ -705,6 +705,22 @@ object ParityQueries {
       .orderBy("event_type"),
     None)
 
+  /** A1's skew-safe escalation path ([[graft.etl.Skew.countOverSalted]]):
+    * the two-phase salted aggregation must equal the plain window count
+    * bit-for-bit — oracle-checked here against the window form, so the
+    * mega-key mitigation can never drift from the semantics it replaces.
+    */
+  val qCountOverSalted = QueryDef(
+    "q_count_over_salted",
+    (s, d) => graft.etl.Skew.countOverSalted(
+        events(s, d).select("event_id", "user_id"),
+        key = "user_id", countCol = "event_id", out = "n")
+      .select("event_id", "n")
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+              count(event_id) OVER (PARTITION BY user_id) AS n
+            FROM events ORDER BY event_id"""))
+
   // --- W-family: windows & sessionization ----------------------------------
 
   val qSort = QueryDef(
@@ -865,6 +881,6 @@ object ParityQueries {
     qTopkValues, qDomainCheck, qJoinLeft, qJoinComposite, qJoinInner,
     qJoinSemi, qJoinAnti, qAsofJoin, qRangeJoin,
     qSetOps, qRollup, qPercentiles, qApproxDistinct,
-    qApproxPercentiles, qSort,
+    qApproxPercentiles, qCountOverSalted, qSort,
     qLag, qRollingCount, qSessionId, qSessionAgg, qSessionize)
 }
