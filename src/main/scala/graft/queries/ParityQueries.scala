@@ -580,6 +580,34 @@ object ParityQueries {
               ON e.user_id = m.user_id AND e.ts >= m.ts
             ORDER BY e.event_id"""))
 
+  /** The same as-of query through the CUSTOM WHOLE-OPERATOR path
+    * ([[graft.plans.AsOfJoinExec]] — LogicalPlan + SparkStrategy +
+    * SparkPlan, §7.3 tier (c)): identical semantics to [[qAsofJoin]],
+    * planned as a per-key sorted merge instead of a union + window. Sharing
+    * the DuckDB ASOF LEFT JOIN oracle keeps both implementations pinned to
+    * the same bit-exact answer.
+    */
+  val qAsofJoinExec = QueryDef(
+    "q_asof_join_exec",
+    (s, d) => {
+      val e = events(s, d).select("event_id", "user_id", "ts")
+      val marks = events(s, d)
+        .filter(col("event_id") % 10 === 0)
+        .groupBy("user_id", "ts")
+        .agg(min(col("value")).as("mark_value"))
+      graft.plans.AsOfJoin.asofJoinExec(
+          e, marks, key = "user_id", leftTime = "ts", rightTime = "ts")
+        .select("event_id", "mark_value")
+        .orderBy("event_id")
+    },
+    Some("""WITH marks AS (
+              SELECT user_id, ts, min(value) AS mark_value FROM events
+              WHERE event_id % 10 = 0 GROUP BY user_id, ts)
+            SELECT e.event_id, m.mark_value
+            FROM events e ASOF LEFT JOIN marks m
+              ON e.user_id = m.user_id AND e.ts >= m.ts
+            ORDER BY e.event_id"""))
+
   /** Binned range join ([[graft.operators.TemporalJoins.rangeJoinBinned]]):
     * events against one-hour spans opened by every 100th event, same user,
     * point-in-interval. The oracle is the plain inequality join — small
@@ -879,7 +907,7 @@ object ParityQueries {
     qDateFloor, qTimeDelta,
     qMinmaxTs, qCountOver, qDailyAvg, qGlobalAgg, qCountDistinct, qNullCounts,
     qTopkValues, qDomainCheck, qJoinLeft, qJoinComposite, qJoinInner,
-    qJoinSemi, qJoinAnti, qAsofJoin, qRangeJoin,
+    qJoinSemi, qJoinAnti, qAsofJoin, qAsofJoinExec, qRangeJoin,
     qSetOps, qRollup, qPercentiles, qApproxDistinct,
     qApproxPercentiles, qCountOverSalted, qSort,
     qLag, qRollingCount, qSessionId, qSessionAgg, qSessionize)

@@ -1,16 +1,25 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Column <-> Expression bridge. Spark 4 made the converters
-  * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`), so
-  * custom native expressions need this one-hop re-export from inside the
-  * sql namespace — the established pattern for third-party Catalyst
-  * extensions.
+/** Column <-> Expression and LogicalPlan <-> DataFrame bridge. Spark 4 made
+  * the converters `private[sql]` (`org.apache.spark.sql.classic
+  * .ExpressionUtils`, `classic.Dataset.ofRows`), so custom native
+  * expressions and custom logical plans need this one-hop re-export from
+  * inside the sql namespace — the established pattern for third-party
+  * Catalyst extensions.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a (resolved-children) logical plan as a DataFrame — the entry
+    * point for custom logical nodes like [[graft.plans.AsOfJoinPlan]].
+    */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
