@@ -140,6 +140,7 @@ object Dedup {
   def minhashDedupClusters(
       df: DataFrame, id: String, text: String,
       bands: Int = 8, rowsPerBand: Int = 4, maxIter: Int = 10): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     val k = bands * rowsPerBand
     val sig = minhashSignatures(df, id, text, k)
     val banded = sig.select(col(id),
@@ -147,22 +148,33 @@ object Dedup {
       .persist()
     banded.count() // materialize once; reused every iteration
 
-    var labels = banded.select(col(id)).distinct()
-      .withColumn("label", col(id)).persist()
+    // Iteration economy (this loop is stage-scheduling-bound, not
+    // data-bound, at test scale — and at 100 TB every saved shuffle is a
+    // corpus-wide pass):
+    //  - `_changed` rides along inside the cached labels frame, so ONE
+    //    action per iteration both materializes the new labels and measures
+    //    convergence (the old shape paid an extra join + count job);
+    //  - iteration 0 skips the labels joins entirely — labels are
+    //    identically the doc id before the first propagation.
+    var labels: DataFrame = null // null = implicit identity labels
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val bucketMin = banded.join(labels, id)
+      val withLabels =
+        if (labels == null) banded.withColumn("label", col(id))
+        else banded.join(labels, id)
+      val bucketMin = withLabels
         .groupBy("bucket").agg(min("label").as("bucket_min"))
-      val next = banded.join(bucketMin, Seq("bucket"))
+      val propagated = banded.join(bucketMin, Seq("bucket"))
         .groupBy(id).agg(min("bucket_min").as("prop"))
-        .join(labels, id)
-        .select(col(id), least(col("label"), col("prop")).as("label"))
+      val next = (
+        if (labels == null) propagated.withColumn("label", col(id))
+        else propagated.join(labels, id))
+        .select(col(id), least(col("label"), col("prop")).as("label"),
+          (col("prop") < col("label")).as("_changed"))
         .persist()
-      next.count()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), id)
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
+      val changed = next.filter(col("_changed")).count()
+      if (labels != null) labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
@@ -172,7 +184,7 @@ object Dedup {
     // blocks: the returned frame must not pin per-iteration caches (their
     // lifetime would otherwise be the session's) nor recompute the whole
     // loop on first use.
-    val result = labels.withColumnRenamed("label", "cluster_id")
+    val result = labels.drop("_changed").withColumnRenamed("label", "cluster_id")
       .localCheckpoint(true)
     labels.unpersist()
     result
