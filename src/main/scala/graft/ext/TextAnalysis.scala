@@ -79,6 +79,58 @@ object TextAnalysis {
       .otherwise("und")
   }
 
+  // --- repetition signals (Gopher-style quality filters) -----------------
+  // Rae et al. 2021 (arXiv:2112.11446, Table A1) filter documents by how
+  // repetitious they are: fraction of duplicate tokens / duplicate word
+  // n-grams / mass of the single most frequent token. All per-document
+  // signals; the first two are single-pass Column expressions (no shuffle),
+  // the top-token one is an explode + two aggregations.
+
+  /** Fraction of tokens that are repeat occurrences:
+    * (total - distinct) / total. 0 for all-unique, → 1 for degenerate
+    * repetition. NULL for NULL text.
+    */
+  def dupTokenFrac(text: Column): Column = {
+    val toks = tokens(text)
+    val total = size(toks)
+    (total.cast("double") - size(array_distinct(toks))) / total
+  }
+
+  /** Consecutive word n-grams as an array column — one `transform` over
+    * the start positions, each gram a codegen'd concat of `n` lookups.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = tokens(text)
+    transform(sequence(lit(0), size(toks) - n), i =>
+      concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+  }
+
+  /** Fraction of word n-grams that are repeat occurrences. NULL when the
+    * document has fewer than n tokens (no gram exists) or NULL text. The
+    * `when` guard keeps the `sequence` branch unevaluated for short
+    * documents — `sequence(0, negative)` would throw under ANSI.
+    */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val cnt = size(tokens(text)) - (n - 1)
+    when(cnt > 0,
+      (cnt.cast("double") - size(array_distinct(wordNgrams(text, n)))) / cnt)
+      .otherwise(lit(null).cast("double"))
+  }
+
+  /** Mass of the single most frequent token per document:
+    * max(count) / total tokens. Table operator (explode + two shuffles on
+    * the doc id) because a per-row mode over an array is quadratic, while
+    * the relational form is the linear 100 TB shape. Documents whose text
+    * is NULL explode to zero rows and are ABSENT — left-join from the
+    * corpus to keep them.
+    */
+  def topTokenFrac(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), explode(tokens(col(text))).as("tok"))
+      .groupBy(id, "tok").agg(count(lit(1)).as("c"))
+      .groupBy(id)
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_token_frac"))
+
   /** Content fingerprint: md5 of the case/whitespace-normalized text.
     * Stable across engines (md5 is bit-exact everywhere), usable as an
     * exact-dedup key at any scale.

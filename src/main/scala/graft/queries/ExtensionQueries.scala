@@ -242,6 +242,67 @@ object ExtensionQueries {
                 / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio
             FROM documents ORDER BY doc_id"""))
 
+  /** JSONL corpus roundtrip ([[graft.sources.Sources.writeJsonl]] /
+    * [[graft.sources.Sources.jsonLinesWithSchema]]): export the documents
+    * table to JSON-lines, read it back schema-pinned, and compare against
+    * the oracle's projection of the ORIGINAL parquet — a hash match proves
+    * the export/import path is lossless (escaping, unicode, NULL fields).
+    */
+  val qJsonlRoundtrip = QueryDef(
+    "q_jsonl_roundtrip",
+    (s, d) => {
+      val src = docs(s, d)
+      // per-sf-dir path so concurrent bench/verify runs never collide
+      val path = s"/tmp/graft_jsonl_${java.lang.Integer.toHexString(d.hashCode)}"
+      graft.sources.Sources.writeJsonl(src, path)
+      graft.sources.Sources.jsonLinesWithSchema(s, path, src.schema)
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, text, lang, source, n_chars
+            FROM documents ORDER BY doc_id"""))
+
+  /** Gopher-style repetition quality signals
+    * ([[TextAnalysis.dupTokenFrac]] / [[TextAnalysis.dupNgramFrac]] /
+    * [[TextAnalysis.topTokenFrac]]): duplicate-token fraction, duplicate
+    * word-3-gram fraction, and the mass of the most frequent token. All
+    * integer-count quotients — bit-exact across engines without rounding
+    * (the determinism policy's raw-quotient rule).
+    */
+  val qTextRepetition = QueryDef(
+    "q_text_repetition",
+    (s, d) => docs(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.dupTokenFrac(col("text")).as("dup_token_frac"),
+        TextAnalysis.dupNgramFrac(col("text"), 3).as("dup_3gram_frac"))
+      .join(TextAnalysis.topTokenFrac(docs(s, d), "doc_id", "text"),
+        Seq("doc_id"), "left")
+      .orderBy("doc_id"),
+    Some("""WITH base AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
+              FROM documents),
+            per_row AS (
+              SELECT doc_id,
+                (CAST(len(l) AS DOUBLE) - len(list_distinct(l))) / len(l)
+                  AS dup_token_frac,
+                CASE WHEN len(l) - 2 > 0 THEN
+                  (CAST(len(l) - 2 AS DOUBLE) - len(list_distinct(
+                     list_transform(range(len(l) - 2),
+                       i -> concat_ws(' ', l[i+1], l[i+2], l[i+3]))
+                  ))) / (len(l) - 2)
+                ELSE NULL END AS dup_3gram_frac
+              FROM base),
+            toks AS (SELECT doc_id, unnest(l) AS tok FROM base),
+            counts AS (SELECT doc_id, tok, count(*) AS c
+                       FROM toks GROUP BY doc_id, tok),
+            top AS (SELECT doc_id,
+                      CAST(max(c) AS DOUBLE) / CAST(sum(c) AS BIGINT)
+                        AS top_token_frac
+                    FROM counts GROUP BY doc_id)
+            SELECT p.doc_id, p.dup_token_frac, p.dup_3gram_frac,
+                   t.top_token_frac
+            FROM per_row p LEFT JOIN top t ON p.doc_id = t.doc_id
+            ORDER BY p.doc_id"""))
+
   val qLangId = QueryDef(
     "q_lang_id",
     (s, d) => docs(s, d)
@@ -335,6 +396,8 @@ object ExtensionQueries {
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupExactHash, qNgramJaccard, qDedupMinhash, qDedupClusters,
     qDedupSimhash, qDedupEmbed,
-    qEmbedCosineTopk, qAnnLsh, qAnnIvf, qTextTokens, qTextSubword, qTextQuality, qLangId,
-    qDocFingerprint, qDocWinnow, qMultimodalMeta, qHeavyHitters, qCorpusPipeline)
+    qEmbedCosineTopk, qAnnLsh, qAnnIvf, qTextTokens, qTextSubword, qTextQuality,
+    qTextRepetition, qLangId,
+    qDocFingerprint, qDocWinnow, qMultimodalMeta, qHeavyHitters, qCorpusPipeline,
+    qJsonlRoundtrip)
 }

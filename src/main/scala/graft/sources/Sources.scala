@@ -36,6 +36,24 @@ object Sources {
       withIngestOrder: Boolean = true): DataFrame =
     stamp(spark.read.json(path), withIngestOrder)
 
+  /** Schema-pinned JSONL reader: at 100 TB the inference pass of
+    * [[jsonLines]] is a full extra scan of the corpus (and can widen types
+    * on dirty lines) — production reads pin the schema.
+    */
+  def jsonLinesWithSchema(
+      spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      withIngestOrder: Boolean = false): DataFrame =
+    stamp(spark.read.schema(schema).json(path), withIngestOrder)
+
+  /** JSON-Lines sink — the interchange format LLM corpus tooling expects
+    * (one object per line; writers shard one file per partition, so the
+    * export parallelizes like any other sink). NULL fields are omitted per
+    * line and come back as NULLs under a schema-pinned read.
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   private def stamp(df: DataFrame, withIngestOrder: Boolean): DataFrame =
     if (withIngestOrder)
       df.withColumn(EventSchema.ingestOrderCol, monotonically_increasing_id())

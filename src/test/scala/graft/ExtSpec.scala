@@ -209,6 +209,43 @@ class ExtSpec extends SparkSpec {
     assert(!fps.contains(4L), "sub-window doc should yield no fingerprints")
   }
 
+  test("repetition signals: duplicate token/ngram fractions and top-token mass") {
+    val df = Seq(
+      (0L, Option("a b a")),          // 3 tokens, 2 distinct
+      (1L, Option("a b a b a")),      // 3-grams: aba, bab, aba -> 3 total, 2 distinct
+      (2L, Option("x y")),            // < 3 tokens: no 3-gram
+      (3L, None: Option[String])      // NULL text
+    ).toDF("doc_id", "text")
+
+    val perRow = df.select(col("doc_id"),
+      TextAnalysis.dupTokenFrac(col("text")).as("dt"),
+      TextAnalysis.dupNgramFrac(col("text"), 3).as("dg"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]),
+         Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(perRow(0L) == (Some(1.0 / 3), Some(0.0))) // exactly 1 3-gram, unique
+    assert(perRow(1L) == (Some(3.0 / 5), Some(1.0 / 3)))
+    assert(perRow(2L) == (Some(0.0), None))
+    assert(perRow(3L) == (None, None))
+
+    val top = TextAnalysis.topTokenFrac(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(top(0L) == 2.0 / 3)
+    assert(top(1L) == 3.0 / 5)
+    assert(!top.contains(3L)) // NULL text explodes to nothing (documented)
+  }
+
+  test("jsonl roundtrip preserves nulls, unicode, quotes, and newlines") {
+    val df = Seq(
+      (1L, Option("line1\nline2 é中文 \"quoted\" \\slash")),
+      (2L, None: Option[String]),
+      (3L, Option(""))).toDF("id", "text")
+    val path = "/tmp/graft_test_jsonl"
+    graft.sources.Sources.writeJsonl(df, path)
+    val back = graft.sources.Sources.jsonLinesWithSchema(spark, path, df.schema)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
   test("punctuation ratio counts punctuation characters over total length") {
     val df = Seq((1L, "a,b.c!"), (2L, "abcdef")).toDF("doc_id", "text")
     val out = df.select(col("doc_id"), TextAnalysis.punctRatio(col("text")))
