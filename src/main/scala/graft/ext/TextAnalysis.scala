@@ -152,6 +152,22 @@ object TextAnalysis {
     * yield NO rows (they are below the guarantee's match length; pair with
     * [[fingerprint]] for whole-document identity on short texts).
     */
+  /** Scale-path winnowing: the native expression
+    * ([[graft.functions.WinnowFingerprints]]) computes each document's
+    * entire fingerprint set in ONE per-row pass (gram hashes, O(n)
+    * monotone-deque sliding minimum, dedup) — no gram explode, no
+    * per-document sort, NO shuffle, and the expression stays inside
+    * whole-stage codegen. Emits the same (id, fingerprint) set as
+    * [[winnowFingerprints]] (cross-checked in ExtSpec); documents shorter
+    * than `k + w - 1` characters yield no rows in both forms.
+    */
+  def winnowFingerprintsNative(
+      df: DataFrame, id: String, text: String,
+      k: Int = 8, w: Int = 4): DataFrame =
+    df.select(col(id),
+      explode(graft.functions.WinnowFunctions.winnow_fingerprints(col(text), k, w))
+        .as("fingerprint"))
+
   def winnowFingerprints(
       df: DataFrame, id: String, text: String,
       k: Int = 8, w: Int = 4): DataFrame = {

@@ -337,13 +337,16 @@ object ExtensionQueries {
 
   /** Winnowing rolling-hash fingerprints — LOCAL fingerprints with a
     * shared-substring guarantee, vs q_doc_fingerprint's whole-document
-    * md5. xxhash64 gram hashes are engine-specific, so rows-only driver
-    * check; the winnowing guarantee (substring of length >= w+k-1 implies
-    * a shared fingerprint) is asserted in ExtSpec.
+    * md5. Runs the NATIVE expression path
+    * ([[TextAnalysis.winnowFingerprintsNative]] — one per-row pass, no
+    * gram explode, no per-document sort); ExtSpec pins it equal to the
+    * composed window form. xxhash64 gram hashes are engine-specific, so
+    * rows-only driver check; the winnowing guarantee (substring of length
+    * >= w+k-1 implies a shared fingerprint) is asserted in ExtSpec.
     */
   val qDocWinnow = QueryDef(
     "q_doc_winnow",
-    (s, d) => TextAnalysis.winnowFingerprints(docs(s, d), "doc_id", "text")
+    (s, d) => TextAnalysis.winnowFingerprintsNative(docs(s, d), "doc_id", "text")
       .groupBy("doc_id").agg(count(lit(1)).as("n_fingerprints"))
       .orderBy("doc_id"),
     None)

@@ -235,6 +235,24 @@ class ExtSpec extends SparkSpec {
     assert(!top.contains(3L)) // NULL text explodes to nothing (documented)
   }
 
+  test("native winnowing expression equals the composed window form on real docs") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val composed = TextAnalysis.winnowFingerprints(real, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val native = TextAnalysis.winnowFingerprintsNative(real, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native.nonEmpty)
+    assert(native == composed)
+
+    // edge cases: short doc (no full window) and NULL text yield no rows
+    val edge = Seq((1L, Option("tiny")), (2L, None: Option[String]),
+      (3L, Option("x" * 11))).toDF("doc_id", "text") // 11 = k + w - 1 exactly
+    val e = TextAnalysis.winnowFingerprintsNative(edge, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(e == Set(3L))
+  }
+
   test("jsonl roundtrip preserves nulls, unicode, quotes, and newlines") {
     val df = Seq(
       (1L, Option("line1\nline2 é中文 \"quoted\" \\slash")),
