@@ -4,20 +4,27 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.IntegerType
 
-/** SQL-surface registration for the engine's native expressions, so
-  * `spark.sql("SELECT float_vector_cosine(a, b) ...")` works alongside the
-  * Column API.
+/** SQL-surface registration for the engine's native expressions and
+  * composed column functions, so `spark.sql("SELECT float_vector_cosine(a,
+  * b) ...")` works alongside the Column API.
   *
   * Two registration paths:
   *  - `GraftExtensions` for
   *    `SparkSession.builder().withExtensions(new GraftExtensions)` or
   *    `spark.sql.extensions=graft.functions.GraftExtensions` config;
   *  - `GraftFunctions.register(spark)` for an already-built session.
+  *
+  * Besides the native expressions, several pure-Column operators register
+  * as MACRO functions: the builder expands them into the same Catalyst
+  * expression tree the Column API builds, so the SQL surface and the Scala
+  * surface cannot diverge (one definition, two syntaxes).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftFunctions.floatVectorCosineDescriptor)
+    GraftFunctions.descriptors.foreach(e.injectFunction)
     // whole-operator extension: AsOfJoinPlan -> AsOfJoinExec
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
@@ -25,20 +32,94 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
+  private def descriptor(
+      name: String, clazz: Class[_], usage: String)(
+      builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, null, name, usage, ""),
+      builder)
+
+  private def arity(name: String, exprs: Seq[Expression], n: Int): Unit =
+    require(exprs.length == n, s"$name expects $n arguments, got ${exprs.length}")
+
+  /** A column-function macro: the SQL arguments feed the SAME Column
+    * composition the Scala API uses, and the resulting expression tree is
+    * returned for Catalyst to analyze in place.
+    */
+  private def macroFn(
+      name: String, usage: String)(
+      f: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    descriptor(name, classOf[GraftExtensions], usage) { exprs =>
+      Bridge.resolvedExpression(f(exprs.map(Bridge.column)))
+    }
+
+  /** Evaluate a foldable integer argument at registration time (literal
+    * parameters like winnowing's k/w must be plan constants).
+    */
+  private def litInt(name: String, arg: String, e: Expression): Int = {
+    require(e.foldable && e.dataType == IntegerType,
+      s"$name: $arg must be an integer literal")
+    e.eval().asInstanceOf[Int]
+  }
+
   private[functions] val floatVectorCosineDescriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("float_vector_cosine"),
-    new ExpressionInfo(classOf[FloatVectorCosine].getName, "float_vector_cosine"),
-    (exprs: Seq[Expression]) => {
-      require(exprs.length == 2,
-        s"float_vector_cosine expects 2 arguments, got ${exprs.length}")
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    descriptor("float_vector_cosine", classOf[FloatVectorCosine],
+      "_FUNC_(a, b) - cosine similarity of two array<float> vectors") { exprs =>
+      arity("float_vector_cosine", exprs, 2)
       FloatVectorCosine(exprs.head, exprs(1))
+    }
+
+  private val winnowDescriptor =
+    descriptor("graft_winnow_fingerprints", classOf[WinnowFingerprints],
+      "_FUNC_(text[, k, w]) - winnowed k-gram fingerprint array") { exprs =>
+      exprs match {
+        case Seq(t) => WinnowFingerprints(t, 8, 4)
+        case Seq(t, k, w) => WinnowFingerprints(t,
+          litInt("graft_winnow_fingerprints", "k", k),
+          litInt("graft_winnow_fingerprints", "w", w))
+        case _ => throw new IllegalArgumentException(
+          s"graft_winnow_fingerprints expects 1 or 3 arguments, got ${exprs.length}")
+      }
+    }
+
+  private val macroDescriptors = Seq(
+    macroFn("graft_simhash64",
+      "_FUNC_(text) - 64-bit SimHash fingerprint over word tokens") { args =>
+      require(args.length == 1, "graft_simhash64 expects 1 argument")
+      graft.ext.Dedup.simhash64(args.head)
+    },
+    macroFn("graft_lang_id",
+      "_FUNC_(text) - marker-token language id (en/es/de/und)") { args =>
+      require(args.length == 1, "graft_lang_id expects 1 argument")
+      graft.ext.TextAnalysis.languageId(args.head)
+    },
+    macroFn("graft_doc_fingerprint",
+      "_FUNC_(text) - md5 of case/whitespace-normalized text") { args =>
+      require(args.length == 1, "graft_doc_fingerprint expects 1 argument")
+      graft.ext.TextAnalysis.fingerprint(args.head)
+    },
+    macroFn("graft_dup_token_frac",
+      "_FUNC_(text) - fraction of tokens that are repeat occurrences") { args =>
+      require(args.length == 1, "graft_dup_token_frac expects 1 argument")
+      graft.ext.TextAnalysis.dupTokenFrac(args.head)
+    },
+    descriptor("graft_dup_ngram_frac", classOf[GraftExtensions],
+      "_FUNC_(text, n) - fraction of word n-grams that are repeats") { exprs =>
+      arity("graft_dup_ngram_frac", exprs, 2)
+      Bridge.resolvedExpression(graft.ext.TextAnalysis.dupNgramFrac(
+        Bridge.column(exprs.head), litInt("graft_dup_ngram_frac", "n", exprs(1))))
     })
 
+  private[functions] val descriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    floatVectorCosineDescriptor +: winnowDescriptor +: macroDescriptors
+
   /** Register the engine's SQL functions on an existing session. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = floatVectorCosineDescriptor
-    spark.sessionState.functionRegistry
-      .registerFunction(id, info, builder)
-  }
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

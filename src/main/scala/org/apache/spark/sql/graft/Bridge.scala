@@ -16,6 +16,16 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eagerly convert a Column to a catalyst Expression TREE.
+    * [[expression]] returns a lazy `ColumnNodeExpression` wrapper, which is
+    * fine inside the Dataset API but opaque to the analyzer when returned
+    * from a `FunctionRegistry` builder — macro-registered SQL functions
+    * need the converted tree (its `Unresolved*` nodes then resolve in the
+    * analyzer's normal fixed-point batch).
+    */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Wrap a (resolved-children) logical plan as a DataFrame — the entry
     * point for custom logical nodes like [[graft.plans.AsOfJoinPlan]].
     */

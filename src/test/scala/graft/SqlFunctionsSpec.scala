@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, TextAnalysis}
+import graft.functions.GraftFunctions
+
+/** The SQL registration surface: every registered function must produce
+  * the same result as its Column-API definition (macros share one
+  * expression tree by construction; this guards the wiring).
+  */
+class SqlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ready: Unit = {
+    GraftFunctions.register(spark)
+    Seq((1L, "the quick brown fox the quick"), (2L, "uno dos tres"))
+      .toDF("id", "text").createOrReplaceTempView("sqlfn_docs")
+  }
+
+  test("macro functions match their Column-API twins via SQL") {
+    ready
+    val viaSql = spark.sql(
+      """SELECT id, graft_simhash64(text) AS sh, graft_lang_id(text) AS lid,
+               graft_doc_fingerprint(text) AS fp,
+               graft_dup_token_frac(text) AS dtf,
+               graft_dup_ngram_frac(text, 2) AS dnf
+         FROM sqlfn_docs ORDER BY id""").collect().toSeq
+    val viaCols = spark.table("sqlfn_docs")
+      .select(col("id"), Dedup.simhash64(col("text")).as("sh"),
+        TextAnalysis.languageId(col("text")).as("lid"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.dupTokenFrac(col("text")).as("dtf"),
+        TextAnalysis.dupNgramFrac(col("text"), 2).as("dnf"))
+      .orderBy("id").collect().toSeq
+    assert(viaSql == viaCols)
+  }
+
+  test("winnow fingerprints: SQL default and explicit (k, w) forms") {
+    ready
+    val d = spark.sql(
+      "SELECT id, graft_winnow_fingerprints(text) AS f FROM sqlfn_docs ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val e = spark.sql(
+      "SELECT id, graft_winnow_fingerprints(text, 8, 4) AS f FROM sqlfn_docs ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(d == e)
+    assert(d(1L).nonEmpty)
+
+    // non-literal k must be rejected at analysis, not mis-planned
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_winnow_fingerprints(text, CAST(id AS INT), 4) FROM sqlfn_docs")
+        .collect()
+    }
+    assert(err.getMessage.contains("integer literal"), err.getMessage)
+  }
+
+  test("float_vector_cosine stays registered through the shared descriptor list") {
+    ready
+    val r = spark.sql(
+      "SELECT float_vector_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").collect()
+    assert(r.head.getDouble(0) == 1.0)
+  }
+}
