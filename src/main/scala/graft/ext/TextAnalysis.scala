@@ -118,6 +118,14 @@ object TextAnalysis {
       .otherwise(lit(null).cast("double"))
   }
 
+  /** Scale-path duplicate-n-gram fraction: the native expression
+    * ([[graft.functions.DupNgramFrac]]) — one per-row call, no interpreted
+    * lambda per gram. Identical output to [[dupNgramFrac]] (cross-checked
+    * in ExtSpec on real documents).
+    */
+  def dupNgramFracNative(text: Column, n: Int): Column =
+    graft.functions.TextMetricsFunctions.dup_ngram_frac(text, n)
+
   /** Mass of the single most frequent token per document:
     * max(count) / total tokens. Table operator (explode + two shuffles on
     * the doc id) because a per-row mode over an array is quadratic, while

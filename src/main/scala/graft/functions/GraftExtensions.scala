@@ -106,11 +106,10 @@ object GraftFunctions {
       require(args.length == 1, "graft_dup_token_frac expects 1 argument")
       graft.ext.TextAnalysis.dupTokenFrac(args.head)
     },
-    descriptor("graft_dup_ngram_frac", classOf[GraftExtensions],
+    descriptor("graft_dup_ngram_frac", classOf[DupNgramFrac],
       "_FUNC_(text, n) - fraction of word n-grams that are repeats") { exprs =>
       arity("graft_dup_ngram_frac", exprs, 2)
-      Bridge.resolvedExpression(graft.ext.TextAnalysis.dupNgramFrac(
-        Bridge.column(exprs.head), litInt("graft_dup_ngram_frac", "n", exprs(1))))
+      DupNgramFrac(exprs.head, litInt("graft_dup_ngram_frac", "n", exprs(1)))
     })
 
   private[functions] val descriptors

@@ -273,7 +273,7 @@ object ExtensionQueries {
     (s, d) => docs(s, d)
       .select(col("doc_id"),
         TextAnalysis.dupTokenFrac(col("text")).as("dup_token_frac"),
-        TextAnalysis.dupNgramFrac(col("text"), 3).as("dup_3gram_frac"))
+        TextAnalysis.dupNgramFracNative(col("text"), 3).as("dup_3gram_frac"))
       .join(TextAnalysis.topTokenFrac(docs(s, d), "doc_id", "text"),
         Seq("doc_id"), "left")
       .orderBy("doc_id"),

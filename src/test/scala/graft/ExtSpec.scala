@@ -235,6 +235,30 @@ class ExtSpec extends SparkSpec {
     assert(!top.contains(3L)) // NULL text explodes to nothing (documented)
   }
 
+  test("native dup-ngram fraction equals the HOF form on real docs and edge cases") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val both = real.select(col("doc_id"),
+      TextAnalysis.dupNgramFrac(col("text"), 3).as("hof"),
+      TextAnalysis.dupNgramFracNative(col("text"), 3).as("native"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(Option(r.get(1)) == Option(r.get(2)), s"doc ${r.getLong(0)}")
+    }
+
+    // whitespace edges: leading tab (empty first token), trailing newline
+    // (empty last token), NULL text — tokenization must match split(trim())
+    val edge = Seq((1L, Option("\ta b a b")), (2L, Option("a b a b\n")),
+      (3L, None: Option[String])).toDF("doc_id", "text")
+    val e = edge.select(col("doc_id"),
+      TextAnalysis.dupNgramFrac(col("text"), 2).as("hof"),
+      TextAnalysis.dupNgramFracNative(col("text"), 2).as("native")).collect()
+    e.foreach { r =>
+      assert(Option(r.get(1)) == Option(r.get(2)), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("native winnowing expression equals the composed window form on real docs") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
