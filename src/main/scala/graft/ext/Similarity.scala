@@ -302,6 +302,156 @@ object Similarity {
       .select(col(qId), col(id), col("cosine"))
   }
 
+  // --- product quantization (Jégou, Douze, Schmid, TPAMI 33(1) 2011) ----
+
+  /** Deterministic L2 Lloyd iterations over a driver-side point set —
+    * the per-subspace codebook trainer for PQ. First-k-distinct init,
+    * argmin ties to the lowest index, emptied clusters keep their previous
+    * centroid (same determinism conventions as [[kmeansCentroids]]).
+    */
+  private def kmeansL2(
+      points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+    for (p <- points if init.size < k) if (seen.add(p.toSeq)) init += p
+    var centroids = init.toArray
+    val dim = points.head.length
+
+    def argminDist(p: Array[Double]): Int = {
+      var best = 0; var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < centroids.length) {
+        var d = 0.0; var i = 0
+        val cv = centroids(c)
+        while (i < dim) { val t = p(i) - cv(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      for (p <- points) {
+        val c = argminDist(p)
+        val s = sums(c); var i = 0
+        while (i < dim) { s(i) += p(i); i += 1 }
+        counts(c) += 1
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+      }
+    }
+    centroids
+  }
+
+  /** PQ codebooks: the vector space splits into `m` subspaces of dim/m
+    * dimensions, each with its own `ksub`-centroid L2 codebook trained on
+    * a bounded hash sample ([[hashSample]] — one sampling scan, Lloyd runs
+    * driver-side). Returned as m × ksub × (dim/m) floats that embed into
+    * plans as literals.
+    */
+  private[graft] def pqCodebooks(
+      corpus: DataFrame, id: String, vec: String,
+      m: Int, ksub: Int, iters: Int = 10,
+      samplesPerCentroid: Int = 64): Array[Array[Array[Float]]] = {
+    val sample = hashSample(corpus, id, vec, ksub * samplesPerCentroid)
+    require(sample.nonEmpty, "pq: corpus has no vectors")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pq: dim $dim is not divisible by m=$m subspaces")
+    val dsub = dim / m
+    (0 until m).map { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      kmeansL2(sub, ksub, iters).map(_.map(_.toFloat))
+    }.toArray
+  }
+
+  /** Per-subspace centroid scores for one vector: ||c||² − 2·x_j·c as
+    * (score, index) structs — rank-equivalent to the L2 distance from the
+    * j-th subvector to centroid c (the ||x_j||² term is constant per row).
+    * SHARED by encoding (argmin) and probe-side ADC tables so the two ends
+    * of the lookup can never disagree on the metric. The dot is the native
+    * codegen'd [[graft.functions.FloatVectorDot]] against a literal
+    * centroid.
+    */
+  private def pqSubspaceScores(
+      vec: Column, codebook: Array[Array[Float]], j: Int, dsub: Int): Seq[Column] = {
+    val sub = slice(vec, j * dsub + 1, dsub)
+    codebook.toSeq.map { c =>
+      val cNorm2 = c.map(x => x.toDouble * x).sum
+      lit(cNorm2) - lit(2.0) * graft.functions.VectorFunctions.float_vector_dot(
+        sub, typedlit(c))
+    }
+  }
+
+  /** Encode vectors as `m` small codes (array<int> column `_codes`): each
+    * subspace's argmin-distance centroid index, ties to the lowest index.
+    * Pure per-row expression — codebooks are plan literals, NO join, NO
+    * shuffle. At 64 dims × 4 bytes, m=8 codes compress the scan payload
+    * 32×; that compression is the whole point of PQ at 100 TB.
+    */
+  private[graft] def pqEncode(
+      df: DataFrame, vec: String,
+      codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    val codes = (0 until m).map { j =>
+      val scored = array(
+        pqSubspaceScores(col(vec), codebooks(j), j, dsub).zipWithIndex.map {
+          case (s, ci) => struct(s.as("s"), lit(ci).as("i"))
+        }: _*)
+      array_min(scored).getField("i")
+    }
+    df.withColumn("_codes", array(codes: _*))
+  }
+
+  /** PQ-ADC approximate top-k (asymmetric distance computation): probes
+    * precompute one ksub-entry score table per subspace (a per-row
+    * projection over the SMALL probe set), the encoded corpus streams
+    * through a broadcast join, and each (corpus row, probe) pair costs m
+    * array lookups + adds instead of a dim-length float loop. Candidates
+    * (rerankFactor × k per probe by ADC score) re-rank by exact cosine —
+    * both windows share the one qId exchange.
+    *
+    * The corpus is never shuffled; this is the compressed linear-scan ANN
+    * (the IVF list-pruning of [[ivfTopK]] composes with it at extreme
+    * scale — IVFADC — by ADC-scanning only the probed lists). On
+    * unit-normalized vectors ADC's L2 ordering equals the cosine ordering,
+    * so recall loss comes only from quantization error.
+    */
+  def pqTopK(
+      corpus: DataFrame, id: String, vec: String,
+      probes: DataFrame, qId: String, qVec: String,
+      k: Int, m: Int = 8, ksub: Int = 16, rerankFactor: Int = 4): DataFrame = {
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
+    val codebooks = pqCodebooks(corpus, id, vec, m, ksub)
+    val dsub = codebooks.head.head.length
+    val encoded = pqEncode(corpus, vec, codebooks)
+
+    val tableCols = (0 until m).map { j =>
+      array(pqSubspaceScores(col(qVec), codebooks(j), j, dsub): _*).as(s"_t$j")
+    }
+    val probeTables = probes.select(
+      col(qId) +: col(qVec) +: tableCols: _*)
+
+    val adc = (0 until m)
+      .map(j => element_at(col(s"_t$j"), element_at(col("_codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val pairs = encoded.crossJoin(broadcast(probeTables))
+      .filter(col(id) =!= col(qId))
+      .withColumn("_adc", adc)
+
+    val wAdc = Window.partitionBy(qId).orderBy(col("_adc").asc, col(id))
+    val wCos = Window.partitionBy(qId).orderBy(col("cosine").desc, col(id))
+    pairs
+      .withColumn("_rn", row_number().over(wAdc))
+      .filter(col("_rn") <= k * rerankFactor)
+      .withColumn("cosine", cosine(col(qVec), col(vec)))
+      .withColumn("rn", row_number().over(wCos))
+      .filter(col("rn") <= k)
+      .select(col(qId), col(id), col("cosine"))
+  }
+
   /** Approximate top-k: candidates are signature-bucket mates, ranked by
     * exact cosine within the bucket. One shuffle on the signature key; at
     * 100 TB use several independent signature tables (OR-amplification)

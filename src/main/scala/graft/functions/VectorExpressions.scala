@@ -105,9 +105,76 @@ case class FloatVectorCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native dot product between two `array<float>` columns — the building
+  * block product-quantization scoring needs (distance-to-centroid via
+  * ||c||² - 2·x·c against literal centroid arrays). Same conventions as
+  * [[FloatVectorCosine]]: left-to-right double accumulation, NULL on
+  * length mismatch.
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vector_dot"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += xs.getFloat(i).toDouble * ys.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $dot = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+          }
+          ${ev.value} = $dot;
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
 
   /** Column-level cosine similarity backed by the native expression. */
   def float_vector_cosine(a: Column, b: Column): Column =
     Bridge.column(FloatVectorCosine(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column-level dot product backed by the native expression. */
+  def float_vector_dot(a: Column, b: Column): Column =
+    Bridge.column(FloatVectorDot(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -181,6 +181,25 @@ object ExtensionQueries {
     },
     None)
 
+  /** PQ-ADC approximate top-k ([[Similarity.pqTopK]]): the compressed
+    * linear-scan ANN — corpus encoded to m small codes, probes carry
+    * per-subspace lookup tables, exact-cosine re-rank. Driver-trained
+    * codebooks use keyed xxhash64 sampling, so rows-only check; recall vs
+    * brute force is asserted in ScaleFeaturesSpec.
+    */
+  val qAnnPq = QueryDef(
+    "q_ann_pq",
+    (s, d) => {
+      val e = embs(s, d).select("vec_id", "embedding")
+      val probes = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.pqTopK(e, "vec_id", "embedding", probes, "q_id", "q_emb",
+          k = 10)
+        .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("q_id", "vec_id")
+    },
+    None)
+
   /** The composed corpus-preparation pipeline: exact fingerprint dedup →
     * MinHash-LSH near-dup dedup → multi-probe LSH ANN over the surviving
     * embeddings. Not SQL-expressible (keyed xxhash64 signature families);
@@ -399,7 +418,7 @@ object ExtensionQueries {
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupExactHash, qNgramJaccard, qDedupMinhash, qDedupClusters,
     qDedupSimhash, qDedupEmbed,
-    qEmbedCosineTopk, qAnnLsh, qAnnIvf, qTextTokens, qTextSubword, qTextQuality,
+    qEmbedCosineTopk, qAnnLsh, qAnnIvf, qAnnPq, qTextTokens, qTextSubword, qTextQuality,
     qTextRepetition, qLangId,
     qDocFingerprint, qDocWinnow, qMultimodalMeta, qHeavyHitters, qCorpusPipeline,
     qJsonlRoundtrip)

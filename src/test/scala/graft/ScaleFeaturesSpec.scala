@@ -114,6 +114,38 @@ class ScaleFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("PQ-ADC: valid codes, compressed scan recall, exact re-rank scores") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+    val cb = Similarity.pqCodebooks(e, "vec_id", "embedding", m = 8, ksub = 16)
+    assert(cb.length == 8 && cb.forall(_.length == 16) && cb.head.head.length == 8)
+    val codes = Similarity.pqEncode(e, "embedding", cb)
+      .select("_codes").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        probes, "q_id", "q_emb", 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(e, "vec_id", "embedding",
+        probes, "q_id", "q_emb", 10)
+      .select("q_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+    val recall = (pq.map(r => (r._1, r._2)).toSet & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall@10 too low: $recall")
+
+    // the emitted score is the EXACT cosine (re-ranked), not the ADC proxy
+    val exactScores = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        probes, "q_id", "q_emb", 200)
+      .select("q_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    pq.foreach { case (q, v, c) =>
+      exactScores.get((q, v)).foreach(ex => assert(math.abs(ex - c) < 1e-12)) }
+  }
+
   test("multi-table LSH recall dominates single-table at equal bits") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
