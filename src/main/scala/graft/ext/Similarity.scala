@@ -122,6 +122,9 @@ object Similarity {
   private def hashSample(
       corpus: DataFrame, id: String, vec: String, n: Int): Array[Array[Double]] =
     corpus.select(col(vec), xxhash64(col(id)).as("_h"))
+      // NULL vectors carry no geometry and would NPE the driver-side
+      // quantizer trainers — exclude them from the sample
+      .where(col(vec).isNotNull)
       .orderBy(col("_h"))
       .limit(n)
       .select(col(vec))
@@ -441,7 +444,11 @@ object Similarity {
       .filter(col(id) =!= col(qId))
       .withColumn("_adc", adc)
 
-    val wAdc = Window.partitionBy(qId).orderBy(col("_adc").asc, col(id))
+    // asc_nulls_LAST: a NULL embedding (or one whose length mismatches the
+    // trained dim — float_vector_dot yields NULL) must not flood the
+    // candidate slots of every probe; cosine desc below is null-safe by
+    // default (nulls sort last under desc).
+    val wAdc = Window.partitionBy(qId).orderBy(col("_adc").asc_nulls_last, col(id))
     val wCos = Window.partitionBy(qId).orderBy(col("cosine").desc, col(id))
     pairs
       .withColumn("_rn", row_number().over(wAdc))

@@ -98,12 +98,17 @@ object TextAnalysis {
 
   /** Consecutive word n-grams as an array column — one `transform` over
     * the start positions, each gram a codegen'd concat of `n` lookups.
+    * NULL for documents with fewer than n tokens (and NULL text): the
+    * guard keeps `sequence(0, negative)` unevaluated, which would
+    * otherwise produce a descending range whose index-0 lookup throws.
     */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
     val toks = tokens(text)
-    transform(sequence(lit(0), size(toks) - n), i =>
-      concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(lit(null))
   }
 
   /** Fraction of word n-grams that are repeat occurrences. NULL when the

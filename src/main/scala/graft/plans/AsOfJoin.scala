@@ -21,12 +21,15 @@ import org.apache.spark.sql.graft.Bridge
   * `SparkSessionExtensions` ([[graft.functions.GraftExtensions]]) or
   * post-hoc on a live session ([[AsOfJoin.ensureRegistered]]).
   *
-  * Semantics are identical to the composed form
-  * ([[graft.operators.TemporalJoins.asofJoin]], itself matching the
-  * reference's feature-as-of-time join semantics): for every left row,
-  * attach the LATEST right row with `rightTime <= leftTime` (inclusive) for
-  * the same key; several right rows tied on (key, time) resolve to the
-  * largest payload tuple; NULL keys/times never match.
+  * Semantics: for every left row, attach the LATEST right row with
+  * `rightTime <= leftTime` (inclusive) for the same key; several right
+  * rows tied on (key, time) resolve to the largest payload tuple. NULL
+  * keys/times never match — standard SQL equi-join semantics, the same
+  * thing DuckDB's ASOF JOIN (the oracle) does. Documented divergence from
+  * the composed form ([[graft.operators.TemporalJoins.asofJoin]]): that
+  * window formulation GROUPS NULL keys like any window partition, so on
+  * data with NULL join keys the two return different rows (on NULL-free
+  * keys/times they are identical — asserted in AsOfJoinExecSpec).
   *
   * Physical shape: `requiredChildDistribution` clusters both sides on the
   * key and `requiredChildOrdering` sorts each partition by (key, time) —
@@ -69,7 +72,12 @@ object AsOfJoinStrategy extends SparkStrategy {
 /** Sorted-merge as-of join. Children are clustered on the key and sorted by
   * (key, time) — plus the payload columns on the right, so ties at equal
   * (key, time) deterministically resolve to the LARGEST payload tuple, the
-  * same winner the window form's struct-max picks.
+  * same winner the window form's struct-max picks. Non-ORDERABLE payload
+  * columns (maps) are excluded from that tie-break sort: ties then fall to
+  * the remaining payload columns, and if ALL payload columns are
+  * unorderable the winner among exact (key, time) duplicates is
+  * partition-arrival order (the window form refuses such schemas outright
+  * — sorting a struct with a map field is an analysis error).
   */
 case class AsOfJoinExec(
     leftKey: Expression,
@@ -193,10 +201,15 @@ case class AsOfJoinExec(
 object AsOfJoin {
 
   /** Idempotently add [[AsOfJoinStrategy]] to a live session (the path for
-    * sessions built without `withExtensions`, e.g. the driver's).
+    * sessions built without `withExtensions`, e.g. the driver's). Checks
+    * the PLANNER's full strategy list, not just `experimental` — a session
+    * built with GraftExtensions already carries the strategy via the
+    * extension injection, and appending it again would plan every node
+    * twice.
     */
   def ensureRegistered(spark: SparkSession): Unit =
-    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+    if (!spark.sessionState.planner.strategies.contains(AsOfJoinStrategy) &&
+        !spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
 

@@ -271,8 +271,11 @@ object ExtensionQueries {
     "q_jsonl_roundtrip",
     (s, d) => {
       val src = docs(s, d)
-      // per-sf-dir path so concurrent bench/verify runs never collide
-      val path = s"/tmp/graft_jsonl_${java.lang.Integer.toHexString(d.hashCode)}"
+      // per-(sf-dir, process) path: concurrent queries in ONE session share
+      // a deterministic path, while a concurrently running second process
+      // (bench alongside verify) cannot overwrite the directory mid-read
+      val path = s"/tmp/graft_jsonl_${java.lang.Integer.toHexString(d.hashCode)}" +
+        s"_${ProcessHandle.current().pid()}"
       graft.sources.Sources.writeJsonl(src, path)
       graft.sources.Sources.jsonLinesWithSchema(s, path, src.schema)
         .orderBy("doc_id")

@@ -235,6 +235,18 @@ class ExtSpec extends SparkSpec {
     assert(!top.contains(3L)) // NULL text explodes to nothing (documented)
   }
 
+  test("wordNgrams: NULL (not a crash) for documents shorter than n tokens") {
+    val df = Seq((1L, Option("x y")), (2L, Option("a b c")),
+      (3L, None: Option[String])).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextAnalysis.wordNgrams(col("text"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).isEmpty) // 2 tokens < n: no gram, and no index-0 throw
+    assert(got(3L).isEmpty)
+    assert(got(2L).map(_.asInstanceOf[scala.collection.Seq[String]].toSeq)
+      == Some(Seq("a b c")))
+  }
+
   test("native dup-ngram fraction equals the HOF form on real docs and edge cases") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")

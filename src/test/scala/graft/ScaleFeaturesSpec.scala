@@ -144,6 +144,16 @@ class ScaleFeaturesSpec extends SparkSpec {
       .map(r => (r._1, r._2) -> r._3).toMap
     pq.foreach { case (q, v, c) =>
       exactScores.get((q, v)).foreach(ex => assert(math.abs(ex - c) < 1e-12)) }
+
+    // NULL/mis-dimensioned embeddings must not flood the candidate slots
+    // (NULL ADC scores sort LAST, not first)
+    val dirty = e.unionByName(Seq((90001L, null: Array[Float]))
+      .toDF("vec_id", "embedding"))
+    val dirtyTop = Similarity.pqTopK(dirty, "vec_id", "embedding",
+        probes, "q_id", "q_emb", 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+    assert(!dirtyTop.exists(_._2 == 90001L))
+    assert(dirtyTop.length == pq.length)
   }
 
   test("multi-table LSH recall dominates single-table at equal bits") {
