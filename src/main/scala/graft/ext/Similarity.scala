@@ -459,6 +459,72 @@ object Similarity {
       .select(col(qId), col(id), col("cosine"))
   }
 
+  /** IVFADC (Jégou et al. 2011 §IV): IVF coarse pruning composed with
+    * PQ-ADC scoring — probes scan only their `nProbe` nearest inverted
+    * lists AND each scanned candidate costs m table lookups instead of a
+    * dim-length float loop. This is the extreme-scale shape: list pruning
+    * bounds the fraction of the corpus touched, code compression bounds
+    * the bytes per touched row. Candidates re-rank by exact cosine
+    * (rerankFactor × k per probe). Simplification vs the paper: codes
+    * quantize the raw vectors, not per-list residuals — one codebook set
+    * serves all lists, at some quantization-error cost (documented
+    * tradeoff; the re-rank absorbs it at these rerank factors).
+    *
+    * Spilled list membership can surface a (probe, candidate) pair once
+    * per shared list; duplicates share the deterministic (_adc, id) sort
+    * position, so the same lag() trick as [[ivfTopK]] drops them inside
+    * the existing window — no extra shuffle.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, id: String, vec: String,
+      probes: DataFrame, qId: String, qVec: String,
+      k: Int, nCentroids: Int = 64, nProbe: Int = 8,
+      m: Int = 8, ksub: Int = 16, rerankFactor: Int = 4,
+      quantizer: String = "kmeans",
+      spillDelta: Double = 0.4, spillCap: Int = 6): DataFrame = {
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
+    val centroids = centroidsFor(corpus, id, vec, nCentroids, quantizer)
+    val codebooks = pqCodebooks(corpus, id, vec, m, ksub)
+    val dsub = codebooks.head.head.length
+
+    // encode BEFORE the spill-explode: codes are per-vector, computing
+    // them after multi-assignment would redo the m argmins per list copy
+    val coded = pqEncode(corpus, vec, codebooks)
+    val encoded = (
+      if (quantizer == "kmeans")
+        assignSpilled(coded, vec, centroids, spillDelta, spillCap)
+      else assignToCentroids(coded, vec, centroids))
+      .select(col(id), col(vec), col("_c_id"), col("_codes"))
+
+    val tableCols = (0 until m).map { j =>
+      array(pqSubspaceScores(col(qVec), codebooks(j), j, dsub): _*).as(s"_t$j")
+    }
+    val probeLists = probes
+      .withColumn("_cands", slice(rankedSims(col(qVec), centroids), 1, nProbe))
+      .withColumn("_cand", explode(col("_cands")))
+      .withColumn("_c_id", -col("_cand.negid"))
+      .select(col(qId) +: col(qVec) +: col("_c_id") +: tableCols: _*)
+
+    val adc = (0 until m)
+      .map(j => element_at(col(s"_t$j"), element_at(col("_codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val candidates = encoded.join(broadcast(probeLists), Seq("_c_id"))
+      .filter(col(id) =!= col(qId))
+      .withColumn("_adc", adc)
+
+    val wAdc = Window.partitionBy(qId).orderBy(col("_adc").asc_nulls_last, col(id))
+    val wCos = Window.partitionBy(qId).orderBy(col("cosine").desc, col(id))
+    candidates
+      .withColumn("_dup", lag(col(id), 1).over(wAdc) === col(id))
+      .filter(col("_dup").isNull || !col("_dup"))
+      .withColumn("_rn", row_number().over(wAdc))
+      .filter(col("_rn") <= k * rerankFactor)
+      .withColumn("cosine", cosine(col(qVec), col(vec)))
+      .withColumn("rn", row_number().over(wCos))
+      .filter(col("rn") <= k)
+      .select(col(qId), col(id), col("cosine"))
+  }
+
   /** Approximate top-k: candidates are signature-bucket mates, ranked by
     * exact cosine within the bucket. One shuffle on the signature key; at
     * 100 TB use several independent signature tables (OR-amplification)

@@ -200,6 +200,25 @@ object ExtensionQueries {
     },
     None)
 
+  /** IVFADC ([[Similarity.ivfPqTopK]]): IVF list pruning × PQ code
+    * compression — the extreme-scale ANN composition (bounded corpus
+    * fraction touched × bounded bytes per touched row). Rows-only
+    * (driver-trained codebooks/centroids); recall asserted in
+    * ScaleFeaturesSpec.
+    */
+  val qAnnIvfPq = QueryDef(
+    "q_ann_ivfpq",
+    (s, d) => {
+      val e = embs(s, d).select("vec_id", "embedding")
+      val probes = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.ivfPqTopK(e, "vec_id", "embedding", probes, "q_id", "q_emb",
+          k = 10, nCentroids = 32, nProbe = 8)
+        .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("q_id", "vec_id")
+    },
+    None)
+
   /** The composed corpus-preparation pipeline: exact fingerprint dedup →
     * MinHash-LSH near-dup dedup → multi-probe LSH ANN over the surviving
     * embeddings. Not SQL-expressible (keyed xxhash64 signature families);
@@ -421,7 +440,8 @@ object ExtensionQueries {
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupExactHash, qNgramJaccard, qDedupMinhash, qDedupClusters,
     qDedupSimhash, qDedupEmbed,
-    qEmbedCosineTopk, qAnnLsh, qAnnIvf, qAnnPq, qTextTokens, qTextSubword, qTextQuality,
+    qEmbedCosineTopk, qAnnLsh, qAnnIvf, qAnnPq, qAnnIvfPq,
+    qTextTokens, qTextSubword, qTextQuality,
     qTextRepetition, qLangId,
     qDocFingerprint, qDocWinnow, qMultimodalMeta, qHeavyHitters, qCorpusPipeline,
     qJsonlRoundtrip)

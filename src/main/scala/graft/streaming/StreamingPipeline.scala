@@ -160,4 +160,33 @@ object StreamingPipeline {
       .groupBy(col("user_id"), window(col("timestamp"), "1 day"))
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("window.start").as("day"), col("n"))
+
+  /** Streaming corpus intake — the LLM-pipeline extension operators on an
+    * unbounded document feed: per-document quality signals (token count,
+    * duplicate-token fraction, language id — the SAME stateless Column
+    * expressions batch uses, so signals cannot diverge between modes) →
+    * quality filter → exact-dup suppression by content fingerprint within
+    * the watermark horizon.
+    *
+    * State: `dropDuplicatesWithinWatermark` keyed on the 16-byte md5 — the
+    * minimal dedup state shape; the watermark bounds it to the horizon.
+    * Keeps the FIRST arrival (streaming cannot keep "last" — it may always
+    * still arrive). Documents failing the quality gate — including NULL
+    * text, which a corpus filter rightly drops, unlike the dedup operators
+    * where pass-through matters — never enter the dedup state at all: the
+    * filter runs first, so junk can't evict budget from real state.
+    */
+  def corpusIntakeStream(
+      docs: DataFrame, textCol: String = "text", tsCol: String = "ingest_ts",
+      minTokens: Long = 5, maxDupTokenFrac: Double = 0.6,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("n_tokens", graft.ext.TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("dup_token_frac", graft.ext.TextAnalysis.dupTokenFrac(col(textCol)))
+      .withColumn("lang_guess", graft.ext.TextAnalysis.languageId(col(textCol)))
+      .withColumn("fingerprint", graft.ext.TextAnalysis.fingerprint(col(textCol)))
+      .filter(col("n_tokens") >= minTokens &&
+        col("dup_token_frac") <= maxDupTokenFrac)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("fingerprint"))
 }

