@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus-curation sampling — the step that turns a cleaned
+  * corpus into a training mixture. Both operators order documents inside
+  * each stratum by `(md5(text), id)`: a pseudo-random but engine-portable
+  * and run-stable shuffle (md5 is bit-exact everywhere, so a DuckDB oracle
+  * can replay the exact sample — unlike rand(), and unlike xxhash64, which
+  * only Spark computes).
+  *
+  * Scale shape: both are one window over the stratum key — a single
+  * shuffle, partitioned by exactly the column a mixture is balanced on.
+  * Rank-limit pushdown (WindowGroupLimit) applies to the quota variant, so
+  * each partition drops beyond-quota rows before the exchange.
+  */
+object CorpusSampling {
+
+  private def strataOrder(text: String, id: String) =
+    Seq(md5(col(text)), col(id))
+
+  /** At most `quota` documents per stratum, deterministically
+    * pseudo-randomly chosen. NULL text sorts with md5(NULL) = NULL first —
+    * filter upstream if NULL documents shouldn't consume quota.
+    */
+  def stratifiedQuota(
+      df: DataFrame, stratum: String, text: String, id: String,
+      quota: Int): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1, got $quota")
+    val w = Window.partitionBy(stratum).orderBy(strataOrder(text, id): _*)
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= quota)
+      .drop("_rk")
+  }
+
+  /** Documents per stratum until a TOKEN budget fills: take documents in
+    * the deterministic pseudo-random order while the running token sum
+    * (including the current document) stays within `budget`. The running
+    * sum rides the same single window; emits `n_tokens` alongside the
+    * selection so downstream mixing can account for what it got.
+    */
+  def tokenBudget(
+      df: DataFrame, stratum: String, text: String, id: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = Window.partitionBy(stratum).orderBy(strataOrder(text, id): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", TextAnalysis.tokenCount(col(text)))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .filter(col("_cum") <= budget)
+      .drop("_cum")
+  }
+}

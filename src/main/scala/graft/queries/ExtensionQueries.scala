@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{CorpusPipeline, Dedup, Similarity, Sketches, TextAnalysis}
+import graft.ext.{CorpusPipeline, CorpusSampling, Dedup, Similarity, Sketches, TextAnalysis}
 import QueryDef.table
 
 /** North-star extension queries: dedup, similarity search, text analysis,
@@ -302,6 +302,44 @@ object ExtensionQueries {
     Some("""SELECT doc_id, text, lang, source, n_chars
             FROM documents ORDER BY doc_id"""))
 
+  /** Deterministic stratified sampling ([[CorpusSampling.stratifiedQuota]]):
+    * at most N docs per language, chosen by the engine-portable
+    * (md5(text), id) pseudo-random order — DuckDB replays the exact sample,
+    * so the oracle is a hash match, not a statistical test.
+    */
+  val qSampleStratified = QueryDef(
+    "q_sample_stratified",
+    (s, d) => CorpusSampling.stratifiedQuota(
+        docs(s, d), stratum = "lang", text = "text", id = "doc_id", quota = 50)
+      .select("doc_id", "lang")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY lang
+                                   ORDER BY md5(text), doc_id) AS rk
+              FROM documents) t
+            WHERE rk <= 50 ORDER BY doc_id"""))
+
+  /** Per-stratum token-budget packing ([[CorpusSampling.tokenBudget]]):
+    * documents in the same deterministic order while the running token sum
+    * stays within budget — the mixture-building primitive.
+    */
+  val qSampleTokenBudget = QueryDef(
+    "q_sample_token_budget",
+    (s, d) => CorpusSampling.tokenBudget(
+        docs(s, d), stratum = "lang", text = "text", id = "doc_id", budget = 2000L)
+      .select("doc_id", "lang", "n_tokens")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang, n_tokens FROM (
+              SELECT doc_id, lang,
+                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                  AS n_tokens,
+                sum(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
+                  OVER (PARTITION BY lang ORDER BY md5(text), doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+              FROM documents) t
+            WHERE cum <= 2000 ORDER BY doc_id"""))
+
   /** Gopher-style repetition quality signals
     * ([[TextAnalysis.dupTokenFrac]] / [[TextAnalysis.dupNgramFrac]] /
     * [[TextAnalysis.topTokenFrac]]): duplicate-token fraction, duplicate
@@ -444,5 +482,5 @@ object ExtensionQueries {
     qTextTokens, qTextSubword, qTextQuality,
     qTextRepetition, qLangId,
     qDocFingerprint, qDocWinnow, qMultimodalMeta, qHeavyHitters, qCorpusPipeline,
-    qJsonlRoundtrip)
+    qJsonlRoundtrip, qSampleStratified, qSampleTokenBudget)
 }

@@ -289,6 +289,35 @@ class ExtSpec extends SparkSpec {
     assert(e == Set(3L))
   }
 
+  test("stratified sampling: quota respected, deterministic, budget monotone") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang")
+
+    val s1 = graft.ext.CorpusSampling.stratifiedQuota(
+      real, "lang", "text", "doc_id", quota = 10)
+    val perLang = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perLang.values.forall(_ <= 10))
+    // determinism: a second run selects the identical sample
+    val again = graft.ext.CorpusSampling.stratifiedQuota(
+      real, "lang", "text", "doc_id", quota = 10)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == s1.select("doc_id").as[Long].collect().sorted.toSeq)
+    // plan: rank-limit pushdown keeps beyond-quota rows off the exchange
+    assert(s1.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+
+    val b = graft.ext.CorpusSampling.tokenBudget(
+      real, "lang", "text", "doc_id", budget = 500L)
+    val sums = b.groupBy("lang").agg(sum("n_tokens").as("s"))
+      .as[(String, Long)].collect().toMap
+    assert(sums.values.forall(_ <= 500L))
+    // a larger budget only ADDS documents (prefix property of the order)
+    val small = b.select("doc_id").as[Long].collect().toSet
+    val large = graft.ext.CorpusSampling.tokenBudget(
+      real, "lang", "text", "doc_id", budget = 1500L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(large))
+  }
+
   test("jsonl roundtrip preserves nulls, unicode, quotes, and newlines") {
     val df = Seq(
       (1L, Option("line1\nline2 é中文 \"quoted\" \\slash")),
