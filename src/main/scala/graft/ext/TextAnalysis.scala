@@ -144,6 +144,43 @@ object TextAnalysis {
       .groupBy(id)
       .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_token_frac"))
 
+  /** Token-window document chunking — the preprocessing step that turns
+    * long documents into trainable pieces: chunks of `chunkTokens`
+    * whitespace tokens, starts advancing by `stride` (stride < chunkTokens
+    * gives overlap). Start positions run while the previous window hasn't
+    * covered the tail, so every token lands in at least one chunk, no
+    * chunk is empty, and only the last chunk may be shorter. A document
+    * with fewer than `chunkTokens` tokens yields exactly one chunk (the
+    * whole document); NULL text yields no rows.
+    *
+    * One per-row `transform` + `explode` (lambda per CHUNK, not per
+    * token — the arrays move through bulk `slice`/`array_join`); NO
+    * shuffle. Output: (id, chunk_id, chunk_text, chunk_tokens).
+    */
+  def chunkByTokens(
+      df: DataFrame, id: String, text: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1,
+      s"chunkTokens and stride must be positive, got $chunkTokens/$stride")
+    val toks = tokens(col(text))
+    val n = size(toks)
+    // ((max(n - chunk, 0) + stride - 1) / stride) + 1, exact in doubles
+    // (token counts are far below 2^53)
+    val nChunks = (floor((greatest(n - chunkTokens, lit(0)) + lit(stride - 1))
+      / lit(stride)) + 1).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1), ci => {
+      val window = slice(toks, ci * stride + 1, lit(chunkTokens))
+      struct(ci.cast("long").as("chunk_id"),
+        array_join(window, " ").as("chunk_text"),
+        size(window).cast("long").as("chunk_tokens"))
+    })
+    // Explicit NULL-text guard: size(NULL) is -1 under the legacy flag, so
+    // the arithmetic alone would fabricate one garbage chunk for NULL
+    // documents instead of dropping them.
+    df.select(col(id),
+      inline(when(col(text).isNotNull, chunks).otherwise(lit(null))))
+  }
+
   /** Content fingerprint: md5 of the case/whitespace-normalized text.
     * Stable across engines (md5 is bit-exact everywhere), usable as an
     * exact-dedup key at any scale.

@@ -302,6 +302,29 @@ object ExtensionQueries {
     Some("""SELECT doc_id, text, lang, source, n_chars
             FROM documents ORDER BY doc_id"""))
 
+  /** Token-window chunking ([[TextAnalysis.chunkByTokens]]): 64-token
+    * chunks advancing by 48 (16-token overlap) — every token covered, last
+    * chunk may run short. Chunk text and counts hash-match the DuckDB
+    * replay, so the window arithmetic is pinned bit-exact.
+    */
+  val qDocChunks = QueryDef(
+    "q_doc_chunks",
+    (s, d) => TextAnalysis.chunkByTokens(docs(s, d), "doc_id", "text",
+        chunkTokens = 64, stride = 48)
+      .orderBy("doc_id", "chunk_id"),
+    Some("""WITH t AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l,
+                ((greatest(len(regexp_split_to_array(trim(text), '\s+')) - 64, 0)
+                  + 47) // 48) + 1 AS nch
+              FROM documents WHERE text IS NOT NULL)
+            SELECT doc_id, u.ci AS chunk_id,
+              array_to_string(list_slice(l, u.ci*48 + 1, u.ci*48 + 64), ' ')
+                AS chunk_text,
+              CAST(len(list_slice(l, u.ci*48 + 1, u.ci*48 + 64)) AS BIGINT)
+                AS chunk_tokens
+            FROM t, unnest(range(t.nch)) AS u(ci)
+            ORDER BY doc_id, chunk_id"""))
+
   /** Deterministic stratified sampling ([[CorpusSampling.stratifiedQuota]]):
     * at most N docs per language, chosen by the engine-portable
     * (md5(text), id) pseudo-random order — DuckDB replays the exact sample,
@@ -482,5 +505,5 @@ object ExtensionQueries {
     qTextTokens, qTextSubword, qTextQuality,
     qTextRepetition, qLangId,
     qDocFingerprint, qDocWinnow, qMultimodalMeta, qHeavyHitters, qCorpusPipeline,
-    qJsonlRoundtrip, qSampleStratified, qSampleTokenBudget)
+    qJsonlRoundtrip, qSampleStratified, qSampleTokenBudget, qDocChunks)
 }

@@ -289,6 +289,28 @@ class ExtSpec extends SparkSpec {
     assert(e == Set(3L))
   }
 
+  test("token chunking: coverage, overlap, short tail, short-doc and NULL edges") {
+    val df = Seq(
+      (1L, Option("t1 t2 t3 t4 t5 t6 t7")),
+      (2L, Option("a b")),                 // shorter than one chunk
+      (3L, None: Option[String])           // NULL -> no rows
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkByTokens(df, "doc_id", "text", chunkTokens = 3, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, "t1 t2 t3", 3L),
+      (1L, 1L, "t3 t4 t5", 3L),
+      (1L, 2L, "t5 t6 t7", 3L),
+      (2L, 0L, "a b", 2L)))
+
+    // reconstruction: stride == chunkTokens (no overlap) concatenates back
+    val whole = TextAnalysis.chunkByTokens(df.filter(col("doc_id") === 1),
+        "doc_id", "text", chunkTokens = 3, stride = 3)
+      .orderBy("chunk_id").collect().map(_.getString(2)).mkString(" ")
+    assert(whole == "t1 t2 t3 t4 t5 t6 t7")
+  }
+
   test("stratified sampling: quota respected, deterministic, budget monotone") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text", "lang")
