@@ -408,6 +408,54 @@ object Similarity {
     df.withColumn("_codes", array(codes: _*))
   }
 
+  /** Per-subspace ADC score-table columns `_t0.._t{m-1}` for a probe
+    * vector — SHARED by [[pqTopK]] and [[ivfPqTopK]] so the table layout
+    * cannot diverge between the two consumers.
+    */
+  private def pqProbeTableCols(
+      qVec: String, codebooks: Array[Array[Array[Float]]]): Seq[Column] = {
+    val dsub = codebooks.head.head.length
+    codebooks.indices.map { j =>
+      array(pqSubspaceScores(col(qVec), codebooks(j), j, dsub): _*).as(s"_t$j")
+    }
+  }
+
+  /** The ADC score: m table lookups + adds per (corpus row, probe) pair —
+    * the shared other end of [[pqProbeTableCols]].
+    */
+  private def pqAdcScore(m: Int): Column = (0 until m)
+    .map(j => element_at(col(s"_t$j"), element_at(col("_codes"), j + 1) + 1))
+    .reduce(_ + _)
+
+  /** Shared ADC-candidate re-rank tail: top rerankFactor×k per probe by
+    * ADC score, then exact-cosine top-k — both windows share the one qId
+    * exchange. asc_nulls_LAST on the ADC order: a NULL embedding (or one
+    * whose length mismatches the trained dim — float_vector_dot yields
+    * NULL) must not flood the candidate slots of every probe; cosine desc
+    * is null-safe by default (nulls sort last under desc).
+    * `dedupSpilled` drops duplicate pairs from spilled multi-list
+    * membership via lag() inside the same window (duplicates share the
+    * deterministic (_adc, id) position, so they are adjacent).
+    */
+  private def adcRerank(
+      cands: DataFrame, qId: String, id: String, vec: String, qVec: String,
+      k: Int, rerankFactor: Int, dedupSpilled: Boolean): DataFrame = {
+    val wAdc = Window.partitionBy(qId).orderBy(col("_adc").asc_nulls_last, col(id))
+    val wCos = Window.partitionBy(qId).orderBy(col("cosine").desc, col(id))
+    val base =
+      if (dedupSpilled) cands
+        .withColumn("_dup", lag(col(id), 1).over(wAdc) === col(id))
+        .filter(col("_dup").isNull || !col("_dup"))
+      else cands
+    base
+      .withColumn("_rn", row_number().over(wAdc))
+      .filter(col("_rn") <= k * rerankFactor)
+      .withColumn("cosine", cosine(col(qVec), col(vec)))
+      .withColumn("rn", row_number().over(wCos))
+      .filter(col("rn") <= k)
+      .select(col(qId), col(id), col("cosine"))
+  }
+
   /** PQ-ADC approximate top-k (asymmetric distance computation): probes
     * precompute one ksub-entry score table per subspace (a per-row
     * projection over the SMALL probe set), the encoded corpus streams
@@ -418,7 +466,7 @@ object Similarity {
     *
     * The corpus is never shuffled; this is the compressed linear-scan ANN
     * (the IVF list-pruning of [[ivfTopK]] composes with it at extreme
-    * scale — IVFADC — by ADC-scanning only the probed lists). On
+    * scale — [[ivfPqTopK]] — by ADC-scanning only the probed lists). On
     * unit-normalized vectors ADC's L2 ordering equals the cosine ordering,
     * so recall loss comes only from quantization error.
     */
@@ -428,35 +476,13 @@ object Similarity {
       k: Int, m: Int = 8, ksub: Int = 16, rerankFactor: Int = 4): DataFrame = {
     require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
     val codebooks = pqCodebooks(corpus, id, vec, m, ksub)
-    val dsub = codebooks.head.head.length
     val encoded = pqEncode(corpus, vec, codebooks)
-
-    val tableCols = (0 until m).map { j =>
-      array(pqSubspaceScores(col(qVec), codebooks(j), j, dsub): _*).as(s"_t$j")
-    }
     val probeTables = probes.select(
-      col(qId) +: col(qVec) +: tableCols: _*)
-
-    val adc = (0 until m)
-      .map(j => element_at(col(s"_t$j"), element_at(col("_codes"), j + 1) + 1))
-      .reduce(_ + _)
+      col(qId) +: col(qVec) +: pqProbeTableCols(qVec, codebooks): _*)
     val pairs = encoded.crossJoin(broadcast(probeTables))
       .filter(col(id) =!= col(qId))
-      .withColumn("_adc", adc)
-
-    // asc_nulls_LAST: a NULL embedding (or one whose length mismatches the
-    // trained dim — float_vector_dot yields NULL) must not flood the
-    // candidate slots of every probe; cosine desc below is null-safe by
-    // default (nulls sort last under desc).
-    val wAdc = Window.partitionBy(qId).orderBy(col("_adc").asc_nulls_last, col(id))
-    val wCos = Window.partitionBy(qId).orderBy(col("cosine").desc, col(id))
-    pairs
-      .withColumn("_rn", row_number().over(wAdc))
-      .filter(col("_rn") <= k * rerankFactor)
-      .withColumn("cosine", cosine(col(qVec), col(vec)))
-      .withColumn("rn", row_number().over(wCos))
-      .filter(col("rn") <= k)
-      .select(col(qId), col(id), col("cosine"))
+      .withColumn("_adc", pqAdcScore(m))
+    adcRerank(pairs, qId, id, vec, qVec, k, rerankFactor, dedupSpilled = false)
   }
 
   /** IVFADC (Jégou et al. 2011 §IV): IVF coarse pruning composed with
@@ -485,7 +511,6 @@ object Similarity {
     require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
     val centroids = centroidsFor(corpus, id, vec, nCentroids, quantizer)
     val codebooks = pqCodebooks(corpus, id, vec, m, ksub)
-    val dsub = codebooks.head.head.length
 
     // encode BEFORE the spill-explode: codes are per-vector, computing
     // them after multi-assignment would redo the m argmins per list copy
@@ -496,33 +521,21 @@ object Similarity {
       else assignToCentroids(coded, vec, centroids))
       .select(col(id), col(vec), col("_c_id"), col("_codes"))
 
-    val tableCols = (0 until m).map { j =>
-      array(pqSubspaceScores(col(qVec), codebooks(j), j, dsub): _*).as(s"_t$j")
-    }
+    // score tables projected BEFORE the nProbe explode: they depend only
+    // on the probe vector, so computing them per probed LIST would redo
+    // (and broadcast) the m×ksub dots nProbe times per probe
     val probeLists = probes
-      .withColumn("_cands", slice(rankedSims(col(qVec), centroids), 1, nProbe))
+      .select(col(qId) +: col(qVec) +:
+        slice(rankedSims(col(qVec), centroids), 1, nProbe).as("_cands") +:
+        pqProbeTableCols(qVec, codebooks): _*)
       .withColumn("_cand", explode(col("_cands")))
       .withColumn("_c_id", -col("_cand.negid"))
-      .select(col(qId) +: col(qVec) +: col("_c_id") +: tableCols: _*)
+      .drop("_cands", "_cand")
 
-    val adc = (0 until m)
-      .map(j => element_at(col(s"_t$j"), element_at(col("_codes"), j + 1) + 1))
-      .reduce(_ + _)
     val candidates = encoded.join(broadcast(probeLists), Seq("_c_id"))
       .filter(col(id) =!= col(qId))
-      .withColumn("_adc", adc)
-
-    val wAdc = Window.partitionBy(qId).orderBy(col("_adc").asc_nulls_last, col(id))
-    val wCos = Window.partitionBy(qId).orderBy(col("cosine").desc, col(id))
-    candidates
-      .withColumn("_dup", lag(col(id), 1).over(wAdc) === col(id))
-      .filter(col("_dup").isNull || !col("_dup"))
-      .withColumn("_rn", row_number().over(wAdc))
-      .filter(col("_rn") <= k * rerankFactor)
-      .withColumn("cosine", cosine(col(qVec), col(vec)))
-      .withColumn("rn", row_number().over(wCos))
-      .filter(col("rn") <= k)
-      .select(col(qId), col(id), col("cosine"))
+      .withColumn("_adc", pqAdcScore(m))
+    adcRerank(candidates, qId, id, vec, qVec, k, rerankFactor, dedupSpilled = true)
   }
 
   /** Approximate top-k: candidates are signature-bucket mates, ranked by

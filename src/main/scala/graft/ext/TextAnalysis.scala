@@ -162,6 +162,11 @@ object TextAnalysis {
       chunkTokens: Int, stride: Int): DataFrame = {
     require(chunkTokens >= 1 && stride >= 1,
       s"chunkTokens and stride must be positive, got $chunkTokens/$stride")
+    // stride > chunkTokens would SKIP tokens between windows and emit
+    // empty tail chunks — the documented invariants hold only for
+    // overlapping-or-adjacent windows
+    require(stride <= chunkTokens,
+      s"stride ($stride) must be <= chunkTokens ($chunkTokens)")
     val toks = tokens(col(text))
     val n = size(toks)
     // ((max(n - chunk, 0) + stride - 1) / stride) + 1, exact in doubles

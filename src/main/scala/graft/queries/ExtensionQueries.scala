@@ -339,7 +339,7 @@ object ExtensionQueries {
     Some("""SELECT doc_id, lang FROM (
               SELECT doc_id, lang,
                 row_number() OVER (PARTITION BY lang
-                                   ORDER BY md5(text), doc_id) AS rk
+                                   ORDER BY md5(text) NULLS FIRST, doc_id) AS rk
               FROM documents) t
             WHERE rk <= 50 ORDER BY doc_id"""))
 
@@ -358,7 +358,7 @@ object ExtensionQueries {
                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
                   AS n_tokens,
                 sum(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
-                  OVER (PARTITION BY lang ORDER BY md5(text), doc_id
+                  OVER (PARTITION BY lang ORDER BY md5(text) NULLS FIRST, doc_id
                         ROWS UNBOUNDED PRECEDING) AS cum
               FROM documents) t
             WHERE cum <= 2000 ORDER BY doc_id"""))
