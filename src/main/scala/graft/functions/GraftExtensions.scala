@@ -72,6 +72,13 @@ object GraftFunctions {
       FloatVectorCosine(exprs.head, exprs(1))
     }
 
+  private val floatVectorDotDescriptor =
+    descriptor("float_vector_dot", classOf[FloatVectorDot],
+      "_FUNC_(a, b) - dot product of two array<float> vectors") { exprs =>
+      arity("float_vector_dot", exprs, 2)
+      FloatVectorDot(exprs.head, exprs(1))
+    }
+
   private val winnowDescriptor =
     descriptor("graft_winnow_fingerprints", classOf[WinnowFingerprints],
       "_FUNC_(text[, k, w]) - winnowed k-gram fingerprint array") { exprs =>
@@ -114,7 +121,8 @@ object GraftFunctions {
 
   private[functions] val descriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    floatVectorCosineDescriptor +: winnowDescriptor +: macroDescriptors
+    floatVectorCosineDescriptor +: floatVectorDotDescriptor +:
+      winnowDescriptor +: macroDescriptors
 
   /** Register the engine's SQL functions on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -61,4 +61,12 @@ class SqlFunctionsSpec extends SparkSpec {
         "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").collect()
     assert(r.head.getDouble(0) == 1.0)
   }
+
+  test("float_vector_dot registered: known dot product via SQL") {
+    ready
+    val r = spark.sql(
+      "SELECT float_vector_dot(array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)), " +
+        "array(CAST(4.0 AS FLOAT), CAST(5.0 AS FLOAT)))").collect()
+    assert(r.head.getDouble(0) == 23.0)
+  }
 }
