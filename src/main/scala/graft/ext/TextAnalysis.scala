@@ -144,6 +144,42 @@ object TextAnalysis {
       .groupBy(id)
       .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_token_frac"))
 
+  /** MOSS-style copy-detection candidate pairs: documents sharing at least
+    * `minShared` winnowed fingerprints. The fingerprint table (native
+    * expression, no shuffle) self-joins on the fingerprint key, so
+    * candidates are fingerprint-bucket mates only — the winnowing
+    * guarantee makes this a GUARANTEED-recall candidate set for pairs
+    * sharing any substring of length >= k + w - 1 (among fingerprints
+    * under the frequency cap). A fingerprint shared by B docs yields B²
+    * pairs, so `maxDocFreq` prunes ubiquitous boilerplate fingerprints
+    * BEFORE pairing — the standard MOSS treatment: a fingerprint in
+    * hundreds of documents identifies boilerplate, not copying, and on a
+    * near-dup-heavy corpus the cap is the difference between a bounded
+    * candidate set and a quadratic blowup. Like
+    * [[graft.ext.Dedup.ngramJaccardPairs]], this remains the verify stage
+    * after coarser dedup at scale.
+    */
+  def winnowCandidatePairs(
+      df: DataFrame, id: String, text: String,
+      k: Int = 8, w: Int = 4, minShared: Int = 2,
+      maxDocFreq: Int = 20): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDocFreq >= 2, s"maxDocFreq must be >= 2, got $maxDocFreq")
+    val fps = winnowFingerprintsNative(df, id, text, k, w)
+    val rare = fps.groupBy("fingerprint")
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDocFreq)
+      .select("fingerprint")
+    val kept = fps.join(rare, Seq("fingerprint"))
+      .select(col("fingerprint"), col(id))
+    val a = kept.toDF("fingerprint", "id1")
+    val b = kept.toDF("fingerprint", "id2")
+    a.join(b, Seq("fingerprint"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Token-window document chunking — the preprocessing step that turns
     * long documents into trainable pieces: chunks of `chunkTokens`
     * whitespace tokens, starts advancing by `stride` (stride < chunkTokens

@@ -302,6 +302,18 @@ object ExtensionQueries {
     Some("""SELECT doc_id, text, lang, source, n_chars
             FROM documents ORDER BY doc_id"""))
 
+  /** Winnowing copy-detection pairs ([[TextAnalysis.winnowCandidatePairs]]):
+    * documents sharing >= 3 local fingerprints — guaranteed recall for
+    * shared substrings of length >= k+w-1. xxhash64 fingerprints are
+    * engine-specific, so rows-only; the guarantee is asserted in ExtSpec.
+    */
+  val qWinnowPairs = QueryDef(
+    "q_winnow_pairs",
+    (s, d) => TextAnalysis.winnowCandidatePairs(docs(s, d), "doc_id", "text",
+        minShared = 3)
+      .orderBy("id1", "id2"),
+    None)
+
   /** Token-window chunking ([[TextAnalysis.chunkByTokens]]): 64-token
     * chunks advancing by 48 (16-token overlap) — every token covered, last
     * chunk may run short. Chunk text and counts hash-match the DuckDB
@@ -505,5 +517,6 @@ object ExtensionQueries {
     qTextTokens, qTextSubword, qTextQuality,
     qTextRepetition, qLangId,
     qDocFingerprint, qDocWinnow, qMultimodalMeta, qHeavyHitters, qCorpusPipeline,
-    qJsonlRoundtrip, qSampleStratified, qSampleTokenBudget, qDocChunks)
+    qJsonlRoundtrip, qSampleStratified, qSampleTokenBudget, qDocChunks,
+    qWinnowPairs)
 }

@@ -289,6 +289,19 @@ class ExtSpec extends SparkSpec {
     assert(e == Set(3L))
   }
 
+  test("winnow copy-detection pairs: shared-substring docs pair, disjoint don't") {
+    val shared = "a very long shared passage that both documents quote verbatim"
+    val df = Seq(
+      (1L, s"first document intro. $shared. first outro."),
+      (2L, s"second document begins differently yet contains $shared inside."),
+      (3L, "a completely unrelated text with no overlap whatsoever at all"))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowCandidatePairs(df, "doc_id", "text", minShared = 2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // winnowing guarantee: long shared substring
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("token chunking: coverage, overlap, short tail, short-doc and NULL edges") {
     val df = Seq(
       (1L, Option("t1 t2 t3 t4 t5 t6 t7")),

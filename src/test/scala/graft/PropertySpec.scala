@@ -138,4 +138,33 @@ class PropertySpec extends SparkSpec {
       assert(out.filter(col("event_id").isNull).count() === 0)
     }
   }
+
+  test("chunking invariants: full coverage, no empty chunks, order reconstructs") {
+    val paramsGen = for {
+      nTokens <- Gen.choose(1, 40)
+      chunk <- Gen.choose(1, 12)
+      stride <- Gen.choose(1, chunk) // stride <= chunkTokens (enforced)
+    } yield (nTokens, chunk, stride)
+    forAll(paramsGen, n = 12) { case (nTokens, chunk, stride) =>
+      val text = (1 to nTokens).map(i => s"t$i").mkString(" ")
+      val chunks = TextAnalysis.chunkByTokens(
+          Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", chunk, stride)
+        .orderBy("chunk_id")
+        .select("chunk_text", "chunk_tokens")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      // no empty chunks; only the last may run short
+      assert(chunks.forall(_._2 >= 1))
+      assert(chunks.init.forall(_._2 == chunk))
+      // every token covered, in order, exactly matching its chunk window
+      val covered = chunks.flatMap(_._1.split(" ")).toSet
+      assert(covered == (1 to nTokens).map(i => s"t$i").toSet,
+        s"n=$nTokens chunk=$chunk stride=$stride")
+      chunks.zipWithIndex.foreach { case ((ct, _), ci) =>
+        val start = ci * stride
+        val expected = (start until math.min(start + chunk, nTokens))
+          .map(i => s"t${i + 1}").mkString(" ")
+        assert(ct == expected, s"chunk $ci of n=$nTokens chunk=$chunk stride=$stride")
+      }
+    }
+  }
 }
