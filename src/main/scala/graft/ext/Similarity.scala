@@ -149,13 +149,24 @@ object Similarity {
   private[graft] def kmeansCentroids(
       corpus: DataFrame, id: String, vec: String,
       nCentroids: Int, iters: Int = 8,
-      samplesPerCentroid: Int = 32): Array[(Long, Array[Float])] = {
+      samplesPerCentroid: Int = 32): Array[(Long, Array[Float])] =
+    kmeansCentroidsFromSample(
+      hashSample(corpus, id, vec, nCentroids * samplesPerCentroid),
+      nCentroids, iters)
+
+  /** Trainer over an ALREADY-DRAWN hash sample — hash-ordered samples are
+    * prefix-stable (a size-n draw is the prefix of any larger draw), so
+    * composed consumers ([[ivfPqTopK]]) draw ONE sample and hand each
+    * trainer its prefix instead of paying one corpus scan per trainer.
+    */
+  private[graft] def kmeansCentroidsFromSample(
+      rawSample: Array[Array[Double]],
+      nCentroids: Int, iters: Int = 8): Array[(Long, Array[Float])] = {
     def normalize(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0.0) null else v.map(_ / n)
     }
-    val sample = hashSample(corpus, id, vec, nCentroids * samplesPerCentroid)
-      .map(normalize).filter(_ != null)
+    val sample = rawSample.map(normalize).filter(_ != null)
     require(sample.nonEmpty, "k-means quantizer: corpus has no non-zero vectors")
 
     // init: first k distinct unit vectors of the hash-shuffled sample
@@ -357,8 +368,16 @@ object Similarity {
   private[graft] def pqCodebooks(
       corpus: DataFrame, id: String, vec: String,
       m: Int, ksub: Int, iters: Int = 10,
-      samplesPerCentroid: Int = 64): Array[Array[Array[Float]]] = {
-    val sample = hashSample(corpus, id, vec, ksub * samplesPerCentroid)
+      samplesPerCentroid: Int = 64): Array[Array[Array[Float]]] =
+    pqCodebooksFromSample(
+      hashSample(corpus, id, vec, ksub * samplesPerCentroid), m, ksub, iters)
+
+  /** Codebook trainer over an already-drawn hash sample — see
+    * [[kmeansCentroidsFromSample]] for the shared-draw rationale.
+    */
+  private[graft] def pqCodebooksFromSample(
+      sample: Array[Array[Double]],
+      m: Int, ksub: Int, iters: Int = 10): Array[Array[Array[Float]]] = {
     require(sample.nonEmpty, "pq: corpus has no vectors")
     val dim = sample.head.length
     require(dim % m == 0, s"pq: dim $dim is not divisible by m=$m subspaces")
@@ -509,8 +528,18 @@ object Similarity {
       quantizer: String = "kmeans",
       spillDelta: Double = 0.4, spillCap: Int = 6): DataFrame = {
     require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
-    val centroids = centroidsFor(corpus, id, vec, nCentroids, quantizer)
-    val codebooks = pqCodebooks(corpus, id, vec, m, ksub)
+    // ONE sampling scan feeds BOTH trainers (hash samples are
+    // prefix-stable, so each trainer sees exactly the draw it would have
+    // made itself) — at corpus scale each extra hashSample is a full pass
+    val (centroids, codebooks) =
+      if (quantizer == "kmeans") {
+        val sample = hashSample(corpus, id, vec,
+          math.max(nCentroids * 32, ksub * 64))
+        (kmeansCentroidsFromSample(sample.take(nCentroids * 32), nCentroids),
+          pqCodebooksFromSample(sample.take(ksub * 64), m, ksub))
+      } else
+        (centroidsFor(corpus, id, vec, nCentroids, quantizer),
+          pqCodebooks(corpus, id, vec, m, ksub))
 
     // encode BEFORE the spill-explode: codes are per-vector, computing
     // them after multi-assignment would redo the m argmins per list copy
