@@ -186,4 +186,37 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 4, s"too many exchanges ($exchanges):\n${p.take(3000)}")
   }
+
+  test("native winnowing plan: explode of the expression, no window, one exchange") {
+    val p = planOfText("q_doc_winnow")
+    assert(p.contains("winnow_fingerprints"), p.take(2000))
+    assert(!p.contains("Window"), "winnowing regressed to the per-gram window form")
+    // only the groupBy(doc_id) exchange — gram rows never shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p.take(3000))
+  }
+
+  test("PQ-ADC plan: corpus streams through a broadcast cross join, no sort-merge") {
+    val p = planOfText("q_ann_pq")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), "PQ scan degraded to a shuffle join")
+    // rank-limit pushdown trims ADC candidates BEFORE the qId exchange
+    assert(p.contains("Partial"), "no partial WindowGroupLimit before the shuffle")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"both re-rank windows must share one qId exchange:\n${p.take(3000)}")
+  }
+
+  test("chunking plan: one generate, zero hash exchanges") {
+    val p = planOfText("q_doc_chunks")
+    assert(p.contains("Generate inline"), p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle:\n${p.take(3000)}")
+  }
+
+  // FINAL adaptive plan only — the rendered string appends the initial
+  // plan too, which would double-count every node in the assertions
+  private def planOfText(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // finalize the adaptive plan
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
 }
