@@ -35,6 +35,17 @@ object CorpusSampling {
       .drop("_rk")
   }
 
+  /** Running token sum per stratum in the deterministic order — shared by
+    * both budget variants so the selection order cannot diverge.
+    */
+  private def cumTokens(
+      df: DataFrame, stratum: String, text: String, id: String): DataFrame = {
+    val w = Window.partitionBy(stratum).orderBy(strataOrder(text, id): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", TextAnalysis.tokenCount(col(text)))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+  }
+
   /** Documents per stratum until a TOKEN budget fills: take documents in
     * the deterministic pseudo-random order while the running token sum
     * (including the current document) stays within `budget`. The running
@@ -45,11 +56,28 @@ object CorpusSampling {
       df: DataFrame, stratum: String, text: String, id: String,
       budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
-    val w = Window.partitionBy(stratum).orderBy(strataOrder(text, id): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("n_tokens", TextAnalysis.tokenCount(col(text)))
-      .withColumn("_cum", sum(col("n_tokens")).over(w))
+    cumTokens(df, stratum, text, id)
       .filter(col("_cum") <= budget)
+      .drop("_cum")
+  }
+
+  /** Training-mixture budgets: each stratum gets its OWN token budget from
+    * the weight map (e.g. a 70/20/10 language mix as absolute token
+    * counts). Strata absent from the map contribute NOTHING — a mixture
+    * spec is a whitelist, and a silently-included surprise language is
+    * worse than a dropped one. Same single window as [[tokenBudget]]; the
+    * per-stratum cap is a literal-map lookup, so the plan stays one
+    * shuffle with no join.
+    */
+  def tokenBudgetByStratum(
+      df: DataFrame, stratum: String, text: String, id: String,
+      budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "budgets must not be empty")
+    require(budgets.values.forall(_ >= 1),
+      s"every budget must be >= 1, got $budgets")
+    // try_element_at: missing key -> NULL -> comparison NULL -> filtered
+    cumTokens(df, stratum, text, id)
+      .filter(col("_cum") <= try_element_at(typedlit(budgets), col(stratum)))
       .drop("_cum")
   }
 }

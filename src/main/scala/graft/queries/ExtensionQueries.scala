@@ -302,6 +302,32 @@ object ExtensionQueries {
     Some("""SELECT doc_id, text, lang, source, n_chars
             FROM documents ORDER BY doc_id"""))
 
+  /** Weighted mixture sampling ([[CorpusSampling.tokenBudgetByStratum]]):
+    * per-language token budgets as a literal map — the training-mixture
+    * primitive. Strata outside the map (fr, zh here) are excluded by
+    * design. The oracle replays the map as a CASE expression over the same
+    * deterministic order.
+    */
+  val qSampleMixture = QueryDef(
+    "q_sample_mixture",
+    (s, d) => CorpusSampling.tokenBudgetByStratum(
+        docs(s, d), stratum = "lang", text = "text", id = "doc_id",
+        budgets = Map("en" -> 3000L, "es" -> 1000L, "de" -> 500L))
+      .select("doc_id", "lang", "n_tokens")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, lang, n_tokens FROM (
+              SELECT doc_id, lang,
+                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                  AS n_tokens,
+                sum(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT))
+                  OVER (PARTITION BY lang ORDER BY md5(text) NULLS FIRST, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+              FROM documents) t
+            WHERE cum <= CASE lang WHEN 'en' THEN 3000
+                                   WHEN 'es' THEN 1000
+                                   WHEN 'de' THEN 500 END
+            ORDER BY doc_id"""))
+
   /** Winnowing copy-detection pairs ([[TextAnalysis.winnowCandidatePairs]]):
     * documents sharing >= 3 local fingerprints — guaranteed recall for
     * shared substrings of length >= k+w-1. xxhash64 fingerprints are
@@ -517,6 +543,6 @@ object ExtensionQueries {
     qTextTokens, qTextSubword, qTextQuality,
     qTextRepetition, qLangId,
     qDocFingerprint, qDocWinnow, qMultimodalMeta, qHeavyHitters, qCorpusPipeline,
-    qJsonlRoundtrip, qSampleStratified, qSampleTokenBudget, qDocChunks,
-    qWinnowPairs)
+    qJsonlRoundtrip, qSampleStratified, qSampleTokenBudget, qSampleMixture,
+    qDocChunks, qWinnowPairs)
 }

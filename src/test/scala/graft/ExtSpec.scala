@@ -351,6 +351,20 @@ class ExtSpec extends SparkSpec {
       real, "lang", "text", "doc_id", budget = 1500L)
       .select("doc_id").as[Long].collect().toSet
     assert(small.subsetOf(large))
+
+    // weighted mixture: per-stratum caps hold, unlisted strata excluded,
+    // and a uniform map equals the single-budget form
+    val mix = graft.ext.CorpusSampling.tokenBudgetByStratum(
+      real, "lang", "text", "doc_id", Map("en" -> 800L, "de" -> 300L))
+    val mixSums = mix.groupBy("lang").agg(sum("n_tokens").as("s"))
+      .as[(String, Long)].collect().toMap
+    assert(mixSums.keySet.subsetOf(Set("en", "de")))
+    assert(mixSums.getOrElse("en", 0L) <= 800L && mixSums.getOrElse("de", 0L) <= 300L)
+    val uniformMap = graft.ext.CorpusSampling.tokenBudgetByStratum(
+      real, "lang", "text", "doc_id",
+      real.select("lang").distinct().as[String].collect().map(_ -> 500L).toMap)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(uniformMap == b.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
   test("jsonl roundtrip preserves nulls, unicode, quotes, and newlines") {
