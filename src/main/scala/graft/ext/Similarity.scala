@@ -146,10 +146,18 @@ object Similarity {
     * the property that matters at 100 TB, where one dense list is a hot
     * partition and a cold cache.
     */
+  /** Default sample sizes per centroid — referenced by BOTH the trainer
+    * defaults and [[ivfPqTopK]]'s shared draw, so the "each trainer sees
+    * exactly its own draw" equivalence cannot silently break when a
+    * default changes.
+    */
+  private[graft] val KmeansSamplesPerCentroid = 32
+  private[graft] val PqSamplesPerCentroid = 64
+
   private[graft] def kmeansCentroids(
       corpus: DataFrame, id: String, vec: String,
       nCentroids: Int, iters: Int = 8,
-      samplesPerCentroid: Int = 32): Array[(Long, Array[Float])] =
+      samplesPerCentroid: Int = KmeansSamplesPerCentroid): Array[(Long, Array[Float])] =
     kmeansCentroidsFromSample(
       hashSample(corpus, id, vec, nCentroids * samplesPerCentroid),
       nCentroids, iters)
@@ -368,7 +376,7 @@ object Similarity {
   private[graft] def pqCodebooks(
       corpus: DataFrame, id: String, vec: String,
       m: Int, ksub: Int, iters: Int = 10,
-      samplesPerCentroid: Int = 64): Array[Array[Array[Float]]] =
+      samplesPerCentroid: Int = PqSamplesPerCentroid): Array[Array[Array[Float]]] =
     pqCodebooksFromSample(
       hashSample(corpus, id, vec, ksub * samplesPerCentroid), m, ksub, iters)
 
@@ -533,10 +541,11 @@ object Similarity {
     // made itself) — at corpus scale each extra hashSample is a full pass
     val (centroids, codebooks) =
       if (quantizer == "kmeans") {
-        val sample = hashSample(corpus, id, vec,
-          math.max(nCentroids * 32, ksub * 64))
-        (kmeansCentroidsFromSample(sample.take(nCentroids * 32), nCentroids),
-          pqCodebooksFromSample(sample.take(ksub * 64), m, ksub))
+        val kmeansN = nCentroids * KmeansSamplesPerCentroid
+        val pqN = ksub * PqSamplesPerCentroid
+        val sample = hashSample(corpus, id, vec, math.max(kmeansN, pqN))
+        (kmeansCentroidsFromSample(sample.take(kmeansN), nCentroids),
+          pqCodebooksFromSample(sample.take(pqN), m, ksub))
       } else
         (centroidsFor(corpus, id, vec, nCentroids, quantizer),
           pqCodebooks(corpus, id, vec, m, ksub))

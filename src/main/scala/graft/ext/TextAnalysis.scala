@@ -147,10 +147,13 @@ object TextAnalysis {
   /** MOSS-style copy-detection candidate pairs: documents sharing at least
     * `minShared` winnowed fingerprints. The fingerprint table (native
     * expression, no shuffle) self-joins on the fingerprint key, so
-    * candidates are fingerprint-bucket mates only — the winnowing
-    * guarantee makes this a GUARANTEED-recall candidate set for pairs
-    * sharing any substring of length >= k + w - 1 (among fingerprints
-    * under the frequency cap). A fingerprint shared by B docs yields B²
+    * candidates are fingerprint-bucket mates only. The winnowing
+    * guarantee (any shared substring of length >= k + w - 1 implies at
+    * least ONE shared fingerprint) makes this a guaranteed-recall
+    * candidate set ONLY at `minShared = 1` and only among fingerprints
+    * under the frequency cap; higher `minShared` deliberately trades that
+    * recall floor for precision (a single shared fingerprint on a short
+    * overlap is usually noise). A fingerprint shared by B docs yields B²
     * pairs, so `maxDocFreq` prunes ubiquitous boilerplate fingerprints
     * BEFORE pairing — the standard MOSS treatment: a fingerprint in
     * hundreds of documents identifies boilerplate, not copying, and on a

@@ -329,9 +329,10 @@ object ExtensionQueries {
             ORDER BY doc_id"""))
 
   /** Winnowing copy-detection pairs ([[TextAnalysis.winnowCandidatePairs]]):
-    * documents sharing >= 3 local fingerprints — guaranteed recall for
-    * shared substrings of length >= k+w-1. xxhash64 fingerprints are
-    * engine-specific, so rows-only; the guarantee is asserted in ExtSpec.
+    * documents sharing >= 3 local fingerprints — the precision-leaning
+    * setting (the strict recall guarantee holds at minShared=1; see the
+    * operator doc). xxhash64 fingerprints are engine-specific, so
+    * rows-only; the pairing behavior is asserted in ExtSpec.
     */
   val qWinnowPairs = QueryDef(
     "q_winnow_pairs",

@@ -360,9 +360,13 @@ class ExtSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(mixSums.keySet.subsetOf(Set("en", "de")))
     assert(mixSums.getOrElse("en", 0L) <= 800L && mixSums.getOrElse("de", 0L) <= 300L)
+    // precondition for the equivalence below: tokenBudget includes a NULL
+    // stratum, the map variant excludes it (and rejects null map keys) —
+    // make the assumption visible instead of inheriting it from testdata
+    val langs = real.select("lang").distinct().as[String].collect()
+    assert(!langs.contains(null), "testdata grew NULL langs; filter them here")
     val uniformMap = graft.ext.CorpusSampling.tokenBudgetByStratum(
-      real, "lang", "text", "doc_id",
-      real.select("lang").distinct().as[String].collect().map(_ -> 500L).toMap)
+      real, "lang", "text", "doc_id", langs.map(_ -> 500L).toMap)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(uniformMap == b.select("doc_id").as[Long].collect().sorted.toSeq)
   }

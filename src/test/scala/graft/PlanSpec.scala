@@ -199,8 +199,11 @@ class PlanSpec extends SparkSpec {
     val p = planOfText("q_ann_pq")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), "PQ scan degraded to a shuffle join")
-    // rank-limit pushdown trims ADC candidates BEFORE the qId exchange
-    assert(p.contains("Partial"), "no partial WindowGroupLimit before the shuffle")
+    // rank-limit pushdown trims ADC candidates BEFORE the qId exchange:
+    // a WindowGroupLimit node in Partial mode must exist (the Final-mode
+    // one alone means every candidate row crossed the shuffle unpruned)
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(p).isDefined,
+      s"no partial WindowGroupLimit before the shuffle:\n${p.take(3000)}")
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
       s"both re-rank windows must share one qId exchange:\n${p.take(3000)}")
   }
