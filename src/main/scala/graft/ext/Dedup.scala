@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, in increasing
@@ -188,6 +189,34 @@ object Dedup {
       .localCheckpoint(true)
     labels.unpersist()
     result
+  }
+
+  /** Incremental ingest dedup: drop new-batch documents whose content
+    * already exists in the accepted corpus, then dedup the survivors among
+    * themselves — the shape of every recurring crawl/ingest cycle (the
+    * corpus is orders of magnitude larger than the batch, and is NEVER
+    * re-deduped).
+    *
+    * Plan shape: one anti-join of the batch against the corpus on the
+    * 16-byte md5 fingerprint (at scale the corpus side is a bucketed/
+    * pre-partitioned fingerprint index, so the join is exchange-free on
+    * the big side), then the usual smallest-id-wins exact dedup within the
+    * batch. Near-dup screening composes downstream ([[minhashDedup]] over
+    * the survivors + corpus representatives).
+    */
+  def incrementalDedup(
+      batch: DataFrame, corpus: DataFrame, id: String, text: String): DataFrame = {
+    val fp = "_graft_fp"
+    require(!batch.columns.contains(fp) && !corpus.columns.contains(fp),
+      s"incrementalDedup reserves column $fp")
+    val batchFp = batch.withColumn(fp, TextAnalysis.fingerprint(col(text)))
+    val corpusFp = corpus.select(TextAnalysis.fingerprint(col(text)).as(fp))
+    val novel = batchFp.join(corpusFp, Seq(fp), "left_anti")
+    // within-batch exact dedup: smallest id per fingerprint survives
+    val w = Window.partitionBy(fp).orderBy(col(id))
+    novel.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", fp)
   }
 
   /** 64-bit SimHash over word tokens: each token's xxhash64 votes ±1 per

@@ -95,6 +95,34 @@ object ExtensionQueries {
       .orderBy("doc_id"),
     None)
 
+  /** Incremental ingest dedup ([[Dedup.incrementalDedup]]): the new batch
+    * (doc_id >= 250) anti-joins the accepted corpus (doc_id < 250) on the
+    * content fingerprint, then dedups within itself — the recurring-crawl
+    * shape where the corpus is never re-deduped. md5 fingerprints are
+    * engine-portable, so this is a hash-matched oracle.
+    */
+  val qDedupIncremental = QueryDef(
+    "q_dedup_incremental",
+    (s, d) => {
+      val all = docs(s, d)
+      Dedup.incrementalDedup(
+          all.filter(col("doc_id") >= 250), all.filter(col("doc_id") < 250),
+          "doc_id", "text")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH corpus AS (
+              SELECT md5(lower(trim(text))) AS fp FROM documents
+              WHERE doc_id < 250),
+            batch AS (
+              SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+              WHERE doc_id >= 250)
+            SELECT b.doc_id FROM batch b
+            WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+              AND b.doc_id = (SELECT min(doc_id) FROM batch b2
+                              WHERE b2.fp IS NOT DISTINCT FROM b.fp)
+            ORDER BY b.doc_id"""))
+
   /** SimHash near-dup pairs (Hamming <= 3 within 16-bit band buckets). */
   val qDedupSimhash = QueryDef(
     "q_dedup_simhash",
@@ -539,7 +567,7 @@ object ExtensionQueries {
 
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupExactHash, qNgramJaccard, qDedupMinhash, qDedupClusters,
-    qDedupSimhash, qDedupEmbed,
+    qDedupSimhash, qDedupEmbed, qDedupIncremental,
     qEmbedCosineTopk, qAnnLsh, qAnnIvf, qAnnPq, qAnnIvfPq,
     qTextTokens, qTextSubword, qTextQuality,
     qTextRepetition, qLangId,

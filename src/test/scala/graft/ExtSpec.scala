@@ -289,6 +289,21 @@ class ExtSpec extends SparkSpec {
     assert(e == Set(3L))
   }
 
+  test("incremental dedup: corpus hits dropped, within-batch dups collapse") {
+    val corpus = Seq((1L, "existing document one"), (2L, "existing document two"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "existing document one"),   // already in corpus (exact) -> dropped
+      (11L, "EXISTING document two  "), // corpus dup after normalization -> dropped
+      (12L, "a brand new document"),
+      (13L, "a brand new document"),    // within-batch dup of 12 -> dropped
+      (14L, "another new one")
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(12L, 14L))
+  }
+
   test("winnow copy-detection pairs: shared-substring docs pair, disjoint don't") {
     val shared = "a very long shared passage that both documents quote verbatim"
     val df = Seq(
