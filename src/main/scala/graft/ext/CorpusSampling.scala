@@ -80,4 +80,48 @@ object CorpusSampling {
       .filter(col("_cum") <= try_element_at(typedlit(budgets), col(stratum)))
       .drop("_cum")
   }
+
+  /** Sequence packing for training-data assembly: lay the corpus out as
+    * independent per-shard token streams in the deterministic
+    * pseudo-random order and cut every `seqTokens` tokens — the
+    * concat-and-split packing used to build fixed-length LM training
+    * sequences. Documents MAY span a cut; the emitted columns say exactly
+    * where each document lands, so a writer can materialize the physical
+    * sequences without re-deriving the layout.
+    *
+    * Emits per document: `shard`, `n_tokens`, `seq_first` / `seq_last`
+    * (index, within the shard, of the sequence holding the document's
+    * first / last token) and `seq_offset` (token offset of the document
+    * start inside `seq_first`). Zero-token documents sit at the current
+    * cut position with `seq_last = seq_first`.
+    *
+    * Plan shape: ONE shuffle on the caller-chosen `shard` expression and
+    * one running-sum window per shard — shards are mutually independent,
+    * so the layout parallelizes freely and is reproducible run-over-run
+    * (no Spark partition nondeterminism in the output). Integer `div`,
+    * not `/`: double division silently mis-bins beyond 2^53, which a
+    * 100 TB token stream can reach.
+    */
+  def packSequences(
+      df: DataFrame, id: String, text: String, seqTokens: Long,
+      shard: Column): DataFrame = {
+    require(seqTokens >= 1, s"seqTokens must be >= 1, got $seqTokens")
+    val reserved = Seq("shard", "n_tokens", "seq_first", "seq_last", "seq_offset")
+    require(!reserved.exists(df.columns.contains),
+      s"packSequences reserves columns ${reserved.mkString(", ")}")
+    val w = Window.partitionBy(col("shard")).orderBy(strataOrder(text, id): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", shard)
+      .withColumn("n_tokens",
+        when(col(text).isNotNull, TextAnalysis.tokenCount(col(text)))
+          .otherwise(lit(0L)))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .withColumn("_start", col("_cum") - col("n_tokens"))
+      .withColumn("seq_first", expr(s"_start div ${seqTokens}L"))
+      .withColumn("seq_last",
+        when(col("n_tokens") > 0, expr(s"(_cum - 1L) div ${seqTokens}L"))
+          .otherwise(expr(s"_start div ${seqTokens}L")))
+      .withColumn("seq_offset", pmod(col("_start"), lit(seqTokens)))
+      .drop("_cum", "_start")
+  }
 }

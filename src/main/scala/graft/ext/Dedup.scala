@@ -219,6 +219,33 @@ object Dedup {
       .drop("_rn", fp)
   }
 
+  /** Benchmark decontamination: drop corpus documents that share ANY word
+    * `n`-gram with a benchmark/test set — the standard guard against
+    * evaluation leakage in training corpora (n-gram collision against the
+    * eval sets, typically n in 8..13).
+    *
+    * Plan shape: the benchmark (small side) explodes to a DISTINCT gram
+    * set that is BROADCAST; the corpus explodes to (id, gram) and
+    * semi-joins it — the 100 TB corpus never shuffles on the gram key.
+    * The contaminated-id set (small by construction) then anti-joins the
+    * corpus. Documents with fewer than `n` tokens (or NULL text) have no
+    * gram, can't collide, and pass through the anti-join untouched.
+    */
+  def decontaminate(
+      docs: DataFrame, benchmark: DataFrame, id: String, text: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val benchGrams = benchmark
+      .select(explode(TextAnalysis.wordNgrams(col(text), n)).as("_gram"))
+      .distinct()
+    val docGrams = docs
+      .select(col(id), explode(TextAnalysis.wordNgrams(col(text), n)).as("_gram"))
+    val contaminated = docGrams
+      .join(broadcast(benchGrams), Seq("_gram"), "left_semi")
+      .select(id).distinct()
+    docs.join(contaminated, Seq(id), "left_anti")
+  }
+
   /** 64-bit SimHash over word tokens: each token's xxhash64 votes ±1 per
     * bit position, the sign of each accumulated bit forms the fingerprint.
     * One pass, pure Column expressions.

@@ -123,6 +123,69 @@ object ExtensionQueries {
                               WHERE b2.fp IS NOT DISTINCT FROM b.fp)
             ORDER BY b.doc_id"""))
 
+  /** Benchmark decontamination ([[Dedup.decontaminate]]): corpus docs
+    * (doc_id < 450) sharing any word 8-gram with the benchmark set
+    * (doc_id >= 450) are dropped — the eval-leakage guard. Grams are
+    * plain token strings, so the oracle replays them engine-portably.
+    */
+  val qDecontaminate = QueryDef(
+    "q_decontaminate",
+    (s, d) => {
+      val all = docs(s, d)
+      Dedup.decontaminate(
+          all.filter(col("doc_id") < 450), all.filter(col("doc_id") >= 450),
+          "doc_id", "text", n = 8)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents WHERE text IS NOT NULL),
+            grams AS (
+              SELECT doc_id, array_to_string(list_slice(t, u.i + 1, u.i + 8), ' ') AS g
+              FROM toks, unnest(range(len(t) - 8 + 1)) AS u(i)
+              WHERE len(t) >= 8),
+            bgrams AS (SELECT DISTINCT g FROM grams WHERE doc_id >= 450),
+            contaminated AS (
+              SELECT DISTINCT c.doc_id FROM grams c JOIN bgrams b ON c.g = b.g
+              WHERE c.doc_id < 450)
+            SELECT doc_id FROM documents
+            WHERE doc_id < 450
+              AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+            ORDER BY doc_id"""))
+
+  /** Sequence packing ([[CorpusSampling.packSequences]]): the corpus laid
+    * out as 4 shard token streams cut every 512 tokens; each document's
+    * placement (first/last sequence, offset) is emitted. Window running
+    * sums over an engine-portable order, so the oracle hash-matches.
+    */
+  val qPackSequences = QueryDef(
+    "q_pack_sequences",
+    (s, d) => CorpusSampling.packSequences(
+        docs(s, d), id = "doc_id", text = "text", seqTokens = 512L,
+        shard = pmod(col("doc_id"), lit(4L)))
+      .select("doc_id", "shard", "n_tokens", "seq_first", "seq_last", "seq_offset")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, shard, n_tokens,
+              CAST(_start // 512 AS BIGINT) AS seq_first,
+              CAST(CASE WHEN n_tokens > 0 THEN (_cum - 1) // 512
+                        ELSE _start // 512 END AS BIGINT) AS seq_last,
+              CAST(_start % 512 AS BIGINT) AS seq_offset
+            FROM (
+              SELECT doc_id, shard, n_tokens,
+                sum(n_tokens) OVER w AS _cum,
+                sum(n_tokens) OVER w - n_tokens AS _start
+              FROM (SELECT doc_id, doc_id % 4 AS shard, text,
+                      CASE WHEN text IS NOT NULL
+                        THEN CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                                  AS BIGINT)
+                        ELSE 0 END AS n_tokens
+                    FROM documents)
+              WINDOW w AS (PARTITION BY shard
+                           ORDER BY md5(text) NULLS FIRST, doc_id
+                           ROWS UNBOUNDED PRECEDING))
+            ORDER BY doc_id"""))
+
   /** SimHash near-dup pairs (Hamming <= 3 within 16-bit band buckets). */
   val qDedupSimhash = QueryDef(
     "q_dedup_simhash",
@@ -567,11 +630,11 @@ object ExtensionQueries {
 
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupExactHash, qNgramJaccard, qDedupMinhash, qDedupClusters,
-    qDedupSimhash, qDedupEmbed, qDedupIncremental,
+    qDedupSimhash, qDedupEmbed, qDedupIncremental, qDecontaminate,
     qEmbedCosineTopk, qAnnLsh, qAnnIvf, qAnnPq, qAnnIvfPq,
     qTextTokens, qTextSubword, qTextQuality,
     qTextRepetition, qLangId,
     qDocFingerprint, qDocWinnow, qMultimodalMeta, qHeavyHitters, qCorpusPipeline,
     qJsonlRoundtrip, qSampleStratified, qSampleTokenBudget, qSampleMixture,
-    qDocChunks, qWinnowPairs)
+    qPackSequences, qDocChunks, qWinnowPairs)
 }

@@ -189,4 +189,32 @@ object StreamingPipeline {
         col("dup_token_frac") <= maxDupTokenFrac)
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("fingerprint"))
+
+  /** Streaming twin of [[graft.ext.Dedup.incrementalDedup]]: the intake
+    * stream anti-joins a STATIC accepted-corpus fingerprint index before
+    * the stateful within-stream dedup, so documents already in the corpus
+    * never enter the dedup state at all — state stays proportional to the
+    * NOVEL arrivals inside one watermark, not to corpus size. Stream-static
+    * left-anti joins are stateless in Structured Streaming (the static
+    * side is re-broadcast per micro-batch; at scale the corpus index is a
+    * compact fingerprint-only table, not the corpus itself).
+    */
+  def incrementalIntakeStream(
+      docs: DataFrame, corpus: DataFrame, textCol: String = "text",
+      tsCol: String = "ingest_ts", minTokens: Long = 5,
+      maxDupTokenFrac: Double = 0.6, watermark: String = "1 hour"): DataFrame = {
+    val corpusFp = corpus
+      .select(graft.ext.TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .distinct()
+    docs
+      .withColumn("n_tokens", graft.ext.TextAnalysis.tokenCount(col(textCol)))
+      .withColumn("dup_token_frac", graft.ext.TextAnalysis.dupTokenFrac(col(textCol)))
+      .withColumn("lang_guess", graft.ext.TextAnalysis.languageId(col(textCol)))
+      .withColumn("fingerprint", graft.ext.TextAnalysis.fingerprint(col(textCol)))
+      .filter(col("n_tokens") >= minTokens &&
+        col("dup_token_frac") <= maxDupTokenFrac)
+      .join(corpusFp, Seq("fingerprint"), "left_anti")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("fingerprint"))
+  }
 }

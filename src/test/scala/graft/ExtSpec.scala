@@ -304,6 +304,58 @@ class ExtSpec extends SparkSpec {
     assert(got == Seq(12L, 14L))
   }
 
+  test("decontaminate: 8-gram overlap drops, short/NULL/unrelated docs pass") {
+    val leaked = "one two three four five six seven eight"  // exactly 8 tokens
+    val bench = Seq((100L, s"benchmark question says $leaked end"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"prefix words then $leaked and a suffix"), // shares the 8-gram -> dropped
+      (2L, "one two three four five six seven"),       // 7-token sub-gram only -> kept
+      (3L, "a completely unrelated training document with enough tokens"),
+      (4L, null.asInstanceOf[String]),                 // no grams -> kept
+      (5L, "short doc")                                // < 8 tokens -> kept
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(2L, 3L, 4L, 5L))
+  }
+
+  test("pack sequences: contiguous stream, spanning docs, zero-token placement") {
+    val df = Seq(
+      (1L, "a b c"),                      // 3 tokens
+      (2L, "d e f g"),                    // 4
+      (3L, "h i j k l m n"),              // 7 > seqTokens -> must span
+      (4L, null.asInstanceOf[String]),    // 0 tokens
+      (5L, "o p")                         // 2
+    ).toDF("doc_id", "text")
+    val got = graft.ext.CorpusSampling.packSequences(
+        df, "doc_id", "text", seqTokens = 6L, shard = lit(0L))
+      .select("doc_id", "n_tokens", "seq_first", "seq_last", "seq_offset")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == 5)
+    // stream contiguity: global starts are exactly the prefix sums of
+    // n_tokens in start order, ending at the 16-token total
+    val starts = got.map(r => (r._3 * 6 + r._5, r._2)).sortBy(_._1)
+    val prefix = starts.map(_._2).scanLeft(0L)(_ + _)
+    assert(starts.map(_._1).sameElements(prefix.init))
+    assert(prefix.last == 16L)
+    val byId = got.map(r => r._1 -> r).toMap
+    // every offset inside a sequence; first <= last always
+    assert(got.forall(r => r._5 >= 0 && r._5 < 6 && r._3 <= r._4))
+    // the 7-token doc cannot fit in one 6-token sequence
+    assert(byId(3L)._4 > byId(3L)._3)
+    // zero-token doc sits AT the cut position, spanning nothing
+    assert(byId(4L)._2 == 0L && byId(4L)._3 == byId(4L)._4)
+    // determinism: same input -> identical layout
+    val again = graft.ext.CorpusSampling.packSequences(
+        df, "doc_id", "text", seqTokens = 6L, shard = lit(0L))
+      .select("doc_id", "n_tokens", "seq_first", "seq_last", "seq_offset")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
   test("winnow copy-detection pairs: shared-substring docs pair, disjoint don't") {
     val shared = "a very long shared passage that both documents quote verbatim"
     val df = Seq(

@@ -208,6 +208,24 @@ class PlanSpec extends SparkSpec {
       s"both re-rank windows must share one qId exchange:\n${p.take(3000)}")
   }
 
+  test("decontamination plan: corpus never shuffles, gram joins broadcast") {
+    val p = planOfText("q_decontaminate")
+    assert(!p.contains("SortMergeJoin"),
+      s"gram join degraded to a shuffle join:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // only the two SMALL sides may shuffle (benchmark-gram distinct and
+    // contaminated-id distinct); the exploded corpus grams must not
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"corpus gram rows crossed a shuffle:\n${p.take(3000)}")
+  }
+
+  test("sequence packing plan: one shard exchange feeding one window") {
+    val p = planOfText("q_pack_sequences")
+    assert(p.contains("Window"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"packing must shuffle exactly once, on the shard key:\n${p.take(3000)}")
+  }
+
   test("chunking plan: one generate, zero hash exchanges") {
     val p = planOfText("q_doc_chunks")
     assert(p.contains("Generate inline"), p.take(2000))

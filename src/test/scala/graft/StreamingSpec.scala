@@ -237,6 +237,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental intake stream: static-corpus hits never reach dedup state") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (100L, "an accepted document already in the corpus"),
+      (101L, "another accepted corpus document right here")
+    ).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingPipeline.incrementalIntakeStream(
+        input.toDF().toDF("doc_id", "text", "ingest_ts"), corpus, minTokens = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("incr_out").start()
+    try {
+      input.addData(
+        (1L, "an accepted document already in the corpus", ts("2025-01-01 10:00:00")),  // corpus hit
+        (2L, " AN ACCEPTED DOCUMENT ALREADY IN THE CORPUS ", ts("2025-01-01 10:00:05")), // corpus hit after normalization
+        (3L, "a novel document that should survive intake", ts("2025-01-01 10:00:10")),
+        (4L, "a novel document that should survive intake", ts("2025-01-01 10:00:15")),  // within-stream dup of 3
+        (5L, "too short", ts("2025-01-01 10:00:20")))                                    // quality gate
+      q.processAllAvailable()
+      val out = spark.table("incr_out").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(out == Set(3L))
+      // the same arrivals match the batch twin on identical inputs
+      val batchDocs = Seq(
+        (1L, "an accepted document already in the corpus"),
+        (2L, " AN ACCEPTED DOCUMENT ALREADY IN THE CORPUS "),
+        (3L, "a novel document that should survive intake"),
+        (4L, "a novel document that should survive intake")
+      ).toDF("doc_id", "text")
+      val batch = graft.ext.Dedup.incrementalDedup(batchDocs, corpus, "doc_id", "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(batch == Set(3L))
+    } finally q.stop()
+  }
+
   test("stateless normalization behaves identically on a stream") {
     implicit val sqlCtx = spark.sqlContext
     case class Raw(event_id: Long, status: String)
