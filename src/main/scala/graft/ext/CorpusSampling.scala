@@ -106,7 +106,9 @@ object CorpusSampling {
       df: DataFrame, id: String, text: String, seqTokens: Long,
       shard: Column): DataFrame = {
     require(seqTokens >= 1, s"seqTokens must be >= 1, got $seqTokens")
-    val reserved = Seq("shard", "n_tokens", "seq_first", "seq_last", "seq_offset")
+    val reserved =
+      Seq("shard", "n_tokens", "seq_first", "seq_last", "seq_offset",
+        "_cum", "_start")
     require(!reserved.exists(df.columns.contains),
       s"packSequences reserves columns ${reserved.mkString(", ")}")
     val w = Window.partitionBy(col("shard")).orderBy(strataOrder(text, id): _*)

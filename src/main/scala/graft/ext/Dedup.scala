@@ -207,8 +207,9 @@ object Dedup {
   def incrementalDedup(
       batch: DataFrame, corpus: DataFrame, id: String, text: String): DataFrame = {
     val fp = "_graft_fp"
-    require(!batch.columns.contains(fp) && !corpus.columns.contains(fp),
-      s"incrementalDedup reserves column $fp")
+    require(!Seq(fp, "_rn").exists(batch.columns.contains) &&
+        !corpus.columns.contains(fp),
+      s"incrementalDedup reserves columns ${fp}, _rn")
     val batchFp = batch.withColumn(fp, TextAnalysis.fingerprint(col(text)))
     val corpusFp = corpus.select(TextAnalysis.fingerprint(col(text)).as(fp))
     val novel = batchFp.join(corpusFp, Seq(fp), "left_anti")
@@ -243,7 +244,10 @@ object Dedup {
     val contaminated = docGrams
       .join(broadcast(benchGrams), Seq("_gram"), "left_semi")
       .select(id).distinct()
-    docs.join(contaminated, Seq(id), "left_anti")
+    // contaminated is small by construction (bounded by benchmark reach) —
+    // force the broadcast so the corpus stays exchange-free even with AQE
+    // off or a pessimistic size estimate
+    docs.join(broadcast(contaminated), Seq(id), "left_anti")
   }
 
   /** 64-bit SimHash over word tokens: each token's xxhash64 votes ±1 per

@@ -180,6 +180,15 @@ object StreamingPipeline {
       docs: DataFrame, textCol: String = "text", tsCol: String = "ingest_ts",
       minTokens: Long = 5, maxDupTokenFrac: Double = 0.6,
       watermark: String = "1 hour"): DataFrame =
+    dedupWithinWatermark(
+      qualityGated(docs, textCol, minTokens, maxDupTokenFrac), tsCol, watermark)
+
+  // shared intake stages: signals + quality filter, then the stateful
+  // fingerprint dedup — ONE definition so the plain and incremental intake
+  // paths cannot diverge
+  private def qualityGated(
+      docs: DataFrame, textCol: String, minTokens: Long,
+      maxDupTokenFrac: Double): DataFrame =
     docs
       .withColumn("n_tokens", graft.ext.TextAnalysis.tokenCount(col(textCol)))
       .withColumn("dup_token_frac", graft.ext.TextAnalysis.dupTokenFrac(col(textCol)))
@@ -187,6 +196,10 @@ object StreamingPipeline {
       .withColumn("fingerprint", graft.ext.TextAnalysis.fingerprint(col(textCol)))
       .filter(col("n_tokens") >= minTokens &&
         col("dup_token_frac") <= maxDupTokenFrac)
+
+  private def dedupWithinWatermark(
+      docs: DataFrame, tsCol: String, watermark: String): DataFrame =
+    docs
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("fingerprint"))
 
@@ -206,15 +219,9 @@ object StreamingPipeline {
     val corpusFp = corpus
       .select(graft.ext.TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
       .distinct()
-    docs
-      .withColumn("n_tokens", graft.ext.TextAnalysis.tokenCount(col(textCol)))
-      .withColumn("dup_token_frac", graft.ext.TextAnalysis.dupTokenFrac(col(textCol)))
-      .withColumn("lang_guess", graft.ext.TextAnalysis.languageId(col(textCol)))
-      .withColumn("fingerprint", graft.ext.TextAnalysis.fingerprint(col(textCol)))
-      .filter(col("n_tokens") >= minTokens &&
-        col("dup_token_frac") <= maxDupTokenFrac)
-      .join(corpusFp, Seq("fingerprint"), "left_anti")
-      .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark(Seq("fingerprint"))
+    dedupWithinWatermark(
+      qualityGated(docs, textCol, minTokens, maxDupTokenFrac)
+        .join(corpusFp, Seq("fingerprint"), "left_anti"),
+      tsCol, watermark)
   }
 }
