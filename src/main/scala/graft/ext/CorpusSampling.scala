@@ -102,6 +102,28 @@ object CorpusSampling {
     * not `/`: double division silently mis-bins beyond 2^53, which a
     * 100 TB token stream can reach.
     */
+  /** Keep documents whose quality score is at or above the corpus's `p`-th
+    * percentile — filtering by the score DISTRIBUTION rather than a magic
+    * constant, the usual way corpus quality gates are specified.
+    *
+    * The exact R-7 interpolated percentile reduces to ONE broadcast row
+    * (scalar aggregate), then a plain filter — no per-row join, no second
+    * scan shape beyond the two passes the semantics require. At 100 TB
+    * swap `percentile` for `percentile_approx` (mergeable sketch) via
+    * `approx = true`; the plan shape is identical.
+    */
+  def percentileFilter(
+      df: DataFrame, score: Column, p: Double,
+      approx: Boolean = false): DataFrame = {
+    require(p >= 0 && p <= 1, s"p must be in [0, 1], got $p")
+    val agg = if (approx) percentile_approx(score, lit(p), lit(10000))
+              else percentile(score, lit(p))
+    val threshold = df.agg(agg.cast("double").as("_threshold"))
+    df.crossJoin(broadcast(threshold))
+      .filter(score >= col("_threshold"))
+      .drop("_threshold")
+  }
+
   def packSequences(
       df: DataFrame, id: String, text: String, seqTokens: Long,
       shard: Column): DataFrame = {

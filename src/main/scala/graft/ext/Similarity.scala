@@ -60,6 +60,29 @@ object Similarity {
       .select(col(qId), col(id), col("cosine"))
   }
 
+  /** Mean-pool embeddings into one vector per group — the chunk-to-document
+    * aggregation of every long-document embedding pipeline (embed chunks,
+    * pool to a document vector).
+    *
+    * Relational, not per-row: posexplode to (group, dim, value) and
+    * aggregate per dimension — the 100 TB shape (no array-valued aggregate
+    * buffer, plain codegen'd sum/count, partial aggregation map-side).
+    * Element sums go through DECIMAL(20,10) so the pooled values are
+    * summation-order independent (the suite's fp-determinism policy);
+    * the final divide is raw double over identical operands. Two
+    * exchanges: (group, dim) then group; NULL/empty vectors contribute
+    * nothing and groups with only those vanish (explode emits no row).
+    */
+  def meanPoolEmbeddings(df: DataFrame, group: Column, vec: String): DataFrame =
+    df.select(group.as("group_id"), posexplode(col(vec)).as(Seq("pos", "_v")))
+      .groupBy("group_id", "pos")
+      .agg((sum(col("_v").cast("decimal(20,10)")).cast("double") /
+        count(lit(1)).cast("double")).as("_mean"))
+      .groupBy("group_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("_mean")))),
+        s => s("_mean")).as("embedding"))
+
   /** Deterministic pseudo-random hyperplane component for (bit, dim):
     * xxhash64 folded to [-1, 1]. No RNG state — reproducible across runs
     * and executors. `table` seeds independent signature families for

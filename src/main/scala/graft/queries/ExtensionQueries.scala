@@ -186,6 +186,81 @@ object ExtensionQueries {
                            ROWS UNBOUNDED PRECEDING))
             ORDER BY doc_id"""))
 
+  /** Mean-pooled embeddings ([[Similarity.meanPoolEmbeddings]]): every 4
+    * consecutive vectors pool into one document vector (the chunk-to-doc
+    * aggregation). Long-form output (group, dim, value) so the oracle
+    * compares scalars; DECIMAL-exact element sums make the doubles
+    * summation-order independent.
+    */
+  val qEmbedMeanpool = QueryDef(
+    "q_embed_meanpool",
+    (s, d) => Similarity.meanPoolEmbeddings(
+        embs(s, d), expr("vec_id div 4"), "embedding")
+      .select(col("group_id"),
+        posexplode(col("embedding")).as(Seq("pos", "value")))
+      .select(col("group_id"), col("pos").cast("long").as("pos"), col("value"))
+      .orderBy("group_id", "pos"),
+    Some("""WITH long AS (
+              SELECT vec_id // 4 AS group_id, u.i AS pos,
+                     CAST(embedding[u.i + 1] AS DECIMAL(20,10)) AS v
+              FROM embeddings, unnest(range(len(embedding))) AS u(i))
+            SELECT group_id, pos,
+              CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value
+            FROM long GROUP BY group_id, pos
+            ORDER BY group_id, pos"""))
+
+  /** Percentile quality gate ([[CorpusSampling.percentileFilter]]): keep
+    * documents at or above the corpus's 25th token-count percentile —
+    * filtering on the score distribution, not a constant. Spark
+    * `percentile` and DuckDB `quantile_cont` share R-7 interpolation.
+    */
+  val qQualityGate = QueryDef(
+    "q_quality_gate",
+    (s, d) => {
+      val scored = docs(s, d)
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      CorpusSampling.percentileFilter(scored, col("n_tokens"), 0.25)
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    },
+    Some("""WITH scored AS (
+              SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                  AS n_tokens
+              FROM documents)
+            SELECT doc_id, n_tokens FROM scored
+            WHERE n_tokens >= (SELECT quantile_cont(n_tokens, 0.25) FROM scored)
+            ORDER BY doc_id"""))
+
+  /** Corpus report ("corpus card"): per-language document counts, exact
+    * token totals, and source diversity in ONE pass — the summary every
+    * curated dataset ships with. Plain partial+final hash aggregation.
+    */
+  val qCorpusReport = QueryDef(
+    "q_corpus_report",
+    (s, d) => docs(s, d)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("n_tokens")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang"),
+    Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+              CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                AS avg_tokens,
+              CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM (SELECT lang, source, n_chars,
+                    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                      AS n_tokens
+                  FROM documents)
+            GROUP BY lang ORDER BY lang"""))
+
   /** SimHash near-dup pairs (Hamming <= 3 within 16-bit band buckets). */
   val qDedupSimhash = QueryDef(
     "q_dedup_simhash",
@@ -631,8 +706,8 @@ object ExtensionQueries {
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupExactHash, qNgramJaccard, qDedupMinhash, qDedupClusters,
     qDedupSimhash, qDedupEmbed, qDedupIncremental, qDecontaminate,
-    qEmbedCosineTopk, qAnnLsh, qAnnIvf, qAnnPq, qAnnIvfPq,
-    qTextTokens, qTextSubword, qTextQuality,
+    qEmbedCosineTopk, qEmbedMeanpool, qAnnLsh, qAnnIvf, qAnnPq, qAnnIvfPq,
+    qTextTokens, qTextSubword, qTextQuality, qQualityGate, qCorpusReport,
     qTextRepetition, qLangId,
     qDocFingerprint, qDocWinnow, qMultimodalMeta, qHeavyHitters, qCorpusPipeline,
     qJsonlRoundtrip, qSampleStratified, qSampleTokenBudget, qSampleMixture,

@@ -356,6 +356,33 @@ class ExtSpec extends SparkSpec {
     assert(got.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
+  test("mean-pool embeddings: elementwise means, NULL vectors contribute nothing") {
+    val df = Seq(
+      (0L, Array(1.0f, 2.0f)),
+      (0L, Array(3.0f, 6.0f)),
+      (1L, Array(5.0f, 5.0f)),
+      (2L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val got = graft.ext.Similarity.meanPoolEmbeddings(df, col("vec_id"), "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    assert(got == Map(0L -> List(2.0, 4.0), 1L -> List(5.0, 5.0)))
+    // group 2 had only a NULL vector -> absent, not an empty array
+    assert(!got.contains(2L))
+  }
+
+  test("percentile filter: exact R-7 threshold, approx variant close on small data") {
+    val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "score")
+    val exact = graft.ext.CorpusSampling.percentileFilter(df, col("score"), 0.25)
+      .select("id").as[Long].collect().sorted
+    // R-7 p25 over 1..100 = 25.75 -> survivors are 26..100
+    assert(exact.head == 26L && exact.length == 75)
+    val approx = graft.ext.CorpusSampling
+      .percentileFilter(df, col("score"), 0.25, approx = true)
+      .select("id").as[Long].collect().sorted
+    // sketch threshold lands on an observed value near the true quantile
+    assert(math.abs(approx.length - 75) <= 2)
+  }
+
   test("winnow copy-detection pairs: shared-substring docs pair, disjoint don't") {
     val shared = "a very long shared passage that both documents quote verbatim"
     val df = Seq(
