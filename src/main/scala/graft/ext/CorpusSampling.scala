@@ -116,6 +116,8 @@ object CorpusSampling {
       df: DataFrame, score: Column, p: Double,
       approx: Boolean = false): DataFrame = {
     require(p >= 0 && p <= 1, s"p must be in [0, 1], got $p")
+    require(!df.columns.contains("_threshold"),
+      "input must not already contain reserved column _threshold")
     val agg = if (approx) percentile_approx(score, lit(p), lit(10000))
               else percentile(score, lit(p))
     val threshold = df.agg(agg.cast("double").as("_threshold"))

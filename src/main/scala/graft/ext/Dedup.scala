@@ -234,7 +234,7 @@ object Dedup {
     */
   def decontaminate(
       docs: DataFrame, benchmark: DataFrame, id: String, text: String,
-      n: Int = 8): DataFrame = {
+      n: Int = 8, forceBroadcastContaminated: Boolean = true): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val benchGrams = benchmark
       .select(explode(TextAnalysis.wordNgrams(col(text), n)).as("_gram"))
@@ -244,10 +244,17 @@ object Dedup {
     val contaminated = docGrams
       .join(broadcast(benchGrams), Seq("_gram"), "left_semi")
       .select(id).distinct()
-    // contaminated is small by construction (bounded by benchmark reach) —
-    // force the broadcast so the corpus stays exchange-free even with AQE
-    // off or a pessimistic size estimate
-    docs.join(broadcast(contaminated), Seq(id), "left_anti")
+    // The contaminated-id set is bounded by the benchmark's GRAM REACH into
+    // the corpus, NOT by the benchmark size — an adversarial corpus (every
+    // doc quoting a benchmark gram) makes it as large as the corpus itself.
+    // Default forces the broadcast (typical contamination is well under 1%,
+    // and the corpus then stays exchange-free even with a pessimistic size
+    // estimate); pass forceBroadcastContaminated = false when that bound
+    // can't be trusted — AQE then broadcasts only if the runtime shuffle
+    // size is actually small, else falls back to a shuffle anti-join.
+    val hinted =
+      if (forceBroadcastContaminated) broadcast(contaminated) else contaminated
+    docs.join(hinted, Seq(id), "left_anti")
   }
 
   /** 64-bit SimHash over word tokens: each token's xxhash64 votes ±1 per

@@ -69,14 +69,21 @@ object Similarity {
     * buffer, plain codegen'd sum/count, partial aggregation map-side).
     * Element sums go through DECIMAL(20,10) so the pooled values are
     * summation-order independent (the suite's fp-determinism policy);
-    * the final divide is raw double over identical operands. Two
+    * the float element is cast to double BEFORE decimal, and a replaying
+    * engine must take the double to decimal via its SHORTEST STRING repr
+    * (Spark's Cast does exactly that: scala BigDecimal(double) parses
+    * Double.toString, then HALF_UP to scale) — engines that multiply by
+    * 10^scale in binary (DuckDB's direct double->decimal) drift a ulp on
+    * ~1e-5 of elements; see q_embed_meanpool's oracle for the portable
+    * CAST(CAST(d AS VARCHAR) AS DECIMAL) form. The final
+    * divide is raw double over identical operands. Two
     * exchanges: (group, dim) then group; NULL/empty vectors contribute
     * nothing and groups with only those vanish (explode emits no row).
     */
   def meanPoolEmbeddings(df: DataFrame, group: Column, vec: String): DataFrame =
     df.select(group.as("group_id"), posexplode(col(vec)).as(Seq("pos", "_v")))
       .groupBy("group_id", "pos")
-      .agg((sum(col("_v").cast("decimal(20,10)")).cast("double") /
+      .agg((sum(col("_v").cast("double").cast("decimal(20,10)")).cast("double") /
         count(lit(1)).cast("double")).as("_mean"))
       .groupBy("group_id")
       .agg(transform(

@@ -14,6 +14,25 @@ import QueryDef.table
   */
 object ExtensionQueries {
 
+  /** Per-process temp root for the JSONL roundtrip query, deleted
+    * recursively on JVM exit so bench/verify runs leave nothing in /tmp.
+    */
+  lazy val jsonlTempRoot: String = {
+    val root = java.nio.file.Files
+      .createTempDirectory(s"graft_jsonl_${ProcessHandle.current().pid()}_")
+    sys.addShutdownHook {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val children = java.nio.file.Files.list(p)
+          try children.forEach(rm(_)) finally children.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(root)
+    }
+    root.toString
+  }
+
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) = table(s, d, "documents")
   private def embs(s: org.apache.spark.sql.SparkSession, d: String) = table(s, d, "embeddings")
 
@@ -202,7 +221,12 @@ object ExtensionQueries {
       .orderBy("group_id", "pos"),
     Some("""WITH long AS (
               SELECT vec_id // 4 AS group_id, u.i AS pos,
-                     CAST(embedding[u.i + 1] AS DECIMAL(20,10)) AS v
+                     -- via VARCHAR: DuckDB's direct double->decimal multiplies
+                     -- by 10^scale in double and drifts a ulp; the shortest
+                     -- string repr + parse matches Spark's BigDecimal(double)
+                     -- (shortest repr, HALF_UP) bit-exactly
+                     CAST(CAST(CAST(embedding[u.i + 1] AS DOUBLE) AS VARCHAR)
+                          AS DECIMAL(20,10)) AS v
               FROM embeddings, unnest(range(len(embedding))) AS u(i))
             SELECT group_id, pos,
               CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value
@@ -456,11 +480,13 @@ object ExtensionQueries {
     "q_jsonl_roundtrip",
     (s, d) => {
       val src = docs(s, d)
-      // per-(sf-dir, process) path: concurrent queries in ONE session share
-      // a deterministic path, while a concurrently running second process
-      // (bench alongside verify) cannot overwrite the directory mid-read
-      val path = s"/tmp/graft_jsonl_${java.lang.Integer.toHexString(d.hashCode)}" +
-        s"_${ProcessHandle.current().pid()}"
+      // per-(sf-dir, process) path under a managed temp root: concurrent
+      // queries in ONE session share a deterministic path, a concurrently
+      // running second process (bench alongside verify) cannot overwrite
+      // the directory mid-read, and a JVM shutdown hook removes the whole
+      // root so repeated bench iterations leak nothing
+      val path = s"${ExtensionQueries.jsonlTempRoot}/" +
+        s"graft_jsonl_${java.lang.Integer.toHexString(d.hashCode)}"
       graft.sources.Sources.writeJsonl(src, path)
       graft.sources.Sources.jsonLinesWithSchema(s, path, src.schema)
         .orderBy("doc_id")
