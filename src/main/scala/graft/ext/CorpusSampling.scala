@@ -102,6 +102,83 @@ object CorpusSampling {
     * not `/`: double division silently mis-bins beyond 2^53, which a
     * 100 TB token stream can reach.
     */
+  /** Lexicographic md5-hex boundary for a fraction in [0, 1]: the first 8
+    * hex chars of an md5 are uniform over [0, 2^32), so `hex < bound(f)`
+    * selects a deterministic f-fraction of keys. String comparison of
+    * lowercase hex is byte-identical in every engine — no hex→int
+    * conversion (whose builtins differ across engines) is needed.
+    */
+  private[ext] def hexBound(frac: Double): String = {
+    require(frac >= 0 && frac <= 1, s"fraction must be in [0, 1], got $frac")
+    f"${math.min((frac * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
+  }
+
+  private def md5Prefix(key: Column): Column =
+    substring(md5(key.cast("string")), 1, 8)
+
+  /** Deterministic train/validation/test assignment: each row's split is a
+    * pure function of `key` (survives reruns, re-partitioning, and corpus
+    * growth — a document never migrates between splits when unrelated rows
+    * are added). `splits` maps names to fractions summing to 1; assignment
+    * compares the key's md5 prefix against cumulative hex boundaries — a
+    * chained literal comparison, zero shuffles, zero joins, replayable in
+    * any engine with md5.
+    */
+  def hashSplit(
+      df: DataFrame, key: Column, splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "splits must not be empty")
+    require(splits.forall(_._2 > 0), s"fractions must be positive: $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${splits.map(_._2).sum}")
+    require(!df.columns.contains("split"),
+      "input must not already contain reserved column split")
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail.init.map(hexBound)
+    val hx = md5Prefix(key)
+    val assigned = splits.init.zip(bounds)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), bound), rest) => when(hx < bound, name).otherwise(rest)
+      }
+    df.withColumn("split", assigned)
+  }
+
+  /** Deterministic stratum upsampling — the "epochs per domain" mixture
+    * primitive (e.g. Wikipedia × 3.2, CommonCrawl × 1.0): every document
+    * in stratum s is emitted floor(w_s) times, plus one more copy for a
+    * deterministic frac(w_s)-fraction of documents (chosen by md5 of the
+    * id, so the SAME documents get the extra copy on every run and in a
+    * replaying engine). Strata absent from the map get `defaultWeight`.
+    *
+    * Emits `copy_idx` (0 until copies) so a downstream global shuffle can
+    * spread the copies. Plan: per-stratum floor/bound lookups are LITERAL
+    * maps (no join), the copy fan-out is filter + explode(sequence) —
+    * zero shuffles; weight < 1 rows with no copy are filtered BEFORE the
+    * explode (sequence(0, -1) would produce a descending range).
+    */
+  def upsampleByStratum(
+      df: DataFrame, stratum: String, id: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0):
+      DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w < 64),
+      s"weights must be in [0, 64): $weights default=$defaultWeight")
+    require(!df.columns.contains("copy_idx"),
+      "input must not already contain reserved column copy_idx")
+    def floorOf(w: Double) = math.floor(w).toLong
+    val floorMap = weights.map { case (k, w) => k -> floorOf(w) }
+    val boundMap = weights.map { case (k, w) => k -> hexBound(w - floorOf(w)) }
+    val wFloor = coalesce(
+      try_element_at(typedlit(floorMap), col(stratum)),
+      lit(floorOf(defaultWeight)))
+    val wBound = coalesce(
+      try_element_at(typedlit(boundMap), col(stratum)),
+      lit(hexBound(defaultWeight - floorOf(defaultWeight))))
+    val copies = (wFloor +
+      when(md5Prefix(col(id)) < wBound, 1L).otherwise(0L)).cast("long")
+    df.withColumn("_copies", copies)
+      .where(col("_copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("_copies") - 1)))
+      .drop("_copies")
+  }
+
   /** Keep documents whose quality score is at or above the corpus's `p`-th
     * percentile — filtering by the score DISTRIBUTION rather than a magic
     * constant, the usual way corpus quality gates are specified.

@@ -257,6 +257,73 @@ object Dedup {
     docs.join(hinted, Seq(id), "left_anti")
   }
 
+  /** Consecutive NON-overlapping n-token spans of a document as an array
+    * column — the unit of C4-style cross-document span removal. The last
+    * span keeps the remainder (may be shorter than n). One `transform`
+    * with a per-SPAN lambda (per-chunk lambdas are fine; per-token ones
+    * run interpreted). NULL for NULL text. The span count is an exact
+    * ceil-division on int-sized token counts (double division is exact
+    * below 2^53, and a single document's token count is far below that).
+    */
+  def docSpans(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = TextAnalysis.tokens(text)
+    val nSpans = floor((size(toks).cast("double") + (n - 1)) / n).cast("int")
+    when(text.isNotNull,
+      transform(sequence(lit(0), nSpans - 1), i =>
+        array_join(slice(toks, i * n + 1, lit(n)), " ")))
+  }
+
+  /** C4-style cross-document span dedup (Raffel et al. 2020 §2.2 removed
+    * any three-sentence span occurring more than once in the corpus; this
+    * is the token-span variant): split every document into consecutive
+    * n-token spans, count each span's DOCUMENT frequency corpus-wide, drop
+    * spans appearing in more than `dfCap` documents, and reassemble the
+    * surviving spans in order. Boilerplate (headers, license blocks,
+    * navigation chrome) disappears from every copy at once — finer-grained
+    * than whole-document dedup, which keeps one full copy per near-dup
+    * cluster.
+    *
+    * Plan shape: explode to (id, span_idx, span), ONE span-keyed
+    * aggregation with map-side partial distinct (`countDistinct(id)`), a
+    * span-keyed join reusing that partitioning, then one id-keyed regroup
+    * — three exchanges of span-sized data, nothing quadratic, no
+    * driver-side state. At 100 TB the span-frequency table can also be
+    * computed once and reused across incremental batches (same shape as
+    * [[incrementalDedup]]'s fingerprint index).
+    *
+    * Output: the input row plus `clean_text` (surviving spans joined by a
+    * single space — token-canonical, original whitespace not preserved).
+    * Documents whose every span was removed get `clean_text = ""`; NULL
+    * text stays NULL (left join + explicit NULL guard, so no row is lost).
+    */
+  def dedupSpansAcrossDocs(
+      df: DataFrame, id: String, text: String,
+      n: Int = 5, dfCap: Long = 1): DataFrame = {
+    require(dfCap >= 1, s"dfCap must be >= 1, got $dfCap")
+    val reserved = Seq("_span_idx", "_span", "_span_df", "clean_text")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"input must not already contain reserved column $c"))
+    val spans = df
+      .where(col(text).isNotNull)
+      .select(col(id),
+        posexplode(docSpans(col(text), n)).as(Seq("_span_idx", "_span")))
+    val freq = spans
+      .groupBy("_span").agg(countDistinct(col(id)).as("_span_df"))
+      .where(col("_span_df") <= dfCap)
+    val rebuilt = spans
+      .join(freq.drop("_span_df"), Seq("_span"), "left_semi")
+      .groupBy(id)
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("_span_idx"), col("_span")))),
+          s => s("_span")), " ").as("clean_text"))
+    df.join(rebuilt, Seq(id), "left")
+      .withColumn("clean_text",
+        when(col(text).isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("clean_text"), lit(""))))
+  }
+
   /** 64-bit SimHash over word tokens: each token's xxhash64 votes ±1 per
     * bit position, the sign of each accumulated bit forms the fingerprint.
     * One pass, pure Column expressions.

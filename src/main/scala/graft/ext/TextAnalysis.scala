@@ -79,6 +79,41 @@ object TextAnalysis {
       .otherwise("und")
   }
 
+  // --- PII redaction -----------------------------------------------------
+  // Standard corpus-prep hygiene: scrub well-formed emails / IPv4s / SSNs /
+  // phone numbers before training. Patterns are deliberately restricted to
+  // the RE2∩JVM-identical subset (no lookaround, no \b, no \p classes) so
+  // the redaction replays bit-exactly in an oracle engine. Order matters
+  // and is fixed: email first (so digit-bearing addresses aren't partially
+  // eaten by the number patterns), then IPv4, then SSN (3-2-4), then phone
+  // (3-3-4) — the two dashed shapes cannot match inside each other's
+  // replacements. This is pattern scrubbing, not NER: version strings that
+  // look like IPv4s will be redacted; a production pass would layer a model
+  // behind the same column contract.
+
+  /** (name, regex, replacement) in application order. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"))
+
+  /** Replace every PII match with its type tag. Pure chained
+    * `regexp_replace` — codegen'd, one pass per pattern, pipelines inside
+    * the scan stage. NULL text stays NULL.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, pat, rep)) =>
+      regexp_replace(c, pat, rep)
+    }
+
+  /** Count of matches for one PII pattern (pre-redaction). NULL for NULL
+    * text — guarded because this repo runs with legacy `size(NULL) = -1`.
+    */
+  def piiCount(text: Column, pattern: String): Column =
+    when(text.isNotNull,
+      size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long"))
+
   // --- repetition signals (Gopher-style quality filters) -----------------
   // Rae et al. 2021 (arXiv:2112.11446, Table A1) filter documents by how
   // repetitious they are: fraction of duplicate tokens / duplicate word
@@ -130,6 +165,36 @@ object TextAnalysis {
     */
   def dupNgramFracNative(text: Column, n: Int): Column =
     graft.functions.TextMetricsFunctions.dup_ngram_frac(text, n)
+
+  /** Count of tokens containing at least one ASCII letter. The pattern
+    * `[^\s]*[A-Za-z][^\s]*` greedily absorbs a whole whitespace-delimited
+    * token around its first letter, so non-overlapping leftmost matching
+    * counts exactly the letter-bearing tokens — a codegen'd regexp count,
+    * not an interpreted per-token lambda (`filter(tokens, …)` would run
+    * the lambda interpreted per token; this stays in whole-stage codegen).
+    * NULL for NULL text.
+    */
+  def alphaTokenCount(text: Column): Column =
+    when(text.isNotNull,
+      size(regexp_extract_all(text, lit("[^\\s]*[A-Za-z][^\\s]*"), lit(0)))
+        .cast("long"))
+
+  /** Fraction of tokens bearing at least one letter — Gopher's
+    * "80% of words contain an alphabetic character" rule signal.
+    */
+  def alphaTokenFrac(text: Column): Column =
+    alphaTokenCount(text).cast("double") / tokenCount(text)
+
+  /** Symbol-to-token ratio: occurrences of `#` plus occurrences of `...`
+    * per token (Gopher's symbol-ratio rule, threshold 0.1). Integer counts
+    * divided raw — bit-identical cross-engine.
+    */
+  def symbolToTokenRatio(text: Column): Column = {
+    val hashes = length(text) - length(replace(text, lit("#"), lit("")))
+    val ellipses = size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0)))
+    when(text.isNotNull,
+      (hashes + ellipses).cast("double") / tokenCount(text))
+  }
 
   /** Mass of the single most frequent token per document:
     * max(count) / total tokens. Table operator (explode + two shuffles on

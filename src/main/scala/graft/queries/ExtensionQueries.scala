@@ -729,6 +729,228 @@ object ExtensionQueries {
               TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_val
             FROM events ORDER BY event_id"""))
 
+  /** PII redaction ([[TextAnalysis.redactPii]]): the testdata corpus holds
+    * no PII, so the query plants deterministic synthetic PII (derived from
+    * doc_id, replayed identically by the oracle) and then scrubs it —
+    * exercising every pattern's match AND the pass-through of clean text.
+    * Counts are taken pre-redaction.
+    */
+  val qPiiRedact = QueryDef(
+    "q_pii_redact",
+    (s, d) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10."),
+        pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".0.1 ssn 123-45-6789 call 555-"),
+        lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+        lit("-0142"))
+      docs(s, d)
+        .withColumn("_aug", aug)
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(col("_aug")).as("redacted"),
+          TextAnalysis.piiCount(col("_aug"), TextAnalysis.piiPatterns(0)._2)
+            .as("n_email"),
+          TextAnalysis.piiCount(col("_aug"), TextAnalysis.piiPatterns(1)._2)
+            .as("n_ip"),
+          TextAnalysis.piiCount(col("_aug"), TextAnalysis.piiPatterns(2)._2)
+            .as("n_ssn"),
+          TextAnalysis.piiCount(col("_aug"), TextAnalysis.piiPatterns(3)._2)
+            .as("n_phone"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH aug AS (
+              SELECT doc_id,
+                text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com from 10.'
+                  || CAST(doc_id % 256 AS VARCHAR)
+                  || '.0.1 ssn 123-45-6789 call 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-0142' AS t
+              FROM documents)
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+                '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+                '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+              CAST(len(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                AS n_email,
+              CAST(len(regexp_extract_all(t,
+                '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
+                AS n_ip,
+              CAST(len(regexp_extract_all(t,
+                '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_ssn,
+              CAST(len(regexp_extract_all(t,
+                '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone
+            FROM aug ORDER BY doc_id"""))
+
+  /** Cross-document span dedup ([[Dedup.dedupSpansAcrossDocs]]): C4-style
+    * removal of every 5-token span occurring in more than one document.
+    * The near-dup-heavy documents corpus makes this bite — shared
+    * boilerplate spans vanish from ALL copies. Hash-matched: the oracle
+    * replays spanization, document-frequency counting, and ordered
+    * reassembly.
+    */
+  val qDedupSpans = QueryDef(
+    "q_dedup_spans",
+    (s, d) => Dedup.dedupSpansAcrossDocs(docs(s, d), "doc_id", "text", n = 5)
+      .select("doc_id", "clean_text")
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents WHERE text IS NOT NULL),
+            spans AS (
+              SELECT doc_id, u.i AS si,
+                array_to_string(list_slice(t, u.i*5 + 1, u.i*5 + 5), ' ')
+                  AS span
+              FROM toks, unnest(range((len(t) + 4) // 5)) AS u(i)),
+            freq AS (
+              SELECT span FROM spans
+              GROUP BY span HAVING count(DISTINCT doc_id) <= 1),
+            rebuilt AS (
+              SELECT s.doc_id, string_agg(s.span, ' ' ORDER BY s.si)
+                AS clean_text
+              FROM spans s JOIN freq USING (span) GROUP BY s.doc_id)
+            SELECT d.doc_id,
+              CASE WHEN d.text IS NULL THEN NULL
+                   ELSE coalesce(r.clean_text, '') END AS clean_text
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY d.doc_id"""))
+
+  /** Deterministic train/val/test split ([[CorpusSampling.hashSplit]]):
+    * 80/10/10 by md5 of the doc id, compared lexicographically against
+    * cumulative hex boundaries — zero shuffles, and a document never
+    * migrates splits when the corpus grows. The oracle replays the exact
+    * boundary comparison.
+    */
+  val qSplitAssign = QueryDef(
+    "q_split_assign",
+    (s, d) => CorpusSampling.hashSplit(docs(s, d), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        < 'cccccccc' THEN 'train'
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        < 'e6666666' THEN 'val'
+                   ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id"""))
+
+  /** Stratum upsampling ([[CorpusSampling.upsampleByStratum]]): en × 2.5,
+    * es × 0.5, everything else × 1 — floor copies plus a deterministic
+    * md5-chosen extra for the fractional part. copy_idx enumerates the
+    * copies. The oracle replays the literal-map weights and the hex
+    * threshold.
+    */
+  val qSampleUpsample = QueryDef(
+    "q_sample_upsample",
+    (s, d) => CorpusSampling.upsampleByStratum(docs(s, d), "lang", "doc_id",
+        Map("en" -> 2.5, "es" -> 0.5))
+      .select("doc_id", "lang", "copy_idx")
+      .orderBy("doc_id", "copy_idx"),
+    Some("""WITH w AS (
+              SELECT doc_id, lang,
+                (CASE WHEN lang = 'en' THEN 2
+                      WHEN lang = 'es' THEN 0 ELSE 1 END)
+                + (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                         (CASE WHEN lang IN ('en', 'es') THEN '80000000'
+                               ELSE '00000000' END)
+                        THEN 1 ELSE 0 END) AS copies
+              FROM documents)
+            SELECT doc_id, lang, u.i AS copy_idx
+            FROM w, unnest(range(copies)) AS u(i)
+            ORDER BY doc_id, copy_idx"""))
+
+  /** Gopher rule gate (Rae et al. 2021, Table A1 subset): per-document
+    * quality signals and rule booleans — token-count bounds, mean word
+    * length bounds, symbol-to-token ratio, alphabetic-token fraction,
+    * stopword presence — plus the conjunction. All integer-count
+    * quotients and literal-threshold compares, bit-exact cross-engine.
+    */
+  val qGopherRules = QueryDef(
+    "q_gopher_rules",
+    (s, d) => {
+      val t = col("text")
+      val stops = Seq("the", "a", "of", "and")
+      docs(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(t).as("n_tokens"),
+          TextAnalysis.avgTokenLength(t).as("mean_word_len"),
+          TextAnalysis.alphaTokenFrac(t).as("alpha_frac"),
+          TextAnalysis.symbolToTokenRatio(t).as("symbol_ratio"),
+          TextAnalysis.stopwordCount(t, stops).as("n_stopwords"))
+        .withColumn("r_len",
+          col("n_tokens") >= 10 && col("n_tokens") <= 1000)
+        .withColumn("r_word_len",
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+        .withColumn("r_alpha", col("alpha_frac") >= 0.8)
+        .withColumn("r_symbol", col("symbol_ratio") < 0.1)
+        .withColumn("r_stop", col("n_stopwords") >= 2L)
+        .withColumn("keep",
+          col("r_len") && col("r_word_len") && col("r_alpha") &&
+            col("r_symbol") && col("r_stop"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH m AS (
+              SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                  AS n_tokens,
+                CAST(length(text) AS DOUBLE)
+                  / len(regexp_split_to_array(trim(text), '\s+'))
+                  AS mean_word_len,
+                CAST(len(regexp_extract_all(text, '[^\s]*[A-Za-z][^\s]*'))
+                     AS DOUBLE)
+                  / len(regexp_split_to_array(trim(text), '\s+'))
+                  AS alpha_frac,
+                CAST(length(text) - length(replace(text, '#', ''))
+                     + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+                  / len(regexp_split_to_array(trim(text), '\s+'))
+                  AS symbol_ratio,
+                CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                  tk -> tk = 'the' OR tk = 'a' OR tk = 'of' OR tk = 'and'))
+                  AS BIGINT) AS n_stopwords
+              FROM documents)
+            SELECT doc_id, n_tokens, mean_word_len, alpha_frac, symbol_ratio,
+              n_stopwords,
+              n_tokens >= 10 AND n_tokens <= 1000 AS r_len,
+              mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS r_word_len,
+              alpha_frac >= 0.8 AS r_alpha,
+              symbol_ratio < 0.1 AS r_symbol,
+              n_stopwords >= 2 AS r_stop,
+              (n_tokens >= 10 AND n_tokens <= 1000)
+                AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                AND alpha_frac >= 0.8 AND symbol_ratio < 0.1
+                AND n_stopwords >= 2 AS keep
+            FROM m ORDER BY doc_id"""))
+
+  /** Token-count histogram (fixed-width buckets, capped tail) — the
+    * corpus-card length distribution. Integer bucket arithmetic, one
+    * aggregation exchange.
+    */
+  val qTokenHistogram = QueryDef(
+    "q_token_histogram",
+    (s, d) => docs(s, d)
+      .select(TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .groupBy(least(floor(col("n_tokens") / 10), lit(19L)).cast("long")
+        .as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy("bucket"),
+    Some("""SELECT least(n_tokens // 10, 19) AS bucket,
+              count(*) AS n_docs,
+              min(n_tokens) AS min_tokens,
+              max(n_tokens) AS max_tokens,
+              CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+            FROM (SELECT CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                          AS BIGINT) AS n_tokens
+                  FROM documents)
+            GROUP BY bucket ORDER BY bucket"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupExactHash, qNgramJaccard, qDedupMinhash, qDedupClusters,
     qDedupSimhash, qDedupEmbed, qDedupIncremental, qDecontaminate,
@@ -737,5 +959,7 @@ object ExtensionQueries {
     qTextRepetition, qLangId,
     qDocFingerprint, qDocWinnow, qMultimodalMeta, qHeavyHitters, qCorpusPipeline,
     qJsonlRoundtrip, qSampleStratified, qSampleTokenBudget, qSampleMixture,
-    qPackSequences, qDocChunks, qWinnowPairs)
+    qPackSequences, qDocChunks, qWinnowPairs,
+    qPiiRedact, qDedupSpans, qSplitAssign, qSampleUpsample, qGopherRules,
+    qTokenHistogram)
 }

@@ -601,4 +601,114 @@ class ExtSpec extends SparkSpec {
       Multimodal.sampleFrames(spark, media, everyN = 0)
     }
   }
+
+  // --- round-5 operators --------------------------------------------------
+
+  test("redactPii: every pattern scrubs, clean text passes, NULL stays NULL") {
+    val rows = Seq(
+      (1L, "mail me at jo.doe+x@sub.example.org now"),
+      (2L, "server 192.168.0.1 and version 1.2.3.4"),
+      (3L, "ssn 123-45-6789 phone 555-123-4567"),
+      (4L, "nothing sensitive here"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = rows
+      .select($"doc_id", graft.ext.TextAnalysis.redactPii($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "mail me at <EMAIL> now")
+    assert(got(2L) === "server <IP> and version <IP>")
+    // 3-2-4 and 3-3-4 shapes cannot match inside each other
+    assert(got(3L) === "ssn <SSN> phone <PHONE>")
+    assert(got(4L) === "nothing sensitive here")
+    assert(got(5L) === null)
+
+    val counts = rows
+      .select($"doc_id", graft.ext.TextAnalysis.piiCount(
+        $"text", graft.ext.TextAnalysis.piiPatterns(1)._2).as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(counts(2L) === 2L) // both dotted quads count, PII or not
+    assert(counts(4L) === 0L)
+    assert(counts(5L) === -1L) // sentinel for NULL
+  }
+
+  test("dedupSpansAcrossDocs: shared spans vanish everywhere, unique survive") {
+    val corpus = Seq(
+      (1L, "a b c d e unique one two three xx"),
+      (2L, "a b c d e other content here now yy"),  // shares span "a b c d e"
+      (3L, "totally distinct words in this doc"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "a b c d e")                             // ONLY the shared span
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSpansAcrossDocs(corpus, "doc_id", "text", n = 5)
+      .select("doc_id", "clean_text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "unique one two three xx")
+    assert(got(2L) === "other content here now yy")
+    assert(got(3L) === "totally distinct words in this doc")
+    assert(got(4L) === null)     // NULL text passes through as NULL
+    assert(got(5L) === "")       // every span removed -> empty, row kept
+    // reserved-column guard
+    intercept[IllegalArgumentException] {
+      Dedup.dedupSpansAcrossDocs(
+        corpus.withColumn("clean_text", lit("x")), "doc_id", "text")
+    }
+  }
+
+  test("hashSplit: complete, deterministic, fractions near the weights") {
+    val df = spark.range(2000).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s = graft.ext.CorpusSampling.hashSplit(df, col("id"), splits)
+    val counts = s.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 2000L)            // every row assigned
+    assert(counts("train") > 1540 && counts("train") < 1660) // 0.8 ± 3σ
+    assert(counts("val") > 140 && counts("val") < 260)
+    assert(counts("test") > 140 && counts("test") < 260)
+    // same assignment on a re-run over a DIFFERENT frame shape
+    val again = graft.ext.CorpusSampling
+      .hashSplit(df.repartition(7), col("id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = s.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again === first)
+    intercept[IllegalArgumentException] {
+      graft.ext.CorpusSampling.hashSplit(df, col("id"), Seq("a" -> 0.5))
+    }
+  }
+
+  test("upsampleByStratum: copy counts follow the weights, copy_idx dense") {
+    val df = spark.range(999).toDF("doc_id")
+      .withColumn("lang",
+        element_at(typedlit(Seq("en", "es", "fr")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
+    val up = graft.ext.CorpusSampling.upsampleByStratum(
+      df, "lang", "doc_id", Map("en" -> 2.5, "es" -> 0.5))
+    val perDoc = up.groupBy("doc_id", "lang").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val byLang = perDoc.groupBy(_._1._2).view.mapValues(_.values.toSeq).toMap
+    assert(byLang("en").forall(c => c == 2L || c == 3L))
+    assert(byLang("es").forall(_ == 1L))           // 0-copy docs are absent
+    assert(byLang("fr").forall(_ == 1L))
+    assert(byLang("fr").size === 333)              // default weight keeps all
+    // fractional halves: ~50% of en got the 3rd copy, ~50% of es survived
+    val en3 = byLang("en").count(_ == 3L)
+    assert(en3 > 116 && en3 < 216, s"en extra-copy count $en3")
+    assert(byLang("es").size > 116 && byLang("es").size < 216)
+    // copy_idx is dense 0..copies-1
+    val idx = up.filter(col("doc_id") === 0L).select("copy_idx")
+      .collect().map(_.getLong(0)).sorted
+    assert(idx === (0L until idx.length).toArray)
+  }
+
+  test("alphaTokenFrac and symbolToTokenRatio: hand-computed") {
+    val df = Seq((1L, "ab 12 c3 ### ..."), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        graft.ext.TextAnalysis.alphaTokenFrac($"text").as("af"),
+        graft.ext.TextAnalysis.symbolToTokenRatio($"text").as("sr"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else (r.getDouble(1), r.getDouble(2)))).toMap
+    // tokens: ab, 12, c3, ###, ... -> letter-bearing: ab, c3
+    assert(got(1L) === ((2.0 / 5, (3 + 1).toDouble / 5)))
+    assert(got(2L) === null)
+  }
 }
