@@ -233,6 +233,38 @@ class PlanSpec extends SparkSpec {
       s"chunking must not shuffle:\n${p.take(3000)}")
   }
 
+  test("hash split and upsampling are shuffle-free row-local transforms") {
+    val p = planOfText("q_split_assign")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"split assignment must not shuffle:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"split assignment must not join:\n${p.take(2000)}")
+    val p2 = planOfText("q_sample_upsample")
+    assert(!p2.contains("Exchange hashpartitioning"),
+      s"upsampling must not shuffle:\n${p2.take(2000)}")
+    assert(!p2.contains("Join"),
+      s"upsampling weights must stay literal maps, not joins:\n${p2.take(2000)}")
+  }
+
+  test("PII redaction pipelines inside one codegen stage over the scan") {
+    val p = planOfText("q_pii_redact")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    // chained regexp_replace must not break whole-stage codegen
+    assert(p.contains("*("), s"redaction fell out of codegen:\n${p.take(2000)}")
+  }
+
+  test("span dedup: span-keyed work bounded, no span crosses a shuffle twice") {
+    val p = planOfText("q_dedup_spans")
+    // exchanges: span-agg (partial/final), semi-join side reuse, id regroup,
+    // and the final left join back to the corpus — but never more than 4
+    // hash exchanges of span- or id-sized data, and the semi join must not
+    // degenerate to a broadcast nested loop
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 4,
+      s"span dedup shuffles more than its design:\n${p.take(3000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the span-frequency aggregation does a map-side partial distinct
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(3000))
+  }
+
   // FINAL adaptive plan only — the rendered string appends the initial
   // plan too, which would double-count every node in the assertions
   private def planOfText(name: String): String = {
