@@ -257,6 +257,35 @@ object Dedup {
     docs.join(hinted, Seq(id), "left_anti")
   }
 
+  /** Semantic (embedding-space) benchmark decontamination: drop corpus
+    * rows whose embedding is within cosine `threshold` of ANY benchmark
+    * embedding — the companion to the n-gram [[decontaminate]] for
+    * paraphrased leakage that shares no surface text. Exact, not ANN: a
+    * benchmark is small BY DEFINITION, so the right 100 TB shape is a
+    * broadcast nested-loop LEFT ANTI join — the corpus never shuffles,
+    * each row scans the broadcast benchmark vectors with the codegen'd
+    * [[graft.functions.FloatVectorCosine]] and short-circuits on the first
+    * hit. NULL / zero-norm / mis-dimensioned pairs yield NULL cosine,
+    * which never passes the threshold — such rows survive (they can't be
+    * semantic leaks if they can't be compared).
+    *
+    * For benchmarks too large to broadcast, pre-reduce them (dedup /
+    * centroid summaries) rather than swapping in an ANN index here — a
+    * decontamination that can MISS leaks defeats its purpose.
+    */
+  def semanticDecontaminate(
+      corpus: DataFrame, corpusVec: String,
+      benchmark: DataFrame, benchVec: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val bench = broadcast(benchmark.select(col(benchVec).as("_bvec")))
+    corpus.join(bench,
+      graft.functions.VectorFunctions
+        .float_vector_cosine(col(corpusVec), col("_bvec")) >= threshold,
+      "left_anti")
+  }
+
   /** Consecutive NON-overlapping n-token spans of a document as an array
     * column — the unit of C4-style cross-document span removal. The last
     * span keeps the remainder (may be shorter than n). One `transform`

@@ -819,6 +819,56 @@ object ExtensionQueries {
             FROM documents d LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY d.doc_id"""))
 
+  /** Semantic decontamination ([[Dedup.semanticDecontaminate]]): the
+    * corpus is the full embeddings table, the benchmark is its first 50
+    * vectors rescaled ×2 (a verbatim leak under a different norm); any
+    * corpus vector with cosine ≥ 0.8 to a benchmark vector is dropped —
+    * exactly the 50 leaked ones on this data. The oracle replays the
+    * exact dot/(|a||b|) formula; only rows at the threshold BOUNDARY
+    * could diverge by summation order, and the hits sit at cos ≈ 1,
+    * far from 0.8.
+    */
+  val qDecontaminateSemantic = QueryDef(
+    "q_decontaminate_semantic",
+    (s, d) => {
+      val e = embs(s, d).select("vec_id", "embedding")
+      // Benchmark = the first 50 vectors SCALED BY 2: the testdata vectors
+      // are mutually dissimilar (max cross-cosine 0.49), so a disjoint
+      // split would drop nothing — the verbatim-leak scenario (benchmark
+      // vectors present in the corpus, possibly rescaled by a different
+      // normalization) is the one this operator exists for. Cosine is
+      // scale-invariant and ×2 is EXACT in both float and double, so the
+      // 50 self-pairs land at cos ≈ 1 on both engines.
+      val bench = e.filter(col("vec_id") < 50)
+        .select(transform(col("embedding"), x => x * lit(2.0f)).as("bvec"))
+      Dedup.semanticDecontaminate(e, "embedding", bench, "bvec",
+          threshold = 0.8)
+        .select("vec_id")
+        .orderBy("vec_id")
+    },
+    Some("""WITH elems AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings),
+            belems AS (
+              SELECT vec_id, i, v * 2.0 AS v FROM elems WHERE vec_id < 50),
+            norms AS (
+              SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM elems GROUP BY vec_id),
+            bnorms AS (
+              SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM belems GROUP BY vec_id),
+            dots AS (
+              SELECT c.vec_id AS cid, b.vec_id AS bid, sum(c.v * b.v) AS dot
+              FROM elems c JOIN belems b ON c.i = b.i
+              GROUP BY 1, 2),
+            hits AS (
+              SELECT DISTINCT cid FROM dots
+              JOIN norms nc ON cid = nc.vec_id
+              JOIN bnorms nb ON bid = nb.vec_id
+              WHERE dot / (nc.nrm * nb.nrm) >= 0.8)
+            SELECT e.vec_id FROM embeddings e
+            WHERE e.vec_id NOT IN (SELECT cid FROM hits)
+            ORDER BY e.vec_id"""))
+
   /** Deterministic train/val/test split ([[CorpusSampling.hashSplit]]):
     * 80/10/10 by md5 of the doc id, compared lexicographically against
     * cumulative hex boundaries — zero shuffles, and a document never
@@ -961,5 +1011,5 @@ object ExtensionQueries {
     qJsonlRoundtrip, qSampleStratified, qSampleTokenBudget, qSampleMixture,
     qPackSequences, qDocChunks, qWinnowPairs,
     qPiiRedact, qDedupSpans, qSplitAssign, qSampleUpsample, qGopherRules,
-    qTokenHistogram)
+    qTokenHistogram, qDecontaminateSemantic)
 }

@@ -654,6 +654,26 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("semanticDecontaminate: near-benchmark drops, orthogonal/NULL survive") {
+    val bench = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(0.99f, 0.1f, 0.0f)),   // cos ~0.995 to bench 100 -> dropped
+      (2L, Array(0.0f, 0.0f, 1.0f)),    // orthogonal to both -> kept
+      (3L, null.asInstanceOf[Array[Float]]),    // NULL cosine -> kept
+      (4L, Array(0.6f, 0.6f, 0.5f))     // cos ~0.6 to both -> dropped
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.semanticDecontaminate(
+        corpus, "embedding", bench, "embedding", threshold = 0.9)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(got === Seq(2L, 3L, 4L))
+    val strict = Dedup.semanticDecontaminate(
+        corpus, "embedding", bench, "embedding", threshold = 0.5)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(strict === Seq(2L, 3L))
+  }
+
   test("hashSplit: complete, deterministic, fractions near the weights") {
     val df = spark.range(2000).toDF("id")
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)

@@ -252,6 +252,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), s"redaction fell out of codegen:\n${p.take(2000)}")
   }
 
+  test("semantic decontamination: corpus anti-joins a broadcast, no shuffle") {
+    val p = planOfText("q_decontaminate_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("LeftAnti"),
+      p.take(3000))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the corpus side must never shuffle:\n${p.take(3000)}")
+  }
+
   test("span dedup: span-keyed work bounded, no span crosses a shuffle twice") {
     val p = planOfText("q_dedup_spans")
     // exchanges: span-agg (partial/final), semi-join side reuse, id regroup,
