@@ -131,18 +131,27 @@ object TextAnalysis {
     (total.cast("double") - size(array_distinct(toks))) / total
   }
 
-  /** Consecutive word n-grams as an array column — one `transform` over
-    * the start positions, each gram a codegen'd concat of `n` lookups.
-    * NULL for documents with fewer than n tokens (and NULL text): the
-    * guard keeps `sequence(0, negative)` unevaluated, which would
-    * otherwise produce a descending range whose index-0 lookup throws.
+  /** Consecutive word n-grams as an array column. NULL for documents with
+    * fewer than n tokens (and NULL text).
+    *
+    * Shape matters: the obvious `transform(sequence(…), i => concat of n
+    * element_at(toks, …))` re-evaluates the TOKENIZER expression at every
+    * element_at site — O(n · grams) split() calls per row (measured 7× on
+    * q_decontaminate at 5k docs). Instead: n shifted views of the token
+    * array (each evaluating the tokenizer once per ROW), chained
+    * elementwise with `zip_with` concat. Positions past a shorter shifted
+    * view are NULL-padded by zip_with and NULL-propagated by concat, so
+    * the final slice keeps exactly the size−n+1 complete grams. Gram
+    * strings are identical to the per-position form (tokens joined by
+    * single spaces).
     */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
     val toks = tokens(text)
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    val shifted = (1 until n).map(j => slice(toks, lit(j + 1), size(toks)))
+    val chained = shifted.foldLeft(toks)((acc, s) =>
+      zip_with(acc, s, (a, b) => concat(a, lit(" "), b)))
+    when(size(toks) >= n, slice(chained, lit(1), size(toks) - n + 1))
       .otherwise(lit(null))
   }
 
