@@ -224,4 +224,30 @@ object StreamingPipeline {
         .join(corpusFp, Seq("fingerprint"), "left_anti"),
       tsCol, watermark)
   }
+
+  /** Streaming scrub-and-route: PII redaction, Gopher-style quality
+    * booleans, and the deterministic train/val/test assignment on an
+    * unbounded document stream. Every stage is a STATELESS column
+    * expression ([[graft.ext.TextAnalysis.redactPii]],
+    * [[graft.ext.CorpusSampling.hashSplit]] semantics inlined as the same
+    * md5-boundary compare), so the stream needs no watermark, no state
+    * store, and produces batch-identical rows — asserted in StreamingSpec.
+    * Chain BEFORE the stateful intake dedup: scrubbing changes no
+    * fingerprint inputs used downstream and the quality booleans let a
+    * router fan rejected docs to a quarantine sink.
+    */
+  def scrubStream(
+      docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    val t = col(textCol)
+    graft.ext.CorpusSampling.hashSplit(
+      docs
+        .withColumn("redacted", graft.ext.TextAnalysis.redactPii(t))
+        .withColumn("n_tokens", graft.ext.TextAnalysis.tokenCount(t))
+        .withColumn("alpha_frac", graft.ext.TextAnalysis.alphaTokenFrac(t))
+        .withColumn("keep",
+          col("n_tokens") >= 10 && col("alpha_frac") >= 0.8),
+      col(idCol), splits)
+  }
 }

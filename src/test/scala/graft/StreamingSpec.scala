@@ -271,6 +271,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scrub stream: redaction, quality booleans, and split match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.scrubStream(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scrub_out").start()
+    try {
+      val leaky = "please write to someone@example.com about the big " +
+        "announcement we made in the channel yesterday afternoon"
+      input.addData((1L, leaky), (2L, "tiny doc"))
+      q.processAllAvailable()
+      val out = spark.table("scrub_out")
+        .select("doc_id", "redacted", "keep", "split")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2), r.getString(3))))
+        .toMap
+      assert(out(1L)._1.contains("<EMAIL>") &&
+        !out(1L)._1.contains("example.com"))
+      assert(out(1L)._2 === true)            // 16 tokens, all alphabetic-ish
+      assert(out(2L)._2 === false)           // below the length rule
+      // split assignment is the SAME pure function of doc_id as in batch
+      val batch = graft.ext.CorpusSampling.hashSplit(
+          Seq((1L, ""), (2L, "")).toDF("doc_id", "text"), col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      assert(out(1L)._3 === batch(1L) && out(2L)._3 === batch(2L))
+    } finally q.stop()
+  }
+
   test("stateless normalization behaves identically on a stream") {
     implicit val sqlCtx = spark.sqlContext
     case class Raw(event_id: Long, status: String)
