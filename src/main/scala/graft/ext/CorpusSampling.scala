@@ -113,16 +113,33 @@ object CorpusSampling {
     f"${math.min((frac * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
   }
 
-  private def md5Prefix(key: Column): Column =
-    substring(md5(key.cast("string")), 1, 8)
+  /** Per-OPERATOR salted md5 prefix. The salt matters: if split assignment
+    * and upsampling keyed off the same unsalted `md5(key)`, composing them
+    * (split, then upsample within a split — the documented `scrubStream`
+    * usage) would correlate the two selections: an 0.5-fraction upsample
+    * applied after an 80% train split would select only from the train
+    * region's hash prefix, an effective 0.5/0.8 = 62.5% fraction. Distinct
+    * salts make the two hash draws independent, so composed operators keep
+    * their nominal fractions (asserted in ExtSpec).
+    */
+  private def md5Prefix(key: Column, salt: String): Column =
+    substring(md5(concat(key.cast("string"), lit(salt))), 1, 8)
+
+  private[ext] val SplitSalt = "graft:split"
+  private[ext] val UpsampleSalt = "graft:upsample"
 
   /** Deterministic train/validation/test assignment: each row's split is a
     * pure function of `key` (survives reruns, re-partitioning, and corpus
     * growth — a document never migrates between splits when unrelated rows
     * are added). `splits` maps names to fractions summing to 1; assignment
-    * compares the key's md5 prefix against cumulative hex boundaries — a
-    * chained literal comparison, zero shuffles, zero joins, replayable in
-    * any engine with md5.
+    * compares the key's salted md5 prefix against cumulative hex
+    * boundaries — a chained literal comparison, zero shuffles, zero joins,
+    * replayable in any engine with md5.
+    *
+    * NULL keys FAIL FAST (raise_error): a NULL-keyed row has no stable
+    * identity to split on, and the silent alternative (NULL md5 makes
+    * every boundary comparison NULL) would concentrate every NULL-id
+    * document in one split. Filter or key-repair upstream.
     */
   def hashSplit(
       df: DataFrame, key: Column, splits: Seq[(String, Double)]): DataFrame = {
@@ -133,20 +150,26 @@ object CorpusSampling {
     require(!df.columns.contains("split"),
       "input must not already contain reserved column split")
     val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail.init.map(hexBound)
-    val hx = md5Prefix(key)
+    val hx = md5Prefix(key, SplitSalt)
     val assigned = splits.init.zip(bounds)
       .foldRight(lit(splits.last._1): Column) {
         case (((name, _), bound), rest) => when(hx < bound, name).otherwise(rest)
       }
-    df.withColumn("split", assigned)
+    df.withColumn("split",
+      when(key.isNull, raise_error(
+        lit("graft.hashSplit: NULL split key — filter or repair ids upstream")))
+        .otherwise(assigned))
   }
 
   /** Deterministic stratum upsampling — the "epochs per domain" mixture
     * primitive (e.g. Wikipedia × 3.2, CommonCrawl × 1.0): every document
     * in stratum s is emitted floor(w_s) times, plus one more copy for a
-    * deterministic frac(w_s)-fraction of documents (chosen by md5 of the
-    * id, so the SAME documents get the extra copy on every run and in a
+    * deterministic frac(w_s)-fraction of documents (chosen by a SALTED md5
+    * of the id — independent of [[hashSplit]]'s draw, see [[md5Prefix]] —
+    * so the SAME documents get the extra copy on every run and in a
     * replaying engine). Strata absent from the map get `defaultWeight`.
+    * NULL ids never receive the fractional extra copy (NULL md5 fails the
+    * threshold comparison); their floor copies are still emitted.
     *
     * Emits `copy_idx` (0 until copies) so a downstream global shuffle can
     * spread the copies. Plan: per-stratum floor/bound lookups are LITERAL
@@ -172,7 +195,8 @@ object CorpusSampling {
       try_element_at(typedlit(boundMap), col(stratum)),
       lit(hexBound(defaultWeight - floorOf(defaultWeight))))
     val copies = (wFloor +
-      when(md5Prefix(col(id)) < wBound, 1L).otherwise(0L)).cast("long")
+      when(md5Prefix(col(id), UpsampleSalt) < wBound, 1L).otherwise(0L))
+      .cast("long")
     df.withColumn("_copies", copies)
       .where(col("_copies") > 0)
       .withColumn("copy_idx", explode(sequence(lit(0L), col("_copies") - 1)))

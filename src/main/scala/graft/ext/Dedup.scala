@@ -279,6 +279,11 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
+    // same reserved-column guard as the sibling dedup operators: a corpus
+    // `_bvec` would be ambiguous against the aliased benchmark vector in
+    // the join condition below
+    require(!corpus.columns.contains("_bvec"),
+      "semanticDecontaminate reserves column _bvec")
     val bench = broadcast(benchmark.select(col(benchVec).as("_bvec")))
     corpus.join(bench,
       graft.functions.VectorFunctions

@@ -61,8 +61,11 @@ object TextAnalysis {
       length(text)
 
   /** Marker-token language-ID heuristic: count language-specific stopword
-    * hits per candidate language, pick the argmax with a fixed tie-break
-    * order (es > de > en > und). A real system would use character n-gram
+    * hits per candidate language and pick the argmax. Tie-break (fixed,
+    * and what the chained `when` below actually implements): `es` needs a
+    * STRICT majority over both others; `de` wins ties with `es` (but must
+    * strictly beat `en`); `en` wins every tie it participates in; zero
+    * hits everywhere is `und`. A real system would use character n-gram
     * profiles; the decision structure (N scores -> argmax) is identical.
     */
   val enMarkers = Seq("the", "a", "of", "and")
@@ -176,16 +179,20 @@ object TextAnalysis {
     graft.functions.TextMetricsFunctions.dup_ngram_frac(text, n)
 
   /** Count of tokens containing at least one ASCII letter. The pattern
-    * `[^\s]*[A-Za-z][^\s]*` greedily absorbs a whole whitespace-delimited
-    * token around its first letter, so non-overlapping leftmost matching
+    * `[^\sA-Za-z]*[A-Za-z][^\s]*` absorbs a whole whitespace-delimited
+    * token around its FIRST letter, so non-overlapping leftmost matching
     * counts exactly the letter-bearing tokens — a codegen'd regexp count,
     * not an interpreted per-token lambda (`filter(tokens, …)` would run
     * the lambda interpreted per token; this stays in whole-stage codegen).
-    * NULL for NULL text.
+    * The first atom excludes letters so a letter-free run FAILS FAST: the
+    * naive `[^\s]*[A-Za-z]` prefix backtracks quadratically over long
+    * digit/symbol tokens, this form fails each start position in O(1).
+    * Match set is unchanged (each letter-bearing token still matches in
+    * full from its first character). NULL for NULL text.
     */
   def alphaTokenCount(text: Column): Column =
     when(text.isNotNull,
-      size(regexp_extract_all(text, lit("[^\\s]*[A-Za-z][^\\s]*"), lit(0)))
+      size(regexp_extract_all(text, lit("[^\\sA-Za-z]*[A-Za-z][^\\s]*"), lit(0)))
         .cast("long"))
 
   /** Fraction of tokens bearing at least one letter — Gopher's

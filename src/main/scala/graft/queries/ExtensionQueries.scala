@@ -882,9 +882,9 @@ object ExtensionQueries {
       .select("doc_id", "split")
       .orderBy("doc_id"),
     Some("""SELECT doc_id,
-              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'graft:split'), 1, 8)
                         < 'cccccccc' THEN 'train'
-                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'graft:split'), 1, 8)
                         < 'e6666666' THEN 'val'
                    ELSE 'test' END AS split
             FROM documents ORDER BY doc_id"""))
@@ -905,7 +905,7 @@ object ExtensionQueries {
               SELECT doc_id, lang,
                 (CASE WHEN lang = 'en' THEN 2
                       WHEN lang = 'es' THEN 0 ELSE 1 END)
-                + (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                + (CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'graft:upsample'), 1, 8) <
                          (CASE WHEN lang IN ('en', 'es') THEN '80000000'
                                ELSE '00000000' END)
                         THEN 1 ELSE 0 END) AS copies
@@ -951,7 +951,7 @@ object ExtensionQueries {
                 CAST(length(text) AS DOUBLE)
                   / len(regexp_split_to_array(trim(text), '\s+'))
                   AS mean_word_len,
-                CAST(len(regexp_extract_all(text, '[^\s]*[A-Za-z][^\s]*'))
+                CAST(len(regexp_extract_all(text, '[^\sA-Za-z]*[A-Za-z][^\s]*'))
                      AS DOUBLE)
                   / len(regexp_split_to_array(trim(text), '\s+'))
                   AS alpha_frac,

@@ -719,6 +719,38 @@ class ExtSpec extends SparkSpec {
     assert(idx === (0L until idx.length).toArray)
   }
 
+  test("split then upsample composes unbiased (salted, independent draws)") {
+    // The scrubStream shape: assign splits, then upsample WITHIN the train
+    // split. With a shared unsalted md5 the upsample draw would select only
+    // from the train hash-prefix region (weight 1.5 -> extra-copy fraction
+    // 0.5/0.8 = 62.5% instead of 50%); per-operator salts keep the nominal
+    // fraction. 3σ for n≈3200, p=0.5 is ±2.7%.
+    val df = spark.range(4000).toDF("doc_id").withColumn("lang", lit("en"))
+    val train = graft.ext.CorpusSampling
+      .hashSplit(df, col("doc_id"), Seq("train" -> 0.8, "test" -> 0.2))
+      .filter(col("split") === "train")
+    val n = train.count().toDouble
+    val up = graft.ext.CorpusSampling.upsampleByStratum(
+      train, "lang", "doc_id", Map("en" -> 1.5))
+    val extra = up.groupBy("doc_id").count()
+      .filter(col("count") === 2L).count().toDouble
+    val frac = extra / n
+    assert(frac > 0.45 && frac < 0.55,
+      s"composed upsample fraction $frac biased (n=$n, extra=$extra)")
+  }
+
+  test("hashSplit fails fast on NULL keys instead of concentrating them") {
+    val df = Seq(Some(1L), Some(2L), None).toDF("id")
+    val ex = intercept[Exception] {
+      graft.ext.CorpusSampling
+        .hashSplit(df, col("id"), Seq("a" -> 0.5, "b" -> 0.5))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("NULL split key")), ex.toString)
+  }
+
   test("alphaTokenFrac and symbolToTokenRatio: hand-computed") {
     val df = Seq((1L, "ab 12 c3 ### ..."), (2L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
