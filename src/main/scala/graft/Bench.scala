@@ -102,19 +102,34 @@ object Bench {
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select("vec_id", "embedding")
       val nCentroids = 32
-      val entries = Seq("kmeans", "lowid").map { q =>
-        val cents = graft.ext.Similarity.centroidsFor(e, "vec_id", "embedding",
+      // keep the centroid sets to prove the quantizers actually diverge:
+      // r4-r6 reported bit-identical max/mean skew for both quantizers
+      // (a genuine tie of the MAX list size on uniform embeddings, pinned
+      // by ScaleFeaturesSpec), and max/mean alone can't distinguish "two
+      // different balanced assignments" from "dispatch returns one
+      // quantizer twice" — the list-size stdev and the cross-quantizer
+      // centroid comparison below can.
+      val trained = Seq("kmeans", "lowid").map { q =>
+        q -> graft.ext.Similarity.centroidsFor(e, "vec_id", "embedding",
           nCentroids, q)
+      }
+      val entries = trained.map { case (q, cents) =>
         val sizes = graft.ext.Similarity.assignToCentroids(e, "embedding", cents)
           .groupBy("_c_id").count()
           .select("count").collect().map(_.getLong(0))
         // mean over ALL centroids: groupBy omits empty lists, and dividing
         // by the non-empty count would flatter exactly the quantizers that
         // empty lists out
-        val skew = sizes.max.toDouble / (sizes.sum.toDouble / nCentroids)
-        "\"" + q + "\":" + skew
+        val mean = sizes.sum.toDouble / nCentroids
+        val skew = sizes.max.toDouble / mean
+        val variance = (sizes.map(s => (s - mean) * (s - mean)).sum +
+          (nCentroids - sizes.length) * mean * mean) / nCentroids
+        "\"" + q + "\":" + skew +
+          ",\"" + q + "_size_std\":" + math.sqrt(variance)
       }
-      entries.mkString("{", ",", "}")
+      val differ = trained(0)._2.map(_._2.toSeq).toSet !=
+        trained(1)._2.map(_._2.toSeq).toSet
+      (entries :+ ("\"centroids_differ\":" + differ)).mkString("{", ",", "}")
     } catch { case _: Throwable => "{}" }
 
     // "value" = parallel-suite wall clock; "solo_wall_sec" = the serial

@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads travel as opaque
   * `binary` columns with typed metadata alongside. The Spark-side contract
-  * — schema, batch iteration shape, partition sizing — is real; the actual
-  * media decoding is STUBBED (this container has no image/audio libraries)
-  * behind a deterministic fake so the pipeline is testable end-to-end.
+  * — schema, batch iteration shape, partition sizing — is real, and so is
+  * the IMAGE header decode: a pure-JVM binary parse of PNG IHDR fields and
+  * a JPEG marker-segment walk to SOFn (no external imaging libraries).
+  * Only video frame COUNTING remains a declared stub (no container parser
+  * in this environment); see [[videoFrameCountStub]].
   *
   * Scale notes: payloads stay in executor memory only for the lifetime of
   * one `mapPartitions` batch; `spark.sql.files.maxPartitionBytes` bounds
@@ -16,14 +18,137 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** A decoded media feature row: fixed-size, no payload. */
+  /** Parsed image header. `format` is detected from magic bytes (never
+    * trusted from metadata); dimensions are None when the payload is not a
+    * recognized image or is truncated/corrupt before the header fields.
+    */
+  case class ImageHeader(
+      format: String, width: Option[Int], height: Option[Int],
+      bitDepth: Option[Int])
+
+  private val PngMagic =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** Decode an image payload's header — real byte parsing, not a fake.
+    *
+    * PNG (RFC 2083): 8-byte signature, then the IHDR chunk which is
+    * REQUIRED to be first — 4-byte length, "IHDR" tag, width and height as
+    * 4-byte big-endian at payload offsets 16/20, bit depth at 24. Chunk
+    * CRCs are NOT verified (header triage, not integrity checking).
+    *
+    * JPEG (ITU T.81): SOI then a walk over marker segments, each
+    * `FF <code> <2-byte big-endian length including itself>`; standalone
+    * markers (TEM, RSTn) carry no length. The first SOFn frame header
+    * (C0–CF minus DHT C4 / JPG C8 / DAC CC) carries sample precision (1
+    * byte), then height and width as 2-byte big-endian. The walk stops at
+    * SOS/EOI or any malformed segment — dimensions stay None rather than
+    * reading garbage.
+    *
+    * Anything without a recognized magic is `unknown` with no dimensions
+    * (audio/video containers ride the same binary contract; only their
+    * frame counting is stubbed elsewhere).
+    */
+  def decodeHeader(bytes: Array[Byte]): ImageHeader = {
+    if (bytes == null) return ImageHeader("unknown", None, None, None)
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+
+    val isPng = bytes.length >= PngMagic.length &&
+      PngMagic.indices.forall(i => u8(i) == PngMagic(i))
+    val isJpeg = bytes.length >= 3 &&
+      u8(0) == 0xff && u8(1) == 0xd8 && u8(2) == 0xff
+
+    if (isPng) {
+      val hasIhdr = bytes.length >= 26 &&
+        u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R'
+      if (hasIhdr)
+        ImageHeader("png", Some(u32(16).toInt), Some(u32(20).toInt),
+          Some(u8(24)))
+      else ImageHeader("png", None, None, None)
+    } else if (isJpeg) {
+      var i = 2
+      var result = ImageHeader("jpeg", None, None, None)
+      var done = false
+      while (!done && i + 1 < bytes.length) {
+        if (u8(i) != 0xff) done = true // lost sync: stop, no dims
+        else {
+          val code = u8(i + 1)
+          val standalone = code == 0x01 || (code >= 0xd0 && code <= 0xd7)
+          val isSof = code >= 0xc0 && code <= 0xcf &&
+            code != 0xc4 && code != 0xc8 && code != 0xcc
+          if (standalone) i += 2
+          else if (code == 0xd9 || code == 0xda) done = true // EOI / SOS
+          else if (i + 3 >= bytes.length) done = true        // truncated
+          else {
+            val len = u16(i + 2)
+            if (len < 2) done = true // malformed length
+            else if (isSof) {
+              // FF code LL LL precision HH HH WW WW ...
+              if (i + 8 < bytes.length)
+                result = ImageHeader("jpeg", Some(u16(i + 7)),
+                  Some(u16(i + 5)), Some(u8(i + 4)))
+              done = true
+            } else i += 2 + len
+          }
+        }
+      }
+      result
+    } else ImageHeader("unknown", None, None, None)
+  }
+
+  /** Uppercase hex rendering of a byte array — byte-identical to Spark's
+    * and DuckDB's `hex(binary)`.
+    */
+  private[ext] def hexUpper(bytes: Array[Byte]): String = {
+    val digits = "0123456789ABCDEF"
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    bytes.foreach { b =>
+      sb.append(digits((b >> 4) & 0xf)); sb.append(digits(b & 0xf))
+    }
+    sb.toString
+  }
+
+  /** Lowercase-hex md5 of the payload's UPPERCASE-hex rendering. The hex
+    * hop exists because the oracle engine (DuckDB) has no `md5(BLOB)` —
+    * `md5(hex(payload))` is computable bit-identically in Spark SQL,
+    * DuckDB, and here.
+    */
+  private[ext] def contentMd5(bytes: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(
+      hexUpper(bytes).getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val digits = "0123456789abcdef"
+    val sb = new java.lang.StringBuilder(d.length * 2)
+    d.foreach { b =>
+      sb.append(digits((b >> 4) & 0xf)); sb.append(digits(b & 0xf))
+    }
+    sb.toString
+  }
+
+  /** Declared STUB — the one remaining fake in this module: frame counting
+    * for video payloads would need a container parser (MP4/MKV demux) that
+    * this environment cannot host. Deterministic in the payload size so
+    * the sampling plumbing stays testable; images are single-frame by
+    * definition.
+    */
+  private[ext] def videoFrameCountStub(kind: String, nBytes: Long): Int =
+    if (kind == "video") (nBytes % 300L).toInt + 1 else 1
+
+  /** A decoded media feature row: fixed-size, no payload. `kind` is the
+    * caller-declared modality (routing metadata); `format` is what the
+    * bytes actually are.
+    */
   case class MediaFeatures(
       media_id: Long,
       kind: String,
+      format: String,
       n_bytes: Long,
-      content_hash: Long,
-      width: Int,
-      height: Int,
+      content_md5: String,
+      width: Option[Int],
+      height: Option[Int],
+      bit_depth: Option[Int],
       n_frames: Int)
 
   /** Input row shape for [[extractFeatures]] (public: Catalyst's generated
@@ -31,29 +156,27 @@ object Multimodal {
     */
   case class MediaIn(media_id: Long, kind: String, payload: Array[Byte])
 
-  /** STUB decoder — deterministic fake standing in for a real image/audio
-    * decode (??? territory: a production build would call an imaging
-    * library here). Derives plausible fixed dimensions from the payload
-    * hash so downstream logic is exercised with stable values.
-    */
-  private def decodeStub(m: MediaIn): MediaFeatures = {
+  private def decode(m: MediaIn): MediaFeatures = {
     // NULL payload (nullable BINARY per the schema contract) decodes as an
     // empty asset, not an executor-killing NPE mid-partition
     val bytes = if (m.payload == null) Array.emptyByteArray else m.payload
-    val h = java.util.Arrays.hashCode(bytes).toLong & 0x7fffffffL
+    val h = decodeHeader(bytes)
     MediaFeatures(
       media_id = m.media_id,
       kind = m.kind,
+      format = h.format,
       n_bytes = bytes.length.toLong,
-      content_hash = h,
-      width = (h % 1920).toInt + 1,
-      height = (h % 1080).toInt + 1,
-      n_frames = if (m.kind == "video") (h % 300).toInt + 1 else 1)
+      content_md5 = contentMd5(bytes),
+      width = h.width,
+      height = h.height,
+      bit_depth = h.bitDepth,
+      n_frames = videoFrameCountStub(m.kind, bytes.length.toLong))
   }
 
   /** Batch feature extraction over binary payloads: the `mapPartitions`
-    * shape a real decoder plugs into — per-partition iteration, payloads
-    * consumed streaming, small feature rows out.
+    * shape a production decoder extends — per-partition iteration,
+    * payloads consumed streaming, small feature rows out. The header
+    * decode itself ([[decodeHeader]]) is real.
     *
     * @param df columns: media_id LONG, kind STRING, payload BINARY
     */
@@ -62,12 +185,13 @@ object Multimodal {
     df.select(col("media_id").cast("long"), col("kind").cast("string"),
         col("payload").cast("binary"))
       .as[MediaIn]
-      .mapPartitions(_.map(decodeStub))
+      .mapPartitions(_.map(decode))
   }
 
   /** Frame sampling plumbing for video payloads: emits one row per sampled
-    * frame index (decode itself stubbed). Demonstrates the explode shape —
-    * rows multiply, payload does not travel with them.
+    * frame index (frame COUNT is the declared stub; the explode shape —
+    * rows multiply, payload does not travel with them — is the real
+    * contract).
     */
   def sampleFrames(spark: SparkSession, df: DataFrame, everyN: Int): DataFrame = {
     require(everyN > 0, s"everyN must be positive, got $everyN")
@@ -75,6 +199,6 @@ object Multimodal {
     feats.toDF()
       .withColumn("frame_idx",
         explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(everyN))))
-      .select("media_id", "kind", "frame_idx", "content_hash")
+      .select("media_id", "kind", "frame_idx", "content_md5")
   }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{CorpusPipeline, CorpusSampling, Dedup, Similarity, Sketches, TextAnalysis}
+import graft.ext.{CorpusPipeline, CorpusSampling, Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
 import QueryDef.table
 
 /** North-star extension queries: dedup, similarity search, text analysis,
@@ -729,6 +729,122 @@ object ExtensionQueries {
               TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_val
             FROM events ORDER BY event_id"""))
 
+  /** REAL multimodal header decode ([[Multimodal.extractFeatures]] /
+    * [[Multimodal.decodeHeader]]): the testdata has no image column, so the
+    * query synthesizes deterministic binary payloads from doc_id — valid
+    * PNG files (signature + IHDR + fake CRC + variable padding + IEND),
+    * valid JPEGs (SOI + variable-length APP0 + variable-length COM + SOF0
+    * + EOI, so the JVM marker WALK is actually exercised — the SOF offset
+    * shifts with doc_id), and non-image garbage — then decodes them with
+    * the pure-JVM parser. The oracle rebuilds byte-identical payloads in
+    * DuckDB and replays the header-offset arithmetic over the binary
+    * column: PNG dims at fixed IHDR offsets, JPEG dims via a RECURSIVE-CTE
+    * marker walk driven by each segment's length field. content_md5 is
+    * md5 of the uppercase hex rendering (DuckDB lacks md5(BLOB)) and
+    * pins byte-identity of the synthesized payloads across engines.
+    */
+  val qMultimodalDecode = QueryDef(
+    "q_multimodal_decode",
+    (s, d) => {
+      val png = concat(
+        lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        lpad(hex(pmod(col("doc_id"), lit(1920)) + 1), 8, "0"),
+        lpad(hex(pmod(col("doc_id"), lit(1080)) + 1), 8, "0"),
+        lit("0806000000DEADBEEF"),
+        expr("repeat('00', CAST(doc_id % 5 AS INT))"),
+        lit("0000000049454E44AE426082"))
+      val jpeg = concat(
+        lit("FFD8FFE0"),
+        lpad(hex(pmod(col("doc_id"), lit(8)) + 16), 4, "0"),
+        lit("4A46494600" + "0101" + "00" + "0048" + "0048" + "0000"),
+        expr("repeat('00', CAST(doc_id % 8 AS INT))"),
+        lit("FFFE"),
+        lpad(hex(pmod(col("doc_id"), lit(3)) + 3), 4, "0"),
+        expr("repeat('41', CAST(doc_id % 3 + 1 AS INT))"),
+        lit("FFC0" + "0011" + "08"),
+        lpad(hex(pmod(col("doc_id"), lit(1080)) + 1), 4, "0"),
+        lpad(hex(pmod(col("doc_id"), lit(1920)) + 1), 4, "0"),
+        lit("03" + "011100" + "021101" + "031101" + "FFD9"))
+      val garbage = concat(lit("00112233"), lpad(hex(col("doc_id")), 8, "0"))
+      val media = docs(s, d).select(
+        col("doc_id").as("media_id"),
+        lit("image").as("kind"),
+        unhex(when(pmod(col("doc_id"), lit(2)) === 0, png)
+          .when(pmod(col("doc_id"), lit(4)) === 1, jpeg)
+          .otherwise(garbage)).as("payload"))
+      Multimodal.extractFeatures(s, media).toDF()
+        .select("media_id", "format", "n_bytes", "content_md5",
+          "width", "height", "bit_depth")
+        .orderBy("media_id")
+    },
+    Some("""WITH RECURSIVE payload AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN
+                  '89504E470D0A1A0A' || '0000000D' || '49484452'
+                  || lpad(hex(doc_id % 1920 + 1), 8, '0')
+                  || lpad(hex(doc_id % 1080 + 1), 8, '0')
+                  || '0806000000DEADBEEF'
+                  || repeat('00', CAST(doc_id % 5 AS INT))
+                  || '0000000049454E44AE426082'
+                WHEN doc_id % 4 = 1 THEN
+                  'FFD8FFE0' || lpad(hex(doc_id % 8 + 16), 4, '0')
+                  || '4A46494600010100004800480000'
+                  || repeat('00', CAST(doc_id % 8 AS INT))
+                  || 'FFFE' || lpad(hex(doc_id % 3 + 3), 4, '0')
+                  || repeat('41', CAST(doc_id % 3 + 1 AS INT))
+                  || 'FFC0001108'
+                  || lpad(hex(doc_id % 1080 + 1), 4, '0')
+                  || lpad(hex(doc_id % 1920 + 1), 4, '0')
+                  || '03' || '011100' || '021101' || '031101' || 'FFD9'
+                ELSE '00112233' || lpad(hex(doc_id), 8, '0') END AS ph
+              FROM documents),
+            bin AS (
+              SELECT doc_id, hex(unhex(ph)) AS h,
+                CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes
+              FROM payload),
+            walk AS (
+              SELECT doc_id, h, 2 AS off, 0 AS depth FROM bin
+              WHERE substr(h, 1, 4) = 'FFD8'
+              UNION ALL
+              SELECT doc_id, h,
+                off + 2 + CAST('0x' || substr(h, off*2 + 5, 4) AS INT),
+                depth + 1
+              FROM walk
+              WHERE substr(h, off*2 + 1, 2) = 'FF'
+                AND substr(h, off*2 + 3, 2) NOT IN ('D9', 'DA')
+                AND NOT (substr(h, off*2 + 3, 2) BETWEEN 'C0' AND 'CF'
+                         AND substr(h, off*2 + 3, 2) NOT IN ('C4', 'C8', 'CC'))
+                AND depth < 16),
+            sof AS (
+              SELECT doc_id, min(off) AS off FROM walk
+              WHERE substr(h, off*2 + 1, 2) = 'FF'
+                AND substr(h, off*2 + 3, 2) BETWEEN 'C0' AND 'CF'
+                AND substr(h, off*2 + 3, 2) NOT IN ('C4', 'C8', 'CC')
+              GROUP BY doc_id)
+            SELECT b.doc_id AS media_id,
+              CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+                   WHEN substr(h, 1, 6) = 'FFD8FF' THEN 'jpeg'
+                   ELSE 'unknown' END AS format,
+              b.n_bytes,
+              md5(h) AS content_md5,
+              CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+                     THEN CAST(CAST('0x' || substr(h, 33, 8) AS BIGINT) AS INT)
+                   WHEN s.off IS NOT NULL
+                     THEN CAST(CAST('0x' || substr(h, s.off*2 + 15, 4) AS BIGINT) AS INT)
+                   END AS width,
+              CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+                     THEN CAST(CAST('0x' || substr(h, 41, 8) AS BIGINT) AS INT)
+                   WHEN s.off IS NOT NULL
+                     THEN CAST(CAST('0x' || substr(h, s.off*2 + 11, 4) AS BIGINT) AS INT)
+                   END AS height,
+              CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+                     THEN CAST(CAST('0x' || substr(h, 49, 2) AS BIGINT) AS INT)
+                   WHEN s.off IS NOT NULL
+                     THEN CAST(CAST('0x' || substr(h, s.off*2 + 9, 2) AS BIGINT) AS INT)
+                   END AS bit_depth
+            FROM bin b LEFT JOIN sof s USING (doc_id)
+            ORDER BY media_id"""))
+
   /** PII redaction ([[TextAnalysis.redactPii]]): the testdata corpus holds
     * no PII, so the query plants deterministic synthetic PII (derived from
     * doc_id, replayed identically by the oracle) and then scrubs it —
@@ -1007,7 +1123,8 @@ object ExtensionQueries {
     qEmbedCosineTopk, qEmbedMeanpool, qAnnLsh, qAnnIvf, qAnnPq, qAnnIvfPq,
     qTextTokens, qTextSubword, qTextQuality, qQualityGate, qCorpusReport,
     qTextRepetition, qLangId,
-    qDocFingerprint, qDocWinnow, qMultimodalMeta, qHeavyHitters, qCorpusPipeline,
+    qDocFingerprint, qDocWinnow, qMultimodalMeta, qMultimodalDecode,
+    qHeavyHitters, qCorpusPipeline,
     qJsonlRoundtrip, qSampleStratified, qSampleTokenBudget, qSampleMixture,
     qPackSequences, qDocChunks, qWinnowPairs,
     qPiiRedact, qDedupSpans, qSplitAssign, qSampleUpsample, qGopherRules,

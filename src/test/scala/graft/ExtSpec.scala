@@ -572,29 +572,74 @@ class ExtSpec extends SparkSpec {
     assert(ids === Set(0L, 2L))
   }
 
-  test("multimodal: stubbed feature extraction preserves ids and byte counts") {
+  // a real 1×1 PNG header (signature + IHDR: w=1, h=1, depth 8, RGBA) and a
+  // minimal JPEG (SOI, APP0, SOF0 with h=2 w=3 precision 8, EOI), built
+  // byte-by-byte from the specs — NOT produced by the code under test
+  private def pngBytes(w: Int, h: Int, depth: Int): Array[Byte] = {
+    def be32(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    (Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      ++ be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h)
+      ++ Array(depth.toByte, 6.toByte, 0.toByte, 0.toByte, 0.toByte)
+      ++ be32(0xDEADBEEF))
+  }
+  private def jpegBytes(w: Int, h: Int, appPad: Int): Array[Byte] = {
+    val app0 = Array(0xff, 0xe0, 0, 16 + appPad).map(_.toByte) ++
+      "JFIF ".getBytes ++ Array[Byte](1, 1, 0, 0, 0x48, 0, 0x48, 0, 0) ++
+      Array.fill(appPad)(0.toByte)
+    val sof0 = Array(0xff, 0xc0, 0, 17, 8).map(_.toByte) ++
+      Array((h >> 8).toByte, h.toByte, (w >> 8).toByte, w.toByte) ++
+      Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)
+    Array(0xff.toByte, 0xd8.toByte) ++ app0 ++ sof0 ++
+      Array(0xff.toByte, 0xd9.toByte)
+  }
+
+  test("decodeHeader: real PNG IHDR and JPEG SOF0 parsing, robust to junk") {
+    val p = Multimodal.decodeHeader(pngBytes(640, 480, 8))
+    assert(p === Multimodal.ImageHeader("png", Some(640), Some(480), Some(8)))
+    // the JPEG walk crosses a variable-length APP0 — offsets are not fixed
+    for (pad <- Seq(0, 3, 9)) {
+      val j = Multimodal.decodeHeader(jpegBytes(1920, 1080, pad))
+      assert(j === Multimodal.ImageHeader("jpeg", Some(1920), Some(1080), Some(8)),
+        s"pad=$pad")
+    }
+    // truncated PNG (signature only): format detected, no dimensions
+    assert(Multimodal.decodeHeader(pngBytes(1, 1, 8).take(12)) ===
+      Multimodal.ImageHeader("png", None, None, None))
+    // JPEG truncated before SOF: no dimensions, no crash
+    assert(Multimodal.decodeHeader(jpegBytes(9, 9, 0).take(10)) ===
+      Multimodal.ImageHeader("jpeg", None, None, None))
+    // garbage and NULL
+    assert(Multimodal.decodeHeader(Array[Byte](1, 2, 3)).format === "unknown")
+    assert(Multimodal.decodeHeader(null).format === "unknown")
+  }
+
+  test("multimodal: feature extraction decodes real headers per partition") {
     val media = Seq(
-      (1L, "image", Array[Byte](1, 2, 3, 4, 5)),
-      (2L, "video", Array[Byte](9, 8, 7)))
+      (1L, "image", pngBytes(320, 200, 16)),
+      (2L, "video", Array[Byte](9, 8, 7)),
+      (4L, "image", jpegBytes(12, 34, 2)))
       .toDF("media_id", "kind", "payload")
     val feats = Multimodal.extractFeatures(spark, media).collect()
       .map(f => f.media_id -> f).toMap
-    assert(feats(1L).n_bytes === 5L)
-    assert(feats(2L).n_bytes === 3L)
+    assert(feats(1L).format === "png")
+    assert(feats(1L).width === Some(320) && feats(1L).height === Some(200))
+    assert(feats(1L).bit_depth === Some(16))
     assert(feats(1L).n_frames === 1) // images are single-frame
+    assert(feats(4L).format === "jpeg")
+    assert(feats(4L).width === Some(12) && feats(4L).height === Some(34))
+    assert(feats(2L).format === "unknown" && feats(2L).n_bytes === 3L)
     assert(feats(2L).n_frames >= 1)
-    assert(feats(1L).width >= 1 && feats(1L).height >= 1)
 
     val frames = Multimodal.sampleFrames(spark, media, everyN = 10)
     assert(frames.filter(col("media_id") === 2L).count() >= 1)
     assert(frames.columns.toSeq ===
-      Seq("media_id", "kind", "frame_idx", "content_hash"))
+      Seq("media_id", "kind", "frame_idx", "content_md5"))
 
     // NULL payload (nullable BINARY) decodes as an empty asset, not an NPE
     val withNull = Seq((3L, "image", Option.empty[Array[Byte]]))
       .toDF("media_id", "kind", "payload")
     val nf = Multimodal.extractFeatures(spark, withNull).collect()(0)
-    assert(nf.n_bytes === 0L && nf.media_id === 3L)
+    assert(nf.n_bytes === 0L && nf.media_id === 3L && nf.format === "unknown")
 
     // zero step caught at the call site, not deep inside the plan
     intercept[IllegalArgumentException] {

@@ -293,6 +293,34 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF default-config recall too low: $recall")
   }
 
+  test("bench config: kmeans and lowid quantizers produce DIFFERENT centroids") {
+    // BENCH_r4..r6 reported bit-identical max/mean list skew (1.264) for
+    // both quantizers at the bench configuration, raising the suspicion
+    // that the quantizer dispatch was broken. It isn't: this pins, at the
+    // exact bench config (the bench sf's embeddings, nCentroids=32), that
+    // the two quantizers return different centroid SETS and different
+    // full list-size DISTRIBUTIONS — the tied skew is a genuine
+    // coincidence of the MAX list size on uniform-random embeddings (the
+    // max is a coarse statistic; the distributions beneath it differ).
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val km = Similarity.centroidsFor(e, "vec_id", "embedding", 32, "kmeans")
+    val low = Similarity.centroidsFor(e, "vec_id", "embedding", 32, "lowid")
+    val kmSet = km.map(_._2.toSeq).toSet
+    val lowSet = low.map(_._2.toSeq).toSet
+    assert(kmSet !== lowSet, "quantizers returned identical centroid sets")
+    // lowid centroids are raw corpus vectors; kmeans centroids are
+    // normalized means — on this corpus none should coincide
+    assert((kmSet & lowSet).isEmpty,
+      s"${(kmSet & lowSet).size} centroids shared between quantizers")
+    def sizesOf(cents: Array[(Long, Array[Float])]): Seq[Long] =
+      Similarity.assignToCentroids(e, "embedding", cents)
+        .groupBy("_c_id").count().select("count").as[Long].collect()
+        .sorted.toSeq
+    assert(sizesOf(km) !== sizesOf(low),
+      "identical list-size distributions — dispatch suspect after all")
+  }
+
   test("k-means quantizer is deterministic and centroids are unit-norm") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
