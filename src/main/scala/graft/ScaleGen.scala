@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-proof data generator: writes an N× scaled copy of a testdata
+  * directory by replicating the FACT tables (events, orders, lineitem)
+  * with shifted keys and passing the dimension tables through unchanged —
+  * the standard fact-scaling shape (more facts per dimension row, dims
+  * broadcastable at every scale).
+  *
+  * Key treatment per copy `c` (0-based; copy 0 is the original):
+  *  - events: `event_id += c × (max id + 1)`; non-NULL `user_id` gets a
+  *    `~c` suffix so user cardinality scales with the data (sessions keep
+  *    their per-user shape); NULL user_ids stay NULL in EVERY copy, so the
+  *    dominant-key skew the salted operators defend against scales too.
+  *  - orders + lineitem: the SAME `o_orderkey` offset on both sides, so
+  *    the join keys stay consistent and selectivity is scale-invariant.
+  *  - timestamps, payloads, measures: unchanged (duplicated facts at the
+  *    same instants — a denser history, not a longer one).
+  *
+  * Usage: `runMain graft.ScaleGen <srcSfDir> <outDir> <factor>`
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir, factorStr) = args
+    val factor = factorStr.toInt
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame =
+      spark.read.parquet(s"$srcDir/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+
+    /** Replicate `factor`× in ONE pass (explode over the copy index — no
+      * N-way union plan) with per-copy column rewrites.
+      */
+    def replicate(df: DataFrame, rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame): DataFrame = {
+      val cols = df.columns
+      val exploded = df.withColumn("_copy",
+        explode(sequence(lit(0L), lit(factor - 1L))))
+      rewrite(exploded, col("_copy")).select(cols.map(col): _*)
+    }
+
+    val events = read("events")
+    val eventOffset =
+      events.agg(max(col("event_id")).cast("long")).head.getLong(0) + 1L
+    write(replicate(events, (df, c) => df
+      .withColumn("event_id", col("event_id") + c * eventOffset)
+      .withColumn("user_id",
+        when(c === 0L || col("user_id").isNull, col("user_id"))
+          .otherwise(concat(col("user_id"), lit("~"), c.cast("string"))))),
+      "events")
+
+    val orders = read("orders")
+    val orderOffset =
+      orders.agg(max(col("o_orderkey")).cast("long")).head.getLong(0) + 1L
+    write(replicate(orders, (df, c) => df
+      .withColumn("o_orderkey", col("o_orderkey") + c * orderOffset)), "orders")
+    write(replicate(read("lineitem"), (df, c) => df
+      .withColumn("l_orderkey", col("l_orderkey") + c * orderOffset)), "lineitem")
+
+    // dimensions and side tables pass through unchanged
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "documents", "embeddings"))
+      write(read(t), t)
+
+    println(s"scaled $srcDir x$factor -> $outDir " +
+      s"(events ${events.count() * factor} rows)")
+    spark.stop()
+  }
+}

@@ -227,6 +227,53 @@ object CorpusSampling {
       .drop("_threshold")
   }
 
+  /** Materialize the physical fixed-length training sequences that
+    * [[packSequences]] lays out: one row per (shard, sequence index) with
+    * the sequence's token array — every sequence holds exactly
+    * `seqTokens` tokens except each shard's LAST (the remainder), and
+    * concatenating a shard's sequences in index order reproduces the
+    * shard's deterministic token stream exactly (both invariants are
+    * oracle-checked in q_pack_materialize and unit-tested in ExtSpec).
+    *
+    * Plan shape: [[packSequences]]'s single per-shard window, then each
+    * document EXPLODES into one fragment per sequence it touches
+    * (bounded: n_tokens/seqTokens + 2 fragments per document) and one
+    * groupBy on (shard, seq_idx) assembles fragments in global-offset
+    * order — two bounded shuffles total, no driver-side data, and each
+    * output row is at most `seqTokens` tokens, so executor memory per row
+    * is capped regardless of corpus size. Zero-token documents contribute
+    * no fragment (there is nothing of them to materialize — their
+    * PLACEMENT still comes from [[packSequences]]).
+    */
+  def materializeSequences(
+      df: DataFrame, id: String, text: String, seqTokens: Long,
+      shard: Column): DataFrame = {
+    val reserved = Seq("seq_idx", "tokens", "seq_n_tokens",
+      "_startg", "_toks", "_from", "_to", "_piece")
+    require(!reserved.exists(df.columns.contains),
+      s"materializeSequences reserves columns ${reserved.mkString(", ")}")
+    val packed = packSequences(df, id, text, seqTokens, shard)
+    val frag = packed
+      .filter(col("n_tokens") > 0)
+      .withColumn("_startg", col("seq_first") * seqTokens + col("seq_offset"))
+      .withColumn("_toks", TextAnalysis.tokens(col(text)))
+      .withColumn("seq_idx", explode(sequence(col("seq_first"), col("seq_last"))))
+      .withColumn("_from", greatest(col("seq_idx") * seqTokens, col("_startg")))
+      .withColumn("_to",
+        least((col("seq_idx") + 1) * seqTokens, col("_startg") + col("n_tokens")))
+      .withColumn("_piece", slice(col("_toks"),
+        (col("_from") - col("_startg") + 1).cast("int"),
+        (col("_to") - col("_from")).cast("int")))
+    // array_sort on struct arrays orders by the FIRST field — fragment
+    // global start offsets, which are distinct within a sequence (documents
+    // occupy disjoint token ranges), so assembly order is total
+    frag.groupBy(col("shard"), col("seq_idx"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("_from"), col("_piece")))),
+        s => s.getField("_piece"))).as("tokens"))
+      .withColumn("seq_n_tokens", size(col("tokens")).cast("long"))
+  }
+
   def packSequences(
       df: DataFrame, id: String, text: String, seqTokens: Long,
       shard: Column): DataFrame = {

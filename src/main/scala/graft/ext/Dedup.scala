@@ -140,8 +140,19 @@ object Dedup {
     */
   def minhashDedupClusters(
       df: DataFrame, id: String, text: String,
-      bands: Int = 8, rowsPerBand: Int = 4, maxIter: Int = 10): DataFrame = {
+      bands: Int = 8, rowsPerBand: Int = 4, maxIter: Int = 10,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    // `checkpointDir` selects DURABLE lineage truncation: localCheckpoint
+    // (the default) writes blocks to executor local storage only, so after
+    // truncation an executor loss makes the result UNRECOMPUTABLE (the
+    // lineage is gone and so are the blocks). On a long-lived cluster pass
+    // a reliable store path (HDFS/S3) and the final labels are written
+    // there via reliable checkpoint() instead — the label frame is one
+    // (id, cluster_id) row per document, a sliver of the corpus, so the
+    // durable write is cheap relative to the N-iteration propagation it
+    // protects.
+    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
     val k = bands * rowsPerBand
     val sig = minhashSignatures(df, id, text, k)
     val banded = sig.select(col(id),
@@ -185,8 +196,10 @@ object Dedup {
     // blocks: the returned frame must not pin per-iteration caches (their
     // lifetime would otherwise be the session's) nor recompute the whole
     // loop on first use.
-    val result = labels.drop("_changed").withColumnRenamed("label", "cluster_id")
-      .localCheckpoint(true)
+    val finalLabels = labels.drop("_changed").withColumnRenamed("label", "cluster_id")
+    val result =
+      if (checkpointDir.isDefined) finalLabels.checkpoint(true)
+      else finalLabels.localCheckpoint(true)
     labels.unpersist()
     result
   }

@@ -205,6 +205,61 @@ object ExtensionQueries {
                            ROWS UNBOUNDED PRECEDING))
             ORDER BY doc_id"""))
 
+  /** Physical sequence materialization
+    * ([[CorpusSampling.materializeSequences]]): the actual fixed-length
+    * sequences behind [[qPackSequences]]'s placement metadata — 512-token
+    * rows per shard, remainder in each shard's last sequence. The oracle
+    * replays the same layout relationally (per-document fragment ranges,
+    * reassembled per sequence in global-offset order) and compares the
+    * sequence TEXT, so both invariants — exact lengths and
+    * concatenation-equals-stream — are hash-checked, not just asserted.
+    */
+  val qPackMaterialize = QueryDef(
+    "q_pack_materialize",
+    (s, d) => CorpusSampling.materializeSequences(
+        docs(s, d), id = "doc_id", text = "text", seqTokens = 512L,
+        shard = pmod(col("doc_id"), lit(4L)))
+      .select(col("shard"), col("seq_idx"), col("seq_n_tokens"),
+        concat_ws(" ", col("tokens")).as("seq_text"))
+      .orderBy("shard", "seq_idx"),
+    Some("""WITH base AS (
+              SELECT doc_id, doc_id % 4 AS shard, text,
+                CASE WHEN text IS NOT NULL
+                  THEN CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                            AS BIGINT)
+                  ELSE 0 END AS n_tokens
+              FROM documents),
+            pos AS (
+              SELECT doc_id, shard, text, n_tokens,
+                -- sum() OVER returns HUGEINT in DuckDB; range() below
+                -- rejects it
+                CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS _start
+              FROM base
+              WINDOW w AS (PARTITION BY shard
+                           ORDER BY md5(text) NULLS FIRST, doc_id
+                           ROWS UNBOUNDED PRECEDING)),
+            frag AS (
+              SELECT shard, u.s AS seq_idx, _start,
+                greatest(u.s * 512, _start) AS _from,
+                least((u.s + 1) * 512, _start + n_tokens) AS _to,
+                regexp_split_to_array(trim(text), '\s+') AS toks
+              FROM pos,
+                unnest(range(_start // 512,
+                             (_start + n_tokens - 1) // 512 + 1)) AS u(s)
+              WHERE n_tokens > 0),
+            pieces AS (
+              SELECT shard, seq_idx, _from, (_to - _from) AS piece_len,
+                array_to_string(
+                  list_slice(toks, CAST(_from - _start + 1 AS INT),
+                             CAST(_to - _start AS INT)), ' ') AS piece_text
+              FROM frag)
+            SELECT shard, CAST(seq_idx AS BIGINT) AS seq_idx,
+              CAST(sum(piece_len) AS BIGINT) AS seq_n_tokens,
+              string_agg(piece_text, ' ' ORDER BY _from) AS seq_text
+            FROM pieces
+            GROUP BY shard, seq_idx
+            ORDER BY shard, seq_idx"""))
+
   /** Mean-pooled embeddings ([[Similarity.meanPoolEmbeddings]]): every 4
     * consecutive vectors pool into one document vector (the chunk-to-doc
     * aggregation). Long-form output (group, dim, value) so the oracle
@@ -1126,7 +1181,7 @@ object ExtensionQueries {
     qDocFingerprint, qDocWinnow, qMultimodalMeta, qMultimodalDecode,
     qHeavyHitters, qCorpusPipeline,
     qJsonlRoundtrip, qSampleStratified, qSampleTokenBudget, qSampleMixture,
-    qPackSequences, qDocChunks, qWinnowPairs,
+    qPackSequences, qPackMaterialize, qDocChunks, qWinnowPairs,
     qPiiRedact, qDedupSpans, qSplitAssign, qSampleUpsample, qGopherRules,
     qTokenHistogram, qDecontaminateSemantic)
 }

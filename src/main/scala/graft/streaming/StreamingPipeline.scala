@@ -250,4 +250,40 @@ object StreamingPipeline {
           col("n_tokens") >= 10 && col("alpha_frac") >= 0.8),
       col(idCol), splits)
   }
+
+  /** Streaming twin of [[graft.ext.Dedup.decontaminate]]: drop stream
+    * documents sharing ANY word n-gram with a STATIC benchmark/eval set —
+    * live decontamination at the ingest edge, so contaminated documents
+    * never even land in the corpus.
+    *
+    * The batch shape (explode grams → semi-join → distinct contaminated
+    * ids → anti-join) needs a stateful stream-side distinct; this twin is
+    * STATELESS instead: the benchmark's distinct gram set is a static
+    * broadcast side, each streaming document carries its gram ARRAY into
+    * one broadcast LEFT ANTI join on `array_contains`, and no state store
+    * is touched (stream-static joins re-use the static side per
+    * micro-batch). Per-row cost is O(|bench grams|) worst case with
+    * short-circuit on the first hit — bounded by the same "a benchmark is
+    * small by definition" invariant the batch operator's broadcast relies
+    * on. Documents with fewer than `n` tokens (or NULL text) have a NULL
+    * gram array; `array_contains(NULL, g)` is NULL, never true, so they
+    * survive the anti-join — identical to batch semantics (asserted
+    * row-for-row in StreamingSpec on real documents).
+    */
+  def decontaminateStream(
+      docs: DataFrame, benchmark: DataFrame, textCol: String = "text",
+      n: Int = 8): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(!docs.columns.contains("_grams"),
+      "decontaminateStream reserves column _grams")
+    val benchGrams = benchmark
+      .select(explode(
+        graft.ext.TextAnalysis.wordNgrams(col(textCol), n)).as("_gram"))
+      .distinct()
+    docs
+      .withColumn("_grams", graft.ext.TextAnalysis.wordNgrams(col(textCol), n))
+      .join(broadcast(benchGrams),
+        array_contains(col("_grams"), col("_gram")), "left_anti")
+      .drop("_grams")
+  }
 }

@@ -76,6 +76,43 @@ class ExtSpec extends SparkSpec {
     assert(clusters(13L) === 13L)
   }
 
+  test("minhash clustering: durable checkpoint truncates lineage to a reliable store") {
+    val chain = Seq(
+      (10L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+      (11L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 CHANGED"),
+      (12L, "ALTERED w2 w3 w4 w5 w6 w7 w8 w9 CHANGED"),
+      (13L, "totally unrelated text about other things entirely"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    try {
+      val durable = graft.ext.Dedup.minhashDedupClusters(
+          chain, "doc_id", "text", checkpointDir = Some(dir))
+      // identical labels to the localCheckpoint path
+      assert(durable.as[(Long, Long)].collect().toMap ===
+        Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L))
+      // lineage actually truncated onto the RELIABLE store: the RDD is
+      // reliably checkpointed and blocks landed under the checkpoint dir
+      assert(durable.rdd.toDebugString.contains("ReliableCheckpointRDD"),
+        s"result lineage not reliably checkpointed:\n${durable.rdd.toDebugString}")
+      def filesUnder(p: java.nio.file.Path): Long = {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally s.close()
+      }
+      assert(filesUnder(java.nio.file.Paths.get(dir)) > 0,
+        s"no checkpoint files written under $dir")
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val children = java.nio.file.Files.list(p)
+          try children.forEach(rm(_)) finally children.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(java.nio.file.Paths.get(dir))
+    }
+  }
+
   test("simhash: HOF column variant and scale-path table variant agree") {
     val fromCol = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sim"))
       .as[(Long, Long)].collect().toMap
@@ -720,15 +757,19 @@ class ExtSpec extends SparkSpec {
   }
 
   test("hashSplit: complete, deterministic, fractions near the weights") {
-    val df = spark.range(2000).toDF("id")
+    // n large enough that ±3σ is a tight RELATIVE bound — the draw is one
+    // fixed deterministic outcome per salt, not a re-rollable sample, so
+    // small n can sit several σ out by construction (the unsalted draw
+    // was within 3σ at n=2000; the salted one is not — at n=10000 it is)
+    val df = spark.range(10000).toDF("id")
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val s = graft.ext.CorpusSampling.hashSplit(df, col("id"), splits)
     val counts = s.groupBy("split").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(counts.values.sum === 2000L)            // every row assigned
-    assert(counts("train") > 1540 && counts("train") < 1660) // 0.8 ± 3σ
-    assert(counts("val") > 140 && counts("val") < 260)
-    assert(counts("test") > 140 && counts("test") < 260)
+    assert(counts.values.sum === 10000L)           // every row assigned
+    assert(counts("train") > 7880 && counts("train") < 8120) // 0.8 ± 3σ
+    assert(counts("val") > 900 && counts("val") < 1100)
+    assert(counts("test") > 900 && counts("test") < 1100)
     // same assignment on a re-run over a DIFFERENT frame shape
     val again = graft.ext.CorpusSampling
       .hashSplit(df.repartition(7), col("id"), splits)
@@ -762,6 +803,35 @@ class ExtSpec extends SparkSpec {
     val idx = up.filter(col("doc_id") === 0L).select("copy_idx")
       .collect().map(_.getLong(0)).sorted
     assert(idx === (0L until idx.length).toArray)
+  }
+
+  test("materializeSequences: exact lengths, stream-preserving concatenation") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val seqTokens = 128L
+    val seqs = graft.ext.CorpusSampling.materializeSequences(
+        df, "doc_id", "text", seqTokens, shard = pmod(col("doc_id"), lit(3L)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[String](2).toVector, r.getLong(3)))
+      .groupBy(_._1)
+    for ((shard, rows) <- seqs) {
+      val byIdx = rows.sortBy(_._2)
+      // dense sequence indexes from 0
+      assert(byIdx.map(_._2).toSeq === (0L until byIdx.length).toSeq, s"shard $shard")
+      // every sequence exactly seqTokens tokens except the shard's last
+      for ((_, idx, toks, n) <- byIdx.init)
+        assert(toks.length.toLong === seqTokens && n === seqTokens,
+          s"shard $shard seq $idx has ${toks.length} tokens")
+      assert(byIdx.last._3.length.toLong <= seqTokens)
+      assert(byIdx.last._3.nonEmpty)
+      // concatenation equals the shard's deterministic token stream
+      val stream = df
+        .filter(pmod(col("doc_id"), lit(3L)) === shard && col("text").isNotNull)
+        .orderBy(md5(col("text")), col("doc_id"))
+        .select(col("text")).collect()
+        .flatMap(r => r.getString(0).trim.split("\\s+", -1)).toVector
+      assert(byIdx.flatMap(_._3).toVector === stream, s"shard $shard stream")
+    }
   }
 
   test("split then upsample composes unbiased (salted, independent draws)") {
