@@ -10,10 +10,10 @@ import org.apache.spark.sql.functions._
   * broadcastable at every scale).
   *
   * Key treatment per copy `c` (0-based; copy 0 is the original):
-  *  - events: `event_id += c × (max id + 1)`; non-NULL `user_id` gets a
-  *    `~c` suffix so user cardinality scales with the data (sessions keep
-  *    their per-user shape); NULL user_ids stay NULL in EVERY copy, so the
-  *    dominant-key skew the salted operators defend against scales too.
+  *  - events: `event_id += c × (max id + 1)` and likewise `user_id`, so
+  *    user cardinality scales with the data (sessions keep their per-user
+  *    shape); NULL user_ids stay NULL in EVERY copy, so the dominant-key
+  *    skew the salted operators defend against scales too.
   *  - orders + lineitem: the SAME `o_orderkey` offset on both sides, so
   *    the join keys stay consistent and selectivity is scale-invariant.
   *  - timestamps, payloads, measures: unchanged (duplicated facts at the
@@ -52,14 +52,13 @@ object ScaleGen {
     }
 
     val events = read("events")
-    val eventOffset =
-      events.agg(max(col("event_id")).cast("long")).head.getLong(0) + 1L
+    val Array(eventOffset, userOffset) = events
+      .agg(max(col("event_id")).cast("long"), max(col("user_id")).cast("long"))
+      .head.toSeq.map(_.asInstanceOf[Long] + 1L).toArray
     write(replicate(events, (df, c) => df
       .withColumn("event_id", col("event_id") + c * eventOffset)
-      .withColumn("user_id",
-        when(c === 0L || col("user_id").isNull, col("user_id"))
-          .otherwise(concat(col("user_id"), lit("~"), c.cast("string"))))),
-      "events")
+      // NULL + anything = NULL, so NULL user_ids replicate as NULL
+      .withColumn("user_id", col("user_id") + c * userOffset)), "events")
 
     val orders = read("orders")
     val orderOffset =
