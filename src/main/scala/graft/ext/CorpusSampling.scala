@@ -203,6 +203,58 @@ object CorpusSampling {
       .drop("_copies")
   }
 
+  /** Temperature-based mixture sampling: stratum `s` holding `n_s`
+    * documents receives a document target proportional to `n_s^alpha`
+    * (capped at `n_s` — sampling is without replacement), and that many
+    * documents are drawn in the deterministic `(md5(text), id)` order.
+    * `alpha = 1` reproduces the corpus's natural proportions, `alpha = 0`
+    * gives every stratum an equal share, and the usual `alpha ∈ (0, 1)`
+    * range ("temperature" in the multilingual-LM literature, e.g. the
+    * mBERT/XLM-R exponent-smoothed sampling) up-weights small strata
+    * without flattening the mixture entirely.
+    *
+    * Unlike [[stratifiedQuota]] (a FIXED per-stratum cap) the target here
+    * is data-dependent, so the plan carries two extra aggregations — both
+    * over the stratum-count table, which has ONE ROW PER STRATUM and is
+    * broadcast everywhere it is used: counts [1 shuffle on the stratum
+    * key], the normalizer Σ n^alpha [1-row scalar], targets [broadcast
+    * join], then the same single stratum-keyed window as the other
+    * samplers. The corpus shuffles ONCE.
+    *
+    * Determinism: `n_s^alpha` is double math, so targets pass through
+    * `floor(round(x, 6))` — the rounding absorbs last-ulp `pow`
+    * divergence between engines replaying the draw (same policy as
+    * [[hexBound]]'s integer hex cut).
+    */
+  def temperatureSample(
+      df: DataFrame, stratum: String, text: String, id: String,
+      alpha: Double, totalDocs: Long): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0, 1], got $alpha")
+    require(totalDocs >= 1, s"totalDocs must be >= 1, got $totalDocs")
+    val reserved = Seq("_n_s", "_z", "_target", "_rk")
+    require(!reserved.exists(df.columns.contains),
+      s"temperatureSample reserves columns ${reserved.mkString(", ")}")
+    // NULL strata are excluded ENTIRELY — from the draw (the equality
+    // join below never matches NULL) and from the normalizer (else
+    // unsampleable rows would deflate every real stratum's target)
+    val counts = df.where(col(stratum).isNotNull)
+      .groupBy(col(stratum)).agg(count(lit(1)).as("_n_s"))
+    val z = counts.agg(
+      sum(pow(col("_n_s").cast("double"), lit(alpha))).as("_z"))
+    val targets = counts.crossJoin(broadcast(z))
+      .withColumn("_target",
+        least(col("_n_s"),
+          floor(round(lit(totalDocs.toDouble) *
+            pow(col("_n_s").cast("double"), lit(alpha)) / col("_z"),
+            6)).cast("long")))
+      .select(col(stratum), col("_target"))
+    val w = Window.partitionBy(stratum).orderBy(strataOrder(text, id): _*)
+    df.join(broadcast(targets), Seq(stratum))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= col("_target"))
+      .drop("_rk", "_target")
+  }
+
   /** Keep documents whose quality score is at or above the corpus's `p`-th
     * percentile — filtering by the score DISTRIBUTION rather than a magic
     * constant, the usual way corpus quality gates are specified.

@@ -1,0 +1,170 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked-retrieval relevance scoring over the document corpus: document
+  * frequency, per-document TF-IDF term profiles, and BM25 query scoring —
+  * the primitives behind query-targeted corpus curation (pull the
+  * documents most relevant to a seed query set, score domain relevance,
+  * build retrieval training pairs).
+  *
+  * Scale shape: everything reduces to (id, term) postings produced by one
+  * explode pass, then groupBy/join on the TERM key — never a pairwise
+  * stage. Corpus-wide statistics (document count, average length) are
+  * 1-row scalar aggregates broadcast back with the same crossJoin pattern
+  * as [[CorpusSampling.percentileFilter]]. BM25 filters postings to the
+  * query's terms BEFORE the first aggregation, so the per-query cost is
+  * proportional to the postings of the query terms, not the corpus
+  * vocabulary.
+  *
+  * Determinism policy (SURVEY.md §5.2.2): scores are surfaced as
+  * `round(score, 4)` doubles AND ranked through an integer micro-score
+  * (`cast(round(score * 1e6) as bigint)`) with a term/id tie-break, so
+  * rank boundaries cannot flip on last-ulp `ln` differences between
+  * engines replaying the oracle.
+  */
+object Relevance {
+
+  /** Non-empty whitespace tokens as (id, term) postings — one row per
+    * token OCCURRENCE (duplicates preserved; aggregate them per use
+    * site). NULL text yields no postings.
+    */
+  def termPostings(df: DataFrame, id: String, text: String): DataFrame =
+    df.where(col(text).isNotNull)
+      .select(col(id), explode(TextAnalysis.tokens(col(text))).as("term"))
+      .where(col("term") =!= "")
+
+  /** Document frequency per term: in how many distinct documents does the
+    * term occur. ONE shuffle on the term key with map-side partial
+    * distinct — the vocabulary table every IDF consumer shares.
+    */
+  def documentFrequency(df: DataFrame, id: String, text: String): DataFrame =
+    termPostings(df, id, text)
+      .groupBy("term")
+      .agg(countDistinct(col(id)).as("doc_freq"))
+
+  /** Integer micro-score used for ranking: exact BIGINT comparison in
+    * every engine, immune to sub-1e-6 float divergence.
+    */
+  private def microScore(score: Column): Column =
+    round(score * 1e6, 0).cast("long")
+
+  /** Top-`k` TF-IDF terms per document: `tf * ln(N / df)` over whitespace
+    * terms, where N counts documents WITH text. Emits
+    * `(id, term, tf, doc_freq, score)` for the k highest-scoring terms of
+    * each document (ties broken by term ascending).
+    *
+    * Plan: postings aggregate to (id, term, tf) [shuffle 1, on (id,
+    * term)]; the df table [shuffle 2, on term] joins back on term —
+    * BROADCAST by default since a word-type vocabulary grows ~O(corpus^β)
+    * (Heaps' law) and stays executor-memory-sized long after the corpus
+    * does not; pass broadcastVocab = false at extreme vocabulary (e.g.
+    * hash-token) scales and AQE plans the join from runtime sizes. The
+    * final per-document top-k is one row_number window on the id key
+    * with rank-limit pushdown.
+    */
+  def tfidfTopTerms(
+      df: DataFrame, id: String, text: String, k: Int,
+      broadcastVocab: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val reserved = Seq("term", "tf", "doc_freq", "score", "_n_docs", "_rk")
+    require(!reserved.exists(df.columns.contains),
+      s"tfidfTopTerms reserves columns ${reserved.mkString(", ")}")
+    val nDocs = df.where(col(text).isNotNull)
+      .agg(count(lit(1)).as("_n_docs"))
+    val tf = termPostings(df, id, text)
+      .groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = documentFrequency(df, id, text)
+    val hinted = if (broadcastVocab) broadcast(vocab) else vocab
+    val scored = tf.join(hinted, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") *
+          log(col("_n_docs").cast("double") / col("doc_freq").cast("double")))
+    val w = Window.partitionBy(col(id))
+      .orderBy(microScore(col("score")).desc, col("term"))
+    scored.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .select(col(id), col("term"), col("tf"), col("doc_freq"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** BM25 scores of every matching document against one bag-of-terms
+    * query (Robertson/Spärck Jones, the Okapi formulation used by Lucene
+    * and every search engine since):
+    *
+    *   score(d, q) = Σ_{t ∈ q} idf(t) · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   idf(t)      = ln(1 + (N − df + 0.5) / (df + 0.5))
+    *
+    * Documents sharing no term with the query are absent (score 0 by
+    * definition). Duplicate query terms count once — a bag query is a
+    * SET of terms here, matching Lucene's practice.
+    *
+    * Plan: postings filter to the query's terms FIRST (the isin predicate
+    * pushes to the scan side of the explode), so everything downstream is
+    * sized by the query-term postings. df comes from the same filtered
+    * postings (df of non-query terms is never computed). Corpus-level N
+    * and avgdl are 1-row broadcast scalars; the per-term idf join
+    * broadcasts ≤ |query| rows; the final per-document sum is ONE shuffle
+    * on the id key.
+    */
+  def bm25(
+      df: DataFrame, id: String, text: String, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must not be empty")
+    require(k1 >= 0, s"k1 must be >= 0, got $k1")
+    require(b >= 0 && b <= 1, s"b must be in [0, 1], got $b")
+    val reserved = Seq("term", "tf", "doc_freq", "score", "_n_docs",
+      "_avgdl", "_dl", "_idf")
+    require(!reserved.exists(df.columns.contains),
+      s"bm25 reserves columns ${reserved.mkString(", ")}")
+    val terms = queryTerms.distinct
+    val postings = termPostings(df, id, text)
+    // corpus stats: one pass over the postings' per-doc lengths — N and
+    // avgdl must count every document with at least the empty token
+    // stream, so they come from the SOURCE df, not the filtered postings
+    val dl = df.where(col(text).isNotNull)
+      .select(col(id),
+        size(filter(TextAnalysis.tokens(col(text)), t => t =!= ""))
+          .cast("long").as("_dl"))
+    val stats = dl.agg(count(lit(1)).as("_n_docs"),
+      avg(col("_dl").cast("double")).as("_avgdl"))
+    val qPostings = postings.where(col("term").isin(terms: _*))
+    val tf = qPostings.groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = qPostings.groupBy("term")
+      .agg(countDistinct(col(id)).as("doc_freq"))
+    val idf = dfT.crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        log(lit(1.0) + (col("_n_docs") - col("doc_freq") + lit(0.5)) /
+          (col("doc_freq") + lit(0.5))))
+      .select("term", "_idf")
+    val perTerm = tf.join(broadcast(idf), Seq("term"))
+      .join(dl, Seq(id))
+      .crossJoin(broadcast(stats.select("_avgdl")))
+      .withColumn("score",
+        col("_idf") * (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("_dl") / col("_avgdl"))))
+    perTerm.groupBy(col(id))
+      .agg(sum(col("score")).as("score"), count(lit(1)).as("n_terms"))
+      .select(col(id), round(col("score"), 4).as("score"),
+        col("n_terms"))
+  }
+
+  /** BM25 top-`k` retrieval: [[bm25]] then the global k best documents
+    * (ties broken by id). TakeOrderedAndProject in the physical plan — a
+    * per-partition top-k then a k-row driver merge, never a full sort.
+    */
+  def bm25TopK(
+      df: DataFrame, id: String, text: String, queryTerms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    bm25(df, id, text, queryTerms, k1, b)
+      .orderBy(microScore(col("score")).desc, col(id))
+      .limit(k)
+  }
+}

@@ -60,6 +60,31 @@ object Similarity {
       .select(col(qId), col(id), col("cosine"))
   }
 
+  /** Hard-negative mining for embedding/retrieval training: for each
+    * probe, the `k` nearest corpus vectors with a DIFFERENT label — the
+    * highest-similarity wrong answers, which contrastive training wants
+    * as negatives precisely because they are hard. Same plan as
+    * [[bruteForceTopK]] (broadcast probe set streamed against the corpus
+    * scan, no corpus shuffle) with the label-inequality predicate fused
+    * into the scan-side filter; the per-probe top-k is one rank-limited
+    * window on the probe key. Rows with NULL label on either side never
+    * qualify (NULL <> x is NULL) — a vector of unknown class is not a
+    * provable negative.
+    */
+  def hardNegatives(
+      corpus: DataFrame, id: String, vec: String, label: String,
+      probes: DataFrame, qId: String, qVec: String, qLabel: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val scored = corpus.crossJoin(broadcast(probes))
+      .filter(col(label) =!= col(qLabel))
+      .withColumn("cosine", cosine(col(qVec), col(vec)))
+    val w = Window.partitionBy(qId).orderBy(col("cosine").desc, col(id))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qId), col(id), col("cosine"))
+  }
+
   /** Mean-pool embeddings into one vector per group — the chunk-to-document
     * aggregation of every long-document embedding pipeline (embed chunks,
     * pool to a document vector).

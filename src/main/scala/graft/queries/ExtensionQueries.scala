@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{CorpusPipeline, CorpusSampling, Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.ext.{CorpusPipeline, CorpusSampling, Dedup, Multimodal, Relevance, Similarity, Sketches, TextAnalysis}
 import QueryDef.table
 
 /** North-star extension queries: dedup, similarity search, text analysis,
@@ -1172,6 +1172,207 @@ object ExtensionQueries {
                   FROM documents)
             GROUP BY bucket ORDER BY bucket"""))
 
+  // --- relevance / ranked retrieval ----------------------------------------
+
+  /** Document frequency per term ([[Relevance.documentFrequency]]): the
+    * shared vocabulary statistic behind every IDF consumer. One shuffle
+    * with map-side partial distinct.
+    */
+  val qDocFrequency = QueryDef(
+    "q_doc_frequency",
+    (s, d) => Relevance.documentFrequency(docs(s, d), "doc_id", "text")
+      .orderBy("term"),
+    Some("""WITH toks AS (
+              SELECT doc_id, u.term
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                    FROM documents WHERE text IS NOT NULL) s,
+                   unnest(s.t) AS u(term)
+              WHERE u.term <> '')
+            SELECT term, count(DISTINCT doc_id) AS doc_freq
+            FROM toks GROUP BY term ORDER BY term"""))
+
+  /** Top-5 TF-IDF terms per document ([[Relevance.tfidfTopTerms]]):
+    * `tf * ln(N/df)` ranked through the integer micro-score so rank
+    * boundaries cannot flip on last-ulp `ln` divergence between engines.
+    */
+  val qTfidfTopTerms = QueryDef(
+    "q_tfidf_topterms",
+    (s, d) => Relevance.tfidfTopTerms(docs(s, d), "doc_id", "text", k = 5)
+      .orderBy("doc_id", "term"),
+    Some("""WITH toks AS (
+              SELECT doc_id, u.term
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                    FROM documents WHERE text IS NOT NULL) s,
+                   unnest(s.t) AS u(term)
+              WHERE u.term <> ''),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfr AS (SELECT term, count(DISTINCT doc_id) AS doc_freq
+                    FROM toks GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfr.doc_freq,
+                     tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfr.doc_freq) AS score
+              FROM tf JOIN dfr USING (term) CROSS JOIN n),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY CAST(round(score * 1e6, 0) AS BIGINT) DESC, term) AS rk
+              FROM scored)
+            SELECT doc_id, term, tf, doc_freq, round(score, 4) AS score
+            FROM ranked WHERE rk <= 5 ORDER BY doc_id, term"""))
+
+  private val bm25QueryTerms = Seq("spark", "vector", "stream")
+
+  /** BM25 scoring of the corpus against a 3-term query
+    * ([[Relevance.bm25]], k1 = 1.2, b = 0.75 — the Lucene defaults). The
+    * oracle replays the full Okapi formula including the corpus-level
+    * N / avgdl scalars.
+    */
+  val qBm25 = QueryDef(
+    "q_bm25",
+    (s, d) => Relevance.bm25(docs(s, d), "doc_id", "text", bm25QueryTerms)
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (
+              SELECT doc_id, u.term
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                    FROM documents WHERE text IS NOT NULL) s,
+                   unnest(s.t) AS u(term)
+              WHERE u.term <> ''),
+            dl AS (SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                     x -> x <> '')) AS dl
+                   FROM documents WHERE text IS NOT NULL),
+            stats AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl
+                      FROM dl),
+            qtoks AS (SELECT doc_id, term FROM toks
+                      WHERE term IN ('spark', 'vector', 'stream')),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM qtoks GROUP BY 1, 2),
+            dfr AS (SELECT term, count(DISTINCT doc_id) AS doc_freq
+                    FROM qtoks GROUP BY 1),
+            idf AS (SELECT term,
+                      ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5)) AS idf
+                    FROM dfr CROSS JOIN stats),
+            per AS (SELECT tf.doc_id,
+                      idf.idf * (tf.tf * (1.2 + 1)) /
+                        (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                        AS s
+                    FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+                    CROSS JOIN stats)
+            SELECT doc_id, round(sum(s), 4) AS score, count(*) AS n_terms
+            FROM per GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** BM25 top-25 retrieval ([[Relevance.bm25TopK]]): global k-best by the
+    * integer micro-score — TakeOrderedAndProject physically, never a full
+    * sort. Output re-ordered by doc_id so the row order both engines
+    * print is key-determined.
+    */
+  val qBm25TopK = QueryDef(
+    "q_bm25_topk",
+    (s, d) => Relevance.bm25TopK(docs(s, d), "doc_id", "text",
+        bm25QueryTerms, k = 25)
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (
+              SELECT doc_id, u.term
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                    FROM documents WHERE text IS NOT NULL) s,
+                   unnest(s.t) AS u(term)
+              WHERE u.term <> ''),
+            dl AS (SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                     x -> x <> '')) AS dl
+                   FROM documents WHERE text IS NOT NULL),
+            stats AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl
+                      FROM dl),
+            qtoks AS (SELECT doc_id, term FROM toks
+                      WHERE term IN ('spark', 'vector', 'stream')),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM qtoks GROUP BY 1, 2),
+            dfr AS (SELECT term, count(DISTINCT doc_id) AS doc_freq
+                    FROM qtoks GROUP BY 1),
+            idf AS (SELECT term,
+                      ln(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5)) AS idf
+                    FROM dfr CROSS JOIN stats),
+            per AS (SELECT tf.doc_id,
+                      idf.idf * (tf.tf * (1.2 + 1)) /
+                        (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+                        AS s
+                    FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+                    CROSS JOIN stats),
+            full_scores AS (
+              SELECT doc_id, round(sum(s), 4) AS score, count(*) AS n_terms
+              FROM per GROUP BY doc_id)
+            SELECT doc_id, score, n_terms FROM (
+              SELECT * FROM full_scores
+              ORDER BY CAST(round(score * 1e6, 0) AS BIGINT) DESC, doc_id
+              LIMIT 25)
+            ORDER BY doc_id"""))
+
+  /** Temperature-based mixture sampling
+    * ([[CorpusSampling.temperatureSample]], alpha = 0.5, 200 docs): each
+    * language's target is proportional to `n^0.5`, up-weighting small
+    * strata; the draw replays through the same md5 order as the other
+    * samplers.
+    */
+  val qSampleTemperature = QueryDef(
+    "q_sample_temperature",
+    (s, d) => CorpusSampling.temperatureSample(
+        docs(s, d), stratum = "lang", text = "text", id = "doc_id",
+        alpha = 0.5, totalDocs = 200L)
+      .select("doc_id", "lang")
+      .orderBy("doc_id"),
+    Some("""WITH counts AS (SELECT lang, count(*) AS n_s FROM documents
+                            WHERE lang IS NOT NULL GROUP BY 1),
+            z AS (SELECT sum(pow(CAST(n_s AS DOUBLE), 0.5)) AS z FROM counts),
+            targets AS (SELECT lang,
+                least(n_s, CAST(floor(round(
+                  200.0 * pow(CAST(n_s AS DOUBLE), 0.5) / z.z, 6)) AS BIGINT))
+                  AS target
+              FROM counts CROSS JOIN z),
+            ranked AS (SELECT doc_id, lang,
+                row_number() OVER (PARTITION BY lang
+                                   ORDER BY md5(text) NULLS FIRST, doc_id) AS rk
+              FROM documents)
+            SELECT r.doc_id, r.lang FROM ranked r JOIN targets t USING (lang)
+            WHERE r.rk <= t.target ORDER BY r.doc_id"""))
+
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): for each of 3
+    * probe vectors, the 10 most-similar corpus vectors with a DIFFERENT
+    * label — contrastive-training negatives. Same broadcast-probe plan as
+    * q_embed_cosine_topk with the label-inequality predicate fused in.
+    */
+  val qHardNegatives = QueryDef(
+    "q_hard_negatives",
+    (s, d) => {
+      val e = embs(s, d)
+      val probes = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      Similarity.hardNegatives(e, "vec_id", "embedding", "label",
+          probes, "q_id", "q_emb", "q_label", k = 10)
+        .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("q_id", "vec_id")
+    },
+    Some("""WITH elems AS (
+              SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings),
+            norms AS (
+              SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM elems GROUP BY vec_id),
+            dots AS (
+              SELECT p.vec_id AS q_id, e.vec_id AS vec_id, sum(p.v * e.v) AS dot
+              FROM elems p JOIN elems e ON p.i = e.i
+              WHERE p.vec_id < 3 AND e.label <> p.label
+              GROUP BY 1, 2),
+            cos AS (
+              SELECT q_id, d.vec_id, d.dot / (nq.nrm * ne.nrm) AS c
+              FROM dots d
+              JOIN norms nq ON d.q_id = nq.vec_id
+              JOIN norms ne ON d.vec_id = ne.vec_id)
+            SELECT q_id, vec_id, round(c, 4) AS cosine
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn
+                  FROM cos) r
+            WHERE rn <= 10 ORDER BY q_id, vec_id"""))
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupExactHash, qNgramJaccard, qDedupMinhash, qDedupClusters,
     qDedupSimhash, qDedupEmbed, qDedupIncremental, qDecontaminate,
@@ -1183,5 +1384,7 @@ object ExtensionQueries {
     qJsonlRoundtrip, qSampleStratified, qSampleTokenBudget, qSampleMixture,
     qPackSequences, qPackMaterialize, qDocChunks, qWinnowPairs,
     qPiiRedact, qDedupSpans, qSplitAssign, qSampleUpsample, qGopherRules,
-    qTokenHistogram, qDecontaminateSemantic)
+    qTokenHistogram, qDecontaminateSemantic,
+    qDocFrequency, qTfidfTopTerms, qBm25, qBm25TopK,
+    qSampleTemperature, qHardNegatives)
 }

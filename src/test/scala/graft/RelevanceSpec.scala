@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{CorpusSampling, Relevance, Similarity}
+
+/** Unit + invariant tests for ranked-retrieval relevance scoring
+  * (document frequency, TF-IDF, BM25), temperature mixture sampling, and
+  * hard-negative mining.
+  */
+class RelevanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "spark spark fast"),
+    (1L, "spark slow"),
+    (2L, "other words here entirely"),
+    (3L, "fast fast fast other"),
+    (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+
+  test("documentFrequency counts distinct docs per term, skips NULL text") {
+    val df = Relevance.documentFrequency(docs, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(df("spark") === 2L)
+    assert(df("fast") === 2L)   // docs 0 and 3, repeats in 3 count once
+    assert(df("other") === 2L)
+    assert(df("slow") === 1L)
+    assert(df.values.sum === 10L) // 10 distinct (doc, term) postings
+    assert(df.size === 7)         // 7 distinct terms; NULL doc contributes none
+  }
+
+  test("tfidf: scores match tf * ln(N/df) and k bounds the per-doc terms") {
+    val out = Relevance.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // N = 4 docs with text
+    val (tf, df0, score) = out((0L, "spark"))
+    assert(tf === 2L && df0 === 2L)
+    assert(math.abs(score - 2 * math.log(4.0 / 2)) < 1e-4)
+    // per-doc cap respected
+    val perDoc = out.keys.groupBy(_._1).view.mapValues(_.size)
+    assert(perDoc.values.forall(_ <= 2))
+    // doc 3: 'fast' (tf 3) must outrank 'other' (tf 1, same df)
+    assert(out.contains((3L, "fast")))
+  }
+
+  test("bm25 matches the hand-evaluated Okapi formula") {
+    val out = Relevance.bm25(docs, "doc_id", "text", Seq("spark", "fast"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val n = 4.0
+    val dls = Map(0L -> 3.0, 1L -> 2.0, 2L -> 4.0, 3L -> 4.0)
+    val avgdl = dls.values.sum / n
+    def idf(df: Double) = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def term(tf: Double, df: Double, dl: Double) =
+      idf(df) * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    val expected0 = term(2, 2, dls(0L)) + term(1, 2, dls(0L)) // spark + fast
+    assert(math.abs(out(0L)._1 - expected0) < 1e-3)
+    assert(out(0L)._2 === 2L)                   // both query terms matched
+    assert(out(1L)._2 === 1L)
+    assert(!out.contains(2L))                   // no query term -> absent
+    assert(!out.contains(4L))                   // NULL text -> absent
+  }
+
+  test("bm25TopK agrees with full bm25 ordering and is a TakeOrdered plan") {
+    val top = Relevance.bm25TopK(docs, "doc_id", "text", Seq("spark", "fast"), k = 2)
+    val full = Relevance.bm25(docs, "doc_id", "text", Seq("spark", "fast"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ids = top.select("doc_id").as[Long].collect().toSet
+    val kept = full.toSeq.sortBy { case (id, s) =>
+      (-math.round(s * 1e6), id) }.take(2).map(_._1).toSet
+    assert(ids === kept)
+    assert(top.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("tfidf vocabulary join broadcasts; no sort-merge join in the plan") {
+    val p = Relevance.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  private lazy val mixDocs = {
+    // 40 'en', 10 'es', NULL-lang stragglers
+    val rows = (0 until 40).map(i => (i.toLong, "en", s"text en $i")) ++
+      (40 until 50).map(i => (i.toLong, "es", s"text es $i")) ++
+      Seq((50L, null.asInstanceOf[String], "orphan"))
+    rows.toDF("doc_id", "lang", "text")
+  }
+
+  test("temperatureSample: alpha=1 keeps natural proportions, alpha=0 equalizes") {
+    def countsAt(alpha: Double) =
+      CorpusSampling.temperatureSample(mixDocs, "lang", "text", "doc_id",
+          alpha, totalDocs = 25L)
+        .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // alpha=1: targets 25*(40/50)=20, 25*(10/50)=5
+    assert(countsAt(1.0) === Map("en" -> 20L, "es" -> 5L))
+    // alpha=0: every stratum weighs 1 -> 12 each (floor 12.5), es capped at 10
+    val eq = countsAt(0.0)
+    assert(eq("en") === 12L && eq("es") === 10L)
+  }
+
+  test("temperatureSample caps at stratum size, drops NULL strata, is deterministic") {
+    val out = CorpusSampling.temperatureSample(mixDocs, "lang", "text", "doc_id",
+      alpha = 0.5, totalDocs = 1000L)
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("en" -> 40L, "es" -> 10L)) // capped, no NULL row
+    val a = out.select("doc_id").as[Long].collect().sorted
+    val b = CorpusSampling.temperatureSample(mixDocs, "lang", "text", "doc_id",
+      alpha = 0.5, totalDocs = 1000L).select("doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b))
+  }
+
+  test("temperatureSample draw is a prefix of the stratifiedQuota order") {
+    // both samplers share the (md5(text), id) order, so a temperature draw
+    // of m docs from a stratum must equal that stratum's m-doc quota draw
+    val temp = CorpusSampling.temperatureSample(mixDocs, "lang", "text", "doc_id",
+        alpha = 1.0, totalDocs = 25L)
+      .filter(col("lang") === "en").select("doc_id").as[Long].collect().toSet
+    val quota = CorpusSampling.stratifiedQuota(mixDocs, "lang", "text", "doc_id",
+        quota = 20)
+      .filter(col("lang") === "en").select("doc_id").as[Long].collect().toSet
+    assert(temp === quota)
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f), 0),   // same label as 0 — never its negative
+    (2L, Array(0.8f, 0.2f), 1),   // nearest different-label to 0
+    (3L, Array(0.0f, 1.0f), 1),
+    (4L, Array(-1.0f, 0.0f), 2)).toDF("vec_id", "embedding", "label")
+
+  test("hardNegatives returns nearest DIFFERENT-label vectors only") {
+    val probes = vecs.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val out = Similarity.hardNegatives(vecs, "vec_id", "embedding", "label",
+        probes, "q_id", "q_emb", "q_label", k = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out === Set(2L, 3L)) // 1 excluded (same label), 4 beyond k
+    val p = Similarity.hardNegatives(vecs, "vec_id", "embedding", "label",
+        probes, "q_id", "q_emb", "q_label", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+}
