@@ -379,6 +379,65 @@ object Similarity {
       .select(col(qId), col(id), col("cosine"))
   }
 
+  // --- int8 scalar quantization (SQ8) -----------------------------------
+
+  /** Per-vector symmetric int8 scalar quantization: `scale = max|x|/127`,
+    * `q_i = round(x_i / scale)` — the classic SQ8 compression (FAISS
+    * `ScalarQuantizer QT_8bit_direct` family): 4× smaller than float32
+    * with bounded per-element error `|x_i − q_i·scale| ≤ scale/2`. At
+    * 100 TB this is the difference between an index that fits executor
+    * memory and one that doesn't; unlike PQ it needs NO trained codebook,
+    * so quantization is a pure per-row expression — zero shuffles, zero
+    * driver state, stays inside whole-stage codegen.
+    *
+    * Emits `q_scale` (double) and `qvec` (array<tinyint>). Zero vectors
+    * quantize to all-zeros with `q_scale = 0`; NULL vectors stay NULL.
+    */
+  def quantizeInt8(df: DataFrame, vec: String): DataFrame = {
+    val reserved = Seq("q_scale", "qvec")
+    require(!reserved.exists(df.columns.contains),
+      s"quantizeInt8 reserves columns ${reserved.mkString(", ")}")
+    val maxAbs = aggregate(col(vec), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    df.withColumn("q_scale", maxAbs / lit(127.0))
+      .withColumn("qvec",
+        when(col("q_scale") > 0,
+          transform(col(vec),
+            x => round(x.cast("double") / col("q_scale"), 0).cast("tinyint")))
+          .otherwise(transform(col(vec), x => lit(0).cast("tinyint"))))
+  }
+
+  /** Dequantized vector for an SQ8 row — each element back to float via
+    * `q_i · scale`. Shared by [[sq8TopK]] and the recall/error specs so
+    * the reconstruction cannot diverge between search and test.
+    */
+  def dequantizeInt8(qvec: Column, scale: Column): Column =
+    transform(qvec, q => (q.cast("double") * scale).cast("float"))
+
+  /** SQ8 approximate top-k: probes (kept full-precision — there are few
+    * of them) score against DEQUANTIZED corpus vectors. Same
+    * broadcast-probe / no-corpus-shuffle plan as [[bruteForceTopK]]; the
+    * only difference is the corpus side reads the 4×-smaller int8 index
+    * and reconstructs per row inside codegen. Approximate by
+    * construction; recall vs the float32 baseline is asserted in the
+    * spec, with the `scale/2` per-element error bound making near-exact
+    * ranking the expectation, not luck.
+    */
+  def sq8TopK(
+      quantized: DataFrame, id: String,
+      probes: DataFrame, qId: String, qVec: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val scored = quantized.crossJoin(broadcast(probes))
+      .filter(col(id) =!= col(qId))
+      .withColumn("cosine",
+        cosine(col(qVec), dequantizeInt8(col("qvec"), col("q_scale"))))
+    val w = Window.partitionBy(qId).orderBy(col("cosine").desc, col(id))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qId), col(id), col("cosine"))
+  }
+
   // --- product quantization (Jégou, Douze, Schmid, TPAMI 33(1) 2011) ----
 
   /** Deterministic L2 Lloyd iterations over a driver-side point set —

@@ -1373,6 +1373,57 @@ object ExtensionQueries {
                   FROM cos) r
             WHERE rn <= 10 ORDER BY q_id, vec_id"""))
 
+  // --- int8 scalar quantization --------------------------------------------
+
+  /** SQ8 quantization ([[Similarity.quantizeInt8]]): per-vector symmetric
+    * int8 with `scale = max|x|/127` — a pure per-row expression, so the
+    * whole quantization is oracle-replayable (round-half-away-from-zero
+    * matches Spark's HALF_UP for both signs).
+    */
+  val qEmbedQuantize = QueryDef(
+    "q_embed_quantize",
+    (s, d) => Similarity.quantizeInt8(
+        embs(s, d).select("vec_id", "embedding"), "embedding")
+      .select(col("vec_id"), round(col("q_scale"), 9).as("q_scale"),
+        // the int8 codes as a comma-joined string: bit-exact to compare,
+        // and engine-portable (int8-ARRAY comparison support varies)
+        concat_ws(",", transform(col("qvec"), q => q.cast("string")))
+          .as("qvec_csv"))
+      .orderBy("vec_id"),
+    Some("""WITH scaled AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+              FROM embeddings)
+            SELECT vec_id, round(s, 9) AS q_scale,
+                   CASE WHEN s > 0
+                        THEN array_to_string(list_transform(embedding,
+                          x -> CAST(CAST(round(CAST(x AS DOUBLE) / s, 0)
+                                    AS TINYINT) AS VARCHAR)), ',')
+                        ELSE array_to_string(list_transform(embedding,
+                          x -> '0'), ',')
+                   END AS qvec_csv
+            FROM scaled ORDER BY vec_id"""))
+
+  /** SQ8 approximate top-k ([[Similarity.sq8TopK]]): probes stay
+    * float32, the corpus is searched through its 4×-smaller int8 index.
+    * Approximate by construction — rows-only; recall vs the float32
+    * baseline is asserted in ExtSpec.
+    */
+  val qAnnSq8 = QueryDef(
+    "q_ann_sq8",
+    (s, d) => {
+      val e = embs(s, d).select("vec_id", "embedding")
+      val probes = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val quantized = Similarity.quantizeInt8(e, "embedding")
+        .select("vec_id", "q_scale", "qvec")
+      Similarity.sq8TopK(quantized, "vec_id", probes, "q_id", "q_emb", k = 10)
+        .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("q_id", "vec_id")
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupExactHash, qNgramJaccard, qDedupMinhash, qDedupClusters,
     qDedupSimhash, qDedupEmbed, qDedupIncremental, qDecontaminate,
@@ -1386,5 +1437,5 @@ object ExtensionQueries {
     qPiiRedact, qDedupSpans, qSplitAssign, qSampleUpsample, qGopherRules,
     qTokenHistogram, qDecontaminateSemantic,
     qDocFrequency, qTfidfTopTerms, qBm25, qBm25TopK,
-    qSampleTemperature, qHardNegatives)
+    qSampleTemperature, qHardNegatives, qEmbedQuantize, qAnnSq8)
 }
