@@ -68,9 +68,24 @@ object ScaleGen {
     write(replicate(read("lineitem"), (df, c) => df
       .withColumn("l_orderkey", col("l_orderkey") + c * orderOffset)), "lineitem")
 
-    // dimensions and side tables pass through unchanged
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "documents", "embeddings"))
+    // corpus tables replicate too — text/vector payloads unchanged (the
+    // copies are exact duplicates: a denser corpus with factor-sized
+    // duplicate classes, the realistic stress for dedup keep/drop
+    // operators; pair-LISTING queries are excluded from scaled runs since
+    // duplicate classes blow up pair counts quadratically by definition)
+    val docs = read("documents")
+    val docOffset =
+      docs.agg(max(col("doc_id")).cast("long")).head.getLong(0) + 1L
+    write(replicate(docs, (df, c) => df
+      .withColumn("doc_id", col("doc_id") + c * docOffset)), "documents")
+    val embs = read("embeddings")
+    val vecOffset =
+      embs.agg(max(col("vec_id")).cast("long")).head.getLong(0) + 1L
+    write(replicate(embs, (df, c) => df
+      .withColumn("vec_id", col("vec_id") + c * vecOffset)), "embeddings")
+
+    // dimensions pass through unchanged
+    for (t <- Seq("region", "nation", "customer", "supplier", "part"))
       write(read(t), t)
 
     println(s"scaled $srcDir x$factor -> $outDir " +

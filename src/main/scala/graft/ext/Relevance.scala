@@ -155,6 +155,56 @@ object Relevance {
         col("n_terms"))
   }
 
+  /** Corpus-trained bigram language-model quality score — the classic
+    * LM-perplexity curation signal (CCNet / Wenzek et al. 2020 filter
+    * corpora by KenLM perplexity; this is the same shape with the LM
+    * trained relationally ON the corpus itself): each document scores the
+    * mean add-alpha-smoothed bigram conditional log-probability
+    *
+    *   lm_score(d) = mean over bigrams (w1 w2) of
+    *                 ln( (B(w1 w2) + α) / (U(w1) + α·V) )
+    *
+    * where B/U are corpus bigram/unigram occurrence counts and V the
+    * vocabulary size. Fluent, typical text scores high; rare-junk token
+    * sequences score low. Documents with no bigram (≤ 1 token or NULL
+    * text) are absent — a one-token document has no sequence model to
+    * judge.
+    *
+    * Plan: the LM "training" IS the scoring plan — bigram counts [one
+    * shuffle on the gram key] join the doc-gram postings reusing that
+    * same partitioning; the unigram table is vocabulary-sized and
+    * broadcast (Heaps' law — pass broadcastVocab = false to let AQE
+    * decide); V is a 1-row broadcast scalar; the per-document mean is one
+    * shuffle on the id key. Nothing is driver-side, nothing is pairwise.
+    */
+  def bigramLmScore(
+      df: DataFrame, id: String, text: String, alpha: Double = 0.5,
+      broadcastVocab: Boolean = true): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val reserved = Seq("_gram", "_w1", "_n_w", "_n_b", "_v", "_lp",
+      "n_bigrams", "lm_score")
+    require(!reserved.exists(df.columns.contains),
+      s"bigramLmScore reserves columns ${reserved.mkString(", ")}")
+    val uni = termPostings(df, id, text)
+      .groupBy(col("term").as("_w1")).agg(count(lit(1)).as("_n_w"))
+    val vocab = uni.agg(count(lit(1)).as("_v"))
+    val grams = df.where(col(text).isNotNull)
+      .select(col(id),
+        explode(TextAnalysis.wordNgrams(col(text), 2)).as("_gram"))
+      .withColumn("_w1", split(col("_gram"), " ").getItem(0))
+    val bi = grams.groupBy("_gram").agg(count(lit(1)).as("_n_b"))
+    val uniH = if (broadcastVocab) broadcast(uni) else uni
+    grams.join(bi, Seq("_gram"))
+      .join(uniH, Seq("_w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("_lp",
+        log((col("_n_b") + lit(alpha)) /
+          (col("_n_w") + lit(alpha) * col("_v"))))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("_lp")), 4).as("lm_score"))
+  }
+
   /** BM25 top-`k` retrieval: [[bm25]] then the global k best documents
     * (ties broken by id). TakeOrderedAndProject in the physical plan — a
     * per-partition top-k then a k-row driver merge, never a full sort.

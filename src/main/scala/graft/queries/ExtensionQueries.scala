@@ -1373,6 +1373,39 @@ object ExtensionQueries {
                   FROM cos) r
             WHERE rn <= 10 ORDER BY q_id, vec_id"""))
 
+  /** Bigram LM quality score ([[Relevance.bigramLmScore]], alpha = 0.5):
+    * the corpus-trained smoothed bigram log-probability — the
+    * LM-perplexity curation signal, fully relational. The oracle replays
+    * the counts, the smoothing, and the mean.
+    */
+  val qLmScore = QueryDef(
+    "q_lm_score",
+    (s, d) => Relevance.bigramLmScore(docs(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (
+              SELECT doc_id, u.term
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                    FROM documents WHERE text IS NOT NULL) s,
+                   unnest(s.t) AS u(term)
+              WHERE u.term <> ''),
+            uni AS (SELECT term, count(*) AS n_w FROM toks GROUP BY 1),
+            v AS (SELECT count(*) AS v FROM uni),
+            grams AS (
+              SELECT doc_id, array_to_string(list_slice(t, u.i + 1, u.i + 2), ' ') AS g,
+                     t[u.i + 1] AS w1
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                    FROM documents WHERE text IS NOT NULL) s,
+                   unnest(range(len(t) - 1)) AS u(i)
+              WHERE len(t) >= 2),
+            bi AS (SELECT g, count(*) AS n_b FROM grams GROUP BY 1),
+            scored AS (
+              SELECT d.doc_id,
+                     ln((bi.n_b + 0.5) / (uni.n_w + 0.5 * v.v)) AS lp
+              FROM grams d JOIN bi USING (g) JOIN uni ON d.w1 = uni.term
+              CROSS JOIN v)
+            SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS lm_score
+            FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
   // --- int8 scalar quantization --------------------------------------------
 
   /** SQ8 quantization ([[Similarity.quantizeInt8]]): per-vector symmetric
@@ -1437,5 +1470,5 @@ object ExtensionQueries {
     qPiiRedact, qDedupSpans, qSplitAssign, qSampleUpsample, qGopherRules,
     qTokenHistogram, qDecontaminateSemantic,
     qDocFrequency, qTfidfTopTerms, qBm25, qBm25TopK,
-    qSampleTemperature, qHardNegatives, qEmbedQuantize, qAnnSq8)
+    qSampleTemperature, qHardNegatives, qEmbedQuantize, qAnnSq8, qLmScore)
 }

@@ -122,6 +122,28 @@ class RelevanceSpec extends SparkSpec {
     assert(temp === quota)
   }
 
+  test("bigramLmScore matches the hand-evaluated smoothed bigram model") {
+    val corpus = Seq(
+      (0L, "a b a b"),
+      (1L, "a c"),
+      (2L, "z"),                       // one token -> no bigram -> absent
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Relevance.bigramLmScore(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // uni: a=3 b=2 c=1 z=1, V=4, alpha=0.5
+    // bi: "a b"=2, "b a"=1, "a c"=1
+    def lp(b: Double, u: Double) = math.log((b + 0.5) / (u + 0.5 * 4))
+    val d0 = (lp(2, 3) + lp(1, 2) + lp(2, 3)) / 3   // a b, b a, a b
+    val d1 = lp(1, 3)                               // a c
+    assert(out(0L)._1 === 3L)
+    assert(math.abs(out(0L)._2 - d0) < 1e-3)
+    assert(out(1L)._1 === 1L)
+    assert(math.abs(out(1L)._2 - d1) < 1e-3)
+    assert(!out.contains(2L) && !out.contains(3L))
+    // fluent repeated phrasing outranks the one-off bigram
+    assert(out(0L)._2 > out(1L)._2)
+  }
+
   private lazy val vecs = Seq(
     (0L, Array(1.0f, 0.0f), 0),
     (1L, Array(0.9f, 0.1f), 0),   // same label as 0 — never its negative
