@@ -192,9 +192,14 @@ object Relevance {
       .select(col(id),
         explode(TextAnalysis.wordNgrams(col(text), 2)).as("_gram"))
       .withColumn("_w1", split(col("_gram"), " ").getItem(0))
-    val bi = grams.groupBy("_gram").agg(count(lit(1)).as("_n_b"))
+    // bigram count as a whole-partition window, NOT aggregate+self-join:
+    // the join form exchanges the full gram table TWICE (once into the
+    // groupBy, once into the join probe side); the window form exchanges
+    // it once and counts in place
+    val withBi = grams.withColumn("_n_b",
+      count(lit(1)).over(Window.partitionBy(col("_gram"))))
     val uniH = if (broadcastVocab) broadcast(uni) else uni
-    grams.join(bi, Seq("_gram"))
+    withBi
       .join(uniH, Seq("_w1"))
       .crossJoin(broadcast(vocab))
       .withColumn("_lp",

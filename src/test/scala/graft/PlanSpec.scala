@@ -273,6 +273,42 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p.take(3000))
   }
 
+  test("bigram LM score: ONE gram-sized exchange (window count, not agg+join)") {
+    val p = planOfText("q_lm_score")
+    // The full gram table must cross the wire EXACTLY once (the window
+    // count). The aggregate+self-join form exchanged it twice — the
+    // reshape this test pins (13.1s -> 8.7s at 10x sf0.1). The remaining
+    // exchanges are vocab-sized (unigram agg, vocab scalar) or doc-sized
+    // (final agg) — all map-side partial-aggregated first.
+    assert("Exchange hashpartitioning\\(_gram".r.findAllIn(p).length == 1,
+      s"gram table shuffles more than once:\n${p.take(3000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 4,
+      s"LM score shuffles more than its design:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"),
+      "unigram join degraded to sort-merge (vocab should broadcast)")
+  }
+
+  test("tfidf: vocab joins broadcast; exchanges bounded by tf/df aggs + rank window") {
+    val p = planOfText("q_tfidf_topterms")
+    // tf agg on (id, term), df partial-distinct on term, the per-doc rank
+    // window, and the N-docs scalar — every exchange is aggregate-reduced
+    // before the wire; raw postings never shuffle unaggregated
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 4,
+      s"tfidf shuffles more than its design:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("bm25: query-term filter cuts postings before any aggregation") {
+    val p = planOfText("q_bm25")
+    // the isin predicate must sit UNDER the first aggregate, so only
+    // query-term postings ever shuffle
+    assert(p.contains("spark") && p.contains("vector"),
+      "query-term literals missing from the plan")
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 6,
+      s"bm25 shuffles more than its design:\n${p.take(3000)}")
+  }
+
   // FINAL adaptive plan only — the rendered string appends the initial
   // plan too, which would double-count every node in the assertions
   private def planOfText(name: String): String = {
