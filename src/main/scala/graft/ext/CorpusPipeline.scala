@@ -56,6 +56,48 @@ object CorpusPipeline {
     exactSurvivors.join(nearKeep.unionByName(tokenless), Seq(id), "left_semi")
   }
 
+  /** Oracle-replayable curation flow — the quality-gated variant of the
+    * corpus prep chain, every stage deterministic and replayable by any
+    * engine with md5/ln (unlike [[dedupCorpus]]'s MinHash stage, which is
+    * xxhash-based and invariant-tested instead):
+    *
+    *  1. corpus-trained bigram-LM quality gate: keep documents at or
+    *     above the `lmPercentile`-th percentile of
+    *     [[Relevance.bigramLmScore]] — documents with fewer than two
+    *     tokens have no LM judgment and are DROPPED (a one-token document
+    *     is below any curation bar that cares about fluency);
+    *  2. exact dedup on the canonicalized fingerprint, keeping the lowest
+    *     id per group;
+    *  3. deterministic train/val/test assignment ([[CorpusSampling
+    *     .hashSplit]]).
+    *
+    * Order matters and is the cheap-to-expensive ordering a 100 TB run
+    * wants: the LM gate shrinks the corpus before the dedup shuffle, and
+    * the split is a zero-shuffle row-local map over the survivors.
+    */
+  def curate(
+      docs: DataFrame, id: String, text: String,
+      lmPercentile: Double = 0.25,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    val lm = Relevance.bigramLmScore(docs, id, text)
+      .select(col(id), col("lm_score"))
+    // localCheckpoint: the scored table feeds BOTH the percentile scalar
+    // and the gate filter — without truncation the LM plan (a gram-table
+    // shuffle) runs twice
+    val scored = docs.join(lm, Seq(id)).localCheckpoint(true)
+    val gated = CorpusSampling.percentileFilter(
+      scored, col("lm_score"), lmPercentile)
+    val keep = Dedup
+      .exactGroups(gated, id, TextAnalysis.fingerprint(col(text)))
+      .select(col("keep_id").as(id))
+    // no broadcast hint: the keep set is one id per DISTINCT fingerprint —
+    // corpus-scale, not dimension-scale; the semi join shuffles on the
+    // 8-byte id key
+    val deduped = gated.join(keep, Seq(id), "left_semi")
+    CorpusSampling.hashSplit(deduped, col(id), splits)
+  }
+
   /** End-to-end demo: dedup `docs`, restrict `embeddings` to the surviving
     * ids, then run multi-probe LSH top-k with the `nProbes` lowest
     * surviving ids as probes. Returns (q_id, candidate id, cosine).

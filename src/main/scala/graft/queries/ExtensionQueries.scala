@@ -1406,6 +1406,55 @@ object ExtensionQueries {
             SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS lm_score
             FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Oracle-replayable curation composition
+    * ([[CorpusPipeline.curate]]): LM quality gate at the 25th percentile
+    * → exact-fingerprint dedup → deterministic 80/10/10 split. The oracle
+    * replays ALL THREE stages — LM training, quantile gate, keep-lowest
+    * dedup, salted split — in one SQL chain.
+    */
+  val qCorpusCurate = QueryDef(
+    "q_corpus_curate",
+    (s, d) => CorpusPipeline.curate(docs(s, d), "doc_id", "text")
+      .select("doc_id", "lm_score", "split")
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (
+              SELECT doc_id, u.term
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                    FROM documents WHERE text IS NOT NULL) s,
+                   unnest(s.t) AS u(term)
+              WHERE u.term <> ''),
+            uni AS (SELECT term, count(*) AS n_w FROM toks GROUP BY 1),
+            v AS (SELECT count(*) AS v FROM uni),
+            grams AS (
+              SELECT doc_id, array_to_string(list_slice(t, u.i + 1, u.i + 2), ' ') AS g,
+                     t[u.i + 1] AS w1
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                    FROM documents WHERE text IS NOT NULL) s,
+                   unnest(range(len(t) - 1)) AS u(i)
+              WHERE len(t) >= 2),
+            bi AS (SELECT g, count(*) AS n_b FROM grams GROUP BY 1),
+            lp AS (SELECT d.doc_id, ln((bi.n_b + 0.5) / (uni.n_w + 0.5 * v.v)) AS lp
+                   FROM grams d JOIN bi USING (g) JOIN uni ON d.w1 = uni.term
+                   CROSS JOIN v),
+            lm AS (SELECT doc_id, round(avg(lp), 4) AS lm_score
+                   FROM lp GROUP BY doc_id),
+            gated AS (SELECT d.doc_id, d.text, l.lm_score
+                      FROM documents d JOIN lm l USING (doc_id)
+                      WHERE l.lm_score >=
+                        (SELECT quantile_cont(lm_score, 0.25) FROM lm)),
+            dedup AS (SELECT doc_id, lm_score FROM (
+                        SELECT doc_id, lm_score, row_number() OVER (
+                          PARTITION BY md5(lower(trim(text)))
+                          ORDER BY doc_id) AS rk
+                        FROM gated) r WHERE rk = 1)
+            SELECT doc_id, lm_score,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'graft:split'), 1, 8)
+                        < 'cccccccc' THEN 'train'
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'graft:split'), 1, 8)
+                        < 'e6666666' THEN 'val'
+                   ELSE 'test' END AS split
+            FROM dedup ORDER BY doc_id"""))
+
   // --- int8 scalar quantization --------------------------------------------
 
   /** SQ8 quantization ([[Similarity.quantizeInt8]]): per-vector symmetric
@@ -1470,5 +1519,6 @@ object ExtensionQueries {
     qPiiRedact, qDedupSpans, qSplitAssign, qSampleUpsample, qGopherRules,
     qTokenHistogram, qDecontaminateSemantic,
     qDocFrequency, qTfidfTopTerms, qBm25, qBm25TopK,
-    qSampleTemperature, qHardNegatives, qEmbedQuantize, qAnnSq8, qLmScore)
+    qSampleTemperature, qHardNegatives, qEmbedQuantize, qAnnSq8, qLmScore,
+    qCorpusCurate)
 }

@@ -144,6 +144,32 @@ class RelevanceSpec extends SparkSpec {
     assert(out(0L)._2 > out(1L)._2)
   }
 
+  test("curate: LM gate drops junk, dedup collapses copies, splits assigned") {
+    // 8 fluent docs sharing common bigrams (one exact duplicate pair) + 2
+    // junk docs made of one-off bigrams
+    val fluent = (0 until 8).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog"))
+    val junk = Seq(
+      (8L, "zxq wvk pqr mno"),
+      (9L, "aaa bbb ccc ddd"))
+    val corpus = (fluent ++ junk).toDF("doc_id", "text")
+    val out = graft.ext.CorpusPipeline
+      .curate(corpus, "doc_id", "text", lmPercentile = 0.25)
+      .select("doc_id", "lm_score", "split")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    // junk scored below the 25th percentile -> gone
+    assert(!out.map(_._1).toSet.exists(id => id >= 8L))
+    // the 8 identical fluent docs collapse to ONE survivor: the lowest id
+    assert(out.map(_._1).toSeq === Seq(0L))
+    assert(Set("train", "val", "test").contains(out.head._3))
+    // deterministic end to end
+    val again = graft.ext.CorpusPipeline
+      .curate(corpus, "doc_id", "text", lmPercentile = 0.25)
+      .select("doc_id", "lm_score", "split")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(out.toSeq === again.toSeq)
+  }
+
   private lazy val vecs = Seq(
     (0L, Array(1.0f, 0.0f), 0),
     (1L, Array(0.9f, 0.1f), 0),   // same label as 0 — never its negative
