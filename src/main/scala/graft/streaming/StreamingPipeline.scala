@@ -286,4 +286,61 @@ object StreamingPipeline {
         array_contains(col("_grams"), col("_gram")), "left_anti")
       .drop("_grams")
   }
+
+  /** Streaming twin of [[graft.ext.Relevance.bigramLmScore]]: score
+    * INCOMING documents against a STATIC corpus-trained bigram LM — the
+    * quality gate applied live at the ingest edge instead of in a batch
+    * sweep.
+    *
+    * Training/serving split: the LM (bigram counts, unigram counts,
+    * vocabulary size) trains ONCE on the static corpus at stream-build
+    * time; the vocabulary size is a driver-side scalar pulled before the
+    * stream starts (one bounded action over the vocabulary table — NOT
+    * per-batch work). Each micro-batch then explodes its documents to
+    * (id, ts, gram) rows, stream-static LEFT joins the broadcast LM
+    * tables, and finalizes one per-document aggregate keyed on
+    * `(id, window(ts))` — the window key lets append mode emit exactly
+    * once when the watermark passes; state is bounded by documents inside
+    * one watermark horizon.
+    *
+    * Out-of-vocabulary semantics (the one place a stream NEEDS a
+    * definition the batch operator does not): novel grams score with
+    * B = 0 and novel prefix words with U = 0 — the add-alpha smoothing is
+    * exactly the machinery that makes those finite. On documents the LM
+    * HAS seen, scores are bit-identical to batch (asserted in
+    * StreamingSpec).
+    */
+  def lmScoreStream(
+      docs: DataFrame, staticCorpus: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", tsCol: String = "ingest_ts",
+      alpha: Double = 0.5, watermark: String = "1 hour"): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val reserved = Seq("_gram", "_w1", "_n_w", "_n_b", "_v", "_lp")
+    require(!reserved.exists(docs.columns.contains),
+      s"lmScoreStream reserves columns ${reserved.mkString(", ")}")
+    val uni = graft.ext.Relevance
+      .termPostings(staticCorpus, idCol, textCol)
+      .groupBy(col("term").as("_w1")).agg(count(lit(1)).as("_n_w"))
+    val bi = staticCorpus.where(col(textCol).isNotNull)
+      .select(explode(
+        graft.ext.TextAnalysis.wordNgrams(col(textCol), 2)).as("_gram"))
+      .groupBy("_gram").agg(count(lit(1)).as("_n_b"))
+    // one bounded driver action at stream-BUILD time (static side only)
+    val vocabSize = uni.count()
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        explode(graft.ext.TextAnalysis.wordNgrams(col(textCol), 2))
+          .as("_gram"))
+      .withColumn("_w1", split(col("_gram"), " ").getItem(0))
+      .join(broadcast(bi), Seq("_gram"), "left")
+      .join(broadcast(uni), Seq("_w1"), "left")
+      .withColumn("_lp",
+        log((coalesce(col("_n_b"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("_n_w"), lit(0L)) + lit(alpha * vocabSize))))
+      .groupBy(col(idCol), window(col(tsCol), "1 hour"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("_lp")), 4).as("lm_score"))
+      .drop("window")
+  }
 }

@@ -332,6 +332,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LM score matches batch on in-vocabulary documents; OOV finite") {
+    implicit val sqlCtx = spark.sqlContext
+    // static corpus = real documents; stream the SAME documents back in:
+    // zero OOV, so scores must be bit-identical to the batch operator
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 100)
+    val rows = corpus.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) null else r.getString(1),
+      ts("2025-01-01 10:00:00"))).toSeq
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingPipeline.lmScoreStream(
+        input.toDF().toDF("doc_id", "text", "ingest_ts"), corpus)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lm_out").start()
+    try {
+      input.addData(rows: _*)
+      // advance the watermark past the window so append mode finalizes
+      input.addData((-1L, "watermark advancer", ts("2025-01-02 00:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("lm_out")
+        .filter(col("doc_id") >= 0)
+        .select("doc_id", "n_bigrams", "lm_score")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      val batch = graft.ext.Relevance.bigramLmScore(corpus, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      assert(streamed === batch, "stream/batch LM scores diverged")
+      assert(batch.nonEmpty)
+
+      // OOV document: every gram/prefix unseen -> B=0, U=0 -> still finite
+      val input2 = MemoryStream[(Long, String, Timestamp)]
+      val q2 = StreamingPipeline.lmScoreStream(
+          input2.toDF().toDF("doc_id", "text", "ingest_ts"), corpus)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("lm_oov_out").start()
+      try {
+        input2.addData((7000L, "zzqx wvkk pqrr", ts("2025-01-01 10:00:00")))
+        input2.addData((-1L, "watermark advancer", ts("2025-01-02 00:00:00")))
+        q2.processAllAvailable()
+        val oov = spark.table("lm_oov_out").filter(col("doc_id") === 7000L)
+          .select("lm_score").collect().map(_.getDouble(0))
+        assert(oov.length === 1 && !oov.head.isNaN && !oov.head.isInfinite)
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("stateless normalization behaves identically on a stream") {
     implicit val sqlCtx = spark.sqlContext
     case class Raw(event_id: Long, status: String)
