@@ -48,13 +48,13 @@ object ScaleGen {
       val cols = df.columns
       val exploded = df.withColumn("_copy",
         explode(sequence(lit(0L), lit(factor - 1L))))
-      rewrite(exploded, col("_copy")).select(cols.map(col): _*)
+      rewrite(exploded, col("_copy")).select(cols.toIndexedSeq.map(col): _*)
     }
 
     val events = read("events")
     val Array(eventOffset, userOffset) = events
       .agg(max(col("event_id")).cast("long"), max(col("user_id")).cast("long"))
-      .head.toSeq.map(_.asInstanceOf[Long] + 1L).toArray
+      .head().toSeq.map(_.asInstanceOf[Long] + 1L).toArray
     write(replicate(events, (df, c) => df
       .withColumn("event_id", col("event_id") + c * eventOffset)
       // NULL + anything = NULL, so NULL user_ids replicate as NULL
@@ -62,7 +62,7 @@ object ScaleGen {
 
     val orders = read("orders")
     val orderOffset =
-      orders.agg(max(col("o_orderkey")).cast("long")).head.getLong(0) + 1L
+      orders.agg(max(col("o_orderkey")).cast("long")).head().getLong(0) + 1L
     write(replicate(orders, (df, c) => df
       .withColumn("o_orderkey", col("o_orderkey") + c * orderOffset)), "orders")
     write(replicate(read("lineitem"), (df, c) => df
@@ -75,12 +75,12 @@ object ScaleGen {
     // duplicate classes blow up pair counts quadratically by definition)
     val docs = read("documents")
     val docOffset =
-      docs.agg(max(col("doc_id")).cast("long")).head.getLong(0) + 1L
+      docs.agg(max(col("doc_id")).cast("long")).head().getLong(0) + 1L
     write(replicate(docs, (df, c) => df
       .withColumn("doc_id", col("doc_id") + c * docOffset)), "documents")
     val embs = read("embeddings")
     val vecOffset =
-      embs.agg(max(col("vec_id")).cast("long")).head.getLong(0) + 1L
+      embs.agg(max(col("vec_id")).cast("long")).head().getLong(0) + 1L
     write(replicate(embs, (df, c) => df
       .withColumn("vec_id", col("vec_id") + c * vecOffset)), "embeddings")
 
