@@ -270,6 +270,34 @@ object Dedup {
     docs.join(hinted, Seq(id), "left_anti")
   }
 
+  /** Contamination FORENSICS — the report behind [[decontaminate]]'s
+    * verdict: which benchmark document leaks into which corpus document,
+    * and through how many distinct shared word `n`-grams. Auditing a
+    * decontamination pass needs this (was the hit one boilerplate
+    * sentence or a wholesale quote?); so does fixing the benchmark when
+    * the leak direction is benchmark-from-web.
+    *
+    * Plan: both sides explode to DISTINCT (id, gram) postings; the
+    * benchmark side (small by definition) is BROADCAST into the gram
+    * join, so the corpus never shuffles on grams; the (corpus, bench)
+    * pair aggregate is bounded by actual contamination, not corpus size.
+    */
+  def contaminationReport(
+      docs: DataFrame, benchmark: DataFrame, id: String, text: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val docGrams = docs
+      .select(col(id), explode(TextAnalysis.wordNgrams(col(text), n)).as("_gram"))
+      .distinct()
+    val benchGrams = benchmark
+      .select(col(id).as("bench_id"),
+        explode(TextAnalysis.wordNgrams(col(text), n)).as("_gram"))
+      .distinct()
+    docGrams.join(broadcast(benchGrams), Seq("_gram"))
+      .groupBy(col(id), col("bench_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+  }
+
   /** Semantic (embedding-space) benchmark decontamination: drop corpus
     * rows whose embedding is within cosine `threshold` of ANY benchmark
     * embedding — the companion to the n-gram [[decontaminate]] for

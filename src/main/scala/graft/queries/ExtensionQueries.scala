@@ -1172,6 +1172,46 @@ object ExtensionQueries {
                   FROM documents)
             GROUP BY bucket ORDER BY bucket"""))
 
+  /** Contamination forensics ([[Dedup.contaminationReport]]): the
+    * (corpus doc, benchmark doc, shared distinct 8-grams) audit behind
+    * the decontamination verdict — same 450/50 carve as q_decontaminate.
+    */
+  val qContaminationReport = QueryDef(
+    "q_contamination_report",
+    (s, d) => {
+      val all = docs(s, d)
+      Dedup.contaminationReport(
+          all.filter(col("doc_id") < 450), all.filter(col("doc_id") >= 450),
+          "doc_id", "text", n = 8)
+        .orderBy("doc_id", "bench_id")
+    },
+    Some("""WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM documents WHERE text IS NOT NULL),
+            grams AS (
+              SELECT doc_id, array_to_string(list_slice(t, u.i + 1, u.i + 8), ' ') AS g
+              FROM toks, unnest(range(len(t) - 8 + 1)) AS u(i)
+              WHERE len(t) >= 8),
+            cg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id < 450),
+            bg AS (SELECT DISTINCT doc_id AS bench_id, g FROM grams
+                   WHERE doc_id >= 450)
+            SELECT cg.doc_id, bg.bench_id, count(*) AS shared_grams
+            FROM cg JOIN bg USING (g)
+            GROUP BY 1, 2 ORDER BY doc_id, bench_id"""))
+
+  /** Duplicate-class histogram over the exact-dedup groups: how many
+    * content classes have exactly k copies — the dedup summary every
+    * corpus card reports (and the input to dedup-rate projections).
+    */
+  val qDupHistogram = QueryDef(
+    "q_dup_histogram",
+    (s, d) => Dedup.exactGroups(docs(s, d), "doc_id", md5(col("text")))
+      .groupBy("n_dups").agg(count(lit(1)).as("n_groups"))
+      .orderBy("n_dups"),
+    Some("""SELECT n_dups, count(*) AS n_groups FROM (
+              SELECT count(*) AS n_dups FROM documents GROUP BY md5(text)) g
+            GROUP BY n_dups ORDER BY n_dups"""))
+
   // --- relevance / ranked retrieval ----------------------------------------
 
   /** Document frequency per term ([[Relevance.documentFrequency]]): the
@@ -1520,5 +1560,5 @@ object ExtensionQueries {
     qTokenHistogram, qDecontaminateSemantic,
     qDocFrequency, qTfidfTopTerms, qBm25, qBm25TopK,
     qSampleTemperature, qHardNegatives, qEmbedQuantize, qAnnSq8, qLmScore,
-    qCorpusCurate)
+    qCorpusCurate, qContaminationReport, qDupHistogram)
 }

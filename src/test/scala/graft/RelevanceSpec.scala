@@ -144,6 +144,29 @@ class RelevanceSpec extends SparkSpec {
     assert(out(0L)._2 > out(1L)._2)
   }
 
+  test("contaminationReport: shared-gram counts match decontaminate's verdict") {
+    val base = "one two three four five six seven eight nine ten"
+    val corpus = Seq(
+      (0L, base),                         // quotes bench doc 100 fully
+      (1L, "totally unrelated words that never collide with anything else"),
+      (2L, base + " extra")).toDF("doc_id", "text")
+    val bench = Seq((100L, base)).toDF("doc_id", "text")
+    val rep = graft.ext.Dedup
+      .contaminationReport(corpus, bench, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 10-token doc vs itself: 3 distinct 8-grams shared; doc 2 has 11
+    // tokens so 3 of its 4 grams match the benchmark's 3
+    assert(rep((0L, 100L)) === 3L)
+    assert(rep((2L, 100L)) === 3L)
+    assert(!rep.keySet.exists(_._1 == 1L))
+    // forensics agree with the anti-join verdict: flagged ids == dropped ids
+    val dropped = corpus.select("doc_id").except(
+      graft.ext.Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+        .select("doc_id"))
+      .as[Long].collect().toSet
+    assert(rep.keySet.map(_._1) === dropped)
+  }
+
   test("curate: LM gate drops junk, dedup collapses copies, splits assigned") {
     // 8 fluent docs sharing common bigrams (one exact duplicate pair) + 2
     // junk docs made of one-off bigrams
