@@ -119,10 +119,17 @@ object GraftFunctions {
       DupNgramFrac(exprs.head, litInt("graft_dup_ngram_frac", "n", exprs(1)))
     })
 
+  private val nfcNormalizeDescriptor =
+    descriptor("nfc_normalize", classOf[NfcNormalize],
+      "_FUNC_(s) - Unicode NFC canonical composition of a string") { exprs =>
+      arity("nfc_normalize", exprs, 1)
+      NfcNormalize(exprs.head)
+    }
+
   private[functions] val descriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     floatVectorCosineDescriptor +: floatVectorDotDescriptor +:
-      winnowDescriptor +: macroDescriptors
+      winnowDescriptor +: nfcNormalizeDescriptor +: macroDescriptors
 
   /** Register the engine's SQL functions on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -1212,6 +1212,24 @@ object ExtensionQueries {
               SELECT count(*) AS n_dups FROM documents GROUP BY md5(text)) g
             GROUP BY n_dups ORDER BY n_dups"""))
 
+  /** Unicode NFC canonicalization ([[graft.functions.NfcNormalize]] — a
+    * native codegen'd expression; Spark has no built-in normalizer): the
+    * pre-fingerprint step that stops composed/decomposed codepoint pairs
+    * escaping dedup. Emits the normalized fingerprint and whether NFC
+    * changed the text; DuckDB's nfc_normalize replays it exactly.
+    */
+  val qTextNfc = QueryDef(
+    "q_text_nfc",
+    (s, d) => docs(s, d).select(col("doc_id"),
+        md5(graft.functions.NormalizeFunctions.nfc_normalize(col("text")))
+          .as("nfc_fp"),
+        (graft.functions.NormalizeFunctions.nfc_normalize(col("text"))
+          === col("text")).as("unchanged"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, md5(nfc_normalize(text)) AS nfc_fp,
+              nfc_normalize(text) = text AS unchanged
+            FROM documents ORDER BY doc_id"""))
+
   // --- relevance / ranked retrieval ----------------------------------------
 
   /** Document frequency per term ([[Relevance.documentFrequency]]): the
@@ -1560,5 +1578,5 @@ object ExtensionQueries {
     qTokenHistogram, qDecontaminateSemantic,
     qDocFrequency, qTfidfTopTerms, qBm25, qBm25TopK,
     qSampleTemperature, qHardNegatives, qEmbedQuantize, qAnnSq8, qLmScore,
-    qCorpusCurate, qContaminationReport, qDupHistogram)
+    qCorpusCurate, qContaminationReport, qDupHistogram, qTextNfc)
 }

@@ -35,6 +35,35 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(viaSql == viaCols)
   }
 
+  test("nfc_normalize: composed/decomposed forms converge, fingerprints agree") {
+    ready
+    val composed = "café"          // é as U+00E9
+    val decomposed = "cafe\u0301"   // e + combining acute accent
+    val df = Seq((1L, composed), (2L, decomposed), (3L, "plain ascii"),
+        (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = df.select(col("id"),
+        graft.functions.NormalizeFunctions.nfc_normalize(col("text")).as("nfc"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out(1L) === composed)
+    assert(out(2L) === composed)        // decomposed composes to the same bytes
+    assert(out(3L) === "plain ascii")   // fast path: untouched
+    assert(out(4L) === null)
+    // dedup consequence: normalize-then-fingerprint collapses the pair
+    val fps = df.filter(col("id") <= 2).select(
+        md5(graft.functions.NormalizeFunctions.nfc_normalize(col("text"))))
+      .collect().map(_.getString(0)).toSet
+    assert(fps.size === 1)
+    // and the SQL registration produces the same result
+    df.createOrReplaceTempView("nfc_docs")
+    val viaSql = spark.sql(
+      "SELECT id, nfc_normalize(text) AS nfc FROM nfc_docs ORDER BY id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(viaSql === out)
+  }
+
   test("winnow fingerprints: SQL default and explicit (k, w) forms") {
     ready
     val d = spark.sql(
