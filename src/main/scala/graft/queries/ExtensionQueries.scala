@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{CorpusPipeline, CorpusSampling, Dedup, Multimodal, Relevance, Similarity, Sketches, TextAnalysis}
+import graft.ext.{CorpusPipeline, CorpusSampling, Dedup, Multimodal, QualityClassifier, Relevance, Similarity, Sketches, TextAnalysis}
 import QueryDef.table
 
 /** North-star extension queries: dedup, similarity search, text analysis,
@@ -1513,6 +1513,28 @@ object ExtensionQueries {
                    ELSE 'test' END AS split
             FROM dedup ORDER BY doc_id"""))
 
+  /** Hashed-feature quality classifier ([[QualityClassifier]]): train a
+    * logistic model on a labeled subset (doc_id < 400, label = "is
+    * English"), score the held-out crawl — the GPT-3/LLaMA-style curation
+    * filter. Iterative float training is not SQL-replayable → rows-only;
+    * separability, ranking, and bit-deterministic training are asserted
+    * in RelevanceSpec.
+    */
+  val qQualityClassifier = QueryDef(
+    "q_quality_classifier",
+    (s, d) => {
+      val all = docs(s, d)
+      val labeled = all.filter(col("doc_id") < 400)
+        .withColumn("_y", (col("lang") === "en").cast("double"))
+      val model = QualityClassifier.train(
+        labeled, "doc_id", "text", "_y", dims = 256, iters = 15, lr = 2.0)
+      QualityClassifier.score(
+          all.filter(col("doc_id") >= 400), "doc_id", "text", model)
+        .select(col("doc_id"), round(col("quality_prob"), 4).as("quality_prob"))
+        .orderBy("doc_id")
+    },
+    None)
+
   // --- int8 scalar quantization --------------------------------------------
 
   /** SQ8 quantization ([[Similarity.quantizeInt8]]): per-vector symmetric
@@ -1578,5 +1600,6 @@ object ExtensionQueries {
     qTokenHistogram, qDecontaminateSemantic,
     qDocFrequency, qTfidfTopTerms, qBm25, qBm25TopK,
     qSampleTemperature, qHardNegatives, qEmbedQuantize, qAnnSq8, qLmScore,
-    qCorpusCurate, qContaminationReport, qDupHistogram, qTextNfc)
+    qCorpusCurate, qContaminationReport, qDupHistogram, qTextNfc,
+    qQualityClassifier)
 }

@@ -193,6 +193,36 @@ class RelevanceSpec extends SparkSpec {
     assert(out.toSeq === again.toSeq)
   }
 
+  test("quality classifier: separable corpus ranks perfectly; training is bit-deterministic") {
+    import graft.ext.QualityClassifier
+    val pos = (0 until 30).map(i =>
+      (i.toLong, s"clean fluent prose sample number $i with good signal", 1.0))
+    val neg = (30 until 60).map(i =>
+      (i.toLong, s"zzxq wvrk junk garbage spam blob $i", 0.0))
+    val labeled = (pos ++ neg).toDF("doc_id", "text", "y")
+    val model = QualityClassifier.train(
+      labeled, "doc_id", "text", "y", dims = 64, iters = 40, lr = 2.0)
+    // held-out docs from each distribution, plus a tokenless doc
+    val heldout = Seq(
+      (100L, "another clean fluent prose sample with good signal"),
+      (101L, "zzxq wvrk junk garbage spam blob again"),
+      (102L, "   ")).toDF("doc_id", "text")
+    val scores = QualityClassifier.score(heldout, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(100L) > 0.5, s"positive scored ${scores(100L)}")
+    assert(scores(101L) < 0.5, s"negative scored ${scores(101L)}")
+    assert(!scores.contains(102L)) // nothing to judge
+    // bit-deterministic training: decimal gradient sums, fixed iterations
+    val again = QualityClassifier.train(
+      labeled, "doc_id", "text", "y", dims = 64, iters = 40, lr = 2.0)
+    assert(model.weights.sameElements(again.weights))
+    // training data itself separates perfectly at the 0.5 boundary
+    val trainScores = QualityClassifier.score(labeled, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(trainScores.forall { case (id, p) =>
+      if (id < 30) p > 0.5 else p < 0.5 })
+  }
+
   private lazy val vecs = Seq(
     (0L, Array(1.0f, 0.0f), 0),
     (1L, Array(0.9f, 0.1f), 0),   // same label as 0 — never its negative
