@@ -1230,6 +1230,38 @@ object ExtensionQueries {
               nfc_normalize(text) = text AS unchanged
             FROM documents ORDER BY doc_id"""))
 
+  /** Token-balanced shard assignment ([[CorpusSampling.balanceShards]],
+    * 8 shards, spread 4): the salted two-level longest-first deal. The
+    * oracle replays the salt, the per-cell ordering, and the offset
+    * dealing exactly.
+    */
+  val qBalanceShards = QueryDef(
+    "q_balance_shards",
+    (s, d) => CorpusSampling.balanceShards(
+        docs(s, d), "doc_id", "text", nShards = 8, spread = 4)
+      .select("doc_id", "n_tokens", "shard")
+      .orderBy("doc_id"),
+    Some("""WITH sized AS (
+              SELECT doc_id,
+                CASE WHEN text IS NOT NULL THEN
+                  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                ELSE 0 END AS n_tokens,
+                doc_id % 32 AS salt
+              FROM documents),
+            ranked AS (
+              SELECT doc_id, n_tokens, salt,
+                row_number() OVER (PARTITION BY salt
+                                   ORDER BY n_tokens DESC, doc_id) AS rk
+              FROM sized),
+            dealt AS (
+              SELECT doc_id, n_tokens, salt,
+                CASE WHEN ((rk - 1) // 8) % 2 = 0 THEN (rk - 1) % 8
+                     ELSE 7 - (rk - 1) % 8 END AS d
+              FROM ranked)
+            SELECT doc_id, n_tokens,
+              CAST((d + salt % 8) % 8 AS INTEGER) AS shard
+            FROM dealt ORDER BY doc_id"""))
+
   // --- relevance / ranked retrieval ----------------------------------------
 
   /** Document frequency per term ([[Relevance.documentFrequency]]): the
@@ -1601,5 +1633,5 @@ object ExtensionQueries {
     qDocFrequency, qTfidfTopTerms, qBm25, qBm25TopK,
     qSampleTemperature, qHardNegatives, qEmbedQuantize, qAnnSq8, qLmScore,
     qCorpusCurate, qContaminationReport, qDupHistogram, qTextNfc,
-    qQualityClassifier)
+    qQualityClassifier, qBalanceShards)
 }

@@ -144,6 +144,32 @@ class RelevanceSpec extends SparkSpec {
     assert(out(0L)._2 > out(1L)._2)
   }
 
+  test("balanceShards: heavy-tailed corpus lands within 10% token spread, no global sort") {
+    // heavy tail: doc length ~ 10 + (id % 97)^2 / 10 tokens
+    val corpus = (0 until 600).map { i =>
+      val n = 10 + (i % 97) * (i % 97) / 10
+      (i.toLong, Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = CorpusSampling.balanceShards(corpus, "doc_id", "text",
+      nShards = 8, spread = 4)
+    val totals = out.groupBy("shard")
+      .agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(totals.size === 8)
+    val (mx, mn) = (totals.values.max.toDouble, totals.values.min.toDouble)
+    assert(mx / mn < 1.10, s"token spread ${mx / mn} (totals $totals)")
+    // scale guard: the window partitions by the salt, never a global sort
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("Exchange hashpartitioning(_salt"),
+      s"expected a salt-partitioned window:\n${p.take(2000)}")
+    // determinism
+    val again = CorpusSampling.balanceShards(corpus, "doc_id", "text",
+        nShards = 8, spread = 4)
+      .select("doc_id", "shard").as[(Long, Int)].collect().sorted
+    val first = out.select("doc_id", "shard").as[(Long, Int)].collect().sorted
+    assert(first.sameElements(again))
+  }
+
   test("contaminationReport: shared-gram counts match decontaminate's verdict") {
     val base = "one two three four five six seven eight nine ten"
     val corpus = Seq(
