@@ -167,4 +167,72 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("SQ8 quantization properties: codes in range, error bound, idempotent ranking") {
+    val vec = Gen.listOfN(12, Gen.choose(-8.0, 8.0).map(_.toFloat))
+    forAll(Gen.listOfN(10, vec), n = 4) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val q = graft.ext.Similarity.quantizeInt8(df, "embedding")
+        .select("vec_id", "q_scale", "qvec")
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          r.getSeq[Byte](2).toArray)).toList
+      q.foreach { case (id, scale, codes) =>
+        val orig = vecs(id.toInt)
+        // codes stay inside int8, reconstruction within scale/2 + eps
+        assert(codes.forall(c => c >= -127 && c <= 127))
+        orig.zip(codes).foreach { case (x, c) =>
+          assert(math.abs(x.toDouble - c * scale) <= scale / 2 + 1e-9,
+            s"vec $id: |$x - $c*$scale|")
+        }
+        // the max-magnitude element always saturates to ±127 (scale > 0)
+        if (scale > 0) assert(codes.exists(c => math.abs(c.toInt) == 127))
+      }
+    }
+  }
+
+  test("temperatureSample properties: targets respect caps and alpha monotonicity") {
+    val strata = Gen.listOfN(4, Gen.choose(5, 60))
+    forAll(strata, n = 6) { sizes =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, s) =>
+        (0 until n).map(i => (s.toLong * 1000 + i, s"s$s", s"text $s $i"))
+      }
+      val df = rows.toDF("doc_id", "lang", "text")
+      val total = sizes.sum / 2
+      def counts(alpha: Double): Map[String, Long] =
+        graft.ext.CorpusSampling
+          .temperatureSample(df, "lang", "text", "doc_id", alpha, total.toLong)
+          .groupBy("lang").count().as[(String, Long)].collect().toMap
+      val natural = counts(1.0)
+      val flat = counts(0.0)
+      // never exceeds the stratum, total near the budget (floor slack <= #strata)
+      sizes.zipWithIndex.foreach { case (n, s) =>
+        assert(natural.getOrElse(s"s$s", 0L) <= n)
+        assert(flat.getOrElse(s"s$s", 0L) <= n)
+      }
+      assert(natural.values.sum <= total && natural.values.sum >= total - 4)
+      // alpha=0 never gives a LARGE stratum more than alpha=1 does
+      val biggest = s"s${sizes.indexOf(sizes.max)}"
+      assert(flat.getOrElse(biggest, 0L) <= natural.getOrElse(biggest, 0L))
+    }
+  }
+
+  test("balanceShards properties: exact doc partition, shard range, determinism") {
+    val lens = Gen.listOfN(40, Gen.choose(1, 120))
+    forAll(lens, n = 5) { ls =>
+      val df = ls.zipWithIndex.map { case (n, i) =>
+        (i.toLong, Seq.fill(n)("w").mkString(" "))
+      }.toDF("doc_id", "text")
+      val out = graft.ext.CorpusSampling
+        .balanceShards(df, "doc_id", "text", nShards = 4, spread = 2)
+        .select("doc_id", "shard").as[(Long, Int)].collect()
+      // every document exactly once, shards in range
+      assert(out.map(_._1).sorted.sameElements(ls.indices.map(_.toLong)))
+      assert(out.forall { case (_, s) => s >= 0 && s < 4 })
+      // per-shard doc counts within one of even (serpentine deal property,
+      // per salt cell) -- with 8 cells the global count spread stays small
+      val perShard = out.groupBy(_._2).view.mapValues(_.length)
+      assert(perShard.values.max - perShard.values.min <= 8)
+    }
+  }
 }
