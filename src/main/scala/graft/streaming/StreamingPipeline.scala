@@ -343,4 +343,49 @@ object StreamingPipeline {
         round(avg(col("_lp")), 4).as("lm_score"))
       .drop("window")
   }
+
+  /** Streaming twin of [[graft.ext.QualityClassifier.score]]: a model
+    * trained BATCH-side gates the ingest stream — the deploy shape of the
+    * classifier-filter recipe (train on curated labels offline, score
+    * every arriving document online). The weights ride the plan as
+    * literals exactly as in batch, so there is no model-serving join at
+    * all; the only state is the per-document windowed aggregate that
+    * assembles hashed-feature scores, bounded by the watermark horizon.
+    *
+    * The stream folds the per-token weights directly (one stateful
+    * operator) where batch groups tokens into buckets first (two
+    * aggregations — chaining two stateful aggs in one stream trades away
+    * append-mode simplicity for nothing here). The groupings are equal in
+    * exact arithmetic but associate differently in floating point, so
+    * stream scores agree with batch to ~1e-12 RELATIVE — not bit-exact —
+    * while each side individually stays deterministic (decimal sums).
+    * Both properties are asserted in StreamingSpec.
+    */
+  def classifierScoreStream(
+      docs: DataFrame, model: graft.ext.QualityClassifier.Model,
+      idCol: String = "doc_id", textCol: String = "text",
+      tsCol: String = "ingest_ts", watermark: String = "1 hour"): DataFrame = {
+    val reserved = Seq("_tok", "_cnt", "_n", "bucket", "x", "_z")
+    require(!reserved.exists(docs.columns.contains),
+      s"classifierScoreStream reserves columns ${reserved.mkString(", ")}")
+    val wMap = typedlit(
+      model.weights.zipWithIndex.map { case (v, i) => i -> v }.toMap)
+    docs
+      .withWatermark(tsCol, watermark)
+      .where(col(textCol).isNotNull)
+      .select(col(idCol), col(tsCol),
+        explode(graft.ext.TextAnalysis.tokens(col(textCol))).as("_tok"))
+      .where(col("_tok") =!= "")
+      .withColumn("bucket",
+        pmod(xxhash64(col("_tok")), lit(model.dims)).cast("int"))
+      // per-row weighted token contribution; the per-doc L1 normalization
+      // (divide by token count) and the intercept fold into the windowed
+      // aggregate below, so one stateful operator does all of it
+      .groupBy(col(idCol), window(col(tsCol), "1 hour"))
+      .agg(((sum(element_at(wMap, col("bucket")).cast("decimal(28,18)"))
+          / count(lit(1))).cast("double")
+        + lit(model.bias)).as("_z"))
+      .select(col(idCol),
+        (lit(1.0) / (lit(1.0) + exp(-col("_z")))).as("quality_prob"))
+  }
 }

@@ -379,6 +379,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming classifier scores agree with batch within 1e-9") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch-train a tiny separable model, deploy it on the stream
+    val pos = (0 until 20).map(i => (i.toLong, s"clean fluent prose $i", 1.0))
+    val neg = (20 until 40).map(i => (i.toLong, s"zzxq junk spam blob $i", 0.0))
+    val labeled = (pos ++ neg).toDF("doc_id", "text", "y")
+    val model = graft.ext.QualityClassifier.train(
+      labeled, "doc_id", "text", "y", dims = 64, iters = 20, lr = 2.0)
+    val heldout = Seq(
+      (100L, "clean fluent prose again"),
+      (101L, "zzxq junk spam blob again"),
+      (102L, null.asInstanceOf[String]))
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingPipeline.classifierScoreStream(
+        input.toDF().toDF("doc_id", "text", "ingest_ts"), model)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("clf_out").start()
+    try {
+      input.addData(heldout.map { case (id, t) =>
+        (id, t, ts("2025-01-01 10:00:00")) }: _*)
+      input.addData((-1L, "watermark advancer", ts("2025-01-02 00:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("clf_out").filter(col("doc_id") >= 0)
+        .select("doc_id", "quality_prob")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val batch = graft.ext.QualityClassifier.score(
+          heldout.toDF("doc_id", "text"), "doc_id", "text", model)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(streamed.keySet === batch.keySet)
+      assert(!streamed.contains(102L)) // NULL text absent on both sides
+      batch.foreach { case (id, p) =>
+        assert(math.abs(streamed(id) - p) <= 1e-9,
+          s"doc $id: stream ${streamed(id)} vs batch $p")
+      }
+      // the gate still separates on the stream
+      assert(streamed(100L) > 0.5 && streamed(101L) < 0.5)
+    } finally q.stop()
+  }
+
   test("stateless normalization behaves identically on a stream") {
     implicit val sqlCtx = spark.sqlContext
     case class Raw(event_id: Long, status: String)
