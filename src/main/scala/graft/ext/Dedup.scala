@@ -508,4 +508,54 @@ object Dedup {
       .filter(col("_exact") >= threshold)
       .select(col("id1"), col("id2"), round(col("_exact"), 4).as("cosine"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering then WITHIN-CLUSTER pairwise cosine — the
+    * web-scale recipe that removed 50% of LAION with no quality loss. A
+    * document is dropped iff some LOWER-id document in its OWN cluster
+    * sits at cosine >= eps (the paper's keep-lowest-index rule; chains
+    * a~b~c with a!~c drop both b and c, exactly as the reference
+    * implementation does — this is per-pair thresholding, not connected
+    * components, which [[minhashDedupClusters]] covers for the lexical
+    * case).
+    *
+    * Scale shape: the coarse quantizer is the SAME bounded driver-side
+    * k-means the IVF index uses ([[Similarity.centroidsFor]]) — centroids
+    * ride the plan as literals, so cluster assignment is a per-row codegen
+    * argmax with NO shuffle. The only exchange is the within-cluster
+    * self-join keyed on `_c_id`; per-cluster work is O(c²) in cluster
+    * size, and the paper's own scaling argument applies: grow nCentroids
+    * with the corpus (k ~ n/c for a target cluster size c) and per-cluster
+    * cost stays CONSTANT while total cost stays O(n·c) — never all-pairs.
+    * The balanced kmeans quantizer keeps cluster sizes even (measured by
+    * the bench's list-skew telemetry), so no hot partition.
+    *
+    * Emits survivors with their cluster id. Not SQL-replayable (sampled
+    * k-means); invariants — dropped rows have a lower-id >= eps neighbor
+    * in-cluster, survivors have none, exact duplicate vectors collapse to
+    * their minimum id — are asserted in ExtSpec.
+    */
+  def semDeDup(
+      df: DataFrame, id: String, vec: String,
+      eps: Double, nCentroids: Int = 32,
+      quantizer: String = "kmeans"): DataFrame = {
+    require(eps > 0 && eps <= 1, s"eps must be in (0, 1], got $eps")
+    val reserved = Seq("_c_id", "_sdd_id2", "_sdd_v1", "_sdd_v2")
+    require(!reserved.exists(df.columns.contains),
+      s"semDeDup reserves columns ${reserved.mkString(", ")}")
+    val cents = Similarity.centroidsFor(df, id, vec, nCentroids, quantizer)
+    val assigned = Similarity.assignToCentroids(df, vec, cents)
+    val a = assigned.select(col("_c_id"), col(id), col(vec).as("_sdd_v1"))
+    val b = assigned.select(col("_c_id"), col(id).as("_sdd_id2"),
+      col(vec).as("_sdd_v2"))
+    // one row per (doc, lower-id in-cluster neighbor >= eps); LEFT ANTI
+    // keeps docs with NO such neighbor — distinct() on the drop set is
+    // unnecessary under anti-join semantics
+    val dropped = a.join(b, Seq("_c_id"))
+      .filter(col("_sdd_id2") < col(id))
+      .filter(Similarity.cosine(col("_sdd_v1"), col("_sdd_v2")) >= eps)
+      .select(col(id))
+    assigned.join(dropped, Seq(id), "left_anti")
+      .withColumnRenamed("_c_id", "cluster_id")
+  }
 }

@@ -14,7 +14,7 @@ import QueryDef.table
   */
 object ExtensionQueries {
 
-  /** Per-process temp root for the JSONL roundtrip query, deleted
+  /** Per-process temp root for the roundtrip queries (JSONL, ORC), deleted
     * recursively on JVM exit so bench/verify runs leave nothing in /tmp.
     */
   lazy val jsonlTempRoot: String = {
@@ -355,6 +355,28 @@ object ExtensionQueries {
       .orderBy("id1", "id2"),
     None)
 
+  /** SemDeDup ([[Dedup.semDeDup]]): cluster-scoped semantic dedup —
+    * k-means partitions the embedding space, pairwise cosine runs only
+    * INSIDE each cluster. eps=0.4 on the testdata embeddings exercises
+    * both drop and survive paths. nCentroids follows the paper's scaling
+    * rule k ~ n/c (constant target cluster size c=500, so per-cluster
+    * pairwise work stays bounded as the corpus grows); the corpus count
+    * is one bounded scalar action at build time, same class as the
+    * validation report's scalar collects. Rows-only (sampled k-means is
+    * not SQL-replayable); the keep/drop rule is invariant-tested in
+    * ExtSpec.
+    */
+  val qDedupSemdedup = QueryDef(
+    "q_dedup_semdedup",
+    (s, d) => {
+      val e = embs(s, d)
+      val k = math.max(8L, math.min(256L, e.count() / 500L)).toInt
+      Dedup.semDeDup(e, "vec_id", "embedding", eps = 0.4, nCentroids = k)
+        .select("vec_id", "cluster_id")
+        .orderBy("vec_id")
+    },
+    None)
+
   // --- similarity search ----------------------------------------------------
 
   /** Brute-force cosine top-10 for 3 probe vectors — the exact ANN
@@ -545,6 +567,26 @@ object ExtensionQueries {
       graft.sources.Sources.writeJsonl(src, path)
       graft.sources.Sources.jsonLinesWithSchema(s, path, src.schema)
         .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, text, lang, source, n_chars
+            FROM documents ORDER BY doc_id"""))
+
+  /** ORC corpus roundtrip ([[graft.sources.Sources.writeOrc]] /
+    * [[graft.sources.Sources.orc]]): export the documents table to ORC,
+    * read it back, and hash-compare against the oracle's projection of
+    * the ORIGINAL parquet — proves the columnar interchange path is
+    * lossless (same contract as `q_jsonl_roundtrip`, second format).
+    * Shares the shutdown-managed temp root; the path is keyed by sf-dir
+    * hash so concurrent bench/verify processes never collide.
+    */
+  val qOrcRoundtrip = QueryDef(
+    "q_orc_roundtrip",
+    (s, d) => {
+      val src = docs(s, d)
+      val path = s"${ExtensionQueries.jsonlTempRoot}/" +
+        s"graft_orc_${java.lang.Integer.toHexString(d.hashCode)}"
+      graft.sources.Sources.writeOrc(src, path)
+      graft.sources.Sources.orc(s, path).orderBy("doc_id")
     },
     Some("""SELECT doc_id, text, lang, source, n_chars
             FROM documents ORDER BY doc_id"""))
@@ -1620,13 +1662,15 @@ object ExtensionQueries {
 
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupExactHash, qNgramJaccard, qDedupMinhash, qDedupClusters,
-    qDedupSimhash, qDedupEmbed, qDedupIncremental, qDecontaminate,
+    qDedupSimhash, qDedupEmbed, qDedupSemdedup, qDedupIncremental,
+    qDecontaminate,
     qEmbedCosineTopk, qEmbedMeanpool, qAnnLsh, qAnnIvf, qAnnPq, qAnnIvfPq,
     qTextTokens, qTextSubword, qTextQuality, qQualityGate, qCorpusReport,
     qTextRepetition, qLangId,
     qDocFingerprint, qDocWinnow, qMultimodalMeta, qMultimodalDecode,
     qHeavyHitters, qCorpusPipeline,
-    qJsonlRoundtrip, qSampleStratified, qSampleTokenBudget, qSampleMixture,
+    qJsonlRoundtrip, qOrcRoundtrip, qSampleStratified, qSampleTokenBudget,
+    qSampleMixture,
     qPackSequences, qPackMaterialize, qDocChunks, qWinnowPairs,
     qPiiRedact, qDedupSpans, qSplitAssign, qSampleUpsample, qGopherRules,
     qTokenHistogram, qDecontaminateSemantic,

@@ -900,6 +900,191 @@ object ParityQueries {
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus"""))
 
+  // --- reshaping & semi-structured -----------------------------------------
+
+  /** Pivot (long→wide): per-day event counts, one column per event type.
+    * The pivot VALUES are explicit — without them Spark runs a planning-time
+    * `collect(distinct event_type)` over the corpus (an extra full scan at
+    * 100 TB) and the output schema becomes data-dependent, which no
+    * downstream contract can pin. With explicit values the plan is a
+    * (day, event_type) count with MAP-SIDE partial aggregation feeding a
+    * day-keyed pivot aggregate — the corpus reduces to ~|days×types| rows
+    * before the second exchange, so the pivot itself is trivial at any
+    * scale. Missing (day, type) cells are 0, matching the oracle's FILTER
+    * counts.
+    */
+  val qPivot = QueryDef(
+    "q_pivot",
+    (s, d) => events(s, d)
+      .withColumn("day", tsDay)
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+      .orderBy("day"),
+    Some("""SELECT CAST(ts AS DATE) AS day,
+              count(*) FILTER (event_type = 'click') AS click,
+              count(*) FILTER (event_type = 'error') AS error,
+              count(*) FILTER (event_type = 'purchase') AS purchase,
+              count(*) FILTER (event_type = 'signup') AS signup,
+              count(*) FILTER (event_type = 'view') AS view
+            FROM events GROUP BY CAST(ts AS DATE) ORDER BY day"""))
+
+  /** Unpivot (wide→long): per-type value statistics melted to
+    * (event_type, stat, stat_value) rows — the inverse reshape, Spark's
+    * native `unpivot` (codegen'd Expand, row-local, zero extra shuffles
+    * beyond the one aggregation). The mean rides the exact decimal-sum
+    * path so the melted doubles hash-match the oracle bit-for-bit.
+    */
+  val qUnpivot = QueryDef(
+    "q_unpivot",
+    (s, d) => events(s, d)
+      .groupBy("event_type")
+      .agg(min("value").as("min_value"), exactAvg(col("value")).as("avg_value"),
+        max("value").as("max_value"))
+      .unpivot(Array(col("event_type")),
+        Array(col("min_value"), col("avg_value"), col("max_value")),
+        "stat", "stat_value")
+      .orderBy("event_type", "stat"),
+    Some("""WITH s AS (SELECT event_type, min(value) AS min_value,
+                  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value)
+                    AS avg_value,
+                  max(value) AS max_value
+                FROM events GROUP BY event_type)
+            SELECT event_type, stat, stat_value FROM (
+              SELECT event_type, 'min_value' AS stat, min_value AS stat_value FROM s
+              UNION ALL
+              SELECT event_type, 'avg_value' AS stat, avg_value FROM s
+              UNION ALL
+              SELECT event_type, 'max_value' AS stat, max_value FROM s) t
+            ORDER BY event_type, stat"""))
+
+  /** CUBE over (event_type, day): all four grouping-set combinations in one
+    * pass — Expand multiplies rows 4× BEFORE the single exchange (map-side
+    * partial aggregation still applies per grouping set). `grouping()`
+    * flags distinguish "NULL because subtotal" from a genuine NULL group,
+    * surfaced as int on both engines.
+    */
+  val qCube = QueryDef(
+    "q_cube",
+    (s, d) => events(s, d)
+      .withColumn("day", tsDay)
+      .cube("event_type", "day")
+      .agg(count(lit(1)).as("n"),
+        grouping(col("event_type")).cast("int").as("g_type"),
+        grouping(col("day")).cast("int").as("g_day"))
+      .orderBy(col("event_type"), col("day")),
+    Some("""SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+              CAST(GROUPING(event_type) AS INT) AS g_type,
+              CAST(GROUPING(CAST(ts AS DATE)) AS INT) AS g_day
+            FROM events
+            GROUP BY CUBE (event_type, CAST(ts AS DATE))
+            ORDER BY event_type NULLS FIRST, day NULLS FIRST"""))
+
+  /** The ranking-window family (reference §2.10 widened): rank /
+    * dense_rank / percent_rank / cume_dist over an ORDER WITH TIES
+    * (event_type within user — tie-stable functions emit one value per
+    * tie group, deterministic under ties), plus ntile over the UNIQUE
+    * (ts, event_id) order — ntile splits tie groups by physical row
+    * order, so determinism requires a total order. Both windows share the
+    * user_id partitioning: ONE exchange, two sorts.
+    */
+  val qRankFamily = QueryDef(
+    "q_rank_family",
+    (s, d) => {
+      val wTie = Window.partitionBy("user_id").orderBy("event_type")
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          rank().over(wTie).as("rk"),
+          dense_rank().over(wTie).as("drk"),
+          round(percent_rank().over(wTie), 6).as("prk"),
+          round(cume_dist().over(wTie), 6).as("cd"),
+          ntile(4).over(userOrder).as("quartile"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, user_id, event_type,
+              rank() OVER w AS rk,
+              dense_rank() OVER w AS drk,
+              round(percent_rank() OVER w, 6) AS prk,
+              round(cume_dist() OVER w, 6) AS cd,
+              ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS quartile
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_type)
+            ORDER BY event_id"""))
+
+  /** Forward fill (time-series gap repair): carry the last non-NULL
+    * observation forward within each user's timeline — `last(...,
+    * ignoreNulls)` over a running ROWS frame, the standard Spark ffill
+    * idiom (one window, no self-join, no driver state). NULLs are planted
+    * deterministically (event_id % 7) so both the fill and pass-through
+    * paths are oracle-exercised; leading NULLs (nothing to carry) stay
+    * NULL.
+    */
+  val qFfill = QueryDef(
+    "q_ffill",
+    (s, d) => events(s, d)
+      .withColumn("v_sparse",
+        when(pmod(col("event_id"), lit(7)) === 0, lit(null))
+          .otherwise(col("value")))
+      .withColumn("v_filled",
+        last(col("v_sparse"), ignoreNulls = true)
+          .over(userOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("event_id", "user_id", "v_sparse", "v_filled")
+      .orderBy("event_id"),
+    Some("""SELECT event_id, user_id, v_sparse,
+              last_value(v_sparse IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+            FROM (SELECT *,
+                    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END
+                      AS v_sparse
+                  FROM events) t
+            ORDER BY event_id"""))
+
+  /** SCD-2 style state timeline: each event opens an interval
+    * [valid_from, valid_to) closed by the user's NEXT event — the
+    * warehouse pattern for "what was this entity's state at time t".
+    * One lead() over the shared user window; the open (current) interval
+    * carries NULL valid_to and an is_current flag.
+    */
+  val qScd2 = QueryDef(
+    "q_scd2",
+    (s, d) => events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        tsSec.as("valid_from"),
+        lead(tsSec, 1).over(userOrder).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("event_id"),
+    Some("""SELECT event_id, user_id, event_type,
+              CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+              lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+              lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                AS is_current
+            FROM events ORDER BY event_id"""))
+
+  /** Semi-structured JSON extraction from the raw `props` payload — both
+    * production shapes: `get_json_object` (per-path lazy extraction) and
+    * `from_json` with a PINNED schema (one parse per row, typed struct
+    * out — the 100 TB shape: schema inference over JSON is a second full
+    * scan, and per-path extraction re-parses the payload per path).
+    * Malformed JSON yields NULL in both, never a failed task.
+    */
+  val qJsonExtract = QueryDef(
+    "q_json_extract",
+    (s, d) => events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_lazy"),
+        from_json(col("props"), "k BIGINT", Map.empty[String, String])
+          .getField("k").as("k_typed"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_lazy,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
+            FROM events ORDER BY event_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanParquet, qFilterNotnull, qFilterTs, qFilterNeq, qProject,
     qDedupFull, qDedupKey, qFillna, qTrimAll, qNormText, qMapStatus,
@@ -910,5 +1095,7 @@ object ParityQueries {
     qJoinSemi, qJoinAnti, qAsofJoin, qAsofJoinExec, qRangeJoin,
     qSetOps, qRollup, qPercentiles, qApproxDistinct,
     qApproxPercentiles, qCountOverSalted, qSort,
-    qLag, qRollingCount, qSessionId, qSessionAgg, qSessionize)
+    qLag, qRollingCount, qSessionId, qSessionAgg, qSessionize,
+    qPivot, qUnpivot, qCube, qJsonExtract,
+    qRankFamily, qFfill, qScd2)
 }

@@ -54,6 +54,23 @@ object Sources {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** ORC scan — the other columnar interchange format large pipelines
+    * exchange data in. Spark's ORC reader is vectorized and supports the
+    * same predicate pushdown + column pruning as parquet, so ORC inputs
+    * ride the identical scan-level optimizations.
+    */
+  def orc(spark: SparkSession, path: String,
+      withIngestOrder: Boolean = false): DataFrame =
+    stamp(spark.read.orc(path), withIngestOrder)
+
+  /** ORC sink — one file per partition, parallel like any columnar
+    * writer. Types round-trip losslessly for every testdata column class
+    * (int64, double, string, binary, list<float>); `q_orc_roundtrip`
+    * pins that with a hash-match against the original parquet.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   private def stamp(df: DataFrame, withIngestOrder: Boolean): DataFrame =
     if (withIngestOrder)
       df.withColumn(EventSchema.ingestOrderCol, monotonically_increasing_id())

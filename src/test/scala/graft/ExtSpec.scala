@@ -563,6 +563,43 @@ class ExtSpec extends SparkSpec {
     assert(multi.length >= single.length)
   }
 
+  test("semDeDup: drop rule exact on real embeddings, duplicates collapse to min id") {
+    val d = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$d/embeddings.parquet").select("vec_id", "embedding")
+    // plant exact duplicates of the first two vectors under HIGHER ids so
+    // the keep-lowest-index rule is exercised deterministically (cosine of
+    // an exact copy is 1.0 >= any eps, and copies share a cluster — the
+    // argmax is a pure function of the vector)
+    val base = e.as[(Long, Array[Float])].collect()
+    val planted = (base ++ base.take(2).map { case (id, v) => (id + 100000L, v) })
+      .toSeq.toDF("vec_id", "embedding")
+    val eps = 0.4
+    val kept = Dedup.semDeDup(planted, "vec_id", "embedding", eps, nCentroids = 8)
+    val keptIds = kept.select("vec_id").as[Long].collect().toSet
+    assert(!keptIds.contains(100000L) && !keptIds.contains(100001L),
+      "planted exact duplicates must drop (their originals have lower ids)")
+    assert(keptIds.contains(base.head._1))
+
+    // replay the rule exactly: dropped iff exists lower-id same-cluster
+    // neighbor with cosine >= eps
+    val cents = Similarity.centroidsFor(planted, "vec_id", "embedding", 8, "kmeans")
+    val assigned = Similarity.assignToCentroids(planted, "embedding", cents)
+      .select(col("vec_id"), col("_c_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byCluster = assigned.groupBy(_._2)
+    val expectedKept = assigned.filter { case (id, c, v) =>
+      !byCluster(c).exists { case (id2, _, v2) => id2 < id && cos(v, v2) >= eps }
+    }.map(_._1).toSet
+    assert(keptIds === expectedKept, "operator diverges from the paper's drop rule")
+    // survivors exist and something real (beyond the planted pair) dropped
+    assert(keptIds.nonEmpty && keptIds.size < planted.count())
+  }
+
   test("corpus pipeline: each dedup stage's invariant holds on real testdata") {
     val d = "/root/testdata/sf0.001"
     val corpus = spark.read.parquet(s"$d/documents.parquet").select("doc_id", "text")

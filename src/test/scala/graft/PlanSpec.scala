@@ -311,6 +311,42 @@ class PlanSpec extends SparkSpec {
 
   // FINAL adaptive plan only — the rendered string appends the initial
   // plan too, which would double-count every node in the assertions
+  test("pivot with explicit values: map-side partial count reduces before the pivot") {
+    // Without explicit pivot values Spark runs collect(distinct event_type)
+    // at PLAN time — an extra full corpus scan at 100 TB. With them the
+    // plan is a (day, event_type) count WITH map-side partial aggregation
+    // feeding a day-keyed pivotfirst: the corpus reduces to ~|days×types|
+    // rows before the second (trivial) exchange.
+    val df = SparkEntry.queries("q_pivot")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"), p.take(2000))
+    assert(p.contains("pivotfirst"), p.take(2000))
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(ex == 2, s"expected (day,event_type) + (day) exchanges, found $ex:\n${p.take(3000)}")
+  }
+
+  test("rank family, ffill, and scd2 share ONE user exchange each") {
+    // Two differently-ordered windows over the same user partitioning
+    // (q_rank_family) still need only one hashpartitioning(user_id) —
+    // Catalyst inserts two sorts, not two shuffles.
+    for (q <- Seq("q_rank_family", "q_ffill", "q_scd2")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+      assert(userExchanges == 1,
+        s"$q: expected 1 user_id exchange, found $userExchanges:\n${p.take(3000)}")
+    }
+  }
+
+  test("semDeDup: cluster assignment is a shuffle-free argmax; only the cluster join shuffles") {
+    val df = SparkEntry.queries("q_dedup_semdedup")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // no window over the corpus, no broadcast of the corpus itself
+    assert(!p.contains("Window"), s"unexpected window:\n${p.take(3000)}")
+    // the within-cluster self-join keys on _c_id (plus the id anti-join)
+    assert(p.contains("_c_id"), p.take(2000))
+  }
+
   private def planOfText(name: String): String = {
     val df = SparkEntry.queries(name)(spark, dir)
     df.collect() // finalize the adaptive plan
