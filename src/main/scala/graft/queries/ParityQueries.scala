@@ -1085,6 +1085,110 @@ object ParityQueries {
               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
             FROM events ORDER BY event_id"""))
 
+  // --- event analytics: funnel, cohort, anomaly -----------------------------
+
+  /** Ordered funnel: how many users progressed view → click → purchase,
+    * each stage STRICTLY after the previous one (first qualifying event
+    * per stage). Three user-keyed aggregations that all share the
+    * user_id partitioning; per-user stage tables are one row per user, so
+    * the stage joins are cheap and AQE broadcasts them when small. Stage
+    * counts are engine-exact integers.
+    */
+  val qFunnel = QueryDef(
+    "q_funnel",
+    (s, d) => {
+      val e = events(s, d).select("user_id", "event_type", "ts")
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, "user_id").where(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").where(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      s1.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
+        .unionByName(
+          s2.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("2_click")))
+        .unionByName(
+          s3.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("3_purchase")))
+        .select("stage", "n_users")
+        .orderBy("stage")
+    },
+    Some("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+                 s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+                        JOIN s1 USING (user_id)
+                        WHERE event_type = 'click' AND ts > t1
+                        GROUP BY e.user_id),
+                 s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+                        JOIN s2 USING (user_id)
+                        WHERE event_type = 'purchase' AND ts > t2
+                        GROUP BY e.user_id)
+            SELECT stage, n_users FROM (
+              SELECT '1_view' AS stage, count(*) AS n_users FROM s1
+              UNION ALL SELECT '2_click', count(*) FROM s2
+              UNION ALL SELECT '3_purchase', count(*) FROM s3) t
+            ORDER BY stage"""))
+
+  /** Cohort retention: users cohorted by their FIRST active day, activity
+    * counted per (cohort day, day offset) — the retention triangle. The
+    * per-user first-day table is one row per user (user-keyed agg shared
+    * with everything else user-partitioned), then one distinct-count over
+    * the joined events.
+    */
+  val qCohortRetention = QueryDef(
+    "q_cohort_retention",
+    (s, d) => {
+      val e = events(s, d).withColumn("day", tsDay)
+      val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+      e.join(first, "user_id")
+        .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+    Some("""WITH first AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+                           FROM events GROUP BY user_id)
+            SELECT f.cohort_day,
+              CAST(CAST(e.ts AS DATE) - f.cohort_day AS INT) AS day_offset,
+              count(DISTINCT e.user_id) AS active_users
+            FROM events e JOIN first f USING (user_id)
+            GROUP BY f.cohort_day, day_offset
+            ORDER BY f.cohort_day, day_offset"""))
+
+  /** Robust anomaly gate ([[graft.etl.Anomaly]]): median/MAD outlier
+    * detection per event_type — the distribution-free alternative to
+    * z-scores (mean/stddev are
+    * themselves corrupted by the outliers they're meant to find). Exact
+    * R-7 medians on both engines; the threshold is the standard
+    * 3σ-equivalent 3·1.4826·MAD. Two aggregation passes over the corpus
+    * (med, then MAD of deviations) with the one-row-per-type tables
+    * broadcast back — no window over the corpus, no driver-side data.
+    */
+  val qAnomalyMad = QueryDef(
+    "q_anomaly_mad",
+    (s, d) => {
+      val e = events(s, d)
+      val thr = graft.etl.Anomaly.madThresholds(e, "event_type", "value")
+      graft.etl.Anomaly.flagOutliers(e, thr, "event_type", "value")
+        .groupBy("event_type")
+        .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+          sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
+    },
+    Some("""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                         FROM events GROUP BY event_type),
+                 dev AS (SELECT e.event_type, m.med,
+                           abs(e.value - m.med) AS absdev
+                         FROM events e JOIN med m USING (event_type)),
+                 mad AS (SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+                         FROM dev GROUP BY event_type)
+            SELECT d.event_type, max(d.med) AS med, max(a.mad) AS mad,
+              count(*) FILTER (d.absdev > 3.0 * 1.4826 * a.mad)
+                AS n_outliers
+            FROM dev d JOIN mad a USING (event_type)
+            GROUP BY d.event_type ORDER BY d.event_type"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanParquet, qFilterNotnull, qFilterTs, qFilterNeq, qProject,
     qDedupFull, qDedupKey, qFillna, qTrimAll, qNormText, qMapStatus,
@@ -1097,5 +1201,6 @@ object ParityQueries {
     qApproxPercentiles, qCountOverSalted, qSort,
     qLag, qRollingCount, qSessionId, qSessionAgg, qSessionize,
     qPivot, qUnpivot, qCube, qJsonExtract,
-    qRankFamily, qFfill, qScd2)
+    qRankFamily, qFfill, qScd2,
+    qFunnel, qCohortRetention, qAnomalyMad)
 }

@@ -361,6 +361,60 @@ object StreamingPipeline {
     * while each side individually stays deterministic (decimal sums).
     * Both properties are asserted in StreamingSpec.
     */
+  /** STREAM-STREAM interval join — click attribution: each click pairs
+    * with every impression the same user saw in the preceding
+    * `horizonMinutes`. Both sides are unbounded, so BOTH carry watermarks
+    * and the join predicate carries the event-time interval — together
+    * those two constraints are what let Structured Streaming bound the
+    * buffered state: an impression ages out of the join buffer once the
+    * click-side watermark passes `i_ts + horizon`, a click once the
+    * impression-side watermark passes `c_ts`. Without the interval the
+    * state would grow forever (Spark rejects unbounded stream-stream
+    * inner joins in append mode for exactly that reason).
+    *
+    * Inner join: a click with no impression in the horizon produces
+    * nothing (attribution, not outer enrichment). Semantics are
+    * IDENTICAL to running the same predicate over static frames —
+    * asserted in StreamingSpec against the batch join.
+    */
+  def attributionJoinStream(
+      impressions: DataFrame, clicks: DataFrame,
+      horizonMinutes: Int = 30,
+      watermark: String = "1 hour"): DataFrame = {
+    require(horizonMinutes > 0,
+      s"horizonMinutes must be positive, got $horizonMinutes")
+    val i = impressions
+      .withWatermark("timestamp", watermark)
+      .select(col("user_id").as("i_user"),
+        col("event_id").as("impression_id"), col("timestamp").as("i_ts"))
+    val c = clicks
+      .withWatermark("timestamp", watermark)
+      .select(col("user_id").as("c_user"),
+        col("event_id").as("click_id"), col("timestamp").as("c_ts"))
+    c.join(i,
+        col("c_user") === col("i_user") &&
+        col("i_ts") <= col("c_ts") &&
+        col("i_ts") >= col("c_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("impression_id"), col("i_ts"), col("c_ts"))
+  }
+
+  /** Streaming twin of the MAD anomaly gate
+    * ([[graft.etl.Anomaly]], `q_anomaly_mad`): per-group robust
+    * thresholds computed BATCH-side flag the live event stream — the
+    * deploy shape of robust outlier detection (train offline on the
+    * curated window, score online). The apply side is
+    * [[graft.etl.Anomaly.flagOutliers]] VERBATIM — a stateless broadcast
+    * join plus one comparison, so stream and batch flags cannot diverge
+    * (asserted row-for-row in StreamingSpec); no watermark and no state
+    * store are needed.
+    */
+  def anomalyGateStream(
+      events: DataFrame, thresholds: DataFrame,
+      group: String = "event_type", value: String = "value",
+      k: Double = graft.etl.Anomaly.DefaultK): DataFrame =
+    graft.etl.Anomaly.flagOutliers(events, thresholds, group, value, k)
+
   def classifierScoreStream(
       docs: DataFrame, model: graft.ext.QualityClassifier.Model,
       idCol: String = "doc_id", textCol: String = "text",

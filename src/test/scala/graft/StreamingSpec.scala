@@ -433,4 +433,76 @@ class StreamingSpec extends SparkSpec {
       assert(out === Map(1L -> "success", 2L -> "failure", 3L -> "weird"))
     } finally q.stop()
   }
+
+  test("stream-stream interval join: attribution within the horizon, batch-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val impressions = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = StreamingPipeline.attributionJoinStream(
+        impressions.toDF(), clicks.toDF(), horizonMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    try {
+      val imps = Seq(
+        Ev(100, ts("2025-01-01 10:00:00"), "u"), // in horizon of click 201
+        Ev(101, ts("2025-01-01 09:00:00"), "u"), // too old for any click
+        Ev(102, ts("2025-01-01 10:20:00"), "u"), // in horizon of clicks 201
+        Ev(103, ts("2025-01-01 10:00:00"), "v")) // other user
+      val clks = Seq(
+        Ev(201, ts("2025-01-01 10:25:00"), "u"),
+        Ev(202, ts("2025-01-01 12:00:00"), "u"), // nothing within 30 min
+        Ev(203, ts("2025-01-01 10:10:00"), "v"))
+      impressions.addData(imps: _*)
+      clicks.addData(clks: _*)
+      q.processAllAvailable()
+      val out = spark.table("attr_out")
+        .select("click_id", "impression_id").as[(Long, Long)].collect().toSet
+      // batch twin: the same predicate over static frames (tuples — a
+      // spec-local case class has no outer-scope encoder for createDataset)
+      val bi = imps.map(e => (e.event_id, e.timestamp, e.user_id))
+        .toDF("event_id", "timestamp", "user_id")
+      val bc = clks.map(e => (e.event_id, e.timestamp, e.user_id))
+        .toDF("event_id", "timestamp", "user_id")
+      val expected = bc.as("c").join(bi.as("i"),
+          col("c.user_id") === col("i.user_id") &&
+          col("i.timestamp") <= col("c.timestamp") &&
+          col("i.timestamp") >= col("c.timestamp") - expr("INTERVAL 30 MINUTES"))
+        .select(col("c.event_id"), col("i.event_id"))
+        .as[(Long, Long)].collect().toSet
+      assert(out === expected, s"stream $out vs batch $expected")
+      assert(out === Set((201L, 100L), (201L, 102L), (203L, 103L)))
+    } finally q.stop()
+  }
+
+  test("anomaly gate stream: batch-trained MAD thresholds flag identically") {
+    implicit val sqlCtx = spark.sqlContext
+    // train on a batch whose 'normal' band spreads around 10.0 (spread
+    // matters: an all-constant band gives MAD = 0 and flags everything)
+    val train = (Seq.fill(4)(Seq(9.0, 9.5, 10.0, 10.5, 11.0)).flatten ++ Seq(400.0))
+      .zipWithIndex.map { case (v, i) => (i.toLong, "click", v) }
+      .toDF("event_id", "event_type", "value")
+    val thr = graft.etl.Anomaly.madThresholds(train, "event_type", "value")
+
+    val input = MemoryStream[(Long, String, Double)]
+    val q = StreamingPipeline.anomalyGateStream(
+        input.toDF().toDF("event_id", "event_type", "value"), thr)
+      .select("event_id", "is_anomaly")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anom_out").start()
+    try {
+      val live = Seq(
+        (1000L, "click", 10.2),    // normal
+        (1001L, "click", 999.0),   // anomaly
+        (1002L, "view", 999.0))    // unknown group -> never flagged
+      input.addData(live: _*)
+      q.processAllAvailable()
+      val out = spark.table("anom_out").as[(Long, Boolean)].collect().toMap
+      val batch = graft.etl.Anomaly.flagOutliers(
+          live.toDF("event_id", "event_type", "value"), thr,
+          "event_type", "value")
+        .select("event_id", "is_anomaly").as[(Long, Boolean)].collect().toMap
+      assert(out === batch, "stream flags diverge from batch flagOutliers")
+      assert(out === Map(1000L -> false, 1001L -> true, 1002L -> false))
+    } finally q.stop()
+  }
 }
