@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads travel as opaque
   * `binary` columns with typed metadata alongside. The Spark-side contract
   * — schema, batch iteration shape, partition sizing — is real, and so is
-  * the IMAGE header decode: a pure-JVM binary parse of PNG IHDR fields and
-  * a JPEG marker-segment walk to SOFn (no external imaging libraries).
+  * the MEDIA header decode: a pure-JVM binary parse of PNG IHDR fields, a
+  * JPEG marker-segment walk to SOFn, and a WAV/RIFF chunk walk to
+  * "fmt " (no external media libraries).
   * Only video frame COUNTING remains a declared stub (no container parser
   * in this environment); see [[videoFrameCountStub]].
   *
@@ -24,7 +25,8 @@ object Multimodal {
     */
   case class ImageHeader(
       format: String, width: Option[Int], height: Option[Int],
-      bitDepth: Option[Int])
+      bitDepth: Option[Int],
+      channels: Option[Int] = None, sampleRate: Option[Int] = None)
 
   private val PngMagic =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
@@ -44,9 +46,13 @@ object Multimodal {
     * SOS/EOI or any malformed segment — dimensions stay None rather than
     * reading garbage.
     *
-    * Anything without a recognized magic is `unknown` with no dimensions
-    * (audio/video containers ride the same binary contract; only their
-    * frame counting is stubbed elsewhere).
+    * WAV (RIFF 1991): chunk walk from offset 12 to the "fmt " chunk —
+    * channels, sample rate, bits per sample, all little-endian; see the
+    * inline comment for the alignment rules.
+    *
+    * Anything without a recognized magic is `unknown` with no fields
+    * (video containers ride the same binary contract; only their frame
+    * counting is stubbed elsewhere).
     */
   def decodeHeader(bytes: Array[Byte]): ImageHeader = {
     if (bytes == null) return ImageHeader("unknown", None, None, None)
@@ -55,10 +61,18 @@ object Multimodal {
     def u32(i: Int): Long =
       (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
 
+    def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u32le(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    def tag(i: Int, t: String): Boolean =
+      i + t.length <= bytes.length && t.indices.forall(j => u8(i + j) == t(j))
+
     val isPng = bytes.length >= PngMagic.length &&
       PngMagic.indices.forall(i => u8(i) == PngMagic(i))
     val isJpeg = bytes.length >= 3 &&
       u8(0) == 0xff && u8(1) == 0xd8 && u8(2) == 0xff
+    val isWav = tag(0, "RIFF") && bytes.length >= 12 && tag(8, "WAVE")
 
     if (isPng) {
       val hasIhdr = bytes.length >= 26 &&
@@ -93,6 +107,30 @@ object Multimodal {
             } else i += 2 + len
           }
         }
+      }
+      result
+    } else if (isWav) {
+      // RIFF chunk walk (RIFF 1991 spec / WAVE): from offset 12, each
+      // chunk is a 4-byte id + 4-byte little-endian size + payload,
+      // word-aligned (odd sizes carry one pad byte). The "fmt " chunk —
+      // NOT guaranteed first; LIST/JUNK chunks legally precede it —
+      // holds channels (u16le at +2), sample rate (u32le at +4) and bits
+      // per sample (u16le at +14). Malformed/truncated walks stop with
+      // whatever was parsed (format detected, fields None).
+      var i = 12
+      var result = ImageHeader("wav", None, None, None)
+      var done = false
+      while (!done && i + 8 <= bytes.length) {
+        val size = u32le(i + 4)
+        if (size < 0 || size > Int.MaxValue) done = true
+        else if (tag(i, "fmt ")) {
+          if (size >= 16 && i + 8 + 16 <= bytes.length)
+            result = ImageHeader("wav", None, None,
+              Some(u16le(i + 8 + 14)),
+              channels = Some(u16le(i + 8 + 2)),
+              sampleRate = Some(u32le(i + 8 + 4).toInt))
+          done = true
+        } else i += 8 + size.toInt + (size.toInt & 1)
       }
       result
     } else ImageHeader("unknown", None, None, None)
@@ -149,6 +187,8 @@ object Multimodal {
       width: Option[Int],
       height: Option[Int],
       bit_depth: Option[Int],
+      channels: Option[Int],
+      sample_rate: Option[Int],
       n_frames: Int)
 
   /** Input row shape for [[extractFeatures]] (public: Catalyst's generated
@@ -170,6 +210,8 @@ object Multimodal {
       width = h.width,
       height = h.height,
       bit_depth = h.bitDepth,
+      channels = h.channels,
+      sample_rate = h.sampleRate,
       n_frames = videoFrameCountStub(m.kind, bytes.length.toLong))
   }
 

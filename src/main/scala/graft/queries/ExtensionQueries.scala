@@ -377,6 +377,113 @@ object ExtensionQueries {
     },
     None)
 
+  /** Audio-header decode ([[Multimodal.decodeHeader]] WAV branch):
+    * deterministic doc_id-derived WAV payloads — PCM fmt chunks with
+    * varying channels/rate/bit-depth, an optional leading JUNK chunk (so
+    * the RIFF chunk WALK is exercised, not a fixed offset), and garbage
+    * rows for the unknown path. The oracle re-parses the little-endian
+    * fields out of `hex(payload)` at the arithmetically-derived chunk
+    * offset — a genuine cross-engine replay of the byte layout, not an
+    * echo of the generator formulas.
+    */
+  val qMultimodalAudio = QueryDef(
+    "q_multimodal_audio",
+    (s, d) => {
+      def le(v: org.apache.spark.sql.Column, nBytes: Int) =
+        concat((0 until nBytes).map(i =>
+          lpad(hex(pmod(shiftrightunsigned(v.cast("long"), 8 * i), lit(256))),
+            2, "0")): _*)
+      val id = col("doc_id")
+      val c = (pmod(id, lit(2)) + 1).cast("long")
+      val r = element_at(typedlit(Seq(8000L, 16000L, 22050L, 44100L, 48000L)),
+        (pmod(id, lit(5)) + 1).cast("int"))
+      val bts = element_at(typedlit(Seq(8L, 16L, 24L)),
+        (pmod(id, lit(3)) + 1).cast("int"))
+      val j = pmod(id, lit(4)) * 2 // even-sized JUNK payload (no pad byte)
+      val junkHex = when(j === 0, lit("")).otherwise(concat(
+        lit("4A554E4B"), le(j, 4),
+        expr("repeat('00', CAST((doc_id % 4) * 2 AS INT))")))
+      val byteRate = (r * c * bts / lit(8)).cast("long")
+      val blockAlign = (c * bts / lit(8)).cast("long")
+      val fmtHex = concat(lit("666D7420" + "10000000" + "0100"),
+        le(c, 2), le(r, 4), le(byteRate, 4), le(blockAlign, 2), le(bts, 2))
+      val bodyLen = lit(4L) + when(j === 0, lit(0L)).otherwise(j + 8) +
+        lit(24L) + lit(8L)
+      val wav = concat(lit("52494646"), le(bodyLen, 4), lit("57415645"),
+        junkHex, fmtHex, lit("64617461" + "00000000"))
+      val garbage = concat(lit("00112233"), lpad(hex(id), 8, "0"))
+      val media = docs(s, d).select(
+        id.as("media_id"), lit("audio").as("kind"),
+        unhex(when(pmod(id, lit(7)) === 3, garbage).otherwise(wav))
+          .as("payload"))
+      Multimodal.extractFeatures(s, media).toDF()
+        .select("media_id", "format", "n_bytes", "content_md5",
+          "channels", "sample_rate", "bit_depth")
+        .orderBy("media_id")
+    },
+    Some("""WITH payload AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 3 THEN
+                  '00112233' || lpad(hex(doc_id), 8, '0')
+                ELSE
+                  '52494646'
+                  || lpad(hex((36 + CASE WHEN doc_id % 4 = 0 THEN 0
+                                    ELSE 8 + (doc_id % 4) * 2 END) % 256), 2, '0')
+                  || '000000'
+                  || '57415645'
+                  || CASE WHEN doc_id % 4 = 0 THEN ''
+                     ELSE '4A554E4B'
+                       || lpad(hex(((doc_id % 4) * 2) % 256), 2, '0') || '000000'
+                       || repeat('00', CAST((doc_id % 4) * 2 AS INT)) END
+                  || '666D74201000000001'
+                  || '00'
+                  || lpad(hex(doc_id % 2 + 1), 2, '0') || '00'
+                  || lpad(hex(([8000, 16000, 22050, 44100, 48000][CAST(doc_id % 5 + 1 AS INT)]) % 256), 2, '0')
+                  || lpad(hex(([8000, 16000, 22050, 44100, 48000][CAST(doc_id % 5 + 1 AS INT)] // 256) % 256), 2, '0')
+                  || '0000'
+                  || lpad(hex((([8000, 16000, 22050, 44100, 48000][CAST(doc_id % 5 + 1 AS INT)] * (doc_id % 2 + 1) * ([8, 16, 24][CAST(doc_id % 3 + 1 AS INT)]) // 8)) % 256), 2, '0')
+                  || lpad(hex((([8000, 16000, 22050, 44100, 48000][CAST(doc_id % 5 + 1 AS INT)] * (doc_id % 2 + 1) * ([8, 16, 24][CAST(doc_id % 3 + 1 AS INT)]) // 8) // 256) % 256), 2, '0')
+                  || lpad(hex((([8000, 16000, 22050, 44100, 48000][CAST(doc_id % 5 + 1 AS INT)] * (doc_id % 2 + 1) * ([8, 16, 24][CAST(doc_id % 3 + 1 AS INT)]) // 8) // 65536) % 256), 2, '0')
+                  || '00'
+                  || lpad(hex(((doc_id % 2 + 1) * ([8, 16, 24][CAST(doc_id % 3 + 1 AS INT)]) // 8) % 256), 2, '0') || '00'
+                  || lpad(hex(([8, 16, 24][CAST(doc_id % 3 + 1 AS INT)]) % 256), 2, '0') || '00'
+                  || '6461746100000000'
+                END AS ph
+              FROM documents),
+            bin AS (
+              SELECT doc_id, hex(unhex(ph)) AS h,
+                CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes,
+                md5(hex(unhex(ph))) AS content_md5
+              FROM payload),
+            parsed AS (
+              SELECT doc_id, h, n_bytes, content_md5,
+                substr(h, 1, 8) = '52494646'
+                  AND substr(h, 17, 8) = '57415645' AS is_wav,
+                -- fmt data offset: 12 (RIFF header) + junk chunk if present
+                -- + 8 (fmt id + size) — derived, then VERIFIED against the
+                -- fmt tag bytes before any field is parsed
+                12 + CASE WHEN doc_id % 4 = 0 THEN 0
+                     ELSE 8 + (doc_id % 4) * 2 END + 8 AS f
+              FROM bin)
+            SELECT doc_id AS media_id,
+              CASE WHEN is_wav THEN 'wav' ELSE 'unknown' END AS format,
+              n_bytes, content_md5,
+              CASE WHEN is_wav AND substr(h, (f - 8) * 2 + 1, 8) = '666D7420'
+                THEN CAST('0x' || substr(h, (f + 2) * 2 + 1, 2) AS INT)
+                   + 256 * CAST('0x' || substr(h, (f + 3) * 2 + 1, 2) AS INT)
+                END AS channels,
+              CASE WHEN is_wav AND substr(h, (f - 8) * 2 + 1, 8) = '666D7420'
+                THEN CAST('0x' || substr(h, (f + 4) * 2 + 1, 2) AS INT)
+                   + 256 * CAST('0x' || substr(h, (f + 5) * 2 + 1, 2) AS INT)
+                   + 65536 * CAST('0x' || substr(h, (f + 6) * 2 + 1, 2) AS INT)
+                   + 16777216 * CAST('0x' || substr(h, (f + 7) * 2 + 1, 2) AS INT)
+                END AS sample_rate,
+              CASE WHEN is_wav AND substr(h, (f - 8) * 2 + 1, 8) = '666D7420'
+                THEN CAST('0x' || substr(h, (f + 14) * 2 + 1, 2) AS INT)
+                   + 256 * CAST('0x' || substr(h, (f + 15) * 2 + 1, 2) AS INT)
+                END AS bit_depth
+            FROM parsed ORDER BY media_id"""))
+
   // --- similarity search ----------------------------------------------------
 
   /** Brute-force cosine top-10 for 3 probe vectors — the exact ANN
@@ -1668,6 +1775,7 @@ object ExtensionQueries {
     qTextTokens, qTextSubword, qTextQuality, qQualityGate, qCorpusReport,
     qTextRepetition, qLangId,
     qDocFingerprint, qDocWinnow, qMultimodalMeta, qMultimodalDecode,
+    qMultimodalAudio,
     qHeavyHitters, qCorpusPipeline,
     qJsonlRoundtrip, qOrcRoundtrip, qSampleStratified, qSampleTokenBudget,
     qSampleMixture,

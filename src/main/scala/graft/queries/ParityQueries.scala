@@ -1189,6 +1189,48 @@ object ParityQueries {
             FROM dev d JOIN mad a USING (event_type)
             GROUP BY d.event_type ORDER BY d.event_type"""))
 
+  /** Keyed upsert ([[graft.operators.Upsert]]): MERGE semantics as a plain
+    * relational plan — a deterministic change set (every 10th order
+    * repriced + restatused, every 1000th re-keyed as an insert) merged
+    * into the base; updated rows replace, inserts append, the rest pass
+    * through. Update keys broadcast into the anti join, so the base never
+    * shuffles.
+    */
+  val qUpsert = QueryDef(
+    "q_upsert",
+    (s, d) => {
+      val base = table(s, d, "orders")
+      val updates = base.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+      val inserts = base.filter(pmod(col("o_orderkey"), lit(1000)) === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+      graft.operators.Upsert.upsert(
+          base, updates.unionByName(inserts), "o_orderkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), to_date(col("o_orderdate")).as("o_date"),
+          col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH updates AS (
+              SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                o_totalprice + 1.0 AS o_totalprice, o_orderdate,
+                o_orderpriority
+              FROM orders WHERE o_orderkey % 10 = 0
+              UNION ALL
+              SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                o_totalprice, o_orderdate, o_orderpriority
+              FROM orders WHERE o_orderkey % 1000 = 0)
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+              CAST(o_orderdate AS DATE) AS o_date, o_orderpriority
+            FROM (
+              SELECT * FROM updates
+              UNION ALL
+              SELECT * FROM orders b
+              WHERE NOT EXISTS (SELECT 1 FROM updates u
+                                WHERE u.o_orderkey = b.o_orderkey)) t
+            ORDER BY o_orderkey"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanParquet, qFilterNotnull, qFilterTs, qFilterNeq, qProject,
     qDedupFull, qDedupKey, qFillna, qTrimAll, qNormText, qMapStatus,
@@ -1202,5 +1244,5 @@ object ParityQueries {
     qLag, qRollingCount, qSessionId, qSessionAgg, qSessionize,
     qPivot, qUnpivot, qCube, qJsonExtract,
     qRankFamily, qFfill, qScd2,
-    qFunnel, qCohortRetention, qAnomalyMad)
+    qFunnel, qCohortRetention, qAnomalyMad, qUpsert)
 }

@@ -667,6 +667,39 @@ class ExtSpec extends SparkSpec {
       Array(0xff.toByte, 0xd9.toByte)
   }
 
+  // minimal canonical WAV: RIFF/WAVE, optional leading JUNK chunk, then
+  // fmt (PCM, LE fields) and an empty data chunk — per the RIFF spec
+  private def wavBytes(channels: Int, rate: Int, bits: Int, junk: Int): Array[Byte] = {
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val junkChunk =
+      if (junk == 0) Array.emptyByteArray
+      else "JUNK".getBytes ++ le32(junk) ++ Array.fill(junk + (junk & 1))(0.toByte)
+    val fmt = "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(rate) ++ le32(rate * channels * bits / 8) ++
+      le16(channels * bits / 8) ++ le16(bits)
+    val data = "data".getBytes ++ le32(0)
+    val body = "WAVE".getBytes ++ junkChunk ++ fmt ++ data
+    "RIFF".getBytes ++ le32(body.length) ++ body
+  }
+
+  test("decodeHeader: WAV fmt chunk walk — LE fields, junk chunks, truncation") {
+    for (junk <- Seq(0, 5, 8)) { // odd junk exercises the word-alignment pad
+      val h = Multimodal.decodeHeader(wavBytes(2, 44100, 16, junk))
+      assert(h === Multimodal.ImageHeader("wav", None, None, Some(16),
+        Some(2), Some(44100)), s"junk=$junk")
+    }
+    assert(Multimodal.decodeHeader(wavBytes(1, 8000, 24, 0)) ===
+      Multimodal.ImageHeader("wav", None, None, Some(24), Some(1), Some(8000)))
+    // truncated mid-fmt: format detected, fields None
+    assert(Multimodal.decodeHeader(wavBytes(2, 44100, 16, 0).take(20)) ===
+      Multimodal.ImageHeader("wav", None, None, None))
+    // RIFF but not WAVE -> unknown
+    val avi = wavBytes(1, 8000, 8, 0)
+    avi(8) = 'A'; avi(9) = 'V'; avi(10) = 'I'; avi(11) = ' '
+    assert(Multimodal.decodeHeader(avi).format === "unknown")
+  }
+
   test("decodeHeader: real PNG IHDR and JPEG SOF0 parsing, robust to junk") {
     val p = Multimodal.decodeHeader(pngBytes(640, 480, 8))
     assert(p === Multimodal.ImageHeader("png", Some(640), Some(480), Some(8)))

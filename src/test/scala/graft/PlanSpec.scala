@@ -347,6 +347,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("_c_id"), p.take(2000))
   }
 
+  test("upsert: update keys broadcast into the anti join — the base never shuffles") {
+    val df = SparkEntry.queries("q_upsert")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast anti join:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"), s"base side shuffled:\n${p.take(3000)}")
+  }
+
   private def planOfText(name: String): String = {
     val df = SparkEntry.queries(name)(spark, dir)
     df.collect() // finalize the adaptive plan
