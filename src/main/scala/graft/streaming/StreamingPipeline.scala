@@ -399,6 +399,65 @@ object StreamingPipeline {
         col("impression_id"), col("i_ts"), col("c_ts"))
   }
 
+  /** Continuous keyed merge: maintain a SERVING TABLE from a change
+    * stream — each micro-batch upserts into the table via
+    * [[graft.operators.Upsert]] inside `foreachBatch` (the standard
+    * Structured Streaming pattern for sinks with merge semantics that
+    * the declarative writers can't express). Within one batch, keep-LAST
+    * per key in `orderCol` order resolves multiple changes to the same
+    * key BEFORE the merge (Upsert requires key-unique updates).
+    *
+    * The table lives as parquet at `tablePath`, rewritten atomically per
+    * batch (write to `<path>.staging`, swap). A per-batch rewrite is the
+    * honest cost of parquet-as-a-table — at 100 TB the same foreachBatch
+    * body targets a table FORMAT with transactional MERGE instead; the
+    * stream-side contract (dedup, then [[graft.operators.Upsert.upsert]])
+    * is identical, which is the point of factoring the merge as a plain
+    * DataFrame operator.
+    *
+    * Returns the DataStreamWriter — caller starts/stops it. Batch-parity:
+    * replaying any change log through this sink leaves the table equal to
+    * batch keep-last dedup of (seed ∪ log) — asserted in StreamingSpec.
+    */
+  def upsertSink(
+      changes: DataFrame, tablePath: String, key: String, orderCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.expressions.Window
+    changes.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // orderCol must order a key's changes totally (a change-log
+        // sequence number or event time) — ties would make keep-last
+        // nondeterministic, exactly as in batch keep-last dedup
+        val w = Window.partitionBy(key).orderBy(col(orderCol).desc)
+        val updates = batch
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        val fs = new java.io.File(tablePath)
+        val merged =
+          if (fs.exists()) {
+            val base = spark.read.parquet(tablePath)
+            graft.operators.Upsert.upsert(
+              base.select(updates.columns.map(col): _*), updates, key)
+          } else updates
+        val staging = tablePath + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        // re-materialize from staging THEN swap: the merged plan lazily
+        // reads the current table, so writing over it in place would read
+        // and clobber the same files
+        val dir = new java.io.File(staging)
+        val dest = new java.io.File(tablePath)
+        def rmTree(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmTree)
+          f.delete(): Unit
+        }
+        if (dest.exists()) rmTree(dest)
+        if (!dir.renameTo(dest))
+          throw new java.io.IOException(s"staging swap failed for $tablePath")
+        ()
+    }
+  }
+
   /** Streaming twin of the MAD anomaly gate
     * ([[graft.etl.Anomaly]], `q_anomaly_mad`): per-group robust
     * thresholds computed BATCH-side flag the live event stream — the

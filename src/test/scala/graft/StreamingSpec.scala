@@ -474,6 +474,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsert sink: serving table equals batch keep-last after multi-batch replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_upsert_sink_").toString + "/table"
+    val input = MemoryStream[(Long, Long, String)] // (key, seq, value)
+    val q = StreamingPipeline.upsertSink(
+        input.toDF().toDF("k", "seq", "v"), tableDir, "k", "seq")
+      .start()
+    try {
+      // batch 1: two keys, an in-batch overwrite of k=1 (seq 2 wins)
+      input.addData((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "c"))
+      q.processAllAvailable()
+      // batch 2: update k=2, insert k=3
+      input.addData((2L, 5L, "d"), (3L, 1L, "e"))
+      q.processAllAvailable()
+      val table = spark.read.parquet(tableDir)
+        .select("k", "v").as[(Long, String)].collect().toMap
+      assert(table === Map(1L -> "b", 2L -> "d", 3L -> "e"))
+      // parity: batch keep-last over the full change log
+      val log = Seq((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "c"),
+        (2L, 5L, "d"), (3L, 1L, "e")).toDF("k", "seq", "v")
+      val expected = log
+        .withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("k")
+            .orderBy(col("seq").desc)))
+        .filter(col("_rn") === 1)
+        .select("k", "v").as[(Long, String)].collect().toMap
+      assert(table === expected)
+    } finally q.stop()
+  }
+
   test("anomaly gate stream: batch-trained MAD thresholds flag identically") {
     implicit val sqlCtx = spark.sqlContext
     // train on a batch whose 'normal' band spreads around 10.0 (spread
