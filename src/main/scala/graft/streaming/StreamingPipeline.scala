@@ -372,17 +372,25 @@ object StreamingPipeline {
     * state would grow forever (Spark rejects unbounded stream-stream
     * inner joins in append mode for exactly that reason).
     *
-    * Inner join: a click with no impression in the horizon produces
-    * nothing (attribution, not outer enrichment). Semantics are
-    * IDENTICAL to running the same predicate over static frames —
-    * asserted in StreamingSpec against the batch join.
+    * `joinType` "inner" (default): a click with no impression in the
+    * horizon produces nothing. "left_outer": every click eventually
+    * emits — unmatched ones with NULL impression fields, but only once
+    * the impression-side WATERMARK has passed the click's horizon (the
+    * stream cannot know "no match" earlier; a batch outer join knows
+    * immediately — the documented, inherent divergence in emission TIME,
+    * not in the eventual row set). Semantics over the emitted rows are
+    * IDENTICAL to the same predicate over static frames — asserted in
+    * StreamingSpec for both join types.
     */
   def attributionJoinStream(
       impressions: DataFrame, clicks: DataFrame,
       horizonMinutes: Int = 30,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     require(horizonMinutes > 0,
       s"horizonMinutes must be positive, got $horizonMinutes")
+    require(Seq("inner", "left_outer").contains(joinType),
+      s"joinType must be inner|left_outer, got $joinType")
     val i = impressions
       .withWatermark("timestamp", watermark)
       .select(col("user_id").as("i_user"),
@@ -394,7 +402,8 @@ object StreamingPipeline {
     c.join(i,
         col("c_user") === col("i_user") &&
         col("i_ts") <= col("c_ts") &&
-        col("i_ts") >= col("c_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"))
+        col("i_ts") >= col("c_ts") - expr(s"INTERVAL $horizonMinutes MINUTES"),
+        joinType)
       .select(col("c_user").as("user_id"), col("click_id"),
         col("impression_id"), col("i_ts"), col("c_ts"))
   }

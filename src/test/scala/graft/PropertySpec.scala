@@ -235,4 +235,23 @@ class PropertySpec extends SparkSpec {
       assert(perShard.values.max - perShard.values.min <= 8)
     }
   }
+
+  test("upsert invariants: keys union, updates win, untouched base passes through") {
+    val pairs = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0L, 9L), Gen.choose(0, 99)))
+    forAll(Gen.zip(pairs, pairs)) { case (baseRaw, updRaw) =>
+      // key-unique sides (the operator's documented precondition)
+      val base = baseRaw.toMap.toSeq.toDF("k", "v")
+      val upd = updRaw.toMap.toSeq.toDF("k", "v")
+      val merged = graft.operators.Upsert.upsert(base, upd, "k")
+        .as[(Long, Int)].collect().toMap
+      val b = baseRaw.toMap
+      val u = updRaw.toMap
+      assert(merged.keySet === (b.keySet ++ u.keySet))
+      u.foreach { case (k, v) => assert(merged(k) === v, s"update lost for $k") }
+      (b -- u.keySet).foreach { case (k, v) =>
+        assert(merged(k) === v, s"untouched base row changed for $k")
+      }
+    }
+  }
 }

@@ -474,6 +474,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: unmatched clicks emit NULLs after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val impressions = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = StreamingPipeline.attributionJoinStream(
+        impressions.toDF(), clicks.toDF(), horizonMinutes = 30,
+        watermark = "10 minutes", joinType = "left_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_outer_out").start()
+    try {
+      impressions.addData(Ev(100, ts("2025-01-01 10:00:00"), "u"))
+      clicks.addData(
+        Ev(201, ts("2025-01-01 10:05:00"), "u"),  // matches 100
+        Ev(202, ts("2025-01-01 11:30:00"), "u"))  // nothing in horizon
+      q.processAllAvailable()
+      // push BOTH watermarks far past click 202's horizon so the outer
+      // side can conclude "no match will ever arrive" and emit the NULL row
+      impressions.addData(Ev(900, ts("2025-01-01 20:00:00"), "w"))
+      clicks.addData(Ev(901, ts("2025-01-01 20:00:00"), "w"))
+      q.processAllAvailable()
+      val out = spark.table("attr_outer_out")
+        .select("click_id", "impression_id")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(out.contains((201L, Some(100L))), s"matched row missing: $out")
+      assert(out.contains((202L, None)), s"outer NULL row missing: $out")
+    } finally q.stop()
+  }
+
   test("upsert sink: serving table equals batch keep-last after multi-batch replay") {
     implicit val sqlCtx = spark.sqlContext
     val tableDir = java.nio.file.Files
