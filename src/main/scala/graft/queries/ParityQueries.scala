@@ -1231,6 +1231,88 @@ object ParityQueries {
                                 WHERE u.o_orderkey = b.o_orderkey)) t
             ORDER BY o_orderkey"""))
 
+  /** Second-moment statistics — variance, stddev, correlation, and the
+    * least-squares slope of json k on value — per event_type, built from
+    * EXACT decimal power sums rather than the built-in double aggregates
+    * (`var_samp`/`corr` accumulate in doubles, so their results depend on
+    * partition-merge order and can't hash-match a replaying engine). The
+    * recipe: 2-decimal-exact casts, decimal Σx/Σx²/Σxy (order-independent
+    * exact rationals), each cast to double ONCE, then an identical double
+    * expression tree on both engines — every operand and operation
+    * matches bit-for-bit, so the doubles do too. One aggregation, one
+    * exchange; the moment combine is map-side partial like any sum.
+    */
+  val qStatsMoments = QueryDef(
+    "q_stats_moments",
+    (s, d) => {
+      val e = events(s, d)
+        .withColumn("x", col("value").cast("decimal(18,2)"))
+        .withColumn("y",
+          get_json_object(col("props"), "$.k").cast("decimal(18,2)"))
+      val m = e.groupBy("event_type")
+        .agg(count(lit(1)).as("n0"),
+          sum(col("x")).as("sx0"), sum(col("y")).as("sy0"),
+          sum(col("x") * col("x")).as("sxx0"),
+          sum(col("y") * col("y")).as("syy0"),
+          sum(col("x") * col("y")).as("sxy0"))
+      val n = col("n0").cast("double")
+      val sx = col("sx0").cast("double"); val sy = col("sy0").cast("double")
+      val sxx = col("sxx0").cast("double"); val syy = col("syy0").cast("double")
+      val sxy = col("sxy0").cast("double")
+      val dx = n * sxx - sx * sx
+      val dy = n * syy - sy * sy
+      val cov = n * sxy - sx * sy
+      m.select(col("event_type"), col("n0").as("n"),
+          (dx / (n * (n - 1))).as("var_x"),
+          sqrt(dx / (n * (n - 1))).as("stddev_x"),
+          (cov / sqrt(dx * dy)).as("corr_xy"),
+          (cov / dx).as("slope_yx"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, n,
+              (n * sxx - sx * sx) / (n * (n - 1)) AS var_x,
+              sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_x,
+              (n * sxy - sx * sy)
+                / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_xy,
+              (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_yx
+            FROM (
+              SELECT event_type, count(*) AS n,
+                CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                CAST(sum(x * x) AS DOUBLE) AS sxx,
+                CAST(sum(y * y) AS DOUBLE) AS syy,
+                CAST(sum(x * y) AS DOUBLE) AS sxy
+              FROM (SELECT event_type,
+                      CAST(CAST(value AS VARCHAR) AS DECIMAL(18,2)) AS x,
+                      CAST(json_extract_string(props, '$.k')
+                           AS DECIMAL(18,2)) AS y
+                    FROM events) raw
+              GROUP BY event_type) t
+            ORDER BY event_type"""))
+
+  /** Per-group top-k: the 3 highest-value events per type via a ranking
+    * window cut at k — compiles with a WindowGroupLimit below the
+    * exchange (PlanSpec-pinned), so each map task keeps only its local
+    * top 3 per group BEFORE shuffling: the 100 TB-safe top-k shape, vs a
+    * full per-group sort.
+    */
+  val qTopkPerGroup = QueryDef(
+    "q_topk_per_group",
+    (s, d) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value").desc, col("event_id"))
+      events(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("event_type", "rk", "event_id", "value")
+        .orderBy("event_type", "rk")
+    },
+    Some("""SELECT event_type, rk, event_id, value FROM (
+              SELECT event_type, event_id, value,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY value DESC NULLS LAST, event_id) AS rk
+              FROM events) t
+            WHERE rk <= 3 ORDER BY event_type, rk"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanParquet, qFilterNotnull, qFilterTs, qFilterNeq, qProject,
     qDedupFull, qDedupKey, qFillna, qTrimAll, qNormText, qMapStatus,
@@ -1244,5 +1326,6 @@ object ParityQueries {
     qLag, qRollingCount, qSessionId, qSessionAgg, qSessionize,
     qPivot, qUnpivot, qCube, qJsonExtract,
     qRankFamily, qFfill, qScd2,
-    qFunnel, qCohortRetention, qAnomalyMad, qUpsert)
+    qFunnel, qCohortRetention, qAnomalyMad, qUpsert,
+    qStatsMoments, qTopkPerGroup)
 }

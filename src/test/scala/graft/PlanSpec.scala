@@ -347,6 +347,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("_c_id"), p.take(2000))
   }
 
+  test("per-group top-k: WindowGroupLimit cuts each map task's rows before the exchange") {
+    val df = SparkEntry.queries("q_topk_per_group")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not pushed below the window:\n${p.take(3000)}")
+  }
+
   test("upsert: update keys broadcast into the anti join — the base never shuffles") {
     val df = SparkEntry.queries("q_upsert")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
