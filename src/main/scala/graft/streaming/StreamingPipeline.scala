@@ -408,6 +408,32 @@ object StreamingPipeline {
         col("impression_id"), col("i_ts"), col("c_ts"))
   }
 
+  /** Streaming heavy hitters: the SpaceSaving sketch
+    * ([[graft.ext.Sketches]], Metwally et al. 2005) as a WINDOWED
+    * streaming aggregation — "trending values per event-time window" with
+    * O(k) state per window regardless of value cardinality (an exact
+    * groupBy-count stream would grow state with the key set; the sketch
+    * buffer is the whole point at 100 TB). The Aggregator's mergeable
+    * buffer is exactly what the state store checkpoints between
+    * micro-batches; the watermark closes windows and bounds the number of
+    * live buffers. With k >= the window's distinct values the counts are
+    * EXACT — the batch-parity hook StreamingSpec asserts.
+    */
+  def heavyHittersStream(
+      events: DataFrame, valueCol: String, tsCol: String = "timestamp",
+      k: Int = 10, windowDur: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(graft.ext.Sketches.spaceSaving(k)(col(valueCol)).as("hitters"))
+      .select(col("window.start").as("window_start"),
+        explode(col("hitters")).as("h"))
+      .select(col("window_start"), col("h.value").as("value"),
+        col("h.count").as("count"), col("h.error").as("error"))
+  }
+
   /** Continuous keyed merge: maintain a SERVING TABLE from a change
     * stream — each micro-batch upserts into the table via
     * [[graft.operators.Upsert]] inside `foreachBatch` (the standard

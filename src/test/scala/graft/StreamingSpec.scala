@@ -502,6 +502,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: windowed SpaceSaving counts exact when k covers cardinality") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp)]
+    val q = StreamingPipeline.heavyHittersStream(
+        input.toDF().toDF("tag", "timestamp"), "tag", k = 10)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hh_out").start()
+    try {
+      val t0 = ts("2025-01-01 10:00:00")
+      val tags = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+      // two micro-batches inside ONE window: the sketch buffer must merge
+      // across triggers via the state store
+      input.addData(tags.take(4).map(t => (t, t0)): _*)
+      q.processAllAvailable()
+      input.addData(tags.drop(4).map(t => (t, t0)): _*)
+      // late batch far ahead pushes the watermark so the window CLOSES
+      // and append mode emits it
+      input.addData(("z", ts("2025-01-02 00:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("hh_out")
+        .select("value", "count", "error").as[(String, Long, Long)]
+        .collect().toSet
+      assert(out === Set(("a", 5L, 0L), ("b", 3L, 0L), ("c", 1L, 0L)),
+        s"got $out")
+    } finally q.stop()
+  }
+
   test("upsert sink: serving table equals batch keep-last after multi-batch replay") {
     implicit val sqlCtx = spark.sqlContext
     val tableDir = java.nio.file.Files
