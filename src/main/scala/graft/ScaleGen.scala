@@ -38,8 +38,15 @@ object ScaleGen {
 
     def read(t: String): DataFrame =
       spark.read.parquet(s"$srcDir/$t.parquet")
+    // Repartition before writing: the explode-based replication is NARROW
+    // (output partitioning = the small source's 1-4 input splits), which
+    // would serialize every downstream CPU-dense scan onto a handful of
+    // giant files — measured 84× wall on a 50× corpus for the JSON-parse
+    // query. Real N× corpora arrive as N× more files; make the generator
+    // honest about that.
     def write(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      df.repartition(cpus.toInt).write.mode("overwrite")
+        .parquet(s"$outDir/$t.parquet")
 
     /** Replicate `factor`× in ONE pass (explode over the copy index — no
       * N-way union plan) with per-copy column rewrites.

@@ -528,7 +528,13 @@ object Dedup {
     * with the corpus (k ~ n/c for a target cluster size c) and per-cluster
     * cost stays CONSTANT while total cost stays O(n·c) — never all-pairs.
     * The balanced kmeans quantizer keeps cluster sizes even (measured by
-    * the bench's list-skew telemetry), so no hot partition.
+    * the bench's list-skew telemetry), so no hot partition. CAVEAT: the
+    * literal-argmax assignment is built for a COARSE quantizer — each
+    * centroid adds a cosine subtree to the per-row expression, and past
+    * ~64 centroids codegen/planning time dominates (measured, see
+    * q_dedup_semdedup). Keep nCentroids moderate and let clusters grow;
+    * corpora needing thousands of cells should assign via the IVF index
+    * machinery instead.
     *
     * Emits survivors with their cluster id. Not SQL-replayable (sampled
     * k-means); invariants — dropped rows have a lower-id >= eps neighbor
@@ -540,21 +546,51 @@ object Dedup {
       eps: Double, nCentroids: Int = 32,
       quantizer: String = "kmeans"): DataFrame = {
     require(eps > 0 && eps <= 1, s"eps must be in (0, 1], got $eps")
-    val reserved = Seq("_c_id", "_sdd_id2", "_sdd_v1", "_sdd_v2")
+    val reserved =
+      Seq("_c_id", "cluster_id", "_sdd_id2", "_sdd_n", "_sdd_u1", "_sdd_u2")
     require(!reserved.exists(df.columns.contains),
       s"semDeDup reserves columns ${reserved.mkString(", ")}")
     val cents = Similarity.centroidsFor(df, id, vec, nCentroids, quantizer)
     val assigned = Similarity.assignToCentroids(df, vec, cents)
-    val a = assigned.select(col("_c_id"), col(id), col(vec).as("_sdd_v1"))
-    val b = assigned.select(col("_c_id"), col(id).as("_sdd_id2"),
-      col(vec).as("_sdd_v2"))
+    // normalize ONCE per row — the pairwise stage touches each vector
+    // O(cluster) times, so paying the norms per PAIR (what cosine() does)
+    // would triple the dominant stage's flops. Unit vectors go back to
+    // float so the pair check is the NATIVE codegen'd float_vector_dot
+    // (the interpreted HOF dot was measured 2 orders slower inside a join
+    // condition); float unit elements cost ~1e-7 relative precision,
+    // negligible against any sane eps. Zero vectors normalize to NaN and
+    // never reach eps — the same "cosine undefined" semantics as before.
+    val unit = assigned
+      .withColumn("_sdd_n", Similarity.l2Norm(col(vec)))
+      .withColumn("_sdd_u1",
+        transform(col(vec), x => x.cast("double") / col("_sdd_n"))
+          .cast("array<float>"))
+      .drop("_sdd_n")
+    // repartition on the cluster key with an EXPLICIT partition count —
+    // one per centroid. Two measured failure modes motivate this: a small
+    // corpus reads as one input split and a broadcast pair join inherits
+    // that single partition; and a bare repartition(col) gets
+    // AQE-coalesced back to one partition because the exchange is only a
+    // few MB — AQE sizes by exchange BYTES and cannot see the O(cluster²)
+    // pair work each row fans into downstream. An explicit count is
+    // exempt from AQE coalescing.
+    val a = unit.select(col("_c_id"), col(id), col("_sdd_u1"))
+      .repartition(nCentroids, col("_c_id"))
+    val b = unit.select(col("_c_id"), col(id).as("_sdd_id2"),
+      col("_sdd_u1").as("_sdd_u2"))
     // one row per (doc, lower-id in-cluster neighbor >= eps); LEFT ANTI
-    // keeps docs with NO such neighbor — distinct() on the drop set is
-    // unnecessary under anti-join semantics
+    // keeps docs with NO such neighbor. The distinct() is REQUIRED for
+    // scale even though anti-join semantics don't need it: on a dup-heavy
+    // corpus a dropped doc matches O(cluster) neighbors, and shipping
+    // every match into the anti-join exchange multiplied the shuffle
+    // ~1500× at the 50× replica corpus — the map-side partial distinct
+    // shrinks it to at most one row per dropped doc before any network.
     val dropped = a.join(b, Seq("_c_id"))
       .filter(col("_sdd_id2") < col(id))
-      .filter(Similarity.cosine(col("_sdd_v1"), col("_sdd_v2")) >= eps)
+      .filter(graft.functions.VectorFunctions.float_vector_dot(
+        col("_sdd_u1"), col("_sdd_u2")) >= eps)
       .select(col(id))
+      .distinct()
     assigned.join(dropped, Seq(id), "left_anti")
       .withColumnRenamed("_c_id", "cluster_id")
   }

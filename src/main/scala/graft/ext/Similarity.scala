@@ -283,13 +283,19 @@ object Similarity {
   private def rankedSims(v: Column, centroids: Array[(Long, Array[Float])]): Column =
     reverse(array_sort(simStructs(v, centroids)))
 
-  /** Per-row nearest-centroid assignment with the centroid set embedded as
-    * plan literals — a codegen'd argmax, NO window, NO join, NO shuffle.
+  /** Per-row nearest-centroid assignment — a single native argmax kernel
+    * over the centroid matrix ([[graft.functions.NearestCentroidId]]),
+    * NO window, NO join, NO shuffle. This is deliberately NOT the
+    * struct-array `array_max` formulation: that generates code linear in
+    * k, and past ~64 centroids the whole-stage method exceeds the JIT's
+    * compilable size — the stage runs at interpreter speed (measured
+    * ~10 ms/row at k=64; the kernel is ~100× faster and k-independent).
     */
   private[graft] def assignToCentroids(
       df: DataFrame, vec: String,
       centroids: Array[(Long, Array[Float])]): DataFrame =
-    df.withColumn("_c_id", -array_max(simStructs(col(vec), centroids)).getField("negid"))
+    df.withColumn("_c_id",
+      graft.functions.CentroidFunctions.nearest_centroid_id(col(vec), centroids))
 
   /** Closure-spilled multi-assignment (the SPANN construction, Chen et al.
     * 2021, arXiv:2111.08566 §4.2): a vector joins every inverted list whose
@@ -304,20 +310,17 @@ object Similarity {
     * naive data-point-anchor baseline across random corpus draws, not just
     * on one lucky dataset.
     * Emits one row per (vector, list) membership; still NO join/shuffle —
-    * a per-row sorted-prefix filter over the plan-literal centroid array,
-    * then an explode.
+    * one native selection kernel over the centroid matrix
+    * ([[graft.functions.SpilledCentroidIds]]; same k-independent-codegen
+    * rationale as [[assignToCentroids]]), then an explode.
     */
   private[graft] def assignSpilled(
       df: DataFrame, vec: String,
       centroids: Array[(Long, Array[Float])],
-      spillDelta: Double, spillCap: Int): DataFrame = {
-    val ranked = rankedSims(col(vec), centroids)
-    val best = element_at(ranked, 1).getField("sim")
-    val kept = slice(
-      filter(ranked, s => s.getField("sim") >= best - lit(spillDelta)),
-      1, spillCap)
-    df.withColumn("_c_id", explode(transform(kept, s => -s.getField("negid"))))
-  }
+      spillDelta: Double, spillCap: Int): DataFrame =
+    df.withColumn("_c_id", explode(
+      graft.functions.CentroidFunctions.spilled_centroid_ids(
+        col(vec), centroids, spillDelta, spillCap)))
 
   private[graft] def centroidsFor(
       corpus: DataFrame, id: String, vec: String,

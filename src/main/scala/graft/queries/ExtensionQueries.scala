@@ -365,12 +365,20 @@ object ExtensionQueries {
     * validation report's scalar collects. Rows-only (sampled k-means is
     * not SQL-replayable); the keep/drop rule is invariant-tested in
     * ExtSpec.
+    *
+    * k is CLAMPED at 64: centroid assignment embeds the centroid set as
+    * per-row plan literals (zero-shuffle argmax), and past ~64 centroids
+    * the generated row expression blows codegen/planning up — measured:
+    * k=200 at 50× spent minutes single-threaded in the driver before any
+    * task ran. Past the clamp, clusters grow instead (pairwise stays
+    * distributed and O(n²/k)); corpora that need thousands of coarse
+    * cells belong to the IVF index path, not literal argmax.
     */
   val qDedupSemdedup = QueryDef(
     "q_dedup_semdedup",
     (s, d) => {
       val e = embs(s, d)
-      val k = math.max(8L, math.min(256L, e.count() / 500L)).toInt
+      val k = math.max(8L, math.min(64L, e.count() / 500L)).toInt
       Dedup.semDeDup(e, "vec_id", "embedding", eps = 0.4, nCentroids = k)
         .select("vec_id", "cluster_id")
         .orderBy("vec_id")

@@ -86,4 +86,66 @@ class VectorExprSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("array<float>"))
   }
+
+  test("nearest-centroid kernel matches the cosine-struct argmax on real embeddings") {
+    import graft.functions.CentroidFunctions
+    val e = vecs.select("vec_id", "embedding")
+    for (quantizer <- Seq("kmeans", "lowid"); k <- Seq(8, 64)) {
+      val cents = Similarity.centroidsFor(e, "vec_id", "embedding", k, quantizer)
+      // reference: explicit per-centroid cosine + greatest-struct argmax
+      // (the formulation the kernel replaced), built inline here
+      val structs = array(cents.map { case (cid, cv) =>
+        struct(float_vector_cosine(col("embedding"), typedlit(cv)).as("sim"),
+          lit(-cid).as("negid"))
+      }: _*)
+      val both = e
+        .withColumn("kernel",
+          CentroidFunctions.nearest_centroid_id(col("embedding"), cents))
+        .withColumn("structs", -array_max(structs).getField("negid"))
+      val diffs = both.filter(col("kernel") =!= col("structs")).count()
+      assert(diffs === 0, s"$quantizer k=$k: kernel diverges from struct argmax")
+    }
+  }
+
+  test("nearest-centroid kernel: ties to lowest id, NULL and length-mismatch to NULL") {
+    import graft.functions.CentroidFunctions
+    val cents = Array(
+      (10L, Array(1.0f, 0.0f)),
+      (11L, Array(1.0f, 0.0f)), // exact duplicate centroid -> tie
+      (12L, Array(0.0f, 1.0f)))
+    val df = Seq(
+      (1L, Some(Array(2.0f, 0.1f))),  // ties 10/11 -> 10 (lowest index)
+      (2L, Some(Array(0.0f, 3.0f))),  // -> 12
+      (3L, None),                     // NULL vec -> NULL
+      (4L, Some(Array(1.0f, 1.0f, 1.0f)))) // dim mismatch -> NULL
+      .toDF("id", "v")
+    val out = df.select(col("id"),
+        CentroidFunctions.nearest_centroid_id(col("v"), cents).as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out === Map(1L -> 10L, 2L -> 12L, 3L -> -1L, 4L -> -1L))
+  }
+
+  test("spilled-centroid kernel matches the ranked-struct closure on real embeddings") {
+    import graft.functions.CentroidFunctions
+    val e = vecs.select("vec_id", "embedding")
+    val cents = Similarity.centroidsFor(e, "vec_id", "embedding", 16, "kmeans")
+    val delta = 0.05; val cap = 4
+    // reference: the ranked-struct prefix filter the kernel replaced
+    val structs = array(cents.map { case (cid, cv) =>
+      struct(float_vector_cosine(col("embedding"), typedlit(cv)).as("sim"),
+        lit(-cid).as("negid"))
+    }: _*)
+    val ranked = reverse(array_sort(structs))
+    val best = element_at(ranked, 1).getField("sim")
+    val kept = slice(
+      filter(ranked, s => s.getField("sim") >= best - lit(delta)), 1, cap)
+    val both = e
+      .withColumn("kernel", CentroidFunctions.spilled_centroid_ids(
+        col("embedding"), cents, delta, cap))
+      .withColumn("structs", transform(kept, s => -s.getField("negid")))
+    val diffs = both
+      .filter(not(col("kernel") <=> col("structs"))).count()
+    assert(diffs === 0, "spill kernel diverges from ranked-struct closure")
+  }
 }
