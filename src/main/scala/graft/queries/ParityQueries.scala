@@ -1313,6 +1313,52 @@ object ParityQueries {
               FROM events) t
             WHERE rk <= 3 ORDER BY event_type, rk"""))
 
+  /** Column profiler — the data-quality report a pipeline runs before
+    * trusting a new feed: per column, row count, NULL count, and exact
+    * distinct count, as one tidy (column, n_rows, n_null, n_distinct)
+    * table. ONE scan: multiple count-distincts in a single aggregate
+    * compile to an Expand (row multiplies by #distinct-aggs BEFORE the
+    * exchange, with partial aggregation per branch) — at 100 TB swap
+    * exact distincts for approx_count_distinct and the Expand disappears;
+    * the output contract is unchanged.
+    */
+  val qProfile = QueryDef(
+    "q_profile",
+    (s, d) => {
+      val e = events(s, d)
+      val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+      val aggs = count(lit(1)).as("_n") +:
+        cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
+          countDistinct(col(c)).as(s"_dist_$c")))
+      val wide = e.agg(aggs.head, aggs.tail: _*)
+      val long = cols.map(c =>
+        wide.select(lit(c).as("column_name"), col("_n").as("n_rows"),
+          col(s"_null_$c").as("n_null"), col(s"_dist_$c").as("n_distinct")))
+        .reduce(_ unionByName _)
+      long.orderBy("column_name")
+    },
+    Some("""WITH w AS (SELECT count(*) AS n,
+              sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS null_event_id,
+              count(DISTINCT event_id) AS dist_event_id,
+              sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user_id,
+              count(DISTINCT user_id) AS dist_user_id,
+              sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_event_type,
+              count(DISTINCT event_type) AS dist_event_type,
+              sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
+              count(DISTINCT value) AS dist_value,
+              sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
+              count(DISTINCT props) AS dist_props
+            FROM events)
+            SELECT column_name, n_rows, n_null, n_distinct FROM (
+              SELECT 'event_id' AS column_name, n AS n_rows,
+                null_event_id AS n_null, dist_event_id AS n_distinct FROM w
+              UNION ALL SELECT 'user_id', n, null_user_id, dist_user_id FROM w
+              UNION ALL SELECT 'event_type', n, null_event_type, dist_event_type FROM w
+              UNION ALL SELECT 'value', n, null_value, dist_value FROM w
+              UNION ALL SELECT 'props', n, null_props, dist_props FROM w) t
+            ORDER BY column_name"""))
+
   val all: Seq[QueryDef] = Seq(
     q1Agg, qScanParquet, qFilterNotnull, qFilterTs, qFilterNeq, qProject,
     qDedupFull, qDedupKey, qFillna, qTrimAll, qNormText, qMapStatus,
@@ -1327,5 +1373,5 @@ object ParityQueries {
     qPivot, qUnpivot, qCube, qJsonExtract,
     qRankFamily, qFfill, qScd2,
     qFunnel, qCohortRetention, qAnomalyMad, qUpsert,
-    qStatsMoments, qTopkPerGroup)
+    qStatsMoments, qTopkPerGroup, qProfile)
 }
