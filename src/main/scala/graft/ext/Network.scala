@@ -1,0 +1,121 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Network enrichment: IPv4 arithmetic and longest-prefix-match (LPM) CIDR
+  * classification — the threat-intel lookup a security event pipeline runs
+  * on every row (reference domain: src/normalization.py's source_ip
+  * handling stops at trimming; real deployments enrich each address
+  * against a CIDR feed).
+  *
+  * Scale design: a threat/CIDR feed is small by nature (10^4..10^6 rows,
+  * a few MB) while the event stream is the 100 TB side, so LPM must never
+  * shuffle events. Two shapes:
+  *
+  *  - [[lpmEnrich]] — the feed folds into a literal array of (lo, hi,
+  *    prefix, label) structs; per-row higher-order `filter` + `aggregate`
+  *    pick the longest matching prefix. ZERO exchanges: pure map-side
+  *    evaluation, the event side streams through untouched.
+  *  - [[lpmJoin]] — the feed as a DataFrame: broadcast range join
+  *    (`ip BETWEEN lo AND hi`), then per-event argmax via
+  *    `max_by(struct, prefix)`. The broadcast join multiplies each event
+  *    row by its matches IN PLACE (same partition), so the partial
+  *    aggregate collapses them map-side and the one exchange carries ~1
+  *    row per matched event, not per match.
+  *
+  * All address math is 32-bit unsigned carried in LONG columns — exact
+  * integer arithmetic, bit-identical across engines (the oracle replays
+  * the same masks in SQL).
+  */
+object Network {
+
+  /** Deterministic synthetic IPv4 (32-bit value in a LONG) drawn from the
+    * first 8 md5 hex chars of a salted key. The testdata carries no
+    * address column, so enrichment queries derive one reproducibly — the
+    * same per-operator-salt convention as CorpusSampling's split/upsample
+    * draws; the DuckDB oracle replays the identical derivation with
+    * `('0x' || substr(md5(key || salt), 1, 8))::BIGINT`.
+    */
+  def ipFromKey(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Dotted-quad rendering of an address LONG. */
+  def ipDotted(ip: Column): Column =
+    concat_ws(".",
+      shiftright(ip, 24).bitwiseAND(lit(255L)),
+      shiftright(ip, 16).bitwiseAND(lit(255L)),
+      shiftright(ip, 8).bitwiseAND(lit(255L)),
+      ip.bitwiseAND(lit(255L)))
+
+  /** Prefix length of a CIDR string column ("a.b.c.d/p" → p). */
+  def cidrPrefix(cidr: Column): Column =
+    split(cidr, "/").getItem(1).cast("int")
+
+  /** Block size 2^(32-p) as a LONG. `pow` is exact here: powers of two up
+    * to 2^32 are representable doubles.
+    */
+  private def blockSize(prefix: Column): Column =
+    pow(lit(2.0), lit(32) - prefix).cast("long")
+
+  /** Unmasked base address of a CIDR string column. */
+  private def cidrRaw(cidr: Column): Column = {
+    val o = split(split(cidr, "/").getItem(0), "\\.")
+    o.getItem(0).cast("long") * 16777216L + o.getItem(1).cast("long") * 65536L +
+      o.getItem(2).cast("long") * 256L + o.getItem(3).cast("long")
+  }
+
+  /** First address of the CIDR block (base masked to the prefix). */
+  def cidrLo(cidr: Column): Column = {
+    val raw = cidrRaw(cidr)
+    raw - raw % blockSize(cidrPrefix(cidr))
+  }
+
+  /** Last address of the CIDR block. */
+  def cidrHi(cidr: Column): Column =
+    cidrLo(cidr) + blockSize(cidrPrefix(cidr)) - 1L
+
+  private val entryType =
+    "struct<lo:bigint,hi:bigint,prefix:int,cidr:string,label:string>"
+
+  /** Longest-prefix-match enrichment against a literal CIDR feed. Adds a
+    * `_lpm` struct column (lo, hi, prefix, cidr, label) — NULL when no
+    * CIDR contains the address. The feed parses through the same
+    * [[cidrLo]]/[[cidrHi]] columns over literals, which Catalyst
+    * constant-folds to a literal array at optimization time; the per-row
+    * work is a bounded scan of that array. Zero exchanges.
+    */
+  def lpmEnrich(df: DataFrame, ip: Column, cidrs: Seq[(String, String)]): DataFrame = {
+    require(cidrs.nonEmpty, "lpmEnrich: empty CIDR feed")
+    val entries = array(cidrs.map { case (c, label) =>
+      struct(
+        cidrLo(lit(c)).as("lo"), cidrHi(lit(c)).as("hi"),
+        cidrPrefix(lit(c)).as("prefix"), lit(c).as("cidr"), lit(label).as("label"))
+    }: _*)
+    val matches = filter(entries, e => ip.between(e("lo"), e("hi")))
+    val best = aggregate(matches, lit(null).cast(entryType),
+      (acc, x) => when(acc.isNull || x("prefix") > acc("prefix"), x).otherwise(acc))
+    df.withColumn("_lpm", best)
+  }
+
+  /** Longest-prefix-match as a broadcast range join — the shape for feeds
+    * too large to fold into the plan but still broadcast-size. `cidrTable`
+    * needs (cidr, label) string columns. Output: one row per matched
+    * event, `keyCol` + ip + (cidr, label, prefix) of the longest matching
+    * prefix. Ties are impossible for a well-formed feed (two blocks of
+    * equal prefix length are disjoint).
+    */
+  def lpmJoin(df: DataFrame, keyCol: String, ip: Column, cidrTable: DataFrame): DataFrame = {
+    val feed = cidrTable.select(
+      col("cidr"), col("label"), cidrPrefix(col("cidr")).as("prefix"),
+      cidrLo(col("cidr")).as("lo"), cidrHi(col("cidr")).as("hi"))
+    val withIp = df.select(col(keyCol), ip.as("_ip"))
+    withIp.join(broadcast(feed), col("_ip").between(col("lo"), col("hi")))
+      .groupBy(keyCol)
+      .agg(
+        first(col("_ip")).as("_ip"),
+        max_by(struct(col("cidr"), col("label"), col("prefix")), col("prefix")).as("_m"))
+      .select(col(keyCol), col("_ip"), col("_m.cidr"), col("_m.label"), col("_m.prefix"))
+  }
+}

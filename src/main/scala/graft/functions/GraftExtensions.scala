@@ -126,10 +126,22 @@ object GraftFunctions {
       NfcNormalize(exprs.head)
     }
 
+  private val zorderDescriptor =
+    descriptor("graft_zorder16", classOf[ZOrder16],
+      "_FUNC_(a, b) - 2-D Z-order (Morton) clustering key over the low 16 bits of each") { exprs =>
+      arity("graft_zorder16", exprs, 2)
+      ZOrder16(
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs.head,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(1),
+          org.apache.spark.sql.types.LongType))
+    }
+
   private[functions] val descriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     floatVectorCosineDescriptor +: floatVectorDotDescriptor +:
-      winnowDescriptor +: nfcNormalizeDescriptor +: macroDescriptors
+      winnowDescriptor +: nfcNormalizeDescriptor +: zorderDescriptor +:
+      macroDescriptors
 
   /** Register the engine's SQL functions on an existing session. */
   def register(spark: SparkSession): Unit =

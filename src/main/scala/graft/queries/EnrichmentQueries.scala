@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.Network
+import graft.functions.ZOrderFunctions
+
+/** Events-domain enrichment and layout analytics: threat-intel CIDR
+  * longest-prefix matching, Z-order clustering keys, event-transition
+  * matrices, and equi-depth binning. Same determinism conventions as
+  * ParityQueries (full ORDER BY over a unique key; exact integer
+  * arithmetic or identical-operand divisions — nothing summation-order
+  * dependent).
+  */
+object EnrichmentQueries {
+
+  private def events(s: SparkSession, d: String): DataFrame =
+    QueryDef.eventsTable(s, d)
+
+  /** Epoch day of the ns-timestamp (integer division — ts nanos exceed
+    * 2^53, so a double division would lose precision).
+    */
+  private val tsEpochDay: Column = expr("ts div 86400000000000")
+
+  /** The literal threat feed used by q_cidr_match — nested blocks
+    * (160.0.0.0/11 inside 128.0.0.0/2, 200.0.0.0/6 inside 192.0.0.0/3,
+    * 10.0.0.0/8 inside 0.0.0.0/2) exercise longest-prefix selection, and
+    * 96.0.0.0–127.255.255.255 is deliberately uncovered so the inner
+    * match drops rows. The oracle carries the same list verbatim.
+    */
+  private val threatFeed: Seq[(String, String)] = Seq(
+    "0.0.0.0/2" -> "bogon-low",
+    "64.0.0.0/3" -> "scanner",
+    "10.0.0.0/8" -> "internal",
+    "128.0.0.0/2" -> "botnet",
+    "160.0.0.0/11" -> "tor-exit",
+    "192.0.0.0/3" -> "ddos",
+    "200.0.0.0/6" -> "spam",
+    "224.0.0.0/3" -> "multicast-res")
+
+  private val threatFeedSql: String = threatFeed
+    .map { case (c, l) => s"('$c', '$l')" }.mkString(", ")
+
+  /** Threat-intel enrichment: classify each event's address by the
+    * longest-prefix-matching CIDR of a feed. The feed folds into the plan
+    * as a literal array (Network.lpmEnrich), so the event side streams
+    * through with ZERO exchanges — the 100 TB shape for any
+    * broadcast-size dimension applied per-row. Addresses are derived
+    * md5-deterministically (the testdata has no IP column); the oracle
+    * replays the derivation, the CIDR mask arithmetic, and the
+    * prefix-desc argmax in SQL.
+    */
+  val qCidrMatch = QueryDef(
+    "q_cidr_match",
+    (s, d) => {
+      val e = events(s, d)
+        .withColumn("_ip", Network.ipFromKey(col("event_id"), "graft:ip"))
+      Network.lpmEnrich(e, col("_ip"), threatFeed)
+        .where(col("_lpm").isNotNull)
+        .select(col("event_id"), Network.ipDotted(col("_ip")).as("ip"),
+          col("_lpm.cidr").as("cidr"), col("_lpm.label").as("label"),
+          col("_lpm.prefix").as("prefix"))
+        .orderBy("event_id")
+    },
+    Some(s"""WITH feed(cidr, label) AS (VALUES $threatFeedSql),
+            b AS (SELECT cidr, label,
+                    CAST(split_part(cidr, '/', 2) AS INT) AS prefix,
+                    CAST(split_part(split_part(cidr, '/', 1), '.', 1) AS BIGINT) * 16777216
+                  + CAST(split_part(split_part(cidr, '/', 1), '.', 2) AS BIGINT) * 65536
+                  + CAST(split_part(split_part(cidr, '/', 1), '.', 3) AS BIGINT) * 256
+                  + CAST(split_part(split_part(cidr, '/', 1), '.', 4) AS BIGINT) AS raw
+                  FROM feed),
+            r AS (SELECT cidr, label, prefix,
+                    raw - raw % CAST(POWER(2, 32 - prefix) AS BIGINT) AS lo,
+                    raw - raw % CAST(POWER(2, 32 - prefix) AS BIGINT)
+                        + CAST(POWER(2, 32 - prefix) AS BIGINT) - 1 AS hi
+                  FROM b),
+            e AS (SELECT event_id,
+                    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'graft:ip'), 1, 8))
+                         AS BIGINT) AS ipn
+                  FROM events)
+            SELECT event_id, ip, cidr, label, prefix FROM (
+              SELECT e.event_id,
+                CAST((ipn >> 24) & 255 AS VARCHAR) || '.' ||
+                CAST((ipn >> 16) & 255 AS VARCHAR) || '.' ||
+                CAST((ipn >> 8) & 255 AS VARCHAR) || '.' ||
+                CAST(ipn & 255 AS VARCHAR) AS ip,
+                r.cidr, r.label, r.prefix,
+                row_number() OVER (PARTITION BY e.event_id ORDER BY r.prefix DESC) AS rk
+              FROM e JOIN r ON e.ipn BETWEEN r.lo AND r.hi) t
+            WHERE rk = 1 ORDER BY event_id"""))
+
+  /** The 32 bitwise-OR terms replaying ZOrderImpl.interleave16 in plain
+    * SQL over pre-masked 16-bit inputs a and b.
+    */
+  private val zorderSqlTerms: String = (0 until 16)
+    .map(i => s"(((a >> $i) & 1) << ${2 * i}) | (((b >> $i) & 1) << ${2 * i + 1})")
+    .mkString(" | ")
+
+  /** Z-order clustering key over (user_id, epoch day) — the layout key a
+    * writer sorts by so every output file gets a tight min/max box in
+    * BOTH dimensions and scans filtering on either can skip files
+    * (NetworkSpec asserts the actual file-skipping win). Native codegen'd
+    * expression; the oracle replays the interleave as 32 bitwise terms.
+    */
+  val qZorderKey = QueryDef(
+    "q_zorder_key",
+    (s, d) => events(s, d)
+      .select(col("event_id"),
+        ZOrderFunctions.zorder16(
+          col("user_id").bitwiseAND(lit(65535L)),
+          tsEpochDay.bitwiseAND(lit(65535L))).as("zkey"))
+      .orderBy("event_id"),
+    Some(s"""WITH m AS (SELECT event_id,
+              (CAST(user_id AS BIGINT) & 65535) AS a,
+              ((epoch_ns(ts) // 86400000000000) & 65535) AS b
+            FROM events)
+            SELECT event_id, $zorderSqlTerms AS zkey
+            FROM m ORDER BY event_id"""))
+
+  /** First-order event-transition matrix (Markov counts): per ordered
+    * (event_type → next event_type) pair within a user's timeline, the
+    * transition count and probability. One user-keyed exchange for the
+    * lead window, one 16-byte-keyed exchange for the pair counts; the
+    * probability divides identical longs on both engines, so no rounding
+    * is needed for bit-exactness.
+    */
+  val qEventTransitions = QueryDef(
+    "q_event_transitions",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+        .withColumn("p", col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("event_type")).cast("double"))
+        .orderBy("event_type", "next_type")
+    },
+    Some("""WITH nx AS (SELECT event_type,
+              lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+            FROM events),
+            c AS (SELECT event_type, next_type, count(*) AS n FROM nx
+                  WHERE next_type IS NOT NULL GROUP BY 1, 2)
+            SELECT event_type, next_type, n,
+              CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+            FROM c ORDER BY event_type, next_type"""))
+
+  /** Equi-depth (quartile) binning of the value column — the
+    * feature-discretization shape that scales: exact quartile boundaries
+    * from ONE small aggregate, broadcast back over the stream (no global
+    * sort, no single-partition ntile window). Boundary parity with DuckDB
+    * uses the established percentile ↔ quantile_cont (R-7) equivalence.
+    */
+  val qBinEquidepth = QueryDef(
+    "q_bin_equidepth",
+    (s, d) => {
+      val vals = events(s, d).where(col("value").isNotNull).select("value")
+      val bounds = vals.agg(
+        expr("percentile(value, array(0.25, 0.5, 0.75))").as("bs"))
+      vals.crossJoin(broadcast(bounds))
+        .withColumn("bin",
+          when(col("value") <= col("bs")(0), 1)
+            .when(col("value") <= col("bs")(1), 2)
+            .when(col("value") <= col("bs")(2), 3)
+            .otherwise(4))
+        .groupBy("bin").agg(count(lit(1)).as("n_rows"),
+          min("value").as("min_value"), max("value").as("max_value"))
+        .orderBy("bin")
+    },
+    Some("""WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+            b AS (SELECT quantile_cont(value, 0.25) AS q1,
+                         quantile_cont(value, 0.5) AS q2,
+                         quantile_cont(value, 0.75) AS q3 FROM v)
+            SELECT bin, count(*) AS n_rows,
+              min(value) AS min_value, max(value) AS max_value FROM (
+              SELECT CASE WHEN value <= q1 THEN 1 WHEN value <= q2 THEN 2
+                          WHEN value <= q3 THEN 3 ELSE 4 END AS bin, value
+              FROM v, b) t
+            GROUP BY bin ORDER BY bin"""))
+
+  val all: Seq[QueryDef] =
+    Seq(qCidrMatch, qZorderKey, qEventTransitions, qBinEquidepth)
+}

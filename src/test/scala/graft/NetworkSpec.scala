@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Network
+import graft.functions.{GraftFunctions, ZOrderFunctions, ZOrderImpl}
+
+/** Network LPM enrichment and Z-order layout-key invariants. */
+class NetworkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val feed = Seq(
+    "0.0.0.0/2" -> "bogon-low",
+    "10.0.0.0/8" -> "internal",
+    "128.0.0.0/2" -> "botnet",
+    "160.0.0.0/11" -> "tor-exit")
+
+  test("cidr bounds: base address masks to the prefix, hi closes the block") {
+    val out = spark.range(1).select(
+      Network.cidrLo(lit("10.5.7.9/8")).as("lo"),
+      Network.cidrHi(lit("10.5.7.9/8")).as("hi"),
+      Network.cidrLo(lit("160.0.0.0/11")).as("lo11"),
+      Network.cidrHi(lit("160.0.0.0/11")).as("hi11"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(out._1 === 10L * 16777216)            // 10.0.0.0
+    assert(out._2 === 11L * 16777216 - 1)        // 10.255.255.255
+    assert(out._3 === 160L * 16777216)           // 160.0.0.0
+    assert(out._4 === 160L * 16777216 + (1L << 21) - 1) // 160.31.255.255
+  }
+
+  test("lpm picks the longest matching prefix; uncovered addresses get NULL") {
+    val ips = Seq(
+      10L * 16777216 + 99,   // inside 10/8 AND 0/2 -> internal
+      3L * 16777216,         // inside 0/2 only -> bogon-low
+      160L * 16777216 + 5,   // inside 160/11 AND 128/2 -> tor-exit
+      130L * 16777216,       // inside 128/2 only -> botnet
+      100L * 16777216)       // 100.0.0.0 -> uncovered
+    val df = ips.zipWithIndex.map { case (ip, i) => (i.toLong, ip) }.toDF("id", "ip")
+    val got = Network.lpmEnrich(df, col("ip"), feed)
+      .select(col("id"), col("_lpm.label").as("label"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got === Map(
+      0L -> Some("internal"), 1L -> Some("bogon-low"),
+      2L -> Some("tor-exit"), 3L -> Some("botnet"), 4L -> None))
+  }
+
+  test("lpmEnrich (literal array) and lpmJoin (broadcast range join) agree") {
+    val df = (0 until 500)
+      .map(i => (i.toLong, (i.toLong * 2654435761L) % (1L << 32)))
+      .toDF("id", "ip")
+    val viaArray = Network.lpmEnrich(df, col("ip"), feed)
+      .where(col("_lpm").isNotNull)
+      .select(col("id"), col("_lpm.cidr").as("cidr"), col("_lpm.prefix").as("prefix"))
+      .as[(Long, String, Int)].collect().toSet
+    val viaJoin = Network.lpmJoin(df, "id", col("ip"),
+        feed.toDF("cidr", "label"))
+      .select(col("id"), col("cidr"), col("prefix"))
+      .as[(Long, String, Int)].collect().toSet
+    assert(viaArray === viaJoin)
+    assert(viaArray.nonEmpty)
+  }
+
+  test("lpmEnrich is map-side only: zero exchanges in the physical plan") {
+    val df = spark.range(100).select(col("id"),
+      (col("id") * 7919L % (1L << 32)).as("ip"))
+    val plan = Network.lpmEnrich(df, col("ip"), feed)
+      .where(col("_lpm").isNotNull)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"LPM enrichment must not shuffle the event side:\n$plan")
+  }
+
+  test("zorder16 matches the per-bit reference interleave") {
+    def reference(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val cases = Seq[(Long, Long)](
+      (0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321),
+      (65536 + 7, 3), (0xABCD, 0x1234))
+    for ((a, b) <- cases)
+      assert(ZOrderImpl.interleave16(a, b) === reference(a & 0xFFFF, b & 0xFFFF),
+        s"($a, $b)")
+    // through the expression (codegen path), including null propagation
+    val got = Seq((Some(12345L), Some(54321L)), (None, Some(1L)))
+      .toDF("a", "b")
+      .select(ZOrderFunctions.zorder16(col("a"), col("b")).as("z"))
+      .as[Option[Long]].collect().toSeq
+    assert(got === Seq(Some(reference(12345, 54321)), None))
+  }
+
+  test("graft_zorder16 is callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val z = spark.sql("SELECT graft_zorder16(3, 1) AS z").as[Long].head()
+    // a=3 -> bits 0,2 set; b=1 -> bit 1 set
+    assert(z === (1L | (1L << 2) | (1L << 1)))
+  }
+
+  test("z-order layout skips files on a secondary-dimension slab; single-column sort cannot") {
+    // 256x256 (user, day) grid. 16 files per layout. A day-only slab
+    // covers 1/16 of the day range: the user-sorted layout leaves every
+    // file's day min/max spanning the full range (0 files skippable),
+    // while Z-order files are quad-tree blocks, tight in BOTH dimensions.
+    val grid = spark.range(256L * 256)
+      .select((col("id") / 256).cast("long").as("user"),
+        (col("id") % 256).cast("long").as("day"))
+      .withColumn("zkey", ZOrderFunctions.zorder16(col("user"), col("day")))
+    val root = Files.createTempDirectory("graft-zorder").toString
+
+    grid.repartitionByRange(16, col("zkey")).sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(s"$root/zorder")
+    grid.repartitionByRange(16, col("user")).sortWithinPartitions("user")
+      .write.mode("overwrite").parquet(s"$root/bycol")
+
+    def overlapping(path: String, lo: Long, hi: Long): (Long, Long) = {
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("day").as("dmin"), max("day").as("dmax"))
+      (stats.where(col("dmax") >= lo && col("dmin") <= hi).count(), stats.count())
+    }
+    val (zHit, zTotal) = overlapping(s"$root/zorder", 100, 115)
+    val (cHit, cTotal) = overlapping(s"$root/bycol", 100, 115)
+    assert(zTotal === 16 && cTotal === 16)
+    // day slab 100..115 has day bits b7=0, b6=1 fixed -> at most ~1/4 of
+    // the 16 top-level Morton blocks (+ boundary straddle) can contain it
+    assert(zHit <= 6, s"z-order layout should bound the slab, hit $zHit/16")
+    assert(cHit === 16, s"user-sorted layout cannot prune a day slab, hit $cHit/16")
+  }
+}
