@@ -181,6 +181,70 @@ object EnrichmentQueries {
               FROM v, b) t
             GROUP BY bin ORDER BY bin"""))
 
+  /** Top event-type paths: each user-day's time-ordered event_type
+    * sequence as a '>'-joined path string, ranked by frequency (top 20,
+    * value tiebreak). The per-group ordered concat is collect_list +
+    * array_sort on (ts, event_id, event_type) structs — bounded by a
+    * user's daily volume — and the top-k is orderBy+limit, which Catalyst
+    * rewrites to TakeOrderedAndProject (distributed top-k, no global
+    * sort). At 100 TB, group on md5(path) and join the winners back for
+    * display so the shuffle carries 16-byte keys, not path strings.
+    */
+  val qSessionPaths = QueryDef(
+    "q_session_paths",
+    (s, d) => events(s, d)
+      .groupBy(col("user_id"), tsEpochDay.as("day"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(20),
+    Some("""WITH p AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+              string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+            FROM events GROUP BY 1, 2)
+            SELECT path, count(*) AS n FROM p
+            GROUP BY path ORDER BY n DESC, path LIMIT 20"""))
+
+  /** Feed-drift report: split the stream at its midpoint day and compare
+    * per-event-type volume and value-null rates between the halves — the
+    * check a pipeline runs before trusting that yesterday's feed still
+    * looks like last week's. One scan, conditional sums; the ratio
+    * divides identical longs on both engines (NULL when a type is absent
+    * from the first half), so the report is bit-exact with no rounding.
+    */
+  val qDriftReport = QueryDef(
+    "q_drift_report",
+    (s, d) => {
+      val e = events(s, d).withColumn("day", tsEpochDay)
+      val pivot = e.agg(
+        expr("(min(day) + max(day) + 1) div 2").as("pivot"))
+      e.crossJoin(broadcast(pivot))
+        .groupBy("event_type").agg(
+          sum(when(col("day") < col("pivot"), 1L).otherwise(0L)).as("n_first"),
+          sum(when(col("day") >= col("pivot"), 1L).otherwise(0L)).as("n_second"),
+          sum(when(col("day") < col("pivot") && col("value").isNull, 1L)
+            .otherwise(0L)).as("null_first"),
+          sum(when(col("day") >= col("pivot") && col("value").isNull, 1L)
+            .otherwise(0L)).as("null_second"))
+        .withColumn("rate_ratio", col("n_second").cast("double") /
+          nullif(col("n_first").cast("double"), lit(0.0)))
+        .orderBy("event_type")
+    },
+    Some("""WITH d AS (SELECT event_type, value,
+              epoch_ns(ts) // 86400000000000 AS day FROM events),
+            p AS (SELECT (min(day) + max(day) + 1) // 2 AS cut FROM d)
+            SELECT event_type,
+              sum(CASE WHEN day < cut THEN 1 ELSE 0 END) AS n_first,
+              sum(CASE WHEN day >= cut THEN 1 ELSE 0 END) AS n_second,
+              sum(CASE WHEN day < cut AND value IS NULL THEN 1 ELSE 0 END) AS null_first,
+              sum(CASE WHEN day >= cut AND value IS NULL THEN 1 ELSE 0 END) AS null_second,
+              CAST(sum(CASE WHEN day >= cut THEN 1 ELSE 0 END) AS DOUBLE)
+                / NULLIF(CAST(sum(CASE WHEN day < cut THEN 1 ELSE 0 END) AS DOUBLE), 0)
+                AS rate_ratio
+            FROM d, p GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[QueryDef] =
-    Seq(qCidrMatch, qZorderKey, qEventTransitions, qBinEquidepth)
+    Seq(qCidrMatch, qZorderKey, qEventTransitions, qBinEquidepth,
+      qSessionPaths, qDriftReport)
 }

@@ -536,4 +536,18 @@ object StreamingPipeline {
       .select(col(idCol),
         (lit(1.0) / (lit(1.0) + exp(-col("_z")))).as("quality_prob"))
   }
+
+  /** Streaming twin of [[graft.ext.Network.lpmEnrich]]: threat-intel CIDR
+    * longest-prefix classification at the ingest edge — every event is
+    * labeled against the feed BEFORE landing. The batch operator is
+    * already stream-safe: the feed constant-folds into a literal struct
+    * array and the match is a pure per-row projection — no join, no state
+    * store, no watermark, valid in append mode at any scale. This alias
+    * pins that contract with a StreamingSpec batch-parity test, so a
+    * refactor that turned the lookup into a stateful join (which would
+    * break edge enrichment) fails a test instead of a deployment.
+    */
+  def enrichStream(
+      events: DataFrame, ip: Column, cidrs: Seq[(String, String)]): DataFrame =
+    graft.ext.Network.lpmEnrich(events, ip, cidrs)
 }
