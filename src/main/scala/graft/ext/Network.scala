@@ -79,23 +79,46 @@ object Network {
   private val entryType =
     "struct<lo:bigint,hi:bigint,prefix:int,cidr:string,label:string>"
 
+  /** One feed entry parsed at plan-build time (plain JVM arithmetic — the
+    * feed is a compile-time literal, so nothing about it belongs in the
+    * per-row path).
+    */
+  private final case class ParsedCidr(
+      cidr: String, label: String, prefix: Int, lo: Long, hi: Long)
+
+  private def parseCidr(cidr: String, label: String): ParsedCidr = {
+    val Array(base, p) = cidr.split("/")
+    val o = base.split("\\.").map(_.toLong)
+    require(o.length == 4 && o.forall(x => x >= 0 && x <= 255) &&
+      p.toInt >= 0 && p.toInt <= 32, s"malformed CIDR: $cidr")
+    val raw = o(0) * 16777216L + o(1) * 65536L + o(2) * 256L + o(3)
+    val block = 1L << (32 - p.toInt)
+    val lo = raw - raw % block
+    ParsedCidr(cidr, label, p.toInt, lo, lo + block - 1)
+  }
+
   /** Longest-prefix-match enrichment against a literal CIDR feed. Adds a
     * `_lpm` struct column (lo, hi, prefix, cidr, label) — NULL when no
-    * CIDR contains the address. The feed parses through the same
-    * [[cidrLo]]/[[cidrHi]] columns over literals, which Catalyst
-    * constant-folds to a literal array at optimization time; the per-row
-    * work is a bounded scan of that array. Zero exchanges.
+    * CIDR contains the address. The feed parses in Scala at plan-build
+    * time and compiles to a `when`-chain ordered by prefix DESC (blocks
+    * of equal prefix are disjoint, so the first hit IS the longest
+    * match) — a flat CaseWhen of long comparisons that stays inside
+    * whole-stage codegen. The higher-order-function formulation
+    * (`filter` + `aggregate` over a literal array) was measured 20×
+    * slower at 10× scale: array lambdas are CodegenFallback, so every
+    * row paid interpreted eval and a closure allocation. Zero exchanges
+    * either way; for feeds too large for a linear chain use [[lpmJoin]].
     */
   def lpmEnrich(df: DataFrame, ip: Column, cidrs: Seq[(String, String)]): DataFrame = {
     require(cidrs.nonEmpty, "lpmEnrich: empty CIDR feed")
-    val entries = array(cidrs.map { case (c, label) =>
-      struct(
-        cidrLo(lit(c)).as("lo"), cidrHi(lit(c)).as("hi"),
-        cidrPrefix(lit(c)).as("prefix"), lit(c).as("cidr"), lit(label).as("label"))
-    }: _*)
-    val matches = filter(entries, e => ip.between(e("lo"), e("hi")))
-    val best = aggregate(matches, lit(null).cast(entryType),
-      (acc, x) => when(acc.isNull || x("prefix") > acc("prefix"), x).otherwise(acc))
+    val parsed = cidrs.map { case (c, l) => parseCidr(c, l) }
+      .sortBy(e => (-e.prefix, e.lo))
+    val best = parsed.foldRight(lit(null).cast(entryType)) { (e, acc) =>
+      when(ip.between(lit(e.lo), lit(e.hi)),
+        struct(lit(e.lo).as("lo"), lit(e.hi).as("hi"),
+          lit(e.prefix).as("prefix"), lit(e.cidr).as("cidr"),
+          lit(e.label).as("label"))).otherwise(acc)
+    }
     df.withColumn("_lpm", best)
   }
 
