@@ -244,7 +244,78 @@ object EnrichmentQueries {
                 AS rate_ratio
             FROM d, p GROUP BY event_type ORDER BY event_type"""))
 
+  /** Per-type CDF normalization: percent_rank of value within each
+    * event_type (event_id tiebreak makes ranks unique, so the
+    * (rank−1)/(n−1) division has identical integer operands on both
+    * engines — bit-exact with no rounding). One exchange on event_type.
+    * DuckDB defaults window ORDER BY to NULLS LAST vs Spark's NULLS
+    * FIRST — spelled explicitly in the oracle.
+    */
+  val qPercentRank = QueryDef(
+    "q_percent_rank",
+    (s, d) => events(s, d)
+      .select(col("event_id"), col("event_type"),
+        percent_rank().over(
+          Window.partitionBy("event_type")
+            .orderBy(col("value"), col("event_id"))).as("pr"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id, event_type,
+              percent_rank() OVER (PARTITION BY event_type
+                ORDER BY value NULLS FIRST, event_id) AS pr
+            FROM events ORDER BY event_id"""))
+
+  /** Day-of-week seasonality profile: per (weekday × event_type) volume
+    * and within-day share. The weekday comes from pure integer epoch-day
+    * arithmetic ((day + 4) mod 7, anchored on 1970-01-01 = Thursday) —
+    * no calendar/timezone functions to diverge between engines; the
+    * share divides identical longs.
+    */
+  val qWeekdayProfile = QueryDef(
+    "q_weekday_profile",
+    (s, d) => events(s, d)
+      .withColumn("dow", (tsEpochDay + 4) % 7)
+      .groupBy("dow", "event_type").agg(count(lit(1)).as("n"))
+      .withColumn("share", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("dow")).cast("double"))
+      .orderBy("dow", "event_type"),
+    Some("""WITH d AS (SELECT ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow,
+              event_type FROM events),
+            c AS (SELECT dow, event_type, count(*) AS n FROM d GROUP BY 1, 2)
+            SELECT dow, event_type, n,
+              CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY dow) AS DOUBLE) AS share
+            FROM c ORDER BY dow, event_type"""))
+
+  /** Tukey-fence outlier detection: flag values outside
+    * [q1 − 1.5·IQR, q3 + 1.5·IQR]. The complement of the MAD gate
+    * (q_anomaly_mad) for box-plot semantics; same scale shape — exact
+    * quartiles from one small aggregate, broadcast back, stateless flag
+    * over the stream. The fence arithmetic applies identical double
+    * operations to identical quantile values on both engines.
+    */
+  val qOutliersIqr = QueryDef(
+    "q_outliers_iqr",
+    (s, d) => {
+      val vals = events(s, d).where(col("value").isNotNull)
+      val bounds = vals.agg(
+        expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+      vals.crossJoin(broadcast(bounds))
+        .where(col("value") > col("q3") + lit(1.5) * (col("q3") - col("q1")) ||
+          col("value") < col("q1") - lit(1.5) * (col("q3") - col("q1")))
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+    Some("""WITH v AS (SELECT event_id, event_type, value FROM events
+              WHERE value IS NOT NULL),
+            b AS (SELECT quantile_cont(value, 0.25) AS q1,
+                         quantile_cont(value, 0.75) AS q3 FROM v)
+            SELECT event_id, event_type, value FROM v, b
+            WHERE value > q3 + 1.5 * (q3 - q1)
+               OR value < q1 - 1.5 * (q3 - q1)
+            ORDER BY event_id"""))
+
   val all: Seq[QueryDef] =
     Seq(qCidrMatch, qZorderKey, qEventTransitions, qBinEquidepth,
-      qSessionPaths, qDriftReport)
+      qSessionPaths, qDriftReport, qPercentRank, qWeekdayProfile,
+      qOutliersIqr)
 }

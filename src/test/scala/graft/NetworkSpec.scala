@@ -62,14 +62,23 @@ class NetworkSpec extends SparkSpec {
     assert(viaArray.nonEmpty)
   }
 
-  test("lpmEnrich is map-side only: zero exchanges in the physical plan") {
+  test("lpmEnrich is map-side only: zero exchanges, inside whole-stage codegen") {
     val df = spark.range(100).select(col("id"),
       (col("id") * 7919L % (1L << 32)).as("ip"))
-    val plan = Network.lpmEnrich(df, col("ip"), feed)
+    val enriched = Network.lpmEnrich(df, col("ip"), feed)
       .where(col("_lpm").isNotNull)
-      .queryExecution.executedPlan.toString
+    val plan = enriched.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"LPM enrichment must not shuffle the event side:\n$plan")
+    // The match must stay a codegen'd when()-chain. The original
+    // higher-order-function formulation (filter/aggregate lambdas) is
+    // CodegenFallback — measured 26x slower at 10x scale — and would
+    // show up here as a Project outside the WholeStageCodegen span
+    // (explain marks codegen'd operators with '*').
+    val formatted = enriched.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(formatted.contains("*(1) Project") || formatted.contains("*(1) Filter"),
+      s"LPM projection fell out of whole-stage codegen:\n$formatted")
   }
 
   test("zorder16 matches the per-bit reference interleave") {
