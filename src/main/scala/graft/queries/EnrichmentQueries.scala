@@ -314,8 +314,118 @@ object EnrichmentQueries {
                OR value < q1 - 1.5 * (q3 - q1)
             ORDER BY event_id"""))
 
+  /** Market-basket association over user-days: for each unordered pair
+    * of event_types co-occurring in a user's day, the co-occurrence
+    * count and lift = P(ab)/(P(a)·P(b)). Group sizes are bounded by the
+    * type vocabulary (≤ |types| rows per user-day after distinct, ≤
+    * C(|types|,2) pairs), so the self-join cannot blow up; the type
+    * totals broadcast. Lift multiplies longs and divides once —
+    * bit-exact. NULL user_ids are excluded explicitly (equality join
+    * would drop them silently; the filter makes it a contract).
+    */
+  val qAssocPairs = QueryDef(
+    "q_assoc_pairs",
+    (s, d) => {
+      val ud = events(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), tsEpochDay.as("day"), col("event_type"))
+        .distinct()
+      val groups = ud.select("user_id", "day").distinct()
+        .agg(count(lit(1)).as("g"))
+      val singles = ud.groupBy(col("event_type").as("t")).agg(count(lit(1)).as("n_t"))
+      val pairs = ud.as("a").join(ud.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(singles.withColumnRenamed("n_t", "n_a")), col("type_a") === col("t")).drop("t")
+        .join(broadcast(singles.withColumnRenamed("n_t", "n_b")), col("type_b") === col("t")).drop("t")
+        .crossJoin(broadcast(groups))
+        .withColumn("lift", (col("n_ab") * col("g")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"))
+        .select("type_a", "type_b", "n_ab", "lift")
+        .orderBy("type_a", "type_b")
+    },
+    Some("""WITH ud AS (SELECT DISTINCT user_id,
+              epoch_ns(ts) // 86400000000000 AS day, event_type
+            FROM events WHERE user_id IS NOT NULL),
+            g AS (SELECT count(*) AS g FROM (SELECT DISTINCT user_id, day FROM ud)),
+            s AS (SELECT event_type AS t, count(*) AS n_t FROM ud GROUP BY 1),
+            p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                    count(*) AS n_ab
+                  FROM ud a JOIN ud b ON a.user_id = b.user_id
+                    AND a.day = b.day AND a.event_type < b.event_type
+                  GROUP BY 1, 2)
+            SELECT type_a, type_b, n_ab,
+              CAST(n_ab * g AS DOUBLE) / CAST(sa.n_t * sb.n_t AS DOUBLE) AS lift
+            FROM p, g
+            JOIN s sa ON p.type_a = sa.t
+            JOIN s sb ON p.type_b = sb.t
+            ORDER BY type_a, type_b"""))
+
+  /** Equal-width histogram (10 bins over the observed [min, max],
+    * boundaries broadcast). The bin index applies the identical
+    * subtract/divide/floor to identical doubles on both engines; the top
+    * edge clamps into the last bin.
+    */
+  val qHistEquiwidth = QueryDef(
+    "q_hist_equiwidth",
+    (s, d) => {
+      val vals = events(s, d).where(col("value").isNotNull).select("value")
+      val bounds = vals.agg(min("value").as("lo"), max("value").as("hi"))
+      vals.crossJoin(broadcast(bounds))
+        .withColumn("bin", least(
+          floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 10.0)),
+          lit(9L)).cast("int"))
+        .groupBy("bin").agg(count(lit(1)).as("n_rows"))
+        .orderBy("bin")
+    },
+    Some("""WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+            b AS (SELECT min(value) AS lo, max(value) AS hi FROM v)
+            SELECT CAST(least(floor((value - lo) / ((hi - lo) / 10.0)), 9) AS INT) AS bin,
+              count(*) AS n_rows
+            FROM v, b GROUP BY 1 ORDER BY bin"""))
+
+  /** CUSUM change detection over daily volumes: per event_type, the
+    * running deviation of daily counts from the type's mean rate — the
+    * classic drift detector for "did this feed's volume shift
+    * mid-history". Bit-exactness trick: the running sum stays INTEGER
+    * (running·D − k·T, all longs) and divides by D exactly once at the
+    * end — a windowed sum of doubles would be frame-algorithm-dependent
+    * across engines, an integer sum cannot be.
+    */
+  val qCusumDaily = QueryDef(
+    "q_cusum_daily",
+    (s, d) => {
+      val daily = events(s, d)
+        .groupBy(col("event_type"), tsEpochDay.as("day"))
+        .agg(count(lit(1)).as("n"))
+      val tot = daily.groupBy("event_type")
+        .agg(sum("n").as("t"), count(lit(1)).as("dd"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily.join(broadcast(tot), "event_type")
+        .withColumn("k", row_number().over(w))
+        .withColumn("run", sum(col("n")).over(w))
+        .withColumn("cusum",
+          (col("run") * col("dd") - col("k") * col("t")).cast("double") /
+            col("dd").cast("double"))
+        .select("event_type", "day", "n", "cusum")
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (SELECT event_type,
+              epoch_ns(ts) // 86400000000000 AS day, count(*) AS n
+            FROM events GROUP BY 1, 2),
+            tot AS (SELECT event_type, sum(n) AS t, count(*) AS dd
+                    FROM daily GROUP BY 1)
+            SELECT daily.event_type, day, n,
+              CAST(sum(n) OVER (PARTITION BY daily.event_type ORDER BY day) * dd
+                   - row_number() OVER (PARTITION BY daily.event_type ORDER BY day) * t
+                   AS DOUBLE) / CAST(dd AS DOUBLE) AS cusum
+            FROM daily JOIN tot ON daily.event_type = tot.event_type
+            ORDER BY daily.event_type, day"""))
+
   val all: Seq[QueryDef] =
     Seq(qCidrMatch, qZorderKey, qEventTransitions, qBinEquidepth,
       qSessionPaths, qDriftReport, qPercentRank, qWeekdayProfile,
-      qOutliersIqr)
+      qOutliersIqr, qAssocPairs, qHistEquiwidth, qCusumDaily)
 }
