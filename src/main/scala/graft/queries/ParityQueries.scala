@@ -552,6 +552,40 @@ object ParityQueries {
                                 AND o_orderpriority = '1-URGENT')
             ORDER BY c_custkey"""))
 
+  /** FULL OUTER join — per-user-day 'click' vs 'error' volumes, keeping
+    * user-days present on either side (the feature-table alignment shape:
+    * neither side is authoritative). The aggregated sides make (user_id,
+    * day) unique per side, so the joined key set is unique and the final
+    * ORDER BY is total; NULL user_ids are filtered explicitly (NULL keys
+    * never equi-match, which would otherwise emit order-ambiguous
+    * half-rows). Spark's using-columns join coalesces the keys exactly
+    * like the oracle's COALESCE.
+    */
+  val qJoinFull = QueryDef(
+    "q_join_full",
+    (s, d) => {
+      val e = events(s, d).where(col("user_id").isNotNull)
+        .withColumn("day", expr("ts div 86400000000000"))
+      val a = e.where(col("event_type") === "click")
+        .groupBy("user_id", "day").agg(count(lit(1)).as("n_click"))
+      val b = e.where(col("event_type") === "error")
+        .groupBy("user_id", "day").agg(count(lit(1)).as("n_err"))
+      a.join(b, Seq("user_id", "day"), "full_outer")
+        .select("user_id", "day", "n_click", "n_err")
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+              event_type FROM events WHERE user_id IS NOT NULL),
+            a AS (SELECT user_id, day, count(*) AS n_click FROM e
+                  WHERE event_type = 'click' GROUP BY 1, 2),
+            b AS (SELECT user_id, day, count(*) AS n_err FROM e
+                  WHERE event_type = 'error' GROUP BY 1, 2)
+            SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+              COALESCE(a.day, b.day) AS day, n_click, n_err
+            FROM a FULL OUTER JOIN b
+              ON a.user_id = b.user_id AND a.day = b.day
+            ORDER BY user_id, day"""))
+
   /** Backward as-of join ([[graft.operators.TemporalJoins.asofJoin]]): every
     * event picks up the latest "mark" at-or-before its event time for the
     * same user — the canonical feature-as-of-time join. Marks are a
@@ -1366,7 +1400,7 @@ object ParityQueries {
     qDateFloor, qTimeDelta,
     qMinmaxTs, qCountOver, qDailyAvg, qGlobalAgg, qCountDistinct, qNullCounts,
     qTopkValues, qDomainCheck, qJoinLeft, qJoinComposite, qJoinInner,
-    qJoinSemi, qJoinAnti, qAsofJoin, qAsofJoinExec, qRangeJoin,
+    qJoinSemi, qJoinAnti, qJoinFull, qAsofJoin, qAsofJoinExec, qRangeJoin,
     qSetOps, qRollup, qPercentiles, qApproxDistinct,
     qApproxPercentiles, qCountOverSalted, qSort,
     qLag, qRollingCount, qSessionId, qSessionAgg, qSessionize,

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.EnrichmentQueries
+
+/** Mathematical invariants of the enrichment analytics — properties the
+  * DuckDB oracle cannot express (it only replays the same computation).
+  */
+class EnrichmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("transition probabilities sum to 1 within each source type") {
+    val sums = EnrichmentQueries.qEventTransitions.fn(spark, dir)
+      .groupBy("event_type").agg(sum("p").as("s"))
+      .select("s").as[Double].collect()
+    assert(sums.nonEmpty)
+    sums.foreach(s => assert(math.abs(s - 1.0) < 1e-9, s"sum $s"))
+  }
+
+  test("equi-depth bins are balanced and ordered; counts cover all non-null rows") {
+    val bins = EnrichmentQueries.qBinEquidepth.fn(spark, dir)
+      .as[(Int, Long, Double, Double)].collect()
+    assert(bins.map(_._1).toSeq === Seq(1, 2, 3, 4))
+    val total = bins.map(_._2).sum
+    val nonNull = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("value").isNotNull).count()
+    assert(total === nonNull)
+    // quartiles: each bin within 1 row of total/4 (exact interpolated cuts)
+    bins.foreach(b => assert(math.abs(b._2 - total / 4.0) <= 1.0, b.toString))
+    // bins are contiguous: max of bin k <= min of bin k+1
+    bins.sliding(2).foreach { case Array(a, b) => assert(a._4 <= b._3) }
+  }
+
+  test("CUSUM returns to zero at each type's final day") {
+    val last = EnrichmentQueries.qCusumDaily.fn(spark, dir)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("day").desc)))
+      .where(col("rk") === 1)
+      .select("cusum").as[Double].collect()
+    assert(last.nonEmpty)
+    // run_D*D - D*T = 0 exactly: the deviation series telescopes
+    last.foreach(c => assert(c === 0.0, s"final cusum $c"))
+  }
+
+  test("percent_rank spans [0, 1] with 0 and 1 attained per type") {
+    val pr = EnrichmentQueries.qPercentRank.fn(spark, dir)
+      .groupBy("event_type").agg(min("pr").as("lo"), max("pr").as("hi"))
+      .as[(String, Double, Double)].collect()
+    assert(pr.nonEmpty)
+    pr.foreach { case (t, lo, hi) =>
+      assert(lo === 0.0 && hi === 1.0, s"$t: [$lo, $hi]")
+    }
+  }
+
+  test("histogram covers all non-null rows; weekday shares sum to 1") {
+    val hist = EnrichmentQueries.qHistEquiwidth.fn(spark, dir)
+      .select("n_rows").as[Long].collect()
+    val nonNull = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("value").isNotNull).count()
+    assert(hist.sum === nonNull)
+    val shares = EnrichmentQueries.qWeekdayProfile.fn(spark, dir)
+      .groupBy("dow").agg(sum("share").as("s")).select("s").as[Double].collect()
+    assert(shares.length === 7)
+    shares.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
+  }
+
+  test("association lift is consistent with independent-frequency expectation") {
+    val rows = EnrichmentQueries.qAssocPairs.fn(spark, dir)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, n, lift) =>
+      assert(a < b, "pairs are canonically ordered")
+      assert(n >= 1 && lift > 0.0)
+    }
+    // lift must not be constant — the data has co-occurrence structure
+    assert(rows.map(_._4).distinct.length > 1)
+  }
+
+  test("drift report halves partition the stream exactly") {
+    val r = EnrichmentQueries.qDriftReport.fn(spark, dir)
+      .agg(sum(col("n_first") + col("n_second"))).as[Long].head()
+    val total = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(r === total)
+  }
+
+  test("session paths: top-path count equals the user-days sharing that path") {
+    val top = EnrichmentQueries.qSessionPaths.fn(spark, dir)
+      .as[(String, Long)].collect()
+    assert(top.length === 20)
+    // ranked descending with path tiebreak
+    top.sliding(2).foreach { case Array(x, y) =>
+      assert(x._2 > y._2 || (x._2 == y._2 && x._1 < y._1))
+    }
+  }
+}
