@@ -424,8 +424,37 @@ object EnrichmentQueries {
             FROM daily JOIN tot ON daily.event_type = tot.event_type
             ORDER BY daily.event_type, day"""))
 
+  /** Trailing-7-day active users (WAU) per day — the canonical sliding
+    * DISTINCT metric, which no window frame can express exactly (distinct
+    * doesn't decompose over frames). Scale shape: reduce once to distinct
+    * (user, day) pairs — the only event-volume-sized step — then a
+    * BROADCAST interval join against the tiny day dimension fans each
+    * pair to ≤7 target days, and one distinct-count per day finishes.
+    * Nothing event-sized shuffles more than twice; pure integers.
+    */
+  val qActiveUsers7d = QueryDef(
+    "q_active_users_7d",
+    (s, d) => {
+      val pairs = events(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), tsEpochDay.as("day")).distinct()
+      val days = pairs.select(col("day").as("target_day")).distinct()
+      pairs.join(broadcast(days),
+          col("day").between(col("target_day") - 6, col("target_day")))
+        .groupBy("target_day")
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy("target_day")
+    },
+    Some("""WITH p AS (SELECT DISTINCT user_id,
+              epoch_ns(ts) // 86400000000000 AS day
+            FROM events WHERE user_id IS NOT NULL),
+            days AS (SELECT DISTINCT day AS target_day FROM p)
+            SELECT target_day, count(DISTINCT user_id) AS wau
+            FROM p JOIN days ON p.day BETWEEN target_day - 6 AND target_day
+            GROUP BY target_day ORDER BY target_day"""))
+
   val all: Seq[QueryDef] =
     Seq(qCidrMatch, qZorderKey, qEventTransitions, qBinEquidepth,
       qSessionPaths, qDriftReport, qPercentRank, qWeekdayProfile,
-      qOutliersIqr, qAssocPairs, qHistEquiwidth, qCusumDaily)
+      qOutliersIqr, qAssocPairs, qHistEquiwidth, qCusumDaily,
+      qActiveUsers7d)
 }
