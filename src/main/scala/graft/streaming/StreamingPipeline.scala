@@ -550,4 +550,26 @@ object StreamingPipeline {
   def enrichStream(
       events: DataFrame, ip: Column, cidrs: Seq[(String, String)]): DataFrame =
     graft.ext.Network.lpmEnrich(events, ip, cidrs)
+
+  /** Streaming twin of the trailing-N-day active-users metric
+    * (q_active_users_7d): approximate distinct users per sliding
+    * event-time window. Exact sliding DISTINCT would need the full user
+    * set per open window in the state store (unbounded per-window
+    * state); the HLL sketch is the documented at-scale trade — O(HLL)
+    * bytes per open window, and because HLL register merges are MAX
+    * operations (order- and partitioning-independent), the streaming
+    * estimate over a window is BIT-IDENTICAL to a batch
+    * approx_count_distinct over the same rows — asserted window-by-
+    * window in StreamingSpec, not just approximately close.
+    */
+  def activeUsersStream(
+      events: DataFrame, tsCol: String = "timestamp",
+      userCol: String = "user_id", days: Int = 7,
+      watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .where(col(userCol).isNotNull)
+      .groupBy(window(col(tsCol), s"$days days", "1 day"))
+      .agg(approx_count_distinct(col(userCol)).as("wau_approx"))
+      .select(col("window.start").as("win_start"), col("wau_approx"))
 }

@@ -367,6 +367,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding-window active users is bit-identical to batch HLL") {
+    implicit val sqlCtx = spark.sqlContext
+    // 3 users active across 10 days, overlapping membership per window
+    val rows = for {
+      d <- 1 to 10
+      (u, active) <- Seq(("alice", d % 2 == 0), ("bob", d <= 5), ("carol", d >= 4))
+      if active
+    } yield (u, ts(f"2025-01-$d%02d 12:00:00"))
+    val input = MemoryStream[(String, Timestamp)]
+    val q = StreamingPipeline.activeUsersStream(
+        input.toDF().toDF("user_id", "timestamp"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wau_out").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      // close all windows: watermark must pass the last window's end
+      input.addData(("zz", ts("2025-03-01 00:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("wau_out")
+        .as[(Timestamp, Long)].collect().toMap
+      val batch = rows.toDF("user_id", "timestamp")
+        .groupBy(window(col("timestamp"), "7 days", "1 day"))
+        .agg(approx_count_distinct(col("user_id")).as("w"))
+        .select(col("window.start"), col("w"))
+        .as[(Timestamp, Long)].collect().toMap
+      // HLL register merges are order-independent max operations, so
+      // stream == batch exactly on every window the stream emitted
+      assert(streamed.nonEmpty)
+      streamed.foreach { case (w, n) =>
+        assert(batch.get(w).contains(n), s"window $w: stream $n vs batch ${batch.get(w)}")
+      }
+      // sanity at this cardinality: HLL is exact for 1..3 distinct
+      val exact = rows.toDF("user_id", "timestamp")
+        .groupBy(window(col("timestamp"), "7 days", "1 day"))
+        .agg(countDistinct(col("user_id")).as("w"))
+        .select(col("window.start"), col("w"))
+        .as[(Timestamp, Long)].collect().toMap
+      streamed.foreach { case (w, n) => assert(exact(w) === n) }
+    } finally q.stop()
+  }
+
   test("streaming LM score matches batch on in-vocabulary documents; OOV finite") {
     implicit val sqlCtx = spark.sqlContext
     // static corpus = real documents; stream the SAME documents back in:
