@@ -73,6 +73,16 @@ object Multimodal {
     val isJpeg = bytes.length >= 3 &&
       u8(0) == 0xff && u8(1) == 0xd8 && u8(2) == 0xff
     val isWav = tag(0, "RIFF") && bytes.length >= 12 && tag(8, "WAVE")
+    // GIF87a/GIF89a: logical-screen descriptor at fixed offsets — width
+    // u16le at 6, height u16le at 8; the packed byte at 10 carries the
+    // color-resolution bits (4-6), reported as bit depth.
+    val isGif = bytes.length >= 6 && tag(0, "GIF8") &&
+      (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a'
+    // BMP (BITMAPINFOHEADER): 'BM' magic, DIB header size u32le at 14
+    // (>= 40 for the modern header), signed width/height at 18/22
+    // (negative height = top-down rows; dimensions reported as-is),
+    // bit count u16le at 28.
+    val isBmp = bytes.length >= 30 && tag(0, "BM") && u32le(14) >= 40
 
     if (isPng) {
       val hasIhdr = bytes.length >= 26 &&
@@ -133,6 +143,14 @@ object Multimodal {
         } else i += 8 + size.toInt + (size.toInt & 1)
       }
       result
+    } else if (isGif) {
+      if (bytes.length >= 11)
+        ImageHeader("gif", Some(u16le(6)), Some(u16le(8)),
+          Some(((u8(10) >> 4) & 7) + 1))
+      else ImageHeader("gif", None, None, None)
+    } else if (isBmp) {
+      ImageHeader("bmp", Some(u32le(18).toInt), Some(u32le(22).toInt),
+        Some(u16le(28)))
     } else ImageHeader("unknown", None, None, None)
   }
 

@@ -1057,6 +1057,100 @@ object ExtensionQueries {
             FROM bin b LEFT JOIN sof s USING (doc_id)
             ORDER BY media_id"""))
 
+  /** Second multimodal decode surface: GIF logical-screen and BMP
+    * BITMAPINFOHEADER parsing — both pure fixed-offset little-endian
+    * reads (no marker walk), so the oracle replay is direct hex-substring
+    * byte-swap arithmetic. Same synthesis pattern as
+    * [[qMultimodalDecode]]: payloads derived from doc_id, byte-identical
+    * across engines, garbage rows exercising the unknown path.
+    */
+  val qMultimodalDecode2 = QueryDef(
+    "q_multimodal_decode2",
+    (s, d) => {
+      val wLo = lpad(hex(expr("(doc_id % 1920 + 1) % 256")), 2, "0")
+      val wHi = lpad(hex(expr("(doc_id % 1920 + 1) div 256")), 2, "0")
+      val hLo = lpad(hex(expr("(doc_id % 1080 + 1) % 256")), 2, "0")
+      val hHi = lpad(hex(expr("(doc_id % 1080 + 1) div 256")), 2, "0")
+      val gif = concat(lit("474946383961"),
+        wLo, wHi, hLo, hHi,
+        lpad(hex(expr("(doc_id % 7) * 16")), 2, "0"),
+        lit("0000"),
+        expr("repeat('00', CAST(doc_id % 5 AS INT))"),
+        lit("3B"))
+      val bmp = concat(
+        lit("424D" + "00000000" + "00000000" + "36000000" + "28000000"),
+        wLo, wHi, lit("0000"), hLo, hHi, lit("0000"),
+        lit("0100"),
+        lpad(hex(expr(
+          """CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 4
+             WHEN 2 THEN 8 WHEN 3 THEN 16 WHEN 4 THEN 24 ELSE 32 END""")), 2, "0"),
+        lit("00"),
+        expr("repeat('00', CAST(doc_id % 3 AS INT))"))
+      val garbage = concat(lit("00112233"), lpad(hex(col("doc_id")), 8, "0"))
+      val media = docs(s, d).select(
+        col("doc_id").as("media_id"),
+        lit("image").as("kind"),
+        unhex(when(pmod(col("doc_id"), lit(2)) === 0, gif)
+          .when(pmod(col("doc_id"), lit(4)) === 1, bmp)
+          .otherwise(garbage)).as("payload"))
+      Multimodal.extractFeatures(s, media).toDF()
+        .select("media_id", "format", "n_bytes", "content_md5",
+          "width", "height", "bit_depth")
+        .orderBy("media_id")
+    },
+    Some("""WITH payload AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 2 = 0 THEN
+                  '474946383961'
+                  || lpad(hex((doc_id % 1920 + 1) % 256), 2, '0')
+                  || lpad(hex((doc_id % 1920 + 1) // 256), 2, '0')
+                  || lpad(hex((doc_id % 1080 + 1) % 256), 2, '0')
+                  || lpad(hex((doc_id % 1080 + 1) // 256), 2, '0')
+                  || lpad(hex((doc_id % 7) * 16), 2, '0')
+                  || '0000'
+                  || repeat('00', CAST(doc_id % 5 AS INT))
+                  || '3B'
+                WHEN doc_id % 4 = 1 THEN
+                  '424D' || '00000000' || '00000000' || '36000000' || '28000000'
+                  || lpad(hex((doc_id % 1920 + 1) % 256), 2, '0')
+                  || lpad(hex((doc_id % 1920 + 1) // 256), 2, '0') || '0000'
+                  || lpad(hex((doc_id % 1080 + 1) % 256), 2, '0')
+                  || lpad(hex((doc_id % 1080 + 1) // 256), 2, '0') || '0000'
+                  || '0100'
+                  || lpad(hex(CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 1
+                       WHEN 1 THEN 4 WHEN 2 THEN 8 WHEN 3 THEN 16
+                       WHEN 4 THEN 24 ELSE 32 END), 2, '0') || '00'
+                  || repeat('00', CAST(doc_id % 3 AS INT))
+                ELSE '00112233' || lpad(hex(doc_id), 8, '0') END AS ph
+              FROM documents),
+            bin AS (
+              SELECT doc_id, hex(unhex(ph)) AS h,
+                CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes
+              FROM payload)
+            SELECT doc_id AS media_id,
+              CASE WHEN substr(h, 1, 12) = '474946383961' THEN 'gif'
+                   WHEN substr(h, 1, 4) = '424D' THEN 'bmp'
+                   ELSE 'unknown' END AS format,
+              n_bytes, md5(h) AS content_md5,
+              CASE WHEN substr(h, 1, 12) = '474946383961'
+                     THEN CAST(CAST('0x' || substr(h, 15, 2) || substr(h, 13, 2) AS BIGINT) AS INT)
+                   WHEN substr(h, 1, 4) = '424D'
+                     THEN CAST(CAST('0x' || substr(h, 43, 2) || substr(h, 41, 2)
+                          || substr(h, 39, 2) || substr(h, 37, 2) AS BIGINT) AS INT)
+                   END AS width,
+              CASE WHEN substr(h, 1, 12) = '474946383961'
+                     THEN CAST(CAST('0x' || substr(h, 19, 2) || substr(h, 17, 2) AS BIGINT) AS INT)
+                   WHEN substr(h, 1, 4) = '424D'
+                     THEN CAST(CAST('0x' || substr(h, 51, 2) || substr(h, 49, 2)
+                          || substr(h, 47, 2) || substr(h, 45, 2) AS BIGINT) AS INT)
+                   END AS height,
+              CASE WHEN substr(h, 1, 12) = '474946383961'
+                     THEN CAST((CAST('0x' || substr(h, 21, 2) AS INT) // 16) % 8 + 1 AS INT)
+                   WHEN substr(h, 1, 4) = '424D'
+                     THEN CAST(CAST('0x' || substr(h, 59, 2) || substr(h, 57, 2) AS BIGINT) AS INT)
+                   END AS bit_depth
+            FROM bin ORDER BY media_id"""))
+
   /** PII redaction ([[TextAnalysis.redactPii]]): the testdata corpus holds
     * no PII, so the query plants deterministic synthetic PII (derived from
     * doc_id, replayed identically by the oracle) and then scrubs it —
@@ -1783,6 +1877,7 @@ object ExtensionQueries {
     qTextTokens, qTextSubword, qTextQuality, qQualityGate, qCorpusReport,
     qTextRepetition, qLangId,
     qDocFingerprint, qDocWinnow, qMultimodalMeta, qMultimodalDecode,
+    qMultimodalDecode2,
     qMultimodalAudio,
     qHeavyHitters, qCorpusPipeline,
     qJsonlRoundtrip, qOrcRoundtrip, qSampleStratified, qSampleTokenBudget,

@@ -720,6 +720,38 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.decodeHeader(null).format === "unknown")
   }
 
+  test("decodeHeader: GIF logical screen and BMP info header, fixed LE offsets") {
+    def le16(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def gifBytes(w: Int, h: Int, colorRes: Int): Array[Byte] =
+      ("GIF89a".getBytes.toSeq ++ le16(w) ++ le16(h) ++
+        Seq((((colorRes - 1) & 7) << 4).toByte, 0.toByte, 0.toByte,
+          0x3b.toByte)).toArray
+    def bmpBytes(w: Int, h: Int, bits: Int): Array[Byte] =
+      ("BM".getBytes.toSeq ++ le32(0) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(bits)).toArray
+
+    assert(Multimodal.decodeHeader(gifBytes(800, 600, 8)) ===
+      Multimodal.ImageHeader("gif", Some(800), Some(600), Some(8)))
+    // GIF87a variant, minimal dims
+    assert(Multimodal.decodeHeader(
+        ("GIF87a".getBytes.toSeq ++ le16(1) ++ le16(1) ++
+          Seq(0.toByte, 0.toByte, 0.toByte)).toArray) ===
+      Multimodal.ImageHeader("gif", Some(1), Some(1), Some(1)))
+    // truncated after the magic: format detected, no fields
+    assert(Multimodal.decodeHeader("GIF89a".getBytes) ===
+      Multimodal.ImageHeader("gif", None, None, None))
+    assert(Multimodal.decodeHeader(bmpBytes(1920, 1080, 24)) ===
+      Multimodal.ImageHeader("bmp", Some(1920), Some(1080), Some(24)))
+    // negative height = top-down row order, reported as-is
+    assert(Multimodal.decodeHeader(bmpBytes(64, -64, 32)) ===
+      Multimodal.ImageHeader("bmp", Some(64), Some(-64), Some(32)))
+    // 'BM' magic but header shorter than BITMAPINFOHEADER: unknown
+    assert(Multimodal.decodeHeader("BM".getBytes ++
+      Array.fill[Byte](10)(0)).format === "unknown")
+  }
+
   test("multimodal: feature extraction decodes real headers per partition") {
     val media = Seq(
       (1L, "image", pngBytes(320, 200, 16)),
