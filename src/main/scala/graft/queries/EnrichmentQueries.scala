@@ -452,9 +452,72 @@ object EnrichmentQueries {
             FROM p JOIN days ON p.day BETWEEN target_day - 6 AND target_day
             GROUP BY target_day ORDER BY target_day"""))
 
+  /** DAU/WAU stickiness: daily distinct users over trailing-7-day
+    * distinct users, per day — the engagement ratio on top of
+    * [[qActiveUsers7d]]'s interval-join shape. Identical-operand long
+    * division keeps the ratio bit-exact.
+    */
+  val qStickiness = QueryDef(
+    "q_stickiness",
+    (s, d) => {
+      val pairs = events(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), tsEpochDay.as("day")).distinct()
+      val dau = pairs.groupBy(col("day").as("target_day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val wau = pairs
+        .join(broadcast(pairs.select(col("day").as("target_day")).distinct()),
+          col("day").between(col("target_day") - 6, col("target_day")))
+        .groupBy("target_day")
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, "target_day")
+        .withColumn("stickiness",
+          col("dau").cast("double") / col("wau").cast("double"))
+        .orderBy("target_day")
+    },
+    Some("""WITH p AS (SELECT DISTINCT user_id,
+              epoch_ns(ts) // 86400000000000 AS day
+            FROM events WHERE user_id IS NOT NULL),
+            dau AS (SELECT day AS target_day, count(DISTINCT user_id) AS dau
+                    FROM p GROUP BY 1),
+            days AS (SELECT DISTINCT day AS target_day FROM p),
+            wau AS (SELECT target_day, count(DISTINCT user_id) AS wau
+                    FROM p JOIN days ON p.day BETWEEN target_day - 6 AND target_day
+                    GROUP BY target_day)
+            SELECT dau.target_day, dau, wau,
+              CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+            FROM dau JOIN wau ON dau.target_day = wau.target_day
+            ORDER BY dau.target_day"""))
+
+  /** New-vs-returning split: per day, users active for the FIRST time
+    * vs users seen before — the acquisition/retention decomposition.
+    * One pass computes each user's first day (a user-keyed aggregate);
+    * the per-day split is conditional counting on pure integers.
+    */
+  val qNewVsReturning = QueryDef(
+    "q_new_vs_returning",
+    (s, d) => {
+      val pairs = events(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), tsEpochDay.as("day")).distinct()
+      val first = pairs.groupBy("user_id").agg(min("day").as("first_day"))
+      pairs.join(first, "user_id")
+        .groupBy("day").agg(
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"),
+          sum(when(col("day") > col("first_day"), 1L).otherwise(0L)).as("returning_users"))
+        .orderBy("day")
+    },
+    Some("""WITH p AS (SELECT DISTINCT user_id,
+              epoch_ns(ts) // 86400000000000 AS day
+            FROM events WHERE user_id IS NOT NULL),
+            f AS (SELECT user_id, min(day) AS first_day FROM p GROUP BY 1)
+            SELECT day,
+              sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS new_users,
+              sum(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS returning_users
+            FROM p JOIN f ON p.user_id = f.user_id
+            GROUP BY day ORDER BY day"""))
+
   val all: Seq[QueryDef] =
     Seq(qCidrMatch, qZorderKey, qEventTransitions, qBinEquidepth,
       qSessionPaths, qDriftReport, qPercentRank, qWeekdayProfile,
       qOutliersIqr, qAssocPairs, qHistEquiwidth, qCusumDaily,
-      qActiveUsers7d)
+      qActiveUsers7d, qStickiness, qNewVsReturning)
 }
