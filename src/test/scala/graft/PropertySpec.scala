@@ -254,4 +254,59 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("zorder16 is a bijection on 16-bit pairs: deinterleave inverts it") {
+    def deinterleave(z: Long): (Long, Long) = {
+      var a = 0L; var b = 0L
+      for (i <- 0 until 16) {
+        a |= ((z >> (2 * i)) & 1L) << i
+        b |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (a, b)
+    }
+    forAll(Gen.zip(Gen.choose(0L, (1L << 40) - 1), Gen.choose(0L, (1L << 40) - 1)), n = 64) {
+      case (a, b) =>
+        val z = graft.functions.ZOrderImpl.interleave16(a, b)
+        assert(z >= 0L && z < (1L << 32), s"z out of 32-bit range: $z")
+        assert(deinterleave(z) === (a & 0xFFFFL, b & 0xFFFFL), s"($a, $b)")
+    }
+  }
+
+  test("lpmEnrich matches a plain-Scala LPM reference on random feeds and addresses") {
+    val genCidr = for {
+      o1 <- Gen.choose(0, 255); o2 <- Gen.choose(0, 255)
+      o3 <- Gen.choose(0, 255); o4 <- Gen.choose(0, 255)
+      p <- Gen.choose(1, 30)
+    } yield s"$o1.$o2.$o3.$o4/$p"
+    def bounds(cidr: String): (Long, Long, Int) = {
+      val Array(base, p) = cidr.split("/")
+      val o = base.split("\\.").map(_.toLong)
+      val raw = o(0) * 16777216L + o(1) * 65536L + o(2) * 256L + o(3)
+      val block = 1L << (32 - p.toInt)
+      val lo = raw - raw % block
+      (lo, lo + block - 1, p.toInt)
+    }
+    forAll(Gen.zip(
+        Gen.listOfN(6, genCidr).map(_.distinct),
+        Gen.listOfN(50, Gen.choose(0L, (1L << 32) - 1))), n = 6) {
+      case (cidrs, ips) =>
+        // drop duplicate (lo, prefix) blocks: two labels for the same
+        // block would make the match ambiguous (not a well-formed feed)
+        val feed = cidrs.map(c => c -> s"label-$c")
+          .groupBy { case (c, _) => (bounds(c)._1, bounds(c)._3) }
+          .map(_._2.head).toSeq.sortBy(_._1)
+        val expected = ips.map { ip =>
+          val hits = feed.filter { case (c, _) =>
+            val (lo, hi, _) = bounds(c); ip >= lo && ip <= hi }
+          if (hits.isEmpty) None
+          else Some(hits.maxBy { case (c, _) => bounds(c)._3 }._2)
+        }
+        val got = graft.ext.Network.lpmEnrich(
+            ips.zipWithIndex.map { case (ip, i) => (i, ip) }.toDF("i", "ip"),
+            col("ip"), feed)
+          .orderBy("i").select(col("_lpm.label"))
+          .as[Option[String]].collect().toSeq
+        assert(got === expected)
+    }
+  }
 }
