@@ -203,6 +203,31 @@ object CorpusSampling {
       .drop("_copies")
   }
 
+  /** Deterministic weighted sample without replacement (priority
+    * sampling, Duffield–Lund–Thorup): each row draws a salted md5
+    * uniform and takes priority draw/weight; the k smallest priorities
+    * win, so inclusion probability rises with weight while the whole
+    * selection replays bit-identically from the ids (same per-operator
+    * salt convention as split/upsample). orderBy+limit compiles to
+    * TakeOrderedAndProject — a distributed top-k, no global sort. The
+    * priority divides identical operands on both engines, so the oracle
+    * reproduces the exact selection AND order. Non-positive or NULL
+    * weights are excluded (they cannot be sensibly prioritized).
+    */
+  def weightedSample(
+      df: DataFrame, id: Column, weight: Column, k: Int,
+      salt: String = "graft:wsample"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(!df.columns.contains("_priority"),
+      "input must not already contain reserved column _priority")
+    val draw = conv(substring(
+      md5(concat(id.cast("string"), lit(salt))), 1, 8), 16, 10).cast("long")
+    df.where(weight.isNotNull && weight > 0)
+      .withColumn("_priority", draw.cast("double") / weight.cast("double"))
+      .orderBy(col("_priority"), id)
+      .limit(k)
+  }
+
   /** Temperature-based mixture sampling: stratum `s` holding `n_s`
     * documents receives a document target proportional to `n_s^alpha`
     * (capped at `n_s` — sampling is without replacement), and that many

@@ -2,8 +2,9 @@ package graft.ext
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
 
 /** Streaming-sketch aggregators for 100 TB profiling jobs, built on the
   * public `Aggregator[IN, BUF, OUT]` surface (SURVEY.md §7.3's sanctioned

@@ -1336,6 +1336,24 @@ object ExtensionQueries {
             FROM w, unnest(range(copies)) AS u(i)
             ORDER BY doc_id, copy_idx"""))
 
+  /** Weighted priority sample ([[CorpusSampling.weightedSample]]):
+    * longer documents are proportionally likelier to be drawn, yet the
+    * whole selection replays from the ids — the oracle reproduces
+    * selection AND order because the priority divides identical
+    * operands on both engines.
+    */
+  val qSampleWeighted = QueryDef(
+    "q_sample_weighted",
+    (s, d) => CorpusSampling.weightedSample(
+        docs(s, d), col("doc_id"), col("n_chars"), k = 50)
+      .select("doc_id", "n_chars", "_priority"),
+    Some("""SELECT doc_id, n_chars, _priority FROM (
+              SELECT doc_id, n_chars,
+                CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft:wsample'), 1, 8))
+                     AS BIGINT) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS _priority
+              FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0) t
+            ORDER BY _priority, doc_id LIMIT 50"""))
+
   /** Gopher rule gate (Rae et al. 2021, Table A1 subset): per-document
     * quality signals and rule booleans — token-count bounds, mean word
     * length bounds, symbol-to-token ratio, alphabetic-token fraction,
@@ -1883,7 +1901,8 @@ object ExtensionQueries {
     qJsonlRoundtrip, qOrcRoundtrip, qSampleStratified, qSampleTokenBudget,
     qSampleMixture,
     qPackSequences, qPackMaterialize, qDocChunks, qWinnowPairs,
-    qPiiRedact, qDedupSpans, qSplitAssign, qSampleUpsample, qGopherRules,
+    qPiiRedact, qDedupSpans, qSplitAssign, qSampleUpsample, qSampleWeighted,
+    qGopherRules,
     qTokenHistogram, qDecontaminateSemantic,
     qDocFrequency, qTfidfTopTerms, qBm25, qBm25TopK,
     qSampleTemperature, qHardNegatives, qEmbedQuantize, qAnnSq8, qLmScore,

@@ -716,6 +716,27 @@ object ParityQueries {
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
 
+  /** Explicit GROUPING SETS — the general form behind rollup/cube: the
+    * caller picks exactly which aggregation grains materialize (here both
+    * single-dimension grains and the grand total, but NOT the full
+    * cross). One scan, Expand-based like rollup; NULL grain markers sort
+    * NULLS FIRST explicitly in the oracle.
+    */
+  val qGroupingSets = QueryDef(
+    "q_grouping_sets",
+    (s, d) => events(s, d)
+      .withColumn("dow", (expr("ts div 86400000000000") + 4) % 7)
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("dow")), Seq()),
+        col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("dow")),
+    Some("""WITH e AS (SELECT event_type,
+              ((epoch_ns(ts) // 86400000000000) + 4) % 7 AS dow FROM events)
+            SELECT event_type, dow, count(*) AS n FROM e
+            GROUP BY GROUPING SETS ((event_type), (dow), ())
+            ORDER BY event_type NULLS FIRST, dow NULLS FIRST"""))
+
   /** Exact interpolated percentiles per group — profiling staple. Spark's
     * `percentile` and DuckDB's `quantile_cont` both use R-7 linear
     * interpolation over the sorted values, so the results hash-match
@@ -1401,7 +1422,7 @@ object ParityQueries {
     qMinmaxTs, qCountOver, qDailyAvg, qGlobalAgg, qCountDistinct, qNullCounts,
     qTopkValues, qDomainCheck, qJoinLeft, qJoinComposite, qJoinInner,
     qJoinSemi, qJoinAnti, qJoinFull, qAsofJoin, qAsofJoinExec, qRangeJoin,
-    qSetOps, qRollup, qPercentiles, qApproxDistinct,
+    qSetOps, qRollup, qGroupingSets, qPercentiles, qApproxDistinct,
     qApproxPercentiles, qCountOverSalted, qSort,
     qLag, qRollingCount, qSessionId, qSessionAgg, qSessionize,
     qPivot, qUnpivot, qCube, qJsonExtract,
