@@ -52,6 +52,36 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Blocked edit-distance near-dup pairs: normalize each document to a
+    * fixed-length signature (lowercased, whitespace-collapsed prefix),
+    * block on the signature's own prefix, and verify only block-mates
+    * with exact Levenshtein distance. The record-linkage classic
+    * (Fellegi–Sunter blocking): candidate generation is an equi-join on
+    * the block key — quadratic only WITHIN a block, never across the
+    * corpus — and `levenshtein` is a codegen'd built-in on a bounded
+    * `sigLen`-char string, so verification is O(sigLen²) per candidate
+    * pair, independent of document length. Trades recall at the block
+    * boundary (edits inside the first `blockLen` chars move a doc to a
+    * different block) for a corpus-size-independent candidate set — the
+    * same contract as the LSH/SimHash band families above.
+    */
+  def editDistancePairs(
+      df: DataFrame, id: String, text: String,
+      sigLen: Int = 40, blockLen: Int = 8, maxDist: Int = 5): DataFrame = {
+    require(blockLen <= sigLen, s"blockLen $blockLen must be <= sigLen $sigLen")
+    val sigs = df.select(col(id),
+      substring(regexp_replace(lower(col(text)), "\\s+", " "), 1, sigLen).as("_sig"))
+    val a = sigs.select(col(id).as("id1"), col("_sig").as("_sig1"),
+      substring(col("_sig"), 1, blockLen).as("_blk"))
+    val b = sigs.select(col(id).as("id2"), col("_sig").as("_sig2"),
+      substring(col("_sig"), 1, blockLen).as("_blk"))
+    a.join(b, Seq("_blk"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("dist", levenshtein(col("_sig1"), col("_sig2")))
+      .filter(col("dist") <= maxDist)
+      .select("id1", "id2", "dist")
+  }
+
   /** Permutation family over a base 64-bit token hash: permutation i is
     * xxhash64 re-keyed with i over the LONG base hash. One string hash per
     * token regardless of k — re-keying hashes 16 bytes, not the token, and

@@ -65,4 +65,62 @@ object Sketches {
   /** Untyped (DataFrame) form: `df.agg(spaceSaving(8)(col("event_type")))`. */
   def spaceSaving(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new SpaceSaving(k), Encoders.STRING)
+
+  /** Row `j` bucket of a count–min sketch: the first 8 hex chars of a
+    * salted md5 draw, mod `width`. The salt carries the row index so the
+    * `depth` hash functions are independent; md5-hex keeps the draw
+    * bit-replayable in any engine (`('0x'||hex)::BIGINT` in DuckDB ↔
+    * `conv(hex,16,10)` here).
+    */
+  private[graft] def cmsBucket(key: Column, j: Column, width: Int, salt: String): Column =
+    conv(substring(
+      md5(concat(key.cast("string"), lit(salt), j.cast("string"))), 1, 8),
+      16, 10).cast("long") % width
+
+  /** Count–min sketch (Cormode & Muthukrishnan, "An improved data stream
+    * summary: the count-min sketch and its applications", J. Algorithms
+    * 2005) built RELATIONALLY: the sketch is just a `depth × width`
+    * counter table, and incrementing cell (j, h_j(key)) for every row is
+    * a groupBy-count on (j, bucket) — map-side partial aggregation does
+    * the heavy counting, and the exchange carries at most `depth · width`
+    * groups per map task regardless of corpus size. That is the whole
+    * 100 TB story: frequency estimation over an unbounded key space with
+    * a CONSTANT-size shuffle and a constant-size result.
+    *
+    * Returns the sketch as rows (j, bucket, c). NULL keys are excluded
+    * (they have no well-defined hash).
+    */
+  def countMinSketch(
+      df: DataFrame, key: Column, width: Int, depth: Int,
+      salt: String = "graft:cms"): DataFrame = {
+    require(width >= 1 && depth >= 1, s"width/depth must be >= 1")
+    df.where(key.isNotNull)
+      .select(key.cast("string").as("_cms_k"))
+      .withColumn("_cms_j", explode(sequence(lit(0), lit(depth - 1))))
+      .groupBy(col("_cms_j").as("j"),
+        cmsBucket(col("_cms_k"), col("_cms_j"), width, salt).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-estimate lookup against a [[countMinSketch]]: for each row of
+    * `keys`, min over the `depth` cells the key hashes to — the classic
+    * CMS upper bound (never under-estimates; over-estimates only when
+    * every row collides). The sketch side is depth·width rows, so it
+    * BROADCASTS; the keys side streams through with one bounded-key
+    * re-aggregation. Keys absent from the sketch estimate 0.
+    */
+  def countMinLookup(
+      sketch: DataFrame, keys: DataFrame, key: Column, width: Int, depth: Int,
+      salt: String = "graft:cms"): DataFrame = {
+    val cols = keys.columns
+    require(!cols.exists(Set("_cms_j", "_cms_b").contains),
+      "keys must not already contain reserved columns _cms_j/_cms_b")
+    keys
+      .withColumn("_cms_j", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("_cms_b", cmsBucket(key, col("_cms_j"), width, salt))
+      .join(org.apache.spark.sql.functions.broadcast(sketch),
+        col("_cms_j") === col("j") && col("_cms_b") === col("bucket"), "left")
+      .groupBy(cols.map(col).toIndexedSeq: _*)
+      .agg(min(coalesce(col("c"), lit(0L))).as("n_est"))
+  }
 }

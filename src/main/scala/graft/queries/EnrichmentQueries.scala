@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.Network
+import graft.ext.{Network, Sketches}
 import graft.functions.ZOrderFunctions
 
 /** Events-domain enrichment and layout analytics: threat-intel CIDR
@@ -515,9 +515,143 @@ object EnrichmentQueries {
             FROM p JOIN f ON p.user_id = f.user_id
             GROUP BY day ORDER BY day"""))
 
+  /** Count–min sketch frequency estimation ([[Sketches.countMinSketch]] /
+    * [[Sketches.countMinLookup]]): per-user event counts estimated from a
+    * 4×64 counter table. Width 64 over ~150 users forces real collisions,
+    * so the CMS upper-bound property (`n_est >= n_true`, equality when
+    * some row is collision-free) is exercised, not vacuous. The sketch
+    * build shuffles at most depth·width groups per map task regardless of
+    * corpus size — constant-size exchange, constant-size broadcast back.
+    * md5-derived bucket draws replay exactly in SQL.
+    */
+  val qCountMin = QueryDef(
+    "q_countmin",
+    (s, d) => {
+      val e = events(s, d)
+      val sketch = Sketches.countMinSketch(e, col("user_id"), width = 64, depth = 4)
+      val truth = e.where(col("user_id").isNotNull)
+        .groupBy("user_id").agg(count(lit(1)).as("n_true"))
+      Sketches.countMinLookup(sketch, truth, col("user_id"), width = 64, depth = 4)
+        .orderBy("user_id")
+    },
+    Some("""WITH ks AS (SELECT user_id, count(*) AS n_true FROM events
+              WHERE user_id IS NOT NULL GROUP BY 1),
+            h AS (SELECT user_id, n_true, j,
+                    ('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'graft:cms'
+                        || CAST(j AS VARCHAR)), 1, 8))::BIGINT % 64 AS bucket
+                  FROM ks, unnest(range(4)) AS t(j)),
+            sk AS (SELECT j, bucket, sum(n_true) AS c FROM h GROUP BY 1, 2)
+            SELECT h.user_id, h.n_true, CAST(min(sk.c) AS BIGINT) AS n_est
+            FROM h JOIN sk ON h.j = sk.j AND h.bucket = sk.bucket
+            GROUP BY h.user_id, h.n_true
+            ORDER BY user_id"""))
+
+  /** Gini coefficient of per-user event volume — the concentration
+    * statistic behind "do 1% of users generate 90% of traffic". Closed
+    * form over ranked counts: G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ), all
+    * INTEGER sums with ONE division at the end — the bit-exact recipe
+    * (windowed double sums are frame-algorithm-dependent across engines;
+    * integer sums cannot be). The global rank runs over the per-user
+    * AGGREGATE (cardinality-bounded), never over raw events.
+    */
+  val qGini = QueryDef(
+    "q_gini",
+    (s, d) => {
+      val counts = events(s, d).where(col("user_id").isNotNull)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("n"), col("user_id"))
+      counts.withColumn("i", row_number().over(w))
+        .agg(count(lit(1)).as("nu"), sum(col("n")).as("t"),
+          sum(col("i") * col("n")).as("s"))
+        .select(col("nu").as("n_users"), col("t").as("total_events"),
+          ((lit(2) * col("s") - (col("nu") + 1) * col("t")).cast("double") /
+            (col("nu") * col("t")).cast("double")).as("gini"))
+    },
+    Some("""WITH c AS (SELECT user_id, count(*) AS n FROM events
+              WHERE user_id IS NOT NULL GROUP BY 1),
+            r AS (SELECT user_id, n,
+                    row_number() OVER (ORDER BY n, user_id) AS i FROM c),
+            a AS (SELECT count(*) AS nu, sum(n) AS t, sum(i * n) AS s FROM r)
+            SELECT nu AS n_users, CAST(t AS BIGINT) AS total_events,
+              CAST(2 * s - (nu + 1) * t AS DOUBLE)
+                / CAST(nu * t AS DOUBLE) AS gini
+            FROM a"""))
+
+  /** Benford first-significant-digit profile of order line prices — the
+    * fabricated-data smell test. The digit comes from the SHORTEST-
+    * ROUND-TRIP string rendering of the double (identical in both
+    * engines — the established VARCHAR-hop equivalence), which is safe
+    * here because every price is in [901, 105000): no sign, no leading
+    * zero, no scientific notation. Shares divide identical longs.
+    */
+  val qBenford = QueryDef(
+    "q_benford",
+    (s, d) => QueryDef.table(s, d, "lineitem")
+      .select(substring(col("l_extendedprice").cast("string"), 1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("share", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy()).cast("double"))
+      .orderBy("digit"),
+    Some("""WITH d AS (SELECT substr(CAST(l_extendedprice AS VARCHAR), 1, 1)
+              AS digit FROM lineitem),
+            c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1)
+            SELECT digit, n,
+              CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share
+            FROM c ORDER BY digit"""))
+
+  /** TPC-H Q5-shaped star-join revenue: six-table join (fact lineitem ⋈
+    * filtered orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region) with the
+    * same-nation constraint, revenue per nation for one region-year.
+    * Scale shape: the date filter pushes into the orders scan, the three
+    * true dimensions broadcast (nation/region/supplier here; at 100 TB
+    * supplier joins like a fact), and lineitem⋈orders⋈customer shuffle on
+    * their join keys — Catalyst/AQE pick sides. Bit-exactness: prices
+    * cast double→DECIMAL(12,2) BEFORE multiplying (2-decimal money is
+    * below the cast's rounding granularity on both engines), the product
+    * stays decimal scale 4, the sum is order-independent decimal, and ONE
+    * final cast to double is correctly rounded in both engines.
+    */
+  val qStarRevenue = QueryDef(
+    "q_star_revenue",
+    (s, d) => {
+      val li = QueryDef.table(s, d, "lineitem")
+      val ord = QueryDef.table(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val cust = QueryDef.table(s, d, "customer")
+      val supp = QueryDef.table(s, d, "supplier")
+      val nat = QueryDef.table(s, d, "nation")
+      val reg = QueryDef.table(s, d, "region").where(col("r_name") === "ASIA")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+            .cast("double").as("revenue"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name, count(*) AS n_lines,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                AS revenue
+            FROM lineitem, orders, customer, supplier, nation, region
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name ORDER BY n_name"""))
+
   val all: Seq[QueryDef] =
     Seq(qCidrMatch, qZorderKey, qEventTransitions, qBinEquidepth,
       qSessionPaths, qDriftReport, qPercentRank, qWeekdayProfile,
       qOutliersIqr, qAssocPairs, qHistEquiwidth, qCusumDaily,
-      qActiveUsers7d, qStickiness, qNewVsReturning)
+      qActiveUsers7d, qStickiness, qNewVsReturning,
+      qCountMin, qGini, qBenford, qStarRevenue)
 }

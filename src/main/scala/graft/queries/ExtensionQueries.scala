@@ -88,6 +88,29 @@ object ExtensionQueries {
             WHERE shared / CAST(s1.n + s2.n - shared AS DOUBLE) >= 0.8
             ORDER BY id1, id2"""))
 
+  /** Blocked edit-distance near-dup pairs ([[Dedup.editDistancePairs]]):
+    * prefix-blocked candidate join + exact Levenshtein verify on a
+    * 40-char normalized signature — the record-linkage shape (quadratic
+    * only within a block; `levenshtein` is a codegen'd built-in in both
+    * engines and integer-exact, so the oracle replays it verbatim).
+    */
+  val qFuzzyPairs = QueryDef(
+    "q_fuzzy_pairs",
+    (s, d) => Dedup.editDistancePairs(
+        docs(s, d), "doc_id", "text", sigLen = 40, blockLen = 8, maxDist = 5)
+      .withColumn("dist", col("dist").cast("long"))
+      .orderBy("id1", "id2"),
+    Some("""WITH s AS (SELECT doc_id,
+              substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 40) AS sig
+            FROM documents)
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+              levenshtein(a.sig, b.sig) AS dist
+            FROM s a JOIN s b
+              ON substr(a.sig, 1, 8) = substr(b.sig, 1, 8)
+             AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.sig, b.sig) <= 5
+            ORDER BY id1, id2"""))
+
   /** MinHash+LSH dedup as a per-document keep/drop assignment (the
     * pairwise candidate list is quadratic on this corpus — ~8M pairs from
     * 5k docs — so the scalable operator emits cluster representatives
@@ -1888,7 +1911,8 @@ object ExtensionQueries {
     None)
 
   val all: Seq[QueryDef] = Seq(
-    qDedupExact, qDedupExactHash, qNgramJaccard, qDedupMinhash, qDedupClusters,
+    qDedupExact, qDedupExactHash, qNgramJaccard, qFuzzyPairs, qDedupMinhash,
+    qDedupClusters,
     qDedupSimhash, qDedupEmbed, qDedupSemdedup, qDedupIncremental,
     qDecontaminate,
     qEmbedCosineTopk, qEmbedMeanpool, qAnnLsh, qAnnIvf, qAnnPq, qAnnIvfPq,

@@ -572,4 +572,30 @@ object StreamingPipeline {
       .groupBy(window(col(tsCol), s"$days days", "1 day"))
       .agg(approx_count_distinct(col(userCol)).as("wau_approx"))
       .select(col("window.start").as("win_start"), col("wau_approx"))
+
+  /** Streaming twin of the count–min sketch (q_countmin): per tumbling
+    * event-time window, the depth×width counter table as rows
+    * (win_start, j, bucket, c). The state per open window is just the
+    * aggregation groups — at most depth·width rows regardless of stream
+    * volume, the same constant-size contract as the batch build — and
+    * because CMS cell updates are pure ADDITIONS (commutative,
+    * associative), the streamed sketch of a closed window is
+    * BIT-IDENTICAL to [[graft.ext.Sketches.countMinSketch]] over the
+    * same rows, asserted cell-by-cell in StreamingSpec.
+    */
+  def countMinStream(
+      events: DataFrame, keyCol: String, tsCol: String = "timestamp",
+      width: Int = 64, depth: Int = 4, windowDur: String = "1 hour",
+      watermark: String = "1 hour", salt: String = "graft:cms"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .where(col(keyCol).isNotNull)
+      .select(col(tsCol), col(keyCol).cast("string").as("_cms_k"))
+      .withColumn("_cms_j", explode(sequence(lit(0), lit(depth - 1))))
+      .groupBy(window(col(tsCol), windowDur), col("_cms_j").as("j"),
+        graft.ext.Sketches.cmsBucket(col("_cms_k"), col("_cms_j"), width, salt)
+          .as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("win_start"),
+        col("j"), col("bucket"), col("c"))
 }

@@ -96,4 +96,79 @@ class EnrichmentSpec extends SparkSpec {
       assert(x._2 > y._2 || (x._2 == y._2 && x._1 < y._1))
     }
   }
+
+  test("count-min never under-estimates; each sketch row conserves total mass") {
+    val est = EnrichmentQueries.qCountMin.fn(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(est.nonEmpty)
+    est.foreach { case (u, t, e) => assert(e >= t, s"user $u: est $e < true $t") }
+    val e = spark.read.parquet(s"$dir/events.parquet")
+    // a deliberately narrow sketch (8 buckets over these keys) must both
+    // collide somewhere AND keep every estimate an upper bound
+    val narrowSketch = graft.ext.Sketches
+      .countMinSketch(e, col("user_id"), width = 8, depth = 2)
+    val narrowTruth = e.where(col("user_id").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("n_true"))
+    val narrow = graft.ext.Sketches
+      .countMinLookup(narrowSketch, narrowTruth, col("user_id"), width = 8, depth = 2)
+      .as[(Long, Long, Long)].collect()
+    narrow.foreach { case (u, t, o) => assert(o >= t, s"user $u") }
+    assert(narrow.exists { case (_, t, o) => o > t },
+      "no collision — width too wide to exercise CMS")
+    val total = e.where(col("user_id").isNotNull).count()
+    val rowMass = graft.ext.Sketches
+      .countMinSketch(e, col("user_id"), width = 64, depth = 4)
+      .groupBy("j").agg(sum("c").as("mass"))
+      .select("mass").as[Long].collect()
+    assert(rowMass.length === 4)
+    rowMass.foreach(m => assert(m === total))
+  }
+
+  test("count-min with a wide sketch is exact on this key space") {
+    val e = spark.read.parquet(s"$dir/events.parquet")
+    val sketch = graft.ext.Sketches
+      .countMinSketch(e, col("user_id"), width = 4096, depth = 4)
+    val truth = e.where(col("user_id").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("n_true"))
+    val out = graft.ext.Sketches
+      .countMinLookup(sketch, truth, col("user_id"), width = 4096, depth = 4)
+      .as[(Long, Long, Long)].collect()
+    out.foreach { case (u, t, est) => assert(est === t, s"user $u") }
+  }
+
+  test("gini matches a plain-Scala reference on the per-user counts and lies in [0,1)") {
+    val counts = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("user_id").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect()
+    val sorted = counts.sortBy { case (u, n) => (n, u) }.map(_._2)
+    val n = sorted.length.toLong
+    val t = sorted.sum
+    val s = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val ref = (2 * s - (n + 1) * t).toDouble / (n * t).toDouble
+    val got = EnrichmentQueries.qGini.fn(spark, dir)
+      .as[(Long, Long, Double)].head()
+    assert(got._1 === n && got._2 === t)
+    assert(got._3 === ref, s"gini ${got._3} != reference $ref")
+    assert(got._3 >= 0.0 && got._3 < 1.0)
+  }
+
+  test("benford digits are 1-9, counts cover the table, shares sum to 1") {
+    val rows = EnrichmentQueries.qBenford.fn(spark, dir)
+      .as[(String, Long, Double)].collect()
+    assert(rows.map(_._1).forall(d => d.length == 1 && d >= "1" && d <= "9"))
+    val total = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    assert(rows.map(_._2).sum === total)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9)
+  }
+
+  test("star revenue plans broadcast joins for the dimensions and pushes the date filter") {
+    val df = EnrichmentQueries.qStarRevenue.fn(spark, dir)
+    assert(df.count() >= 1)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast dimension joins")
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
+      "expected the date filter pushed into the orders scan")
+  }
 }

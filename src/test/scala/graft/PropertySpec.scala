@@ -309,4 +309,41 @@ class PropertySpec extends SparkSpec {
         assert(got === expected)
     }
   }
+
+  /** Textbook two-row DP Levenshtein — the reference for the blocked
+    * edit-distance operator.
+    */
+  private def lev(a: String, b: String): Int = {
+    var prev = (0 to b.length).toArray
+    for (i <- 1 to a.length) {
+      val cur = new Array[Int](b.length + 1)
+      cur(0) = i
+      for (j <- 1 to b.length) {
+        val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+      }
+      prev = cur
+    }
+    prev(b.length)
+  }
+
+  test("blocked edit-distance pairs match an all-pairs plain-Scala reference") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val sigs = raw.map { case (id, t) =>
+      (id, t.toLowerCase.replaceAll("\\s+", " ").take(40))
+    }
+    val expected = (for {
+      (i1, s1) <- sigs; (i2, s2) <- sigs
+      if i1 < i2 && s1.take(8) == s2.take(8)
+      d = lev(s1, s2) if d <= 5
+    } yield (i1, i2, d.toLong)).toSet
+    val got = graft.ext.Dedup.editDistancePairs(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "doc_id", "text", sigLen = 40, blockLen = 8, maxDist = 5)
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, d) => (a, b, d.toLong) }.toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
 }

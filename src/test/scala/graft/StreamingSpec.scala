@@ -409,6 +409,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming count-min sketch is bit-identical to the batch sketch per window") {
+    implicit val sqlCtx = spark.sqlContext
+    // 7 keys over two hour-windows; CMS cell updates are pure additions,
+    // so each closed window's counter table must equal the batch build
+    val rows = for {
+      h <- Seq(10, 11); i <- 1 to 40
+    } yield (s"user${i % 7}", ts(f"2025-01-01 $h%02d:${i % 60}%02d:00"))
+    val input = MemoryStream[(String, Timestamp)]
+    val q = StreamingPipeline.countMinStream(
+        input.toDF().toDF("key", "timestamp"), "key", width = 16, depth = 3)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cms_out").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      // close both windows: watermark must pass their ends
+      input.addData(("zz", ts("2025-02-01 00:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("cms_out")
+        .as[(Timestamp, Int, Long, Long)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.map(r => (r._2, r._3, r._4)).toSet).toMap
+      assert(streamed.keySet.size === 2, s"windows: ${streamed.keySet}")
+      streamed.foreach { case (w, cells) =>
+        val inWin = rows.filter(r =>
+          r._2.getTime >= w.getTime && r._2.getTime < w.getTime + 3600000L)
+        val batch = graft.ext.Sketches.countMinSketch(
+            inWin.toDF("key", "timestamp"), col("key"), width = 16, depth = 3)
+          .as[(Int, Long, Long)].collect().toSet
+        assert(cells === batch, s"window $w diverged from batch sketch")
+        assert(cells.nonEmpty)
+      }
+    } finally q.stop()
+  }
+
   test("streaming LM score matches batch on in-vocabulary documents; OOV finite") {
     implicit val sqlCtx = spark.sqlContext
     // static corpus = real documents; stream the SAME documents back in:
