@@ -534,11 +534,11 @@ object EnrichmentQueries {
       Sketches.countMinLookup(sketch, truth, col("user_id"), width = 64, depth = 4)
         .orderBy("user_id")
     },
-    Some("""WITH ks AS (SELECT user_id, count(*) AS n_true FROM events
-              WHERE user_id IS NOT NULL GROUP BY 1),
+    Some("""WITH ks AS (SELECT user_id, count(*) AS n_true,
+              md5(CAST(user_id AS VARCHAR) || 'graft:cms') AS hex
+            FROM events WHERE user_id IS NOT NULL GROUP BY 1, 3),
             h AS (SELECT user_id, n_true, j,
-                    ('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'graft:cms'
-                        || CAST(j AS VARCHAR)), 1, 8))::BIGINT % 64 AS bucket
+                    ('0x' || substr(hex, j * 8 + 1, 8))::BIGINT % 64 AS bucket
                   FROM ks, unnest(range(4)) AS t(j)),
             sk AS (SELECT j, bucket, sum(n_true) AS c FROM h GROUP BY 1, 2)
             SELECT h.user_id, h.n_true, CAST(min(sk.c) AS BIGINT) AS n_est
@@ -648,10 +648,50 @@ object EnrichmentQueries {
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name ORDER BY n_name"""))
 
+  /** Pareto frontier (skyline) of users over (event volume, peak event
+    * value): users no other user dominates in both metrics. Scale shape:
+    * the skyline never sorts the raw point set — it reduces to per-x
+    * maxima (|distinct x| rows), takes a running max over that BOUNDED
+    * aggregate ordered by x desc (ROWS frame over unique x — exact,
+    * engine-independent), and joins the two small tables back to the
+    * per-user aggregate. A point is dominated iff some strictly-greater
+    * x attains y' >= y, or its own x-group attains a strictly greater y;
+    * exact-tie points are mutually non-dominating and both survive.
+    * Pure integers throughout.
+    */
+  val qParetoFront = QueryDef(
+    "q_pareto_front",
+    (s, d) => {
+      val pts = events(s, d)
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("x"), max(col("value")).as("y"))
+      val perX = pts.groupBy("x").agg(max("y").as("max_y"))
+      val wx = Window.orderBy(col("x").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val dom = perX.withColumn("m1", max(col("max_y")).over(wx))
+      pts.join(broadcast(dom), "x")
+        .where(col("y") === col("max_y") &&
+          (col("m1").isNull || col("y") > col("m1")))
+        .select("user_id", "x", "y")
+        .orderBy("user_id")
+    },
+    Some("""WITH pts AS (SELECT user_id, count(*) AS x, max(value) AS y
+            FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1),
+            perx AS (SELECT x, max(y) AS max_y FROM pts GROUP BY 1),
+            dom AS (SELECT x, max_y,
+                      max(max_y) OVER (ORDER BY x DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1
+                    FROM perx)
+            SELECT user_id, pts.x, y FROM pts JOIN dom ON pts.x = dom.x
+            WHERE y = max_y AND (m1 IS NULL OR y > m1)
+            ORDER BY user_id"""))
+
   val all: Seq[QueryDef] =
     Seq(qCidrMatch, qZorderKey, qEventTransitions, qBinEquidepth,
       qSessionPaths, qDriftReport, qPercentRank, qWeekdayProfile,
       qOutliersIqr, qAssocPairs, qHistEquiwidth, qCusumDaily,
       qActiveUsers7d, qStickiness, qNewVsReturning,
-      qCountMin, qGini, qBenford, qStarRevenue)
+      qCountMin, qGini, qBenford, qStarRevenue, qParetoFront)
 }

@@ -1443,6 +1443,75 @@ object ExtensionQueries {
     * corpus-card length distribution. Integer bucket arithmetic, one
     * aggregation exchange.
     */
+  /** One BPE training iteration's inner loop: count adjacent character
+    * pairs within words across the corpus and rank the merge candidates
+    * (Sennrich et al. 2016, "Neural machine translation of rare words
+    * with subword units"). Shape: per-character explode is NARROW
+    * corpus-linear work (codegen'd `substr`, no higher-order lambda in
+    * the hot path); the groupBy key space is bounded by alphabet² — a
+    * constant-size exchange like the count-min build — and the top-k is
+    * TakeOrderedAndProject. Exact integer counts replay in SQL.
+    */
+  val qBpePairs = QueryDef(
+    "q_bpe_pairs",
+    (s, d) => docs(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(col("w"), explode(expr("sequence(1, length(w) - 1)")).as("i"))
+      .select(expr("substr(w, i, 2)").as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(30),
+    Some("""WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+              FROM documents),
+            p AS (SELECT substr(w2.w, t.i, 2) AS pair
+                  FROM (SELECT w FROM w WHERE length(w) >= 2) w2,
+                       unnest(range(1, length(w2.w))) AS t(i))
+            SELECT pair, count(*) AS n FROM p
+            GROUP BY pair ORDER BY n DESC, pair LIMIT 30"""))
+
+  /** The CASE thresholds shared by q_length_buckets and its oracle:
+    * powers of two 1..16384, overflow bucket 32768.
+    */
+  private val lengthBucketCaseSql: String =
+    (0 to 14).map(k => s"WHEN n <= ${1L << k} THEN ${1L << k}")
+      .mkString("CASE ", " ", " ELSE 32768 END")
+
+  /** Length-bucketed batching efficiency: assign each document to the
+    * smallest power-of-two token bucket and report per-bucket doc count,
+    * token mass, padding waste (docs·bucket − tokens), and fill ratio —
+    * the planning report behind sequence-packing vs padding decisions.
+    * The bucket is a folded literal when()-chain (codegen'd; no join, no
+    * log2 whose rounding could diverge between engines); waste stays
+    * INTEGER and the fill ratio divides identical longs.
+    */
+  val qLengthBuckets = QueryDef(
+    "q_length_buckets",
+    (s, d) => {
+      val nt = TextAnalysis.tokenCount(col("text"))
+      val bucket = (1 to 14).foldLeft(when(nt <= 1L, lit(1L))) {
+        (acc, k) => acc.when(nt <= (1L << k), lit(1L << k))
+      }.otherwise(lit(32768L))
+      docs(s, d).where(col("text").isNotNull)
+        .select(nt.as("n"), bucket.as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
+        .withColumn("padding_waste",
+          col("n_docs") * col("bucket") - col("sum_tokens"))
+        .withColumn("fill_ratio", col("sum_tokens").cast("double") /
+          (col("n_docs") * col("bucket")).cast("double"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH t AS (SELECT CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                AS BIGINT) AS n
+              FROM documents WHERE text IS NOT NULL),
+            b AS (SELECT n, $lengthBucketCaseSql AS bucket FROM t)
+            SELECT bucket, count(*) AS n_docs,
+              CAST(sum(n) AS BIGINT) AS sum_tokens,
+              CAST(count(*) * bucket - sum(n) AS BIGINT) AS padding_waste,
+              CAST(CAST(sum(n) AS BIGINT) AS DOUBLE)
+                / CAST(count(*) * bucket AS DOUBLE) AS fill_ratio
+            FROM b GROUP BY bucket ORDER BY bucket"""))
+
   val qTokenHistogram = QueryDef(
     "q_token_histogram",
     (s, d) => docs(s, d)
@@ -1927,7 +1996,7 @@ object ExtensionQueries {
     qPackSequences, qPackMaterialize, qDocChunks, qWinnowPairs,
     qPiiRedact, qDedupSpans, qSplitAssign, qSampleUpsample, qSampleWeighted,
     qGopherRules,
-    qTokenHistogram, qDecontaminateSemantic,
+    qTokenHistogram, qBpePairs, qLengthBuckets, qDecontaminateSemantic,
     qDocFrequency, qTfidfTopTerms, qBm25, qBm25TopK,
     qSampleTemperature, qHardNegatives, qEmbedQuantize, qAnnSq8, qLmScore,
     qCorpusCurate, qContaminationReport, qDupHistogram, qTextNfc,

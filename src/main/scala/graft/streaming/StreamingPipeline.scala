@@ -590,12 +590,11 @@ object StreamingPipeline {
     events
       .withWatermark(tsCol, watermark)
       .where(col(keyCol).isNotNull)
-      .select(col(tsCol), col(keyCol).cast("string").as("_cms_k"))
-      .withColumn("_cms_j", explode(sequence(lit(0), lit(depth - 1))))
-      .groupBy(window(col(tsCol), windowDur), col("_cms_j").as("j"),
-        graft.ext.Sketches.cmsBucket(col("_cms_k"), col("_cms_j"), width, salt)
-          .as("bucket"))
+      .select(col(tsCol),
+        posexplode(graft.ext.Sketches.cmsBuckets(col(keyCol), depth, width, salt))
+          .as(Seq("_cms_j", "_cms_b")))
+      .groupBy(window(col(tsCol), windowDur), col("_cms_j"), col("_cms_b"))
       .agg(count(lit(1)).as("c"))
       .select(col("window.start").as("win_start"),
-        col("j"), col("bucket"), col("c"))
+        col("_cms_j").as("j"), col("_cms_b").as("bucket"), col("c"))
 }

@@ -162,6 +162,35 @@ class EnrichmentSpec extends SparkSpec {
     assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9)
   }
 
+  test("pareto frontier equals the brute-force skyline") {
+    val pts = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("user_id").isNotNull && col("value").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("x"), max(col("value")).as("y"))
+      .as[(Long, Long, Double)].collect()
+    val expected = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, qx, qy) =>
+        qx >= x && qy >= y && (qx > x || qy > y)
+      }
+    }.toSet
+    val got = EnrichmentQueries.qParetoFront.fn(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === expected)
+    assert(got.size >= 2, "frontier should exhibit a real tradeoff")
+  }
+
+  test("count-min sketches merge relationally: union+sum equals the whole-corpus sketch") {
+    val e = spark.read.parquet(s"$dir/events.parquet")
+    def sk(df: org.apache.spark.sql.DataFrame) = graft.ext.Sketches
+      .countMinSketch(df, col("user_id"), width = 32, depth = 3)
+    val whole = sk(e).as[(Int, Long, Long)].collect().toSet
+    val merged = sk(e.where(col("event_id") % 2 === 0))
+      .union(sk(e.where(col("event_id") % 2 =!= 0)))
+      .groupBy("j", "bucket").agg(sum("c").as("c"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged === whole)
+  }
+
   test("star revenue plans broadcast joins for the dimensions and pushes the date filter") {
     val df = EnrichmentQueries.qStarRevenue.fn(spark, dir)
     assert(df.count() >= 1)
