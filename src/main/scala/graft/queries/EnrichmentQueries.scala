@@ -688,10 +688,108 @@ object EnrichmentQueries {
             WHERE y = max_y AND (m1 IS NULL OR y > m1)
             ORDER BY user_id"""))
 
+  /** TPC-H Q1-shaped pricing summary: the full aggregate battery per
+    * (returnflag, linestatus) — quantity/price/discounted/charged sums,
+    * three means, row count — in ONE partial+final hash aggregate pass
+    * over the fact scan with the ship-date filter pushed down.
+    * Bit-exactness: money casts double→DECIMAL before arithmetic so every
+    * sum is order-independent; `sum_charge`'s scale-6 decimal sum can
+    * exceed 2^53 once scaled, where the engines' decimal→double paths
+    * round differently — and a decimal DOWNCAST diverges too (Spark casts
+    * HALF_UP, DuckDB TRUNCATES: 28472760.715155 → .72 vs .71, measured).
+    * So the truncation is made EXPLICIT and identical: floor(sum·100)
+    * — unambiguous on positive decimals in both engines — yields an
+    * integer far below 2^53 whose double conversion is exact, and one
+    * final division by 100 is correctly rounded identically. Quantities
+    * are integer-valued doubles (exact in any order); means divide
+    * identical operands.
+    */
+  val qPricingSummary = QueryDef(
+    "q_pricing_summary",
+    (s, d) => {
+      val ep = col("l_extendedprice").cast("decimal(12,2)")
+      val disc = col("l_discount").cast("decimal(3,2)")
+      val tax = col("l_tax").cast("decimal(3,2)")
+      QueryDef.table(s, d, "lineitem")
+        .where(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(ep).cast("double").as("sum_base_price"),
+          sum(ep * (lit(1).cast("decimal(3,2)") - disc)).cast("double")
+            .as("sum_disc_price"),
+          (floor(sum(ep * (lit(1).cast("decimal(3,2)") - disc)
+            * (lit(1).cast("decimal(3,2)") + tax)) * lit(100))
+            .cast("double") / lit(100.0)).as("sum_charge"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (sum(ep).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(disc).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+              sum(l_quantity) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                AS sum_base_price,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                AS sum_disc_price,
+              CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(3,2)))
+                   * (1 + CAST(l_tax AS DECIMAL(3,2)))) * 100)
+                AS DOUBLE) / 100 AS sum_charge,
+              sum(l_quantity) / count(*) AS avg_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                / count(*) AS avg_price,
+              CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE)
+                / count(*) AS avg_disc,
+              count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1999-01-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  /** TPC-H Q3-shaped top unshipped orders: segment-filtered three-table
+    * join, per-order revenue, top 10 — the classic
+    * filter→join→agg→TakeOrderedAndProject pipeline (no global sort; each
+    * map task ships only its local top 10). Revenue is an
+    * order-independent decimal sum whose scaled integer stays far below
+    * 2^53 per order, so the final double cast is exact in both engines;
+    * the orderkey tiebreak pins ties.
+    */
+  val qTopOrders = QueryDef(
+    "q_top_orders",
+    (s, d) => {
+      val cut = lit("1998-07-01").cast("timestamp")
+      val cust = QueryDef.table(s, d, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+      val ord = QueryDef.table(s, d, "orders").where(col("o_orderdate") < cut)
+      val li = QueryDef.table(s, d, "lineitem").where(col("l_shipdate") > cut)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
+        .agg(sum(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    },
+    Some("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                AS revenue
+            FROM lineitem, orders, customer
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-07-01'
+              AND l_shipdate > TIMESTAMP '1998-07-01'
+            GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+            ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
+
   val all: Seq[QueryDef] =
     Seq(qCidrMatch, qZorderKey, qEventTransitions, qBinEquidepth,
       qSessionPaths, qDriftReport, qPercentRank, qWeekdayProfile,
       qOutliersIqr, qAssocPairs, qHistEquiwidth, qCusumDaily,
       qActiveUsers7d, qStickiness, qNewVsReturning,
-      qCountMin, qGini, qBenford, qStarRevenue, qParetoFront)
+      qCountMin, qGini, qBenford, qStarRevenue, qParetoFront,
+      qPricingSummary, qTopOrders)
 }
