@@ -785,11 +785,91 @@ object EnrichmentQueries {
             GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
             ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
 
+  /** Entry/exit profile: each user-day's FIRST and LAST event_type (by
+    * the unique (ts, event_id) order), aggregated into a day-boundary
+    * transition table — "how do sessions open and close". One argmin/
+    * argmax aggregate per user-day (min_by/max_by over an orderable
+    * struct — no window pass, so the heavy step is a single partial+
+    * final aggregation), then a vocabulary²-bounded re-aggregation.
+    * Cross-engine ordering runs at MICROSECOND granularity: DuckDB's
+    * parquet reader TRUNCATES the ns timestamps to µs (verified against
+    * the raw int64 values), so Spark orders by `ts div 1000` — identical
+    * to DuckDB's µs — with the event_id tiebreak deciding equal-µs rows
+    * the same way in both engines. DuckDB lacks arg_min over a composite
+    * key, so the oracle replays the argmin/argmax as two row_number
+    * windows.
+    */
+  val qEntryExit = QueryDef(
+    "q_entry_exit",
+    (s, d) => events(s, d).where(col("user_id").isNotNull)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .groupBy(col("user_id"), tsEpochDay.as("day"))
+      .agg(
+        min_by(col("event_type"), struct(col("ts_us"), col("event_id"))).as("entry_type"),
+        max_by(col("event_type"), struct(col("ts_us"), col("event_id"))).as("exit_type"),
+        count(lit(1)).as("n"))
+      .groupBy("entry_type", "exit_type")
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"))
+      .orderBy("entry_type", "exit_type"),
+    Some("""WITH o AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+              event_type,
+              row_number() OVER (
+                PARTITION BY user_id, epoch_ns(ts) // 86400000000000
+                ORDER BY epoch_us(ts), event_id) AS rk_a,
+              row_number() OVER (
+                PARTITION BY user_id, epoch_ns(ts) // 86400000000000
+                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk_d
+            FROM events WHERE user_id IS NOT NULL),
+            s AS (SELECT user_id, day,
+                    max(CASE WHEN rk_a = 1 THEN event_type END) AS entry_type,
+                    max(CASE WHEN rk_d = 1 THEN event_type END) AS exit_type,
+                    count(*) AS n
+                  FROM o GROUP BY 1, 2)
+            SELECT entry_type, exit_type, count(*) AS n_days,
+              CAST(sum(n) AS BIGINT) AS n_events
+            FROM s GROUP BY 1, 2 ORDER BY entry_type, exit_type"""))
+
+  /** Inter-arrival gap percentiles per event_type: exact p50/p90/p99 of
+    * the within-(user, type) consecutive-event gaps — the latency-style
+    * distribution profile. The lag window shuffles once on its partition
+    * key; percentiles ride the established percentile ↔ quantile_cont
+    * (R-7 interpolation) parity over exact integer gaps. Gaps are in
+    * MICROSECONDS (`ts div 1000` ↔ `epoch_us(ts)`): DuckDB's parquet
+    * reader truncates the ns column to µs, so µs is the finest
+    * granularity both engines share — ordering and values alike.
+    */
+  val qGapPercentiles = QueryDef(
+    "q_gap_percentiles",
+    (s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts_us"), col("event_id"))
+      events(s, d).where(col("user_id").isNotNull)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .where(col("gap").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("percentile(gap, array(0.5, 0.9, 0.99))").as("ps"))
+        .select(col("event_type"), col("n_gaps"),
+          col("ps")(0).as("p50"), col("ps")(1).as("p90"), col("ps")(2).as("p99"))
+        .orderBy("event_type")
+    },
+    Some("""WITH g AS (SELECT event_type,
+              epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY epoch_us(ts), event_id) AS gap
+            FROM events WHERE user_id IS NOT NULL),
+            q AS (SELECT event_type, count(*) AS n_gaps,
+                    quantile_cont(gap, [0.5, 0.9, 0.99]) AS ps
+                  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+            SELECT event_type, n_gaps, ps[1] AS p50, ps[2] AS p90, ps[3] AS p99
+            FROM q ORDER BY event_type"""))
+
   val all: Seq[QueryDef] =
     Seq(qCidrMatch, qZorderKey, qEventTransitions, qBinEquidepth,
       qSessionPaths, qDriftReport, qPercentRank, qWeekdayProfile,
       qOutliersIqr, qAssocPairs, qHistEquiwidth, qCusumDaily,
       qActiveUsers7d, qStickiness, qNewVsReturning,
       qCountMin, qGini, qBenford, qStarRevenue, qParetoFront,
-      qPricingSummary, qTopOrders)
+      qPricingSummary, qTopOrders, qEntryExit, qGapPercentiles)
 }

@@ -191,6 +191,26 @@ class EnrichmentSpec extends SparkSpec {
     assert(merged === whole)
   }
 
+  test("entry/exit transition table partitions the user-days and the events exactly") {
+    val r = EnrichmentQueries.qEntryExit.fn(spark, dir)
+      .agg(sum("n_days"), sum("n_events")).as[(Long, Long)].head()
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .where(col("user_id").isNotNull)
+    val userDays = e.select(col("user_id"), expr("ts div 86400000000000"))
+      .distinct().count()
+    assert(r._1 === userDays)
+    assert(r._2 === e.count())
+  }
+
+  test("gap percentiles are ordered p50 <= p90 <= p99 and positive") {
+    val rows = EnrichmentQueries.qGapPercentiles.fn(spark, dir)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, n, p50, p90, p99) =>
+      assert(n > 0 && p50 > 0 && p50 <= p90 && p90 <= p99, s"$t: $p50/$p90/$p99")
+    }
+  }
+
   test("star revenue plans broadcast joins for the dimensions and pushes the date filter") {
     val df = EnrichmentQueries.qStarRevenue.fn(spark, dir)
     assert(df.count() >= 1)
