@@ -785,6 +785,38 @@ object EnrichmentQueries {
             GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
             ORDER BY revenue DESC, l_orderkey LIMIT 10"""))
 
+  /** TPC-H Q18-shaped large-volume orders: aggregate-THEN-join — the
+    * HAVING filter collapses the fact table to the qualifying order keys
+    * BEFORE any join touches orders/customer, so the join input is the
+    * small filtered aggregate, not the raw facts (the at-scale shape;
+    * the optimizer can additionally semi-join/bloom-prune the dimension
+    * side). Quantities are integer-valued doubles — exact sums in any
+    * order — and the HAVING threshold compares exactly.
+    */
+  val qLargeOrders = QueryDef(
+    "q_large_orders",
+    (s, d) => {
+      val big = QueryDef.table(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .where(col("total_qty") > 180)
+      big
+        .join(QueryDef.table(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(QueryDef.table(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("l_orderkey"),
+          to_date(col("o_orderdate")).as("o_orderdate"), col("total_qty"))
+        .orderBy("l_orderkey")
+    },
+    Some("""SELECT c_name, l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+              total_qty
+            FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+                  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 180) big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY l_orderkey"""))
+
   /** Entry/exit profile: each user-day's FIRST and LAST event_type (by
     * the unique (ts, event_id) order), aggregated into a day-boundary
     * transition table — "how do sessions open and close". One argmin/
@@ -871,5 +903,5 @@ object EnrichmentQueries {
       qOutliersIqr, qAssocPairs, qHistEquiwidth, qCusumDaily,
       qActiveUsers7d, qStickiness, qNewVsReturning,
       qCountMin, qGini, qBenford, qStarRevenue, qParetoFront,
-      qPricingSummary, qTopOrders, qEntryExit, qGapPercentiles)
+      qPricingSummary, qTopOrders, qLargeOrders, qEntryExit, qGapPercentiles)
 }
