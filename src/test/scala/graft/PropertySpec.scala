@@ -327,6 +327,22 @@ class PropertySpec extends SparkSpec {
     prev(b.length)
   }
 
+  test("weighted sampling and count-min are partitioning-invariant") {
+    // a distributed operator's result must not depend on how the input
+    // is split across tasks — re-partitioning by an unrelated key must
+    // reproduce the identical selection / identical sketch
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def sel(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.CorpusSampling.weightedSample(df, col("doc_id"), col("n_chars"), 50)
+        .select("doc_id").as[Long].collect().toSeq
+    assert(sel(docs) === sel(docs.repartition(7, col("lang"))))
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Sketches.countMinSketch(df, col("user_id"), width = 32, depth = 3)
+        .as[(Int, Long, Long)].collect().toSet
+    assert(sk(e) === sk(e.repartition(13)))
+  }
+
   test("blocked edit-distance pairs match an all-pairs plain-Scala reference") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect()
