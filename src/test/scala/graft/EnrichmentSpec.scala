@@ -211,6 +211,22 @@ class EnrichmentSpec extends SparkSpec {
     }
   }
 
+  test("pricing summary pushes the ship-date filter; large orders aggregates BEFORE joining") {
+    val p1 = EnrichmentQueries.qPricingSummary.fn(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p1.contains("PushedFilters") && p1.contains("l_shipdate"),
+      "ship-date filter must reach the lineitem scan")
+    // the HAVING aggregate must sit BELOW the joins (fact collapse first):
+    // some Aggregate subtree in the optimized plan contains no Join
+    val opt = EnrichmentQueries.qLargeOrders.fn(spark, dir)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val aggs = opt.collect { case a: Aggregate => a }
+    assert(aggs.exists(a => a.collect { case j: Join => j }.isEmpty),
+      "expected a pre-join aggregate over the bare fact table")
+  }
+
   test("star revenue plans broadcast joins for the dimensions and pushes the date filter") {
     val df = EnrichmentQueries.qStarRevenue.fn(spark, dir)
     assert(df.count() >= 1)
