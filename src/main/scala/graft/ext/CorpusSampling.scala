@@ -228,6 +228,17 @@ object CorpusSampling {
       .limit(k)
   }
 
+  /** Smallest power-of-two bucket >= n (1..16384, overflow 32768) as a
+    * folded literal when()-chain — codegen'd, no join, no log2 whose
+    * rounding could diverge between engines. Shared by the batch
+    * length-bucket report and its streaming twin so the boundary
+    * semantics cannot drift.
+    */
+  def lengthBucket(n: Column): Column =
+    (1 to 14).foldLeft(when(n <= 1L, lit(1L))) {
+      (acc, k) => acc.when(n <= (1L << k), lit(1L << k))
+    }.otherwise(lit(32768L))
+
   /** Temperature-based mixture sampling: stratum `s` holding `n_s`
     * documents receives a document target proportional to `n_s^alpha`
     * (capped at `n_s` — sampling is without replacement), and that many

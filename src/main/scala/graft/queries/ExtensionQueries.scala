@@ -1488,11 +1488,8 @@ object ExtensionQueries {
     "q_length_buckets",
     (s, d) => {
       val nt = TextAnalysis.tokenCount(col("text"))
-      val bucket = (1 to 14).foldLeft(when(nt <= 1L, lit(1L))) {
-        (acc, k) => acc.when(nt <= (1L << k), lit(1L << k))
-      }.otherwise(lit(32768L))
       docs(s, d).where(col("text").isNotNull)
-        .select(nt.as("n"), bucket.as("bucket"))
+        .select(nt.as("n"), CorpusSampling.lengthBucket(nt).as("bucket"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
         .withColumn("padding_waste",

@@ -573,6 +573,32 @@ object StreamingPipeline {
       .agg(approx_count_distinct(col(userCol)).as("wau_approx"))
       .select(col("window.start").as("win_start"), col("wau_approx"))
 
+  /** Streaming twin of the length-bucket batching report
+    * (q_length_buckets): per tumbling event-time window, documents per
+    * power-of-two token bucket with token mass and integer padding waste
+    * — the live view of "how efficiently would this intake batch pack".
+    * Bucket boundaries come from the SHARED
+    * [[graft.ext.CorpusSampling.lengthBucket]] chain; state per open
+    * window is one row per bucket (≤16), and the counts/sums are pure
+    * additions, so each closed window is BIT-IDENTICAL to the batch
+    * report over the same rows (asserted in StreamingSpec).
+    */
+  def lengthBucketsStream(
+      docs: DataFrame, textCol: String = "text", tsCol: String = "ingest_ts",
+      windowDur: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
+    val nt = graft.ext.TextAnalysis.tokenCount(col(textCol))
+    docs
+      .withWatermark(tsCol, watermark)
+      .where(col(textCol).isNotNull)
+      .select(col(tsCol), nt.as("_lb_n"),
+        graft.ext.CorpusSampling.lengthBucket(nt).as("bucket"))
+      .groupBy(window(col(tsCol), windowDur), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_lb_n")).as("sum_tokens"))
+      .select(col("window.start").as("win_start"), col("bucket"),
+        col("n_docs"), col("sum_tokens"),
+        (col("n_docs") * col("bucket") - col("sum_tokens")).as("padding_waste"))
+  }
+
   /** Streaming twin of the count–min sketch (q_countmin): per tumbling
     * event-time window, the depth×width counter table as rows
     * (win_start, j, bucket, c). The state per open window is just the

@@ -409,6 +409,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming length buckets are bit-identical to the batch report per window") {
+    implicit val sqlCtx = spark.sqlContext
+    // real documents streamed over two hour-windows; additive counts/sums
+    // must reproduce the batch bucket report exactly per closed window
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 200).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    val rows = docs.zipWithIndex.map { case ((id, t), i) =>
+      (id, t, ts(f"2025-01-01 ${10 + i % 2}%02d:30:00"))
+    }.toSeq
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingPipeline.lengthBucketsStream(
+        input.toDF().toDF("doc_id", "text", "ingest_ts"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lb_out").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((-1L, "advancer", ts("2025-02-01 00:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("lb_out")
+        .as[(Timestamp, Long, Long, Long, Long)].collect()
+        .groupBy(_._1).view
+        .mapValues(_.map(r => (r._2, r._3, r._4, r._5)).toSet).toMap
+      assert(streamed.keySet.size === 2)
+      streamed.foreach { case (w, cells) =>
+        val inWin = rows.filter(r =>
+          r._3.getTime >= w.getTime && r._3.getTime < w.getTime + 3600000L)
+        val nt = graft.ext.TextAnalysis.tokenCount(col("text"))
+        val batch = inWin.toDF("doc_id", "text", "ingest_ts")
+          .where(col("text").isNotNull)
+          .select(nt.as("n"), graft.ext.CorpusSampling.lengthBucket(nt).as("bucket"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
+          .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+            (col("n_docs") * col("bucket") - col("sum_tokens")).as("padding_waste"))
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(cells === batch, s"window $w diverged from batch buckets")
+        assert(cells.nonEmpty)
+      }
+    } finally q.stop()
+  }
+
   test("streaming count-min sketch is bit-identical to the batch sketch per window") {
     implicit val sqlCtx = spark.sqlContext
     // 7 keys over two hour-windows; CMS cell updates are pure additions,
