@@ -327,6 +327,30 @@ class PropertySpec extends SparkSpec {
     prev(b.length)
   }
 
+  test("operator guards reject invalid inputs loudly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    intercept[IllegalArgumentException] {
+      graft.ext.CorpusSampling.weightedSample(
+        docs.withColumn("_priority", lit(1)), col("doc_id"), col("n_chars"), 10)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.CorpusSampling.weightedSample(docs, col("doc_id"), col("n_chars"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.Dedup.editDistancePairs(docs, "doc_id", "text",
+        sigLen = 8, blockLen = 16)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.Sketches.countMinSketch(docs, col("doc_id"), width = 0, depth = 4)
+    }
+    val e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    intercept[IllegalArgumentException] {
+      graft.ext.Sketches.countMinLookup(
+        graft.ext.Sketches.countMinSketch(e, col("user_id"), 8, 2),
+        e.withColumn("_cms_j", lit(1)), col("user_id"), 8, 2)
+    }
+  }
+
   test("weighted sampling and count-min are partitioning-invariant") {
     // a distributed operator's result must not depend on how the input
     // is split across tasks — re-partitioning by an unrelated key must
