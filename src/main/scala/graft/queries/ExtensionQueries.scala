@@ -1443,6 +1443,49 @@ object ExtensionQueries {
     * corpus-card length distribution. Integer bucket arithmetic, one
     * aggregation exchange.
     */
+  /** Snapshot diff — the audit between two corpus versions: which
+    * documents were added, removed, modified, or unchanged. FULL OUTER
+    * join on the id with 16-byte content hashes (never the texts) on the
+    * wire; the two "snapshots" are derived deterministically from the one
+    * table (A = id < 400; B = id >= 100 with every 7th document revised)
+    * so the oracle replays them exactly. NULL texts hash via coalesce to
+    * a sentinel so presence is decided by the JOIN, not by the hash.
+    * Complements upsert/SCD2 (which APPLY changes): this REPORTS them.
+    */
+  val qSnapshotDiff = QueryDef(
+    "q_snapshot_diff",
+    (s, d) => {
+      val base = docs(s, d)
+      val a = base.where(col("doc_id") < 400)
+        .select(col("doc_id"), coalesce(md5(col("text")), lit("")).as("h_a"))
+      val b = base.where(col("doc_id") >= 100)
+        .select(col("doc_id"), coalesce(md5(
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text"))), lit("")).as("h_b"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h_a").isNull, "added")
+            .when(col("h_b").isNull, "removed")
+            .when(col("h_a") === col("h_b"), "unchanged")
+            .otherwise("modified"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    },
+    Some("""WITH a AS (SELECT doc_id, coalesce(md5(text), '') AS h_a
+              FROM documents WHERE doc_id < 400),
+            b AS (SELECT doc_id, coalesce(md5(
+                    CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                         ELSE text END), '') AS h_b
+                  FROM documents WHERE doc_id >= 100)
+            SELECT status, count(*) AS n FROM (
+              SELECT CASE WHEN h_a IS NULL THEN 'added'
+                          WHEN h_b IS NULL THEN 'removed'
+                          WHEN h_a = h_b THEN 'unchanged'
+                          ELSE 'modified' END AS status
+              FROM a FULL OUTER JOIN b USING (doc_id)) t
+            GROUP BY status ORDER BY status"""))
+
   /** One BPE training iteration's inner loop: count adjacent character
     * pairs within words across the corpus and rank the merge candidates
     * (Sennrich et al. 2016, "Neural machine translation of rare words
@@ -1993,7 +2036,8 @@ object ExtensionQueries {
     qPackSequences, qPackMaterialize, qDocChunks, qWinnowPairs,
     qPiiRedact, qDedupSpans, qSplitAssign, qSampleUpsample, qSampleWeighted,
     qGopherRules,
-    qTokenHistogram, qBpePairs, qLengthBuckets, qDecontaminateSemantic,
+    qTokenHistogram, qBpePairs, qLengthBuckets, qSnapshotDiff,
+    qDecontaminateSemantic,
     qDocFrequency, qTfidfTopTerms, qBm25, qBm25TopK,
     qSampleTemperature, qHardNegatives, qEmbedQuantize, qAnnSq8, qLmScore,
     qCorpusCurate, qContaminationReport, qDupHistogram, qTextNfc,
