@@ -817,6 +817,91 @@ object EnrichmentQueries {
             JOIN customer ON o_custkey = c_custkey
             ORDER BY l_orderkey"""))
 
+  /** Shipping-delay distribution per order priority: exact integer
+    * day-difference between line shipment and order placement, with
+    * count/mean-free percentiles (p50/p90/p99 via the established
+    * percentile ↔ quantile_cont parity) and min/max. One fact-fact join
+    * on the order key, then a vocabulary-bounded aggregate; datediff on
+    * DATEs is pure integer arithmetic in both engines.
+    */
+  val qShipDelay = QueryDef(
+    "q_ship_delay",
+    (s, d) => QueryDef.table(s, d, "lineitem")
+      .join(QueryDef.table(s, d, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_days",
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        min("delay_days").as("min_days"), max("delay_days").as("max_days"),
+        expr("percentile(delay_days, array(0.5, 0.9, 0.99))").as("ps"))
+      .select(col("o_orderpriority"), col("n_lines"), col("min_days"),
+        col("max_days"), col("ps")(0).as("p50"), col("ps")(1).as("p90"),
+        col("ps")(2).as("p99"))
+      .orderBy("o_orderpriority"),
+    Some("""WITH j AS (SELECT o_orderpriority,
+              date_diff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE)) AS delay_days
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+            SELECT o_orderpriority, count(*) AS n_lines,
+              min(delay_days) AS min_days, max(delay_days) AS max_days,
+              quantile_cont(delay_days, 0.5) AS p50,
+              quantile_cont(delay_days, 0.9) AS p90,
+              quantile_cont(delay_days, 0.99) AS p99
+            FROM j GROUP BY 1 ORDER BY o_orderpriority"""))
+
+  /** RFM segmentation: per customer, recency (days from last order to
+    * the corpus max date), frequency (order count), monetary (exact
+    * decimal spend), each cut into quintiles — the classic marketing
+    * segmentation. The ntile windows run over the per-customer AGGREGATE
+    * (customer-cardinality-bounded, not fact-sized) with the custkey
+    * tiebreak making every quintile assignment deterministic in both
+    * engines; recency ranks DESCENDING so quintile 5 = most recent.
+    */
+  val qRfm = QueryDef(
+    "q_rfm",
+    (s, d) => {
+      val per = QueryDef.table(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(max(to_date(col("o_orderdate"))).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("monetary"))
+      val maxDay = per.agg(max("last_order").as("max_day"))
+      val wr = Window.orderBy(col("recency_days").desc, col("o_custkey"))
+      val wf = Window.orderBy(col("frequency"), col("o_custkey"))
+      val wm = Window.orderBy(col("monetary"), col("o_custkey"))
+      per.crossJoin(broadcast(maxDay))
+        .withColumn("recency_days",
+          datediff(col("max_day"), col("last_order")).cast("long"))
+        .withColumn("r", ntile(5).over(wr).cast("long"))
+        .withColumn("f", ntile(5).over(wf).cast("long"))
+        .withColumn("m", ntile(5).over(wm).cast("long"))
+        .select(col("o_custkey"), col("recency_days"), col("frequency"),
+          col("monetary"), col("r"), col("f"), col("m"),
+          concat(col("r"), col("f"), col("m")).as("rfm"))
+        .orderBy("o_custkey")
+    },
+    Some("""WITH per AS (SELECT o_custkey,
+              max(CAST(o_orderdate AS DATE)) AS last_order,
+              count(*) AS frequency,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS monetary
+            FROM orders GROUP BY 1),
+            mx AS (SELECT max(last_order) AS max_day FROM per),
+            r AS (SELECT o_custkey,
+                    date_diff('day', last_order, max_day) AS recency_days,
+                    frequency, monetary,
+                    ntile(5) OVER (ORDER BY date_diff('day', last_order, max_day) DESC,
+                      o_custkey) AS r,
+                    ntile(5) OVER (ORDER BY frequency, o_custkey) AS f,
+                    ntile(5) OVER (ORDER BY monetary, o_custkey) AS m
+                  FROM per, mx)
+            SELECT o_custkey, recency_days, frequency, monetary, r, f, m,
+              CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS rfm
+            FROM r ORDER BY o_custkey"""))
+
   /** Entry/exit profile: each user-day's FIRST and LAST event_type (by
     * the unique (ts, event_id) order), aggregated into a day-boundary
     * transition table — "how do sessions open and close". One argmin/
@@ -903,5 +988,6 @@ object EnrichmentQueries {
       qOutliersIqr, qAssocPairs, qHistEquiwidth, qCusumDaily,
       qActiveUsers7d, qStickiness, qNewVsReturning,
       qCountMin, qGini, qBenford, qStarRevenue, qParetoFront,
-      qPricingSummary, qTopOrders, qLargeOrders, qEntryExit, qGapPercentiles)
+      qPricingSummary, qTopOrders, qLargeOrders, qShipDelay, qRfm,
+      qEntryExit, qGapPercentiles)
 }
