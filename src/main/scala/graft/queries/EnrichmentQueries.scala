@@ -819,27 +819,64 @@ object EnrichmentQueries {
 
   /** Shipping-delay distribution per order priority: exact integer
     * day-difference between line shipment and order placement, with
-    * count/mean-free percentiles (p50/p90/p99 via the established
-    * percentile ↔ quantile_cont parity) and min/max. One fact-fact join
-    * on the order key, then a vocabulary-bounded aggregate; datediff on
-    * DATEs is pure integer arithmetic in both engines.
+    * min/max and exact R-7 percentiles. SCALE-CRITICAL shape: the
+    * built-in exact `percentile` materializes the full value multiset
+    * per group — with 5 groups over the 30 M-row 50× join that is ~6 M
+    * values per reducer, measured 70-175 s solo. `delay_days` has a
+    * BOUNDED integer domain (~120 distinct values), so the rewrite
+    * collapses the join to a (priority, delay) HISTOGRAM first — the
+    * only fact-sized step, a map-side-combinable count on a tiny key
+    * space — and derives the interpolated percentile from cumulative
+    * counts: rank bounds r1=floor(h), r2=ceil(h) at h=p·(n−1), each
+    * bound's value looked up by cum-count containment, then Spark's own
+    * two-sided interpolation v1·(r2−h) + v2·(h−r1), which hash-matches
+    * DuckDB's quantile_cont (the established parity, now from counts
+    * instead of a multiset).
     */
   val qShipDelay = QueryDef(
     "q_ship_delay",
-    (s, d) => QueryDef.table(s, d, "lineitem")
-      .join(QueryDef.table(s, d, "orders"),
-        col("l_orderkey") === col("o_orderkey"))
-      .withColumn("delay_days",
-        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
-          .cast("long"))
-      .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n_lines"),
-        min("delay_days").as("min_days"), max("delay_days").as("max_days"),
-        expr("percentile(delay_days, array(0.5, 0.9, 0.99))").as("ps"))
-      .select(col("o_orderpriority"), col("n_lines"), col("min_days"),
-        col("max_days"), col("ps")(0).as("p50"), col("ps")(1).as("p90"),
-        col("ps")(2).as("p99"))
-      .orderBy("o_orderpriority"),
+    (s, d) => {
+      val dist = QueryDef.table(s, d, "lineitem")
+        .join(QueryDef.table(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("delay_days",
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .cast("long"))
+        .groupBy("o_orderpriority", "delay_days")
+        .agg(count(lit(1)).as("cnt"))
+      val cum = dist.withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy("o_orderpriority").orderBy("delay_days")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val totals = dist.groupBy("o_orderpriority")
+        .agg(sum(col("cnt")).as("n"), min("delay_days").as("min_days"),
+          max("delay_days").as("max_days"))
+      val targets = totals
+        .select(col("o_orderpriority"), col("n"), col("min_days"),
+          col("max_days"),
+          explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+        .withColumn("h", col("p") * (col("n") - 1).cast("double"))
+        .withColumn("r1", floor(col("h")).cast("long"))
+        .withColumn("r2", ceil(col("h")).cast("long"))
+      // value at 0-based rank r = first delay whose cumulative count
+      // exceeds r; the cum table is domain-sized, so it broadcasts
+      def valueAt(r: Column, name: String) =
+        targets.join(broadcast(cum), Seq("o_orderpriority"))
+          .where(col("cum") >= r + 1)
+          .groupBy("o_orderpriority", "p")
+          .agg(min(col("delay_days")).as(name))
+      val v = valueAt(col("r1"), "v1").join(valueAt(col("r2"), "v2"),
+        Seq("o_orderpriority", "p"))
+      targets.join(v, Seq("o_orderpriority", "p"))
+        .withColumn("pv", when(col("r1") === col("r2"), col("v1").cast("double"))
+          .otherwise(col("v1").cast("double") * (col("r2").cast("double") - col("h")) +
+            col("v2").cast("double") * (col("h") - col("r1").cast("double"))))
+        .groupBy(col("o_orderpriority"), col("n").as("n_lines"),
+          col("min_days"), col("max_days"))
+        .agg(max(when(col("p") === 0.5, col("pv"))).as("p50"),
+          max(when(col("p") === 0.9, col("pv"))).as("p90"),
+          max(when(col("p") === 0.99, col("pv"))).as("p99"))
+        .orderBy("o_orderpriority")
+    },
     Some("""WITH j AS (SELECT o_orderpriority,
               date_diff('day', CAST(o_orderdate AS DATE),
                         CAST(l_shipdate AS DATE)) AS delay_days
