@@ -858,15 +858,13 @@ object EnrichmentQueries {
         .withColumn("r1", floor(col("h")).cast("long"))
         .withColumn("r2", ceil(col("h")).cast("long"))
       // value at 0-based rank r = first delay whose cumulative count
-      // exceeds r; the cum table is domain-sized, so it broadcasts
-      def valueAt(r: Column, name: String) =
-        targets.join(broadcast(cum), Seq("o_orderpriority"))
-          .where(col("cum") >= r + 1)
-          .groupBy("o_orderpriority", "p")
-          .agg(min(col("delay_days")).as(name))
-      val v = valueAt(col("r1"), "v1").join(valueAt(col("r2"), "v2"),
-        Seq("o_orderpriority", "p"))
-      targets.join(v, Seq("o_orderpriority", "p"))
+      // exceeds r; the cum table is domain-sized, so it broadcasts, and
+      // BOTH rank lookups fold into one conditional aggregation pass
+      targets.join(broadcast(cum), Seq("o_orderpriority"))
+        .groupBy(col("o_orderpriority"), col("n"), col("min_days"),
+          col("max_days"), col("p"), col("h"), col("r1"), col("r2"))
+        .agg(min(when(col("cum") >= col("r1") + 1, col("delay_days"))).as("v1"),
+          min(when(col("cum") >= col("r2") + 1, col("delay_days"))).as("v2"))
         .withColumn("pv", when(col("r1") === col("r2"), col("v1").cast("double"))
           .otherwise(col("v1").cast("double") * (col("r2").cast("double") - col("h")) +
             col("v2").cast("double") * (col("h") - col("r1").cast("double"))))
