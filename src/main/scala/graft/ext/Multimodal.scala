@@ -83,6 +83,13 @@ object Multimodal {
     // (negative height = top-down rows; dimensions reported as-is),
     // bit count u16le at 28.
     val isBmp = bytes.length >= 30 && tag(0, "BM") && u32le(14) >= 40
+    // TIFF 6.0: byte-order mark II*\0 (little-endian) or MM\0*
+    // (big-endian); every integer after it — including the 4-byte IFD
+    // offset at 4 and the IFD entries themselves — follows that order.
+    val isTiffLe = bytes.length >= 8 &&
+      u8(0) == 'I' && u8(1) == 'I' && u8(2) == 42 && u8(3) == 0
+    val isTiffBe = bytes.length >= 8 &&
+      u8(0) == 'M' && u8(1) == 'M' && u8(2) == 0 && u8(3) == 42
 
     if (isPng) {
       val hasIhdr = bytes.length >= 26 &&
@@ -151,6 +158,36 @@ object Multimodal {
     } else if (isBmp) {
       ImageHeader("bmp", Some(u32le(18).toInt), Some(u32le(22).toInt),
         Some(u16le(28)))
+    } else if (isTiffLe || isTiffBe) {
+      // IFD walk (TIFF 6.0 §2): 2-byte entry count at the IFD offset,
+      // then 12-byte entries (tag u16, type u16, count u32, value u32).
+      // A SHORT (type 3) value of count 1 is LEFT-JUSTIFIED in the
+      // value field — its FIRST two bytes in the file's byte order; a
+      // LONG (type 4) uses all four. ImageWidth/ImageLength/
+      // BitsPerSample are tags 256/257/258. Truncated or out-of-bounds
+      // IFDs leave the fields None rather than reading garbage.
+      val r16: Int => Int = if (isTiffLe) u16le else u16
+      val r32: Int => Long = if (isTiffLe) u32le else u32
+      val off = r32(4)
+      if (off >= 8 && off + 2 <= bytes.length) {
+        val n = r16(off.toInt)
+        var w: Option[Int] = None
+        var h: Option[Int] = None
+        var b: Option[Int] = None
+        var i = 0
+        while (i < n && off.toInt + 2 + (i + 1) * 12 <= bytes.length) {
+          val e = off.toInt + 2 + i * 12
+          val tagId = r16(e); val typ = r16(e + 2); val cnt = r32(e + 4)
+          if (cnt == 1 && (typ == 3 || typ == 4)) {
+            val v = if (typ == 3) r16(e + 8) else r32(e + 8).toInt
+            if (tagId == 256) w = Some(v)
+            else if (tagId == 257) h = Some(v)
+            else if (tagId == 258) b = Some(v)
+          }
+          i += 1
+        }
+        ImageHeader("tiff", w, h, b)
+      } else ImageHeader("tiff", None, None, None)
     } else ImageHeader("unknown", None, None, None)
   }
 

@@ -1174,6 +1174,107 @@ object ExtensionQueries {
                    END AS bit_depth
             FROM bin ORDER BY media_id"""))
 
+  /** TIFF header decode in BOTH byte orders ([[Multimodal.decodeHeader]]):
+    * synthetic TIFFs — little-endian with a LONG width entry, big-endian
+    * with a LONG height entry — exercise the real IFD walk (byte-order
+    * mark, offset-chased directory, SHORT left-justification in the
+    * value field, LONG full-width reads). The oracle re-reads the SAME
+    * bytes from the hex rendering at the layout's offsets, so the decode
+    * is checked against the binary, not against the generator formula.
+    */
+  val qMultimodalDecode3 = QueryDef(
+    "q_multimodal_decode3",
+    (s, d) => {
+      val wLo = lpad(hex(expr("(doc_id % 1920 + 1) % 256")), 2, "0")
+      val wHi = lpad(hex(expr("(doc_id % 1920 + 1) div 256")), 2, "0")
+      val hLo = lpad(hex(expr("(doc_id % 1080 + 1) % 256")), 2, "0")
+      val hHi = lpad(hex(expr("(doc_id % 1080 + 1) div 256")), 2, "0")
+      val bLo = lpad(hex(expr(
+        "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 1 WHEN 1 THEN 8 WHEN 2 THEN 16 ELSE 32 END")), 2, "0")
+      val tiffLe = concat(lit("49492A00" + "08000000" + "0300"),
+        lit("0001" + "0400" + "01000000"), wLo, wHi, lit("0000"),
+        lit("0101" + "0300" + "01000000"), hLo, hHi, lit("0000"),
+        lit("0201" + "0300" + "01000000"), bLo, lit("00" + "0000"),
+        lit("00000000"),
+        expr("repeat('00', CAST(doc_id % 5 AS INT))"))
+      val tiffBe = concat(lit("4D4D002A" + "00000008" + "0003"),
+        lit("0100" + "0003" + "00000001"), wHi, wLo, lit("0000"),
+        lit("0101" + "0004" + "00000001"), lit("0000"), hHi, hLo,
+        lit("0102" + "0003" + "00000001"), lit("00"), bLo, lit("0000"),
+        lit("00000000"),
+        expr("repeat('00', CAST(doc_id % 7 AS INT))"))
+      val garbage = concat(lit("00112233"), lpad(hex(col("doc_id")), 8, "0"))
+      val media = docs(s, d).select(
+        col("doc_id").as("media_id"),
+        lit("image").as("kind"),
+        unhex(when(pmod(col("doc_id"), lit(3)) === 0, tiffLe)
+          .when(pmod(col("doc_id"), lit(3)) === 1, tiffBe)
+          .otherwise(garbage)).as("payload"))
+      Multimodal.extractFeatures(s, media).toDF()
+        .select("media_id", "format", "n_bytes", "content_md5",
+          "width", "height", "bit_depth")
+        .orderBy("media_id")
+    },
+    Some("""WITH payload AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 = 0 THEN
+                  '49492A00' || '08000000' || '0300'
+                  || '0001' || '0400' || '01000000'
+                  || lpad(hex((doc_id % 1920 + 1) % 256), 2, '0')
+                  || lpad(hex((doc_id % 1920 + 1) // 256), 2, '0') || '0000'
+                  || '0101' || '0300' || '01000000'
+                  || lpad(hex((doc_id % 1080 + 1) % 256), 2, '0')
+                  || lpad(hex((doc_id % 1080 + 1) // 256), 2, '0') || '0000'
+                  || '0201' || '0300' || '01000000'
+                  || lpad(hex(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 1
+                       WHEN 1 THEN 8 WHEN 2 THEN 16 ELSE 32 END), 2, '0')
+                  || '00' || '0000'
+                  || '00000000'
+                  || repeat('00', CAST(doc_id % 5 AS INT))
+                WHEN doc_id % 3 = 1 THEN
+                  '4D4D002A' || '00000008' || '0003'
+                  || '0100' || '0003' || '00000001'
+                  || lpad(hex((doc_id % 1920 + 1) // 256), 2, '0')
+                  || lpad(hex((doc_id % 1920 + 1) % 256), 2, '0') || '0000'
+                  || '0101' || '0004' || '00000001'
+                  || '0000'
+                  || lpad(hex((doc_id % 1080 + 1) // 256), 2, '0')
+                  || lpad(hex((doc_id % 1080 + 1) % 256), 2, '0')
+                  || '0102' || '0003' || '00000001'
+                  || '00'
+                  || lpad(hex(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 1
+                       WHEN 1 THEN 8 WHEN 2 THEN 16 ELSE 32 END), 2, '0')
+                  || '0000'
+                  || '00000000'
+                  || repeat('00', CAST(doc_id % 7 AS INT))
+                ELSE '00112233' || lpad(hex(doc_id), 8, '0') END AS ph
+              FROM documents),
+            bin AS (
+              SELECT doc_id, hex(unhex(ph)) AS h,
+                CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes
+              FROM payload)
+            SELECT doc_id AS media_id,
+              CASE WHEN substr(h, 1, 8) IN ('49492A00', '4D4D002A')
+                   THEN 'tiff' ELSE 'unknown' END AS format,
+              n_bytes, md5(h) AS content_md5,
+              CASE WHEN substr(h, 1, 8) = '49492A00'
+                     THEN CAST(CAST('0x' || substr(h, 43, 2) || substr(h, 41, 2)
+                          || substr(h, 39, 2) || substr(h, 37, 2) AS BIGINT) AS INT)
+                   WHEN substr(h, 1, 8) = '4D4D002A'
+                     THEN CAST(CAST('0x' || substr(h, 37, 4) AS BIGINT) AS INT)
+                   END AS width,
+              CASE WHEN substr(h, 1, 8) = '49492A00'
+                     THEN CAST(CAST('0x' || substr(h, 63, 2) || substr(h, 61, 2) AS BIGINT) AS INT)
+                   WHEN substr(h, 1, 8) = '4D4D002A'
+                     THEN CAST(CAST('0x' || substr(h, 61, 8) AS BIGINT) AS INT)
+                   END AS height,
+              CASE WHEN substr(h, 1, 8) = '49492A00'
+                     THEN CAST(CAST('0x' || substr(h, 87, 2) || substr(h, 85, 2) AS BIGINT) AS INT)
+                   WHEN substr(h, 1, 8) = '4D4D002A'
+                     THEN CAST(CAST('0x' || substr(h, 85, 4) AS BIGINT) AS INT)
+                   END AS bit_depth
+            FROM bin ORDER BY media_id"""))
+
   /** PII redaction ([[TextAnalysis.redactPii]]): the testdata corpus holds
     * no PII, so the query plants deterministic synthetic PII (derived from
     * doc_id, replayed identically by the oracle) and then scrubs it —
@@ -2028,7 +2129,7 @@ object ExtensionQueries {
     qTextTokens, qTextSubword, qTextQuality, qQualityGate, qCorpusReport,
     qTextRepetition, qLangId,
     qDocFingerprint, qDocWinnow, qMultimodalMeta, qMultimodalDecode,
-    qMultimodalDecode2,
+    qMultimodalDecode2, qMultimodalDecode3,
     qMultimodalAudio,
     qHeavyHitters, qCorpusPipeline,
     qJsonlRoundtrip, qOrcRoundtrip, qSampleStratified, qSampleTokenBudget,
