@@ -752,6 +752,43 @@ class ExtSpec extends SparkSpec {
       Array.fill[Byte](10)(0)).format === "unknown")
   }
 
+  test("decodeHeader: TIFF IFD walk in both byte orders, robust to bad offsets") {
+    def n16(v: Int, le: Boolean) =
+      if (le) Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      else Seq(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def n32(v: Int, le: Boolean) =
+      if (le) Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff).map(_.toByte)
+      else Seq((v >> 24) & 0xff, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff).map(_.toByte)
+    // SHORT (type 3) entries carry the value LEFT-JUSTIFIED: first two
+    // bytes of the value field in the file's byte order; LONG (type 4)
+    // uses all four
+    def entry(tag: Int, typ: Int, value: Int, le: Boolean) =
+      n16(tag, le) ++ n16(typ, le) ++ n32(1, le) ++
+        (if (typ == 3) n16(value, le) ++ Seq(0.toByte, 0.toByte)
+         else n32(value, le))
+    def tiff(w: Int, h: Int, b: Int, le: Boolean): Array[Byte] = {
+      val magic = if (le) Seq('I', 'I', 42, 0) else Seq('M', 'M', 0, 42)
+      (magic.map(_.toByte) ++ n32(8, le) ++ n16(3, le) ++
+        entry(256, if (le) 4 else 3, w, le) ++
+        entry(257, if (le) 3 else 4, h, le) ++
+        entry(258, 3, b, le) ++ n32(0, le)).toArray
+    }
+    assert(Multimodal.decodeHeader(tiff(1920, 1080, 16, le = true)) ===
+      Multimodal.ImageHeader("tiff", Some(1920), Some(1080), Some(16)))
+    assert(Multimodal.decodeHeader(tiff(640, 480, 8, le = false)) ===
+      Multimodal.ImageHeader("tiff", Some(640), Some(480), Some(8)))
+    // IFD offset beyond the payload: format detected, fields None
+    val bad = tiff(1, 1, 1, le = true)
+    val badOff = bad.take(4) ++ Array[Byte](-1, 0, 0, 0) ++ bad.drop(8)
+    assert(Multimodal.decodeHeader(badOff) ===
+      Multimodal.ImageHeader("tiff", None, None, None))
+    // truncated mid-directory: parses the entries that fit, no crash
+    assert(Multimodal.decodeHeader(tiff(320, 200, 8, le = true).take(10 + 12)) ===
+      Multimodal.ImageHeader("tiff", Some(320), None, None))
+    // magic only
+    assert(Multimodal.decodeHeader(Array[Byte]('I', 'I', 42, 0)).format === "unknown")
+  }
+
   test("multimodal: feature extraction decodes real headers per partition") {
     val media = Seq(
       (1L, "image", pngBytes(320, 200, 16)),
