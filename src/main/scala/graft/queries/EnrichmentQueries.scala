@@ -130,7 +130,11 @@ object EnrichmentQueries {
   val qEventTransitions = QueryDef(
     "q_event_transitions",
     (s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      // Order by µs-truncated ts (`ts div 1000`) + event_id: DuckDB's
+      // parquet reader truncates ns→µs, so ordering by raw ns could flip
+      // lead() for same-µs events and break oracle parity.
+      val w = Window.partitionBy("user_id")
+        .orderBy(expr("ts div 1000"), col("event_id"))
       events(s, d)
         .withColumn("next_type", lead(col("event_type"), 1).over(w))
         .where(col("next_type").isNotNull)
@@ -196,7 +200,10 @@ object EnrichmentQueries {
       .groupBy(col("user_id"), tsEpochDay.as("day"))
       .agg(array_join(
         transform(
-          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          // Sort key is µs-truncated ts to match DuckDB's ns→µs parquet
+          // read; event_id breaks same-µs ties identically on both engines.
+          array_sort(collect_list(struct(expr("ts div 1000").as("tus"),
+            col("event_id"), col("event_type")))),
           x => x("event_type")), ">").as("path"))
       .groupBy("path").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path")).limit(20),
@@ -235,10 +242,10 @@ object EnrichmentQueries {
               epoch_ns(ts) // 86400000000000 AS day FROM events),
             p AS (SELECT (min(day) + max(day) + 1) // 2 AS cut FROM d)
             SELECT event_type,
-              sum(CASE WHEN day < cut THEN 1 ELSE 0 END) AS n_first,
-              sum(CASE WHEN day >= cut THEN 1 ELSE 0 END) AS n_second,
-              sum(CASE WHEN day < cut AND value IS NULL THEN 1 ELSE 0 END) AS null_first,
-              sum(CASE WHEN day >= cut AND value IS NULL THEN 1 ELSE 0 END) AS null_second,
+              CAST(sum(CASE WHEN day < cut THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+              CAST(sum(CASE WHEN day >= cut THEN 1 ELSE 0 END) AS BIGINT) AS n_second,
+              CAST(sum(CASE WHEN day < cut AND value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_first,
+              CAST(sum(CASE WHEN day >= cut AND value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_second,
               CAST(sum(CASE WHEN day >= cut THEN 1 ELSE 0 END) AS DOUBLE)
                 / NULLIF(CAST(sum(CASE WHEN day < cut THEN 1 ELSE 0 END) AS DOUBLE), 0)
                 AS rate_ratio
@@ -510,8 +517,8 @@ object EnrichmentQueries {
             FROM events WHERE user_id IS NOT NULL),
             f AS (SELECT user_id, min(day) AS first_day FROM p GROUP BY 1)
             SELECT day,
-              sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS new_users,
-              sum(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS returning_users
+              CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+              CAST(sum(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
             FROM p JOIN f ON p.user_id = f.user_id
             GROUP BY day ORDER BY day"""))
 

@@ -1275,6 +1275,121 @@ object ExtensionQueries {
                    END AS bit_depth
             FROM bin ORDER BY media_id"""))
 
+  /** MP4 frame counting ([[Multimodal.mp4FrameCount]]): deterministic
+    * doc_id-derived ISO-BMFF payloads — ftyp, an optional `free` box (so
+    * the top-level walk skips by size, not a fixed offset), then the
+    * moov→trak→mdia→minf→stbl chain with sibling mvhd/tkhd boxes the walk
+    * must step over, ending in EITHER an `stsz` (sample_count field) or an
+    * `stts` (two entries whose sample_counts sum) — both sample-table
+    * paths are oracle-covered, plus garbage rows for the unknown path.
+    * The oracle re-parses the big-endian counts out of `hex(payload)` at
+    * the arithmetically-derived box offsets, VERIFYING the moov/stbl and
+    * child tags at those offsets first — a byte-level replay of the box
+    * layout, not an echo of the generator formulas.
+    */
+  val qMultimodalVideo = QueryDef(
+    "q_multimodal_video",
+    (s, d) => {
+      def be32(v: org.apache.spark.sql.Column) =
+        lpad(hex(v.cast("long")), 8, "0")
+      val id = col("doc_id")
+      val frames = (pmod(id, lit(240)) + 1).cast("long")
+      val c1 = expr("(doc_id % 240 + 1) div 2")
+      val c2 = frames - c1
+      val j = pmod(id, lit(4)) * 2
+      val freeHex = when(j === 0, lit("")).otherwise(concat(
+        be32(j + 8), lit("66726565"),
+        expr("repeat('00', CAST((doc_id % 4) * 2 AS INT))")))
+      val isStts = pmod(id, lit(3)) === 1
+      val childSize = when(isStts, lit(32L)).otherwise(lit(20L))
+      val stblChild = when(isStts, concat(
+        lit("00000020" + "73747473" + "00000000" + "00000002"),
+        be32(c1), lit("000003E8"), be32(c2), lit("000003E8")))
+        .otherwise(concat(
+          lit("00000014" + "7374737A" + "00000000" + "00000000"),
+          be32(frames)))
+      val mp4 = concat(
+        lit("00000010" + "66747970" + "69736F6D" + "00000000"),
+        freeHex,
+        be32(childSize + 72), lit("6D6F6F76"),
+        lit("00000010" + "6D766864" + "0000000000000000"),
+        be32(childSize + 48), lit("7472616B"),
+        lit("00000010" + "746B6864" + "0000000000000000"),
+        be32(childSize + 24), lit("6D646961"),
+        be32(childSize + 16), lit("6D696E66"),
+        be32(childSize + 8), lit("7374626C"),
+        stblChild)
+      val garbage = concat(lit("00112233"), lpad(hex(id), 8, "0"))
+      val media = docs(s, d).select(
+        id.as("media_id"), lit("video").as("kind"),
+        unhex(when(pmod(id, lit(7)) === 3, garbage).otherwise(mp4))
+          .as("payload"))
+      Multimodal.extractFeatures(s, media).toDF()
+        .select("media_id", "format", "n_bytes", "content_md5", "n_frames")
+        .orderBy("media_id")
+    },
+    Some("""WITH payload AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 3 THEN
+                  '00112233' || lpad(hex(doc_id), 8, '0')
+                ELSE
+                  '0000001066747970' || '69736F6D' || '00000000'
+                  || CASE WHEN doc_id % 4 = 0 THEN ''
+                     ELSE lpad(hex(8 + (doc_id % 4) * 2), 8, '0') || '66726565'
+                       || repeat('00', CAST((doc_id % 4) * 2 AS INT)) END
+                  || lpad(hex(CASE WHEN doc_id % 3 = 1 THEN 104 ELSE 92 END), 8, '0')
+                  || '6D6F6F76'
+                  || '00000010' || '6D766864' || '0000000000000000'
+                  || lpad(hex(CASE WHEN doc_id % 3 = 1 THEN 80 ELSE 68 END), 8, '0')
+                  || '7472616B'
+                  || '00000010' || '746B6864' || '0000000000000000'
+                  || lpad(hex(CASE WHEN doc_id % 3 = 1 THEN 56 ELSE 44 END), 8, '0')
+                  || '6D646961'
+                  || lpad(hex(CASE WHEN doc_id % 3 = 1 THEN 48 ELSE 36 END), 8, '0')
+                  || '6D696E66'
+                  || lpad(hex(CASE WHEN doc_id % 3 = 1 THEN 40 ELSE 28 END), 8, '0')
+                  || '7374626C'
+                  || CASE WHEN doc_id % 3 = 1 THEN
+                       '00000020' || '73747473' || '00000000' || '00000002'
+                       || lpad(hex((doc_id % 240 + 1) // 2), 8, '0') || '000003E8'
+                       || lpad(hex(doc_id % 240 + 1 - (doc_id % 240 + 1) // 2), 8, '0')
+                       || '000003E8'
+                     ELSE
+                       '00000014' || '7374737A' || '00000000' || '00000000'
+                       || lpad(hex(doc_id % 240 + 1), 8, '0')
+                     END
+                END AS ph
+              FROM documents),
+            bin AS (
+              SELECT doc_id, hex(unhex(ph)) AS h,
+                CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes
+              FROM payload),
+            parsed AS (
+              SELECT doc_id, h, n_bytes, md5(h) AS content_md5,
+                substr(h, 9, 8) = '66747970' AS is_mp4,
+                -- moov offset: ftyp (16 bytes) + optional free box —
+                -- derived, then the moov/stbl/child tags are VERIFIED at
+                -- that offset before any count is parsed
+                16 + CASE WHEN doc_id % 4 = 0 THEN 0
+                     ELSE 8 + (doc_id % 4) * 2 END AS m0
+              FROM bin)
+            SELECT doc_id AS media_id,
+              CASE WHEN is_mp4 THEN 'mp4' ELSE 'unknown' END AS format,
+              n_bytes, content_md5,
+              CAST(CASE
+                WHEN NOT is_mp4 THEN 1
+                WHEN substr(h, (m0+4)*2+1, 8) = '6D6F6F76'
+                 AND substr(h, (m0+68)*2+1, 8) = '7374626C'
+                 AND substr(h, (m0+76)*2+1, 8) = '7374737A'
+                  THEN CAST('0x' || substr(h, (m0+88)*2+1, 8) AS BIGINT)
+                WHEN substr(h, (m0+4)*2+1, 8) = '6D6F6F76'
+                 AND substr(h, (m0+68)*2+1, 8) = '7374626C'
+                 AND substr(h, (m0+76)*2+1, 8) = '73747473'
+                  THEN CAST('0x' || substr(h, (m0+88)*2+1, 8) AS BIGINT)
+                     + CAST('0x' || substr(h, (m0+96)*2+1, 8) AS BIGINT)
+                ELSE 1 END AS INT) AS n_frames
+            FROM parsed ORDER BY media_id"""))
+
   /** PII redaction ([[TextAnalysis.redactPii]]): the testdata corpus holds
     * no PII, so the query plants deterministic synthetic PII (derived from
     * doc_id, replayed identically by the oracle) and then scrubs it —
@@ -2130,7 +2245,7 @@ object ExtensionQueries {
     qTextRepetition, qLangId,
     qDocFingerprint, qDocWinnow, qMultimodalMeta, qMultimodalDecode,
     qMultimodalDecode2, qMultimodalDecode3,
-    qMultimodalAudio,
+    qMultimodalAudio, qMultimodalVideo,
     qHeavyHitters, qCorpusPipeline,
     qJsonlRoundtrip, qOrcRoundtrip, qSampleStratified, qSampleTokenBudget,
     qSampleMixture,

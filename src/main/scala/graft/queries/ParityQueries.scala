@@ -28,7 +28,13 @@ object ParityQueries {
   /** Per-user event ordering used by all sessionization queries: event time
     * (ns) with event_id as the deterministic tiebreak.
     */
-  private val userOrder = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+  /** Per-user event-time window order. Ordered by µs-truncated ts
+    * (`ts div 1000`) because DuckDB's parquet reader truncates ns→µs:
+    * ordering by raw ns could diverge from every oracle's `ORDER BY ts,
+    * event_id` for same-µs events. event_id makes the order total.
+    */
+  private val userOrder = Window.partitionBy("user_id")
+    .orderBy(expr("ts div 1000"), col("event_id"))
 
   /** Whole-second epoch used for gap math — integer division of the nanos,
     * matching the oracle's `floor(epoch(ts))`.
@@ -120,8 +126,10 @@ object ParityQueries {
   val qDedupKey = QueryDef(
     "q_dedup_key",
     (s, d) => {
+      // µs-truncated ts (DuckDB's parquet read granularity); event_id
+      // tiebreak keeps the winner identical on both engines.
       val w = Window.partitionBy("user_id", "event_type")
-        .orderBy(col("ts").desc, col("event_id").desc)
+        .orderBy(expr("ts div 1000").desc, col("event_id").desc)
       events(s, d)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -1065,7 +1073,7 @@ object ParityQueries {
               ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                 AS quartile
             FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY event_type)
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_type NULLS FIRST)
             ORDER BY event_id"""))
 
   /** Forward fill (time-series gap repair): carry the last non-NULL
@@ -1394,15 +1402,15 @@ object ParityQueries {
       long.orderBy("column_name")
     },
     Some("""WITH w AS (SELECT count(*) AS n,
-              sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS null_event_id,
+              CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
               count(DISTINCT event_id) AS dist_event_id,
-              sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user_id,
+              CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
               count(DISTINCT user_id) AS dist_user_id,
-              sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_event_type,
+              CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
               count(DISTINCT event_type) AS dist_event_type,
-              sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
+              CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
               count(DISTINCT value) AS dist_value,
-              sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
+              CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
               count(DISTINCT props) AS dist_props
             FROM events)
             SELECT column_name, n_rows, n_null, n_distinct FROM (

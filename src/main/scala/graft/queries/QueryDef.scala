@@ -13,8 +13,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - floating-point aggregates are `round(…, n)`-ed on both sides to
   *    absorb summation-order differences;
   *  - event timestamps (nanosecond parquet) are surfaced as epoch-second
-  *    BIGINT or DATE, never raw timestamps, because Spark truncates ns→µs
-  *    on read while DuckDB keeps ns.
+  *    BIGINT or DATE, never raw timestamps, because Spark keeps full ns
+  *    (LongType via nanosAsLong) while DuckDB's parquet reader truncates
+  *    ns→µs — ordering/keys must use `ts div 1000` (µs) or coarser so both
+  *    engines see the same granularity.
   */
 final case class QueryDef(
     name: String,

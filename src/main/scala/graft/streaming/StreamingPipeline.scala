@@ -442,8 +442,13 @@ object StreamingPipeline {
     * per key in `orderCol` order resolves multiple changes to the same
     * key BEFORE the merge (Upsert requires key-unique updates).
     *
-    * The table lives as parquet at `tablePath`, rewritten atomically per
-    * batch (write to `<path>.staging`, swap). A per-batch rewrite is the
+    * The table lives as parquet at `tablePath`, rewritten per batch via
+    * write-to-staging then rename-aside swap (dest → `.old`, staging →
+    * dest, delete `.old`): a crash mid-swap leaves either the old table
+    * in place or recoverable at `<path>.old`, never a window with no
+    * table at all. `java.io.File` renames limit this sink to LOCAL
+    * filesystems; on an object store, target a transactional table
+    * format instead. A per-batch rewrite is the
     * honest cost of parquet-as-a-table — at 100 TB the same foreachBatch
     * body targets a table FORMAT with transactional MERGE instead; the
     * stream-side contract (dedup, then [[graft.operators.Upsert.upsert]])
@@ -486,9 +491,21 @@ object StreamingPipeline {
           if (f.isDirectory) f.listFiles().foreach(rmTree)
           f.delete(): Unit
         }
-        if (dest.exists()) rmTree(dest)
-        if (!dir.renameTo(dest))
+        // Rename-aside swap: never a moment with no serving table. A
+        // crash after step 1 still has the full table at `.old`; a crash
+        // after step 2 has the new table live and `.old` as garbage that
+        // the next batch clears.
+        val old = new java.io.File(tablePath + ".old")
+        if (old.exists()) rmTree(old)
+        if (dest.exists() && !dest.renameTo(old))
+          throw new java.io.IOException(s"rename-aside failed for $tablePath")
+        if (!dir.renameTo(dest)) {
+          // Restore the previous table before failing so the sink never
+          // leaves the serving path empty.
+          if (old.exists()) old.renameTo(dest): Unit
           throw new java.io.IOException(s"staging swap failed for $tablePath")
+        }
+        if (old.exists()) rmTree(old)
         ()
     }
   }

@@ -789,6 +789,64 @@ class ExtSpec extends SparkSpec {
     assert(Multimodal.decodeHeader(Array[Byte]('I', 'I', 42, 0)).format === "unknown")
   }
 
+  test("mp4FrameCount: ISO-BMFF box walk — stsz, stts sum, largesize, size 0, truncation") {
+    def be32(v: Long): Seq[Byte] =
+      Seq((v >> 24) & 0xff, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
+        .map(_.toByte)
+    def be64(v: Long): Seq[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def box(t: String, payload: Seq[Byte]): Seq[Byte] =
+      be32(payload.length + 8L) ++ t.getBytes("US-ASCII").toSeq ++ payload
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII").toSeq ++ be32(0))
+    def stsz(n: Long) = box("stsz", be32(0) ++ be32(0) ++ be32(n))
+    def stts(cs: Seq[Long]) = box("stts",
+      be32(0) ++ be32(cs.length.toLong) ++ cs.flatMap(c => be32(c) ++ be32(1000)))
+    def chain(stblChildren: Seq[Byte]): Seq[Byte] = box("moov",
+      box("mvhd", Seq.fill(8)(0.toByte)) ++
+        box("trak", box("tkhd", Seq.fill(8)(0.toByte)) ++
+          box("mdia", box("minf", box("stbl", stblChildren)))))
+
+    def count(bs: Seq[Byte]) = Multimodal.mp4FrameCount(bs.toArray)
+
+    assert(count(ftyp ++ chain(stsz(42))) === Some(42))
+    // stts path: frame count is the SUM of the entries' sample_counts
+    assert(count(ftyp ++ chain(stts(Seq(10, 20, 12)))) === Some(42))
+    // stsz preferred when both are present
+    assert(count(ftyp ++ chain(stsz(5) ++ stts(Seq(9)))) === Some(5))
+    // top-level free box between ftyp and moov is skipped by size
+    assert(count(ftyp ++ box("free", Seq.fill(6)(0.toByte)) ++ chain(stsz(7)))
+      === Some(7))
+    // 64-bit largesize header (size == 1): moov as a largesize box
+    val moovPayload = chain(stsz(9)).drop(8)
+    val largeMoov = be32(1) ++ "moov".getBytes("US-ASCII").toSeq ++
+      be64(moovPayload.length + 16L) ++ moovPayload
+    assert(count(ftyp ++ largeMoov) === Some(9))
+    // size == 0: box runs to the end of the buffer
+    val zeroMoov = be32(0) ++ "moov".getBytes("US-ASCII").toSeq ++ moovPayload
+    assert(count(ftyp ++ zeroMoov) === Some(9))
+    // truncated before the sample count: None, never a garbage read
+    assert(count((ftyp ++ chain(stsz(42))).dropRight(4)) === None)
+    // declared size larger than the buffer fails closed
+    val inflated = ftyp ++ be32(4096) ++ "moov".getBytes("US-ASCII").toSeq
+    assert(count(inflated) === None)
+    // malformed child size (< header) aborts the walk
+    assert(count(ftyp ++ box("moov", be32(3) ++ "trak".getBytes("US-ASCII").toSeq))
+      === None)
+    // not ISO-BMFF at all
+    assert(count(pngBytes(8, 8, 8).toSeq) === None)
+    assert(Multimodal.mp4FrameCount(null) === None)
+    assert(Multimodal.mp4FrameCount(Array.emptyByteArray) === None)
+
+    // end-to-end: the Dataset path reports format mp4 + the parsed count
+    val media = Seq(
+      (1L, "video", (ftyp ++ chain(stsz(24))).toArray),
+      (2L, "video", (ftyp ++ chain(stts(Seq(3, 4)))).toArray))
+      .toDF("media_id", "kind", "payload")
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).format === "mp4" && feats(1L).n_frames === 24)
+    assert(feats(2L).format === "mp4" && feats(2L).n_frames === 7)
+  }
+
   test("multimodal: feature extraction decodes real headers per partition") {
     val media = Seq(
       (1L, "image", pngBytes(320, 200, 16)),
