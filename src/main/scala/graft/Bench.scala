@@ -60,20 +60,42 @@ object Bench {
     // fresh-process numbers. Running them after the parallel suite produced
     // hot-JVM artifacts (solo slower than contended). The ONLY filter
     // applies here too — a profiling run doesn't drag in 5 default queries.
+    //
+    // Each headline query is measured SPARK_GRAFT_BENCH_SOLO_RUNS times
+    // (default 3) and `solo` reports the MIN, with every raw reading kept
+    // in `solo_runs`: this host's ambient co-tenant load swings single
+    // readings up to 10× (r7's one-shot solo read 7.19 s where the
+    // same-round scale sweep read 5.60 s), so a single sample makes
+    // round-over-round deltas noise. Min-of-N is the standard
+    // contention-robust estimator — ambient load only ever ADDS time.
     val headline = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOLO",
         "q_rollup,q_e2e_throughput,q_e2e_pipeline,q_join_inner,q_sessionize")
       .split(",").map(_.trim)
       .filter(n => n.nonEmpty && SparkEntry.queries.contains(n))
       .filter(n => only.forall(_.contains(n)))
+    val soloRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_SOLO_RUNS", "3").toInt
+      .max(1)
     val soloWall0 = System.nanoTime()
-    val solo = headline.map(n => timed(n, SparkEntry.queries(n)))
+    // Round-robin (run 1 of every query, then run 2, ...) rather than
+    // back-to-back repeats: repeats of the same query land in consecutive
+    // seconds and would all catch the same ambient-load spike.
+    val soloAll = (1 to soloRuns).flatMap(_ =>
+      headline.map(n => timed(n, SparkEntry.queries(n))))
+    val solo = headline.flatMap { n =>
+      val runs = soloAll.collect { case (`n`, v, true) => v }
+      if (runs.isEmpty) None else Some((n, runs.min, runs))
+    }
     val soloWall = (System.nanoTime() - soloWall0) / 1e9
 
+    // Scale sweeps (SCALE_*.json) want ONLY the min-of-N solo phase:
+    // SPARK_GRAFT_BENCH_SUITE=0 skips the parallel suite so a 50× sweep
+    // doesn't pay a fourth (contended, unused) run of each query.
+    val runSuite = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUITE", "1") != "0"
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val wall0 = System.nanoTime()
-    val futures = selected.map { case (name, fn) =>
+    val futures = (if (runSuite) selected else Seq.empty).map { case (name, fn) =>
       scala.concurrent.Future(timed(name, fn))
     }
     val results = scala.concurrent.Await.result(
@@ -86,9 +108,12 @@ object Bench {
     // a fast failure must not read as a performance win.
     val qs = results.collect { case (k, v, true) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val soloJs = solo.collect { case (k, v, true) => "\"" + k + "\":" + v }
+    val soloJs = solo.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = (results ++ solo).collect { case (k, _, false) => "\"" + k + "\"" }
+    val soloRunsJs = solo.map { case (k, _, rs) =>
+        "\"" + k + "\":[" + rs.mkString(",") + "]"
+      }.mkString("{", ",", "}")
+    val failed = (results ++ soloAll).collect { case (k, _, false) => "\"" + k + "\"" }
       .distinct.mkString("[", ",", "]")
     val sum = results.collect { case (_, v, true) => v }.sum
 
@@ -132,9 +157,32 @@ object Bench {
       (entries :+ ("\"centroids_differ\":" + differ)).mkString("{", ",", "}")
     } catch { case _: Throwable => "{}" }
 
+    // ANN recall@10 per approximate family vs the exact brute-force
+    // baseline, over the SAME probe set and k the q_ann_* queries declare.
+    // The specs assert recall thresholds, but only this export makes a
+    // recall REGRESSION visible to the driver round-over-round. Each
+    // result is ≤ probes×k rows — the collect is bounded. Skipped under
+    // SPARK_GRAFT_BENCH_ONLY like the skew probe.
+    val annRecall = if (only.nonEmpty) "{}" else try {
+      def pairs(name: String): Set[(Long, Long)] =
+        SparkEntry.queries(name)(spark, sfDir)
+          .select("q_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs("q_embed_cosine_topk")
+      val fams = Seq("lsh" -> "q_ann_lsh", "ivf" -> "q_ann_ivf",
+        "pq" -> "q_ann_pq", "ivfpq" -> "q_ann_ivfpq", "sq8" -> "q_ann_sq8")
+      fams.map { case (fam, q) =>
+        val r = (pairs(q) & exact).size.toDouble / exact.size
+        "\"" + fam + "\":" + r
+      }.mkString("{", ",", s""","k":10,"n_exact_pairs":${exact.size}}""")
+    } catch { case _: Throwable => "{}" }
+
     // "value" = parallel-suite wall clock; "solo_wall_sec" = the serial
     // cold-ish headline phase that ran FIRST — keep the two separate.
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","sum_query_sec":$sum,"solo_wall_sec":$soloWall,"parallelism":$par,"failed":$failed,"queries":$qs,"solo":$soloJs,"ivf_list_skew":$ivfSkew,"sf":"$sfDir"}""")
+    // "solo" = min over solo_runs readings per query (see the solo phase
+    // comment); "solo_runs" = every raw reading, so the dispersion itself
+    // is auditable.
+    println(s"""{"metric":"total","value":$wall,"unit":"sec","sum_query_sec":$sum,"solo_wall_sec":$soloWall,"solo_runs_per_query":$soloRuns,"parallelism":$par,"failed":$failed,"queries":$qs,"solo":$soloJs,"solo_runs":$soloRunsJs,"ann_recall":$annRecall,"ivf_list_skew":$ivfSkew,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

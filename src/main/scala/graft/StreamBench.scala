@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.streaming.StreamingPipeline
+
+/** Streaming micro-benchmark: drives the three STATEFUL streaming twins
+  * (flatMapGroupsWithState session ids, sliding-window HLL active users,
+  * tumbling-window count–min sketch) with the real `events` table
+  * replayed through a MemoryStream in event-time order, and reports
+  * per-trigger throughput AND state-store footprint.
+  *
+  * StreamingSpec asserts these twins' CORRECTNESS (batch parity, several
+  * bit-identical); this main makes their COST visible round-over-round:
+  * rows/s per trigger and `StateOperatorProgress.numRowsTotal` /
+  * `memoryUsedBytes` — the numbers that decide whether a twin's state
+  * stays bounded when the stream runs for a week. The replay is in
+  * event-time order so the watermark advances every trigger and state
+  * EVICTION is part of what's measured, not just state growth.
+  *
+  * Prints ONE JSON line:
+  * `{"metric":"streambench","twins":{<name>:{"triggers":[{"rows":..,
+  * "sec":..,"state_rows":..,"state_bytes":..}],"total_rows":..,
+  * "rows_per_sec":..,"final_state_rows":..}},"sf":..}`.
+  */
+object StreamBench {
+
+  /** The session twin's input row shape (event-time + the two id cols). */
+  case class Ev(event_id: Long, timestamp: Timestamp, user_id: String)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nTriggers = sys.env.getOrElse("SPARK_GRAFT_STREAM_TRIGGERS", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // Event-time-ordered replay: ns → µs timestamps, numeric user ids as
+    // the string key the session twin groups on. NULL users are dropped
+    // up front — all three twins key on user_id and drop them anyway.
+    val rows = spark.read.parquet(s"$sfDir/events.parquet")
+      .where(col("user_id").isNotNull)
+      .select(col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("timestamp"),
+        col("user_id").cast("string").as("user_id"))
+      .orderBy("timestamp", "event_id")
+      .as[Ev].collect()
+    val chunkSize = math.max(1, (rows.length + nTriggers - 1) / nTriggers)
+    val chunks = rows.grouped(chunkSize).toSeq
+
+    /** Replay all chunks through `mk`'s query, one trigger per chunk,
+      * then harvest per-trigger progress (data triggers only — the
+      * no-data watermark-commit microbatches carry no rows).
+      */
+    def run(name: String, outputMode: String, mk: DataFrame => DataFrame)
+        : (String, String) = {
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[Ev]
+      val q: StreamingQuery = mk(input.toDF())
+        .writeStream.outputMode(outputMode)
+        .format("noop").start()
+      val wall0 = System.nanoTime()
+      try {
+        chunks.foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
+        val wall = (System.nanoTime() - wall0) / 1e9
+        val progress = q.recentProgress.filter(_.numInputRows > 0)
+        val triggers = progress.map { p =>
+          val sec = p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3
+          val (srows, sbytes) =
+            if (p.stateOperators.nonEmpty)
+              (p.stateOperators.map(_.numRowsTotal).sum,
+               p.stateOperators.map(_.memoryUsedBytes).sum)
+            else (0L, 0L)
+          s"""{"rows":${p.numInputRows},"sec":$sec,"state_rows":$srows,"state_bytes":$sbytes}"""
+        }
+        val totalRows = progress.map(_.numInputRows).sum
+        val sumSec = progress
+          .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum / 1e3
+        val rps = if (sumSec > 0) totalRows / sumSec else 0.0
+        val finalState =
+          progress.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
+            .getOrElse(0L)
+        name -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"final_state_rows":$finalState}"""
+      } finally q.stop()
+    }
+
+    // The three stateful twins the round-7 verdict asked to profile. Same
+    // parameters as their StreamingSpec parity tests / batch counterparts.
+    val twins = Seq(
+      run("session_ids", "append", df =>
+        StreamingPipeline.sessionIdsStream(spark, df,
+          gapMinutes = 30, stateTtlMinutes = 120, watermark = "1 hour").toDF()),
+      run("windowed_hll", "update", df =>
+        StreamingPipeline.activeUsersStream(df, days = 7, watermark = "1 day")),
+      run("cms", "update", df =>
+        StreamingPipeline.countMinStream(df, "user_id",
+          width = 64, depth = 4, windowDur = "1 hour", watermark = "1 hour")))
+
+    val twinJs = twins.map { case (n, js) => "\"" + n + "\":" + js }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"streambench","n_triggers":$nTriggers,"input_rows":${rows.length},"twins":$twinJs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
