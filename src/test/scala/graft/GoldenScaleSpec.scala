@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.Tag
+
+/** Marks multi-minute tests; filter with `testOnly -- -l graft.Slow`. */
+object SlowTest extends Tag("graft.Slow")
+
+/** The reference's own e2e contract at scale: the adversarial 40-row
+  * fixture replicated 100,000× (4 M raw rows) with per-copy event_id /
+  * user_id rewrites, then the full pipeline run and its invariants
+  * asserted against the 1× baseline computed in the same test:
+  *
+  *  - every named user replicates into an independent per-copy user, so
+  *    each copy's cleaned rows and per-user features must EQUAL the 1×
+  *    baseline (the copy-0 slice is compared row-by-row);
+  *  - rows with missing user_id normalize to the SAME "unknown" user in
+  *    every copy, forming one deliberately skewed mega-user whose totals
+  *    must scale exactly linearly (count R×, one zero-length session —
+  *    all copies share the fixture's timestamps);
+  *  - dedup, severity-drop, and validation are per-copy, so the output
+  *    cardinality is exactly R × the baseline's.
+  *
+  * This is the scaled twin of [[GoldenPipelineSpec]]: that spec proves
+  * VALUE parity with the reference at 40 rows; this one proves the same
+  * stage semantics survive a 10⁵× fan-out with an adversarial key skew.
+  */
+class GoldenScaleSpec extends SparkSpec {
+
+  private def resource(name: String): String =
+    getClass.getResource(s"/$name").getPath
+
+  private val R = 100000L
+
+  /** Replicate the fixture R× preserving within-copy ingest order
+    * (row-major by source row: orderBy(_src, _copy) keeps every copy's
+    * rows in fixture order for the order-dependent keep-last dedup).
+    * event_ids shift by copy×100000 (fixture ids are 1001-1040, no
+    * collisions); non-blank users get a per-copy suffix; blank/missing
+    * users stay blank in EVERY copy — the scaled skew.
+    */
+  private def writeScaled(dir: String): Unit = {
+    val raw = spark.read.option("header", "true").csv(resource("raw_events.csv"))
+    raw
+      .withColumn("_src", monotonically_increasing_id())
+      .withColumn("_copy", explode(sequence(lit(0L), lit(R - 1L))))
+      .withColumn("event_id",
+        (col("event_id").cast("long") + col("_copy") * 100000L).cast("string"))
+      .withColumn("user_id",
+        when(length(trim(col("user_id"))) > 0,
+          concat(trim(col("user_id")), lit("#"), col("_copy")))
+          .otherwise(col("user_id")))
+      .orderBy("_src", "_copy")
+      .drop("_src", "_copy")
+      .coalesce(1)
+      .write.option("header", "true").mode("overwrite").csv(dir)
+  }
+
+  private def runPipeline(input: String): DataFrame = {
+    val out = Files.createTempDirectory("graft-golden-scale").toString + "/out"
+    Pipeline.run(spark, PipelineConfig(
+      input = input, output = out,
+      sessionGapMinutes = 60, dropUnknownSeverity = true,
+      validateMode = "warn", summary = false,
+      // the distributed-output configuration — a 4 M-row run has no
+      // business funneling through coalesce(1) or a global sort
+      sortOutput = false, singleFileOutput = false))
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ssxxx").csv(out)
+  }
+
+  test("pipeline invariants hold at 4M rows (fixture replicated 100,000x)",
+      SlowTest) {
+    val scaledCsv = Files.createTempDirectory("graft-scale-csv").toString + "/raw"
+    writeScaled(scaledCsv)
+
+    val t0 = System.nanoTime()
+    val produced = runPipeline(scaledCsv).cache()
+    val nOut = produced.count()
+    info(f"4M-row pipeline wall: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    val base = runPipeline(resource("raw_events.csv")).cache()
+    val nBase = base.count()
+
+    // 1. per-copy dedup/drop semantics => exactly R x baseline rows out
+    assert(nOut === nBase * R, s"output rows $nOut != $nBase x $R")
+    // 2. no event_id collisions across copies survived
+    assert(produced.select("event_id").distinct().count() === nOut)
+
+    // 3. copy-0 slice (original event_ids) matches the 1x baseline
+    //    row-for-row on every column for NAMED users — per-user features
+    //    must be blind to the other 99,999 copies
+    val canonCols = Seq("event_id", "timestamp", "event_type", "status",
+      "severity", "source_ip", "severity_score", "user_event_count_total",
+      "user_daily_avg_events", "session_event_count",
+      "session_duration_seconds")
+    def canon(df: DataFrame, stripCopy: Boolean): Set[Seq[String]] = {
+      val user =
+        if (stripCopy) regexp_replace(col("user_id"), "#0$", "")
+        else col("user_id")
+      df.where(col("user_id") =!= "unknown")
+        .select((user +: canonCols.map(c => col(c).cast("string"))): _*)
+        .collect().map(_.toSeq.map(String.valueOf)).toSet
+    }
+    val copy0 = produced.where(col("event_id") <= 1040 &&
+      (col("user_id").endsWith("#0") || col("user_id") === "unknown")).cache()
+    assert(canon(copy0, stripCopy = true) === canon(base, stripCopy = false))
+
+    // 4. the "unknown" mega-user: R x the baseline rows, totals scaled
+    //    exactly linearly, and — since every copy shares the fixture's
+    //    timestamps — ONE zero-length session per baseline session
+    val baseUnknown = base.where(col("user_id") === "unknown").cache()
+    val nUnkBase = baseUnknown.count()
+    val unk = produced.where(col("user_id") === "unknown").cache()
+    assert(unk.count() === nUnkBase * R)
+    val totals = unk.select("user_event_count_total").distinct()
+      .collect().map(_.getInt(0).toLong)
+    assert(totals.toSeq === Seq(nUnkBase * R),
+      s"unknown totals ${totals.toSeq} != ${nUnkBase * R}")
+    assert(unk.select("session_id").distinct().count() ===
+      baseUnknown.select("session_id").distinct().count())
+    // all copies collapse onto the same instants -> zero-length sessions
+    assert(unk.select("session_duration_seconds").distinct()
+      .collect().map(_.getDouble(0)).toSeq === Seq(0.0))
+
+    produced.unpersist(); base.unpersist(); copy0.unpersist()
+    baseUnknown.unpersist(); unk.unpersist()
+  }
+}
