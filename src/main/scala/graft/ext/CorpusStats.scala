@@ -1,0 +1,129 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text statistics for training-data curation: boilerplate
+  * block removal (the CCNet/RefinedWeb "drop lines repeated across many
+  * documents" pass, over fixed-width word blocks since this corpus has no
+  * newlines), vocabulary coverage / OOV rate against the corpus's own
+  * top-V tokens (the "how well would a tokenizer trained here cover this
+  * doc" signal), and cross-source n-gram overlap (which data subsets leak
+  * into each other — the subset-level contamination matrix).
+  *
+  * All three are posting-list shaped: one exchange keyed on the text unit
+  * (block / token / gram), never an all-pairs document join. Reference
+  * behaviors these generalize: the reference's dedup/cleaning stages
+  * (reference: src/pipeline.py:30-44) act on whole rows; these act on
+  * sub-document units, which is what large-corpus curation actually
+  * needs.
+  */
+object CorpusStats {
+
+  /** Non-overlapping `blockSize`-word blocks of a pre-split token-array
+    * COLUMN (must be a materialized attribute, not the tokenizer
+    * expression — a lambda over the raw `split()` would re-run the regex
+    * per block; see TextAnalysis.wordNgrams' shape note). Each block is
+    * its words joined by single spaces; the tail block may be shorter.
+    */
+  private def wordBlocks(toks: Column, blockSize: Int): Column =
+    transform(
+      sequence(lit(0), ceil(size(toks) / lit(blockSize.toDouble)).cast("int") - 1),
+      i => array_join(slice(toks, i * blockSize + 1, lit(blockSize)), " "))
+
+  /** Boilerplate removal: drop every block that occurs in more than
+    * `dfCap` DISTINCT documents, and reassemble each document from its
+    * surviving blocks in order. Returns
+    * `(id, clean_text, n_blocks, n_dropped)`.
+    *
+    * Shape: explode blocks once → block-keyed document-frequency count
+    * (one exchange; map-side partial aggregation) → the SMALL frequent
+    * set (df > cap is the Zipf head — tiny by construction) joins back
+    * against the exploded blocks → one per-document aggregation
+    * reassembles text via sort-by-position structs. Nothing driver-side;
+    * at 100 TB the frequent set is broadcastable and everything else is
+    * the two keyed exchanges.
+    */
+  def removeFrequentBlocks(
+      df: DataFrame, id: String, text: String,
+      blockSize: Int = 10, dfCap: Int = 2): DataFrame = {
+    require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
+    val blocks = df.where(col(text).isNotNull)
+      .select(col(id), TextAnalysis.tokens(col(text)).as("_toks"))
+      .select(col(id), posexplode(wordBlocks(col("_toks"), blockSize))
+        .as(Seq("pos", "block")))
+    val frequent = blocks.groupBy("block")
+      .agg(countDistinct(col(id)).as("_df"))
+      .where(col("_df") > dfCap)
+      .select(col("block"), lit(1).as("_freq"))
+    blocks.join(frequent, Seq("block"), "left")
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("_freq").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        // collect_list skips the NULLs the `when` leaves for dropped
+        // blocks; struct sort is by the unique per-doc position
+        array_join(transform(
+          array_sort(collect_list(when(col("_freq").isNull,
+            struct(col("pos"), col("block"))))),
+          x => x("block")), " ").as("clean_text"))
+      .select(col(id), col("clean_text"), col("n_blocks"), col("n_dropped"))
+  }
+
+  /** Per-document OOV rate against the corpus's own `topV` most frequent
+    * tokens (count-desc, token-asc tiebreak — deterministic across
+    * engines). Returns `(id, n_tokens, n_oov, oov_rate)`; `oov_rate` is
+    * an identical-operand long/long double division, bit-exact
+    * cross-engine.
+    *
+    * Shape: one token-keyed count (exchange #1), top-V via
+    * TakeOrderedAndProject (no global sort), broadcast of the V-row
+    * vocab back onto the token stream, one per-document aggregation
+    * (exchange #2).
+    */
+  def vocabCoverage(
+      df: DataFrame, id: String, text: String, topV: Int = 30): DataFrame = {
+    val tok = df.where(col(text).isNotNull)
+      .select(col(id), explode(TextAnalysis.tokens(col(text))).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_cnt").desc, col("w")).limit(topV)
+      .select(col("w"), lit(1).as("_in_vocab"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** Cross-source contamination matrix: for every source pair (a < b),
+    * the number of DISTINCT word `n`-grams they share and the Jaccard of
+    * their gram sets. Returns `(src_a, src_b, shared_grams, jaccard)`.
+    *
+    * Shape: distinct (source, gram) once (the one big exchange), then a
+    * gram-keyed self-join whose per-gram fan-out is bounded by the
+    * SOURCE count squared — sources are a small dimension (data subsets,
+    * not documents), so this never degenerates into a document cross
+    * product no matter the corpus size.
+    */
+  def sourceOverlap(
+      df: DataFrame, source: String, text: String, n: Int = 3): DataFrame = {
+    val grams = df.where(col(text).isNotNull)
+      .select(col(source).as("source"),
+        explode(TextAnalysis.wordNgrams(col(text), n)).as("g"))
+      .distinct()
+    val perSrc = grams.groupBy("source").agg(count(lit(1)).as("_n"))
+    val shared = grams.as("a")
+      .join(grams.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    shared
+      .join(perSrc.select(col("source").as("src_a"), col("_n").as("_na")), "src_a")
+      .join(perSrc.select(col("source").as("src_b"), col("_n").as("_nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+        (col("shared_grams").cast("double") /
+          (col("_na") + col("_nb") - col("shared_grams")).cast("double"))
+          .as("jaccard"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.ext.CorpusStats
+
+/** Unit coverage for the corpus-curation statistics: boilerplate block
+  * removal, vocabulary coverage, and the cross-source overlap matrix.
+  * The DuckDB oracles check full-corpus parity; these pin the SEMANTICS
+  * on hand-built corpora where the right answer is computable by eye.
+  */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val boiler = (1 to 4).map(i => s"b$i").mkString(" ")
+
+  test("removeFrequentBlocks drops blocks over the df cap, keeps order, empties fully-boilerplate docs") {
+    // blockSize=4: doc text is consecutive 4-word blocks. `boiler` appears
+    // in docs 1,2,3 (df=3 > cap 2) -> dropped everywhere; `rare` blocks
+    // (df<=2) survive; doc 3 is ALL boilerplate -> clean_text "".
+    val docs = Seq(
+      (1L, s"$boiler u1 u2 u3 u4 w1 w2 w3 w4"),
+      (2L, s"v1 v2 v3 v4 $boiler"),
+      (3L, boiler),
+      (4L, "v1 v2 v3 v4 tail")) // shared with doc 2 at df=2 -> kept; short tail block
+      .toDF("doc_id", "text")
+    val out = CorpusStats.removeFrequentBlocks(docs, "doc_id", "text",
+        blockSize = 4, dfCap = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out(0) === ((1L, "u1 u2 u3 u4 w1 w2 w3 w4", 3L, 1L)))
+    assert(out(1) === ((2L, "v1 v2 v3 v4", 2L, 1L)))
+    assert(out(2) === ((3L, "", 1L, 1L)))
+    // order preserved through the struct sort: block then tail
+    assert(out(3) === ((4L, "v1 v2 v3 v4 tail", 2L, 0L)))
+  }
+
+  test("removeFrequentBlocks: duplicate block within ONE doc does not count twice toward df") {
+    val docs = Seq(
+      (1L, s"$boiler $boiler"), // df contribution: 1 distinct doc
+      (2L, boiler))             // df=2 <= cap -> everything kept
+      .toDF("doc_id", "text")
+    val out = CorpusStats.removeFrequentBlocks(docs, "doc_id", "text",
+        blockSize = 4, dfCap = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect()
+    assert(out(0)._4 === 0L && out(0)._2 === s"$boiler $boiler")
+    assert(out(1)._4 === 0L)
+  }
+
+  test("vocabCoverage: OOV rate against the corpus top-V with deterministic tiebreak") {
+    // counts: a=3, b=2, c=2, z=1. topV=3 -> vocab {a,b,c} (count desc,
+    // token asc breaks the b/c tie deterministically).
+    val docs = Seq(
+      (1L, "a a b c"),
+      (2L, "a b c z"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.vocabCoverage(docs, "doc_id", "text", topV = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(out(0) === ((1L, 4L, 0L, 0.0)))
+    assert(out(1) === ((2L, 4L, 1L, 0.25)))
+  }
+
+  test("sourceOverlap: shared distinct 3-grams and Jaccard per source pair") {
+    // srcA grams: {p q r, q r s} ; srcB grams: {q r s, r s t} (two docs,
+    // one duplicated gram proves DISTINCT semantics); srcC: no overlap.
+    val docs = Seq(
+      (1L, "A", "p q r s"),
+      (2L, "B", "q r s t"),
+      (3L, "B", "q r s"), // duplicate gram within B
+      (4L, "C", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusStats.sourceOverlap(docs, "source", "text", n = 3)
+      .orderBy("src_a", "src_b").as[(String, String, Long, Double)].collect()
+    // A∩B = {q r s} (1); |A|=2, |B|=2 -> jaccard 1/3. C pairs absent
+    // (inner join on shared grams -> zero-overlap pairs don't appear).
+    assert(out.toSeq === Seq(("A", "B", 1L, 1.0 / 3.0)))
+  }
+
+  test("sourceOverlap and removeFrequentBlocks ignore NULL text") {
+    val docs = Seq(
+      (1L, Option("a b c d"), Option("A")),
+      (2L, None: Option[String], Option("B")))
+      .toDF("doc_id", "text", "source")
+    assert(CorpusStats.removeFrequentBlocks(docs, "doc_id", "text", 4, 2)
+      .count() === 1L)
+    assert(CorpusStats.sourceOverlap(docs, "source", "text", 3).count() === 0L)
+    assert(CorpusStats.vocabCoverage(docs, "doc_id", "text", 5).count() === 1L)
+  }
+}
