@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): the
+  * iterative merge loop, not just one pair count. Each iteration counts
+  * all adjacent symbol pairs across the corpus (weighted by word
+  * frequency), picks the most frequent pair (count-desc, pair-asc
+  * tiebreak — fully deterministic), and rewrites every word's symbol
+  * sequence with that pair merged, left-to-right non-overlapping.
+  *
+  * Scale shape — the classic trick makes this cluster-friendly: training
+  * runs on the DISTINCT-WORD dictionary with frequencies, never on the
+  * corpus. One corpus-keyed exchange builds the dictionary; after that,
+  * every iteration is one pair-keyed aggregation over the (small)
+  * dictionary plus a ONE-ROW collect for the argmax — the same bounded
+  * driver-state pattern as the gradient-descent classifier
+  * (QualityClassifier) and quantizer training (Similarity). The merge
+  * rewrite is a fold over each word's symbol array; words are short, the
+  * dictionary is vocabulary-sized, and the per-iteration result is
+  * cached so lineage doesn't re-evaluate k growing expression trees.
+  *
+  * The loop stops early when no pair reaches `minCount` — merging
+  * singleton noise would just memorize hapax words.
+  */
+object BpeTrainer {
+
+  /** Adjacent symbol pairs of a symbol-array COLUMN as "a b" strings:
+    * zip of the array with its shift-by-one (the wordNgrams shape — no
+    * per-element re-evaluation of anything expensive), null-padded tail
+    * filtered off.
+    */
+  private def adjacentPairs(syms: Column): Column =
+    filter(
+      zip_with(syms, slice(syms, lit(2), size(syms)),
+        (a, b) => when(b.isNotNull, concat(a, lit(" "), b))),
+      x => x.isNotNull)
+
+  /** Left-to-right non-overlapping merge of (a, b) -> a+b in one symbol
+    * array: a fold that either replaces the accumulator's tail element
+    * (when it is `a` and the incoming symbol is `b`) or appends. A
+    * symbol produced by a merge can never immediately re-merge as the
+    * `a` of the same pair because a+b is strictly longer than a —
+    * matching the reference algorithm's scan semantics.
+    */
+  private def mergePair(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) === 0, array(x))
+          .otherwise(when(element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x)))))
+
+  /** Run `numMerges` BPE iterations over `textCol`; returns the learned
+    * merge table `(step, pair, n)` — step is 1-based merge order, n the
+    * frequency-weighted count that won the step.
+    */
+  def train(
+      spark: SparkSession, docs: DataFrame, textCol: String,
+      numMerges: Int, minCount: Long = 2L): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    // corpus -> distinct-word dictionary with frequencies (the ONE
+    // corpus-sized exchange), words split to character symbols
+    var dict = docs.where(col(textCol).isNotNull)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        expr("filter(split(w, ''), x -> x != '')").as("syms"))
+      .cache()
+    dict.count()
+
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val top = dict
+        .select(col("freq"), explode(adjacentPairs(col("syms"))).as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(1) < minCount) done = true
+      else {
+        val pair = top(0).getString(0)
+        val n = top(0).getLong(1)
+        val Array(a, b) = pair.split(" ", 2)
+        merges += ((step, pair, n))
+        val next = dict
+          .select(col("freq"), mergePair(col("syms"), a, b).as("syms"))
+          .cache()
+        next.count()
+        dict.unpersist()
+        dict = next
+        step += 1
+      }
+    }
+    dict.unpersist()
+    import spark.implicits._
+    merges.result().toDF("step", "pair", "n")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{CorpusPipeline, CorpusSampling, CorpusStats, Dedup, Multimodal, QualityClassifier, Relevance, Similarity, Sketches, TextAnalysis}
+import graft.ext.{BpeTrainer, CorpusPipeline, CorpusSampling, CorpusStats, Dedup, Multimodal, QualityClassifier, Relevance, Similarity, Sketches, TextAnalysis}
 import QueryDef.table
 
 /** North-star extension queries: dedup, similarity search, text analysis,
@@ -1734,6 +1734,19 @@ object ExtensionQueries {
             SELECT pair, count(*) AS n FROM p
             GROUP BY pair ORDER BY n DESC, pair LIMIT 30"""))
 
+  /** Full BPE tokenizer TRAINING ([[BpeTrainer.train]]): the iterative
+    * merge loop (q_bpe_pairs is one iteration's inner count), run on the
+    * distinct-word dictionary with a one-row argmax collect per step.
+    * Inherently iterative-argmax — not SQL-expressible, so rows-only;
+    * the merge sequence is pinned against a hand-worked reference corpus
+    * (incl. the overlapping-run scan semantics) in BpeTrainerSpec.
+    */
+  val qBpeTrain = QueryDef(
+    "q_bpe_train",
+    (s, d) => BpeTrainer.train(s, docs(s, d), "text", numMerges = 15)
+      .orderBy("step"),
+    None)
+
   /** The CASE thresholds shared by q_length_buckets and its oracle:
     * powers of two 1..16384, overflow bucket 32768.
     */
@@ -2342,7 +2355,7 @@ object ExtensionQueries {
     qPackSequences, qPackMaterialize, qDocChunks, qWinnowPairs,
     qPiiRedact, qDedupSpans, qSplitAssign, qSampleUpsample, qSampleWeighted,
     qGopherRules,
-    qTokenHistogram, qBpePairs, qLengthBuckets, qSnapshotDiff,
+    qTokenHistogram, qBpePairs, qBpeTrain, qLengthBuckets, qSnapshotDiff,
     qDecontaminateSemantic,
     qDocFrequency, qTfidfTopTerms, qBm25, qBm25TopK,
     qSampleTemperature, qHardNegatives, qEmbedQuantize, qAnnSq8, qLmScore,
