@@ -81,13 +81,24 @@ object CorpusStats {
     * vocab back onto the token stream, one per-document aggregation
     * (exchange #2).
     */
+  /** The corpus's `topV` most frequent tokens (count-desc, token-asc
+    * tiebreak) — the trained artifact [[vocabCoverage]] scores against,
+    * exposed so a batch-trained vocab can gate a STREAM
+    * (StreamingPipeline.vocabGateStream). Top-V via
+    * TakeOrderedAndProject — no global sort.
+    */
+  def topVocab(df: DataFrame, text: String, topV: Int): DataFrame =
+    df.where(col(text).isNotNull)
+      .select(explode(TextAnalysis.tokens(col(text))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_cnt").desc, col("w")).limit(topV)
+      .select(col("w"))
+
   def vocabCoverage(
       df: DataFrame, id: String, text: String, topV: Int = 30): DataFrame = {
     val tok = df.where(col(text).isNotNull)
       .select(col(id), explode(TextAnalysis.tokens(col(text))).as("w"))
-    val vocab = tok.groupBy("w").agg(count(lit(1)).as("_cnt"))
-      .orderBy(col("_cnt").desc, col("w")).limit(topV)
-      .select(col("w"), lit(1).as("_in_vocab"))
+    val vocab = topVocab(df, text, topV).withColumn("_in_vocab", lit(1))
     tok.join(broadcast(vocab), Seq("w"), "left")
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_tokens"),

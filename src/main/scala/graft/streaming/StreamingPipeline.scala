@@ -554,6 +554,38 @@ object StreamingPipeline {
         (lit(1.0) / (lit(1.0) + exp(-col("_z")))).as("quality_prob"))
   }
 
+  /** Train-batch / score-stream twin of
+    * [[graft.ext.CorpusStats.vocabCoverage]]: a BATCH-trained top-V vocab
+    * (CorpusStats.topVocab — the trained artifact) gates streaming
+    * documents by OOV rate per tumbling window. The vocab folds into a
+    * literal In-list (codegen'd membership test — no join, no broadcast,
+    * no state beyond the windowed aggregation groups), so closed windows
+    * are BIT-IDENTICAL to the batch operator over the same rows: counts
+    * are pure additions and oov_rate is the same identical-operand
+    * division (asserted in StreamingSpec). The batch-only part — training
+    * the vocab itself — CANNOT stream (a global token-frequency top-V has
+    * no monotone incremental form); this split is the honest contract.
+    */
+  def vocabGateStream(
+      docs: DataFrame, vocab: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text",
+      tsCol: String = "ingest_ts",
+      windowDur: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
+    require(vocab.nonEmpty, "vocab must be non-empty (train it batch-side)")
+    docs
+      .withWatermark(tsCol, watermark)
+      .where(col(textCol).isNotNull)
+      .select(col(idCol), col(tsCol),
+        explode(graft.ext.TextAnalysis.tokens(col(textCol))).as("_tok"))
+      .groupBy(col(idCol), window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(!col("_tok").isInCollection(vocab), 1L).otherwise(0L))
+          .as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+  }
+
   /** Streaming twin of [[graft.ext.Network.lpmEnrich]]: threat-intel CIDR
     * longest-prefix classification at the ingest edge — every event is
     * labeled against the feed BEFORE landing. The batch operator is

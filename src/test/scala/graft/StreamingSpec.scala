@@ -452,6 +452,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming vocab gate is bit-identical to batch vocabCoverage per window") {
+    implicit val sqlCtx = spark.sqlContext
+    // train the vocab BATCH-side on the same real corpus slice, then
+    // stream the documents through the literal-In gate: per-doc counts
+    // and the identical-operand oov_rate must reproduce the batch
+    // operator exactly
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 150)
+    val vocab = graft.ext.CorpusStats.topVocab(corpus, "text", 20)
+      .as[String].collect().toSeq
+    assert(vocab.size === 20)
+    val docRows = corpus.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .map { case (id, t) => (id, t, ts("2025-01-01 10:30:00")) }.toSeq
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingPipeline.vocabGateStream(
+        input.toDF().toDF("doc_id", "text", "ingest_ts"), vocab)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vg_out").start()
+    try {
+      input.addData(docRows: _*)
+      q.processAllAvailable()
+      input.addData((-1L, "advancer", ts("2025-02-01 00:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("vg_out")
+        .where(col("doc_id") >= 0)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val batch = graft.ext.CorpusStats.vocabCoverage(corpus, "doc_id", "text", 20)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming count-min sketch is bit-identical to the batch sketch per window") {
     implicit val sqlCtx = spark.sqlContext
     // 7 keys over two hour-windows; CMS cell updates are pure additions,
