@@ -99,4 +99,61 @@ object BpeTrainer {
     import spark.implicits._
     merges.result().toDF("step", "pair", "n")
   }
+
+  /** Apply a learned merge table to ONE word: the same left-to-right
+    * non-overlapping replace as [[mergePair]], replayed imperatively for
+    * each merge in training order — so encoding a training-corpus word
+    * with the full merge list reproduces the training dictionary's final
+    * symbol sequence exactly (the consistency invariant BpeTrainerSpec
+    * pins).
+    */
+  private[graft] def encodeWord(
+      word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: List[String] = word.split("").filter(_.nonEmpty).toList
+    merges.foreach { case (a, b) =>
+      if (syms.lengthCompare(2) >= 0) {
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == a && x == b)
+            out(out.length - 1) = a + b
+          else out += x
+        }
+        syms = out.toList
+      }
+    }
+    syms
+  }
+
+  /** Tokenize a corpus with a TRAINED merge list (the inference half of
+    * the train→encode→pack loop): per-document
+    * `(id, n_tokens, n_subwords, fertility)`, fertility = subwords per
+    * word (identical-operand long/long division — bit-exact).
+    *
+    * Scale shape: the imperative merge replay runs ONLY on the
+    * DISTINCT-WORD dictionary — a UDF is the right tool there (the
+    * algorithm is an inherently sequential per-word rewrite, and the
+    * dictionary is vocabulary-sized, sublinear in the corpus by Heaps'
+    * law). Every corpus-sized path stays relational: one explode, one
+    * distinct, one dictionary join-back, one per-document aggregation.
+    * `merges` are "a b" pair strings in training order, as produced by
+    * [[train]].
+    */
+  def encode(
+      docs: DataFrame, id: String, textCol: String,
+      merges: Seq[String]): DataFrame = {
+    val pairs = merges.map { m =>
+      val Array(a, b) = m.split(" ", 2); (a, b)
+    }
+    val enc = udf((w: String) => encodeWord(w, pairs))
+    val tok = docs.where(col(textCol).isNotNull)
+      .select(col(id), explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+    val dict = tok.select("w").distinct()
+      .withColumn("_ns", size(enc(col("w"))))
+    tok.join(dict, "w")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_ns")).as("n_subwords"))
+      .withColumn("fertility",
+        col("n_subwords").cast("double") / col("n_tokens").cast("double"))
+  }
 }

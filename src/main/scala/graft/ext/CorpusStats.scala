@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level text statistics for training-data curation: boilerplate
@@ -70,17 +71,6 @@ object CorpusStats {
       .select(col(id), col("clean_text"), col("n_blocks"), col("n_dropped"))
   }
 
-  /** Per-document OOV rate against the corpus's own `topV` most frequent
-    * tokens (count-desc, token-asc tiebreak — deterministic across
-    * engines). Returns `(id, n_tokens, n_oov, oov_rate)`; `oov_rate` is
-    * an identical-operand long/long double division, bit-exact
-    * cross-engine.
-    *
-    * Shape: one token-keyed count (exchange #1), top-V via
-    * TakeOrderedAndProject (no global sort), broadcast of the V-row
-    * vocab back onto the token stream, one per-document aggregation
-    * (exchange #2).
-    */
   /** The corpus's `topV` most frequent tokens (count-desc, token-asc
     * tiebreak) — the trained artifact [[vocabCoverage]] scores against,
     * exposed so a batch-trained vocab can gate a STREAM
@@ -94,6 +84,17 @@ object CorpusStats {
       .orderBy(col("_cnt").desc, col("w")).limit(topV)
       .select(col("w"))
 
+  /** Per-document OOV rate against the corpus's own `topV` most frequent
+    * tokens (count-desc, token-asc tiebreak — deterministic across
+    * engines). Returns `(id, n_tokens, n_oov, oov_rate)`; `oov_rate` is
+    * an identical-operand long/long double division, bit-exact
+    * cross-engine.
+    *
+    * Shape: one token-keyed count (exchange #1), top-V via
+    * TakeOrderedAndProject (no global sort), broadcast of the V-row
+    * vocab back onto the token stream, one per-document aggregation
+    * (exchange #2).
+    */
   def vocabCoverage(
       df: DataFrame, id: String, text: String, topV: Int = 30): DataFrame = {
     val tok = df.where(col(text).isNotNull)
@@ -137,4 +138,87 @@ object CorpusStats {
           (col("_na") + col("_nb") - col("shared_grams")).cast("double"))
           .as("jaccard"))
   }
+
+  /** Closed-form least-squares fit of `y = intercept + slope·x` over a
+    * point set: `(n_points, slope, intercept)` rounded to 4 decimals (the
+    * suite's established tolerance for log-derived aggregates — the sums
+    * themselves accumulate over ≤ a few hundred points, so order drift is
+    * well inside the rounding).
+    */
+  private def lnLnFit(pts: DataFrame, x: Column, y: Column): DataFrame =
+    pts.agg(
+        count(lit(1)).cast("double").as("_n"),
+        sum(x).as("_sx"), sum(y).as("_sy"),
+        sum(x * y).as("_sxy"), sum(x * x).as("_sxx"))
+      .select(col("_n").cast("long").as("n_points"),
+        round((col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
+          (col("_n") * col("_sxx") - col("_sx") * col("_sx")), 4).as("slope"),
+        round((col("_sy") - (col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
+          (col("_n") * col("_sxx") - col("_sx") * col("_sx")) * col("_sx")) /
+          col("_n"), 4).as("intercept"))
+
+  /** Zipf's-law fit: least-squares slope of `ln(freq) ~ ln(rank)` over
+    * the corpus's `topR` most frequent tokens — the sanity signal that a
+    * (possibly synthetic or over-filtered) corpus still has a natural
+    * rank-frequency head (slope ≈ −1 for natural text). Returns ONE row
+    * `(n_points, slope, intercept)`.
+    *
+    * Shape: one token-keyed count, top-R via TakeOrderedAndProject (no
+    * global sort — R is a constant), rank assignment + regression on the
+    * R-row result. Corpus size only affects the first exchange.
+    */
+  def zipfFit(df: DataFrame, text: String, topR: Int = 100): DataFrame = {
+    val top = df.where(col(text).isNotNull)
+      .select(explode(TextAnalysis.tokens(col(text))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(topR)
+    val ranked = top.withColumn("r",
+      row_number().over(Window.orderBy(col("f").desc, col("w"))))
+    lnLnFit(ranked, log(col("r").cast("double")), log(col("f").cast("double")))
+  }
+
+  /** Heaps'-law growth table: cumulative token count vs cumulative
+    * DISTINCT vocabulary size at id-bucket checkpoints (`bucket =
+    * id div step`, cumulated in id order). Returns
+    * `(ckpt, cum_tokens, cum_vocab)` — exact integers, bit-exact
+    * cross-engine. The vocabulary-growth curve is the standard check that
+    * a corpus keeps contributing new types (a flattening curve means the
+    * tail is duplicated/templated content).
+    *
+    * Shape: vocabulary growth WITHOUT any sequential scan over documents —
+    * each token's first-occurrence id (one token-keyed min), both series
+    * bucketed to `id div step` (two tiny aggregates), and the running
+    * sums windowed over the CHECKPOINT rows only (bounded by id-range /
+    * step, never corpus-sized — the single-partition window is over ~tens
+    * of rows no matter the corpus).
+    */
+  def heapsGrowth(
+      df: DataFrame, id: String, text: String, step: Long): DataFrame = {
+    require(step >= 1, s"step must be >= 1, got $step")
+    val tok = df.where(col(text).isNotNull)
+      .select(col(id), explode(TextAnalysis.tokens(col(text))).as("w"))
+    val tokB = tok
+      .groupBy(expr(s"$id div $step").as("ckpt"))
+      .agg(count(lit(1)).as("_nt"))
+    val vocB = tok.groupBy("w").agg(min(col(id)).as("_first"))
+      .groupBy(expr("_first div " + step).as("ckpt"))
+      .agg(count(lit(1)).as("_nv"))
+    val w = Window.orderBy("ckpt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokB.join(vocB, Seq("ckpt"), "left")
+      .select(col("ckpt"),
+        sum(col("_nt")).over(w).as("cum_tokens"),
+        sum(coalesce(col("_nv"), lit(0L))).over(w).as("cum_vocab"))
+  }
+
+  /** Heaps'-law exponent: least-squares fit of `ln(cum_vocab) ~
+    * ln(cum_tokens)` over the [[heapsGrowth]] checkpoints — `slope` is
+    * the Heaps β (≈0.4–0.8 for natural text, →0 for a saturated /
+    * heavily duplicated corpus). ONE row `(n_points, slope, intercept)`.
+    */
+  def heapsFit(
+      df: DataFrame, id: String, text: String, step: Long): DataFrame =
+    lnLnFit(heapsGrowth(df, id, text, step),
+      log(col("cum_tokens").cast("double")),
+      log(col("cum_vocab").cast("double")))
 }

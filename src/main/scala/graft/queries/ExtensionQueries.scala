@@ -1747,6 +1747,124 @@ object ExtensionQueries {
       .orderBy("step"),
     None)
 
+  /** Train→encode round trip ([[BpeTrainer.encode]]): tokenize the corpus
+    * with the 15-merge table trained on it and report per-document
+    * subword statistics. Rows-only (the iterative merge replay is not
+    * SQL-expressible); BpeTrainerSpec pins the segmentation semantics,
+    * the train/encode consistency invariant, and the concatenation
+    * round trip.
+    */
+  val qBpeEncode = QueryDef(
+    "q_bpe_encode",
+    (s, d) => {
+      val merges = BpeTrainer.train(s, docs(s, d), "text", numMerges = 15)
+        .orderBy("step").select("pair").collect().map(_.getString(0)).toSeq
+      BpeTrainer.encode(docs(s, d), "doc_id", "text", merges)
+        .orderBy("doc_id")
+    },
+    None)
+
+  /** Zipf's-law head fit ([[CorpusStats.zipfFit]]): least-squares slope
+    * of ln(freq) ~ ln(rank) over the top-100 tokens — the corpus-health
+    * signal that the rank-frequency head still looks natural. The oracle
+    * replays the count, the deterministic (freq desc, token asc) ranking,
+    * and the closed-form regression; round(·, 4) absorbs summation-order
+    * ulp drift per the suite's log-aggregate convention (q_lm_score).
+    */
+  val qZipfFit = QueryDef(
+    "q_zipf_fit",
+    (s, d) => CorpusStats.zipfFit(docs(s, d), "text", topR = 100),
+    Some("""WITH toks AS (
+              SELECT u.term
+              FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS t
+                    FROM documents WHERE text IS NOT NULL) s,
+                   unnest(s.t) AS u(term)
+              WHERE u.term <> ''),
+            freq AS (SELECT term, count(*) AS f FROM toks GROUP BY 1),
+            top AS (SELECT f, term FROM freq ORDER BY f DESC, term LIMIT 100),
+            pts AS (
+              SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, term)
+                             AS DOUBLE)) AS x,
+                     ln(CAST(f AS DOUBLE)) AS y
+              FROM top),
+            st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                          sum(x) AS sx, sum(y) AS sy,
+                          sum(x * y) AS sxy, sum(x * x) AS sxx
+                   FROM pts)
+            SELECT CAST(n AS BIGINT) AS n_points,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+                     AS slope,
+                   round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                          * sx) / n, 4) AS intercept
+            FROM st"""))
+
+  /** Heaps'-law vocabulary growth ([[CorpusStats.heapsGrowth]], step 10):
+    * cumulative tokens vs cumulative distinct vocabulary at doc-id
+    * bucket checkpoints — exact integers end to end, windowed over the
+    * checkpoint rows only (never the corpus).
+    */
+  val qHeapsGrowth = QueryDef(
+    "q_heaps_growth",
+    (s, d) => CorpusStats.heapsGrowth(docs(s, d), "doc_id", "text", 10L)
+      .orderBy("ckpt"),
+    Some("""WITH toks AS (
+              SELECT doc_id, u.term
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(text), '\s+') AS t
+                    FROM documents WHERE text IS NOT NULL) s,
+                   unnest(s.t) AS u(term)
+              WHERE u.term <> ''),
+            tok_b AS (SELECT doc_id // 10 AS ckpt, count(*) AS nt
+                      FROM toks GROUP BY 1),
+            voc_b AS (SELECT fd // 10 AS ckpt, count(*) AS nv
+                      FROM (SELECT term, min(doc_id) AS fd
+                            FROM toks GROUP BY 1) GROUP BY 1)
+            SELECT ckpt,
+                   CAST(sum(nt) OVER (ORDER BY ckpt) AS BIGINT)
+                     AS cum_tokens,
+                   CAST(sum(coalesce(nv, 0)) OVER (ORDER BY ckpt)
+                        AS BIGINT) AS cum_vocab
+            FROM tok_b LEFT JOIN voc_b USING (ckpt)
+            ORDER BY ckpt"""))
+
+  /** Heaps'-law exponent ([[CorpusStats.heapsFit]]): β from the ln-ln
+    * regression over the growth checkpoints — a flattening curve (β→0)
+    * flags a duplicated/templated corpus tail. Same round(·, 4)
+    * convention as q_zipf_fit.
+    */
+  val qHeapsFit = QueryDef(
+    "q_heaps_fit",
+    (s, d) => CorpusStats.heapsFit(docs(s, d), "doc_id", "text", 10L),
+    Some("""WITH toks AS (
+              SELECT doc_id, u.term
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(text), '\s+') AS t
+                    FROM documents WHERE text IS NOT NULL) s,
+                   unnest(s.t) AS u(term)
+              WHERE u.term <> ''),
+            tok_b AS (SELECT doc_id // 10 AS ckpt, count(*) AS nt
+                      FROM toks GROUP BY 1),
+            voc_b AS (SELECT fd // 10 AS ckpt, count(*) AS nv
+                      FROM (SELECT term, min(doc_id) AS fd
+                            FROM toks GROUP BY 1) GROUP BY 1),
+            growth AS (
+              SELECT sum(nt) OVER (ORDER BY ckpt) AS cum_tokens,
+                     sum(coalesce(nv, 0)) OVER (ORDER BY ckpt) AS cum_vocab
+              FROM tok_b LEFT JOIN voc_b USING (ckpt)),
+            pts AS (SELECT ln(CAST(cum_tokens AS DOUBLE)) AS x,
+                           ln(CAST(cum_vocab AS DOUBLE)) AS y
+                    FROM growth),
+            st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                          sum(x) AS sx, sum(y) AS sy,
+                          sum(x * y) AS sxy, sum(x * x) AS sxx
+                   FROM pts)
+            SELECT CAST(n AS BIGINT) AS n_points,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+                     AS slope,
+                   round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                          * sx) / n, 4) AS intercept
+            FROM st"""))
+
   /** The CASE thresholds shared by q_length_buckets and its oracle:
     * powers of two 1..16384, overflow bucket 32768.
     */
@@ -2355,7 +2473,8 @@ object ExtensionQueries {
     qPackSequences, qPackMaterialize, qDocChunks, qWinnowPairs,
     qPiiRedact, qDedupSpans, qSplitAssign, qSampleUpsample, qSampleWeighted,
     qGopherRules,
-    qTokenHistogram, qBpePairs, qBpeTrain, qLengthBuckets, qSnapshotDiff,
+    qTokenHistogram, qBpePairs, qBpeTrain, qBpeEncode, qLengthBuckets,
+    qSnapshotDiff, qZipfFit, qHeapsGrowth, qHeapsFit,
     qDecontaminateSemantic,
     qDocFrequency, qTfidfTopTerms, qBm25, qBm25TopK,
     qSampleTemperature, qHardNegatives, qEmbedQuantize, qAnnSq8, qLmScore,

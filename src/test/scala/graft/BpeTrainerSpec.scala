@@ -1,6 +1,7 @@
 package graft
 
 import graft.ext.BpeTrainer
+import org.apache.spark.sql.functions._
 
 /** Pins the BPE training loop against the hand-workable reference corpus
   * (the hug/pug/pun/bun/hugs example from the original BPE literature)
@@ -54,5 +55,53 @@ class BpeTrainerSpec extends SparkSpec {
     // max winning count is non-increasing: a pair created by merge t has
     // count <= the count that won step t
     assert(a.map(_._3) === a.map(_._3).sortBy(-_))
+  }
+
+  private val refMerges = Seq("u g", "u n", "h ug", "p un", "hug s",
+    "p ug", "b un").map { m => val Array(a, b) = m.split(" ", 2); (a, b) }
+
+  test("encodeWord replays the reference merge list exactly") {
+    // hand-worked against the hug/pug merge table above
+    assert(BpeTrainer.encodeWord("pug", refMerges) === Seq("pug"))
+    assert(BpeTrainer.encodeWord("hugs", refMerges) === Seq("hugs"))
+    assert(BpeTrainer.encodeWord("bun", refMerges) === Seq("bun"))
+    // unseen word: only the applicable merges fire
+    assert(BpeTrainer.encodeWord("snug", refMerges) === Seq("s", "n", "ug"))
+    // merge order matters: (u,g) consumed u before (u,n) in "ung"? no --
+    // u g fires first on the adjacency, leaving n unattached
+    assert(BpeTrainer.encodeWord("gun", refMerges) === Seq("g", "un"))
+    // empty merge list degenerates to characters
+    assert(BpeTrainer.encodeWord("hug", Nil) === Seq("h", "u", "g"))
+  }
+
+  test("encode: zero merges counts characters, more merges never increases subwords") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 60)
+    val merges = BpeTrainer.train(spark, docs, "text", numMerges = 10)
+      .orderBy("step").select("pair").as[String].collect().toSeq
+    assert(merges.size === 10)
+    val e0 = BpeTrainer.encode(docs, "doc_id", "text", Nil)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    // zero merges: every token splits to its characters
+    val charCounts = docs.where(col("text").isNotNull)
+      .select(col("doc_id"),
+        explode(graft.ext.TextAnalysis.tokens(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("nt"), sum(length(col("w"))).as("nc"))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(e0.map(r => (r._1, r._2, r._3)).toSeq === charCounts.toSeq)
+    val e5 = BpeTrainer.encode(docs, "doc_id", "text", merges.take(5))
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    val e10 = BpeTrainer.encode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    // token counts identical, subword counts monotonically non-increasing
+    assert(e5.map(_._2).toSeq === e0.map(_._2).toSeq)
+    assert(e10.zip(e5).forall { case (ten, five) => ten._3 <= five._3 })
+    assert(e5.zip(e0).forall { case (five, zero) => five._3 <= zero._3 })
+    // at least one merge actually fired on the corpus it was trained on
+    assert(e10.map(_._3).sum < e0.map(_._3).sum)
+    // fertility is the identical-operand division
+    assert(e10.forall(r => r._4 === r._3.toDouble / r._2.toDouble))
   }
 }

@@ -74,6 +74,72 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out.toSeq === Seq(("A", "B", 1L, 1.0 / 3.0)))
   }
 
+  test("zipfFit recovers slope -1 on an exact 1/rank corpus") {
+    // freqs 12/rank: a x12, b x6, c x4, d x3 -> ln f = ln 12 - 1 * ln r,
+    // a PERFECT fit, so slope/intercept are exact up to the 4-dp round
+    val words = Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val out = CorpusStats.zipfFit(docs, "text", topR = 100)
+      .as[(Long, Double, Double)].collect()
+    assert(out.length === 1)
+    val (n, slope, intercept) = out(0)
+    assert(n === 4L)
+    assert(slope === -1.0)
+    assert(intercept === BigDecimal(math.log(12.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("zipfFit topR bounds the points and ranks break ties token-ascending") {
+    val words = Seq.fill(5)("a") ++ Seq.fill(5)("b") ++
+      Seq.fill(2)("c") ++ Seq("d")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val out = CorpusStats.zipfFit(docs, "text", topR = 2)
+      .as[(Long, Double, Double)].collect()
+    // two points (a r1, b r2 -- same freq, token-asc tiebreak), equal
+    // freqs -> flat line: slope exactly 0, intercept ln(5)
+    assert(out(0)._1 === 2L)
+    assert(out(0)._2 === 0.0)
+    assert(out(0)._3 === BigDecimal(math.log(5.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("heapsGrowth cumulates tokens and first-occurrence vocab per id bucket") {
+    val docs = Seq(
+      (0L, "a b"), (5L, "a c"),   // ckpt 0: 4 tokens, first-seen {a,b,c}
+      (10L, "d"),                 // ckpt 1: 1 token, first-seen {d}
+      (20L, "a e f"))             // ckpt 2: 3 tokens, first-seen {e,f}
+      .toDF("doc_id", "text")
+    val out = CorpusStats.heapsGrowth(docs, "doc_id", "text", 10L)
+      .orderBy("ckpt").as[(Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((0L, 4L, 3L), (1L, 5L, 4L), (2L, 8L, 6L)))
+  }
+
+  test("heapsFit: growing vocab gives beta in (0,1); saturated corpus gives exactly 0") {
+    // hand-built growth: checkpoints (N,V) = (10,4), (20,6), (40,9)
+    val docs = Seq(
+      (0L, (Seq.fill(7)("a") ++ Seq("b", "c", "d")).mkString(" ")),
+      (10L, (Seq.fill(8)("a") ++ Seq("e", "f")).mkString(" ")),
+      (20L, (Seq.fill(17)("b") ++ Seq("g", "h", "i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val fit = CorpusStats.heapsFit(docs, "doc_id", "text", 10L)
+      .as[(Long, Double, Double)].collect()(0)
+    assert(fit._1 === 3L)
+    assert(fit._2 > 0.0 && fit._2 < 1.0)
+    // the synthetic testdata corpus has a FIXED 31-type vocabulary, fully
+    // seen in the first bucket: a flat growth curve, i.e. the fit
+    // correctly reports beta = 0 -- the "templated corpus" red flag
+    val real = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = CorpusStats.heapsFit(real, "doc_id", "text", 10L)
+      .as[(Long, Double, Double)].collect()(0)
+    val b = CorpusStats.heapsFit(real, "doc_id", "text", 10L)
+      .as[(Long, Double, Double)].collect()(0)
+    assert(a === b)
+    assert(a._1 >= 3L)
+    assert(a._2 === 0.0)
+  }
+
   test("sourceOverlap and removeFrequentBlocks ignore NULL text") {
     val docs = Seq(
       (1L, Option("a b c d"), Option("A")),
