@@ -181,8 +181,24 @@ object Bench {
     // cold-ish headline phase that ran FIRST — keep the two separate.
     // "solo" = min over solo_runs readings per query (see the solo phase
     // comment); "solo_runs" = every raw reading, so the dispersion itself
-    // is auditable.
-    println(s"""{"metric":"total","value":$wall,"unit":"sec","sum_query_sec":$sum,"solo_wall_sec":$soloWall,"solo_runs_per_query":$soloRuns,"parallelism":$par,"failed":$failed,"queries":$qs,"solo":$soloJs,"solo_runs":$soloRunsJs,"ann_recall":$annRecall,"ivf_list_skew":$ivfSkew,"sf":"$sfDir"}""")
+    // is auditable. NOTE (methodology, r9+): min-of-N over ONE JVM is a
+    // WARM measurement — round-robin run 1 is the coldest reading per
+    // query. Compare min-vs-min across rounds (r8 was the first min-of-N
+    // round); against fresh-process baselines like the reference's, use
+    // the run-1 readings. "solo_method" pins this in the artifact.
+    val soloMethod = "min of " + soloRuns + " same-JVM round-robin runs " +
+      "(warm); first reading per query in solo_runs is the coldest - " +
+      "compare min-vs-min across rounds, run-1 vs fresh-process baselines"
+    val line = s"""{"metric":"total","value":$wall,"unit":"sec","sum_query_sec":$sum,"solo_wall_sec":$soloWall,"solo_runs_per_query":$soloRuns,"solo_method":"$soloMethod","parallelism":$par,"failed":$failed,"queries":$qs,"solo":$soloJs,"solo_runs":$soloRunsJs,"ann_recall":$annRecall,"ivf_list_skew":$ivfSkew,"sf":"$sfDir"}"""
+    println(line)
+    // The stdout capture that consumes this line keeps only its tail, so
+    // per-query suite timings for the front of the alphabet were
+    // unrecoverable in past rounds. Persist the FULL line too (best
+    // effort — benching must not fail on an unwritable CWD).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")), line)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

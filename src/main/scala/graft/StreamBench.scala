@@ -50,7 +50,9 @@ object StreamBench {
     // Event-time-ordered replay: ns → µs timestamps, numeric user ids as
     // the string key the session twin groups on. NULL users are dropped
     // up front — all three twins key on user_id and drop them anyway.
-    val rows = spark.read.parquet(s"$sfDir/events.parquet")
+    // Events go through the shared QueryDef.eventsTable adapter so the
+    // replay survives driver-side ts re-encodings like batch does.
+    val rows = graft.queries.QueryDef.eventsTable(spark, sfDir)
       .where(col("user_id").isNotNull)
       .select(col("event_id"),
         timestamp_micros(expr("ts div 1000")).as("timestamp"),

@@ -11,9 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS), which Spark's reader
-      // rejects as a timestamp; read it as LongType nanos instead (all
-      // event-time math in the queries is integer arithmetic on nanos).
+      // Historical testdata carried TIMESTAMP(NANOS); keep nanosAsLong so
+      // that encoding still reads as LongType nanos (harmless for the
+      // current µs TIMESTAMP_NTZ data — QueryDef.eventsTable normalizes
+      // every encoding to epoch-nanos longs).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
 
 /** Corpus-level text statistics for training-data curation: boilerplate
   * block removal (the CCNet/RefinedWeb "drop lines repeated across many
@@ -140,22 +141,35 @@ object CorpusStats {
   }
 
   /** Closed-form least-squares fit of `y = intercept + slope·x` over a
-    * point set: `(n_points, slope, intercept)` rounded to 4 decimals (the
-    * suite's established tolerance for log-derived aggregates — the sums
-    * themselves accumulate over ≤ a few hundred points, so order drift is
-    * well inside the rounding).
+    * point set: `(n_points, slope, intercept)` rounded to 4 decimals.
+    *
+    * Cross-engine exactness (the q_stats_moments treatment): each ln term
+    * is floored to a 1e-9-scaled fixed-point integer BEFORE summation, and
+    * the power sums accumulate as DECIMAL(38,0) — exact integers, immune
+    * to summation-order drift (double sums here flipped q_heaps_fit's 4th
+    * decimal between Spark and DuckDB in r8). The DuckDB oracle mirrors
+    * this with HUGEINT sums; both engines then divide bit-identical
+    * doubles. The 1e9 scale cancels in the slope; the intercept divides
+    * it back out. Per-term floor truncation (≤1e-9, in ln units) is 5+
+    * orders below the round(·, 4) reporting precision.
     */
-  private def lnLnFit(pts: DataFrame, x: Column, y: Column): DataFrame =
-    pts.agg(
-        count(lit(1)).cast("double").as("_n"),
-        sum(x).as("_sx"), sum(y).as("_sy"),
-        sum(x * y).as("_sxy"), sum(x * x).as("_sxx"))
-      .select(col("_n").cast("long").as("n_points"),
-        round((col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
-          (col("_n") * col("_sxx") - col("_sx") * col("_sx")), 4).as("slope"),
-        round((col("_sy") - (col("_n") * col("_sxy") - col("_sx") * col("_sy")) /
-          (col("_n") * col("_sxx") - col("_sx") * col("_sx")) * col("_sx")) /
-          col("_n"), 4).as("intercept"))
+  private def lnLnFit(pts: DataFrame, x: Column, y: Column): DataFrame = {
+    val d19 = DataTypes.createDecimalType(19, 0)
+    val d38 = DataTypes.createDecimalType(38, 0)
+    val xf = floor(x * lit(1e9)).cast(d19)
+    val yf = floor(y * lit(1e9)).cast(d19)
+    val agg = pts.agg(
+      count(lit(1)).cast(d38).as("_n"),
+      sum(xf).cast(d38).as("_sx"), sum(yf).cast(d38).as("_sy"),
+      sum(xf * yf).cast(d38).as("_sxy"), sum(xf * xf).cast(d38).as("_sxx"))
+    val num = (col("_n") * col("_sxy") - col("_sx") * col("_sy")).cast("double")
+    val den = (col("_n") * col("_sxx") - col("_sx") * col("_sx")).cast("double")
+    agg.select(
+      col("_n").cast("long").as("n_points"),
+      round(num / den, 4).as("slope"),
+      round((col("_sy").cast("double") - num / den * col("_sx").cast("double")) /
+        col("_n").cast("double") / lit(1e9), 4).as("intercept"))
+  }
 
   /** Zipf's-law fit: least-squares slope of `ln(freq) ~ ln(rank)` over
     * the corpus's `topR` most frequent tokens — the sanity signal that a

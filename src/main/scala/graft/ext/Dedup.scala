@@ -97,36 +97,73 @@ object Dedup {
         greatest(col("_m1"), col("_m2")).as("id2"), col("dist"))
   }
 
-  /** Permutation family over a base 64-bit token hash: permutation i is
-    * xxhash64 re-keyed with i over the LONG base hash. One string hash per
-    * token regardless of k — re-keying hashes 16 bytes, not the token, and
-    * stays codegen'd with no ANSI overflow risk (unlike multiply-add
-    * universal hashing on full-range longs).
+  /** 31-bit Mersenne prime — the modulus of the affine permutation
+    * family. The modulus must sit AT the base-hash universe size (h is
+    * 31-bit): with a much larger p, `a·h+b` wraps only a handful of
+    * times and the "permutation" stays order-correlated with h, which
+    * collapses the independence the band math assumes. At p = 2^31−1 the
+    * product wraps ~a times (billions), and products stay under 2^62 —
+    * exact signed-long math in BOTH engines: no ANSI overflow risk
+    * Spark-side, plain BIGINT ops in the DuckDB oracle replay.
     */
-  private def permuted(baseHash: Column, i: Int): Column =
-    xxhash64(lit(i), baseHash)
+  private[graft] val MinhashP: Long = (1L << 31) - 1
+
+  /** Deterministic (multiplier, offset) for permutation `i`, derived from
+    * md5 at class-init — no runtime entropy (workflows replay), and the
+    * same literals are inlined into the generated DuckDB oracle so both
+    * engines share the family by construction. `a` ∈ [1, p), `b` ∈ [0, p).
+    */
+  private[graft] def minhashAffine(i: Int): (Long, Long) = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft:minhash:$i".getBytes("UTF-8"))
+    def u(j: Int): Long = h(j) & 0xffL
+    def w(j: Int): Long =
+      ((u(j) << 24) | (u(j + 1) << 16) | (u(j + 2) << 8) | u(j + 3)) % MinhashP
+    (w(0).max(1L), w(4))
+  }
+
+  /** Permutation family over a base 31-bit token hash: the classic MinHash
+    * construction `(a_i·h + b_i) mod p` (MMDS ch. 3) with per-permutation
+    * affine constants from [[minhashAffine]]. Chosen over xxhash64
+    * re-keying so the DuckDB oracle can REPLAY the signatures exactly
+    * (DuckDB has md5 but not Spark's xxhash64): the whole keep/drop
+    * assignment becomes hash-checked instead of rows-only. Codegen'd
+    * integer multiply-add-mod — still one string hash per token.
+    */
+  private def permuted(baseHash: Column, i: Int): Column = {
+    val (a, b) = minhashAffine(i)
+    (lit(a) * baseHash + lit(b)) % lit(MinhashP)
+  }
 
   /** Per-document MinHash signature columns `mh0..mh{k-1}`: distinct
-    * tokens explode to a posting list, each token is hashed ONCE, and the
-    * k permutation minimums are k `min` aggregates in a single codegen'd
-    * hash aggregation — one shuffle on the doc id, no interpreted
-    * higher-order functions.
+    * tokens explode to a posting list, each token is hashed ONCE (md5 →
+    * first 8 hex chars, masked to 31 bits — the q_sample_weighted
+    * replayable idiom), and the k permutation minimums are k `min`
+    * aggregates in a single codegen'd hash aggregation — one shuffle on
+    * the doc id, no interpreted higher-order functions.
     */
   def minhashSignatures(df: DataFrame, id: String, text: String, k: Int): DataFrame =
     docTokens(df, id, text)
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+          .bitwiseAND(lit(0x7FFFFFFFL)))
       .groupBy(id)
       .agg(min(permuted(col("h"), 0)).as("mh0"),
         (1 until k).map(i => min(permuted(col("h"), i)).as(s"mh$i")): _*)
 
   /** Band-bucket hash columns over a minhash signature table: one bucket
-    * id per band, from xxhash64(band, that band's signature slice). Shared
-    * by every LSH consumer so the banding scheme cannot diverge.
+    * id per band — md5 over ':'-joined decimal renderings of the band
+    * index and that band's signature slice, truncated to 15 hex chars
+    * (60-bit long key, replayable in the DuckDB oracle as
+    * `CAST('0x'||substr(md5(...),1,15) AS BIGINT)`). Shared by every LSH
+    * consumer so the banding scheme cannot diverge.
     */
   private def bandBucketCols(bands: Int, rowsPerBand: Int): Seq[Column] =
     (0 until bands).map { b =>
-      xxhash64(lit(b) +: (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => col(s"mh$i")): _*)
+      conv(substring(md5(concat_ws(":",
+        lit(b).cast("string") +: (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col(s"mh$i").cast("string")): _*)), 1, 15), 16, 10)
+        .cast("long")
     }
 
   /** MinHash+LSH candidate pairs: signatures are cut into `bands` bands of
@@ -444,24 +481,41 @@ object Dedup {
           .otherwise(coalesce(col("clean_text"), lit(""))))
   }
 
-  /** 64-bit SimHash over word tokens: each token's xxhash64 votes ±1 per
-    * bit position, the sign of each accumulated bit forms the fingerprint.
-    * One pass, pure Column expressions.
+  /** SimHash fingerprint width: 60 bits, the widest value the replayable
+    * md5-hex base hash yields without signed-overflow gymnastics (15 hex
+    * chars → [0, 2^60)). Bits 60–63 of the LongType fingerprint are zero
+    * for every document, which changes nothing semantically: Hamming
+    * distances ignore always-equal bits and the 16-bit band scheme keeps
+    * its pigeonhole recall guarantee (band 3 just carries 12 live bits).
+    */
+  private[graft] val SimhashBits = 60
+
+  /** Replayable 60-bit token hash: first 15 md5 hex chars as a long — the
+    * q_sample_weighted idiom, mirrored in the DuckDB oracle as
+    * `CAST('0x'||substr(md5(tok),1,15) AS BIGINT)`. Chosen over xxhash64
+    * so simhash pairing is oracle-checkable (DuckDB has no xxhash64).
+    */
+  private def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 60-bit SimHash over word tokens: each token's md5-derived hash votes
+    * ±1 per bit position, the sign of each accumulated bit forms the
+    * fingerprint. One pass, pure Column expressions.
     */
   def simhash64(text: Column): Column = {
     val toks = array_distinct(TextAnalysis.tokens(text))
     val counters = aggregate(
       toks,
-      array_repeat(lit(0L), 64),
+      array_repeat(lit(0L), SimhashBits),
       (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
+        val h = md5Hash60(t)
+        zip_with(acc, sequence(lit(0), lit(SimhashBits - 1)),
           (c, i) => c + when(
             call_function("shiftright", h, i.cast("int")).bitwiseAND(1) === 1, 1L)
             .otherwise(-1L))
       })
     aggregate(
-      zip_with(counters, sequence(lit(0), lit(63)),
+      zip_with(counters, sequence(lit(0), lit(SimhashBits - 1)),
         (c, i) => when(c > 0,
           call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
       lit(0L), (acc, z) => acc + z)
@@ -478,19 +532,19 @@ object Dedup {
     * either way they never participate in near-dup pairing.
     */
   def simhashTable(df: DataFrame, id: String, text: String): DataFrame = {
-    val hashed = docTokens(df, id, text).withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
+    val hashed = docTokens(df, id, text).withColumn("h", md5Hash60(col("tok")))
+    val bitSums = (0 until SimhashBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$i")
     }
     val agg = hashed.groupBy(id).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64).map { i =>
+    val sim = (0 until SimhashBits).map { i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a + b)
     agg.select(col(id), sim.as("sim"))
   }
 
   /** SimHash near-dup candidates with GUARANTEED recall at Hamming <= 3:
-    * the 64-bit fingerprint splits into 4 disjoint 16-bit bands; a pair
+    * the fingerprint splits into 4 disjoint 16-bit bands; a pair
     * within Hamming distance 3 differs in at most 3 bands (pigeonhole), so
     * it MUST agree exactly on at least one band and surfaces in that
     * band's bucket. Candidates are the union over bands (each row explodes

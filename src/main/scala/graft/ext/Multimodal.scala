@@ -50,8 +50,8 @@ object Multimodal {
     * inline comment for the alignment rules.
     *
     * Anything without a recognized magic is `unknown` with no fields
-    * (video containers ride the same binary contract; only their frame
-    * counting is stubbed elsewhere).
+    * (video containers ride the same binary contract; their box walk
+    * lives in [[mp4FrameCount]]).
     */
   def decodeHeader(bytes: Array[Byte]): ImageHeader = {
     if (bytes == null) return ImageHeader("unknown", None, None, None)

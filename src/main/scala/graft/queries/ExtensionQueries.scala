@@ -111,31 +111,152 @@ object ExtensionQueries {
             WHERE levenshtein(a.sig, b.sig) <= 5
             ORDER BY id1, id2"""))
 
+  /** The DuckDB replay of the MinHash-LSH keep/drop assignment: the
+    * signature family is md5-based affine permutations precisely so this
+    * oracle can reproduce it bit-for-bit (see [[Dedup.minhashAffine]] —
+    * the same (a, b, p) literals are inlined here at build time). Base
+    * hash, k permutation minimums, band buckets, bucket-min reps, and the
+    * per-doc min-rep assignment are all replayed exactly.
+    */
+  private def minhashCtes(bands: Int, rowsPerBand: Int): String = {
+    val k = bands * rowsPerBand
+    val sigCols = (0 until k).map { i =>
+      val (a, b) = Dedup.minhashAffine(i)
+      s"min(($a * h + $b) % ${Dedup.MinhashP}) AS mh$i"
+    }.mkString(",\n                    ")
+    val bucketExprs = (0 until bands).map { b =>
+      val parts = (s"CAST($b AS VARCHAR)" +:
+        (b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => s"CAST(mh$i AS VARCHAR)")).mkString(" || ':' || ")
+      s"CAST(('0x' || substr(md5($parts), 1, 15)) AS BIGINT)"
+    }.mkString(",\n                      ")
+    s"""tok AS MATERIALIZED (
+       |              SELECT DISTINCT doc_id, u.term AS tok
+       |              FROM (SELECT doc_id,
+       |                           regexp_split_to_array(trim(text), '\\s+') AS t
+       |                    FROM documents WHERE text IS NOT NULL) s,
+       |                   unnest(s.t) AS u(term)),
+       |            hb AS (SELECT doc_id,
+       |                     CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+       |                       & 2147483647 AS h
+       |                   FROM tok),
+       |            sig AS MATERIALIZED (SELECT doc_id,
+       |                    $sigCols
+       |                    FROM hb GROUP BY doc_id),
+       |            banded AS MATERIALIZED (SELECT doc_id, u.bucket
+       |                       FROM sig,
+       |                      unnest([$bucketExprs]) AS u(bucket))""".stripMargin
+  }
+
+  private def minhashDedupOracle(bands: Int, rowsPerBand: Int): String =
+    s"""WITH ${minhashCtes(bands, rowsPerBand)},
+       |            reps AS (SELECT bucket, min(doc_id) AS rep
+       |                     FROM banded GROUP BY 1)
+       |            SELECT b.doc_id, min(r.rep) AS rep_id,
+       |                   (b.doc_id != min(r.rep)) AS is_dup
+       |            FROM banded b JOIN reps r USING (bucket)
+       |            GROUP BY b.doc_id
+       |            ORDER BY doc_id""".stripMargin
+
+  /** The DuckDB replay of the transitive-cluster label propagation
+    * ([[Dedup.minhashDedupClusters]]): the loop is bounded (maxIter = 10)
+    * and each round is two integer-min joins, so it unrolls exactly.
+    * Early convergence needs no special casing — once labels reach the
+    * fixed point, `least(label, prop)` is the identity, so the remaining
+    * unrolled rounds are no-ops, matching the Scala loop's early exit.
+    */
+  private def minhashClustersOracle(
+      bands: Int, rowsPerBand: Int, maxIter: Int): String = {
+    val iters = (1 to maxIter).map { i =>
+      val prev = s"l${i - 1}"
+      s"""bm$i AS MATERIALIZED (
+         |              SELECT b.bucket, min(l.label) AS bmin
+         |              FROM banded b JOIN $prev l USING (doc_id)
+         |              GROUP BY 1),
+         |            l$i AS MATERIALIZED (
+         |              SELECT l.doc_id, least(l.label, p.prop) AS label
+         |              FROM $prev l JOIN (
+         |                SELECT b.doc_id, min(bm.bmin) AS prop
+         |                FROM banded b JOIN bm$i bm USING (bucket)
+         |                GROUP BY 1) p USING (doc_id))""".stripMargin
+    }.mkString(",\n            ")
+    s"""WITH ${minhashCtes(bands, rowsPerBand)},
+       |            l0 AS MATERIALIZED (
+       |              SELECT DISTINCT doc_id, doc_id AS label FROM banded),
+       |            $iters
+       |            SELECT doc_id, label AS cluster_id FROM l$maxIter
+       |            ORDER BY doc_id""".stripMargin
+  }
+
+  /** The DuckDB replay of simhash near-dup pairing: the 60-bit md5-based
+    * fingerprint ([[Dedup.simhashTable]] — bit votes as conditional sums,
+    * fingerprint reassembled from vote signs), 4 16-bit band buckets, and
+    * full-Hamming verification, all in exact integer arithmetic.
+    */
+  private def simhashPairsOracle(maxHamming: Int): String = {
+    val bitSums = (0 until Dedup.SimhashBits).map { i =>
+      s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i"
+    }.mkString(",\n                    ")
+    val sim = (0 until Dedup.SimhashBits)
+      .map(i => s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString("(", "\n                     + ", ")")
+    val bandKeys = (0 until 4).map { b =>
+      s"'$b:' || CAST((sim >> ${16 * b}) & 65535 AS VARCHAR)"
+    }.mkString(",\n                      ")
+    s"""WITH tok AS MATERIALIZED (
+       |              SELECT DISTINCT doc_id, u.term AS tok
+       |              FROM (SELECT doc_id,
+       |                           regexp_split_to_array(trim(text), '\\s+') AS t
+       |                    FROM documents WHERE text IS NOT NULL) s,
+       |                   unnest(s.t) AS u(term)),
+       |            hs AS (SELECT doc_id,
+       |                     CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)
+       |                       AS h
+       |                   FROM tok),
+       |            bits AS (SELECT doc_id,
+       |                    $bitSums
+       |                    FROM hs GROUP BY doc_id),
+       |            sig AS MATERIALIZED (SELECT doc_id,
+       |                    $sim AS sim
+       |                    FROM bits),
+       |            banded AS MATERIALIZED (SELECT doc_id, sim, u.bk
+       |                      FROM sig,
+       |                      unnest([$bandKeys]) AS u(bk))
+       |            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |                   bit_count(xor(a.sim, b.sim)) AS hamming
+       |            FROM banded a JOIN banded b
+       |              ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |            WHERE bit_count(xor(a.sim, b.sim)) <= $maxHamming
+       |            ORDER BY id1, id2""".stripMargin
+  }
+
   /** MinHash+LSH dedup as a per-document keep/drop assignment (the
     * pairwise candidate list is quadratic on this corpus — ~8M pairs from
     * 5k docs — so the scalable operator emits cluster representatives
-    * instead). Not ANSI-SQL-expressible (keyed xxhash64 permutations);
-    * invariant-tested against exact Jaccard in DedupSpec. Rows-only
-    * driver check.
+    * instead). Hash-checked: [[minhashDedupOracle]] replays the md5-based
+    * affine signature family end-to-end; DedupSpec additionally
+    * invariant-tests the assignment against exact Jaccard.
     */
   val qDedupMinhash = QueryDef(
     "q_dedup_minhash",
     (s, d) => Dedup.minhashDedup(docs(s, d), "doc_id", "text")
       .select("doc_id", "rep_id", "is_dup")
       .orderBy("doc_id"),
-    None)
+    Some(minhashDedupOracle(bands = 8, rowsPerBand = 4)))
 
   /** Full TRANSITIVE near-dup clusters (connected components over the
     * doc-bucket graph via iterated bucket-min label propagation — see
-    * [[Dedup.minhashDedupClusters]]). Not SQL-expressible; convergence
-    * and transitivity invariants are asserted in ExtSpec. Rows-only
-    * driver check.
+    * [[Dedup.minhashDedupClusters]]). Hash-checked: the bounded
+    * propagation loop unrolls into [[minhashClustersOracle]]'s 10 exact
+    * integer-min rounds over the replayed md5-affine band buckets;
+    * convergence and transitivity invariants are additionally asserted in
+    * ExtSpec.
     */
   val qDedupClusters = QueryDef(
     "q_dedup_clusters",
     (s, d) => Dedup.minhashDedupClusters(docs(s, d), "doc_id", "text")
       .orderBy("doc_id"),
-    None)
+    Some(minhashClustersOracle(bands = 8, rowsPerBand = 4, maxIter = 10)))
 
   /** Incremental ingest dedup ([[Dedup.incrementalDedup]]): the new batch
     * (doc_id >= 250) anti-joins the accepted corpus (doc_id < 250) on the
@@ -363,12 +484,15 @@ object ExtensionQueries {
                   FROM documents)
             GROUP BY lang ORDER BY lang"""))
 
-  /** SimHash near-dup pairs (Hamming <= 3 within 16-bit band buckets). */
+  /** SimHash near-dup pairs (Hamming <= 3 within 16-bit band buckets).
+    * Hash-checked via [[simhashPairsOracle]] — the md5-based fingerprint
+    * makes the whole band-bucket-verify pipeline an exact integer replay.
+    */
   val qDedupSimhash = QueryDef(
     "q_dedup_simhash",
     (s, d) => Dedup.simhashPairs(docs(s, d), "doc_id", "text")
       .orderBy("id1", "id2"),
-    None)
+    Some(simhashPairsOracle(maxHamming = 3)))
 
   /** Embedding-cosine near-duplicates via hyperplane-LSH buckets. */
   val qDedupEmbed = QueryDef(
@@ -1737,22 +1861,102 @@ object ExtensionQueries {
   /** Full BPE tokenizer TRAINING ([[BpeTrainer.train]]): the iterative
     * merge loop (q_bpe_pairs is one iteration's inner count), run on the
     * distinct-word dictionary with a one-row argmax collect per step.
-    * Inherently iterative-argmax — not SQL-expressible, so rows-only;
-    * the merge sequence is pinned against a hand-worked reference corpus
-    * (incl. the overlapping-run scan semantics) in BpeTrainerSpec.
+    * Hash-checked: the bounded loop unrolls to 15 chained CTE iterations
+    * ([[bpeTrainOracle]] — each replaying the pair count, the (n desc,
+    * pair asc) argmax, and the merge rewrite), so the full merge table
+    * (step, pair, n) is oracle-verified; BpeTrainerSpec additionally pins
+    * the sequence on a hand-worked reference corpus (incl. the
+    * overlapping-run scan semantics).
     */
   val qBpeTrain = QueryDef(
     "q_bpe_train",
     (s, d) => BpeTrainer.train(s, docs(s, d), "text", numMerges = 15)
       .orderBy("step"),
-    None)
+    Some(bpeTrainOracle(15)))
+
+  /** The DuckDB replay of the full BPE train→encode loop, generated as 15
+    * chained CTE iterations (one per merge step — the loop is bounded, so
+    * it IS SQL-expressible once unrolled). Each iteration mirrors
+    * [[BpeTrainer.train]] exactly:
+    *  - pair counts: every adjacent symbol position, frequency-weighted,
+    *    over the distinct-word dictionary;
+    *  - argmax with the (n desc, pair asc) tiebreak — binary string order
+    *    in both engines for this ASCII corpus;
+    *  - early stop: `WHERE n >= 2` empties the merge CTE when the top
+    *    pair is below minCount, and the rewrite no-ops from then on
+    *    (COALESCE-style CASE), matching the Scala loop's `done` latch;
+    *  - the merge rewrite: symbols joined on chr(31) delimiters (absent
+    *    from the corpus — every char is \x20-\x7e) and rewritten with
+    *    `replace`, whose left-to-right non-overlapping scan is exactly
+    *    [[BpeTrainer.mergePair]]'s fold semantics ([a,b,a,b] merges both
+    *    pairs; a merged symbol never re-merges within its own pass since
+    *    the scan resumes after the replacement).
+    */
+  private def bpeCtes(numMerges: Int): String = {
+    val US = "chr(31)"
+    val iters = (1 to numMerges).map { i =>
+      val prev = s"d${i - 1}"
+      s"""p$i AS MATERIALIZED (SELECT u.pr AS pair, sum(freq) AS n
+         |              FROM $prev, unnest(list_transform(range(len(syms) - 1),
+         |                     j -> syms[j + 1] || ' ' || syms[j + 2])) AS u(pr)
+         |              GROUP BY 1),
+         |            m$i AS MATERIALIZED (SELECT pair, n FROM p$i WHERE n >= 2
+         |                    ORDER BY n DESC, pair LIMIT 1),
+         |            d$i AS MATERIALIZED (SELECT w, freq,
+         |              CASE WHEN (SELECT pair FROM m$i) IS NULL THEN syms
+         |              ELSE string_split(trim(replace(
+         |                     $US || array_to_string(syms, $US || $US) || $US,
+         |                     $US || replace((SELECT pair FROM m$i), ' ',
+         |                                    $US || $US) || $US,
+         |                     $US || replace((SELECT pair FROM m$i), ' ', '') ||
+         |                     $US),
+         |                   chr(31)), $US || $US)
+         |              END AS syms
+         |              FROM $prev)""".stripMargin
+    }.mkString(",\n            ")
+    s"""tok AS MATERIALIZED (
+       |              SELECT doc_id, u.term AS w
+       |              FROM (SELECT doc_id,
+       |                           regexp_split_to_array(trim(text), '\\s+') AS t
+       |                    FROM documents WHERE text IS NOT NULL) s,
+       |                   unnest(s.t) AS u(term)
+       |              WHERE u.term <> ''),
+       |            d0 AS MATERIALIZED (SELECT w, count(*) AS freq,
+       |                          string_split(w, '') AS syms
+       |                   FROM tok GROUP BY 1),
+       |            $iters""".stripMargin
+  }
+
+  private def bpeEncodeOracle(numMerges: Int): String =
+    s"""WITH ${bpeCtes(numMerges)}
+       |            SELECT t.doc_id,
+       |                   count(*) AS n_tokens,
+       |                   CAST(sum(d.ns) AS BIGINT) AS n_subwords,
+       |                   CAST(sum(d.ns) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |                     AS fertility
+       |            FROM tok t
+       |            JOIN (SELECT w, len(syms) AS ns FROM d$numMerges) d
+       |              USING (w)
+       |            GROUP BY 1
+       |            ORDER BY doc_id""".stripMargin
+
+  private def bpeTrainOracle(numMerges: Int): String = {
+    val steps = (1 to numMerges)
+      .map(i => s"SELECT $i AS step, pair, CAST(n AS BIGINT) AS n FROM m$i")
+      .mkString("\n            UNION ALL ")
+    s"""WITH ${bpeCtes(numMerges)}
+       |            SELECT step, pair, n FROM (
+       |            $steps
+       |            ) ORDER BY step""".stripMargin
+  }
 
   /** Train→encode round trip ([[BpeTrainer.encode]]): tokenize the corpus
     * with the 15-merge table trained on it and report per-document
-    * subword statistics. Rows-only (the iterative merge replay is not
-    * SQL-expressible); BpeTrainerSpec pins the segmentation semantics,
-    * the train/encode consistency invariant, and the concatenation
-    * round trip.
+    * subword statistics. Hash-checked: the oracle replays the ENTIRE
+    * bounded training loop plus the encode join ([[bpeEncodeOracle]]);
+    * BpeTrainerSpec additionally pins the segmentation semantics on
+    * hand-worked hug/pug examples, the train/encode consistency
+    * invariant, and the concatenation round trip.
     */
   val qBpeEncode = QueryDef(
     "q_bpe_encode",
@@ -1762,14 +1966,17 @@ object ExtensionQueries {
       BpeTrainer.encode(docs(s, d), "doc_id", "text", merges)
         .orderBy("doc_id")
     },
-    None)
+    Some(bpeEncodeOracle(15)))
 
   /** Zipf's-law head fit ([[CorpusStats.zipfFit]]): least-squares slope
     * of ln(freq) ~ ln(rank) over the top-100 tokens — the corpus-health
     * signal that the rank-frequency head still looks natural. The oracle
     * replays the count, the deterministic (freq desc, token asc) ranking,
-    * and the closed-form regression; round(·, 4) absorbs summation-order
-    * ulp drift per the suite's log-aggregate convention (q_lm_score).
+    * and the closed-form regression. Cross-engine exactness: ln terms are
+    * floored to 1e-9 fixed-point and power-summed as exact integers
+    * (HUGEINT here, DECIMAL(38,0) Spark-side) so both engines divide
+    * bit-identical operands — double sums drifted in q_heaps_fit's 4th
+    * decimal in r8.
     */
   val qZipfFit = QueryDef(
     "q_zipf_fit",
@@ -1783,19 +1990,24 @@ object ExtensionQueries {
             freq AS (SELECT term, count(*) AS f FROM toks GROUP BY 1),
             top AS (SELECT f, term FROM freq ORDER BY f DESC, term LIMIT 100),
             pts AS (
-              SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, term)
-                             AS DOUBLE)) AS x,
-                     ln(CAST(f AS DOUBLE)) AS y
+              SELECT CAST(floor(ln(CAST(row_number() OVER (ORDER BY f DESC,
+                             term) AS DOUBLE)) * 1000000000.0) AS HUGEINT)
+                       AS x,
+                     CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000000.0)
+                          AS HUGEINT) AS y
               FROM top),
-            st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+            st AS (SELECT CAST(count(*) AS HUGEINT) AS n,
                           sum(x) AS sx, sum(y) AS sy,
                           sum(x * y) AS sxy, sum(x * x) AS sxx
                    FROM pts)
             SELECT CAST(n AS BIGINT) AS n_points,
-                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
-                     AS slope,
-                   round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
-                          * sx) / n, 4) AS intercept
+                   round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                         CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope,
+                   round((CAST(sy AS DOUBLE) -
+                          CAST(n * sxy - sx * sy AS DOUBLE) /
+                          CAST(n * sxx - sx * sx AS DOUBLE) *
+                          CAST(sx AS DOUBLE)) /
+                         CAST(n AS DOUBLE) / 1000000000.0, 4) AS intercept
             FROM st"""))
 
   /** Heaps'-law vocabulary growth ([[CorpusStats.heapsGrowth]], step 10):
@@ -1829,8 +2041,9 @@ object ExtensionQueries {
 
   /** Heaps'-law exponent ([[CorpusStats.heapsFit]]): β from the ln-ln
     * regression over the growth checkpoints — a flattening curve (β→0)
-    * flags a duplicated/templated corpus tail. Same round(·, 4)
-    * convention as q_zipf_fit.
+    * flags a duplicated/templated corpus tail. Same fixed-point exact-sum
+    * convention as q_zipf_fit (this query was r8's one hash fail under
+    * plain double sums).
     */
   val qHeapsFit = QueryDef(
     "q_heaps_fit",
@@ -1851,18 +2064,23 @@ object ExtensionQueries {
               SELECT sum(nt) OVER (ORDER BY ckpt) AS cum_tokens,
                      sum(coalesce(nv, 0)) OVER (ORDER BY ckpt) AS cum_vocab
               FROM tok_b LEFT JOIN voc_b USING (ckpt)),
-            pts AS (SELECT ln(CAST(cum_tokens AS DOUBLE)) AS x,
-                           ln(CAST(cum_vocab AS DOUBLE)) AS y
+            pts AS (SELECT CAST(floor(ln(CAST(cum_tokens AS DOUBLE))
+                                 * 1000000000.0) AS HUGEINT) AS x,
+                           CAST(floor(ln(CAST(cum_vocab AS DOUBLE))
+                                 * 1000000000.0) AS HUGEINT) AS y
                     FROM growth),
-            st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+            st AS (SELECT CAST(count(*) AS HUGEINT) AS n,
                           sum(x) AS sx, sum(y) AS sy,
                           sum(x * y) AS sxy, sum(x * x) AS sxx
                    FROM pts)
             SELECT CAST(n AS BIGINT) AS n_points,
-                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
-                     AS slope,
-                   round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
-                          * sx) / n, 4) AS intercept
+                   round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                         CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope,
+                   round((CAST(sy AS DOUBLE) -
+                          CAST(n * sxy - sx * sy AS DOUBLE) /
+                          CAST(n * sxx - sx * sx AS DOUBLE) *
+                          CAST(sx AS DOUBLE)) /
+                         CAST(n AS DOUBLE) / 1000000000.0, 4) AS intercept
             FROM st"""))
 
   /** The CASE thresholds shared by q_length_buckets and its oracle:

@@ -12,11 +12,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    both dialects;
   *  - floating-point aggregates are `round(…, n)`-ed on both sides to
   *    absorb summation-order differences;
-  *  - event timestamps (nanosecond parquet) are surfaced as epoch-second
-  *    BIGINT or DATE, never raw timestamps, because Spark keeps full ns
-  *    (LongType via nanosAsLong) while DuckDB's parquet reader truncates
-  *    ns→µs — ordering/keys must use `ts div 1000` (µs) or coarser so both
-  *    engines see the same granularity.
+  *  - event timestamps are surfaced as epoch-second BIGINT or DATE, never
+  *    raw timestamps. The current testdata carries µs-precision TIMESTAMP,
+  *    so both engines see the same instants; `eventsTable` normalizes `ts`
+  *    to epoch-NANOSECOND longs for query-side arithmetic. Ordering/keys
+  *    still use `ts div 1000` (µs) or coarser: µs is the finest granularity
+  *    both engines share across all historical testdata encodings, and real
+  *    µs-level ties exist in the data, so every ordering also tiebreaks on a
+  *    unique key.
   */
 final case class QueryDef(
     name: String,
@@ -29,19 +32,33 @@ object QueryDef {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** The events table with `ts` normalized to epoch-NANOSECOND longs.
-    * The testdata's ts is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects as a timestamp; it is read as LongType nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong=true`, set by Verify/Bench).
     * ONE shared normalizer — event-time semantics must not diverge
-    * between query files.
+    * between query files (batch and streaming both go through here).
+    *
+    * The driver has shipped three `ts` encodings across rounds, and this
+    * adapter accepts all of them:
+    *  - parquet TIMESTAMP(NANOS), read as LongType epoch-nanos
+    *    (`spark.sql.legacy.parquet.nanosAsLong=true`, set by Verify/Bench);
+    *  - µs TIMESTAMP_NTZ (current testdata, pyarrow `timestamp[us]` with no
+    *    tz): `unix_micros` rejects NTZ at analysis, so cast to TIMESTAMP
+    *    first — the session tz is pinned UTC everywhere (Verify/Bench/
+    *    SparkSpec), making the NTZ→TZ cast value-preserving;
+    *  - µs TIMESTAMP (tz-adjusted): `unix_micros` directly.
     */
   def eventsTable(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => raw
-      case _ => raw.withColumn(
-        "ts", org.apache.spark.sql.functions.unix_micros(
-          org.apache.spark.sql.functions.col("ts")) * 1000)
+      case LongType => raw // already epoch-nanos
+      case TimestampType =>
+        raw.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case TimestampNTZType =>
+        raw.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other =>
+        throw new IllegalStateException(
+          s"events.parquet ts has unsupported type $other; " +
+            "extend QueryDef.eventsTable for the new testdata encoding")
     }
   }
 }

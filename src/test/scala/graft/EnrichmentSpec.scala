@@ -194,7 +194,7 @@ class EnrichmentSpec extends SparkSpec {
   test("entry/exit transition table partitions the user-days and the events exactly") {
     val r = EnrichmentQueries.qEntryExit.fn(spark, dir)
       .agg(sum("n_days"), sum("n_events")).as[(Long, Long)].head()
-    val e = spark.read.parquet(s"$dir/events.parquet")
+    val e = graft.queries.QueryDef.eventsTable(spark, dir)
       .where(col("user_id").isNotNull)
     val userDays = e.select(col("user_id"), expr("ts div 86400000000000"))
       .distinct().count()

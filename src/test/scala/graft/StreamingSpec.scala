@@ -118,10 +118,14 @@ class StreamingSpec extends SparkSpec {
         col("session_event_count"), col("session_duration_sec").cast("double"))
       .as[(String, Long, Long, Double)].collect().sorted
 
-    // same source rows, second-floored event-time timestamps (batch gap
-    // math floors to seconds), one MemoryStream batch with a watermark
-    // horizon behind all of it — nothing is late, parity must be exact
-    val evs = spark.read.parquet(s"$dir/events.parquet")
+    // same source rows THROUGH THE SAME ADAPTER as batch
+    // (QueryDef.eventsTable — the shared ts normalizer; pinning it here
+    // keeps batch and stream event-time semantics from silently forking
+    // on a driver-side ts re-encoding), second-floored event-time
+    // timestamps (batch gap math floors to seconds), one MemoryStream
+    // batch with a watermark horizon behind all of it — nothing is late,
+    // parity must be exact
+    val evs = graft.queries.QueryDef.eventsTable(spark, dir)
       .select(col("event_id"),
         timestamp_seconds(expr("ts div 1000000000")).as("timestamp"),
         col("user_id"))
