@@ -61,17 +61,27 @@ object BpeTrainer {
       numMerges: Int, minCount: Long = 2L): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     // corpus -> distinct-word dictionary with frequencies (the ONE
-    // corpus-sized exchange), words split to character symbols
+    // corpus-sized exchange), words split to character symbols. The dict
+    // is vocabulary-sized (sublinear in the corpus by Heaps' law), so it
+    // coalesces to a few partitions: the loop below scans it ~2·numMerges
+    // times, and 32 near-empty tasks per scan cost more scheduling than
+    // the data justifies.
     var dict = docs.where(col(textCol).isNotNull)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .select(col("freq"),
         expr("filter(split(w, ''), x -> x != '')").as("syms"))
+      .coalesce(8)
       .cache()
-    dict.count()
 
+    // ONE job per iteration, not two: the argmax scan of the current dict
+    // is also what fills its cache (a cached frame materializes on first
+    // scan), so the rewritten dict needs no explicit count() barrier —
+    // the PREVIOUS generation just stays persisted until the scan that
+    // reads through it has run, then unpersists.
     val merges = Seq.newBuilder[(Int, String, Long)]
+    var prev: DataFrame = null
     var step = 1
     var done = false
     while (step <= numMerges && !done) {
@@ -80,6 +90,8 @@ object BpeTrainer {
         .groupBy("pair").agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(1).collect()
+      // dict's cache is now filled; its parent generation is free
+      if (prev != null) { prev.unpersist(); prev = null }
       if (top.isEmpty || top(0).getLong(1) < minCount) done = true
       else {
         val pair = top(0).getString(0)
@@ -89,12 +101,12 @@ object BpeTrainer {
         val next = dict
           .select(col("freq"), mergePair(col("syms"), a, b).as("syms"))
           .cache()
-        next.count()
-        dict.unpersist()
+        prev = dict
         dict = next
         step += 1
       }
     }
+    if (prev != null) prev.unpersist()
     dict.unpersist()
     import spark.implicits._
     merges.result().toDF("step", "pair", "n")
