@@ -494,13 +494,113 @@ object ExtensionQueries {
       .orderBy("id1", "id2"),
     Some(simhashPairsOracle(maxHamming = 3)))
 
-  /** Embedding-cosine near-duplicates via hyperplane-LSH buckets. */
+  /** The DuckDB replay of the hyperplane-LSH near-dup pipeline: the plane
+    * components derive from `xxhash64(bit, dim)` over INT inputs, whose
+    * closed form (XXH64 hashInt chained twice: seed 42 → bit → dim) is
+    * exact unsigned-64 arithmetic — same HUGEINT machinery as the winnow
+    * oracle, validated bit-identical to Spark's xxhash64 before wiring.
+    * Projections, signature packing, the exact-signature bucket join, and
+    * the exact-cosine threshold then follow the established
+    * q_embed_cosine_topk float treatment.
+    */
+  private def dedupEmbedOracle(bits: Int, threshold: Double): String = {
+    val M = "18446744073709551616::HUGEINT"
+    val S = "9223372036854775808::HUGEINT"
+    def mulmod(a: String, p: String): String =
+      s"((($a) % 4294967296::HUGEINT) * $p::HUGEINT" +
+        s" + ((($a) // 4294967296::HUGEINT) * $p::HUGEINT" +
+        s" % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $M"
+    def rotl(v: String, r: Int): String =
+      s"((($v) * ${1L << r}::HUGEINT) % $M + ($v) // ${java.lang.Long.toUnsignedString(1L << (64 - r))}::HUGEINT)"
+    def toS(u: String): String =
+      s"CAST(($u) - CASE WHEN ($u) >= $S THEN $M ELSE 0::HUGEINT END AS BIGINT)"
+    def toU(x: String): String =
+      s"(CAST(($x) AS HUGEINT) + CASE WHEN ($x) < 0 THEN $M ELSE 0::HUGEINT END)"
+    def xorU(a: String, b: String): String =
+      toU(s"xor(${toS(a)}, ${toS(b)})")
+    def xorShift(u: String, sh: Int): String =
+      toU(s"xor(${toS(u)}, CAST(($u) // ${1L << sh}::HUGEINT AS BIGINT))")
+    val (p1, p2, p3) = ("11400714785074694791", "14029467366897019727",
+      "1609587929392839161")
+    val p5plus4 = java.lang.Long.toUnsignedString(0x27D4EB2F165667C5L + 4L)
+    // XXH64 hashInt: h = seed+P5+4; h ^= u32(in)*P1; h = rotl23(h)*P2+P3;
+    // then the avalanche. Emitted as chained CTEs (name1..name9) over a
+    // source CTE exposing `carry` columns plus `inp` (u32) and `sd` (u64).
+    def hashIntChain(name: String, src: String, carry: String): String = {
+      val steps = Seq(
+        s"(sd + $p5plus4::HUGEINT) % $M",
+        xorU("v", s"(inp * $p1::HUGEINT) % $M"),
+        rotl("v", 23),
+        s"(${mulmod("v", p2)} + $p3::HUGEINT) % $M",
+        xorShift("v", 33),
+        mulmod("v", p2),
+        xorShift("v", 29),
+        mulmod("v", p3),
+        xorShift("v", 32))
+      steps.zipWithIndex.map { case (e, i) =>
+        val from = if (i == 0) src else s"$name$i"
+        val keep = if (i == 0) s"$carry, inp, sd" else s"$carry, inp, sd"
+        s"$name${i + 1} AS (SELECT $keep, $e AS v FROM $from)"
+      }.mkString(",\n            ")
+    }
+    // NOTE: step exprs reference `v` which the source CTE must also expose;
+    // the first step ignores it, so src provides v = 0.
+    s"""WITH dims AS (SELECT DISTINCT
+       |              generate_subscripts(embedding, 1) - 1 AS i0
+       |              FROM embeddings),
+       |            bsrc AS (SELECT u.b AS b, CAST(u.b AS HUGEINT) AS inp,
+       |                            42::HUGEINT AS sd, 0::HUGEINT AS v
+       |                     FROM unnest(range($bits)) AS u(b)),
+       |            ${hashIntChain("ha", "bsrc", "b")},
+       |            bi AS (SELECT ha9.b, d.i0, CAST(d.i0 AS HUGEINT) AS inp,
+       |                          ha9.v AS sd, 0::HUGEINT AS v
+       |                   FROM ha9, dims d),
+       |            ${hashIntChain("hb", "bi", "b, i0")},
+       |            planes AS MATERIALIZED (SELECT b, i0,
+       |              (CAST((((${toS("v")}) % 2000001 + 2000001) % 2000001)
+       |                    AS DOUBLE) - 1000000.0) / 1000000.0 AS comp
+       |              FROM hb9),
+       |            elems AS MATERIALIZED (SELECT vec_id,
+       |              generate_subscripts(embedding, 1) - 1 AS i0,
+       |              CAST(unnest(embedding) AS DOUBLE) AS v
+       |              FROM embeddings),
+       |            projs AS (SELECT e.vec_id, p.b, sum(e.v * p.comp) AS pr
+       |                      FROM elems e JOIN planes p USING (i0)
+       |                      GROUP BY 1, 2),
+       |            sigs AS MATERIALIZED (SELECT vec_id,
+       |              CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << b)
+       |                       ELSE 0 END) AS BIGINT) AS sig
+       |              FROM projs GROUP BY 1),
+       |            cand AS (SELECT a.vec_id AS id1, c.vec_id AS id2
+       |                     FROM sigs a JOIN sigs c
+       |                       ON a.sig = c.sig AND a.vec_id < c.vec_id),
+       |            norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm
+       |                      FROM elems GROUP BY 1),
+       |            dots AS (SELECT p.id1, p.id2, sum(e1.v * e2.v) AS dot
+       |                     FROM cand p
+       |                     JOIN elems e1 ON e1.vec_id = p.id1
+       |                     JOIN elems e2 ON e2.vec_id = p.id2
+       |                                  AND e2.i0 = e1.i0
+       |                     GROUP BY 1, 2)
+       |            SELECT d.id1, d.id2,
+       |                   round(d.dot / (n1.nrm * n2.nrm), 4) AS cosine
+       |            FROM dots d
+       |            JOIN norms n1 ON d.id1 = n1.vec_id
+       |            JOIN norms n2 ON d.id2 = n2.vec_id
+       |            WHERE d.dot / (n1.nrm * n2.nrm) >= $threshold
+       |            ORDER BY id1, id2""".stripMargin
+  }
+
+  /** Embedding-cosine near-duplicates via hyperplane-LSH buckets.
+    * Hash-checked via [[dedupEmbedOracle]] — plane hashes, signatures,
+    * bucket join, and the exact-cosine threshold replay exactly.
+    */
   val qDedupEmbed = QueryDef(
     "q_dedup_embed",
     (s, d) => Dedup.embeddingNearDupPairs(embs(s, d), "vec_id", "embedding",
         threshold = 0.4, bits = 6)
       .orderBy("id1", "id2"),
-    None)
+    Some(dedupEmbedOracle(bits = 6, threshold = 0.4)))
 
   /** SemDeDup ([[Dedup.semDeDup]]): cluster-scoped semantic dedup —
     * k-means partitions the embedding space, pairwise cosine runs only
@@ -885,18 +985,100 @@ object ExtensionQueries {
                                    WHEN 'de' THEN 500 END
             ORDER BY doc_id"""))
 
+  /** The DuckDB replay of the winnowed fingerprint table: xxhash64 is not
+    * a DuckDB builtin, but for the FIXED gram width k=8 (and this
+    * printable-ASCII corpus, where chars are bytes) XXH64 has a closed
+    * form — seed + one 8-byte lane round + the avalanche — in exact
+    * unsigned-64 arithmetic. HUGEINT is signed 128-bit, so the two
+    * 64×64-bit prime multiplications split as
+    * `(lo32·b + (hi32·b mod 2^32)·2^32) mod 2^64`; rotations are
+    * shift-add (the halves occupy disjoint bit ranges); xors hop through
+    * signed BIGINT (same bits). Validated bit-identical to Spark's
+    * `xxhash64` on reference grams before wiring. Downstream the replay
+    * is plain SQL: the w=4 sliding minimum is a window `min` over gram
+    * positions, fingerprints are the DISTINCT minima (the native
+    * expression's set semantics — first-occurrence order is irrelevant
+    * to both consumers).
+    */
+  private def winnowFpCtes: String = {
+    val M = "18446744073709551616::HUGEINT"
+    val S = "9223372036854775808::HUGEINT"
+    def mulmod(a: String, p: String): String =
+      s"((($a) % 4294967296::HUGEINT) * $p::HUGEINT" +
+        s" + ((($a) // 4294967296::HUGEINT) * $p::HUGEINT" +
+        s" % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $M"
+    def rotl(v: String, r: Int): String =
+      s"((($v) * ${1L << r}::HUGEINT) % $M + ($v) // ${java.lang.Long.toUnsignedString(1L << (64 - r))}::HUGEINT)"
+    def toS(u: String): String =
+      s"CAST(($u) - CASE WHEN ($u) >= $S THEN $M ELSE 0::HUGEINT END AS BIGINT)"
+    def toU(x: String): String =
+      s"(CAST(($x) AS HUGEINT) + CASE WHEN ($x) < 0 THEN $M ELSE 0::HUGEINT END)"
+    def xorShift(u: String, sh: Int): String =
+      toU(s"xor(${toS(u)}, CAST(($u) // ${1L << sh}::HUGEINT AS BIGINT))")
+    // XXH64 primes and the length-8 initial state (seed 42 + PRIME64_5 + 8)
+    val (p1, p2, p3, p4) = ("11400714785074694791", "14029467366897019727",
+      "1609587929392839161", "9650029242287828579")
+    val h0 = java.lang.Long.toUnsignedString(42L + 0x27D4EB2F165667C5L + 8L)
+    val load = (0 until 8)
+      .map(i => s"CAST(ord(s[${i + 1}]) AS HUGEINT)*${1L << (8 * i)}::HUGEINT")
+      .mkString(" + ")
+    s"""docs0 AS (SELECT doc_id, text FROM documents
+       |              WHERE text IS NOT NULL AND length(text) >= 11),
+       |            grams AS (SELECT doc_id, u.p AS p,
+       |                             substr(text, u.p + 1, 8) AS s
+       |              FROM docs0, unnest(range(length(text) - 7)) AS u(p)),
+       |            c0 AS (SELECT doc_id, p, ($load) AS v FROM grams),
+       |            c1 AS (SELECT doc_id, p, ${mulmod("v", p2)} AS v FROM c0),
+       |            c2 AS (SELECT doc_id, p, ${rotl("v", 31)} AS v FROM c1),
+       |            c3 AS (SELECT doc_id, p, ${mulmod("v", p1)} AS v FROM c2),
+       |            c4 AS (SELECT doc_id, p,
+       |              ${toU(s"xor(${toS("v")}, ${toS(s"$h0::HUGEINT")})")} AS v
+       |              FROM c3),
+       |            c5 AS (SELECT doc_id, p, ${rotl("v", 27)} AS v FROM c4),
+       |            c6 AS (SELECT doc_id, p,
+       |              (${mulmod("v", p1)} + $p4::HUGEINT) % $M AS v FROM c5),
+       |            c7 AS (SELECT doc_id, p, ${xorShift("v", 33)} AS v FROM c6),
+       |            c8 AS (SELECT doc_id, p, ${mulmod("v", p2)} AS v FROM c7),
+       |            c9 AS (SELECT doc_id, p, ${xorShift("v", 29)} AS v FROM c8),
+       |            cA AS (SELECT doc_id, p, ${mulmod("v", p3)} AS v FROM c9),
+       |            cB AS (SELECT doc_id, p, ${xorShift("v", 32)} AS v FROM cA),
+       |            hashes AS (SELECT doc_id, p, ${toS("v")} AS h FROM cB),
+       |            wins AS (SELECT doc_id, p,
+       |              min(h) OVER (PARTITION BY doc_id ORDER BY p
+       |                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+       |                AS m
+       |              FROM hashes),
+       |            fps AS MATERIALIZED (
+       |              SELECT DISTINCT doc_id, m AS fingerprint
+       |              FROM wins WHERE p >= 3)""".stripMargin
+  }
+
   /** Winnowing copy-detection pairs ([[TextAnalysis.winnowCandidatePairs]]):
     * documents sharing >= 3 local fingerprints — the precision-leaning
     * setting (the strict recall guarantee holds at minShared=1; see the
-    * operator doc). xxhash64 fingerprints are engine-specific, so
-    * rows-only; the pairing behavior is asserted in ExtSpec.
+    * operator doc). Hash-checked: [[winnowFpCtes]] replays the xxhash64
+    * fingerprint table exactly, then the df-cap, self-join, and shared
+    * count are plain SQL.
     */
   val qWinnowPairs = QueryDef(
     "q_winnow_pairs",
     (s, d) => TextAnalysis.winnowCandidatePairs(docs(s, d), "doc_id", "text",
         minShared = 3)
       .orderBy("id1", "id2"),
-    None)
+    Some(s"""WITH $winnowFpCtes,
+            rare AS (SELECT fingerprint
+                     FROM (SELECT fingerprint, count(*) AS df
+                           FROM fps GROUP BY 1)
+                     WHERE df <= 20),
+            kept AS (SELECT f.fingerprint, f.doc_id
+                     FROM fps f JOIN rare USING (fingerprint))
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   count(*) AS n_shared
+            FROM kept a JOIN kept b
+              ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 3
+            ORDER BY id1, id2"""))
 
   /** Token-window chunking ([[TextAnalysis.chunkByTokens]]): 64-token
     * chunks advancing by 48 (16-token overlap) — every token covered, last
@@ -1038,16 +1220,19 @@ object ExtensionQueries {
     * md5. Runs the NATIVE expression path
     * ([[TextAnalysis.winnowFingerprintsNative]] — one per-row pass, no
     * gram explode, no per-document sort); ExtSpec pins it equal to the
-    * composed window form. xxhash64 gram hashes are engine-specific, so
-    * rows-only driver check; the winnowing guarantee (substring of length
-    * >= w+k-1 implies a shared fingerprint) is asserted in ExtSpec.
+    * composed window form. Hash-checked: [[winnowFpCtes]] replays the
+    * k=8 xxhash64 closed form, the w=4 sliding minimum, and the distinct
+    * set; the winnowing guarantee (substring of length >= w+k-1 implies
+    * a shared fingerprint) is additionally asserted in ExtSpec.
     */
   val qDocWinnow = QueryDef(
     "q_doc_winnow",
     (s, d) => TextAnalysis.winnowFingerprintsNative(docs(s, d), "doc_id", "text")
       .groupBy("doc_id").agg(count(lit(1)).as("n_fingerprints"))
       .orderBy("doc_id"),
-    None)
+    Some(s"""WITH $winnowFpCtes
+            SELECT doc_id, count(*) AS n_fingerprints
+            FROM fps GROUP BY 1 ORDER BY doc_id"""))
 
   /** SpaceSaving heavy hitters over event_type. k=16 exceeds the column's
     * cardinality, so the sketch degenerates to EXACT counts — directly
