@@ -118,7 +118,8 @@ object ExtensionQueries {
     * hash, k permutation minimums, band buckets, bucket-min reps, and the
     * per-doc min-rep assignment are all replayed exactly.
     */
-  private def minhashCtes(bands: Int, rowsPerBand: Int): String = {
+  private def minhashCtes(
+      bands: Int, rowsPerBand: Int, src: String = "documents"): String = {
     val k = bands * rowsPerBand
     val sigCols = (0 until k).map { i =>
       val (a, b) = Dedup.minhashAffine(i)
@@ -134,7 +135,7 @@ object ExtensionQueries {
        |              SELECT DISTINCT doc_id, u.term AS tok
        |              FROM (SELECT doc_id,
        |                           regexp_split_to_array(trim(text), '\\s+') AS t
-       |                    FROM documents WHERE text IS NOT NULL) s,
+       |                    FROM $src WHERE text IS NOT NULL) s,
        |                   unnest(s.t) AS u(term)),
        |            hb AS (SELECT doc_id,
        |                     CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
@@ -777,14 +778,126 @@ object ExtensionQueries {
                   FROM cos) r
             WHERE rn <= 10 ORDER BY q_id, vec_id"""))
 
+  /** The DuckDB replay of [[Similarity.lshTopKMulti]] with Hamming-1
+    * multi-probe: the `tables × bits` hyperplane families derive from
+    * `xxhash64(table·1000 + bit, dim)` — the same XXH64 hashInt chain as
+    * [[dedupEmbedOracle]], run over all tables at once — then probe
+    * signatures expand to their 1-bit flips, candidates union across
+    * tables, and the exact-cosine rerank follows the q_embed_cosine_topk
+    * float treatment. `prefix` supplies the corpus CTE chain ending in
+    * `corpusrel(vec_id, embedding)`; `probeIds` selects the probe ids —
+    * the two knobs that let q_ann_lsh and q_corpus_pipeline share this
+    * generator.
+    */
+  private def lshTopKOracle(
+      prefix: String, probeIds: String,
+      bits: Int, tables: Int, k: Int): String = {
+    val M = "18446744073709551616::HUGEINT"
+    val S = "9223372036854775808::HUGEINT"
+    def mulmod(a: String, p: String): String =
+      s"((($a) % 4294967296::HUGEINT) * $p::HUGEINT" +
+        s" + ((($a) // 4294967296::HUGEINT) * $p::HUGEINT" +
+        s" % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $M"
+    def rotl(v: String, r: Int): String =
+      s"((($v) * ${1L << r}::HUGEINT) % $M + ($v) // ${java.lang.Long.toUnsignedString(1L << (64 - r))}::HUGEINT)"
+    def toS(u: String): String =
+      s"CAST(($u) - CASE WHEN ($u) >= $S THEN $M ELSE 0::HUGEINT END AS BIGINT)"
+    def toU(x: String): String =
+      s"(CAST(($x) AS HUGEINT) + CASE WHEN ($x) < 0 THEN $M ELSE 0::HUGEINT END)"
+    def xorU(a: String, b: String): String =
+      toU(s"xor(${toS(a)}, ${toS(b)})")
+    def xorShift(u: String, sh: Int): String =
+      toU(s"xor(${toS(u)}, CAST(($u) // ${1L << sh}::HUGEINT AS BIGINT))")
+    val (p1, p2, p3) = ("11400714785074694791", "14029467366897019727",
+      "1609587929392839161")
+    val p5plus4 = java.lang.Long.toUnsignedString(0x27D4EB2F165667C5L + 4L)
+    def hashIntChain(name: String, src: String, carry: String): String = {
+      val steps = Seq(
+        s"(sd + $p5plus4::HUGEINT) % $M",
+        xorU("v", s"(inp * $p1::HUGEINT) % $M"),
+        rotl("v", 23),
+        s"(${mulmod("v", p2)} + $p3::HUGEINT) % $M",
+        xorShift("v", 33),
+        mulmod("v", p2),
+        xorShift("v", 29),
+        mulmod("v", p3),
+        xorShift("v", 32))
+      steps.zipWithIndex.map { case (e, i) =>
+        val from = if (i == 0) src else s"$name$i"
+        s"$name${i + 1} AS (SELECT $carry, inp, sd, $e AS v FROM $from)"
+      }.mkString(",\n            ")
+    }
+    val flips = ("lsig" +: (0 until bits).map(b => s"xor(lsig, ${1L << b})"))
+      .mkString(", ")
+    s"""WITH $prefix,
+       |            elems AS MATERIALIZED (SELECT vec_id,
+       |              generate_subscripts(embedding, 1) - 1 AS i0,
+       |              CAST(unnest(embedding) AS DOUBLE) AS v
+       |              FROM corpusrel),
+       |            dims AS (SELECT DISTINCT i0 FROM elems),
+       |            tbsrc AS (SELECT u.t AS t, u2.b AS b,
+       |                             CAST(u.t * 1000 + u2.b AS HUGEINT) AS inp,
+       |                             42::HUGEINT AS sd, 0::HUGEINT AS v
+       |                      FROM unnest(range($tables)) AS u(t),
+       |                           unnest(range($bits)) AS u2(b)),
+       |            ${hashIntChain("la", "tbsrc", "t, b")},
+       |            lbi AS (SELECT la9.t, la9.b, d.i0,
+       |                           CAST(d.i0 AS HUGEINT) AS inp,
+       |                           la9.v AS sd, 0::HUGEINT AS v
+       |                    FROM la9, dims d),
+       |            ${hashIntChain("lb", "lbi", "t, b, i0")},
+       |            lplanes AS MATERIALIZED (SELECT t, b, i0,
+       |              (CAST((((${toS("v")}) % 2000001 + 2000001) % 2000001)
+       |                    AS DOUBLE) - 1000000.0) / 1000000.0 AS comp
+       |              FROM lb9),
+       |            lprojs AS (SELECT e.vec_id, p.t, p.b,
+       |                              sum(e.v * p.comp) AS pr
+       |                       FROM elems e JOIN lplanes p USING (i0)
+       |                       GROUP BY 1, 2, 3),
+       |            lsigs AS MATERIALIZED (SELECT vec_id, t,
+       |              CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << b)
+       |                       ELSE 0 END) AS BIGINT) AS lsig
+       |              FROM lprojs GROUP BY 1, 2),
+       |            probe_ids AS ($probeIds),
+       |            lprobes AS (SELECT p.q_id, s.t, s.lsig
+       |                        FROM probe_ids p
+       |                        JOIN lsigs s ON s.vec_id = p.q_id),
+       |            lprobed AS (SELECT q_id, t, u.sg
+       |                        FROM lprobes, unnest([$flips]) AS u(sg)),
+       |            lcand AS (SELECT DISTINCT p.q_id, s.vec_id
+       |                      FROM lsigs s JOIN lprobed p
+       |                        ON s.t = p.t AND s.lsig = p.sg
+       |                      WHERE s.vec_id <> p.q_id),
+       |            lnorms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm
+       |                       FROM elems GROUP BY 1),
+       |            ldots AS (SELECT c.q_id, c.vec_id,
+       |                             sum(e1.v * e2.v) AS dot
+       |                      FROM lcand c
+       |                      JOIN elems e1 ON e1.vec_id = c.q_id
+       |                      JOIN elems e2 ON e2.vec_id = c.vec_id
+       |                                   AND e2.i0 = e1.i0
+       |                      GROUP BY 1, 2),
+       |            lcos AS (SELECT d.q_id, d.vec_id,
+       |                            d.dot / (n1.nrm * n2.nrm) AS c
+       |                     FROM ldots d
+       |                     JOIN lnorms n1 ON d.q_id = n1.vec_id
+       |                     JOIN lnorms n2 ON d.vec_id = n2.vec_id)
+       |            SELECT q_id, vec_id, round(c, 4) AS cosine
+       |            FROM (SELECT *, row_number() OVER (
+       |                    PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn
+       |                  FROM lcos) r
+       |            WHERE rn <= $k ORDER BY q_id, vec_id""".stripMargin
+  }
+
   /** LSH-bucketed approximate top-k — the scale path, in its OR-amplified
     * configuration: 4 independent 6-bit signature tables with Hamming-1
     * multi-probe. A single 6-bit table has ~p⁶≈5% recall on this corpus's
     * cos≈0.35 true neighbors (measured 0/30 in the round-8 bench
     * `ann_recall` block — the artifact this config answers); amplification
     * lifts the per-neighbor hit rate to 1−(1−p⁶+6p⁵(1−p))⁴ ≈ 0.7 while
-    * candidates stay a bounded corpus fraction per table. Rows-only
-    * driver check; recall thresholds asserted in ScaleFeaturesSpec.
+    * candidates stay a bounded corpus fraction per table. Hash-checked
+    * via [[lshTopKOracle]]; recall thresholds asserted in
+    * ScaleFeaturesSpec.
     */
   val qAnnLsh = QueryDef(
     "q_ann_lsh",
@@ -797,7 +910,10 @@ object ExtensionQueries {
         .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
         .orderBy("q_id", "vec_id")
     },
-    None)
+    Some(lshTopKOracle(
+      prefix = "corpusrel AS (SELECT vec_id, embedding FROM embeddings)",
+      probeIds = "SELECT vec_id AS q_id FROM corpusrel WHERE vec_id < 3",
+      bits = 6, tables = 4, k = 10)))
 
   /** IVF approximate top-k — coarse-quantizer inverted lists, nProbe
     * tunable recall. Rows-only driver check; recall vs brute force is
@@ -856,11 +972,38 @@ object ExtensionQueries {
 
   /** The composed corpus-preparation pipeline: exact fingerprint dedup →
     * MinHash-LSH near-dup dedup → multi-probe LSH ANN over the surviving
-    * embeddings. Not SQL-expressible (keyed xxhash64 signature families);
-    * stage invariants — survivors have unique fingerprints, re-running the
-    * near-dup pass on survivors finds nothing, ANN output stays inside the
-    * survivor set — are asserted in ExtSpec. Rows-only driver check.
+    * embeddings. Hash-checked end-to-end: every stage became replayable
+    * this round (md5 exact fingerprints, the md5-affine minhash family at
+    * the pipeline's high-precision 4×8 banding, and [[lshTopKOracle]]'s
+    * XXH64 hyperplane replay at bits=4/tables=2), so the oracle chains
+    * all three — including the tokenless-document passthrough. Stage
+    * invariants are additionally asserted in ExtSpec.
     */
+  private def corpusPipelinePrefix: String =
+    s"""exact_fp AS (SELECT doc_id, md5(lower(trim(text))) AS f
+       |                         FROM documents),
+       |            exact_keep AS (SELECT min(doc_id) AS doc_id
+       |                           FROM exact_fp GROUP BY f),
+       |            exact_surv AS MATERIALIZED (
+       |              SELECT d.doc_id, d.text
+       |              FROM documents d JOIN exact_keep USING (doc_id)),
+       |            ${minhashCtes(bands = 4, rowsPerBand = 8, src = "exact_surv")},
+       |            mreps AS (SELECT bucket, min(doc_id) AS rep
+       |                      FROM banded GROUP BY 1),
+       |            massign AS (SELECT b.doc_id, min(r.rep) AS rep_id
+       |                        FROM banded b JOIN mreps r USING (bucket)
+       |                        GROUP BY 1),
+       |            near_keep AS (SELECT doc_id FROM massign
+       |                          WHERE doc_id = rep_id),
+       |            tokenless AS (SELECT es.doc_id FROM exact_surv es
+       |                          WHERE NOT EXISTS (SELECT 1 FROM massign m
+       |                                WHERE m.doc_id = es.doc_id)),
+       |            surv AS (SELECT doc_id FROM near_keep
+       |                     UNION ALL SELECT doc_id FROM tokenless),
+       |            corpusrel AS MATERIALIZED (
+       |              SELECT e.vec_id, e.embedding
+       |              FROM embeddings e JOIN surv s ON e.vec_id = s.doc_id)""".stripMargin
+
   val qCorpusPipeline = QueryDef(
     "q_corpus_pipeline",
     (s, d) => CorpusPipeline.run(
@@ -868,7 +1011,10 @@ object ExtensionQueries {
         embs(s, d), "vec_id", "embedding")
       .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
       .orderBy("q_id", "vec_id"),
-    None)
+    Some(lshTopKOracle(
+      prefix = corpusPipelinePrefix,
+      probeIds = "SELECT vec_id AS q_id FROM corpusrel ORDER BY vec_id LIMIT 3",
+      bits = 4, tables = 2, k = 10)))
 
   // --- text analysis --------------------------------------------------------
 
@@ -2844,6 +2990,13 @@ object ExtensionQueries {
     * Approximate by construction — rows-only; recall vs the float32
     * baseline is asserted in ExtSpec.
     */
+  /** SQ8 is per-row deterministic end-to-end — per-vector max-abs scale
+    * (order-independent max), round-half-away-from-zero quantization
+    * (both engines' double `round`), reconstruction through an explicit
+    * float32 cast, and the established exact-cosine rerank — so the
+    * oracle replays the whole index+search path with no hash machinery
+    * at all.
+    */
   val qAnnSq8 = QueryDef(
     "q_ann_sq8",
     (s, d) => {
@@ -2856,7 +3009,39 @@ object ExtensionQueries {
         .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
         .orderBy("q_id", "vec_id")
     },
-    None)
+    Some("""WITH elems AS MATERIALIZED (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i0,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings),
+            scales AS (SELECT vec_id, max(abs(v)) / 127.0 AS scale
+                       FROM elems GROUP BY 1),
+            deq AS MATERIALIZED (
+              SELECT e.vec_id, e.i0,
+                     CASE WHEN s.scale > 0 THEN
+                       CAST(CAST(CAST(CAST(round(e.v / s.scale, 0)
+                            AS TINYINT) AS DOUBLE) * s.scale AS REAL)
+                            AS DOUBLE)
+                     ELSE 0.0 END AS dv
+              FROM elems e JOIN scales s USING (vec_id)),
+            dots AS (SELECT p.vec_id AS q_id, d.vec_id,
+                            sum(p.v * d.dv) AS dot
+                     FROM elems p JOIN deq d ON p.i0 = d.i0
+                     WHERE p.vec_id < 3 AND d.vec_id <> p.vec_id
+                     GROUP BY 1, 2),
+            pnorms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm
+                       FROM elems GROUP BY 1),
+            dnorms AS (SELECT vec_id, sqrt(sum(dv * dv)) AS nrm
+                       FROM deq GROUP BY 1),
+            cos AS (SELECT d.q_id, d.vec_id,
+                           d.dot / (np.nrm * nd.nrm) AS c
+                    FROM dots d
+                    JOIN pnorms np ON d.q_id = np.vec_id
+                    JOIN dnorms nd ON d.vec_id = nd.vec_id)
+            SELECT q_id, vec_id, round(c, 4) AS cosine
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn
+                  FROM cos) r
+            WHERE rn <= 10 ORDER BY q_id, vec_id"""))
 
   val all: Seq[QueryDef] = Seq(
     qDedupExact, qDedupExactHash, qNgramJaccard, qFuzzyPairs, qDedupMinhash,
