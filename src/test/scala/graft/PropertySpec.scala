@@ -367,6 +367,22 @@ class PropertySpec extends SparkSpec {
     assert(sk(e) === sk(e.repartition(13)))
   }
 
+  test("minhash and simhash signatures are partitioning-invariant") {
+    // both families are min / sign-of-sum aggregates over per-token
+    // hashes — commutative, so the signatures must not depend on task
+    // splits (this is also what makes their DuckDB oracle replays sound)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    def mh(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Dedup.minhashSignatures(df, "doc_id", "text", 32)
+        .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(mh(docs) === mh(docs.repartition(7, col("doc_id"))))
+    def sh(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Dedup.simhashTable(df, "doc_id", "text")
+        .as[(Long, Long)].collect().toMap
+    assert(sh(docs) === sh(docs.repartition(11)))
+  }
+
   test("blocked edit-distance pairs match an all-pairs plain-Scala reference") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect()

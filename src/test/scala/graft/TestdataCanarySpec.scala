@@ -59,4 +59,25 @@ class TestdataCanarySpec extends SparkSpec {
       assert(QueryDef.table(spark, sfDir, t).limit(1).count() == 1L,
         s"$t.parquet is empty or unreadable")
   }
+
+  test("documents corpus is printable ASCII (generated-oracle assumption)") {
+    // Several generated DuckDB oracles assume char == byte and reserve
+    // chr(31) as a delimiter: the winnow replay (XXH64 over the UTF-8
+    // BYTES of 8-CHAR grams), the BPE merge rewrite, and the minhash
+    // tokenizer mirror. All hold on printable-ASCII text and can silently
+    // diverge otherwise — so a driver-side corpus regeneration that
+    // introduces non-ASCII (or chr(31)) must fail HERE, by name, not as
+    // an unexplained oracle hash mismatch.
+    assume(have("documents"), s"$sfDir/documents.parquet not present")
+    import org.apache.spark.sql.functions._
+    val offenders = QueryDef.table(spark, sfDir, "documents")
+      .where(col("text").isNotNull &&
+        !col("text").rlike("^[\\x20-\\x7e]*$"))
+      .count()
+    assert(offenders == 0L,
+      s"$offenders documents contain non-printable-ASCII text - revisit " +
+        "the char==byte / chr(31)-delimiter assumptions in the winnow, " +
+        "BPE, and minhash oracles (ExtensionQueries) before trusting the " +
+        "gate")
+  }
 }
