@@ -672,4 +672,49 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("c"))
       .select(col("window.start").as("win_start"),
         col("_cms_j").as("j"), col("_cms_b").as("bucket"), col("c"))
+
+  /** Batch-train → stream-tokenize: apply a FROZEN BPE merge table
+    * ([[graft.ext.BpeTrainer.train]], run batch-side) to a document
+    * stream, reporting the same per-document
+    * `(n_tokens, n_subwords, fertility)` as the batch encoder — the
+    * frozen-tokenizer intake shape (tokenize arriving documents with the
+    * production tokenizer; a fertility spike flags domain drift against
+    * the training corpus).
+    *
+    * Contract vs batch [[graft.ext.BpeTrainer.encode]]: identical
+    * per-document RESULTS (same [[graft.ext.BpeTrainer.encodeWord]]
+    * replay, asserted row-for-row in StreamingSpec), different cost
+    * shape — batch encodes each DISTINCT word once via the dictionary
+    * join, which needs a corpus-wide distinct that a stream cannot have;
+    * the stream encodes per token occurrence instead. Like the vocab
+    * gate, TRAINING cannot stream (each merge step's argmax is a global
+    * corpus statistic with no monotone incremental form) — only frozen
+    * inference does. Stateless but windowed: the per-document aggregate
+    * rides the standard watermark+window so append mode emits exactly
+    * once per closed window.
+    */
+  def bpeEncodeStream(
+      docs: DataFrame, merges: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text",
+      tsCol: String = "ingest_ts",
+      windowDur: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
+    require(merges.nonEmpty, "merge table must be non-empty (train it batch-side)")
+    val pairs = merges.map { m =>
+      val Array(a, b) = m.split(" ", 2); (a, b)
+    }
+    val nSubwords =
+      udf((w: String) => graft.ext.BpeTrainer.encodeWord(w, pairs).length)
+    docs
+      .withWatermark(tsCol, watermark)
+      .where(col(textCol).isNotNull)
+      .select(col(idCol), col(tsCol),
+        explode(graft.ext.TextAnalysis.tokens(col(textCol))).as("_w"))
+      .where(length(col("_w")) > 0)
+      .groupBy(col(idCol), window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(nSubwords(col("_w")).cast("long")).as("n_subwords"))
+      .select(col(idCol), col("n_tokens"), col("n_subwords"),
+        (col("n_subwords").cast("double") / col("n_tokens").cast("double"))
+          .as("fertility"))
+  }
 }

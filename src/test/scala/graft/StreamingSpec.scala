@@ -490,6 +490,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming BPE encode with a frozen merge table matches batch encode row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    // train BATCH-side on a real corpus slice, freeze the merge table,
+    // stream the same documents through the stateless encoder: per-doc
+    // (n_tokens, n_subwords) are integer counts and fertility divides
+    // identical operands, so parity must be exact
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").filter(col("doc_id") < 100)
+    val merges = graft.ext.BpeTrainer.train(spark, corpus, "text", numMerges = 8)
+      .orderBy("step").select("pair").as[String].collect().toSeq
+    assert(merges.nonEmpty)
+    val batch = graft.ext.BpeTrainer
+      .encode(corpus, "doc_id", "text", merges)
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+    val docRows = corpus.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      .map { case (id, t) => (id, t, ts("2025-01-01 10:30:00")) }.toSeq
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingPipeline.bpeEncodeStream(
+        input.toDF().toDF("doc_id", "text", "ingest_ts"), merges)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bpe_out").start()
+    try {
+      input.addData(docRows: _*)
+      q.processAllAvailable()
+      input.addData((-1L, "advancer", ts("2025-02-01 00:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("bpe_out")
+        .where(col("doc_id") >= 0)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming count-min sketch is bit-identical to the batch sketch per window") {
     implicit val sqlCtx = spark.sqlContext
     // 7 keys over two hour-windows; CMS cell updates are pure additions,
