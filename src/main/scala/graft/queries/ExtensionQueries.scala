@@ -932,6 +932,84 @@ object ExtensionQueries {
     },
     None)
 
+  /** IVF with the DETERMINISTIC lowid coarse quantizer, as an
+    * oracle-checked twin of q_ann_ivf: the k-means path's float centroid
+    * means are summation-order-dependent cross-engine (structurally
+    * rows-only), but with data-point centroids the ENTIRE inverted-list
+    * machinery — unit-normalized centroid matrix, argmax-dot assignment
+    * with ties to the lowest centroid id, probe-side (sim desc, id asc)
+    * list ranking, nProbe candidate union, exact-cosine rerank — is
+    * exact-replayable. This pins the IVF code path itself; q_ann_ivf
+    * keeps covering the k-means quantizer via the bench recall export.
+    */
+  val qAnnIvfLowid = QueryDef(
+    "q_ann_ivf_lowid",
+    (s, d) => {
+      val e = embs(s, d).select("vec_id", "embedding")
+      val probes = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.ivfTopK(e, "vec_id", "embedding", probes, "q_id", "q_emb",
+          k = 10, nCentroids = 32, nProbe = 8, quantizer = "lowid")
+        .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("q_id", "vec_id")
+    },
+    Some("""WITH elems AS MATERIALIZED (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i0,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings),
+            norms AS MATERIALIZED (
+              SELECT vec_id, sqrt(sum(v * v)) AS nrm
+              FROM elems GROUP BY 1),
+            cids AS (SELECT vec_id AS cid FROM embeddings
+                     ORDER BY vec_id LIMIT 32),
+            cunit AS MATERIALIZED (
+              SELECT e.vec_id AS cid, e.i0,
+                     CASE WHEN n.nrm = 0 THEN 0.0 ELSE e.v / n.nrm END AS uv
+              FROM elems e
+              JOIN norms n ON e.vec_id = n.vec_id
+              JOIN cids c ON e.vec_id = c.cid),
+            adots AS (SELECT e.vec_id, u.cid, sum(e.v * u.uv) AS d
+                      FROM elems e JOIN cunit u USING (i0)
+                      GROUP BY 1, 2),
+            assigned AS MATERIALIZED (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                  PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+                FROM adots) WHERE rn = 1),
+            craw AS (SELECT e.vec_id AS cid, e.i0, e.v
+                     FROM elems e JOIN cids c ON e.vec_id = c.cid),
+            psims AS (SELECT p.vec_id AS q_id, c.cid,
+                             sum(p.v * c.v) AS dot
+                      FROM elems p JOIN craw c USING (i0)
+                      WHERE p.vec_id < 3 GROUP BY 1, 2),
+            plists AS (SELECT q_id, cid FROM (
+                SELECT s.q_id, s.cid, row_number() OVER (
+                  PARTITION BY s.q_id
+                  ORDER BY s.dot / (nq.nrm * nc.nrm) DESC, s.cid) AS rn
+                FROM psims s
+                JOIN norms nq ON s.q_id = nq.vec_id
+                JOIN norms nc ON s.cid = nc.vec_id)
+              WHERE rn <= 8),
+            cand AS (SELECT p.q_id, a.vec_id
+                     FROM plists p JOIN assigned a USING (cid)
+                     WHERE a.vec_id <> p.q_id),
+            cdots AS (SELECT c.q_id, c.vec_id, sum(e1.v * e2.v) AS dot
+                      FROM cand c
+                      JOIN elems e1 ON e1.vec_id = c.q_id
+                      JOIN elems e2 ON e2.vec_id = c.vec_id
+                                   AND e2.i0 = e1.i0
+                      GROUP BY 1, 2),
+            ccos AS (SELECT d.q_id, d.vec_id,
+                            d.dot / (n1.nrm * n2.nrm) AS c
+                     FROM cdots d
+                     JOIN norms n1 ON d.q_id = n1.vec_id
+                     JOIN norms n2 ON d.vec_id = n2.vec_id)
+            SELECT q_id, vec_id, round(c, 4) AS cosine
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn
+                  FROM ccos) r
+            WHERE rn <= 10 ORDER BY q_id, vec_id"""))
+
   /** PQ-ADC approximate top-k ([[Similarity.pqTopK]]): the compressed
     * linear-scan ANN — corpus encoded to m small codes, probes carry
     * per-subspace lookup tables, exact-cosine re-rank. Driver-trained
@@ -3048,7 +3126,8 @@ object ExtensionQueries {
     qDedupClusters,
     qDedupSimhash, qDedupEmbed, qDedupSemdedup, qDedupIncremental,
     qDecontaminate,
-    qEmbedCosineTopk, qEmbedMeanpool, qAnnLsh, qAnnIvf, qAnnPq, qAnnIvfPq,
+    qEmbedCosineTopk, qEmbedMeanpool, qAnnLsh, qAnnIvf, qAnnIvfLowid,
+    qAnnPq, qAnnIvfPq,
     qTextTokens, qTextSubword, qTextQuality, qQualityGate, qCorpusReport,
     qTextRepetition, qLangId,
     qBoilerplateBlocks, qVocabCoverage, qSourceOverlap,
