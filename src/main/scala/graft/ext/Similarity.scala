@@ -617,9 +617,17 @@ object Similarity {
   def pqTopK(
       corpus: DataFrame, id: String, vec: String,
       probes: DataFrame, qId: String, qVec: String,
-      k: Int, m: Int = 8, ksub: Int = 16, rerankFactor: Int = 4): DataFrame = {
+      k: Int, m: Int = 8, ksub: Int = 16, rerankFactor: Int = 4,
+      iters: Int = 10): DataFrame = {
+    // iters = 0 selects the INIT-ONLY codebook (the first ksub distinct
+    // sample subvectors, no Lloyd refinement) — deterministic data-point
+    // codewords, the PQ analogue of the lowid coarse quantizer: worse
+    // quantization error, but every stage of the encode/ADC/rerank
+    // machinery becomes exactly replayable by the DuckDB oracle
+    // (q_ann_pq_init). Lloyd's float means are summation-order-dependent
+    // cross-engine, so trained codebooks stay recall-checked instead.
     require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
-    val codebooks = pqCodebooks(corpus, id, vec, m, ksub)
+    val codebooks = pqCodebooks(corpus, id, vec, m, ksub, iters)
     val encoded = pqEncode(corpus, vec, codebooks)
     val probeTables = probes.select(
       col(qId) +: col(qVec) +: pqProbeTableCols(qVec, codebooks): _*)
