@@ -659,7 +659,12 @@ object Similarity {
       k: Int, nCentroids: Int = 64, nProbe: Int = 8,
       m: Int = 8, ksub: Int = 16, rerankFactor: Int = 4,
       quantizer: String = "kmeans",
-      spillDelta: Double = 0.4, spillCap: Int = 6): DataFrame = {
+      spillDelta: Double = 0.4, spillCap: Int = 6,
+      iters: Int = 10): DataFrame = {
+    // iters = 0 + quantizer = "lowid" composes the two deterministic
+    // index variants (data-point coarse centroids, init-only PQ
+    // codebooks) so the IVFADC COMPOSITION is oracle-replayable
+    // (q_ann_ivfpq_init) — same rationale as pqTopK's iters knob.
     require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
     // ONE sampling scan feeds BOTH trainers (hash samples are
     // prefix-stable, so each trainer sees exactly the draw it would have
@@ -670,10 +675,10 @@ object Similarity {
         val pqN = ksub * PqSamplesPerCentroid
         val sample = hashSample(corpus, id, vec, math.max(kmeansN, pqN))
         (kmeansCentroidsFromSample(sample.take(kmeansN), nCentroids),
-          pqCodebooksFromSample(sample.take(pqN), m, ksub))
+          pqCodebooksFromSample(sample.take(pqN), m, ksub, iters))
       } else
         (centroidsFor(corpus, id, vec, nCentroids, quantizer),
-          pqCodebooks(corpus, id, vec, m, ksub))
+          pqCodebooks(corpus, id, vec, m, ksub, iters))
 
     // encode BEFORE the spill-explode: codes are per-vector, computing
     // them after multi-assignment would redo the m argmins per list copy

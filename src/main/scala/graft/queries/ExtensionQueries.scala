@@ -1200,6 +1200,185 @@ object ExtensionQueries {
     },
     None)
 
+  /** The DuckDB replay of the IVFADC COMPOSITION with both deterministic
+    * index variants: lowid coarse centroids (the q_ann_ivf_lowid
+    * assignment/probe-list machinery) pruning the candidate set, and the
+    * init-only PQ codebook (the q_ann_pq_init encode/ADC machinery)
+    * scoring only the probed lists — candidates are the intersection,
+    * the ADC sum folds in subspace order, and the
+    * (adc asc, id) → exact-cosine rerank tail is shared. Both halves were
+    * validated separately before composing.
+    */
+  private def ivfPqInitOracle(
+      nCentroids: Int, nProbe: Int,
+      m: Int, ksub: Int, dsub: Int, sampleN: Int,
+      k: Int, rerankFactor: Int): String = {
+    val M = "18446744073709551616::HUGEINT"
+    val S = "9223372036854775808::HUGEINT"
+    def mulmod(a: String, p: String): String =
+      s"((($a) % 4294967296::HUGEINT) * $p::HUGEINT" +
+        s" + ((($a) // 4294967296::HUGEINT) * $p::HUGEINT" +
+        s" % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $M"
+    def rotl(v: String, r: Int): String =
+      s"((($v) * ${1L << r}::HUGEINT) % $M + ($v) // ${java.lang.Long.toUnsignedString(1L << (64 - r))}::HUGEINT)"
+    def toS(u: String): String =
+      s"CAST(($u) - CASE WHEN ($u) >= $S THEN $M ELSE 0::HUGEINT END AS BIGINT)"
+    def toU(x: String): String =
+      s"(CAST(($x) AS HUGEINT) + CASE WHEN ($x) < 0 THEN $M ELSE 0::HUGEINT END)"
+    def xorU(a: String, b: String): String =
+      toU(s"xor(${toS(a)}, ${toS(b)})")
+    def xorShift(u: String, sh: Int): String =
+      toU(s"xor(${toS(u)}, CAST(($u) // ${1L << sh}::HUGEINT AS BIGINT))")
+    val (p1, p2, p3, p4) = ("11400714785074694791", "14029467366897019727",
+      "1609587929392839161", "9650029242287828579")
+    val h0 = java.lang.Long.toUnsignedString(42L + 0x27D4EB2F165667C5L + 8L)
+    val hlSteps = Seq(
+      mulmod("v", p2), rotl("v", 31), mulmod("v", p1),
+      xorU("v", s"$h0::HUGEINT"), rotl("v", 27),
+      s"(${mulmod("v", p1)} + $p4::HUGEINT) % $M",
+      xorShift("v", 33), mulmod("v", p2), xorShift("v", 29),
+      mulmod("v", p3), xorShift("v", 32))
+    val hlChain = hlSteps.zipWithIndex.map { case (e, i) =>
+      val from = if (i == 0) "hl0" else s"hl$i"
+      s"hl${i + 1} AS (SELECT vec_id, $e AS v FROM $from)"
+    }.mkString(",\n            ")
+    val top = k * rerankFactor
+    s"""WITH vecs AS MATERIALIZED (
+       |              SELECT vec_id, embedding FROM embeddings
+       |              WHERE embedding IS NOT NULL),
+       |            elems AS MATERIALIZED (
+       |              SELECT vec_id, generate_subscripts(embedding, 1) - 1
+       |                       AS i0,
+       |                     CAST(unnest(embedding) AS DOUBLE) AS v
+       |              FROM vecs),
+       |            norms AS MATERIALIZED (
+       |              SELECT vec_id, sqrt(sum(v * v)) AS nrm
+       |              FROM elems GROUP BY 1),
+       |            cids AS (SELECT vec_id AS cid FROM embeddings
+       |                     ORDER BY vec_id LIMIT $nCentroids),
+       |            cunit AS MATERIALIZED (
+       |              SELECT e.vec_id AS cid, e.i0,
+       |                     CASE WHEN n.nrm = 0 THEN 0.0
+       |                          ELSE e.v / n.nrm END AS uv
+       |              FROM elems e
+       |              JOIN norms n ON e.vec_id = n.vec_id
+       |              JOIN cids c ON e.vec_id = c.cid),
+       |            adots AS (SELECT e.vec_id, u.cid, sum(e.v * u.uv) AS d
+       |                      FROM elems e JOIN cunit u USING (i0)
+       |                      GROUP BY 1, 2),
+       |            assigned AS MATERIALIZED (
+       |              SELECT vec_id, cid FROM (
+       |                SELECT vec_id, cid, row_number() OVER (
+       |                  PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+       |                FROM adots) WHERE rn = 1),
+       |            craw AS (SELECT e.vec_id AS cid, e.i0, e.v
+       |                     FROM elems e JOIN cids c ON e.vec_id = c.cid),
+       |            psims AS (SELECT p.vec_id AS q_id, c.cid,
+       |                             sum(p.v * c.v) AS dot
+       |                      FROM elems p JOIN craw c USING (i0)
+       |                      WHERE p.vec_id < 3 GROUP BY 1, 2),
+       |            plists AS (SELECT q_id, cid FROM (
+       |                SELECT s.q_id, s.cid, row_number() OVER (
+       |                  PARTITION BY s.q_id
+       |                  ORDER BY s.dot / (nq.nrm * nc.nrm) DESC, s.cid)
+       |                    AS rn
+       |                FROM psims s
+       |                JOIN norms nq ON s.q_id = nq.vec_id
+       |                JOIN norms nc ON s.cid = nc.vec_id)
+       |              WHERE rn <= $nProbe),
+       |            hl0 AS (SELECT vec_id, CAST(vec_id AS HUGEINT) AS v
+       |                    FROM vecs),
+       |            $hlChain,
+       |            sampled AS (SELECT vec_id, row_number() OVER (
+       |                          ORDER BY ${toS("v")}) AS rnk
+       |                        FROM hl${hlSteps.length}),
+       |            subs AS MATERIALIZED (
+       |              SELECT v.vec_id, u.j,
+       |                     list_transform(range($dsub), t ->
+       |                       CAST(v.embedding[u.j * $dsub + t + 1]
+       |                            AS DOUBLE)) AS sv
+       |              FROM vecs v, unnest(range($m)) AS u(j)),
+       |            cb AS MATERIALIZED (
+       |              SELECT j, sv,
+       |                     row_number() OVER (PARTITION BY j ORDER BY mr)
+       |                       - 1 AS ci
+       |              FROM (SELECT s.j, s.sv, min(r.rnk) AS mr
+       |                    FROM subs s JOIN sampled r
+       |                      ON s.vec_id = r.vec_id AND r.rnk <= $sampleN
+       |                    GROUP BY s.j, s.sv)
+       |              QUALIFY row_number() OVER (PARTITION BY j ORDER BY mr)
+       |                <= $ksub),
+       |            scores AS MATERIALIZED (
+       |              SELECT s.vec_id, s.j, c.ci,
+       |                     list_reduce(list_transform(c.sv, x -> x * x),
+       |                       (a, b) -> a + b)
+       |                     - 2.0 * list_reduce(
+       |                         list_transform(range($dsub), t ->
+       |                           s.sv[t + 1] * c.sv[t + 1]),
+       |                         (a, b) -> a + b) AS sc
+       |              FROM subs s JOIN cb c USING (j)),
+       |            codes AS MATERIALIZED (
+       |              SELECT vec_id, j, ci AS code FROM (
+       |                SELECT vec_id, j, ci, row_number() OVER (
+       |                  PARTITION BY vec_id, j ORDER BY sc, ci) AS rn
+       |                FROM scores) WHERE rn = 1),
+       |            cand AS (SELECT p.q_id, a.vec_id
+       |                     FROM plists p JOIN assigned a USING (cid)
+       |                     WHERE a.vec_id <> p.q_id),
+       |            adcp AS (SELECT ca.q_id, ca.vec_id,
+       |                       list_reduce(list(q.sc ORDER BY q.j),
+       |                         (a, b) -> a + b) AS adc
+       |                     FROM cand ca
+       |                     JOIN codes c ON c.vec_id = ca.vec_id
+       |                     JOIN scores q ON q.vec_id = ca.q_id
+       |                                  AND q.j = c.j AND q.ci = c.code
+       |                     GROUP BY 1, 2),
+       |            survivors AS (SELECT q_id, vec_id FROM (
+       |                SELECT q_id, vec_id, row_number() OVER (
+       |                  PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+       |                FROM adcp) WHERE rn <= $top),
+       |            cdots AS (SELECT s.q_id, s.vec_id,
+       |                             sum(e1.v * e2.v) AS dot
+       |                      FROM survivors s
+       |                      JOIN elems e1 ON e1.vec_id = s.q_id
+       |                      JOIN elems e2 ON e2.vec_id = s.vec_id
+       |                                   AND e2.i0 = e1.i0
+       |                      GROUP BY 1, 2),
+       |            ccos AS (SELECT d.q_id, d.vec_id,
+       |                            d.dot / (n1.nrm * n2.nrm) AS c
+       |                     FROM cdots d
+       |                     JOIN norms n1 ON d.q_id = n1.vec_id
+       |                     JOIN norms n2 ON d.vec_id = n2.vec_id)
+       |            SELECT q_id, vec_id, round(c, 4) AS cosine
+       |            FROM (SELECT *, row_number() OVER (
+       |                    PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn
+       |                  FROM ccos) r
+       |            WHERE rn <= $k ORDER BY q_id, vec_id""".stripMargin
+  }
+
+  /** IVFADC with both deterministic index variants (lowid coarse
+    * quantizer + init-only PQ codebook) — the oracle-checked twin of
+    * q_ann_ivfpq, completing the ANN matrix: the composition (list
+    * pruning × code compression × rerank) is now hash-checked, not just
+    * its two halves.
+    */
+  val qAnnIvfPqInit = QueryDef(
+    "q_ann_ivfpq_init",
+    (s, d) => {
+      val e = embs(s, d).select("vec_id", "embedding")
+      val probes = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.ivfPqTopK(e, "vec_id", "embedding", probes, "q_id", "q_emb",
+          k = 10, nCentroids = 32, nProbe = 8, rerankFactor = 16,
+          quantizer = "lowid", iters = 0)
+        .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("q_id", "vec_id")
+    },
+    Some(ivfPqInitOracle(nCentroids = 32, nProbe = 8,
+      m = 8, ksub = 16, dsub = 8,
+      sampleN = 16 * Similarity.PqSamplesPerCentroid,
+      k = 10, rerankFactor = 16)))
+
   /** The composed corpus-preparation pipeline: exact fingerprint dedup →
     * MinHash-LSH near-dup dedup → multi-probe LSH ANN over the surviving
     * embeddings. Hash-checked end-to-end: every stage became replayable
@@ -3279,7 +3458,7 @@ object ExtensionQueries {
     qDedupSimhash, qDedupEmbed, qDedupSemdedup, qDedupIncremental,
     qDecontaminate,
     qEmbedCosineTopk, qEmbedMeanpool, qAnnLsh, qAnnIvf, qAnnIvfLowid,
-    qAnnPq, qAnnPqInit, qAnnIvfPq,
+    qAnnPq, qAnnPqInit, qAnnIvfPq, qAnnIvfPqInit,
     qTextTokens, qTextSubword, qTextQuality, qQualityGate, qCorpusReport,
     qTextRepetition, qLangId,
     qBoilerplateBlocks, qVocabCoverage, qSourceOverlap,
