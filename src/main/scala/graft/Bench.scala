@@ -198,7 +198,7 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")), line)
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

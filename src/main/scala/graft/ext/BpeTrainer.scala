@@ -56,9 +56,15 @@ object BpeTrainer {
     * merge table `(step, pair, n)` — step is 1-based merge order, n the
     * frequency-weighted count that won the step.
     */
+  /** Shared merge-count floor — referenced by the trainer default AND
+    * the generated DuckDB oracle's early-stop predicate, so the two
+    * cannot drift apart silently (advice r9).
+    */
+  private[graft] val DefaultMinCount = 2L
+
   def train(
       spark: SparkSession, docs: DataFrame, textCol: String,
-      numMerges: Int, minCount: Long = 2L): DataFrame = {
+      numMerges: Int, minCount: Long = DefaultMinCount): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     // corpus -> distinct-word dictionary with frequencies (the ONE
     // corpus-sized exchange), words split to character symbols. The dict

@@ -105,8 +105,24 @@ object Dedup {
     * product wraps ~a times (billions), and products stay under 2^62 —
     * exact signed-long math in BOTH engines: no ANSI overflow risk
     * Spark-side, plain BIGINT ops in the DuckDB oracle replay.
+    *
+    * Known (harmless) alias: the base hash is masked to 31 BITS, i.e.
+    * h ∈ [0, 2^31−1] inclusive — 2^31 values over a p = 2^31−1 modulus —
+    * so h = p collides with h = 0 under every permutation: the family is
+    * a permutation of Z_p, not of the full masked domain. Both engines
+    * compute it identically (oracle parity unaffected); the cost is a
+    * one-in-2^31 extra collision chance per token, far below the band
+    * math's own false-positive floor.
     */
   private[graft] val MinhashP: Long = (1L << 31) - 1
+
+  /** Shared banding defaults — referenced by BOTH the operator call sites
+    * and their generated oracles, so a default change cannot silently
+    * desynchronize the two (it shows up as a compile-visible constant,
+    * not an opaque gate hash mismatch).
+    */
+  private[graft] val MinhashBands = 8
+  private[graft] val MinhashRowsPerBand = 4
 
   /** Deterministic (multiplier, offset) for permutation `i`, derived from
     * md5 at class-init — no runtime entropy (workflows replay), and the
@@ -174,7 +190,7 @@ object Dedup {
     */
   def minhashCandidatePairs(
       df: DataFrame, id: String, text: String,
-      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+      bands: Int = MinhashBands, rowsPerBand: Int = MinhashRowsPerBand): DataFrame = {
     val k = bands * rowsPerBand
     val sig = minhashSignatures(df, id, text, k)
     val banded = sig.select(col(id),
@@ -200,7 +216,7 @@ object Dedup {
     */
   def minhashDedup(
       df: DataFrame, id: String, text: String,
-      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+      bands: Int = MinhashBands, rowsPerBand: Int = MinhashRowsPerBand): DataFrame = {
     val k = bands * rowsPerBand
     val sig = minhashSignatures(df, id, text, k)
     val banded = sig.select(col(id),
@@ -222,7 +238,7 @@ object Dedup {
     */
   def minhashDedupClusters(
       df: DataFrame, id: String, text: String,
-      bands: Int = 8, rowsPerBand: Int = 4, maxIter: Int = 10,
+      bands: Int = MinhashBands, rowsPerBand: Int = MinhashRowsPerBand, maxIter: Int = 10,
       checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     // `checkpointDir` selects DURABLE lineage truncation: localCheckpoint

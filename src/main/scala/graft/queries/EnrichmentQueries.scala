@@ -558,18 +558,34 @@ object EnrichmentQueries {
     * form over ranked counts: G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ), all
     * INTEGER sums with ONE division at the end — the bit-exact recipe
     * (windowed double sums are frame-algorithm-dependent across engines;
-    * integer sums cannot be). The global rank runs over the per-user
-    * AGGREGATE (cardinality-bounded), never over raw events.
+    * integer sums cannot be).
+    *
+    * Scale shape: the rank-weighted sum needs GLOBAL ranks over users,
+    * but never materializes them. Ranks under ORDER BY (n, user_id) give
+    * every block of users sharing count value v the consecutive ranks
+    * (base, base + h]; Σ i·v over the block = v·(base·h + h(h+1)/2) —
+    * independent of the user tiebreak order inside the block. So the sum
+    * folds over the count-MULTIPLICITY histogram (one row per distinct
+    * per-user count — bounded by the count value domain, thousands of
+    * times smaller than user cardinality), and the only unpartitioned
+    * window runs over that bounded histogram, not over users (the
+    * q_ship_delay trick; the previous formulation single-task-sorted all
+    * users at 100×).
     */
   val qGini = QueryDef(
     "q_gini",
     (s, d) => {
       val counts = events(s, d).where(col("user_id").isNotNull)
         .groupBy("user_id").agg(count(lit(1)).as("n"))
-      val w = Window.orderBy(col("n"), col("user_id"))
-      counts.withColumn("i", row_number().over(w))
-        .agg(count(lit(1)).as("nu"), sum(col("n")).as("t"),
-          sum(col("i") * col("n")).as("s"))
+      val hist = counts.groupBy("n").agg(count(lit(1)).as("h"))
+      val wv = Window.orderBy(col("n"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist.withColumn("base", coalesce(sum(col("h")).over(wv), lit(0L)))
+        .withColumn("s_part",
+          col("n") * (col("base") * col("h") +
+            expr("h * (h + 1) div 2")))
+        .agg(sum(col("h")).as("nu"), sum(col("n") * col("h")).as("t"),
+          sum(col("s_part")).as("s"))
         .select(col("nu").as("n_users"), col("t").as("total_events"),
           ((lit(2) * col("s") - (col("nu") + 1) * col("t")).cast("double") /
             (col("nu") * col("t")).cast("double")).as("gini"))
@@ -893,13 +909,54 @@ object EnrichmentQueries {
               quantile_cont(delay_days, 0.99) AS p99
             FROM j GROUP BY 1 ORDER BY o_orderpriority"""))
 
+  /** Exact GLOBAL row_number under `sortCols` without a single-partition
+    * window: range-repartition on the sort key (disjoint ordered ranges —
+    * the rank is exact wherever the sampled boundaries fall), count each
+    * range partition, broadcast the cumulative offsets back, and add a
+    * PER-PARTITION row_number. Both window passes are parallel (the
+    * offset window runs over `parts` rows); the cost is two shuffles of
+    * the input instead of one all-rows single-task sort. Sort keys must
+    * be unique per row (callers tiebreak on a key column).
+    */
+  private def withGlobalRank(
+      df: DataFrame, rankCol: String, sortCols: Column*): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    val wOff = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy("_pid").agg(count(lit(1)).as("_pn"))
+      .withColumn("_poff", coalesce(sum(col("_pn")).over(wOff), lit(0L)))
+      .select("_pid", "_poff")
+    val wLocal = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+    parted.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(rankCol, col("_poff") + row_number().over(wLocal))
+      .drop("_pid", "_poff")
+  }
+
+  /** `ntile(k)` of 1-based global rank `i` over `n` rows, in closed form
+    * (the first n mod k buckets get ⌈n/k⌉ rows, the rest ⌊n/k⌋ — the SQL
+    * standard definition both engines implement). Pure integer
+    * arithmetic; `ceil(a/b) = (a+b-1) div b` on positive operands.
+    */
+  private def ntileOfRank(i: String, n: String, k: Int): Column =
+    expr(s"""CASE WHEN $i <= ($n % $k) * ($n div $k + 1)
+             THEN ($i + ($n div $k)) div (($n div $k) + 1)
+             ELSE ($n % $k) + ($i - ($n % $k) * (($n div $k) + 1)
+                               + ($n div $k) - 1) div ($n div $k) END""")
+
   /** RFM segmentation: per customer, recency (days from last order to
     * the corpus max date), frequency (order count), monetary (exact
     * decimal spend), each cut into quintiles — the classic marketing
-    * segmentation. The ntile windows run over the per-customer AGGREGATE
-    * (customer-cardinality-bounded, not fact-sized) with the custkey
-    * tiebreak making every quintile assignment deterministic in both
-    * engines; recency ranks DESCENDING so quintile 5 = most recent.
+    * segmentation. The custkey tiebreak makes every quintile assignment
+    * deterministic in both engines; recency ranks DESCENDING so
+    * quintile 5 = most recent.
+    *
+    * Scale shape: quintiles come from [[withGlobalRank]] (range-
+    * partitioned exact ranks, parallel windows) + the [[ntileOfRank]]
+    * closed form with the row count broadcast — an unpartitioned
+    * `ntile(5)` window would single-task-sort all customers, three
+    * times (the round-9 verdict's scale finding).
     */
   val qRfm = QueryDef(
     "q_rfm",
@@ -911,15 +968,21 @@ object EnrichmentQueries {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("monetary"))
       val maxDay = per.agg(max("last_order").as("max_day"))
-      val wr = Window.orderBy(col("recency_days").desc, col("o_custkey"))
-      val wf = Window.orderBy(col("frequency"), col("o_custkey"))
-      val wm = Window.orderBy(col("monetary"), col("o_custkey"))
-      per.crossJoin(broadcast(maxDay))
+      val nTot = per.agg(count(lit(1)).as("_n"))
+      val base = per.crossJoin(broadcast(maxDay))
         .withColumn("recency_days",
           datediff(col("max_day"), col("last_order")).cast("long"))
-        .withColumn("r", ntile(5).over(wr).cast("long"))
-        .withColumn("f", ntile(5).over(wf).cast("long"))
-        .withColumn("m", ntile(5).over(wm).cast("long"))
+      val ranked = Seq[(String, Seq[Column])](
+        "_ri" -> Seq(col("recency_days").desc, col("o_custkey")),
+        "_rf" -> Seq(col("frequency").asc, col("o_custkey")),
+        "_rm" -> Seq(col("monetary").asc, col("o_custkey"))
+      ).foldLeft(base) { case (df, (rc, keys)) =>
+        withGlobalRank(df, rc, keys: _*)
+      }
+      ranked.crossJoin(broadcast(nTot))
+        .withColumn("r", ntileOfRank("_ri", "_n", 5).cast("long"))
+        .withColumn("f", ntileOfRank("_rf", "_n", 5).cast("long"))
+        .withColumn("m", ntileOfRank("_rm", "_n", 5).cast("long"))
         .select(col("o_custkey"), col("recency_days"), col("frequency"),
           col("monetary"), col("r"), col("f"), col("m"),
           concat(col("r"), col("f"), col("m")).as("rfm"))

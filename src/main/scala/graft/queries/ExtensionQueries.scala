@@ -240,10 +240,12 @@ object ExtensionQueries {
     */
   val qDedupMinhash = QueryDef(
     "q_dedup_minhash",
-    (s, d) => Dedup.minhashDedup(docs(s, d), "doc_id", "text")
+    (s, d) => Dedup.minhashDedup(docs(s, d), "doc_id", "text",
+        bands = Dedup.MinhashBands, rowsPerBand = Dedup.MinhashRowsPerBand)
       .select("doc_id", "rep_id", "is_dup")
       .orderBy("doc_id"),
-    Some(minhashDedupOracle(bands = 8, rowsPerBand = 4)))
+    Some(minhashDedupOracle(
+      bands = Dedup.MinhashBands, rowsPerBand = Dedup.MinhashRowsPerBand)))
 
   /** Full TRANSITIVE near-dup clusters (connected components over the
     * doc-bucket graph via iterated bucket-min label propagation — see
@@ -255,9 +257,12 @@ object ExtensionQueries {
     */
   val qDedupClusters = QueryDef(
     "q_dedup_clusters",
-    (s, d) => Dedup.minhashDedupClusters(docs(s, d), "doc_id", "text")
+    (s, d) => Dedup.minhashDedupClusters(docs(s, d), "doc_id", "text",
+        bands = Dedup.MinhashBands, rowsPerBand = Dedup.MinhashRowsPerBand)
       .orderBy("doc_id"),
-    Some(minhashClustersOracle(bands = 8, rowsPerBand = 4, maxIter = 10)))
+    Some(minhashClustersOracle(
+      bands = Dedup.MinhashBands, rowsPerBand = Dedup.MinhashRowsPerBand,
+      maxIter = 10)))
 
   /** Incremental ingest dedup ([[Dedup.incrementalDedup]]): the new batch
     * (doc_id >= 250) anti-joins the accepted corpus (doc_id < 250) on the
@@ -2632,7 +2637,8 @@ object ExtensionQueries {
     *    pairs; a merged symbol never re-merges within its own pass since
     *    the scan resumes after the replacement).
     */
-  private def bpeCtes(numMerges: Int): String = {
+  private def bpeCtes(numMerges: Int,
+      minCount: Long = graft.ext.BpeTrainer.DefaultMinCount): String = {
     val US = "chr(31)"
     val iters = (1 to numMerges).map { i =>
       val prev = s"d${i - 1}"
@@ -2640,7 +2646,7 @@ object ExtensionQueries {
          |              FROM $prev, unnest(list_transform(range(len(syms) - 1),
          |                     j -> syms[j + 1] || ' ' || syms[j + 2])) AS u(pr)
          |              GROUP BY 1),
-         |            m$i AS MATERIALIZED (SELECT pair, n FROM p$i WHERE n >= 2
+         |            m$i AS MATERIALIZED (SELECT pair, n FROM p$i WHERE n >= $minCount
          |                    ORDER BY n DESC, pair LIMIT 1),
          |            d$i AS MATERIALIZED (SELECT w, freq,
          |              CASE WHEN (SELECT pair FROM m$i) IS NULL THEN syms

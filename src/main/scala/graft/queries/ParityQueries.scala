@@ -68,6 +68,64 @@ object ParityQueries {
     Some("""SELECT event_id, user_id, event_type, value
             FROM events ORDER BY event_id"""))
 
+  /** CSV scan semantics under the gate (reference `src/pipeline.py:20`
+    * reads its input CSV with pandas; the golden e2e covers the file
+    * path, this covers the parser semantics cross-engine): a
+    * deterministic CSV document — header row, RFC-4180 quoted fields
+    * containing commas and DOUBLED quotes, empty-field nulls, int and
+    * double columns — is rendered in-plan from the documents table,
+    * parsed by the REAL Spark CSV scanner (header + schema inference;
+    * `escape = "` selects RFC doubling, not backslash semantics), and
+    * the parsed values are hash-compared against the oracle's direct
+    * reconstruction of what a correct parse must yield. CR/LF and
+    * backslashes are spaced out of the raw text on both sides so the
+    * payload stays single-line and escape-neutral; quotes in the data
+    * (plus an injected `p,"q" ` prefix) exercise the doubling path on
+    * real content. The single-partition coalesce is a correctness-probe
+    * artifact (header must be the first line of the Dataset[String]) —
+    * the production CSV path reads files, where Spark handles headers
+    * per-file.
+    */
+  val qScanCsv = QueryDef(
+    "q_scan_csv",
+    (s, d) => {
+      import s.implicits._
+      val raw = QueryDef.table(s, d, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat(lit("p,\"q\" "),
+            regexp_replace(substring(col("text"), 1, 24),
+              "[\\r\\n\\\\]", " ")).as("_txt"),
+          (col("doc_id").cast("double") * lit(0.25)).as("_score"))
+      val lines = raw.select(
+        concat(
+          col("doc_id").cast("string"), lit(","),
+          lit("\""), regexp_replace(col("_txt"), "\"", "\"\""), lit("\""),
+          lit(","),
+          col("_score").cast("string"), lit(","),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit(""))
+            .otherwise(concat(lit("x"), col("doc_id")))).as("line"),
+        lit(1).as("_ord"))
+      val header = s.range(1)
+        .select(lit("doc_id,txt,score,extra").as("line"), lit(0).as("_ord"))
+      val ds = header.unionByName(lines)
+        .orderBy(col("_ord"), col("line")).coalesce(1)
+        .select("line").as[String]
+      s.read
+        .option("header", "true")
+        .option("inferSchema", "true")
+        .option("escape", "\"")
+        .csv(ds)
+        .orderBy("doc_id")
+    },
+    Some("""SELECT CAST(doc_id AS INTEGER) AS doc_id,
+              'p,"q" ' || regexp_replace(substr(text, 1, 24),
+                '[\r\n\\]', ' ', 'g') AS txt,
+              CAST(doc_id AS DOUBLE) * 0.25 AS score,
+              CASE WHEN doc_id % 3 = 0 THEN NULL
+                   ELSE 'x' || CAST(doc_id AS VARCHAR) END AS extra
+            FROM documents WHERE doc_id < 200 ORDER BY doc_id"""))
+
   // --- F-family: filters (pushed into the parquet scan by Catalyst) -------
 
   val qFilterNotnull = QueryDef(
@@ -1423,7 +1481,8 @@ object ParityQueries {
             ORDER BY column_name"""))
 
   val all: Seq[QueryDef] = Seq(
-    q1Agg, qScanParquet, qFilterNotnull, qFilterTs, qFilterNeq, qProject,
+    q1Agg, qScanParquet, qScanCsv, qFilterNotnull, qFilterTs, qFilterNeq,
+    qProject,
     qDedupFull, qDedupKey, qFillna, qTrimAll, qNormText, qMapStatus,
     qMapSeverity, qSeverityScore, qNormIp, qParseTs, qParseTsLenient,
     qDateFloor, qTimeDelta,

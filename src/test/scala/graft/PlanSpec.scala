@@ -362,6 +362,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"base side shuffled:\n${p.take(3000)}")
   }
 
+  test("rfm: quintiles via range-partitioned ranks — no single-task ntile sort") {
+    val p = planOf("q_rfm")
+    // the round-9 scale finding: three unpartitioned ntile(5) windows
+    // single-task-sorted all customers; the closed-form rewrite must not
+    // reintroduce any ntile window function
+    assert(!p.contains("ntile("), s"ntile window is back:\n${p.take(3000)}")
+    // ranks come from range repartitioning (parallel local windows)
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"expected range-partitioned rank exchanges:\n${p.take(3000)}")
+  }
+
+  test("gini: rank-sum folds over the count histogram, never ranks users") {
+    val p = planOf("q_gini")
+    // the old shape row_number()'d every user in one task; the histogram
+    // form has NO row_number at all — only the bounded cumulative sum
+    assert(!p.contains("row_number"),
+      s"per-user global rank is back:\n${p.take(3000)}")
+  }
+
   private def planOfText(name: String): String = {
     val df = SparkEntry.queries(name)(spark, dir)
     df.collect() // finalize the adaptive plan

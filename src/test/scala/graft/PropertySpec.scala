@@ -383,6 +383,29 @@ class PropertySpec extends SparkSpec {
     assert(sh(docs) === sh(docs.repartition(11)))
   }
 
+  test("hyperplane LSH signatures are partitioning-invariant on the live corpus") {
+    // unlike minhash/simhash (exact-integer aggregates), the hyperplane
+    // projections are DOUBLE sums whose partial-aggregation order Spark
+    // does not specify — the advice-flagged flake source for the
+    // q_ann_lsh / q_dedup_embed / q_corpus_pipeline oracles. This pins
+    // the empirical contract the oracles rely on: across task splits the
+    // 64-element per-(id,bit) sums land on the same signs (no projection
+    // sits close enough to 0 for reassociation ulps to flip it). If this
+    // ever fails, fold the projections element-wise in deterministic
+    // order on both sides (the ADC-oracle list_reduce pattern) instead
+    // of chasing the flake in the gate.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def sig(df: org.apache.spark.sql.DataFrame, t: Int) =
+      graft.ext.Similarity.hyperplaneSignatures(df, "vec_id", "embedding",
+          bits = 6, table = t)
+        .as[(Long, Long)].collect().toMap
+    for (t <- 0 until 4) {
+      assert(sig(e, t) === sig(e.repartition(7, col("vec_id")), t))
+      assert(sig(e, t) === sig(e.repartition(13), t))
+    }
+  }
+
   test("blocked edit-distance pairs match an all-pairs plain-Scala reference") {
     val raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text").as[(Long, String)].collect()

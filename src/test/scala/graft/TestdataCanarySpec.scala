@@ -60,6 +60,66 @@ class TestdataCanarySpec extends SparkSpec {
         s"$t.parquet is empty or unreadable")
   }
 
+  test("documents schema carries the columns and types the suite assumes") {
+    // The text/dedup/sampling families read these columns by name with
+    // fixed type expectations (doc_id long ids in generated md5/xxh64
+    // oracles; text string for the tokenizer mirrors; lang/source string
+    // group keys; n_tokens/quality numeric). A driver regeneration that
+    // re-types any of them must fail HERE by name — the r8 ts lesson,
+    // applied to the text tables before it happens to them.
+    assume(have("documents"), s"$sfDir/documents.parquet not present")
+    import org.apache.spark.sql.types._
+    val sch = QueryDef.table(spark, sfDir, "documents").schema
+    def has(name: String, ok: DataType => Boolean): Unit = {
+      assert(sch.fieldNames.contains(name),
+        s"documents.$name missing — observed schema: ${sch.treeString}")
+      assert(ok(sch(name).dataType),
+        s"documents.$name re-typed to ${sch(name).dataType} — adapt the " +
+          s"consumers (QueryDef-style named adapter) before trusting the " +
+          s"gate. Observed schema: ${sch.treeString}")
+    }
+    has("doc_id", _ == LongType)
+    has("text", _ == StringType)
+    has("lang", _ == StringType)
+    has("source", _ == StringType)
+  }
+
+  test("embeddings schema and vector shape match the ANN/dedup assumptions") {
+    // The ANN family hard-assumes: vec_id long (the XXH64 hashLong sample
+    // replay hashes an 8-byte integer), embedding array<float> (float→
+    // double upcast exactness + the DECIMAL(18,5) VARCHAR-hop parity in
+    // the fixed-point quantizer oracles), constant dimension divisible by
+    // the PQ m=8 (subspace slicing), and |v| small enough that scaled
+    // elements fit the documented integer headroom. A regeneration that
+    // widens floats to double, re-types vec_id, or changes dim must fail
+    // HERE by name, not as 10 opaque ANN hash mismatches.
+    assume(have("embeddings"), s"$sfDir/embeddings.parquet not present")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val df = QueryDef.table(spark, sfDir, "embeddings")
+    val sch = df.schema
+    assert(sch("vec_id").dataType == LongType,
+      s"embeddings.vec_id re-typed: ${sch.treeString}")
+    assert(sch("embedding").dataType == ArrayType(FloatType, containsNull = true)
+        || sch("embedding").dataType == ArrayType(FloatType, containsNull = false),
+      s"embeddings.embedding re-typed (hashLong/DECIMAL oracle parity " +
+        s"breaks on non-float32): ${sch.treeString}")
+    val stats = df.where(col("embedding").isNotNull)
+      .select(min(size(col("embedding"))).as("dmin"),
+        max(size(col("embedding"))).as("dmax"),
+        max(aggregate(col("embedding"), lit(0.0d),
+          (a, x) => greatest(a, abs(x.cast("double"))))).as("vmax"))
+      .collect()(0)
+    assert(stats.getInt(0) == stats.getInt(1),
+      s"embedding dimension is ragged (${stats.getInt(0)}..${stats.getInt(1)})")
+    assert(stats.getInt(0) % 8 == 0,
+      s"embedding dim ${stats.getInt(0)} not divisible by PQ m=8 subspaces")
+    assert(stats.getDouble(2) < 100.0,
+      s"max |element| ${stats.getDouble(2)} exceeds the scaled-integer " +
+        "headroom the fixed-point quantizer oracles assume (|v|·10^5 per " +
+        "element, documented in Similarity)")
+  }
+
   test("documents corpus is printable ASCII (generated-oracle assumption)") {
     // Several generated DuckDB oracles assume char == byte and reserve
     // chr(31) as a delimiter: the winnow replay (XXH64 over the UTF-8
