@@ -188,13 +188,12 @@ object Similarity {
 
   /** Sampled spherical k-means coarse quantizer. The sample is bounded
     * (nCentroids × samplesPerCentroid rows via [[hashSample]]), so Lloyd
-    * iterations run driver-side over at most a few thousand unit vectors —
+    * iterations run driver-side over at most a few thousand vectors —
     * microseconds of CPU, zero extra cluster jobs beyond the one sampling
-    * scan. Assignment is by max cosine (vectors are L2-normalized, so
-    * dot = cosine); each new centroid is the normalized mean of its
-    * members; an emptied cluster keeps its previous centroid. Entirely
-    * deterministic: hash-ordered sample, first-k-distinct init, argmax
-    * ties broken by lowest centroid index.
+    * scan. Assignment is by max cosine; each new centroid is the
+    * (norm-rescaled) mean of its members; an emptied cluster keeps its
+    * previous centroid. Entirely deterministic: hash-ordered sample,
+    * first-k-distinct init, argmax ties broken by lowest centroid index.
     *
     * Compared to [[lowestIdCentroids]] this spreads centroids over the
     * occupied region of the space, so inverted-list populations even out —
@@ -208,6 +207,67 @@ object Similarity {
     */
   private[graft] val KmeansSamplesPerCentroid = 32
   private[graft] val PqSamplesPerCentroid = 64
+
+  // --- fixed-point Lloyd arithmetic ---------------------------------------
+  //
+  // The Lloyd trainers run in EXACT INTEGER arithmetic so training is
+  // order-independent AND cross-engine replayable: the generated DuckDB
+  // oracles unroll the bounded iterations as chained CTEs over plain
+  // BIGINT sums (the q_bpe_train / label-propagation technique, applied
+  // to the last iterative float loops the round-9 verdict left
+  // rows-only). Float Lloyd means are summation-order-dependent; scaled
+  // integer sums cannot be.
+
+  /** Elements quantize to DECIMAL(18,5)-scaled longs. 10^5 keeps every
+    * intermediate in long range with wide headroom (|v| < 100 asserted by
+    * the testdata canary: dots ≤ dim·(v·10^5)·CentroidScale ≈ 6e14) while
+    * quantizing the trainer's view of the data by at most 5e-6 absolute —
+    * noise relative to the sampling error any sampled quantizer carries.
+    */
+  private[graft] val ElemScale = 100000L
+
+  /** Trained spherical centroids are rescaled each iteration to this
+    * fixed integer norm (≈ unit vectors at scale 10^6), so the argmax-dot
+    * assignment needs NO per-centroid norm division — the plain integer
+    * dot IS the cosine ordering (up to the ≤1e-6 relative norm rounding,
+    * which is deterministic and replayed exactly).
+    */
+  private[graft] val CentroidScale = 1000000L
+
+  /** Double → scaled long via the exact path Spark's `Cast(double →
+    * DECIMAL(18,5))` takes: shortest string rendering (BigDecimal.valueOf
+    * IS Double.toString), then HALF_UP at scale 5. DuckDB mirrors it with
+    * `CAST(CAST(v AS VARCHAR) AS DECIMAL(18,5))` — the established
+    * VARCHAR-hop parity (verify skill, round 5).
+    */
+  private[graft] def scaleElem(d: Double): Long =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(5, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  /** Round-half-away-from-zero integer division. Sign-magnitude form so
+    * the DuckDB replay (`//` on non-negative operands) agrees exactly —
+    * truncating and flooring division only coincide on non-negatives.
+    */
+  private[graft] def divHalfUp(num: Long, den: Long): Long = {
+    require(den > 0, s"divHalfUp needs a positive denominator, got $den")
+    val s = if (num < 0) -1L else 1L
+    s * ((s * num * 2 + den) / (2 * den))
+  }
+
+  /** Exact floor(sqrt(n)): double sqrt plus one-step correction. The
+    * double estimate is within 1 of the true root for n < 2^53 (non-
+    * squares sit ≥ 1/(2√n) from any integer — orders of magnitude above
+    * ulp), and the correction makes even the boundary cases exact; the
+    * generated oracle carries the same correction.
+    */
+  private[graft] def isqrt(n: Long): Long = {
+    require(n >= 0 && n < (1L << 53), s"isqrt domain is [0, 2^53), got $n")
+    var r = math.sqrt(n.toDouble).toLong
+    while (r > 0 && r * r > n) r -= 1
+    while ((r + 1) * (r + 1) <= n) r += 1
+    r
+  }
 
   private[graft] def kmeansCentroids(
       corpus: DataFrame, id: String, vec: String,
@@ -225,47 +285,67 @@ object Similarity {
   private[graft] def kmeansCentroidsFromSample(
       rawSample: Array[Array[Double]],
       nCentroids: Int, iters: Int = 8): Array[(Long, Array[Float])] = {
-    def normalize(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0.0) null else v.map(_ / n)
-    }
-    val sample = rawSample.map(normalize).filter(_ != null)
-    require(sample.nonEmpty, "k-means quantizer: corpus has no non-zero vectors")
+    // FIXED-POINT spherical Lloyd (see the arithmetic block above): the
+    // sample quantizes to DECIMAL(18,5)-scaled longs; assignment is an
+    // exact integer argmax-dot against norm-CentroidScale centroids
+    // (cosine ordering — centroid norms are all equal by construction);
+    // the new centroid is the half-up integer mean rescaled to the fixed
+    // norm via exact isqrt. Every step is order-independent integer
+    // arithmetic → the DuckDB oracle replays the WHOLE training loop.
+    // Centroid means weight members by their norm (raw sums, not unit
+    // sums) — the norm-weighted spherical k-means variant; on embedding
+    // corpora with comparable norms this matches classic spherical
+    // k-means to within quantization.
+    val scaled = rawSample.map(_.map(scaleElem)).filter(_.exists(_ != 0L))
+    require(scaled.nonEmpty, "k-means quantizer: corpus has no non-zero vectors")
+    val dim = scaled.head.length
 
-    // init: first k distinct unit vectors of the hash-shuffled sample
-    val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
-    val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
-    for (v <- sample if init.size < nCentroids) if (seen.add(v.toSeq)) init += v
-    var centroids = init.toArray
-    val dim = sample.head.length
-
-    def argmaxDot(v: Array[Double]): Int = {
-      var best = 0; var bestDot = Double.NegativeInfinity
-      var c = 0
-      while (c < centroids.length) {
-        var d = 0.0; var i = 0
-        val cv = centroids(c)
-        while (i < dim) { d += v(i) * cv(i); i += 1 }
-        if (d > bestDot) { bestDot = d; best = c }
-        c += 1
+    def rescale(mu: Array[Long]): Option[Array[Long]] = {
+      var n = 0L; var i = 0
+      while (i < dim) { n += mu(i) * mu(i); i += 1 }
+      if (n == 0L) None
+      else {
+        val isq = isqrt(n)
+        Some(mu.map(m => divHalfUp(m * CentroidScale, isq)))
       }
-      best
     }
+
+    // init: first k distinct scaled vectors of the hash-ordered sample,
+    // rescaled to the fixed centroid norm
+    val init = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Long]]
+    for (v <- scaled if init.size < nCentroids)
+      if (seen.add(v.toSeq)) rescale(v).foreach(init += _)
+    var centroids = init.toArray
+
     for (_ <- 0 until iters) {
-      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val sums = Array.fill(centroids.length)(new Array[Long](dim))
       val counts = new Array[Long](centroids.length)
-      for (v <- sample) {
-        val c = argmaxDot(v)
-        val s = sums(c); var i = 0
-        while (i < dim) { s(i) += v(i); i += 1 }
-        counts(c) += 1
+      for (x <- scaled) {
+        var best = 0; var bestDot = Long.MinValue
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0L; var i = 0
+          val cv = centroids(c)
+          while (i < dim) { d += x(i) * cv(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        val s = sums(best); var i = 0
+        while (i < dim) { s(i) += x(i); i += 1 }
+        counts(best) += 1
       }
       centroids = centroids.zipWithIndex.map { case (old, c) =>
         if (counts(c) == 0) old
-        else { val m = normalize(sums(c)); if (m == null) old else m }
+        else rescale(sums(c).map(s => divHalfUp(s, counts(c)))).getOrElse(old)
       }
     }
-    centroids.zipWithIndex.map { case (cv, c) => (c.toLong, cv.map(_.toFloat)) }
+    // scaled long → float through one correctly-rounded double division
+    // and one float downcast — both replayed exactly by
+    // CAST(CAST(cv AS DOUBLE) / 1000000.0 AS FLOAT)
+    centroids.zipWithIndex.map { case (cv, c) =>
+      (c.toLong, cv.map(v => (v.toDouble / CentroidScale.toDouble).toFloat))
+    }
   }
 
   /** (similarity, -centroidId) structs: array_max picks the best
@@ -447,41 +527,56 @@ object Similarity {
     * the per-subspace codebook trainer for PQ. First-k-distinct init,
     * argmin ties to the lowest index, emptied clusters keep their previous
     * centroid (same determinism conventions as [[kmeansCentroids]]).
+    *
+    * `iters = 0` returns the RAW data-point init (the q_ann_pq_init /
+    * q_ann_ivfpq_init contract — codewords are exact sample subvectors,
+    * no quantization). `iters > 0` runs FIXED-POINT Lloyd: points
+    * quantize to DECIMAL(18,5)-scaled longs, distances are exact integer
+    * Σ(x−c)² with argmin ties to the lowest index, and means are half-up
+    * integer division — order-independent, so the trained codebooks are
+    * DuckDB-replayable (no norm rescale here: L2 k-means uses raw means).
+    * Trained codewords come back as scaled-long/10^5 doubles — one
+    * correctly-rounded division, replayed by CAST(mu AS DOUBLE)/100000.0.
     */
   private def kmeansL2(
       points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
     for (p <- points if init.size < k) if (seen.add(p.toSeq)) init += p
-    var centroids = init.toArray
+    if (iters == 0) return init.toArray
     val dim = points.head.length
 
-    def argminDist(p: Array[Double]): Int = {
-      var best = 0; var bestD = Double.PositiveInfinity
-      var c = 0
-      while (c < centroids.length) {
-        var d = 0.0; var i = 0
-        val cv = centroids(c)
-        while (i < dim) { val t = p(i) - cv(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
+    val scaled = points.map(_.map(scaleElem))
+    var centroids: Array[Array[Long]] = {
+      val i2 = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+      val s2 = scala.collection.mutable.HashSet.empty[Seq[Long]]
+      for (p <- scaled if i2.size < k) if (s2.add(p.toSeq)) i2 += p
+      i2.toArray
     }
+
     for (_ <- 0 until iters) {
-      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val sums = Array.fill(centroids.length)(new Array[Long](dim))
       val counts = new Array[Long](centroids.length)
-      for (p <- points) {
-        val c = argminDist(p)
-        val s = sums(c); var i = 0
+      for (p <- scaled) {
+        var best = 0; var bestD = Long.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          var d = 0L; var i = 0
+          val cv = centroids(c)
+          while (i < dim) { val t = p(i) - cv(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val s = sums(best); var i = 0
         while (i < dim) { s(i) += p(i); i += 1 }
-        counts(c) += 1
+        counts(best) += 1
       }
       centroids = centroids.zipWithIndex.map { case (old, c) =>
-        if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+        if (counts(c) == 0) old
+        else sums(c).map(s => divHalfUp(s, counts(c)))
       }
     }
-    centroids
+    centroids.map(_.map(_.toDouble / ElemScale.toDouble))
   }
 
   /** PQ codebooks: the vector space splits into `m` subspaces of dim/m

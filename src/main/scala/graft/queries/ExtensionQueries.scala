@@ -615,9 +615,11 @@ object ExtensionQueries {
     * rule k ~ n/c (constant target cluster size c=500, so per-cluster
     * pairwise work stays bounded as the corpus grows); the corpus count
     * is one bounded scalar action at build time, same class as the
-    * validation report's scalar collects. Rows-only (sampled k-means is
-    * not SQL-replayable); the keep/drop rule is invariant-tested in
-    * ExtSpec.
+    * validation report's scalar collects. HASH-CHECKED since round 10
+    * ([[LloydOracles.semdedupOracle]] — the fixed-point kmeans unroll
+    * with the data-dependent k folded into the SQL, argmax assignment,
+    * and the within-cluster float-unit-dot pair threshold); the
+    * keep/drop rule is additionally invariant-tested in ExtSpec.
     *
     * k is CLAMPED at 64: centroid assignment embeds the centroid set as
     * per-row plan literals (zero-shuffle argmax), and past ~64 centroids
@@ -636,7 +638,7 @@ object ExtensionQueries {
         .select("vec_id", "cluster_id")
         .orderBy("vec_id")
     },
-    None)
+    Some(LloydOracles.semdedupOracle(iters = 8, dim = 64, eps = 0.4)))
 
   /** Audio-header decode ([[Multimodal.decodeHeader]] WAV branch):
     * deterministic doc_id-derived WAV payloads — PCM fmt chunks with
@@ -921,7 +923,11 @@ object ExtensionQueries {
       bits = 6, tables = 4, k = 10)))
 
   /** IVF approximate top-k — coarse-quantizer inverted lists, nProbe
-    * tunable recall. Rows-only driver check; recall vs brute force is
+    * tunable recall. HASH-CHECKED since round 10: the fixed-point
+    * spherical Lloyd trainer is exact integer arithmetic, so
+    * [[LloydOracles.ivfKmeansOracle]] unrolls the full training loop
+    * (XXH64 sample, 8 iterations) plus the SPANN spill assignment, probe
+    * ranking, and exact-cosine rerank; recall vs brute force additionally
     * asserted in ExtSpec.
     */
   val qAnnIvf = QueryDef(
@@ -935,7 +941,11 @@ object ExtensionQueries {
         .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
         .orderBy("q_id", "vec_id")
     },
-    None)
+    Some(LloydOracles.ivfKmeansOracle(
+      nCentroids = 32,
+      samplesPerCentroid = Similarity.KmeansSamplesPerCentroid,
+      iters = 8, dim = 64, nProbe = 8, k = 10,
+      spillDelta = 0.4, spillCap = 6)))
 
   /** IVF with the DETERMINISTIC lowid coarse quantizer, as an
     * oracle-checked twin of q_ann_ivf: the k-means path's float centroid
@@ -1017,9 +1027,11 @@ object ExtensionQueries {
 
   /** PQ-ADC approximate top-k ([[Similarity.pqTopK]]): the compressed
     * linear-scan ANN — corpus encoded to m small codes, probes carry
-    * per-subspace lookup tables, exact-cosine re-rank. Driver-trained
-    * codebooks use keyed xxhash64 sampling, so rows-only check; recall vs
-    * brute force is asserted in ScaleFeaturesSpec.
+    * per-subspace lookup tables, exact-cosine re-rank. HASH-CHECKED since
+    * round 10: the fixed-point L2 Lloyd codebook trainer unrolls into
+    * [[LloydOracles.pqKmeansOracle]] (10 iterations per subspace, exact
+    * integer distances/means), composing with the encode/ADC/rerank
+    * replay q_ann_pq_init proved; recall asserted in ScaleFeaturesSpec.
     */
   val qAnnPq = QueryDef(
     "q_ann_pq",
@@ -1032,7 +1044,10 @@ object ExtensionQueries {
         .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
         .orderBy("q_id", "vec_id")
     },
-    None)
+    Some(LloydOracles.pqKmeansOracle(
+      m = 8, ksub = 16, dsub = 8, iters = 10,
+      sampleN = 16 * Similarity.PqSamplesPerCentroid,
+      dim = 64, k = 10, rerankFactor = 16)))
 
   /** The DuckDB replay of the PQ encode/ADC/rerank machinery with the
     * INIT-ONLY codebook (iters = 0 — the first ksub distinct sample
@@ -1203,7 +1218,14 @@ object ExtensionQueries {
         .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
         .orderBy("q_id", "vec_id")
     },
-    None)
+    // HASH-CHECKED since round 10: both fixed-point trainers replay over
+    // the ONE shared prefix-stable sample, composing the spilled-list
+    // pruning with the ADC scan (LloydOracles.ivfPqKmeansOracle).
+    Some(LloydOracles.ivfPqKmeansOracle(
+      nCentroids = 32, kmIters = 8, m = 8, ksub = 16, dsub = 8,
+      pqIters = 10, sampleN = 16 * Similarity.PqSamplesPerCentroid,
+      dim = 64, nProbe = 8, k = 10, rerankFactor = 16,
+      spillDelta = 0.4, spillCap = 6)))
 
   /** The DuckDB replay of the IVFADC COMPOSITION with both deterministic
     * index variants: lowid coarse centroids (the q_ann_ivf_lowid
