@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Linear quality classifier over hashed bag-of-words features — the
@@ -10,119 +9,188 @@ import org.apache.spark.sql.functions._
   * and LLaMA data pipelines both gate on exactly this kind of model).
   *
   * Everything is Spark-native with BOUNDED driver state:
-  *  - features: tokens hash into `dims` buckets (`pmod(xxhash64, dims)`),
-  *    L1-normalized per document — one (id, bucket)-keyed aggregation;
-  *  - training: full-batch logistic-regression gradient descent where
-  *    each iteration is ONE distributed pass (a per-document score
-  *    window, then a bucket-keyed gradient aggregation of at most
-  *    `dims + 1` rows collected to the driver — the weight vector is the
-  *    only driver state, ~8 KB at the default 1024 dims);
+  *  - features: tokens hash into `dims` buckets via the md5-31-bit idiom
+  *    (the minhash/oracle-replayable hash — DuckDB has md5, not Spark's
+  *    xxhash64), L1-normalized per document in EXACT FIXED POINT
+  *    (`xq = halfUp(cnt·10^6 / n)`) — one (id, bucket)-keyed aggregation;
+  *  - training: full-batch gradient descent on the HARD-SIGMOID logistic
+  *    surrogate `p = clamp(z/4 + 1/2, 0, 1)` where each iteration is ONE
+  *    distributed pass (a per-document integer-z aggregation, then a
+  *    bucket-keyed integer gradient aggregation of at most `dims + 1`
+  *    rows collected to the driver — the weight vector is the only
+  *    driver state, ~2 KB at the default 256 dims);
   *  - the intercept is a synthetic always-on feature (bucket = dims), so
   *    no special-case bias plumbing exists anywhere;
-  *  - gradient sums go through DECIMAL(28,18), so training is
-  *    BIT-DETERMINISTIC across partitionings and reruns (the suite's
-  *    fp-determinism policy, same as q_embed_meanpool) — asserted in the
-  *    spec by training twice and comparing weights exactly.
+  *  - ALL arithmetic is scaled-long integer (features, z, probabilities,
+  *    gradients, weights at scale 10^6; round-half-away-from-zero
+  *    divisions), so training is BIT-DETERMINISTIC across partitionings,
+  *    reruns, AND ENGINES — the bounded loop unrolls into the DuckDB
+  *    oracle exactly (chained BIGINT CTEs, the q_bpe_train / fixed-point
+  *    Lloyd technique), which is what promotes q_quality_classifier from
+  *    rows-only to hash-checked.
+  *
+  * The hard-sigmoid link is the standard fast logistic surrogate
+  * (hard-sigmoid units in quantized nets; Hastie et al.'s piecewise-
+  * linear logistic view): as a quality FILTER the model is consumed as
+  * `score > threshold`, and the hard link is a monotone remap of the
+  * soft one — same ranking, exactly-replayable arithmetic.
   *
   * At 100 TB: train on a bounded sample (a quality classifier needs
   * thousands of labeled examples, not the whole crawl), then [[score]]
-  * the full corpus — scoring is one window pass, no driver involvement.
+  * the full corpus — scoring is one hash aggregation, no driver
+  * involvement, weights ride the plan as literals (never a join).
   */
 object QualityClassifier {
 
-  final case class Model(dims: Int, weights: Array[Double]) {
-    require(weights.length == dims + 1,
-      s"weights must have dims+1 entries (intercept last), got ${weights.length}")
-    def bias: Double = weights(dims)
+  /** Shared fixed-point scale for features, probabilities, and weights
+    * (10^6 ≈ micro-units). Headroom: per-doc z = Σ xq·wq ≤ 2·10^6·|wq|
+    * with |wq| bounded by iters·lr·10^6 — every intermediate stays far
+    * inside the exact-long (and exact-double-div) range for the bounded
+    * training sets the API requires.
+    */
+  private[graft] val Scale = 1000000L
+
+  final case class Model(dims: Int, weightsQ: Array[Long]) {
+    require(weightsQ.length == dims + 1,
+      s"weightsQ must have dims+1 entries (intercept last), got ${weightsQ.length}")
+    /** Float view of the trained weights (scale-10^6 longs / 10^6). */
+    def weights: Array[Double] = weightsQ.map(_.toDouble / Scale)
+    def bias: Double = weightsQ(dims).toDouble / Scale
   }
 
-  /** Hashed, L1-normalized bag-of-words features plus the intercept
-    * feature: one row per (doc, bucket) with `x` = token share (and the
-    * constant `x = 1` intercept row at bucket = dims). Documents with no
-    * non-empty token produce no rows — there is no text to judge.
+  /** Token → bucket in [0, dims): md5 first 8 hex chars, masked to 31
+    * bits, mod dims — the established engine-portable hash
+    * ([[Dedup.minhashSignatures]]; DuckDB replays it as
+    * `CAST(('0x'||substr(md5(tok),1,8)) AS BIGINT) & 2147483647 % dims`).
+    */
+  private[graft] def bucketOf(tok: Column, dims: Int): Column =
+    (conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
+      .bitwiseAND(lit(0x7FFFFFFFL)) % lit(dims.toLong)).cast("int")
+
+  /** Round-half-away-from-zero integer division column (den a positive
+    * literal): sign-magnitude so Spark's truncating `div` and DuckDB's
+    * `//` on non-negative operands agree exactly — mirrors
+    * [[Similarity.divHalfUp]].
+    */
+  private def halfUpCol(num: Column, den: Long): Column = {
+    require(den > 0, s"halfUpCol needs a positive denominator, got $den")
+    val pos = (num * 2 + lit(den)).div(lit(2 * den))
+    val neg = -((-num * 2 + lit(den)).div(lit(2 * den)))
+    when(num < 0, neg).otherwise(pos)
+  }
+
+  private implicit class DivOps(val c: Column) {
+    /** Long integral division (Spark SQL `div`). */
+    def div(other: Column): Column = call_function("div", c, other)
+  }
+
+  /** Hard-sigmoid probability at scale 10^6 from an integer z at scale
+    * 10^12: `pq = clamp(halfUp(zq / (4·10^6)) + 5·10^5, 0, 10^6)`.
+    */
+  private[graft] def hardSigmoidQ(zq: Column): Column =
+    least(lit(Scale), greatest(lit(0L), halfUpCol(zq, 4L * Scale) + lit(Scale / 2)))
+
+  /** Hashed, exact-fixed-point L1-normalized bag-of-words features plus
+    * the intercept feature: one row per (doc, bucket) with `xq` =
+    * halfUp(token-share · 10^6) (and the constant `xq = 10^6` intercept
+    * row at bucket = dims). Documents with no non-empty token produce no
+    * rows — there is no text to judge.
     */
   def hashedFeatures(
       df: DataFrame, id: String, text: String, dims: Int): DataFrame = {
     require(dims >= 2, s"dims must be >= 2, got $dims")
-    val reserved = Seq("bucket", "x", "_tok", "_cnt", "_n")
+    val reserved = Seq("bucket", "xq", "_tok", "_cnt", "_n")
     require(!reserved.exists(df.columns.contains),
       s"hashedFeatures reserves columns ${reserved.mkString(", ")}")
     val counts = df.where(col(text).isNotNull)
       .select(col(id), explode(TextAnalysis.tokens(col(text))).as("_tok"))
       .where(col("_tok") =!= "")
-      .withColumn("bucket", pmod(xxhash64(col("_tok")), lit(dims)).cast("int"))
+      .withColumn("bucket", bucketOf(col("_tok"), dims))
       .groupBy(col(id), col("bucket")).agg(count(lit(1)).as("_cnt"))
-    val w = Window.partitionBy(id)
-    val feats = counts
-      .withColumn("x",
-        col("_cnt").cast("double") / sum(col("_cnt")).over(w).cast("double"))
-      .drop("_cnt")
+    // doc totals via a self-aggregation + broadcast-free equi-join on the
+    // SAME grouping key prefix — stays one shuffle under AQE, and unlike
+    // a window it needs no per-partition sort
+    val totals = counts.groupBy(col(id)).agg(sum(col("_cnt")).as("_n"))
+    val feats = counts.join(totals, id :: Nil)
+      .withColumn("xq", halfUpCol(col("_cnt") * lit(Scale), col("_n")))
+      .select(col(id), col("bucket"), col("xq"))
     // intercept: an always-on unit feature per document
     feats.unionByName(
-      feats.select(col(id)).distinct()
+      totals.select(col(id))
         .withColumn("bucket", lit(dims))
-        .withColumn("x", lit(1.0)))
+        .withColumn("xq", lit(Scale)))
   }
 
-  /** Per-row linear score contribution for the current weights, via a
+  /** Variable-denominator halfUp (both sides non-negative here). */
+  private def halfUpCol(num: Column, den: Column): Column =
+    (num * 2 + den).div(den * 2)
+
+  /** Per-row integer score contribution for the current weights, via a
     * plan-literal weight map — weights ride the plan, never a join.
     */
-  private def zPart(weights: Array[Double]): Column = {
-    val wMap = typedlit(weights.zipWithIndex.map { case (v, i) => i -> v }.toMap)
-    col("x") * element_at(wMap, col("bucket"))
+  private def zPartQ(weightsQ: Array[Long]): Column = {
+    val wMap = typedlit(weightsQ.zipWithIndex.map { case (v, i) => i -> v }.toMap)
+    col("xq") * element_at(wMap, col("bucket"))
   }
 
-  /** Train logistic regression on `labeled` (must carry a 0/1 double
-    * label column). Full-batch gradient descent, `iters` passes, constant
-    * `lr`. Deterministic: decimal gradient sums, fixed iteration count,
-    * zero-initialized weights.
+  /** Train the hard-sigmoid logistic model on `labeled` (must carry a
+    * 0/1 label column). Full-batch gradient descent, `iters` passes,
+    * constant `lr` (exactly representable at 3 decimal places — it
+    * becomes the rational lrQ/1000 inside the integer update). Bit-
+    * deterministic and oracle-replayable: integer sums commute exactly.
     */
   def train(
       labeled: DataFrame, id: String, text: String, label: String,
       dims: Int = 1024, iters: Int = 50, lr: Double = 2.0): Model = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(lr > 0, s"lr must be > 0, got $lr")
+    val lrQ = java.math.BigDecimal.valueOf(lr)
+      .setScale(3, java.math.RoundingMode.UNNECESSARY) // throws if finer
+      .unscaledValue().longValueExact()
     // features + label, materialized ONCE: every iteration re-reads this
     // table, and without truncation each pass would replay the explode
     val feats = hashedFeatures(labeled, id, text, dims)
-      .join(labeled.select(col(id), col(label).cast("double").as("_y")), Seq(id))
+      .join(labeled.select(col(id),
+        (col(label).cast("double") * Scale).cast("long").as("_yq")), Seq(id))
       .localCheckpoint(true)
-    val nDocs = feats.select(col(id)).distinct().count().toDouble
+    val nDocs = feats.select(col(id)).distinct().count()
     require(nDocs > 0, "no trainable documents (all empty or NULL text)")
-    val w = new Array[Double](dims + 1)
-    val docW = Window.partitionBy(id)
+    require(nDocs * lr <= 2000,
+      s"fixed-point headroom: nDocs·lr must be <= 2000 (train on a bounded " +
+        s"labeled sample), got $nDocs docs at lr=$lr")
+    val wq = new Array[Long](dims + 1)
     for (_ <- 0 until iters) {
-      // one distributed pass: per-doc z (window over the id partition),
-      // sigmoid error, bucket-keyed decimal gradient aggregation
+      // one distributed pass: per-doc integer z (a (doc)-keyed sum —
+      // exact, order-independent), hard-sigmoid error eq = pq − yq, then
+      // the bucket-keyed integer gradient aggregation
+      val errs = feats
+        .groupBy(col(id)).agg(sum(zPartQ(wq)).as("_zq"),
+          first(col("_yq")).as("_y1"))
+        .select(col(id), (hardSigmoidQ(col("_zq")) - col("_y1")).as("_eq"))
       val grads = feats
-        // the per-doc z is ALSO a decimal sum: a double window sum folds
-        // in partition-arbitrary order and would break bit-determinism
-        .withColumn("_z",
-          sum(zPart(w).cast("decimal(28,18)")).over(docW).cast("double"))
-        .withColumn("_err",
-          lit(1.0) / (lit(1.0) + exp(-col("_z"))) - col("_y"))
-        .withColumn("_g", (col("_err") * col("x")).cast("decimal(28,18)"))
-        .groupBy(col("bucket")).agg(sum(col("_g")).as("_grad"))
+        .join(errs, Seq(id))
+        .groupBy(col("bucket")).agg(sum(col("_eq") * col("xq")).as("_gq"))
         .collect() // <= dims + 1 rows — the documented bounded driver step
+      // wq -= halfUp(lr·g/n · Scale): g = gq/Scale², lr = lrQ/1000
       grads.foreach { r =>
         val b = r.getInt(0)
-        w(b) -= lr * r.getDecimal(1).doubleValue() / nDocs
+        wq(b) -= Similarity.divHalfUp(lrQ * r.getLong(1), 1000L * nDocs * Scale)
       }
     }
-    Model(dims, w)
+    Model(dims, wq)
   }
 
   /** Score documents with a trained model: `quality_prob` =
-    * sigmoid(w·x + b) per document. One feature aggregation + one window
-    * pass — no driver involvement, no join (weights are plan literals).
-    * Documents with no tokens are absent (no features to score).
+    * hardSigmoid(w·x + b) per document, exactly the trained link. One
+    * feature aggregation + one integer sum — no driver involvement, no
+    * join (weights are plan literals). Documents with no tokens are
+    * absent (no features to score).
     */
   def score(
       df: DataFrame, id: String, text: String, model: Model): DataFrame =
     hashedFeatures(df, id, text, model.dims)
       .groupBy(col(id))
-      .agg(sum(zPart(model.weights).cast("decimal(28,18)"))
-        .cast("double").as("_z"))
+      .agg(sum(zPartQ(model.weightsQ)).as("_zq"))
       .select(col(id),
-        (lit(1.0) / (lit(1.0) + exp(-col("_z")))).as("quality_prob"))
+        (hardSigmoidQ(col("_zq")).cast("double") / Scale).as("quality_prob"))
 }

@@ -921,8 +921,16 @@ object EnrichmentQueries {
   private def withGlobalRank(
       df: DataFrame, rankCol: String, sortCols: Column*): DataFrame = {
     val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // localCheckpoint pins ONE materialized range partitioning: the
+    // offsets branch and the main branch below would otherwise each
+    // re-evaluate the repartition, and RangePartitioner's reservoir
+    // sample depends on upstream row order — nondeterministic under
+    // concurrent shuffle fetch — so the two evaluations can disagree on
+    // boundaries and mis-align _poff with _pid (caught by the r10 gate:
+    // 67/1500 q_rfm rows off by one quintile).
     val parted = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
     val wOff = Window.orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parted.groupBy("_pid").agg(count(lit(1)).as("_pn"))

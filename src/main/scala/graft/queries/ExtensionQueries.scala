@@ -3369,26 +3369,37 @@ object ExtensionQueries {
             FROM dedup ORDER BY doc_id"""))
 
   /** Hashed-feature quality classifier ([[QualityClassifier]]): train a
-    * logistic model on a labeled subset (doc_id < 400, label = "is
-    * English"), score the held-out crawl — the GPT-3/LLaMA-style curation
-    * filter. Iterative float training is not SQL-replayable → rows-only;
-    * separability, ranking, and bit-deterministic training are asserted
-    * in RelevanceSpec.
+    * hard-sigmoid logistic model on a labeled subset (doc_id < 400,
+    * label = "is English"), score the held-out crawl — the
+    * GPT-3/LLaMA-style curation filter. The trainer runs in exact
+    * fixed-point integer arithmetic (scale-10^6 features / probabilities
+    * / weights, halfUp divisions), so the bounded 15-iteration GD loop
+    * unrolls into the DuckDB oracle as chained BIGINT CTEs
+    * ([[LloydOracles.logregOracle]]) — hash-checked, the round-10
+    * promotion of the last trainable float loop. Separability, ranking,
+    * and bit-deterministic training stay asserted in RelevanceSpec.
     */
+  private val ClfDims = 256
+  private val ClfIters = 15
+  private val ClfLr = 2.0
+  private val ClfTrainMaxId = 400L
+
   val qQualityClassifier = QueryDef(
     "q_quality_classifier",
     (s, d) => {
       val all = docs(s, d)
-      val labeled = all.filter(col("doc_id") < 400)
-        .withColumn("_y", (col("lang") === "en").cast("double"))
+      val labeled = all.filter(col("doc_id") < ClfTrainMaxId)
+        .withColumn("_y", when(col("lang") === "en", 1.0).otherwise(0.0))
       val model = QualityClassifier.train(
-        labeled, "doc_id", "text", "_y", dims = 256, iters = 15, lr = 2.0)
+        labeled, "doc_id", "text", "_y",
+        dims = ClfDims, iters = ClfIters, lr = ClfLr)
       QualityClassifier.score(
-          all.filter(col("doc_id") >= 400), "doc_id", "text", model)
+          all.filter(col("doc_id") >= ClfTrainMaxId), "doc_id", "text", model)
         .select(col("doc_id"), round(col("quality_prob"), 4).as("quality_prob"))
         .orderBy("doc_id")
     },
-    None)
+    Some(LloydOracles.logregOracle(
+      ClfDims, ClfIters, math.round(ClfLr * 1000), ClfTrainMaxId)))
 
   // --- int8 scalar quantization --------------------------------------------
 

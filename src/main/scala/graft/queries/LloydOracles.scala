@@ -351,6 +351,72 @@ private[queries] object LloydOracles {
         FROM adcp) WHERE rn <= ${k * rerankFactor}),
     ${rerankTail(dim, k)}"""
 
+  // --- fixed-point hard-sigmoid logistic GD (quality classifier) ---------
+
+  /** q_quality_classifier: the DuckDB replay of
+    * [[graft.ext.QualityClassifier]]'s fixed-point gradient-descent
+    * training loop plus the held-out scoring pass. All-integer at scale
+    * 10^6 (features halfUp-quantized token shares, hard-sigmoid
+    * probabilities, halfUp weight updates with lr = lrQ/1000), so each of
+    * the bounded iterations unrolls to order-independent BIGINT CTEs —
+    * the same technique as the Lloyd trainers above.
+    */
+  private[queries] def logregOracle(
+      dims: Int, iters: Int, lrQ: Long, trainMaxId: Long): String = {
+    val S = 1000000L
+    val bucket = "CAST((CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)" +
+      s" & 2147483647) % $dims AS BIGINT)"
+    val steps = (1 to iters).map { it =>
+      val p = it - 1
+      s"""z$it AS (SELECT f.doc_id, sum(f.xq * w.wq) AS zq, min(f.yq) AS yq
+      FROM tf f JOIN w$p w USING (bucket) GROUP BY 1),
+    e$it AS (SELECT doc_id,
+      LEAST($S, GREATEST(0, ${halfUp("zq", (4L * S).toString)} + ${S / 2})) - yq AS eq
+      FROM z$it),
+    g$it AS (SELECT f.bucket, sum(e.eq * f.xq) AS gq
+      FROM tf f JOIN e$it e USING (doc_id) GROUP BY 1),
+    w$it AS MATERIALIZED (SELECT w.bucket,
+      w.wq - COALESCE(${halfUp(s"$lrQ * g.gq", s"1000 * nd.n * $S")}, 0) AS wq
+      FROM w$p w CROSS JOIN nd LEFT JOIN g$it g USING (bucket))"""
+    }.mkString(",\n    ")
+    s"""WITH lab AS (SELECT doc_id,
+        CASE WHEN lang = 'en' THEN $S ELSE 0 END AS yq
+      FROM documents WHERE doc_id < $trainMaxId),
+    toks AS MATERIALIZED (
+      SELECT d.doc_id, u.term AS tok
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+            FROM documents WHERE text IS NOT NULL) d, unnest(d.t) AS u(term)
+      WHERE u.term <> ''),
+    cnts AS (SELECT doc_id, $bucket AS bucket, count(*) AS cnt
+      FROM toks GROUP BY 1, 2),
+    tot AS MATERIALIZED (SELECT doc_id, sum(cnt) AS n FROM cnts GROUP BY 1),
+    feats AS MATERIALIZED (
+      SELECT c.doc_id, c.bucket, (c.cnt * $S * 2 + t.n) // (t.n * 2) AS xq
+      FROM cnts c JOIN tot t USING (doc_id)
+      UNION ALL
+      SELECT doc_id, $dims AS bucket, $S AS xq FROM tot),
+    tf AS MATERIALIZED (
+      SELECT f.doc_id, f.bucket, f.xq, l.yq
+      FROM feats f JOIN lab l USING (doc_id)),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+    w0 AS (SELECT CAST(u.b AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS wq
+      FROM unnest(range(${dims + 1})) AS u(b)),
+    $steps,
+    sz AS (SELECT f.doc_id, sum(f.xq * w.wq) AS zq
+      FROM feats f JOIN w$iters w USING (bucket)
+      WHERE f.doc_id >= $trainMaxId GROUP BY 1),
+    sp AS (SELECT doc_id,
+      LEAST($S, GREATEST(0, ${halfUp("zq", (4L * S).toString)} + ${S / 2})) AS pq
+      FROM sz)
+    -- Spark's round(double, 4) hops through the SHORTEST decimal
+    -- rendering (BigDecimal.valueOf), which for pq/10^6 is the exact
+    -- 6-digit decimal — so its 4-dp HALF_UP equals integer halfUp(pq,
+    -- 100)/10^4 exactly; DuckDB round(DOUBLE, 4) would instead round the
+    -- raw binary double (0.40095 → 0.4009) and diverge at boundaries.
+    SELECT doc_id, CAST(${halfUp("pq", "100")} AS DOUBLE) / 10000.0 AS quality_prob
+    FROM sp ORDER BY doc_id"""
+  }
+
   /** q_dedup_semdedup: fixed-point kmeans with the DATA-DEPENDENT
     * k = clamp(count/500, 8, 64) sizing rule, hard argmax assignment
     * (NearestCentroidId), within-cluster lower-id pair threshold on

@@ -344,23 +344,6 @@ object StreamingPipeline {
       .drop("window")
   }
 
-  /** Streaming twin of [[graft.ext.QualityClassifier.score]]: a model
-    * trained BATCH-side gates the ingest stream — the deploy shape of the
-    * classifier-filter recipe (train on curated labels offline, score
-    * every arriving document online). The weights ride the plan as
-    * literals exactly as in batch, so there is no model-serving join at
-    * all; the only state is the per-document windowed aggregate that
-    * assembles hashed-feature scores, bounded by the watermark horizon.
-    *
-    * The stream folds the per-token weights directly (one stateful
-    * operator) where batch groups tokens into buckets first (two
-    * aggregations — chaining two stateful aggs in one stream trades away
-    * append-mode simplicity for nothing here). The groupings are equal in
-    * exact arithmetic but associate differently in floating point, so
-    * stream scores agree with batch to ~1e-12 RELATIVE — not bit-exact —
-    * while each side individually stays deterministic (decimal sums).
-    * Both properties are asserted in StreamingSpec.
-    */
   /** STREAM-STREAM interval join — click attribution: each click pairs
     * with every impression the same user saw in the preceding
     * `horizonMinutes`. Both sides are unbounded, so BOTH carry watermarks
@@ -526,32 +509,55 @@ object StreamingPipeline {
       k: Double = graft.etl.Anomaly.DefaultK): DataFrame =
     graft.etl.Anomaly.flagOutliers(events, thresholds, group, value, k)
 
+  /** Streaming twin of [[graft.ext.QualityClassifier.score]]: a model
+    * trained BATCH-side gates the ingest stream — the deploy shape of the
+    * classifier-filter recipe (train on curated labels offline, score
+    * every arriving document online). The integer weights ride the plan
+    * as literals exactly as in batch, so there is no model-serving join
+    * at all; the only state is the per-document windowed aggregate that
+    * collects the bucket multiset, bounded by the watermark horizon.
+    *
+    * The stream collects buckets in ONE stateful aggregate (chaining the
+    * batch side's two hash aggregations would cost append-mode
+    * simplicity), then replays the batch quantization — per-bucket
+    * `xq = halfUp(cnt·10^6 / n)`, integer z, hard sigmoid — as a
+    * per-row higher-order fold over the collected list. Because every
+    * step is the SAME exact integer arithmetic as batch, stream scores
+    * are BIT-IDENTICAL to [[graft.ext.QualityClassifier.score]]
+    * (asserted row-for-row in StreamingSpec).
+    */
   def classifierScoreStream(
       docs: DataFrame, model: graft.ext.QualityClassifier.Model,
       idCol: String = "doc_id", textCol: String = "text",
       tsCol: String = "ingest_ts", watermark: String = "1 hour"): DataFrame = {
-    val reserved = Seq("_tok", "_cnt", "_n", "bucket", "x", "_z")
+    import graft.ext.QualityClassifier.{Scale, bucketOf, hardSigmoidQ}
+    val reserved = Seq("_tok", "_cnt", "_n", "bucket", "x", "_z", "_bkts")
     require(!reserved.exists(docs.columns.contains),
       s"classifierScoreStream reserves columns ${reserved.mkString(", ")}")
     val wMap = typedlit(
-      model.weights.zipWithIndex.map { case (v, i) => i -> v }.toMap)
+      model.weightsQ.zipWithIndex.map { case (v, i) => i -> v }.toMap)
     docs
       .withWatermark(tsCol, watermark)
       .where(col(textCol).isNotNull)
       .select(col(idCol), col(tsCol),
         explode(graft.ext.TextAnalysis.tokens(col(textCol))).as("_tok"))
       .where(col("_tok") =!= "")
-      .withColumn("bucket",
-        pmod(xxhash64(col("_tok")), lit(model.dims)).cast("int"))
-      // per-row weighted token contribution; the per-doc L1 normalization
-      // (divide by token count) and the intercept fold into the windowed
-      // aggregate below, so one stateful operator does all of it
+      .withColumn("bucket", bucketOf(col("_tok"), model.dims))
       .groupBy(col(idCol), window(col(tsCol), "1 hour"))
-      .agg(((sum(element_at(wMap, col("bucket")).cast("decimal(28,18)"))
-          / count(lit(1))).cast("double")
-        + lit(model.bias)).as("_z"))
+      .agg(collect_list(col("bucket")).as("_bkts"))
+      // batch-exact integer replay over the collected bucket multiset:
+      // n = |tokens|, per-distinct-bucket cnt → xq = halfUp(cnt·S / n)
+      // (non-negative operands, so truncating div == halfUp form), then
+      // zq = Σ xq·wq plus the always-on intercept feature
+      .withColumn("_z",
+        aggregate(array_distinct(col("_bkts")), lit(0L), (acc, b) => {
+          val cnt = size(filter(col("_bkts"), x => x === b)).cast("long")
+          val n = size(col("_bkts")).cast("long")
+          val xq = call_function("div", cnt * Scale * 2 + n, n * 2)
+          acc + xq * element_at(wMap, b)
+        }) + lit(Scale) * element_at(wMap, lit(model.dims)))
       .select(col(idCol),
-        (lit(1.0) / (lit(1.0) + exp(-col("_z")))).as("quality_prob"))
+        (hardSigmoidQ(col("_z")).cast("double") / Scale).as("quality_prob"))
   }
 
   /** Train-batch / score-stream twin of
