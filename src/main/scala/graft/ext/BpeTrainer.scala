@@ -81,35 +81,77 @@ object BpeTrainer {
       .coalesce(8)
       .cache()
 
-    // ONE job per iteration, not two: the argmax scan of the current dict
+    // ONE job per SCAN, not two: the pair-count scan of the current dict
     // is also what fills its cache (a cached frame materializes on first
     // scan), so the rewritten dict needs no explicit count() barrier —
     // the PREVIOUS generation just stays persisted until the scan that
     // reads through it has run, then unpersists.
+    //
+    // Each scan collects the top-M ranked pair table (M small — the
+    // collect stays bounded) and merges a BATCH of pairs before the next
+    // scan, cutting driver round-trips from numMerges to ~numMerges/2-3.
+    // The batch is chosen so the output is PROVABLY IDENTICAL to the
+    // strict one-merge-per-scan algorithm (BpeTrainerSpec pins the
+    // equality): take the maximal PREFIX of the (n desc, pair asc)
+    // ranking whose members are pairwise symbol-disjoint — including
+    // each member's merged token, so no earlier merge can create or
+    // destroy a later member's occurrences — and guard against a
+    // CREATED pair outranking a later member: a merge (a,b) can only
+    // create pairs (x, ab) / (ab, y) with counts bounded by count(x,a)
+    // / count(b,y), both visible in the top-M table (anything outside
+    // is bounded by the M-th count). A candidate joins the batch only
+    // if every earlier member's created-pair bound stays strictly below
+    // the candidate's count, so at each unrolled sequential step the
+    // argmax is exactly the next batch member.
     val merges = Seq.newBuilder[(Int, String, Long)]
     var prev: DataFrame = null
     var step = 1
     var done = false
+    val topM = 256
     while (step <= numMerges && !done) {
-      val top = dict
+      val ranked = dict
         .select(col("freq"), explode(adjacentPairs(col("syms"))).as("pair"))
         .groupBy("pair").agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("pair"))
-        .limit(1).collect()
+        .limit(topM).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
       // dict's cache is now filled; its parent generation is free
       if (prev != null) { prev.unpersist(); prev = null }
-      if (top.isEmpty || top(0).getLong(1) < minCount) done = true
+      if (ranked.isEmpty || ranked(0)._2 < minCount) done = true
       else {
-        val pair = top(0).getString(0)
-        val n = top(0).getLong(1)
-        val Array(a, b) = pair.split(" ", 2)
-        merges += ((step, pair, n))
+        val nM = if (ranked.length == topM) ranked.last._2 else 0L
+        val batch = Seq.newBuilder[(String, String, Long)]
+        var selected = List.empty[(String, String, Long)]
+        var used = Set.empty[String]
+        var open = true
+        for ((pair, n) <- ranked if open && n >= minCount
+            && step + selected.length <= numMerges) {
+          val Array(a, b) = pair.split(" ", 2)
+          val safe = selected.isEmpty ||
+            (!used(a) && !used(b) && selected.forall { case (aj, bj, nj) =>
+              val left = ranked.collect {
+                case (p, c) if p.endsWith(" " + aj) => c }.maxOption.getOrElse(0L)
+              val right = ranked.collect {
+                case (p, c) if p.startsWith(bj + " ") => c }.maxOption.getOrElse(0L)
+              math.min(nj, math.max(nM, math.max(left, right))) < n
+            })
+          if (safe) {
+            selected = selected :+ ((a, b, n))
+            used = used ++ Set(a, b, a + b)
+          } else open = false
+        }
+        batch ++= selected
+        val sel = batch.result()
+        sel.foreach { case (a, b, n) =>
+          merges += ((step, s"$a $b", n)); step += 1
+        }
         val next = dict
-          .select(col("freq"), mergePair(col("syms"), a, b).as("syms"))
+          .select(col("freq"),
+            sel.foldLeft(col("syms")) { case (c, (a, b, _)) =>
+              mergePair(c, a, b) }.as("syms"))
           .cache()
         prev = dict
         dict = next
-        step += 1
       }
     }
     if (prev != null) prev.unpersist()

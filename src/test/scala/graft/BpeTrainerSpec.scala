@@ -57,6 +57,54 @@ class BpeTrainerSpec extends SparkSpec {
     assert(a.map(_._3) === a.map(_._3).sortBy(-_))
   }
 
+  test("batched scanning equals the strict one-merge-per-scan algorithm") {
+    // The r10 batched trainer merges several provably-independent pairs
+    // per scan; this pins its output against a spec-local STRICT
+    // sequential implementation (recount after every single merge) on
+    // the real corpus — the parity property the batch-selection guard
+    // (symbol-disjoint prefix + created-pair bound) must preserve.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val got = BpeTrainer.train(spark, docs, "text", numMerges = 15)
+      .orderBy("step").as[(Int, String, Long)].collect().toSeq
+
+    // driver-side strict sequential reference over the same dictionary
+    val dict0 = docs.where(col("text").isNotNull)
+      .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect()
+    var dict = dict0.map { case (w, f) =>
+      (w.split("").filter(_.nonEmpty).toSeq, f) }.toSeq
+    val want = Seq.newBuilder[(Int, String, Long)]
+    var step = 1
+    var stop = false
+    while (step <= 15 && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (syms, f) =>
+        syms.zip(syms.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + f }
+      }
+      val ranked = counts.toSeq.sortBy { case ((a, b), n) => (-n, a + " " + b) }
+      if (ranked.isEmpty || ranked.head._2 < 2L) stop = true
+      else {
+        val ((a, b), n) = ranked.head
+        want += ((step, s"$a $b", n))
+        dict = dict.map { case (syms, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { x =>
+            if (out.nonEmpty && out.last == a && x == b)
+              out(out.length - 1) = a + b
+            else out += x
+          }
+          (out.toSeq, f)
+        }
+        step += 1
+      }
+    }
+    assert(got === want.result())
+  }
+
   private val refMerges = Seq("u g", "u n", "h ug", "p un", "hug s",
     "p ug", "b un").map { m => val Array(a, b) = m.split(" ", 2); (a, b) }
 
