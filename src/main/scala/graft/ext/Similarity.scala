@@ -360,7 +360,7 @@ object Similarity {
     * spilled index build and the probe-side list selection cut prefixes
     * from, so the two can't diverge on ranking semantics.
     */
-  private def rankedSims(v: Column, centroids: Array[(Long, Array[Float])]): Column =
+  private[graft] def rankedSims(v: Column, centroids: Array[(Long, Array[Float])]): Column =
     reverse(array_sort(simStructs(v, centroids)))
 
   /** Per-row nearest-centroid assignment — a single native argmax kernel

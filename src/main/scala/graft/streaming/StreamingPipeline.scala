@@ -723,4 +723,68 @@ object StreamingPipeline {
         (col("n_subwords").cast("double") / col("n_tokens").cast("double"))
           .as("fertility"))
   }
+
+  /** Streaming ANN intake twin of [[graft.ext.Similarity.ivfTopK]]: a
+    * batch-trained IVF index scores a stream of arriving embeddings —
+    * the deploy shape of similarity search at the ingest edge (dedup
+    * candidates / nearest-neighbor lookups for every new document,
+    * against a FROZEN corpus index). The last batch-only family gets the
+    * frozen-artifact streaming contract the tokenizer and vocab gate
+    * already have: TRAINING cannot stream (centroids are a global corpus
+    * statistic), frozen inference can.
+    *
+    * Mechanics, all stateless except the one windowed top-k aggregate:
+    * the trained centroids ride the plan as literals (the same
+    * [[graft.ext.Similarity.rankedSims]] kernel as batch, so probe-side
+    * list ranking cannot diverge); the spilled inverted lists are a
+    * STATIC frame joined per micro-batch (a stream-static equi-join on
+    * the list id — no stream state); candidate cosines use the batch
+    * expression verbatim; and the per-probe top-k that batch does with a
+    * rank window becomes `slice(array_sort(collect_set(...)))` under the
+    * watermark+window aggregate — `(-cosine, id)` sort order replays the
+    * batch `(cosine DESC, id)` tiebreak, and set semantics replay its
+    * adjacent-duplicate drop (a pair surfacing from several spilled
+    * lists has the SAME deterministic cosine, hence the same struct).
+    * Stream results are therefore BIT-IDENTICAL to batch ivfTopK over
+    * the same probes (asserted row-for-row in StreamingSpec).
+    *
+    * At 100 TB: the index side is the corpus-sized frame — it stays
+    * partitioned by list id and never moves; each micro-batch ships only
+    * the arriving probes' nProbe list keys through the join.
+    */
+  def annScoreStream(
+      probes: DataFrame, corpus: DataFrame,
+      id: String = "vec_id", vec: String = "embedding",
+      qId: String = "q_id", qVec: String = "q_emb",
+      tsCol: String = "ingest_ts",
+      windowDur: String = "1 hour", watermark: String = "1 hour",
+      k: Int = 10, nCentroids: Int = 64, nProbe: Int = 8,
+      quantizer: String = "kmeans",
+      spillDelta: Double = 0.4, spillCap: Int = 6): DataFrame = {
+    import graft.ext.Similarity
+    require(k >= 1, s"k must be >= 1, got $k")
+    val centroids = Similarity.centroidsFor(corpus, id, vec, nCentroids, quantizer)
+    val assigned = (if (quantizer == "kmeans")
+        Similarity.assignSpilled(corpus, vec, centroids, spillDelta, spillCap)
+      else Similarity.assignToCentroids(corpus, vec, centroids))
+      // materialize the index ONCE — without this every micro-batch
+      // would re-run the assignment kernel over the whole corpus
+      .select(col("_c_id"), col(id), col(vec)).localCheckpoint(true)
+    val probeLists = probes
+      .withWatermark(tsCol, watermark)
+      .where(col(qVec).isNotNull)
+      .withColumn("_cands", slice(Similarity.rankedSims(col(qVec), centroids),
+        1, nProbe))
+      .withColumn("_cand", explode(col("_cands")))
+      .withColumn("_c_id", -col("_cand.negid"))
+      .select(col(qId), col(qVec), col(tsCol), col("_c_id"))
+    probeLists.join(assigned, Seq("_c_id"))
+      .filter(col(id) =!= col(qId))
+      .withColumn("_negc", -Similarity.cosine(col(qVec), col(vec)))
+      .groupBy(col(qId), window(col(tsCol), windowDur))
+      .agg(slice(array_sort(collect_set(struct(col("_negc"), col(id).as("_nid")))),
+        1, k).as("_top"))
+      .select(col(qId), explode(col("_top")).as("_t"))
+      .select(col(qId), col("_t._nid").as(id), (-col("_t._negc")).as("cosine"))
+  }
 }

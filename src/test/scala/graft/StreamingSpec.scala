@@ -820,4 +820,40 @@ class StreamingSpec extends SparkSpec {
       assert(out === Map(1000L -> false, 1001L -> true, 1002L -> false))
     } finally q.stop()
   }
+
+  test("streaming ANN intake: frozen IVF index scores bit-identically to batch ivfTopK") {
+    implicit val sqlCtx = spark.sqlContext
+    // frozen index: the real embeddings corpus at sf0.001 (batch side)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").where(col("embedding").isNotNull)
+    // probes: three corpus vectors arriving on the stream (re-keyed so
+    // the self-exclusion filter exercises both sides)
+    val probeRows = corpus.where(col("vec_id") < 3)
+      .as[(Long, Array[Float])].collect().toSeq
+    val k = 10; val nCentroids = 16; val nProbe = 4
+
+    val input = MemoryStream[(Long, Array[Float], Timestamp)]
+    val q = StreamingPipeline.annScoreStream(
+        input.toDF().toDF("q_id", "q_emb", "ingest_ts"), corpus,
+        k = k, nCentroids = nCentroids, nProbe = nProbe)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ann_out").start()
+    try {
+      input.addData(probeRows.map { case (i, v) =>
+        (i, v, ts("2025-01-01 10:00:00")) }: _*)
+      q.processAllAvailable()
+      // close the window
+      input.addData((-1L, probeRows.head._2, ts("2025-02-01 00:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("ann_out").where(col("q_id") >= 0)
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = graft.ext.Similarity.ivfTopK(
+          corpus, "vec_id", "embedding",
+          probeRows.toDF("q_id", "q_emb"), "q_id", "q_emb",
+          k = k, nCentroids = nCentroids, nProbe = nProbe)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed === batch, "stream ANN results diverge from batch ivfTopK")
+      assert(streamed.size === 3 * k)
+    } finally q.stop()
+  }
 }
