@@ -120,9 +120,13 @@ object Similarity {
     * and executors. `table` seeds independent signature families for
     * OR-amplification.
     */
-  private def planeComponent(bit: Int, dim: Column, table: Int = 0): Column =
-    (pmod(xxhash64(lit(table * 1000 + bit), dim), lit(2000001)).cast("double")
-      - 1000000.0) / 1000000.0
+  /** Integer hyperplane component in [-10^6, 10^6] (the former
+    * float component × 10^6, exactly): `pmod(xxhash64(table·1000 + bit,
+    * dim), 2000001) − 10^6`. Kept integral so the projection sum below
+    * is EXACT — no float aggregation anywhere in the signature.
+    */
+  private def planeComponentQ(bit: Int, dim: Column, table: Int = 0): Column =
+    pmod(xxhash64(lit(table * 1000 + bit), dim), lit(2000001L)) - lit(1000000L)
 
   /** Random-hyperplane signatures as a table transform: vectors explode to
     * (id, dim, value) rows once, each signature bit is a codegen'd
@@ -130,13 +134,26 @@ object Similarity {
     * long is reassembled from the projection signs. Vectors with small
     * cosine distance collide with high probability (SimHash/LSH family).
     * One shuffle on the vector id; no interpreted higher-order functions.
+    *
+    * The projection is an EXACT INTEGER sum (advice r9): elements
+    * quantize to DECIMAL(18,5)-scaled longs (the established Lloyd-
+    * trainer parity path — ≤5e-6 absolute quantization of the signature
+    * family, noise against the random planes) and components are
+    * scale-10^6 integers, so `Σ vq·cq` is order-independent. A float
+    * sum's partial-aggregation order is unspecified in BOTH Spark and
+    * DuckDB, and a sign flip at a near-zero projection would flip a
+    * signature bit — a nondeterministic gate-hash flake; integer sums
+    * cannot flip.
     */
   def hyperplaneSignatures(
       df: DataFrame, id: String, vec: String, bits: Int,
       table: Int = 0): DataFrame = {
     val elems = df.select(col(id), posexplode(col(vec)).as(Seq("i", "v")))
+      .withColumn("vq",
+        (col("v").cast("double").cast("decimal(18,5)") * lit(ElemScale))
+          .cast("long"))
     val projs = (0 until bits).map { b =>
-      sum(col("v").cast("double") * planeComponent(b, col("i"), table)).as(s"p$b")
+      sum(col("vq") * planeComponentQ(b, col("i"), table)).as(s"p$b")
     }
     val agg = elems.groupBy(id).agg(projs.head, projs.tail: _*)
     val sig = (0 until bits).map { b =>

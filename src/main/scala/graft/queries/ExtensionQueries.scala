@@ -563,15 +563,19 @@ object ExtensionQueries {
        |                   FROM ha9, dims d),
        |            ${hashIntChain("hb", "bi", "b, i0")},
        |            planes AS MATERIALIZED (SELECT b, i0,
-       |              (CAST((((${toS("v")}) % 2000001 + 2000001) % 2000001)
-       |                    AS DOUBLE) - 1000000.0) / 1000000.0 AS comp
+       |              (((${toS("v")}) % 2000001 + 2000001) % 2000001)
+       |                - 1000000 AS comp
        |              FROM hb9),
        |            elems AS MATERIALIZED (SELECT vec_id,
        |              generate_subscripts(embedding, 1) - 1 AS i0,
        |              CAST(unnest(embedding) AS DOUBLE) AS v
        |              FROM embeddings),
-       |            projs AS (SELECT e.vec_id, p.b, sum(e.v * p.comp) AS pr
-       |                      FROM elems e JOIN planes p USING (i0)
+       |            qelems AS MATERIALIZED (SELECT vec_id, i0,
+       |              CAST(CAST(CAST(v AS VARCHAR) AS DECIMAL(18,5))
+       |                   * 100000 AS BIGINT) AS vq
+       |              FROM elems),
+       |            projs AS (SELECT e.vec_id, p.b, sum(e.vq * p.comp) AS pr
+       |                      FROM qelems e JOIN planes p USING (i0)
        |                      GROUP BY 1, 2),
        |            sigs AS MATERIALIZED (SELECT vec_id,
        |              CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << b)
@@ -854,12 +858,16 @@ object ExtensionQueries {
        |                    FROM la9, dims d),
        |            ${hashIntChain("lb", "lbi", "t, b, i0")},
        |            lplanes AS MATERIALIZED (SELECT t, b, i0,
-       |              (CAST((((${toS("v")}) % 2000001 + 2000001) % 2000001)
-       |                    AS DOUBLE) - 1000000.0) / 1000000.0 AS comp
+       |              (((${toS("v")}) % 2000001 + 2000001) % 2000001)
+       |                - 1000000 AS comp
        |              FROM lb9),
+       |            lqelems AS MATERIALIZED (SELECT vec_id, i0,
+       |              CAST(CAST(CAST(v AS VARCHAR) AS DECIMAL(18,5))
+       |                   * 100000 AS BIGINT) AS vq
+       |              FROM elems),
        |            lprojs AS (SELECT e.vec_id, p.t, p.b,
-       |                              sum(e.v * p.comp) AS pr
-       |                       FROM elems e JOIN lplanes p USING (i0)
+       |                              sum(e.vq * p.comp) AS pr
+       |                       FROM lqelems e JOIN lplanes p USING (i0)
        |                       GROUP BY 1, 2, 3),
        |            lsigs AS MATERIALIZED (SELECT vec_id, t,
        |              CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << b)
