@@ -148,10 +148,16 @@ object QualityClassifier {
       .setScale(3, java.math.RoundingMode.UNNECESSARY) // throws if finer
       .unscaledValue().longValueExact()
     // features + label, materialized ONCE: every iteration re-reads this
-    // table, and without truncation each pass would replay the explode
+    // table, and without truncation each pass would replay the explode.
+    // The training table is bounded-sample-sized by the require below, so
+    // it coalesces to a few partitions — the loop scans it 2·iters times,
+    // and 32 near-empty tasks per scan cost more scheduling than the
+    // data justifies (the BPE-dictionary lesson; integer sums make the
+    // result partitioning-independent either way).
     val feats = hashedFeatures(labeled, id, text, dims)
       .join(labeled.select(col(id),
         (col(label).cast("double") * Scale).cast("long").as("_yq")), Seq(id))
+      .coalesce(4)
       .localCheckpoint(true)
     val nDocs = feats.select(col(id)).distinct().count()
     require(nDocs > 0, "no trainable documents (all empty or NULL text)")
