@@ -107,16 +107,17 @@ object QualityClassifier {
       .where(col("_tok") =!= "")
       .withColumn("bucket", bucketOf(col("_tok"), dims))
       .groupBy(col(id), col("bucket")).agg(count(lit(1)).as("_cnt"))
-    // doc totals via a self-aggregation + broadcast-free equi-join on the
-    // SAME grouping key prefix — stays one shuffle under AQE, and unlike
-    // a window it needs no per-partition sort
-    val totals = counts.groupBy(col(id)).agg(sum(col("_cnt")).as("_n"))
-    val feats = counts.join(totals, id :: Nil)
-      .withColumn("xq", halfUpCol(col("_cnt") * lit(Scale), col("_n")))
+    // per-doc totals via an UNORDERED window over the id partition
+    // (whole-partition frame — no per-partition sort): one id-keyed
+    // exchange, vs two for the aggregate-and-join-back alternative; the
+    // sum is over longs, so the result is partition-order-exact
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(id)
+    val feats = counts
+      .withColumn("xq", halfUpCol(col("_cnt") * lit(Scale), sum(col("_cnt")).over(w)))
       .select(col(id), col("bucket"), col("xq"))
     // intercept: an always-on unit feature per document
     feats.unionByName(
-      totals.select(col(id))
+      counts.select(col(id)).distinct()
         .withColumn("bucket", lit(dims))
         .withColumn("xq", lit(Scale)))
   }

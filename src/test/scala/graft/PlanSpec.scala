@@ -381,6 +381,24 @@ class PlanSpec extends SparkSpec {
       s"per-user global rank is back:\n${p.take(3000)}")
   }
 
+  test("classifier score: weights ride the plan — one aggregate pair, no model join") {
+    // scoring must stay a pure scan→aggregate shape: the trained weights
+    // are plan literals (map lookup), so there is NO join anywhere and
+    // the only exchanges are the feature aggregation's
+    val model = graft.ext.QualityClassifier.Model(8, Array.fill(9)(1000L))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val df = graft.ext.QualityClassifier.score(docs, "doc_id", "text", model)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // hashedFeatures unions the intercept branch (its own tiny agg), so
+    // a join would only come from a model-serving table — assert none
+    assert(!p.toLowerCase.contains("join"),
+      s"model join appeared in score plan:\n${p.take(3000)}")
+  }
+
   private def planOfText(name: String): String = {
     val df = SparkEntry.queries(name)(spark, dir)
     df.collect() // finalize the adaptive plan
