@@ -509,7 +509,7 @@ object ExtensionQueries {
     * the exact-cosine threshold then follow the established
     * q_embed_cosine_topk float treatment.
     */
-  private def dedupEmbedOracle(bits: Int, threshold: Double): String = {
+  private def dedupEmbedOracle(bits: Int, threshold: Double, dim: Int): String = {
     val M = "18446744073709551616::HUGEINT"
     val S = "9223372036854775808::HUGEINT"
     def mulmod(a: String, p: String): String =
@@ -584,14 +584,18 @@ object ExtensionQueries {
        |            cand AS (SELECT a.vec_id AS id1, c.vec_id AS id2
        |                     FROM sigs a JOIN sigs c
        |                       ON a.sig = c.sig AND a.vec_id < c.vec_id),
-       |            norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm
-       |                      FROM elems GROUP BY 1),
-       |            dots AS (SELECT p.id1, p.id2, sum(e1.v * e2.v) AS dot
-       |                     FROM cand p
-       |                     JOIN elems e1 ON e1.vec_id = p.id1
-       |                     JOIN elems e2 ON e2.vec_id = p.id2
-       |                                  AND e2.i0 = e1.i0
-       |                     GROUP BY 1, 2)
+       |            vl AS MATERIALIZED (SELECT vec_id,
+       |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dl
+       |              FROM embeddings),
+       |            norms AS (SELECT vec_id, sqrt(list_reduce(
+       |                list_transform(dl, x -> x * x), (a, b) -> a + b)) AS nrm
+       |              FROM vl),
+       |            dots AS (SELECT p.id1, p.id2, list_reduce(
+       |                list_transform(range($dim), t ->
+       |                  v1.dl[t + 1] * v2.dl[t + 1]), (a, b) -> a + b) AS dot
+       |              FROM cand p
+       |              JOIN vl v1 ON v1.vec_id = p.id1
+       |              JOIN vl v2 ON v2.vec_id = p.id2)
        |            SELECT d.id1, d.id2,
        |                   round(d.dot / (n1.nrm * n2.nrm), 4) AS cosine
        |            FROM dots d
@@ -610,7 +614,7 @@ object ExtensionQueries {
     (s, d) => Dedup.embeddingNearDupPairs(embs(s, d), "vec_id", "embedding",
         threshold = 0.4, bits = 6)
       .orderBy("id1", "id2"),
-    Some(dedupEmbedOracle(bits = 6, threshold = 0.4)))
+    Some(dedupEmbedOracle(bits = 6, threshold = 0.4, dim = 64)))
 
   /** SemDeDup ([[Dedup.semDeDup]]): cluster-scoped semantic dedup —
     * k-means partitions the embedding space, pairwise cosine runs only
@@ -802,7 +806,7 @@ object ExtensionQueries {
     */
   private def lshTopKOracle(
       prefix: String, probeIds: String,
-      bits: Int, tables: Int, k: Int): String = {
+      bits: Int, tables: Int, k: Int, dim: Int = 64): String = {
     val M = "18446744073709551616::HUGEINT"
     val S = "9223372036854775808::HUGEINT"
     def mulmod(a: String, p: String): String =
@@ -883,15 +887,18 @@ object ExtensionQueries {
        |                      FROM lsigs s JOIN lprobed p
        |                        ON s.t = p.t AND s.lsig = p.sg
        |                      WHERE s.vec_id <> p.q_id),
-       |            lnorms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm
-       |                       FROM elems GROUP BY 1),
-       |            ldots AS (SELECT c.q_id, c.vec_id,
-       |                             sum(e1.v * e2.v) AS dot
-       |                      FROM lcand c
-       |                      JOIN elems e1 ON e1.vec_id = c.q_id
-       |                      JOIN elems e2 ON e2.vec_id = c.vec_id
-       |                                   AND e2.i0 = e1.i0
-       |                      GROUP BY 1, 2),
+       |            lvl AS MATERIALIZED (SELECT vec_id,
+       |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dl
+       |              FROM corpusrel),
+       |            lnorms AS (SELECT vec_id, sqrt(list_reduce(
+       |                list_transform(dl, x -> x * x), (a, b) -> a + b)) AS nrm
+       |              FROM lvl),
+       |            ldots AS (SELECT c.q_id, c.vec_id, list_reduce(
+       |                list_transform(range($dim), t ->
+       |                  v1.dl[t + 1] * v2.dl[t + 1]), (a, b) -> a + b) AS dot
+       |              FROM lcand c
+       |              JOIN lvl v1 ON v1.vec_id = c.q_id
+       |              JOIN lvl v2 ON v2.vec_id = c.vec_id),
        |            lcos AS (SELECT d.q_id, d.vec_id,
        |                            d.dot / (n1.nrm * n2.nrm) AS c
        |                     FROM ldots d
