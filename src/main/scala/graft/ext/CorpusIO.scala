@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** JSONL (newline-delimited JSON) corpus interchange — the format every
+  * public crawl dump, instruction-tuning set, and eval suite ships in.
+  * The scan SEMANTICS (inference, escaping, nested fields) are pinned by
+  * the `q_scan_jsonl` gate query; this is the production I/O surface
+  * around them.
+  */
+object CorpusIO {
+
+  /** Write a frame as .jsonl. Deterministic per row: field order is the
+    * schema's column order, one object per line.
+    *
+    * Nulls are kept EXPLICIT (`"f": null`, not absent) — corpus
+    * interchange breaks silently when half the shards drop a field and
+    * downstream inference types them differently; an explicit null keeps
+    * every line's shape identical. `compression` "gzip"/"zstd" for
+    * shipping, "none" for local work. `partitionCols` shards the corpus
+    * by e.g. source or language — at 100 TB the writer then lays files
+    * out for partition-pruned reads, and no shuffle is introduced here
+    * (partitionBy splits the existing task outputs).
+    */
+  def writeJsonl(
+      df: DataFrame, path: String,
+      compression: String = "none",
+      partitionCols: Seq[String] = Nil,
+      singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    val w = out.write
+      .option("ignoreNullFields", "false")
+      .option("compression", compression)
+      .mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .json(path)
+  }
+
+  /** Read .jsonl with an EXPLICIT schema — the production path. Schema
+    * inference is a separate full pass over the data (Spark reads every
+    * file once just to infer); on a 100 TB corpus that doubles the scan,
+    * so inference belongs in exploration (`spark.read.json(path)`), not
+    * pipelines. Corrupt lines land in `_corrupt_record` when the schema
+    * declares it (PERMISSIVE default) instead of failing the job — the
+    * crawl-scale reality is that some shard somewhere is truncated.
+    */
+  def readJsonl(
+      spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}

@@ -126,6 +126,55 @@ object ParityQueries {
                    ELSE 'x' || CAST(doc_id AS VARCHAR) END AS extra
             FROM documents WHERE doc_id < 200 ORDER BY doc_id"""))
 
+  /** JSONL (newline-delimited JSON) scan — THE interchange format of LLM
+    * corpus pipelines (every public crawl dump, instruction set, and
+    * eval suite ships as .jsonl). Semantics under the gate: schema
+    * inference over heterogeneous rows (a field ABSENT on a third of the
+    * rows infers as a nullable column), JSON string escaping round-trip
+    * (quotes and backslashes in real document text), nested structs
+    * (read back through a dotted path), arrays (surfaced via size), and
+    * numeric widths (integer → bigint, exact-binary-fraction doubles).
+    * The render side is `to_json(struct(...))` — null fields drop from
+    * the serialized object, which is exactly what exercises the
+    * absent-field inference on read. The oracle computes the same values
+    * straight from the documents table, so any divergence in the
+    * serialize→infer→parse loop fails the hash.
+    */
+  val qScanJsonl = QueryDef(
+    "q_scan_jsonl",
+    (s, d) => {
+      import s.implicits._
+      val raw = QueryDef.table(s, d, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat(lit("q\"\\ "),
+            regexp_replace(substring(col("text"), 1, 24),
+              "[\\r\\n\\\\]", " ")).as("txt"),
+          (col("doc_id").cast("double") / lit(4.0)).as("score"),
+          col("lang"))
+      val ds = raw.select(to_json(struct(
+          col("doc_id"), col("txt"), col("score"),
+          when(pmod(col("doc_id"), lit(3)) =!= 0,
+            concat(lit("x"), col("doc_id"))).as("extra"),
+          array(col("lang"), lit("doc")).as("tags"),
+          struct(col("lang").as("lang")).as("meta"))).as("line"))
+        .as[String]
+      s.read.json(ds)
+        .select(col("doc_id"), col("txt"), col("score"), col("extra"),
+          size(col("tags")).cast("long").as("n_tags"),
+          col("meta.lang").as("lang"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+              'q"\ ' || regexp_replace(substr(text, 1, 24),
+                '[\r\n\\]', ' ', 'g') AS txt,
+              CAST(doc_id AS DOUBLE) / 4.0 AS score,
+              CASE WHEN doc_id % 3 = 0 THEN NULL
+                   ELSE 'x' || CAST(doc_id AS VARCHAR) END AS extra,
+              CAST(2 AS BIGINT) AS n_tags,
+              lang
+            FROM documents WHERE doc_id < 200 ORDER BY doc_id"""))
+
   // --- F-family: filters (pushed into the parquet scan by Catalyst) -------
 
   val qFilterNotnull = QueryDef(
@@ -1481,7 +1530,7 @@ object ParityQueries {
             ORDER BY column_name"""))
 
   val all: Seq[QueryDef] = Seq(
-    q1Agg, qScanParquet, qScanCsv, qFilterNotnull, qFilterTs, qFilterNeq,
+    q1Agg, qScanParquet, qScanCsv, qScanJsonl, qFilterNotnull, qFilterTs, qFilterNeq,
     qProject,
     qDedupFull, qDedupKey, qFillna, qTrimAll, qNormText, qMapStatus,
     qMapSeverity, qSeverityScore, qNormIp, qParseTs, qParseTsLenient,

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ext.CorpusIO
+
+/** JSONL corpus interchange: deterministic write shape, explicit-schema
+  * read, corrupt-line tolerance, partitioned layout. The scan semantics
+  * themselves (inference, escaping, nesting) are gate-checked by
+  * q_scan_jsonl; this spec pins the I/O surface contracts.
+  */
+class CorpusIOSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsSlice = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .filter(col("doc_id") < 50)
+    .select(col("doc_id"), col("text"), col("lang"),
+      (col("doc_id").cast("double") / 4.0).as("score"),
+      when(pmod(col("doc_id"), lit(3)) =!= 0,
+        concat(lit("x"), col("doc_id"))).as("extra"))
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.delete(); d.getAbsolutePath
+  }
+
+  test("jsonl round-trip with explicit schema is lossless; nulls stay explicit") {
+    val src = docsSlice
+    val path = tmpDir("jsonl_rt")
+    CorpusIO.writeJsonl(src, path, singleFile = true)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("score", DoubleType),
+      StructField("extra", StringType)))
+    val back = CorpusIO.readJsonl(spark, path, schema)
+    val a = src.orderBy("doc_id").collect().map(_.toSeq)
+    val b = back.orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+    // the explicit-null contract: a doc_id % 3 == 0 line must CONTAIN
+    // "extra":null — absent fields are the silent schema-drift mode this
+    // writer rejects
+    val lines = spark.read.text(path).as[String].collect()
+    assert(lines.exists(_.contains("\"extra\":null")),
+      "null field was dropped from the serialized object")
+    // deterministic field order = schema order
+    assert(lines.forall(_.startsWith("{\"doc_id\":")))
+  }
+
+  test("corrupt lines land in _corrupt_record instead of failing the read") {
+    val path = tmpDir("jsonl_corrupt")
+    CorpusIO.writeJsonl(docsSlice, path, singleFile = true)
+    // a shard truncated mid-object — the crawl-scale reality (written as
+    // its own file: appending to a Spark-written part file would only
+    // trip the Hadoop .crc sidecar, not the JSON parser)
+    val fw = new java.io.FileWriter(new java.io.File(path, "shard-bad.json"))
+    fw.write("{\"doc_id\": 999, \"text\": \"trunca")
+    fw.close()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("_corrupt_record", StringType)))
+    val back = CorpusIO.readJsonl(spark, path, schema).cache()
+    try {
+      assert(back.filter(col("_corrupt_record").isNotNull).count() === 1L)
+      assert(back.filter(col("_corrupt_record").isNull).count() ===
+        docsSlice.count())
+    } finally { back.unpersist(); () }
+  }
+
+  test("partitioned write lays out lang= directories and reads back losslessly") {
+    val path = tmpDir("jsonl_part")
+    CorpusIO.writeJsonl(docsSlice, path, partitionCols = Seq("lang"))
+    val langDirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("lang=")).sorted
+    assert(langDirs.nonEmpty, "no lang= partition directories")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("score", DoubleType), StructField("extra", StringType)))
+    val back = CorpusIO.readJsonl(spark, path, schema)
+    // partition column comes back from the directory layout
+    assert(back.columns.contains("lang"))
+    val a = docsSlice.select("doc_id", "lang", "score").orderBy("doc_id")
+      .collect().map(_.toSeq)
+    val b = back.select("doc_id", "lang", "score").orderBy("doc_id")
+      .collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
+}
