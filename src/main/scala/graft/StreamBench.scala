@@ -108,11 +108,60 @@ object StreamBench {
         StreamingPipeline.activeUsersStream(df, days = 7, watermark = "1 day")),
       run("cms", "update", df =>
         StreamingPipeline.countMinStream(df, "user_id",
-          width = 64, depth = 4, windowDur = "1 hour", watermark = "1 hour")))
+          width = 64, depth = 4, windowDur = "1 hour", watermark = "1 hour"))
+    ) :+ runAnn(spark, sfDir, nTriggers)
 
     val twinJs = twins.map { case (n, js) => "\"" + n + "\":" + js }
       .mkString("{", ",", "}")
     println(s"""{"metric":"streambench","n_triggers":$nTriggers,"input_rows":${rows.length},"twins":$twinJs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** The r10 ANN intake twin under the same per-trigger harness: the
+    * embedding corpus replays as the probe stream (synthetic sequential
+    * event times) against its own frozen batch-trained IVF index — the
+    * profile of index-scoring every arriving vector. State is the
+    * windowed per-probe top-k aggregate, bounded by the watermark.
+    */
+  private def runAnn(
+      spark: SparkSession, sfDir: String, nTriggers: Int): (String, String) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val base = 1704067200000L // 2024-01-01T00:00Z
+    val probeRows = corpus.as[(Long, Array[Float])].collect()
+      .map { case (i, v) => (i, v, new java.sql.Timestamp(base + i * 1000L)) }
+    val chunkSize = math.max(1, (probeRows.length + nTriggers - 1) / nTriggers)
+    val input = MemoryStream[(Long, Array[Float], java.sql.Timestamp)]
+    val q: StreamingQuery = StreamingPipeline.annScoreStream(
+        input.toDF().toDF("q_id", "q_emb", "ingest_ts"), corpus)
+      .writeStream.outputMode("append").format("noop").start()
+    val wall0 = System.nanoTime()
+    try {
+      probeRows.grouped(chunkSize).foreach { c =>
+        input.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - wall0) / 1e9
+      val progress = q.recentProgress.filter(_.numInputRows > 0)
+      val triggers = progress.map { p =>
+        val sec = p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3
+        val (srows, sbytes) =
+          if (p.stateOperators.nonEmpty)
+            (p.stateOperators.map(_.numRowsTotal).sum,
+             p.stateOperators.map(_.memoryUsedBytes).sum)
+          else (0L, 0L)
+        s"""{"rows":${p.numInputRows},"sec":$sec,"state_rows":$srows,"state_bytes":$sbytes}"""
+      }
+      val totalRows = progress.map(_.numInputRows).sum
+      val sumSec = progress
+        .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum / 1e3
+      val rps = if (sumSec > 0) totalRows / sumSec else 0.0
+      val finalState =
+        progress.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
+          .getOrElse(0L)
+      "ann_intake" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"final_state_rows":$finalState}"""
+    } finally q.stop()
   }
 }
