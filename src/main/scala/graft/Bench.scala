@@ -24,7 +24,7 @@ object Bench {
     // first measured query isn't charged for it.
     try SparkEntry.queries("q_global_agg")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
 
     // The suite runs with modest concurrency (Spark's scheduler handles
     // concurrent actions): at these scale factors each query's wall time
@@ -182,7 +182,7 @@ object Bench {
       val differ = trained(0)._2.map(_._2.toSeq).toSet !=
         trained(1)._2.map(_._2.toSeq).toSet
       (entries :+ ("\"centroids_differ\":" + differ)).mkString("{", ",", "}")
-    } catch { case _: Throwable => "{}" }
+    } catch { case scala.util.control.NonFatal(_) => "{}" }
 
     // ANN recall@10 per approximate family vs the exact brute-force
     // baseline, over the SAME probe set and k the q_ann_* queries declare.
@@ -202,7 +202,7 @@ object Bench {
         val r = (pairs(q) & exact).size.toDouble / exact.size
         "\"" + fam + "\":" + r
       }.mkString("{", ",", s""","k":10,"n_exact_pairs":${exact.size}}""")
-    } catch { case _: Throwable => "{}" }
+    } catch { case scala.util.control.NonFatal(_) => "{}" }
 
     // "value" = parallel-suite wall clock; "solo_wall_sec" = the serial
     // cold-ish headline phase that ran FIRST — keep the two separate.

@@ -1,0 +1,157 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and domain-level corpus operators.
+  *
+  * Web-crawled training corpora key almost everything on URLs: exact-URL
+  * dedup across crawl snapshots, per-registered-domain quality rollups,
+  * domain allow/deny policies. The same page routinely appears under
+  * dozens of spellings — scheme/host case, default ports, tracking
+  * parameters, parameter order, trailing slashes — so a deterministic
+  * canonical form is the prerequisite for every URL-keyed operation.
+  * (The reference pipeline normalizes its `source_ip`/`event_type`
+  * columns the same way before keying on them — src/pipeline.py:40-52 —
+  * this extends that normalize-before-key discipline to URLs.)
+  *
+  * Everything here is pure `Column` composition over built-in string and
+  * higher-order array functions — whole-stage-codegen'd, no UDFs, and
+  * exactly replayable in ANSI SQL for the oracle gate. Canonicalization
+  * is per-row and embarrassingly parallel: at 100 TB it fuses into the
+  * scan with zero shuffle; only the keyed aggregations after it shuffle.
+  *
+  * The canonical form (documented contract, applied in this order):
+  *   1. drop the fragment (`#…`);
+  *   2. lowercase the scheme;
+  *   3. lowercase the host; drop the port iff it is the scheme default
+  *      (`http:80`, `https:443`);
+  *   4. strip tracking parameters (`utm_*` + [[UrlOps.TrackingParams]]),
+  *      sort the survivors bytewise, and drop the `?` when none survive;
+  *   5. strip trailing slashes from the path (`/docs/` ≡ `/docs`, and the
+  *      bare root `/` ≡ empty).
+  * Percent-decoding is deliberately OUT of scope: decoding unreserved
+  * escapes is charset- and context-sensitive (a `%2F` in a path segment
+  * is NOT a slash) and a wrong decode merges distinct URLs — the one
+  * failure mode a dedup key must never have.
+  */
+object UrlOps {
+
+  /** Query parameters stripped by [[canonicalizeUrl]] (exact names; the
+    * `utm_` prefix family is stripped wholesale in addition).
+    */
+  val TrackingParams: Seq[String] =
+    Seq("fbclid", "gclid", "msclkid", "ref", "igshid")
+
+  /** Public-suffix heuristic: second-level registries where the
+    * registered domain is three labels, not two. A full public-suffix
+    * list is a data file at deploy time; this embedded subset keeps the
+    * operator self-contained and the contract testable.
+    */
+  val MultiLevelTlds: Seq[String] =
+    Seq("co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "com.au",
+      "com.br", "co.in", "co.kr", "com.cn")
+
+  /** `str` up to (excluding) the first `delim`, or all of `str` when
+    * absent — `substring_index(str, delim, 1)`, which matches DuckDB's
+    * `split_part(str, delim, 1)` including the no-delimiter case.
+    *
+    * IMPORTANT (tree discipline): every helper here references its input
+    * Column exactly ONCE. `Column`s are immutable trees, so a helper that
+    * mentions its argument k times embeds k copies of the argument's
+    * whole subtree — across the 6 nested stages of [[canonicalizeUrl]]
+    * that compounds multiplicatively (the first draft hit ~300 copies of
+    * the input and OOM'd the analyzer when the canonicalization was
+    * composed with itself). Single-reference helpers keep canon(X) at
+    * ~12·|X|, so composition stays linear.
+    */
+  private def before(str: Column, delim: String): Column =
+    substring_index(str, delim, 1)
+
+  /** `str` strictly after the first `delim`, or '' when absent.
+    * `split(str, quoted, 2)` splits at the first occurrence only;
+    * `get(…, 1)` is NULL when the delimiter is absent (never an ANSI
+    * error), coalesced to ''. References `str` once — see [[before]].
+    */
+  private def after(str: Column, delim: String): Column =
+    coalesce(get(split(str, java.util.regex.Pattern.quote(delim), 2), lit(1)), lit(""))
+
+  /** Lowercased host (authority minus port) of a `scheme://…` URL. */
+  def urlHost(url: Column): Column = {
+    val rest = after(before(url, "#"), "://")
+    lower(before(before(rest, "/"), ":"))
+  }
+
+  /** The canonical form of `url` per the object contract. Input must be
+    * absolute (`scheme://…`); anything else passes through unchanged
+    * (canonicalizing garbage into a plausible URL would silently merge
+    * junk rows into real dedup classes).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = before(url, "#")
+    val scheme = lower(before(noFrag, "://"))
+    val rest = after(noFrag, "://")
+    val auth = before(rest, "/")
+    // path+query INCLUDING the leading '/': '' when the authority ends the
+    // URL. concat(NULL) is NULL, coalesced to '' — one reference to rest.
+    val pathq = coalesce(concat(lit("/"), after(rest, "/")), lit(""))
+    val host = lower(before(auth, ":"))
+    val port = after(auth, ":")
+    val keepPort = (port =!= "") &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val authCanon = concat(host, when(keepPort, concat(lit(":"), port)).otherwise(lit("")))
+    val path = rtrim(before(pathq, "?"), "/")
+    val qs = after(pathq, "?")
+    // '' splits to [''], whose param name '' is never tracking, and the
+    // rejoin restores '' — so the empty query string needs no special case.
+    val kept = filter(split(qs, "&"), p => {
+      val name = substring_index(p, "=", 1)
+      !(name.isin(TrackingParams: _*) || substring(name, 1, 4) === "utm_")
+    })
+    val qsCanon = array_join(array_sort(kept), "&")
+    when(instr(url, "://") === 0, url).otherwise(concat(
+      scheme, lit("://"), authCanon, path,
+      when(qsCanon === "", lit("")).otherwise(concat(lit("?"), qsCanon))))
+  }
+
+  /** Registered (pay-level) domain of a lowercase host: the last two
+    * labels, or three when the two-label suffix is a second-level
+    * registry in [[MultiLevelTlds]]. Single-label hosts (`localhost`)
+    * pass through.
+    */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    when(n <= 1, host)
+      .when(last2.isin(MultiLevelTlds: _*) && n >= 3,
+        concat_ws(".", element_at(labels, -3), last2))
+      .otherwise(last2)
+  }
+
+  /** Exact-URL dedup after canonicalization: one row per canonical URL
+    * with the smallest `id` as the keeper and the class size. The
+    * canonical key is computed in the scan stage; the single shuffle is
+    * the groupBy on it (hash-partitioned, map-side combined).
+    */
+  def urlDedup(df: DataFrame, id: String, urlCol: String): DataFrame =
+    df.select(canonicalizeUrl(col(urlCol)).as("canonical_url"), col(id))
+      .groupBy("canonical_url")
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Per-registered-domain corpus rollup: document count, distinct
+    * canonical URLs, and total characters — the shape domain-level
+    * quality policies (crawl budgets, spam domain cuts) consume. One
+    * shuffle on the domain key; the URL→domain mapping rides the scan.
+    */
+  def domainRollup(df: DataFrame, urlCol: String, charsCol: String): DataFrame =
+    df.select(
+        registeredDomain(urlHost(col(urlCol))).as("domain"),
+        canonicalizeUrl(col(urlCol)).as("_curl"),
+        col(charsCol).as("_chars"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("_curl")).as("n_urls"),
+        sum(col("_chars")).as("total_chars"))
+}

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.UrlOps
+import QueryDef.table
+
+/** URL canonicalization / domain-rollup queries ([[graft.ext.UrlOps]]).
+  *
+  * The documents testdata carries no URL column, so each query first
+  * DERIVES a deterministic synthetic URL per document — messy on purpose
+  * (mixed-case schemes and hosts, default and explicit ports, tracking
+  * parameters, unsorted parameters, trailing slashes, fragments) — with
+  * the identical derivation written in both dialects, then gates the
+  * library's canonical form / registered domain / dedup / rollup against
+  * the DuckDB replay of the same contract. Everything is exact string
+  * manipulation: the hash gate is bit-exact by construction.
+  */
+object UrlQueries {
+
+  private def docs(s: SparkSession, d: String) = table(s, d, "documents")
+
+  /** Deterministic messy URL per document — Spark side. MUST stay
+    * character-identical to [[deriveUrlSql]].
+    */
+  private[graft] def deriveUrl: Column = {
+    val id = col("doc_id")
+    val idStr = id.cast("string")
+    val h2 = substring(md5(idStr), 1, 2)
+    val tld = element_at(
+      array(lit("com"), lit("org"), lit("co.uk"), lit("io"), lit("com.au")),
+      (id % 5).cast("int") + 1)
+    val hostBase = when(id % 7 === 3, col("source"))
+      .otherwise(concat(col("source"), lit("-"), h2))
+    val hostCased = when(id % 2 === 0, upper(hostBase)).otherwise(hostBase)
+    val host = concat(lit("www."), hostCased, lit("."), tld)
+    val scheme = element_at(
+      array(lit("HTTP"), lit("https"), lit("HTTPS")), (id % 3).cast("int") + 1)
+    val port = element_at(
+      array(lit(":443"), lit(":8080"), lit(":80"), lit("")), (id % 4).cast("int") + 1)
+    val path = when(id % 7 === 3, lit("/landing/"))
+      .otherwise(concat(lit("/docs/"), idStr))
+    val qs = when(id % 7 === 3, concat(lit("?utm_campaign=c"), idStr))
+      .when(id % 7 === 0, lit("?b=2&utm_source=feed&a=1"))
+      .when(id % 7 === 1, concat(lit("?fbclid=f"), h2, lit("&id="), idStr))
+      .otherwise(lit(""))
+    val frag = when(id % 5 === 0, lit("#sec")).otherwise(lit(""))
+    concat(scheme, lit("://"), host, port, path, qs, frag)
+  }
+
+  /** The same derivation as a DuckDB SQL expression over `doc_id`/`source`. */
+  private[queries] val deriveUrlSql: String =
+    """(CASE (doc_id % 3) WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HTTPS' END
+      || '://' || 'www.'
+      || (CASE WHEN doc_id % 2 = 0
+            THEN upper(CASE WHEN doc_id % 7 = 3 THEN source
+                       ELSE source || '-' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) END)
+            ELSE CASE WHEN doc_id % 7 = 3 THEN source
+                 ELSE source || '-' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) END END)
+      || '.' || (CASE (doc_id % 5) WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                 WHEN 2 THEN 'co.uk' WHEN 3 THEN 'io' ELSE 'com.au' END)
+      || (CASE (doc_id % 4) WHEN 0 THEN ':443' WHEN 1 THEN ':8080'
+          WHEN 2 THEN ':80' ELSE '' END)
+      || (CASE WHEN doc_id % 7 = 3 THEN '/landing/'
+          ELSE '/docs/' || CAST(doc_id AS VARCHAR) END)
+      || (CASE WHEN doc_id % 7 = 3 THEN '?utm_campaign=c' || CAST(doc_id AS VARCHAR)
+          WHEN doc_id % 7 = 0 THEN '?b=2&utm_source=feed&a=1'
+          WHEN doc_id % 7 = 1
+            THEN '?fbclid=f' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                 || '&id=' || CAST(doc_id AS VARCHAR)
+          ELSE '' END)
+      || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END))"""
+
+  /** The [[UrlOps.canonicalizeUrl]] + [[UrlOps.registeredDomain]] contract
+    * as a chain of DuckDB CTE stages. Expects an upstream CTE `u` exposing
+    * a `url` column (plus any passthrough columns, propagated by `*`);
+    * the final stage `s7` adds `canonical_url`, `host`, and `domain`.
+    * Step-for-step replay of the documented contract: fragment drop,
+    * scheme/authority/path-query split, default-port drop, tracking-param
+    * filter + bytewise sort, trailing-slash trim, public-suffix labels.
+    */
+  private[queries] val canonCtes: String = {
+    val tracking = UrlOps.TrackingParams.map(p => s"'$p'").mkString(", ")
+    val ml = UrlOps.MultiLevelTlds.map(t => s"'$t'").mkString(", ")
+    s"""s1 AS (SELECT *, split_part(url, '#', 1) AS nofrag FROM u),
+       s2 AS (SELECT *, lower(split_part(nofrag, '://', 1)) AS scheme,
+         CASE WHEN strpos(nofrag, '://') > 0
+           THEN substr(nofrag, strpos(nofrag, '://') + 3) ELSE '' END AS rest
+         FROM s1),
+       s3 AS (SELECT *, split_part(rest, '/', 1) AS auth,
+         CASE WHEN strpos(rest, '/') > 0
+           THEN substr(rest, strpos(rest, '/')) ELSE '' END AS pathq
+         FROM s2),
+       s4 AS (SELECT *, lower(split_part(auth, ':', 1)) AS host,
+         CASE WHEN strpos(auth, ':') > 0
+           THEN substr(auth, strpos(auth, ':') + 1) ELSE '' END AS port,
+         rtrim(split_part(pathq, '?', 1), '/') AS path,
+         CASE WHEN strpos(pathq, '?') > 0
+           THEN substr(pathq, strpos(pathq, '?') + 1) ELSE '' END AS qs
+         FROM s3),
+       s5 AS (SELECT *, coalesce(array_to_string(list_sort(list_filter(
+           string_split(qs, '&'),
+           p -> NOT (split_part(p, '=', 1) IN ($tracking)
+                     OR substr(split_part(p, '=', 1), 1, 4) = 'utm_'))),
+           '&'), '') AS qs2
+         FROM s4),
+       s6 AS (SELECT *, scheme || '://' || host
+           || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                      OR (scheme = 'https' AND port = '443')
+               THEN '' ELSE ':' || port END)
+           || path
+           || (CASE WHEN qs2 = '' THEN '' ELSE '?' || qs2 END) AS canonical_url,
+         string_split(host, '.') AS ls
+         FROM s5),
+       s7 AS (SELECT *, CASE
+           WHEN len(ls) <= 1 THEN host
+           WHEN ls[-2] || '.' || ls[-1] IN ($ml) AND len(ls) >= 3
+             THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+           ELSE ls[-2] || '.' || ls[-1] END AS domain
+         FROM s6)"""
+  }
+
+  /** Per-document canonical URL + host + registered domain — gates the
+    * full canonicalization contract string-exactly on every document.
+    */
+  val qUrlCanonical = QueryDef(
+    "q_url_canonical",
+    (s, d) => docs(s, d)
+      .select(col("doc_id"), deriveUrl.as("url"))
+      .select(col("doc_id"), col("url"),
+        UrlOps.canonicalizeUrl(col("url")).as("canonical_url"),
+        UrlOps.urlHost(col("url")).as("host"),
+        UrlOps.registeredDomain(UrlOps.urlHost(col("url"))).as("domain"))
+      .orderBy("doc_id"),
+    Some(s"""WITH u AS (SELECT doc_id, $deriveUrlSql AS url FROM documents),
+             $canonCtes
+             SELECT doc_id, url, canonical_url, host, domain
+             FROM s7 ORDER BY doc_id"""))
+
+  /** Exact-URL dedup on the canonical key ([[UrlOps.urlDedup]]): URLs
+    * differing only in case/ports/tracking params/slashes collapse to one
+    * keeper. The `%7=3` derivation class makes real multi-document
+    * classes whose members differ ONLY by stripped noise.
+    */
+  val qUrlDedup = QueryDef(
+    "q_url_dedup",
+    (s, d) => UrlOps.urlDedup(
+        docs(s, d).select(col("doc_id"), deriveUrl.as("url")), "doc_id", "url")
+      .orderBy("canonical_url"),
+    Some(s"""WITH u AS (SELECT doc_id, $deriveUrlSql AS url FROM documents),
+             $canonCtes
+             SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_dups
+             FROM s7 GROUP BY canonical_url ORDER BY canonical_url"""))
+
+  /** Registered-domain rollup ([[UrlOps.domainRollup]]): doc counts,
+    * distinct canonical URLs, and total characters per pay-level domain —
+    * the input to domain-level crawl/quality policy.
+    */
+  val qDomainRollup = QueryDef(
+    "q_domain_rollup",
+    (s, d) => UrlOps.domainRollup(
+        docs(s, d).select(col("doc_id"), col("n_chars"), deriveUrl.as("url")),
+        "url", "n_chars")
+      .orderBy("domain"),
+    Some(s"""WITH u AS (SELECT doc_id, n_chars, $deriveUrlSql AS url FROM documents),
+             $canonCtes
+             SELECT domain, count(*) AS n_docs,
+               count(DISTINCT canonical_url) AS n_urls,
+               sum(n_chars) AS total_chars
+             FROM s7 GROUP BY domain ORDER BY domain"""))
+
+  val all: Seq[QueryDef] = Seq(qUrlCanonical, qUrlDedup, qDomainRollup)
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.UrlOps
+
+/** Contract tests for [[graft.ext.UrlOps]]: canonicalization cases,
+  * idempotence over the messy derived corpus, registered-domain labels,
+  * and the dedup/rollup operator shapes.
+  */
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url").select(UrlOps.canonicalizeUrl(col("url"))).as[String].collect().toSeq
+
+  test("canonicalize lowercases scheme+host and drops fragments") {
+    assert(canon("HTTPS://WWW.Example.COM/A/b#frag") ==
+      Seq("https://www.example.com/A/b"))
+  }
+
+  test("canonicalize drops default ports only") {
+    assert(canon(
+      "http://h.com:80/x", "https://h.com:443/x",
+      "http://h.com:443/x", "https://h.com:8080/x") ==
+      Seq("http://h.com/x", "https://h.com/x",
+        "http://h.com:443/x", "https://h.com:8080/x"))
+  }
+
+  test("canonicalize strips tracking params, sorts survivors, drops bare ?") {
+    assert(canon(
+      "https://h.com/p?utm_source=a&b=2&a=1&fbclid=z",
+      "https://h.com/p?utm_campaign=only",
+      "https://h.com/p?z=1&y=2") ==
+      Seq("https://h.com/p?a=1&b=2", "https://h.com/p", "https://h.com/p?y=2&z=1"))
+  }
+
+  test("canonicalize trims trailing slashes; root collapses to empty path") {
+    assert(canon("https://h.com/docs/", "https://h.com/", "https://h.com") ==
+      Seq("https://h.com/docs", "https://h.com", "https://h.com"))
+  }
+
+  test("non-absolute input passes through unchanged") {
+    assert(canon("not a url", "relative/path?utm_source=x") ==
+      Seq("not a url", "relative/path?utm_source=x"))
+  }
+
+  test("canonicalize is idempotent over the messy derived corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val urls = docs.select(col("doc_id"), graft.queries.UrlQueries.deriveUrl.as("url"))
+    val once = UrlOps.canonicalizeUrl(col("url"))
+    val diff = urls.select(once.as("c1"))
+      .select(col("c1"), UrlOps.canonicalizeUrl(col("c1")).as("c2"))
+      .filter(col("c1") =!= col("c2")).count()
+    assert(diff == 0L)
+  }
+
+  test("registeredDomain handles multi-level TLDs and short hosts") {
+    val got = Seq("www.news.bbc.co.uk", "a.b.example.com", "example.com",
+        "localhost", "site.com.au")
+      .toDF("host").select(UrlOps.registeredDomain(col("host"))).as[String].collect().toSeq
+    assert(got == Seq("bbc.co.uk", "example.com", "example.com",
+      "localhost", "site.com.au"))
+  }
+
+  test("urlDedup collapses tracking/case/slash variants into one keeper") {
+    val df = Seq(
+      (1L, "HTTP://A.com/x/?utm_source=1"),
+      (2L, "http://a.COM/x?utm_campaign=2"),
+      (3L, "http://a.com/x"),
+      (4L, "http://a.com/y")).toDF("doc_id", "url")
+    val got = UrlOps.urlDedup(df, "doc_id", "url")
+      .orderBy("canonical_url")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("http://a.com/x", 1L, 3L), ("http://a.com/y", 4L, 1L)))
+  }
+
+  test("domainRollup groups by registered domain with distinct canonical urls") {
+    val df = Seq(
+      (1L, "https://a.x.co.uk/p?utm_source=s", 10L),
+      (2L, "https://b.x.co.uk/p", 20L),
+      (3L, "https://A.x.CO.UK/p/", 30L),
+      (4L, "https://other.com/q", 5L)).toDF("doc_id", "url", "n_chars")
+    val got = UrlOps.domainRollup(df, "url", "n_chars")
+      .orderBy("domain").as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("other.com", 1L, 1L, 5L), ("x.co.uk", 3L, 2L, 60L)))
+  }
+}
