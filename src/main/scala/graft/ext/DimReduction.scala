@@ -1,0 +1,163 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding dimensionality reduction — the step between raw encoder
+  * output and the ANN / clustering / dedup machinery when the stored
+  * dimension is larger than the search problem needs. Two reducers:
+  *
+  *  - [[jlProject]]: Johnson–Lindenstrauss random ±1 projection. Data-
+  *    independent (no training pass), per-row, fuses into the scan —
+  *    the 100 TB shape is a zero-shuffle map. Distance distortion is
+  *    bounded w.h.p. by the JL lemma for k = O(log n / ε²).
+  *  - [[pcaPower]] / [[pcaScores]]: top principal component via fixed-
+  *    point power iteration on the integer covariance — data-DEPENDENT
+  *    (one aggregation pass over the corpus collects the d×d covariance,
+  *    bounded at d=64 to 4096 longs), then scoring is again a per-row
+  *    plan-literal map. Deterministic end to end: quantized inputs,
+  *    commutative long sums, BigInt driver iteration — the same
+  *    fixed-point discipline as the Lloyd/GD trainers, so the whole
+  *    pipeline replays exactly in the DuckDB oracle.
+  *
+  * The projection matrix / eigenvector ride the plan as literals (never
+  * a join), mirroring [[QualityClassifier.score]].
+  */
+object DimReduction {
+
+  /** Deterministic ±1 entry of the JL sign matrix, derived from md5 so
+    * the generated oracle can embed the SAME constants from this one
+    * definition (shared-constant discipline — the operator call and the
+    * oracle cannot drift apart).
+    */
+  private[graft] def jlSign(outDim: Int, inDim: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"jl_${outDim}_${inDim}".getBytes("UTF-8"))
+    if ((d(0) & 1) == 0) 1 else -1
+  }
+
+  /** JL-project `vec` (array<float>, `inDims` wide) to `outDims` double
+    * columns `p0..p{k-1}`: p_j = Σ_i ±v_i with the fixed ±1 matrix of
+    * [[jlSign]] (unnormalized — a constant 1/√k factor rescales every
+    * distance identically and would only add float noise).
+    *
+    * Exactness contract: each component is a LEFT-nested chain of double
+    * additions (reduceLeft), giving one fixed evaluation order that SQL's
+    * left-associative `+` replays bit-exactly; float→double casts are
+    * exact and Catalyst does not reassociate floating-point math. No
+    * shuffle, no UDF — pure codegen'd arithmetic in the scan stage.
+    */
+  def jlProject(
+      df: DataFrame, id: String, vec: String,
+      outDims: Int, inDims: Int): DataFrame = {
+    require(outDims >= 1 && inDims >= 1, "dims must be positive")
+    val comps = (0 until outDims).map { j =>
+      (0 until inDims).map { i =>
+        val e = element_at(col(vec), i + 1).cast("double")
+        if (jlSign(j, i) > 0) e else -e
+      }.reduceLeft(_ + _).as(s"p$j")
+    }
+    df.select(col(id) +: comps: _*)
+  }
+
+  // --- fixed-point PCA (top principal component) --------------------------
+
+  /** Trained PCA artifact: per-dim mean at [[Similarity.ElemScale]]
+    * (10^5) and the max-normalized principal component at [[PcScale]]
+    * (10^6) — all longs, ready to ride a scoring plan as literals.
+    */
+  final case class PcaModel(meanQ: Array[Long], compQ: Array[Long])
+
+  private[graft] val PcScale = 1000000L
+
+  /** Element quantization to DECIMAL(18,5)-scaled longs — the ONE
+    * expression shared with [[Similarity.hyperplaneSignatures]]'s parity
+    * path (DuckDB replays it as the VARCHAR→DECIMAL hop).
+    */
+  private def elemQ(e: Column): Column =
+    (e.cast("double").cast("decimal(18,5)") * lit(Similarity.ElemScale))
+      .cast("long")
+
+  /** Top principal component by FIXED-POINT power iteration.
+    *
+    * Three bounded distributed aggregations feed a driver loop:
+    *  1. per-dim integer sums → half-up means `mq` (d longs);
+    *  2. the centered Gram matrix `S_ab = Σ (xq_a−mq_a)(xq_b−mq_b)` as
+    *     ONE wide aggregation of d(d+1)/2 long sums — map-side partial
+    *     aggregation, so the exchange carries d(d+1)/2 longs per
+    *     partition and the corpus is never exploded or self-joined (the
+    *     100 TB Gram shape);
+    *  3. `iters` rounds of `u = S·v` in driver BigInt with MAX-abs
+    *     normalization — any normalization converges power iteration,
+    *     and the max keeps every intermediate in 128 bits with no
+    *     square root, so the oracle replays the loop verbatim in
+    *     HUGEINT CTEs.
+    *
+    * Everything is commutative integer arithmetic — bit-deterministic
+    * under any partitioning, and exactly replayable cross-engine. The
+    * covariance normalization 1/(n−1) is omitted: it scales every entry
+    * identically and the iteration renormalizes each round.
+    *
+    * Magnitude headroom (|v_i| ≤ ~1 ⇒ centered |c| ≤ 2·10^5): S_ab ≤
+    * n·4·10^10 — longs to n ≈ 2·10^8 rows; u_j ≤ d·S·10^6 — BigInt/
+    * HUGEINT regardless. Train on a bounded sample beyond that (the
+    * quantizer-trainer pattern).
+    */
+  def pcaTrain(
+      df: DataFrame, vec: String,
+      inDims: Int, iters: Int = 12): PcaModel = {
+    require(inDims >= 2, s"inDims must be >= 2, got $inDims")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    // one narrow projection quantizes each element ONCE; the aggregates
+    // below reference plain attributes, keeping every tree linear
+    val xq = df.select((0 until inDims).map(i =>
+      elemQ(element_at(col(vec), i + 1)).as(s"x$i")): _*)
+      .persist()
+    val sums = xq.select(
+      count(lit(1)).as("_n") +:
+        (0 until inDims).map(i => sum(col(s"x$i")).as(s"s$i")): _*)
+      .collect()(0)
+    val n = sums.getLong(0)
+    require(n > 0, "pcaTrain: no vectors")
+    val meanQ = Array.tabulate(inDims)(i =>
+      Similarity.divHalfUp(sums.getLong(i + 1), n))
+    val pairs = for { a <- 0 until inDims; b <- a until inDims } yield (a, b)
+    val gram = xq.select(pairs.map { case (a, b) =>
+      sum((col(s"x$a") - lit(meanQ(a))) * (col(s"x$b") - lit(meanQ(b))))
+        .as(s"g_${a}_$b")
+    }: _*).collect()(0)
+    xq.unpersist(false)
+    val s = Array.ofDim[Long](inDims, inDims)
+    pairs.zipWithIndex.foreach { case ((a, b), k) =>
+      s(a)(b) = gram.getLong(k); s(b)(a) = gram.getLong(k)
+    }
+    // driver power iteration: exact BigInt, max-abs renormalization
+    def halfUpBig(num: BigInt, den: BigInt): BigInt = {
+      val sg = if (num < 0) BigInt(-1) else BigInt(1)
+      sg * ((sg * num * 2 + den) / (den * 2))
+    }
+    var v = Array.fill(inDims)(BigInt(PcScale))
+    for (_ <- 0 until iters) {
+      val u = Array.tabulate(inDims)(j =>
+        (0 until inDims).foldLeft(BigInt(0))((acc, a) => acc + BigInt(s(j)(a)) * v(a)))
+      val m = u.map(_.abs).max
+      require(m > 0, "pcaTrain: degenerate (all-zero) covariance")
+      v = u.map(uj => halfUpBig(uj * PcScale, m))
+    }
+    PcaModel(meanQ, v.map(_.toLong))
+  }
+
+  /** Score rows on the trained component: `pc1q = Σ (xq_i − mq_i)·cq_i`
+    * — an exact integer per row, mean and component as plan literals
+    * (never a join), zero shuffle: the 100 TB scoring path.
+    */
+  def pcaScores(
+      df: DataFrame, id: String, vec: String, model: PcaModel): DataFrame = {
+    val d = model.meanQ.length
+    val score = (0 until d).map { i =>
+      (elemQ(element_at(col(vec), i + 1)) - lit(model.meanQ(i))) *
+        lit(model.compQ(i))
+    }.reduceLeft(_ + _)
+    df.select(col(id), score.as("pc1q"))
+  }
+}

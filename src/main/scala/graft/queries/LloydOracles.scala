@@ -39,7 +39,7 @@ private[queries] object LloydOracles {
     * DuckDB `//` (and Spark driver `/` on longs) agree on negatives;
     * mirrors [[graft.ext.Similarity.divHalfUp]].
     */
-  private def halfUp(num: String, den: String): String =
+  private[queries] def halfUp(num: String, den: String): String =
     s"CASE WHEN ($num) < 0 THEN -(((-($num)) * 2 + ($den)) // (2 * ($den)))" +
       s" ELSE (($num) * 2 + ($den)) // (2 * ($den)) END"
 
@@ -54,7 +54,7 @@ private[queries] object LloydOracles {
     * BigDecimal.valueOf + HALF_UP setScale, the round-5 parity) scaled to
     * integers.
     */
-  private def scaleElem(x: String): String =
+  private[queries] def scaleElem(x: String): String =
     s"CAST(CAST(CAST(CAST($x AS DOUBLE) AS VARCHAR) AS DECIMAL(18,5)) " +
       s"* 100000 AS BIGINT)"
 

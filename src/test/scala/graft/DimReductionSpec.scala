@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.DimReduction
+
+/** Mathematical sanity for [[graft.ext.DimReduction]] — the oracle gate
+  * pins cross-engine exactness; these pin that the reducers actually DO
+  * what their names claim on the real embedding corpus.
+  */
+class DimReductionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val embs =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("jlSign is deterministic and roughly balanced") {
+    val signs = for (j <- 0 until 16; i <- 0 until 64) yield DimReduction.jlSign(j, i)
+    assert(signs == signs.map(identity)) // stable across calls
+    val pos = signs.count(_ > 0)
+    assert(pos > 400 && pos < 624, s"sign matrix badly unbalanced: $pos/1024 positive")
+  }
+
+  test("JL projection approximately preserves pairwise distance ratios") {
+    // JL with k=16 ±1 columns: squared-distance ratios concentrate
+    // around E[|Px-Py|²] = k·|x-y|² — check the mean ratio over real
+    // pairs lands near k with loose tolerance (the lemma's ε at k=16 is
+    // wide; this guards gross sign/indexing bugs, not tight bounds)
+    val p = DimReduction.jlProject(embs, "vec_id", "embedding", 16, 64)
+    val both = embs.join(p, "vec_id").limit(40).collect()
+    val vecs = both.map { r =>
+      (r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray,
+        (0 until 16).map(j => r.getAs[Double](s"p$j")).toArray)
+    }
+    val ratios = for {
+      a <- vecs.indices; b <- vecs.indices if a < b
+      d2 = vecs(a)._1.zip(vecs(b)._1).map { case (x, y) => (x - y) * (x - y) }.sum
+      if d2 > 1e-9
+      p2 = vecs(a)._2.zip(vecs(b)._2).map { case (x, y) => (x - y) * (x - y) }.sum
+    } yield p2 / d2
+    val mean = ratios.sum / ratios.size
+    assert(mean > 16 * 0.5 && mean < 16 * 1.5,
+      s"mean squared-distance ratio $mean far from k=16 — projection broken")
+  }
+
+  test("PCA component captures at least the best single axis's variance") {
+    val model = DimReduction.pcaTrain(embs, "embedding", 64, 12)
+    assert(model.compQ.length == 64 && model.meanQ.length == 64)
+    // Rayleigh quotient of the returned component vs every coordinate
+    // axis, on the SAME quantized centered data the trainer saw
+    val rows = embs.select(col("embedding")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    def q(x: Float): Long =
+      java.math.BigDecimal.valueOf(x.toDouble)
+        .setScale(5, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValue()
+    val cent = rows.map(r => r.indices.map(i => (q(r(i)) - model.meanQ(i)).toDouble).toArray)
+    val vn = math.sqrt(model.compQ.map(v => v.toDouble * v.toDouble).sum)
+    val pcVar = cent.map { c =>
+      val s = c.indices.map(i => c(i) * model.compQ(i).toDouble / vn).sum
+      s * s
+    }.sum
+    val bestAxis = (0 until 64).map(i => cent.map(c => c(i) * c(i)).sum).max
+    assert(pcVar >= bestAxis * 0.999,
+      s"pc1 variance $pcVar below best single axis $bestAxis — iteration diverged")
+  }
+
+  test("pcaScores matches a driver-side replay of the integer projection") {
+    val model = DimReduction.pcaTrain(embs, "embedding", 64, 12)
+    val got = DimReduction.pcaScores(embs, "vec_id", "embedding", model)
+      .orderBy("vec_id").as[(Long, Long)].collect()
+    def q(x: Float): Long =
+      java.math.BigDecimal.valueOf(x.toDouble)
+        .setScale(5, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValue()
+    val want = embs.select(col("vec_id"), col("embedding")).collect().map { r =>
+      val v = r.getAs[scala.collection.Seq[Float]](1)
+      (r.getLong(0),
+        v.indices.map(i => (q(v(i)) - model.meanQ(i)) * model.compQ(i)).sum)
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+}
