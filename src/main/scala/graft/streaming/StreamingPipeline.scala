@@ -787,4 +787,34 @@ object StreamingPipeline {
       .select(col(qId), explode(col("_top")).as("_t"))
       .select(col(qId), col("_t._nid").as(id), (-col("_t._negc")).as("cosine"))
   }
+
+  /** Streaming twin of [[graft.ext.UrlOps.urlDedup]]: canonicalize the
+    * URL at the ingest edge — the SAME stateless
+    * [[graft.ext.UrlOps.canonicalizeUrl]] Column expression batch uses,
+    * so a crawl variant (tracking params, case, default ports, trailing
+    * slashes) can never dodge the dedup key in one mode and not the
+    * other — then suppress repeats of the canonical key within the
+    * watermark horizon. Keeps the FIRST arrival (batch keeps min-id;
+    * streaming cannot keep "last"). An optional static seen-URL index
+    * anti-joins BEFORE the stateful dedup (the
+    * [[incrementalIntakeStream]] contract): already-crawled URLs never
+    * enter the state, which stays proportional to novel URLs inside one
+    * horizon — the recrawl-suppression shape for a continuous fetcher.
+    */
+  def urlDedupStream(
+      docs: DataFrame, urlCol: String = "url", tsCol: String = "ingest_ts",
+      watermark: String = "1 hour",
+      seenUrls: Option[DataFrame] = None): DataFrame = {
+    val canon = docs.withColumn("canonical_url",
+      graft.ext.UrlOps.canonicalizeUrl(col(urlCol)))
+    val novel = seenUrls.fold(canon) { seen =>
+      canon.join(
+        seen.select(graft.ext.UrlOps.canonicalizeUrl(col(urlCol))
+          .as("canonical_url")).distinct(),
+        Seq("canonical_url"), "left_anti")
+    }
+    novel
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("canonical_url"))
+  }
 }

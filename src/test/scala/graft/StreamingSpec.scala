@@ -856,4 +856,42 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.size === 3 * k)
     } finally q.stop()
   }
+
+  test("url dedup stream: canonical-key suppression matches batch, seen index skips state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val seen = Seq((0L, "https://a.com/crawled?utm_source=old"))
+      .toDF("doc_id", "url")
+    val q = StreamingPipeline.urlDedupStream(
+        input.toDF().toDF("doc_id", "url", "ingest_ts"),
+        seenUrls = Some(seen))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("url_out").start()
+    try {
+      input.addData(
+        (1L, "HTTP://A.com/x/?utm_source=1", ts("2025-01-01 10:00:00")),
+        (2L, "http://a.COM/x?utm_campaign=2", ts("2025-01-01 10:00:05")), // canonical dup of 1
+        (3L, "http://a.com:80/x", ts("2025-01-01 10:00:10")),             // canonical dup of 1
+        (4L, "https://a.com/crawled", ts("2025-01-01 10:00:15")),         // in the seen index
+        (5L, "https://a.com/new?b=2&a=1", ts("2025-01-01 10:00:20")))
+      q.processAllAvailable()
+      val out = spark.table("url_out")
+        .select("doc_id", "canonical_url").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // first arrival per canonical key survives; the seen URL never emits
+      assert(out.keySet == Set(1L, 5L))
+      assert(out(1L) == "http://a.com/x")
+      assert(out(5L) == "https://a.com/new?a=1&b=2")
+      // the stream's canonical key is bit-identical to the batch operator's
+      val batch = graft.ext.UrlOps.urlDedup(
+        Seq((1L, "HTTP://A.com/x/?utm_source=1"),
+          (2L, "http://a.COM/x?utm_campaign=2"),
+          (3L, "http://a.com:80/x"),
+          (5L, "https://a.com/new?b=2&a=1")).toDF("doc_id", "url"),
+        "doc_id", "url")
+        .orderBy("canonical_url")
+        .select("canonical_url", "keep_id").as[(String, Long)].collect().toSeq
+      assert(batch == Seq(("http://a.com/x", 1L), ("https://a.com/new?a=1&b=2", 5L)))
+    } finally q.stop()
+  }
 }
