@@ -140,6 +140,74 @@ object UrlOps {
       .groupBy("canonical_url")
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** One URL-policy rule: decision for URLs on `domain` whose canonical
+    * path starts with `pathPrefix` ('' matches the whole domain). The
+    * LONGEST matching prefix wins (the robots.txt discipline), so a
+    * narrow allow can carve an exception out of a broad deny.
+    */
+  final case class UrlRule(domain: String, pathPrefix: String, allow: Boolean)
+
+  /** Canonical path (after [[canonicalizeUrl]]'s trailing-slash trim) of
+    * an absolute URL — '' for the bare root.
+    */
+  def urlPath(url: Column): Column = {
+    val rest = after(before(url, "#"), "://")
+    rtrim(before(coalesce(concat(lit("/"), after(rest, "/")), lit("")), "?"), "/")
+  }
+
+  /** Apply a robots-style allow/deny rule set: adds `allowed` (longest
+    * matching rule's decision; `defaultAllow` when nothing matches) and
+    * `matched_rule` (its "domain|prefix" key, NULL when none). Rules are
+    * a bounded policy table, so they compile to ONE literal when-chain
+    * ordered by prefix length — codegen'd, zero-shuffle, zero-join: the
+    * policy rides the scan at 100 TB exactly like the threat-feed
+    * longest-prefix matcher ([[Network]]'s design, applied to URL space).
+    */
+  def applyUrlPolicy(
+      df: DataFrame, urlCol: String, rules: Seq[UrlRule],
+      defaultAllow: Boolean = true): DataFrame = {
+    require(rules.nonEmpty, "applyUrlPolicy needs at least one rule")
+    require(rules.map(r => (r.domain, r.pathPrefix)).distinct.size == rules.size,
+      "duplicate (domain, prefix) rule keys")
+    val dom = registeredDomain(urlHost(col(urlCol)))
+    val path = urlPath(col(urlCol))
+    // longest prefix first; ties broken by rule key for determinism
+    val ordered = rules.sortBy(r => (-r.pathPrefix.length, r.domain, r.pathPrefix))
+    val hit = ordered.map { r =>
+      val m = dom === r.domain &&
+        (if (r.pathPrefix.isEmpty) lit(true)
+         else substring(path, 1, r.pathPrefix.length) === r.pathPrefix)
+      (m, r)
+    }
+    val decision = hit.foldRight(lit(defaultAllow)) { case ((m, r), els) =>
+      when(m, lit(r.allow)).otherwise(els)
+    }
+    val matched = hit.foldRight(lit(null).cast("string")) { case ((m, r), els) =>
+      when(m, lit(s"${r.domain}|${r.pathPrefix}")).otherwise(els)
+    }
+    df.withColumn("allowed", decision).withColumn("matched_rule", matched)
+  }
+
+  /** Per-domain crawl budget: keep at most `budget` documents per
+    * registered domain, best-first by `scoreCol` (ties broken by `id` so
+    * the cut is deterministic). The rank window compiles to Spark's
+    * WindowGroupLimit — per-partition top-k pushed BEFORE the shuffle,
+    * so the exchange carries at most `budget` rows per domain per map
+    * partition, not the whole corpus — the standard budget-enforcement
+    * shape for domain-skewed crawls.
+    */
+  def domainBudget(
+      df: DataFrame, id: String, urlCol: String, scoreCol: String,
+      budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(registeredDomain(urlHost(col(urlCol))))
+      .orderBy(col(scoreCol).desc, col(id))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= budget)
+      .drop("_rk")
+  }
+
   /** Per-registered-domain corpus rollup: document count, distinct
     * canonical URLs, and total characters — the shape domain-level
     * quality policies (crawl budgets, spam domain cuts) consume. One

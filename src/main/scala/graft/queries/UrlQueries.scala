@@ -170,5 +170,67 @@ object UrlQueries {
                sum(n_chars) AS total_chars
              FROM s7 GROUP BY domain ORDER BY domain"""))
 
-  val all: Seq[QueryDef] = Seq(qUrlCanonical, qUrlDedup, qDomainRollup)
+  /** The policy rule set exercised by `q_url_policy` — ONE definition
+    * feeding both the operator call and the generated oracle CASE chain.
+    * Covers: a deny carved by path prefix, the shorter whole-domain
+    * allow it overrides, a whole-domain deny, and a path deny on a
+    * hashed host — plus the default-allow fall-through for everything
+    * else.
+    */
+  private[graft] val PolicyRules: Seq[UrlOps.UrlRule] = Seq(
+    UrlOps.UrlRule("src3.io", "/landing", allow = false),
+    UrlOps.UrlRule("src3.io", "", allow = true),
+    UrlOps.UrlRule("src10.com", "", allow = false),
+    UrlOps.UrlRule("src1-c4.org", "/docs", allow = false))
+
+  /** Robots-style longest-prefix URL policy ([[UrlOps.applyUrlPolicy]]):
+    * decision + matched rule per document, replayed as the identically
+    * ordered CASE chain over the canonCtes domain/path.
+    */
+  val qUrlPolicy = QueryDef(
+    "q_url_policy",
+    (s, d) => UrlOps.applyUrlPolicy(
+        docs(s, d).select(col("doc_id"), deriveUrl.as("url")), "url", PolicyRules)
+      .select("doc_id", "allowed", "matched_rule")
+      .orderBy("doc_id"),
+    Some {
+      val ordered = PolicyRules.sortBy(r => (-r.pathPrefix.length, r.domain, r.pathPrefix))
+      def arm(sel: UrlOps.UrlRule => String) = ordered.map { r =>
+        val m =
+          if (r.pathPrefix.isEmpty) s"domain = '${r.domain}'"
+          else s"domain = '${r.domain}' AND substr(path, 1, ${r.pathPrefix.length})" +
+            s" = '${r.pathPrefix}'"
+        s"WHEN $m THEN ${sel(r)}"
+      }.mkString("\n               ")
+      s"""WITH u AS (SELECT doc_id, $deriveUrlSql AS url FROM documents),
+             $canonCtes
+             SELECT doc_id,
+               CASE ${arm(_.allow.toString)} ELSE true END AS allowed,
+               CASE ${arm(r => s"'${r.domain}|${r.pathPrefix}'")}
+                 ELSE NULL END AS matched_rule
+             FROM s7 ORDER BY doc_id"""
+    })
+
+  /** Per-domain crawl budget ([[UrlOps.domainBudget]]): top-2 documents
+    * per registered domain by n_chars (doc_id tiebreak) — the rank
+    * window compiles to WindowGroupLimit (PlanSpec) so the exchange
+    * never carries more than the budget per domain per map partition.
+    */
+  val qDomainBudget = QueryDef(
+    "q_domain_budget",
+    (s, d) => UrlOps.domainBudget(
+        docs(s, d).select(col("doc_id"), col("n_chars"), deriveUrl.as("url")),
+        "doc_id", "url", "n_chars", budget = 2)
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id"),
+    Some(s"""WITH u AS (SELECT doc_id, n_chars, $deriveUrlSql AS url FROM documents),
+             $canonCtes
+             SELECT doc_id, n_chars FROM (
+               SELECT doc_id, n_chars, row_number() OVER (
+                 PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rk
+               FROM s7)
+             WHERE rk <= 2 ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] =
+    Seq(qUrlCanonical, qUrlDedup, qDomainRollup, qUrlPolicy, qDomainBudget)
 }

@@ -208,6 +208,14 @@ class PlanSpec extends SparkSpec {
       s"both re-rank windows must share one qId exchange:\n${p.take(3000)}")
   }
 
+  test("domain budget plan: partial WindowGroupLimit prunes before the domain exchange") {
+    val p = planOfText("q_domain_budget")
+    assert(!p.toLowerCase.contains("join"),
+      s"policy/budget must be join-free:\n${p.take(3000)}")
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(p).isDefined,
+      s"budget rows crossed the shuffle unpruned:\n${p.take(3000)}")
+  }
+
   test("decontamination plan: corpus never shuffles, gram joins broadcast") {
     val p = planOfText("q_decontaminate")
     assert(!p.contains("SortMergeJoin"),

@@ -75,6 +75,40 @@ class UrlOpsSpec extends SparkSpec {
     assert(got == Seq(("http://a.com/x", 1L, 3L), ("http://a.com/y", 4L, 1L)))
   }
 
+  test("applyUrlPolicy: longest prefix wins, default fills the gaps") {
+    val rules = Seq(
+      UrlOps.UrlRule("a.com", "/private", allow = false),
+      UrlOps.UrlRule("a.com", "/private/ok", allow = true),
+      UrlOps.UrlRule("b.com", "", allow = false))
+    val df = Seq(
+      (1L, "https://www.a.com/private/x"),
+      (2L, "https://www.a.com/private/ok/y"),
+      (3L, "https://www.a.com/public"),
+      (4L, "https://sub.b.com/anything"),
+      (5L, "https://c.com/whatever")).toDF("doc_id", "url")
+    val got = UrlOps.applyUrlPolicy(df, "url", rules)
+      .select("doc_id", "allowed", "matched_rule")
+      .orderBy("doc_id").as[(Long, Boolean, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, false, "a.com|/private"),
+      (2L, true, "a.com|/private/ok"),
+      (3L, true, null),
+      (4L, false, "b.com|"),
+      (5L, true, null)))
+  }
+
+  test("domainBudget keeps top-k per registered domain, deterministic ties") {
+    val df = Seq(
+      (1L, "https://x.a.com/1", 100L),
+      (2L, "https://y.a.com/2", 300L),
+      (3L, "https://z.a.com/3", 200L),
+      (4L, "https://w.a.com/4", 200L), // ties with 3 — lower id wins
+      (5L, "https://b.com/5", 10L)).toDF("doc_id", "url", "n_chars")
+    val got = UrlOps.domainBudget(df, "doc_id", "url", "n_chars", budget = 2)
+      .select("doc_id").orderBy("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(2L, 3L, 5L))
+  }
+
   test("domainRollup groups by registered domain with distinct canonical urls") {
     val df = Seq(
       (1L, "https://a.x.co.uk/p?utm_source=s", 10L),
