@@ -119,17 +119,49 @@ object DimReduction {
       .collect()(0)
     val n = sums.getLong(0)
     require(n > 0, "pcaTrain: no vectors")
-    val meanQ = Array.tabulate(inDims)(i =>
-      Similarity.divHalfUp(sums.getLong(i + 1), n))
-    val pairs = for { a <- 0 until inDims; b <- a until inDims } yield (a, b)
-    val gram = xq.select(pairs.map { case (a, b) =>
-      sum((col(s"x$a") - lit(meanQ(a))) * (col(s"x$b") - lit(meanQ(b))))
-        .as(s"g_${a}_$b")
-    }: _*).collect()(0)
+    val elemSums = Array.tabulate(inDims)(i => sums.getLong(i + 1))
+    val meanQ = elemSums.map(Similarity.divHalfUp(_, n))
+    // RAW product sums Σ x_a·x_b, then center ALGEBRAICALLY at the
+    // driver: for any constant m, Σ(x_a−m_a)(x_b−m_b) =
+    // Σx_a x_b − m_a·Σx_b − m_b·Σx_a + n·m_a·m_b — exact in longs, so
+    // one corpus pass suffices and no aggregate mentions the means.
+    //
+    // The d(d+1)/2 sums are the ONE place the Column algebra genuinely
+    // loses to per-partition imperative code: a single 2080-column
+    // aggregate blows past codegen's field budget into a giant
+    // interpreted projection (measured 13 s on 2 k rows, all fixed
+    // cost), and chunking into ≤96-column jobs still pays ~22 job
+    // round-trips (5.3 s warm). treeAggregate over a per-partition
+    // upper-triangle long array is the classic distributed Gram: one
+    // job, map-side combining, exact commutative long sums — identical
+    // values under any partitioning.
+    val pairs = (for { a <- 0 until inDims; b <- a until inDims } yield (a, b)).toArray
+    val nDims = inDims
+    val raw = xq.rdd.treeAggregate(new Array[Long](pairs.length))(
+      seqOp = (acc, row) => {
+        val x = new Array[Long](nDims)
+        var i = 0
+        while (i < nDims) { x(i) = row.getLong(i); i += 1 }
+        var k = 0
+        var a = 0
+        while (a < nDims) {
+          var b = a
+          while (b < nDims) { acc(k) += x(a) * x(b); k += 1; b += 1 }
+          a += 1
+        }
+        acc
+      },
+      combOp = (l, r) => {
+        var k = 0
+        while (k < l.length) { l(k) += r(k); k += 1 }
+        l
+      })
     xq.unpersist(false)
     val s = Array.ofDim[Long](inDims, inDims)
     pairs.zipWithIndex.foreach { case ((a, b), k) =>
-      s(a)(b) = gram.getLong(k); s(b)(a) = gram.getLong(k)
+      val centered = raw(k) - meanQ(a) * elemSums(b) - meanQ(b) * elemSums(a) +
+        n * meanQ(a) * meanQ(b)
+      s(a)(b) = centered; s(b)(a) = centered
     }
     // driver power iteration: exact BigInt, max-abs renormalization
     def halfUpBig(num: BigInt, den: BigInt): BigInt = {
