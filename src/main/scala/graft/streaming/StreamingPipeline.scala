@@ -817,4 +817,64 @@ object StreamingPipeline {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("canonical_url"))
   }
+
+  case class BudgetDoc(doc_id: Long, url: String, ingest_ts: java.sql.Timestamp)
+  case class BudgetAdmission(doc_id: Long, domain: String, admitted_rank: Long)
+
+  /** Streaming admission control for [[graft.ext.UrlOps.domainBudget]]'s
+    * contract: admit at most `budget` documents per registered domain.
+    * Batch ranks the finished corpus best-first; an unbounded stream
+    * cannot rank what hasn't arrived, so the streaming contract is
+    * FIRST-`budget`-arrivals-win (documented divergence, same as the
+    * keep-first dedup twins) with arrival order made deterministic
+    * within a micro-batch by (ingest_ts, doc_id).
+    *
+    * State per domain is ONE long (the admitted count) — bounded by
+    * domain cardinality, not corpus size, and evicted
+    * `stateTtlMinutes` past the domain's last arrival so dormant
+    * domains don't pin store space (a returning domain's budget
+    * resets with its eviction — the per-horizon recrawl allowance).
+    */
+  def domainBudgetStream(
+      spark: SparkSession, docs: DataFrame, budget: Int,
+      stateTtlMinutes: Int = 120, watermark: String = "1 hour"): Dataset[BudgetAdmission] = {
+    import spark.implicits._
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val ttlMillis = stateTtlMinutes * 60000L
+    docs
+      .withColumn("_domain", graft.ext.UrlOps.registeredDomain(
+        graft.ext.UrlOps.urlHost(col("url"))))
+      .withWatermark("ingest_ts", watermark)
+      // the watermarked attribute must stay TOP-LEVEL for the streaming
+      // checker — packing it into a struct hides it from the timeout
+      // validation
+      .select(col("_domain").as("_1"), col("doc_id").as("_2"),
+        col("url").as("_3"), col("ingest_ts").as("_4"))
+      .as[(String, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (domain: String, rows: Iterator[(String, Long, String, java.sql.Timestamp)],
+            state: GroupState[Long]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var admitted = state.getOption.getOrElse(0L)
+            var lastTs = 0L
+            val out = rows.map(r => BudgetDoc(r._2, r._3, r._4)).toSeq
+              .sortBy(d => (d.ingest_ts.getTime, d.doc_id))
+              .flatMap { d =>
+                lastTs = math.max(lastTs, d.ingest_ts.getTime)
+                if (admitted < budget) {
+                  admitted += 1
+                  Some(BudgetAdmission(d.doc_id, domain, admitted))
+                } else None
+              }
+            state.update(admitted)
+            state.setTimeoutTimestamp(
+              math.max(lastTs + ttlMillis, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+        })
+  }
 }

@@ -894,4 +894,32 @@ class StreamingSpec extends SparkSpec {
       assert(batch == Seq(("http://a.com/x", 1L), ("https://a.com/new?a=1&b=2", 5L)))
     } finally q.stop()
   }
+
+  test("domain budget stream: first-N admission per domain, state is one counter") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingPipeline.domainBudgetStream(
+        spark, input.toDF().toDF("doc_id", "url", "ingest_ts"), budget = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("budget_out").start()
+    try {
+      input.addData(
+        (1L, "https://x.a.com/1", ts("2025-01-01 10:00:00")),
+        (2L, "https://y.a.com/2", ts("2025-01-01 10:00:01")),
+        (3L, "https://z.a.com/3", ts("2025-01-01 10:00:02")), // over a.com budget
+        (4L, "https://b.com/4", ts("2025-01-01 10:00:03")))
+      q.processAllAvailable()
+      // budget persists across micro-batches: a.com is still full
+      input.addData(
+        (5L, "https://w.a.com/5", ts("2025-01-01 10:00:10")),
+        (6L, "https://b.com/6", ts("2025-01-01 10:00:11")))
+      q.processAllAvailable()
+      val out = spark.table("budget_out")
+        .select("doc_id", "domain", "admitted_rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(out == Set(
+        (1L, "a.com", 1L), (2L, "a.com", 2L),
+        (4L, "b.com", 1L), (6L, "b.com", 2L)))
+    } finally q.stop()
+  }
 }
