@@ -48,4 +48,48 @@ object CorpusIO {
   def readJsonl(
       spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Write one opaque payload file per row — the shard layout multimodal
+    * corpora arrive in (an image/audio blob per key, keyed by filename).
+    * Executors write their partitions directly (no driver collect); at
+    * cluster scale `dir` is shared storage, and the write parallelism is
+    * the frame's partitioning. Filenames are `<id>.<ext>` — the id must
+    * be filename-safe.
+    */
+  def writeBinaryShards(
+      df: DataFrame, id: String, payload: String,
+      dir: String, ext: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    import org.apache.spark.sql.functions.col
+    df.select(col(id).cast("string"), col(payload).cast("binary"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"${r.getString(0)}.$ext"),
+            r.getAs[Array[Byte]](1))
+        }
+      }
+  }
+
+  /** Scan a directory of opaque shards via Spark's built-in `binaryFile`
+    * source: (shard_id parsed from the filename, length, content).
+    * `glob` prunes at FILE LISTING time (`pathGlobFilter`) — a corpus
+    * directory mixing .png/.wav/.json shards never reads the bytes of
+    * the formats a job doesn't want, which at 100 TB is the difference
+    * between listing metadata and scanning the corpus.
+    *
+    * Zero-byte shards yield NO row (the file source packs splits by
+    * length and an empty file has none) — truncated-to-empty shards
+    * must be caught by count reconciliation, not content checks.
+    */
+  def readBinaryShards(
+      spark: SparkSession, dir: String, glob: String = "*"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "([^/]+)\\.[^./]+$", 1).as("shard_id"),
+        col("length"), col("content"))
+  }
 }

@@ -175,6 +175,72 @@ object ParityQueries {
               lang
             FROM documents WHERE doc_id < 200 ORDER BY doc_id"""))
 
+  /** Opaque binary-shard round-trip through Spark's `binaryFile` source
+    * ([[graft.ext.CorpusIO.writeBinaryShards]]/`readBinaryShards`): one
+    * deterministic payload file per document (PNG headers for `%3 ≠ 2`,
+    * garbage otherwise), written by executors, listed back with glob
+    * pruning, ids parsed from filenames, decoded by the pure-JVM image
+    * decoder. The oracle recomputes format/dims/sizes straight from the
+    * same derivation — so the gate pins the WHOLE file round-trip:
+    * payload bytes, source `length` metadata, filename→id parse, and
+    * decode, end to end.
+    */
+  val qScanBinary = QueryDef(
+    "q_scan_binary",
+    (s, d) => {
+      val dir = ExtensionQueries.jsonlTempRoot + "/bin_" +
+        Integer.toHexString(d.hashCode)
+      val png = concat(
+        lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        lpad(hex(pmod(col("doc_id"), lit(1920)) + 1), 8, "0"),
+        lpad(hex(pmod(col("doc_id"), lit(1080)) + 1), 8, "0"),
+        lit("0806000000DEADBEEF"),
+        expr("repeat('00', CAST(doc_id % 5 AS INT))"),
+        lit("0000000049454E44AE426082"))
+      val garbage = concat(lit("00112233"), lpad(hex(col("doc_id")), 8, "0"))
+      val payloads = table(s, d, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          unhex(when(pmod(col("doc_id"), lit(3)) =!= 2, png)
+            .otherwise(garbage)).as("payload"))
+      graft.ext.CorpusIO.writeBinaryShards(payloads, "doc_id", "payload", dir, "bin")
+      val shards = graft.ext.CorpusIO.readBinaryShards(s, dir, "*.bin")
+        .select(col("shard_id").cast("long").as("media_id"),
+          col("length").as("shard_bytes"), col("content"))
+      val feats = graft.ext.Multimodal.extractFeatures(s,
+        shards.select(col("media_id"), lit("image").as("kind"),
+          col("content").as("payload"))).toDF()
+      feats.join(shards.select("media_id", "shard_bytes"), Seq("media_id"))
+        .select("media_id", "format", "n_bytes", "shard_bytes", "width", "height")
+        .orderBy("media_id")
+    },
+    Some("""WITH payload AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 3 <> 2 THEN
+                  '89504E470D0A1A0A' || '0000000D' || '49484452'
+                  || lpad(hex(doc_id % 1920 + 1), 8, '0')
+                  || lpad(hex(doc_id % 1080 + 1), 8, '0')
+                  || '0806000000DEADBEEF'
+                  || repeat('00', CAST(doc_id % 5 AS INT))
+                  || '0000000049454E44AE426082'
+                ELSE '00112233' || lpad(hex(doc_id), 8, '0') END AS ph
+              FROM documents WHERE doc_id < 300),
+            bin AS (
+              SELECT doc_id, hex(unhex(ph)) AS h,
+                CAST(octet_length(unhex(ph)) AS BIGINT) AS n_bytes
+              FROM payload)
+            SELECT doc_id AS media_id,
+              CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+                   ELSE 'unknown' END AS format,
+              n_bytes, n_bytes AS shard_bytes,
+              CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+                THEN CAST(CAST('0x' || substr(h, 33, 8) AS BIGINT) AS INT)
+                END AS width,
+              CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+                THEN CAST(CAST('0x' || substr(h, 41, 8) AS BIGINT) AS INT)
+                END AS height
+            FROM bin ORDER BY media_id"""))
+
   // --- F-family: filters (pushed into the parquet scan by Catalyst) -------
 
   val qFilterNotnull = QueryDef(
@@ -1530,7 +1596,8 @@ object ParityQueries {
             ORDER BY column_name"""))
 
   val all: Seq[QueryDef] = Seq(
-    q1Agg, qScanParquet, qScanCsv, qScanJsonl, qFilterNotnull, qFilterTs, qFilterNeq,
+    q1Agg, qScanParquet, qScanCsv, qScanJsonl, qScanBinary,
+    qFilterNotnull, qFilterTs, qFilterNeq,
     qProject,
     qDedupFull, qDedupKey, qFillna, qTrimAll, qNormText, qMapStatus,
     qMapSeverity, qSeverityScore, qNormIp, qParseTs, qParseTsLenient,

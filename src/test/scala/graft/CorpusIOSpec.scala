@@ -86,4 +86,26 @@ class CorpusIOSpec extends SparkSpec {
       .collect().map(_.toSeq)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("binary shards: executor write, glob-pruned listing, id round-trip") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_binio_").toString
+    val payloads = Seq(
+      (7L, Array[Byte](1, 2, 3)),
+      (8L, Array[Byte](9)),
+      (9L, Array.empty[Byte])).toDF("doc_id", "payload") // 9 is EMPTY
+    CorpusIO.writeBinaryShards(payloads, "doc_id", "payload", dir, "bin")
+    // a shard of another format that the glob must never read
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "junk.json"), "{}".getBytes)
+    val got = CorpusIO.readBinaryShards(spark, dir, "*.bin")
+      .orderBy("shard_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getAs[Array[Byte]](2).toSeq))
+    // zero-byte shards yield NO row (documented source behavior): the
+    // file source packs splits by length and an empty file has none
+    assert(got.toSeq == Seq(
+      ("7", 3L, Seq[Byte](1, 2, 3)),
+      ("8", 1L, Seq[Byte](9))))
+  }
 }
