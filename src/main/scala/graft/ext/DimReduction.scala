@@ -108,74 +108,9 @@ object DimReduction {
       inDims: Int, iters: Int = 12): PcaModel = {
     require(inDims >= 2, s"inDims must be >= 2, got $inDims")
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    // one narrow projection quantizes each element ONCE; the aggregates
-    // below reference plain attributes, keeping every tree linear
-    val xq = df.select((0 until inDims).map(i =>
-      elemQ(element_at(col(vec), i + 1)).as(s"x$i")): _*)
-      .persist()
-    val sums = xq.select(
-      count(lit(1)).as("_n") +:
-        (0 until inDims).map(i => sum(col(s"x$i")).as(s"s$i")): _*)
-      .collect()(0)
-    val n = sums.getLong(0)
+    val (meanQ, s, n) = gramPass(df, vec, inDims)
     require(n > 0, "pcaTrain: no vectors")
-    val elemSums = Array.tabulate(inDims)(i => sums.getLong(i + 1))
-    val meanQ = elemSums.map(Similarity.divHalfUp(_, n))
-    // RAW product sums Σ x_a·x_b, then center ALGEBRAICALLY at the
-    // driver: for any constant m, Σ(x_a−m_a)(x_b−m_b) =
-    // Σx_a x_b − m_a·Σx_b − m_b·Σx_a + n·m_a·m_b — exact in longs, so
-    // one corpus pass suffices and no aggregate mentions the means.
-    //
-    // The d(d+1)/2 sums are the ONE place the Column algebra genuinely
-    // loses to per-partition imperative code: a single 2080-column
-    // aggregate blows past codegen's field budget into a giant
-    // interpreted projection (measured 13 s on 2 k rows, all fixed
-    // cost), and chunking into ≤96-column jobs still pays ~22 job
-    // round-trips (5.3 s warm). treeAggregate over a per-partition
-    // upper-triangle long array is the classic distributed Gram: one
-    // job, map-side combining, exact commutative long sums — identical
-    // values under any partitioning.
-    val pairs = (for { a <- 0 until inDims; b <- a until inDims } yield (a, b)).toArray
-    val nDims = inDims
-    val raw = xq.rdd.treeAggregate(new Array[Long](pairs.length))(
-      seqOp = (acc, row) => {
-        val x = new Array[Long](nDims)
-        var i = 0
-        while (i < nDims) { x(i) = row.getLong(i); i += 1 }
-        var k = 0
-        var a = 0
-        while (a < nDims) {
-          var b = a
-          while (b < nDims) { acc(k) += x(a) * x(b); k += 1; b += 1 }
-          a += 1
-        }
-        acc
-      },
-      combOp = (l, r) => {
-        var k = 0
-        while (k < l.length) { l(k) += r(k); k += 1 }
-        l
-      })
-    xq.unpersist(false)
-    val s = Array.ofDim[Long](inDims, inDims)
-    pairs.zipWithIndex.foreach { case ((a, b), k) =>
-      val centered = raw(k) - meanQ(a) * elemSums(b) - meanQ(b) * elemSums(a) +
-        n * meanQ(a) * meanQ(b)
-      s(a)(b) = centered; s(b)(a) = centered
-    }
-    // driver power iteration: exact BigInt, max-abs renormalization
-    def halfUpBig(num: BigInt, den: BigInt): BigInt = {
-      val sg = if (num < 0) BigInt(-1) else BigInt(1)
-      sg * ((sg * num * 2 + den) / (den * 2))
-    }
-    var v = Array.fill(inDims)(BigInt(PcScale))
-    for (_ <- 0 until iters) {
-      val u = Array.tabulate(inDims)(j =>
-        (0 until inDims).foldLeft(BigInt(0))((acc, a) => acc + BigInt(s(j)(a)) * v(a)))
-      val m = u.map(_.abs).max
-      require(m > 0, "pcaTrain: degenerate (all-zero) covariance")
-      v = u.map(uj => halfUpBig(uj * PcScale, m))
-    }
+    val v = powerIterate(s, iters)
     PcaModel(meanQ, v.map(_.toLong))
   }
 
@@ -191,5 +126,171 @@ object DimReduction {
         lit(model.compQ(i))
     }.reduceLeft(_ + _)
     df.select(col(id), score.as("pc1q"))
+  }
+
+  /** Multi-component PCA artifact: shared mean, components in
+    * eigenvalue order (each max-normalized at [[PcScale]]).
+    */
+  final case class PcaKModel(meanQ: Array[Long], compsQ: Array[Array[Long]])
+
+  /** Top-`k` principal components by power iteration + fixed-point
+    * HOTELLING DEFLATION: after each component v, the covariance is
+    * replaced by S' = S − λ·(v vᵀ)/(vᵀv) with λ = (vᵀS v)/(vᵀv), both
+    * divisions as two-step half-up integer rationals (λ first, then the
+    * per-entry correction — one-step would overflow 128 bits, and the
+    * oracle replays the same two steps in HUGEINT). ONE corpus pass
+    * total: deflation operates on the collected d×d Gram at the driver,
+    * so extra components cost zero additional distributed work.
+    */
+  def pcaTrainK(
+      df: DataFrame, vec: String,
+      inDims: Int, k: Int, iters: Int = 12): PcaKModel = {
+    require(k >= 1 && k < inDims, s"need 1 <= k < inDims, got k=$k")
+    val (meanQ, s0, n) = gramPass(df, vec, inDims)
+    require(n > 0, "pcaTrainK: no vectors")
+    var s = s0.map(_.clone())
+    val comps = Array.ofDim[Array[Long]](k)
+    var prev: Array[BigInt] = null
+    for (c <- 0 until k) {
+      var v = powerIterate(s, iters)
+      if (prev != null) {
+        // explicit fixed-point Gram–Schmidt against the previous
+        // component: deflation alone leaves a residual correlation of
+        // order the power iteration's convergence error (measured
+        // |cos| ≈ 0.05 at 12 iterations); removing the projection
+        // exactly in integers brings it to rounding noise. Then
+        // re-normalize to the max-abs = PcScale convention.
+        val den = prev.foldLeft(BigInt(0))((a, x) => a + x * x)
+        val wv = (0 until inDims).foldLeft(BigInt(0))((a, i) => a + v(i) * prev(i))
+        val proj = Array.tabulate(inDims)(i => v(i) - halfUpBig(wv * prev(i), den))
+        val m = proj.map(_.abs).max
+        require(m > 0, "pcaTrainK: component vanished under Gram–Schmidt")
+        v = proj.map(x => halfUpBig(x * PcScale, m))
+      }
+      comps(c) = v.map(_.toLong)
+      prev = v
+      if (c < k - 1) {
+        val den = v.foldLeft(BigInt(0))((a, x) => a + x * x)
+        val sv = Array.tabulate(inDims)(j =>
+          (0 until inDims).foldLeft(BigInt(0))((a, b) => a + BigInt(s(j)(b)) * v(b)))
+        val num = (0 until inDims).foldLeft(BigInt(0))((a, j) => a + v(j) * sv(j))
+        val lambdaQ = halfUpBig(num, den)
+        for (a <- 0 until inDims; b <- 0 until inDims)
+          s(a)(b) -= halfUpBig(lambdaQ * v(a) * v(b), den).toLong
+      }
+    }
+    // ORDER components by their measured quotient on the ORIGINAL Gram:
+    // on a near-degenerate spectrum, finitely many power iterations can
+    // return the top-subspace directions in either order (measured: the
+    // deflated direction carried 3% MORE variance than the first on the
+    // test corpus). λ_c = halfUp(vᵀS₀v · PcScale, vᵀv) is an exact
+    // integer — comparable without 128-bit overflow, deterministic,
+    // replayed by the oracle's identical swap rule (ties keep discovery
+    // order).
+    val lams = comps.map { comp =>
+      val v = comp.map(BigInt(_))
+      val den = v.foldLeft(BigInt(0))((a, x) => a + x * x)
+      val num = (0 until inDims).foldLeft(BigInt(0)) { (a, j) =>
+        a + v(j) * (0 until inDims).foldLeft(BigInt(0))((b, i) =>
+          b + BigInt(s0(j)(i)) * v(i))
+      }
+      halfUpBig(num * PcScale, den)
+    }
+    val order = comps.indices.sortBy(i => (-lams(i), i)).toArray
+    PcaKModel(meanQ, order.map(comps))
+  }
+
+  /** Score rows on every component of a [[PcaKModel]]: columns
+    * `pc{1..k}q`, all plan literals, zero shuffle.
+    */
+  def pcaScoresK(
+      df: DataFrame, id: String, vec: String, model: PcaKModel): DataFrame = {
+    val d = model.meanQ.length
+    val cols = model.compsQ.zipWithIndex.map { case (comp, c) =>
+      (0 until d).map { i =>
+        (elemQ(element_at(col(vec), i + 1)) - lit(model.meanQ(i))) * lit(comp(i))
+      }.reduceLeft(_ + _).as(s"pc${c + 1}q")
+    }
+    df.select(col(id) +: cols.toIndexedSeq: _*)
+  }
+
+  private def halfUpBig(num: BigInt, den: BigInt): BigInt = {
+    val sg = if (num < 0) BigInt(-1) else BigInt(1)
+    sg * ((sg * num * 2 + den) / (den * 2))
+  }
+
+  /** The shared distributed pass: one narrow projection quantizes each
+    * element ONCE, one tiny aggregation collects count + per-dim sums,
+    * then the RAW product sums Σ x_a·x_b come from a single
+    * treeAggregate over per-partition upper-triangle long arrays and are
+    * centered ALGEBRAICALLY: for any constant m, Σ(x_a−m_a)(x_b−m_b) =
+    * Σx_a x_b − m_a·Σx_b − m_b·Σx_a + n·m_a·m_b — exact in longs, so
+    * one corpus pass suffices and no aggregate mentions the means.
+    *
+    * The d(d+1)/2 sums are the ONE place the Column algebra genuinely
+    * loses to per-partition imperative code: a single 2080-column
+    * aggregate blows past codegen's field budget into a giant
+    * interpreted projection (measured 13 s on 2 k rows, all fixed
+    * cost), and chunking into ≤96-column jobs still pays ~22 job
+    * round-trips (5.3 s warm). The treeAggregate is the classic
+    * distributed Gram: one job, map-side combining, exact commutative
+    * long sums — identical values under any partitioning. Returns
+    * (meanQ, S, n).
+    */
+  private def gramPass(
+      df: DataFrame, vec: String, inDims: Int): (Array[Long], Array[Array[Long]], Long) = {
+    val xq = df.select((0 until inDims).map(i =>
+      elemQ(element_at(col(vec), i + 1)).as(s"x$i")): _*)
+      .persist()
+    val sums = xq.select(
+      count(lit(1)).as("_n") +:
+        (0 until inDims).map(i => sum(col(s"x$i")).as(s"s$i")): _*)
+      .collect()(0)
+    val n = sums.getLong(0)
+    val elemSums = Array.tabulate(inDims)(i => sums.getLong(i + 1))
+    val meanQ = elemSums.map(Similarity.divHalfUp(_, n))
+    val pairs = (for { a <- 0 until inDims; b <- a until inDims } yield (a, b)).toArray
+    val nDims = inDims
+    val raw = xq.rdd.treeAggregate(new Array[Long](pairs.length))(
+      seqOp = (acc, row) => {
+        val x = new Array[Long](nDims)
+        var i = 0
+        while (i < nDims) { x(i) = row.getLong(i); i += 1 }
+        var kk = 0
+        var a = 0
+        while (a < nDims) {
+          var b = a
+          while (b < nDims) { acc(kk) += x(a) * x(b); kk += 1; b += 1 }
+          a += 1
+        }
+        acc
+      },
+      combOp = (l, r) => {
+        var kk = 0
+        while (kk < l.length) { l(kk) += r(kk); kk += 1 }
+        l
+      })
+    xq.unpersist(false)
+    val s = Array.ofDim[Long](inDims, inDims)
+    pairs.zipWithIndex.foreach { case ((a, b), kk) =>
+      val centered = raw(kk) - meanQ(a) * elemSums(b) - meanQ(b) * elemSums(a) +
+        n * meanQ(a) * meanQ(b)
+      s(a)(b) = centered; s(b)(a) = centered
+    }
+    (meanQ, s, n)
+  }
+
+  /** Max-normalized fixed-point power iteration on an integer matrix. */
+  private def powerIterate(s: Array[Array[Long]], iters: Int): Array[BigInt] = {
+    val d = s.length
+    var v = Array.fill(d)(BigInt(PcScale))
+    for (_ <- 0 until iters) {
+      val u = Array.tabulate(d)(j =>
+        (0 until d).foldLeft(BigInt(0))((acc, a) => acc + BigInt(s(j)(a)) * v(a)))
+      val m = u.map(_.abs).max
+      require(m > 0, "powerIterate: degenerate (all-zero) matrix")
+      v = u.map(uj => halfUpBig(uj * PcScale, m))
+    }
+    v
   }
 }

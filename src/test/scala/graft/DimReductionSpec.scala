@@ -80,4 +80,36 @@ class DimReductionSpec extends SparkSpec {
     }.sortBy(_._1)
     assert(got.toSeq == want.toSeq)
   }
+
+  test("pcaTrainK: near-orthogonal components, pc2 captures no more than pc1") {
+    val model = graft.ext.DimReduction.pcaTrainK(embs, "embedding", 64, 2, 12)
+    val Array(v1, v2) = model.compsQ
+    def dot(a: Array[Long], b: Array[Long]) =
+      a.indices.map(i => a(i).toDouble * b(i).toDouble).sum
+    val cos = dot(v1, v2) / math.sqrt(dot(v1, v1) * dot(v2, v2))
+    assert(math.abs(cos) < 0.05, s"components not orthogonal: cos=$cos")
+    // Rayleigh quotients on the quantized centered data: pc1 >= pc2
+    def q(x: Float): Long =
+      java.math.BigDecimal.valueOf(x.toDouble)
+        .setScale(5, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValue()
+    val rows = embs.select(col("embedding")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    def rayleigh(v: Array[Long]): Double = {
+      val vn = math.sqrt(dot(v, v))
+      rows.map { r =>
+        val s = r.indices.map(i => (q(r(i)) - model.meanQ(i)) * v(i).toDouble / vn).sum
+        s * s
+      }.sum
+    }
+    val (r1, r2) = (rayleigh(v1), rayleigh(v2))
+    assert(r1 >= r2 * 0.999, s"pc1 variance $r1 below pc2 $r2")
+    // pcaTrainK shares the single trainer's mean and carries its
+    // component as ONE of the two (possibly reordered by measured λ on
+    // a near-degenerate spectrum — the documented ordering rule)
+    val single = graft.ext.DimReduction.pcaTrain(embs, "embedding", 64, 12)
+    assert(single.meanQ.toSeq == model.meanQ.toSeq)
+    assert(model.compsQ.exists(_.toSeq == single.compQ.toSeq),
+      "the power-iteration direction vanished from the top-2 set")
+  }
 }
