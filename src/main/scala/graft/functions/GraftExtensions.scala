@@ -113,6 +113,22 @@ object GraftFunctions {
       require(args.length == 1, "graft_dup_token_frac expects 1 argument")
       graft.ext.TextAnalysis.dupTokenFrac(args.head)
     },
+    macroFn("graft_url_canonicalize",
+      "_FUNC_(url) - canonical URL: fragment/tracking-param strip, " +
+        "scheme+host lowercase, default-port drop, param sort, slash trim") { args =>
+      require(args.length == 1, "graft_url_canonicalize expects 1 argument")
+      graft.ext.UrlOps.canonicalizeUrl(args.head)
+    },
+    macroFn("graft_url_host",
+      "_FUNC_(url) - lowercased host of an absolute URL") { args =>
+      require(args.length == 1, "graft_url_host expects 1 argument")
+      graft.ext.UrlOps.urlHost(args.head)
+    },
+    macroFn("graft_registered_domain",
+      "_FUNC_(host) - registered (pay-level) domain of a lowercase host") { args =>
+      require(args.length == 1, "graft_registered_domain expects 1 argument")
+      graft.ext.UrlOps.registeredDomain(args.head)
+    },
     descriptor("graft_dup_ngram_frac", classOf[DupNgramFrac],
       "_FUNC_(text, n) - fraction of word n-grams that are repeats") { exprs =>
       arity("graft_dup_ngram_frac", exprs, 2)

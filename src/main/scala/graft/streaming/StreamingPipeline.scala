@@ -818,6 +818,19 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark(Seq("canonical_url"))
   }
 
+  /** Streaming twin of [[graft.ext.DimReduction.pcaScoresK]]: a
+    * batch-trained PCA basis scores arriving embeddings at the ingest
+    * edge. The frozen-artifact contract of the tokenizer / vocab-gate /
+    * classifier / ANN-index twins applied to the projection basis: mean
+    * and components ride the plan as integer literals, the projection is
+    * STATELESS exact integer arithmetic — stream scores are
+    * BIT-IDENTICAL to batch by construction (StreamingSpec pins it).
+    */
+  def pcaScoreStream(
+      embs: DataFrame, id: String, vec: String,
+      model: graft.ext.DimReduction.PcaKModel): DataFrame =
+    graft.ext.DimReduction.pcaScoresK(embs, id, vec, model)
+
   case class BudgetDoc(doc_id: Long, url: String, ingest_ts: java.sql.Timestamp)
   case class BudgetAdmission(doc_id: Long, domain: String, admitted_rank: Long)
 

@@ -98,4 +98,16 @@ class SqlFunctionsSpec extends SparkSpec {
         "array(CAST(4.0 AS FLOAT), CAST(5.0 AS FLOAT)))").collect()
     assert(r.head.getDouble(0) == 23.0)
   }
+
+  test("url macro functions: canonicalize/host/domain callable from SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(Tuple1("HTTPS://WWW.News.BBC.co.uk:443/a/?utm_source=x&b=1"))
+      .toDF("url").createOrReplaceTempView("urls_sql_t")
+    val r = spark.sql(
+      """SELECT graft_url_canonicalize(url) AS c, graft_url_host(url) AS h,
+           graft_registered_domain(graft_url_host(url)) AS d
+         FROM urls_sql_t""").as[(String, String, String)].collect().head
+    assert(r == (("https://www.news.bbc.co.uk/a?b=1", "www.news.bbc.co.uk", "bbc.co.uk")))
+  }
 }

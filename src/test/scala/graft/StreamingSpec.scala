@@ -922,4 +922,27 @@ class StreamingSpec extends SparkSpec {
         (4L, "b.com", 1L), (6L, "b.com", 2L)))
     } finally q.stop()
   }
+
+  test("pca score stream: frozen basis projects arriving embeddings bit-identically") {
+    implicit val sqlCtx = spark.sqlContext
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = graft.ext.DimReduction.pcaTrainK(embs, "embedding", 64, 2, 12)
+    val batch = graft.ext.DimReduction.pcaScoresK(embs, "vec_id", "embedding", model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = embs.limit(40).collect()
+      .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Float]](1).toArray))
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingPipeline.pcaScoreStream(
+        input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", model)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pca_out").start()
+    try {
+      input.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("pca_out").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got.size == 40)
+      got.foreach { case (id, s) => assert(s == batch(id), s"vec $id diverged") }
+    } finally q.stop()
+  }
 }
