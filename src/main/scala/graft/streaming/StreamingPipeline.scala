@@ -818,6 +818,26 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark(Seq("canonical_url"))
   }
 
+  /** Streaming twin of [[graft.ext.CorpusIO.readJsonl]]: watch a corpus
+    * directory for new JSONL shards (the drop-dir ingest every crawl
+    * delivery lands in). Same contract as batch — EXPLICIT schema
+    * (inference would re-scan history on every trigger, and a streaming
+    * read REQUIRES a schema anyway, which is the batch rule made
+    * mandatory), corrupt lines routed to `_corrupt_record` instead of
+    * failing the stream, `maxFilesPerTrigger` bounding each micro-batch
+    * so one bulk delivery cannot starve the trigger loop. Batch and
+    * stream parse the SAME lines to the SAME rows (StreamingSpec pins
+    * it on a shared directory, corrupt shard included).
+    */
+  def jsonlIngestStream(
+      spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 64): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
   /** Streaming twin of [[graft.ext.DimReduction.pcaScoresK]]: a
     * batch-trained PCA basis scores arriving embeddings at the ingest
     * edge. The frozen-artifact contract of the tokenizer / vocab-gate /

@@ -945,4 +945,33 @@ class StreamingSpec extends SparkSpec {
       got.foreach { case (id, s) => assert(s == batch(id), s"vec $id diverged") }
     } finally q.stop()
   }
+
+  test("jsonl ingest stream: drop-dir parse matches batch, corrupt shard routed") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_stream_").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.jsonl"),
+      ("""{"doc_id": 1, "text": "hello world", "lang": "en"}""" + "\n" +
+       """{"doc_id": 2, "text": "hola", "lang": "es"}""").getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.jsonl"),
+      ("""{"doc_id": 3, "text": "ok", "lang": "en"}""" + "\n" +
+       """{"doc_id": 4, "text": TRUNCATED""").getBytes)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("_corrupt_record", StringType)))
+    val q = StreamingPipeline.jsonlIngestStream(spark, dir, schema, maxFilesPerTrigger = 1)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("jsonl_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("jsonl_out").collect()
+      val good = rows.filter(_.isNullAt(3)).map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(good == Set((1L, "hello world"), (2L, "hola"), (3L, "ok")))
+      val corrupt = rows.filter(!_.isNullAt(3)).map(_.getString(3)).toSeq
+      assert(corrupt.size == 1 && corrupt.head.contains("TRUNCATED"))
+      // batch reads the same directory to the same rows
+      val batch = graft.ext.CorpusIO.readJsonl(spark, dir, schema).collect()
+        .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.isNullAt(3))).toSet
+      assert(batch == rows.map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.isNullAt(3))).toSet)
+    } finally q.stop()
+  }
 }
