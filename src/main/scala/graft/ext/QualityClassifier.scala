@@ -210,9 +210,55 @@ object QualityClassifier {
     */
   def score(
       df: DataFrame, id: String, text: String, model: Model): DataFrame =
+    scoreQ(df, id, text, model)
+      .select(col(id),
+        (col("score_q").cast("double") / Scale).as("quality_prob"))
+
+  /** Integer hard-sigmoid scores at scale 10^6 — the thresholdable form
+    * of [[score]] (`quality_prob` = `score_q` / 10^6 exactly).
+    */
+  def scoreQ(
+      df: DataFrame, id: String, text: String, model: Model): DataFrame =
     hashedFeatures(df, id, text, model.dims)
       .groupBy(col(id))
       .agg(sum(zPartQ(model.weightsQ)).as("_zq"))
-      .select(col(id),
-        (hardSigmoidQ(col("_zq")).cast("double") / Scale).as("quality_prob"))
+      .select(col(id), hardSigmoidQ(col("_zq")).as("score_q"))
+
+  /** Keep the top `keepPerMille`/1000 of rows by an integer score column
+    * — the FineWeb-style classifier gate. The threshold is the EXACT
+    * discrete quantile: t = the r-th smallest score with
+    * r = n − (n·keepPerMille div 1000) + 1, kept rows are `score ≥ t`
+    * (threshold ties are kept — the deterministic over-keep).
+    *
+    * Scale shape: the rank never touches row space. Scores live in the
+    * BOUNDED value domain [0, 10^6], so the groupBy histogram has at
+    * most 10^6+1 rows regardless of corpus size; the one
+    * ordered-cumulative window runs over that bounded histogram (the
+    * q_ship_delay trick — value-domain-bounded, NOT a single-partition
+    * row sort), and the threshold broadcasts back as a scalar filter
+    * that fuses into the scan.
+    */
+  def topPGate(
+      scored: DataFrame, scoreCol: String, keepPerMille: Long): DataFrame = {
+    require(keepPerMille >= 1 && keepPerMille <= 1000,
+      s"keepPerMille must be in [1, 1000], got $keepPerMille")
+    val reserved = Seq("_c", "_cum", "_n", "_r", "_t")
+    require(!reserved.exists(scored.columns.contains),
+      s"topPGate reserves columns ${reserved.mkString(", ")}")
+    val hist = scored.groupBy(col(scoreCol)).agg(count(lit(1)).as("_c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val thr = hist
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .crossJoin(broadcast(hist.agg(sum(col("_c")).as("_n"))))
+      .withColumn("_r",
+        col("_n") - (col("_n") * lit(keepPerMille)).div(lit(1000L)) + 1)
+      .filter(col("_cum") >= col("_r"))
+      .agg(min(col(scoreCol)).as("_t"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col(scoreCol) >= col("_t"))
+      .drop("_t")
+  }
 }

@@ -3416,6 +3416,38 @@ object ExtensionQueries {
     Some(LloydOracles.logregOracle(
       ClfDims, ClfIters, math.round(ClfLr * 1000), ClfTrainMaxId)))
 
+  private val TopPKeepPerMille = 300L
+
+  /** FineWeb-style classifier gate ([[QualityClassifier.topPGate]]):
+    * train the fixed-point model, score the held-out corpus as integer
+    * hard-sigmoid scores, keep the top 30% by the EXACT discrete
+    * quantile — threshold from the value-domain-bounded histogram
+    * (≤ 10^6+1 rows no matter the corpus), ties kept. The oracle
+    * replays the trained chain plus the sorted-offset formulation of
+    * the same rank.
+    */
+  val qQualityTopP = QueryDef(
+    "q_quality_topp",
+    (s, d) => {
+      val all = docs(s, d)
+      val labeled = all.filter(col("doc_id") < ClfTrainMaxId)
+        .withColumn("_y", when(col("lang") === "en", 1.0).otherwise(0.0))
+      val model = QualityClassifier.train(
+        labeled, "doc_id", "text", "_y",
+        dims = ClfDims, iters = ClfIters, lr = ClfLr)
+      val scored = QualityClassifier.scoreQ(
+        all.filter(col("doc_id") >= ClfTrainMaxId), "doc_id", "text", model)
+      QualityClassifier.topPGate(scored, "score_q", TopPKeepPerMille)
+        .select(col("doc_id"),
+          (col("score_q").cast("double") / lit(1000000L))
+            .as("quality_prob"))
+        .select(col("doc_id"), round(col("quality_prob"), 4).as("quality_prob"))
+        .orderBy("doc_id")
+    },
+    Some(LloydOracles.logregTopPOracle(
+      ClfDims, ClfIters, math.round(ClfLr * 1000), ClfTrainMaxId,
+      TopPKeepPerMille)))
+
   // --- int8 scalar quantization --------------------------------------------
 
   /** SQ8 quantization ([[Similarity.quantizeInt8]]): per-vector symmetric
@@ -3531,5 +3563,5 @@ object ExtensionQueries {
     qDocFrequency, qTfidfTopTerms, qBm25, qBm25TopK,
     qSampleTemperature, qHardNegatives, qEmbedQuantize, qAnnSq8, qLmScore,
     qCorpusCurate, qContaminationReport, qDupHistogram, qTextNfc,
-    qQualityClassifier, qBalanceShards)
+    qQualityClassifier, qQualityTopP, qBalanceShards)
 }

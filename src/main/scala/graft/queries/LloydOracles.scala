@@ -362,6 +362,33 @@ private[queries] object LloydOracles {
     * the same technique as the Lloyd trainers above.
     */
   private[queries] def logregOracle(
+      dims: Int, iters: Int, lrQ: Long, trainMaxId: Long): String =
+    logregScoreChain(dims, iters, lrQ, trainMaxId) + s"""
+    SELECT doc_id, CAST(${halfUp("pq", "100")} AS DOUBLE) / 10000.0 AS quality_prob
+    FROM sp ORDER BY doc_id"""
+
+  /** q_quality_topp: the same trained/scored chain, gated to the top
+    * `keepPerMille`/1000 by the exact discrete quantile — t = the
+    * (n − n·kpm div 1000 + 1)-th smallest integer score, threshold ties
+    * kept ([[graft.ext.QualityClassifier.topPGate]]'s rule; the OFFSET
+    * formulation is the sorted-order equivalent of the histogram
+    * cumulative one).
+    */
+  private[queries] def logregTopPOracle(
+      dims: Int, iters: Int, lrQ: Long, trainMaxId: Long,
+      keepPerMille: Long): String =
+    logregScoreChain(dims, iters, lrQ, trainMaxId) + s""",
+    mtot AS (SELECT count(*) AS n FROM sp),
+    thr AS (SELECT pq AS t FROM sp ORDER BY pq
+      OFFSET (SELECT n - (n * $keepPerMille) // 1000 FROM mtot) LIMIT 1)
+    SELECT doc_id, CAST(${halfUp("pq", "100")} AS DOUBLE) / 10000.0 AS quality_prob
+    FROM sp WHERE pq >= (SELECT t FROM thr) ORDER BY doc_id"""
+
+  /** Shared WITH-chain of the fixed-point GD trainer + scorer: ends at
+    * `sp` (doc_id, pq) — integer hard-sigmoid scores at scale 10^6 for
+    * every non-training document.
+    */
+  private def logregScoreChain(
       dims: Int, iters: Int, lrQ: Long, trainMaxId: Long): String = {
     val S = 1000000L
     val bucket = "CAST((CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)" +
@@ -407,14 +434,13 @@ private[queries] object LloydOracles {
       WHERE f.doc_id >= $trainMaxId GROUP BY 1),
     sp AS (SELECT doc_id,
       LEAST($S, GREATEST(0, ${halfUp("zq", (4L * S).toString)} + ${S / 2})) AS pq
-      FROM sz)
-    -- Spark's round(double, 4) hops through the SHORTEST decimal
-    -- rendering (BigDecimal.valueOf), which for pq/10^6 is the exact
-    -- 6-digit decimal — so its 4-dp HALF_UP equals integer halfUp(pq,
-    -- 100)/10^4 exactly; DuckDB round(DOUBLE, 4) would instead round the
-    -- raw binary double (0.40095 → 0.4009) and diverge at boundaries.
-    SELECT doc_id, CAST(${halfUp("pq", "100")} AS DOUBLE) / 10000.0 AS quality_prob
-    FROM sp ORDER BY doc_id"""
+      FROM sz)"""
+    // Rendering note for both finals: Spark's round(double, 4) hops
+    // through the SHORTEST decimal rendering (BigDecimal.valueOf), which
+    // for pq/10^6 is the exact 6-digit decimal — so its 4-dp HALF_UP
+    // equals integer halfUp(pq, 100)/10^4 exactly; DuckDB round(DOUBLE,
+    // 4) would instead round the raw binary double and diverge at
+    // boundaries.
   }
 
   /** q_dedup_semdedup: fixed-point kmeans with the DATA-DEPENDENT

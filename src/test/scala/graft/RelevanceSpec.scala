@@ -270,4 +270,20 @@ class RelevanceSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("topPGate: exact discrete threshold from the value histogram, ties kept") {
+    import spark.implicits._
+    // sorted scores: 10,20,30,40,50,60,70,70,70,90 — keep 300 per mille
+    // of n=10 gives rank r = 10 - 3 + 1 = 8, the 8th smallest is 70, and
+    // score >= 70 keeps FOUR rows: the documented deterministic over-keep
+    val scored = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L),
+      (6L, 60L), (7L, 70L), (8L, 70L), (9L, 70L), (10L, 90L))
+      .toDF("doc_id", "score_q")
+    val kept = graft.ext.QualityClassifier.topPGate(scored, "score_q", 300L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(7L, 8L, 9L, 10L))
+    // keepPerMille = 1000 keeps everything
+    val all = graft.ext.QualityClassifier.topPGate(scored, "score_q", 1000L).count()
+    assert(all == 10L)
+  }
 }
