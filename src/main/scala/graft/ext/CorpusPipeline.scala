@@ -119,4 +119,35 @@ object CorpusPipeline {
     Similarity.lshTopKMulti(corpus, vecId, vec, probes, "q_id", "q_emb",
       k, bits, tables, probeHamming = 1)
   }
+
+  /** The crawl-side curation pass, composed stage-cheapest-first:
+    *
+    *  1. [[UrlOps.applyUrlPolicy]] — the allow/deny rule when-chain in
+    *     the SCAN stage, before anything shuffles (a denied URL costs
+    *     one predicate, never a shuffle slot);
+    *  2. canonical-URL dedup keep-min-id — one shuffle on the canonical
+    *     key; the rank window compiles to WindowGroupLimit so each map
+    *     partition forwards one candidate per URL;
+    *  3. [[UrlOps.domainBudget]] — per-registered-domain best-`budget`
+    *     cut, the second (and last) shuffle.
+    *
+    * Output: the surviving rows plus `canonical_url` and `domain`.
+    * Everything is exact string/integer work — the whole pass is
+    * oracle-replayable (q_crawl_curate).
+    */
+  def curateCrawl(
+      docs: DataFrame, id: String, urlCol: String, charsCol: String,
+      rules: Seq[UrlOps.UrlRule], budget: Int): DataFrame = {
+    val allowed = UrlOps.applyUrlPolicy(docs, urlCol, rules)
+      .filter(col("allowed")).drop("allowed", "matched_rule")
+    val canon = allowed.withColumn("canonical_url",
+      UrlOps.canonicalizeUrl(col(urlCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canonical_url")).orderBy(col(id))
+    val deduped = canon.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1).drop("_rk")
+    UrlOps.domainBudget(deduped, id, urlCol, charsCol, budget)
+      .withColumn("domain",
+        UrlOps.registeredDomain(UrlOps.urlHost(col(urlCol))))
+  }
 }

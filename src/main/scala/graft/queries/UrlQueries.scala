@@ -187,29 +187,61 @@ object UrlQueries {
     * decision + matched rule per document, replayed as the identically
     * ordered CASE chain over the canonCtes domain/path.
     */
+  /** The longest-prefix-first CASE arms of [[PolicyRules]] over the
+    * canonCtes `domain`/`path` columns — shared by the policy and
+    * composed-curation oracles.
+    */
+  private def policyArms(sel: UrlOps.UrlRule => String): String = {
+    val ordered = PolicyRules.sortBy(r => (-r.pathPrefix.length, r.domain, r.pathPrefix))
+    ordered.map { r =>
+      val m =
+        if (r.pathPrefix.isEmpty) s"domain = '${r.domain}'"
+        else s"domain = '${r.domain}' AND substr(path, 1, ${r.pathPrefix.length})" +
+          s" = '${r.pathPrefix}'"
+      s"WHEN $m THEN ${sel(r)}"
+    }.mkString("\n               ")
+  }
+
   val qUrlPolicy = QueryDef(
     "q_url_policy",
     (s, d) => UrlOps.applyUrlPolicy(
         docs(s, d).select(col("doc_id"), deriveUrl.as("url")), "url", PolicyRules)
       .select("doc_id", "allowed", "matched_rule")
       .orderBy("doc_id"),
-    Some {
-      val ordered = PolicyRules.sortBy(r => (-r.pathPrefix.length, r.domain, r.pathPrefix))
-      def arm(sel: UrlOps.UrlRule => String) = ordered.map { r =>
-        val m =
-          if (r.pathPrefix.isEmpty) s"domain = '${r.domain}'"
-          else s"domain = '${r.domain}' AND substr(path, 1, ${r.pathPrefix.length})" +
-            s" = '${r.pathPrefix}'"
-        s"WHEN $m THEN ${sel(r)}"
-      }.mkString("\n               ")
-      s"""WITH u AS (SELECT doc_id, $deriveUrlSql AS url FROM documents),
+    Some(s"""WITH u AS (SELECT doc_id, $deriveUrlSql AS url FROM documents),
              $canonCtes
              SELECT doc_id,
-               CASE ${arm(_.allow.toString)} ELSE true END AS allowed,
-               CASE ${arm(r => s"'${r.domain}|${r.pathPrefix}'")}
+               CASE ${policyArms(_.allow.toString)} ELSE true END AS allowed,
+               CASE ${policyArms(r => s"'${r.domain}|${r.pathPrefix}'")}
                  ELSE NULL END AS matched_rule
-             FROM s7 ORDER BY doc_id"""
-    })
+             FROM s7 ORDER BY doc_id"""))
+
+  /** The composed crawl-curation pass
+    * ([[graft.ext.CorpusPipeline.curateCrawl]]): policy → canonical
+    * keep-min dedup → domain budget, one oracle chaining the three
+    * stages' replays.
+    */
+  val qCrawlCurate = QueryDef(
+    "q_crawl_curate",
+    (s, d) => graft.ext.CorpusPipeline.curateCrawl(
+        docs(s, d).select(col("doc_id"), col("n_chars"), deriveUrl.as("url")),
+        "doc_id", "url", "n_chars", PolicyRules, budget = 2)
+      .select("doc_id", "canonical_url", "domain", "n_chars")
+      .orderBy("doc_id"),
+    Some(s"""WITH u AS (SELECT doc_id, n_chars, $deriveUrlSql AS url FROM documents),
+             $canonCtes,
+             pol AS (SELECT * FROM s7
+               WHERE CASE ${policyArms(_.allow.toString)} ELSE true END),
+             ded AS (SELECT * FROM (
+               SELECT *, row_number() OVER (
+                 PARTITION BY canonical_url ORDER BY doc_id) AS _rk
+               FROM pol) WHERE _rk = 1),
+             bud AS (SELECT * FROM (
+               SELECT *, row_number() OVER (
+                 PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS _rk2
+               FROM ded) WHERE _rk2 <= 2)
+             SELECT doc_id, canonical_url, domain, n_chars
+             FROM bud ORDER BY doc_id"""))
 
   /** Per-domain crawl budget ([[UrlOps.domainBudget]]): top-2 documents
     * per registered domain by n_chars (doc_id tiebreak) — the rank
@@ -232,5 +264,6 @@ object UrlQueries {
              WHERE rk <= 2 ORDER BY doc_id"""))
 
   val all: Seq[QueryDef] =
-    Seq(qUrlCanonical, qUrlDedup, qDomainRollup, qUrlPolicy, qDomainBudget)
+    Seq(qUrlCanonical, qUrlDedup, qDomainRollup, qUrlPolicy, qDomainBudget,
+      qCrawlCurate)
 }
