@@ -165,12 +165,20 @@ object UrlOps {
     */
   def applyUrlPolicy(
       df: DataFrame, urlCol: String, rules: Seq[UrlRule],
+      defaultAllow: Boolean = true): DataFrame =
+    applyUrlPolicyOn(df, registeredDomain(urlHost(col(urlCol))),
+      urlPath(col(urlCol)), rules, defaultAllow)
+
+  /** [[applyUrlPolicy]] over PRECOMPUTED domain/path columns — the form
+    * compositions use so URL parsing happens once per row, not once per
+    * stage ([[CorpusPipeline.curateCrawl]]).
+    */
+  def applyUrlPolicyOn(
+      df: DataFrame, dom: Column, path: Column, rules: Seq[UrlRule],
       defaultAllow: Boolean = true): DataFrame = {
     require(rules.nonEmpty, "applyUrlPolicy needs at least one rule")
     require(rules.map(r => (r.domain, r.pathPrefix)).distinct.size == rules.size,
       "duplicate (domain, prefix) rule keys")
-    val dom = registeredDomain(urlHost(col(urlCol)))
-    val path = urlPath(col(urlCol))
     // longest prefix first; ties broken by rule key for determinism
     val ordered = rules.sortBy(r => (-r.pathPrefix.length, r.domain, r.pathPrefix))
     val hit = ordered.map { r =>
@@ -198,10 +206,19 @@ object UrlOps {
     */
   def domainBudget(
       df: DataFrame, id: String, urlCol: String, scoreCol: String,
+      budget: Int): DataFrame =
+    domainBudgetOn(df, id, registeredDomain(urlHost(col(urlCol))),
+      scoreCol, budget)
+
+  /** [[domainBudget]] over a PRECOMPUTED domain column — the
+    * parse-once composition form.
+    */
+  def domainBudgetOn(
+      df: DataFrame, id: String, dom: Column, scoreCol: String,
       budget: Int): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(registeredDomain(urlHost(col(urlCol))))
+      .partitionBy(dom)
       .orderBy(col(scoreCol).desc, col(id))
     df.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= budget)
