@@ -241,6 +241,40 @@ object ParityQueries {
                 END AS height
             FROM bin ORDER BY media_id"""))
 
+  /** ORC round-trip: write a typed document slice as ORC (the OTHER
+    * columnar interchange format warehouse exports arrive in — strings,
+    * longs, doubles, a date, an array), read it back through Spark's
+    * vectorized ORC scan with a column-pruning projection, and gate the
+    * values against the oracle computing them straight from the source
+    * table. Pins type round-tripping and predicate/pruning semantics on
+    * the ORC path the same way q_scan_jsonl pins the JSON path.
+    */
+  val qScanOrc = QueryDef(
+    "q_scan_orc",
+    (s, d) => {
+      val dir = ExtensionQueries.jsonlTempRoot + "/orc_" +
+        Integer.toHexString(d.hashCode)
+      table(s, d, "documents")
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("n_chars").cast("double") / lit(4.0)).as("score"),
+          to_date(lit("2026-01-01")).as("snap_date"),
+          array(col("lang"), col("source")).as("tags"))
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .filter(col("n_chars") > 100)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("score"),
+          col("snap_date"), size(col("tags")).cast("long").as("n_tags"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, n_chars,
+              CAST(n_chars AS DOUBLE) / 4.0 AS score,
+              DATE '2026-01-01' AS snap_date,
+              CAST(2 AS BIGINT) AS n_tags
+            FROM documents
+            WHERE doc_id < 300 AND n_chars > 100
+            ORDER BY doc_id"""))
+
   // --- F-family: filters (pushed into the parquet scan by Catalyst) -------
 
   val qFilterNotnull = QueryDef(
@@ -1596,7 +1630,7 @@ object ParityQueries {
             ORDER BY column_name"""))
 
   val all: Seq[QueryDef] = Seq(
-    q1Agg, qScanParquet, qScanCsv, qScanJsonl, qScanBinary,
+    q1Agg, qScanParquet, qScanCsv, qScanJsonl, qScanBinary, qScanOrc,
     qFilterNotnull, qFilterTs, qFilterNeq,
     qProject,
     qDedupFull, qDedupKey, qFillna, qTrimAll, qNormText, qMapStatus,
