@@ -870,14 +870,24 @@ object StreamingPipeline {
     */
   def domainBudgetStream(
       spark: SparkSession, docs: DataFrame, budget: Int,
-      stateTtlMinutes: Int = 120, watermark: String = "1 hour"): Dataset[BudgetAdmission] = {
+      stateTtlMinutes: Int = 120, watermark: String = "1 hour"): Dataset[BudgetAdmission] =
+    budgetAdmit(spark,
+      docs.withColumn("_domain", graft.ext.UrlOps.registeredDomain(
+          graft.ext.UrlOps.urlHost(col("url"))))
+        .withWatermark("ingest_ts", watermark),
+      budget, stateTtlMinutes)
+
+  /** The admission core shared by [[domainBudgetStream]] and
+    * [[curateCrawlStream]]: expects `_domain`, `doc_id`, `url`, and a
+    * WATERMARKED `ingest_ts`.
+    */
+  private def budgetAdmit(
+      spark: SparkSession, docs: DataFrame, budget: Int,
+      stateTtlMinutes: Int): Dataset[BudgetAdmission] = {
     import spark.implicits._
     require(budget >= 1, s"budget must be >= 1, got $budget")
     val ttlMillis = stateTtlMinutes * 60000L
     docs
-      .withColumn("_domain", graft.ext.UrlOps.registeredDomain(
-        graft.ext.UrlOps.urlHost(col("url"))))
-      .withWatermark("ingest_ts", watermark)
       // the watermarked attribute must stay TOP-LEVEL for the streaming
       // checker — packing it into a struct hides it from the timeout
       // validation
@@ -909,5 +919,34 @@ object StreamingPipeline {
             out.iterator
           }
         })
+  }
+
+  /** Streaming twin of [[graft.ext.CorpusPipeline.curateCrawl]]: the
+    * crawl-curation pass at the ingest edge, staged exactly like batch —
+    * parse ONCE (canonical/domain/path in one stateless projection),
+    * policy when-chain filter (stateless, rides the scan), canonical-key
+    * dedup within the watermark (so a variant of an admitted URL never
+    * consumes budget), then per-domain first-N admission. Batch keeps
+    * best-by-score; the stream admits first arrivals — the documented
+    * divergence every budget/dedup twin shares. State: md5-keyed dedup
+    * entries + one counter per domain, both horizon-bounded.
+    */
+  def curateCrawlStream(
+      spark: SparkSession, docs: DataFrame,
+      rules: Seq[graft.ext.UrlOps.UrlRule], budget: Int,
+      stateTtlMinutes: Int = 120, watermark: String = "1 hour"): Dataset[BudgetAdmission] = {
+    val parsed = docs
+      .withColumn("canonical_url",
+        graft.ext.UrlOps.canonicalizeUrl(col("url")))
+      .withColumn("_domain", graft.ext.UrlOps.registeredDomain(
+        graft.ext.UrlOps.urlHost(col("url"))))
+      .withColumn("_path", graft.ext.UrlOps.urlPath(col("url")))
+    val allowed = graft.ext.UrlOps.applyUrlPolicyOn(
+        parsed, col("_domain"), col("_path"), rules)
+      .filter(col("allowed")).drop("allowed", "matched_rule", "_path")
+    val deduped = allowed
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("canonical_url"))
+    budgetAdmit(spark, deduped, budget, stateTtlMinutes)
   }
 }

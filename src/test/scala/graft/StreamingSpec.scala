@@ -974,4 +974,30 @@ class StreamingSpec extends SparkSpec {
       assert(batch == rows.map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.isNullAt(3))).toSet)
     } finally q.stop()
   }
+
+  test("crawl curation stream: policy, canonical dedup, budget compose at the edge") {
+    implicit val sqlCtx = spark.sqlContext
+    val rules = Seq(graft.ext.UrlOps.UrlRule("bad.com", "", allow = false))
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingPipeline.curateCrawlStream(
+        spark, input.toDF().toDF("doc_id", "url", "ingest_ts"), rules, budget = 2)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curate_out").start()
+    try {
+      input.addData(
+        (1L, "HTTP://A.com/x/?utm_source=1", ts("2025-01-01 10:00:00")),
+        (2L, "http://a.COM/x?utm_campaign=2", ts("2025-01-01 10:00:01")), // canonical dup of 1: no budget slot
+        (3L, "https://bad.com/y", ts("2025-01-01 10:00:02")),             // policy-denied
+        (4L, "http://a.com/second", ts("2025-01-01 10:00:03")),
+        (5L, "http://a.com/third", ts("2025-01-01 10:00:04")),            // over a.com budget
+        (6L, "https://ok.com/z", ts("2025-01-01 10:00:05")))
+      q.processAllAvailable()
+      val out = spark.table("curate_out")
+        .select("doc_id", "domain", "admitted_rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      // the dup (2) and the denied (3) never reach admission, so doc 4
+      // takes a.com's second slot and doc 5 is cut
+      assert(out == Set((1L, "a.com", 1L), (4L, "a.com", 2L), (6L, "ok.com", 1L)))
+    } finally q.stop()
+  }
 }
