@@ -140,6 +140,43 @@ object CorpusStats {
           .as("jaccard"))
   }
 
+  /** Token-frequency drift between two corpus snapshots — the monitor
+    * that catches a crawl delivery whose content distribution shifted
+    * (new boilerplate, a language mix change, a spam burst) BEFORE it
+    * trains anything. Per token shared by name across snapshots, the
+    * chi-square-style statistic
+    * `(c0·N1 − c1·N0)² / ((c0+c1)·N0·N1)` ranks the most divergent
+    * tokens (c = per-snapshot count, N = snapshot total); top-`topK`
+    * by (score desc, token).
+    *
+    * Exactness: the difference and the denominator are EXACT longs
+    * (≤ 2^53, so their double casts are exact); the single square and
+    * single division are one IEEE operation each — bit-identical
+    * cross-engine with no rounding (the identical-operand-division
+    * lesson). One tokenize+aggregate shuffle, scalar totals broadcast,
+    * top-k as TakeOrderedAndProject — no global sort.
+    */
+  def tokenDrift(
+      df: DataFrame, text: String, snapshot: Column, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val tok = df.where(col(text).isNotNull)
+      .select(snapshot.cast("int").as("_snap"),
+        explode(TextAnalysis.tokens(col(text))).as("token"))
+      .where(col("token") =!= "")
+    val counts = tok.groupBy("token").agg(
+      sum(when(col("_snap") === 0, 1L).otherwise(0L)).as("c0"),
+      sum(when(col("_snap") === 1, 1L).otherwise(0L)).as("c1"))
+    val totals = counts.agg(sum("c0").as("_n0"), sum("c1").as("_n1"))
+    val diff = col("c0") * col("_n1") - col("c1") * col("_n0")
+    val den = (col("c0") + col("c1")) * col("_n0") * col("_n1")
+    counts.crossJoin(broadcast(totals))
+      .withColumn("score",
+        (diff.cast("double") * diff.cast("double")) / den.cast("double"))
+      .select("token", "c0", "c1", "score")
+      .orderBy(col("score").desc, col("token"))
+      .limit(topK)
+  }
+
   /** Closed-form least-squares fit of `y = intercept + slope·x` over a
     * point set: `(n_points, slope, intercept)` rounded to 4 decimals.
     *

@@ -3416,6 +3416,36 @@ object ExtensionQueries {
     Some(LloydOracles.logregOracle(
       ClfDims, ClfIters, math.round(ClfLr * 1000), ClfTrainMaxId)))
 
+  /** Corpus drift monitor ([[CorpusStats.tokenDrift]]): the most
+    * divergent tokens between two snapshot halves (doc_id parity as the
+    * deterministic stand-in for crawl deliveries). Exact-long chi-square
+    * numerators/denominators, one IEEE square + one division — hash-
+    * exact with no rounding.
+    */
+  val qTokenDrift = QueryDef(
+    "q_token_drift",
+    (s, d) => CorpusStats.tokenDrift(
+        docs(s, d), "text", pmod(col("doc_id"), lit(2)), topK = 30)
+      .orderBy(col("score").desc, col("token")),
+    Some("""WITH tok AS (
+              SELECT CAST(d.doc_id % 2 AS INT) AS snap, u.term AS token
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                    FROM documents WHERE text IS NOT NULL) d,
+                   unnest(d.t) AS u(term)
+              WHERE u.term <> ''),
+            counts AS (
+              SELECT token,
+                sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS c0,
+                sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS c1
+              FROM tok GROUP BY 1),
+            tot AS (SELECT sum(c0) AS n0, sum(c1) AS n1 FROM counts)
+            SELECT token, CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+              (CAST(c0 * n1 - c1 * n0 AS DOUBLE)
+                * CAST(c0 * n1 - c1 * n0 AS DOUBLE))
+                / CAST((c0 + c1) * n0 * n1 AS DOUBLE) AS score
+            FROM counts, tot
+            ORDER BY score DESC, token LIMIT 30"""))
+
   private val TopPKeepPerMille = 300L
 
   /** FineWeb-style classifier gate ([[QualityClassifier.topPGate]]):
@@ -3563,5 +3593,5 @@ object ExtensionQueries {
     qDocFrequency, qTfidfTopTerms, qBm25, qBm25TopK,
     qSampleTemperature, qHardNegatives, qEmbedQuantize, qAnnSq8, qLmScore,
     qCorpusCurate, qContaminationReport, qDupHistogram, qTextNfc,
-    qQualityClassifier, qQualityTopP, qBalanceShards)
+    qQualityClassifier, qQualityTopP, qTokenDrift, qBalanceShards)
 }
