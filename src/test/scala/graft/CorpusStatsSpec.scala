@@ -150,4 +150,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(CorpusStats.sourceOverlap(docs, "source", "text", 3).count() === 0L)
     assert(CorpusStats.vocabCoverage(docs, "doc_id", "text", 5).count() === 1L)
   }
+
+  test("tokenDrift: snapshot-exclusive tokens outrank balanced ones") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = Seq(
+      (0L, "common common drifted drifted drifted"),
+      (1L, "common common stable"),
+      (2L, "common common drifted drifted"),
+      (3L, "common common stable")).toDF("doc_id", "text")
+    val got = graft.ext.CorpusStats.tokenDrift(
+        docs, "text", pmod(col("doc_id"), lit(2)), topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 'drifted' appears only in the even snapshot, 'stable' only in the
+    // odd one; 'common' is balanced and must rank below both
+    assert(got.head._1 == "drifted" && got.head._2 == 5L && got.head._3 == 0L)
+    assert(got.map(_._1).indexOf("common") > got.map(_._1).indexOf("stable"))
+  }
 }
