@@ -36,6 +36,31 @@ object ExtensionQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) = table(s, d, "documents")
   private def embs(s: org.apache.spark.sql.SparkSession, d: String) = table(s, d, "embeddings")
 
+  // --- ordered-fold vector SQL (shared by the cosine-family oracles) --------
+
+  /** CTE pair `vl` (per-vector DOUBLE list) + `vnorms`, with every sum an
+    * ORDERED element-wise `list_reduce` fold — the same index-order
+    * accumulation [[graft.ext.Similarity.dot]] / the native
+    * [[graft.functions.FloatVectorCosine]] loop performs, so oracle doubles
+    * are BIT-IDENTICAL to Spark's, not merely close. A hash-group-by
+    * `sum(DOUBLE)` over exploded elements has unspecified accumulation
+    * order in BOTH engines — the float-flake class the r9/r10 advisories
+    * flagged: a ulp of drift at an unrounded rank / argmax / threshold
+    * boundary flips a row nondeterministically across hardware. Every
+    * cosine-family oracle routes through these snippets (class closed in
+    * round 11; `q_ann_lsh`/`q_dedup_embed` adopted the form in r9).
+    */
+  private[queries] def vecListCtes(src: String = "embeddings"): String =
+    s"""vl AS MATERIALIZED (SELECT vec_id,
+       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dl FROM $src),
+       vnorms AS MATERIALIZED (SELECT vec_id, sqrt(list_reduce(
+       list_transform(dl, x -> x * x), (a, b) -> a + b)) AS nrm FROM vl)"""
+
+  /** Index-ordered dot of two `dl` lists bound to aliases `a`/`b`. */
+  private[queries] def dotSql(a: String, b: String, dim: Int = 64): String =
+    s"""list_reduce(list_transform(range($dim),
+       t -> $a.dl[t + 1] * $b.dl[t + 1]), (a, b) -> a + b)"""
+
   // --- dedup ----------------------------------------------------------------
 
   /** Exact dedup via hash-groupBy on the text (one shuffle on the content
@@ -771,22 +796,17 @@ object ExtensionQueries {
         .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
         .orderBy("q_id", "vec_id")
     },
-    Some("""WITH elems AS (
-              SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-                     CAST(unnest(embedding) AS DOUBLE) AS v
-              FROM embeddings),
-            norms AS (
-              SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM elems GROUP BY vec_id),
+    Some(s"""WITH ${vecListCtes()},
             dots AS (
-              SELECT p.vec_id AS q_id, e.vec_id AS vec_id, sum(p.v * e.v) AS dot
-              FROM elems p JOIN elems e ON p.i = e.i
-              WHERE p.vec_id < 3 AND e.vec_id <> p.vec_id
-              GROUP BY 1, 2),
+              SELECT p.vec_id AS q_id, e.vec_id AS vec_id,
+                     ${dotSql("p", "e")} AS dot
+              FROM vl p JOIN vl e ON e.vec_id <> p.vec_id
+              WHERE p.vec_id < 3),
             cos AS (
               SELECT q_id, d.vec_id, d.dot / (nq.nrm * ne.nrm) AS c
               FROM dots d
-              JOIN norms nq ON d.q_id = nq.vec_id
-              JOIN norms ne ON d.vec_id = ne.vec_id)
+              JOIN vnorms nq ON d.q_id = nq.vec_id
+              JOIN vnorms ne ON d.vec_id = ne.vec_id)
             SELECT q_id, vec_id, round(c, 4) AS cosine
             FROM (SELECT *, row_number() OVER (
                     PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn
@@ -983,57 +1003,51 @@ object ExtensionQueries {
         .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
         .orderBy("q_id", "vec_id")
     },
-    Some("""WITH elems AS MATERIALIZED (
-              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i0,
-                     CAST(unnest(embedding) AS DOUBLE) AS v
-              FROM embeddings),
-            norms AS MATERIALIZED (
-              SELECT vec_id, sqrt(sum(v * v)) AS nrm
-              FROM elems GROUP BY 1),
+    Some(s"""WITH ${vecListCtes()},
             cids AS (SELECT vec_id AS cid FROM embeddings
                      ORDER BY vec_id LIMIT 32),
             cunit AS MATERIALIZED (
-              SELECT e.vec_id AS cid, e.i0,
-                     CASE WHEN n.nrm = 0 THEN 0.0 ELSE e.v / n.nrm END AS uv
-              FROM elems e
-              JOIN norms n ON e.vec_id = n.vec_id
-              JOIN cids c ON e.vec_id = c.cid),
-            adots AS (SELECT e.vec_id, u.cid, sum(e.v * u.uv) AS d
-                      FROM elems e JOIN cunit u USING (i0)
-                      GROUP BY 1, 2),
+              SELECT v.vec_id AS cid,
+                     CASE WHEN n.nrm = 0 THEN list_transform(v.dl, x -> 0.0)
+                          ELSE list_transform(v.dl, x -> x / n.nrm) END AS ul
+              FROM vl v
+              JOIN vnorms n ON v.vec_id = n.vec_id
+              JOIN cids c ON v.vec_id = c.cid),
+            adots AS (SELECT e.vec_id, u.cid,
+                             list_reduce(list_transform(range(64),
+                               t -> e.dl[t + 1] * u.ul[t + 1]),
+                               (a, b) -> a + b) AS d
+                      FROM vl e, cunit u),
             assigned AS MATERIALIZED (
               SELECT vec_id, cid FROM (
                 SELECT vec_id, cid, row_number() OVER (
                   PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
                 FROM adots) WHERE rn = 1),
-            craw AS (SELECT e.vec_id AS cid, e.i0, e.v
-                     FROM elems e JOIN cids c ON e.vec_id = c.cid),
-            psims AS (SELECT p.vec_id AS q_id, c.cid,
-                             sum(p.v * c.v) AS dot
-                      FROM elems p JOIN craw c USING (i0)
-                      WHERE p.vec_id < 3 GROUP BY 1, 2),
+            psims AS (SELECT p.vec_id AS q_id, cc.cid,
+                             ${dotSql("p", "cv")} AS dot
+                      FROM vl p
+                      JOIN cids cc ON p.vec_id < 3
+                      JOIN vl cv ON cv.vec_id = cc.cid),
             plists AS (SELECT q_id, cid FROM (
                 SELECT s.q_id, s.cid, row_number() OVER (
                   PARTITION BY s.q_id
                   ORDER BY s.dot / (nq.nrm * nc.nrm) DESC, s.cid) AS rn
                 FROM psims s
-                JOIN norms nq ON s.q_id = nq.vec_id
-                JOIN norms nc ON s.cid = nc.vec_id)
+                JOIN vnorms nq ON s.q_id = nq.vec_id
+                JOIN vnorms nc ON s.cid = nc.vec_id)
               WHERE rn <= 8),
             cand AS (SELECT p.q_id, a.vec_id
                      FROM plists p JOIN assigned a USING (cid)
                      WHERE a.vec_id <> p.q_id),
-            cdots AS (SELECT c.q_id, c.vec_id, sum(e1.v * e2.v) AS dot
+            cdots AS (SELECT c.q_id, c.vec_id, ${dotSql("e1", "e2")} AS dot
                       FROM cand c
-                      JOIN elems e1 ON e1.vec_id = c.q_id
-                      JOIN elems e2 ON e2.vec_id = c.vec_id
-                                   AND e2.i0 = e1.i0
-                      GROUP BY 1, 2),
+                      JOIN vl e1 ON e1.vec_id = c.q_id
+                      JOIN vl e2 ON e2.vec_id = c.vec_id),
             ccos AS (SELECT d.q_id, d.vec_id,
                             d.dot / (n1.nrm * n2.nrm) AS c
                      FROM cdots d
-                     JOIN norms n1 ON d.q_id = n1.vec_id
-                     JOIN norms n2 ON d.vec_id = n2.vec_id)
+                     JOIN vnorms n1 ON d.q_id = n1.vec_id
+                     JOIN vnorms n2 ON d.vec_id = n2.vec_id)
             SELECT q_id, vec_id, round(c, 4) AS cosine
             FROM (SELECT *, row_number() OVER (
                     PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn
@@ -1168,20 +1182,22 @@ object ExtensionQueries {
        |                SELECT q_id, vec_id, row_number() OVER (
        |                  PARTITION BY q_id ORDER BY adc, vec_id) AS rn
        |                FROM adcp) WHERE rn <= $top),
-       |            elems AS MATERIALIZED (
-       |              SELECT vec_id, generate_subscripts(embedding, 1) - 1
-       |                       AS i0,
-       |                     CAST(unnest(embedding) AS DOUBLE) AS v
+       |            vlst AS MATERIALIZED (
+       |              SELECT vec_id, list_transform(embedding,
+       |                       x -> CAST(x AS DOUBLE)) AS dl
        |              FROM vecs),
-       |            norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm
-       |                      FROM elems GROUP BY 1),
+       |            norms AS (SELECT vec_id, sqrt(list_reduce(
+       |                        list_transform(dl, x -> x * x),
+       |                        (a, b) -> a + b)) AS nrm
+       |                      FROM vlst),
        |            cdots AS (SELECT s.q_id, s.vec_id,
-       |                             sum(e1.v * e2.v) AS dot
+       |                             list_reduce(list_transform(
+       |                               range(${m * dsub}), t ->
+       |                                 e1.dl[t + 1] * e2.dl[t + 1]),
+       |                               (a, b) -> a + b) AS dot
        |                      FROM survivors s
-       |                      JOIN elems e1 ON e1.vec_id = s.q_id
-       |                      JOIN elems e2 ON e2.vec_id = s.vec_id
-       |                                   AND e2.i0 = e1.i0
-       |                      GROUP BY 1, 2),
+       |                      JOIN vlst e1 ON e1.vec_id = s.q_id
+       |                      JOIN vlst e2 ON e2.vec_id = s.vec_id),
        |            ccos AS (SELECT d.q_id, d.vec_id,
        |                            d.dot / (n1.nrm * n2.nrm) AS c
        |                     FROM cdots d
@@ -1288,37 +1304,45 @@ object ExtensionQueries {
     s"""WITH vecs AS MATERIALIZED (
        |              SELECT vec_id, embedding FROM embeddings
        |              WHERE embedding IS NOT NULL),
-       |            elems AS MATERIALIZED (
-       |              SELECT vec_id, generate_subscripts(embedding, 1) - 1
-       |                       AS i0,
-       |                     CAST(unnest(embedding) AS DOUBLE) AS v
+       |            vlst AS MATERIALIZED (
+       |              SELECT vec_id, list_transform(embedding,
+       |                       x -> CAST(x AS DOUBLE)) AS dl
        |              FROM vecs),
        |            norms AS MATERIALIZED (
-       |              SELECT vec_id, sqrt(sum(v * v)) AS nrm
-       |              FROM elems GROUP BY 1),
+       |              SELECT vec_id, sqrt(list_reduce(
+       |                list_transform(dl, x -> x * x),
+       |                (a, b) -> a + b)) AS nrm
+       |              FROM vlst),
        |            cids AS (SELECT vec_id AS cid FROM embeddings
        |                     ORDER BY vec_id LIMIT $nCentroids),
        |            cunit AS MATERIALIZED (
-       |              SELECT e.vec_id AS cid, e.i0,
-       |                     CASE WHEN n.nrm = 0 THEN 0.0
-       |                          ELSE e.v / n.nrm END AS uv
-       |              FROM elems e
-       |              JOIN norms n ON e.vec_id = n.vec_id
-       |              JOIN cids c ON e.vec_id = c.cid),
-       |            adots AS (SELECT e.vec_id, u.cid, sum(e.v * u.uv) AS d
-       |                      FROM elems e JOIN cunit u USING (i0)
-       |                      GROUP BY 1, 2),
+       |              SELECT v.vec_id AS cid,
+       |                     CASE WHEN n.nrm = 0
+       |                          THEN list_transform(v.dl, x -> 0.0)
+       |                          ELSE list_transform(v.dl, x -> x / n.nrm)
+       |                     END AS ul
+       |              FROM vlst v
+       |              JOIN norms n ON v.vec_id = n.vec_id
+       |              JOIN cids c ON v.vec_id = c.cid),
+       |            adots AS (SELECT e.vec_id, u.cid,
+       |                             list_reduce(list_transform(
+       |                               range(${m * dsub}), t ->
+       |                                 e.dl[t + 1] * u.ul[t + 1]),
+       |                               (a, b) -> a + b) AS d
+       |                      FROM vlst e, cunit u),
        |            assigned AS MATERIALIZED (
        |              SELECT vec_id, cid FROM (
        |                SELECT vec_id, cid, row_number() OVER (
        |                  PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
        |                FROM adots) WHERE rn = 1),
-       |            craw AS (SELECT e.vec_id AS cid, e.i0, e.v
-       |                     FROM elems e JOIN cids c ON e.vec_id = c.cid),
-       |            psims AS (SELECT p.vec_id AS q_id, c.cid,
-       |                             sum(p.v * c.v) AS dot
-       |                      FROM elems p JOIN craw c USING (i0)
-       |                      WHERE p.vec_id < 3 GROUP BY 1, 2),
+       |            psims AS (SELECT p.vec_id AS q_id, cc.cid,
+       |                             list_reduce(list_transform(
+       |                               range(${m * dsub}), t ->
+       |                                 p.dl[t + 1] * cv.dl[t + 1]),
+       |                               (a, b) -> a + b) AS dot
+       |                      FROM vlst p
+       |                      JOIN cids cc ON p.vec_id < 3
+       |                      JOIN vlst cv ON cv.vec_id = cc.cid),
        |            plists AS (SELECT q_id, cid FROM (
        |                SELECT s.q_id, s.cid, row_number() OVER (
        |                  PARTITION BY s.q_id
@@ -1380,12 +1404,13 @@ object ExtensionQueries {
        |                  PARTITION BY q_id ORDER BY adc, vec_id) AS rn
        |                FROM adcp) WHERE rn <= $top),
        |            cdots AS (SELECT s.q_id, s.vec_id,
-       |                             sum(e1.v * e2.v) AS dot
+       |                             list_reduce(list_transform(
+       |                               range(${m * dsub}), t ->
+       |                                 e1.dl[t + 1] * e2.dl[t + 1]),
+       |                               (a, b) -> a + b) AS dot
        |                      FROM survivors s
-       |                      JOIN elems e1 ON e1.vec_id = s.q_id
-       |                      JOIN elems e2 ON e2.vec_id = s.vec_id
-       |                                   AND e2.i0 = e1.i0
-       |                      GROUP BY 1, 2),
+       |                      JOIN vlst e1 ON e1.vec_id = s.q_id
+       |                      JOIN vlst e2 ON e2.vec_id = s.vec_id),
        |            ccos AS (SELECT d.q_id, d.vec_id,
        |                            d.dot / (n1.nrm * n2.nrm) AS c
        |                     FROM cdots d
@@ -2419,23 +2444,21 @@ object ExtensionQueries {
         .select("vec_id")
         .orderBy("vec_id")
     },
-    Some("""WITH elems AS (
-              SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-                     CAST(unnest(embedding) AS DOUBLE) AS v
-              FROM embeddings),
-            belems AS (
-              SELECT vec_id, i, v * 2.0 AS v FROM elems WHERE vec_id < 50),
-            norms AS (
-              SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM elems GROUP BY vec_id),
+    Some(s"""WITH ${vecListCtes()},
+            bl AS MATERIALIZED (
+              SELECT vec_id, list_transform(dl, x -> x * 2.0) AS dl
+              FROM vl WHERE vec_id < 50),
             bnorms AS (
-              SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM belems GROUP BY vec_id),
+              SELECT vec_id, sqrt(list_reduce(
+                list_transform(dl, x -> x * x), (a, b) -> a + b)) AS nrm
+              FROM bl),
             dots AS (
-              SELECT c.vec_id AS cid, b.vec_id AS bid, sum(c.v * b.v) AS dot
-              FROM elems c JOIN belems b ON c.i = b.i
-              GROUP BY 1, 2),
+              SELECT c.vec_id AS cid, b.vec_id AS bid,
+                     ${dotSql("c", "b")} AS dot
+              FROM vl c, bl b),
             hits AS (
               SELECT DISTINCT cid FROM dots
-              JOIN norms nc ON cid = nc.vec_id
+              JOIN vnorms nc ON cid = nc.vec_id
               JOIN bnorms nb ON bid = nb.vec_id
               WHERE dot / (nc.nrm * nb.nrm) >= 0.8)
             SELECT e.vec_id FROM embeddings e
@@ -3279,17 +3302,19 @@ object ExtensionQueries {
         .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
         .orderBy("q_id", "vec_id")
     },
-    Some("""WITH elems AS (
-              SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
-                     CAST(unnest(embedding) AS DOUBLE) AS v
+    Some(s"""WITH vll AS MATERIALIZED (
+              SELECT vec_id, label, list_transform(embedding,
+                       x -> CAST(x AS DOUBLE)) AS dl
               FROM embeddings),
             norms AS (
-              SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM elems GROUP BY vec_id),
+              SELECT vec_id, sqrt(list_reduce(
+                list_transform(dl, x -> x * x), (a, b) -> a + b)) AS nrm
+              FROM vll),
             dots AS (
-              SELECT p.vec_id AS q_id, e.vec_id AS vec_id, sum(p.v * e.v) AS dot
-              FROM elems p JOIN elems e ON p.i = e.i
-              WHERE p.vec_id < 3 AND e.label <> p.label
-              GROUP BY 1, 2),
+              SELECT p.vec_id AS q_id, e.vec_id AS vec_id,
+                     ${dotSql("p", "e")} AS dot
+              FROM vll p JOIN vll e ON e.label <> p.label
+              WHERE p.vec_id < 3),
             cos AS (
               SELECT q_id, d.vec_id, d.dot / (nq.nrm * ne.nrm) AS c
               FROM dots d
@@ -3534,33 +3559,32 @@ object ExtensionQueries {
         .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
         .orderBy("q_id", "vec_id")
     },
-    Some("""WITH elems AS MATERIALIZED (
-              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i0,
-                     CAST(unnest(embedding) AS DOUBLE) AS v
-              FROM embeddings),
-            scales AS (SELECT vec_id, max(abs(v)) / 127.0 AS scale
-                       FROM elems GROUP BY 1),
+    Some(s"""WITH ${vecListCtes()},
+            scales AS (SELECT vec_id, list_aggregate(
+                         list_transform(dl, x -> abs(x)), 'max') / 127.0
+                         AS scale
+                       FROM vl),
             deq AS MATERIALIZED (
-              SELECT e.vec_id, e.i0,
+              SELECT v.vec_id,
                      CASE WHEN s.scale > 0 THEN
-                       CAST(CAST(CAST(CAST(round(e.v / s.scale, 0)
-                            AS TINYINT) AS DOUBLE) * s.scale AS REAL)
-                            AS DOUBLE)
-                     ELSE 0.0 END AS dv
-              FROM elems e JOIN scales s USING (vec_id)),
+                       list_transform(v.dl, x ->
+                         CAST(CAST(CAST(CAST(round(x / s.scale, 0)
+                              AS TINYINT) AS DOUBLE) * s.scale AS REAL)
+                              AS DOUBLE))
+                     ELSE list_transform(v.dl, x -> 0.0) END AS dl
+              FROM vl v JOIN scales s USING (vec_id)),
             dots AS (SELECT p.vec_id AS q_id, d.vec_id,
-                            sum(p.v * d.dv) AS dot
-                     FROM elems p JOIN deq d ON p.i0 = d.i0
-                     WHERE p.vec_id < 3 AND d.vec_id <> p.vec_id
-                     GROUP BY 1, 2),
-            pnorms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm
-                       FROM elems GROUP BY 1),
-            dnorms AS (SELECT vec_id, sqrt(sum(dv * dv)) AS nrm
-                       FROM deq GROUP BY 1),
+                            ${dotSql("p", "d")} AS dot
+                     FROM vl p JOIN deq d ON d.vec_id <> p.vec_id
+                     WHERE p.vec_id < 3),
+            dnorms AS (SELECT vec_id, sqrt(list_reduce(
+                         list_transform(dl, x -> x * x),
+                         (a, b) -> a + b)) AS nrm
+                       FROM deq),
             cos AS (SELECT d.q_id, d.vec_id,
                            d.dot / (np.nrm * nd.nrm) AS c
                     FROM dots d
-                    JOIN pnorms np ON d.q_id = np.vec_id
+                    JOIN vnorms np ON d.q_id = np.vec_id
                     JOIN dnorms nd ON d.vec_id = nd.vec_id)
             SELECT q_id, vec_id, round(c, 4) AS cosine
             FROM (SELECT *, row_number() OVER (

@@ -167,7 +167,7 @@ object UrlQueries {
              $canonCtes
              SELECT domain, count(*) AS n_docs,
                count(DISTINCT canonical_url) AS n_urls,
-               sum(n_chars) AS total_chars
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
              FROM s7 GROUP BY domain ORDER BY domain"""))
 
   /** The policy rule set exercised by `q_url_policy` — ONE definition
