@@ -47,7 +47,9 @@ object Bench {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
+        // NonFatal only: an OOM/VM error must crash the run loudly, not be
+        // recorded as one more "failed" query in an otherwise-normal artifact
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }

@@ -55,18 +55,38 @@ object CorpusIO {
     * cluster scale `dir` is shared storage, and the write parallelism is
     * the frame's partitioning. Filenames are `<id>.<ext>` — the id must
     * be filename-safe.
+    *
+    * Contract (advice r10, now ENFORCED): ids must be distinct and
+    * non-NULL — two rows sharing an id would race on the same
+    * `<id>.<ext>` path with a nondeterministic last-writer-wins across
+    * partitions — and payloads must be non-NULL. Ids are checked by one
+    * id-only aggregation BEFORE any file is written (column-pruned:
+    * payload bytes are not read twice); a NULL payload fails the task
+    * with the offending id in the message instead of a bare NPE.
     */
   def writeBinaryShards(
       df: DataFrame, id: String, payload: String,
       dir: String, ext: String): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    import org.apache.spark.sql.functions.col
-    df.select(col(id).cast("string"), col(payload).cast("binary"))
-      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+    val src = df.select(col(id).cast("string").as("_id"),
+      col(payload).cast("binary").as("_p"))
+    val chk = src.agg(count(lit(1)).as("n"), count(col("_id")).as("nn"),
+      countDistinct(col("_id")).as("nd")).collect()(0)
+    require(chk.getLong(1) == chk.getLong(0),
+      s"writeBinaryShards: ${chk.getLong(0) - chk.getLong(1)} NULL ids " +
+        "(every row needs a filename)")
+    require(chk.getLong(2) == chk.getLong(0),
+      s"writeBinaryShards: ids are not distinct (${chk.getLong(0)} rows, " +
+        s"${chk.getLong(2)} distinct ids) — duplicate rows would race on " +
+        "the same shard path")
+    src.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         rows.foreach { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          require(bytes != null,
+            s"writeBinaryShards: NULL payload for id '${r.getString(0)}'")
           java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, s"${r.getString(0)}.$ext"),
-            r.getAs[Array[Byte]](1))
+            java.nio.file.Paths.get(dir, s"${r.getString(0)}.$ext"), bytes)
         }
       }
   }

@@ -149,12 +149,23 @@ object CorpusStats {
     * tokens (c = per-snapshot count, N = snapshot total); top-`topK`
     * by (score desc, token).
     *
-    * Exactness: the difference and the denominator are EXACT longs
-    * (≤ 2^53, so their double casts are exact); the single square and
-    * single division are one IEEE operation each — bit-identical
-    * cross-engine with no rounding (the identical-operand-division
-    * lesson). One tokenize+aggregate shuffle, scalar totals broadcast,
-    * top-k as TakeOrderedAndProject — no global sort.
+    * Numerics (advice r10): every FACTOR casts to double BEFORE any
+    * multiply — a long formulation (c0·N1, (c0+c1)·N0·N1) silently wraps
+    * under non-ANSI multiplication once snapshot totals reach ~3e9
+    * (N0·N1 > 2^63), garbling the ranking at exactly the corpus scale
+    * this monitor targets. Double products never wrap: they are exact
+    * while c·N ≤ 2^53 and correctly rounded beyond, and since the whole
+    * score is a fixed tree of single IEEE ops (no SUM of doubles
+    * anywhere), it stays bit-identical cross-engine at any scale.
+    *
+    * Guards (advice r10): snapshot values outside {0, 1} are dropped up
+    * front (a token seen only under an invalid snapshot would otherwise
+    * score 0/0 = NaN, and NaN sorts ABOVE every real score in Spark,
+    * poisoning the top-k); an EMPTY snapshot (N0 or N1 = 0) makes drift
+    * undefined for every token, so the score expression raises a
+    * descriptive error instead of returning an all-NaN ranking.
+    * One tokenize+aggregate shuffle, scalar totals broadcast, top-k as
+    * TakeOrderedAndProject — no global sort.
     */
   def tokenDrift(
       df: DataFrame, text: String, snapshot: Column, topK: Int): DataFrame = {
@@ -162,16 +173,21 @@ object CorpusStats {
     val tok = df.where(col(text).isNotNull)
       .select(snapshot.cast("int").as("_snap"),
         explode(TextAnalysis.tokens(col(text))).as("token"))
-      .where(col("token") =!= "")
+      .where(col("token") =!= "" && col("_snap").isin(0, 1))
     val counts = tok.groupBy("token").agg(
       sum(when(col("_snap") === 0, 1L).otherwise(0L)).as("c0"),
       sum(when(col("_snap") === 1, 1L).otherwise(0L)).as("c1"))
     val totals = counts.agg(sum("c0").as("_n0"), sum("c1").as("_n1"))
-    val diff = col("c0") * col("_n1") - col("c1") * col("_n0")
-    val den = (col("c0") + col("c1")) * col("_n0") * col("_n1")
+    val (c0d, c1d) = (col("c0").cast("double"), col("c1").cast("double"))
+    val (n0d, n1d) = (col("_n0").cast("double"), col("_n1").cast("double"))
+    val diff = c0d * n1d - c1d * n0d
+    val den = (c0d + c1d) * n0d * n1d
     counts.crossJoin(broadcast(totals))
       .withColumn("score",
-        (diff.cast("double") * diff.cast("double")) / den.cast("double"))
+        when(col("_n0") > 0 && col("_n1") > 0, (diff * diff) / den)
+          .otherwise(raise_error(concat(
+            lit("tokenDrift: a snapshot has no tokens (N0="), col("_n0"),
+            lit(", N1="), col("_n1"), lit(")")))))
       .select("token", "c0", "c1", "score")
       .orderBy(col("score").desc, col("token"))
       .limit(topK)

@@ -57,7 +57,14 @@ object DimReduction {
         if (jlSign(j, i) > 0) e else -e
       }.reduceLeft(_ + _).as(s"p$j")
     }
-    df.select(col(id) +: comps: _*)
+    // Malformed vectors fail LOUDLY with the operator's name (advice
+    // r10): a short vector used to surface as an opaque ANSI
+    // INVALID_ARRAY_INDEX from deep inside the chain, and a NULL
+    // element silently nulled every projection. A NULL vector stays a
+    // NULL row of projections — the missing-value contract
+    // [[graft.functions.FloatVectorCosine]] also follows.
+    df.where(vecShapeGuard("jlProject", vec, inDims))
+      .select(col(id) +: comps: _*)
   }
 
   // --- fixed-point PCA (top principal component) --------------------------
@@ -77,6 +84,26 @@ object DimReduction {
   private def elemQ(e: Column): Column =
     (e.cast("double").cast("decimal(18,5)") * lit(Similarity.ElemScale))
       .cast("long")
+
+  /** Row predicate that PASSES well-formed vectors (and NULL vectors —
+    * the caller decides whether those were pre-filtered) and RAISES a
+    * named error on malformed ones: shorter than `inDims`, or a NULL
+    * element inside the first `inDims` positions. Without it a short
+    * vector dies as an opaque ANSI INVALID_ARRAY_INDEX (or, in the
+    * trainer's treeAggregate, an executor NullPointerException) and a
+    * NULL element silently desynchronizes the mean pass (`sum` skips
+    * NULL) from the Gram pass (`getLong` NPEs) — advice r10. All native
+    * expressions; the `exists` lambda runs once per row in a bounded
+    * trainer/projection guard, not a join side.
+    */
+  private def vecShapeGuard(op: String, vec: String, inDims: Int): Column =
+    col(vec).isNull || when(
+      size(col(vec)) >= inDims &&
+        !exists(slice(col(vec), 1, inDims), e => e.isNull),
+      lit(true)).otherwise(raise_error(concat(
+        lit(s"$op: vector shorter than $inDims dims or with NULL elements "),
+        lit("(got size="), coalesce(size(col(vec)).cast("string"), lit("?")),
+        lit(")"))).cast("boolean"))
 
   /** Top principal component by FIXED-POINT power iteration.
     *
@@ -239,8 +266,13 @@ object DimReduction {
     */
   private def gramPass(
       df: DataFrame, vec: String, inDims: Int): (Array[Long], Array[Array[Long]], Long) = {
-    val xq = df.select((0 until inDims).map(i =>
-      elemQ(element_at(col(vec), i + 1)).as(s"x$i")): _*)
+    // NULL vectors carry no geometry — excluded up front so the mean
+    // pass and the Gram pass agree on which rows count toward n (the
+    // hashSample treatment); malformed vectors raise via the shared
+    // shape guard instead of NPE-ing the treeAggregate (advice r10).
+    val xq = df.where(col(vec).isNotNull && vecShapeGuard("pcaTrain", vec, inDims))
+      .select((0 until inDims).map(i =>
+        elemQ(element_at(col(vec), i + 1)).as(s"x$i")): _*)
       .persist()
     val sums = xq.select(
       count(lit(1)).as("_n") +:

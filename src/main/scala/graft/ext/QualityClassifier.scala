@@ -162,19 +162,25 @@ object QualityClassifier {
     // Integer sums commute, so the driver loop is bit-identical to the
     // former distributed window-aggregate formulation (the oracle
     // replays either).
-    val rows = hashedFeatures(labeled, id, text, dims)
+    val feats = hashedFeatures(labeled, id, text, dims)
       .join(labeled.select(col(id),
         (col(label).cast("double") * Scale).cast("long").as("_yq")), Seq(id))
       .select(col(id), col("bucket"), col("xq"), col("_yq"))
-      .collect()
-    // group feature rows per document (any id type; insertion order is
-    // irrelevant — every reduction below is a commutative long sum)
-    val byDoc = rows.groupBy(_.get(0))
-    val nDocs = byDoc.size.toLong
+    // Enforce the headroom contract DISTRIBUTED, before any driver
+    // materialization (advice r10): an oversized labeled input must hit
+    // the clean require below, not OOM the driver inside collect(). The
+    // extra count job recomputes the (contract-bounded) feature table
+    // once — cheap at training size, and the oversized path never
+    // reaches collect at all.
+    val nDocs = feats.select(col(id)).distinct().count()
     require(nDocs > 0, "no trainable documents (all empty or NULL text)")
     require(nDocs * lr <= 2000,
       s"fixed-point headroom: nDocs·lr must be <= 2000 (train on a bounded " +
         s"labeled sample), got $nDocs docs at lr=$lr")
+    val rows = feats.collect()
+    // group feature rows per document (any id type; insertion order is
+    // irrelevant — every reduction below is a commutative long sum)
+    val byDoc = rows.groupBy(_.get(0))
     val docFeats = byDoc.valuesIterator.map { rs =>
       (rs.map(r => (r.getInt(1), r.getLong(2))).toArray, rs.head.getLong(3))
     }.toArray

@@ -3465,9 +3465,12 @@ object ExtensionQueries {
               FROM tok GROUP BY 1),
             tot AS (SELECT sum(c0) AS n0, sum(c1) AS n1 FROM counts)
             SELECT token, CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
-              (CAST(c0 * n1 - c1 * n0 AS DOUBLE)
-                * CAST(c0 * n1 - c1 * n0 AS DOUBLE))
-                / CAST((c0 + c1) * n0 * n1 AS DOUBLE) AS score
+              ((CAST(c0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                 - CAST(c1 AS DOUBLE) * CAST(n0 AS DOUBLE))
+               * (CAST(c0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                 - CAST(c1 AS DOUBLE) * CAST(n0 AS DOUBLE)))
+                / ((CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE))
+                   * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) AS score
             FROM counts, tot
             ORDER BY score DESC, token LIMIT 30"""))
 

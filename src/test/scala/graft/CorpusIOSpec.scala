@@ -108,4 +108,32 @@ class CorpusIOSpec extends SparkSpec {
       ("7", 3L, Seq[Byte](1, 2, 3)),
       ("8", 1L, Seq[Byte](9))))
   }
+
+  test("binary shards: duplicate/NULL ids and NULL payloads fail fast") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_binio_g_").toString
+    val dup = Seq((7L, Array[Byte](1)), (7L, Array[Byte](2)))
+      .toDF("doc_id", "payload")
+    val e1 = intercept[IllegalArgumentException] {
+      CorpusIO.writeBinaryShards(dup, "doc_id", "payload", dir, "bin")
+    }
+    assert(e1.getMessage.contains("not distinct"), e1.getMessage)
+    // the duplicate check ran BEFORE any file was written
+    assert(!java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().hasNext, "fail-fast wrote shards anyway")
+    val nullId = Seq((Option.empty[Long], Array[Byte](1)))
+      .toDF("doc_id", "payload")
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusIO.writeBinaryShards(nullId, "doc_id", "payload", dir, "bin")
+    }
+    assert(e2.getMessage.contains("NULL ids"), e2.getMessage)
+    val nullPayload = Seq((7L, Option.empty[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val e3 = intercept[Exception] {
+      CorpusIO.writeBinaryShards(nullPayload, "doc_id", "payload", dir, "bin")
+    }
+    assert(e3.getMessage.contains("NULL payload") ||
+      Option(e3.getCause).exists(_.getMessage.contains("NULL payload")),
+      e3.getMessage)
+  }
 }

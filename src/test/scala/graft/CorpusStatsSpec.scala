@@ -167,4 +167,28 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.head._1 == "drifted" && got.head._2 == 5L && got.head._3 == 0L)
     assert(got.map(_._1).indexOf("common") > got.map(_._1).indexOf("stable"))
   }
+
+  test("tokenDrift guards: invalid snapshots dropped, empty snapshot raises") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // snapshot value 2 is neither snapshot: its rows must not poison the
+    // ranking with 0/0 = NaN scores (NaN sorts ABOVE every real double)
+    val withInvalid = Seq(
+      (0L, "alpha alpha"), (1L, "beta"), (2L, "ghost ghost ghost"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.CorpusStats.tokenDrift(
+        withInvalid, "text", col("doc_id").cast("int"), topK = 10)
+      .collect()
+    assert(!got.exists(_.getString(0) == "ghost"))
+    assert(got.forall(r => !r.getDouble(3).isNaN))
+    // one snapshot empty -> drift is undefined for every token: loud error
+    val oneSided = Seq((0L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      graft.ext.CorpusStats.tokenDrift(
+        oneSided, "text", pmod(col("doc_id"), lit(2)), topK = 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("tokenDrift")), messages(e).mkString("; "))
+  }
 }

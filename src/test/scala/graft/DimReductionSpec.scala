@@ -112,4 +112,41 @@ class DimReductionSpec extends SparkSpec {
     assert(model.compsQ.exists(_.toSeq == single.compQ.toSeq),
       "the power-iteration direction vanished from the top-2 set")
   }
+
+  test("malformed vectors fail loudly; NULL vectors are a missing value") {
+    val bad = Seq(
+      (0L, Some(Array(1.0f, 2.0f, 3.0f, 4.0f))),
+      (1L, Some(Array(1.0f, 2.0f)))).toDF("vec_id", "embedding") // short
+    val e1 = intercept[Exception] {
+      DimReduction.jlProject(bad, "vec_id", "embedding", 2, 4).collect()
+    }
+    assert(e1.getMessage.contains("jlProject"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      DimReduction.pcaTrain(bad, "embedding", 4, 2)
+    }
+    assert(e2.getMessage.contains("pcaTrain"), e2.getMessage)
+    // a NULL element inside the declared dims is malformed too
+    val nullElem = Seq(
+      (0L, Array[java.lang.Float](1.0f, 2.0f, 3.0f, 4.0f)),
+      (1L, Array[java.lang.Float](1.0f, null, 3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val e3 = intercept[Exception] {
+      DimReduction.jlProject(nullElem, "vec_id", "embedding", 2, 4).collect()
+    }
+    assert(e3.getMessage.contains("NULL elements"), e3.getMessage)
+    // a NULL VECTOR is a missing value: jl passes it through as NULL
+    // projections, the trainer excludes it from n on BOTH passes
+    val withNull = Seq(
+      (0L, Some(Array(1.0f, 2.0f, 3.0f, 4.0f))),
+      (1L, Some(Array(5.0f, 6.0f, 7.0f, 8.0f))),
+      (2L, None)).toDF("vec_id", "embedding")
+    val jl = DimReduction.jlProject(withNull, "vec_id", "embedding", 2, 4)
+      .orderBy("vec_id").collect()
+    assert(jl.length == 3 && jl(2).isNullAt(1))
+    val m = DimReduction.pcaTrain(withNull, "embedding", 4, 2)
+    val mRef = DimReduction.pcaTrain(
+      withNull.where(col("embedding").isNotNull), "embedding", 4, 2)
+    assert(m.meanQ.toSeq == mRef.meanQ.toSeq &&
+      m.compQ.toSeq == mRef.compQ.toSeq)
+  }
 }

@@ -425,4 +425,24 @@ class PropertySpec extends SparkSpec {
     assert(got === expected)
     assert(got.nonEmpty)
   }
+
+  test("hyperplaneSignatures are partitioning-invariant (exact integer sums)") {
+    // The projection behind each signature bit is an exact integer sum
+    // (quantized elements x scale-10^6 plane components), so the packed
+    // signature may not depend on how rows/partials are partitioned —
+    // the float-flake class a double sum would reintroduce. Verified by
+    // re-deriving signatures under adversarial partitionings.
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def sigs(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.ext.Similarity.hyperplaneSignatures(df, "vec_id", "embedding",
+          bits = 12, table = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = sigs(embs)
+    assert(base.nonEmpty)
+    assert(sigs(embs.repartition(1)) === base)
+    assert(sigs(embs.repartition(64, col("vec_id") % 7)) === base)
+    assert(sigs(embs.orderBy(col("vec_id").desc)) === base)
+  }
 }
