@@ -920,17 +920,29 @@ object EnrichmentQueries {
     */
   private def withGlobalRank(
       df: DataFrame, rankCol: String, sortCols: Column*): DataFrame = {
-    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // localCheckpoint pins ONE materialized range partitioning: the
-    // offsets branch and the main branch below would otherwise each
+    // offsets branch and the main branch would otherwise each
     // re-evaluate the repartition, and RangePartitioner's reservoir
     // sample depends on upstream row order — nondeterministic under
     // concurrent shuffle fetch — so the two evaluations can disagree on
     // boundaries and mis-align _poff with _pid (caught by the r10 gate:
     // 67/1500 q_rfm rows off by one quintile).
-    val parted = df.repartitionByRange(parts, sortCols: _*)
-      .withColumn("_pid", spark_partition_id())
-      .localCheckpoint(true)
+    rankedOnStable(
+      df.repartitionByRange(
+          df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+          sortCols: _*)
+        .withColumn("_pid", spark_partition_id())
+        .localCheckpoint(true),
+      rankCol, sortCols: _*)
+  }
+
+  /** The offsets+local-row_number tail of the global rank, over an
+    * ALREADY range-partitioned frame carrying `_pid`. Split out so
+    * [[globalRankTable]] can skip the per-call checkpoint when the
+    * input's evaluation is known-deterministic.
+    */
+  private[graft] def rankedOnStable(
+      parted: DataFrame, rankCol: String, sortCols: Column*): DataFrame = {
     val wOff = Window.orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = parted.groupBy("_pid").agg(count(lit(1)).as("_pn"))
@@ -941,6 +953,7 @@ object EnrichmentQueries {
       .withColumn(rankCol, col("_poff") + row_number().over(wLocal))
       .drop("_pid", "_poff")
   }
+
 
   /** `ntile(k)` of 1-based global rank `i` over `n` rows, in closed form
     * (the first n mod k buckets get ⌈n/k⌉ rows, the rest ⌊n/k⌋ — the SQL
@@ -960,34 +973,71 @@ object EnrichmentQueries {
     * deterministic in both engines; recency ranks DESCENDING so
     * quintile 5 = most recent.
     *
-    * Scale shape: quintiles come from [[withGlobalRank]] (range-
-    * partitioned exact ranks, parallel windows) + the [[ntileOfRank]]
-    * closed form with the row count broadcast — an unpartitioned
-    * `ntile(5)` window would single-task-sort all customers, three
-    * times (the round-9 verdict's scale finding).
+    * Scale shape (r10 verdict task 4 — ONE pass instead of three): the
+    * three metric streams STACK into a single (metric_id, sortable
+    * value, custkey) frame — recency negated so every metric ranks
+    * ascending, longs widened to double (exact: both < 2^53) — and ONE
+    * [[withGlobalRank]] over (mi, mv, custkey) ranks all of them: metric
+    * blocks are contiguous under the composite range partitioning, so
+    * the within-metric rank is just `global − (mi−1)·n`. One sampling
+    * job, one range shuffle of 3n slim rows, one pinned checkpoint
+    * (same race-free discipline), then a custkey groupBy pivots ranks
+    * AND the metric values back (recoverable exactly from `mv`, so the
+    * original table is never re-joined). An unpartitioned `ntile(5)`
+    * window would single-task-sort all customers, three times (the
+    * round-9 verdict's scale finding); three separate global ranks cost
+    * 3 checkpoints + 6 shuffles (the r10 shape, 2.4 s solo).
     */
   val qRfm = QueryDef(
     "q_rfm",
     (s, d) => {
+      // Pin the per-customer aggregate ONCE: maxDay, nTot, and the
+      // stacked stream below each consume it, and without the checkpoint
+      // every consumer re-scans and re-aggregates the orders table (the
+      // dominant fixed cost of the r10 shape).
       val per = QueryDef.table(s, d, "orders")
         .groupBy("o_custkey")
         .agg(max(to_date(col("o_orderdate"))).as("last_order"),
           count(lit(1)).as("frequency"),
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("monetary"))
-      val maxDay = per.agg(max("last_order").as("max_day"))
-      val nTot = per.agg(count(lit(1)).as("_n"))
-      val base = per.crossJoin(broadcast(maxDay))
+        .localCheckpoint(true)
+      // max date and customer count in ONE scalar pass over the cache,
+      // broadcast ONCE: `_n` rides the stacked rows through the range
+      // shuffle (8 bytes/row) so no second scalar job is needed later
+      val scalars = per.agg(max("last_order").as("max_day"),
+        count(lit(1)).as("_n"))
+      val stacked = per.crossJoin(broadcast(scalars))
         .withColumn("recency_days",
           datediff(col("max_day"), col("last_order")).cast("long"))
-      val ranked = Seq[(String, Seq[Column])](
-        "_ri" -> Seq(col("recency_days").desc, col("o_custkey")),
-        "_rf" -> Seq(col("frequency").asc, col("o_custkey")),
-        "_rm" -> Seq(col("monetary").asc, col("o_custkey"))
-      ).foldLeft(base) { case (df, (rc, keys)) =>
-        withGlobalRank(df, rc, keys: _*)
-      }
-      ranked.crossJoin(broadcast(nTot))
+        .select(col("o_custkey"), col("_n"), explode(array(
+          struct(lit(1).as("mi"),
+            (-col("recency_days")).cast("double").as("mv")),
+          struct(lit(2).as("mi"), col("frequency").cast("double").as("mv")),
+          struct(lit(3).as("mi"), col("monetary").as("mv")))).as("s"))
+        .select(col("s.mi").as("mi"), col("s.mv").as("mv"),
+          col("o_custkey"), col("_n"))
+      // The post-shuffle checkpoint stays NON-NEGOTIABLE: a tempting
+      // "the input is checkpointed, so both branches resample the same
+      // boundaries" argument was tried here and MEASURED WRONG — the
+      // offsets and main branches plan separate (differently-pruned)
+      // range exchanges, and their reservoir samples still diverged on
+      // 113/1500 customers at 4 partitions, exactly the r10 race class.
+      // Only a materialization BETWEEN the shuffle and its two consumers
+      // pins one boundary set.
+      val ranked = withGlobalRank(stacked, "_g",
+        col("mi"), col("mv"), col("o_custkey"))
+      ranked
+        .withColumn("_r", col("_g") - (col("mi") - 1).cast("long") * col("_n"))
+        .groupBy("o_custkey")
+        .agg(
+          max(when(col("mi") === 1, -col("mv"))).cast("long").as("recency_days"),
+          max(when(col("mi") === 2, col("mv"))).cast("long").as("frequency"),
+          max(when(col("mi") === 3, col("mv"))).as("monetary"),
+          max(when(col("mi") === 1, col("_r"))).as("_ri"),
+          max(when(col("mi") === 2, col("_r"))).as("_rf"),
+          max(when(col("mi") === 3, col("_r"))).as("_rm"),
+          max(col("_n")).as("_n"))
         .withColumn("r", ntileOfRank("_ri", "_n", 5).cast("long"))
         .withColumn("f", ntileOfRank("_rf", "_n", 5).cast("long"))
         .withColumn("m", ntileOfRank("_rm", "_n", 5).cast("long"))
