@@ -109,7 +109,8 @@ object StreamBench {
       run("cms", "update", df =>
         StreamingPipeline.countMinStream(df, "user_id",
           width = 64, depth = 4, windowDur = "1 hour", watermark = "1 hour"))
-    ) :+ runAnn(spark, sfDir, nTriggers) :+ runCurate(spark, sfDir, nTriggers)
+    ) :+ runAnn(spark, sfDir, nTriggers) :+ runCurate(spark, sfDir, nTriggers) :+
+      runCurateHot(spark, sfDir, nTriggers)
 
     val twinJs = twins.map { case (n, js) => "\"" + n + "\":" + js }
       .mkString("{", ",", "}")
@@ -210,6 +211,62 @@ object StreamBench {
         progress.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
           .getOrElse(0L)
       "crawl_curate" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"final_state_rows":$finalState}"""
+    } finally q.stop()
+  }
+
+  /** The crawl-curation twin under a SKEWED-domain crawl (r10 verdict
+    * task 5): half the stream is rewritten onto ONE hot domain (distinct
+    * paths, so canonical-key dedup cannot collapse them) — the shape of
+    * a crawler stuck on a link farm. What this measures, rather than
+    * assumes: the per-domain admission state stays ONE counter row for
+    * the hot domain (not one row per URL), per-trigger times stay flat
+    * (the domain hash groups are skewed but tiny), and dedup state grows
+    * with DISTINCT canonical URLs only. With `budget = 2` the hot domain
+    * admits 2 documents total — the output collapse is itself the
+    * assertion that budgets bind under skew.
+    */
+  private def runCurateHot(
+      spark: SparkSession, sfDir: String, nTriggers: Int): (String, String) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    val hotUrl = concat(lit("https://hot.link-farm.example/p/"), col("doc_id"))
+    val docRows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, hotUrl)
+          .otherwise(graft.queries.UrlQueries.deriveUrl).as("url"))
+      .as[(Long, String)].collect()
+      .map { case (i, u) => (i, u, new java.sql.Timestamp(base + i * 1000L)) }
+    val chunkSize = math.max(1, (docRows.length + nTriggers - 1) / nTriggers)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q: StreamingQuery = StreamingPipeline.curateCrawlStream(
+        spark, input.toDF().toDF("doc_id", "url", "ingest_ts"),
+        graft.queries.UrlQueries.PolicyRules, budget = 2)
+      .writeStream.outputMode("append").format("noop").start()
+    val wall0 = System.nanoTime()
+    try {
+      docRows.grouped(chunkSize).foreach { c =>
+        input.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - wall0) / 1e9
+      val progress = q.recentProgress.filter(_.numInputRows > 0)
+      val triggers = progress.map { p =>
+        val sec = p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3
+        val (srows, sbytes) =
+          if (p.stateOperators.nonEmpty)
+            (p.stateOperators.map(_.numRowsTotal).sum,
+             p.stateOperators.map(_.memoryUsedBytes).sum)
+          else (0L, 0L)
+        s"""{"rows":${p.numInputRows},"sec":$sec,"state_rows":$srows,"state_bytes":$sbytes}"""
+      }
+      val totalRows = progress.map(_.numInputRows).sum
+      val sumSec = progress
+        .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum / 1e3
+      val rps = if (sumSec > 0) totalRows / sumSec else 0.0
+      val finalState =
+        progress.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
+          .getOrElse(0L)
+      "crawl_curate_hot_domain" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"final_state_rows":$finalState}"""
     } finally q.stop()
   }
 }
