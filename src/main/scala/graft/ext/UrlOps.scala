@@ -43,14 +43,34 @@ object UrlOps {
   val TrackingParams: Seq[String] =
     Seq("fbclid", "gclid", "msclkid", "ref", "igshid")
 
-  /** Public-suffix heuristic: second-level registries where the
-    * registered domain is three labels, not two. A full public-suffix
-    * list is a data file at deploy time; this embedded subset keeps the
-    * operator self-contained and the contract testable.
+  /** Two-level public suffixes (registries where the registered domain
+    * is three labels, not two), loaded from the bundled
+    * `graft/public_suffix_snapshot.txt` snapshot — ~500 ICANN-section
+    * entries covering the common ccTLD second-level registries (advice
+    * r10: the former 10-entry inline subset mis-grouped real-world hosts
+    * on any other registry, e.g. `com.mx`, `co.nz`). A deployment swaps
+    * the data file for a full, current publicsuffix.org list with no
+    * code change; the set still compiles into the scan as a single
+    * `InSet` membership probe (bounded, codegen'd — never a join).
+    * Wildcard/exception PSL rules are out of scope for the bundled
+    * heuristic; hosts under those registries fall back to the two-label
+    * rule. The generated oracles embed the SAME sequence, so the data
+    * file cannot desynchronize the gate.
     */
-  val MultiLevelTlds: Seq[String] =
-    Seq("co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "com.au",
-      "com.br", "co.in", "co.kr", "com.cn")
+  val MultiLevelTlds: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_snapshot.txt")
+    require(in != null, "bundled public-suffix snapshot missing from classpath")
+    try {
+      val entries = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toVector
+      require(entries.nonEmpty && entries.distinct.size == entries.size,
+        "public-suffix snapshot must be non-empty with unique entries")
+      require(entries.forall(e => e.count(_ == '.') == 1 &&
+        e == e.toLowerCase(java.util.Locale.ROOT)),
+        "snapshot entries must be lowercase two-level suffixes")
+      entries
+    } finally in.close()
+  }
 
   /** `str` up to (excluding) the first `delim`, or all of `str` when
     * absent — `substring_index(str, delim, 1)`, which matches DuckDB's

@@ -216,6 +216,27 @@ object UrlQueries {
                  ELSE NULL END AS matched_rule
              FROM s7 ORDER BY doc_id"""))
 
+  /** Deny-by-default twin of q_url_policy (`defaultAllow = false` — the
+    * allowlist-crawl posture: nothing is fetched unless a rule says so).
+    * Same rule set and longest-prefix semantics; only the CASE
+    * fall-through flips, so the two variants together pin BOTH default
+    * branches of [[UrlOps.applyUrlPolicy]].
+    */
+  val qUrlPolicyDeny = QueryDef(
+    "q_url_policy_deny",
+    (s, d) => UrlOps.applyUrlPolicy(
+        docs(s, d).select(col("doc_id"), deriveUrl.as("url")), "url",
+        PolicyRules, defaultAllow = false)
+      .select("doc_id", "allowed", "matched_rule")
+      .orderBy("doc_id"),
+    Some(s"""WITH u AS (SELECT doc_id, $deriveUrlSql AS url FROM documents),
+             $canonCtes
+             SELECT doc_id,
+               CASE ${policyArms(_.allow.toString)} ELSE false END AS allowed,
+               CASE ${policyArms(r => s"'${r.domain}|${r.pathPrefix}'")}
+                 ELSE NULL END AS matched_rule
+             FROM s7 ORDER BY doc_id"""))
+
   /** The composed crawl-curation pass
     * ([[graft.ext.CorpusPipeline.curateCrawl]]): policy → canonical
     * keep-min dedup → domain budget, one oracle chaining the three
@@ -264,6 +285,6 @@ object UrlQueries {
              WHERE rk <= 2 ORDER BY doc_id"""))
 
   val all: Seq[QueryDef] =
-    Seq(qUrlCanonical, qUrlDedup, qDomainRollup, qUrlPolicy, qDomainBudget,
-      qCrawlCurate)
+    Seq(qUrlCanonical, qUrlDedup, qDomainRollup, qUrlPolicy, qUrlPolicyDeny,
+      qDomainBudget, qCrawlCurate)
 }

@@ -63,6 +63,21 @@ class UrlOpsSpec extends SparkSpec {
       "localhost", "site.com.au"))
   }
 
+  test("bundled public-suffix snapshot: loaded, well-formed, and applied") {
+    val psl = UrlOps.MultiLevelTlds
+    // the data file replaced the 10-entry inline subset (advice r10)
+    assert(psl.size > 400, s"snapshot too small: ${psl.size}")
+    assert(psl.distinct.size == psl.size)
+    assert(psl.forall(e => e.count(_ == '.') == 1 && e == e.toLowerCase))
+    // registries the old subset mis-grouped now resolve correctly
+    val got = Seq("tienda.algo.com.mx", "shop.kiwi.co.nz", "x.y.gob.es",
+        "news.site.co.za", "a.b.com.tr", "plain.example.org")
+      .toDF("host").select(UrlOps.registeredDomain(col("host")))
+      .as[String].collect().toSeq
+    assert(got == Seq("algo.com.mx", "kiwi.co.nz", "y.gob.es",
+      "site.co.za", "b.com.tr", "example.org"))
+  }
+
   test("urlDedup collapses tracking/case/slash variants into one keeper") {
     val df = Seq(
       (1L, "HTTP://A.com/x/?utm_source=1"),
