@@ -10,6 +10,12 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// The 40M-row golden tier takes ~10 min and is excluded from the default
+// run (a ScalaTest -l exclusion beats -n inclusion, so the toggle is an
+// env var):   SPARK_GRAFT_VERYSLOW=1 sbt 'testOnly graft.GoldenScaleSpec'
+Test / testOptions ++= (
+  if (sys.env.contains("SPARK_GRAFT_VERYSLOW")) Seq()
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.VerySlow")))
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -691,13 +691,19 @@ object StreamingPipeline {
     * per-document RESULTS (same [[graft.ext.BpeTrainer.encodeWord]]
     * replay, asserted row-for-row in StreamingSpec), different cost
     * shape — batch encodes each DISTINCT word once via the dictionary
-    * join, which needs a corpus-wide distinct that a stream cannot have;
-    * the stream encodes per token occurrence instead. Like the vocab
-    * gate, TRAINING cannot stream (each merge step's argmax is a global
-    * corpus statistic with no monotone incremental form) — only frozen
-    * inference does. Stateless but windowed: the per-document aggregate
-    * rides the standard watermark+window so append mode emits exactly
-    * once per closed window.
+    * join, which needs a corpus-wide distinct that a stream cannot have
+    * (and a second chained streaming aggregation to pre-distinct within
+    * the window would leave append mode's supported-plan set). The
+    * stream instead MEMOIZES the merge replay per executor (advice r10):
+    * a bounded concurrent cache keyed by word means each distinct word
+    * is replayed once per JVM, not once per occurrence — the same
+    * repetition-factor saving as the batch dictionary, without a second
+    * stateful operator. Like the vocab gate, TRAINING cannot stream
+    * (each merge step's argmax is a global corpus statistic with no
+    * monotone incremental form) — only frozen inference does. Stateless
+    * but windowed: the per-document aggregate rides the standard
+    * watermark+window so append mode emits exactly once per closed
+    * window.
     */
   def bpeEncodeStream(
       docs: DataFrame, merges: Seq[String],
@@ -708,8 +714,12 @@ object StreamingPipeline {
     val pairs = merges.map { m =>
       val Array(a, b) = m.split(" ", 2); (a, b)
     }
-    val nSubwords =
-      udf((w: String) => graft.ext.BpeTrainer.encodeWord(w, pairs).length)
+    // The memo key carries the merge table's content hash so two streams
+    // with different frozen tokenizers sharing the JVM cannot cross-read.
+    val mergesKey = pairs.##
+    val nSubwords = udf { (w: String) =>
+      BpeEncodeMemo.subwordCount(mergesKey, w, pairs)
+    }
     docs
       .withWatermark(tsCol, watermark)
       .where(col(textCol).isNotNull)
@@ -851,6 +861,44 @@ object StreamingPipeline {
       model: graft.ext.DimReduction.PcaKModel): DataFrame =
     graft.ext.DimReduction.pcaScoresK(embs, id, vec, model)
 
+  /** Rollup-informed quality gate at the ingest edge (r10 verdict task
+    * 9): a batch-computed [[graft.ext.UrlOps.domainRollup]] frame —
+    * per-domain doc counts / distinct URLs / total characters over the
+    * corpus so far — is a STATIC broadcast side enriching every arriving
+    * document with its domain's standing, and the gate flags documents
+    * from unknown or thin domains. The frozen-artifact contract the
+    * tokenizer / classifier / ANN-index twins follow, applied to the
+    * crawl-health rollup: the ROLLUP cannot stream (it is a corpus
+    * aggregate), frozen enrichment can. Stateless (a stream-static
+    * broadcast join, no watermark needed); re-deploy with a fresh rollup
+    * on whatever cadence the corpus refreshes.
+    *
+    * Emits the input columns plus `domain`, `domain_docs` (NULL for a
+    * domain the rollup has never seen), `domain_avg_chars`, and
+    * `admitted` — true when the domain has at least `minDocs` documents
+    * averaging at least `minAvgChars` characters. Unknown domains are
+    * NOT admitted (a brand-new domain has no quality record; route it
+    * to a bootstrap queue instead of the main corpus).
+    */
+  def domainQualityGateStream(
+      docs: DataFrame, rollup: DataFrame,
+      minDocs: Long = 1L, minAvgChars: Double = 0.0,
+      urlCol: String = "url"): DataFrame = {
+    require(minDocs >= 0 && minAvgChars >= 0, "thresholds must be >= 0")
+    val avg = col("_rt").cast("double") / col("domain_docs").cast("double")
+    docs
+      .withColumn("domain", graft.ext.UrlOps.registeredDomain(
+        graft.ext.UrlOps.urlHost(col(urlCol))))
+      .join(broadcast(rollup.select(col("domain"),
+        col("n_docs").as("domain_docs"), col("total_chars").as("_rt"))),
+        Seq("domain"), "left")
+      .withColumn("domain_avg_chars", avg)
+      .withColumn("admitted",
+        coalesce(col("domain_docs") >= minDocs, lit(false)) &&
+          coalesce(avg >= minAvgChars, lit(false)))
+      .drop("_rt")
+  }
+
   case class BudgetDoc(doc_id: Long, url: String, ingest_ts: java.sql.Timestamp)
   case class BudgetAdmission(doc_id: Long, domain: String, admitted_rank: Long)
 
@@ -948,5 +996,33 @@ object StreamingPipeline {
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("canonical_url"))
     budgetAdmit(spark, deduped, budget, stateTtlMinutes)
+  }
+}
+
+/** JVM-wide memo for the streaming BPE merge replay: each distinct word
+  * is replayed ONCE per executor JVM (across tasks AND micro-batches),
+  * not once per token occurrence — the same repetition-factor saving the
+  * batch encoder gets from its distinct-word dictionary join, without a
+  * second streaming aggregation (advice r10). Natural-language word
+  * frequency is Zipfian, so a bounded cache absorbs nearly every lookup;
+  * on overflow (an adversarial unique-token flood) it clears —
+  * correctness never depends on a hit. Values are boxed so a missing key
+  * is a NULL, never confusable with a real count.
+  */
+private[streaming] object BpeEncodeMemo {
+  private val MaxEntries = 1 << 20
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Integer]()
+
+  def subwordCount(mergesKey: Int, w: String, pairs: Seq[(String, String)]): Int = {
+    val k = (mergesKey, w)
+    val hit = memo.get(k)
+    if (hit ne null) hit.intValue()
+    else {
+      val n = graft.ext.BpeTrainer.encodeWord(w, pairs).length
+      if (memo.size >= MaxEntries) memo.clear()
+      memo.put(k, Integer.valueOf(n))
+      n
+    }
   }
 }

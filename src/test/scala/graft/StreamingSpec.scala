@@ -857,6 +857,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("domain quality gate stream: rollup-informed admission matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // the frozen artifact: a batch domainRollup over the corpus so far
+    val corpus = Seq(
+      (1L, 1000L, "https://good.com/a"),
+      (2L, 3000L, "https://good.com/b"),
+      (3L, 10L, "https://thin.com/x"),
+      (4L, 20L, "https://thin.com/y")).toDF("doc_id", "n_chars", "url")
+    val rollup = graft.ext.UrlOps.domainRollup(corpus, "url", "n_chars")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingPipeline.domainQualityGateStream(
+        input.toDF().toDF("doc_id", "url", "ingest_ts"), rollup,
+        minDocs = 2L, minAvgChars = 100.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gate_out").start()
+    try {
+      input.addData(
+        (10L, "https://good.com/new", ts("2025-01-01 10:00:00")),
+        (11L, "https://thin.com/new", ts("2025-01-01 10:00:01")), // avg 15 chars
+        (12L, "https://never-seen.com/x", ts("2025-01-01 10:00:02")))
+      q.processAllAvailable()
+      val out = spark.table("gate_out")
+        .select("doc_id", "domain", "admitted")
+        .collect().map(r => (r.getLong(0), (r.getString(1), r.getBoolean(2)))).toMap
+      assert(out == Map(
+        10L -> ("good.com", true),     // 2 docs, avg 2000 chars
+        11L -> ("thin.com", false),    // avg 15 < 100
+        12L -> ("never-seen.com", false))) // unknown domain: bootstrap queue
+      // NULL standing surfaces as NULL enrichment, not a fake zero
+      val unknown = spark.table("gate_out")
+        .where(col("doc_id") === 12L).select("domain_docs").collect()
+      assert(unknown.head.isNullAt(0))
+      // stateless operator: batch application of the same gate agrees
+      val batch = StreamingPipeline.domainQualityGateStream(
+          Seq((10L, "https://good.com/new"), (11L, "https://thin.com/new"),
+            (12L, "https://never-seen.com/x")).toDF("doc_id", "url"),
+          rollup, minDocs = 2L, minAvgChars = 100.0)
+        .select("doc_id", "domain", "admitted")
+        .collect().map(r => (r.getLong(0), (r.getString(1), r.getBoolean(2)))).toMap
+      assert(batch == out)
+    } finally q.stop()
+  }
+
   test("url dedup stream: canonical-key suppression matches batch, seen index skips state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, Timestamp)]
