@@ -92,18 +92,25 @@ object DimReduction {
     * vector dies as an opaque ANSI INVALID_ARRAY_INDEX (or, in the
     * trainer's treeAggregate, an executor NullPointerException) and a
     * NULL element silently desynchronizes the mean pass (`sum` skips
-    * NULL) from the Gram pass (`getLong` NPEs) — advice r10. All native
-    * expressions; the `exists` lambda runs once per row in a bounded
-    * trainer/projection guard, not a join side.
+    * NULL) from the Gram pass (`getLong` NPEs) — advice r10.
+    *
+    * Codegen discipline: NULL-element detection is a native probe sum
+    * (`Σ element_at` is NULL iff any element is NULL) rather than an
+    * `exists()` lambda — higher-order array functions are
+    * CodegenFallback, and this guard rides jlProject's per-row scan
+    * stage (the round-7 lpmEnrich lesson). The size conjunct
+    * short-circuits, so the probe never indexes past a short vector.
     */
-  private def vecShapeGuard(op: String, vec: String, inDims: Int): Column =
+  private def vecShapeGuard(op: String, vec: String, inDims: Int): Column = {
+    val probe = (0 until inDims).map(i =>
+      element_at(col(vec), i + 1).cast("double")).reduceLeft(_ + _)
     col(vec).isNull || when(
-      size(col(vec)) >= inDims &&
-        !exists(slice(col(vec), 1, inDims), e => e.isNull),
+      size(col(vec)) >= inDims && probe.isNotNull,
       lit(true)).otherwise(raise_error(concat(
         lit(s"$op: vector shorter than $inDims dims or with NULL elements "),
         lit("(got size="), coalesce(size(col(vec)).cast("string"), lit("?")),
         lit(")"))).cast("boolean"))
+  }
 
   /** Top principal component by FIXED-POINT power iteration.
     *
