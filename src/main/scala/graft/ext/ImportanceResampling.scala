@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style data selection via importance resampling (Xie et al. 2023,
+  * arXiv:2302.03169 "Data Selection for Language Models via Importance
+  * Resampling"): score every raw-pool document by its hashed-n-gram
+  * log-likelihood ratio under two smoothed bag-of-buckets unigram models
+  * — a TARGET-domain sample vs the RAW pool itself — and keep the
+  * top-scoring slice. The pretraining-mix shape: "give me the slice of
+  * the crawl that looks most like my high-quality target domain".
+  *
+  * Features follow the paper: word unigrams AND bigrams, hashed into
+  * `dims` buckets ([[QualityClassifier.bucketOf]] — the shared md5
+  * bucket hash, so the DuckDB oracle replays it with the established
+  * `('0x'||substr(md5,1,8))::BIGINT` hop). Both models are add-one
+  * smoothed over the bucket space.
+  *
+  * Determinism (the suite's gate discipline): each per-bucket log-ratio
+  * `Δ_b = ln(cT_b+1) − ln(NT+dims) − ln(cR_b+1) + ln(NR+dims)` is ONE
+  * fixed tree of IEEE ops evaluated once per bucket (≤ dims rows), then
+  * floor-quantized at 10⁻⁶ to a long — so the per-document score
+  * `Σ_b c_b·Δq_b` is an EXACT integer sum, immune to accumulation
+  * order. The only cross-engine float exposure is ln() itself (libm vs
+  * StrictMath may differ by 1 ulp); at the 10⁻⁶ quantum a flip needs the
+  * value within ~2·10⁻¹⁵ of a boundary — ~10⁻⁹ per bucket, negligible
+  * at bounded dims, and 10⁻⁶ log-precision is far below any real
+  * ranking gap.
+  *
+  * Scale shape: one token-explode + (id, bucket) aggregation over each
+  * corpus (map-side combined), bucket models are ≤ dims rows (BROADCAST
+  * — the Δ table never shuffles the corpus), and the final score is one
+  * id-keyed aggregation. Selection is orderBy+limit — Catalyst's
+  * distributed TakeOrderedAndProject, no global sort. Documents with no
+  * features (NULL/empty text) have no likelihood under either model and
+  * are absent from the output (documented).
+  */
+object ImportanceResampling {
+
+  /** Score quantization: Δ logs are floor-scaled by 10⁶ to longs. */
+  private[graft] val LogScale = 1000000L
+
+  /** (id, bucket, c): hashed unigram+bigram occurrence counts per doc.
+    * Word bigrams come from [[TextAnalysis.wordNgrams]] (NULL for
+    * sub-2-token docs — coalesced to no features).
+    */
+  private[graft] def docBucketCounts(
+      df: DataFrame, id: String, text: String, dims: Int): DataFrame =
+    df.where(col(text).isNotNull)
+      .select(col(id), explode(concat(
+          TextAnalysis.tokens(col(text)),
+          coalesce(TextAnalysis.wordNgrams(col(text), 2),
+            array().cast("array<string>")))).as("_f"))
+      .where(col("_f") =!= "")
+      .withColumn("bucket", QualityClassifier.bucketOf(col("_f"), dims))
+      .groupBy(col(id), col("bucket")).agg(count(lit(1)).as("c"))
+
+  /** Per-document DSIR importance score `dsir_scoreq` (integer,
+    * 10⁻⁶-scaled log-likelihood-ratio units): positive means the
+    * document's hashed-n-gram profile is more likely under the target
+    * model than under the raw-pool model.
+    */
+  def dsirScores(
+      raw: DataFrame, id: String, text: String,
+      target: DataFrame, dims: Int = 512): DataFrame = {
+    require(dims >= 2, s"dims must be >= 2, got $dims")
+    val rawB = docBucketCounts(raw, id, text, dims)
+    val rawModel = rawB.groupBy("bucket").agg(sum("c").as("_cr"))
+    val tgtModel = docBucketCounts(target, id, text, dims)
+      .groupBy("bucket").agg(sum("c").as("_ct"))
+    val nR = rawModel.agg(sum("_cr").as("_nr"))
+    val nT = tgtModel.agg(sum("_ct").as("_nt"))
+    // every bucket a raw document can carry appears in rawModel (the raw
+    // pool IS the scored corpus), so a left join covers the Δ domain;
+    // target-absent buckets smooth to ln(1)
+    val delta = rawModel
+      .join(tgtModel, Seq("bucket"), "left")
+      .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
+      .select(col("bucket"),
+        floor((log(coalesce(col("_ct"), lit(0L)) + lit(1L))
+            - log(col("_nt") + lit(dims.toLong))
+            - log(col("_cr") + lit(1L))
+            + log(col("_nr") + lit(dims.toLong)))
+          * lit(LogScale)).cast("long").as("_dq"))
+    rawB.join(broadcast(delta), "bucket")
+      .groupBy(col(id))
+      .agg(sum(col("c") * col("_dq")).as("dsir_scoreq"))
+  }
+
+  /** The selection: top-`k` raw documents by importance score
+    * (ties broken by id — a deterministic cut).
+    */
+  def dsirSelect(
+      raw: DataFrame, id: String, text: String,
+      target: DataFrame, k: Int, dims: Int = 512): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    dsirScores(raw, id, text, target, dims)
+      .orderBy(col("dsir_scoreq").desc, col(id))
+      .limit(k)
+  }
+}

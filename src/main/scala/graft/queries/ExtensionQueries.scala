@@ -3595,7 +3595,89 @@ object ExtensionQueries {
                   FROM cos) r
             WHERE rn <= 10 ORDER BY q_id, vec_id"""))
 
+  /** Shared WITH-chain of the DSIR replay: unigram+bigram features over
+    * the raw pool (all documents) and the target sample (source =
+    * 'src1'), md5-bucketed (the [[LloydOracles]] bucket hop), add-one
+    * smoothed models, the per-bucket log-ratio floor-quantized at 10⁻⁶,
+    * and the exact-integer per-document score. Ends at
+    * `dsc(doc_id, dsir_scoreq)`.
+    */
+  private def dsirChain(dims: Int): String = {
+    val bucket = "CAST((CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT)" +
+      s" & 2147483647) % $dims AS BIGINT)"
+    def feats(toks: String): String =
+      s"""SELECT doc_id, u.f AS f FROM $toks, unnest(t) AS u(f)
+         WHERE u.f <> ''
+         UNION ALL
+         SELECT doc_id, array_to_string(list_slice(t, u.i + 1, u.i + 2), ' ')
+           AS f
+         FROM $toks, unnest(range(len(t) - 1)) AS u(i) WHERE len(t) >= 2"""
+    s"""rtoks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents WHERE text IS NOT NULL),
+            ttoks AS (SELECT doc_id,
+                regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents WHERE text IS NOT NULL AND source = 'src1'),
+            rfeat AS (${feats("rtoks")}),
+            tfeat AS (${feats("ttoks")}),
+            rb AS MATERIALIZED (SELECT doc_id, $bucket AS bucket,
+                count(*) AS c
+              FROM rfeat GROUP BY 1, 2),
+            rm AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS cr
+                   FROM rb GROUP BY 1),
+            tm AS (SELECT $bucket AS bucket, CAST(count(*) AS BIGINT) AS ct
+                   FROM tfeat GROUP BY 1),
+            nr AS (SELECT CAST(sum(cr) AS BIGINT) AS v FROM rm),
+            nt AS (SELECT CAST(sum(ct) AS BIGINT) AS v FROM tm),
+            delta AS (SELECT rm.bucket,
+                CAST(floor((ln(CAST(COALESCE(tm.ct, 0) + 1 AS DOUBLE))
+                          - ln(CAST((SELECT v FROM nt) + $dims AS DOUBLE))
+                          - ln(CAST(rm.cr + 1 AS DOUBLE))
+                          + ln(CAST((SELECT v FROM nr) + $dims AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS dq
+              FROM rm LEFT JOIN tm USING (bucket)),
+            dsc AS (SELECT rb.doc_id,
+                CAST(sum(rb.c * d.dq) AS BIGINT) AS dsir_scoreq
+              FROM rb JOIN delta d USING (bucket) GROUP BY 1)"""
+  }
+
+  /** DSIR importance scores ([[graft.ext.ImportanceResampling]]): every
+    * document's hashed unigram+bigram log-likelihood ratio, target model
+    * = the src1 slice (the "high-quality domain" stand-in), raw model =
+    * the whole pool. Integer output — hash-exact; see the operator's
+    * scaladoc for the ln-boundary analysis.
+    */
+  val qDsirScore = QueryDef(
+    "q_dsir_score",
+    (s, d) => {
+      val all = docs(s, d)
+      graft.ext.ImportanceResampling.dsirScores(
+          all, "doc_id", "text", all.filter(col("source") === "src1"),
+          dims = 512)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${dsirChain(512)}
+            SELECT doc_id, dsir_scoreq FROM dsc ORDER BY doc_id"""))
+
+  /** The DSIR selection: top-50 documents by importance score — "the
+    * slice of the crawl most like the target domain".
+    */
+  val qDsirSelect = QueryDef(
+    "q_dsir_select",
+    (s, d) => {
+      val all = docs(s, d)
+      graft.ext.ImportanceResampling.dsirSelect(
+          all, "doc_id", "text", all.filter(col("source") === "src1"),
+          k = 50, dims = 512)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${dsirChain(512)}
+            SELECT doc_id, dsir_scoreq
+            FROM (SELECT doc_id, dsir_scoreq, row_number() OVER (
+                    ORDER BY dsir_scoreq DESC, doc_id) AS rn FROM dsc)
+            WHERE rn <= 50 ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
+    qDsirScore, qDsirSelect,
     qDedupExact, qDedupExactHash, qNgramJaccard, qFuzzyPairs, qDedupMinhash,
     qDedupClusters,
     qDedupSimhash, qDedupEmbed, qDedupSemdedup, qDedupIncremental,
