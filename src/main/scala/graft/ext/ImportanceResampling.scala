@@ -41,17 +41,21 @@ object ImportanceResampling {
   /** Score quantization: Δ logs are floor-scaled by 10⁶ to longs. */
   private[graft] val LogScale = 1000000L
 
-  /** (id, bucket, c): hashed unigram+bigram occurrence counts per doc.
-    * Word bigrams come from [[TextAnalysis.wordNgrams]] (NULL for
-    * sub-2-token docs — coalesced to no features).
+  /** The DSIR feature array of a document: word unigrams + bigrams
+    * (bigrams NULL for sub-2-token docs — coalesced away). ONE
+    * definition shared by the batch scorer and the streaming twin.
     */
+  private[graft] def featureArray(text: Column): Column =
+    concat(
+      TextAnalysis.tokens(text),
+      coalesce(TextAnalysis.wordNgrams(text, 2),
+        array().cast("array<string>")))
+
+  /** (id, bucket, c): hashed unigram+bigram occurrence counts per doc. */
   private[graft] def docBucketCounts(
       df: DataFrame, id: String, text: String, dims: Int): DataFrame =
     df.where(col(text).isNotNull)
-      .select(col(id), explode(concat(
-          TextAnalysis.tokens(col(text)),
-          coalesce(TextAnalysis.wordNgrams(col(text), 2),
-            array().cast("array<string>")))).as("_f"))
+      .select(col(id), explode(featureArray(col(text))).as("_f"))
       .where(col("_f") =!= "")
       .withColumn("bucket", QualityClassifier.bucketOf(col("_f"), dims))
       .groupBy(col(id), col("bucket")).agg(count(lit(1)).as("c"))
@@ -61,20 +65,28 @@ object ImportanceResampling {
     * document's hashed-n-gram profile is more likely under the target
     * model than under the raw-pool model.
     */
-  def dsirScores(
+  /** The trained Δ table `(bucket, _dq)` — the FROZEN DSIR artifact: a
+    * bucket's floor-quantized log-likelihood ratio between the target
+    * and raw models. ≤ `dims` rows, broadcast by every consumer; the
+    * streaming twin scores arriving documents against exactly this
+    * frame ([[graft.streaming.StreamingPipeline.dsirScoreStream]]).
+    *
+    * Δ covers the buckets of the RAW pool: the raw pool is the scored
+    * corpus in batch, and a stream document landing on an unseen bucket
+    * contributes nothing (inner join) — the same "no likelihood
+    * evidence" treatment both models' smoothing gives an unseen gram.
+    */
+  def dsirDelta(
       raw: DataFrame, id: String, text: String,
       target: DataFrame, dims: Int = 512): DataFrame = {
     require(dims >= 2, s"dims must be >= 2, got $dims")
-    val rawB = docBucketCounts(raw, id, text, dims)
-    val rawModel = rawB.groupBy("bucket").agg(sum("c").as("_cr"))
+    val rawModel = docBucketCounts(raw, id, text, dims)
+      .groupBy("bucket").agg(sum("c").as("_cr"))
     val tgtModel = docBucketCounts(target, id, text, dims)
       .groupBy("bucket").agg(sum("c").as("_ct"))
     val nR = rawModel.agg(sum("_cr").as("_nr"))
     val nT = tgtModel.agg(sum("_ct").as("_nt"))
-    // every bucket a raw document can carry appears in rawModel (the raw
-    // pool IS the scored corpus), so a left join covers the Δ domain;
-    // target-absent buckets smooth to ln(1)
-    val delta = rawModel
+    rawModel
       .join(tgtModel, Seq("bucket"), "left")
       .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
       .select(col("bucket"),
@@ -83,7 +95,14 @@ object ImportanceResampling {
             - log(col("_cr") + lit(1L))
             + log(col("_nr") + lit(dims.toLong)))
           * lit(LogScale)).cast("long").as("_dq"))
-    rawB.join(broadcast(delta), "bucket")
+  }
+
+  def dsirScores(
+      raw: DataFrame, id: String, text: String,
+      target: DataFrame, dims: Int = 512): DataFrame = {
+    val delta = dsirDelta(raw, id, text, target, dims)
+    docBucketCounts(raw, id, text, dims)
+      .join(broadcast(delta), "bucket")
       .groupBy(col(id))
       .agg(sum(col("c") * col("_dq")).as("dsir_scoreq"))
   }

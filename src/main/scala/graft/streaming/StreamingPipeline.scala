@@ -899,6 +899,38 @@ object StreamingPipeline {
       .drop("_rt")
   }
 
+  /** Streaming twin of [[graft.ext.ImportanceResampling.dsirScores]]: a
+    * batch-trained Δ table (the frozen DSIR artifact — per-bucket
+    * quantized log-likelihood ratios, ≤ dims rows) scores arriving
+    * documents at the ingest edge. The frozen-artifact contract again:
+    * the MODELS cannot stream (bucket counts are corpus statistics),
+    * frozen scoring can. Features explode per document, join the
+    * BROADCAST Δ (stream-static, stateless), and the per-document score
+    * is one windowed integer sum — exactly Σ_b c_b·Δq_b, so stream
+    * scores are BIT-IDENTICAL to batch for the same document
+    * (Σ over occurrences of Δq = Σ over buckets of c·Δq; exact longs
+    * commute). Documents with no Δ-covered features emit no row (the
+    * batch scorer's no-feature treatment).
+    */
+  def dsirScoreStream(
+      docs: DataFrame, delta: DataFrame, dims: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      tsCol: String = "ingest_ts",
+      windowDur: String = "1 hour", watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .where(col(textCol).isNotNull)
+      .select(col(idCol), col(tsCol),
+        explode(graft.ext.ImportanceResampling.featureArray(col(textCol)))
+          .as("_f"))
+      .where(col("_f") =!= "")
+      .withColumn("bucket",
+        graft.ext.QualityClassifier.bucketOf(col("_f"), dims))
+      .join(broadcast(delta), "bucket")
+      .groupBy(col(idCol), window(col(tsCol), windowDur))
+      .agg(sum(col("_dq")).as("dsir_scoreq"))
+      .select(col(idCol), col("dsir_scoreq"))
+
   case class BudgetDoc(doc_id: Long, url: String, ingest_ts: java.sql.Timestamp)
   case class BudgetAdmission(doc_id: Long, domain: String, admitted_rank: Long)
 

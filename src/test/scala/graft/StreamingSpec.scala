@@ -857,6 +857,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dsir score stream: frozen-delta scoring is bit-identical to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Seq(
+      (1L, "alpha beta alpha beta gamma"),
+      (2L, "delta epsilon zeta delta"),
+      (3L, "alpha delta")).toDF("doc_id", "text")
+    val target = Seq((100L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val delta = graft.ext.ImportanceResampling.dsirDelta(
+      raw, "doc_id", "text", target, dims = 64)
+    val batch = graft.ext.ImportanceResampling.dsirScores(
+        raw, "doc_id", "text", target, dims = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingPipeline.dsirScoreStream(
+        input.toDF().toDF("doc_id", "text", "ingest_ts"), delta, dims = 64)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dsir_out").start()
+    try {
+      input.addData(
+        (1L, "alpha beta alpha beta gamma", ts("2025-01-01 10:00:00")),
+        (2L, "delta epsilon zeta delta", ts("2025-01-01 10:00:01")),
+        (3L, "alpha delta", ts("2025-01-01 10:00:02")))
+      q.processAllAvailable()
+      // append mode: close the window with a far-future row
+      input.addData((99L, "alpha", ts("2025-01-02 10:00:00")))
+      q.processAllAvailable(); q.processAllAvailable()
+      val streamed = spark.table("dsir_out")
+        .where(col("doc_id") < 99)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch,
+        s"stream $streamed diverges from batch $batch")
+    } finally q.stop()
+  }
+
   test("domain quality gate stream: rollup-informed admission matches batch") {
     implicit val sqlCtx = spark.sqlContext
     // the frozen artifact: a batch domainRollup over the corpus so far
