@@ -60,6 +60,20 @@ object ImportanceResampling {
       .withColumn("bucket", QualityClassifier.bucketOf(col("_f"), dims))
       .groupBy(col(id), col("bucket")).agg(count(lit(1)).as("c"))
 
+  /** Corpus-level bucket counts WITHOUT the per-document grouping — the
+    * model passes need only (bucket, total), so the aggregation combines
+    * map-side down to ≤ `dims` rows per partition and the exchange
+    * carries buckets, not the corpus (the scoring pass is the only one
+    * that pays the (id, bucket) shuffle).
+    */
+  private def bucketModel(
+      df: DataFrame, text: String, dims: Int, as: String): DataFrame =
+    df.where(col(text).isNotNull)
+      .select(explode(featureArray(col(text))).as("_f"))
+      .where(col("_f") =!= "")
+      .withColumn("bucket", QualityClassifier.bucketOf(col("_f"), dims))
+      .groupBy("bucket").agg(count(lit(1)).as(as))
+
   /** Per-document DSIR importance score `dsir_scoreq` (integer,
     * 10⁻⁶-scaled log-likelihood-ratio units): positive means the
     * document's hashed-n-gram profile is more likely under the target
@@ -80,10 +94,8 @@ object ImportanceResampling {
       raw: DataFrame, id: String, text: String,
       target: DataFrame, dims: Int = 512): DataFrame = {
     require(dims >= 2, s"dims must be >= 2, got $dims")
-    val rawModel = docBucketCounts(raw, id, text, dims)
-      .groupBy("bucket").agg(sum("c").as("_cr"))
-    val tgtModel = docBucketCounts(target, id, text, dims)
-      .groupBy("bucket").agg(sum("c").as("_ct"))
+    val rawModel = bucketModel(raw, text, dims, "_cr")
+    val tgtModel = bucketModel(target, text, dims, "_ct")
     val nR = rawModel.agg(sum("_cr").as("_nr"))
     val nT = tgtModel.agg(sum("_ct").as("_nt"))
     rawModel
