@@ -51,15 +51,6 @@ object ImportanceResampling {
       coalesce(TextAnalysis.wordNgrams(text, 2),
         array().cast("array<string>")))
 
-  /** (id, bucket, c): hashed unigram+bigram occurrence counts per doc. */
-  private[graft] def docBucketCounts(
-      df: DataFrame, id: String, text: String, dims: Int): DataFrame =
-    df.where(col(text).isNotNull)
-      .select(col(id), explode(featureArray(col(text))).as("_f"))
-      .where(col("_f") =!= "")
-      .withColumn("bucket", QualityClassifier.bucketOf(col("_f"), dims))
-      .groupBy(col(id), col("bucket")).agg(count(lit(1)).as("c"))
-
   /** Corpus-level bucket counts WITHOUT the per-document grouping — the
     * model passes need only (bucket, total), so the aggregation combines
     * map-side down to ≤ `dims` rows per partition and the exchange
@@ -113,10 +104,18 @@ object ImportanceResampling {
       raw: DataFrame, id: String, text: String,
       target: DataFrame, dims: Int = 512): DataFrame = {
     val delta = dsirDelta(raw, id, text, target, dims)
-    docBucketCounts(raw, id, text, dims)
+    // score per OCCURRENCE against the broadcast Δ and aggregate straight
+    // to the document: Σ_occurrences Δq = Σ_b c_b·Δq_b (exact longs
+    // commute), and skipping the (id, bucket) intermediate means the only
+    // corpus exchange is the map-side-combined per-id partial sum — the
+    // same plan shape the streaming twin uses per micro-batch.
+    raw.where(col(text).isNotNull)
+      .select(col(id), explode(featureArray(col(text))).as("_f"))
+      .where(col("_f") =!= "")
+      .withColumn("bucket", QualityClassifier.bucketOf(col("_f"), dims))
       .join(broadcast(delta), "bucket")
       .groupBy(col(id))
-      .agg(sum(col("c") * col("_dq")).as("dsir_scoreq"))
+      .agg(sum(col("_dq")).as("dsir_scoreq"))
   }
 
   /** The selection: top-`k` raw documents by importance score
