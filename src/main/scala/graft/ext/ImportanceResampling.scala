@@ -118,6 +118,42 @@ object ImportanceResampling {
       .agg(sum(col("_dq")).as("dsir_scoreq"))
   }
 
+  /** The RESAMPLING in DSIR: a weighted draw of `k` documents with
+    * selection pressure `∝ exp(score/temperature)` — temperature
+    * interpolates between [[dsirSelect]]'s hard top-k (T→0) and a
+    * uniform sample (T→∞), the knob the paper's importance resampling
+    * actually turns (a hard cut overfits the target's quirks; the
+    * tempered draw keeps diversity).
+    *
+    * Selection rule: [[CorpusSampling.weightedSample]]'s deterministic
+    * draw/weight priority with `w = exp(s/T)`, computed in QUANTIZED LOG
+    * SPACE — `keyq = floor((ln(draw) − s/T)·10⁶)`, ascending, id
+    * tiebreak — so the sort key is an exact integer on both engines and
+    * the only float exposure is the ln boundary at the 10⁻⁶ quantum
+    * (~10⁻⁹ per doc; an `exp`-based priority would compare raw doubles
+    * instead). The md5 draw is floored at 1 (an all-zero 8-hex prefix
+    * would send ln to −∞ and ANSI-overflow the cast).
+    */
+  def dsirSample(
+      raw: DataFrame, id: String, text: String,
+      target: DataFrame, k: Int, temperature: Double = 1.0,
+      dims: Int = 512): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    val draw = greatest(
+      conv(substring(md5(concat(col(id).cast("string"), lit(":dsirsample"))),
+        1, 8), 16, 10).cast("long"),
+      lit(1L))
+    val keyq = floor((log(draw.cast("double"))
+        - col("dsir_scoreq").cast("double") / lit(LogScale.toDouble)
+          / lit(temperature))
+      * lit(LogScale.toDouble)).cast("long")
+    dsirScores(raw, id, text, target, dims)
+      .withColumn("_keyq", keyq)
+      .orderBy(col("_keyq"), col(id))
+      .limit(k)
+  }
+
   /** The selection: top-`k` raw documents by importance score
     * (ties broken by id — a deterministic cut).
     */

@@ -3676,8 +3676,37 @@ object ExtensionQueries {
                     ORDER BY dsir_scoreq DESC, doc_id) AS rn FROM dsc)
             WHERE rn <= 50 ORDER BY doc_id"""))
 
+  /** The tempered DSIR draw ([[graft.ext.ImportanceResampling.dsirSample]],
+    * T = 1.5): selection pressure ∝ exp(score/T) via the deterministic
+    * draw/weight rule in quantized log space — the integer sort key
+    * replays exactly.
+    */
+  val qDsirSample = QueryDef(
+    "q_dsir_sample",
+    (s, d) => {
+      val all = docs(s, d)
+      graft.ext.ImportanceResampling.dsirSample(
+          all, "doc_id", "text", all.filter(col("source") === "src1"),
+          k = 40, temperature = 1.5, dims = 512)
+        .select("doc_id", "dsir_scoreq")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${dsirChain(512)},
+            sel AS (SELECT doc_id, dsir_scoreq,
+                CAST(floor((ln(CAST(GREATEST(
+                        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                          || ':dsirsample'), 1, 8)) AS BIGINT),
+                        1) AS DOUBLE))
+                    - CAST(dsir_scoreq AS DOUBLE) / 1000000.0 / 1.5)
+                  * 1000000.0) AS BIGINT) AS keyq
+              FROM dsc)
+            SELECT doc_id, dsir_scoreq
+            FROM (SELECT doc_id, dsir_scoreq, row_number() OVER (
+                    ORDER BY keyq, doc_id) AS rn FROM sel)
+            WHERE rn <= 40 ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(
-    qDsirScore, qDsirSelect,
+    qDsirScore, qDsirSelect, qDsirSample,
     qDedupExact, qDedupExactHash, qNgramJaccard, qFuzzyPairs, qDedupMinhash,
     qDedupClusters,
     qDedupSimhash, qDedupEmbed, qDedupSemdedup, qDedupIncremental,

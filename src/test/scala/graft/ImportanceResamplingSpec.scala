@@ -48,6 +48,26 @@ class ImportanceResamplingSpec extends SparkSpec {
     assert(sel.sortBy(_._1).toSeq == expect.sortBy(_._1).toSeq)
   }
 
+  test("tempered sampling: T→0 recovers the hard top-k, T→∞ ignores scores") {
+    val cold = ImportanceResampling.dsirSample(
+        raw, "doc_id", "text", target, k = 2, temperature = 1e-6, dims = 64)
+      .collect().map(_.getLong(0)).toSet
+    val hard = ImportanceResampling.dsirSelect(
+        raw, "doc_id", "text", target, k = 2, dims = 64)
+      .collect().map(_.getLong(0)).toSet
+    assert(cold == hard, s"cold draw $cold != hard top-k $hard")
+    // at huge T the score term vanishes: selection is by draw alone,
+    // i.e. identical for ANY target
+    val hot1 = ImportanceResampling.dsirSample(
+        raw, "doc_id", "text", target, k = 2, temperature = 1e9, dims = 64)
+      .collect().map(_.getLong(0)).toSet
+    val hot2 = ImportanceResampling.dsirSample(
+        raw, "doc_id", "text",
+        raw.where(col("doc_id") >= 3), k = 2, temperature = 1e9, dims = 64)
+      .collect().map(_.getLong(0)).toSet
+    assert(hot1 == hot2, s"hot draws differ: $hot1 vs $hot2")
+  }
+
   test("scores are partitioning-invariant (integer sums over quantized logs)") {
     def run(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       ImportanceResampling.dsirScores(df, "doc_id", "text", target, dims = 64)
