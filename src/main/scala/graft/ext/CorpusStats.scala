@@ -288,4 +288,47 @@ object CorpusStats {
     lnLnFit(heapsGrowth(df, id, text, step),
       log(col("cum_tokens").cast("double")),
       log(col("cum_vocab").cast("double")))
+
+  /** Embedding-space drift between two corpus snapshots — the companion
+    * to [[tokenDrift]] for the REPRESENTATION layer: a crawl delivery
+    * whose token mix looks stable can still shift semantically (same
+    * vocabulary, different topics), and the first-order signal is the
+    * cosine between the two snapshots' mean-pooled centroids. One row
+    * out: `(n0, n1, centroid_cosine)`.
+    *
+    * Exactness: per-dim means use the [[Similarity.meanPoolEmbeddings]]
+    * decimal treatment (exact DECIMAL(20,10) sums, one double division —
+    * order-independent), the per-snapshot mean vectors assemble in pos
+    * order, and the final cosine is [[Similarity.cosineHof]]'s ordered
+    * fold — so the single output double is bit-identical cross-engine
+    * before its round(4). A snapshot with no vectors yields NULL cosine
+    * (no centroid exists); snapshot values outside {0, 1} are dropped,
+    * as in [[tokenDrift]].
+    *
+    * Scale shape: one (snap, pos) aggregation (map-side combined, the
+    * exchange carries 2·dims rows per partition), then a 2-row pivot —
+    * the corpus is scanned once and never joined.
+    */
+  def embeddingDrift(
+      df: DataFrame, snapshot: Column, vec: String): DataFrame =
+    df.where(col(vec).isNotNull && snapshot.isin(0, 1))
+      .select(snapshot.cast("int").as("_snap"),
+        posexplode(col(vec)).as(Seq("pos", "_v")))
+      .groupBy("_snap", "pos")
+      .agg(
+        (sum(col("_v").cast("double").cast("decimal(20,10)")).cast("double") /
+          count(lit(1)).cast("double")).as("_mean"),
+        count(lit(1)).as("_n"))
+      .groupBy("_snap")
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("_mean")))),
+          m => m("_mean")).as("_m"),
+        max("_n").as("_n"))
+      .agg(
+        first(when(col("_snap") === 0, col("_n")), ignoreNulls = true).as("n0"),
+        first(when(col("_snap") === 1, col("_n")), ignoreNulls = true).as("n1"),
+        round(graft.ext.Similarity.cosineHof(
+          first(when(col("_snap") === 0, col("_m")), ignoreNulls = true),
+          first(when(col("_snap") === 1, col("_m")), ignoreNulls = true)), 4)
+          .as("centroid_cosine"))
 }

@@ -3595,6 +3595,43 @@ object ExtensionQueries {
                   FROM cos) r
             WHERE rn <= 10 ORDER BY q_id, vec_id"""))
 
+  /** Embedding-space drift between snapshot halves
+    * ([[CorpusStats.embeddingDrift]]): the cosine between the two
+    * snapshots' mean-pooled centroids — the representation-layer
+    * companion to q_token_drift. Decimal-exact per-dim means
+    * (q_embed_meanpool's VARCHAR→DECIMAL treatment), pos-ordered mean
+    * vectors, ordered-fold cosine — one bit-exact double before its
+    * round(4).
+    */
+  val qEmbedDrift = QueryDef(
+    "q_embed_drift",
+    (s, d) => CorpusStats.embeddingDrift(
+      embs(s, d), pmod(col("vec_id"), lit(2)), "embedding"),
+    Some("""WITH long AS (
+              SELECT CAST(vec_id % 2 AS INT) AS snap, u.i AS pos,
+                     CAST(CAST(CAST(embedding[u.i + 1] AS DOUBLE) AS VARCHAR)
+                          AS DECIMAL(20,10)) AS v
+              FROM embeddings, unnest(range(len(embedding))) AS u(i)
+              WHERE embedding IS NOT NULL),
+            means AS (
+              SELECT snap, pos,
+                CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m,
+                CAST(count(*) AS BIGINT) AS n
+              FROM long GROUP BY 1, 2),
+            arrs AS (
+              SELECT snap, list(m ORDER BY pos) AS ml,
+                     CAST(max(n) AS BIGINT) AS n
+              FROM means GROUP BY 1)
+            SELECT a0.n AS n0, a1.n AS n1,
+              round(
+                list_reduce(list_transform(range(len(a0.ml)),
+                    t -> a0.ml[t + 1] * a1.ml[t + 1]), (a, b) -> a + b)
+                / (sqrt(list_reduce(list_transform(a0.ml, x -> x * x),
+                      (a, b) -> a + b))
+                   * sqrt(list_reduce(list_transform(a1.ml, x -> x * x),
+                      (a, b) -> a + b))), 4) AS centroid_cosine
+            FROM arrs a0, arrs a1 WHERE a0.snap = 0 AND a1.snap = 1"""))
+
   /** Shared WITH-chain of the DSIR replay: unigram+bigram features over
     * the raw pool (all documents) and the target sample (source =
     * 'src1'), md5-bucketed (the [[LloydOracles]] bucket hop), add-one
@@ -3706,7 +3743,7 @@ object ExtensionQueries {
             WHERE rn <= 40 ORDER BY doc_id"""))
 
   val all: Seq[QueryDef] = Seq(
-    qDsirScore, qDsirSelect, qDsirSample,
+    qDsirScore, qDsirSelect, qDsirSample, qEmbedDrift,
     qDedupExact, qDedupExactHash, qNgramJaccard, qFuzzyPairs, qDedupMinhash,
     qDedupClusters,
     qDedupSimhash, qDedupEmbed, qDedupSemdedup, qDedupIncremental,

@@ -168,6 +168,28 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.map(_._1).indexOf("common") > got.map(_._1).indexOf("stable"))
   }
 
+  test("embeddingDrift: identical snapshots at cosine 1, disjoint axes at 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // even/odd rows carry the SAME vector -> centroids coincide
+    val same = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(1.0f, 2.0f, 3.0f)), (3L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val r1 = graft.ext.CorpusStats.embeddingDrift(
+        same, pmod(col("vec_id"), lit(2)), "embedding").collect().head
+    assert((r1.getLong(0), r1.getLong(1)) == (2L, 2L))
+    assert(r1.getDouble(2) == 1.0)
+    // snapshot 0 lives on the x axis, snapshot 1 on the y axis
+    val ortho = Seq(
+      (0L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)), (3L, Array(0.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val r2 = graft.ext.CorpusStats.embeddingDrift(
+        ortho, pmod(col("vec_id"), lit(2)), "embedding").collect().head
+    assert(r2.getDouble(2) == 0.0)
+  }
+
   test("tokenDrift guards: invalid snapshots dropped, empty snapshot raises") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}
