@@ -331,4 +331,24 @@ object CorpusStats {
           first(when(col("_snap") === 0, col("_m")), ignoreNulls = true),
           first(when(col("_snap") === 1, col("_m")), ignoreNulls = true)), 4)
           .as("centroid_cosine"))
+
+  /** The frozen baseline for [[graft.streaming.StreamingPipeline.embeddingDriftStream]]:
+    * the corpus centroid as a bounded driver-side vector (`dims` doubles
+    * — same decimal-exact per-dim mean as [[embeddingDrift]]). The
+    * centroid is the trained artifact; the stream compares each window's
+    * centroid against it.
+    */
+  def meanVector(df: DataFrame, vec: String, dims: Int): Array[Double] = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val rows = df.where(col(vec).isNotNull)
+      .select(posexplode(col(vec)).as(Seq("pos", "_v")))
+      .groupBy("pos")
+      .agg((sum(col("_v").cast("double").cast("decimal(20,10)")).cast("double") /
+        count(lit(1)).cast("double")).as("_mean"))
+      .collect()
+    require(rows.nonEmpty, "meanVector: no vectors")
+    val out = new Array[Double](dims)
+    rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
+    out
+  }
 }

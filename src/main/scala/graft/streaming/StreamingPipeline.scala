@@ -931,6 +931,45 @@ object StreamingPipeline {
       .agg(sum(col("_dq")).as("dsir_scoreq"))
       .select(col(idCol), col("dsir_scoreq"))
 
+  /** Streaming twin of [[graft.ext.CorpusStats.embeddingDrift]]: each
+    * event-time window's mean-pooled centroid scored by cosine against a
+    * FROZEN baseline centroid ([[graft.ext.CorpusStats.meanVector]],
+    * trained batch-side) — the representation-drift alarm at the ingest
+    * edge ("this hour's documents no longer embed like the corpus").
+    *
+    * ONE windowed aggregation (append mode's supported-plan set): the
+    * per-dim decimal sums ride as `dims` columns of the same aggregate
+    * (exact, order-independent — the batch treatment), and the cosine
+    * against the baseline literal is a fixed left-to-right expression
+    * over them, so a window's drift equals the batch operator run on
+    * that window's rows. `dims` stays bounded (64 here); past ~100
+    * columns the wide-aggregate codegen lesson applies — reduce first.
+    */
+  def embeddingDriftStream(
+      embs: DataFrame, baseline: Array[Double], dims: Int,
+      vecCol: String = "embedding", tsCol: String = "ingest_ts",
+      windowDur: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
+    require(dims >= 1 && baseline.length == dims,
+      s"baseline must carry $dims dims, got ${baseline.length}")
+    val sums = (0 until dims).map { i =>
+      sum(element_at(col(vecCol), i + 1).cast("double")
+        .cast("decimal(20,10)")).as(s"_s$i")
+    }
+    val agg = embs
+      .withWatermark(tsCol, watermark)
+      .where(col(vecCol).isNotNull)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(sums.head, (sums.tail :+ count(lit(1)).as("_n")): _*)
+    val mean = (i: Int) => col(s"_s$i").cast("double") / col("_n").cast("double")
+    val dot = (0 until dims).map(i => mean(i) * lit(baseline(i)))
+      .reduceLeft(_ + _)
+    val nm = sqrt((0 until dims).map(i => mean(i) * mean(i)).reduceLeft(_ + _))
+    val nb = math.sqrt(baseline.map(x => x * x).sum)
+    agg.select(col("window.start").as("window_start"),
+      col("_n").as("n"),
+      round(dot / (nm * lit(nb)), 4).as("centroid_cosine"))
+  }
+
   case class BudgetDoc(doc_id: Long, url: String, ingest_ts: java.sql.Timestamp)
   case class BudgetAdmission(doc_id: Long, domain: String, admitted_rank: Long)
 

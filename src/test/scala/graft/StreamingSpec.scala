@@ -857,6 +857,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embedding drift stream: window centroid cosine matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (1L, Array(2.0f, 3.0f, 4.0f, 5.0f)),
+      (2L, Array(0.5f, 1.5f, 2.5f, 3.5f))).toDF("vec_id", "embedding")
+    val baseline = graft.ext.CorpusStats.meanVector(corpus, "embedding", 4)
+    val arriving = Seq(
+      (10L, Array(4.0f, 3.0f, 2.0f, 1.0f)),
+      (11L, Array(5.0f, 4.0f, 3.0f, 2.0f)))
+    val input = MemoryStream[(Long, Array[Float], Timestamp)]
+    val q = StreamingPipeline.embeddingDriftStream(
+        input.toDF().toDF("vec_id", "embedding", "ingest_ts"),
+        baseline, dims = 4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("edrift_out").start()
+    try {
+      input.addData(arriving.map { case (i, v) =>
+        (i, v, ts("2025-01-01 10:00:00")) })
+      q.processAllAvailable()
+      input.addData((99L, Array(1.0f, 1.0f, 1.0f, 1.0f), ts("2025-01-02 10:00:00")))
+      q.processAllAvailable(); q.processAllAvailable()
+      val got = spark.table("edrift_out").where(col("n") === 2)
+        .select("n", "centroid_cosine").collect().head
+      // batch twin on the union: snapshot 0 = the baseline corpus rows,
+      // snapshot 1 = the window's rows
+      val union = corpus.withColumn("snap", lit(0))
+        .unionByName(arriving.toDF("vec_id", "embedding")
+          .withColumn("snap", lit(1)))
+      val batch = graft.ext.CorpusStats.embeddingDrift(
+        union, col("snap"), "embedding").collect().head
+      assert(got.getLong(0) == 2L)
+      assert(got.getDouble(1) == batch.getDouble(2),
+        s"stream ${got.getDouble(1)} != batch ${batch.getDouble(2)}")
+    } finally q.stop()
+  }
+
   test("dsir score stream: frozen-delta scoring is bit-identical to batch") {
     implicit val sqlCtx = spark.sqlContext
     val raw = Seq(
