@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph authority for crawl curation: FIXED-POINT PageRank over a
+  * (src, dst) edge frame — the classic "which domains does the web
+  * vouch for" signal that feeds crawl scheduling and per-domain quality
+  * priors alongside [[UrlOps.domainRollup]].
+  *
+  * Numerics follow the suite's trainable-loop discipline (the Lloyd /
+  * GD / label-propagation pattern): ranks are scale-10¹² longs, every
+  * division is the shared round-half-up integer rational, every
+  * reduction is an exact commutative long sum — bit-deterministic under
+  * any partitioning and replayable verbatim as an unrolled DuckDB CTE
+  * chain. Magnitude headroom: Σ ranks ≈ RankScale (probability mass up
+  * to half-up residue), so per-node inputs stay ≤ ~10¹² and the damping
+  * product ≤ ~10¹⁵ — longs throughout.
+  *
+  * Graph conventions (documented, standard simplifications): parallel
+  * edges collapse (simple graph), self-loops count like any edge, and a
+  * DANGLING node's mass is dropped rather than redistributed — the
+  * teleport term keeps every rank positive, and at crawl scale the
+  * dangling correction is a constant that rescales ranks without
+  * reordering them.
+  *
+  * Scale shape: per iteration, ONE src-keyed join of the edge frame
+  * against the rank frame (+ the static out-degree frame) and ONE
+  * dst-keyed aggregation — no driver-side graph, no collect; ranks are
+  * checkpointed per iteration (bounded lineage, the label-propagation
+  * treatment). `iters` is bounded — PageRank at damping 0.85 moves
+  * under 10⁻³ of mass after ~10 rounds on real web graphs.
+  */
+object GraphRank {
+
+  /** Rank scale: 10¹² (a rank of 1.0 in probability terms). */
+  val RankScale: Long = 1000000000000L
+
+  /** Round-half-up positive integer division as a Column (Spark SQL
+    * `div` — integral division, matching DuckDB `//` on non-negative
+    * operands).
+    */
+  private def halfUpCol(num: Column, den: Column): Column =
+    call_function("div", num * 2 + den, den * 2)
+
+  private def halfUpLong(num: Long, den: Long): Long =
+    (2 * num + den) / (2 * den)
+
+  /** PageRank over `edges`: returns `(node, rank_q)` with `rank_q` at
+    * [[RankScale]]. `dampingPerMille` is the damping factor ×1000 (850 =
+    * the classic 0.85) so the teleport split stays exact integers.
+    */
+  def pageRank(
+      edges: DataFrame, src: String, dst: String,
+      iters: Int = 10, dampingPerMille: Int = 850,
+      checkpoint: Boolean = true): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    require(dampingPerMille >= 0 && dampingPerMille <= 1000,
+      s"dampingPerMille must be in [0, 1000], got $dampingPerMille")
+    val e = edges
+      .select(col(src).cast("string").as("_src"),
+        col(dst).cast("string").as("_dst"))
+      .where(col("_src").isNotNull && col("_dst").isNotNull)
+      .distinct()
+    val nodes = e.select(col("_src").as("node"))
+      .unionByName(e.select(col("_dst").as("node")))
+      .distinct()
+      .localCheckpoint(true) // scanned every iteration; pin it once
+    // ONE bounded scalar action — the same class as the trainers' counts
+    val nNodes = nodes.count()
+    require(nNodes > 0, "pageRank: empty graph")
+    val outDeg = e.groupBy("_src").agg(count(lit(1)).as("_deg"))
+    val teleport = halfUpLong(
+      (1000L - dampingPerMille) * RankScale, 1000L * nNodes)
+    var ranks = nodes.withColumn("_r", lit(halfUpLong(RankScale, nNodes)))
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "_src"), "_src")
+        .join(outDeg, "_src")
+        .select(col("_dst").as("node"),
+          halfUpCol(col("_r"), col("_deg")).as("_c"))
+        .groupBy("node").agg(sum("_c").as("_in"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) + halfUpCol(
+            lit(dampingPerMille.toLong) * coalesce(col("_in"), lit(0L)),
+            lit(1000L))).as("_r"))
+      // bounded-lineage discipline: without this, iteration i's plan
+      // embeds every prior join/agg and planning goes quadratic
+      if (checkpoint) ranks = ranks.localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("_r").as("rank_q"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.UrlOps
+import graft.ext.{GraphRank, UrlOps}
 import QueryDef.table
 
 /** URL canonicalization / domain-rollup queries ([[graft.ext.UrlOps]]).
@@ -284,7 +284,61 @@ object UrlQueries {
                FROM s7)
              WHERE rk <= 2 ORDER BY doc_id"""))
 
+  /** Fixed-point PageRank over the derived source link graph
+    * ([[graft.ext.GraphRank.pageRank]]): each document contributes one
+    * edge from its source to a deterministically-derived linked source
+    * (`src{(doc_id·31 + 7) mod 20}` — mirrors the deriveUrl convention:
+    * arithmetic on doc_id both engines replay). 10 iterations, damping
+    * 0.85, ranks as exact scale-10¹² longs; the oracle unrolls the loop
+    * as MATERIALIZED integer CTEs (the Lloyd/label-propagation
+    * technique).
+    */
+  val qDomainPagerank = QueryDef(
+    "q_domain_pagerank",
+    (s, d) => GraphRank.pageRank(
+        docs(s, d).select(col("source").as("src"),
+          concat(lit("src"), (col("doc_id") * 31 + 7) % 20).as("dst")),
+        "src", "dst", iters = 10, dampingPerMille = 850)
+      .orderBy("node"),
+    Some {
+      val scale = GraphRank.RankScale
+      val steps = (1 to 10).map { i =>
+        val p = i - 1
+        s"""c$i AS (SELECT e.dst AS node,
+             CAST(sum((r.r * 2 + d.deg) // (d.deg * 2)) AS BIGINT) AS cin
+           FROM edges e
+           JOIN r$p r ON e.src = r.node
+           JOIN deg d ON e.src = d.src
+           GROUP BY 1),
+         r$i AS MATERIALIZED (SELECT n.node,
+             (SELECT t FROM tele)
+               + (850 * COALESCE(c.cin, 0) * 2 + 1000) // 2000 AS r
+           FROM nodes n LEFT JOIN c$i c USING (node))"""
+      }.mkString(",\n         ")
+      s"""WITH edges AS MATERIALIZED (
+           SELECT DISTINCT source AS src,
+             'src' || CAST((doc_id * 31 + 7) % 20 AS VARCHAR) AS dst
+           FROM documents),
+         nodes AS MATERIALIZED (
+           SELECT DISTINCT node FROM (
+             SELECT src AS node FROM edges
+             UNION ALL SELECT dst AS node FROM edges)),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         deg AS MATERIALIZED (
+           SELECT src, CAST(count(*) AS BIGINT) AS deg
+           FROM edges GROUP BY 1),
+         tele AS (SELECT (2 * 150 * $scale + 1000 * (SELECT n FROM nn))
+                    // (2 * 1000 * (SELECT n FROM nn)) AS t),
+         r0 AS MATERIALIZED (SELECT node,
+             (2 * $scale + (SELECT n FROM nn)) // (2 * (SELECT n FROM nn))
+               AS r
+           FROM nodes),
+         $steps
+         SELECT node, CAST(r AS BIGINT) AS rank_q
+         FROM r10 ORDER BY node"""
+    })
+
   val all: Seq[QueryDef] =
     Seq(qUrlCanonical, qUrlDedup, qDomainRollup, qUrlPolicy, qUrlPolicyDeny,
-      qDomainBudget, qCrawlCurate)
+      qDomainBudget, qCrawlCurate, qDomainPagerank)
 }

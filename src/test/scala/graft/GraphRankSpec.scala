@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.GraphRank
+
+/** Behavioral sanity for the fixed-point PageRank — the oracle gate pins
+  * cross-engine exactness; these pin that the ranks mean what PageRank
+  * ranks mean.
+  */
+class GraphRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a star's hub outranks its leaves; leaves tie exactly") {
+    // every leaf links to the hub, the hub links back to one leaf.
+    // 40 iterations: this graph OSCILLATES (hub and leaf a trade mass
+    // each round, amplitude decaying by d² per cycle), so the converged
+    // ordering hub > a only emerges once the swing has died down —
+    // at 10 iterations the snapshot can still have a on top.
+    val edges = (Seq("a", "b", "c", "d").map(_ -> "hub") :+ ("hub" -> "a"))
+      .toDF("src", "dst")
+    val ranks = GraphRank.pageRank(edges, "src", "dst", iters = 40)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks("hub") > ranks("a"))
+    assert(ranks("a") > ranks("b"), "the hub's back-link must lift leaf a")
+    assert(ranks("b") == ranks("c") && ranks("c") == ranks("d"),
+      "symmetric leaves must tie bit-exactly")
+  }
+
+  test("a cycle is rank-uniform and mass is conserved to half-up residue") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a").toDF("src", "dst")
+    val ranks = GraphRank.pageRank(edges, "src", "dst", iters = 10)
+      .collect().map(r => r.getLong(1))
+    assert(ranks.distinct.length == 1, s"cycle ranks differ: ${ranks.toSeq}")
+    val total = ranks.sum
+    assert(math.abs(total - GraphRank.RankScale) <= 100,
+      s"mass $total drifted from ${GraphRank.RankScale}")
+  }
+
+  test("ranks are partitioning-invariant") {
+    val edges = (0 until 200)
+      .map(i => (s"n${i % 23}", s"n${(i * 31 + 7) % 23}"))
+      .toDF("src", "dst")
+    def run(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      GraphRank.pageRank(df, "src", "dst", iters = 5)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(run(edges.repartition(13)) == run(edges.orderBy(col("dst"))))
+  }
+}
