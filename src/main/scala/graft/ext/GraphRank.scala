@@ -49,30 +49,60 @@ object GraphRank {
   /** PageRank over `edges`: returns `(node, rank_q)` with `rank_q` at
     * [[RankScale]]. `dampingPerMille` is the damping factor ×1000 (850 =
     * the classic 0.85) so the teleport split stays exact integers.
+    *
+    * `teleportTo` personalizes the walk (topic-sensitive PageRank,
+    * Haveliwala WWW 2002): the teleport mass lands uniformly on that
+    * node SET instead of the whole graph, so ranks answer "authoritative
+    * as seen FROM my target domains" — the authority prior that pairs
+    * with the DSIR target-domain selection. Teleport-set nodes absent
+    * from the graph still receive teleport mass (they are legitimate
+    * walk restarts); with personalization, nodes unreachable from the
+    * set converge to rank 0.
     */
   def pageRank(
       edges: DataFrame, src: String, dst: String,
       iters: Int = 10, dampingPerMille: Int = 850,
+      teleportTo: Option[Seq[String]] = None,
       checkpoint: Boolean = true): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     require(dampingPerMille >= 0 && dampingPerMille <= 1000,
       s"dampingPerMille must be in [0, 1000], got $dampingPerMille")
+    require(teleportTo.forall(_.nonEmpty), "teleportTo must be non-empty")
     val e = edges
       .select(col(src).cast("string").as("_src"),
         col(dst).cast("string").as("_dst"))
       .where(col("_src").isNotNull && col("_dst").isNotNull)
       .distinct()
-    val nodes = e.select(col("_src").as("node"))
+    val spark = edges.sparkSession
+    val graphNodes = e.select(col("_src").as("node"))
       .unionByName(e.select(col("_dst").as("node")))
+    val nodes = teleportTo
+      .fold(graphNodes) { ts =>
+        import spark.implicits._
+        graphNodes.unionByName(ts.toDF("node"))
+      }
       .distinct()
       .localCheckpoint(true) // scanned every iteration; pin it once
     // ONE bounded scalar action — the same class as the trainers' counts
     val nNodes = nodes.count()
     require(nNodes > 0, "pageRank: empty graph")
     val outDeg = e.groupBy("_src").agg(count(lit(1)).as("_deg"))
-    val teleport = halfUpLong(
-      (1000L - dampingPerMille) * RankScale, 1000L * nNodes)
-    var ranks = nodes.withColumn("_r", lit(halfUpLong(RankScale, nNodes)))
+    // per-node teleport and initial mass: uniform over the graph, or
+    // uniform over the teleport set (0 elsewhere) when personalized
+    val (tele, r0) = teleportTo match {
+      case None =>
+        val t = lit(halfUpLong(
+          (1000L - dampingPerMille) * RankScale, 1000L * nNodes))
+        (t, lit(halfUpLong(RankScale, nNodes)))
+      case Some(ts) =>
+        val member = col("node").isin(ts.distinct: _*)
+        val t = when(member, lit(halfUpLong(
+            (1000L - dampingPerMille) * RankScale,
+            1000L * ts.distinct.size))).otherwise(lit(0L))
+        (t, when(member,
+          lit(halfUpLong(RankScale, ts.distinct.size))).otherwise(lit(0L)))
+    }
+    var ranks = nodes.withColumn("_r", r0)
     for (_ <- 1 to iters) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "_src"), "_src")
@@ -82,7 +112,7 @@ object GraphRank {
         .groupBy("node").agg(sum("_c").as("_in"))
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
-          (lit(teleport) + halfUpCol(
+          (tele + halfUpCol(
             lit(dampingPerMille.toLong) * coalesce(col("_in"), lit(0L)),
             lit(1000L))).as("_r"))
       // bounded-lineage discipline: without this, iteration i's plan

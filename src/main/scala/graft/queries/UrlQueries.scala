@@ -293,52 +293,87 @@ object UrlQueries {
     * as MATERIALIZED integer CTEs (the Lloyd/label-propagation
     * technique).
     */
+  /** Unrolled integer-CTE replay of [[GraphRank.pageRank]] over the
+    * derived source graph; `teleportTo` mirrors the operator's
+    * personalization (None = uniform teleport).
+    */
+  private def pagerankOracle(
+      iters: Int, teleportTo: Option[Seq[String]]): String = {
+    val scale = GraphRank.RankScale
+    val (teleExpr, r0Expr) = teleportTo match {
+      case None =>
+        ("(2 * 150 * " + scale + " + 1000 * (SELECT n FROM nn))" +
+           " // (2 * 1000 * (SELECT n FROM nn))",
+         s"(2 * $scale + (SELECT n FROM nn)) // (2 * (SELECT n FROM nn))")
+      case Some(ts) =>
+        val set = ts.distinct.map(t => s"'$t'").mkString(", ")
+        val k = ts.distinct.size
+        (s"CASE WHEN node IN ($set) THEN (2 * 150 * $scale + 1000 * $k)" +
+           s" // (2 * 1000 * $k) ELSE 0 END",
+         s"CASE WHEN node IN ($set) THEN (2 * $scale + $k) // (2 * $k)" +
+           " ELSE 0 END")
+    }
+    val extraNodes = teleportTo.fold("") { ts =>
+      ts.distinct.map(t => s" UNION ALL SELECT '$t' AS node").mkString
+    }
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""c$i AS (SELECT e.dst AS node,
+           CAST(sum((r.r * 2 + d.deg) // (d.deg * 2)) AS BIGINT) AS cin
+         FROM edges e
+         JOIN r$p r ON e.src = r.node
+         JOIN deg d ON e.src = d.src
+         GROUP BY 1),
+       r$i AS MATERIALIZED (SELECT n.node,
+           n.tele + (850 * COALESCE(c.cin, 0) * 2 + 1000) // 2000 AS r
+         FROM nodes n LEFT JOIN c$i c USING (node))"""
+    }.mkString(",\n         ")
+    s"""WITH edges AS MATERIALIZED (
+         SELECT DISTINCT source AS src,
+           'src' || CAST((doc_id * 31 + 7) % 20 AS VARCHAR) AS dst
+         FROM documents),
+       nodes0 AS (
+         SELECT DISTINCT node FROM (
+           SELECT src AS node FROM edges
+           UNION ALL SELECT dst AS node FROM edges$extraNodes)),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes0),
+       nodes AS MATERIALIZED (SELECT node, $teleExpr AS tele FROM nodes0),
+       deg AS MATERIALIZED (
+         SELECT src, CAST(count(*) AS BIGINT) AS deg
+         FROM edges GROUP BY 1),
+       r0 AS MATERIALIZED (SELECT node, $r0Expr AS r FROM nodes),
+       $steps
+       SELECT node, CAST(r AS BIGINT) AS rank_q
+       FROM r$iters ORDER BY node"""
+  }
+
+  private def derivedEdges(s: SparkSession, d: String) =
+    docs(s, d).select(col("source").as("src"),
+      concat(lit("src"), (col("doc_id") * 31 + 7) % 20).as("dst"))
+
   val qDomainPagerank = QueryDef(
     "q_domain_pagerank",
-    (s, d) => GraphRank.pageRank(
-        docs(s, d).select(col("source").as("src"),
-          concat(lit("src"), (col("doc_id") * 31 + 7) % 20).as("dst")),
+    (s, d) => GraphRank.pageRank(derivedEdges(s, d),
         "src", "dst", iters = 10, dampingPerMille = 850)
       .orderBy("node"),
-    Some {
-      val scale = GraphRank.RankScale
-      val steps = (1 to 10).map { i =>
-        val p = i - 1
-        s"""c$i AS (SELECT e.dst AS node,
-             CAST(sum((r.r * 2 + d.deg) // (d.deg * 2)) AS BIGINT) AS cin
-           FROM edges e
-           JOIN r$p r ON e.src = r.node
-           JOIN deg d ON e.src = d.src
-           GROUP BY 1),
-         r$i AS MATERIALIZED (SELECT n.node,
-             (SELECT t FROM tele)
-               + (850 * COALESCE(c.cin, 0) * 2 + 1000) // 2000 AS r
-           FROM nodes n LEFT JOIN c$i c USING (node))"""
-      }.mkString(",\n         ")
-      s"""WITH edges AS MATERIALIZED (
-           SELECT DISTINCT source AS src,
-             'src' || CAST((doc_id * 31 + 7) % 20 AS VARCHAR) AS dst
-           FROM documents),
-         nodes AS MATERIALIZED (
-           SELECT DISTINCT node FROM (
-             SELECT src AS node FROM edges
-             UNION ALL SELECT dst AS node FROM edges)),
-         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-         deg AS MATERIALIZED (
-           SELECT src, CAST(count(*) AS BIGINT) AS deg
-           FROM edges GROUP BY 1),
-         tele AS (SELECT (2 * 150 * $scale + 1000 * (SELECT n FROM nn))
-                    // (2 * 1000 * (SELECT n FROM nn)) AS t),
-         r0 AS MATERIALIZED (SELECT node,
-             (2 * $scale + (SELECT n FROM nn)) // (2 * (SELECT n FROM nn))
-               AS r
-           FROM nodes),
-         $steps
-         SELECT node, CAST(r AS BIGINT) AS rank_q
-         FROM r10 ORDER BY node"""
-    })
+    Some(pagerankOracle(10, None)))
+
+  /** Topic-sensitive variant (Haveliwala): teleport mass concentrated on
+    * the target sources — "authoritative as seen FROM src1/src3", the
+    * authority prior that pairs with the DSIR target-domain selection.
+    * The derived graph contains all 20 sources, so the membership CASE
+    * in teleport and init is the branch under test; the
+    * unreachable-node → 0 behavior is spec-pinned in GraphRankSpec.
+    */
+  val qDomainPagerankPpr = QueryDef(
+    "q_domain_pagerank_ppr",
+    (s, d) => GraphRank.pageRank(derivedEdges(s, d),
+        "src", "dst", iters = 10, dampingPerMille = 850,
+        teleportTo = Some(Seq("src1", "src3")))
+      .orderBy("node"),
+    Some(pagerankOracle(10, Some(Seq("src1", "src3")))))
 
   val all: Seq[QueryDef] =
     Seq(qUrlCanonical, qUrlDedup, qDomainRollup, qUrlPolicy, qUrlPolicyDeny,
-      qDomainBudget, qCrawlCurate, qDomainPagerank)
+      qDomainBudget, qCrawlCurate, qDomainPagerank, qDomainPagerankPpr)
 }

@@ -37,6 +37,22 @@ class GraphRankSpec extends SparkSpec {
       s"mass $total drifted from ${GraphRank.RankScale}")
   }
 
+  test("personalized teleport: unreachable nodes sink to 0, absent targets restart") {
+    // a -> b -> c, plus an island x -> y unreachable from the target
+    val edges = Seq("a" -> "b", "b" -> "c", "x" -> "y").toDF("src", "dst")
+    val ranks = GraphRank.pageRank(edges, "src", "dst", iters = 20,
+        teleportTo = Some(Seq("a", "z")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // z is not in the graph but is a legitimate restart point: it holds
+    // exactly its teleport share (no in-links)
+    assert(ranks.contains("z") && ranks("z") > 0)
+    assert(ranks("a") == ranks("z"), "a has no in-links either: same rank")
+    // mass flows a -> b -> c; nothing reaches the island
+    assert(ranks("b") > 0 && ranks("c") > 0)
+    assert(ranks("x") == 0 && ranks("y") == 0,
+      s"island must sink to 0, got x=${ranks("x")} y=${ranks("y")}")
+  }
+
   test("ranks are partitioning-invariant") {
     val edges = (0 until 200)
       .map(i => (s"n${i % 23}", s"n${(i * 31 + 7) % 23}"))
