@@ -245,6 +245,42 @@ object UrlOps {
       .drop("_rk")
   }
 
+  /** [[domainBudget]] with PER-DOMAIN budgets from a `(domain, budget)`
+    * frame — the authority-weighted crawl policy (e.g. budgets derived
+    * from [[GraphRank.pageRank]]: vouched-for domains earn deeper
+    * crawls). Domains absent from the table get `defaultBudget`.
+    *
+    * Scale shape: the rank window still uses a CONSTANT cap — the MAX
+    * budget in the table (one bounded scalar action over the ≤#domains
+    * frame) — so Spark's WindowGroupLimit pushdown keeps pruning
+    * per-partition before the domain exchange; the variable per-domain
+    * cut is then a broadcast join + filter on the survivors (≤ maxBudget
+    * rows per domain). A naive `rank <= budget_col` window alone would
+    * lose the pushdown and shuffle whole domains.
+    */
+  def domainBudgetWeighted(
+      df: DataFrame, id: String, urlCol: String, scoreCol: String,
+      budgets: DataFrame, defaultBudget: Int = 1): DataFrame = {
+    require(defaultBudget >= 0,
+      s"defaultBudget must be >= 0, got $defaultBudget")
+    val b = budgets.select(col("domain").as("_bdom"),
+      col("budget").cast("long").as("_budget"))
+    // bounded scalar action over the budget table (a domain dimension)
+    val maxBudget = math.max(defaultBudget.toLong,
+      b.agg(max("_budget")).collect()(0).getLong(0))
+    require(maxBudget >= 1, "all budgets are 0 — nothing can be admitted")
+    val dom = registeredDomain(urlHost(col(urlCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_dom"))
+      .orderBy(col(scoreCol).desc, col(id))
+    df.withColumn("_dom", dom)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= maxBudget) // constant cap: WindowGroupLimit
+      .join(broadcast(b), col("_dom") === col("_bdom"), "left")
+      .filter(col("_rk") <= coalesce(col("_budget"), lit(defaultBudget.toLong)))
+      .drop("_dom", "_rk", "_bdom", "_budget")
+  }
+
   /** Per-registered-domain corpus rollup: document count, distinct
     * canonical URLs, and total characters — the shape domain-level
     * quality policies (crawl budgets, spam domain cuts) consume. One

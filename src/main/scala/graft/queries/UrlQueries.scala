@@ -284,6 +284,38 @@ object UrlQueries {
                FROM s7)
              WHERE rk <= 2 ORDER BY doc_id"""))
 
+  /** Authority-weighted per-domain budgets
+    * ([[UrlOps.domainBudgetWeighted]]): the budget TABLE derives from the
+    * domain rollup — well-represented domains earn deeper crawls
+    * (`1 + n_docs div 3`), everyone else the default 1 — and the rank
+    * window keeps its CONSTANT max-budget cap so WindowGroupLimit still
+    * prunes before the exchange (the variable cut is a broadcast filter
+    * on the survivors).
+    */
+  val qDomainBudgetWeighted = QueryDef(
+    "q_domain_budget_weighted",
+    (s, d) => {
+      val withUrl = docs(s, d)
+        .select(col("doc_id"), col("n_chars"), deriveUrl.as("url"))
+      val budgets = UrlOps.domainRollup(withUrl, "url", "n_chars")
+        .select(col("domain"),
+          expr("1L + n_docs div 3").as("budget"))
+      UrlOps.domainBudgetWeighted(withUrl, "doc_id", "url", "n_chars",
+          budgets, defaultBudget = 1)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH u AS (SELECT doc_id, n_chars, $deriveUrlSql AS url FROM documents),
+             $canonCtes,
+             bud AS (SELECT domain, 1 + count(*) // 3 AS budget
+                     FROM s7 GROUP BY domain)
+             SELECT doc_id, n_chars FROM (
+               SELECT s7.doc_id, s7.n_chars, b.budget, row_number() OVER (
+                 PARTITION BY s7.domain ORDER BY s7.n_chars DESC, s7.doc_id)
+                   AS rk
+               FROM s7 JOIN bud b USING (domain))
+             WHERE rk <= budget ORDER BY doc_id"""))
+
   /** Fixed-point PageRank over the derived source link graph
     * ([[graft.ext.GraphRank.pageRank]]): each document contributes one
     * edge from its source to a deterministically-derived linked source
@@ -375,5 +407,6 @@ object UrlQueries {
 
   val all: Seq[QueryDef] =
     Seq(qUrlCanonical, qUrlDedup, qDomainRollup, qUrlPolicy, qUrlPolicyDeny,
-      qDomainBudget, qCrawlCurate, qDomainPagerank, qDomainPagerankPpr)
+      qDomainBudget, qDomainBudgetWeighted, qCrawlCurate, qDomainPagerank,
+      qDomainPagerankPpr)
 }

@@ -216,6 +216,17 @@ class PlanSpec extends SparkSpec {
       s"budget rows crossed the shuffle unpruned:\n${p.take(3000)}")
   }
 
+  test("weighted domain budget keeps the constant-cap WindowGroupLimit") {
+    // variable per-domain budgets must NOT cost the pushdown: the rank
+    // window is capped at the TABLE MAX (constant), the per-domain cut
+    // is a broadcast filter on the survivors
+    val p = planOfText("q_domain_budget_weighted")
+    assert("WindowGroupLimit .*Partial".r.findFirstIn(p).isDefined,
+      s"constant cap lost — rows crossed the shuffle unpruned:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the budget table must broadcast:\n${p.take(3000)}")
+  }
+
   test("decontamination plan: corpus never shuffles, gram joins broadcast") {
     val p = planOfText("q_decontaminate")
     assert(!p.contains("SortMergeJoin"),
