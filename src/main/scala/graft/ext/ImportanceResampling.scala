@@ -85,8 +85,12 @@ object ImportanceResampling {
       raw: DataFrame, id: String, text: String,
       target: DataFrame, dims: Int = 512): DataFrame = {
     require(dims >= 2, s"dims must be >= 2, got $dims")
-    val rawModel = bucketModel(raw, text, dims, "_cr")
-    val tgtModel = bucketModel(target, text, dims, "_ct")
+    // Pin the two ≤dims-row models: the totals are scalar aggregates
+    // over them, and without the checkpoint each broadcast subquery
+    // re-evaluates its model's FULL corpus scan+explode (measured: 5
+    // corpus scans in the q_dsir_score plan instead of the inherent 3).
+    val rawModel = bucketModel(raw, text, dims, "_cr").localCheckpoint(true)
+    val tgtModel = bucketModel(target, text, dims, "_ct").localCheckpoint(true)
     val nR = rawModel.agg(sum("_cr").as("_nr"))
     val nT = tgtModel.agg(sum("_ct").as("_nt"))
     rawModel
