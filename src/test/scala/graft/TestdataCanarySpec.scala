@@ -140,4 +140,21 @@ class TestdataCanarySpec extends SparkSpec {
         "BPE, and minhash oracles (ExtensionQueries) before trusting the " +
         "gate")
   }
+
+  test("documents.source labels match the derivation conventions (r11)") {
+    // q_domain_pagerank derives edge targets as 'src' || (doc_id*31+7)%20
+    // and the DSIR queries anchor the target domain at source = 'src1';
+    // a driver-side regeneration that renames or resizes the source
+    // universe must fail HERE by name, not as an opaque hash mismatch
+    assume(have("documents"), s"$sfDir/documents.parquet not present")
+    import org.apache.spark.sql.functions._
+    val srcs = QueryDef.table(spark, sfDir, "documents")
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(srcs.forall(_.matches("src\\d+")),
+      s"unexpected source labels: ${srcs.filterNot(_.matches("src\\d+"))}")
+    assert(srcs == (0 until 20).map(i => s"src$i").toSet,
+      s"source universe changed (${srcs.size} labels) - the pagerank " +
+        "edge derivation (% 20) and the DSIR src1 target anchor in " +
+        "UrlQueries/ExtensionQueries need re-pinning")
+  }
 }
