@@ -214,6 +214,27 @@ object ExtensionQueries {
        |            ORDER BY doc_id""".stripMargin
   }
 
+  /** The same label-propagation chain, ending in a LEAKAGE-SAFE split:
+    * the split key is the CLUSTER id, so every member of a near-dup
+    * class lands in the same split (the q_split_assign md5 boundary
+    * replay applied to `label` instead of `doc_id`).
+    */
+  private def clusterSplitOracle(
+      bands: Int, rowsPerBand: Int, maxIter: Int): String = {
+    val base = minhashClustersOracle(bands, rowsPerBand, maxIter)
+    val tail = s"""SELECT doc_id, label AS cluster_id FROM l$maxIter
+            ORDER BY doc_id"""
+    require(base.endsWith(tail), "clusters oracle tail changed — re-pin")
+    base.dropRight(tail.length) +
+      s"""SELECT doc_id, label AS cluster_id,
+              CASE WHEN substr(md5(CAST(label AS VARCHAR) || 'graft:split'), 1, 8)
+                        < 'cccccccc' THEN 'train'
+                   WHEN substr(md5(CAST(label AS VARCHAR) || 'graft:split'), 1, 8)
+                        < 'e6666666' THEN 'val'
+                   ELSE 'test' END AS split
+            FROM l$maxIter ORDER BY doc_id"""
+  }
+
   /** The DuckDB replay of simhash near-dup pairing: the 60-bit md5-based
     * fingerprint ([[Dedup.simhashTable]] — bit votes as conditional sums,
     * fingerprint reassembled from vote signs), 4 16-bit band buckets, and
@@ -280,6 +301,27 @@ object ExtensionQueries {
     * convergence and transitivity invariants are additionally asserted in
     * ExtSpec.
     */
+  /** Leakage-safe train/val/test split: the split key is the NEAR-DUP
+    * CLUSTER id, not the document id — a near-duplicate of a training
+    * document can never land in val/test (the contamination path a
+    * per-document hash split leaves wide open). Pure composition:
+    * [[Dedup.minhashDedupClusters]] → [[CorpusSampling.hashSplit]] keyed
+    * on `cluster_id`; co-assignment within a cluster holds by
+    * construction (one key, one split).
+    */
+  val qSplitClusterSafe = QueryDef(
+    "q_split_cluster_safe",
+    (s, d) => CorpusSampling.hashSplit(
+        Dedup.minhashDedupClusters(docs(s, d), "doc_id", "text",
+          bands = Dedup.MinhashBands, rowsPerBand = Dedup.MinhashRowsPerBand),
+        col("cluster_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "cluster_id", "split")
+      .orderBy("doc_id"),
+    Some(clusterSplitOracle(
+      bands = Dedup.MinhashBands, rowsPerBand = Dedup.MinhashRowsPerBand,
+      maxIter = 10)))
+
   val qDedupClusters = QueryDef(
     "q_dedup_clusters",
     (s, d) => Dedup.minhashDedupClusters(docs(s, d), "doc_id", "text",
@@ -3760,7 +3802,7 @@ object ExtensionQueries {
     qJsonlRoundtrip, qOrcRoundtrip, qSampleStratified, qSampleTokenBudget,
     qSampleMixture,
     qPackSequences, qPackMaterialize, qDocChunks, qWinnowPairs,
-    qPiiRedact, qDedupSpans, qSplitAssign, qSampleUpsample, qSampleWeighted,
+    qPiiRedact, qDedupSpans, qSplitAssign, qSplitClusterSafe, qSampleUpsample, qSampleWeighted,
     qGopherRules,
     qTokenHistogram, qBpePairs, qBpeTrain, qBpeEncode, qLengthBuckets,
     qSnapshotDiff, qZipfFit, qHeapsGrowth, qHeapsFit,
