@@ -301,9 +301,12 @@ object CorpusStats {
     * order-independent), the per-snapshot mean vectors assemble in pos
     * order, and the final cosine is [[Similarity.cosineHof]]'s ordered
     * fold — so the single output double is bit-identical cross-engine
-    * before its round(4). A snapshot with no vectors yields NULL cosine
-    * (no centroid exists); snapshot values outside {0, 1} are dropped,
-    * as in [[tokenDrift]].
+    * before its round(4). Snapshot values outside {0, 1} are dropped,
+    * and — aligning with [[tokenDrift]]'s empty-snapshot contract
+    * (advice r12) — a snapshot with NO vectors raises a descriptive
+    * error: drift between a corpus and nothing is undefined, and the
+    * silent NULL row previously diverged from the oracle's zero-row
+    * cross-join shape.
     *
     * Scale shape: one (snap, pos) aggregation (map-side combined, the
     * exchange carries 2·dims rows per partition), then a 2-row pivot —
@@ -331,6 +334,14 @@ object CorpusStats {
           first(when(col("_snap") === 0, col("_m")), ignoreNulls = true),
           first(when(col("_snap") === 1, col("_m")), ignoreNulls = true)), 4)
           .as("centroid_cosine"))
+      .select(col("n0"), col("n1"),
+        when(col("n0").isNotNull && col("n1").isNotNull, col("centroid_cosine"))
+          .otherwise(raise_error(concat(
+            lit("embeddingDrift: a snapshot has no vectors (n0="),
+            coalesce(col("n0").cast("string"), lit("0")),
+            lit(", n1="), coalesce(col("n1").cast("string"), lit("0")),
+            lit(")"))).cast("double"))
+          .as("centroid_cosine"))
 
   /** The frozen baseline for [[graft.streaming.StreamingPipeline.embeddingDriftStream]]:
     * the corpus centroid as a bounded driver-side vector (`dims` doubles
@@ -347,8 +358,24 @@ object CorpusStats {
         count(lit(1)).cast("double")).as("_mean"))
       .collect()
     require(rows.nonEmpty, "meanVector: no vectors")
+    // Declared-dims contract (advice r12): a position at/past `dims`
+    // means a vector LONGER than declared; a position with no rows
+    // means every vector was SHORTER than declared. Both violate the
+    // frozen-baseline shape the streaming twin indexes by, so fail
+    // with a named error instead of OOB-crashing / zero-filling.
     val out = new Array[Double](dims)
-    rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
+    var covered = 0
+    rows.foreach { r =>
+      val p = r.getInt(0)
+      require(p >= 0 && p < dims,
+        s"meanVector: vector position $p outside declared dims=$dims " +
+          "(input carries longer vectors than the contract)")
+      out(p) = r.getDouble(1)
+      covered += 1
+    }
+    require(covered == dims,
+      s"meanVector: only $covered of $dims declared positions populated " +
+        "(input carries shorter vectors than the contract)")
     out
   }
 }

@@ -101,7 +101,7 @@ object DimReduction {
     * stage (the round-7 lpmEnrich lesson). The size conjunct
     * short-circuits, so the probe never indexes past a short vector.
     */
-  private def vecShapeGuard(op: String, vec: String, inDims: Int): Column = {
+  private[graft] def vecShapeGuard(op: String, vec: String, inDims: Int): Column = {
     val probe = (0 until inDims).map(i =>
       element_at(col(vec), i + 1).cast("double")).reduceLeft(_ + _)
     col(vec).isNull || when(

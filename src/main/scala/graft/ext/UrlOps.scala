@@ -248,7 +248,12 @@ object UrlOps {
   /** [[domainBudget]] with PER-DOMAIN budgets from a `(domain, budget)`
     * frame — the authority-weighted crawl policy (e.g. budgets derived
     * from [[GraphRank.pageRank]]: vouched-for domains earn deeper
-    * crawls). Domains absent from the table get `defaultBudget`.
+    * crawls). Domains absent from the table get `defaultBudget`; an
+    * EMPTY budgets frame (or one whose budget column is all NULL)
+    * degrades to a uniform `defaultBudget` cap rather than crashing
+    * (advice r12). Duplicate domain rows in `budgets` are collapsed to
+    * their MAX budget before the broadcast join — a duplicated
+    * dimension row must not duplicate admitted documents.
     *
     * Scale shape: the rank window still uses a CONSTANT cap — the MAX
     * budget in the table (one bounded scalar action over the ≤#domains
@@ -265,9 +270,13 @@ object UrlOps {
       s"defaultBudget must be >= 0, got $defaultBudget")
     val b = budgets.select(col("domain").as("_bdom"),
       col("budget").cast("long").as("_budget"))
-    // bounded scalar action over the budget table (a domain dimension)
+      .where(col("_budget").isNotNull)
+      .groupBy("_bdom").agg(max("_budget").as("_budget"))
+    // bounded scalar action over the budget table (a domain dimension);
+    // max over an empty/all-NULL table is NULL → uniform defaultBudget
     val maxBudget = math.max(defaultBudget.toLong,
-      b.agg(max("_budget")).collect()(0).getLong(0))
+      Option(b.agg(max("_budget")).collect()(0).get(0))
+        .fold(defaultBudget.toLong)(_.asInstanceOf[Long]))
     require(maxBudget >= 1, "all budgets are 0 — nothing can be admitted")
     val dom = registeredDomain(urlHost(col(urlCol)))
     val w = org.apache.spark.sql.expressions.Window

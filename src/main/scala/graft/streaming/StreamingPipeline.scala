@@ -714,9 +714,13 @@ object StreamingPipeline {
     val pairs = merges.map { m =>
       val Array(a, b) = m.split(" ", 2); (a, b)
     }
-    // The memo key carries the merge table's content hash so two streams
-    // with different frozen tokenizers sharing the JVM cannot cross-read.
-    val mergesKey = pairs.##
+    // The memo key carries an MD5 of the full merge sequence so two
+    // streams with different frozen tokenizers sharing the JVM cannot
+    // cross-read — a 32-bit structural hash could collide (advice r12).
+    val mergesKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(merges.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
     val nSubwords = udf { (w: String) =>
       BpeEncodeMemo.subwordCount(mergesKey, w, pairs)
     }
@@ -944,6 +948,14 @@ object StreamingPipeline {
     * over them, so a window's drift equals the batch operator run on
     * that window's rows. `dims` stays bounded (64 here); past ~100
     * columns the wide-aggregate codegen lesson applies — reduce first.
+    *
+    * Shape contract (advice r12): under ANSI mode a vector shorter than
+    * `dims` would throw INVALID_ARRAY_INDEX inside the aggregate and
+    * kill the query, and a NULL element would be skipped by `sum` while
+    * `_n` still counts the row — silently diverging from the batch
+    * twin. [[graft.ext.DimReduction.vecShapeGuard]] runs before the
+    * windowed aggregate, so a malformed vector fails the batch FAST
+    * with a named error instead of either failure mode.
     */
   def embeddingDriftStream(
       embs: DataFrame, baseline: Array[Double], dims: Int,
@@ -958,6 +970,8 @@ object StreamingPipeline {
     val agg = embs
       .withWatermark(tsCol, watermark)
       .where(col(vecCol).isNotNull)
+      .where(graft.ext.DimReduction.vecShapeGuard(
+        "embeddingDriftStream", vecCol, dims))
       .groupBy(window(col(tsCol), windowDur))
       .agg(sums.head, (sums.tail :+ count(lit(1)).as("_n")): _*)
     val mean = (i: Int) => col(s"_s$i").cast("double") / col("_n").cast("double")
@@ -1083,9 +1097,9 @@ object StreamingPipeline {
 private[streaming] object BpeEncodeMemo {
   private val MaxEntries = 1 << 20
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Integer]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Integer]()
 
-  def subwordCount(mergesKey: Int, w: String, pairs: Seq[(String, String)]): Int = {
+  def subwordCount(mergesKey: String, w: String, pairs: Seq[(String, String)]): Int = {
     val k = (mergesKey, w)
     val hit = memo.get(k)
     if (hit ne null) hit.intValue()

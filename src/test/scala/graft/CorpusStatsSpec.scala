@@ -190,6 +190,40 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r2.getDouble(2) == 0.0)
   }
 
+  test("embeddingDrift raises on an empty snapshot (advice r12)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // every row lands in snapshot 0 -> snapshot 1 has no centroid: loud
+    // error, matching tokenDrift's contract (the oracle emits 0 rows)
+    val oneSided = Seq(
+      (0L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      graft.ext.CorpusStats.embeddingDrift(
+        oneSided, pmod(col("vec_id"), lit(2)), "embedding").collect()
+    }
+    assert(e.getMessage.contains("embeddingDrift") ||
+      Option(e.getCause).exists(_.getMessage.contains("embeddingDrift")))
+  }
+
+  test("meanVector enforces the declared-dims contract (advice r12)") {
+    import spark.implicits._
+    val good = Seq(Array(1.0f, 2.0f), Array(3.0f, 4.0f)).toDF("embedding")
+    assert(graft.ext.CorpusStats.meanVector(good, "embedding", 2)
+      .toSeq == Seq(2.0, 3.0))
+    // longer vectors than declared: named error, not ArrayIndexOutOfBounds
+    val longer = intercept[IllegalArgumentException] {
+      graft.ext.CorpusStats.meanVector(good, "embedding", 1)
+    }
+    assert(longer.getMessage.contains("outside declared dims"))
+    // shorter vectors than declared: a hole in the baseline is an error,
+    // not a silent 0.0
+    val shorter = intercept[IllegalArgumentException] {
+      graft.ext.CorpusStats.meanVector(good, "embedding", 3)
+    }
+    assert(shorter.getMessage.contains("positions populated"))
+  }
+
   test("tokenDrift guards: invalid snapshots dropped, empty snapshot raises") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod}

@@ -124,6 +124,32 @@ class UrlOpsSpec extends SparkSpec {
     assert(got == Seq(2L, 3L, 5L))
   }
 
+  test("domainBudgetWeighted: empty/all-NULL/duplicate budget tables (advice r12)") {
+    val df = Seq(
+      (1L, "https://x.a.com/1", 100L),
+      (2L, "https://y.a.com/2", 300L),
+      (3L, "https://z.a.com/3", 200L),
+      (4L, "https://b.com/4", 10L)).toDF("doc_id", "url", "n_chars")
+    def ids(budgets: org.apache.spark.sql.DataFrame, default: Int): Seq[Long] =
+      UrlOps.domainBudgetWeighted(df, "doc_id", "url", "n_chars", budgets, default)
+        .select("doc_id").orderBy("doc_id").as[Long].collect().toSeq
+    // EMPTY budgets frame: uniform defaultBudget, not an NPE
+    val empty = Seq.empty[(String, Long)].toDF("domain", "budget")
+    assert(ids(empty, default = 1) == Seq(2L, 4L))
+    // all-NULL budget column: same degraded contract
+    val allNull = Seq(("a.com", null.asInstanceOf[java.lang.Long]))
+      .toDF("domain", "budget")
+    assert(ids(allNull, default = 1) == Seq(2L, 4L))
+    // duplicate domain rows collapse to their MAX budget — a duplicated
+    // dimension row must never duplicate admitted documents
+    val dup = Seq(("a.com", 1L), ("a.com", 2L)).toDF("domain", "budget")
+    val admitted = UrlOps.domainBudgetWeighted(
+        df, "doc_id", "url", "n_chars", dup, defaultBudget = 1)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(admitted.sorted == Seq(2L, 3L, 4L))
+    assert(admitted.distinct.size == admitted.size)
+  }
+
   test("domainRollup groups by registered domain with distinct canonical urls") {
     val df = Seq(
       (1L, "https://a.x.co.uk/p?utm_source=s", 10L),
