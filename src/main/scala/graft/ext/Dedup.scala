@@ -497,6 +497,99 @@ object Dedup {
           .otherwise(coalesce(col("clean_text"), lit(""))))
   }
 
+  /** EXACT-SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", the ExactSubstr variant):
+    * remove every VERBATIM token sequence of length ≥ `minTokens` that
+    * also occurs elsewhere in the corpus — keeping exactly ONE copy (the
+    * occurrence in the globally-first position). The paper builds one
+    * giant suffix array; the Spark-native re-expression observes that a
+    * repeated run of length L ≥ N is exactly a run of L−N+1 repeated
+    * N-token WINDOWS, so sliding-window gram grouping finds the same
+    * spans without any global suffix structure:
+    *
+    *  1. every overlapping `minTokens`-token window of every document,
+    *     keyed by its md5 (grams never carry their text past the hash —
+    *     the exchange moves 32-byte keys, not 50-token strings);
+    *  2. windows whose key occurs more than once corpus-wide are
+    *     duplicated; the occurrence with the least `(id, pos)` is the
+    *     KEEPER and survives;
+    *  3. non-keeper duplicated windows expand to their covered token
+    *     positions (a bounded ×minTokens explode of FLAGGED rows only);
+    *  4. uncovered tokens reassemble in position order.
+    *
+    * Unlike [[dedupSpansAcrossDocs]] (C4 fixed non-overlapping spans
+    * with a document-frequency cap), this is exact-match granularity:
+    * ANY alignment of a ≥N-token verbatim repeat is caught, shifted
+    * copies included, and one canonical copy always survives.
+    *
+    * Output: input row + `clean_text` (surviving tokens joined by one
+    * space) + `n_removed` (tokens removed, 0 for untouched docs, NULL
+    * for NULL text). md5-collision risk on a window key is ~2⁻¹²⁸ —
+    * the standard fingerprint-equality tradeoff documented at
+    * [[exactDedupByHash]].
+    *
+    * Plan shape: one gram-keyed exchange (count + keeper rank share the
+    * single window partitioning), one id-keyed regroup, one broadcast-
+    * friendly left join back — nothing pairwise, nothing driver-side;
+    * the only data-dependent blowup is minTokens× on the flagged subset
+    * (at 100 TB the flagged fraction is the corpus duplication rate,
+    * which this operator exists to make small).
+    */
+  def exactSubstringDedup(
+      df: DataFrame, id: String, text: String,
+      minTokens: Int = 50): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val reserved = Seq("_pos", "_tok", "_h", "_cnt", "_keep", "_covered",
+      "clean_text", "n_removed")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"input must not already contain reserved column $c"))
+    val toks = df.where(col(text).isNotNull)
+      .select(col(id),
+        posexplode(TextAnalysis.tokens(col(text))).as(Seq("_pos", "_tok")))
+      .where(col("_tok") =!= "")
+    // overlapping windows: md5 of the N-token slice starting at _pos
+    val grams = df.where(col(text).isNotNull)
+      .select(col(id), TextAnalysis.tokens(col(text)).as("_t"))
+      .select(col(id),
+        posexplode(when(size(col("_t")) >= minTokens,
+          transform(sequence(lit(0), size(col("_t")) - minTokens),
+            i => md5(array_join(slice(col("_t"), i + 1, lit(minTokens)), " "))))
+          .otherwise(array().cast("array<string>")))
+          .as(Seq("_pos", "_h")))
+    val wCnt = Window.partitionBy(col("_h"))
+    val wRank = Window.partitionBy(col("_h")).orderBy(col(id), col("_pos"))
+    val flagged = grams
+      .withColumn("_cnt", count(lit(1)).over(wCnt))
+      .withColumn("_keep", row_number().over(wRank))
+      .where(col("_cnt") > 1 && col("_keep") > 1)
+    // covered token positions of non-keeper duplicated windows
+    val covered = flagged
+      .select(col(id),
+        explode(sequence(col("_pos"), col("_pos") + (minTokens - 1)))
+          .as("_covered"))
+      .distinct()
+    val rebuilt = toks
+      .join(covered,
+        toks(id) === covered(id) && col("_pos") === col("_covered"),
+        "left_anti")
+      .groupBy(id)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+          s => s("_tok")), " ").as("clean_text"),
+        count(lit(1)).as("_kept"))
+    df.join(rebuilt, Seq(id), "left")
+      .withColumn("clean_text",
+        when(col(text).isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("clean_text"), lit(""))))
+      .withColumn("n_removed",
+        when(col(text).isNull, lit(null).cast("long"))
+          .otherwise(
+            size(filter(TextAnalysis.tokens(col(text)), t => t =!= ""))
+              .cast("long") - coalesce(col("_kept"), lit(0L))))
+      .drop("_kept")
+  }
+
   /** SimHash fingerprint width: 60 bits, the widest value the replayable
     * md5-hex base hash yields without signed-overflow gymnastics (15 hex
     * chars → [0, 2^60)). Bits 60–63 of the LongType fingerprint are zero

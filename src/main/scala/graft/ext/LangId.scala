@@ -1,0 +1,177 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Character-n-gram Naive Bayes language identification — the real
+  * model behind every production langid stack (TextCat / langid.py /
+  * CLD: char 3-gram profiles + multinomial NB), replacing the
+  * 3-language stopword heuristic [[TextAnalysis.languageId]] for
+  * multilingual corpora. The heuristic stays as the zero-training
+  * fallback; this trains IN SPARK on any labeled slice and scores the
+  * rest.
+  *
+  * Model (multinomial NB over hashed char trigrams):
+  *
+  *   score(d, l) = ln P(l) + Σ_{g ∈ grams(d)} ln P(bucket(g) | l)
+  *   P(b | l)    = (c_{l,b} + 1) / (N_l + dims)        (add-one)
+  *
+  * Features are char trigrams of the whitespace-collapsed lowercased
+  * text, hashed into `dims` buckets with the shared engine-portable md5
+  * bucket hash ([[QualityClassifier.bucketOf]]) — hashing bounds the
+  * model at `langs × dims` longs regardless of corpus size (the
+  * bounded-driver-artifact pattern the GD classifier and DSIR follow).
+  * The model grid is COMPLETE over the bucket space (zero-count buckets
+  * carry the smoothed floor), so scoring is a plain inner join — no
+  * per-language missing-bucket bias.
+  *
+  * Determinism (the DSIR exactness treatment): each `ln P(b|l)` and
+  * each prior is ONE fixed tree of IEEE ops evaluated once per model
+  * CELL (≤ langs·dims evaluations), floor-quantized at 10⁻⁶ to a long;
+  * per-document scores are then EXACT integer sums and the argmax is an
+  * exact integer comparison with an ascending-language tiebreak — the
+  * oracle replays everything in BIGINT CTEs.
+  *
+  * Scale shape: training is one explode + (lang, bucket) aggregation
+  * (map-side combined; the exchange carries ≤ langs·dims rows per
+  * partition); the trained grid pivots WIDE (bucket → one long column
+  * per language, `dims` rows, broadcast), so scoring joins each gram
+  * occurrence ONCE — the gram table never multiplies by the language
+  * count — and aggregates straight to the document. Nothing pairwise;
+  * the only driver materialization is the langs×dims model (bounded by
+  * contract).
+  */
+object LangId {
+
+  /** Log quantization scale — scores are 10⁻⁶-scaled-log longs. */
+  private[graft] val LogScale = 1000000L
+
+  /** Char n-grams of the canonicalized text (lowercase, whitespace
+    * collapsed to single spaces): positions 1..len−n+1, each `n` chars.
+    * Shorter-than-n text (and NULL) yields an empty array. DuckDB
+    * replay: `list_transform(range(1, length(t) - (n-2)),
+    * i -> substr(t, i, n))` over
+    * `regexp_replace(lower(text), '\s+', ' ', 'g')`.
+    */
+  private[graft] def charNgrams(text: Column, n: Int): Column = {
+    val t = regexp_replace(lower(text), "\\s+", " ")
+    when(text.isNotNull && length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)),
+        i => t.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** The frozen language-id artifact: per-language priors and the
+    * complete per-bucket conditional log-probability grid, all in
+    * 10⁻⁶-scaled-log longs. `lpq(i)(b)` is the quantized
+    * `ln P(b | langs(i))`. Bounded by contract at `langs.length × dims`
+    * longs — the driver-side collect in [[train]] is of THIS, never of
+    * a corpus.
+    */
+  case class LangIdModel(
+      langs: Array[String], dims: Int, n: Int,
+      priorQ: Array[Long], lpq: Array[Array[Long]]) {
+    require(langs.nonEmpty && langs.length == priorQ.length &&
+      langs.length == lpq.length && lpq.forall(_.length == dims),
+      "model arrays must be langs-aligned and dims-wide")
+  }
+
+  /** Train the NB model on a labeled slice. Distributed: one explode +
+    * (lang, bucket) count aggregation and a per-lang doc/total count;
+    * only the ≤ langs×dims quantized grid is collected.
+    *
+    * Rows with NULL lang or NULL/too-short text contribute no grams
+    * (their language's prior still counts the document if lang is
+    * non-NULL and text non-NULL).
+    */
+  def train(
+      labeled: DataFrame, lang: String, text: String,
+      dims: Int = 256, n: Int = 3): LangIdModel = {
+    require(dims >= 2, s"dims must be >= 2, got $dims")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val base = labeled.where(col(lang).isNotNull && col(text).isNotNull)
+    // per-(lang, bucket) gram counts — map-side combined to <= L*dims
+    val counts = base
+      .select(col(lang).as("_lang"),
+        explode(charNgrams(col(text), n)).as("_g"))
+      .withColumn("_b", QualityClassifier.bucketOf(col("_g"), dims))
+      .groupBy("_lang", "_b").agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val docCounts = base.groupBy(col(lang).as("_lang"))
+      .agg(count(lit(1)).as("_docs"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(docCounts.nonEmpty, "train: no labeled documents")
+    val langs = docCounts.keys.toArray.sorted
+    val totalDocs = docCounts.values.sum
+    // quantize in the driver with the SAME fixed expression the oracle
+    // replays: floor((ln(c+1) - ln(N_l+dims)) * 1e6)
+    val lpq = langs.map { l =>
+      val nL = (0 until dims).map(b => counts.getOrElse((l, b), 0L)).sum
+      Array.tabulate(dims) { b =>
+        val c = counts.getOrElse((l, b), 0L)
+        math.floor((math.log(c + 1.0) - math.log(nL + dims.toDouble)) *
+          LogScale).toLong
+      }
+    }
+    val priorQ = langs.map { l =>
+      math.floor((math.log(docCounts(l).toDouble) -
+        math.log(totalDocs.toDouble)) * LogScale).toLong
+    }
+    LangIdModel(langs, dims, n, priorQ, lpq)
+  }
+
+  /** The model grid as a broadcastable `dims`-row frame: `(_b, _lp_0 ..
+    * _lp_{L-1})` — one long column per language, so scoring touches each
+    * gram occurrence exactly once.
+    */
+  private def modelFrame(spark: SparkSession, m: LangIdModel): DataFrame = {
+    val schema = StructType(StructField("_b", LongType, nullable = false) +:
+      m.langs.indices.map(i =>
+        StructField(s"_lp_$i", LongType, nullable = false)))
+    val rows = (0 until m.dims).map { b =>
+      Row.fromSeq(b.toLong +: m.langs.indices.map(i => m.lpq(i)(b)))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Score documents against a frozen model: `(id, lang_pred, scoreq)`
+    * with `scoreq` the winning language's full quantized NB score
+    * (prior + gram sum). Documents with no grams (NULL or
+    * shorter-than-n text) are absent — no likelihood evidence, the
+    * [[ImportanceResampling]] contract.
+    */
+  def score(
+      docs: DataFrame, id: String, text: String,
+      model: LangIdModel): DataFrame = {
+    val spark = docs.sparkSession
+    val reserved = Seq("_g", "_b", "lang_pred", "scoreq") ++
+      model.langs.indices.flatMap(i => Seq(s"_lp_$i", s"_s_$i"))
+    require(!reserved.exists(docs.columns.contains),
+      s"score reserves columns ${reserved.mkString(", ")}")
+    val grams = docs.where(col(text).isNotNull)
+      .select(col(id), explode(charNgrams(col(text), model.n)).as("_g"))
+      .withColumn("_b",
+        QualityClassifier.bucketOf(col("_g"), model.dims).cast("long"))
+    val sums = grams
+      .join(broadcast(modelFrame(spark, model)), Seq("_b"))
+      .groupBy(col(id))
+      .agg(sum(col("_lp_0")).as("_s_0"),
+        model.langs.indices.tail.map(i =>
+          sum(col(s"_lp_$i")).as(s"_s_$i")): _*)
+    // integer argmax with ascending-language tiebreak: langs are sorted,
+    // so fold from the LAST language down and let >= prefer earlier ones
+    val scored = model.langs.indices.foldLeft(sums) { (df, i) =>
+      df.withColumn(s"_s_$i", col(s"_s_$i") + lit(model.priorQ(i)))
+    }
+    val best = model.langs.indices.reverse.foldLeft(
+      (lit(model.langs.last), col(s"_s_${model.langs.length - 1}"))) {
+      case ((bl, bs), i) =>
+        (when(col(s"_s_$i") >= bs, lit(model.langs(i))).otherwise(bl),
+          when(col(s"_s_$i") >= bs, col(s"_s_$i")).otherwise(bs))
+    } match { case (bl, bs) => (bl.as("lang_pred"), bs.as("scoreq")) }
+    scored.select(col(id), best._1, best._2)
+  }
+}

@@ -210,6 +210,86 @@ object Relevance {
         round(avg(col("_lp")), 4).as("lm_score"))
   }
 
+  /** Corpus-trained INTERPOLATED KNESER–NEY bigram LM score — the
+    * CCNet-style perplexity filter [[bigramLmScore]] approximates with
+    * add-alpha smoothing, upgraded to the smoothing n-gram LMs actually
+    * ship with (Kneser & Ney 1995; KenLM's default). Each document
+    * scores the mean log of
+    *
+    *   P_KN(w2|w1) = (c(w1 w2) − D) / c(w1 ·)
+    *               + D · N1+(w1 ·) / c(w1 ·) · N1+(· w2) / N1+(· ·)
+    *
+    * with absolute discount `D ∈ (0, 1)` (0.75, the textbook setting):
+    * the discounted bigram maximum-likelihood term, interpolated with
+    * the CONTINUATION probability — how many distinct contexts `w2`
+    * completes, not how often it occurs. This is what separates KN from
+    * add-alpha: a word that appears many times in ONE fixed phrase
+    * ("Francisco") gets a low continuation weight even though its raw
+    * unigram count is large. Because the LM trains on the corpus being
+    * scored (the [[bigramLmScore]] self-scoring contract), every scored
+    * bigram has c ≥ 1 > D and the max(·−D, 0) clamp is never active.
+    *
+    * Exactness (the q_lm_score treatment): every model statistic is an
+    * INTEGER (occurrence counts, distinct-successor / distinct-context
+    * type counts), the per-bigram log-probability is one fixed
+    * double-expression tree over those integers — identical in the
+    * DuckDB oracle — and the per-document mean accumulates in document
+    * order on both engines before its round(·, 4).
+    *
+    * Plan (mirrors [[bigramLmScore]]): the gram table exchanges ONCE on
+    * the gram key — per-occurrence counts ride a whole-partition window
+    * and the TYPE table reuses the same partitioning (groupBy on the
+    * window's own key plans no second exchange). The three model tables
+    * derived from the type table (per-w1 totals + successor types,
+    * per-w2 context types, the 1-row type count) are vocabulary-sized
+    * (Heaps' law) and broadcast back — pass `broadcastVocab = false` at
+    * hash-token vocabulary scales to let AQE decide. Final per-document
+    * mean is one shuffle on the id key. Nothing driver-side, nothing
+    * pairwise.
+    */
+  def knLmScore(
+      df: DataFrame, id: String, text: String, discount: Double = 0.75,
+      broadcastVocab: Boolean = true): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0, 1), got $discount")
+    val reserved = Seq("_gram", "_w1", "_w2", "_n_b", "_c_w1", "_n1p_w1",
+      "_n1p_w2", "_n_types", "_lp", "n_bigrams", "lm_score_kn")
+    require(!reserved.exists(df.columns.contains),
+      s"knLmScore reserves columns ${reserved.mkString(", ")}")
+    val grams = df.where(col(text).isNotNull)
+      .select(col(id),
+        explode(TextAnalysis.wordNgrams(col(text), 2)).as("_gram"))
+      .withColumn("_w1", split(col("_gram"), " ").getItem(0))
+      .withColumn("_w2", split(col("_gram"), " ").getItem(1))
+    // occurrence count in place: one exchange on the gram key
+    val withBi = grams.withColumn("_n_b",
+      count(lit(1)).over(Window.partitionBy(col("_gram"))))
+    // bigram TYPE table on the same partitioning — no new exchange
+    val biTypes = withBi.groupBy(col("_gram"))
+      .agg(first(col("_w1")).as("_w1"), first(col("_w2")).as("_w2"),
+        first(col("_n_b")).as("_n_b"))
+    val w1Stats = biTypes.groupBy(col("_w1"))
+      .agg(sum(col("_n_b")).as("_c_w1"), count(lit(1)).as("_n1p_w1"))
+    val w2Stats = biTypes.groupBy(col("_w2"))
+      .agg(count(lit(1)).as("_n1p_w2"))
+    val nTypes = biTypes.agg(count(lit(1)).as("_n_types"))
+    val (w1H, w2H) =
+      if (broadcastVocab) (broadcast(w1Stats), broadcast(w2Stats))
+      else (w1Stats, w2Stats)
+    val d = lit(discount)
+    withBi
+      .join(w1H, Seq("_w1"))
+      .join(w2H, Seq("_w2"))
+      .crossJoin(broadcast(nTypes))
+      .withColumn("_lp", log(
+        (col("_n_b").cast("double") - d) / col("_c_w1").cast("double") +
+          ((d * col("_n1p_w1").cast("double")) / col("_c_w1").cast("double")) *
+            (col("_n1p_w2").cast("double") / col("_n_types").cast("double"))))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("_lp")), 4).as("lm_score_kn"))
+  }
+
   /** BM25 top-`k` retrieval: [[bm25]] then the global k best documents
     * (ties broken by id). TakeOrderedAndProject in the physical plan — a
     * per-partition top-k then a k-row driver merge, never a full sort.

@@ -1868,6 +1868,78 @@ object ExtensionQueries {
               FROM documents) t
             ORDER BY doc_id"""))
 
+  /** Char-trigram Naive Bayes language-id ([[graft.ext.LangId]]): train
+    * on the labeled slice (doc_id < 400, label = the `lang` column),
+    * score the held-out tail — the real langid architecture replacing
+    * the stopword heuristic. Training, quantization, scoring, and the
+    * integer argmax all replay in BIGINT CTEs (the DSIR treatment: ln
+    * is evaluated once per model CELL, floor-quantized at 10⁻⁶, and
+    * every per-document number after that is an exact integer).
+    */
+  val qLangIdNgram = QueryDef(
+    "q_lang_id_ngram",
+    (s, d) => {
+      val all = docs(s, d)
+      val model = graft.ext.LangId.train(
+        all.filter(col("doc_id") < 400), "lang", "text", dims = 256, n = 3)
+      graft.ext.LangId.score(
+          all.filter(col("doc_id") >= 400), "doc_id", "text", model)
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS MATERIALIZED (
+              SELECT doc_id, lang,
+                     regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+              FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+            trg AS (
+              SELECT lang, substr(t, CAST(u.i AS INTEGER), 3) AS g
+              FROM base, unnest(range(1, length(t) - 1)) AS u(i)
+              WHERE doc_id < 400 AND length(t) >= 3),
+            langs AS (SELECT DISTINCT lang FROM base WHERE doc_id < 400),
+            grid AS (SELECT l.lang, CAST(r.range AS BIGINT) AS b
+                     FROM langs l CROSS JOIN range(256) r),
+            cnt AS MATERIALIZED (
+              SELECT lang,
+                     CAST((CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)
+                       & 2147483647) % 256 AS BIGINT) AS b,
+                     count(*) AS c
+              FROM trg GROUP BY 1, 2),
+            tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nl
+                    FROM cnt GROUP BY 1),
+            model AS MATERIALIZED (
+              SELECT g.lang, g.b,
+                     CAST(floor((ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE))
+                         - ln(CAST(COALESCE(t.nl, 0) + 256 AS DOUBLE)))
+                       * 1000000) AS BIGINT) AS lpq
+              FROM grid g
+              LEFT JOIN cnt c ON g.lang = c.lang AND g.b = c.b
+              LEFT JOIN tot t ON g.lang = t.lang),
+            dcnt AS (SELECT lang, count(*) AS docs FROM base
+                     WHERE doc_id < 400 GROUP BY 1),
+            dtot AS (SELECT CAST(sum(docs) AS BIGINT) AS v FROM dcnt),
+            prior AS (SELECT lang,
+                CAST(floor((ln(CAST(docs AS DOUBLE))
+                    - ln(CAST((SELECT v FROM dtot) AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS pq
+              FROM dcnt),
+            sg AS (
+              SELECT doc_id,
+                     CAST((CAST(('0x' || substr(md5(
+                         substr(t, CAST(u.i AS INTEGER), 3)), 1, 8)) AS BIGINT)
+                       & 2147483647) % 256 AS BIGINT) AS b
+              FROM base, unnest(range(1, length(t) - 1)) AS u(i)
+              WHERE doc_id >= 400 AND length(t) >= 3),
+            ssum AS (SELECT s.doc_id, m.lang,
+                       CAST(sum(m.lpq) AS BIGINT) AS sq
+                     FROM sg s JOIN model m USING (b) GROUP BY 1, 2),
+            scored AS (SELECT ssum.doc_id, ssum.lang,
+                         ssum.sq + p.pq AS scoreq
+                       FROM ssum JOIN prior p USING (lang))
+            SELECT doc_id, lang AS lang_pred, scoreq
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY scoreq DESC, lang) AS rn
+                  FROM scored)
+            WHERE rn = 1 ORDER BY doc_id"""))
+
   /** md5 content fingerprint — bit-exact across engines, so directly
     * oracle-checkable.
     */
@@ -2458,6 +2530,76 @@ object ExtensionQueries {
                    ELSE coalesce(r.clean_text, '') END AS clean_text
             FROM documents d LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY d.doc_id"""))
+
+  /** Exact-substring dedup ([[Dedup.exactSubstringDedup]], minTokens=8):
+    * the Lee et al. 2022 verbatim-repeat removal at sliding-window
+    * granularity. The input plants real shifted repeats: each doc_id <
+    * 250 document reappears as doc_id+10000 with a 3-token prefix, so
+    * every ≥8-token run of the original is a shifted verbatim repeat
+    * the C4 fixed-span operator would MISS at most alignments. Keeper
+    * policy (least (id, pos) survives) and ordered reassembly replay
+    * exactly in SQL.
+    */
+  val qDedupSubstring = QueryDef(
+    "q_dedup_substring",
+    (s, d) => {
+      val all = docs(s, d).select("doc_id", "text")
+      val shifted = all.filter(col("doc_id") < 250)
+        .select((col("doc_id") + 10000).as("doc_id"),
+          concat(lit("unique prefix marker "), col("text")).as("text"))
+      Dedup.exactSubstringDedup(
+          all.unionByName(shifted), "doc_id", "text", minTokens = 8)
+        .select("doc_id", "clean_text", "n_removed")
+        .orderBy("doc_id")
+    },
+    Some("""WITH input AS MATERIALIZED (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000, 'unique prefix marker ' || text
+              FROM documents WHERE doc_id < 250),
+            toks AS MATERIALIZED (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+              FROM input WHERE text IS NOT NULL),
+            grams AS MATERIALIZED (
+              SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+                     md5(array_to_string(
+                       list_slice(t, u.i + 1, u.i + 8), ' ')) AS h
+              FROM toks, unnest(range(len(t) - 7)) AS u(i)
+              WHERE len(t) >= 8),
+            flagged AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY h) AS cnt,
+                       row_number() OVER (
+                         PARTITION BY h ORDER BY doc_id, pos) AS rk
+                FROM grams) f
+              WHERE cnt > 1 AND rk > 1),
+            covered AS (
+              SELECT DISTINCT doc_id, pos + CAST(u.j AS BIGINT) AS cp
+              FROM flagged, unnest(range(8)) AS u(j)),
+            tokrows AS (
+              SELECT doc_id, CAST(u.i AS BIGINT) AS pos, t[u.i + 1] AS tok
+              FROM toks, unnest(range(len(t))) AS u(i)
+              WHERE t[u.i + 1] <> ''),
+            rebuilt AS (
+              SELECT tk.doc_id,
+                     string_agg(tk.tok, ' ' ORDER BY tk.pos) AS clean_text,
+                     count(*) AS kept
+              FROM tokrows tk
+              WHERE NOT EXISTS (SELECT 1 FROM covered c
+                                WHERE c.doc_id = tk.doc_id
+                                  AND c.cp = tk.pos)
+              GROUP BY 1)
+            SELECT i.doc_id,
+              CASE WHEN i.text IS NULL THEN NULL
+                   ELSE coalesce(r.clean_text, '') END AS clean_text,
+              CASE WHEN i.text IS NULL THEN NULL
+                   ELSE CAST(len(list_filter(
+                       regexp_split_to_array(trim(i.text), '\s+'),
+                       x -> x <> '')) - coalesce(r.kept, 0) AS BIGINT)
+                END AS n_removed
+            FROM input i LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY i.doc_id"""))
 
   /** Semantic decontamination ([[Dedup.semanticDecontaminate]]): the
     * corpus is the full embeddings table, the benchmark is its first 50
@@ -3401,6 +3543,43 @@ object ExtensionQueries {
             SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS lm_score
             FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Interpolated Kneser–Ney bigram LM score ([[Relevance.knLmScore]],
+    * D = 0.75): the discounted-ML + continuation-probability smoothing
+    * real n-gram LMs ship with, replacing add-alpha's uniform-prior
+    * fallback. Every model statistic is an integer count, so the oracle
+    * replays the discount formula as one identical double-expression
+    * tree over BIGINT CTEs — the q_lm_score exactness treatment.
+    */
+  val qLmScoreKn = QueryDef(
+    "q_lm_score_kn",
+    (s, d) => Relevance.knLmScore(docs(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""WITH grams AS (
+              SELECT doc_id, array_to_string(list_slice(t, u.i + 1, u.i + 2), ' ') AS g,
+                     t[u.i + 1] AS w1, t[u.i + 2] AS w2
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                    FROM documents WHERE text IS NOT NULL) s,
+                   unnest(range(len(t) - 1)) AS u(i)
+              WHERE len(t) >= 2),
+            bi AS MATERIALIZED (
+              SELECT g, w1, w2, count(*) AS n_b FROM grams GROUP BY 1, 2, 3),
+            w1s AS (SELECT w1, CAST(sum(n_b) AS BIGINT) AS c_w1,
+                           count(*) AS n1p_w1 FROM bi GROUP BY 1),
+            w2s AS (SELECT w2, count(*) AS n1p_w2 FROM bi GROUP BY 1),
+            nt AS (SELECT count(*) AS n_types FROM bi),
+            scored AS (
+              SELECT d.doc_id,
+                     ln((CAST(bi.n_b AS DOUBLE) - 0.75) / CAST(w1s.c_w1 AS DOUBLE)
+                        + ((0.75 * CAST(w1s.n1p_w1 AS DOUBLE)) / CAST(w1s.c_w1 AS DOUBLE))
+                          * (CAST(w2s.n1p_w2 AS DOUBLE) / CAST(nt.n_types AS DOUBLE))) AS lp
+              FROM grams d JOIN bi USING (g)
+              JOIN w1s ON d.w1 = w1s.w1
+              JOIN w2s ON d.w2 = w2s.w2
+              CROSS JOIN nt)
+            SELECT doc_id, count(*) AS n_bigrams,
+                   round(avg(lp), 4) AS lm_score_kn
+            FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Oracle-replayable curation composition
     * ([[CorpusPipeline.curate]]): LM quality gate at the 25th percentile
     * → exact-fingerprint dedup → deterministic 80/10/10 split. The oracle
@@ -3793,7 +3972,7 @@ object ExtensionQueries {
     qEmbedCosineTopk, qEmbedMeanpool, qAnnLsh, qAnnIvf, qAnnIvfLowid,
     qAnnPq, qAnnPqInit, qAnnIvfPq, qAnnIvfPqInit,
     qTextTokens, qTextSubword, qTextQuality, qQualityGate, qCorpusReport,
-    qTextRepetition, qLangId,
+    qTextRepetition, qLangId, qLangIdNgram,
     qBoilerplateBlocks, qVocabCoverage, qSourceOverlap,
     qDocFingerprint, qDocWinnow, qMultimodalMeta, qMultimodalDecode,
     qMultimodalDecode2, qMultimodalDecode3,
@@ -3802,13 +3981,15 @@ object ExtensionQueries {
     qJsonlRoundtrip, qOrcRoundtrip, qSampleStratified, qSampleTokenBudget,
     qSampleMixture,
     qPackSequences, qPackMaterialize, qDocChunks, qWinnowPairs,
-    qPiiRedact, qDedupSpans, qSplitAssign, qSplitClusterSafe, qSampleUpsample, qSampleWeighted,
+    qPiiRedact, qDedupSpans, qDedupSubstring, qSplitAssign, qSplitClusterSafe,
+    qSampleUpsample, qSampleWeighted,
     qGopherRules,
     qTokenHistogram, qBpePairs, qBpeTrain, qBpeEncode, qLengthBuckets,
     qSnapshotDiff, qZipfFit, qHeapsGrowth, qHeapsFit,
     qDecontaminateSemantic,
     qDocFrequency, qTfidfTopTerms, qBm25, qBm25TopK,
     qSampleTemperature, qHardNegatives, qEmbedQuantize, qAnnSq8, qLmScore,
+    qLmScoreKn,
     qCorpusCurate, qContaminationReport, qDupHistogram, qTextNfc,
     qQualityClassifier, qQualityTopP, qTokenDrift, qBalanceShards)
 }

@@ -933,6 +933,43 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("exactSubstringDedup: shifted verbatim repeats removed, one copy kept") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta tail one"),
+      // doc 2 repeats doc 1's first 6 tokens SHIFTED by a 2-token prefix
+      // — an alignment C4 fixed spans would miss
+      (2L, "pre fix alpha beta gamma delta epsilon zeta tail two"),
+      (3L, "totally unrelated words that repeat nothing at all"),
+      (4L, null.asInstanceOf[String]),
+      // doc 0 < doc 1: the KEEPER of the shared run is the least (id,pos)
+      (0L, "alpha beta gamma delta epsilon zeta different ending here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringDedup(corpus, "doc_id", "text", minTokens = 6)
+      .select("doc_id", "clean_text", "n_removed")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)),
+          (if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    // doc 0 holds the globally-first occurrence: untouched
+    assert(got(0L) ===
+      ("alpha beta gamma delta epsilon zeta different ending here", 0L))
+    // docs 1 and 2 share the 7-token run "alpha .. zeta tail": doc 1
+    // keeps the windows it anchors (keeper = least (id, pos)), losing
+    // only the 6 tokens doc 0 already owns; doc 2 loses the full run
+    assert(got(1L) === ("tail one", 6L))
+    assert(got(2L) === ("pre fix two", 7L))
+    assert(got(3L) ===
+      ("totally unrelated words that repeat nothing at all", 0L))
+    assert(got(4L) === (null, -1L))
+    // a document repeating a >=N run INTERNALLY keeps only the first copy
+    val internal = Seq(
+      (7L, "x1 x2 x3 x4 x5 x6 mid x1 x2 x3 x4 x5 x6")).toDF("doc_id", "text")
+    val r7 = Dedup.exactSubstringDedup(internal, "doc_id", "text", minTokens = 6)
+      .select("clean_text", "n_removed").collect().head
+    assert(r7.getString(0) === "x1 x2 x3 x4 x5 x6 mid")
+    assert(r7.getLong(1) === 6L)
+  }
+
   test("semanticDecontaminate: near-benchmark drops, orthogonal/NULL survive") {
     val bench = Seq(
       (100L, Array(1.0f, 0.0f, 0.0f)),

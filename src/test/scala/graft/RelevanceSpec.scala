@@ -144,6 +144,33 @@ class RelevanceSpec extends SparkSpec {
     assert(out(0L)._2 > out(1L)._2)
   }
 
+  test("knLmScore matches the hand-evaluated interpolated Kneser-Ney model") {
+    val corpus = Seq(
+      (0L, "a b a b"),
+      (1L, "a c"),
+      (2L, "z"),                       // one token -> no bigram -> absent
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Relevance.knLmScore(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // bigram types: "a b"(n=2) "b a"(n=1) "a c"(n=1); n_types = 3
+    // w1 stats: a -> c=3, succ=2; b -> c=1, succ=1
+    // w2 continuation: a,b,c each complete 1 distinct context
+    val D = 0.75
+    def p(nB: Double, cW1: Double, succ: Double, cont: Double) =
+      (nB - D) / cW1 + (D * succ / cW1) * (cont / 3.0)
+    val d0 = (math.log(p(2, 3, 2, 1)) + math.log(p(1, 1, 1, 1)) +
+      math.log(p(2, 3, 2, 1))) / 3
+    val d1 = math.log(p(1, 3, 2, 1))
+    assert(out(0L)._1 === 3L)
+    assert(math.abs(out(0L)._2 - d0) < 1e-3)
+    assert(out(1L)._1 === 1L)
+    assert(math.abs(out(1L)._2 - d1) < 1e-3)
+    assert(!out.contains(2L) && !out.contains(3L))
+    // the repeated fluent phrase outranks the one-off bigram, as in the
+    // add-alpha model — but through discounted ML + continuation mass
+    assert(out(0L)._2 > out(1L)._2)
+  }
+
   test("balanceShards: heavy-tailed corpus lands within 10% token spread, no global sort") {
     // heavy tail: doc length ~ 10 + (id % 97)^2 / 10 tokens
     val corpus = (0 until 600).map { i =>
