@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
+  /** Inter-stage materialization with selectable durability: the
+    * default localCheckpoint truncates lineage into executor-local
+    * blocks (fine single-run); with `checkpointDir` set the frame goes
+    * to the reliable store instead, so an executor loss mid-pipeline
+    * cannot strand a 100 TB run (advice r11 task 8). Callers set the
+    * session checkpoint dir once up front.
+    */
+  private def pin(df: DataFrame, durable: Boolean): DataFrame =
+    if (durable) df.checkpoint(true) else df.localCheckpoint(true)
+
   /** Survivor set after exact-fingerprint then MinHash-LSH dedup: the rows
     * of `docs` whose id is (a) the lowest id of its exact-content group and
     * (b) its own MinHash cluster representative among exact survivors.
@@ -35,7 +45,9 @@ object CorpusPipeline {
     */
   def dedupCorpus(
       docs: DataFrame, id: String, text: String,
-      bands: Int = 4, rowsPerBand: Int = 8): DataFrame = {
+      bands: Int = 4, rowsPerBand: Int = 8,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(docs.sparkSession.sparkContext.setCheckpointDir)
     val exactKeep = Dedup
       .exactGroups(docs, id, TextAnalysis.fingerprint(col(text)))
       .select(col("keep_id").as(id))
@@ -43,8 +55,8 @@ object CorpusPipeline {
     // final semi-join — without it the fingerprint aggregate runs twice.
     // At a real 100 TB deployment this inter-stage materialization goes to
     // durable storage instead of executor-local blocks.
-    val exactSurvivors = docs.join(exactKeep, Seq(id), "left_semi")
-      .localCheckpoint(true)
+    val exactSurvivors = pin(
+      docs.join(exactKeep, Seq(id), "left_semi"), checkpointDir.isDefined)
     val mh = Dedup.minhashDedup(exactSurvivors, id, text, bands, rowsPerBand)
     val nearKeep = mh.filter(!col("is_dup")).select(col(id))
     // Tokenless documents (NULL text — zero exploded token rows) never
@@ -79,13 +91,15 @@ object CorpusPipeline {
       docs: DataFrame, id: String, text: String,
       lmPercentile: Double = 0.25,
       splits: Seq[(String, Double)] =
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(docs.sparkSession.sparkContext.setCheckpointDir)
     val lm = Relevance.bigramLmScore(docs, id, text)
       .select(col(id), col("lm_score"))
     // localCheckpoint: the scored table feeds BOTH the percentile scalar
     // and the gate filter — without truncation the LM plan (a gram-table
     // shuffle) runs twice
-    val scored = docs.join(lm, Seq(id)).localCheckpoint(true)
+    val scored = pin(docs.join(lm, Seq(id)), checkpointDir.isDefined)
     val gated = CorpusSampling.percentileFilter(
       scored, col("lm_score"), lmPercentile)
     val keep = Dedup
@@ -106,14 +120,16 @@ object CorpusPipeline {
       docs: DataFrame, docId: String, text: String,
       embeddings: DataFrame, vecId: String, vec: String,
       k: Int = 10, nProbes: Int = 3,
-      bits: Int = 4, tables: Int = 2): DataFrame = {
-    val survivors = dedupCorpus(docs, docId, text).select(col(docId).as(vecId))
+      bits: Int = 4, tables: Int = 2,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val survivors = dedupCorpus(docs, docId, text,
+      checkpointDir = checkpointDir).select(col(docId).as(vecId))
     // checkpoint the surviving corpus: lshTopKMulti scans it once per
     // signature table plus once for candidate verification, and the probe
     // selection reads it too — without truncation each consumer would
     // replay the whole dedup lineage
-    val corpus = embeddings.join(survivors, Seq(vecId), "left_semi")
-      .localCheckpoint(true)
+    val corpus = pin(embeddings.join(survivors, Seq(vecId), "left_semi"),
+      checkpointDir.isDefined)
     val probes = corpus.orderBy(col(vecId)).limit(nProbes)
       .select(col(vecId).as("q_id"), col(vec).as("q_emb"))
     Similarity.lshTopKMulti(corpus, vecId, vec, probes, "q_id", "q_emb",

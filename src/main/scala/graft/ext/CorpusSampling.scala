@@ -161,6 +161,26 @@ object CorpusSampling {
         .otherwise(assigned))
   }
 
+  /** Leakage-safe train/val/test split as a LIBRARY composition (the
+    * q_split_cluster_safe path): the split key is the NEAR-DUP CLUSTER
+    * id from [[Dedup.minhashDedupClusters]], not the document id, so a
+    * near-duplicate of a training document can never land in val/test.
+    * `checkpointDir` propagates to the bounded propagation loop — at
+    * 100 TB pass a reliable store path so an executor loss cannot strand
+    * the multi-iteration lineage (advice r11 task 8).
+    */
+  def clusterSafeSplit(
+      docs: DataFrame, id: String, text: String,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      bands: Int = Dedup.MinhashBands,
+      rowsPerBand: Int = Dedup.MinhashRowsPerBand,
+      checkpointDir: Option[String] = None): DataFrame =
+    hashSplit(
+      Dedup.minhashDedupClusters(docs, id, text, bands, rowsPerBand,
+        checkpointDir = checkpointDir),
+      col("cluster_id"), splits)
+
   /** Deterministic stratum upsampling — the "epochs per domain" mixture
     * primitive (e.g. Wikipedia × 3.2, CommonCrawl × 1.0): every document
     * in stratum s is emitted floor(w_s) times, plus one more copy for a

@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
   *
   * Graph conventions (documented, standard simplifications): parallel
   * edges collapse (simple graph), self-loops count like any edge, and a
-  * DANGLING node's mass is dropped rather than redistributed — the
-  * teleport term keeps every rank positive, and at crawl scale the
-  * dangling correction is a constant that rescales ranks without
-  * reordering them.
+  * DANGLING node's mass is by default dropped rather than redistributed
+  * — the teleport term keeps every rank positive, and at crawl scale
+  * the dangling correction is a constant that rescales ranks without
+  * reordering them. Pass `redistributeDangling = true` for the textbook
+  * treatment (dangling mass re-enters through the teleport
+  * distribution each iteration, so Σ ranks ≈ RankScale and magnitudes
+  * compare directly against NetworkX/GraphX).
   *
   * Scale shape: per iteration, ONE src-keyed join of the edge frame
   * against the rank frame (+ the static out-degree frame) and ONE
@@ -58,12 +61,30 @@ object GraphRank {
     * from the graph still receive teleport mass (they are legitimate
     * walk restarts); with personalization, nodes unreachable from the
     * set converge to rank 0.
+    *
+    * `redistributeDangling` adds the standard dangling correction:
+    * each iteration's mass stranded on out-degree-0 nodes is summed
+    * (ONE extra node-frame aggregation, broadcast back as a 1-row
+    * scalar — no driver action) and re-enters uniformly over the
+    * teleport distribution before damping. Rank ORDER on the uniform
+    * walk is unchanged (the correction is the same additive term for
+    * every node per iteration); magnitudes become mass-conserving.
+    *
+    * `checkpointDir` selects DURABLE per-iteration lineage truncation
+    * (the [[Dedup.minhashDedupClusters]] contract): the default
+    * localCheckpoint pins blocks to executor storage, so an executor
+    * loss mid-run makes every later iteration unrecomputable; on a
+    * long-lived cluster pass a reliable store path and each
+    * iteration's node-sized rank frame (a sliver of any real corpus)
+    * is checkpointed there instead.
     */
   def pageRank(
       edges: DataFrame, src: String, dst: String,
       iters: Int = 10, dampingPerMille: Int = 850,
       teleportTo: Option[Seq[String]] = None,
-      checkpoint: Boolean = true): DataFrame = {
+      checkpoint: Boolean = true,
+      redistributeDangling: Boolean = false,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     require(dampingPerMille >= 0 && dampingPerMille <= 1000,
       s"dampingPerMille must be in [0, 1000], got $dampingPerMille")
@@ -102,6 +123,22 @@ object GraphRank {
         (t, when(member,
           lit(halfUpLong(RankScale, ts.distinct.size))).otherwise(lit(0L)))
     }
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    // static dangling set: graph nodes with no outgoing edge (teleport-
+    // only nodes included — their mass strands identically)
+    val dangling =
+      if (redistributeDangling)
+        nodes.join(e.select(col("_src").as("node")).distinct(),
+          Seq("node"), "left_anti").localCheckpoint(true)
+      else null
+    // per-node share of a given stranded mass under the teleport
+    // distribution (uniform, or uniform over the personalized set)
+    val danglingShare: Column => Column = dm => teleportTo match {
+      case None => halfUpCol(dm, lit(nNodes))
+      case Some(ts) =>
+        when(col("node").isin(ts.distinct: _*),
+          halfUpCol(dm, lit(ts.distinct.size.toLong))).otherwise(lit(0L))
+    }
     var ranks = nodes.withColumn("_r", r0)
     for (_ <- 1 to iters) {
       val contribs = e
@@ -110,14 +147,24 @@ object GraphRank {
         .select(col("_dst").as("node"),
           halfUpCol(col("_r"), col("_deg")).as("_c"))
         .groupBy("node").agg(sum("_c").as("_in"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      val base = nodes.join(contribs, Seq("node"), "left")
+      val withIn =
+        if (redistributeDangling) {
+          val dm = ranks.join(dangling, Seq("node"), "left_semi")
+            .agg(coalesce(sum("_r"), lit(0L)).as("_dm"))
+          base.crossJoin(broadcast(dm))
+            .withColumn("_in",
+              coalesce(col("_in"), lit(0L)) + danglingShare(col("_dm")))
+        } else base.withColumn("_in", coalesce(col("_in"), lit(0L)))
+      ranks = withIn
         .select(col("node"),
           (tele + halfUpCol(
-            lit(dampingPerMille.toLong) * coalesce(col("_in"), lit(0L)),
+            lit(dampingPerMille.toLong) * col("_in"),
             lit(1000L))).as("_r"))
       // bounded-lineage discipline: without this, iteration i's plan
       // embeds every prior join/agg and planning goes quadratic
-      if (checkpoint) ranks = ranks.localCheckpoint(true)
+      if (checkpointDir.isDefined) ranks = ranks.checkpoint(true)
+      else if (checkpoint) ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("node"), col("_r").as("rank_q"))
   }

@@ -311,11 +311,7 @@ object ExtensionQueries {
     */
   val qSplitClusterSafe = QueryDef(
     "q_split_cluster_safe",
-    (s, d) => CorpusSampling.hashSplit(
-        Dedup.minhashDedupClusters(docs(s, d), "doc_id", "text",
-          bands = Dedup.MinhashBands, rowsPerBand = Dedup.MinhashRowsPerBand),
-        col("cluster_id"),
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    (s, d) => CorpusSampling.clusterSafeSplit(docs(s, d), "doc_id", "text")
       .select("doc_id", "cluster_id", "split")
       .orderBy("doc_id"),
     Some(clusterSplitOracle(

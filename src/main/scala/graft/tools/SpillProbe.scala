@@ -52,9 +52,15 @@ object SpillProbe {
     val scratch = sys.env.getOrElse("SPARK_GRAFT_SPILL_OUT", "/tmp/spill_probe")
     val only = sys.env.get("SPARK_GRAFT_SPILL_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Shuffle partitions are a SEPARATE knob (SPARK_GRAFT_SHUFFLE): at a
+    // fixed heap, fewer reducers means more state per task — the lever
+    // that forces hash-aggregate fallback and sort spills without
+    // touching the scan layout (so monotonically_increasing_id-derived
+    // results stay comparable across runs).
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -111,7 +117,7 @@ object SpillProbe {
       row
     }
     println(s"""{"metric":"spill_probe","heap_max_bytes":$heapMax,""" +
-      s""""sf_dir":"$sfDir","shuffle_partitions":$cpus,""" +
+      s""""sf_dir":"$sfDir","shuffle_partitions":$shuffle,""" +
       s""""peak_execution_memory_bytes":${peakExec.get()},""" +
       s""""total_spill_disk_bytes":${spillDisk.get()},""" +
       s""""queries":{${results.mkString(",")}}}""")

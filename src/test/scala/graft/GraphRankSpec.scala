@@ -53,6 +53,49 @@ class GraphRankSpec extends SparkSpec {
       s"island must sink to 0, got x=${ranks("x")} y=${ranks("y")}")
   }
 
+  test("dangling redistribution conserves mass and preserves rank order") {
+    // chain a -> b -> c: c is dangling and strands mass by default
+    val edges = Seq("a" -> "b", "b" -> "c").toDF("src", "dst")
+    val drop = GraphRank.pageRank(edges, "src", "dst", iters = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val redist = GraphRank.pageRank(edges, "src", "dst", iters = 20,
+        redistributeDangling = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // drop mode leaks c's mass every round: total well below RankScale
+    assert(drop.values.sum < GraphRank.RankScale * 9 / 10)
+    // textbook mode conserves mass to half-up residue
+    assert(math.abs(redist.values.sum - GraphRank.RankScale) <= 100,
+      s"mass ${redist.values.sum} drifted from ${GraphRank.RankScale}")
+    // rank ORDER agrees between the modes (the documented drop-mode
+    // contract: the dangling correction rescales, it does not reorder)
+    def order(m: Map[String, Long]) =
+      m.toSeq.sortBy { case (n, r) => (-r, n) }.map(_._1)
+    assert(order(drop) == order(redist))
+    // every node strictly gains mass under redistribution
+    assert(Seq("a", "b", "c").forall(n => redist(n) > drop(n)))
+    // personalized variant also conserves mass (teleport set holds it)
+    val ppr = GraphRank.pageRank(edges, "src", "dst", iters = 20,
+        teleportTo = Some(Seq("a")), redistributeDangling = true)
+      .collect().map(r => r.getLong(1))
+    assert(math.abs(ppr.sum - GraphRank.RankScale) <= 100,
+      s"personalized mass ${ppr.sum} drifted")
+  }
+
+  test("durable checkpointDir yields identical ranks and writes the dir") {
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a").toDF("src", "dst")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pr-ckpt").toString
+    val local = GraphRank.pageRank(edges, "src", "dst", iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val durable = GraphRank.pageRank(edges, "src", "dst", iters = 5,
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(local == durable)
+    // the reliable store actually received the iteration frames
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .count() > 0, "checkpoint dir is empty — durable path not taken")
+  }
+
   test("ranks are partitioning-invariant") {
     val edges = (0 until 200)
       .map(i => (s"n${i % 23}", s"n${(i * 31 + 7) % 23}"))
