@@ -126,7 +126,7 @@ object LangId {
     * _lp_{L-1})` — one long column per language, so scoring touches each
     * gram occurrence exactly once.
     */
-  private def modelFrame(spark: SparkSession, m: LangIdModel): DataFrame = {
+  private[graft] def modelFrame(spark: SparkSession, m: LangIdModel): DataFrame = {
     val schema = StructType(StructField("_b", LongType, nullable = false) +:
       m.langs.indices.map(i =>
         StructField(s"_lp_$i", LongType, nullable = false)))
@@ -151,27 +151,48 @@ object LangId {
       model.langs.indices.flatMap(i => Seq(s"_lp_$i", s"_s_$i"))
     require(!reserved.exists(docs.columns.contains),
       s"score reserves columns ${reserved.mkString(", ")}")
-    val grams = docs.where(col(text).isNotNull)
-      .select(col(id), explode(charNgrams(col(text), model.n)).as("_g"))
-      .withColumn("_b",
-        QualityClassifier.bucketOf(col("_g"), model.dims).cast("long"))
+    val grams = bucketedGrams(docs, Seq(id), text, model)
     val sums = grams
       .join(broadcast(modelFrame(spark, model)), Seq("_b"))
       .groupBy(col(id))
-      .agg(sum(col("_lp_0")).as("_s_0"),
-        model.langs.indices.tail.map(i =>
-          sum(col(s"_lp_$i")).as(s"_s_$i")): _*)
-    // integer argmax with ascending-language tiebreak: langs are sorted,
-    // so fold from the LAST language down and let >= prefer earlier ones
-    val scored = model.langs.indices.foldLeft(sums) { (df, i) =>
-      df.withColumn(s"_s_$i", col(s"_s_$i") + lit(model.priorQ(i)))
+      .agg(sumCols(model).head, sumCols(model).tail: _*)
+    val (bl, bs) = argmaxExpr(model)
+    sums.select(col(id), bl, bs)
+  }
+
+  /** The gram → bucket projection shared by batch and streaming: only
+    * `keep` columns ride the explode (the gram payload dominates row
+    * width — never carry the full document row through it).
+    */
+  private[graft] def bucketedGrams(
+      docs: DataFrame, keep: Seq[String], text: String,
+      model: LangIdModel): DataFrame =
+    docs.where(col(text).isNotNull)
+      .select(keep.map(col).toIndexedSeq :+
+        explode(charNgrams(col(text), model.n)).as("_g"): _*)
+      .withColumn("_b",
+        QualityClassifier.bucketOf(col("_g"), model.dims).cast("long"))
+      .drop("_g")
+
+  /** Per-language raw gram-sum aggregate columns (`_s_i`). */
+  private[graft] def sumCols(model: LangIdModel): Seq[Column] =
+    model.langs.indices.map(i => sum(col(s"_lp_$i")).as(s"_s_$i"))
+
+  /** Integer argmax over the prior-adjusted `_s_i` columns with an
+    * ascending-language tiebreak: langs are sorted, the fold walks from
+    * the LAST language down, and `>=` lets earlier languages win ties —
+    * the exact order `row_number() OVER (ORDER BY scoreq DESC, lang)`
+    * yields in the oracle.
+    */
+  private[graft] def argmaxExpr(model: LangIdModel): (Column, Column) = {
+    val scores = model.langs.indices
+      .map(i => col(s"_s_$i") + lit(model.priorQ(i)))
+    val init = (lit(model.langs.last), scores.last)
+    val (bl, bs) = model.langs.indices.reverse.foldLeft(init) {
+      case ((l, s), i) =>
+        (when(scores(i) >= s, lit(model.langs(i))).otherwise(l),
+          when(scores(i) >= s, scores(i)).otherwise(s))
     }
-    val best = model.langs.indices.reverse.foldLeft(
-      (lit(model.langs.last), col(s"_s_${model.langs.length - 1}"))) {
-      case ((bl, bs), i) =>
-        (when(col(s"_s_$i") >= bs, lit(model.langs(i))).otherwise(bl),
-          when(col(s"_s_$i") >= bs, col(s"_s_$i")).otherwise(bs))
-    } match { case (bl, bs) => (bl.as("lang_pred"), bs.as("scoreq")) }
-    scored.select(col(id), best._1, best._2)
+    (bl.as("lang_pred"), bs.as("scoreq"))
   }
 }

@@ -935,6 +935,35 @@ object StreamingPipeline {
       .agg(sum(col("_dq")).as("dsir_scoreq"))
       .select(col(idCol), col("dsir_scoreq"))
 
+  /** Streaming twin of [[graft.ext.LangId.score]]: language-id at the
+    * ingest edge against a FROZEN [[graft.ext.LangId.LangIdModel]]
+    * (trained batch-side — the frozen-artifact contract every trained
+    * operator's twin follows; NB training is a corpus-global statistic
+    * and cannot stream). Char-trigram buckets explode per document,
+    * join the BROADCAST dims-row model grid (stream-static, stateless),
+    * and the per-language scores are one windowed integer-sum
+    * aggregate; the integer argmax select is the SAME expression as
+    * batch, so a document's prediction is BIT-IDENTICAL to the batch
+    * scorer's (exact long sums commute). Documents with no grams emit
+    * no row (the batch no-evidence treatment).
+    */
+  def langIdStream(
+      docs: DataFrame, model: graft.ext.LangId.LangIdModel,
+      idCol: String = "doc_id", textCol: String = "text",
+      tsCol: String = "ingest_ts",
+      windowDur: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
+    val spark = docs.sparkSession
+    val grams = graft.ext.LangId.bucketedGrams(
+      docs.withWatermark(tsCol, watermark), Seq(idCol, tsCol), textCol, model)
+    val sums = grams
+      .join(broadcast(graft.ext.LangId.modelFrame(spark, model)), Seq("_b"))
+      .groupBy(col(idCol), window(col(tsCol), windowDur))
+      .agg(graft.ext.LangId.sumCols(model).head,
+        graft.ext.LangId.sumCols(model).tail: _*)
+    val (lang, score) = graft.ext.LangId.argmaxExpr(model)
+    sums.select(col(idCol), lang, score)
+  }
+
   /** Streaming twin of [[graft.ext.CorpusStats.embeddingDrift]]: each
     * event-time window's mean-pooled centroid scored by cosine against a
     * FROZEN baseline centroid ([[graft.ext.CorpusStats.meanVector]],

@@ -928,6 +928,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lang id stream: frozen-model prediction is bit-identical to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val labeled = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog"),
+      ("en", "a journey of a thousand miles begins with a step"),
+      ("es", "el perro corre por el parque todas las mananas"),
+      ("es", "la vida es un viaje que debemos disfrutar"),
+      ("de", "der hund lauft schnell durch den grossen park"),
+      ("de", "die sonne scheint hell uber das ruhige tal")).toDF("lang", "text")
+    val model = graft.ext.LangId.train(labeled, "lang", "text", dims = 64, n = 3)
+    val arriving = Seq(
+      (1L, "the fox and the dog are friends"),
+      (2L, "el sol brilla sobre las casas"),
+      (3L, "die kinder singen das alte lied"),
+      (4L, "ab"))   // no trigram evidence -> absent in both
+    val batch = graft.ext.LangId.score(
+        arriving.toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingPipeline.langIdStream(
+        input.toDF().toDF("doc_id", "text", "ingest_ts"), model)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("langid_out").start()
+    try {
+      input.addData(arriving.map { case (id, t) =>
+        (id, t, ts("2025-01-01 10:00:00")) }: _*)
+      q.processAllAvailable()
+      input.addData((99L, "the the the", ts("2025-01-02 10:00:00")))
+      q.processAllAvailable(); q.processAllAvailable()
+      val streamed = spark.table("langid_out")
+        .where(col("doc_id") < 99)
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(streamed == batch,
+        s"stream $streamed diverges from batch $batch")
+      assert(!streamed.contains(4L))
+    } finally q.stop()
+  }
+
   test("domain quality gate stream: rollup-informed admission matches batch") {
     implicit val sqlCtx = spark.sqlContext
     // the frozen artifact: a batch domainRollup over the corpus so far
