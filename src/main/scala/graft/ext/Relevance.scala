@@ -236,16 +236,18 @@ object Relevance {
     * DuckDB oracle — and the per-document mean accumulates in document
     * order on both engines before its round(·, 4).
     *
-    * Plan (mirrors [[bigramLmScore]]): the gram table exchanges ONCE on
-    * the gram key — per-occurrence counts ride a whole-partition window
-    * and the TYPE table reuses the same partitioning (groupBy on the
-    * window's own key plans no second exchange). The three model tables
-    * derived from the type table (per-w1 totals + successor types,
-    * per-w2 context types, the 1-row type count) are vocabulary-sized
-    * (Heaps' law) and broadcast back — pass `broadcastVocab = false` at
-    * hash-token vocabulary scales to let AQE decide. Final per-document
-    * mean is one shuffle on the id key. Nothing driver-side, nothing
-    * pairwise.
+    * Plan: the bigram TYPE table aggregates once from the gram explode
+    * and is PINNED (localCheckpoint) — it is the model artifact every
+    * downstream table reads, and without the pin each of the three
+    * model aggregations plus the scoring join would re-evaluate the
+    * full corpus explode (audited: 4 corpus scans / 8 exchanges in the
+    * unpinned draft vs 2 scans / 3 corpus-sized exchanges pinned — the
+    * DSIR bucket-model lesson). The per-w1 and per-w2 tables are
+    * vocabulary-sized (Heaps' law) and broadcast — pass
+    * `broadcastVocab = false` at hash-token vocabulary scales to let
+    * AQE decide; the type count is a 1-row broadcast scalar. Corpus
+    * exchanges: gram-key aggregation, gram-key scoring join, id-key
+    * mean. Nothing driver-side, nothing pairwise.
     */
   def knLmScore(
       df: DataFrame, id: String, text: String, discount: Double = 0.75,
@@ -261,13 +263,13 @@ object Relevance {
         explode(TextAnalysis.wordNgrams(col(text), 2)).as("_gram"))
       .withColumn("_w1", split(col("_gram"), " ").getItem(0))
       .withColumn("_w2", split(col("_gram"), " ").getItem(1))
-    // occurrence count in place: one exchange on the gram key
-    val withBi = grams.withColumn("_n_b",
-      count(lit(1)).over(Window.partitionBy(col("_gram"))))
-    // bigram TYPE table on the same partitioning — no new exchange
-    val biTypes = withBi.groupBy(col("_gram"))
+    // the model artifact: one gram-key aggregation, pinned so its four
+    // consumers (three model tables + the scoring join) never replay
+    // the corpus explode
+    val biTypes = grams.groupBy(col("_gram"))
       .agg(first(col("_w1")).as("_w1"), first(col("_w2")).as("_w2"),
-        first(col("_n_b")).as("_n_b"))
+        count(lit(1)).as("_n_b"))
+      .localCheckpoint(true)
     val w1Stats = biTypes.groupBy(col("_w1"))
       .agg(sum(col("_n_b")).as("_c_w1"), count(lit(1)).as("_n1p_w1"))
     val w2Stats = biTypes.groupBy(col("_w2"))
@@ -277,7 +279,8 @@ object Relevance {
       if (broadcastVocab) (broadcast(w1Stats), broadcast(w2Stats))
       else (w1Stats, w2Stats)
     val d = lit(discount)
-    withBi
+    grams
+      .join(biTypes.select(col("_gram"), col("_n_b")), Seq("_gram"))
       .join(w1H, Seq("_w1"))
       .join(w2H, Seq("_w2"))
       .crossJoin(broadcast(nTypes))

@@ -12,8 +12,11 @@ object ExplainAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    for (q <- Seq("q_dsir_score", "q_dsir_sample", "q_embed_drift",
-        "q_domain_budget_weighted")) {
+    val qs = sys.env.get("SPARK_GRAFT_AUDIT")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq("q_dsir_score", "q_dsir_sample", "q_embed_drift",
+        "q_domain_budget_weighted"))
+    for (q <- qs) {
       val plan = graft.SparkEntry.queries(q)(spark, d)
         .queryExecution.executedPlan.toString
       val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(plan).toSeq
