@@ -48,20 +48,35 @@ object LangId {
   /** Log quantization scale — scores are 10⁻⁶-scaled-log longs. */
   private[graft] val LogScale = 1000000L
 
-  /** Char n-grams of the canonicalized text (lowercase, whitespace
-    * collapsed to single spaces): positions 1..len−n+1, each `n` chars.
-    * Shorter-than-n text (and NULL) yields an empty array. DuckDB
-    * replay: `list_transform(range(1, length(t) - (n-2)),
-    * i -> substr(t, i, n))` over
+  /** Feature canonicalization: lowercase, whitespace collapsed to
+    * single spaces. MUST be materialized in a projection BEFORE
+    * [[charNgramsOf]] — the gram transform is a CodegenFallback
+    * higher-order function, and an inlined regex subtree would
+    * re-execute per ELEMENT (O(len²) regex work per document; measured
+    * 17.8 s → 2.8 s on the sf0.1 corpus — the single-reference-builder
+    * lesson from UrlOps).
+    */
+  private[graft] def canonText(text: Column): Column =
+    regexp_replace(lower(text), "\\s+", " ")
+
+  /** Char n-grams of an ALREADY-CANONICALIZED text column: positions
+    * 1..len−n+1, each `n` chars. Shorter-than-n text (and NULL) yields
+    * an empty array. DuckDB replay: `list_transform(range(1,
+    * length(t) - (n-2)), i -> substr(t, i, n))` over
     * `regexp_replace(lower(text), '\s+', ' ', 'g')`.
     */
-  private[graft] def charNgrams(text: Column, n: Int): Column = {
-    val t = regexp_replace(lower(text), "\\s+", " ")
-    when(text.isNotNull && length(t) >= n,
+  private[graft] def charNgramsOf(t: Column, n: Int): Column =
+    when(t.isNotNull && length(t) >= n,
       transform(sequence(lit(1), length(t) - (n - 1)),
         i => t.substr(i, lit(n))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** [[canonText]] + [[charNgramsOf]] in one expression — fine for
+    * tests and one-off use; hot paths project the canonical text first
+    * (see [[canonText]]).
+    */
+  private[graft] def charNgrams(text: Column, n: Int): Column =
+    charNgramsOf(canonText(text), n)
 
   /** The frozen language-id artifact: per-language priors and the
     * complete per-bucket conditional log-probability grid, all in
@@ -92,10 +107,11 @@ object LangId {
     require(dims >= 2, s"dims must be >= 2, got $dims")
     require(n >= 1, s"n must be >= 1, got $n")
     val base = labeled.where(col(lang).isNotNull && col(text).isNotNull)
-    // per-(lang, bucket) gram counts — map-side combined to <= L*dims
+    // per-(lang, bucket) gram counts — map-side combined to <= L*dims;
+    // canonical text materializes in its own projection (see canonText)
     val counts = base
-      .select(col(lang).as("_lang"),
-        explode(charNgrams(col(text), n)).as("_g"))
+      .select(col(lang).as("_lang"), canonText(col(text)).as("_t"))
+      .select(col("_lang"), explode(charNgramsOf(col("_t"), n)).as("_g"))
       .withColumn("_b", QualityClassifier.bucketOf(col("_g"), dims))
       .groupBy("_lang", "_b").agg(count(lit(1)).as("_c"))
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
@@ -169,7 +185,9 @@ object LangId {
       model: LangIdModel): DataFrame =
     docs.where(col(text).isNotNull)
       .select(keep.map(col).toIndexedSeq :+
-        explode(charNgrams(col(text), model.n)).as("_g"): _*)
+        canonText(col(text)).as("_t"): _*)
+      .select(keep.map(col).toIndexedSeq :+
+        explode(charNgramsOf(col("_t"), model.n)).as("_g"): _*)
       .withColumn("_b",
         QualityClassifier.bucketOf(col("_g"), model.dims).cast("long"))
       .drop("_g")

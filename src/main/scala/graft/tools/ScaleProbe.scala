@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 scale sweep for the operators added this round: min-of-N
+  * solo noop-write seconds for the Kneser–Ney LM, the NB language id,
+  * and exact-substring dedup, runnable against any sf dir (the 50×
+  * ScaleGen corpus is the scale point). exact-substring runs the RAW
+  * operator on the corpus as-is rather than the gate query, whose
+  * planted `doc_id + 10000` shift is only id-collision-free at gate
+  * scale. On the 50× corpus every document has 50 verbatim copies, so
+  * this is the operator's worst realistic shape: ~98% of windows
+  * flagged — the coverage explode is linear in flagged rows (never
+  * pairwise), which is exactly what this probe demonstrates.
+  *
+  * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_RUNS
+  * (default 3). Prints one JSON line.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def docs: DataFrame = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    val ops: Seq[(String, () => DataFrame)] = Seq(
+      "kn_lm" -> (() =>
+        graft.ext.Relevance.knLmScore(docs, "doc_id", "text")),
+      "lang_id_nb" -> (() => {
+        val m = graft.ext.LangId.train(
+          docs.filter(col("doc_id") < 400), "lang", "text", dims = 256, n = 3)
+        graft.ext.LangId.score(
+          docs.filter(col("doc_id") >= 400), "doc_id", "text", m)
+      }),
+      "exact_substring" -> (() =>
+        graft.ext.Dedup.exactSubstringDedup(docs, "doc_id", "text",
+          minTokens = 8)))
+
+    val results = ops.map { case (name, build) =>
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        build().write.format("noop").mode("overwrite").save()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        (System.nanoTime() - t0) / 1e9
+      }
+      System.err.println(s"[scale] $name min=${"%.2f".format(times.min)} " +
+        s"all=${times.map("%.2f".format(_)).mkString(",")}")
+      s""""$name":{"min_sec":${times.min},"runs":[${times.mkString(",")}]}"""
+    }
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"scale_probe_r12","sf_dir":"$sfDir",""" +
+      s""""load_avg_end":$load,"queries":{${results.mkString(",")}}}""")
+    spark.stop()
+  }
+}
