@@ -562,12 +562,28 @@ object Dedup {
       .withColumn("_cnt", count(lit(1)).over(wCnt))
       .withColumn("_keep", row_number().over(wRank))
       .where(col("_cnt") > 1 && col("_keep") > 1)
-    // covered token positions of non-keeper duplicated windows
-    val covered = flagged
-      .select(col(id),
-        explode(sequence(col("_pos"), col("_pos") + (minTokens - 1)))
-          .as("_covered"))
-      .distinct()
+    // Island merge before the coverage expansion: a maximal repeated run
+    // of length L flags L−N+1 CONSECUTIVE window starts, so exploding
+    // each start over its N covered positions would emit ~N× the covered
+    // set and need a distinct to collapse it (at the paper's N = 50,
+    // 50× transient rows). Collapsing flagged starts whose coverages
+    // touch (gap ≤ N — overlapping or adjacent [p, p+N−1] ranges merge
+    // exactly) into island spans first emits each covered position ONCE
+    // — no distinct, linear output. One id-keyed window (the rebuild
+    // regroup reuses the same exchange key downstream).
+    val wDoc = Window.partitionBy(col(id)).orderBy(col("_pos"))
+    val islands = flagged
+      .withColumn("_brk",
+        when(col("_pos") - lag(col("_pos"), 1, -(minTokens.toLong + 1))
+            .over(wDoc) > minTokens, 1L)
+          .otherwise(0L))
+      .withColumn("_isl",
+        sum(col("_brk")).over(wDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(id), col("_isl"))
+      .agg(min(col("_pos")).as("_s"),
+        (max(col("_pos")) + (minTokens - 1)).as("_e"))
+    val covered = islands
+      .select(col(id), explode(sequence(col("_s"), col("_e"))).as("_covered"))
     val rebuilt = toks
       .join(covered,
         toks(id) === covered(id) && col("_pos") === col("_covered"),
