@@ -161,6 +161,53 @@ object CorpusSampling {
         .otherwise(assigned))
   }
 
+  /** Deterministic global shuffle — the training-data-order
+    * randomization every pretraining run needs (document order is a
+    * hyperparameter; it must be REPRODUCIBLE and seed-switchable).
+    * Each row's `shuffle_rank` is the global rank of its salted md5
+    * (full 32-hex digest — effectively collision-free ordering, ties
+    * broken by key), so the permutation is a pure function of
+    * (key, seed): stable across reruns, partitionings, and engines,
+    * and a different `seed` gives an independent permutation (the
+    * [[md5Prefix]] salt-independence argument). NULL keys fail fast —
+    * a row with no identity has no stable place in the permutation.
+    *
+    * Plan (the q_rfm two-phase global-rank discipline — an
+    * unpartitioned rank window would single-task the corpus): range-
+    * repartition on (digest, key) into disjoint ordered ranges, pin the
+    * partitioning (repartitionByRange's reservoir sample is
+    * nondeterministic across double evaluation — the r10/r11 lesson),
+    * count each range, broadcast the cumulative offsets back, and add a
+    * parallel per-partition row_number. Two shuffles of slim rows, no
+    * single-reducer funnel.
+    */
+  def deterministicShuffle(
+      df: DataFrame, key: Column, seed: String = "graft:shuffle"): DataFrame = {
+    require(!df.columns.contains("shuffle_rank"),
+      "input must not already contain reserved column shuffle_rank")
+    val guarded = df.withColumn("_sdig",
+      when(key.isNull, raise_error(lit(
+        "graft.deterministicShuffle: NULL shuffle key — filter or repair ids upstream"))
+        .cast("string"))
+        .otherwise(md5(concat(key.cast("string"), lit(seed)))))
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val parted = guarded
+      .repartitionByRange(parts, col("_sdig"), key)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("_pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy("_pid").agg(count(lit(1)).as("_pn"))
+      .withColumn("_poff", coalesce(sum(col("_pn")).over(wOff), lit(0L)))
+      .select("_pid", "_poff")
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(col("_sdig"), key)
+    parted.join(broadcast(offsets), Seq("_pid"))
+      .withColumn("shuffle_rank", col("_poff") + row_number().over(wLocal))
+      .drop("_pid", "_poff", "_sdig")
+  }
+
   /** Leakage-safe train/val/test split as a LIBRARY composition (the
     * q_split_cluster_safe path): the split key is the NEAR-DUP CLUSTER
     * id from [[Dedup.minhashDedupClusters]], not the document id, so a

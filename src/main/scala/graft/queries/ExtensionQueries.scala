@@ -3539,6 +3539,22 @@ object ExtensionQueries {
             SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS lm_score
             FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Deterministic corpus shuffle ([[CorpusSampling.deterministicShuffle]]):
+    * the reproducible training-data-order permutation — global rank of
+    * the salted md5 digest via the two-phase range-rank (no
+    * single-partition window). The oracle replays digest and rank
+    * directly.
+    */
+  val qShuffleDeterministic = QueryDef(
+    "q_shuffle_deterministic",
+    (s, d) => CorpusSampling.deterministicShuffle(
+        docs(s, d).select("doc_id"), col("doc_id"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id, row_number() OVER (
+              ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft:shuffle'),
+                       doc_id) AS shuffle_rank
+            FROM documents ORDER BY doc_id"""))
+
   /** Interpolated Kneser–Ney bigram LM score ([[Relevance.knLmScore]],
     * D = 0.75): the discounted-ML + continuation-probability smoothing
     * real n-gram LMs ship with, replacing add-alpha's uniform-prior
@@ -3985,7 +4001,7 @@ object ExtensionQueries {
     qDecontaminateSemantic,
     qDocFrequency, qTfidfTopTerms, qBm25, qBm25TopK,
     qSampleTemperature, qHardNegatives, qEmbedQuantize, qAnnSq8, qLmScore,
-    qLmScoreKn,
+    qLmScoreKn, qShuffleDeterministic,
     qCorpusCurate, qContaminationReport, qDupHistogram, qTextNfc,
     qQualityClassifier, qQualityTopP, qTokenDrift, qBalanceShards)
 }

@@ -1015,6 +1015,28 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("deterministicShuffle: bijective rank, partition-invariant, seed-switchable") {
+    val df = spark.range(2000).toDF("id")
+    val s1 = graft.ext.CorpusSampling.deterministicShuffle(df, col("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a permutation: ranks are exactly 1..n
+    assert(s1.values.toSeq.sorted === (1L to 2000L))
+    // pure function of (key, seed): same permutation on a reshaped frame
+    val s2 = graft.ext.CorpusSampling
+      .deterministicShuffle(df.repartition(7), col("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s2 === s1)
+    // a different seed is an (effectively) independent permutation
+    val s3 = graft.ext.CorpusSampling
+      .deterministicShuffle(df, col("id"), seed = "graft:shuffle:epoch2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s3.values.toSeq.sorted === (1L to 2000L))
+    assert(s3.count { case (k, v) => s1(k) == v } < 50,
+      "epoch-2 permutation should share almost no fixed points with epoch 1")
+    // and it is genuinely shuffled, not an identity/near-identity order
+    assert(s1.count { case (k, v) => k + 1 == v } < 50)
+  }
+
   test("upsampleByStratum: copy counts follow the weights, copy_idx dense") {
     val df = spark.range(999).toDF("doc_id")
       .withColumn("lang",
