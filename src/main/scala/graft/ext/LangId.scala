@@ -153,9 +153,14 @@ object LangId {
       spark.sparkContext.parallelize(rows, 1), schema)
   }
 
-  /** Score documents against a frozen model: `(id, lang_pred, scoreq)`
-    * with `scoreq` the winning language's full quantized NB score
-    * (prior + gram sum). Documents with no grams (NULL or
+  /** Score documents against a frozen model:
+    * `(id, lang_pred, scoreq, marginq)` — `scoreq` the winning
+    * language's full quantized NB score (prior + gram sum), `marginq`
+    * the integer gap to the runner-up language (0 on an exact tie; 0
+    * by definition for a single-language model). The margin is the
+    * CONFIDENCE signal real langid stacks threshold on: route
+    * `marginq < threshold` documents to `und`/human review instead of
+    * trusting a coin-flip argmax. Documents with no grams (NULL or
     * shorter-than-n text) are absent — no likelihood evidence, the
     * [[ImportanceResampling]] contract.
     */
@@ -163,7 +168,7 @@ object LangId {
       docs: DataFrame, id: String, text: String,
       model: LangIdModel): DataFrame = {
     val spark = docs.sparkSession
-    val reserved = Seq("_g", "_b", "lang_pred", "scoreq") ++
+    val reserved = Seq("_g", "_b", "lang_pred", "scoreq", "marginq") ++
       model.langs.indices.flatMap(i => Seq(s"_lp_$i", s"_s_$i"))
     require(!reserved.exists(docs.columns.contains),
       s"score reserves columns ${reserved.mkString(", ")}")
@@ -172,8 +177,8 @@ object LangId {
       .join(broadcast(modelFrame(spark, model)), Seq("_b"))
       .groupBy(col(id))
       .agg(sumCols(model).head, sumCols(model).tail: _*)
-    val (bl, bs) = argmaxExpr(model)
-    sums.select(col(id), bl, bs)
+    val (bl, bs, bm) = argmaxExpr(model)
+    sums.select(col(id), bl, bs, bm)
   }
 
   /** The gram → bucket projection shared by batch and streaming: only
@@ -200,9 +205,13 @@ object LangId {
     * ascending-language tiebreak: langs are sorted, the fold walks from
     * the LAST language down, and `>=` lets earlier languages win ties —
     * the exact order `row_number() OVER (ORDER BY scoreq DESC, lang)`
-    * yields in the oracle.
+    * yields in the oracle. The margin is best − runner-up (excluded by
+    * LANGUAGE identity, so an exact tie yields margin 0 — identical to
+    * the oracle's rn=1 − rn=2 gap); a 1-language model has no
+    * runner-up and margins 0.
     */
-  private[graft] def argmaxExpr(model: LangIdModel): (Column, Column) = {
+  private[graft] def argmaxExpr(
+      model: LangIdModel): (Column, Column, Column) = {
     val scores = model.langs.indices
       .map(i => col(s"_s_$i") + lit(model.priorQ(i)))
     val init = (lit(model.langs.last), scores.last)
@@ -211,6 +220,14 @@ object LangId {
         (when(scores(i) >= s, lit(model.langs(i))).otherwise(l),
           when(scores(i) >= s, scores(i)).otherwise(s))
     }
-    (bl.as("lang_pred"), bs.as("scoreq"))
+    val bm =
+      if (model.langs.length < 2) lit(0L)
+      else {
+        val masked = model.langs.indices.map(i =>
+          when(lit(model.langs(i)) === bl, lit(Long.MinValue))
+            .otherwise(scores(i)))
+        bs - greatest(masked: _*)
+      }
+    (bl.as("lang_pred"), bs.as("scoreq"), bm.as("marginq"))
   }
 }

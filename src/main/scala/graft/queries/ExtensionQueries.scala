@@ -1930,9 +1930,13 @@ object ExtensionQueries {
             scored AS (SELECT ssum.doc_id, ssum.lang,
                          ssum.sq + p.pq AS scoreq
                        FROM ssum JOIN prior p USING (lang))
-            SELECT doc_id, lang AS lang_pred, scoreq
-            FROM (SELECT *, row_number() OVER (
-                    PARTITION BY doc_id ORDER BY scoreq DESC, lang) AS rn
+            SELECT doc_id, lang AS lang_pred, scoreq, marginq
+            FROM (SELECT *,
+                    scoreq - coalesce(lead(scoreq) OVER (
+                      PARTITION BY doc_id ORDER BY scoreq DESC, lang),
+                      scoreq) AS marginq,
+                    row_number() OVER (
+                      PARTITION BY doc_id ORDER BY scoreq DESC, lang) AS rn
                   FROM scored)
             WHERE rn = 1 ORDER BY doc_id"""))
 

@@ -960,8 +960,8 @@ object StreamingPipeline {
       .groupBy(col(idCol), window(col(tsCol), windowDur))
       .agg(graft.ext.LangId.sumCols(model).head,
         graft.ext.LangId.sumCols(model).tail: _*)
-    val (lang, score) = graft.ext.LangId.argmaxExpr(model)
-    sums.select(col(idCol), lang, score)
+    val (lang, score, margin) = graft.ext.LangId.argmaxExpr(model)
+    sums.select(col(idCol), lang, score, margin)
   }
 
   /** Streaming twin of [[graft.ext.CorpusStats.embeddingDrift]]: each

@@ -56,8 +56,11 @@ class LangIdSpec extends SparkSpec {
     val model = LangId.train(labeled, "lang", "text", dims = 256, n = 3)
     assert(model.langs.toSeq == Seq("de", "en", "es", "fr"))
     val test = heldOut.toDF("doc_id", "truth", "text")
-    val nb = LangId.score(test, "doc_id", "text", model)
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scored = LangId.score(test, "doc_id", "text", model).collect()
+    val nb = scored.map(r => r.getLong(0) -> r.getString(1)).toMap
+    // confidence margins are positive for clear single-language text
+    assert(scored.forall(_.getLong(3) > 0L),
+      s"margins: ${scored.map(r => (r.getLong(0), r.getLong(3))).toSeq}")
     val nbAcc = heldOut.count { case (id, truth, _) => nb(id) == truth }
     val heur = test
       .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("g"))

@@ -945,7 +945,9 @@ class StreamingSpec extends SparkSpec {
       (4L, "ab"))   // no trigram evidence -> absent in both
     val batch = graft.ext.LangId.score(
         arriving.toDF("doc_id", "text"), "doc_id", "text", model)
-      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
     val input = MemoryStream[(Long, String, Timestamp)]
     val q = StreamingPipeline.langIdStream(
         input.toDF().toDF("doc_id", "text", "ingest_ts"), model)
@@ -959,7 +961,9 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable(); q.processAllAvailable()
       val streamed = spark.table("langid_out")
         .where(col("doc_id") < 99)
-        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+        .collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+        .toMap
       assert(streamed == batch,
         s"stream $streamed diverges from batch $batch")
       assert(!streamed.contains(4L))
