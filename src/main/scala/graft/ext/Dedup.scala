@@ -202,6 +202,71 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** (id, bucket) band-bucket rows — the exploded LSH view every
+    * consumer shares. One signature aggregation + one narrow explode.
+    */
+  private def bandedBuckets(
+      df: DataFrame, id: String, text: String,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    minhashSignatures(df, id, text, bands * rowsPerBand)
+      .select(col(id),
+        explode(array(bandBucketCols(bands, rowsPerBand): _*)).as("bucket"))
+
+  /** The persisted corpus-side LSH artifact for incremental near-dup
+    * admission: one `(bucket, rep_id)` row per occupied band bucket,
+    * `rep_id` the smallest corpus id in the bucket. At a real
+    * deployment this table is WRITTEN once (bucketed on `bucket`) and
+    * only appended as batches are admitted — the corpus itself is never
+    * re-hashed per ingest cycle.
+    */
+  def minhashBucketIndex(
+      corpus: DataFrame, id: String, text: String,
+      bands: Int = MinhashBands, rowsPerBand: Int = MinhashRowsPerBand): DataFrame =
+    bandedBuckets(corpus, id, text, bands, rowsPerBand)
+      .groupBy("bucket").agg(min(col(id)).as("rep_id"))
+
+  /** Incremental NEAR-DUP admission — the LSH companion to
+    * [[incrementalDedup]]'s exact-fingerprint anti-join, the shape of a
+    * recurring crawl cycle: screen each new-batch document against the
+    * ACCEPTED corpus' bucket index, then against its own batch peers,
+    * without ever re-hashing the corpus. Output: the batch rows plus
+    * `rep_id` / `is_dup` — `rep_id` is the smallest corpus id sharing
+    * any LSH bucket (corpus is authoritative: an admitted document
+    * always wins over a batch peer), else the smallest batch id over
+    * shared buckets, else the document itself (admitted). Documents
+    * with no tokens produce no buckets and pass through admitted —
+    * near-dup screening has no evidence about them (the
+    * [[minhashDedup]] omission contract, made explicit here).
+    *
+    * Plan shape: one signature aggregation over the BATCH only, one
+    * bucket-keyed join against the (pre-bucketed) index, one
+    * bucket-keyed self-aggregation of the batch, two id-keyed left
+    * joins back. Nothing touches the corpus; nothing is pairwise.
+    */
+  def incrementalMinhash(
+      batch: DataFrame, bucketIndex: DataFrame, id: String, text: String,
+      bands: Int = MinhashBands, rowsPerBand: Int = MinhashRowsPerBand): DataFrame = {
+    val reserved = Seq("bucket", "rep_id", "is_dup", "_crep", "_brep")
+    reserved.foreach(c => require(!batch.columns.contains(c),
+      s"input must not already contain reserved column $c"))
+    val bBand = bandedBuckets(batch, id, text, bands, rowsPerBand)
+      .localCheckpoint(true) // consumed by both the index join and the
+                             // peer aggregation; one hash pass, not two
+    val vsCorpus = bBand
+      .join(bucketIndex.withColumnRenamed("rep_id", "_crep"), Seq("bucket"))
+      .groupBy(id).agg(min(col("_crep")).as("_crep"))
+    val peerReps = bBand.groupBy("bucket").agg(min(col(id)).as("_brep"))
+    val vsBatch = bBand.join(peerReps, Seq("bucket"))
+      .groupBy(id).agg(min(col("_brep")).as("_brep"))
+    batch
+      .join(vsCorpus, Seq(id), "left")
+      .join(vsBatch, Seq(id), "left")
+      .withColumn("rep_id",
+        coalesce(col("_crep"), col("_brep"), col(id)))
+      .withColumn("is_dup", col("rep_id") =!= col(id))
+      .drop("_crep", "_brep")
+  }
+
   /** MinHash-LSH deduplication as a KEEP/DROP assignment rather than a
     * pair list: each document is assigned the smallest doc id found in any
     * of its LSH buckets (one-step label propagation toward the cluster

@@ -327,6 +327,44 @@ object ExtensionQueries {
       bands = Dedup.MinhashBands, rowsPerBand = Dedup.MinhashRowsPerBand,
       maxIter = 10)))
 
+  /** Incremental NEAR-DUP admission ([[Dedup.incrementalMinhash]]): the
+    * new batch (doc_id >= 250) screens against the accepted corpus'
+    * (doc_id < 250) persisted LSH bucket index, then against its own
+    * peers — the recurring-crawl near-dup shape where the corpus is
+    * never re-hashed. The md5-affine signature machinery replays, so
+    * the whole admission is hash-matched: the oracle computes every
+    * document's band buckets once and partitions them into corpus/batch
+    * sides.
+    */
+  val qDedupIncMinhash = QueryDef(
+    "q_dedup_inc_minhash",
+    (s, d) => {
+      val all = docs(s, d)
+      val corpus = all.filter(col("doc_id") < 250)
+      val batch = all.filter(col("doc_id") >= 250)
+      Dedup.incrementalMinhash(
+          batch, Dedup.minhashBucketIndex(corpus, "doc_id", "text"),
+          "doc_id", "text")
+        .select("doc_id", "rep_id", "is_dup")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${minhashCtes(Dedup.MinhashBands, Dedup.MinhashRowsPerBand)},
+            cb AS (SELECT * FROM banded WHERE doc_id < 250),
+            bb AS MATERIALIZED (SELECT * FROM banded WHERE doc_id >= 250),
+            idx AS (SELECT bucket, min(doc_id) AS crep FROM cb GROUP BY 1),
+            vc AS (SELECT b.doc_id, min(i.crep) AS crep
+                   FROM bb b JOIN idx i USING (bucket) GROUP BY 1),
+            breps AS (SELECT bucket, min(doc_id) AS brep FROM bb GROUP BY 1),
+            vb AS (SELECT b.doc_id, min(r.brep) AS brep
+                   FROM bb b JOIN breps r USING (bucket) GROUP BY 1)
+            SELECT d.doc_id,
+              coalesce(vc.crep, vb.brep, d.doc_id) AS rep_id,
+              (coalesce(vc.crep, vb.brep, d.doc_id) != d.doc_id) AS is_dup
+            FROM (SELECT doc_id FROM documents WHERE doc_id >= 250) d
+            LEFT JOIN vc USING (doc_id)
+            LEFT JOIN vb USING (doc_id)
+            ORDER BY d.doc_id"""))
+
   /** Incremental ingest dedup ([[Dedup.incrementalDedup]]): the new batch
     * (doc_id >= 250) anti-joins the accepted corpus (doc_id < 250) on the
     * content fingerprint, then dedups within itself — the recurring-crawl
@@ -3984,6 +4022,7 @@ object ExtensionQueries {
     qDedupExact, qDedupExactHash, qNgramJaccard, qFuzzyPairs, qDedupMinhash,
     qDedupClusters,
     qDedupSimhash, qDedupEmbed, qDedupSemdedup, qDedupIncremental,
+    qDedupIncMinhash,
     qDecontaminate,
     qEmbedCosineTopk, qEmbedMeanpool, qAnnLsh, qAnnIvf, qAnnIvfLowid,
     qAnnPq, qAnnPqInit, qAnnIvfPq, qAnnIvfPqInit,

@@ -933,6 +933,29 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("incrementalMinhash: corpus collisions win, batch peers second, clean admitted") {
+    // corpus doc 1 and batch doc 10 share text verbatim; batch docs 11/12
+    // are near-identical to each other but unlike the corpus; 13 is clean
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "red orange yellow green blue indigo violet extra"),
+      (12L, "red orange yellow green blue indigo violet extra"),
+      (13L, "completely different content with no relatives"),
+      (14L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val idx = Dedup.minhashBucketIndex(corpus, "doc_id", "text")
+    val got = Dedup.incrementalMinhash(batch, idx, "doc_id", "text")
+      .select("doc_id", "rep_id", "is_dup")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(10L) === (1L, true))   // verbatim corpus dup: corpus rep wins
+    assert(got(11L) === (11L, false)) // smallest of its batch peer class
+    assert(got(12L) === (11L, true))  // near-dup of batch peer 11
+    assert(got(13L) === (13L, false)) // clean: admitted as itself
+    assert(got(14L) === (14L, false)) // tokenless: no evidence, admitted
+  }
+
   test("exactSubstringDedup: shifted verbatim repeats removed, one copy kept") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta tail one"),
