@@ -212,6 +212,45 @@ object Dedup {
       .select(col(id),
         explode(array(bandBucketCols(bands, rowsPerBand): _*)).as("bucket"))
 
+  /** Per-ROW band buckets — the STREAMING-SAFE signature form: the
+    * batch path computes signatures as a per-doc aggregation
+    * ([[minhashSignatures]]), but chaining that aggregation under a
+    * windowed stream aggregate leaves append mode's supported-plan set,
+    * so the edge-filter twin needs the whole signature as row-local
+    * array expressions. Same token hash, same affine permutations, same
+    * band md5 — bit-identical buckets to the aggregate form (asserted
+    * in ExtSpec). Cost shape: the distinct-token hash array
+    * materializes ONCE per row (`_hs` projection — k lambdas then read
+    * the bound attribute; inlining the subtree would re-hash every
+    * token k times, the single-reference lesson), then k interpreted
+    * array_min transforms — fine for an ingest-edge filter, not for
+    * corpus-wide batch work (use [[minhashSignatures]] there).
+    * Appends `as` (array of `bands` bucket longs); tokenless docs get
+    * an empty array.
+    */
+  private[graft] def withRowBandBuckets(
+      df: DataFrame, text: String, as: String,
+      bands: Int = MinhashBands, rowsPerBand: Int = MinhashRowsPerBand): DataFrame = {
+    val k = bands * rowsPerBand
+    // NO empty-token filter: the aggregate form hashes "" too (an
+    // empty document's single token), so all-empty docs cluster
+    // together in BOTH forms — parity over cosmetics
+    val hs = transform(
+      array_distinct(TextAnalysis.tokens(col(text))),
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+        .bitwiseAND(lit(0x7FFFFFFFL)))
+    val staged = df.withColumn("_hs", hs)
+    val withMins = (0 until k).foldLeft(staged) { (d, i) =>
+      d.withColumn(s"mh$i", array_min(transform(col("_hs"), h => permuted(h, i))))
+    }
+    withMins
+      .withColumn(as,
+        when(size(col("_hs")) > 0,
+          array(bandBucketCols(bands, rowsPerBand): _*))
+          .otherwise(array().cast("array<long>")))
+      .drop("_hs" +: (0 until k).map(i => s"mh$i"): _*)
+  }
+
   /** The persisted corpus-side LSH artifact for incremental near-dup
     * admission: one `(bucket, rep_id)` row per occupied band bucket,
     * `rep_id` the smallest corpus id in the bucket. At a real

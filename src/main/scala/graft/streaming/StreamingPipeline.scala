@@ -935,6 +935,40 @@ object StreamingPipeline {
       .agg(sum(col("_dq")).as("dsir_scoreq"))
       .select(col(idCol), col("dsir_scoreq"))
 
+  /** Streaming edge filter against a FROZEN corpus LSH index
+    * ([[graft.ext.Dedup.minhashBucketIndex]], built batch-side): an
+    * arriving document that shares any MinHash band bucket with the
+    * accepted corpus is flagged with its corpus representative — the
+    * "known near-dup, drop before paying storage" gate of
+    * [[graft.ext.Dedup.incrementalMinhash]]'s corpus-collision
+    * component. Batch-peer screening (first-arrival-wins within the
+    * stream) is batch's job at admission time — two chained stateful
+    * aggregations would leave append mode's plan set (documented
+    * divergence, same class as the budget twins).
+    *
+    * Plan: per-row band buckets (the streaming-safe signature form,
+    * bit-identical to batch — see [[graft.ext.Dedup.withRowBandBuckets]]),
+    * explode over `bands` buckets, INNER join the broadcast index
+    * (stream-static, stateless — clean documents simply emit nothing),
+    * one windowed min aggregate. State: one row per COLLIDING document
+    * per open window, watermark-bounded.
+    */
+  def corpusDupStream(
+      docs: DataFrame, bucketIndex: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      tsCol: String = "ingest_ts",
+      windowDur: String = "1 hour", watermark: String = "1 hour"): DataFrame =
+    graft.ext.Dedup.withRowBandBuckets(
+        docs.withWatermark(tsCol, watermark)
+          .where(col(textCol).isNotNull)
+          .select(col(idCol), col(tsCol), col(textCol)),
+        textCol, "_buckets")
+      .select(col(idCol), col(tsCol), explode(col("_buckets")).as("bucket"))
+      .join(broadcast(bucketIndex), "bucket")
+      .groupBy(col(idCol), window(col(tsCol), windowDur))
+      .agg(min(col("rep_id")).as("rep_id"))
+      .select(col(idCol), col("rep_id"))
+
   /** Streaming twin of [[graft.ext.LangId.score]]: language-id at the
     * ingest edge against a FROZEN [[graft.ext.LangId.LangIdModel]]
     * (trained batch-side — the frozen-artifact contract every trained

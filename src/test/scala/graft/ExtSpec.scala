@@ -956,6 +956,28 @@ class ExtSpec extends SparkSpec {
     assert(got(14L) === (14L, false)) // tokenless: no evidence, admitted
   }
 
+  test("row-form band buckets are bit-identical to the aggregate signature form") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "alpha beta gamma delta epsilon zeta"),  // dup of 1: same buckets
+      (4L, ""),                                     // empty: the "" token, like batch
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val agg = Dedup.minhashBucketIndex(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val row = Dedup.withRowBandBuckets(
+        docs.where(col("text").isNotNull), "text", "bk")
+      .select(col("doc_id"), explode(col("bk")).as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every row-form bucket exists in the aggregate index and vice versa
+    assert(row.map(_._2).toSet === agg.keySet)
+    // dup docs land in identical buckets under both forms
+    val byDoc = row.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byDoc(1L) === byDoc(3L))
+    assert(byDoc(4L).size === graft.ext.Dedup.MinhashBands) // "" token, like batch
+    assert(!byDoc.contains(5L)) // NULL text filtered upstream
+  }
+
   test("exactSubstringDedup: shifted verbatim repeats removed, one copy kept") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta tail one"),

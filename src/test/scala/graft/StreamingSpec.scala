@@ -928,6 +928,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpus dup stream: frozen-index edge filter matches batch corpus collisions") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val idx = graft.ext.Dedup.minhashBucketIndex(corpus, "doc_id", "text")
+      .localCheckpoint(true)
+    val arriving = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // corpus dup
+      (11L, "red orange yellow green blue indigo violet"),    // clean
+      (12L, "one two three four five six seven eight"))       // corpus dup
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingPipeline.corpusDupStream(
+        input.toDF().toDF("doc_id", "text", "ingest_ts"), idx)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cdup_out").start()
+    try {
+      input.addData(arriving.map { case (id, t) =>
+        (id, t, ts("2025-01-01 10:00:00")) }: _*)
+      q.processAllAvailable()
+      input.addData((99L, "zzz yyy", ts("2025-01-02 10:00:00")))
+      q.processAllAvailable(); q.processAllAvailable()
+      val streamed = spark.table("cdup_out")
+        .where(col("doc_id") < 99)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // exactly the corpus collisions, each with its corpus rep — the
+      // batch incrementalMinhash corpus-component on the same data
+      assert(streamed === Map(10L -> 1L, 12L -> 2L), s"got $streamed")
+    } finally q.stop()
+  }
+
   test("lang id stream: frozen-model prediction is bit-identical to batch") {
     implicit val sqlCtx = spark.sqlContext
     val labeled = Seq(
