@@ -306,6 +306,64 @@ object TextAnalysis {
       inline(when(col(text).isNotNull, chunks).otherwise(lit(null))))
   }
 
+  /** CONTENT-DEFINED chunking (the CDC/Rabin idea at token granularity,
+    * as used by storage dedup — LBFS, restic, borg — and by training-
+    * corpus incremental pipelines): a chunk boundary falls AFTER every
+    * token whose content hash is ≡ 0 mod `targetTokens`, so expected
+    * chunk length is `targetTokens` and — the property fixed windows
+    * ([[chunkByTokens]]) fundamentally lack — boundaries depend only on
+    * LOCAL content: inserting or deleting a prefix re-chunks only the
+    * chunks it touches, and every later chunk keeps its exact
+    * fingerprint (spec-asserted). That makes cross-snapshot chunk-level
+    * dedup of a drifting corpus an exact fingerprint join instead of a
+    * full re-alignment.
+    *
+    * Pure content rule, no min/max clamps — clamps reintroduce the
+    * position dependence CDC exists to remove (documented trade-off:
+    * pathological token streams can produce very short/long chunks).
+    *
+    * Output: (id, chunk_id, chunk_text, chunk_tokens, chunk_fp) with
+    * `chunk_fp` = md5(chunk_text) — the join key for chunk-level dedup.
+    * Every hash is the engine-portable md5-31-bit idiom, so the whole
+    * chunking replays in the DuckDB oracle.
+    *
+    * Plan: one token posexplode, one per-doc cumulative-sum window
+    * (id-keyed exchange), one (id, chunk) regroup on the same key —
+    * nothing pairwise, no driver state.
+    */
+  def cdcChunks(
+      df: DataFrame, id: String, text: String,
+      targetTokens: Int = 64): DataFrame = {
+    require(targetTokens >= 2,
+      s"targetTokens must be >= 2, got $targetTokens")
+    val reserved = Seq("_pos", "_tok", "_brk", "chunk_id", "chunk_text",
+      "chunk_tokens", "chunk_fp")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"input must not already contain reserved column $c"))
+    val toks = df.where(col(text).isNotNull)
+      .select(col(id),
+        posexplode(tokens(col(text))).as(Seq("_pos", "_tok")))
+      .where(col("_tok") =!= "")
+    val h = conv(substring(md5(col("_tok")), 1, 8), 16, 10).cast("long")
+      .bitwiseAND(lit(0x7FFFFFFFL))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("_pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    toks
+      .withColumn("_brk",
+        when(h % lit(targetTokens.toLong) === 0, 1L).otherwise(0L))
+      // chunk id = boundaries STRICTLY BEFORE this token (boundary token
+      // closes its own chunk)
+      .withColumn("chunk_id", coalesce(sum(col("_brk")).over(w), lit(0L)))
+      .groupBy(col(id), col("chunk_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+          s => s("_tok")), " ").as("chunk_text"),
+        count(lit(1)).as("chunk_tokens"))
+      .withColumn("chunk_fp", md5(col("chunk_text")))
+  }
+
   /** Content fingerprint: md5 of the case/whitespace-normalized text.
     * Stable across engines (md5 is bit-exact everywhere), usable as an
     * exact-dedup key at any scale.

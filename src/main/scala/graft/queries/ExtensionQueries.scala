@@ -1801,6 +1801,44 @@ object ExtensionQueries {
             FROM t, unnest(range(t.nch)) AS u(ci)
             ORDER BY doc_id, chunk_id"""))
 
+  /** Content-defined chunking ([[TextAnalysis.cdcChunks]], target 64
+    * tokens): boundaries fall where the token's md5-31-bit hash is
+    * ≡ 0 mod target, so chunk identity survives upstream edits — the
+    * chunk-level-dedup complement to the fixed 64/48 windows above.
+    * Boundary rule, cumulative chunk ids, ordered reassembly, and the
+    * per-chunk fingerprint all replay in SQL.
+    */
+  val qCdcChunks = QueryDef(
+    "q_cdc_chunks",
+    (s, d) => TextAnalysis.cdcChunks(docs(s, d), "doc_id", "text",
+        targetTokens = 64)
+      .orderBy("doc_id", "chunk_id"),
+    Some("""WITH toks AS (
+              SELECT doc_id, CAST(u.i AS BIGINT) AS pos, t[u.i + 1] AS tok
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(text), '\s+') AS t
+                    FROM documents WHERE text IS NOT NULL) s,
+                   unnest(range(len(t))) AS u(i)
+              WHERE t[u.i + 1] <> ''),
+            flagged AS (
+              SELECT doc_id, pos, tok,
+                CASE WHEN (CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                           & 2147483647) % 64 = 0
+                  THEN 1 ELSE 0 END AS brk
+              FROM toks),
+            cids AS (
+              SELECT doc_id, pos, tok,
+                CAST(coalesce(sum(brk) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS chunk_id
+              FROM flagged)
+            SELECT doc_id, chunk_id,
+              string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+              count(*) AS chunk_tokens,
+              md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+            FROM cids GROUP BY 1, 2 ORDER BY doc_id, chunk_id"""))
+
   /** Deterministic stratified sampling ([[CorpusSampling.stratifiedQuota]]):
     * at most N docs per language, chosen by the engine-portable
     * (md5(text), id) pseudo-random order — DuckDB replays the exact sample,
@@ -4035,7 +4073,7 @@ object ExtensionQueries {
     qHeavyHitters, qCorpusPipeline,
     qJsonlRoundtrip, qOrcRoundtrip, qSampleStratified, qSampleTokenBudget,
     qSampleMixture,
-    qPackSequences, qPackMaterialize, qDocChunks, qWinnowPairs,
+    qPackSequences, qPackMaterialize, qDocChunks, qCdcChunks, qWinnowPairs,
     qPiiRedact, qDedupSpans, qDedupSubstring, qSplitAssign, qSplitClusterSafe,
     qSampleUpsample, qSampleWeighted,
     qGopherRules,

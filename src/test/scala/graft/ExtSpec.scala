@@ -933,6 +933,38 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("cdcChunks: content-defined boundaries survive a prefix insertion") {
+    import scala.util.Random
+    val rnd = new Random(42)
+    val words = (1 to 400).map(_ => "w" + rnd.nextInt(5000)).mkString(" ")
+    val docs = Seq(
+      (1L, words),
+      (2L, "inserted prefix tokens here " + words)).toDF("doc_id", "text")
+    val chunks = graft.ext.TextAnalysis
+      .cdcChunks(docs, "doc_id", "text", targetTokens = 16)
+      .select("doc_id", "chunk_id", "chunk_fp", "chunk_tokens")
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(r =>
+        (r.getString(2), r.getLong(3))).toSeq).toMap
+    // every token accounted for
+    assert(chunks(1L).map(_._2).sum === 400L)
+    assert(chunks(2L).map(_._2).sum === 404L)
+    // THE CDC property: after the first boundary downstream of the edit,
+    // both docs' chunk fingerprint STREAMS coincide — fixed windows would
+    // shift every chunk. Compare the tails after dropping each doc's
+    // leading chunks up to the first shared fingerprint.
+    val shared = chunks(1L).map(_._1).toSet
+      .intersect(chunks(2L).map(_._1).toSet)
+    assert(shared.nonEmpty, "no chunk survived the prefix edit")
+    val tail1 = chunks(1L).map(_._1).dropWhile(!shared.contains(_))
+    val tail2 = chunks(2L).map(_._1).dropWhile(!shared.contains(_))
+    assert(tail1 === tail2, "post-edit chunk streams must re-align")
+    assert(tail1.length >= chunks(1L).length - 3,
+      s"only ${tail1.length} of ${chunks(1L).length} chunks re-aligned — " +
+        "the edit should perturb only the chunks it touches")
+  }
+
   test("incrementalMinhash: corpus collisions win, batch peers second, clean admitted") {
     // corpus doc 1 and batch doc 10 share text verbatim; batch docs 11/12
     // are near-identical to each other but unlike the corpus; 13 is clean
