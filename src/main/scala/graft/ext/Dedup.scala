@@ -435,6 +435,84 @@ object Dedup {
       .drop("_rn", fp)
   }
 
+  /** CHUNK-level exact dedup over content-defined chunks — the payoff of
+    * [[TextAnalysis.cdcChunks]]'s edit-stable fingerprints: because a
+    * chunk's identity survives upstream edits, "how much of this corpus
+    * is re-used content" is one fingerprint `groupBy`, no alignment, no
+    * pairwise stage. Per document: total chunks, how many were DUPLICATE
+    * chunks (their fingerprint's keeper — least `(id, chunk_id)` — lives
+    * elsewhere), and the duplicated token mass. A document whose
+    * `dup_tokens`/`n_tokens` is high is boilerplate or a near-copy even
+    * when whole-document dedup misses it (the Lee et al. motivation at
+    * chunk granularity).
+    *
+    * Plan: [[TextAnalysis.cdcChunks]]'s exchanges + ONE fingerprint-keyed
+    * window + one id-keyed regroup. All integer outputs — replays
+    * exactly.
+    */
+  def chunkDedup(
+      df: DataFrame, id: String, text: String,
+      targetTokens: Int = 64): DataFrame = {
+    val w = Window.partitionBy(col("chunk_fp"))
+      .orderBy(col(id), col("chunk_id"))
+    TextAnalysis.cdcChunks(df, id, text, targetTokens)
+      .withColumn("_rn", row_number().over(w))
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("_rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(col("chunk_tokens")).as("n_tokens"),
+        sum(when(col("_rn") > 1, col("chunk_tokens")).otherwise(0L))
+          .as("dup_tokens"))
+  }
+
+  /** SOURCE-PRIORITY exact dedup — the multi-source corpus-merge rule
+    * (Dolma-style): when the same content arrives from several sources
+    * (a curated dump AND a web crawl), keep the copy from the most
+    * trusted source, not the one with the smallest id. `priorities`
+    * maps source → rank (SMALLER = more trusted); sources absent from
+    * the map (and NULL sources) get `defaultPriority`, and ties within
+    * a priority fall back to the least id — fully deterministic.
+    *
+    * The priority map is a PLAN LITERAL (`typedlit` + `try_element_at`)
+    * — no join, no broadcast; the lookup fuses into the scan. The only
+    * exchange is the one fingerprint partitioning, shared by the keeper
+    * window and both annotation windows.
+    *
+    * Output: the surviving row per distinct content fingerprint, plus
+    * `n_dups` (group size) and `n_sources` (distinct sources seen —
+    * n_sources > 1 marks content whose provenance is contested).
+    * NULL-text rows have no content key, pass through unconditionally,
+    * and carry NULL annotations.
+    */
+  def priorityDedup(
+      df: DataFrame, id: String, text: String, source: String,
+      priorities: Map[String, Int],
+      defaultPriority: Int = Int.MaxValue): DataFrame = {
+    require(priorities.nonEmpty, "priorities must not be empty")
+    val reserved = Seq("_fp", "_prio", "_rn", "n_dups", "n_sources")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"input must not already contain reserved column $c"))
+    val prio = coalesce(
+      try_element_at(typedlit(priorities), col(source)),
+      lit(defaultPriority))
+    val wGrp = Window.partitionBy(col("_fp"))
+    val wKeep = wGrp.orderBy(col("_prio"), col(id))
+    val kept = df.where(col(text).isNotNull)
+      .withColumn("_fp", TextAnalysis.fingerprint(col(text)))
+      .withColumn("_prio", prio)
+      .withColumn("_rn", row_number().over(wKeep))
+      .withColumn("n_dups", count(lit(1)).over(wGrp))
+      .withColumn("n_sources",
+        size(collect_set(col(source)).over(wGrp)).cast("long"))
+      .where(col("_rn") === 1)
+      .drop("_rn", "_fp", "_prio")
+    kept.unionByName(
+      df.where(col(text).isNull)
+        .withColumn("n_dups", lit(null).cast("long"))
+        .withColumn("n_sources", lit(null).cast("long")))
+  }
+
   /** Benchmark decontamination: drop corpus documents that share ANY word
     * `n`-gram with a benchmark/test set — the standard guard against
     * evaluation leakage in training corpora (n-gram collision against the

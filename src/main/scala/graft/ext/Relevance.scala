@@ -293,6 +293,58 @@ object Relevance {
         round(avg(col("_lp")), 4).as("lm_score_kn"))
   }
 
+  /** CCNet-style quality bucketing: split a scored corpus into `labels.length`
+    * equal-population buckets by DESCENDING integer score — `labels.head`
+    * (CCNet's "head") gets the best-scored third, and so on. The score
+    * column must be an integer quantization (e.g. [[knLmScore]]'s
+    * `lm_score_kn` × 10⁴ — the [[microScore]] idiom), which makes bucket
+    * boundaries exact-integer arithmetic in every engine.
+    *
+    * Tie coherence: all documents sharing a score value land in the SAME
+    * bucket (the bucket of the value's first rank), so boundary buckets
+    * may deviate from n/K by the tied mass — the deterministic choice,
+    * preferred over id-tiebroken splits that separate identical scores.
+    *
+    * Scale shape: bucket assignment never ranks row space. The score
+    * histogram is bounded by the quantized VALUE DOMAIN (the [[QualityClassifier.topPGate]]
+    * justification), the one ordered-cumulative window runs over that
+    * bounded histogram, and the (value → bucket) table broadcasts back —
+    * the corpus itself sees one broadcast join, no global sort.
+    *
+    * Output: the input plus `bucket` (a label from `labels`). Rows with a
+    * NULL score are dropped (they never had a model estimate — CCNet
+    * routes them to manual review, not to a bucket).
+    */
+  def perplexityBuckets(
+      scored: DataFrame, scoreCol: String,
+      labels: Seq[String] = Seq("head", "middle", "tail")): DataFrame = {
+    require(labels.length >= 2, s"need >= 2 buckets, got ${labels.length}")
+    require(labels.distinct.length == labels.length,
+      s"bucket labels must be distinct: $labels")
+    val reserved = Seq("_c", "_before", "_n", "_b", "bucket")
+    reserved.foreach(c => require(!scored.columns.contains(c),
+      s"input must not already contain reserved column $c"))
+    val k = labels.length
+    val nonNull = scored.where(col(scoreCol).isNotNull)
+    // The histogram feeds THREE consumers (cumulative window, total agg,
+    // assignment join); pin it or each consumer replays the caller's full
+    // scoring plan. Bounded by the quantized value domain by contract, so
+    // the checkpoint is small.
+    val hist = nonNull.groupBy(col(scoreCol)).agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true)
+    val wCum = Window.orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val assign = hist
+      .withColumn("_before", coalesce(sum(col("_c")).over(wCum), lit(0L)))
+      .crossJoin(broadcast(hist.agg(sum(col("_c")).as("_n"))))
+      .withColumn("_b",
+        call_function("div", col("_before") * lit(k.toLong), col("_n")).cast("int"))
+      .select(col(scoreCol), col("_b"))
+    nonNull.join(broadcast(assign), Seq(scoreCol))
+      .withColumn("bucket", element_at(typedlit(labels), col("_b") + 1))
+      .drop("_b")
+  }
+
   /** BM25 top-`k` retrieval: [[bm25]] then the global k best documents
     * (ties broken by id). TakeOrderedAndProject in the physical plan — a
     * per-partition top-k then a k-row driver merge, never a full sort.

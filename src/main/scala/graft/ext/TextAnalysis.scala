@@ -364,6 +364,47 @@ object TextAnalysis {
       .withColumn("chunk_fp", md5(col("chunk_text")))
   }
 
+  /** Blocklist screen — the C4 / UT1-blocklist gate every published web
+    * corpus applies: count banned-term occurrences (case-insensitive,
+    * whole-word) and flag documents to keep. `maxBannedPerMille = 0`
+    * (default) is C4's rule — ANY banned word drops the page; a positive
+    * value keeps documents whose banned-token rate stays at or under
+    * `maxBannedPerMille`/1000 of their tokens (the ratio form larger
+    * corpora use so one quoted slur doesn't delete an encyclopedia).
+    *
+    * The blocklist compiles into ONE alternation regex evaluated by a
+    * codegen'd `regexp_count` — zero joins, zero shuffles, linear scan;
+    * terms are restricted to `[A-Za-z0-9_-]` so the pattern needs no
+    * escaping and RE2 (oracle) and the JVM engine (Spark) read it
+    * identically (the [[subwordPattern]] portability rule; `\b` with both
+    * anchors makes alternation-order and leftmost-longest differences
+    * unobservable — only whole tokens can match).
+    *
+    * Output: input + `banned_count` + `keep`. NULL text ⇒ NULL
+    * annotations (no content to screen — route, don't silently keep).
+    */
+  def blocklistScreen(
+      df: DataFrame, text: String, blocklist: Seq[String],
+      maxBannedPerMille: Long = 0): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must not be empty")
+    require(maxBannedPerMille >= 0 && maxBannedPerMille <= 1000,
+      s"maxBannedPerMille must be in [0, 1000], got $maxBannedPerMille")
+    val bad = blocklist.find(!_.matches("[A-Za-z0-9_-]+"))
+    require(bad.isEmpty,
+      s"blocklist terms must match [A-Za-z0-9_-]+ (regex- and engine-safe): ${bad.get}")
+    val reserved = Seq("banned_count", "keep")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"input must not already contain reserved column $c"))
+    val pattern = "\\b(" + blocklist.map(_.toLowerCase).distinct.mkString("|") + ")\\b"
+    df.withColumn("banned_count",
+        when(col(text).isNull, lit(null).cast("long"))
+          .otherwise(regexp_count(lower(col(text)), lit(pattern)).cast("long")))
+      .withColumn("keep",
+        when(col(text).isNull, lit(null).cast("boolean"))
+          .otherwise(
+            col("banned_count") * 1000 <= lit(maxBannedPerMille) * tokenCount(col(text))))
+  }
+
   /** Content fingerprint: md5 of the case/whitespace-normalized text.
     * Stable across engines (md5 is bit-exact everywhere), usable as an
     * exact-dedup key at any scale.

@@ -327,6 +327,39 @@ object ExtensionQueries {
       bands = Dedup.MinhashBands, rowsPerBand = Dedup.MinhashRowsPerBand,
       maxIter = 10)))
 
+  /** Source-priority exact dedup ([[Dedup.priorityDedup]]): when the
+    * same content exists under several sources, the copy from the most
+    * trusted source survives (src3 most trusted, then src1, everything
+    * else ties at the default and falls back to least doc_id). The
+    * priority map is a plan literal — the oracle's CASE expression is
+    * the identical lookup — and NULL-text rows pass through with NULL
+    * annotations.
+    */
+  val qDedupPriority = QueryDef(
+    "q_dedup_priority",
+    (s, d) => Dedup.priorityDedup(docs(s, d), "doc_id", "text", "source",
+        Map("src3" -> 0, "src1" -> 1), defaultPriority = 99)
+      .select("doc_id", "source", "n_dups", "n_sources")
+      .orderBy("doc_id"),
+    Some("""WITH fp AS (
+              SELECT doc_id, source, md5(lower(trim(text))) AS f,
+                     CASE source WHEN 'src3' THEN 0 WHEN 'src1' THEN 1
+                       ELSE 99 END AS p
+              FROM documents WHERE text IS NOT NULL),
+            g AS (SELECT f, count(*) AS n_dups,
+                         count(DISTINCT source) AS n_sources
+                  FROM fp GROUP BY 1),
+            k AS (SELECT f, doc_id, source,
+                         row_number() OVER (PARTITION BY f
+                           ORDER BY p, doc_id) AS rn
+                  FROM fp)
+            SELECT k.doc_id, k.source, g.n_dups, g.n_sources
+            FROM k JOIN g USING (f) WHERE rn = 1
+            UNION ALL
+            SELECT doc_id, source, NULL, NULL
+            FROM documents WHERE text IS NULL
+            ORDER BY doc_id"""))
+
   /** Incremental NEAR-DUP admission ([[Dedup.incrementalMinhash]]): the
     * new batch (doc_id >= 250) screens against the accepted corpus'
     * (doc_id < 250) persisted LSH bucket index, then against its own
@@ -1839,6 +1872,56 @@ object ExtensionQueries {
               md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
             FROM cids GROUP BY 1, 2 ORDER BY doc_id, chunk_id"""))
 
+  /** Chunk-level dedup stats ([[Dedup.chunkDedup]] over the CDC chunks):
+    * per document, how many of its content-defined chunks (and how much
+    * token mass) already exist elsewhere under a smaller `(doc_id,
+    * chunk_id)` — re-used-content accounting as ONE fingerprint window,
+    * the join the CDC fingerprints exist to enable.
+    */
+  val qChunkDedup = QueryDef(
+    "q_chunk_dedup",
+    (s, d) => Dedup.chunkDedup(docs(s, d), "doc_id", "text",
+        targetTokens = 64)
+      .orderBy("doc_id"),
+    Some("""WITH toks AS (
+              SELECT doc_id, CAST(u.i AS BIGINT) AS pos, t[u.i + 1] AS tok
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(trim(text), '\s+') AS t
+                    FROM documents WHERE text IS NOT NULL) s,
+                   unnest(range(len(t))) AS u(i)
+              WHERE t[u.i + 1] <> ''),
+            flagged AS (
+              SELECT doc_id, pos, tok,
+                CASE WHEN (CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                           & 2147483647) % 64 = 0
+                  THEN 1 ELSE 0 END AS brk
+              FROM toks),
+            cids AS (
+              SELECT doc_id, pos, tok,
+                CAST(coalesce(sum(brk) OVER (
+                  PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS chunk_id
+              FROM flagged),
+            chunks AS MATERIALIZED (
+              SELECT doc_id, chunk_id,
+                count(*) AS chunk_tokens,
+                md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
+              FROM cids GROUP BY 1, 2),
+            ranked AS (
+              SELECT doc_id, chunk_tokens,
+                row_number() OVER (PARTITION BY chunk_fp
+                  ORDER BY doc_id, chunk_id) AS rn
+              FROM chunks)
+            SELECT doc_id,
+              count(*) AS n_chunks,
+              CAST(coalesce(sum(CASE WHEN rn > 1 THEN 1 END), 0) AS BIGINT)
+                AS n_dup_chunks,
+              CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens,
+              CAST(coalesce(sum(CASE WHEN rn > 1 THEN chunk_tokens END), 0)
+                AS BIGINT) AS dup_tokens
+            FROM ranked GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Deterministic stratified sampling ([[CorpusSampling.stratifiedQuota]]):
     * at most N docs per language, chosen by the engine-portable
     * (md5(text), id) pseudo-random order — DuckDB replays the exact sample,
@@ -2850,6 +2933,30 @@ object ExtensionQueries {
                 AND n_stopwords >= 2 AS keep
             FROM m ORDER BY doc_id"""))
 
+  /** Blocklist screen ([[TextAnalysis.blocklistScreen]], the C4/UT1
+    * banned-word gate in its ratio form): whole-word case-insensitive
+    * occurrence counts from one codegen'd alternation regex, keep while
+    * banned tokens stay ≤ 50‰ of the document. RE2 and the JVM engine
+    * read the `\b(...)\b` pattern identically, so the oracle is the
+    * same expression.
+    */
+  val qBlocklist = QueryDef(
+    "q_blocklist",
+    (s, d) => TextAnalysis.blocklistScreen(docs(s, d), "text",
+        Seq("slow", "big", "merge"), maxBannedPerMille = 50)
+      .select("doc_id", "banned_count", "keep")
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+              CASE WHEN text IS NULL THEN NULL
+                ELSE CAST(len(regexp_extract_all(lower(text),
+                  '\b(slow|big|merge)\b')) AS BIGINT) END AS banned_count,
+              CASE WHEN text IS NULL THEN NULL
+                ELSE CAST(len(regexp_extract_all(lower(text),
+                    '\b(slow|big|merge)\b')) AS BIGINT) * 1000
+                  <= 50 * CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS BIGINT) END AS keep
+            FROM documents ORDER BY doc_id"""))
+
   /** Token-count histogram (fixed-width buckets, capped tail) — the
     * corpus-card length distribution. Integer bucket arithmetic, one
     * aggregation exchange.
@@ -3672,6 +3779,65 @@ object ExtensionQueries {
                    round(avg(lp), 4) AS lm_score_kn
             FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** CCNet head/middle/tail bucketing ([[Relevance.perplexityBuckets]]
+    * over the micro-quantized [[Relevance.knLmScore]]): equal-population
+    * thirds by descending LM score, tie-coherent, assigned through the
+    * bounded score-value histogram — never a row-space rank. The oracle
+    * replays the KN scoring CTEs, then the identical integer cumulative
+    * arithmetic.
+    */
+  val qCcnetBuckets = QueryDef(
+    "q_ccnet_buckets",
+    (s, d) => {
+      val scored = Relevance.knLmScore(docs(s, d), "doc_id", "text")
+        .select(col("doc_id"),
+          round(col("lm_score_kn") * 10000, 0).cast("long").as("scoreq"))
+      Relevance.perplexityBuckets(scored, "scoreq")
+        .select("doc_id", "scoreq", "bucket")
+        .orderBy("doc_id")
+    },
+    Some("""WITH grams AS (
+              SELECT doc_id, array_to_string(list_slice(t, u.i + 1, u.i + 2), ' ') AS g,
+                     t[u.i + 1] AS w1, t[u.i + 2] AS w2
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                    FROM documents WHERE text IS NOT NULL) s,
+                   unnest(range(len(t) - 1)) AS u(i)
+              WHERE len(t) >= 2),
+            bi AS MATERIALIZED (
+              SELECT g, w1, w2, count(*) AS n_b FROM grams GROUP BY 1, 2, 3),
+            w1s AS (SELECT w1, CAST(sum(n_b) AS BIGINT) AS c_w1,
+                           count(*) AS n1p_w1 FROM bi GROUP BY 1),
+            w2s AS (SELECT w2, count(*) AS n1p_w2 FROM bi GROUP BY 1),
+            nt AS (SELECT count(*) AS n_types FROM bi),
+            lps AS (
+              SELECT d.doc_id,
+                     ln((CAST(bi.n_b AS DOUBLE) - 0.75) / CAST(w1s.c_w1 AS DOUBLE)
+                        + ((0.75 * CAST(w1s.n1p_w1 AS DOUBLE)) / CAST(w1s.c_w1 AS DOUBLE))
+                          * (CAST(w2s.n1p_w2 AS DOUBLE) / CAST(nt.n_types AS DOUBLE))) AS lp
+              FROM grams d JOIN bi USING (g)
+              JOIN w1s ON d.w1 = w1s.w1
+              JOIN w2s ON d.w2 = w2s.w2
+              CROSS JOIN nt),
+            sc AS MATERIALIZED (
+              SELECT doc_id,
+                     CAST(round(round(avg(lp), 4) * 10000, 0) AS BIGINT) AS scoreq
+              FROM lps GROUP BY doc_id),
+            hist AS MATERIALIZED (
+              SELECT scoreq, count(*) AS c FROM sc GROUP BY 1),
+            cum AS (
+              SELECT scoreq, coalesce(sum(c) OVER (
+                ORDER BY scoreq DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+              FROM hist),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM hist),
+            asg AS (
+              SELECT scoreq, CAST((bef * 3) // tot.n AS INT) AS bi_
+              FROM cum CROSS JOIN tot)
+            SELECT sc.doc_id, sc.scoreq,
+                   CASE asg.bi_ WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                     ELSE 'tail' END AS bucket
+            FROM sc JOIN asg USING (scoreq) ORDER BY doc_id"""))
+
   /** Oracle-replayable curation composition
     * ([[CorpusPipeline.curate]]): LM quality gate at the 25th percentile
     * → exact-fingerprint dedup → deterministic 80/10/10 split. The oracle
@@ -4060,7 +4226,7 @@ object ExtensionQueries {
     qDedupExact, qDedupExactHash, qNgramJaccard, qFuzzyPairs, qDedupMinhash,
     qDedupClusters,
     qDedupSimhash, qDedupEmbed, qDedupSemdedup, qDedupIncremental,
-    qDedupIncMinhash,
+    qDedupIncMinhash, qDedupPriority,
     qDecontaminate,
     qEmbedCosineTopk, qEmbedMeanpool, qAnnLsh, qAnnIvf, qAnnIvfLowid,
     qAnnPq, qAnnPqInit, qAnnIvfPq, qAnnIvfPqInit,
@@ -4073,16 +4239,17 @@ object ExtensionQueries {
     qHeavyHitters, qCorpusPipeline,
     qJsonlRoundtrip, qOrcRoundtrip, qSampleStratified, qSampleTokenBudget,
     qSampleMixture,
-    qPackSequences, qPackMaterialize, qDocChunks, qCdcChunks, qWinnowPairs,
+    qPackSequences, qPackMaterialize, qDocChunks, qCdcChunks, qChunkDedup,
+    qWinnowPairs,
     qPiiRedact, qDedupSpans, qDedupSubstring, qSplitAssign, qSplitClusterSafe,
     qSampleUpsample, qSampleWeighted,
-    qGopherRules,
+    qGopherRules, qBlocklist,
     qTokenHistogram, qBpePairs, qBpeTrain, qBpeEncode, qLengthBuckets,
     qSnapshotDiff, qZipfFit, qHeapsGrowth, qHeapsFit,
     qDecontaminateSemantic,
     qDocFrequency, qTfidfTopTerms, qBm25, qBm25TopK,
     qSampleTemperature, qHardNegatives, qEmbedQuantize, qAnnSq8, qLmScore,
-    qLmScoreKn, qShuffleDeterministic,
+    qLmScoreKn, qCcnetBuckets, qShuffleDeterministic,
     qCorpusCurate, qContaminationReport, qDupHistogram, qTextNfc,
     qQualityClassifier, qQualityTopP, qTokenDrift, qBalanceShards)
 }

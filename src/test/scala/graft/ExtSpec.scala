@@ -965,6 +965,100 @@ class ExtSpec extends SparkSpec {
         "the edit should perturb only the chunks it touches")
   }
 
+  test("chunkDedup: shared tail chunks are duplicated mass for the later doc only") {
+    import scala.util.Random
+    val rnd = new Random(7)
+    val words = (1 to 300).map(_ => "w" + rnd.nextInt(4000)).mkString(" ")
+    val docs = Seq(
+      (1L, words),
+      (2L, "an unrelated prefix before " + words)).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.chunkDedup(docs, "doc_id", "text", targetTokens = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (c1, d1, t1, dt1) = out(1L)
+    val (c2, d2, t2, dt2) = out(2L)
+    assert(t1 === 300L && t2 === 304L)
+    assert(d1 === 0L, "doc 1 holds every keeper — least (id, chunk_id)")
+    assert(d2 > 0L && dt2 > 200L,
+      s"doc 2's shared tail must register as duplicate chunk mass, got ($d2, $dt2)")
+    assert(d2 < c2, "the edited head chunk(s) must stay unique")
+  }
+
+  test("priorityDedup: trusted source wins, id breaks ties, NULL text passes through") {
+    val docs = Seq(
+      (1L, "shared text", "crawl"),      // dup group: curated must win
+      (2L, "shared text", "curated"),
+      (3L, "shared text", "other"),
+      (4L, "unmapped tie", "otherA"),    // both unmapped: least id wins
+      (5L, "unmapped tie", "otherB"),
+      (6L, "unique", "crawl"),
+      (7L, null.asInstanceOf[String], "curated"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ext.Dedup.priorityDedup(
+        docs, "doc_id", "text", "source",
+        Map("curated" -> 0, "crawl" -> 1), defaultPriority = 9)
+      .select("doc_id", "source", "n_dups", "n_sources")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(out === Set(
+      (2L, "curated", 3L, 3L),   // priority 0 beats crawl's id-1 head start
+      (4L, "otherA", 2L, 2L),    // default priorities tie -> least id
+      (6L, "crawl", 1L, 1L),
+      (7L, "curated", -1L, -1L)))  // NULL text: kept, NULL annotations
+  }
+
+  test("perplexityBuckets: descending thirds, tie-coherent, NULL scores dropped") {
+    // 9 docs, scores 90..10: head = {90,80,70}, middle = {60,50,40}, tail rest
+    val scored: Seq[(Long, java.lang.Long)] =
+      (1L to 9L).map(i => (i, java.lang.Long.valueOf(100L - i * 10L))) :+
+        ((10L, null.asInstanceOf[java.lang.Long]))
+    val df = scored.toDF("doc_id", "scoreq")
+    val out = graft.ext.Relevance.perplexityBuckets(df, "scoreq")
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "head", 2L -> "head", 3L -> "head",
+      4L -> "middle", 5L -> "middle", 6L -> "middle",
+      7L -> "tail", 8L -> "tail", 9L -> "tail"))
+    // tie coherence: a value straddling the n/3 boundary stays in ONE bucket
+    val tied = Seq((1L, 50L), (2L, 50L), (3L, 50L), (4L, 50L), (5L, 10L),
+      (6L, 5L)).toDF("doc_id", "scoreq")
+    val tb = graft.ext.Relevance.perplexityBuckets(tied, "scoreq")
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tb(1L) === "head" && tb(2L) === "head" &&
+      tb(3L) === "head" && tb(4L) === "head")
+    // the 4-way tie overfills head past 2n/3, so BOTH remaining values
+    // fall to tail — deterministic boundary spill, middle can be empty
+    assert(tb(5L) === "tail" && tb(6L) === "tail")
+  }
+
+  test("blocklistScreen: whole-word counts, ratio gate, C4 zero-tolerance, NULL text") {
+    val docs = Seq(
+      (1L, "the Slow fox and the slowest slow dog"),  // 'slow' x2 whole-word
+      (2L, "clean text entirely"),
+      (3L, "big big big big"),                        // 4/4 banned
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.blocklistScreen(
+        docs, "text", Seq("slow", "big"), maxBannedPerMille = 300)
+      .select("doc_id", "banned_count", "keep").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) "null" else r.getBoolean(2).toString)).toSet
+    // doc 1: 2 banned of 8 tokens = 250‰ <= 300‰ -> keep
+    assert(out === Set((1L, 2L, "true"), (2L, 0L, "true"),
+      (3L, 4L, "false"), (4L, -1L, "null")))
+    // C4 default: any hit drops
+    val strict = graft.ext.TextAnalysis.blocklistScreen(
+        docs, "text", Seq("slow", "big"))
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) "null" else r.getBoolean(1).toString)).toMap
+    assert(strict === Map(1L -> "false", 2L -> "true",
+      3L -> "false", 4L -> "null"))
+  }
+
   test("incrementalMinhash: corpus collisions win, batch peers second, clean admitted") {
     // corpus doc 1 and batch doc 10 share text verbatim; batch docs 11/12
     // are near-identical to each other but unlike the corpus; 13 is clean
