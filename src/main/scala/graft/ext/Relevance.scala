@@ -293,6 +293,79 @@ object Relevance {
         round(avg(col("_lp")), 4).as("lm_score_kn"))
   }
 
+  /** FROZEN Kneser–Ney model artifact: the per-bigram scored lexicon
+    * `(gram, _lpq)` with `_lpq = floor(lp · 10⁶)` — the interpolated-KN
+    * log-prob of [[knLmScore]] quantized to an exact integer. This is
+    * the deployable form of the LM: vocabulary-sized (bigram TYPES, not
+    * corpus tokens — Heaps' law), broadcastable, and because scoring
+    * against it is an INTEGER sum, a score computed anywhere (batch
+    * re-score, streaming edge, another engine) is bit-identical.
+    * `floor`, not `round`: floor's boundary set is exact integers —
+    * unreachable from identical ln() doubles — while round-half
+    * divergence between engines is the documented r10 hash-fail class.
+    *
+    * Same plan skeleton as [[knLmScore]]'s model half: one pinned
+    * gram-type aggregation, vocabulary-sized joins, no corpus re-scan.
+    */
+  def knLmModel(
+      df: DataFrame, text: String, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0, 1), got $discount")
+    val grams = df.where(col(text).isNotNull)
+      .select(explode(TextAnalysis.wordNgrams(col(text), 2)).as("_gram"))
+      .withColumn("_w1", split(col("_gram"), " ").getItem(0))
+      .withColumn("_w2", split(col("_gram"), " ").getItem(1))
+    val biTypes = grams.groupBy(col("_gram"))
+      .agg(first(col("_w1")).as("_w1"), first(col("_w2")).as("_w2"),
+        count(lit(1)).as("_n_b"))
+      .localCheckpoint(true)
+    val w1Stats = biTypes.groupBy(col("_w1"))
+      .agg(sum(col("_n_b")).as("_c_w1"), count(lit(1)).as("_n1p_w1"))
+    val w2Stats = biTypes.groupBy(col("_w2"))
+      .agg(count(lit(1)).as("_n1p_w2"))
+    val nTypes = biTypes.agg(count(lit(1)).as("_n_types"))
+    val d = lit(discount)
+    biTypes
+      .join(broadcast(w1Stats), Seq("_w1"))
+      .join(broadcast(w2Stats), Seq("_w2"))
+      .crossJoin(broadcast(nTypes))
+      .select(col("_gram"),
+        floor(log(
+          (col("_n_b").cast("double") - d) / col("_c_w1").cast("double") +
+            ((d * col("_n1p_w1").cast("double")) / col("_c_w1").cast("double")) *
+              (col("_n1p_w2").cast("double") / col("_n_types").cast("double")))
+          * lit(1e6)).cast("long").as("_lpq"))
+  }
+
+  /** Score documents against a FROZEN [[knLmModel]] lexicon: per
+    * document, the count of in-vocabulary bigrams and their mean
+    * quantized log-prob, `lm_score_frozen` = Σ`_lpq` / (n · 10⁶) — ONE
+    * division of exact longs, bit-identical in every engine and every
+    * partitioning (the integer-sum determinism [[knLmScore]]'s double
+    * mean lacks). Bigrams outside the lexicon contribute nothing and
+    * don't count (the inner join drops them) — the frozen model has no
+    * estimate for them, and silently scoring them as 0 would reward
+    * OOV-heavy documents. Documents with no in-vocab bigram emit no
+    * row. Plan: one gram explode, one broadcast lexicon join, one
+    * id-keyed integer aggregation.
+    */
+  def knScoreFrozen(
+      df: DataFrame, id: String, text: String, model: DataFrame): DataFrame = {
+    val reserved = Seq("_gram", "_lpq", "n_bigrams", "lm_score_frozen")
+    require(!reserved.exists(df.columns.contains),
+      s"knScoreFrozen reserves columns ${reserved.mkString(", ")}")
+    df.where(col(text).isNotNull)
+      .select(col(id),
+        explode(TextAnalysis.wordNgrams(col(text), 2)).as("_gram"))
+      .join(broadcast(model), Seq("_gram"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_lpq")).as("_sq"))
+      .select(col(id), col("n_bigrams"),
+        (col("_sq").cast("double") /
+          (col("n_bigrams") * lit(1000000L)).cast("double"))
+          .as("lm_score_frozen"))
+  }
+
   /** CCNet-style quality bucketing: split a scored corpus into `labels.length`
     * equal-population buckets by DESCENDING integer score — `labels.head`
     * (CCNet's "head") gets the best-scored third, and so on. The score

@@ -3838,6 +3838,48 @@ object ExtensionQueries {
                      ELSE 'tail' END AS bucket
             FROM sc JOIN asg USING (scoreq) ORDER BY doc_id"""))
 
+  /** Frozen-lexicon KN scoring ([[Relevance.knLmModel]] +
+    * [[Relevance.knScoreFrozen]]): the deployable form — per-bigram
+    * log-probs quantized to exact integers once, every later score an
+    * integer sum + one two-long division, bit-identical across engines,
+    * partitionings, and the streaming edge (knScoreStream parity).
+    */
+  val qLmScoreFrozen = QueryDef(
+    "q_lm_score_frozen",
+    (s, d) => {
+      val model = Relevance.knLmModel(docs(s, d), "text")
+      Relevance.knScoreFrozen(docs(s, d), "doc_id", "text", model)
+        .orderBy("doc_id")
+    },
+    Some("""WITH grams AS (
+              SELECT doc_id, array_to_string(list_slice(t, u.i + 1, u.i + 2), ' ') AS g,
+                     t[u.i + 1] AS w1, t[u.i + 2] AS w2
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                    FROM documents WHERE text IS NOT NULL) s,
+                   unnest(range(len(t) - 1)) AS u(i)
+              WHERE len(t) >= 2),
+            bi AS MATERIALIZED (
+              SELECT g, w1, w2, count(*) AS n_b FROM grams GROUP BY 1, 2, 3),
+            w1s AS (SELECT w1, CAST(sum(n_b) AS BIGINT) AS c_w1,
+                           count(*) AS n1p_w1 FROM bi GROUP BY 1),
+            w2s AS (SELECT w2, count(*) AS n1p_w2 FROM bi GROUP BY 1),
+            nt AS (SELECT count(*) AS n_types FROM bi),
+            lex AS MATERIALIZED (
+              SELECT g, CAST(floor(ln(
+                       (CAST(bi.n_b AS DOUBLE) - 0.75) / CAST(w1s.c_w1 AS DOUBLE)
+                       + ((0.75 * CAST(w1s.n1p_w1 AS DOUBLE)) / CAST(w1s.c_w1 AS DOUBLE))
+                         * (CAST(w2s.n1p_w2 AS DOUBLE) / CAST(nt.n_types AS DOUBLE)))
+                     * 1000000) AS BIGINT) AS lpq
+              FROM bi
+              JOIN w1s ON bi.w1 = w1s.w1
+              JOIN w2s ON bi.w2 = w2s.w2
+              CROSS JOIN nt)
+            SELECT d.doc_id, count(*) AS n_bigrams,
+                   CAST(sum(lex.lpq) AS DOUBLE)
+                     / CAST(count(*) * 1000000 AS DOUBLE) AS lm_score_frozen
+            FROM grams d JOIN lex USING (g)
+            GROUP BY d.doc_id ORDER BY d.doc_id"""))
+
   /** Oracle-replayable curation composition
     * ([[CorpusPipeline.curate]]): LM quality gate at the 25th percentile
     * → exact-fingerprint dedup → deterministic 80/10/10 split. The oracle
@@ -4249,7 +4291,7 @@ object ExtensionQueries {
     qDecontaminateSemantic,
     qDocFrequency, qTfidfTopTerms, qBm25, qBm25TopK,
     qSampleTemperature, qHardNegatives, qEmbedQuantize, qAnnSq8, qLmScore,
-    qLmScoreKn, qCcnetBuckets, qShuffleDeterministic,
+    qLmScoreKn, qCcnetBuckets, qLmScoreFrozen, qShuffleDeterministic,
     qCorpusCurate, qContaminationReport, qDupHistogram, qTextNfc,
     qQualityClassifier, qQualityTopP, qTokenDrift, qBalanceShards)
 }

@@ -969,6 +969,51 @@ object StreamingPipeline {
       .agg(min(col("rep_id")).as("rep_id"))
       .select(col(idCol), col("rep_id"))
 
+  /** Streaming twin of [[graft.ext.TextAnalysis.blocklistScreen]]: the
+    * C4/UT1 banned-word gate at the ingest edge. The batch operator is
+    * already stream-safe — the blocklist compiles to one codegen'd
+    * regex, pure per-row projection, no join/state/watermark, valid in
+    * append mode — so, like [[enrichStream]], this alias PINS that
+    * contract with a batch-parity test: a refactor that turned the
+    * screen into a stateful join would fail a test, not a deployment.
+    */
+  def blocklistStream(
+      docs: DataFrame, blocklist: Seq[String],
+      maxBannedPerMille: Long = 0, textCol: String = "text"): DataFrame =
+    graft.ext.TextAnalysis.blocklistScreen(
+      docs, textCol, blocklist, maxBannedPerMille)
+
+  /** Streaming twin of [[graft.ext.Relevance.knScoreFrozen]]: CCNet-style
+    * LM quality scoring at the ingest edge against a FROZEN
+    * [[graft.ext.Relevance.knLmModel]] bigram lexicon (trained
+    * batch-side — KN statistics are corpus-global and cannot stream).
+    * Bigrams explode per document, join the BROADCAST lexicon
+    * (stream-static, stateless), and the quantized log-probs are one
+    * windowed integer-sum aggregate — so a document's score is
+    * BIT-IDENTICAL to the batch frozen scorer's (exact long sums
+    * commute; the final division is the same two-long expression).
+    * OOV bigrams drop at the join exactly as in batch; documents with
+    * no in-vocab bigram emit no row.
+    */
+  def knScoreStream(
+      docs: DataFrame, model: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      tsCol: String = "ingest_ts",
+      windowDur: String = "1 hour", watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .where(col(textCol).isNotNull)
+      .select(col(idCol), col(tsCol),
+        explode(graft.ext.TextAnalysis.wordNgrams(col(textCol), 2))
+          .as("_gram"))
+      .join(broadcast(model), Seq("_gram"))
+      .groupBy(col(idCol), window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_lpq")).as("_sq"))
+      .select(col(idCol), col("n_bigrams"),
+        (col("_sq").cast("double") /
+          (col("n_bigrams") * lit(1000000L)).cast("double"))
+          .as("lm_score_frozen"))
+
   /** Streaming twin of [[graft.ext.LangId.score]]: language-id at the
     * ingest edge against a FROZEN [[graft.ext.LangId.LangIdModel]]
     * (trained batch-side — the frozen-artifact contract every trained

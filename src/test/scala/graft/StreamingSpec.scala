@@ -1001,6 +1001,76 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kn score stream: frozen-lexicon scoring is bit-identical to batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "alpha beta gamma alpha beta"),
+      (2L, "beta gamma delta beta gamma"),
+      (3L, "alpha delta alpha delta epsilon")).toDF("doc_id", "text")
+    val model = graft.ext.Relevance.knLmModel(corpus, "text")
+      .localCheckpoint(true)
+    val arriving = Seq(
+      (10L, "alpha beta gamma"),          // all bigrams in-vocab
+      (11L, "beta gamma zzz qqq"),        // partial vocab: OOV grams drop
+      (12L, "zzz qqq www"))               // fully OOV -> absent
+    val batch = graft.ext.Relevance.knScoreFrozen(
+        arriving.toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingPipeline.knScoreStream(
+        input.toDF().toDF("doc_id", "text", "ingest_ts"), model)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("kn_out").start()
+    try {
+      input.addData(arriving.map { case (id, t) =>
+        (id, t, ts("2025-01-01 10:00:00")) }: _*)
+      q.processAllAvailable()
+      input.addData((99L, "alpha beta", ts("2025-01-02 10:00:00")))
+      q.processAllAvailable(); q.processAllAvailable()
+      val streamed = spark.table("kn_out")
+        .where(col("doc_id") < 99)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(streamed == batch,
+        s"stream $streamed diverges from batch $batch")
+      assert(!streamed.contains(12L), "fully-OOV doc must emit no row")
+      assert(batch(11L)._1 === 1L, "only the in-vocab bigram counts")
+    } finally q.stop()
+  }
+
+  test("blocklist stream: stateless edge screen matches batch bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "the slow fox and the big dog"),
+      (2L, "clean text entirely"),
+      (3L, null.asInstanceOf[String]))
+    val batch = graft.ext.TextAnalysis.blocklistScreen(
+        rows.toDF("doc_id", "text"), "text", Seq("slow", "big"),
+        maxBannedPerMille = 200)
+      .select("doc_id", "banned_count", "keep")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) "null" else r.getBoolean(2).toString)).toSet
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingPipeline.blocklistStream(
+        input.toDF().toDF("doc_id", "text", "ingest_ts"),
+        Seq("slow", "big"), maxBannedPerMille = 200)
+      .select("doc_id", "banned_count", "keep")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bl_out").start()
+    try {
+      input.addData(rows.map { case (id, t) =>
+        (id, t, ts("2025-01-01 10:00:00")) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("bl_out")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) "null" else r.getBoolean(2).toString)).toSet
+      assert(streamed === batch, s"stream $streamed diverges from batch $batch")
+    } finally q.stop()
+  }
+
   test("domain quality gate stream: rollup-informed admission matches batch") {
     implicit val sqlCtx = spark.sqlContext
     // the frozen artifact: a batch domainRollup over the corpus so far
