@@ -111,7 +111,7 @@ object StreamBench {
           width = 64, depth = 4, windowDur = "1 hour", watermark = "1 hour"))
     ) :+ runAnn(spark, sfDir, nTriggers) :+ runCurate(spark, sfDir, nTriggers) :+
       runCurateHot(spark, sfDir, nTriggers) :+ runDsir(spark, sfDir, nTriggers) :+
-      runLangId(spark, sfDir, nTriggers)
+      runLangId(spark, sfDir, nTriggers) :+ runKn(spark, sfDir, nTriggers)
 
     val twinJs = twins.map { case (n, js) => "\"" + n + "\":" + js }
       .mkString("{", ",", "}")
@@ -369,6 +369,56 @@ object StreamBench {
         progress.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
           .getOrElse(0L)
       "lang_id_intake" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"final_state_rows":$finalState}"""
+    } finally q.stop()
+  }
+
+  /** The frozen-lexicon KN scoring twin (late r12) under the same
+    * harness: the documents corpus replays against its own batch-built
+    * quantized bigram lexicon ([[graft.ext.Relevance.knLmModel]],
+    * pinned). Per-trigger cost is the bigram explode + broadcast
+    * lexicon join; state is one windowed integer-sum aggregate per
+    * document, watermark-bounded.
+    */
+  private def runKn(
+      spark: SparkSession, sfDir: String, nTriggers: Int): (String, String) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val model = graft.ext.Relevance.knLmModel(docs, "text")
+      .localCheckpoint(true)
+    val docRows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+      .map { case (i, t) => (i, t, new java.sql.Timestamp(base + i * 1000L)) }
+    val chunkSize = math.max(1, (docRows.length + nTriggers - 1) / nTriggers)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q: StreamingQuery = StreamingPipeline.knScoreStream(
+        input.toDF().toDF("doc_id", "text", "ingest_ts"), model)
+      .writeStream.outputMode("append").format("noop").start()
+    val wall0 = System.nanoTime()
+    try {
+      docRows.grouped(chunkSize).foreach { c =>
+        input.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - wall0) / 1e9
+      val progress = q.recentProgress.filter(_.numInputRows > 0)
+      val triggers = progress.map { p =>
+        val sec = p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3
+        val (srows, sbytes) =
+          if (p.stateOperators.nonEmpty)
+            (p.stateOperators.map(_.numRowsTotal).sum,
+             p.stateOperators.map(_.memoryUsedBytes).sum)
+          else (0L, 0L)
+        s"""{"rows":${p.numInputRows},"sec":$sec,"state_rows":$srows,"state_bytes":$sbytes}"""
+      }
+      val totalRows = progress.map(_.numInputRows).sum
+      val sumSec = progress
+        .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum / 1e3
+      val rps = if (sumSec > 0) totalRows / sumSec else 0.0
+      val finalState =
+        progress.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
+          .getOrElse(0L)
+      "kn_intake" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"final_state_rows":$finalState}"""
     } finally q.stop()
   }
 }

@@ -43,9 +43,43 @@ object ScaleProbe {
       }),
       "exact_substring" -> (() =>
         graft.ext.Dedup.exactSubstringDedup(docs, "doc_id", "text",
-          minTokens = 8)))
+          minTokens = 8)),
+      // late-r12 additions — on the 50x corpus (50 verbatim copies per
+      // document) chunk_dedup/dedup_priority hit their worst realistic
+      // shape: ~98% duplicated chunk/fingerprint mass
+      "cdc_chunks" -> (() =>
+        graft.ext.TextAnalysis.cdcChunks(docs, "doc_id", "text", 64)),
+      "chunk_dedup" -> (() =>
+        graft.ext.Dedup.chunkDedup(docs, "doc_id", "text", 64)),
+      "ccnet_buckets" -> (() => {
+        val scored = graft.ext.Relevance.knLmScore(docs, "doc_id", "text")
+          .select(col("doc_id"),
+            round(col("lm_score_kn") * 10000, 0).cast("long").as("scoreq"))
+        graft.ext.Relevance.perplexityBuckets(scored, "scoreq")
+      }),
+      "kn_frozen" -> (() => {
+        val m = graft.ext.Relevance.knLmModel(docs, "text")
+        graft.ext.Relevance.knScoreFrozen(docs, "doc_id", "text", m)
+      }),
+      "dedup_priority" -> (() =>
+        graft.ext.Dedup.priorityDedup(docs, "doc_id", "text", "source",
+          Map("src3" -> 0, "src1" -> 1), defaultPriority = 99)),
+      "blocklist" -> (() =>
+        graft.ext.TextAnalysis.blocklistScreen(docs, "text",
+          Seq("slow", "big", "merge"), maxBannedPerMille = 50)),
+      "corpus_shuffle" -> (() =>
+        graft.ext.CorpusSampling.deterministicShuffle(docs, col("doc_id"))),
+      "inc_minhash" -> (() => {
+        val idx = graft.ext.Dedup.minhashBucketIndex(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+        graft.ext.Dedup.incrementalMinhash(
+          docs.filter(col("doc_id") % 2 === 1), idx, "doc_id", "text")
+      }))
 
-    val results = ops.map { case (name, build) =>
+    val only = sys.env.get("SPARK_GRAFT_PROBE_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = ops.filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, build) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         build().write.format("noop").mode("overwrite").save()
