@@ -81,7 +81,15 @@ object SpillProbe {
       }
     })
 
-    val names = DefaultSet.filter(n => only.forall(_.contains(n)))
+    // The filter SELECTS (it may name queries outside the default heavy
+    // set — late-round additions are probed the same way).
+    val names = only match {
+      case Some(sel) =>
+        val unknown = sel.filterNot(graft.SparkEntry.queries.contains)
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+        sel.toSeq.sorted
+      case None => DefaultSet
+    }
     val heapMax = Runtime.getRuntime.maxMemory()
     val results = names.map { name =>
       val fn = graft.SparkEntry.queries(name)
