@@ -181,6 +181,75 @@ object CorpusSampling {
     * parallel per-partition row_number. Two shuffles of slim rows, no
     * single-reducer funnel.
     */
+  /** DoReMi-style domain reweighting (Xie et al. 2023, reduced to its
+    * deployable core): given a per-domain EXCESS-LOSS signal (how much
+    * harder a domain is than the reference — any integer-quantized
+    * metric: LM score gap, classifier disagreement, here the caller's
+    * choice), iterate the multiplicative-weights update that DoReMi's
+    * Group-DRO proxy training performs — upweight the domains with the
+    * highest excess loss, renormalize, repeat — and return the final
+    * mixture weights to drive [[temperatureSample]]/[[upsampleByStratum]]
+    * -class samplers.
+    *
+    * Everything is FIXED-POINT integer arithmetic at scale 10⁶ (losses
+    * min-max-normalized to [0, S], update factor `S + lr·lossn/1000`,
+    * half-up renormalization to Σw = S each round), so the whole
+    * iteration replays exactly as chained BIGINT CTEs in the oracle —
+    * the GD-classifier/Lloyd determinism contract. The domain table is
+    * BOUNDED BY CONTRACT (`maxDomains`, default 10⁴): the loop runs on
+    * driver-collected rows exactly like the classifier trainer, because
+    * `iters` distributed barriers over a ≤10⁴-row frame would be pure
+    * scheduling overhead (the r10 bounded-sample lesson). The corpus
+    * itself is never touched — callers aggregate their loss signal
+    * relationally first.
+    *
+    * Equal losses everywhere degrade to uniform weights; NULL domains or
+    * losses fail fast (a silent NULL would siphon weight mass).
+    *
+    * Output: `(domain, weight_q)` with `weight_q`/10⁶ the mixture
+    * probability (Σ ≈ 10⁶ up to per-domain rounding).
+    */
+  def doremiWeights(
+      perDomainLoss: DataFrame, domain: String, lossQCol: String,
+      iters: Int = 10, lrPerMille: Long = 100,
+      maxDomains: Int = 10000): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters must be in [1, 100], got $iters")
+    require(lrPerMille >= 1 && lrPerMille <= 1000,
+      s"lrPerMille must be in [1, 1000], got $lrPerMille")
+    val S = 1000000L
+    val rows = perDomainLoss
+      .select(col(domain).cast("string"), col(lossQCol).cast("long"))
+      .limit(maxDomains + 1)
+      .collect()
+    require(rows.length <= maxDomains,
+      s"more than $maxDomains domains — aggregate the loss signal first")
+    require(rows.nonEmpty, "perDomainLoss is empty")
+    require(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      "NULL domain or loss — repair the loss table upstream")
+    val ds = rows.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    require(ds.map(_._1).distinct.length == ds.length,
+      "duplicate domain rows — the loss table must be one row per domain")
+    require(ds.forall(p => math.abs(p._2) < (1L << 40)),
+      "quantized losses must stay below 2^40 so (loss - lo) * 10^6 cannot overflow")
+    val lo = ds.map(_._2).min
+    val hi = ds.map(_._2).max
+    val lossn = ds.map { case (d, l) =>
+      d -> (if (hi == lo) 0L else Similarity.divHalfUp((l - lo) * S, hi - lo))
+    }
+    var w = lossn.map { case (d, _) => d -> Similarity.divHalfUp(S, ds.length.toLong) }
+    for (_ <- 1 to iters) {
+      val u = w.zip(lossn).map { case ((d, wq), (_, ln)) =>
+        d -> Similarity.divHalfUp(
+          wq * (S + Similarity.divHalfUp(lrPerMille * ln, 1000L)), S)
+      }
+      val s = u.map(_._2).sum
+      w = u.map { case (d, uq) => d -> Similarity.divHalfUp(uq * S, s) }
+    }
+    val spark = perDomainLoss.sparkSession
+    import spark.implicits._
+    w.toSeq.toDF(domain, "weight_q")
+  }
+
   def deterministicShuffle(
       df: DataFrame, key: Column, seed: String = "graft:shuffle"): DataFrame = {
     require(!df.columns.contains("shuffle_rank"),

@@ -1872,6 +1872,62 @@ object ExtensionQueries {
               md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp
             FROM cids GROUP BY 1, 2 ORDER BY doc_id, chunk_id"""))
 
+  /** Unrolled fixed-point oracle for [[CorpusSampling.doremiWeights]]:
+    * the per-domain loss CTE (half-up mean chars per source), min-max
+    * integer normalization, then `iters` chained multiplicative-update +
+    * renormalize rounds — every value BIGINT-exact, so the final
+    * weights hash-match the driver loop. All operands are non-negative,
+    * so the positive-branch half-up `(2a + b) // 2b` suffices.
+    */
+  private def doremiOracle(iters: Int, lr: Long): String = {
+    val S = 1000000L
+    def hup(num: String, den: String) = s"(($num) * 2 + ($den)) // (2 * ($den))"
+    val steps = (1 to iters).map { t =>
+      val p = t - 1
+      s"""u$t AS (SELECT domain, lossn,
+        ${hup(s"wq * ($S + ${hup(s"$lr * lossn", "1000")})", S.toString)} AS uq
+        FROM w$p),
+      s$t AS (SELECT sum(uq) AS s FROM u$t),
+      w$t AS MATERIALIZED (SELECT domain, lossn,
+        ${hup(s"uq * $S", "s")} AS wq FROM u$t CROSS JOIN s$t)"""
+    }.mkString(",\n      ")
+    s"""WITH base AS (
+        SELECT source AS domain,
+          (sum(n_chars) * 2 + count(*)) // (2 * count(*)) AS lossq
+        FROM documents WHERE text IS NOT NULL GROUP BY 1),
+      rng AS (SELECT min(lossq) AS lo, max(lossq) AS hi FROM base),
+      ln_ AS (SELECT domain,
+          CASE WHEN hi = lo THEN 0
+            ELSE ${hup(s"(lossq - lo) * $S", "hi - lo")} END AS lossn
+          FROM base CROSS JOIN rng),
+      nd AS (SELECT count(*) AS d FROM base),
+      w0 AS (SELECT domain, lossn, ${hup(S.toString, "d")} AS wq
+          FROM ln_ CROSS JOIN nd),
+      $steps
+      SELECT domain AS source, CAST(wq AS BIGINT) AS weight_q
+      FROM w$iters ORDER BY source"""
+  }
+
+  /** DoReMi-style mixture reweighting ([[CorpusSampling.doremiWeights]]):
+    * multiplicative-weights iteration over a per-source excess-loss
+    * signal (here the half-up mean document chars — the caller supplies
+    * whatever loss their proxy defines), fixed-point at 10⁶ so the
+    * 8-round loop replays exactly as chained BIGINT CTEs.
+    */
+  val qDoremiWeights = QueryDef(
+    "q_doremi_weights",
+    (s, d) => {
+      val loss = docs(s, d).where(col("text").isNotNull)
+        .groupBy(col("source"))
+        .agg(call_function("div",
+          sum(col("n_chars")) * 2 + count(lit(1)),
+          count(lit(1)) * 2).as("lossq"))
+      CorpusSampling.doremiWeights(loss, "source", "lossq",
+          iters = 8, lrPerMille = 200)
+        .orderBy("source")
+    },
+    Some(doremiOracle(8, 200)))
+
   /** Chunk-level dedup stats ([[Dedup.chunkDedup]] over the CDC chunks):
     * per document, how many of its content-defined chunks (and how much
     * token mass) already exist elsewhere under a smaller `(doc_id,
@@ -4290,7 +4346,8 @@ object ExtensionQueries {
     qSnapshotDiff, qZipfFit, qHeapsGrowth, qHeapsFit,
     qDecontaminateSemantic,
     qDocFrequency, qTfidfTopTerms, qBm25, qBm25TopK,
-    qSampleTemperature, qHardNegatives, qEmbedQuantize, qAnnSq8, qLmScore,
+    qSampleTemperature, qDoremiWeights, qHardNegatives, qEmbedQuantize,
+    qAnnSq8, qLmScore,
     qLmScoreKn, qCcnetBuckets, qLmScoreFrozen, qShuffleDeterministic,
     qCorpusCurate, qContaminationReport, qDupHistogram, qTextNfc,
     qQualityClassifier, qQualityTopP, qTokenDrift, qBalanceShards)

@@ -965,6 +965,37 @@ class ExtSpec extends SparkSpec {
         "the edit should perturb only the chunks it touches")
   }
 
+  test("doremiWeights: hard domains gain, uniform losses stay uniform, NULLs fail") {
+    val loss = Seq(("easy", 0L), ("mid", 50L), ("hard", 100L))
+      .toDF("domain", "lossq")
+    val w = graft.ext.CorpusSampling
+      .doremiWeights(loss, "domain", "lossq", iters = 10, lrPerMille = 200)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w("hard") > w("mid") && w("mid") > w("easy"),
+      s"weights must order by excess loss, got $w")
+    assert(math.abs(w.values.sum - 1000000L) <= 3,
+      s"weights must renormalize to ~10^6, got sum ${w.values.sum}")
+    // equal losses everywhere -> exactly uniform
+    val flat = graft.ext.CorpusSampling.doremiWeights(
+        Seq(("a", 7L), ("b", 7L), ("c", 7L)).toDF("domain", "lossq"),
+        "domain", "lossq")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(flat === Set(333333L))
+    // NULL loss fails fast
+    val bad = Seq(("a", java.lang.Long.valueOf(1L)),
+      ("b", null.asInstanceOf[java.lang.Long])).toDF("domain", "lossq")
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.CorpusSampling.doremiWeights(bad, "domain", "lossq")
+    }
+    assert(e.getMessage.contains("NULL domain or loss"))
+    // duplicate domain rows fail fast
+    val dup = Seq(("a", 1L), ("a", 2L)).toDF("domain", "lossq")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ext.CorpusSampling.doremiWeights(dup, "domain", "lossq")
+    }
+    assert(e2.getMessage.contains("duplicate domain"))
+  }
+
   test("chunkDedup: shared tail chunks are duplicated mass for the later doc only") {
     import scala.util.Random
     val rnd = new Random(7)
