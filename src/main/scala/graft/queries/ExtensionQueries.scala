@@ -1879,7 +1879,12 @@ object ExtensionQueries {
     * weights hash-match the driver loop. All operands are non-negative,
     * so the positive-branch half-up `(2a + b) // 2b` suffices.
     */
-  private def doremiOracle(iters: Int, lr: Long): String = {
+  private def doremiOracle(
+      iters: Int, lr: Long,
+      lossCtes: String = """base AS (
+        SELECT source AS domain,
+          (sum(n_chars) * 2 + count(*)) // (2 * count(*)) AS lossq
+        FROM documents WHERE text IS NOT NULL GROUP BY 1)"""): String = {
     val S = 1000000L
     def hup(num: String, den: String) = s"(($num) * 2 + ($den)) // (2 * ($den))"
     val steps = (1 to iters).map { t =>
@@ -1891,10 +1896,7 @@ object ExtensionQueries {
       w$t AS MATERIALIZED (SELECT domain, lossn,
         ${hup(s"uq * $S", "s")} AS wq FROM u$t CROSS JOIN s$t)"""
     }.mkString(",\n      ")
-    s"""WITH base AS (
-        SELECT source AS domain,
-          (sum(n_chars) * 2 + count(*)) // (2 * count(*)) AS lossq
-        FROM documents WHERE text IS NOT NULL GROUP BY 1),
+    s"""WITH $lossCtes,
       rng AS (SELECT min(lossq) AS lo, max(lossq) AS hi FROM base),
       ln_ AS (SELECT domain,
           CASE WHEN hi = lo THEN 0
@@ -1927,6 +1929,62 @@ object ExtensionQueries {
         .orderBy("source")
     },
     Some(doremiOracle(8, 200)))
+
+  /** The faithful end-to-end DoReMi shape, loss signal computed
+    * IN-ENGINE: per-source mean negative KN log-prob (the frozen
+    * integer lexicon of [[Relevance.knLmModel]], so the per-domain
+    * perplexity proxy is an exact integer half-up mean) feeding the
+    * same 8-round multiplicative-weights loop — corpus → frozen LM →
+    * domain excess loss → mixture weights, all one oracle chain.
+    */
+  val qDoremiWeightsLm = QueryDef(
+    "q_doremi_weights_lm",
+    (s, d) => {
+      val base = docs(s, d)
+      val model = Relevance.knLmModel(base, "text")
+      val loss = base.where(col("text").isNotNull)
+        .select(col("source"),
+          explode(TextAnalysis.wordNgrams(col("text"), 2)).as("_gram"))
+        .join(broadcast(model), Seq("_gram"))
+        .groupBy(col("source"))
+        .agg((-sum(col("_lpq"))).as("_neg"), count(lit(1)).as("_n"))
+        .select(col("source"),
+          call_function("div",
+            col("_neg") * 2 + col("_n"), col("_n") * 2).as("lossq"))
+      CorpusSampling.doremiWeights(loss, "source", "lossq",
+          iters = 8, lrPerMille = 200)
+        .orderBy("source")
+    },
+    Some(doremiOracle(8, 200, lossCtes = """grams AS (
+          SELECT doc_id, array_to_string(list_slice(t, u.i + 1, u.i + 2), ' ') AS g,
+                 t[u.i + 1] AS w1, t[u.i + 2] AS w2
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents WHERE text IS NOT NULL) s,
+               unnest(range(len(t) - 1)) AS u(i)
+          WHERE len(t) >= 2),
+        bi AS MATERIALIZED (
+          SELECT g, w1, w2, count(*) AS n_b FROM grams GROUP BY 1, 2, 3),
+        w1s AS (SELECT w1, CAST(sum(n_b) AS BIGINT) AS c_w1,
+                       count(*) AS n1p_w1 FROM bi GROUP BY 1),
+        w2s AS (SELECT w2, count(*) AS n1p_w2 FROM bi GROUP BY 1),
+        nt AS (SELECT count(*) AS n_types FROM bi),
+        lex AS MATERIALIZED (
+          SELECT g, CAST(floor(ln(
+                   (CAST(bi.n_b AS DOUBLE) - 0.75) / CAST(w1s.c_w1 AS DOUBLE)
+                   + ((0.75 * CAST(w1s.n1p_w1 AS DOUBLE)) / CAST(w1s.c_w1 AS DOUBLE))
+                     * (CAST(w2s.n1p_w2 AS DOUBLE) / CAST(nt.n_types AS DOUBLE)))
+                 * 1000000) AS BIGINT) AS lpq
+          FROM bi
+          JOIN w1s ON bi.w1 = w1s.w1
+          JOIN w2s ON bi.w2 = w2s.w2
+          CROSS JOIN nt),
+        srcg AS (
+          SELECT d2.source, g.g
+          FROM grams g JOIN documents d2 USING (doc_id)),
+        base AS (
+          SELECT sg.source AS domain,
+            ((-sum(lex.lpq)) * 2 + count(*)) // (2 * count(*)) AS lossq
+          FROM srcg sg JOIN lex USING (g) GROUP BY 1)""")))
 
   /** Chunk-level dedup stats ([[Dedup.chunkDedup]] over the CDC chunks):
     * per document, how many of its content-defined chunks (and how much
@@ -4346,7 +4404,8 @@ object ExtensionQueries {
     qSnapshotDiff, qZipfFit, qHeapsGrowth, qHeapsFit,
     qDecontaminateSemantic,
     qDocFrequency, qTfidfTopTerms, qBm25, qBm25TopK,
-    qSampleTemperature, qDoremiWeights, qHardNegatives, qEmbedQuantize,
+    qSampleTemperature, qDoremiWeights, qDoremiWeightsLm, qHardNegatives,
+    qEmbedQuantize,
     qAnnSq8, qLmScore,
     qLmScoreKn, qCcnetBuckets, qLmScoreFrozen, qShuffleDeterministic,
     qCorpusCurate, qContaminationReport, qDupHistogram, qTextNfc,
