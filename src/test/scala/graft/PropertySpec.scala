@@ -106,6 +106,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cdcChunks reconstructs the token stream exactly, at any target") {
+    // CDC chunk boundaries are content-derived, so two invariants must
+    // hold for EVERY input and EVERY target: (a) chunk_tokens sums to the
+    // doc's token count, (b) concatenating chunk_texts in chunk order
+    // reproduces the whitespace-normalized token stream verbatim — a
+    // violation means chunk-level dedup silently loses or duplicates text
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(6))
+    val docGen = Gen.zip(
+      Gen.nonEmptyListOf(word).map(_.take(120)),
+      Gen.oneOf(2, 3, 8, 16, 64))
+    forAll(docGen) { case (words, target) =>
+      val text = words.mkString(" ")
+      val out = TextAnalysis.cdcChunks(
+          Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text", target)
+        .orderBy("chunk_id")
+        .select("chunk_text", "chunk_tokens")
+        .as[(String, Long)].collect()
+      assert(out.map(_._2).sum === words.length.toLong,
+        s"token mass lost at target=$target")
+      assert(out.map(_._1).mkString(" ") === text,
+        s"reassembly diverged at target=$target")
+    }
+  }
+
   test("minhash signatures are invariant to partitioning and row order") {
     // the signature is an aggregate over a doc's token SET — how the rows
     // are partitioned or ordered on the cluster must not change it; a
