@@ -418,6 +418,47 @@ class PlanSpec extends SparkSpec {
       s"model join appeared in score plan:\n${p.take(3000)}")
   }
 
+  test("blocklist screen is a pure projection: no exchange, no join") {
+    // the C4 gate must stay a codegen'd per-row regex — any Exchange or
+    // join here means the screen silently became a distributed operator
+    val df = graft.ext.TextAnalysis.blocklistScreen(
+      spark.read.parquet(s"$dir/documents.parquet"), "text",
+      Seq("slow", "big"), maxBannedPerMille = 50)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.toLowerCase.contains("join"),
+      s"blocklist screen grew a shuffle/join:\n${p.take(3000)}")
+  }
+
+  test("priority dedup: literal priority map, one fingerprint exchange") {
+    // the priority lookup is a plan literal — a BroadcastExchange means
+    // it degraded to a join; all three windows share ONE hash exchange
+    val df = graft.ext.Dedup.priorityDedup(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      "doc_id", "text", "source", Map("src3" -> 0, "src1" -> 1),
+      defaultPriority = 99)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("BroadcastExchange"),
+      s"priority map degraded to a join:\n${p.take(3000)}")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1,
+      s"keeper + annotation windows must share ONE exchange, got $hashEx:\n${p.take(3000)}")
+  }
+
+  test("cdc chunking: window and regroup share the id exchange") {
+    // groupBy (id, chunk_id) must reuse the id-hash partitioning the
+    // cumulative-sum window established (superset-key clustering)
+    val df = graft.ext.TextAnalysis.cdcChunks(
+      spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 64)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1,
+      s"chunk regroup re-shuffled instead of reusing the id exchange, got $hashEx:\n${p.take(3000)}")
+  }
+
   private def planOfText(name: String): String = {
     val df = SparkEntry.queries(name)(spark, dir)
     df.collect() // finalize the adaptive plan
