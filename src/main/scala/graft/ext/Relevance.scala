@@ -418,6 +418,43 @@ object Relevance {
       .drop("_b")
   }
 
+  /** Freeze a [[perplexityBuckets]] assignment into per-bucket score
+    * cutoffs — the deployable artifact for bucketing NEW documents at
+    * the ingest edge without recomputing corpus quantiles: for each
+    * label (best-first), the MINIMUM integer score batch assigned to
+    * it. Assignment is monotone in the score value, so a frozen
+    * when-chain over these cutoffs reproduces the batch bucket exactly
+    * for every score value the corpus contained, and interpolates
+    * deterministically (first bucket whose cutoff the score meets;
+    * below every cutoff → last label) for unseen values. Labels the
+    * tie-spill left EMPTY are simply absent from the chain — their
+    * range belongs to the neighbor that absorbed it, which is exactly
+    * what batch did. Driver-collects ≤ `labels.length` rows.
+    */
+  def bucketCutoffs(
+      bucketed: DataFrame, scoreCol: String,
+      labels: Seq[String] = Seq("head", "middle", "tail")): Seq[(String, Long)] = {
+    val mins = bucketed.groupBy(col("bucket"))
+      .agg(min(col(scoreCol)).as("_min"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val unknown = mins.keySet -- labels.toSet
+    require(unknown.isEmpty, s"buckets outside the label set: $unknown")
+    labels.flatMap(l => mins.get(l).map(l -> _))
+  }
+
+  /** The frozen-cutoff bucket expression shared by the batch re-scorer
+    * and the streaming edge: first (best) bucket whose min-score cutoff
+    * the document meets; below all cutoffs falls to the last label.
+    */
+  private[graft] def bucketExpr(
+      scoreQ: Column, cutoffs: Seq[(String, Long)],
+      fallback: String): Column = {
+    require(cutoffs.nonEmpty, "cutoffs must not be empty (train them batch-side)")
+    cutoffs.foldRight(lit(fallback): Column) {
+      case ((label, cut), rest) => when(scoreQ >= cut, lit(label)).otherwise(rest)
+    }
+  }
+
   /** BM25 top-`k` retrieval: [[bm25]] then the global k best documents
     * (ties broken by id). TakeOrderedAndProject in the physical plan — a
     * per-partition top-k then a k-row driver merge, never a full sort.

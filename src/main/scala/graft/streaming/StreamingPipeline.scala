@@ -1014,6 +1014,31 @@ object StreamingPipeline {
           (col("n_bigrams") * lit(1000000L)).cast("double"))
           .as("lm_score_frozen"))
 
+  /** CCNet bucket gate at the ingest edge: [[knScoreStream]]'s frozen-
+    * lexicon scoring plus a FROZEN when-chain of per-bucket score
+    * cutoffs ([[graft.ext.Relevance.bucketCutoffs]], computed batch-side
+    * over the corpus' bucket assignment). The micro-quantized score is
+    * the same `round(score · 10⁶)` expression both sides evaluate on a
+    * bit-identical double, so an arriving document lands in EXACTLY the
+    * bucket batch would give it for every score value the corpus
+    * contained (parity spec-asserted); genuinely novel scores
+    * interpolate deterministically — first bucket whose cutoff they
+    * meet, else the fallback (worst) label.
+    */
+  def ccnetBucketStream(
+      docs: DataFrame, model: DataFrame,
+      cutoffs: Seq[(String, Long)], fallback: String = "tail",
+      idCol: String = "doc_id", textCol: String = "text",
+      tsCol: String = "ingest_ts",
+      windowDur: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
+    val scoreQ = round(col("lm_score_frozen") * 1000000L, 0).cast("long")
+    knScoreStream(docs, model, idCol, textCol, tsCol, windowDur, watermark)
+      .withColumn("scoreq", scoreQ)
+      .withColumn("bucket",
+        graft.ext.Relevance.bucketExpr(col("scoreq"), cutoffs, fallback))
+      .select(col(idCol), col("scoreq"), col("bucket"))
+  }
+
   /** Streaming twin of [[graft.ext.LangId.score]]: language-id at the
     * ingest edge against a FROZEN [[graft.ext.LangId.LangIdModel]]
     * (trained batch-side — the frozen-artifact contract every trained

@@ -1039,6 +1039,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ccnet bucket stream: frozen cutoffs reproduce the batch buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    // distinct scores per doc so batch thirds are unambiguous
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta alpha beta"),
+      (2L, "beta gamma beta gamma beta gamma"),
+      (3L, "alpha delta epsilon alpha delta"),
+      (4L, "delta epsilon zeta delta epsilon"),
+      (5L, "zeta eta theta zeta eta theta"),
+      (6L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val model = graft.ext.Relevance.knLmModel(corpus, "text")
+      .localCheckpoint(true)
+    val scored = graft.ext.Relevance.knScoreFrozen(
+        corpus, "doc_id", "text", model)
+      .select(col("doc_id"),
+        round(col("lm_score_frozen") * 1000000L, 0).cast("long").as("scoreq"))
+    val bucketed = graft.ext.Relevance.perplexityBuckets(scored, "scoreq")
+    val batch = bucketed.select("doc_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cutoffs = graft.ext.Relevance.bucketCutoffs(bucketed, "scoreq")
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamingPipeline.ccnetBucketStream(
+        input.toDF().toDF("doc_id", "text", "ingest_ts"), model, cutoffs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ccb_out").start()
+    try {
+      input.addData(rows.map { case (id, t) =>
+        (id, t, ts("2025-01-01 10:00:00")) }.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData((99L, "alpha beta", ts("2025-01-02 10:00:00")))
+      q.processAllAvailable(); q.processAllAvailable()
+      val streamed = spark.table("ccb_out")
+        .where(col("doc_id") < 99)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(streamed == batch,
+        s"stream buckets $streamed diverge from batch $batch")
+      assert(streamed.values.toSet.size >= 2, "degenerate single-bucket corpus")
+    } finally q.stop()
+  }
+
   test("blocklist stream: stateless edge screen matches batch bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
