@@ -355,27 +355,39 @@ object CorpusStats {
       .select(posexplode(col(vec)).as(Seq("pos", "_v")))
       .groupBy("pos")
       .agg((sum(col("_v").cast("double").cast("decimal(20,10)")).cast("double") /
-        count(lit(1)).cast("double")).as("_mean"))
+        count(lit(1)).cast("double")).as("_mean"),
+        count(lit(1)).as("_n"))
       .collect()
     require(rows.nonEmpty, "meanVector: no vectors")
-    // Declared-dims contract (advice r12): a position at/past `dims`
-    // means a vector LONGER than declared; a position with no rows
-    // means every vector was SHORTER than declared. Both violate the
-    // frozen-baseline shape the streaming twin indexes by, so fail
-    // with a named error instead of OOB-crashing / zero-filling.
+    // Declared-dims contract (advice r12, tightened r13): a position
+    // at/past `dims` means a vector LONGER than declared; a position
+    // with no rows means every vector was SHORTER than declared; and a
+    // position whose row count differs from the others means SOME
+    // vectors were shorter (mixed lengths — per-position means would
+    // divide by differing counts). All three violate the
+    // frozen-baseline shape the streaming twin indexes by (its
+    // vecShapeGuard requires size === dims), so fail with a named error
+    // instead of OOB-crashing / zero-filling / silently averaging over
+    // ragged coverage.
     val out = new Array[Double](dims)
     var covered = 0
+    val counts = new Array[Long](dims)
     rows.foreach { r =>
       val p = r.getInt(0)
       require(p >= 0 && p < dims,
         s"meanVector: vector position $p outside declared dims=$dims " +
           "(input carries longer vectors than the contract)")
       out(p) = r.getDouble(1)
+      counts(p) = r.getLong(2)
       covered += 1
     }
     require(covered == dims,
       s"meanVector: only $covered of $dims declared positions populated " +
         "(input carries shorter vectors than the contract)")
+    require(counts.distinct.length == 1,
+      s"meanVector: ragged per-position coverage (counts ${counts.min}.." +
+        s"${counts.max}) — input mixes vector lengths; filter to " +
+        s"size == $dims first")
     out
   }
 }

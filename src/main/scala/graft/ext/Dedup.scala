@@ -232,6 +232,9 @@ object Dedup {
       df: DataFrame, text: String, as: String,
       bands: Int = MinhashBands, rowsPerBand: Int = MinhashRowsPerBand): DataFrame = {
     val k = bands * rowsPerBand
+    val reserved = "_hs" +: as +: (0 until k).map(i => s"mh$i")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"withRowBandBuckets reserves column $c (present in input)"))
     // NO empty-token filter: the aggregate form hashes "" too (an
     // empty document's single token), so all-empty docs cluster
     // together in BOTH forms — parity over cosmetics

@@ -66,9 +66,12 @@ object GraphRank {
     * each iteration's mass stranded on out-degree-0 nodes is summed
     * (ONE extra node-frame aggregation, broadcast back as a 1-row
     * scalar — no driver action) and re-enters uniformly over the
-    * teleport distribution before damping. Rank ORDER on the uniform
-    * walk is unchanged (the correction is the same additive term for
-    * every node per iteration); magnitudes become mass-conserving.
+    * teleport distribution before damping. WITHIN one iteration the
+    * correction is the same additive term for every node on the
+    * uniform walk, but across iterations that mass propagates through
+    * edges non-uniformly, so final rank ORDER may differ from the
+    * dropped-mass variant — do not rely on order-equivalence between
+    * the two modes; magnitudes become mass-conserving.
     *
     * `checkpointDir` selects DURABLE per-iteration lineage truncation
     * (the [[Dedup.minhashDedupClusters]] contract): the default

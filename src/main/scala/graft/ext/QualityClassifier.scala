@@ -245,13 +245,26 @@ object QualityClassifier {
     * that fuses into the scan.
     */
   def topPGate(
-      scored: DataFrame, scoreCol: String, keepPerMille: Long): DataFrame = {
+      scored: DataFrame, scoreCol: String, keepPerMille: Long,
+      maxDistinctScores: Long = Relevance.MaxHistogramValues): DataFrame = {
     require(keepPerMille >= 1 && keepPerMille <= 1000,
       s"keepPerMille must be in [1, 1000], got $keepPerMille")
+    Relevance.requireBoundedIntegerScore(scored, scoreCol, "topPGate")
     val reserved = Seq("_c", "_cum", "_n", "_r", "_t")
     require(!reserved.exists(scored.columns.contains),
       s"topPGate reserves columns ${reserved.mkString(", ")}")
+    // Pinned: the histogram feeds both the cumulative window and the
+    // total aggregate, and the ceiling check below needs its row count —
+    // without the checkpoint each consumer replays the caller's full
+    // scoring plan.
     val hist = scored.groupBy(col(scoreCol)).agg(count(lit(1)).as("_c"))
+      .localCheckpoint(true)
+    val nVals = hist.count()
+    require(nVals <= maxDistinctScores,
+      s"topPGate: $nVals distinct $scoreCol values exceed the " +
+        s"bounded-histogram ceiling $maxDistinctScores — quantize the score " +
+        "to a coarser integer domain first, or raise maxDistinctScores " +
+        "deliberately")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col(scoreCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

@@ -27,6 +27,29 @@ import org.apache.spark.sql.functions._
   */
 object Relevance {
 
+  /** Ceiling on the distinct-value count any bounded-histogram operator
+    * ([[perplexityBuckets]], [[QualityClassifier.topPGate]]) will feed
+    * through its single-partition cumulative window. Quantized score
+    * domains ([0, 10^6] sigmoid scores, 10^4-scaled KN log-scores) stay
+    * well under this; a raw-double score column — corpus-cardinality —
+    * blows past it and fails fast instead of sorting the corpus on one
+    * task.
+    */
+  val MaxHistogramValues: Long = 1L << 22
+
+  /** Bounded-histogram operators only accept integer score columns:
+    * float scores have corpus-cardinality value domains, which turns the
+    * value-bounded histogram window into a full single-partition sort.
+    */
+  private[graft] def requireBoundedIntegerScore(
+      df: DataFrame, scoreCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(scoreCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op requires an integer-typed score column (bounded value domain); " +
+        s"$scoreCol is $dt — quantize first (e.g. round(score * 1e6).cast(\"long\"))")
+  }
+
   /** Non-empty whitespace tokens as (id, term) postings — one row per
     * token OCCURRENCE (duplicates preserved; aggregate them per use
     * site). NULL text yields no postings.
@@ -390,10 +413,12 @@ object Relevance {
     */
   def perplexityBuckets(
       scored: DataFrame, scoreCol: String,
-      labels: Seq[String] = Seq("head", "middle", "tail")): DataFrame = {
+      labels: Seq[String] = Seq("head", "middle", "tail"),
+      maxDistinctScores: Long = Relevance.MaxHistogramValues): DataFrame = {
     require(labels.length >= 2, s"need >= 2 buckets, got ${labels.length}")
     require(labels.distinct.length == labels.length,
       s"bucket labels must be distinct: $labels")
+    Relevance.requireBoundedIntegerScore(scored, scoreCol, "perplexityBuckets")
     val reserved = Seq("_c", "_before", "_n", "_b", "bucket")
     reserved.foreach(c => require(!scored.columns.contains(c),
       s"input must not already contain reserved column $c"))
@@ -405,6 +430,17 @@ object Relevance {
     // the checkpoint is small.
     val hist = nonNull.groupBy(col(scoreCol)).agg(count(lit(1)).as("_c"))
       .localCheckpoint(true)
+    // Enforce the bounded-value-domain contract the single-partition
+    // cumulative window below depends on: a caller sneaking a
+    // corpus-cardinality score column through would otherwise build a
+    // corpus-sized histogram and sort it on one task. The count is a
+    // near-free action over the already-materialized checkpoint.
+    val nVals = hist.count()
+    require(nVals <= maxDistinctScores,
+      s"perplexityBuckets: $nVals distinct $scoreCol values exceed the " +
+        s"bounded-histogram ceiling $maxDistinctScores — quantize the score " +
+        "to a coarser integer domain before bucketing, or raise " +
+        "maxDistinctScores deliberately")
     val wCum = Window.orderBy(col(scoreCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val assign = hist

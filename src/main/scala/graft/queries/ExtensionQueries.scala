@@ -2159,6 +2159,12 @@ object ExtensionQueries {
               SELECT doc_id, lang,
                      regexp_replace(lower(text), '\s+', ' ', 'g') AS t
               FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+            scorebase AS MATERIALIZED (
+              -- scoring slice only requires text (LangId.score ignores
+              -- the label column) — a NULL-lang held-out doc IS scored
+              SELECT doc_id,
+                     regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+              FROM documents WHERE text IS NOT NULL),
             trg AS (
               SELECT lang, substr(t, CAST(u.i AS INTEGER), 3) AS g
               FROM base, unnest(range(1, length(t) - 1)) AS u(i)
@@ -2195,7 +2201,7 @@ object ExtensionQueries {
                      CAST((CAST(('0x' || substr(md5(
                          substr(t, CAST(u.i AS INTEGER), 3)), 1, 8)) AS BIGINT)
                        & 2147483647) % 256 AS BIGINT) AS b
-              FROM base, unnest(range(1, length(t) - 1)) AS u(i)
+              FROM scorebase, unnest(range(1, length(t) - 1)) AS u(i)
               WHERE doc_id >= 400 AND length(t) >= 3),
             ssum AS (SELECT s.doc_id, m.lang,
                        CAST(sum(m.lpq) AS BIGINT) AS sq

@@ -957,12 +957,18 @@ object StreamingPipeline {
       docs: DataFrame, bucketIndex: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       tsCol: String = "ingest_ts",
-      windowDur: String = "1 hour", watermark: String = "1 hour"): DataFrame =
+      windowDur: String = "1 hour", watermark: String = "1 hour",
+      bands: Int = graft.ext.Dedup.MinhashBands,
+      rowsPerBand: Int = graft.ext.Dedup.MinhashRowsPerBand): DataFrame =
+    // bands/rowsPerBand MUST match the parameters the index was built
+    // with ([[graft.ext.Dedup.minhashBucketIndex]]) — mismatched banding
+    // silently produces no collisions (near-dups admitted), so they are
+    // surfaced here rather than hardcoded to the defaults.
     graft.ext.Dedup.withRowBandBuckets(
         docs.withWatermark(tsCol, watermark)
           .where(col(textCol).isNotNull)
           .select(col(idCol), col(tsCol), col(textCol)),
-        textCol, "_buckets")
+        textCol, "_buckets", bands, rowsPerBand)
       .select(col(idCol), col(tsCol), explode(col("_buckets")).as("bucket"))
       .join(broadcast(bucketIndex), "bucket")
       .groupBy(col(idCol), window(col(tsCol), windowDur))

@@ -222,6 +222,14 @@ class CorpusStatsSpec extends SparkSpec {
       graft.ext.CorpusStats.meanVector(good, "embedding", 3)
     }
     assert(shorter.getMessage.contains("positions populated"))
+    // mixed lengths where every position IS covered by some longer
+    // vector (advice r13): the coverage check alone would pass, but the
+    // per-position means would divide by differing counts — named error
+    val ragged = Seq(Array(1.0f, 2.0f), Array(3.0f)).toDF("embedding")
+    val mixed = intercept[IllegalArgumentException] {
+      graft.ext.CorpusStats.meanVector(ragged, "embedding", 2)
+    }
+    assert(mixed.getMessage.contains("ragged per-position coverage"))
   }
 
   test("tokenDrift guards: invalid snapshots dropped, empty snapshot raises") {

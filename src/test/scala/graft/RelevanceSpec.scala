@@ -313,4 +313,34 @@ class RelevanceSpec extends SparkSpec {
     val all = graft.ext.QualityClassifier.topPGate(scored, "score_q", 1000L).count()
     assert(all == 10L)
   }
+
+  test("bounded-histogram guards: float score columns are rejected by name") {
+    import spark.implicits._
+    val floats = Seq((1L, 0.25), (2L, 0.75)).toDF("doc_id", "score_q")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ext.QualityClassifier.topPGate(floats, "score_q", 500L)
+    }
+    assert(e1.getMessage.contains("topPGate requires an integer-typed score"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ext.Relevance.perplexityBuckets(floats, "score_q")
+    }
+    assert(e2.getMessage.contains("perplexityBuckets requires an integer-typed score"))
+  }
+
+  test("bounded-histogram guards: distinct-value ceiling fails fast") {
+    import spark.implicits._
+    val scored = (1L to 40L).map(i => (i, i * 7L)).toDF("doc_id", "score_q")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ext.QualityClassifier.topPGate(scored, "score_q", 500L,
+        maxDistinctScores = 10L)
+    }
+    assert(e1.getMessage.contains("exceed the bounded-histogram ceiling 10"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.ext.Relevance.perplexityBuckets(scored, "score_q",
+        maxDistinctScores = 10L)
+    }
+    assert(e2.getMessage.contains("exceed the bounded-histogram ceiling 10"))
+    // and the same data passes under the default ceiling
+    assert(graft.ext.QualityClassifier.topPGate(scored, "score_q", 500L).count() == 20L)
+  }
 }
