@@ -1,0 +1,411 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Content-level perceptual image hashing — the piece that lets a
+  * multimodal corpus dedup RESIZED/RE-ENCODED images, where
+  * [[Multimodal.contentMd5]] (exact bytes) and header triage both fail:
+  * a real pixel decode (pure JVM: BMP 24-bit and PNG 8-bit including
+  * zlib inflate + per-row unfiltering — no external media libraries),
+  * then three classic perceptual hashes over the decoded luma plane:
+  *
+  *  - dHash (difference hash): 9×8 area-averaged grid, each bit a
+  *    horizontal gradient comparison — the cheap, robust default;
+  *  - aHash (average hash): 8×8 grid thresholded at the grid mean;
+  *  - pHash (DCT hash): 16×16 grid → 2-D DCT-II in FIXED-POINT integer
+  *    arithmetic (quantized cosine table, scale 10⁶) → the low 8×8
+  *    frequency block thresholded at its median (DC excluded).
+  *
+  * Every stage is integer-exact — area means are floor-divided sums,
+  * the DCT is a sum of long products, the median is an exact order
+  * statistic — so the hashes are bit-reproducible across engines and
+  * across runs, which is what makes [[qImagePhash]]-style oracle
+  * replays possible and keeps near-dup banding deterministic.
+  *
+  * Near-dup pairing reuses the [[Dedup.simhashPairs]] shape: the 64-bit
+  * dHash splits into 8 disjoint 8-bit bands; a pair within Hamming
+  * distance 7 must agree on at least one band (pigeonhole), so
+  * candidates are a bucket join — O(n·8), never all-pairs — then
+  * verified with the exact Hamming distance.
+  *
+  * Reference scope note: the reference pipeline (a pandas security-log
+  * script) has no image surface at all; this extends the engine toward
+  * the multimodal corpus-curation workload (same motivation as
+  * pHash/dHash in any production crawl pipeline).
+  */
+object ImageHash {
+
+  /** Decoded luma plane: row-major, top-down, values 0..255. */
+  case class Pixels(width: Int, height: Int, luma: Array[Int])
+
+  /** Decode a payload's pixels to luma. BMP: 24-bit uncompressed
+    * (BI_RGB), bottom-up or top-down (negative height), row stride
+    * padded to 4 bytes. PNG: 8-bit depth, color types 0 (gray),
+    * 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), no interlace;
+    * IDAT chunks concatenated, zlib-inflated, and unfiltered per row
+    * (filters 0–4 incl. Paeth). Anything else — or any truncated /
+    * malformed structure — returns None rather than garbage pixels.
+    * Luma is integer Rec.601: (299·R + 587·G + 114·B) div 1000.
+    */
+  def decodeLuma(bytes: Array[Byte]): Option[Pixels] = {
+    if (bytes == null || bytes.length < 8) return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    val isPng = bytes.length >= 8 &&
+      u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G'
+    val isBmp = u8(0) == 'B' && u8(1) == 'M'
+    if (isPng) decodePng(bytes)
+    else if (isBmp) decodeBmp(bytes)
+    else None
+  }
+
+  private def luma601(r: Int, g: Int, b: Int): Int =
+    (299 * r + 587 * g + 114 * b) / 1000
+
+  private def decodeBmp(bytes: Array[Byte]): Option[Pixels] = {
+    if (bytes.length < 54) return None
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def s32le(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    val dataOffset = s32le(10)
+    if (s32le(14) < 40) return None // need BITMAPINFOHEADER+
+    val w = s32le(18)
+    val hRaw = s32le(22)
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    if (w <= 0 || h == 0 || u16le(28) != 24 || s32le(30) != 0) return None
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (dataOffset < 54 ||
+      dataOffset.toLong + stride.toLong * h > bytes.length) return None
+    val out = new Array[Int](w * h)
+    var row = 0
+    while (row < h) {
+      val src = if (topDown) row else h - 1 - row
+      val base = dataOffset + src * stride
+      var x = 0
+      while (x < w) {
+        val i = base + x * 3
+        // BMP stores B, G, R
+        out(row * w + x) = luma601(u8(i + 2), u8(i + 1), u8(i))
+        x += 1
+      }
+      row += 1
+    }
+    Some(Pixels(w, h, out))
+  }
+
+  private def decodePng(bytes: Array[Byte]): Option[Pixels] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def tag(i: Int): String =
+      new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 8 + 25) return None
+    var w = 0; var h = 0; var colorType = -1
+    var palette: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var sawIhdr = false
+    var done = false
+    while (!done && i + 8 <= bytes.length) {
+      val len = u32(i)
+      if (len < 0 || len > Int.MaxValue ||
+        i + 12 + len > bytes.length) return None
+      val t = tag(i + 4)
+      val p = i + 8
+      t match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = u32(p).toInt; h = u32(p + 4).toInt
+          val depth = u8(p + 8); colorType = u8(p + 9)
+          val compression = u8(p + 10); val filter = u8(p + 11)
+          val interlace = u8(p + 12)
+          if (depth != 8 || compression != 0 || filter != 0 ||
+            interlace != 0 ||
+            !Set(0, 2, 3, 4, 6).contains(colorType)) return None
+          if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+          sawIhdr = true
+        case "PLTE" =>
+          palette = java.util.Arrays.copyOfRange(bytes, p, p + len.toInt)
+        case "IDAT" =>
+          idat.write(bytes, p, len.toInt)
+        case "IEND" =>
+          done = true
+        case _ => // ancillary chunk: skip
+      }
+      i += 12 + len.toInt
+    }
+    if (!sawIhdr || idat.size() == 0) return None
+    if (colorType == 3 && (palette == null || palette.length % 3 != 0))
+      return None
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+    }
+    val rowLen = w * channels
+    val raw = new Array[Byte](h * (1 + rowLen))
+    val inflater = new java.util.zip.Inflater()
+    try {
+      inflater.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off < raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inflater.end()
+    // Unfilter in place into a flat sample buffer (PNG spec §6: the
+    // filter byte leads each row; left/up/avg/Paeth predictors operate
+    // bytewise at a bytes-per-pixel offset — 1:1 with channels at
+    // 8-bit depth).
+    val samples = new Array[Int](h * rowLen)
+    val bpp = channels
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (1 + rowLen)) & 0xff
+      val rowOff = y * (1 + rowLen) + 1
+      var xB = 0
+      while (xB < rowLen) {
+        val cur = raw(rowOff + xB) & 0xff
+        val left = if (xB >= bpp) samples(y * rowLen + xB - bpp) else 0
+        val up = if (y > 0) samples((y - 1) * rowLen + xB) else 0
+        val ul =
+          if (y > 0 && xB >= bpp) samples((y - 1) * rowLen + xB - bpp) else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 =>
+            val p0 = left + up - ul
+            val pa = math.abs(p0 - left)
+            val pb = math.abs(p0 - up)
+            val pc = math.abs(p0 - ul)
+            cur + (if (pa <= pb && pa <= pc) left
+                   else if (pb <= pc) up
+                   else ul)
+          case _ => return None
+        }
+        samples(y * rowLen + xB) = v & 0xff
+        xB += 1
+      }
+      y += 1
+    }
+    val out = new Array[Int](w * h)
+    var p = 0
+    while (p < w * h) {
+      val s = p * channels
+      out(p) = colorType match {
+        case 0 | 4 => samples(s) // gray (alpha ignored)
+        case 2 | 6 => luma601(samples(s), samples(s + 1), samples(s + 2))
+        case 3 =>
+          val idx = samples(s) * 3
+          if (idx + 2 >= palette.length) return None
+          luma601(palette(idx) & 0xff, palette(idx + 1) & 0xff,
+            palette(idx + 2) & 0xff)
+      }
+      p += 1
+    }
+    Some(Pixels(w, h, out))
+  }
+
+  /** Area-averaged downscale to a tw×th grid, integer-exact: cell
+    * (cx, cy) covers source columns [cx·W div tw, (cx+1)·W div tw) ×
+    * rows [cy·H div th, (cy+1)·H div th), value = floor(mean). None
+    * when the source is smaller than the target grid (some cells would
+    * be empty).
+    */
+  private[graft] def gridAvg(p: Pixels, tw: Int, th: Int): Option[Array[Long]] = {
+    if (p.width < tw || p.height < th) return None
+    val out = new Array[Long](tw * th)
+    var cy = 0
+    while (cy < th) {
+      val y0 = cy * p.height / th
+      val y1 = (cy + 1) * p.height / th
+      var cx = 0
+      while (cx < tw) {
+        val x0 = cx * p.width / tw
+        val x1 = (cx + 1) * p.width / tw
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += p.luma(y * p.width + x); x += 1 }
+          y += 1
+        }
+        out(cy * tw + cx) = sum / ((y1 - y0).toLong * (x1 - x0))
+        cx += 1
+      }
+      cy += 1
+    }
+    Some(out)
+  }
+
+  /** dHash: 9×8 grid, bit (cx, cy) = grid(cx+1, cy) > grid(cx, cy),
+    * packed row-major MSB-first (bit 63 = top-left comparison).
+    */
+  def dHash(p: Pixels): Option[Long] =
+    gridAvg(p, 9, 8).map { g =>
+      var hash = 0L
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          if (g(cy * 9 + cx + 1) > g(cy * 9 + cx))
+            hash |= 1L << (63 - (cy * 8 + cx))
+          cx += 1
+        }
+        cy += 1
+      }
+      hash
+    }
+
+  /** aHash: 8×8 grid, bit = cell > floor(mean of the 64 cells), packed
+    * row-major MSB-first.
+    */
+  def aHash(p: Pixels): Option[Long] =
+    gridAvg(p, 8, 8).map { g =>
+      val mean = g.sum / 64
+      var hash = 0L
+      var i = 0
+      while (i < 64) {
+        if (g(i) > mean) hash |= 1L << (63 - i)
+        i += 1
+      }
+      hash
+    }
+
+  /** pHash DCT input grid edge. */
+  val PhashN = 16
+
+  /** Quantized DCT-II cosine table: CosQ(k)(n) =
+    * round(cos(π·(2n+1)·k / (2·[[PhashN]])) · 10⁶). Computed once here
+    * and EMBEDDED as integer literals into the oracle SQL
+    * ([[graft.queries]]), so both engines multiply identical constants
+    * — float cos never crosses the engine boundary.
+    */
+  private[graft] val CosQ: Array[Array[Long]] =
+    Array.tabulate(PhashN, PhashN) { (k, n) =>
+      math.round(math.cos(math.Pi * (2 * n + 1) * k / (2 * PhashN)) * 1e6)
+    }
+
+  /** pHash: 16×16 grid → fixed-point 2-D DCT-II (long products of two
+    * 10⁶-scaled cosines; |F| ≤ 255·10¹²·256 < 2⁶³) → low 8×8 block →
+    * bit (u, v) = F(u, v) > median of the 63 non-DC coefficients (the
+    * exact 32nd smallest), DC bit always 0. Packed row-major (v, u)
+    * MSB-first.
+    */
+  def pHash(p: Pixels): Option[Long] =
+    gridAvg(p, PhashN, PhashN).map { g =>
+      val f = new Array[Long](64)
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          var acc = 0L
+          var y = 0
+          while (y < PhashN) {
+            var x = 0
+            while (x < PhashN) {
+              acc += g(y * PhashN + x) * CosQ(u)(x) * CosQ(v)(y)
+              x += 1
+            }
+            y += 1
+          }
+          f(v * 8 + u) = acc
+          u += 1
+        }
+        v += 1
+      }
+      val nonDc = java.util.Arrays.copyOfRange(f, 1, 64)
+      java.util.Arrays.sort(nonDc)
+      val median = nonDc(31) // 32nd smallest of 63
+      var hash = 0L
+      var i = 1 // DC bit (i = 0) stays 0
+      while (i < 64) {
+        if (f(i) > median) hash |= 1L << (63 - i)
+        i += 1
+      }
+      hash
+    }
+
+  /** Output row of [[imageHashes]]: fixed-size, payload dropped. */
+  case class ImageHashRow(
+      media_id: Long, format: String,
+      dhash: Option[Long], ahash: Option[Long], phash: Option[Long])
+
+  /** Input row shape (public: Catalyst's generated deserializer cannot
+    * access private classes).
+    */
+  case class ImageIn(media_id: Long, payload: Array[Byte])
+
+  /** Per-image perceptual hashes over binary payloads — the same
+    * `mapPartitions` shape as [[Multimodal.extractFeatures]]: payloads
+    * live only for one batch, small fixed-size rows out, wide binary
+    * dropped immediately. Undecodable payloads (wrong format, truncated,
+    * smaller than the hash grids) carry NULL hashes rather than failing
+    * the partition.
+    *
+    * @param df columns: media_id LONG, payload BINARY
+    */
+  def imageHashes(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("payload").cast("binary"))
+      .as[ImageIn]
+      .mapPartitions(_.map { m =>
+        val fmt = Multimodal.decodeHeader(
+          if (m.payload == null) Array.emptyByteArray else m.payload).format
+        decodeLuma(m.payload) match {
+          case Some(px) =>
+            ImageHashRow(m.media_id, fmt, dHash(px), aHash(px), pHash(px))
+          case None => ImageHashRow(m.media_id, fmt, None, None, None)
+        }
+      })
+      .toDF()
+  }
+
+  /** Image near-duplicate pairs by dHash Hamming distance — the
+    * [[Dedup.simhashPairs]] recipe on the perceptual fingerprint: 8
+    * disjoint 8-bit bands guarantee recall for Hamming ≤ 7 (pigeonhole:
+    * a pair differing in ≤ 7 bits agrees exactly on ≥ 1 band), so
+    * candidate generation is a band-bucket join — O(n·8), never
+    * all-pairs — and every candidate is verified with the exact
+    * bit_count(xor) distance. Undecodable images (NULL dHash) never
+    * pair.
+    *
+    * @param df columns: media_id LONG, payload BINARY
+    */
+  def imageNearDupPairs(
+      spark: SparkSession, df: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val bands = 8
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"$bands bands only guarantee recall for Hamming <= ${bands - 1}, got $maxHamming")
+    // Pinned: the signature table feeds BOTH sides of the band
+    // self-join — without the checkpoint each side replays the full
+    // decode + hash pass over the payload bytes (the multi-consumer
+    // lesson; decode is the expensive stage here).
+    val sigs = imageHashes(spark, df)
+      .where(col("dhash").isNotNull)
+      .select(col("media_id"), col("dhash"))
+      .localCheckpoint(true)
+    val bandKeys = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        shiftright(col("dhash"), 8 * bnd).bitwiseAND(0xFFL).as("bits"))
+    }
+    val bucketed = sigs.select(col("media_id"), col("dhash"),
+      explode(array(bandKeys: _*)).as("bucket"))
+    val a = bucketed.select(col("media_id").as("id1"),
+      col("dhash").as("h1"), col("bucket"))
+    val b = bucketed.select(col("media_id").as("id2"),
+      col("dhash").as("h2"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxHamming)
+      // a pair can collide in several bands — dedup across bands
+      .select("id1", "id2", "hamming").distinct()
+  }
+}

@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.ImageHash
+
+/** Perceptual image hashing gate queries.
+  *
+  * The test images are 16×16 top-down 24-bit BMPs synthesized in BOTH
+  * engines from the same generative pixel model — luma of pixel
+  * `i = y·16 + x` is the first md5 byte of `"<doc_id>_<i>"` — but the
+  * two sides exercise DIFFERENT code: Spark builds the actual BMP bytes
+  * (header + raster, hex-concat → unhex) and pushes them through the
+  * REAL pixel decoder and hash pipeline
+  * ([[graft.ext.ImageHash.decodeLuma]] → grids → dHash/aHash/pHash),
+  * while the DuckDB oracle never sees a byte: it replays the hash MATH
+  * directly on the pixel model (grid floor-means, fixed-point DCT with
+  * the SAME quantized cosine constants — embedded as literals from
+  * [[graft.ext.ImageHash.CosQ]] — exact medians, bit strings). A decode
+  * or hash bug on either path breaks the hash compare.
+  *
+  * Hashes travel as 64-char '0'/'1' strings (Spark `lpad(bin(h), 64,
+  * '0')` renders the long's two's-complement bits; DuckDB assembles the
+  * bit string positionally) — no signed-overflow gymnastics, and the
+  * near-dup oracle can band by substring.
+  */
+object ImageQueries {
+
+  /** 54-byte BMP header: 16×16, top-down (height = −16), 24 bpp,
+    * BI_RGB, 768-byte raster, no palette.
+    */
+  private val BmpHeaderHex: String =
+    "424D" +       // magic
+      "36030000" + // file size 822 LE
+      "00000000" + // reserved
+      "36000000" + // raster offset 54 LE
+      "28000000" + // BITMAPINFOHEADER size 40 LE
+      "10000000" + // width 16 LE
+      "F0FFFFFF" + // height -16 LE (top-down)
+      "0100" +     // planes
+      "1800" +     // 24 bpp
+      "00000000" + // BI_RGB
+      "00030000" + // raster size 768 LE
+      "00000000" + "00000000" + // x/y pixels-per-metre
+      "00000000" + "00000000"   // colors used / important
+
+  /** Luma of pixel `i` for document `docId`: first md5 byte of
+    * "<docId>_<i>" — replayed verbatim in the oracle.
+    */
+  private def lumCol(docId: org.apache.spark.sql.Column,
+      i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(docId.cast("string"), lit("_"),
+      i.cast("string"))), 1, 2), 16, 10).cast("int")
+
+  /** Hex raster: 256 pixels, 3 identical BGR bytes each (gray). */
+  private def rasterHex(lum: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+    array_join(
+      transform(sequence(lit(0), lit(255)),
+        p => repeat(lpad(hex(lum(p)), 2, "0"), 3)),
+      "")
+
+  private def bmpPayload(lum: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+    unhex(concat(lit(BmpHeaderHex), rasterHex(lum)))
+
+  /** x → cx mapping for the 16 → `t` floor-boundary area grid, as SQL
+    * VALUES rows — generated from the same formula
+    * [[graft.ext.ImageHash.gridAvg]] uses, so the oracle cannot drift
+    * from the implementation.
+    */
+  private def gridMapValues(t: Int): String =
+    (0 until 16).map { x =>
+      val c = (0 until t).find(c => x < (c + 1) * 16 / t).get
+      s"($x, $c)"
+    }.mkString(", ")
+
+  /** The quantized DCT cosine table as SQL VALUES rows — the exact
+    * longs [[graft.ext.ImageHash.CosQ]] multiplies.
+    */
+  private def cosValues: String =
+    (for { k <- 0 until 8; n <- 0 until ImageHash.PhashN }
+      yield s"($k, $n, ${ImageHash.CosQ(k)(n)})").mkString(", ")
+
+  /** Shared oracle CTE: the pixel model (optionally with the near-dup
+    * twin perturbation) and the dHash bit string per document.
+    */
+  private def dhashCtes(pxFilter: String, twin: Boolean): String = {
+    val lum =
+      if (!twin)
+        "CAST(('0x' || substr(md5(doc_id::VARCHAR || '_' || r.range::VARCHAR), 1, 2)) AS BIGINT)"
+      else
+        // single line: a generated SQL line must never START with '|'
+        // (stripMargin re-strips it — the round-9 lesson)
+        "(CAST(('0x' || substr(md5((CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END)::VARCHAR || '_' || r.range::VARCHAR), 1, 2)) AS BIGINT) + CASE WHEN doc_id % 10 = 1 AND r.range = 0 THEN 8 ELSE 0 END) % 256"
+    s"""px AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(r.range AS BIGINT) AS i,
+       |         CAST(r.range % 16 AS BIGINT) AS x,
+       |         CAST(r.range // 16 AS BIGINT) AS y,
+       |         $lum AS lum
+       |  FROM documents, range(256) r
+       |  $pxFilter),
+       |mapx9(mx, cx) AS (VALUES ${gridMapValues(9)}),
+       |g9 AS MATERIALIZED (
+       |  SELECT doc_id, y // 2 AS cy, cx,
+       |         CAST(sum(lum) AS BIGINT) // count(*) AS g
+       |  FROM px JOIN mapx9 ON px.x = mapx9.mx
+       |  GROUP BY 1, 2, 3),
+       |dbits AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         string_agg(CASE WHEN gr > gl THEN '1' ELSE '0' END, ''
+       |                    ORDER BY cy, cx) AS dhash_bits
+       |  FROM (SELECT l.doc_id, l.cy, l.cx, l.g AS gl, r.g AS gr
+       |        FROM g9 l JOIN g9 r
+       |          ON l.doc_id = r.doc_id AND l.cy = r.cy AND r.cx = l.cx + 1
+       |        WHERE l.cx < 8) cmp
+       |  GROUP BY doc_id)""".stripMargin
+  }
+
+  /** dHash + aHash + pHash over real decoded BMPs vs the oracle's
+    * direct replay of the hash math (see the object scaladoc). One
+    * fifth of the documents (doc_id % 5 = 0) keeps the oracle's DCT
+    * join bounded.
+    */
+  val qImagePhash = QueryDef(
+    "q_image_phash",
+    (s, d) => {
+      val media = QueryDef.table(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id").as("media_id"),
+          bmpPayload(p => lumCol(col("doc_id"), p)).as("payload"))
+      ImageHash.imageHashes(s, media)
+        .select(col("media_id").as("doc_id"),
+          lpad(bin(col("dhash")), 64, "0").as("dhash_bits"),
+          lpad(bin(col("ahash")), 64, "0").as("ahash_bits"),
+          lpad(bin(col("phash")), 64, "0").as("phash_bits"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${dhashCtes("WHERE doc_id % 5 = 0", twin = false)},
+            |g8 AS MATERIALIZED (
+            |  SELECT doc_id, y // 2 AS cy, x // 2 AS cx,
+            |         CAST(sum(lum) AS BIGINT) // count(*) AS g
+            |  FROM px GROUP BY 1, 2, 3),
+            |amean AS (SELECT doc_id, CAST(sum(g) AS BIGINT) // 64 AS m
+            |          FROM g8 GROUP BY doc_id),
+            |abits AS (
+            |  SELECT g8.doc_id,
+            |         string_agg(CASE WHEN g > m THEN '1' ELSE '0' END, ''
+            |                    ORDER BY cy, cx) AS ahash_bits
+            |  FROM g8 JOIN amean ON g8.doc_id = amean.doc_id
+            |  GROUP BY g8.doc_id),
+            |ct(k, n, c) AS (VALUES $cosValues),
+            |f AS MATERIALIZED (
+            |  SELECT doc_id, cv.k AS v, cu.k AS u,
+            |         CAST(sum(lum * cu.c * cv.c) AS BIGINT) AS fv
+            |  FROM px
+            |  JOIN ct cu ON cu.n = px.x
+            |  JOIN ct cv ON cv.n = px.y
+            |  GROUP BY 1, 2, 3),
+            |med AS (
+            |  SELECT doc_id, fv AS m
+            |  FROM (SELECT doc_id, fv,
+            |               row_number() OVER (PARTITION BY doc_id
+            |                                  ORDER BY fv) AS rn
+            |        FROM f WHERE NOT (u = 0 AND v = 0)) ranked
+            |  WHERE rn = 32),
+            |pbits AS (
+            |  SELECT f.doc_id,
+            |         string_agg(CASE WHEN u = 0 AND v = 0 THEN '0'
+            |                         WHEN fv > m THEN '1' ELSE '0' END, ''
+            |                    ORDER BY v, u) AS phash_bits
+            |  FROM f JOIN med ON f.doc_id = med.doc_id
+            |  GROUP BY f.doc_id)
+            |SELECT doc_id, dhash_bits, ahash_bits, phash_bits
+            |FROM dbits
+            |JOIN abits USING (doc_id)
+            |JOIN pbits USING (doc_id)
+            |ORDER BY doc_id""".stripMargin))
+
+  /** Banded dHash near-dup pairs over the full corpus, with planted
+    * twins: every doc_id ≡ 1 (mod 10) reuses its predecessor's pixel
+    * model perturbed at pixel 0 (+8 mod 256) — Hamming ≤ 1 by
+    * construction, so each twin pair MUST surface; unrelated md5
+    * patterns sit near Hamming 32 and must not. Spark bands the long
+    * hash low-bits-first, the oracle bands the bit string MSB-first —
+    * the layouts differ but both guarantee recall at Hamming ≤ 7
+    * (8 bands, pigeonhole), so the verified pair sets are identical.
+    */
+  val qDedupImage = QueryDef(
+    "q_dedup_image",
+    (s, d) => {
+      val id = col("doc_id")
+      val isTwin = pmod(id, lit(10)) === 1
+      val base = when(isTwin, id - 1).otherwise(id)
+      val media = QueryDef.table(s, d, "documents")
+        .select(id.as("media_id"),
+          bmpPayload(p => pmod(
+            lumCol(base, p) +
+              when(isTwin && (p === 0), lit(8)).otherwise(lit(0)),
+            lit(256))).as("payload"))
+      ImageHash.imageNearDupPairs(s, media, maxHamming = 6)
+        .orderBy("id1", "id2")
+    },
+    Some(s"""WITH ${dhashCtes("", twin = true)},
+            |bands AS (
+            |  SELECT doc_id, dhash_bits,
+            |         CAST(b.range AS INTEGER) AS band,
+            |         substr(dhash_bits, CAST(b.range * 8 + 1 AS INTEGER), 8) AS bk
+            |  FROM dbits, range(8) b),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+            |         a.dhash_bits AS h1, b.dhash_bits AS h2
+            |  FROM bands a
+            |  JOIN bands b ON a.band = b.band AND a.bk = b.bk
+            |               AND a.doc_id < b.doc_id),
+            |ham AS (
+            |  SELECT id1, id2,
+            |         CAST(sum(CASE WHEN substr(h1, CAST(j.range AS INTEGER), 1)
+            |                         <> substr(h2, CAST(j.range AS INTEGER), 1)
+            |                  THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+            |  FROM cand, range(1, 65) j
+            |  GROUP BY 1, 2)
+            |SELECT id1, id2, hamming
+            |FROM ham WHERE hamming <= 6
+            |ORDER BY id1, id2""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qImagePhash, qDedupImage)
+}
