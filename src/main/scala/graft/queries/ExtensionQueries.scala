@@ -1057,14 +1057,14 @@ object ExtensionQueries {
       val probes = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       Similarity.lshTopKMulti(e, "vec_id", "embedding", probes, "q_id", "q_emb",
-          10, bits = 6, tables = 4, probeHamming = 1)
+          10, bits = 6, tables = 12, probeHamming = 1)
         .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
         .orderBy("q_id", "vec_id")
     },
     Some(lshTopKOracle(
       prefix = "corpusrel AS (SELECT vec_id, embedding FROM embeddings)",
       probeIds = "SELECT vec_id AS q_id FROM corpusrel WHERE vec_id < 3",
-      bits = 6, tables = 4, k = 10)))
+      bits = 6, tables = 12, k = 10)))
 
   /** IVF approximate top-k — coarse-quantizer inverted lists, nProbe
     * tunable recall. HASH-CHECKED since round 10: the fixed-point
@@ -1178,14 +1178,14 @@ object ExtensionQueries {
       val probes = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       Similarity.pqTopK(e, "vec_id", "embedding", probes, "q_id", "q_emb",
-          k = 10, rerankFactor = 16)
+          k = 10, rerankFactor = 64)
         .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
         .orderBy("q_id", "vec_id")
     },
     Some(LloydOracles.pqKmeansOracle(
       m = 8, ksub = 16, dsub = 8, iters = 10,
       sampleN = 16 * Similarity.PqSamplesPerCentroid,
-      dim = 64, k = 10, rerankFactor = 16)))
+      dim = 64, k = 10, rerankFactor = 64)))
 
   /** The DuckDB replay of the PQ encode/ADC/rerank machinery with the
     * INIT-ONLY codebook (iters = 0 — the first ksub distinct sample
@@ -1333,13 +1333,13 @@ object ExtensionQueries {
       val probes = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       Similarity.pqTopK(e, "vec_id", "embedding", probes, "q_id", "q_emb",
-          k = 10, rerankFactor = 16, iters = 0)
+          k = 10, rerankFactor = 64, iters = 0)
         .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
         .orderBy("q_id", "vec_id")
     },
     Some(pqInitOracle(m = 8, ksub = 16, dsub = 8,
       sampleN = 16 * Similarity.PqSamplesPerCentroid,
-      k = 10, rerankFactor = 16)))
+      k = 10, rerankFactor = 64)))
 
   /** IVFADC ([[Similarity.ivfPqTopK]]): IVF list pruning × PQ code
     * compression — the extreme-scale ANN composition (bounded corpus
@@ -1354,7 +1354,7 @@ object ExtensionQueries {
       val probes = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       Similarity.ivfPqTopK(e, "vec_id", "embedding", probes, "q_id", "q_emb",
-          k = 10, nCentroids = 32, nProbe = 8, rerankFactor = 16)
+          k = 10, nCentroids = 32, nProbe = 8, rerankFactor = 64)
         .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
         .orderBy("q_id", "vec_id")
     },
@@ -1364,7 +1364,7 @@ object ExtensionQueries {
     Some(LloydOracles.ivfPqKmeansOracle(
       nCentroids = 32, kmIters = 8, m = 8, ksub = 16, dsub = 8,
       pqIters = 10, sampleN = 16 * Similarity.PqSamplesPerCentroid,
-      dim = 64, nProbe = 8, k = 10, rerankFactor = 16,
+      dim = 64, nProbe = 8, k = 10, rerankFactor = 64,
       spillDelta = 0.4, spillCap = 6)))
 
   /** The DuckDB replay of the IVFADC COMPOSITION with both deterministic
@@ -1545,7 +1545,7 @@ object ExtensionQueries {
       val probes = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       Similarity.ivfPqTopK(e, "vec_id", "embedding", probes, "q_id", "q_emb",
-          k = 10, nCentroids = 32, nProbe = 8, rerankFactor = 16,
+          k = 10, nCentroids = 32, nProbe = 8, rerankFactor = 64,
           quantizer = "lowid", iters = 0)
         .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
         .orderBy("q_id", "vec_id")
@@ -1553,7 +1553,7 @@ object ExtensionQueries {
     Some(ivfPqInitOracle(nCentroids = 32, nProbe = 8,
       m = 8, ksub = 16, dsub = 8,
       sampleN = 16 * Similarity.PqSamplesPerCentroid,
-      k = 10, rerankFactor = 16)))
+      k = 10, rerankFactor = 64)))
 
   /** The composed corpus-preparation pipeline: exact fingerprint dedup →
     * MinHash-LSH near-dup dedup → multi-probe LSH ANN over the surviving

@@ -493,6 +493,44 @@ object StreamingPipeline {
     }
   }
 
+  /** [[upsertSink]] with the OBJECT-STORE-SAFE commit protocol: the
+    * serving table lives as immutable snapshot prefixes plus a single
+    * manifest pointer ([[graft.operators.ManifestTable]] — the
+    * Iceberg-style commit reduced to a single-writer pointer), so the
+    * per-batch swap is one atomic small-object write instead of a
+    * directory rename. Same stream-side contract as [[upsertSink]]
+    * (within-batch keep-last dedup, then
+    * [[graft.operators.Upsert.upsert]] against the committed base), so
+    * the batch-parity property carries over verbatim — StreamingSpec
+    * asserts replay parity through the manifest protocol and the
+    * orphan-snapshot crash window.
+    */
+  def manifestUpsertSink(
+      changes: DataFrame, tablePath: String, key: String, orderCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.expressions.Window
+    changes.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val w = Window.partitionBy(key).orderBy(col(orderCol).desc)
+        val updates = batch
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        val merged =
+          graft.operators.ManifestTable.read(spark, tablePath) match {
+            case Some(base) =>
+              graft.operators.Upsert.upsert(
+                base.select(updates.columns.map(col): _*), updates, key)
+            case None => updates
+          }
+        // No staging re-materialization dance needed here: the snapshot
+        // write targets a FRESH prefix, so the lazy merged plan reads
+        // the old snapshot while writing the new one.
+        graft.operators.ManifestTable.commit(merged, tablePath, batchId)
+        ()
+    }
+  }
+
   /** Streaming twin of the MAD anomaly gate
     * ([[graft.etl.Anomaly]], `q_anomaly_mad`): per-group robust
     * thresholds computed BATCH-side flag the live event stream — the
