@@ -758,6 +758,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("manifest upsert sink: replay parity through the pointer-commit protocol") {
+    implicit val sqlCtx = spark.sqlContext
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_sink_").toString + "/table"
+    new java.io.File(tableDir).mkdirs()
+    val input = MemoryStream[(Long, Long, String)] // (key, seq, value)
+    val q = StreamingPipeline.manifestUpsertSink(
+        input.toDF().toDF("k", "seq", "v"), tableDir, "k", "seq")
+      .start()
+    try {
+      input.addData((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "c"))
+      q.processAllAvailable()
+      input.addData((2L, 5L, "d"), (3L, 1L, "e"))
+      q.processAllAvailable()
+      val table = graft.operators.ManifestTable.read(spark, tableDir).get
+        .select("k", "v").as[(Long, String)].collect().toMap
+      assert(table === Map(1L -> "b", 2L -> "d", 3L -> "e"))
+      // the pointer resolves to exactly ONE live snapshot; GC keeps at
+      // most the previous one alongside it
+      val snaps = new java.io.File(tableDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("snap-")).map(_.getName)
+      val current = graft.operators.ManifestTable.currentSnapshot(tableDir).get
+      assert(snaps.contains(current))
+      assert(snaps.length <= 2, s"GC left ${snaps.toSeq}")
+    } finally q.stop()
+  }
+
+  test("manifest table: orphan snapshots (crashed attempts) never surface") {
+    import org.apache.spark.sql.functions.col
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_crash_").toString + "/table"
+    new java.io.File(tableDir).mkdirs()
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    graft.operators.ManifestTable.commit(v1, tableDir, batchId = 0L)
+    // simulate a crash AFTER a snapshot write but BEFORE the pointer
+    // update: a fully-written orphan prefix that nothing references
+    val orphan = Seq((1L, "GARBAGE")).toDF("k", "v")
+    orphan.write.parquet(new java.io.File(tableDir, "snap-000000001-deadbeef").getPath)
+    val read1 = graft.operators.ManifestTable.read(spark, tableDir).get
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(read1 === Map(1L -> "a", 2L -> "b")) // reader unaffected
+    // the NEXT successful commit garbage-collects the orphan
+    val v2 = Seq((1L, "a2"), (2L, "b")).toDF("k", "v")
+    graft.operators.ManifestTable.commit(v2, tableDir, batchId = 1L)
+    val names = new java.io.File(tableDir).listFiles().map(_.getName).toSet
+    assert(!names.contains("snap-000000001-deadbeef"))
+    val read2 = graft.operators.ManifestTable.read(spark, tableDir).get
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(read2 === Map(1L -> "a2", 2L -> "b"))
+    // empty-table read contract
+    val empty = java.nio.file.Files
+      .createTempDirectory("graft_manifest_empty_").toString
+    assert(graft.operators.ManifestTable.read(spark, empty).isEmpty)
+  }
+
   test("upsert sink: serving table equals batch keep-last after multi-batch replay") {
     implicit val sqlCtx = spark.sqlContext
     val tableDir = java.nio.file.Files
