@@ -383,22 +383,32 @@ object TextAnalysis {
     * Output: input + `banned_count` + `keep`. NULL text ⇒ NULL
     * annotations (no content to screen — route, don't silently keep).
     */
-  def blocklistScreen(
-      df: DataFrame, text: String, blocklist: Seq[String],
-      maxBannedPerMille: Long = 0): DataFrame = {
+  /** Whole-word banned-term occurrence count — [[blocklistScreen]]'s
+    * scoring column as a standalone expression (one codegen'd regex,
+    * zero shuffles; also the SQL macro `graft_banned_count`). NULL text
+    * counts NULL. Terms are restricted to [A-Za-z0-9_-]+ so the regex
+    * is engine-safe with no escaping.
+    */
+  def bannedCount(text: Column, blocklist: Seq[String]): Column = {
     require(blocklist.nonEmpty, "blocklist must not be empty")
-    require(maxBannedPerMille >= 0 && maxBannedPerMille <= 1000,
-      s"maxBannedPerMille must be in [0, 1000], got $maxBannedPerMille")
     val bad = blocklist.find(!_.matches("[A-Za-z0-9_-]+"))
     require(bad.isEmpty,
       s"blocklist terms must match [A-Za-z0-9_-]+ (regex- and engine-safe): ${bad.get}")
+    val pattern = "\\b(" + blocklist.map(_.toLowerCase).distinct.mkString("|") + ")\\b"
+    when(text.isNull, lit(null).cast("long"))
+      .otherwise(regexp_count(lower(text), lit(pattern)).cast("long"))
+  }
+
+  def blocklistScreen(
+      df: DataFrame, text: String, blocklist: Seq[String],
+      maxBannedPerMille: Long = 0): DataFrame = {
+    require(maxBannedPerMille >= 0 && maxBannedPerMille <= 1000,
+      s"maxBannedPerMille must be in [0, 1000], got $maxBannedPerMille")
+    // term validation lives in bannedCount — one definition, no drift
     val reserved = Seq("banned_count", "keep")
     reserved.foreach(c => require(!df.columns.contains(c),
       s"input must not already contain reserved column $c"))
-    val pattern = "\\b(" + blocklist.map(_.toLowerCase).distinct.mkString("|") + ")\\b"
-    df.withColumn("banned_count",
-        when(col(text).isNull, lit(null).cast("long"))
-          .otherwise(regexp_count(lower(col(text)), lit(pattern)).cast("long")))
+    df.withColumn("banned_count", bannedCount(col(text), blocklist))
       .withColumn("keep",
         when(col(text).isNull, lit(null).cast("boolean"))
           .otherwise(

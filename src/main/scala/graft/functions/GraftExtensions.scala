@@ -64,6 +64,7 @@ object GraftFunctions {
     e.eval().asInstanceOf[Int]
   }
 
+
   private[functions] val floatVectorCosineDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     descriptor("float_vector_cosine", classOf[FloatVectorCosine],
@@ -99,9 +100,44 @@ object GraftFunctions {
       graft.ext.Dedup.simhash64(args.head)
     },
     macroFn("graft_lang_id",
-      "_FUNC_(text) - marker-token language id (en/es/de/und)") { args =>
+      "_FUNC_(text) - marker-token language id (en/es/de/und). CHEAP " +
+        "SCREEN only: the primary language identifier is the trained " +
+        "char-trigram Naive Bayes scorer (graft.ext.LangId.train/score, " +
+        "q_lang_id_ngram) - a model artifact, not a scalar, so it has " +
+        "no macro form; use this one for triage, the NB scorer for " +
+        "corpus decisions") { args =>
       require(args.length == 1, "graft_lang_id expects 1 argument")
       graft.ext.TextAnalysis.languageId(args.head)
+    },
+    macroFn("graft_banned_count",
+      "_FUNC_(text, terms_csv) - whole-word occurrences of any " +
+        "comma-separated blocklist term (the C4/UT1 screen's scoring " +
+        "column; terms restricted to [A-Za-z0-9_-]+)") { args =>
+      require(args.length == 2, "graft_banned_count expects 2 arguments")
+      graft.ext.TextAnalysis.bannedCount(args.head,
+        Bridge.foldableString("graft_banned_count", "terms_csv", args(1))
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    },
+    macroFn("graft_ccnet_bucket",
+      "_FUNC_(scoreq, cutoffs_csv, fallback) - frozen-cutoff CCNet " +
+        "bucket of an integer LM score: first label:minscore pair " +
+        "(best-first, e.g. 'head:1200,middle:400') whose cutoff the " +
+        "score meets, else the fallback label - the ingest-edge twin " +
+        "of graft.ext.Relevance.perplexityBuckets (the corpus-quantile " +
+        "batch operator; its cutoffs come from Relevance.bucketCutoffs)") { args =>
+      require(args.length == 3, "graft_ccnet_bucket expects 3 arguments")
+      val cutoffs = Bridge
+        .foldableString("graft_ccnet_bucket", "cutoffs_csv", args(1))
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        .map { kv =>
+          val Array(label, cut) = kv.split(":", 2)
+          require(cut.matches("-?[0-9]+"),
+            s"graft_ccnet_bucket: cutoff for '$label' must be an integer, got '$cut'")
+          (label, cut.toLong)
+        }
+      val fallback = Bridge
+        .foldableString("graft_ccnet_bucket", "fallback", args(2))
+      graft.ext.Relevance.bucketExpr(args.head, cutoffs, fallback)
     },
     macroFn("graft_doc_fingerprint",
       "_FUNC_(text) - md5 of case/whitespace-normalized text") { args =>

@@ -32,6 +32,23 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     def docs: DataFrame = spark.read.parquet(s"$sfDir/documents.parquet")
 
+  /** The q_image_phash payload synth (md5-patterned gray BMPs), as a
+    * probe input: every row carries a distinct 822-byte image.
+    */
+  def syntheticImages(docs: DataFrame): DataFrame = {
+    val header = "424D" + "36030000" + "00000000" + "36000000" +
+      "28000000" + "10000000" + "F0FFFFFF" + "0100" + "1800" +
+      "00000000" + "00030000" + "00000000" + "00000000" + "00000000" +
+      "00000000"
+    docs.select(col("doc_id").as("media_id"),
+      unhex(concat(lit(header), array_join(
+        transform(sequence(lit(0), lit(255)),
+          p => repeat(lpad(hex(conv(substring(md5(concat(
+            col("doc_id").cast("string"), lit("_"), p.cast("string"))),
+            1, 2), 16, 10).cast("int")), 2, "0"), 3)),
+        ""))).as("payload"))
+  }
+
     val ops: Seq[(String, () => DataFrame)] = Seq(
       "kn_lm" -> (() =>
         graft.ext.Relevance.knLmScore(docs, "doc_id", "text")),
@@ -74,6 +91,25 @@ object ScaleProbe {
           docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
         graft.ext.Dedup.incrementalMinhash(
           docs.filter(col("doc_id") % 2 === 1), idx, "doc_id", "text")
+      }),
+      // round-13 additions: perceptual image hashing over synthesized
+      // 16x16 BMPs (payload build + real decode + dHash/aHash/pHash per
+      // row — pure projection, the probe's cost IS the per-row work),
+      // banded image near-dup pairing, and the unigram tokenizer's
+      // train + encode loop (bounded-driver EM over the distinct-word
+      // dictionary).
+      "image_hashes" -> (() =>
+        graft.ext.ImageHash.imageHashes(spark, syntheticImages(docs))),
+      "dedup_image" -> (() =>
+        graft.ext.ImageHash.imageNearDupPairs(
+          spark, syntheticImages(docs), maxHamming = 6)),
+      "unigram_train" -> (() =>
+        graft.ext.UnigramTrainer.train(spark, docs, "text",
+          vocabSize = 300, emIters = 2)),
+      "unigram_encode" -> (() => {
+        val m = graft.ext.UnigramTrainer.train(spark,
+          docs.filter(col("doc_id") < 400), "text", 300, 2)
+        graft.ext.UnigramTrainer.encode(docs, "doc_id", "text", m)
       }))
 
     val only = sys.env.get("SPARK_GRAFT_PROBE_OPS")

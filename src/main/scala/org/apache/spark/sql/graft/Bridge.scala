@@ -26,6 +26,21 @@ object Bridge {
   def resolvedExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 
+  /** Evaluate a foldable string Column at macro-expansion time —
+    * config parameters of macro-registered SQL functions (a blocklist,
+    * a cutoff table) must be plan constants because they expand into
+    * the returned expression tree.
+    */
+  def foldableString(fn: String, arg: String, c: Column): String = {
+    val e = resolvedExpression(c)
+    require(e.foldable &&
+      e.dataType == org.apache.spark.sql.types.StringType,
+      s"$fn: $arg must be a string literal")
+    val v = e.eval()
+    require(v != null, s"$fn: $arg must not be NULL")
+    v.toString
+  }
+
   /** Wrap a (resolved-children) logical plan as a DataFrame — the entry
     * point for custom logical nodes like [[graft.plans.AsOfJoinPlan]].
     */

@@ -99,6 +99,53 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.head.getDouble(0) == 23.0)
   }
 
+  test("graft_banned_count: blocklist screen scoring column from SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, "the BIG slow merge was big"), (2L, "clean text"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("id", "text").createOrReplaceTempView("blk_sql_t")
+    val r = spark.sql(
+      "SELECT id, graft_banned_count(text, 'slow,big,merge') AS n " +
+        "FROM blk_sql_t ORDER BY id").collect()
+    assert(r(0).getLong(1) == 4L) // big(x2, case-folded) + slow + merge
+    assert(r(1).getLong(1) == 0L)
+    assert(r(2).isNullAt(1))
+    // parity with the DataFrame operator's column
+    val df = graft.ext.TextAnalysis.blocklistScreen(
+      spark.table("blk_sql_t"), "text", Seq("slow", "big", "merge"))
+    assert(df.orderBy("id").select("banned_count").collect().map(r =>
+      if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq == Seq(4L, 0L, -1L))
+    // non-literal terms rejected at analysis
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_banned_count(text, text) FROM blk_sql_t").collect()
+    }
+    assert(err.getMessage.contains("string literal"), err.getMessage)
+  }
+
+  test("graft_ccnet_bucket: frozen-cutoff bucket assignment from SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, 1500L), (2L, 700L), (3L, -50L))
+      .toDF("id", "scoreq").createOrReplaceTempView("ccb_sql_t")
+    val r = spark.sql(
+      "SELECT id, graft_ccnet_bucket(scoreq, 'head:1200,middle:400', 'tail') AS b " +
+        "FROM ccb_sql_t ORDER BY id").as[(Long, String)].collect().toSeq
+    assert(r == Seq((1L, "head"), (2L, "middle"), (3L, "tail")))
+    // the macro expands the SAME expression the Scala edge twin uses
+    val viaScala = spark.table("ccb_sql_t")
+      .select($"id", graft.ext.Relevance.bucketExpr(
+        $"scoreq", Seq("head" -> 1200L, "middle" -> 400L), "tail").as("b"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(viaScala == r)
+    val err = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_ccnet_bucket(scoreq, 'head:notanint', 'tail') FROM ccb_sql_t")
+        .collect()
+    }
+    assert(err.getMessage.contains("must be an integer"), err.getMessage)
+  }
+
   test("url macro functions: canonicalize/host/domain callable from SQL") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
