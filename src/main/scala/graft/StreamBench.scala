@@ -111,7 +111,8 @@ object StreamBench {
           width = 64, depth = 4, windowDur = "1 hour", watermark = "1 hour"))
     ) :+ runAnn(spark, sfDir, nTriggers) :+ runCurate(spark, sfDir, nTriggers) :+
       runCurateHot(spark, sfDir, nTriggers) :+ runDsir(spark, sfDir, nTriggers) :+
-      runLangId(spark, sfDir, nTriggers) :+ runKn(spark, sfDir, nTriggers)
+      runLangId(spark, sfDir, nTriggers) :+ runKn(spark, sfDir, nTriggers) :+
+      runManifest(spark, sfDir, nTriggers)
 
     val twinJs = twins.map { case (n, js) => "\"" + n + "\":" + js }
       .mkString("{", ",", "}")
@@ -419,6 +420,52 @@ object StreamBench {
         progress.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
           .getOrElse(0L)
       "kn_intake" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"final_state_rows":$finalState}"""
+    } finally q.stop()
+  }
+
+  /** The manifest-pointer serving-table sink (r13) under the same
+    * harness: the events stream replays as a keyed change log through
+    * [[StreamingPipeline.manifestUpsertSink]] — per trigger the cost is
+    * within-batch keep-last dedup + the upsert merge against the
+    * committed snapshot + the fresh-prefix snapshot write and pointer
+    * swing. The serving-table size (the final committed row count)
+    * rides along instead of state rows (foreachBatch holds no state
+    * store).
+    */
+  private def runManifest(
+      spark: SparkSession, sfDir: String, nTriggers: Int): (String, String) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = graft.queries.QueryDef.eventsTable(spark, sfDir)
+      .where(col("user_id").isNotNull)
+      .select(col("user_id").cast("long").as("k"),
+        col("ts").as("seq"), col("event_type").as("v"))
+      .as[(Long, Long, String)].collect()
+    val chunkSize = math.max(1, (rows.length + nTriggers - 1) / nTriggers)
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_streambench_manifest_").toString
+    val input = MemoryStream[(Long, Long, String)]
+    val q: StreamingQuery = StreamingPipeline.manifestUpsertSink(
+        input.toDF().toDF("k", "seq", "v"), tableDir, "k", "seq")
+      .start()
+    val wall0 = System.nanoTime()
+    try {
+      rows.grouped(chunkSize).foreach { c =>
+        input.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - wall0) / 1e9
+      val progress = q.recentProgress.filter(_.numInputRows > 0)
+      val triggers = progress.map { p =>
+        val sec = p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3
+        s"""{"rows":${p.numInputRows},"sec":$sec}"""
+      }
+      val totalRows = progress.map(_.numInputRows).sum
+      val sumSec = progress
+        .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum / 1e3
+      val rps = if (sumSec > 0) totalRows / sumSec else 0.0
+      val served = graft.operators.ManifestTable.read(spark, tableDir)
+        .map(_.count()).getOrElse(0L)
+      "manifest_upsert" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"served_rows":$served}"""
     } finally q.stop()
   }
 }
