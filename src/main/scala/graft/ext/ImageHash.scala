@@ -408,4 +408,47 @@ object ImageHash {
       // a pair can collide in several bands — dedup across bands
       .select("id1", "id2", "hamming").distinct()
   }
+
+  /** Connected components over the VERIFIED near-dup pair graph —
+    * transitive image duplicate groups (the [[Dedup.minhashDedupClusters]]
+    * role for the perceptual fingerprint): iterated min-label
+    * propagation over [[imageNearDupPairs]]' edges, each round one
+    * pinned edge join (labels spread one hop per iteration, so `iters`
+    * must be ≥ the largest component's diameter — near-dup components
+    * are shallow in practice; raise it for pathological chains). Emits
+    * `(media_id, cluster_id)` for every image that participates in at
+    * least one verified pair, `cluster_id` = the component's minimum
+    * id. Verification-first matters: clustering RAW band collisions
+    * would chain false positives; here every edge already passed the
+    * exact Hamming check.
+    */
+  def imageDupClusters(
+      spark: SparkSession, df: DataFrame,
+      maxHamming: Int = 6, iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val pairs = imageNearDupPairs(spark, df, maxHamming)
+      .select("id1", "id2").localCheckpoint(true)
+    val edges = pairs.union(
+      pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+    var labels = pairs
+      .select(explode(array(col("id1"), col("id2"))).as("media_id"))
+      .distinct()
+      .withColumn("cluster_id", col("media_id"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      val viaNb = edges
+        .join(labels.select(col("media_id").as("id2"),
+          col("cluster_id").as("_nb")), "id2")
+        .groupBy(col("id1").as("media_id"))
+        .agg(min(col("_nb")).as("_m"))
+      labels = labels.join(viaNb, Seq("media_id"), "left")
+        .select(col("media_id"),
+          least(col("cluster_id"),
+            coalesce(col("_m"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
+      i += 1
+    }
+    labels
+  }
 }

@@ -79,17 +79,30 @@ object ImageQueries {
     (for { k <- 0 until 8; n <- 0 until ImageHash.PhashN }
       yield s"($k, $n, ${ImageHash.CosQ(k)(n)})").mkString(", ")
 
-  /** Shared oracle CTE: the pixel model (optionally with the near-dup
-    * twin perturbation) and the dHash bit string per document.
+  /** The plain pixel model: luma = first md5 byte of "<doc_id>_<i>". */
+  private val PlainLum =
+    "CAST(('0x' || substr(md5(doc_id::VARCHAR || '_' || r.range::VARCHAR), 1, 2)) AS BIGINT)"
+
+  /** Twin model (q_dedup_image): doc_id ≡ 1 (mod 10) reuses its
+    * predecessor's pixels perturbed at pixel 0. Single line: a
+    * generated SQL line must never START with '|' (stripMargin
+    * re-strips it — the round-9 lesson).
     */
-  private def dhashCtes(pxFilter: String, twin: Boolean): String = {
-    val lum =
-      if (!twin)
-        "CAST(('0x' || substr(md5(doc_id::VARCHAR || '_' || r.range::VARCHAR), 1, 2)) AS BIGINT)"
-      else
-        // single line: a generated SQL line must never START with '|'
-        // (stripMargin re-strips it — the round-9 lesson)
-        "(CAST(('0x' || substr(md5((CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END)::VARCHAR || '_' || r.range::VARCHAR), 1, 2)) AS BIGINT) + CASE WHEN doc_id % 10 = 1 AND r.range = 0 THEN 8 ELSE 0 END) % 256"
+  private val TwinLum =
+    "(CAST(('0x' || substr(md5((CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END)::VARCHAR || '_' || r.range::VARCHAR), 1, 2)) AS BIGINT) + CASE WHEN doc_id % 10 = 1 AND r.range = 0 THEN 8 ELSE 0 END) % 256"
+
+  /** Triple model (q_image_clusters): doc_id ≡ 1 and ≡ 2 (mod 10) both
+    * reuse the base doc_id − (doc_id mod 10), perturbed at pixel 0 and
+    * pixel 1 respectively — a 3-node near-dup component per decade
+    * (base~t1 Hamming ≤ 1, base~t2 ≤ 2, t1~t2 ≤ 3).
+    */
+  private val TripleLum =
+    "(CAST(('0x' || substr(md5((CASE WHEN doc_id % 10 IN (1, 2) THEN doc_id - doc_id % 10 ELSE doc_id END)::VARCHAR || '_' || r.range::VARCHAR), 1, 2)) AS BIGINT) + CASE WHEN doc_id % 10 = 1 AND r.range = 0 THEN 8 WHEN doc_id % 10 = 2 AND r.range = 1 THEN 8 ELSE 0 END) % 256"
+
+  /** Shared oracle CTE: the pixel model (`lum` = one of the generative
+    * expressions above) and the dHash bit string per document.
+    */
+  private def dhashCtes(pxFilter: String, lum: String): String = {
     s"""px AS MATERIALIZED (
        |  SELECT doc_id,
        |         CAST(r.range AS BIGINT) AS i,
@@ -134,7 +147,7 @@ object ImageQueries {
           lpad(bin(col("phash")), 64, "0").as("phash_bits"))
         .orderBy("doc_id")
     },
-    Some(s"""WITH ${dhashCtes("WHERE doc_id % 5 = 0", twin = false)},
+    Some(s"""WITH ${dhashCtes("WHERE doc_id % 5 = 0", PlainLum)},
             |g8 AS MATERIALIZED (
             |  SELECT doc_id, y // 2 AS cy, x // 2 AS cx,
             |         CAST(sum(lum) AS BIGINT) // count(*) AS g
@@ -199,7 +212,7 @@ object ImageQueries {
       ImageHash.imageNearDupPairs(s, media, maxHamming = 6)
         .orderBy("id1", "id2")
     },
-    Some(s"""WITH ${dhashCtes("", twin = true)},
+    Some(s"""WITH ${dhashCtes("", TwinLum)},
             |bands AS (
             |  SELECT doc_id, dhash_bits,
             |         CAST(b.range AS INTEGER) AS band,
@@ -222,5 +235,72 @@ object ImageQueries {
             |FROM ham WHERE hamming <= 6
             |ORDER BY id1, id2""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qImagePhash, qDedupImage)
+  /** Transitive image near-dup components over verified pairs, with
+    * planted 3-node chains: per decade, doc_id ≡ 1 and ≡ 2 (mod 10)
+    * both perturb the decade base's pixels (pixels 0 and 1), so
+    * {base, t1, t2} must collapse into one cluster labeled by the base
+    * id. The oracle replays the pair machinery then unrolls 4
+    * min-label-propagation rounds as chained CTEs (diameter here is 2;
+    * the slack rounds prove stability at the fixpoint).
+    */
+  val qImageClusters = QueryDef(
+    "q_image_clusters",
+    (s, d) => {
+      val id = col("doc_id")
+      val m10 = pmod(id, lit(10))
+      val isPerturbed = m10.isin(1, 2)
+      val base = when(isPerturbed, id - m10).otherwise(id)
+      val media = QueryDef.table(s, d, "documents")
+        .select(id.as("media_id"),
+          bmpPayload(p => pmod(
+            lumCol(base, p) +
+              when(m10 === 1 && (p === 0), lit(8))
+                .when(m10 === 2 && (p === 1), lit(8))
+                .otherwise(lit(0)),
+            lit(256))).as("payload"))
+      ImageHash.imageDupClusters(s, media, maxHamming = 6, iters = 4)
+        .orderBy("media_id")
+    },
+    Some {
+      val labSteps = (1 to 4).map { t =>
+        s"""lab$t AS MATERIALIZED (
+           |  SELECT l.media_id,
+           |         least(l.cluster_id, COALESCE(m.mn, l.cluster_id)) AS cluster_id
+           |  FROM lab${t - 1} l
+           |  LEFT JOIN (SELECT e.id1 AS media_id, min(p.cluster_id) AS mn
+           |             FROM edges e JOIN lab${t - 1} p ON p.media_id = e.id2
+           |             GROUP BY 1) m ON m.media_id = l.media_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${dhashCtes("", TripleLum)},
+         |bands AS (
+         |  SELECT doc_id, dhash_bits,
+         |         CAST(b.range AS INTEGER) AS band,
+         |         substr(dhash_bits, CAST(b.range * 8 + 1 AS INTEGER), 8) AS bk
+         |  FROM dbits, range(8) b),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+         |         a.dhash_bits AS h1, b.dhash_bits AS h2
+         |  FROM bands a
+         |  JOIN bands b ON a.band = b.band AND a.bk = b.bk
+         |               AND a.doc_id < b.doc_id),
+         |vpairs AS MATERIALIZED (
+         |  SELECT id1, id2 FROM (
+         |    SELECT id1, id2,
+         |           sum(CASE WHEN substr(h1, CAST(j.range AS INTEGER), 1)
+         |                      <> substr(h2, CAST(j.range AS INTEGER), 1)
+         |               THEN 1 ELSE 0 END) AS hamming
+         |    FROM cand, range(1, 65) j
+         |    GROUP BY 1, 2) h
+         |  WHERE hamming <= 6),
+         |edges AS MATERIALIZED (
+         |  SELECT id1, id2 FROM vpairs
+         |  UNION ALL SELECT id2 AS id1, id1 AS id2 FROM vpairs),
+         |lab0 AS MATERIALIZED (
+         |  SELECT media_id, media_id AS cluster_id FROM (
+         |    SELECT DISTINCT id1 AS media_id FROM edges) ids),
+         |$labSteps
+         |SELECT media_id, cluster_id FROM lab4 ORDER BY media_id""".stripMargin
+    })
+
+  val all: Seq[QueryDef] = Seq(qImagePhash, qDedupImage, qImageClusters)
 }

@@ -453,9 +453,12 @@ object StreamingPipeline {
         // sequence number or event time) — ties would make keep-last
         // nondeterministic, exactly as in batch keep-last dedup
         val w = Window.partitionBy(key).orderBy(col(orderCol).desc)
+        // Pinned: see manifestUpsertSink — the merge consumes updates
+        // twice, and unpinned each consumption re-reads the micro-batch.
         val updates = batch
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
+          .localCheckpoint(true)
         val fs = new java.io.File(tablePath)
         val merged =
           if (fs.exists()) {
@@ -513,9 +516,14 @@ object StreamingPipeline {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val w = Window.partitionBy(key).orderBy(col(orderCol).desc)
+        // Pinned: Upsert.upsert consumes updates TWICE (anti-join keys +
+        // the union branch) — unpinned, each consumption re-reads the
+        // source micro-batch (measured 2x numInputRows in StreamBench's
+        // manifest_upsert profile).
         val updates = batch
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
+          .localCheckpoint(true)
         val merged =
           graft.operators.ManifestTable.read(spark, tablePath) match {
             case Some(base) =>

@@ -239,6 +239,26 @@ class ImageHashSpec extends SparkSpec {
     assert(got(2).isNullAt(2) && got(3).isNullAt(2))
   }
 
+  test("imageDupClusters: a perturbation chain collapses to one component") {
+    import spark.implicits._
+    def img(seed: Int, perturbAt: Int): Array[Byte] =
+      bmp(16, 16, (x, y) => {
+        val base = ((x * 7 + y * 11) * seed) % 256
+        val v = if (perturbAt >= 0 && x == perturbAt && y == 0)
+          (base + 8) % 256 else base
+        (v, v, v)
+      }, topDown = true)
+    val rows = Seq(
+      (10L, img(31, -1)), (11L, img(31, 0)), (12L, img(31, 1)), // chain
+      (20L, img(97, -1)), (21L, img(97, 0)),                    // pair
+      (30L, img(151, -1)))                                      // singleton
+    val got = ImageHash.imageDupClusters(
+        spark, rows.toDF("media_id", "payload"), maxHamming = 6, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L)) // 30 pairs with nothing -> absent
+  }
+
   test("imageNearDupPairs: planted twin surfaces, strangers do not") {
     import spark.implicits._
     def img(seed: Int, perturb: Boolean): Array[Byte] =
