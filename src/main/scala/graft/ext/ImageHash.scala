@@ -44,9 +44,13 @@ object ImageHash {
     * padded to 4 bytes. PNG: 8-bit depth, color types 0 (gray),
     * 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), no interlace;
     * IDAT chunks concatenated, zlib-inflated, and unfiltered per row
-    * (filters 0–4 incl. Paeth). Anything else — or any truncated /
-    * malformed structure — returns None rather than garbage pixels.
-    * Luma is integer Rec.601: (299·R + 587·G + 114·B) div 1000.
+    * (filters 0–4 incl. Paeth). GIF 87a/89a: first frame, real LZW,
+    * global/local palette, non-interlaced. TIFF 6.0 baseline: 8-bit
+    * gray/RGB uncompressed strips, both byte orders. JPEG is the
+    * documented restriction (entropy decode out of scope — hashes
+    * NULL). Anything else — or any truncated / malformed structure —
+    * returns None rather than garbage pixels. Luma is integer
+    * Rec.601: (299·R + 587·G + 114·B) div 1000.
     */
   def decodeLuma(bytes: Array[Byte]): Option[Pixels] = {
     if (bytes == null || bytes.length < 8) return None
@@ -54,8 +58,17 @@ object ImageHash {
     val isPng = bytes.length >= 8 &&
       u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G'
     val isBmp = u8(0) == 'B' && u8(1) == 'M'
+    val isGif = u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8'
+    val isTiff =
+      (u8(0) == 'I' && u8(1) == 'I' && u8(2) == 42 && u8(3) == 0) ||
+        (u8(0) == 'M' && u8(1) == 'M' && u8(2) == 0 && u8(3) == 42)
     if (isPng) decodePng(bytes)
     else if (isBmp) decodeBmp(bytes)
+    else if (isGif) decodeGif(bytes)
+    else if (isTiff) decodeTiff(bytes)
+    // JPEG is the documented restriction: entropy-coded pixel recovery
+    // needs a full Huffman+IDCT decoder; JPEG payloads hash NULL and a
+    // production deploy plugs a decoder into this dispatch.
     else None
   }
 
@@ -208,6 +221,254 @@ object ImageHash {
             palette(idx + 2) & 0xff)
       }
       p += 1
+    }
+    Some(Pixels(w, h, out))
+  }
+
+  /** GIF 87a/89a FIRST image frame — real LZW decompression (LSB-first
+    * variable-width codes, clear/EOI handling, 12-bit cap), global or
+    * local palette, non-interlaced only (bit 6 of the image packed
+    * field rejects). The frame decodes at its own dimensions;
+    * screen-placement compositing is animation semantics, out of scope
+    * for a content hash.
+    */
+  private def decodeGif(bytes: Array[Byte]): Option[Pixels] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (bytes.length < 13) return None
+    if (u8(4) != '7' && u8(4) != '9') return None
+    if (u8(5) != 'a') return None
+    val packed = u8(10)
+    val hasGct = (packed & 0x80) != 0
+    val gctLen = if (hasGct) 3 * (1 << ((packed & 7) + 1)) else 0
+    if (13 + gctLen > bytes.length) return None
+    val gct = if (hasGct)
+      java.util.Arrays.copyOfRange(bytes, 13, 13 + gctLen) else null
+    var i = 13 + gctLen
+    while (i < bytes.length) {
+      u8(i) match {
+        case 0x3b => return None // trailer before any image
+        case 0x21 => // extension: label, then length-prefixed sub-blocks
+          i += 2
+          while (i < bytes.length && u8(i) != 0) i += 1 + u8(i)
+          i += 1
+        case 0x2c =>
+          if (i + 10 > bytes.length) return None
+          val w = u16le(i + 5); val h = u16le(i + 7)
+          val ipacked = u8(i + 9)
+          if ((ipacked & 0x40) != 0) return None // interlaced: unsupported
+          val hasLct = (ipacked & 0x80) != 0
+          val lctLen = if (hasLct) 3 * (1 << ((ipacked & 7) + 1)) else 0
+          var p = i + 10
+          if (p + lctLen >= bytes.length) return None
+          val pal = if (hasLct)
+            java.util.Arrays.copyOfRange(bytes, p, p + lctLen) else gct
+          if (pal == null || w <= 0 || h <= 0 ||
+            w.toLong * h > (1L << 26)) return None
+          p += lctLen
+          val minCode = u8(p); p += 1
+          if (minCode < 2 || minCode > 11) return None
+          // concatenate the length-prefixed data sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          var ok = true
+          while (ok && p < bytes.length && u8(p) != 0) {
+            val len = u8(p)
+            if (p + 1 + len > bytes.length) ok = false
+            else { data.write(bytes, p + 1, len); p += 1 + len }
+          }
+          if (!ok) return None
+          val idx = gifLzw(minCode, data.toByteArray, w * h)
+            .getOrElse(return None)
+          val out = new Array[Int](w * h)
+          var q = 0
+          while (q < out.length) {
+            val pi = idx(q) * 3
+            if (pi + 2 >= pal.length) return None
+            out(q) = luma601(pal(pi) & 0xff, pal(pi + 1) & 0xff,
+              pal(pi + 2) & 0xff)
+            q += 1
+          }
+          return Some(Pixels(w, h, out))
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** GIF-flavor LZW: LSB-first bit stream, initial code width
+    * `minCode`+1, dictionary reset on CLEAR (2^minCode), stop at EOI,
+    * width grows when the dictionary fills its current range (capped at
+    * 12 bits). Returns exactly `expected` palette indices or None on
+    * any malformed stream.
+    */
+  private def gifLzw(
+      minCode: Int, data: Array[Byte], expected: Int): Option[Array[Int]] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new Array[Int](expected)
+    var outN = 0
+    // dictionary as (prefix code, appended index); roots are -1-prefixed
+    val prefix = new Array[Int](4096)
+    val append = new Array[Int](4096)
+    var dictN = 0
+    def reset(): Unit = {
+      dictN = clear + 2
+      var c = 0
+      while (c < clear) { prefix(c) = -1; append(c) = c; c += 1 }
+    }
+    reset()
+    var codeSize = minCode + 1
+    var acc = 0; var accBits = 0; var bi = 0
+    var prev = -1
+    val buf = new Array[Int](4096)
+    while (outN < expected) {
+      while (accBits < codeSize) {
+        if (bi >= data.length) return None
+        acc |= (data(bi) & 0xff) << accBits; accBits += 8; bi += 1
+      }
+      val code = acc & ((1 << codeSize) - 1)
+      acc >>>= codeSize; accBits -= codeSize
+      if (code == clear) { reset(); codeSize = minCode + 1; prev = -1 }
+      else if (code == eoi) return if (outN == expected) Some(out) else None
+      else {
+        // expand `code` (or prev+firstOf(prev) for the just-created code)
+        var emit = code
+        var kwFirst = -1
+        if (code >= dictN) {
+          if (code != dictN || prev < 0) return None
+          emit = prev
+          kwFirst = 0 // placeholder; the first index of prev is appended below
+        }
+        var n = 0
+        var c = emit
+        while (c >= 0) { buf(n) = append(c); n += 1; c = prefix(c) }
+        val first = buf(n - 1)
+        // reversed expansion → output
+        var j = n - 1
+        while (j >= 0) {
+          if (outN >= expected) return None
+          out(outN) = buf(j); outN += 1; j -= 1
+        }
+        if (kwFirst == 0) { // the KwKwK case: append first symbol again
+          if (outN >= expected) return None
+          out(outN) = first; outN += 1
+        }
+        if (prev >= 0 && dictN < 4096) {
+          prefix(dictN) = prev; append(dictN) = first; dictN += 1
+          if (dictN == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    Some(out)
+  }
+
+  /** TIFF 6.0 baseline, uncompressed strips: 8-bit grayscale
+    * (PhotometricInterpretation 0/1) and 8-bit RGB, both byte orders,
+    * single or multiple strips. Anything else (compression,
+    * tiles, planar, palettes, other depths) returns None.
+    */
+  private def decodeTiff(bytes: Array[Byte]): Option[Pixels] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    val le = u8(0) == 'I'
+    def u16(i: Int): Int =
+      if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      if (le)
+        u8(i).toLong | (u8(i + 1).toLong << 8) |
+          (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      else
+        (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    if (bytes.length < 8) return None
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > bytes.length) return None
+    val n = u16(ifd.toInt)
+    if (ifd + 2 + n * 12 > bytes.length) return None
+    // tag → (type, count, value-or-offset field position)
+    var w = 0; var h = 0; var compression = 1; var photometric = -1
+    var spp = 1; var rowsPerStrip = Int.MaxValue
+    var bitsOk = true
+    var offField = -1; var offType = 0; var offCount = 0L
+    var cntField = -1; var cntType = 0; var cntCount = 0L
+    var e = 0
+    while (e < n) {
+      val p = ifd.toInt + 2 + e * 12
+      val tag = u16(p); val typ = u16(p + 2); val cnt = u32(p + 4)
+      def scalar: Int =
+        if (typ == 3) u16(p + 8) else u32(p + 8).toInt
+      tag match {
+        case 256 => w = scalar
+        case 257 => h = scalar
+        case 258 => // BitsPerSample: every sample must be 8
+          if (cnt == 1) bitsOk = scalar == 8
+          else {
+            // SHORT array: inline when cnt <= 2, else at offset
+            val base = if (cnt <= 2) p + 8 else u32(p + 8).toInt
+            if (typ != 3 || base + cnt * 2 > bytes.length) bitsOk = false
+            else {
+              var k = 0
+              while (k < cnt && bitsOk) {
+                if (u16(base + k * 2) != 8) bitsOk = false
+                k += 1
+              }
+            }
+          }
+        case 259 => compression = scalar
+        case 262 => photometric = scalar
+        case 273 => offField = p; offType = typ; offCount = cnt
+        case 277 => spp = scalar
+        case 278 => rowsPerStrip = scalar
+        case 279 => cntField = p; cntType = typ; cntCount = cnt
+        case _ => ()
+      }
+      e += 1
+    }
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+    if (compression != 1 || !bitsOk) return None
+    if (offField < 0 || cntField < 0) return None
+    if (!(photometric == 0 || photometric == 1 || photometric == 2))
+      return None
+    if (photometric == 2 && spp < 3) return None
+    if (photometric != 2 && spp != 1) return None
+    def arrayVals(field: Int, typ: Int, cnt: Long): Option[Array[Long]] = {
+      val width = if (typ == 3) 2 else if (typ == 4) 4 else return None
+      val base =
+        if (cnt * width <= 4) field + 8 else u32(field + 8).toInt
+      if (base < 0 || base + cnt * width > bytes.length) return None
+      Some(Array.tabulate(cnt.toInt) { k =>
+        if (typ == 3) u16(base + k * 2).toLong else u32(base + k * 4)
+      })
+    }
+    val offs = arrayVals(offField, offType, offCount).getOrElse(return None)
+    val cnts = arrayVals(cntField, cntType, cntCount).getOrElse(return None)
+    if (offs.length != cnts.length || offs.isEmpty) return None
+    val rowBytes = w * spp
+    val out = new Array[Int](w * h)
+    var row = 0
+    var strip = 0
+    while (row < h) {
+      if (strip >= offs.length) return None
+      val sRows = math.min(rowsPerStrip, h - row)
+      val sOff = offs(strip); val sLen = cnts(strip)
+      if (sOff < 0 || sOff + sLen > bytes.length ||
+        sLen < sRows.toLong * rowBytes) return None
+      var r = 0
+      while (r < sRows) {
+        val base = (sOff + r.toLong * rowBytes).toInt
+        var x = 0
+        while (x < w) {
+          val s = base + x * spp
+          out((row + r) * w + x) =
+            if (photometric == 2)
+              luma601(u8(s), u8(s + 1), u8(s + 2))
+            else if (photometric == 1) u8(s)
+            else 255 - u8(s) // white-is-zero
+          x += 1
+        }
+        r += 1
+      }
+      row += sRows
+      strip += 1
     }
     Some(Pixels(w, h, out))
   }

@@ -93,7 +93,216 @@ class ImageHashSpec extends SparkSpec {
     (v, (v + 40) % 256, (v + 80) % 256)
   }
 
+  /** LSB-first bit writer for hand-built LZW streams. */
+  private class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0; private var bits = 0
+    def put(v: Int, width: Int): Unit = {
+      acc |= v << bits; bits += width
+      while (bits >= 8) { out.write(acc & 0xff); acc >>>= 8; bits -= 8 }
+    }
+    def bytes: Array[Byte] = {
+      if (bits > 0) { out.write(acc & 0xff); acc = 0; bits = 0 }
+      out.toByteArray
+    }
+  }
+
+  /** GIF with a 256-entry gray global palette and a literals-only LZW
+    * stream (CLEAR re-emitted before the code width would grow — the
+    * classic "uncompressed GIF" construction, itself a legal stream).
+    */
+  private def gif(w: Int, h: Int, idx: (Int, Int) => Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(le16(w)); out.write(le16(h))
+    out.write(0x80 | 7); out.write(0); out.write(0) // GCT, 256 entries
+    (0 until 256).foreach { v => out.write(v); out.write(v); out.write(v) }
+    out.write(0x2c) // image descriptor: full frame, no LCT, no interlace
+    out.write(le16(0)); out.write(le16(0)); out.write(le16(w)); out.write(le16(h))
+    out.write(0)
+    out.write(8) // LZW min code size (256-color)
+    val bw = new BitWriter
+    bw.put(256, 9) // CLEAR
+    var sinceClear = 0
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        if (sinceClear == 250) { bw.put(256, 9); sinceClear = 0 }
+        bw.put(idx(x, y) & 0xff, 9); sinceClear += 1
+      }
+    }
+    bw.put(257, 9) // EOI
+    val data = bw.bytes
+    var o = 0
+    while (o < data.length) { // length-prefixed sub-blocks
+      val n = math.min(255, data.length - o)
+      out.write(n); out.write(data, o, n); o += n
+    }
+    out.write(0); out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** Baseline TIFF: 8-bit samples, uncompressed strips, selectable
+    * byte order, photometric, samples-per-pixel, and rows-per-strip.
+    */
+  private def tiff(w: Int, h: Int, sample: (Int, Int, Int) => Int,
+      le: Boolean, photometric: Int, spp: Int,
+      rowsPerStrip: Int): Array[Byte] = {
+    def b16(v: Int): Array[Byte] =
+      if (le) Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+      else Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def b32(v: Long): Array[Byte] =
+      if (le) Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+      else Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+    val rowBytes = w * spp
+    val strips = (0 until nStrips).map { s =>
+      val rows = math.min(rowsPerStrip, h - s * rowsPerStrip)
+      val buf = new Array[Byte](rows * rowBytes)
+      (0 until rows).foreach { r =>
+        (0 until w).foreach { x =>
+          (0 until spp).foreach { c =>
+            buf(r * rowBytes + x * spp + c) =
+              sample(x, s * rowsPerStrip + r, c).toByte
+          }
+        }
+      }
+      buf
+    }
+    // layout: 8-byte header | IFD | [strip offset/count arrays] | strips
+    val entries = 9
+    val ifdSize = 2 + entries * 12 + 4
+    val arraysAt = 8 + ifdSize
+    val arrayBytes = if (nStrips > 1) nStrips * 8 else 0
+    var stripAt = arraysAt + arrayBytes
+    val stripOffs = strips.map { s => val o = stripAt; stripAt += s.length; o }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(if (le) "II".getBytes else "MM".getBytes)
+    out.write(b16(42)); out.write(b32(8))
+    out.write(b16(entries))
+    def entry(tag: Int, typ: Int, cnt: Long, value: Array[Byte]): Unit = {
+      out.write(b16(tag)); out.write(b16(typ)); out.write(b32(cnt))
+      out.write(value); (value.length until 4).foreach(_ => out.write(0))
+    }
+    def shortVal(v: Int): Array[Byte] =
+      if (le) b16(v) ++ Array[Byte](0, 0) else b16(v) ++ Array[Byte](0, 0)
+    entry(256, 3, 1, shortVal(w))
+    entry(257, 3, 1, shortVal(h))
+    entry(258, 3, 1, shortVal(8))
+    entry(259, 3, 1, shortVal(1))
+    entry(262, 3, 1, shortVal(photometric))
+    entry(273, 4, nStrips,
+      if (nStrips == 1) b32(stripOffs.head) else b32(arraysAt))
+    entry(277, 3, 1, shortVal(spp))
+    entry(278, 3, 1, shortVal(rowsPerStrip))
+    entry(279, 4, nStrips,
+      if (nStrips == 1) b32(strips.head.length)
+      else b32(arraysAt + nStrips * 4))
+    out.write(b32(0)) // next IFD
+    if (nStrips > 1) {
+      stripOffs.foreach(o => out.write(b32(o)))
+      strips.foreach(s => out.write(b32(s.length)))
+    }
+    strips.foreach(out.write)
+    out.toByteArray
+  }
+
   // ---- decode correctness ------------------------------------------
+
+  test("GIF decode: literal LZW round-trip matches BMP of same gray pixels") {
+    def lum(x: Int, y: Int): Int = (x * 37 + y * 101) % 256
+    val fromGif = ImageHash.decodeLuma(gif(16, 16, lum)).get
+    assert(fromGif.width == 16 && fromGif.height == 16)
+    // gray palette: index IS the luma
+    assert(fromGif.luma.toSeq ==
+      (0 until 256).map(i => lum(i % 16, i / 16)))
+    // and a wide image to force the mid-stream CLEAR path (>250 pixels)
+    val wide = ImageHash.decodeLuma(gif(64, 8, lum)).get
+    assert(wide.luma.toSeq == (0 until 64 * 8).map(i => lum(i % 64, i / 64)))
+  }
+
+  test("GIF decode: real compression incl. the KwKwK case and width growth") {
+    // minCode 2: clear=4, eoi=5, width starts at 3. Stream
+    // [CLEAR, 1, 2, 6, 8, EOI] decodes to indices [1, 2, 1,2, 1,2,1]:
+    // code 6 = (1,2) created by the 2nd emit; code 8 arrives while ==
+    // dictN (KwKwK) -> expand(prev=6) + first(6); the width grows to 4
+    // bits exactly when dict entry 7 fills the 3-bit range.
+    val bw = new BitWriter
+    bw.put(4, 3); bw.put(1, 3); bw.put(2, 3); bw.put(6, 3)
+    bw.put(8, 4); bw.put(5, 4)
+    val data = bw.bytes
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(le16(7)); out.write(le16(1))
+    out.write(0x80 | 1); out.write(0); out.write(0) // GCT 4 entries
+    Seq(10, 20, 30, 40).foreach { v => out.write(v); out.write(v); out.write(v) }
+    out.write(0x2c)
+    out.write(le16(0)); out.write(le16(0)); out.write(le16(7)); out.write(le16(1))
+    out.write(0)
+    out.write(2) // LZW min code size
+    out.write(data.length); out.write(data, 0, data.length); out.write(0)
+    out.write(0x3b)
+    val px = ImageHash.decodeLuma(out.toByteArray).get
+    assert(px.luma.toSeq == Seq(20, 30, 20, 30, 20, 30, 20))
+  }
+
+  test("GIF decode: interlaced frames are rejected, truncation is safe") {
+    val good = gif(8, 8, (x, y) => x + y)
+    // set the interlace bit in the image descriptor's packed field:
+    // descriptor starts right after the 6+7+768-byte header+GCT
+    val desc = 6 + 7 + 768
+    assert((good(desc) & 0xff) == 0x2c)
+    val bad = good.clone(); bad(desc + 9) = 0x40.toByte
+    assert(ImageHash.decodeLuma(bad).isEmpty)
+    assert(ImageHash.decodeLuma(good.take(desc + 12)).isEmpty)
+  }
+
+  test("TIFF decode: gray and RGB, both byte orders, multi-strip") {
+    def lum(x: Int, y: Int): Int = (x * 37 + y * 101) % 256
+    for (le <- Seq(true, false)) {
+      val gray = ImageHash.decodeLuma(
+        tiff(16, 16, (x, y, _) => lum(x, y), le, photometric = 1,
+          spp = 1, rowsPerStrip = 5)).get
+      assert(gray.luma.toSeq == (0 until 256).map(i => lum(i % 16, i / 16)),
+        s"gray le=$le")
+      // white-is-zero inverts
+      val wz = ImageHash.decodeLuma(
+        tiff(4, 2, (x, y, _) => lum(x, y), le, photometric = 0,
+          spp = 1, rowsPerStrip = 2)).get
+      assert(wz.luma.toSeq ==
+        (0 until 8).map(i => 255 - lum(i % 4, i / 4)), s"wz le=$le")
+      // RGB goes through Rec.601
+      def rgb(x: Int, y: Int, c: Int): Int = pattern(x, y).productIterator
+        .toSeq(c).asInstanceOf[Int]
+      val color = ImageHash.decodeLuma(
+        tiff(16, 16, rgb, le, photometric = 2, spp = 3,
+          rowsPerStrip = 16)).get
+      val fromBmp = ImageHash.decodeLuma(
+        bmp(16, 16, pattern, topDown = true)).get
+      assert(color.luma.toSeq == fromBmp.luma.toSeq, s"rgb le=$le")
+    }
+    // compressed TIFFs are rejected, not mis-decoded
+    val deflated = tiff(4, 4, (x, y, _) => x + y, le = true,
+      photometric = 1, spp = 1, rowsPerStrip = 4)
+    // compression tag value lives in entry index 3 (tag 259) at the
+    // value field: header(8) + count(2) + 3*12 + 8
+    val cOff = 8 + 2 + 3 * 12 + 8
+    val badc = deflated.clone(); badc(cOff) = 5
+    assert(ImageHash.decodeLuma(badc).isEmpty)
+  }
+
+  test("GIF/TIFF hashes are format-independent with BMP") {
+    val g = ImageHash.decodeLuma(gif(16, 16,
+      (x, y) => {
+        val (r, gg, b) = pattern(x, y)
+        (299 * r + 587 * gg + 114 * b) / 1000
+      })).get
+    val b = ImageHash.decodeLuma(bmp(16, 16, pattern, topDown = true)).get
+    // the GIF carries the BMP's LUMA as gray — identical hash input
+    assert(ImageHash.dHash(g) == ImageHash.dHash(b))
+    assert(ImageHash.pHash(g) == ImageHash.pHash(b))
+  }
 
   test("BMP decode: bottom-up and top-down agree, luma is Rec.601 floor") {
     val up = ImageHash.decodeLuma(bmp(5, 3, pattern, topDown = false)).get
