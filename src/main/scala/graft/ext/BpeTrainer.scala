@@ -31,7 +31,7 @@ object BpeTrainer {
     * per-element re-evaluation of anything expensive), null-padded tail
     * filtered off.
     */
-  private def adjacentPairs(syms: Column): Column =
+  private[graft] def adjacentPairs(syms: Column): Column =
     filter(
       zip_with(syms, slice(syms, lit(2), size(syms)),
         (a, b) => when(b.isNotNull, concat(a, lit(" "), b))),
@@ -44,7 +44,7 @@ object BpeTrainer {
     * `a` of the same pair because a+b is strictly longer than a —
     * matching the reference algorithm's scan semantics.
     */
-  private def mergePair(syms: Column, a: String, b: String): Column =
+  private[graft] def mergePair(syms: Column, a: String, b: String): Column =
     aggregate(syms, array().cast("array<string>"),
       (acc, x) =>
         when(size(acc) === 0, array(x))
