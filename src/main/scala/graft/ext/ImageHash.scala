@@ -62,13 +62,12 @@ object ImageHash {
     val isTiff =
       (u8(0) == 'I' && u8(1) == 'I' && u8(2) == 42 && u8(3) == 0) ||
         (u8(0) == 'M' && u8(1) == 'M' && u8(2) == 0 && u8(3) == 42)
+    val isJpeg = u8(0) == 0xff && u8(1) == 0xd8 && u8(2) == 0xff
     if (isPng) decodePng(bytes)
     else if (isBmp) decodeBmp(bytes)
     else if (isGif) decodeGif(bytes)
     else if (isTiff) decodeTiff(bytes)
-    // JPEG is the documented restriction: entropy-coded pixel recovery
-    // needs a full Huffman+IDCT decoder; JPEG payloads hash NULL and a
-    // production deploy plugs a decoder into this dispatch.
+    else if (isJpeg) JpegDecoder.decodeLuma(bytes) // baseline, Y plane
     else None
   }
 
