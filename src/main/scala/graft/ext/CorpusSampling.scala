@@ -81,6 +81,69 @@ object CorpusSampling {
       .drop("_cum")
   }
 
+  /** UniMax language-budget allocation (Chung et al. 2023,
+    * arXiv:2304.09151): split a total token budget as uniformly as
+    * possible across strata (languages), capping each stratum at
+    * `maxEpochs` passes over its available tokens — the fairer
+    * alternative to temperature sampling for multilingual mixtures.
+    * Exact integer water-filling: process strata in (cap asc, stratum
+    * asc) order; at each step the fair share is `remaining div
+    * strataLeft` and the stratum takes `min(cap, fair)` — ascending
+    * cap order makes the one sequential pass equivalent to iterative
+    * redistribution, and integer division pushes rounding remainders
+    * to later (larger) strata deterministically.
+    *
+    * Returns `(stratum, available, cap, budget)` rows. The per-stratum
+    * aggregation is distributed; the water-fill loop is driver-side
+    * over at most `maxStrata` rows (fail-fast above — language sets
+    * are small by nature, and a runaway stratum column should not
+    * silently become a driver-sized collect).
+    */
+  def unimaxBudgets(
+      df: DataFrame, stratum: String, text: String,
+      maxEpochs: Long, totalBudget: Long,
+      maxStrata: Int = 1024): Seq[(String, Long, Long, Long)] = {
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    require(totalBudget >= 1, s"totalBudget must be >= 1, got $totalBudget")
+    val rows = df
+      .where(col(text).isNotNull && col(stratum).isNotNull)
+      .groupBy(col(stratum))
+      .agg(sum(TextAnalysis.tokenCount(col(text))).as("c"))
+      .limit(maxStrata + 1)
+      .collect()
+    require(rows.length <= maxStrata,
+      s"unimaxBudgets: more than $maxStrata strata — wrong column, or raise maxStrata")
+    require(rows.nonEmpty, "unimaxBudgets: no strata (all NULL?)")
+    val ranked = rows.map(r => (r.getString(0), r.getLong(1)))
+      .map { case (s, c) => (s, c, c * maxEpochs) }
+      .sortBy { case (s, _, cap) => (cap, s) }
+    var remaining = totalBudget
+    var left = ranked.length.toLong
+    ranked.map { case (s, c, cap) =>
+      val fair = remaining / left
+      val b = math.min(cap, fair)
+      remaining -= b
+      left -= 1
+      (s, c, cap, b)
+    }.sortBy(_._1).toSeq
+  }
+
+  /** Select the UniMax mixture: [[unimaxBudgets]] feeding
+    * [[tokenBudgetByStratum]] (zero-budget strata drop out of the
+    * whitelist). A stratum whose budget exceeds its available tokens
+    * (multi-epoch allocation) is selected in full — repetition beyond
+    * one epoch is the upsampler/packer's job, not selection's.
+    */
+  def unimaxSample(
+      df: DataFrame, stratum: String, text: String, id: String,
+      maxEpochs: Long, totalBudget: Long): DataFrame = {
+    val budgets = unimaxBudgets(df, stratum, text, maxEpochs, totalBudget)
+      .collect { case (s, _, _, b) if b >= 1 => s -> b }.toMap
+    require(budgets.nonEmpty,
+      "unimaxSample: every stratum allocated zero tokens (budget too small)")
+    tokenBudgetByStratum(df, stratum, text, id, budgets)
+  }
+
   /** Sequence packing for training-data assembly: lay the corpus out as
     * independent per-shard token streams in the deterministic
     * pseudo-random order and cut every `seqTokens` tokens — the

@@ -1029,6 +1029,19 @@ object StreamingPipeline {
     * contract with a batch-parity test: a refactor that turned the
     * screen into a stateful join would fail a test, not a deployment.
     */
+  /** Streaming twin of [[graft.ext.ImageHash.imageHashes]]: perceptual
+    * hashing at the media-ingest edge — decode + dHash/aHash/pHash as a
+    * stateless per-row `mapPartitions` projection (no join, no state,
+    * no watermark, valid in append mode), so an arriving image can be
+    * screened against a frozen corpus dHash index with
+    * [[corpusDupStream]]'s broadcast-join shape before paying storage.
+    * Like [[enrichStream]]/[[blocklistStream]], the alias PINS the
+    * stateless contract with a StreamingSpec batch-parity test.
+    */
+  def imageHashStream(
+      spark: org.apache.spark.sql.SparkSession, media: DataFrame): DataFrame =
+    graft.ext.ImageHash.imageHashes(spark, media)
+
   def blocklistStream(
       docs: DataFrame, blocklist: Seq[String],
       maxBannedPerMille: Long = 0, textCol: String = "text"): DataFrame =

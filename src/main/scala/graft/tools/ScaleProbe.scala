@@ -110,6 +110,14 @@ object ScaleProbe {
         val m = graft.ext.UnigramTrainer.train(spark,
           docs.filter(col("doc_id") < 400), "text", 300, 2)
         graft.ext.UnigramTrainer.encode(docs, "doc_id", "text", m)
+      }),
+      "wordpiece_train" -> (() =>
+        graft.ext.WordPieceTrainer.train(spark, docs, "text", 12)),
+      "wordpiece_encode" -> (() => {
+        val merges = graft.ext.WordPieceTrainer.train(spark, docs, "text", 12)
+          .orderBy("step").collect().map(_.getString(1)).toSeq
+        val vocab = graft.ext.WordPieceTrainer.vocabulary(docs, "text", merges)
+        graft.ext.WordPieceTrainer.encode(docs, "doc_id", "text", vocab)
       }))
 
     val only = sys.env.get("SPARK_GRAFT_PROBE_OPS")

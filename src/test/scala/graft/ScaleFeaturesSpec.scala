@@ -321,6 +321,41 @@ class ScaleFeaturesSpec extends SparkSpec {
       "identical list-size distributions — dispatch suspect after all")
   }
 
+  test("unimax budgets: exact water-fill — caps bind, remainder redistributes") {
+    import spark.implicits._
+    // tokens per lang: tiny 10, small 100, big 1000 (one doc each)
+    val docs = Seq(
+      (1L, "tiny", Seq.fill(10)("t").mkString(" ")),
+      (2L, "small", Seq.fill(100)("s").mkString(" ")),
+      (3L, "big", Seq.fill(1000)("b").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    // E=1, B=600: fair=200 -> tiny capped at 10; remaining 590/2=295 ->
+    // small capped at 100; remaining 490 -> big takes 490 (fair-limited)
+    val got = graft.ext.CorpusSampling.unimaxBudgets(
+      docs, "lang", "text", maxEpochs = 1, totalBudget = 600)
+    assert(got == Seq(("big", 1000L, 1000L, 490L),
+      ("small", 100L, 100L, 100L), ("tiny", 10L, 10L, 10L)))
+    // maxEpochs raises the caps: E=2, B=600 -> tiny cap 20 (binds),
+    // small fair 290/2=... fair after tiny: (600-20)/2=290 < cap 200?
+    // no: cap 200 < 290 -> capped; big gets 380
+    val e2 = graft.ext.CorpusSampling.unimaxBudgets(
+      docs, "lang", "text", maxEpochs = 2, totalBudget = 600)
+    assert(e2 == Seq(("big", 1000L, 2000L, 380L),
+      ("small", 100L, 200L, 200L), ("tiny", 10L, 20L, 20L)))
+    // huge budget: everyone capped, money left on the table by design
+    val cap = graft.ext.CorpusSampling.unimaxBudgets(
+      docs, "lang", "text", maxEpochs = 1, totalBudget = 100000)
+    assert(cap.map(_._4) == Seq(1000L, 100L, 10L))
+    // selection respects the budgets and never exceeds availability
+    val sel = graft.ext.CorpusSampling.unimaxSample(
+        docs, "lang", "text", "doc_id", 1, 600)
+      .select("lang").as[String].collect()
+    assert(sel.toSet.subsetOf(Set("tiny", "small"))
+      || sel.toSet.contains("big") == false,
+      s"big (cum 1000 > budget 490) must not be selected, got ${sel.toSeq}")
+    assert(sel.toSet == Set("tiny", "small"))
+  }
+
   test("k-means quantizer is deterministic and centroids are unit-norm") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")

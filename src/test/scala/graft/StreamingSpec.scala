@@ -1167,6 +1167,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("image hash stream: stateless edge hashing matches batch bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    // tiny top-down 24-bit BMP builder (the ImageHashSpec layout)
+    def bmp16(seed: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = (0 until 4).foreach(i => out.write((v >> (8 * i)) & 0xff))
+      out.write('B'); out.write('M'); le32(54 + 768); le32(0); le32(54)
+      le32(40); le32(16); le32(-16); out.write(1); out.write(0)
+      out.write(24); out.write(0); le32(0); le32(768)
+      le32(0); le32(0); le32(0); le32(0)
+      (0 until 256).foreach { i =>
+        val v = (i * seed + 7) % 256
+        out.write(v); out.write(v); out.write(v)
+      }
+      out.toByteArray
+    }
+    val rows = Seq((1L, bmp16(31)), (2L, bmp16(97)),
+      (3L, Array[Byte](1, 2, 3)))
+    val batch = graft.ext.ImageHash.imageHashes(
+        spark, rows.toDF("media_id", "payload"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))).toSet
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingPipeline.imageHashStream(
+        spark, input.toDF().toDF("media_id", "payload"))
+      .select("media_id", "format", "dhash")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("imgh_out").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("imgh_out")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2))).toSet
+      assert(streamed === batch, s"stream $streamed diverges from batch $batch")
+    } finally q.stop()
+  }
+
   test("domain quality gate stream: rollup-informed admission matches batch") {
     implicit val sqlCtx = spark.sqlContext
     // the frozen artifact: a batch domainRollup over the corpus so far
