@@ -438,6 +438,45 @@ object Dedup {
       .drop("_rn", fp)
   }
 
+  /** Bloom-screened incremental dedup — [[incrementalDedup]]'s corpus
+    * screen restructured for the 100 TB shape where even the corpus
+    * FINGERPRINT table is too large to join every ingest batch against:
+    *
+    *  1. build (or reuse — at scale it is maintained incrementally) a
+    *     [[Sketches.bloomIndex]] over the corpus fingerprints: ≤ mBits/32
+    *     rows, broadcastable, ONE constant-size-shuffle pass over the
+    *     corpus ever;
+    *  2. [[Sketches.bloomScreen]] the batch against it — no shuffle of
+    *     either side, no false negatives;
+    *  3. exact-verify ONLY the `maybe_seen` rows with the anti-join (the
+    *     false-positive fraction plus the true duplicates), so the join's
+    *     probe side shrinks from |batch| to |dups| + ε·|batch|.
+    *
+    * Definite-new rows (bloom says no) bypass the join entirely — the
+    * Bloom no-false-negative guarantee makes the result EQUAL to the
+    * plain anti-join's, which is exactly what the oracle checks. Returns
+    * the batch rows not present in the corpus (batch-internal dups are
+    * NOT collapsed here; compose [[incrementalDedup]] semantics
+    * downstream if needed).
+    */
+  def bloomDedup(
+      batch: DataFrame, corpus: DataFrame, text: String,
+      mBits: Int = 1 << 22, k: Int = 4,
+      salt: String = "graft:bloomdedup"): DataFrame = {
+    val fp = "_graft_fp"
+    require(!batch.columns.contains(fp) && !corpus.columns.contains(fp),
+      s"bloomDedup reserves column $fp")
+    val corpusFp = corpus.select(TextAnalysis.fingerprint(col(text)).as(fp))
+    val index = Sketches.bloomIndex(corpusFp, col(fp), mBits, k, salt)
+    val screened = Sketches.bloomScreen(
+      index, batch.withColumn(fp, TextAnalysis.fingerprint(col(text))),
+      col(fp), mBits, k, salt)
+    val definiteNew = screened.filter(!col("maybe_seen") || col("maybe_seen").isNull)
+    val verifiedNew = screened.filter(col("maybe_seen"))
+      .join(corpusFp, Seq(fp), "left_anti")
+    definiteNew.unionByName(verifiedNew).drop("maybe_seen", fp)
+  }
+
   /** CHUNK-level exact dedup over content-defined chunks — the payoff of
     * [[TextAnalysis.cdcChunks]]'s edit-stable fingerprints: because a
     * chunk's identity survives upstream edits, "how much of this corpus

@@ -132,4 +132,122 @@ object Sketches {
       .groupBy(cols.map(col).toIndexedSeq: _*)
       .agg(min(coalesce(col("c"), lit(0L))).as("n_est"))
   }
+
+  /** The `k` bit positions of a Bloom filter for `key`: disjoint 8-hex
+    * windows of ONE salted md5 digest, each mod `mBits` — the same
+    * Kirsch–Mitzenmacher single-digest idiom as [[cmsBuckets]] (to which
+    * this delegates), so every draw replays in any engine.
+    */
+  private[graft] def bloomPositions(
+      key: Column, k: Int, mBits: Int, salt: String): Column =
+    cmsBuckets(key, k, mBits, salt)
+
+  /** Build a Bloom filter RELATIONALLY (Bloom, "Space/time trade-offs in
+    * hash coding with allowable errors", CACM 1970): the filter is a
+    * table of (word_idx, word) rows, each `word` a 32-bit mask packed in
+    * a BIGINT, produced by ONE groupBy-`bit_or` over the k bit positions
+    * of every key. Map-side partial aggregation ORs bits before the
+    * exchange, so the shuffle carries at most `mBits/32` groups per map
+    * task regardless of corpus size — the same constant-size-shuffle
+    * story as [[countMinSketch]], but for MEMBERSHIP instead of
+    * frequency.
+    *
+    * This is the 100 TB dedup-screen primitive (the Dolma/trillion-token
+    * pattern): the finished filter is ≤ mBits/32 rows — small enough to
+    * BROADCAST — so screening an ingest batch against a corpus of any
+    * size never shuffles the corpus again (see [[bloomScreen]] /
+    * [[Dedup.bloomDedup]]). Absent words are simply missing rows (all
+    * zero bits). NULL keys are excluded (no well-defined hash).
+    */
+  def bloomIndex(
+      df: DataFrame, key: Column, mBits: Int, k: Int,
+      salt: String = "graft:bloom"): DataFrame = {
+    require(mBits >= 32 && mBits % 32 == 0, "mBits must be a positive multiple of 32")
+    require(k >= 1 && k <= 16, "k must be in [1, 16]")
+    df.where(key.isNotNull)
+      .select(explode(bloomPositions(key, k, mBits, salt)).as("_p"))
+      .groupBy((col("_p") / 32).cast("long").as("word_idx"))
+      .agg(bit_or(call_function("shiftleft", lit(1L), (col("_p") % 32).cast("int")))
+        .as("word"))
+  }
+
+  /** Membership screen against a [[bloomIndex]]: for each row of `batch`,
+    * `outCol` is true iff ALL k bits for the key are set — the classic
+    * Bloom contract (no false negatives; false positives at the
+    * configured rate). The filter side is ≤ mBits/32 rows and is
+    * broadcast, so the batch streams through with one bounded-key
+    * re-aggregation and NO shuffle of either input at any corpus size.
+    *
+    * `mBits`/`k`/`salt` MUST match the index's build parameters — a
+    * mismatch silently screens against the wrong bits (the
+    * corpusDupStream lesson), so callers that persist the filter should
+    * persist the parameters beside it.
+    */
+  def bloomScreen(
+      index: DataFrame, batch: DataFrame, key: Column, mBits: Int, k: Int,
+      salt: String = "graft:bloom", outCol: String = "maybe_seen"): DataFrame = {
+    val cols = batch.columns
+    require(!cols.exists(Set("_bf_p", "_bf_w", "_bf_b", outCol).contains),
+      s"batch must not already contain reserved columns _bf_p/_bf_w/_bf_b/$outCol")
+    batch
+      .select(col("*"), explode(bloomPositions(key, k, mBits, salt)).as("_bf_p"))
+      .select(col("*"), (col("_bf_p") / 32).cast("long").as("_bf_w"),
+        (col("_bf_p") % 32).cast("int").as("_bf_b"))
+      .join(org.apache.spark.sql.functions.broadcast(index),
+        col("_bf_w") === col("word_idx"), "left")
+      .groupBy(cols.map(col).toIndexedSeq: _*)
+      .agg(min(
+        call_function("shiftright", coalesce(col("word"), lit(0L)), col("_bf_b"))
+          .bitwiseAND(lit(1L))).as("_bf_all"))
+      .withColumn(outCol, col("_bf_all") === 1L)
+      .drop("_bf_all")
+  }
+
+  /** Pack a [[bloomIndex]] into ONE row holding the whole bitset as an
+    * `Array[Long]` of `mBits/32` words (absent words filled with 0) —
+    * ≤ 1 MiB at the default 2²² bits, so it broadcasts as a 1-row frame.
+    * The map/transform fill runs once on that single row; per-batch-row
+    * work in [[bloomScreenPacked]] is codegen'd `element_at`.
+    */
+  def bloomPack(index: DataFrame, mBits: Int): DataFrame = {
+    require(mBits >= 32 && mBits % 32 == 0 && mBits <= (1 << 27),
+      "mBits must be a positive multiple of 32, at most 2^27 (16 MiB packed)")
+    val nWords = mBits / 32
+    index
+      .agg(map_from_entries(collect_list(struct(col("word_idx"), col("word"))))
+        .as("_bf_m"))
+      .select(transform(
+        sequence(lit(0L), lit(nWords - 1L)),
+        i => coalesce(try_element_at(col("_bf_m"), i), lit(0L))).as("bits"))
+  }
+
+  /** Membership screen against a [[bloomPack]]ed filter with ZERO
+    * shuffles: the 1-row bitset broadcasts (a 1-row nested-loop join is
+    * a plan no-op), and each batch row tests its k bits with codegen'd
+    * `element_at`/shift arithmetic — no explode, no re-aggregation, no
+    * exchange of the batch. This is the form an ingest-time 100 TB
+    * screen actually runs: the filter rides the broadcast, the batch
+    * never leaves its scan partitions.
+    *
+    * Same contract as [[bloomScreen]] (parameters must match the build;
+    * NULL keys screen NULL), same result — BloomSpec pins the
+    * equivalence.
+    */
+  def bloomScreenPacked(
+      packed: DataFrame, batch: DataFrame, key: Column, mBits: Int, k: Int,
+      salt: String = "graft:bloom", outCol: String = "maybe_seen"): DataFrame = {
+    require(!batch.columns.exists(Set("_bf_pos", "bits", outCol).contains),
+      s"batch must not already contain reserved columns _bf_pos/bits/$outCol")
+    val checks = (0 until k).map { j =>
+      val p = element_at(col("_bf_pos"), j + 1)
+      call_function("shiftright",
+        element_at(col("bits"), ((p / 32).cast("long") + 1L).cast("int")),
+        (p % 32).cast("int")).bitwiseAND(lit(1L)) === 1L
+    }
+    batch
+      .withColumn("_bf_pos", bloomPositions(key, k, mBits, salt))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(packed))
+      .withColumn(outCol, checks.reduce(_ && _))
+      .drop("_bf_pos", "bits")
+  }
 }
