@@ -468,9 +468,12 @@ object Dedup {
       s"bloomDedup reserves column $fp")
     val corpusFp = corpus.select(TextAnalysis.fingerprint(col(text)).as(fp))
     val index = Sketches.bloomIndex(corpusFp, col(fp), mBits, k, salt)
+    // Two consumers (definite-new filter + maybe-verify join) read the
+    // screened frame — pin it, or each replays the screen's full
+    // upstream plan (the multi-consumer rule).
     val screened = Sketches.bloomScreen(
       index, batch.withColumn(fp, TextAnalysis.fingerprint(col(text))),
-      col(fp), mBits, k, salt)
+      col(fp), mBits, k, salt).localCheckpoint(true)
     val definiteNew = screened.filter(!col("maybe_seen") || col("maybe_seen").isNull)
     val verifiedNew = screened.filter(col("maybe_seen"))
       .join(corpusFp, Seq(fp), "left_anti")

@@ -118,7 +118,16 @@ object ScaleProbe {
           .orderBy("step").collect().map(_.getString(1)).toSeq
         val vocab = graft.ext.WordPieceTrainer.vocabulary(docs, "text", merges)
         graft.ext.WordPieceTrainer.encode(docs, "doc_id", "text", vocab)
-      }))
+      }),
+      // bloom-screened incremental dedup at a production-ish m (2^22
+      // bits): on the 50x/100x corpora ~98% of batch rows are true
+      // duplicates, so the verify anti-join carries nearly the whole
+      // batch — the screen's worst shape (its win is on mostly-new
+      // batches; correctness must hold on mostly-dup ones).
+      "bloom_dedup" -> (() =>
+        graft.ext.Dedup.bloomDedup(
+          docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text"),
+          docs.filter(col("doc_id") % 2 === 0), "text")))
 
     val only = sys.env.get("SPARK_GRAFT_PROBE_OPS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
