@@ -49,6 +49,22 @@ object ScaleProbe {
         ""))).as("payload"))
   }
 
+    // 512-sample 8-bit mono WAVs from the md5-byte waveform model (the
+    // q_audio_fingerprint synth): 556 bytes per row, all distinct.
+    def syntheticWavs(docs: DataFrame): DataFrame = {
+      val header = "52494646" + "24020000" + "57415645" + "666D7420" +
+        "10000000" + "0100" + "0100" + "401F0000" + "401F0000" + "0100" +
+        "0800" + "64617461" + "00020000"
+      docs.select(col("doc_id").as("media_id"),
+        unhex(concat(lit(header), array_join(
+          transform(sequence(lit(0), lit(511)),
+            t => lpad(hex(conv(md5(concat(col("doc_id").cast("string"),
+                lit("_"), floor(t / 16).cast("string")))
+              .substr((t % 16) * 2 + 1, lit(2)), 16, 10).cast("long")),
+              2, "0")),
+          ""))).as("payload"))
+    }
+
     val ops: Seq[(String, () => DataFrame)] = Seq(
       "kn_lm" -> (() =>
         graft.ext.Relevance.knLmScore(docs, "doc_id", "text")),
@@ -119,6 +135,14 @@ object ScaleProbe {
         val vocab = graft.ext.WordPieceTrainer.vocabulary(docs, "text", merges)
         graft.ext.WordPieceTrainer.encode(docs, "doc_id", "text", vocab)
       }),
+      // audio fingerprint + near-dup over synthesized 8-bit mono WAVs
+      // (payload build + real chunk-walk decode + integer DFT per row)
+      "audio_fp" -> (() =>
+        graft.ext.AudioFingerprint.audioFingerprints(spark,
+          syntheticWavs(docs))),
+      "dedup_audio" -> (() =>
+        graft.ext.AudioFingerprint.audioNearDupPairs(spark,
+          syntheticWavs(docs), maxHamming = 5)),
       // bloom-screened incremental dedup at a production-ish m (2^22
       // bits): on the 50x/100x corpora ~98% of batch rows are true
       // duplicates, so the verify anti-join carries nearly the whole
