@@ -40,6 +40,15 @@ object WordPieceTrainer {
 
   private[graft] val DefaultMinCount = 2L
 
+  /** Dictionaries at or below this row count run the merge loop at the
+    * driver (one aggregation + one bounded collect, zero per-iteration
+    * jobs — the round-10 bounded-sample-training lesson: numMerges
+    * distributed barriers over a vocabulary-sized frame are pure
+    * scheduling). Larger dictionaries fall back to the distributed
+    * loop, which scales to any vocabulary.
+    */
+  private[graft] val DriverDictThreshold = 1 << 20
+
   /** Run up to `numMerges` likelihood-ranked merges; returns
     * `(step, pair, n, score_q)` in merge order.
     */
@@ -47,7 +56,7 @@ object WordPieceTrainer {
       spark: SparkSession, docs: DataFrame, textCol: String,
       numMerges: Int, minCount: Long = DefaultMinCount): DataFrame = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    var dict = docs.where(col(textCol).isNotNull)
+    val dict = docs.where(col(textCol).isNotNull)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -55,7 +64,108 @@ object WordPieceTrainer {
         expr("filter(split(w, ''), x -> x != '')").as("syms"))
       .coalesce(8)
       .cache()
+    // The count both sizes the dict (path choice) and fills the cache.
+    val rows = dict.count()
+    val merges =
+      if (rows <= DriverDictThreshold)
+        trainLocal(dict.collect().map(r =>
+            (r.getLong(0), r.getSeq[String](1).toArray)),
+          numMerges, minCount)
+      else trainDistributed(dict, numMerges, minCount)
+    dict.unpersist()
+    import spark.implicits._
+    merges.toDF("step", "pair", "n", "score_q")
+  }
 
+  /** Spark's string ordering is unsigned UTF-8 byte order — the driver
+    * tie-break must match it exactly (Scala's String.compareTo is
+    * UTF-16 code-unit order; they differ beyond the BMP).
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** [[BpeTrainer.mergePair]]'s fold, word-local: replace the output
+    * tail when it is `a` and the incoming symbol is `b`.
+    */
+  private def mergePairLocal(
+      syms: Array[String], a: String, b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      val x = syms(i)
+      if (out.nonEmpty && out.last == a && x == b)
+        out(out.length - 1) = a + b
+      else out += x
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** The exact merge loop on the collected dictionary: per step, pair
+    * and symbol counts in one pass, the scored integer argmax with the
+    * (score desc, pair asc-by-UTF-8) tie-break, then the fold rewrite —
+    * bit-identical to [[trainDistributed]] (WordPieceTrainerSpec pins
+    * the equality).
+    */
+  private[graft] def trainLocal(
+      dict0: Array[(Long, Array[String])], numMerges: Int,
+      minCount: Long): Seq[(Int, String, Long, Long)] = {
+    var dict = dict0
+    val merges = Seq.newBuilder[(Int, String, Long, Long)]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val pairN = scala.collection.mutable.HashMap.empty[String, Long]
+      val symN = scala.collection.mutable.HashMap.empty[String, Long]
+      dict.foreach { case (freq, syms) =>
+        var i = 0
+        while (i < syms.length) {
+          symN.update(syms(i), symN.getOrElse(syms(i), 0L) + freq)
+          if (i + 1 < syms.length) {
+            val p = syms(i) + " " + syms(i + 1)
+            pairN.update(p, pairN.getOrElse(p, 0L) + freq)
+          }
+          i += 1
+        }
+      }
+      var best: (String, Long, Long) = null // (pair, n, score_q)
+      pairN.foreach { case (p, n) =>
+        if (n >= minCount) {
+          val Array(a, b) = p.split(" ", 2)
+          val na = symN(a); val nb = symN(b)
+          require(n <= Long.MaxValue / ScoreScale && na <= Long.MaxValue / nb,
+            s"score overflow: n=$n na=$na nb=$nb")
+          val score = n * ScoreScale / (na * nb)
+          if (best == null || score > best._3 ||
+              (score == best._3 && utf8Less(p, best._1)))
+            best = (p, n, score)
+        }
+      }
+      if (best == null) done = true
+      else {
+        val Array(a, b) = best._1.split(" ", 2)
+        merges += ((step, best._1, best._2, best._3))
+        dict = dict.map { case (freq, syms) =>
+          (freq, mergePairLocal(syms, a, b)) }
+        step += 1
+      }
+    }
+    merges.result()
+  }
+
+  private[graft] def trainDistributed(
+      dict0: DataFrame, numMerges: Int,
+      minCount: Long): Seq[(Int, String, Long, Long)] = {
+    var dict = dict0
     val merges = Seq.newBuilder[(Int, String, Long, Long)]
     var prev: DataFrame = null
     var step = 1
@@ -99,9 +209,8 @@ object WordPieceTrainer {
       }
     }
     if (prev != null) prev.unpersist()
-    dict.unpersist()
-    import spark.implicits._
-    merges.result().toDF("step", "pair", "n", "score_q")
+    if (!(dict eq dict0)) dict.unpersist() // dict0's cache is the caller's
+    merges.result()
   }
 
   /** The encode vocabulary a merge table induces: every corpus

@@ -7,6 +7,26 @@ import graft.ext.WordPieceTrainer
   */
 class WordPieceTrainerSpec extends SparkSpec {
 
+  test("driver-loop and distributed merge loops are bit-identical on real data") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.QueryDef
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val dict = docs.where(col("text").isNotNull)
+      .select(explode(graft.ext.TextAnalysis.tokens(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        expr("filter(split(w, ''), x -> x != '')").as("syms"))
+      .coalesce(8).cache()
+    val viaDist = WordPieceTrainer.trainDistributed(dict, 8, 2L)
+    val viaLocal = WordPieceTrainer.trainLocal(
+      dict.collect().map(r => (r.getLong(0), r.getSeq[String](1).toArray)),
+      8, 2L)
+    dict.unpersist()
+    assert(viaLocal.nonEmpty)
+    assert(viaLocal == viaDist)
+  }
+
   test("train ranks by likelihood ratio, not raw count") {
     import spark.implicits._
     // 'xy' occurs 4x but x,y are everywhere (x:8, y:8 incl. in xz/wy);
