@@ -871,4 +871,83 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col(qId), col(id), col("cosine"))
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk, "Margin-based
+    * parallel corpus mining with multilingual sentence embeddings",
+    * ACL 2019 — the LASER/CCMatrix criterion): a source sentence's best
+    * target is a real translation only when its cosine BEATS the local
+    * similarity floor, the mean cosine of both sides' k-nearest
+    * neighborhoods:
+    *
+    *   margin(x, y) = cos(x, y) / (½·(avgₖNN(x) + avgₖNN(y)))
+    *
+    * Raw cosine thresholds fail because embedding-space density varies
+    * by register/topic — the ratio margin normalizes it away.
+    *
+    * Determinism contract: cosines are the deterministic fold, floored
+    * to `scale`-fixed-point longs; neighborhood sums are integer sums
+    * over the (cos_q desc, id asc) top-k; the margin is ONE integer
+    * division `cos_q·2k·scale div (sumₓ + sumᵧ)`, emitted only where
+    * the denominator is positive (integer `div` floors differently
+    * across engines for negatives, and a non-positive neighborhood mean
+    * means no meaningful margin). Exact-replayable end to end.
+    *
+    * Per source sentence the candidate is its single best target
+    * (rank 1); `mutual` marks forward–backward agreement (y's best
+    * source is x) — the high-precision mining setting.
+    *
+    * Scale shape: this exact form scores |src|·|tgt| pairs — the
+    * correctness baseline, right whenever one side fits in a broadcast
+    * (the usual low-resource-language case). At web scale swap the
+    * pair generation for [[ivfTopK]] candidates per side and keep the
+    * margin/mutual logic unchanged; the pinned pair table feeds all
+    * four window/aggregate consumers either way.
+    *
+    * @return (src_id, tgt_id, cos_q, margin_q, mutual)
+    */
+  def bitextMine(
+      src: DataFrame, tgt: DataFrame, id: String, vec: String,
+      k: Int = 4, minMarginQ: Long = 1000000L,
+      scale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val reserved = Seq("_bt_cosq", "_bt_rnf", "_bt_rnb", "_bb_src",
+      "_sumf", "_sumb", "src_id", "tgt_id")
+    require(!(src.columns ++ tgt.columns).exists(reserved.contains),
+      s"inputs must not contain reserved columns ${reserved.mkString("/")}")
+    val s = src.select(col(id).as("src_id"), col(vec).as("_sv"))
+    val t = tgt.select(col(id).as("tgt_id"), col(vec).as("_tv"))
+    val pairs = s.crossJoin(broadcast(t))
+      .withColumn("_bt_cosq",
+        floor(cosine(col("_sv"), col("_tv")) * scale).cast("long"))
+      .select("src_id", "tgt_id", "_bt_cosq")
+    // ONE exchange per direction: the rank, the top-k neighborhood sum
+    // (an unordered whole-partition integer sum over the rank filter —
+    // order-independent, so exact), and the backward best all ride the
+    // same partitioning instead of separate groupBy joins (plan audit:
+    // 6 exchanges with the join form, 2 + the caller's sort here).
+    val wFo = Window.partitionBy("src_id")
+      .orderBy(col("_bt_cosq").desc, col("tgt_id"))
+    val wF = Window.partitionBy("src_id")
+    val wBo = Window.partitionBy("tgt_id")
+      .orderBy(col("_bt_cosq").desc, col("src_id"))
+    val wB = Window.partitionBy("tgt_id")
+    pairs
+      .withColumn("_bt_rnb", row_number().over(wBo))
+      .withColumn("_bb_src", first(col("src_id")).over(wBo))
+      .withColumn("_sumb",
+        sum(when(col("_bt_rnb") <= k, col("_bt_cosq"))).over(wB))
+      .withColumn("_bt_rnf", row_number().over(wFo))
+      .withColumn("_sumf",
+        sum(when(col("_bt_rnf") <= k, col("_bt_cosq"))).over(wF))
+      .filter(col("_bt_rnf") === 1)
+      .filter(col("_sumf") + col("_sumb") > 0)
+      .withColumn("margin_q",
+        call_function("div",
+          col("_bt_cosq") * lit(2L * k) * lit(scale),
+          col("_sumf") + col("_sumb")))
+      .filter(col("margin_q") >= minMarginQ)
+      .select(col("src_id"), col("tgt_id"),
+        col("_bt_cosq").as("cos_q"), col("margin_q"),
+        (col("_bb_src") === col("src_id")).as("mutual"))
+  }
 }
