@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{AudioQueries, BitextQueries, BloomQueries, DimReductionQueries, EnrichmentQueries, ExtensionQueries, ImageQueries, ParityQueries, PipelineQuery, QueryDef, UnigramQueries, UnimaxQueries, UrlQueries, WordPieceQueries}
+import graft.queries.{AudioQueries, BitextQueries, BloomQueries, DimReductionQueries, EnrichmentQueries, ExtensionQueries, ImageQueries, ParityQueries, PipelineQuery, QueryDef, SecurityQueries, UnigramQueries, UnimaxQueries, UrlQueries, WordPieceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,7 +11,7 @@ object SparkEntry {
       PipelineQuery.all ++ UrlQueries.all ++ DimReductionQueries.all ++
       ImageQueries.all ++ UnigramQueries.all ++ WordPieceQueries.all ++
       UnimaxQueries.all ++ BloomQueries.all ++ AudioQueries.all ++
-      BitextQueries.all
+      BitextQueries.all ++ SecurityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -122,6 +122,44 @@ object Network {
     df.withColumn("_lpm", best)
   }
 
+  /** Point-in-interval join at shuffle scale — the shape for when BOTH
+    * sides are too big to broadcast (billions of flow records against
+    * hundreds of millions of allocation/geolocation ranges). A naive
+    * `pt BETWEEN lo AND hi` join with no equi-key degenerates to a
+    * broadcast-nested-loop (or worse, a cartesian) the moment the range
+    * side outgrows the broadcast threshold; this operator restores an
+    * equi-key by quantizing the keyspace into 2^binBits-wide bins:
+    *
+    *  - each interval explodes to the bins it overlaps
+    *    (`sequence(lo >> b, hi >> b)` — width/2^b + 1 rows, O(1) when
+    *    binBits is chosen near log2(typical width));
+    *  - each point carries its single bin (`pt >> b`);
+    *  - a plain hash/sort-merge EQUI-join on the bin co-locates every
+    *    candidate pair, and the exact `BETWEEN` runs as a cheap
+    *    post-filter inside the joined partition.
+    *
+    * A point lives in exactly one bin, so no match can be produced twice
+    * — no dedup pass is needed. Skew (a bin overlapped by many intervals
+    * or dense in points) is ordinary equi-join skew: AQE's skew-join
+    * split applies, unlike the BNLJ it replaces. Both input frames must
+    * not already carry a `_bin` column.
+    */
+  def binnedRangeJoin(
+      points: DataFrame, ptCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binBits: Int): DataFrame = {
+    require(binBits > 0 && binBits < 63, s"binBits out of range: $binBits")
+    require(!points.columns.contains("_bin") && !intervals.columns.contains("_bin"),
+      "binnedRangeJoin: inputs must not carry a _bin column")
+    val ivs = intervals.withColumn(
+      "_bin", explode(sequence(shiftright(col(loCol), binBits),
+        shiftright(col(hiCol), binBits))))
+    points.withColumn("_bin", shiftright(col(ptCol), binBits))
+      .join(ivs, Seq("_bin"))
+      .where(col(ptCol).between(col(loCol), col(hiCol)))
+      .drop("_bin")
+  }
+
   /** Longest-prefix-match as a broadcast range join — the shape for feeds
     * too large to fold into the plan but still broadcast-size. `cidrTable`
     * needs (cidr, label) string columns. Output: one row per matched

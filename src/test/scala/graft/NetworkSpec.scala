@@ -141,4 +141,55 @@ class NetworkSpec extends SparkSpec {
     assert(zHit <= 6, s"z-order layout should bound the slab, hit $zHit/16")
     assert(cHit === 16, s"user-sorted layout cannot prune a day slab, hit $cHit/16")
   }
+
+  test("binnedRangeJoin matches the naive BETWEEN join on every bin geometry") {
+    // Points on a small lattice; intervals of assorted widths including
+    // zero-width, bin-straddling, bin-aligned, and full-space.
+    val pts = (0L until 400L).map(i => (i, (i * 2654435761L) % 4096))
+      .toDF("pid", "pt")
+    val ivs = Seq(
+      (1L, 0L, 0L),        // zero width at the origin
+      (2L, 100L, 163L),    // inside one 64-wide bin
+      (3L, 60L, 70L),      // straddles the 64-boundary
+      (4L, 128L, 191L),    // exactly bin-aligned
+      (5L, 0L, 4095L),     // full space
+      (6L, 4090L, 4095L))  // tail bin
+      .toDF("iid", "lo", "hi")
+    val got = Network.binnedRangeJoin(pts, "pt", ivs, "lo", "hi", binBits = 6)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val want = pts.join(ivs, col("pt").between(col("lo"), col("hi")))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+    // A point lives in exactly one bin: no duplicate pairs possible.
+    val n = Network.binnedRangeJoin(pts, "pt", ivs, "lo", "hi", binBits = 6)
+      .select("pid", "iid").count()
+    assert(n === want.size.toLong)
+  }
+
+  test("binnedRangeJoin plans an equi-join on the bin, never a nested loop") {
+    val pts = spark.range(1000).select(col("id").as("pid"),
+      (col("id") * 7 % 100000).as("pt"))
+    val ivs = spark.range(1000).select(col("id").as("iid"),
+      (col("id") * 97 % 100000).as("lo"))
+      .withColumn("hi", col("lo") + 50)
+    val plan = Network.binnedRangeJoin(pts, "pt", ivs, "lo", "hi", binBits = 6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$plan")
+    // The bare BETWEEN join on the same frames IS a nested loop — the
+    // rewrite is what buys the equi-join shape.
+    val bare = pts.join(ivs, col("pt").between(col("lo"), col("hi")))
+      .queryExecution.executedPlan.toString
+    assert(bare.contains("BroadcastNestedLoopJoin") || bare.contains("CartesianProduct"))
+  }
+
+  test("binnedRangeJoin rejects a reserved _bin column") {
+    val pts = Seq((1L, 2L)).toDF("pt", "_bin")
+    val ivs = Seq((0L, 10L)).toDF("lo", "hi")
+    val e = intercept[IllegalArgumentException] {
+      Network.binnedRangeJoin(pts, "pt", ivs, "lo", "hi", binBits = 4)
+    }
+    assert(e.getMessage.contains("_bin"))
+  }
 }
