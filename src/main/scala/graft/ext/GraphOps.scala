@@ -1,0 +1,115 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph motif counting — triangle counting by degree
+  * orientation (the MapReduce formulation of Suri & Vassilvitskii, WWW
+  * 2011: orient every undirected edge from its lower-(degree, id)
+  * endpoint to the higher one, enumerate wedges only at each edge's
+  * SOURCE, and close them against the oriented edge set).
+  *
+  * Why this shape at 100 TB: the naive wedge enumeration pivots on every
+  * vertex and explodes on hubs (a degree-10⁶ vertex contributes 5·10¹¹
+  * wedges). Orientation caps the out-degree of every vertex at O(√m)
+  * (a vertex keeps only edges toward HIGHER-degree endpoints, and fewer
+  * than √m endpoints can have degree above √m), so the wedge volume is
+  * O(m^1.5) worst-case and O(m·arboricity) on real graphs — the standard
+  * scalable bound. Every step is an equi-join or aggregate on vertex
+  * keys: plain shuffles, AQE-splittable, no driver state.
+  */
+object GraphOps {
+
+  /** Canonicalize an undirected edge list: (u, v) with u < v, self-loops
+    * dropped, parallel edges collapsed.
+    */
+  def canonicalEdges(edges: DataFrame, src: String, dst: String): DataFrame =
+    edges.select(least(col(src), col(dst)).as("u"),
+        greatest(col(src), col(dst)).as("v"))
+      .where(col("u") < col("v"))
+      .distinct()
+
+  /** Degree-oriented edge list of a canonical (u < v, distinct) edge
+    * frame: one row per edge, `src → dst` where (deg, id) of src is
+    * lexicographically smaller. Carries `ddeg` (dst's degree) so wedge
+    * generation can order a wedge's two far endpoints without another
+    * join. Pinned (localCheckpoint) because the triangle join consumes
+    * it three times — the multi-consumer rule.
+    */
+  private[ext] def orientByDegree(canonical: DataFrame): DataFrame = {
+    val deg = canonical.select(col("u").as("n"))
+      .unionAll(canonical.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = canonical
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    withDeg.select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("ddeg"))
+      .localCheckpoint(true)
+  }
+
+  /** Global triangle census of an undirected graph: one row with
+    * `n_nodes`, `n_edges`, `n_wedges` (unordered open/closed two-paths),
+    * `n_triangles`, and the global clustering coefficient as a
+    * fixed-point ratio `closure_q = (3 · triangles · 10⁶) div wedges`
+    * (exact integer arithmetic — no float crosses an engine boundary).
+    *
+    * `edges` must be canonical (u < v, distinct): build it with
+    * [[canonicalEdges]].
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val o = orientByDegree(edges)
+    // Wedges pivot at the oriented source; the two far endpoints are
+    // ordered by the SAME (deg, id) key the orientation used, so the
+    // closing edge — if present — is oriented exactly e1.dst → e2.dst.
+    val e1 = o.select(col("src"), col("dst").as("w1"), col("ddeg").as("g1"))
+    val e2 = o.select(col("src"), col("dst").as("w2"), col("ddeg").as("g2"))
+    val triangles = e1.join(e2, "src")
+      .where(col("g1") < col("g2") ||
+        (col("g1") === col("g2") && col("w1") < col("w2")))
+      .join(o.select(col("src").as("w1"), col("dst").as("w2")), Seq("w1", "w2"))
+    // Node and wedge counts analytically from the UNORIENTED degree frame
+    // (n_wedges = Σ C(deg, 2), the classic center-counted two-paths of the
+    // clustering-coefficient denominator) — the oriented wedge frame, the
+    // potentially huge intermediate, is built exactly once, for the
+    // triangle join.
+    val degStats = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("nodes"), expr("sum((d * (d - 1)) div 2)").as("w"))
+      .head()
+    val nNodes = degStats.getLong(0)
+    val nWedges = degStats.getLong(1)
+    val nEdges = edges.count()
+    val nTri = triangles.count()
+    val closureQ = if (nWedges == 0) 0L else 3L * nTri * 1000000L / nWedges
+    edges.sparkSession.range(1).select(
+      lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
+      lit(nWedges).as("n_wedges"), lit(nTri).as("n_triangles"),
+      lit(closureQ).as("closure_q"))
+  }
+
+  /** Per-node triangle participation: (node, n_tri) for every node that
+    * closes at least one triangle — the local signal that separates
+    * community members from bridge/hub nodes. Same oriented join as
+    * [[triangleStats]]; each triangle credits all three corners.
+    */
+  def trianglesPerNode(edges: DataFrame): DataFrame = {
+    val o = orientByDegree(edges)
+    val e1 = o.select(col("src"), col("dst").as("w1"), col("ddeg").as("g1"))
+    val e2 = o.select(col("src"), col("dst").as("w2"), col("ddeg").as("g2"))
+    val tri = e1.join(e2, "src")
+      .where(col("g1") < col("g2") ||
+        (col("g1") === col("g2") && col("w1") < col("w2")))
+      .join(o.select(col("src").as("w1"), col("dst").as("w2")), Seq("w1", "w2"))
+      .select("src", "w1", "w2")
+    tri.select(col("src").as("node"))
+      .unionAll(tri.select(col("w1").as("node")))
+      .unionAll(tri.select(col("w2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+}

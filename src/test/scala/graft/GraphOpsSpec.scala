@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.GraphOps
+
+/** Triangle census invariants: hand-counted motifs, brute-force parity
+  * on a pseudo-random graph, and hub-safety of the orientation.
+  */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stats(edges: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+    val e = GraphOps.canonicalEdges(edges.toDF("a", "b"), "a", "b")
+    val r = GraphOps.triangleStats(e).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  test("K4 has 4 triangles, a path has none; self-loops and duplicates drop") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val (n, m, w, t, c) = stats(k4 ++ Seq((2L, 2L), (1L, 0L), (3L, 1L)))
+    assert((n, m, t) === (4L, 6L, 4L))
+    // Center-counted wedges: every node has degree 3 -> 4 * C(3,2) = 12,
+    // and in a clique every wedge closes: closure_q = 3*4*1e6/12 = 1e6.
+    assert(w === 12L)
+    assert(c === 1000000L)
+  }
+
+  test("triangle star graph: hub with leaves has zero triangles") {
+    val star = (1L to 20L).map(i => (0L, i))
+    val (_, m, _, t, c) = stats(star)
+    assert(m === 20L && t === 0L && c === 0L)
+  }
+
+  test("brute-force parity on a pseudo-random graph") {
+    // 60 nodes, deterministic LCG edge selection (~12% density).
+    val edges = for {
+      i <- 0L until 60L; j <- (i + 1) until 60L
+      if ((i * 2654435761L + j * 40503L) % 100) < 12
+    } yield (i, j)
+    val eset = edges.toSet
+    val brute = (for {
+      a <- 0L until 60L; b <- (a + 1) until 60L; c <- (b + 1) until 60L
+      if eset((a, b)) && eset((b, c)) && eset((a, c))
+    } yield 1).size.toLong
+    val (_, m, _, t, _) = stats(edges)
+    assert(m === edges.size.toLong)
+    assert(t === brute)
+    assert(brute > 0, "degenerate fixture: no triangles to check")
+  }
+
+  test("trianglesPerNode credits all three corners and sums to 3x count") {
+    val edges = for {
+      i <- 0L until 60L; j <- (i + 1) until 60L
+      if ((i * 2654435761L + j * 40503L) % 100) < 12
+    } yield (i, j)
+    val e = GraphOps.canonicalEdges(edges.toDF("a", "b"), "a", "b")
+    val total = GraphOps.triangleStats(e).head().getLong(3)
+    val per = GraphOps.trianglesPerNode(e)
+      .agg(sum("n_tri")).as[Long].head()
+    assert(per === 3 * total)
+  }
+
+  test("orientation bounds hub out-degree: star hub keeps out-degree 0") {
+    // In a star the hub has max degree, so every edge orients leaf->hub:
+    // the hub is never a wedge pivot — the scale guarantee in miniature.
+    val star = (1L to 50L).map(i => (0L, i)).toDF("a", "b")
+    val e = GraphOps.canonicalEdges(star, "a", "b")
+    val m = classOf[GraphOps.type].getDeclaredMethod("orientByDegree",
+      classOf[org.apache.spark.sql.DataFrame])
+    m.setAccessible(true)
+    val o = m.invoke(GraphOps, e).asInstanceOf[org.apache.spark.sql.DataFrame]
+    val hubOut = o.where(col("src") === 0L).count()
+    assert(hubOut === 0L)
+  }
+}
