@@ -250,4 +250,98 @@ object Sketches {
       .withColumn(outCol, checks.reduce(_ && _))
       .drop("_bf_pos", "bits")
   }
+
+  // --------------------------------------------------------------------
+  // KMV (k-minimum-values) distinct / set-overlap sketches
+  // --------------------------------------------------------------------
+
+  /** Hash universe of the KMV sketch: 48-bit values from the first 12
+    * md5 hex chars (2^48 keeps every estimator product — (k−1)·U — inside
+    * BIGINT for any practical k, where the 60-bit convention would
+    * overflow at k=64). Sketches are fully deterministic and therefore
+    * oracle-replayable, unlike an HLL register blob.
+    */
+  val KmvUniverse: Long = 1L << 48
+
+  private def kmvHash(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 12), 16, 10)
+      .cast("long")
+
+  /** Per-group KMV sketch: the k smallest DISTINCT 48-bit key hashes of
+    * each group, as (g, h, rn). The rank filter compiles to a
+    * WindowGroupLimit pushdown, so each shuffle partition forwards at
+    * most k rows per group — the sketch costs one shuffle of O(groups·k)
+    * rows no matter how many raw keys feed it; estimating
+    * count-distinct or pairwise overlap across 10^5 cohorts at 100 TB
+    * never materializes a (cohort, key) distinct table downstream.
+    * Trade-off vs HLL (Bar-Yossef et al. 2002 / Beyer et al., SIGMOD
+    * 2007): k·8 bytes per group instead of 2^p registers, but mergeable
+    * by a plain min-union AND exactly replayable — the property the
+    * correctness gate needs.
+    */
+  def kmvSketch(
+      df: DataFrame, groupCol: String, key: Column, k: Int,
+      salt: String = "graft:kmv"): DataFrame = {
+    require(k >= 2, s"kmvSketch needs k >= 2, got $k")
+    val uh = df.where(key.isNotNull)
+      .select(col(groupCol).as("g"), kmvHash(key, salt).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("h")
+    uh.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
+  /** Distinct-count estimate per group from a [[kmvSketch]]: exact when
+    * the group has fewer than k distinct hashes (the sketch IS the set),
+    * else the classic (k−1)·U / h_(k) estimator — all integer division,
+    * bit-identical across engines.
+    */
+  def kmvDistinct(sketch: DataFrame, k: Int): DataFrame =
+    sketch.groupBy("g")
+      .agg(count(lit(1)).as("n_sk"),
+        max(when(col("rn") === k, col("h"))).as("kth"))
+      .withColumn("est",
+        when(col("n_sk") < k, col("n_sk"))
+          .otherwise(expr(s"(${(k - 1).toLong * KmvUniverse}L div kth)")))
+      .select("g", "n_sk", "est")
+
+  /** Pairwise set-overlap estimates for every group pair (g1 < g2) of a
+    * [[kmvSketch]]: jaccard_q (10⁶-scaled), union and intersection
+    * estimates. Uses the KMV merge theorem — the k smallest of A ∪ B are
+    * a subset of sketch(A) ∪ sketch(B) — so only sketch rows (≤ k per
+    * group) ever join; the raw keys are long gone. The group-pair frame
+    * is quadratic in groups by nature, so the operator fails fast above
+    * `maxGroups` instead of silently planning a giant self-join.
+    */
+  def kmvPairStats(sketch: DataFrame, k: Int, maxGroups: Int = 4096): DataFrame = {
+    val sk = sketch.localCheckpoint(true) // four consumers below
+    val groups = sk.select("g").distinct()
+    val n = groups.count()
+    require(n <= maxGroups,
+      s"kmvPairStats: $n groups exceeds maxGroups=$maxGroups — the pair frame is quadratic")
+    val pairs = groups.select(col("g").as("g1"))
+      .join(groups.select(col("g").as("g2")), col("g1") < col("g2"))
+    val ua = pairs.join(sk.withColumnRenamed("g", "g1").drop("rn"), Seq("g1"))
+    val ub = pairs.join(sk.withColumnRenamed("g", "g2").drop("rn"), Seq("g2"))
+      .select(ua.columns.map(col).toSeq: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g1", "g2").orderBy("h")
+    val ranked = ua.unionAll(ub).distinct()
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+    ranked
+      .join(sk.select(col("g").as("g1"), col("h"), lit(1).as("ina")),
+        Seq("g1", "h"), "left")
+      .join(sk.select(col("g").as("g2"), col("h"), lit(1).as("inb")),
+        Seq("g2", "h"), "left")
+      .groupBy("g1", "g2")
+      .agg(count(lit(1)).as("k_eff"),
+        max(when(col("rn") === k, col("h"))).as("kth"),
+        sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L)).as("m"))
+      .withColumn("union_est",
+        when(col("k_eff") < k, col("k_eff"))
+          .otherwise(expr(s"(${(k - 1).toLong * KmvUniverse}L div kth)")))
+      .withColumn("jaccard_q", expr("(1000000 * m) div k_eff"))
+      .withColumn("inter_est", expr("(jaccard_q * union_est) div 1000000"))
+      .select("g1", "g2", "k_eff", "m", "union_est", "jaccard_q", "inter_est")
+  }
 }

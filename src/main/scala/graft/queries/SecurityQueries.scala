@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{GraphOps, Network}
+import graft.ext.{GraphOps, Network, Sketches}
 
 /** Security-analytics operators over the events stream: shuffle-scale
   * interval joins (IP-allocation / geolocation enrichment when the range
@@ -152,5 +152,120 @@ object SecurityQueries {
                UNION ALL SELECT w2 AS node FROM tri)
             GROUP BY node ORDER BY node"""))
 
-  val all: Seq[QueryDef] = Seq(qRangeJoinBinned, qTriangleCount, qTriangleNodes)
+  /** Shared oracle CTEs for the KMV queries: distinct 48-bit user hashes
+    * per event type and the rank-limited sketch (k = 64).
+    */
+  private val kmvCtes: String =
+    """uh AS (SELECT DISTINCT event_type AS g,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'graft:kmv'), 1, 12))
+              AS BIGINT) AS h
+       FROM events WHERE user_id IS NOT NULL),
+       sk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+              FROM uh QUALIFY rn <= 64)"""
+
+  /** KMV distinct-count estimation per event type, next to the exact
+    * count it approximates. The sketch is the k smallest distinct user
+    * hashes per type ([[Sketches.kmvSketch]], WindowGroupLimit-pushed),
+    * the estimator exact integer division — the whole pipeline is
+    * deterministic, so unlike HLL the gate hash-checks it end to end.
+    */
+  val qKmvDistinct = QueryDef(
+    "q_kmv_distinct",
+    (s, d) => {
+      val ev = events(s, d)
+      val est = Sketches.kmvDistinct(
+        Sketches.kmvSketch(ev, "event_type", col("user_id"), 64), 64)
+      val exact = ev.where(col("user_id").isNotNull)
+        .groupBy(col("event_type").as("g"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(exact, Seq("g")).orderBy("g")
+    },
+    Some(s"""WITH $kmvCtes,
+            a AS (SELECT g, count(*) AS n_sk,
+                    max(CASE WHEN rn = 64 THEN h END) AS kth
+                  FROM sk GROUP BY g),
+            x AS (SELECT event_type AS g, count(DISTINCT user_id) AS n_exact
+                  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+            SELECT a.g, n_sk,
+              CASE WHEN n_sk < 64 THEN n_sk
+                   ELSE 17732923532771328 // kth END AS est,
+              n_exact
+            FROM a JOIN x ON a.g = x.g ORDER BY a.g"""))
+
+  /** Pairwise audience overlap between event types from the same KMV
+    * sketches ([[Sketches.kmvPairStats]]): union/intersection estimates
+    * and a 10⁶-scaled Jaccard, with the exact values alongside. The
+    * estimate path never touches raw keys — only ≤ k sketch rows per
+    * group join — which is the point at 100 TB: cohort-overlap matrices
+    * from sketches, not from a (cohort, user) distinct re-shuffle.
+    */
+  val qKmvJaccard = QueryDef(
+    "q_kmv_jaccard",
+    (s, d) => {
+      val ev = events(s, d)
+      val est = Sketches.kmvPairStats(
+        Sketches.kmvSketch(ev, "event_type", col("user_id"), 64), 64)
+      val ud = ev.where(col("user_id").isNotNull)
+        .select(col("event_type").as("g"), col("user_id").as("u")).distinct()
+        .localCheckpoint(true)
+      val singles = ud.groupBy("g").agg(count(lit(1)).as("n"))
+      val inter = ud.as("a").join(ud.as("b"),
+          col("a.u") === col("b.u") && col("a.g") < col("b.g"))
+        .groupBy(col("a.g").as("g1"), col("b.g").as("g2"))
+        .agg(count(lit(1)).as("n_inter"))
+      est
+        .join(singles.select(col("g").as("g1"), col("n").as("n1")), Seq("g1"))
+        .join(singles.select(col("g").as("g2"), col("n").as("n2")), Seq("g2"))
+        .join(inter, Seq("g1", "g2"), "left")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+        .withColumn("n_union", col("n1") + col("n2") - col("n_inter"))
+        .withColumn("exact_jaccard_q", expr("(1000000 * n_inter) div n_union"))
+        .select("g1", "g2", "k_eff", "m", "union_est", "jaccard_q",
+          "inter_est", "n_inter", "n_union", "exact_jaccard_q")
+        .orderBy("g1", "g2")
+    },
+    Some(s"""WITH $kmvCtes,
+            p AS (SELECT a.g AS g1, b.g AS g2
+                  FROM (SELECT DISTINCT g FROM sk) a, (SELECT DISTINCT g FROM sk) b
+                  WHERE a.g < b.g),
+            uni AS (SELECT DISTINCT g1, g2, h FROM (
+                      SELECT p.g1, p.g2, sk.h FROM p JOIN sk ON sk.g = p.g1
+                      UNION ALL
+                      SELECT p.g1, p.g2, sk.h FROM p JOIN sk ON sk.g = p.g2)),
+            rk AS (SELECT g1, g2, h,
+                     row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rn
+                   FROM uni QUALIFY rn <= 64),
+            agg AS (SELECT rk.g1, rk.g2, count(*) AS k_eff,
+                      max(CASE WHEN rk.rn = 64 THEN rk.h END) AS kth,
+                      sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                               THEN 1 ELSE 0 END) AS m
+                    FROM rk
+                    LEFT JOIN sk sa ON sa.g = rk.g1 AND sa.h = rk.h
+                    LEFT JOIN sk sb ON sb.g = rk.g2 AND sb.h = rk.h
+                    GROUP BY rk.g1, rk.g2),
+            est AS (SELECT g1, g2, k_eff, CAST(m AS BIGINT) AS m,
+                      CASE WHEN k_eff < 64 THEN k_eff
+                           ELSE 17732923532771328 // kth END AS union_est,
+                      (1000000 * CAST(m AS BIGINT)) // k_eff AS jaccard_q
+                    FROM agg),
+            ud AS (SELECT DISTINCT event_type AS g, user_id AS u
+                   FROM events WHERE user_id IS NOT NULL),
+            sgl AS (SELECT g, count(*) AS n FROM ud GROUP BY g),
+            ix AS (SELECT a.g AS g1, b.g AS g2, count(*) AS n_inter
+                   FROM ud a JOIN ud b ON a.u = b.u AND a.g < b.g
+                   GROUP BY 1, 2)
+            SELECT est.g1, est.g2, k_eff, m, union_est, jaccard_q,
+              (jaccard_q * union_est) // 1000000 AS inter_est,
+              COALESCE(ix.n_inter, 0) AS n_inter,
+              s1.n + s2.n - COALESCE(ix.n_inter, 0) AS n_union,
+              (1000000 * COALESCE(ix.n_inter, 0)) //
+                (s1.n + s2.n - COALESCE(ix.n_inter, 0)) AS exact_jaccard_q
+            FROM est
+            JOIN sgl s1 ON s1.g = est.g1
+            JOIN sgl s2 ON s2.g = est.g2
+            LEFT JOIN ix ON ix.g1 = est.g1 AND ix.g2 = est.g2
+            ORDER BY est.g1, est.g2"""))
+
+  val all: Seq[QueryDef] = Seq(qRangeJoinBinned, qTriangleCount,
+    qTriangleNodes, qKmvDistinct, qKmvJaccard)
 }
