@@ -62,4 +62,49 @@ object Anomaly {
         coalesce(abs(col(value) - col("med")) > lit(k) * col("mad"),
           lit(false)))
   }
+
+  /** Beaconing detection: per (entity, channel), the coefficient of
+    * variation of inter-arrival gaps — malware C2 check-ins arrive on a
+    * timer (CV ≈ jitter fraction), human activity is bursty (CV ≥ 1).
+    * The classic hunting heuristic over flow logs.
+    *
+    * Scale + determinism shape: gaps come from one lag window per
+    * (entity, channel) partition; the moments are ORDER-INDEPENDENT
+    * exact sums — Σg as BIGINT, Σg² as DECIMAL(38,0) (µs gaps square
+    * past 2^63) — and each sum is cast to double ONCE at the end, so
+    * the (mean, variance, CV) expression tree evaluates bit-identically
+    * on any engine and any partitioning. Never use var_pop/stddev here:
+    * their streaming merge order varies run to run.
+    *
+    * Output: (entity, channel, n_gaps, mean_gap, cv_q, is_beacon) for
+    * groups with at least `minGaps` gaps; `cv_q` is floor(CV·10⁶), NULL
+    * for a zero mean (all gaps zero); `is_beacon` = cv_q < thresholdQ.
+    */
+  def beaconScores(
+      df: DataFrame, entity: String, channel: String, tsUs: String,
+      idCol: String, minGaps: Int = 5, cvThresholdQ: Long = 300000L): DataFrame = {
+    require(minGaps >= 2, s"minGaps must be >= 2, got $minGaps")
+    val reserved = Seq("_gap", "n_gaps", "gsum", "gsumsq", "mean_gap", "cv_q", "is_beacon")
+    require(!reserved.exists(df.columns.contains),
+      s"beaconScores reserves columns ${reserved.mkString(", ")}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(entity, channel).orderBy(col(tsUs), col(idCol))
+    df.withColumn("_gap", col(tsUs) - lag(col(tsUs), 1).over(w))
+      .where(col("_gap").isNotNull)
+      .groupBy(entity, channel)
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("_gap")).as("gsum"),
+        sum(col("_gap").cast("decimal(38,0)") * col("_gap")).as("gsumsq"))
+      .where(col("n_gaps") >= minGaps)
+      .withColumn("mean_gap",
+        col("gsum").cast("double") / col("n_gaps").cast("double"))
+      .withColumn("cv_q",
+        when(col("gsum") > 0,
+          floor(sqrt(greatest(
+            col("gsumsq").cast("double") / col("n_gaps").cast("double") -
+              col("mean_gap") * col("mean_gap"), lit(0.0)))
+            / col("mean_gap") * lit(1000000.0))))
+      .withColumn("is_beacon", coalesce(col("cv_q") < cvThresholdQ, lit(false)))
+      .drop("gsumsq")
+  }
 }

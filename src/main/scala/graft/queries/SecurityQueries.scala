@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.etl.{Anomaly, Funnel}
 import graft.ext.{GraphOps, Network, Sketches}
 
 /** Security-analytics operators over the events stream: shuffle-scale
@@ -266,6 +267,82 @@ object SecurityQueries {
             LEFT JOIN ix ON ix.g1 = est.g1 AND ix.g2 = est.g2
             ORDER BY est.g1, est.g2"""))
 
+  /** Beaconing detection over (user, event_type) inter-arrival gaps —
+    * [[Anomaly.beaconScores]]: CV of gap times from order-independent
+    * exact moments (Σg BIGINT, Σg² DECIMAL/HUGEINT), each sum cast to
+    * double exactly once so the whole statistic is bit-identical across
+    * engines and partitionings. Random testdata mostly reads as bursty
+    * (high CV) — the SPEC proves a planted timer fires the flag; this
+    * gate proves the moment arithmetic.
+    */
+  val qBeaconing = QueryDef(
+    "q_beaconing",
+    (s, d) => Anomaly.beaconScores(
+        events(s, d).where(col("user_id").isNotNull)
+          .withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "event_type", "ts_us", "event_id", minGaps = 5)
+      .orderBy("user_id", "event_type"),
+    Some("""WITH g AS (SELECT user_id, event_type,
+              epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY epoch_us(ts), event_id) AS gap
+            FROM events WHERE user_id IS NOT NULL),
+            a AS (SELECT user_id, event_type, count(*) AS n_gaps,
+                    CAST(sum(gap) AS BIGINT) AS gsum,
+                    sum(CAST(gap AS HUGEINT) * gap) AS gsumsq
+                  FROM g WHERE gap IS NOT NULL
+                  GROUP BY 1, 2 HAVING count(*) >= 5),
+            b AS (SELECT user_id, event_type, n_gaps, gsum,
+                    CAST(gsum AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap,
+                    CASE WHEN gsum > 0 THEN CAST(floor(
+                      sqrt(GREATEST(
+                        CAST(gsumsq AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                        - (CAST(gsum AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                          * (CAST(gsum AS DOUBLE) / CAST(n_gaps AS DOUBLE)),
+                        0.0))
+                      / (CAST(gsum AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                      * 1000000.0) AS BIGINT) END AS cv_q
+                  FROM a)
+            SELECT user_id, event_type, n_gaps, gsum, mean_gap, cv_q,
+              COALESCE(cv_q < 300000, false) AS is_beacon
+            FROM b ORDER BY user_id, event_type"""))
+
+  /** Three-step funnel (signup → click → purchase within 14 days of the
+    * first signup) — [[Funnel.conversion]]: one filtered min-aggregate
+    * per step joined on the entity key, never a window over the raw
+    * stream. Ties do not advance the funnel (strict >).
+    */
+  val qFunnel = QueryDef(
+    "q_funnel",
+    (s, d) => Funnel.conversion(
+      events(s, d).withColumn("ts_us", expr("ts div 1000")),
+      "user_id", "event_type", "ts_us",
+      Seq("signup", "click", "purchase"), withinUs = 1209600000000L),
+    Some("""WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS tu
+              FROM events WHERE user_id IS NOT NULL),
+            s1 AS (SELECT u, min(tu) AS t1 FROM e WHERE t = 'signup' GROUP BY 1),
+            s2 AS (SELECT e.u, s1.t1, min(tu) AS t2
+                   FROM e JOIN s1 ON e.u = s1.u
+                   WHERE t = 'click' AND tu > t1 AND tu <= t1 + 1209600000000
+                   GROUP BY 1, 2),
+            s3 AS (SELECT e.u, min(tu) AS t3
+                   FROM e JOIN s2 ON e.u = s2.u
+                   WHERE t = 'purchase' AND tu > t2 AND tu <= t1 + 1209600000000
+                   GROUP BY 1),
+            n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+                         (SELECT count(*) FROM s2) AS n2,
+                         (SELECT count(*) FROM s3) AS n3)
+            SELECT * FROM (
+              SELECT 1 AS step_idx, 'signup' AS step, n1 AS n_entities,
+                CASE WHEN n1 = 0 THEN 0 ELSE 1000000 END AS conv_q FROM n
+              UNION ALL
+              SELECT 2, 'click', n2,
+                CASE WHEN n1 = 0 THEN 0 ELSE (1000000 * n2) // n1 END FROM n
+              UNION ALL
+              SELECT 3, 'purchase', n3,
+                CASE WHEN n1 = 0 THEN 0 ELSE (1000000 * n3) // n1 END FROM n)
+            ORDER BY step_idx"""))
+
   val all: Seq[QueryDef] = Seq(qRangeJoinBinned, qTriangleCount,
-    qTriangleNodes, qKmvDistinct, qKmvJaccard)
+    qTriangleNodes, qKmvDistinct, qKmvJaccard, qBeaconing, qFunnel)
 }

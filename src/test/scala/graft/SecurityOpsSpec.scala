@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Anomaly, Funnel}
+
+/** Beaconing-CV and funnel-progression invariants on hand-built streams. */
+class SecurityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("beaconScores: a planted timer is flagged, bursty traffic is not") {
+    // Timer: exactly 60s cadence. Bursty: exponential-ish spread gaps.
+    val timer = (0 until 21).map(i => (1L, "c2", 60000000L * i, i.toLong))
+    val bursty = Seq(0L, 1L, 2L, 100L, 5000L, 5001L, 90000L, 90001L,
+      500000L, 2000000L, 2000002L)
+      .zipWithIndex.map { case (t, i) => (2L, "c2", t * 1000L, (100 + i).toLong) }
+    val df = (timer ++ bursty).toDF("uid", "chan", "ts_us", "id")
+    val out = Anomaly.beaconScores(df, "uid", "chan", "ts_us", "id", minGaps = 5)
+      .select(col("uid"), col("cv_q"), col("is_beacon"))
+      .as[(Long, Option[Long], Boolean)].collect()
+      .map { case (k, v, b) => k -> ((v, b)) }.toMap
+    assert(out(1L)._1.contains(0L) && out(1L)._2, s"timer not flagged: $out")
+    assert(!out(2L)._2, s"bursty flagged: $out")
+  }
+
+  test("beaconScores: CV math exact on a hand-computed group") {
+    // gaps 10, 20, 30: mean 20, pop var 200/3, cv = sqrt(200/3)/20
+    val rows = Seq(0L, 10L, 30L, 60L).zipWithIndex
+      .map { case (t, i) => (1L, "x", t, i.toLong) }
+    val cv = Anomaly.beaconScores(rows.toDF("uid", "chan", "ts_us", "id"),
+        "uid", "chan", "ts_us", "id", minGaps = 3)
+      .select("cv_q").as[Long].head()
+    val expected = math.floor(
+      math.sqrt((100.0 + 400.0 + 900.0) / 3.0 - 400.0) / 20.0 * 1e6).toLong
+    assert(cv === expected && cv === 408248L)
+  }
+
+  test("beaconScores: minGaps filters, all-zero gaps give NULL cv and no flag") {
+    val few = (0 until 3).map(i => (1L, "a", i * 1000L, i.toLong))
+    val zeros = (0 until 10).map(i => (2L, "a", 42L, (50 + i).toLong))
+    val out = Anomaly.beaconScores((few ++ zeros).toDF("uid", "chan", "ts_us", "id"),
+        "uid", "chan", "ts_us", "id", minGaps = 5)
+      .select(col("uid"), col("cv_q"), col("is_beacon"))
+      .as[(Long, Option[Long], Boolean)].collect()
+    assert(out.length === 1)
+    assert(out.head === ((2L, None, false)))
+  }
+
+  test("funnel: completion, strict ordering, and window anchoring") {
+    val w = 1000000L // 1s window
+    val ev = Seq(
+      // u1 completes in order inside the window
+      (1L, "a", 0L), (1L, "b", 10L), (1L, "c", 20L),
+      // u2: step b ties step a's instant -> strict > blocks it
+      (2L, "a", 0L), (2L, "b", 0L), (2L, "c", 5L),
+      // u3: completes b, but c lands past the window anchored at FIRST a
+      (3L, "a", 0L), (3L, "a", 999000L), (3L, "b", 500L), (3L, "c", 1000500L),
+      // u4: steps out of order (c before b)
+      (4L, "a", 0L), (4L, "c", 10L), (4L, "b", 20L),
+      // u5: never starts
+      (5L, "b", 0L), (5L, "c", 1L))
+      .toDF("uid", "t", "tu")
+    val out = Funnel.conversion(ev, "uid", "t", "tu", Seq("a", "b", "c"), w)
+      .select("step_idx", "n_entities", "conv_q")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    // starts: u1,u2,u3,u4 = 4; reach b: u1,u3,u4 = 3; reach c: u1 only
+    // (u4's b at 20 is after its c at 10, but c must follow b: u4's c
+    //  at 10 is NOT > t2=20, so u4 stops at b)
+    assert(out(0) === ((1, 4L, 1000000L)))
+    assert(out(1) === ((2, 3L, 750000L)))
+    assert(out(2) === ((3, 1L, 250000L)))
+  }
+
+  test("funnel: empty start yields zero conversions, not a crash") {
+    val ev = Seq((1L, "x", 0L)).toDF("uid", "t", "tu")
+    val out = Funnel.conversion(ev, "uid", "t", "tu", Seq("a", "b"), 100L)
+      .select("n_entities", "conv_q").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((0L, 0L), (0L, 0L)))
+  }
+}
