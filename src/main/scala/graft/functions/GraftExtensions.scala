@@ -189,11 +189,19 @@ object GraftFunctions {
           org.apache.spark.sql.types.LongType))
     }
 
+  private val charEntropyDescriptor =
+    descriptor("graft_char_entropy", classOf[CharEntropyQ],
+      "_FUNC_(text, maxChars) - fixed-point (bits x 2^20) character-class " +
+        "entropy of the first maxChars code points") { exprs =>
+      arity("graft_char_entropy", exprs, 2)
+      CharEntropyQ(exprs.head, litInt("graft_char_entropy", "maxChars", exprs(1)))
+    }
+
   private[functions] val descriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     floatVectorCosineDescriptor +: floatVectorDotDescriptor +:
       winnowDescriptor +: nfcNormalizeDescriptor +: zorderDescriptor +:
-      macroDescriptors
+      charEntropyDescriptor +: macroDescriptors
 
   /** Register the engine's SQL functions on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.etl.{Anomaly, Funnel}
 import graft.ext.{GraphOps, Network, Sketches}
+import graft.functions.{CharEntropyFunctions, CharEntropyImpl}
 
 /** Security-analytics operators over the events stream: shuffle-scale
   * interval joins (IP-allocation / geolocation enrichment when the range
@@ -343,6 +344,47 @@ object SecurityQueries {
                 CASE WHEN n1 = 0 THEN 0 ELSE (1000000 * n3) // n1 END FROM n)
             ORDER BY step_idx"""))
 
+  /** Fixed-point character-class entropy of each document's first 256
+    * code points — the DGA/gibberish detector as a native codegen'd
+    * expression ([[graft.functions.CharEntropyQ]]): one pass per row,
+    * zero shuffles, integer math against a frozen log2 table. The
+    * oracle unnests characters and replays the same integer formula
+    * against the identical table embedded as VALUES — no transcendental
+    * is evaluated twice.
+    */
+  val qCharEntropy = QueryDef(
+    "q_char_entropy",
+    (s, d) => table(s, d, "documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        least(length(col("text")), lit(256)).cast("long").as("n_chars"),
+        CharEntropyFunctions.char_entropy_q(col("text"), 256).as("ent_q"))
+      .orderBy("doc_id"),
+    Some(s"""WITH lq(k, l) AS (VALUES ${CharEntropyImpl.log2qSqlValues(256)}),
+            ch AS (SELECT doc_id, unnest(string_split(substr(text, 1, 256), '')) AS c
+                   FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+            cls AS (SELECT doc_id,
+                      CASE WHEN ascii(c) BETWEEN 97 AND 122 THEN ascii(c) - 97
+                           WHEN ascii(c) BETWEEN 65 AND 90 THEN ascii(c) - 65
+                           WHEN ascii(c) BETWEEN 48 AND 57 THEN 26
+                           ELSE 27 END AS cl
+                    FROM ch),
+            cnt AS (SELECT doc_id, cl, count(*) AS c FROM cls GROUP BY 1, 2),
+            agg AS (SELECT cnt.doc_id, CAST(sum(cnt.c) AS BIGINT) AS n,
+                      CAST(sum(cnt.c * lc.l) AS BIGINT) AS s
+                    FROM cnt JOIN lq lc ON lc.k = cnt.c
+                    GROUP BY 1)
+            SELECT d.doc_id,
+              CAST(COALESCE(a.n, 0) AS BIGINT) AS n_chars,
+              CAST(CASE WHEN a.n IS NULL THEN 0
+                   ELSE (a.n * ln.l - a.s) // a.n END AS BIGINT) AS ent_q
+            FROM documents d
+            LEFT JOIN agg a ON a.doc_id = d.doc_id
+            LEFT JOIN lq ln ON ln.k = a.n
+            WHERE d.text IS NOT NULL
+            ORDER BY d.doc_id"""))
+
   val all: Seq[QueryDef] = Seq(qRangeJoinBinned, qTriangleCount,
-    qTriangleNodes, qKmvDistinct, qKmvJaccard, qBeaconing, qFunnel)
+    qTriangleNodes, qKmvDistinct, qKmvJaccard, qBeaconing, qFunnel,
+    qCharEntropy)
 }
