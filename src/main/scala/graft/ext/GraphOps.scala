@@ -107,6 +107,9 @@ object GraphOps {
         (col("g1") === col("g2") && col("w1") < col("w2")))
       .join(o.select(col("src").as("w1"), col("dst").as("w2")), Seq("w1", "w2"))
       .select("src", "w1", "w2")
+      // three consumers below (one per credited corner) — pin, or the
+      // wedge join replays three times
+      .localCheckpoint(true)
     tri.select(col("src").as("node"))
       .unionAll(tri.select(col("w1").as("node")))
       .unionAll(tri.select(col("w2").as("node")))
