@@ -93,6 +93,42 @@ object GraphOps {
       lit(closureQ).as("closure_q"))
   }
 
+  /** Approximate k-core by fixed-round peeling: repeatedly drop nodes of
+    * degree < k and the edges touching them, `rounds` times, then report
+    * the surviving nodes of degree ≥ k with their residual degrees. At
+    * convergence (no node dropped in a round) this IS the k-core — the
+    * maximal subgraph where every node keeps ≥ k neighbors, the standard
+    * dense-community/botnet-cluster extractor.
+    *
+    * The round count is a CONTRACT, not a convergence test: both the
+    * operator and its oracle execute exactly `rounds` peels, so results
+    * are comparable engine-to-engine even mid-convergence (a data-driven
+    * stopping rule would make the oracle unroll depth data-dependent).
+    * Each round is a degree aggregate plus two equi-joins against the
+    * kept-node list; the edge frame is checkpointed per round — the
+    * iterative-loop planning rule — so plans stay constant-size.
+    *
+    * `edges` must be canonical (u < v, distinct).
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1, 64], got $rounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+    var e = edges.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).where(col("deg") >= k).select("n")
+        .localCheckpoint(true)
+      e = e.join(keep.withColumnRenamed("n", "u"), Seq("u"))
+        .join(keep.withColumnRenamed("n", "v"), Seq("v"))
+        .select("u", "v")
+        .localCheckpoint(true)
+    }
+    degrees(e).where(col("deg") >= k)
+      .select(col("n").as("node"), col("deg"))
+  }
+
   /** Per-node triangle participation: (node, n_tri) for every node that
     * closes at least one triangle — the local signal that separates
     * community members from bridge/hub nodes. Same oriented join as

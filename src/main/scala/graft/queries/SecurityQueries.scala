@@ -384,7 +384,38 @@ object SecurityQueries {
             WHERE d.text IS NOT NULL
             ORDER BY d.doc_id"""))
 
+  /** The k-core oracle's peeling rounds, unrolled as MATERIALIZED CTEs
+    * (e0 = the contact graph; each round: degrees → kept nodes → filtered
+    * edges). Fixed unroll depth is the operator's contract.
+    */
+  private def kcoreUnrollSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT n, count(*) AS deg FROM
+           (SELECT u AS n FROM e${r - 1} UNION ALL SELECT v AS n FROM e${r - 1})
+           GROUP BY 1),
+         n$r AS MATERIALIZED (SELECT n FROM d$r WHERE deg >= $k),
+         e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
+           WHERE u IN (SELECT n FROM n$r) AND v IN (SELECT n FROM n$r))"""
+    }
+    (s"e0 AS MATERIALIZED (SELECT u, v FROM e)" +: steps).mkString(",\n")
+  }
+
+  /** 6-core extraction on the contact graph by 6 fixed peeling rounds
+    * ([[GraphOps.kCore]]) — the dense-cluster (botnet/community) motif.
+    * Fixed rounds keep the oracle's unroll depth a contract rather than
+    * data-dependent; at convergence the result is the exact k-core.
+    */
+  val qKcore = QueryDef(
+    "q_kcore",
+    (s, d) => GraphOps.kCore(contactEdges(s, d), k = 6, rounds = 6)
+      .orderBy("node"),
+    Some(s"""WITH $contactEdgesSql,
+            ${kcoreUnrollSql(6, 6)}
+            SELECT n AS node, count(*) AS deg FROM
+              (SELECT u AS n FROM e6 UNION ALL SELECT v AS n FROM e6)
+            GROUP BY 1 HAVING count(*) >= 6 ORDER BY node"""))
+
   val all: Seq[QueryDef] = Seq(qRangeJoinBinned, qTriangleCount,
     qTriangleNodes, qKmvDistinct, qKmvJaccard, qBeaconing, qFunnel,
-    qCharEntropy)
+    qCharEntropy, qKcore)
 }

@@ -61,6 +61,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(per === 3 * total)
   }
 
+  test("kCore: cliques survive, stars dissolve, peeling cascades by round") {
+    val k4 = (for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)).toDF("a", "b")
+    val k4core = GraphOps.kCore(GraphOps.canonicalEdges(k4, "a", "b"), 3, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(k4core === (0L to 3L).map(_ -> 3L).toSet)
+
+    val star = (1L to 10L).map((0L, _)).toDF("a", "b")
+    assert(GraphOps.kCore(GraphOps.canonicalEdges(star, "a", "b"), 2, 3)
+      .count() === 0L)
+
+    // Path 1-2-3-4-5 at k=2: round 1 peels the endpoints leaving 2-3-4,
+    // whose NEW endpoints only die in round 2 — fixed rounds expose the
+    // cascade stage by stage.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val e = GraphOps.canonicalEdges(path, "a", "b")
+    val r1 = GraphOps.kCore(e, 2, 1).as[(Long, Long)].collect().toSet
+    assert(r1 === Set((3L, 2L)))
+    assert(GraphOps.kCore(e, 2, 2).count() === 0L)
+  }
+
   test("orientation bounds hub out-degree: star hub keeps out-degree 0") {
     // In a star the hub has max degree, so every edge orients leaf->hub:
     // the hub is never a wedge pivot — the scale guarantee in miniature.
