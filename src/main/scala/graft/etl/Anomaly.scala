@@ -107,4 +107,45 @@ object Anomaly {
       .withColumn("is_beacon", coalesce(col("cv_q") < cvThresholdQ, lit(false)))
       .drop("gsumsq")
   }
+
+  /** Markov sequence-surprise scoring: train a first-order transition
+    * model (MLE over consecutive event-type pairs per entity), then score
+    * each entity's whole path by its negative log-likelihood — high
+    * surprise = an entity walking transitions the population rarely
+    * takes, the sequence-anomaly signal behind UEBA "unusual activity
+    * chain" detections.
+    *
+    * Determinism: each step contributes floor(ln(n_ab/n_a)·10⁶) — the
+    * probability is an identical-operand double division of exact longs,
+    * ln is bit-identical JVM↔DuckDB on such inputs, and the per-entity
+    * SUM is over integers, so no float accumulation order ever matters.
+    * Scores are reported negated (`surprise_q` ≥ 0) so the integer
+    * division for the per-step average is floor-consistent across
+    * engines (negative `div` truncates differently).
+    *
+    * Scale: the model is |types|² rows — broadcast; the stream shuffles
+    * once for the lag window and once for the per-entity sum.
+    */
+  def markovPathScores(
+      df: DataFrame, entity: String, typeCol: String, tsUs: String,
+      idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(entity).orderBy(col(tsUs), col(idCol))
+    // two consumers (model training + scoring) — pin
+    val steps = df
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .where(col("_next").isNotNull)
+      .select(col(entity).as("_e"), col(typeCol).as("_a"), col("_next").as("_b"))
+      .localCheckpoint(true)
+    val trans = steps.groupBy("_a", "_b").agg(count(lit(1)).as("n_ab"))
+    val model = trans.join(
+      trans.groupBy("_a").agg(sum(col("n_ab")).as("n_a")), Seq("_a"))
+    steps.join(broadcast(model), Seq("_a", "_b"))
+      .withColumn("_c", floor(
+        log(col("n_ab").cast("double") / col("n_a").cast("double"))
+          * lit(1000000.0)))
+      .groupBy(col("_e").as(entity))
+      .agg(count(lit(1)).as("n_steps"), (-sum(col("_c"))).as("surprise_q"))
+      .withColumn("avg_surprise_q", expr("surprise_q div n_steps"))
+  }
 }

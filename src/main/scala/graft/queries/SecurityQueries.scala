@@ -415,7 +415,36 @@ object SecurityQueries {
               (SELECT u AS n FROM e6 UNION ALL SELECT v AS n FROM e6)
             GROUP BY 1 HAVING count(*) >= 6 ORDER BY node"""))
 
+  /** Markov sequence-surprise per user ([[Anomaly.markovPathScores]]):
+    * negative log-likelihood of each user's event-type path under the
+    * population's first-order transition model. Integer step scores
+    * (floor(ln(p)·10⁶)) make the per-user sum order-independent; the
+    * |types|² model broadcasts.
+    */
+  val qPathSurprise = QueryDef(
+    "q_path_surprise",
+    (s, d) => Anomaly.markovPathScores(
+        events(s, d).where(col("user_id").isNotNull)
+          .withColumn("ts_us", expr("ts div 1000")),
+        "user_id", "event_type", "ts_us", "event_id")
+      .orderBy("user_id"),
+    Some("""WITH st AS (SELECT user_id AS e, event_type AS a,
+              lead(event_type) OVER (PARTITION BY user_id
+                ORDER BY epoch_us(ts), event_id) AS b
+            FROM events WHERE user_id IS NOT NULL),
+            s2 AS (SELECT e, a, b FROM st WHERE b IS NOT NULL),
+            tr AS (SELECT a, b, count(*) AS n_ab FROM s2 GROUP BY 1, 2),
+            tt AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM tr GROUP BY 1),
+            sc AS (SELECT e, CAST(floor(
+                     ln(CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE))
+                     * 1000000.0) AS BIGINT) AS c
+                   FROM s2 JOIN tr USING (a, b) JOIN tt USING (a))
+            SELECT e AS user_id, count(*) AS n_steps,
+              CAST(-sum(c) AS BIGINT) AS surprise_q,
+              CAST(-sum(c) AS BIGINT) // count(*) AS avg_surprise_q
+            FROM sc GROUP BY 1 ORDER BY user_id"""))
+
   val all: Seq[QueryDef] = Seq(qRangeJoinBinned, qTriangleCount,
     qTriangleNodes, qKmvDistinct, qKmvJaccard, qBeaconing, qFunnel,
-    qCharEntropy, qKcore)
+    qCharEntropy, qKcore, qPathSurprise)
 }

@@ -71,6 +71,24 @@ class SecurityOpsSpec extends SparkSpec {
     assert(out(2) === ((3, 1L, 250000L)))
   }
 
+  test("markovPathScores: hand-computed transition surprise is exact") {
+    // u1: a->b->a->b ; u2: a->a.  Model: a->b 2/3, a->a 1/3, b->a 1/1.
+    val ev = Seq(
+      (1L, "a", 0L, 0L), (1L, "b", 1L, 1L), (1L, "a", 2L, 2L), (1L, "b", 3L, 3L),
+      (2L, "a", 0L, 4L), (2L, "a", 1L, 5L))
+      .toDF("uid", "t", "ts_us", "id")
+    val out = Anomaly.markovPathScores(ev, "uid", "t", "ts_us", "id")
+      .orderBy("uid")
+      .select("uid", "n_steps", "surprise_q", "avg_surprise_q")
+      .as[(Long, Long, Long, Long)].collect()
+    val c23 = math.floor(math.log(2.0 / 3.0) * 1e6).toLong // -405466
+    val c13 = math.floor(math.log(1.0 / 3.0) * 1e6).toLong // -1098613
+    assert(out(0) === ((1L, 3L, -2 * c23, (-2 * c23) / 3)))
+    assert(out(1) === ((2L, 1L, -c13, -c13)))
+    // the rare transition really is the more surprising one
+    assert(out(1)._4 > out(0)._4)
+  }
+
   test("funnel: empty start yields zero conversions, not a crash") {
     val ev = Seq((1L, "x", 0L)).toDF("uid", "t", "tu")
     val out = Funnel.conversion(ev, "uid", "t", "tu", Seq("a", "b"), 100L)
