@@ -126,26 +126,43 @@ object Anomaly {
     * Scale: the model is |types|² rows — broadcast; the stream shuffles
     * once for the lag window and once for the per-entity sum.
     */
-  def markovPathScores(
+  /** Consecutive (entity, from, to) transition steps of an event stream
+    * — pinned, because every consumer (model training AND scoring) reads
+    * it at least twice.
+    */
+  def transitionSteps(
       df: DataFrame, entity: String, typeCol: String, tsUs: String,
       idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(entity).orderBy(col(tsUs), col(idCol))
-    // two consumers (model training + scoring) — pin
-    val steps = df
-      .withColumn("_next", lead(col(typeCol), 1).over(w))
+    df.withColumn("_next", lead(col(typeCol), 1).over(w))
       .where(col("_next").isNotNull)
       .select(col(entity).as("_e"), col(typeCol).as("_a"), col("_next").as("_b"))
       .localCheckpoint(true)
+  }
+
+  /** First-order MLE transition model over [[transitionSteps]] output:
+    * (_a, _b, n_ab, n_a) — |types|² rows, the frozen artifact the
+    * streaming twin broadcasts.
+    */
+  def markovModel(steps: DataFrame): DataFrame = {
     val trans = steps.groupBy("_a", "_b").agg(count(lit(1)).as("n_ab"))
-    val model = trans.join(
-      trans.groupBy("_a").agg(sum(col("n_ab")).as("n_a")), Seq("_a"))
-    steps.join(broadcast(model), Seq("_a", "_b"))
-      .withColumn("_c", floor(
-        log(col("n_ab").cast("double") / col("n_a").cast("double"))
-          * lit(1000000.0)))
+    trans.join(trans.groupBy("_a").agg(sum(col("n_ab")).as("n_a")), Seq("_a"))
+  }
+
+  /** Per-step integer surprise: −floor(ln(n_ab/n_a)·10⁶) ≥ 0. */
+  private[graft] def stepSurpriseQ: org.apache.spark.sql.Column =
+    -floor(log(col("n_ab").cast("double") / col("n_a").cast("double"))
+      * lit(1000000.0))
+
+  def markovPathScores(
+      df: DataFrame, entity: String, typeCol: String, tsUs: String,
+      idCol: String): DataFrame = {
+    val steps = transitionSteps(df, entity, typeCol, tsUs, idCol)
+    steps.join(broadcast(markovModel(steps)), Seq("_a", "_b"))
+      .withColumn("_sq", stepSurpriseQ)
       .groupBy(col("_e").as(entity))
-      .agg(count(lit(1)).as("n_steps"), (-sum(col("_c"))).as("surprise_q"))
+      .agg(count(lit(1)).as("n_steps"), sum(col("_sq")).as("surprise_q"))
       .withColumn("avg_surprise_q", expr("surprise_q div n_steps"))
   }
 }

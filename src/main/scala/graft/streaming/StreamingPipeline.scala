@@ -1048,6 +1048,43 @@ object StreamingPipeline {
     graft.ext.TextAnalysis.blocklistScreen(
       docs, textCol, blocklist, maxBannedPerMille)
 
+  /** Streaming twin of [[graft.functions.CharEntropyQ]]: the
+    * DGA/gibberish entropy screen at the ingest edge — a stateless
+    * per-row native-expression projection (no join, no state, no
+    * watermark, valid in append mode), bit-identical to batch because
+    * the expression is pure integer math against the frozen log2 table.
+    */
+  def charEntropyStream(
+      docs: DataFrame, maxChars: Int = 256,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      least(length(col(textCol)), lit(maxChars)).cast("long").as("n_chars"),
+      graft.functions.CharEntropyFunctions
+        .char_entropy_q(col(textCol), maxChars).as("ent_q"))
+
+  /** Streaming twin of [[graft.etl.Anomaly.markovPathScores]]' scoring
+    * half: per-transition surprise against a FROZEN transition model
+    * ([[graft.etl.Anomaly.markovModel]], trained batch-side — transition
+    * MLE is a corpus-global statistic, the frozen-artifact contract
+    * every trained operator's twin follows). The (from, to) pair is
+    * expected on the row (produced upstream by whatever session state
+    * tracks the previous event); scoring itself is a stateless broadcast
+    * join emitting the SAME floor(ln(p)·10⁶) integer batch computes.
+    * Transitions absent from the model emit no row (OOV drops at the
+    * join, exactly as in batch).
+    */
+  def transitionSurpriseStream(
+      steps: DataFrame, model: DataFrame,
+      fromCol: String = "from_type", toCol: String = "to_type"): DataFrame =
+    steps
+      .withColumnRenamed(fromCol, "_a")
+      .withColumnRenamed(toCol, "_b")
+      .join(broadcast(model), Seq("_a", "_b"))
+      .withColumn("surprise_q", graft.etl.Anomaly.stepSurpriseQ)
+      .withColumnRenamed("_a", fromCol)
+      .withColumnRenamed("_b", toCol)
+      .drop("n_ab", "n_a")
+
   /** Streaming twin of [[graft.ext.Relevance.knScoreFrozen]]: CCNet-style
     * LM quality scoring at the ingest edge against a FROZEN
     * [[graft.ext.Relevance.knLmModel]] bigram lexicon (trained

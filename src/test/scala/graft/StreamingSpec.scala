@@ -1391,4 +1391,51 @@ class StreamingSpec extends SparkSpec {
       assert(out == Set((1L, "a.com", 1L), (4L, "a.com", 2L), (6L, "ok.com", 1L)))
     } finally q.stop()
   }
+
+  test("char entropy stream: stateless edge twin matches the batch expression") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, "aabb"), (2L, "abcd"), (3L, "aaaa"), (4L, ""),
+      (5L, "The quick brown fox jumps over 13 lazy dogs!"))
+    val batch = rows.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.CharEntropyFunctions.char_entropy_q(col("text"), 256))
+      .as[(Long, Long)].collect().toSet
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.charEntropyStream(input.toDF().toDF("doc_id", "text"))
+      .select("doc_id", "ent_q")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("entq_out").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("entq_out").as[(Long, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(batch.contains((1L, 1048576L))) // the hand-computed anchor
+    } finally q.stop()
+  }
+
+  test("transition surprise stream: frozen-model scoring matches batch; OOV drops") {
+    implicit val sqlCtx = spark.sqlContext
+    // frozen artifact: model trained batch-side on a->b->a->b + a->a
+    val hist = Seq(
+      (1L, "a", 0L, 0L), (1L, "b", 1L, 1L), (1L, "a", 2L, 2L), (1L, "b", 3L, 3L),
+      (2L, "a", 0L, 4L), (2L, "a", 1L, 5L)).toDF("uid", "t", "ts_us", "id")
+    val model = graft.etl.Anomaly.markovModel(
+      graft.etl.Anomaly.transitionSteps(hist, "uid", "t", "ts_us", "id"))
+    val input = MemoryStream[(Long, String, String)]
+    val q = StreamingPipeline.transitionSurpriseStream(
+        input.toDF().toDF("uid", "from_type", "to_type"), model)
+      .select("uid", "surprise_q")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tsq_out").start()
+    try {
+      input.addData((10L, "a", "b"), (11L, "a", "a"), (12L, "b", "a"),
+        (13L, "b", "b")) // b->b never happened: OOV, must emit nothing
+      q.processAllAvailable()
+      val out = spark.table("tsq_out").as[(Long, Long)].collect().toMap
+      val c23 = -math.floor(math.log(2.0 / 3.0) * 1e6).toLong
+      val c13 = -math.floor(math.log(1.0 / 3.0) * 1e6).toLong
+      assert(out === Map(10L -> c23, 11L -> c13, 12L -> 0L))
+    } finally q.stop()
+  }
 }
