@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.{Anomaly, Funnel}
-import graft.ext.{GraphOps, Network, Sketches}
+import graft.ext.{FuzzyJoin, GraphOps, Network, Sketches}
 import graft.functions.{CharEntropyFunctions, CharEntropyImpl}
 
 /** Security-analytics operators over the events stream: shuffle-scale
@@ -444,7 +444,60 @@ object SecurityQueries {
               CAST(-sum(c) AS BIGINT) // count(*) AS avg_surprise_q
             FROM sc GROUP BY 1 ORDER BY user_id"""))
 
+  /** Blocked fuzzy matching ([[FuzzyJoin.blockedEditJoin]]): every part
+    * name gets a unique '#key' tail, probes are the same names with one
+    * md5-chosen character deleted (never in the last three — the suffix
+    * blocker's contract), and matching runs as a suffix-3 equi-join plus
+    * exact Levenshtein verify within the block — entity resolution with
+    * one shuffle, no cartesian. Each probe must re-find its source at
+    * distance 1 (`self_hit`); extra matches are true near-collisions.
+    */
+  val qFuzzyMatch = QueryDef(
+    "q_fuzzy_match",
+    (s, d) => {
+      val cat = table(s, d, "part")
+        .select(col("p_partkey"),
+          concat(col("p_name"), lit("#"),
+            col("p_partkey").cast("string")).as("name"))
+      val probes = cat
+        .withColumn("pos", (lit(2L) +
+          conv(substring(md5(concat(col("p_partkey").cast("string"),
+            lit("graft:fz"))), 1, 4), 16, 10).cast("long")
+            % (length(col("name")).cast("long") - lit(4L))).cast("int"))
+        .select(col("p_partkey").as("probe_key"),
+          expr("concat(substring(name, 1, pos - 1), substring(name, pos + 1))")
+            .as("probe_name"))
+      FuzzyJoin.blockedEditJoin(probes, "probe_name", cat, "name",
+          maxDist = 2, blocker = FuzzyJoin.suffixBlocker(3))
+        .groupBy("probe_key")
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("dist")).as("best_dist"),
+          max(when(col("p_partkey") === col("probe_key"), 1L).otherwise(0L))
+            .as("self_hit"))
+        .orderBy("probe_key")
+    },
+    Some("""WITH cat AS (SELECT p_partkey,
+              p_name || '#' || CAST(p_partkey AS VARCHAR) AS name FROM part),
+            pr AS (SELECT p_partkey AS probe_key, name,
+              2 + CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR) || 'graft:fz'), 1, 4))
+                  AS BIGINT) % (length(name) - 4) AS pos
+              FROM cat),
+            pb AS (SELECT probe_key,
+              substr(name, 1, CAST(pos AS INT) - 1) || substr(name, CAST(pos AS INT) + 1)
+                AS probe_name
+              FROM pr),
+            j AS (SELECT pb.probe_key, cat.p_partkey,
+                    levenshtein(pb.probe_name, cat.name) AS dist
+                  FROM pb JOIN cat
+                    ON lower(substr(pb.probe_name, -3, 3)) = lower(substr(cat.name, -3, 3))
+                  WHERE abs(length(pb.probe_name) - length(cat.name)) <= 2)
+            SELECT probe_key, count(*) AS n_matches,
+              CAST(min(dist) AS INT) AS best_dist,
+              CAST(max(CASE WHEN p_partkey = probe_key THEN 1 ELSE 0 END) AS BIGINT)
+                AS self_hit
+            FROM j WHERE dist <= 2 GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[QueryDef] = Seq(qRangeJoinBinned, qTriangleCount,
     qTriangleNodes, qKmvDistinct, qKmvJaccard, qBeaconing, qFunnel,
-    qCharEntropy, qKcore, qPathSurprise)
+    qCharEntropy, qKcore, qPathSurprise, qFuzzyMatch)
 }

@@ -151,7 +151,27 @@ object ScaleProbe {
       "bloom_dedup" -> (() =>
         graft.ext.Dedup.bloomDedup(
           docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text"),
-          docs.filter(col("doc_id") % 2 === 0), "text")))
+          docs.filter(col("doc_id") % 2 === 0), "text")),
+      // round-13 security-analytics additions: events grow with the
+      // ScaleGen factor (customer is a pass-through dimension, so the
+      // graph ops' node set stays fixed — their scale story is the
+      // O(m^1.5) orientation bound, probed here for the constant)
+      "range_join_binned" -> (() =>
+        graft.SparkEntry.queries("q_range_join_binned")(spark, sfDir)),
+      "kmv_jaccard" -> (() =>
+        graft.SparkEntry.queries("q_kmv_jaccard")(spark, sfDir)),
+      "beaconing" -> (() =>
+        graft.SparkEntry.queries("q_beaconing")(spark, sfDir)),
+      "funnel" -> (() =>
+        graft.SparkEntry.queries("q_funnel")(spark, sfDir)),
+      "path_surprise" -> (() =>
+        graft.SparkEntry.queries("q_path_surprise")(spark, sfDir)),
+      "char_entropy" -> (() =>
+        graft.SparkEntry.queries("q_char_entropy")(spark, sfDir)),
+      "triangle_nodes" -> (() =>
+        graft.SparkEntry.queries("q_triangle_nodes")(spark, sfDir)),
+      "kcore" -> (() =>
+        graft.SparkEntry.queries("q_kcore")(spark, sfDir)))
 
     val only = sys.env.get("SPARK_GRAFT_PROBE_OPS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.etl.{Anomaly, Funnel}
+import graft.ext.FuzzyJoin
 
 /** Beaconing-CV and funnel-progression invariants on hand-built streams. */
 class SecurityOpsSpec extends SparkSpec {
@@ -87,6 +88,49 @@ class SecurityOpsSpec extends SparkSpec {
     assert(out(1) === ((2L, 1L, -c13, -c13)))
     // the rare transition really is the more surprising one
     assert(out(1)._4 > out(0)._4)
+  }
+
+  test("blockedEditJoin: brute-force parity within the block, no nested loop") {
+    val catalog = Seq((1L, "alpha-001"), (2L, "alpho-001"), (3L, "beta-001"),
+      (4L, "alpha-002"), (5L, "gamma-999")).toDF("id", "name")
+    val probes = Seq((10L, "alpha-001"), (11L, "alphaX001"), (12L, "delta-999"))
+      .toDF("pid", "pname")
+    val blk = FuzzyJoin.suffixBlocker(3)
+    val got = FuzzyJoin.blockedEditJoin(probes, "pname", catalog, "name",
+        maxDist = 2, blocker = blk)
+      .select("pid", "id", "dist").as[(Long, Long, Int)].collect().toSet
+    // brute force restricted to the same blocking scheme
+    val cat = catalog.as[(Long, String)].collect()
+    val prb = probes.as[(Long, String)].collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (pid, pn) <- prb; (id, nm) <- cat
+      if pn.takeRight(3).toLowerCase == nm.takeRight(3).toLowerCase
+      d = lev(pn, nm) if d <= 2
+    } yield (pid, id, d)).toSet
+    assert(got === want && want.nonEmpty)
+    // the plan is an equi-join on the block key, not a nested loop
+    val plan = FuzzyJoin.blockedEditJoin(probes, "pname", catalog, "name",
+      maxDist = 2, blocker = blk).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("blockedEditJoin: reserved column and blocker guards") {
+    val df = Seq((1L, "x", "y")).toDF("id", "name", "_blk")
+    val other = Seq((1L, "x")).toDF("id", "name")
+    assert(intercept[IllegalArgumentException] {
+      FuzzyJoin.blockedEditJoin(df, "name", other, "name")
+    }.getMessage.contains("_blk"))
+    assert(intercept[IllegalArgumentException] {
+      FuzzyJoin.prefixBlocker(0)
+    }.getMessage.contains("n >= 1"))
   }
 
   test("funnel: empty start yields zero conversions, not a crash") {
