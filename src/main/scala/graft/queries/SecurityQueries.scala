@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.etl.{Anomaly, Funnel}
-import graft.ext.{FuzzyJoin, GraphOps, Network, Sketches}
+import graft.ext.{FuzzyJoin, GraphOps, Network, Privacy, Sketches}
 import graft.functions.{CharEntropyFunctions, CharEntropyImpl}
 
 /** Security-analytics operators over the events stream: shuffle-scale
@@ -26,6 +26,11 @@ object SecurityQueries {
   /** DuckDB replay of [[Network.ipFromKey]] (first 8 md5 hex chars of the
     * salted key as a 32-bit value).
     */
+  /** Epoch day of the ns-timestamp (integer division — ts nanos exceed
+    * 2^53, so a double division would lose precision).
+    */
+  private val tsEpochDay: Column = expr("ts div 86400000000000")
+
   private def ipSql(key: String, salt: String): String =
     s"CAST(('0x' || substr(md5(CAST($key AS VARCHAR) || '$salt'), 1, 8)) AS BIGINT)"
 
@@ -497,7 +502,66 @@ object SecurityQueries {
                 AS self_hit
             FROM j WHERE dist <= 2 GROUP BY 1 ORDER BY 1"""))
 
+  /** k-anonymity audit over (event_type, day, floor(value)) quasi-
+    * identifiers ([[Privacy.kAnonymityGroups]]): every combination
+    * shared by fewer than k=5 rows marks its members re-identifiable.
+    * One hash aggregate; floor on identical doubles is engine-proof.
+    */
+  val qKAnonymity = QueryDef(
+    "q_k_anonymity",
+    (s, d) => Privacy.kAnonymityGroups(
+        events(s, d).select(col("event_type"), tsEpochDay.as("day"),
+          floor(col("value")).as("value_bucket")),
+        Seq("event_type", "day", "value_bucket"), k = 5)
+      .orderBy("event_type", "day", "value_bucket"),
+    Some("""SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+              CAST(floor(value) AS BIGINT) AS value_bucket,
+              count(*) AS n_rows, count(*) < 5 AS is_violating
+            FROM events GROUP BY 1, 2, 3
+            ORDER BY event_type, day, value_bucket NULLS FIRST"""))
+
+  /** One-row k-anonymity release-risk summary
+    * ([[Privacy.kAnonymitySummary]]): total groups, violating groups,
+    * rows at risk, and the exact at-risk per-mille.
+    */
+  val qPrivacyRisk = QueryDef(
+    "q_privacy_risk",
+    (s, d) => Privacy.kAnonymitySummary(
+      events(s, d).select(col("event_type"), tsEpochDay.as("day"),
+        floor(col("value")).as("value_bucket")),
+      Seq("event_type", "day", "value_bucket"), k = 5),
+    Some("""WITH g AS (SELECT count(*) AS n_rows FROM events
+              GROUP BY event_type, epoch_ns(ts) // 86400000000000, floor(value))
+            SELECT count(*) AS n_groups,
+              CAST(sum(CASE WHEN n_rows < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_violating,
+              CAST(sum(CASE WHEN n_rows < 5 THEN n_rows ELSE 0 END) AS BIGINT)
+                AS rows_at_risk,
+              CAST(sum(n_rows) AS BIGINT) AS n_rows_total,
+              (1000 * CAST(sum(CASE WHEN n_rows < 5 THEN n_rows ELSE 0 END) AS BIGINT))
+                // CAST(sum(n_rows) AS BIGINT) AS risk_pm
+            FROM g"""))
+
+  /** l-diversity audit ([[Privacy.lDiversityGroups]]): per
+    * (event_type, day) group, the distinct-user count — a group whose
+    * sensitive attribute (here user identity) has fewer than l=5
+    * distinct values discloses it to anyone who links a member.
+    */
+  val qLDiversity = QueryDef(
+    "q_l_diversity",
+    (s, d) => Privacy.lDiversityGroups(
+        events(s, d).select(col("event_type"), tsEpochDay.as("day"),
+          col("user_id")),
+        Seq("event_type", "day"), "user_id", l = 5)
+      .orderBy("event_type", "day"),
+    Some("""SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+              count(*) AS n_rows,
+              count(DISTINCT user_id) AS n_sensitive,
+              count(DISTINCT user_id) < 5 AS is_violating
+            FROM events GROUP BY 1, 2 ORDER BY event_type, day"""))
+
   val all: Seq[QueryDef] = Seq(qRangeJoinBinned, qTriangleCount,
     qTriangleNodes, qKmvDistinct, qKmvJaccard, qBeaconing, qFunnel,
-    qCharEntropy, qKcore, qPathSurprise, qFuzzyMatch)
+    qCharEntropy, qKcore, qPathSurprise, qFuzzyMatch, qKAnonymity,
+    qPrivacyRisk, qLDiversity)
 }

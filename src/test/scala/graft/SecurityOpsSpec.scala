@@ -90,6 +90,30 @@ class SecurityOpsSpec extends SparkSpec {
     assert(out(1)._4 > out(0)._4)
   }
 
+  test("privacy: k-anonymity groups, risk summary, and l-diversity on a fixture") {
+    import graft.ext.Privacy
+    // quasi (city, age): one group of 5 (safe at k=5), one of 2, one of 1
+    val rows = Seq.fill(5)(("nyc", 30, "flu")) ++
+      Seq(("sfo", 40, "flu"), ("sfo", 40, "cold"), ("lax", 50, "rare"))
+    val df = rows.toDF("city", "age", "dx")
+    val groups = Privacy.kAnonymityGroups(df, Seq("city", "age"), 5)
+      .as[(String, Int, Long, Boolean)].collect().toSet
+    assert(groups === Set(("nyc", 30, 5L, false), ("sfo", 40, 2L, true),
+      ("lax", 50, 1L, true)))
+    val s = Privacy.kAnonymitySummary(df, Seq("city", "age"), 5)
+      .select("n_groups", "n_violating", "rows_at_risk", "n_rows_total", "risk_pm")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(s === ((3L, 2L, 3L, 8L, 1000L * 3 / 8)))
+    // l-diversity: nyc group has ONE distinct dx -> discloses it
+    val ld = Privacy.lDiversityGroups(df, Seq("city", "age"), "dx", 2)
+      .select("city", "n_sensitive", "is_violating")
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(ld === Set(("nyc", 1L, true), ("sfo", 2L, false), ("lax", 1L, true)))
+    assert(intercept[IllegalArgumentException] {
+      Privacy.lDiversityGroups(df, Seq("dx"), "dx", 2)
+    }.getMessage.contains("quasi"))
+  }
+
   test("blockedEditJoin: brute-force parity within the block, no nested loop") {
     val catalog = Seq((1L, "alpha-001"), (2L, "alpho-001"), (3L, "beta-001"),
       (4L, "alpha-002"), (5L, "gamma-999")).toDF("id", "name")
