@@ -560,8 +560,134 @@ object SecurityQueries {
               count(DISTINCT user_id) < 5 AS is_violating
             FROM events GROUP BY 1, 2 ORDER BY event_type, day"""))
 
+  /** Multi-blocker fuzzy matching ([[FuzzyJoin.multiBlockEditJoin]],
+    * prefix-2 ∪ suffix-3): the deletion position now ranges over the
+    * WHOLE name — a head deletion escapes the prefix block but not the
+    * suffix one and vice versa, so the union has provably full recall
+    * for one edit and every probe's `self_hit` is 1. Two equi-join
+    * passes plus a distinct — still no cartesian anywhere.
+    */
+  val qFuzzyMulti = QueryDef(
+    "q_fuzzy_multi",
+    (s, d) => {
+      val cat = table(s, d, "part")
+        .select(col("p_partkey"),
+          concat(col("p_name"), lit("#"),
+            col("p_partkey").cast("string")).as("name"))
+      val probes = cat
+        .withColumn("pos", (lit(1L) +
+          conv(substring(md5(concat(col("p_partkey").cast("string"),
+            lit("graft:fzm"))), 1, 4), 16, 10).cast("long")
+            % length(col("name")).cast("long")).cast("int"))
+        .select(col("p_partkey").as("probe_key"),
+          expr("concat(substring(name, 1, pos - 1), substring(name, pos + 1))")
+            .as("probe_name"))
+      FuzzyJoin.multiBlockEditJoin(probes, "probe_name", cat, "name",
+          maxDist = 2,
+          Seq(FuzzyJoin.prefixBlocker(2), FuzzyJoin.suffixBlocker(3)))
+        .groupBy("probe_key")
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("dist")).as("best_dist"),
+          max(when(col("p_partkey") === col("probe_key"), 1L).otherwise(0L))
+            .as("self_hit"))
+        .orderBy("probe_key")
+    },
+    Some("""WITH cat AS (SELECT p_partkey,
+              p_name || '#' || CAST(p_partkey AS VARCHAR) AS name FROM part),
+            pr AS (SELECT p_partkey AS probe_key, name,
+              1 + CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR) || 'graft:fzm'), 1, 4))
+                  AS BIGINT) % length(name) AS pos
+              FROM cat),
+            pb AS (SELECT probe_key,
+              substr(name, 1, CAST(pos AS INT) - 1) || substr(name, CAST(pos AS INT) + 1)
+                AS probe_name
+              FROM pr),
+            j AS (SELECT DISTINCT probe_key, p_partkey, dist FROM (
+              SELECT pb.probe_key, cat.p_partkey,
+                levenshtein(pb.probe_name, cat.name) AS dist
+              FROM pb JOIN cat
+                ON lower(substr(pb.probe_name, 1, 2)) = lower(substr(cat.name, 1, 2))
+              WHERE abs(length(pb.probe_name) - length(cat.name)) <= 2
+              UNION ALL
+              SELECT pb.probe_key, cat.p_partkey,
+                levenshtein(pb.probe_name, cat.name) AS dist
+              FROM pb JOIN cat
+                ON lower(substr(pb.probe_name, -3, 3)) = lower(substr(cat.name, -3, 3))
+              WHERE abs(length(pb.probe_name) - length(cat.name)) <= 2)
+              WHERE dist <= 2)
+            SELECT probe_key, count(*) AS n_matches,
+              CAST(min(dist) AS INT) AS best_dist,
+              CAST(max(CASE WHEN p_partkey = probe_key THEN 1 ELSE 0 END) AS BIGINT)
+                AS self_hit
+            FROM j GROUP BY 1 ORDER BY 1"""))
+
+  /** Referential-integrity audit — orphan foreign keys per relation
+    * (the data-quality gate a warehouse runs before trusting a feed):
+    * left-anti probes of each fact FK against its dimension, reported
+    * as one row per relation with orphan and total counts and the exact
+    * orphan per-mille. Anti-joins are plain shuffled equi-joins (or
+    * broadcasts when the dimension is small) — no row ever leaves the
+    * executor tier.
+    */
+  val qFkOrphans = QueryDef(
+    "q_fk_orphans",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      def audit(rel: String, fact: DataFrame, fk: String,
+          dim: DataFrame, pk: String): DataFrame = {
+        val total = fact.where(col(fk).isNotNull).count()
+        val orphans = fact.where(col(fk).isNotNull)
+          .join(dim.select(col(pk).as(fk)), Seq(fk), "left_anti").count()
+        Seq((rel, orphans, total,
+          if (total == 0) 0L else 1000L * orphans / total))
+          .toDF("relation", "n_orphans", "n_rows", "orphan_pm")
+      }
+      audit("orders.custkey", table(s, d, "orders"), "o_custkey",
+          table(s, d, "customer"), "c_custkey")
+        .unionAll(audit("lineitem.orderkey", table(s, d, "lineitem"),
+          "l_orderkey", table(s, d, "orders"), "o_orderkey"))
+        .unionAll(audit("lineitem.partkey", table(s, d, "lineitem"),
+          "l_partkey", table(s, d, "part"), "p_partkey"))
+        .unionAll(audit("lineitem.suppkey", table(s, d, "lineitem"),
+          "l_suppkey", table(s, d, "supplier"), "s_suppkey"))
+        .unionAll(audit("customer.nationkey", table(s, d, "customer"),
+          "c_nationkey", table(s, d, "nation"), "n_nationkey"))
+        .orderBy("relation")
+    },
+    Some("""SELECT relation, n_orphans, n_rows,
+              CASE WHEN n_rows = 0 THEN 0
+                   ELSE (1000 * n_orphans) // n_rows END AS orphan_pm
+            FROM (
+              SELECT 'orders.custkey' AS relation,
+                (SELECT count(*) FROM orders o WHERE o_custkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+                  AS n_orphans,
+                (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL) AS n_rows
+              UNION ALL
+              SELECT 'lineitem.orderkey',
+                (SELECT count(*) FROM lineitem l WHERE l_orderkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+                (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL)
+              UNION ALL
+              SELECT 'lineitem.partkey',
+                (SELECT count(*) FROM lineitem l WHERE l_partkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+                (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL)
+              UNION ALL
+              SELECT 'lineitem.suppkey',
+                (SELECT count(*) FROM lineitem l WHERE l_suppkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)),
+                (SELECT count(*) FROM lineitem WHERE l_suppkey IS NOT NULL)
+              UNION ALL
+              SELECT 'customer.nationkey',
+                (SELECT count(*) FROM customer c WHERE c_nationkey IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+                (SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL)
+            ) t ORDER BY relation"""))
+
   val all: Seq[QueryDef] = Seq(qRangeJoinBinned, qTriangleCount,
     qTriangleNodes, qKmvDistinct, qKmvJaccard, qBeaconing, qFunnel,
-    qCharEntropy, qKcore, qPathSurprise, qFuzzyMatch, qKAnonymity,
-    qPrivacyRisk, qLDiversity)
+    qCharEntropy, qKcore, qPathSurprise, qFuzzyMatch, qFuzzyMulti,
+    qKAnonymity, qPrivacyRisk, qLDiversity, qFkOrphans)
 }

@@ -146,6 +146,31 @@ class SecurityOpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("multiBlockEditJoin: prefix ∪ suffix recovers every single deletion") {
+    val names = (0 until 60).map(i => (i.toLong, f"entity-name-$i%04d"))
+    val catalog = names.toDF("id", "name")
+    // delete one char at a rotating position, INCLUDING head and tail
+    val probes = names.map { case (i, n) =>
+      val pos = (i % n.length).toInt
+      (i, n.substring(0, pos) + n.substring(pos + 1))
+    }.toDF("pid", "pname")
+    val multi = FuzzyJoin.multiBlockEditJoin(probes, "pname", catalog, "name",
+        maxDist = 1,
+        Seq(FuzzyJoin.prefixBlocker(2), FuzzyJoin.suffixBlocker(3)))
+      .where(col("pid") === col("id")).count()
+    assert(multi === 60L, "a single deletion escaped both blockers")
+    // a single blocker alone genuinely misses the head/tail edits
+    val prefixOnly = FuzzyJoin.blockedEditJoin(probes, "pname", catalog, "name",
+        maxDist = 1, blocker = FuzzyJoin.prefixBlocker(2))
+      .where(col("pid") === col("id")).count()
+    assert(prefixOnly < 60L)
+    // distinct union: no pair is double-counted when both blockers match
+    val all = FuzzyJoin.multiBlockEditJoin(probes, "pname", catalog, "name",
+      maxDist = 1,
+      Seq(FuzzyJoin.prefixBlocker(2), FuzzyJoin.suffixBlocker(3)))
+    assert(all.count() === all.dropDuplicates("pid", "id").count())
+  }
+
   test("blockedEditJoin: reserved column and blocker guards") {
     val df = Seq((1L, "x", "y")).toDF("id", "name", "_blk")
     val other = Seq((1L, "x")).toDF("id", "name")
