@@ -124,11 +124,16 @@ object Network {
 
   /** Point-in-interval join at shuffle scale — the shape for when BOTH
     * sides are too big to broadcast (billions of flow records against
-    * hundreds of millions of allocation/geolocation ranges). A naive
-    * `pt BETWEEN lo AND hi` join with no equi-key degenerates to a
-    * broadcast-nested-loop (or worse, a cartesian) the moment the range
-    * side outgrows the broadcast threshold; this operator restores an
-    * equi-key by quantizing the keyspace into 2^binBits-wide bins:
+    * hundreds of millions of allocation/geolocation ranges). The KEYLESS
+    * sibling of [[graft.operators.TemporalJoins.rangeJoinBinned]]: that
+    * one requires an equi-key (per-entity time intervals) and bins an
+    * arbitrary-width clock; this one serves feeds with NO shared key —
+    * global address/keyspace ranges — and bins by power-of-two shifts.
+    * A naive `pt BETWEEN lo AND hi` join with no equi-key degenerates
+    * to a broadcast-nested-loop (or worse, a cartesian) the moment the
+    * range side outgrows the broadcast threshold; this operator
+    * restores an equi-key by quantizing the keyspace into
+    * 2^binBits-wide bins:
     *
     *  - each interval explodes to the bins it overlaps
     *    (`sequence(lo >> b, hi >> b)` — width/2^b + 1 rows, O(1) when

@@ -85,7 +85,9 @@ object TemporalJoins {
     * the bins it covers, and equi-joins on (key, bin) — candidate pairs
     * are only same-bin pairs, then the exact predicate filters. Each left
     * row lives in exactly one bin, so no post-join dedup is needed.
-    * Pick binWidth near the typical interval length.
+    * Pick binWidth near the typical interval length. For KEYLESS global
+    * ranges (IP allocations against the whole address space) use
+    * [[graft.ext.Network.binnedRangeJoin]], the power-of-two-bin sibling.
     */
   def rangeJoinBinned(
       left: DataFrame, leftTime: String,
