@@ -561,19 +561,24 @@ object SecurityQueries {
             FROM events GROUP BY 1, 2 ORDER BY event_type, day"""))
 
   /** Multi-blocker fuzzy matching ([[FuzzyJoin.multiBlockEditJoin]],
-    * prefix-2 ∪ suffix-3): the deletion position now ranges over the
+    * prefix-4 ∪ suffix-4): the deletion position now ranges over the
     * WHOLE name — a head deletion escapes the prefix block but not the
     * suffix one and vice versa, so the union has provably full recall
-    * for one edit and every probe's `self_hit` is 1. Two equi-join
-    * passes plus a distinct — still no cartesian anywhere.
+    * for one edit and every probe's `self_hit` is 1. The fixture names
+    * carry the key at BOTH ends ("key#words#key") because blocking keys
+    * must be discriminative where they are taken from: a prefix block
+    * over the ~15 distinct adjective heads of p_name degenerates to
+    * quadratic blocks (measured 59 s at sf0.1 — the operator did exactly
+    * what the blocker asked), while key-led heads and tails keep every
+    * block O(1). Two equi-join passes plus a distinct — no cartesian.
     */
   val qFuzzyMulti = QueryDef(
     "q_fuzzy_multi",
     (s, d) => {
       val cat = table(s, d, "part")
         .select(col("p_partkey"),
-          concat(col("p_name"), lit("#"),
-            col("p_partkey").cast("string")).as("name"))
+          concat(col("p_partkey").cast("string"), lit("#"), col("p_name"),
+            lit("#"), col("p_partkey").cast("string")).as("name"))
       val probes = cat
         .withColumn("pos", (lit(1L) +
           conv(substring(md5(concat(col("p_partkey").cast("string"),
@@ -584,7 +589,7 @@ object SecurityQueries {
             .as("probe_name"))
       FuzzyJoin.multiBlockEditJoin(probes, "probe_name", cat, "name",
           maxDist = 2,
-          Seq(FuzzyJoin.prefixBlocker(2), FuzzyJoin.suffixBlocker(3)))
+          Seq(FuzzyJoin.prefixBlocker(4), FuzzyJoin.suffixBlocker(4)))
         .groupBy("probe_key")
         .agg(count(lit(1)).as("n_matches"),
           min(col("dist")).as("best_dist"),
@@ -593,7 +598,8 @@ object SecurityQueries {
         .orderBy("probe_key")
     },
     Some("""WITH cat AS (SELECT p_partkey,
-              p_name || '#' || CAST(p_partkey AS VARCHAR) AS name FROM part),
+              CAST(p_partkey AS VARCHAR) || '#' || p_name || '#' ||
+                CAST(p_partkey AS VARCHAR) AS name FROM part),
             pr AS (SELECT p_partkey AS probe_key, name,
               1 + CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR) || 'graft:fzm'), 1, 4))
                   AS BIGINT) % length(name) AS pos
@@ -606,13 +612,13 @@ object SecurityQueries {
               SELECT pb.probe_key, cat.p_partkey,
                 levenshtein(pb.probe_name, cat.name) AS dist
               FROM pb JOIN cat
-                ON lower(substr(pb.probe_name, 1, 2)) = lower(substr(cat.name, 1, 2))
+                ON lower(substr(pb.probe_name, 1, 4)) = lower(substr(cat.name, 1, 4))
               WHERE abs(length(pb.probe_name) - length(cat.name)) <= 2
               UNION ALL
               SELECT pb.probe_key, cat.p_partkey,
                 levenshtein(pb.probe_name, cat.name) AS dist
               FROM pb JOIN cat
-                ON lower(substr(pb.probe_name, -3, 3)) = lower(substr(cat.name, -3, 3))
+                ON lower(substr(pb.probe_name, -4, 4)) = lower(substr(cat.name, -4, 4))
               WHERE abs(length(pb.probe_name) - length(cat.name)) <= 2)
               WHERE dist <= 2)
             SELECT probe_key, count(*) AS n_matches,
