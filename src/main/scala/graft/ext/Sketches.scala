@@ -305,6 +305,36 @@ object Sketches {
           .otherwise(expr(s"(${(k - 1).toLong * KmvUniverse}L div kth)")))
       .select("g", "n_sk", "est")
 
+  /** Trailing-window distinct estimates from per-period sketches — the
+    * MERGEABILITY payoff: build one KMV sketch per period (day) ONCE,
+    * then answer any trailing `windowPeriods`-window by unioning sketch
+    * rows and re-taking the k smallest. Only sketch rows move (≤ k per
+    * period per window — each period's sketch fans out to the
+    * `windowPeriods` windows it serves via one explode), the raw keys
+    * are never re-shuffled; at 100 TB this is the difference between a
+    * dashboard query and a recount of the corpus.
+    *
+    * `sketch` is a [[kmvSketch]] whose group column `g` is an integer
+    * period (epoch day); output: (g, n_sk, est) per window END period,
+    * windows covering [g − windowPeriods + 1, g] and reported only for
+    * end periods present in the data.
+    */
+  def kmvWindowDistinct(
+      sketch: DataFrame, k: Int, windowPeriods: Int): DataFrame = {
+    require(windowPeriods >= 1, s"windowPeriods must be >= 1, got $windowPeriods")
+    val sk = sketch.localCheckpoint(true) // fan-out + end-period filter
+    val ends = sk.select(col("g")).distinct()
+    val contrib = sk.withColumn("_end",
+        explode(sequence(col("g"), col("g") + (windowPeriods - 1))))
+      .join(ends.withColumnRenamed("g", "_end"), Seq("_end"))
+      .select(col("_end").as("g"), col("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("h")
+    kmvDistinct(
+      contrib.withColumn("rn", row_number().over(w)).where(col("rn") <= k), k)
+  }
+
   /** Pairwise set-overlap estimates for every group pair (g1 < g2) of a
     * [[kmvSketch]]: jaccard_q (10⁶-scaled), union and intersection
     * estimates. Uses the KMV merge theorem — the k smallest of A ∪ B are

@@ -502,6 +502,60 @@ object SecurityQueries {
                 AS self_hit
             FROM j WHERE dist <= 2 GROUP BY 1 ORDER BY 1"""))
 
+  /** Trailing-7-day distinct users per day from MERGED daily KMV
+    * sketches ([[Sketches.kmvWindowDistinct]]) next to the exact
+    * recount: the mergeability payoff — daily sketches build once, any
+    * window re-ranks ≤ k rows per contributing day, the raw keys never
+    * re-shuffle. Exact twin recounts distinct (day, user) pairs fanned
+    * to their windows.
+    */
+  val qKmvWindow = QueryDef(
+    "q_kmv_window",
+    (s, d) => {
+      val ev = events(s, d)
+      val est = Sketches.kmvWindowDistinct(
+        Sketches.kmvSketch(
+          ev.withColumn("day", tsEpochDay), "day", col("user_id"), 64),
+        64, windowPeriods = 7)
+      val ud = ev.where(col("user_id").isNotNull)
+        .select(tsEpochDay.as("day"), col("user_id").as("u")).distinct()
+        .localCheckpoint(true)
+      val ends = ud.select("day").distinct()
+      val exact = ud
+        .withColumn("_end", explode(sequence(col("day"), col("day") + lit(6L))))
+        .join(ends.withColumnRenamed("day", "_end"), Seq("_end"))
+        .groupBy(col("_end").as("g"))
+        .agg(countDistinct(col("u")).as("n_exact"))
+      est.join(exact, Seq("g")).orderBy("g")
+    },
+    Some("""WITH uh AS (SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS g,
+              CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'graft:kmv'), 1, 12))
+                   AS BIGINT) AS h
+            FROM events WHERE user_id IS NOT NULL),
+            sk AS (SELECT g, h FROM (
+              SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+              FROM uh) WHERE rn <= 64),
+            ends AS (SELECT DISTINCT g FROM sk),
+            co AS (SELECT DISTINCT e.g, sk.h
+                   FROM sk JOIN ends e ON e.g BETWEEN sk.g AND sk.g + 6),
+            rk AS (SELECT g, h,
+                     row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+                   FROM co QUALIFY rn <= 64),
+            a AS (SELECT g, count(*) AS n_sk,
+                    max(CASE WHEN rn = 64 THEN h END) AS kth
+                  FROM rk GROUP BY 1),
+            ud AS (SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS g,
+                     user_id AS u
+                   FROM events WHERE user_id IS NOT NULL),
+            xc AS (SELECT e.g, count(DISTINCT ud.u) AS n_exact
+                   FROM ud JOIN ends e ON e.g BETWEEN ud.g AND ud.g + 6
+                   GROUP BY 1)
+            SELECT a.g, n_sk,
+              CASE WHEN n_sk < 64 THEN n_sk
+                   ELSE 17732923532771328 // kth END AS est,
+              n_exact
+            FROM a JOIN xc ON a.g = xc.g ORDER BY a.g"""))
+
   /** k-anonymity audit over (event_type, day, floor(value)) quasi-
     * identifiers ([[Privacy.kAnonymityGroups]]): every combination
     * shared by fewer than k=5 rows marks its members re-identifiable.
@@ -695,5 +749,5 @@ object SecurityQueries {
   val all: Seq[QueryDef] = Seq(qRangeJoinBinned, qTriangleCount,
     qTriangleNodes, qKmvDistinct, qKmvJaccard, qBeaconing, qFunnel,
     qCharEntropy, qKcore, qPathSurprise, qFuzzyMatch, qFuzzyMulti,
-    qKAnonymity, qPrivacyRisk, qLDiversity, qFkOrphans)
+    qKAnonymity, qPrivacyRisk, qLDiversity, qFkOrphans, qKmvWindow)
 }

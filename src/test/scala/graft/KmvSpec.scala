@@ -52,6 +52,28 @@ class KmvSpec extends SparkSpec {
     assert(union.subsetOf(sk), "union k-mins escaped the per-set sketches")
   }
 
+  test("windowed merge equals a direct sketch of the window's union") {
+    // periods 0..9, each with keys [100p, 100p+60): 3-period windows
+    // overlap by 40 keys with each neighbor period
+    val rows = for (p <- 0L until 10L; i <- 0L until 60L) yield (p, p * 100 + i)
+    val df = rows.toDF("day", "k")
+    val k = 32
+    val windowed = Sketches.kmvWindowDistinct(
+        Sketches.kmvSketch(df, "day", col("k"), k), k, windowPeriods = 3)
+      .select("g", "est").as[(Long, Long)].collect().toMap
+    // direct: per end period, sketch the union of its window's raw keys
+    for (end <- 0L until 10L) {
+      val union = rows.filter { case (p, _) => p <= end && p >= end - 2 }
+        .map { case (_, key) => ("u", key) }
+      val direct = Sketches.kmvDistinct(
+        Sketches.kmvSketch(union.toDF("day", "k"), "day", col("k"), k), k)
+        .select("est").as[Long].head()
+      assert(windowed(end) === direct, s"end=$end")
+    }
+    // estimator sanity on the full windows (180 distinct keys, k=32)
+    assert(math.abs(windowed(5L) - 180.0) / 180.0 < 0.3)
+  }
+
   test("kmvPairStats fails fast above maxGroups") {
     val df = (0 until 20).map(i => (s"g$i", i.toLong)).toDF("t", "k")
     val sk = Sketches.kmvSketch(df, "t", col("k"), 8)
