@@ -129,6 +129,46 @@ object GraphOps {
       .select(col("n").as("node"), col("deg"))
   }
 
+  /** Connected components by min-label propagation WITH pointer jumping
+    * (the hash-to-min family, Rastogi et al. 2013): each round a node
+    * takes the minimum of its neighbors' labels AND its label's label
+    * (`lbl(lbl(v))`). The jump is what makes this scale: plain
+    * min-propagation needs DIAMETER rounds (a 10⁷-node chain = 10⁷
+    * shuffles), the jump doubles the influence radius every round, so
+    * O(log d) rounds suffice — the difference between 24 and 10⁷ jobs
+    * at 100 TB. Fixed `rounds` is the oracle-unroll contract (same rule
+    * as [[kCore]]); at convergence the label IS the component minimum.
+    *
+    * Dedup's bucket-min clustering ([[Dedup]]) is the naive-propagation
+    * sibling — correct there because near-dup clusters have tiny
+    * diameters; THIS is the operator for long-chain graphs.
+    *
+    * `edges` must be canonical (u < v, distinct). Output: (node, comp).
+    */
+  def connectedComponents(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1, 64], got $rounds")
+    val e = edges.localCheckpoint(true)
+    val both = e.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
+    var lbl = both.select(col("a").as("n")).distinct()
+      .withColumn("lbl", col("n"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nbrMin = both
+        .join(lbl.select(col("n").as("b"), col("lbl").as("_nl")), Seq("b"))
+        .groupBy(col("a").as("n")).agg(min(col("_nl")).as("_nm"))
+      val stepped = lbl.join(nbrMin, Seq("n"), "left")
+        .join(lbl.select(col("n").as("_ln"), col("lbl").as("_ll")),
+          col("lbl") === col("_ln"), "left")
+        .select(col("n"),
+          least(col("lbl"), coalesce(col("_nm"), col("lbl")),
+            coalesce(col("_ll"), col("lbl"))).as("lbl"))
+      lbl = stepped.localCheckpoint(true)
+    }
+    lbl.select(col("n").as("node"), col("lbl").as("comp"))
+  }
+
   /** Per-node triangle participation: (node, n_tri) for every node that
     * closes at least one triangle — the local signal that separates
     * community members from bridge/hub nodes. Same oriented join as

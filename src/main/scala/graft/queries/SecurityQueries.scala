@@ -405,6 +405,42 @@ object SecurityQueries {
     (s"e0 AS MATERIALIZED (SELECT u, v FROM e)" +: steps).mkString(",\n")
   }
 
+  /** The connected-components oracle's rounds, unrolled: per round a
+    * neighbor-min CTE and a least(self, neighbor-min, label-of-label)
+    * CTE — the pointer jump replayed relationally.
+    */
+  private def ccUnrollSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""m$r AS MATERIALIZED (SELECT bi.a AS n, min(l.lbl) AS nm
+            FROM bi JOIN l${r - 1} l ON l.n = bi.b GROUP BY 1),
+         l$r AS MATERIALIZED (SELECT l.n,
+            LEAST(l.lbl, COALESCE(m.nm, l.lbl), COALESCE(ll.lbl, l.lbl)) AS lbl
+            FROM l${r - 1} l
+            LEFT JOIN m$r m ON m.n = l.n
+            LEFT JOIN l${r - 1} ll ON ll.n = l.lbl)"""
+    }
+    ("""bi AS MATERIALIZED (SELECT u AS a, v AS b FROM e
+          UNION ALL SELECT v AS a, u AS b FROM e),
+        l0 AS MATERIALIZED (SELECT n, n AS lbl FROM
+          (SELECT DISTINCT a AS n FROM bi))""" +: steps).mkString(",\n")
+  }
+
+  /** Connected components of the contact graph via min-label propagation
+    * with pointer jumping ([[GraphOps.connectedComponents]], 16 fixed
+    * rounds — influence doubles per round, so the band graph's ~3000-hop
+    * diameter converges with room to spare where naive propagation would
+    * need 3000 shuffles). Output: component sizes.
+    */
+  val qGraphComponents = QueryDef(
+    "q_graph_components",
+    (s, d) => GraphOps.connectedComponents(contactEdges(s, d), rounds = 16)
+      .groupBy(col("comp")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy("comp"),
+    Some(s"""WITH $contactEdgesSql,
+            ${ccUnrollSql(16)}
+            SELECT lbl AS comp, count(*) AS n_nodes
+            FROM l16 GROUP BY 1 ORDER BY comp"""))
+
   /** 6-core extraction on the contact graph by 6 fixed peeling rounds
     * ([[GraphOps.kCore]]) — the dense-cluster (botnet/community) motif.
     * Fixed rounds keep the oracle's unroll depth a contract rather than
@@ -749,5 +785,5 @@ object SecurityQueries {
   val all: Seq[QueryDef] = Seq(qRangeJoinBinned, qTriangleCount,
     qTriangleNodes, qKmvDistinct, qKmvJaccard, qBeaconing, qFunnel,
     qCharEntropy, qKcore, qPathSurprise, qFuzzyMatch, qFuzzyMulti,
-    qKAnonymity, qPrivacyRisk, qLDiversity, qFkOrphans, qKmvWindow)
+    qKAnonymity, qPrivacyRisk, qLDiversity, qFkOrphans, qKmvWindow, qGraphComponents)
 }

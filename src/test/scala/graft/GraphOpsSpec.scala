@@ -81,6 +81,26 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.kCore(e, 2, 2).count() === 0L)
   }
 
+  test("connectedComponents: pointer jumping collapses a long path in log rounds") {
+    // an 800-node path has diameter 799: naive min-propagation would need
+    // 799 rounds; the jump gets there in ~log2
+    val path = (0L until 799L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = GraphOps.canonicalEdges(path, "a", "b")
+    val comps = GraphOps.connectedComponents(e, rounds = 12)
+      .select("comp").distinct().as[Long].collect()
+    assert(comps.toSeq === Seq(0L))
+  }
+
+  test("connectedComponents: separates components and labels by the minimum") {
+    val edges = Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L), (31L, 30L))
+      .toDF("a", "b")
+    val e = GraphOps.canonicalEdges(edges, "a", "b")
+    val got = GraphOps.connectedComponents(e, rounds = 6)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
   test("orientation bounds hub out-degree: star hub keeps out-degree 0") {
     // In a star the hub has max degree, so every edge orients leaf->hub:
     // the hub is never a wedge pivot — the scale guarantee in miniature.
