@@ -263,9 +263,73 @@ object Sketches {
     */
   val KmvUniverse: Long = 1L << 48
 
-  private def kmvHash(key: Column, salt: String): Column =
+  private[graft] def kmvHash(key: Column, salt: String): Column =
     conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 12), 16, 10)
       .cast("long")
+
+  /** Bounded-state KMV aggregator: keeps the k smallest DISTINCT hashes
+    * seen, in O(k) memory, with ORDER-INSENSITIVE reduce/merge (a set
+    * union capped at k) — the property that lets the same sketch run as
+    * a streaming stateful aggregate (any arrival order, any partial
+    * grouping of micro-batches yields the identical k-min set) and as a
+    * treeAggregate-style batch partial. Output: ascending k-mins.
+    */
+  final class KmvAgg(k: Int)
+      extends Aggregator[Long, Array[Long], Seq[Long]] {
+    require(k >= 2, s"KmvAgg needs k >= 2, got $k")
+    // buffer: ascending sorted array of <= k distinct hashes (an Array
+    // round-trips every encoder faithfully; kryo'd TreeSet came back as
+    // a HashSet and broke the deserializer)
+    override def zero: Array[Long] = Array.emptyLongArray
+    override def reduce(b: Array[Long], h: Long): Array[Long] = {
+      val idx = java.util.Arrays.binarySearch(b, h)
+      if (idx >= 0) b // already present
+      else {
+        val ins = -idx - 1
+        if (b.length >= k && ins >= k) b // not among the k smallest
+        else {
+          val keep = math.min(b.length + 1, k)
+          val out = new Array[Long](keep)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(b, ins, out, ins + 1, keep - ins - 1)
+          out
+        }
+      }
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      // sorted dedup merge, capped at k
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length && (i < a.length || j < b.length)) {
+        val v =
+          if (j >= b.length || (i < a.length && a(i) <= b(j))) { val x = a(i); i += 1; x }
+          else { val x = b(j); j += 1; x }
+        if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** [[KmvAgg]] as a column aggregate. */
+  def kmvMins(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new KmvAgg(k))
+
+  /** Distinct estimate columns from a [[kmvMins]] array: (n_sk, est) —
+    * the same exact-integer estimator as [[kmvDistinct]].
+    */
+  def kmvEstFromMins(mins: Column, k: Int): (Column, Column) = {
+    val nSk = size(mins).cast("long")
+    val kth = try_element_at(mins, lit(k))
+    (nSk, when(nSk < k, nSk)
+      .otherwise(call_function("div",
+        lit((k - 1).toLong * KmvUniverse), kth)))
+  }
 
   /** Per-group KMV sketch: the k smallest DISTINCT 48-bit key hashes of
     * each group, as (g, h, rn). The rank filter compiles to a

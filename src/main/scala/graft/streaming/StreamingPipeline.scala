@@ -1062,6 +1062,33 @@ object StreamingPipeline {
       graft.functions.CharEntropyFunctions
         .char_entropy_q(col(textCol), maxChars).as("ent_q"))
 
+  /** Streaming KMV distinct estimation per event-time window
+    * ([[graft.ext.Sketches.KmvAgg]]): the k smallest distinct key hashes
+    * accumulate in O(k) bounded state per window, and because the
+    * reduce/merge is an order-insensitive capped set-union, the emitted
+    * sketch — and therefore the exact-integer estimate — is
+    * BIT-IDENTICAL to the batch [[graft.ext.Sketches.kmvSketch]] over
+    * the same rows, no matter how micro-batches sliced the stream
+    * (StreamingSpec proves it against a shuffled two-batch arrival).
+    * This is the cardinality dashboard at the ingest edge without a
+    * distinct-shuffle of raw keys.
+    */
+  def kmvDistinctStream(
+      events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ingest_ts", windowDur: String = "1 hour",
+      watermark: String = "1 hour", k: Int = 64,
+      salt: String = "graft:kmv"): DataFrame = {
+    val mins = graft.ext.Sketches.kmvMins(k)
+    val withEst = events
+      .withWatermark(tsCol, watermark)
+      .where(col(keyCol).isNotNull)
+      .select(col(tsCol), graft.ext.Sketches.kmvHash(col(keyCol), salt).as("_h"))
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(mins(col("_h")).as("_mins"))
+    val (nSk, est) = graft.ext.Sketches.kmvEstFromMins(col("_mins"), k)
+    withEst.select(col("window"), nSk.as("n_sk"), est.as("est"))
+  }
+
   /** Streaming twin of [[graft.etl.Anomaly.markovPathScores]]' scoring
     * half: per-transition surprise against a FROZEN transition model
     * ([[graft.etl.Anomaly.markovModel]], trained batch-side — transition

@@ -1414,6 +1414,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmv distinct stream: bounded-state sketch matches batch bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val keys = (0L until 500L) ++ (0L until 200L) // repeats must dedup
+    val rows = keys.zipWithIndex.map { case (u, i) =>
+      (u, ts(f"2025-01-01 10:00:${i % 50}%02d"))
+    }
+    val batchDf = rows.toDF("user_id", "ingest_ts")
+    val k = 64
+    val batch = graft.ext.Sketches.kmvDistinct(
+        graft.ext.Sketches.kmvSketch(
+          batchDf.withColumn("w", lit(1)), "w", col("user_id"), k), k)
+      .select("n_sk", "est").as[(Long, Long)].head()
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = StreamingPipeline.kmvDistinctStream(
+        input.toDF().toDF("user_id", "ingest_ts"), windowDur = "1 day", k = k)
+      .select("n_sk", "est")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("kmv_out").start()
+    try {
+      // two micro-batches, shuffled arrival — the capped set-union must
+      // land on the identical k-min set
+      val (b1, b2) = scala.util.Random.javaRandomToRandom(
+        new java.util.Random(7)).shuffle(rows).splitAt(300)
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_out").as[(Long, Long)].collect().last
+      assert(streamed === batch)
+      assert(batch._1 === k.toLong) // 500 distinct > k: estimator regime
+    } finally q.stop()
+  }
+
   test("transition surprise stream: frozen-model scoring matches batch; OOV drops") {
     implicit val sqlCtx = spark.sqlContext
     // frozen artifact: model trained batch-side on a->b->a->b + a->a
