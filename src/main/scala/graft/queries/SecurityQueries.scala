@@ -665,10 +665,12 @@ object SecurityQueries {
   val qFuzzyMulti = QueryDef(
     "q_fuzzy_multi",
     (s, d) => {
+      // pinned: each blocker pass is a consumer (the multi-consumer rule)
       val cat = table(s, d, "part")
         .select(col("p_partkey"),
           concat(col("p_partkey").cast("string"), lit("#"), col("p_name"),
             lit("#"), col("p_partkey").cast("string")).as("name"))
+        .localCheckpoint(true)
       val probes = cat
         .withColumn("pos", (lit(1L) +
           conv(substring(md5(concat(col("p_partkey").cast("string"),
@@ -677,6 +679,7 @@ object SecurityQueries {
         .select(col("p_partkey").as("probe_key"),
           expr("concat(substring(name, 1, pos - 1), substring(name, pos + 1))")
             .as("probe_name"))
+        .localCheckpoint(true)
       FuzzyJoin.multiBlockEditJoin(probes, "probe_name", cat, "name",
           maxDist = 2,
           Seq(FuzzyJoin.prefixBlocker(4), FuzzyJoin.suffixBlocker(4)))
