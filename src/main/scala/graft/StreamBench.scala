@@ -108,7 +108,11 @@ object StreamBench {
         StreamingPipeline.activeUsersStream(df, days = 7, watermark = "1 day")),
       run("cms", "update", df =>
         StreamingPipeline.countMinStream(df, "user_id",
-          width = 64, depth = 4, windowDur = "1 hour", watermark = "1 hour"))
+          width = 64, depth = 4, windowDur = "1 hour", watermark = "1 hour")),
+      run("kmv_distinct", "update", df =>
+        StreamingPipeline.kmvDistinctStream(
+          df.select(col("user_id"), col("timestamp").as("ingest_ts")),
+          windowDur = "1 hour", watermark = "1 hour", k = 64))
     ) :+ runAnn(spark, sfDir, nTriggers) :+ runCurate(spark, sfDir, nTriggers) :+
       runCurateHot(spark, sfDir, nTriggers) :+ runDsir(spark, sfDir, nTriggers) :+
       runLangId(spark, sfDir, nTriggers) :+ runKn(spark, sfDir, nTriggers) :+
