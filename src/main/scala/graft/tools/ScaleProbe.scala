@@ -171,7 +171,19 @@ object ScaleProbe {
       "triangle_nodes" -> (() =>
         graft.SparkEntry.queries("q_triangle_nodes")(spark, sfDir)),
       "kcore" -> (() =>
-        graft.SparkEntry.queries("q_kcore")(spark, sfDir)))
+        graft.SparkEntry.queries("q_kcore")(spark, sfDir)),
+      "kmv_window" -> (() =>
+        graft.SparkEntry.queries("q_kmv_window")(spark, sfDir)),
+      "graph_components" -> (() =>
+        graft.SparkEntry.queries("q_graph_components")(spark, sfDir)),
+      "k_anonymity" -> (() =>
+        graft.SparkEntry.queries("q_k_anonymity")(spark, sfDir)),
+      "l_diversity" -> (() =>
+        graft.SparkEntry.queries("q_l_diversity")(spark, sfDir)),
+      "fuzzy_multi" -> (() =>
+        graft.SparkEntry.queries("q_fuzzy_multi")(spark, sfDir)),
+      "fk_orphans" -> (() =>
+        graft.SparkEntry.queries("q_fk_orphans")(spark, sfDir)))
 
     val only = sys.env.get("SPARK_GRAFT_PROBE_OPS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
