@@ -592,6 +592,32 @@ object SecurityQueries {
               n_exact
             FROM a JOIN xc ON a.g = xc.g ORDER BY a.g"""))
 
+  /** Recency-decayed activity score per user: each event contributes
+    * 2²⁰ halved once per day of age (EXACT — the decay is a right
+    * shift, so no float ever enters; ages ≥ 63 contribute 0). The
+    * streaming-friendly recency prior for triage ranking, computed as
+    * one aggregate over the scan plus a broadcast max-day scalar.
+    */
+  val qDecayActivity = QueryDef(
+    "q_decay_activity",
+    (s, d) => {
+      val ev = events(s, d).where(col("user_id").isNotNull)
+        .select(col("user_id"), tsEpochDay.as("day"))
+      val today = ev.agg(max(col("day")).as("today"))
+      ev.crossJoin(broadcast(today))
+        .withColumn("_c",
+          expr("shiftright(1048576L, cast(least(today - day, 63L) as int))"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum(col("_c")).as("score_q"))
+        .orderBy("user_id")
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+              FROM events WHERE user_id IS NOT NULL),
+            t AS (SELECT max(day) AS today FROM ev)
+            SELECT user_id, count(*) AS n_events,
+              CAST(sum(1048576 >> LEAST(today - day, 63)) AS BIGINT) AS score_q
+            FROM ev, t GROUP BY 1 ORDER BY user_id"""))
+
   /** k-anonymity audit over (event_type, day, floor(value)) quasi-
     * identifiers ([[Privacy.kAnonymityGroups]]): every combination
     * shared by fewer than k=5 rows marks its members re-identifiable.
@@ -788,5 +814,5 @@ object SecurityQueries {
   val all: Seq[QueryDef] = Seq(qRangeJoinBinned, qTriangleCount,
     qTriangleNodes, qKmvDistinct, qKmvJaccard, qBeaconing, qFunnel,
     qCharEntropy, qKcore, qPathSurprise, qFuzzyMatch, qFuzzyMulti,
-    qKAnonymity, qPrivacyRisk, qLDiversity, qFkOrphans, qKmvWindow, qGraphComponents)
+    qKAnonymity, qPrivacyRisk, qLDiversity, qFkOrphans, qKmvWindow, qGraphComponents, qDecayActivity)
 }
