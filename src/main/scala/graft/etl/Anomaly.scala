@@ -80,22 +80,23 @@ object Anomaly {
     * groups with at least `minGaps` gaps; `cv_q` is floor(CV·10⁶), NULL
     * for a zero mean (all gaps zero); `is_beacon` = cv_q < thresholdQ.
     */
-  def beaconScores(
-      df: DataFrame, entity: String, channel: String, tsUs: String,
-      idCol: String, minGaps: Int = 5, cvThresholdQ: Long = 300000L): DataFrame = {
-    require(minGaps >= 2, s"minGaps must be >= 2, got $minGaps")
-    val reserved = Seq("_gap", "n_gaps", "gsum", "gsumsq", "mean_gap", "cv_q", "is_beacon")
-    require(!reserved.exists(df.columns.contains),
-      s"beaconScores reserves columns ${reserved.mkString(", ")}")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(entity, channel).orderBy(col(tsUs), col(idCol))
-    df.withColumn("_gap", col(tsUs) - lag(col(tsUs), 1).over(w))
-      .where(col("_gap").isNotNull)
-      .groupBy(entity, channel)
-      .agg(count(lit(1)).as("n_gaps"),
-        sum(col("_gap")).as("gsum"),
-        sum(col("_gap").cast("decimal(38,0)") * col("_gap")).as("gsumsq"))
-      .where(col("n_gaps") >= minGaps)
+  /** The exact-moment aggregate columns over a `_gap` column — Σg as
+    * BIGINT, Σg² as DECIMAL(38,0): order-independent, so batch and
+    * streaming produce identical sums regardless of partitioning or
+    * micro-batch slicing.
+    */
+  private[graft] def gapMomentAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n_gaps"),
+    sum(col("_gap")).as("gsum"),
+    sum(col("_gap").cast("decimal(38,0)") * col("_gap")).as("gsumsq"))
+
+  /** mean/cv/flag columns from the moment aggregates — ONE shared
+    * expression tree so every consumer (batch, stream) computes the
+    * bit-identical statistic.
+    */
+  private[graft] def withCvColumns(
+      aggregated: DataFrame, cvThresholdQ: Long): DataFrame =
+    aggregated
       .withColumn("mean_gap",
         col("gsum").cast("double") / col("n_gaps").cast("double"))
       .withColumn("cv_q",
@@ -106,6 +107,23 @@ object Anomaly {
             / col("mean_gap") * lit(1000000.0))))
       .withColumn("is_beacon", coalesce(col("cv_q") < cvThresholdQ, lit(false)))
       .drop("gsumsq")
+
+  def beaconScores(
+      df: DataFrame, entity: String, channel: String, tsUs: String,
+      idCol: String, minGaps: Int = 5, cvThresholdQ: Long = 300000L): DataFrame = {
+    require(minGaps >= 2, s"minGaps must be >= 2, got $minGaps")
+    val reserved = Seq("_gap", "n_gaps", "gsum", "gsumsq", "mean_gap", "cv_q", "is_beacon")
+    require(!reserved.exists(df.columns.contains),
+      s"beaconScores reserves columns ${reserved.mkString(", ")}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(entity, channel).orderBy(col(tsUs), col(idCol))
+    withCvColumns(
+      df.withColumn("_gap", col(tsUs) - lag(col(tsUs), 1).over(w))
+        .where(col("_gap").isNotNull)
+        .groupBy(entity, channel)
+        .agg(gapMomentAggs.head, gapMomentAggs.tail: _*)
+        .where(col("n_gaps") >= minGaps),
+      cvThresholdQ)
   }
 
   /** Markov sequence-surprise scoring: train a first-order transition

@@ -1062,6 +1062,91 @@ object StreamingPipeline {
       graft.functions.CharEntropyFunctions
         .char_entropy_q(col(textCol), maxChars).as("ent_q"))
 
+  case class GapEvent(key: String, timestamp: java.sql.Timestamp, event_id: Long)
+  case class GapState(lastTsMillis: Long)
+  case class GapRow(key: String, timestamp: java.sql.Timestamp,
+      event_id: Long, gap: Long)
+
+  /** Per-key inter-arrival gap extraction at the edge: 8-byte state per
+    * key (the last event time), evicted `stateTtlMinutes` past the last
+    * event — the stateful half of the streaming beacon detector. Each
+    * event emits its gap (ms) to the key's previous event; a key's first
+    * event emits nothing. Within a micro-batch rows sort by
+    * (time, event_id) like the batch window; across micro-batches gaps
+    * follow arrival order bounded by the watermark — the standard
+    * streaming-sequence caveat, parity-tested on in-order arrival.
+    */
+  def gapStream(
+      spark: SparkSession, events: DataFrame,
+      stateTtlMinutes: Int = 1440, watermark: String = "1 hour"): Dataset[GapRow] = {
+    import spark.implicits._
+    val ttlMillis = stateTtlMinutes * 60000L
+    events
+      .withWatermark("timestamp", watermark)
+      .selectExpr("key", "timestamp", "event_id")
+      .as[GapEvent]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, rows: Iterator[GapEvent], state: GroupState[GapState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var last = state.getOption.map(_.lastTsMillis).getOrElse(Long.MinValue)
+            val out = rows.toSeq
+              .sortBy(e => (e.timestamp.getTime, e.event_id))
+              .flatMap { e =>
+                val t = e.timestamp.getTime
+                val gap = if (last == Long.MinValue) None else Some(t - last)
+                last = t
+                gap.map(g => GapRow(key, e.timestamp, e.event_id, g))
+              }
+            state.update(GapState(last))
+            state.setTimeoutTimestamp(
+              math.max(last + ttlMillis, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+        })
+  }
+
+  /** The windowed streaming beacon detector as ONE stateful operator
+    * (chaining [[gapStream]] into an aggregate trips Spark's
+    * global-watermark correctness check — two stateful ops in sequence
+    * can silently drop late rows; this shape has no second operator to
+    * drop them): per (key, event-time window), collect the sorted event
+    * times and derive the gap moments IN the aggregated row — Σg
+    * telescopes to t_last − t_first, Σg² is a DECIMAL(38) fold over
+    * adjacent differences — then apply the SAME
+    * [[graft.etl.Anomaly.withCvColumns]] expression tree batch uses, so
+    * a window's cv_q is bit-identical to batch over the same gaps. CV
+    * is scale-invariant, so ms gaps here and µs gaps in batch flag the
+    * same timers. State per (key, window) is the event-time list —
+    * bounded by the key's window volume; for hyperactive keys prefer
+    * [[gapStream]] (8-byte state) into a sink and aggregate the gaps
+    * downstream.
+    */
+  def beaconScoreStream(
+      events: DataFrame,
+      windowDur: String = "1 day", watermark: String = "1 hour",
+      minGaps: Int = 5, cvThresholdQ: Long = 300000L): DataFrame = {
+    val agged = events
+      .withWatermark("timestamp", watermark)
+      .select(col("key"), col("timestamp"),
+        unix_millis(col("timestamp")).as("_ms"), col("event_id"))
+      .groupBy(col("key"), window(col("timestamp"), windowDur))
+      .agg(sort_array(collect_list(struct(col("_ms"), col("event_id"))))
+        .as("_evs"))
+      .withColumn("_ts", expr("transform(_evs, e -> e._ms)"))
+      .where(size(col("_ts")) >= minGaps + 1)
+      .withColumn("n_gaps", (size(col("_ts")) - 1).cast("long"))
+      .withColumn("gsum",
+        element_at(col("_ts"), -1) - element_at(col("_ts"), 1))
+      .withColumn("gsumsq", expr(
+        """aggregate(sequence(2, size(_ts)), CAST(0 AS DECIMAL(38,0)),
+           (acc, i) -> acc + CAST((_ts[i-1] - _ts[i-2]) AS DECIMAL(19,0))
+                             * (_ts[i-1] - _ts[i-2]))"""))
+      .drop("_evs", "_ts")
+    graft.etl.Anomaly.withCvColumns(agged, cvThresholdQ)
+  }
+
   /** Streaming KMV distinct estimation per event-time window
     * ([[graft.ext.Sketches.KmvAgg]]): the k smallest distinct key hashes
     * accumulate in O(k) bounded state per window, and because the

@@ -1414,6 +1414,72 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gap stream: 8-byte state emits batch-identical gaps, first event silent") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      ("a", ts("2025-01-01 10:00:00"), 1L), ("a", ts("2025-01-01 10:00:05"), 2L),
+      ("a", ts("2025-01-01 10:00:05"), 3L), // same-second tie: event_id orders
+      ("b", ts("2025-01-01 10:00:30"), 4L))
+    val input = MemoryStream[(String, Timestamp, Long)]
+    val q = StreamingPipeline.gapStream(spark,
+        input.toDF().toDF("key", "timestamp", "event_id"))
+      .toDF().select("key", "event_id", "gap")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gap_out").start()
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*) // gap state must bridge micro-batches
+      q.processAllAvailable()
+      val out = spark.table("gap_out")
+        .as[(String, Long, Long)].collect().toSet
+      assert(out === Set(("a", 2L, 5000L), ("a", 3L, 0L)))
+    } finally q.stop()
+  }
+
+  test("beacon score stream: stateful gaps + shared CV flag the planted timer") {
+    implicit val sqlCtx = spark.sqlContext
+    // timer key: exact 60s cadence; bursty key: wild gaps — all inside
+    // one day-window
+    val timer = (0 until 21).map(i =>
+      ("c2-timer", ts(f"2025-01-01 10:${i / 2}%02d:${(i % 2) * 30}%02d"), i.toLong))
+    val burstSecs = Seq(0, 1, 2, 40, 41, 300, 301, 302, 1800, 1803, 3600)
+    val bursty = burstSecs.zipWithIndex.map { case (s, i) =>
+      ("c2-burst", ts(f"2025-01-01 10:${s / 60}%02d:${s % 60}%02d"), (100 + i).toLong)
+    }
+    val input = MemoryStream[(String, Timestamp, Long)]
+    val q = StreamingPipeline.beaconScoreStream(
+        input.toDF().toDF("key", "timestamp", "event_id"),
+        windowDur = "1 day", watermark = "1 hour", minGaps = 5)
+      .select("key", "n_gaps", "cv_q", "is_beacon")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("beacon_out").start()
+    try {
+      input.addData(timer ++ bursty: _*)
+      q.processAllAvailable()
+      // close the day window deterministically
+      input.addData(("closer", ts("2025-01-10 00:00:00"), 999L))
+      q.processAllAvailable()
+      val out = spark.table("beacon_out")
+        .as[(String, Long, Option[Long], Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(out("c2-timer")._1 === 20L)
+      assert(out("c2-timer")._2.contains(0L) && out("c2-timer")._3,
+        s"timer not flagged: $out")
+      assert(!out("c2-burst")._3, s"bursty flagged: $out")
+      // batch parity on the same rows: same CV (ms here, µs in batch —
+      // CV is scale-invariant and these timestamps are second-precision)
+      val batch = graft.etl.Anomaly.beaconScores(
+          (timer ++ bursty).toDF("key", "t", "id")
+            .withColumn("ts_us", expr("unix_micros(t)"))
+            .withColumn("chan", lit("x")),
+          "key", "chan", "ts_us", "id", minGaps = 5)
+        .select("key", "cv_q").as[(String, Option[Long])].collect().toMap
+      assert(out("c2-timer")._2 === batch("c2-timer"))
+      assert(out("c2-burst")._2 === batch("c2-burst"))
+    } finally q.stop()
+  }
+
   test("kmv distinct stream: bounded-state sketch matches batch bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
     val keys = (0L until 500L) ++ (0L until 200L) // repeats must dedup
