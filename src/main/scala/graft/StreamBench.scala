@@ -112,7 +112,11 @@ object StreamBench {
       run("kmv_distinct", "update", df =>
         StreamingPipeline.kmvDistinctStream(
           df.select(col("user_id"), col("timestamp").as("ingest_ts")),
-          windowDur = "1 hour", watermark = "1 hour", k = 64))
+          windowDur = "1 hour", watermark = "1 hour", k = 64)),
+      run("beacon_windowed", "append", df =>
+        StreamingPipeline.beaconScoreStream(
+          df.select(col("user_id").as("key"), col("timestamp"), col("event_id")),
+          windowDur = "1 hour", watermark = "1 hour", minGaps = 5))
     ) :+ runAnn(spark, sfDir, nTriggers) :+ runCurate(spark, sfDir, nTriggers) :+
       runCurateHot(spark, sfDir, nTriggers) :+ runDsir(spark, sfDir, nTriggers) :+
       runLangId(spark, sfDir, nTriggers) :+ runKn(spark, sfDir, nTriggers) :+
