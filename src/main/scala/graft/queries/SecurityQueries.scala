@@ -592,6 +592,37 @@ object SecurityQueries {
               n_exact
             FROM a JOIN xc ON a.g = xc.g ORDER BY a.g"""))
 
+  /** The IOC watchlist of q_ioc_match: border-free corpus-vocabulary
+    * literals (no term has a proper prefix equal to a suffix, and the
+    * space-separated corpus admits no cross-word junctions), so DuckDB's
+    * greedy replace-count equals the automaton's all-occurrence count.
+    */
+  private val iocTerms: Seq[String] = Seq("table", "spark", "value",
+    "query", "batch", "customer", "order", "column", "join", "data",
+    "scan", "fast")
+
+  /** Watchlist (IOC) matching with the native Aho–Corasick expression
+    * ([[graft.functions.MultiMatchCount]]): every document scanned ONCE
+    * against the whole watchlist — O(len + matches) per row however
+    * many thousands of literals the feed carries, where the regex-
+    * alternation blocklist grows with the feed. Zero shuffles; the
+    * oracle replays each term's occurrence count via replace-length
+    * arithmetic (exact for the border-free watchlist above).
+    */
+  val qIocMatch = QueryDef(
+    "q_ioc_match",
+    (s, d) => table(s, d, "documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.MultiMatchFunctions
+          .multi_match_count(col("text"), iocTerms).as("n_matches"))
+      .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+              CAST(${iocTerms.map(t =>
+                s"(length(text) - length(replace(text, '$t', ''))) // ${t.length}")
+                .mkString(" + ")} AS BIGINT) AS n_matches
+            FROM documents WHERE text IS NOT NULL ORDER BY doc_id"""))
+
   /** Recency-decayed activity score per user: each event contributes
     * 2²⁰ halved once per day of age (EXACT — the decay is a right
     * shift, so no float ever enters; ages ≥ 63 contribute 0). The
@@ -814,5 +845,5 @@ object SecurityQueries {
   val all: Seq[QueryDef] = Seq(qRangeJoinBinned, qTriangleCount,
     qTriangleNodes, qKmvDistinct, qKmvJaccard, qBeaconing, qFunnel,
     qCharEntropy, qKcore, qPathSurprise, qFuzzyMatch, qFuzzyMulti,
-    qKAnonymity, qPrivacyRisk, qLDiversity, qFkOrphans, qKmvWindow, qGraphComponents, qDecayActivity)
+    qKAnonymity, qPrivacyRisk, qLDiversity, qFkOrphans, qKmvWindow, qGraphComponents, qDecayActivity, qIocMatch)
 }
