@@ -65,6 +65,17 @@ object ScaleProbe {
           ""))).as("payload"))
     }
 
+    def iocTerms(n: Int): Seq[String] =
+      Seq("table", "spark", "value", "query", "batch", "customer") ++
+        (0 until (n - 6)).map(i => f"indicator-$i%06d")
+    def iocProbe(docs: DataFrame, n: Int): DataFrame =
+      docs.select(col("doc_id"),
+        graft.functions.MultiMatchFunctions
+          .multi_match_count(col("text"), iocTerms(n)).as("n"))
+    def iocRegexProbe(docs: DataFrame, n: Int): DataFrame =
+      graft.ext.TextAnalysis.blocklistScreen(docs.select("doc_id", "text"),
+        "text", iocTerms(n), maxBannedPerMille = 1000)
+
     val ops: Seq[(String, () => DataFrame)] = Seq(
       "kn_lm" -> (() =>
         graft.ext.Relevance.knLmScore(docs, "doc_id", "text")),
@@ -183,7 +194,17 @@ object ScaleProbe {
       "fuzzy_multi" -> (() =>
         graft.SparkEntry.queries("q_fuzzy_multi")(spark, sfDir)),
       "fk_orphans" -> (() =>
-        graft.SparkEntry.queries("q_fk_orphans")(spark, sfDir)))
+        graft.SparkEntry.queries("q_fk_orphans")(spark, sfDir)),
+      // watchlist scaling: the AC automaton's one-pass scan vs the
+      // regex-alternation blocklist, at growing watchlist sizes (the
+      // generated indicators never match — the probe measures pure scan
+      // cost per term-count; real vocab terms are mixed in so match
+      // emission is exercised too)
+      "ioc_ac_100" -> (() => iocProbe(docs, 100)),
+      "ioc_ac_10k" -> (() => iocProbe(docs, 10000)),
+      "ioc_ac_100k" -> (() => iocProbe(docs, 100000)),
+      "ioc_regex_100" -> (() => iocRegexProbe(docs, 100)),
+      "ioc_regex_2k" -> (() => iocRegexProbe(docs, 2000)))
 
     val only = sys.env.get("SPARK_GRAFT_PROBE_OPS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
