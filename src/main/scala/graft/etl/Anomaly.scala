@@ -173,6 +173,49 @@ object Anomaly {
     -floor(log(col("n_ab").cast("double") / col("n_a").cast("double"))
       * lit(1000000.0))
 
+  /** Theil–Sen robust trend estimation per group: the LOWER MEDIAN of
+    * all pairwise slopes (y2−y1)/(x2−x1) — 29.3% breakdown point where
+    * least squares is destroyed by a single outlier day, and exact
+    * integer arithmetic throughout (slopes are 10⁶-scaled integer
+    * divisions, the median is a rank selection, never an average).
+    *
+    * The pairwise stage is O(n²) per group BY DESIGN — sound only for
+    * bounded series (daily/hourly counts per entity, n in the tens to
+    * hundreds). The `maxPoints` contract is ENFORCED with a fail-fast
+    * distributed check before any pair materializes, the same
+    * bounded-domain guard pattern as perplexityBuckets: an unbounded
+    * group would otherwise plan a quadratic self-join silently.
+    *
+    * Slopes are identical-operand double divisions of exact longs —
+    * bit-exact cross-engine with no quantization (an integer `div`
+    * would hit the trunc-vs-floor divergence on NEGATIVE slopes).
+    */
+  def theilSenSlopes(
+      df: DataFrame, group: String, x: String, y: String,
+      maxPoints: Int = 1024): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints must be >= 2, got $maxPoints")
+    val pts = df.select(col(group).as("_g"), col(x).as("_x"), col(y).as("_y"))
+      .localCheckpoint(true) // guard count + both pair sides
+    val biggest = pts.groupBy("_g").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    require(biggest <= maxPoints,
+      s"theilSenSlopes: a group has $biggest points (> maxPoints=$maxPoints) " +
+        "— the pairwise stage is quadratic; aggregate the series first")
+    val slopes = pts.as("l").join(pts.as("r"),
+        col("l._g") === col("r._g") && col("l._x") < col("r._x"))
+      .select(col("l._g").as("_g"),
+        (expr("CAST(r._y - l._y AS DOUBLE)") /
+          expr("CAST(r._x - l._x AS DOUBLE)")).as("slope"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_g").orderBy(col("slope"))
+    slopes
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_m", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_g")))
+      .where(col("_rn") === expr("(_m + 1) div 2"))
+      .select(col("_g").as(group), col("_m").as("n_pairs"), col("slope"))
+  }
+
   def markovPathScores(
       df: DataFrame, entity: String, typeCol: String, tsUs: String,
       idCol: String): DataFrame = {

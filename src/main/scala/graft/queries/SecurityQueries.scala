@@ -592,6 +592,33 @@ object SecurityQueries {
               n_exact
             FROM a JOIN xc ON a.g = xc.g ORDER BY a.g"""))
 
+  /** Theil–Sen robust trend of daily event volume per type
+    * ([[Anomaly.theilSenSlopes]]): the lower-median pairwise slope —
+    * one outlier day cannot drag it the way it drags least squares.
+    * Slopes are identical-operand double divisions (bit-exact cross-
+    * engine); the O(n²) pair stage is guarded by the operator's
+    * maxPoints fail-fast (n ≈ 30 days here).
+    */
+  val qTrendSlope = QueryDef(
+    "q_trend_slope",
+    (s, d) => Anomaly.theilSenSlopes(
+        events(s, d).groupBy(col("event_type"), tsEpochDay.as("day"))
+          .agg(count(lit(1)).as("c")),
+        "event_type", "day", "c")
+      .orderBy("event_type"),
+    Some("""WITH dc AS (SELECT event_type AS g,
+              epoch_ns(ts) // 86400000000000 AS x, count(*) AS y
+            FROM events GROUP BY 1, 2),
+            sl AS (SELECT l.g,
+                     CAST(r.y - l.y AS DOUBLE) / CAST(r.x - l.x AS DOUBLE) AS slope
+                   FROM dc l JOIN dc r ON l.g = r.g AND l.x < r.x),
+            rk AS (SELECT g, slope,
+                     row_number() OVER (PARTITION BY g ORDER BY slope) AS rn,
+                     count(*) OVER (PARTITION BY g) AS m
+                   FROM sl)
+            SELECT g AS event_type, m AS n_pairs, slope
+            FROM rk WHERE rn = (m + 1) // 2 ORDER BY event_type"""))
+
   /** The IOC watchlist of q_ioc_match: border-free corpus-vocabulary
     * literals (no term has a proper prefix equal to a suffix, and the
     * space-separated corpus admits no cross-word junctions), so DuckDB's
@@ -845,5 +872,5 @@ object SecurityQueries {
   val all: Seq[QueryDef] = Seq(qRangeJoinBinned, qTriangleCount,
     qTriangleNodes, qKmvDistinct, qKmvJaccard, qBeaconing, qFunnel,
     qCharEntropy, qKcore, qPathSurprise, qFuzzyMatch, qFuzzyMulti,
-    qKAnonymity, qPrivacyRisk, qLDiversity, qFkOrphans, qKmvWindow, qGraphComponents, qDecayActivity, qIocMatch)
+    qKAnonymity, qPrivacyRisk, qLDiversity, qFkOrphans, qKmvWindow, qGraphComponents, qDecayActivity, qIocMatch, qTrendSlope)
 }

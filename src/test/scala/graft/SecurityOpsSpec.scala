@@ -90,6 +90,30 @@ class SecurityOpsSpec extends SparkSpec {
     assert(out(1)._4 > out(0)._4)
   }
 
+  test("theilSenSlopes: robust to the outlier day that destroys least squares") {
+    // y = 2x exactly except one wild outlier at x=5
+    val pts = Seq((0L, 0L), (1L, 2L), (2L, 4L), (3L, 6L), (4L, 8L), (5L, 1000L))
+      .map { case (x, y) => ("s", x, y) }
+    val out = Anomaly.theilSenSlopes(pts.toDF("g", "x", "y"), "g", "x", "y")
+      .select("n_pairs", "slope").as[(Long, Double)].head()
+    assert(out._1 === 15L)
+    assert(out._2 === 2.0, s"median slope dragged to ${out._2}")
+    // negative trend comes out negative and exact
+    val neg = Seq((0L, 9L), (1L, 6L), (2L, 3L), (3L, 0L))
+      .map { case (x, y) => ("s", x, y) }
+    assert(Anomaly.theilSenSlopes(neg.toDF("g", "x", "y"), "g", "x", "y")
+      .select("slope").as[Double].head() === -3.0)
+  }
+
+  test("theilSenSlopes: maxPoints contract fails fast before the pair join") {
+    val big = (0 until 50).map(i => ("g", i.toLong, i.toLong))
+    val e = intercept[IllegalArgumentException] {
+      Anomaly.theilSenSlopes(big.toDF("g", "x", "y"), "g", "x", "y",
+        maxPoints = 10)
+    }
+    assert(e.getMessage.contains("quadratic"))
+  }
+
   test("privacy: k-anonymity groups, risk summary, and l-diversity on a fixture") {
     import graft.ext.Privacy
     // quasi (city, age): one group of 5 (safe at k=5), one of 2, one of 1
