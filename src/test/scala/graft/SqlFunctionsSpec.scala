@@ -123,6 +123,24 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(err.getMessage.contains("string literal"), err.getMessage)
   }
 
+  test("graft_char_entropy: fixed-point class entropy from SQL") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((1L, "aabb"), (2L, "0123"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "text").createOrReplaceTempView("ent_sql_t")
+    val r = spark.sql(
+      "SELECT id, graft_char_entropy(text, 256) AS e FROM ent_sql_t ORDER BY id")
+      .collect()
+    assert(r(0).getLong(1) == 1048576L) // exactly 1 bit
+    assert(r(1).getLong(1) == 0L)       // digits fold into one class
+    assert(r(2).isNullAt(1))
+    // parity with the Column form
+    val viaCol = spark.table("ent_sql_t").orderBy("id")
+      .select(graft.functions.CharEntropyFunctions.char_entropy_q(col("text"), 256))
+      .collect().map(x => if (x.isNullAt(0)) -1L else x.getLong(0)).toSeq
+    assert(viaCol == Seq(1048576L, 0L, -1L))
+  }
+
   test("graft_ccnet_bucket: frozen-cutoff bucket assignment from SQL") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
