@@ -6,12 +6,19 @@ import graft.queries.{AudioQueries, BitextQueries, BloomQueries, DimReductionQue
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private def allDefs: Seq[QueryDef] =
-    ParityQueries.all ++ ExtensionQueries.all ++ EnrichmentQueries.all ++
-      PipelineQuery.all ++ UrlQueries.all ++ DimReductionQueries.all ++
-      ImageQueries.all ++ UnigramQueries.all ++ WordPieceQueries.all ++
-      UnimaxQueries.all ++ BloomQueries.all ++ AudioQueries.all ++
-      BitextQueries.all ++ SecurityQueries.all
+  private[graft] def allDefs: Seq[QueryDef] = {
+    val defs =
+      ParityQueries.all ++ ExtensionQueries.all ++ EnrichmentQueries.all ++
+        PipelineQuery.all ++ UrlQueries.all ++ DimReductionQueries.all ++
+        ImageQueries.all ++ UnigramQueries.all ++ WordPieceQueries.all ++
+        UnimaxQueries.all ++ BloomQueries.all ++ AudioQueries.all ++
+        BitextQueries.all ++ SecurityQueries.all
+    // A duplicate name would silently shadow a query when `.toMap` keeps
+    // the last entry, shrinking the correctness gate without any failure.
+    val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    defs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

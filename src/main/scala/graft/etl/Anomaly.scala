@@ -196,8 +196,10 @@ object Anomaly {
     require(maxPoints >= 2, s"maxPoints must be >= 2, got $maxPoints")
     val pts = df.select(col(group).as("_g"), col(x).as("_x"), col(y).as("_y"))
       .localCheckpoint(true) // guard count + both pair sides
+    // coalesce: max over an EMPTY frame is NULL — an empty series should
+    // yield an empty slope frame, not NPE in the guard
     val biggest = pts.groupBy("_g").agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).head().getLong(0)
+      .agg(coalesce(max(col("n")), lit(0L))).head().getLong(0)
     require(biggest <= maxPoints,
       s"theilSenSlopes: a group has $biggest points (> maxPoints=$maxPoints) " +
         "— the pairwise stage is quadratic; aggregate the series first")

@@ -29,8 +29,13 @@ object Funnel {
     require(withinUs > 0, s"withinUs must be positive, got $withinUs")
     val base = df.select(col(entity).as("e"), col(typeCol).as("t"),
       col(tsUs).as("tu")).where(col("e").isNotNull)
+    // every stage frame is consumed at least twice (by the next stage's
+    // join AND by the caller — conversion counts each), so pin each one:
+    // without the checkpoint, stage k's action re-derives stages 1..k-1
+    // and the k-step funnel scans the source O(k²) times
     val first = base.where(col("t") === steps.head)
       .groupBy("e").agg(min(col("tu")).as("t1"))
+      .localCheckpoint(true)
     steps.zipWithIndex.drop(1).foldLeft(Seq(first)) { case (acc, (step, i)) =>
       val prev = acc.last
       val cur = base.where(col("t") === step)
@@ -38,6 +43,7 @@ object Funnel {
         .where(col("tu") > col(s"t$i") && col("tu") <= col("t1") + withinUs)
         .groupBy((Seq("e", "t1") ++ (2 to i).map(j => s"t$j")).map(col): _*)
         .agg(min(col("tu")).as(s"t${i + 1}"))
+        .localCheckpoint(true)
       acc :+ cur
     }
   }

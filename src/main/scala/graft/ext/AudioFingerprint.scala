@@ -172,39 +172,33 @@ object AudioFingerprint {
 
   /** Audio near-duplicate pairs by fingerprint Hamming distance — the
     * [[ImageHash.imageNearDupPairs]] recipe on the 56-bit audio
-    * fingerprint: `bands` disjoint (56/bands)-bit bands guarantee
-    * recall for Hamming ≤ bands − 1 (pigeonhole), candidates come from
-    * a band-bucket join, and every candidate is verified with the
-    * exact bit_count(xor) distance.
+    * fingerprint: disjoint bands guarantee recall for Hamming ≤
+    * bands − 1 (pigeonhole), candidates come from a band-bucket join,
+    * and every candidate is verified with the exact bit_count(xor)
+    * distance.
     *
-    * Scale note: a band's value space is 2^(56/bands). With many bands
-    * the space saturates (7 bands → 256 values), so bucket sizes — and
-    * the candidate join — grow ~n²/(bands·2^width) once n ≫ 2^width.
-    * At corpus scale trade Hamming budget for bucket sparsity: 4 bands
-    * of 14 bits (16 384 values, recall to Hamming 3) keeps candidates
-    * near-linear far longer. The default (7 × 8-bit, Hamming ≤ 6)
-    * favors recall at catalog sizes.
+    * Banding defaults to the scale-optimal count for the verify
+    * threshold — `maxHamming + 1` bands, the widest that still
+    * guarantee recall ([[HammingBands]]): maxHamming = 3 → 4 × 14-bit
+    * bands (16 384 bucket values each), which keeps the candidate join
+    * near-linear ~64× longer than the saturating 7 × 8-bit config (256
+    * values/band) that a narrow banding would pick. Raise `maxHamming`
+    * for looser matching — the band width (and the saturation point)
+    * adapts automatically; pass `bands` explicitly only to OVER-band
+    * for recall beyond the verify threshold.
     */
   def audioNearDupPairs(
-      spark: SparkSession, df: DataFrame, maxHamming: Int = 5,
-      bands: Int = Frames - 1): DataFrame = {
+      spark: SparkSession, df: DataFrame, maxHamming: Int = 3,
+      bands: Int = 0): DataFrame = {
     val fpBits = (Frames - 1) * (Bands - 1) // 56
-    require(bands >= 1 && fpBits % bands == 0,
-      s"bands must divide $fpBits, got $bands")
-    val width = fpBits / bands
-    require(maxHamming >= 0 && maxHamming <= bands - 1,
-      s"$bands bands only guarantee recall for Hamming <= ${bands - 1}, got $maxHamming")
+    val nBands = HammingBands.resolveBands(maxHamming, bands, fpBits)
     // Pinned: the signature table feeds BOTH sides of the band
     // self-join (the multi-consumer rule; decode is the costly stage).
     val sigs = audioFingerprints(spark, df)
       .where(col("fp").isNotNull)
       .select(col("media_id"), col("fp"))
       .localCheckpoint(true)
-    val bandKeys = (0 until bands).map { bnd =>
-      struct(lit(bnd).as("band"),
-        shiftright(col("fp"), width * bnd)
-          .bitwiseAND(lit((1L << width) - 1L)).as("bits"))
-    }
+    val bandKeys = HammingBands.bandKeys(col("fp"), fpBits, nBands)
     val bucketed = sigs.select(col("media_id"), col("fp"),
       explode(array(bandKeys: _*)).as("bucket"))
     val a = bucketed.select(col("media_id").as("id1"),

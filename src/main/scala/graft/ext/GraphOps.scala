@@ -80,7 +80,10 @@ object GraphOps {
     val degStats = edges.select(col("u").as("n"))
       .unionAll(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
-      .agg(count(lit(1)).as("nodes"), expr("sum((d * (d - 1)) div 2)").as("w"))
+      .agg(count(lit(1)).as("nodes"),
+        // coalesce: sum over an EMPTY edge frame is NULL, and the zero-row
+        // census should read all-zeros, not NPE on getLong
+        coalesce(expr("sum((d * (d - 1)) div 2)"), lit(0L)).as("w"))
       .head()
     val nNodes = degStats.getLong(0)
     val nWedges = degStats.getLong(1)

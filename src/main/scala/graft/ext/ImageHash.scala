@@ -628,21 +628,30 @@ object ImageHash {
   }
 
   /** Image near-duplicate pairs by dHash Hamming distance — the
-    * [[Dedup.simhashPairs]] recipe on the perceptual fingerprint: 8
-    * disjoint 8-bit bands guarantee recall for Hamming ≤ 7 (pigeonhole:
-    * a pair differing in ≤ 7 bits agrees exactly on ≥ 1 band), so
-    * candidate generation is a band-bucket join — O(n·8), never
-    * all-pairs — and every candidate is verified with the exact
-    * bit_count(xor) distance. Undecodable images (NULL dHash) never
-    * pair.
+    * [[Dedup.simhashPairs]] recipe on the perceptual fingerprint:
+    * disjoint bands guarantee recall for Hamming ≤ bands − 1
+    * (pigeonhole: a pair differing in ≤ bands − 1 bits agrees exactly
+    * on ≥ 1 band), so candidate generation is a band-bucket join —
+    * O(n·bands), never all-pairs — and every candidate is verified
+    * with the exact bit_count(xor) distance. Undecodable images (NULL
+    * dHash) never pair.
+    *
+    * Banding defaults to the scale-optimal count for the verify
+    * threshold — `maxHamming + 1` bands, the widest that still
+    * guarantee recall ([[HammingBands]]): maxHamming = 3 → 4 × 16-bit
+    * bands (65 536 bucket values each), whose candidate join stays
+    * near-linear ~256× longer than the saturating 8 × 8-bit config
+    * (256 values/band). Raise `maxHamming` for looser matching — the
+    * band width adapts; pass `bands` explicitly only to OVER-band for
+    * recall beyond the verify threshold.
     *
     * @param df columns: media_id LONG, payload BINARY
     */
   def imageNearDupPairs(
-      spark: SparkSession, df: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val bands = 8
-    require(maxHamming >= 0 && maxHamming <= bands - 1,
-      s"$bands bands only guarantee recall for Hamming <= ${bands - 1}, got $maxHamming")
+      spark: SparkSession, df: DataFrame, maxHamming: Int = 3,
+      bands: Int = 0): DataFrame = {
+    val fpBits = 64
+    val nBands = HammingBands.resolveBands(maxHamming, bands, fpBits)
     // Pinned: the signature table feeds BOTH sides of the band
     // self-join — without the checkpoint each side replays the full
     // decode + hash pass over the payload bytes (the multi-consumer
@@ -651,10 +660,7 @@ object ImageHash {
       .where(col("dhash").isNotNull)
       .select(col("media_id"), col("dhash"))
       .localCheckpoint(true)
-    val bandKeys = (0 until bands).map { bnd =>
-      struct(lit(bnd).as("band"),
-        shiftright(col("dhash"), 8 * bnd).bitwiseAND(0xFFL).as("bits"))
-    }
+    val bandKeys = HammingBands.bandKeys(col("dhash"), fpBits, nBands)
     val bucketed = sigs.select(col("media_id"), col("dhash"),
       explode(array(bandKeys: _*)).as("bucket"))
     val a = bucketed.select(col("media_id").as("id1"),
@@ -684,9 +690,9 @@ object ImageHash {
     */
   def imageDupClusters(
       spark: SparkSession, df: DataFrame,
-      maxHamming: Int = 6, iters: Int = 4): DataFrame = {
+      maxHamming: Int = 3, iters: Int = 4, bands: Int = 0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val pairs = imageNearDupPairs(spark, df, maxHamming)
+    val pairs = imageNearDupPairs(spark, df, maxHamming, bands)
       .select("id1", "id2").localCheckpoint(true)
     val edges = pairs.union(
       pairs.select(col("id2").as("id1"), col("id1").as("id2")))

@@ -223,41 +223,30 @@ object Multimodal {
     sb.toString
   }
 
-  /** MP4 / ISO-BMFF (ISO 14496-12) frame counting — a real pure-JVM box
-    * walk, no container library. The file is a sequence of boxes
-    * `u32be size, 4-byte type, payload`; `size == 1` means a 64-bit
-    * largesize follows the type, `size == 0` means the box runs to EOF.
-    * The walk descends the pure-container chain
-    * `moov → trak → mdia → minf → stbl` (container boxes hold child boxes
-    * immediately after their 8/16-byte header) and reads the sample count
-    * from the sample table:
-    *
-    *  - `stsz` (§8.7.3, a FullBox: 4 bytes version/flags, then
-    *    `sample_size u32, sample_count u32`) — `sample_count` IS the
-    *    number of samples (frames for a video track);
-    *  - else `stts` (§8.6.1.2: version/flags, `entry_count u32`, then
-    *    `entry_count × (sample_count u32, sample_delta u32)`) — the frame
-    *    count is the sum of the entries' sample_counts.
-    *
-    * Only the FIRST trak is counted (the testdata contract carries one
-    * video track; multi-track files would take the max over video traks,
-    * which needs hdlr inspection — out of scope). Truncated, misaligned,
-    * or stbl-less payloads return None rather than a guess.
+  /** Reusable ISO-BMFF (ISO 14496-12) box walk over an in-memory payload
+    * — shared by [[mp4FrameCount]] and the video keyframe extractor
+    * ([[VideoFingerprint]]). The file is a sequence of boxes `u32be
+    * size, 4-byte type, payload`; `size == 1` means a 64-bit largesize
+    * follows the type, `size == 0` means the box runs to EOF. Container
+    * boxes hold child boxes immediately after their 8/16-byte header.
     */
-  def mp4FrameCount(bytes: Array[Byte]): Option[Int] = {
-    if (bytes == null || bytes.length < 16) return None
+  private[ext] final class Mp4Walk(bytes0: Array[Byte]) {
+    val bytes: Array[Byte] =
+      if (bytes0 == null) Array.emptyByteArray else bytes0
+
     def u8(i: Int): Int = bytes(i) & 0xff
     def u32(i: Int): Long =
       (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
     def typ(i: Int): String =
       new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    // ftyp must be detectable (brand sniff) before any walk
-    if (typ(4) != "ftyp") return None
 
-    /** (payloadStart, payloadEnd, boxEnd) of the box at `i`, or None when
-      * the header is truncated/insane. `end` clamps to the buffer so a
-      * size field larger than the payload fails closed.
+    /** ftyp brand sniff — must hold before any walk. */
+    def isMp4: Boolean = bytes.length >= 16 && typ(4) == "ftyp"
+
+    /** (type, payloadStart, boxEnd) of the box at `i`, or None when the
+      * header is truncated/insane. `end` clamps to the buffer so a size
+      * field larger than the payload fails closed.
       */
     def box(i: Int, limit: Int): Option[(String, Int, Int)] = {
       if (i + 8 > limit) return None
@@ -284,24 +273,51 @@ object Multimodal {
       None
     }
 
+    /** The first trak's sample table: descends the pure-container chain
+      * `moov → trak → mdia → minf → stbl`.
+      */
+    def stbl: Option[(Int, Int)] =
+      for {
+        (moovP, moovE) <- find("moov", 0, bytes.length)
+        (trakP, trakE) <- find("trak", moovP, moovE)
+        (mdiaP, mdiaE) <- find("mdia", trakP, trakE)
+        (minfP, minfE) <- find("minf", mdiaP, mdiaE)
+        r <- find("stbl", minfP, minfE)
+      } yield r
+  }
+
+  /** MP4 frame counting — a real pure-JVM box walk ([[Mp4Walk]]), no
+    * container library. Reads the sample count from the sample table:
+    *
+    *  - `stsz` (§8.7.3, a FullBox: 4 bytes version/flags, then
+    *    `sample_size u32, sample_count u32`) — `sample_count` IS the
+    *    number of samples (frames for a video track);
+    *  - else `stts` (§8.6.1.2: version/flags, `entry_count u32`, then
+    *    `entry_count × (sample_count u32, sample_delta u32)`) — the frame
+    *    count is the sum of the entries' sample_counts.
+    *
+    * Only the FIRST trak is counted (the testdata contract carries one
+    * video track; multi-track files would take the max over video traks,
+    * which needs hdlr inspection — out of scope). Truncated, misaligned,
+    * or stbl-less payloads return None rather than a guess.
+    */
+  def mp4FrameCount(bytes: Array[Byte]): Option[Int] = {
+    val w = new Mp4Walk(bytes)
+    if (!w.isMp4) return None
     for {
-      (moovP, moovE) <- find("moov", 0, bytes.length)
-      (trakP, trakE) <- find("trak", moovP, moovE)
-      (mdiaP, mdiaE) <- find("mdia", trakP, trakE)
-      (minfP, minfE) <- find("minf", mdiaP, mdiaE)
-      (stblP, stblE) <- find("stbl", minfP, minfE)
-      n <- find("stsz", stblP, stblE) match {
-        case Some((p, e)) if p + 12 <= e => Some(u32(p + 8).toInt)
+      (stblP, stblE) <- w.stbl
+      n <- w.find("stsz", stblP, stblE) match {
+        case Some((p, e)) if p + 12 <= e => Some(w.u32(p + 8).toInt)
         case _ =>
-          find("stts", stblP, stblE).flatMap { case (p, e) =>
+          w.find("stts", stblP, stblE).flatMap { case (p, e) =>
             if (p + 8 > e) None
             else {
-              val entries = u32(p + 4)
+              val entries = w.u32(p + 4)
               var sum = 0L
               var ok = p + 8 + entries * 8 <= e
               var i = 0
               while (ok && i < entries) {
-                sum += u32(p + 8 + i * 8); i += 1
+                sum += w.u32(p + 8 + i * 8); i += 1
               }
               if (ok) Some(sum.toInt) else None
             }

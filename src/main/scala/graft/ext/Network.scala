@@ -87,14 +87,20 @@ object Network {
       cidr: String, label: String, prefix: Int, lo: Long, hi: Long)
 
   private def parseCidr(cidr: String, label: String): ParsedCidr = {
-    val Array(base, p) = cidr.split("/")
-    val o = base.split("\\.").map(_.toLong)
-    require(o.length == 4 && o.forall(x => x >= 0 && x <= 255) &&
-      p.toInt >= 0 && p.toInt <= 32, s"malformed CIDR: $cidr")
+    // validate the split shape and numeric parses FIRST so every
+    // malformed feed entry fails with the descriptive message, not a
+    // MatchError / NumberFormatException at plan-build time
+    val parts = cidr.split("/")
+    require(parts.length == 2, s"malformed CIDR: $cidr")
+    val o = parts(0).split("\\.").flatMap(s => s.toLongOption)
+    val p = parts(1).toIntOption.getOrElse(-1)
+    require(o.length == 4 && parts(0).split("\\.").length == 4 &&
+      o.forall(x => x >= 0 && x <= 255) &&
+      p >= 0 && p <= 32, s"malformed CIDR: $cidr")
     val raw = o(0) * 16777216L + o(1) * 65536L + o(2) * 256L + o(3)
-    val block = 1L << (32 - p.toInt)
+    val block = 1L << (32 - p)
     val lo = raw - raw % block
-    ParsedCidr(cidr, label, p.toInt, lo, lo + block - 1)
+    ParsedCidr(cidr, label, p, lo, lo + block - 1)
   }
 
   /** Longest-prefix-match enrichment against a literal CIDR feed. Adds a

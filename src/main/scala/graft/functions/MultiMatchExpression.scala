@@ -96,6 +96,13 @@ object MultiMatchImpl {
 
   def countMatches(text: UTF8String, patterns: Seq[String]): Long =
     automaton(patterns).countMatches(text.toString)
+
+  /** Codegen entry point: the automaton was resolved once into a mutable
+    * field of the generated class; typed as Object because Janino cannot
+    * name a Scala object's inner class.
+    */
+  def count(resolved: AnyRef, text: UTF8String): Long =
+    resolved.asInstanceOf[Automaton].countMatches(text.toString)
 }
 
 /** `multi_match_count(text)`: total occurrences of all watchlist
@@ -126,13 +133,18 @@ case class MultiMatchCount(child: Expression, patterns: Seq[String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // ship only the (serializable) pattern list through the reference
-    // array; each executor resolves the automaton from the per-JVM cache
-    // on first use — the tables themselves never serialize
+    // array; the automaton is resolved ONCE per generated-class instance
+    // into a mutable field — a per-row cache lookup would hash the whole
+    // pattern list (O(|patterns|)) on every input row
     val patsRef = ctx.addReferenceObj("mmPatterns", patterns,
       "scala.collection.immutable.Seq")
+    val atm = ctx.addMutableState("Object", "mmAutomaton")
     nullSafeCodeGen(ctx, ev, c =>
-      s"""${ev.value} = graft.functions.MultiMatchImpl.countMatches(
-            $c, (scala.collection.immutable.Seq) $patsRef);""")
+      s"""if ($atm == null) {
+            $atm = graft.functions.MultiMatchImpl.automaton(
+              (scala.collection.immutable.Seq) $patsRef);
+          }
+          ${ev.value} = graft.functions.MultiMatchImpl.count($atm, $c);""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -164,7 +164,7 @@ object AudioQueries {
               when(isTwin && (t === 0), lit(1)).otherwise(lit(0)),
             lit(256)) - 128)
             .as("payload"))
-      AudioFingerprint.audioNearDupPairs(s, media, maxHamming = 5)
+      AudioFingerprint.audioNearDupPairs(s, media, maxHamming = 3)
         .orderBy("id1", "id2")
     },
     Some(s"""WITH ${fpCtes("", TwinS)},
@@ -187,7 +187,7 @@ object AudioQueries {
             |  FROM cand, range(1, 57) j
             |  GROUP BY 1, 2)
             |SELECT id1, id2, hamming
-            |FROM ham WHERE hamming <= 5
+            |FROM ham WHERE hamming <= 3
             |ORDER BY id1, id2""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(qAudioFingerprint, qDedupAudio)

@@ -28,7 +28,7 @@ object ImageQueries {
   /** 54-byte BMP header: 16×16, top-down (height = −16), 24 bpp,
     * BI_RGB, 768-byte raster, no palette.
     */
-  private val BmpHeaderHex: String =
+  private[queries] val BmpHeaderHex: String =
     "424D" +       // magic
       "36030000" + // file size 822 LE
       "00000000" + // reserved
@@ -192,10 +192,14 @@ object ImageQueries {
     * twins: every doc_id ≡ 1 (mod 10) reuses its predecessor's pixel
     * model perturbed at pixel 0 (+8 mod 256) — Hamming ≤ 1 by
     * construction, so each twin pair MUST surface; unrelated md5
-    * patterns sit near Hamming 32 and must not. Spark bands the long
-    * hash low-bits-first, the oracle bands the bit string MSB-first —
-    * the layouts differ but both guarantee recall at Hamming ≤ 7
-    * (8 bands, pigeonhole), so the verified pair sets are identical.
+    * patterns sit near Hamming 32 and must not. The gate pins the
+    * SCALE-SAFE default — maxHamming 3 with 4 × 16-bit auto-banding
+    * ([[graft.ext.HammingBands]]) — so the benched shape is the one a
+    * corpus-scale run uses. Spark bands the long hash low-bits-first
+    * in 4 × 16-bit bands; the oracle bands the bit string MSB-first in
+    * 8 × 8-bit bands — the layouts differ but BOTH guarantee recall at
+    * Hamming ≤ 3 (pigeonhole), so after the `hamming <= 3` verify the
+    * pair sets are identical.
     */
   val qDedupImage = QueryDef(
     "q_dedup_image",
@@ -209,7 +213,7 @@ object ImageQueries {
             lumCol(base, p) +
               when(isTwin && (p === 0), lit(8)).otherwise(lit(0)),
             lit(256))).as("payload"))
-      ImageHash.imageNearDupPairs(s, media, maxHamming = 6)
+      ImageHash.imageNearDupPairs(s, media, maxHamming = 3)
         .orderBy("id1", "id2")
     },
     Some(s"""WITH ${dhashCtes("", TwinLum)},
@@ -232,7 +236,7 @@ object ImageQueries {
             |  FROM cand, range(1, 65) j
             |  GROUP BY 1, 2)
             |SELECT id1, id2, hamming
-            |FROM ham WHERE hamming <= 6
+            |FROM ham WHERE hamming <= 3
             |ORDER BY id1, id2""".stripMargin))
 
   /** Transitive image near-dup components over verified pairs, with
@@ -258,7 +262,7 @@ object ImageQueries {
                 .when(m10 === 2 && (p === 1), lit(8))
                 .otherwise(lit(0)),
             lit(256))).as("payload"))
-      ImageHash.imageDupClusters(s, media, maxHamming = 6, iters = 4)
+      ImageHash.imageDupClusters(s, media, maxHamming = 3, iters = 4)
         .orderBy("media_id")
     },
     Some {
@@ -291,7 +295,7 @@ object ImageQueries {
          |               THEN 1 ELSE 0 END) AS hamming
          |    FROM cand, range(1, 65) j
          |    GROUP BY 1, 2) h
-         |  WHERE hamming <= 6),
+         |  WHERE hamming <= 3),
          |edges AS MATERIALIZED (
          |  SELECT id1, id2 FROM vpairs
          |  UNION ALL SELECT id2 AS id1, id1 AS id2 FROM vpairs),

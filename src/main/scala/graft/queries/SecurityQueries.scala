@@ -319,7 +319,7 @@ object SecurityQueries {
     * stream. Ties do not advance the funnel (strict >).
     */
   val qFunnel = QueryDef(
-    "q_funnel",
+    "q_funnel_steps",
     (s, d) => Funnel.conversion(
       events(s, d).withColumn("ts_us", expr("ts div 1000")),
       "user_id", "event_type", "ts_us",

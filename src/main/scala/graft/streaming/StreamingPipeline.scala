@@ -1127,6 +1127,10 @@ object StreamingPipeline {
       events: DataFrame,
       windowDur: String = "1 day", watermark: String = "1 hour",
       minGaps: Int = 5, cvThresholdQ: Long = 300000L): DataFrame = {
+    // match the batch contract (graft.etl.Anomaly.beaconScores): with
+    // minGaps <= 1 the size filter would admit single-event windows,
+    // making n_gaps 0 and mean_gap a 0/0 NaN
+    require(minGaps >= 2, s"minGaps must be >= 2, got $minGaps")
     val agged = events
       .withWatermark("timestamp", watermark)
       .select(col("key"), col("timestamp"),

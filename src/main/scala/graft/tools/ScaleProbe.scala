@@ -129,7 +129,7 @@ object ScaleProbe {
         graft.ext.ImageHash.imageHashes(spark, syntheticImages(docs))),
       "dedup_image" -> (() =>
         graft.ext.ImageHash.imageNearDupPairs(
-          spark, syntheticImages(docs), maxHamming = 6)),
+          spark, syntheticImages(docs), maxHamming = 3)),
       "unigram_train" -> (() =>
         graft.ext.UnigramTrainer.train(spark, docs, "text",
           vocabSize = 300, emIters = 2)),
@@ -153,7 +153,7 @@ object ScaleProbe {
           syntheticWavs(docs))),
       "dedup_audio" -> (() =>
         graft.ext.AudioFingerprint.audioNearDupPairs(spark,
-          syntheticWavs(docs), maxHamming = 5)),
+          syntheticWavs(docs), maxHamming = 3)),
       // bloom-screened incremental dedup at a production-ish m (2^22
       // bits): on the 50x/100x corpora ~98% of batch rows are true
       // duplicates, so the verify anti-join carries nearly the whole
@@ -174,7 +174,7 @@ object ScaleProbe {
       "beaconing" -> (() =>
         graft.SparkEntry.queries("q_beaconing")(spark, sfDir)),
       "funnel" -> (() =>
-        graft.SparkEntry.queries("q_funnel")(spark, sfDir)),
+        graft.SparkEntry.queries("q_funnel_steps")(spark, sfDir)),
       "path_surprise" -> (() =>
         graft.SparkEntry.queries("q_path_surprise")(spark, sfDir)),
       "char_entropy" -> (() =>

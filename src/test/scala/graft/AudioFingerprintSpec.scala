@@ -129,14 +129,19 @@ class AudioFingerprintSpec extends SparkSpec {
     assert(pairs.sorted.toSeq == expected)
   }
 
-  test("parameter guard: 7 bands cannot guarantee recall past Hamming 6") {
+  test("parameter guard: explicit bands below maxHamming + 1 are rejected") {
     import spark.implicits._
     val df = Seq((1L, wav(noise(1).toSeq, 8))).toDF("media_id", "payload")
     intercept[IllegalArgumentException] {
-      AudioFingerprint.audioNearDupPairs(spark, df, maxHamming = 7)
+      // 7 bands only guarantee recall to Hamming 6
+      AudioFingerprint.audioNearDupPairs(spark, df, maxHamming = 7, bands = 7)
     }
     intercept[IllegalArgumentException] {
-      AudioFingerprint.audioNearDupPairs(spark, df, maxHamming = 2, bands = 5)
+      // more bands than fingerprint bits (56)
+      AudioFingerprint.audioNearDupPairs(spark, df, maxHamming = 3, bands = 60)
+    }
+    intercept[IllegalArgumentException] {
+      AudioFingerprint.audioNearDupPairs(spark, df, maxHamming = 2, bands = 2)
     }
   }
 

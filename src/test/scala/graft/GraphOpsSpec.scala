@@ -26,6 +26,13 @@ class GraphOpsSpec extends SparkSpec {
     assert(c === 1000000L)
   }
 
+  test("triangleStats: an empty edge frame yields the all-zero census") {
+    val e = GraphOps.canonicalEdges(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+    val r = GraphOps.triangleStats(e).head()
+    assert((0 to 4).map(r.getLong) === Seq(0L, 0L, 0L, 0L, 0L))
+  }
+
   test("triangle star graph: hub with leaves has zero triangles") {
     val star = (1L to 20L).map(i => (0L, i))
     val (_, m, _, t, c) = stats(star)

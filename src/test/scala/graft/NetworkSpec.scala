@@ -46,6 +46,17 @@ class NetworkSpec extends SparkSpec {
       2L -> Some("tor-exit"), 3L -> Some("botnet"), 4L -> None))
   }
 
+  test("every malformed feed entry fails with the descriptive CIDR message") {
+    val df = Seq((1L, 1L)).toDF("id", "ip")
+    for (bad <- Seq("10.0.0.0", "10.0.0/8", "10.0.0.x/8", "10.0.0.0/x",
+        "10.0.0.0/33", "10.0.0.256/8", "10.0.0.0/8/2")) {
+      val e = intercept[IllegalArgumentException] {
+        Network.lpmEnrich(df, col("ip"), Seq(bad -> "label"))
+      }
+      assert(e.getMessage.contains(s"malformed CIDR: $bad"), s"for $bad: $e")
+    }
+  }
+
   test("lpmEnrich (literal array) and lpmJoin (broadcast range join) agree") {
     val df = (0 until 500)
       .map(i => (i.toLong, (i.toLong * 2654435761L) % (1L << 32)))

@@ -21,6 +21,13 @@ class QueriesSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
   }
 
+  test("declared query names are unique (no silent .toMap shadowing)") {
+    // allDefs itself requires uniqueness; pin that the map loses nothing.
+    assert(SparkEntry.allDefs.size === SparkEntry.queries.size)
+    assert(SparkEntry.queries.contains("q_funnel") &&
+      SparkEntry.queries.contains("q_funnel_steps"))
+  }
+
   test("approx distinct is within the configured HLL error of exact") {
     val r = SparkEntry.queries("q_approx_distinct")(spark, dir).collect()(0)
     val approx = r.getAs[Long]("approx_users")

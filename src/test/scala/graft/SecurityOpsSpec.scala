@@ -105,6 +105,12 @@ class SecurityOpsSpec extends SparkSpec {
       .select("slope").as[Double].head() === -3.0)
   }
 
+  test("theilSenSlopes: an empty series yields an empty slope frame") {
+    val out = Anomaly.theilSenSlopes(
+      Seq.empty[(String, Long, Long)].toDF("g", "x", "y"), "g", "x", "y")
+    assert(out.count() === 0L)
+  }
+
   test("theilSenSlopes: maxPoints contract fails fast before the pair join") {
     val big = (0 until 50).map(i => ("g", i.toLong, i.toLong))
     val e = intercept[IllegalArgumentException] {

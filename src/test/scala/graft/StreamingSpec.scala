@@ -1437,6 +1437,15 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("beacon score stream: minGaps below the batch contract is rejected") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long)]
+    intercept[IllegalArgumentException] {
+      StreamingPipeline.beaconScoreStream(
+        input.toDF().toDF("key", "timestamp", "event_id"), minGaps = 1)
+    }
+  }
+
   test("beacon score stream: stateful gaps + shared CV flag the planted timer") {
     implicit val sqlCtx = spark.sqlContext
     // timer key: exact 60s cadence; bursty key: wild gaps — all inside
