@@ -120,7 +120,8 @@ object StreamBench {
     ) :+ runAnn(spark, sfDir, nTriggers) :+ runCurate(spark, sfDir, nTriggers) :+
       runCurateHot(spark, sfDir, nTriggers) :+ runDsir(spark, sfDir, nTriggers) :+
       runLangId(spark, sfDir, nTriggers) :+ runKn(spark, sfDir, nTriggers) :+
-      runManifest(spark, sfDir, nTriggers)
+      runManifest(spark, sfDir, nTriggers) :+
+      runWatchlist(spark, sfDir, nTriggers)
 
     val twinJs = twins.map { case (n, js) => "\"" + n + "\":" + js }
       .mkString("{", ",", "}")
@@ -378,6 +379,64 @@ object StreamBench {
         progress.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
           .getOrElse(0L)
       "lang_id_intake" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"final_state_rows":$finalState}"""
+    } finally q.stop()
+  }
+
+  /** The watchlist top-offender twin (r14) under the same harness: the
+    * documents corpus replays as an event stream screened by a
+    * 10k-term Aho–Corasick watchlist (500 corpus-derived terms that DO
+    * hit + synthetic padding to production feed size — the automaton's
+    * cost is O(len + matches) per row regardless of the 10k), feeding
+    * the windowed SpaceSaving top-offender sketch. State is O(k) per
+    * window; per-trigger cost is the single-pass text scan.
+    */
+  private def runWatchlist(
+      spark: SparkSession, sfDir: String, nTriggers: Int): (String, String) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val hitTerms = docs.where(col("doc_id") < 100)
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .where(length(col("w")) >= 6).distinct()
+      .orderBy("w").limit(500).as[String].collect().toSeq
+    val watchlist = hitTerms ++
+      (hitTerms.size until 10000).map(i => f"ioc-term-$i%05d")
+    val docRows = docs.as[(Long, String)].collect()
+      .map { case (i, t) =>
+        (s"host-${i % 64}", t, new java.sql.Timestamp(base + i * 1000L)) }
+    val chunkSize = math.max(1, (docRows.length + nTriggers - 1) / nTriggers)
+    val input = MemoryStream[(String, String, java.sql.Timestamp)]
+    val q: StreamingQuery = StreamingPipeline.watchlistOffendersStream(
+        input.toDF().toDF("entity", "text", "timestamp"),
+        "text", "entity", watchlist, k = 10,
+        windowDur = "1 hour", watermark = "1 hour")
+      .writeStream.outputMode("append").format("noop").start()
+    val wall0 = System.nanoTime()
+    try {
+      docRows.grouped(chunkSize).foreach { c =>
+        input.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - wall0) / 1e9
+      val progress = q.recentProgress.filter(_.numInputRows > 0)
+      val triggers = progress.map { p =>
+        val sec = p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3
+        val (srows, sbytes) =
+          if (p.stateOperators.nonEmpty)
+            (p.stateOperators.map(_.numRowsTotal).sum,
+             p.stateOperators.map(_.memoryUsedBytes).sum)
+          else (0L, 0L)
+        s"""{"rows":${p.numInputRows},"sec":$sec,"state_rows":$srows,"state_bytes":$sbytes}"""
+      }
+      val totalRows = progress.map(_.numInputRows).sum
+      val sumSec = progress
+        .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum / 1e3
+      val rps = if (sumSec > 0) totalRows / sumSec else 0.0
+      val finalState =
+        progress.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
+          .getOrElse(0L)
+      "watchlist_offenders" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"final_state_rows":$finalState}"""
     } finally q.stop()
   }
 

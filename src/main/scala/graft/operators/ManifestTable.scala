@@ -49,17 +49,33 @@ object ManifestTable {
   private def manifestPath(tablePath: String) =
     new java.io.File(tablePath, ManifestName)
 
-  /** The current snapshot directory name, or None for an empty table. */
-  def currentSnapshot(tablePath: String): Option[String] = {
+  /** Every snapshot prefix composing the current table, in commit order
+    * (oldest first; later prefixes override earlier ones per key under
+    * the delta protocol). Empty for a never-committed table. The
+    * manifest is one prefix name per line — a single-line manifest is
+    * exactly the original full-snapshot protocol.
+    */
+  def currentSnapshots(tablePath: String): Seq[String] = {
     val mf = manifestPath(tablePath)
-    if (!mf.exists()) None
-    else {
-      val s = new String(
-        java.nio.file.Files.readAllBytes(mf.toPath),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      if (s.isEmpty) None else Some(s)
-    }
+    if (!mf.exists()) Nil
+    else new String(
+      java.nio.file.Files.readAllBytes(mf.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
   }
+
+  /** The current snapshot directory name, or None for an empty table.
+    * Only meaningful for full-snapshot tables; a delta-protocol table
+    * (multi-line manifest) must be read through [[readMerged]].
+    */
+  def currentSnapshot(tablePath: String): Option[String] =
+    currentSnapshots(tablePath) match {
+      case Seq() => None
+      case Seq(one) => Some(one)
+      case many => throw new IllegalStateException(
+        s"$tablePath is a delta table (${many.size} snapshots); " +
+          "read it with readMerged(key)")
+    }
 
   /** Read the committed table (None when nothing was ever committed). */
   def read(spark: SparkSession, tablePath: String): Option[DataFrame] =
@@ -67,40 +83,128 @@ object ManifestTable {
       spark.read.parquet(new java.io.File(tablePath, snap).getPath)
     }
 
-  /** Commit `df` as the table's next snapshot: write the fresh
-    * snapshot prefix, atomically swing the pointer, GC superseded
-    * snapshots. Returns the committed snapshot name.
+  /** Write `df` to a fresh snapshot prefix (unique per ATTEMPT: a
+    * crashed attempt's half-written files can never be read — nothing
+    * points at them — or collided with) and return its name.
     */
-  def commit(df: DataFrame, tablePath: String, batchId: Long): String = {
-    val prev = currentSnapshot(tablePath)
-    // Unique prefix per ATTEMPT: a crashed attempt's half-written files
-    // can never be read (nothing points at them) or collided with.
+  private def writeSnapshot(
+      df: DataFrame, tablePath: String, batchId: Long): String = {
     val snap = f"snap-$batchId%09d-${java.util.UUID.randomUUID().toString.take(8)}"
-    val snapDir = new java.io.File(tablePath, snap)
-    df.write.mode("error").parquet(snapDir.getPath)
-    // Commit point: one small-object write. Local-FS replay of the
-    // atomic single-key PUT: write a temp file, then an atomic
-    // same-directory file rename.
+    df.write.mode("error").parquet(new java.io.File(tablePath, snap).getPath)
+    snap
+  }
+
+  /** Commit point: one small-object write holding the snapshot list.
+    * Local-FS replay of the atomic single-key PUT: write a temp file,
+    * then an atomic same-directory file rename.
+    */
+  private def writePointer(tablePath: String, snaps: Seq[String]): Unit = {
     val mf = manifestPath(tablePath)
     val tmp = new java.io.File(tablePath, ManifestName + ".tmp")
     java.nio.file.Files.write(tmp.toPath,
-      snap.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      snaps.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp.toPath, mf.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    gc(tablePath, keep = Set(snap) ++ prev)
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** Commit `df` as the table's next FULL snapshot: write the fresh
+    * snapshot prefix, atomically swing the pointer, GC superseded
+    * snapshots. Returns the committed snapshot name.
+    */
+  def commit(df: DataFrame, tablePath: String, batchId: Long,
+      retainMs: Long = 0L): String = {
+    val prev = currentSnapshots(tablePath)
+    val snap = writeSnapshot(df, tablePath, batchId)
+    writePointer(tablePath, Seq(snap))
+    gc(tablePath, keep = prev.toSet + snap, retainMs = retainMs)
     snap
+  }
+
+  /** Commit `updates` as a DELTA snapshot: only the batch's rows are
+    * written — O(batch) I/O per commit instead of the full-table
+    * rewrite [[commit]] pays — and the manifest grows by one line.
+    * Readers merge the prefix chain per key ([[readMerged]]); call
+    * [[compact]] periodically to bound the chain. Returns the new
+    * snapshot name.
+    */
+  def commitDelta(updates: DataFrame, tablePath: String, batchId: Long,
+      retainMs: Long = 0L): String = {
+    val prev = currentSnapshots(tablePath)
+    val snap = writeSnapshot(updates, tablePath, batchId)
+    writePointer(tablePath, prev :+ snap)
+    gc(tablePath, keep = prev.toSet + snap, retainMs = retainMs)
+    snap
+  }
+
+  /** Read a delta-protocol table: per `key`, the row from the LATEST
+    * prefix that contains it (later commits override earlier ones —
+    * the upsert contract). Works on full-snapshot tables too (one
+    * prefix, the merge is a no-op). None for a never-committed table.
+    */
+  def readMerged(spark: SparkSession, tablePath: String, key: String)
+      : Option[DataFrame] = {
+    val snaps = currentSnapshots(tablePath)
+    if (snaps.isEmpty) None
+    else if (snaps.size == 1)
+      Some(spark.read.parquet(new java.io.File(tablePath, snaps.head).getPath))
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val stacked = snaps.zipWithIndex.map { case (snap, i) =>
+        spark.read.parquet(new java.io.File(tablePath, snap).getPath)
+          .withColumn("_seq", org.apache.spark.sql.functions.lit(i))
+      }.reduce(_.unionByName(_))
+      val w = Window.partitionBy(key)
+        .orderBy(org.apache.spark.sql.functions.col("_seq").desc)
+      Some(stacked
+        .withColumn("_rn",
+          org.apache.spark.sql.functions.row_number().over(w))
+        .filter(org.apache.spark.sql.functions.col("_rn") === 1)
+        .drop("_rn", "_seq"))
+    }
+  }
+
+  /** Rewrite the current prefix chain into ONE snapshot and commit it
+    * via the same pointer swap — the maintenance operation that bounds
+    * a long-running delta table's read fan-in and reclaims superseded
+    * rows. Readers are never disturbed: the compacted snapshot is a
+    * fresh prefix, and the pointer swing is atomic. A crash between the
+    * pointer write and the GC leaves the old prefixes as orphans that
+    * the NEXT commit or compaction reclaims (spec-asserted). Returns
+    * the compacted snapshot name, or None for an empty table.
+    */
+  def compact(spark: SparkSession, tablePath: String, key: String,
+      batchId: Long, retainMs: Long = 0L): Option[String] = {
+    val prev = currentSnapshots(tablePath)
+    readMerged(spark, tablePath, key).map { merged =>
+      val snap = writeSnapshot(merged, tablePath, batchId)
+      writePointer(tablePath, Seq(snap))
+      gc(tablePath, keep = prev.toSet + snap, retainMs = retainMs)
+      snap
+    }
   }
 
   /** Delete snapshot prefixes outside `keep` — superseded snapshots and
     * orphans from crashed attempts. Safe at any time: everything not in
     * `keep` is unreachable (the pointer never moves backwards).
+    *
+    * Retention contract: `keep` always carries the PREVIOUS manifest's
+    * prefixes besides the new ones, so a reader that resolved the
+    * pointer just before this commit can still finish its scan — the
+    * documented safe window is ONE commit interval. Deployments whose
+    * readers may scan longer set `retainMs` > 0: an unreferenced prefix
+    * is reclaimed only once its last write is older than `retainMs`
+    * (crash-orphaned prefixes age out the same way).
     */
-  private[graft] def gc(tablePath: String, keep: Set[String]): Unit = {
+  private[graft] def gc(tablePath: String, keep: Set[String],
+      retainMs: Long = 0L): Unit = {
     val dir = new java.io.File(tablePath)
+    val now = System.currentTimeMillis()
     val snaps = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
-    snaps.filterNot(f => keep.contains(f.getName)).foreach(rmTree)
+    snaps.filterNot(f => keep.contains(f.getName))
+      .filter(f => now - f.lastModified() >= retainMs)
+      .foreach(rmTree)
   }
 
   private def rmTree(f: java.io.File): Unit = {

@@ -66,7 +66,7 @@ object ImageQueries {
     * [[graft.ext.ImageHash.gridAvg]] uses, so the oracle cannot drift
     * from the implementation.
     */
-  private def gridMapValues(t: Int): String =
+  private[queries] def gridMapValues(t: Int): String =
     (0 until 16).map { x =>
       val c = (0 until t).find(c => x < (c + 1) * 16 / t).get
       s"($x, $c)"
@@ -75,7 +75,7 @@ object ImageQueries {
   /** The quantized DCT cosine table as SQL VALUES rows — the exact
     * longs [[graft.ext.ImageHash.CosQ]] multiplies.
     */
-  private def cosValues: String =
+  private[queries] def cosValues: String =
     (for { k <- 0 until 8; n <- 0 until ImageHash.PhashN }
       yield s"($k, $n, ${ImageHash.CosQ(k)(n)})").mkString(", ")
 

@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.ext.{ImageHash, VideoFingerprint}
+
+/** Video keyframe fingerprinting gate queries — the [[ImageQueries]]
+  * hex-replay pattern lifted to a CONTAINER: Spark synthesizes a real
+  * ISO-BMFF file per document (ftyp + moov/trak/mdia/minf/stbl with
+  * stss/stsz/stsc/stco + mdat carrying five 16×16 BMP frames, hex-concat
+  * → unhex) and pushes it through the REAL box walk
+  * ([[graft.ext.VideoFingerprint.keyframePayloads]]) and the REAL pixel
+  * decoder + perceptual hash chain, while the DuckDB oracle never sees a
+  * byte: it replays the hash MATH on the generative pixel model of the
+  * SYNC samples only. A walk bug (wrong sample selected, wrong offset
+  * arithmetic), a decode bug, or a hash bug all break the hash compare.
+  *
+  * Container geometry (fixed): 5 samples of 822 bytes in one chunk;
+  * samples 1, 3, 5 (1-based) are sync — their pixels follow the md5
+  * generative model keyed by (video, 0-based sample index, pixel);
+  * samples 2 and 4 are a CONSTANT filler BMP. The filler is decodable on
+  * purpose: an implementation that hashed every sample instead of the
+  * sync list would emit shifted kf indices and constant-hash rows, and
+  * the gate hash breaks loudly.
+  */
+object VideoQueries {
+
+  private val NumSamples = 5
+  private val SyncSamples = Seq(1, 3, 5) // 1-based sample numbers
+  private val FrameBytes = 822 // 54-byte BMP header + 16*16*3 raster
+
+  private def u32hex(v: Long): String = f"$v%08X"
+  private def typHex(t: String): String =
+    t.getBytes("US-ASCII").map(b => f"$b%02X").mkString
+
+  /** `size || type || payload` box hex. */
+  private def boxHex(typ: String, payloadHex: String): String = {
+    require(payloadHex.length % 2 == 0)
+    u32hex(8L + payloadHex.length / 2) + typHex(typ) + payloadHex
+  }
+
+  /** FullBox: version 0, flags 0. */
+  private def fullBoxHex(typ: String, bodyHex: String): String =
+    boxHex(typ, "00000000" + bodyHex)
+
+  /** Everything before the mdat payload — a compile-time constant: the
+    * geometry is fixed, so every box size and the single chunk offset
+    * are known here. Two-pass: moov's size does not depend on the stco
+    * VALUE, so a dummy-offset pass fixes the layout.
+    */
+  private[queries] val ContainerPrefixHex: String = {
+    val ftyp = boxHex("ftyp", typHex("isom") + u32hex(0))
+    def moov(chunkOffset: Long): String = {
+      val stss = fullBoxHex("stss",
+        u32hex(SyncSamples.size.toLong) + SyncSamples.map(s => u32hex(s.toLong)).mkString)
+      val stsz = fullBoxHex("stsz",
+        u32hex(FrameBytes.toLong) + u32hex(NumSamples.toLong))
+      val stsc = fullBoxHex("stsc",
+        u32hex(1L) + u32hex(1L) + u32hex(NumSamples.toLong) + u32hex(1L))
+      val stco = fullBoxHex("stco", u32hex(1L) + u32hex(chunkOffset))
+      boxHex("moov", boxHex("trak", boxHex("mdia", boxHex("minf",
+        boxHex("stbl", stss + stsz + stsc + stco)))))
+    }
+    val mdatHdr = u32hex(8L + NumSamples.toLong * FrameBytes) + typHex("mdat")
+    val probeLen = (ftyp + moov(0L) + mdatHdr).length / 2
+    ftyp + moov(probeLen.toLong) + mdatHdr
+  }
+
+  /** Hex raster of one 16×16 gray BMP frame under a pixel→luma model. */
+  private def rasterHex(lum: Column => Column): Column =
+    array_join(
+      transform(sequence(lit(0), lit(255)),
+        p => repeat(lpad(hex(lum(p)), 2, "0"), 3)),
+      "")
+
+  private def frameHex(lum: Column => Column): Column =
+    concat(lit(ImageQueries.BmpHeaderHex), rasterHex(lum))
+
+  /** The constant filler frame for non-sync samples: luma = (7x + 11y)
+    * mod 256 — decodable, identical across all videos, built ONCE here
+    * as a hex literal (zero per-row cost).
+    */
+  private val FillerFrameHex: String =
+    ImageQueries.BmpHeaderHex + (0 until 256).map { p =>
+      val v = (7 * (p % 16) + 11 * (p / 16)) % 256
+      f"$v%02X" * 3
+    }.mkString
+
+  /** Full MP4 payload column: the constant prefix + five frames, sync
+    * samples (0-based indices 0/2/4) from `lum(sampleIdx, pixel)`.
+    */
+  private def mp4Payload(lum: (Int, Column) => Column): Column =
+    unhex(concat(lit(ContainerPrefixHex) +:
+      (0 until NumSamples).map { s =>
+        if (SyncSamples.contains(s + 1)) frameHex(p => lum(s, p))
+        else lit(FillerFrameHex)
+      }: _*))
+
+  /** md5-byte luma for (videoId, 0-based sample, pixel) — the generative
+    * model, replayed verbatim in the oracle.
+    */
+  private def lumCol(vid: Column, s: Int, p: Column): Column =
+    conv(substring(md5(concat(vid.cast("string"), lit(s"_${s}_"),
+      p.cast("string"))), 1, 2), 16, 10).cast("int")
+
+  // ---- oracle SQL fragments -------------------------------------------
+
+  /** Oracle luma for the plain model, one line (generated SQL must never
+    * start a line with '|'). `s` = kf.range * 2 (0-based sample index of
+    * the kf-th sync sample).
+    */
+  private val PlainVLum =
+    "CAST(('0x' || substr(md5(doc_id::VARCHAR || '_' || (kf.range * 2)::VARCHAR || '_' || r.range::VARCHAR), 1, 2)) AS BIGINT)"
+
+  /** Twin model (q_dedup_video): doc_id ≡ 1 (mod 10) replays its
+    * predecessor's sync-sample models with pixel 0 of keyframe 0
+    * perturbed (+8 mod 256) — a re-encoded full near-dup; doc_id ≡ 2
+    * (mod 10) copies the decade base's model for keyframe 0 ONLY — a
+    * one-shared-scene coincidence that must stay below the
+    * matched-keyframe threshold.
+    */
+  private val TwinVLum =
+    "(CAST(('0x' || substr(md5((CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 WHEN doc_id % 10 = 2 AND kf.range = 0 THEN doc_id - 2 ELSE doc_id END)::VARCHAR || '_' || (kf.range * 2)::VARCHAR || '_' || r.range::VARCHAR), 1, 2)) AS BIGINT) + CASE WHEN doc_id % 10 = 1 AND kf.range = 0 AND r.range = 0 THEN 8 ELSE 0 END) % 256"
+
+  /** Spark-side twin/partial video id per sync sample. */
+  private def twinVid(id: Column, s: Int): Column = {
+    val m10 = pmod(id, lit(10))
+    if (s == 0)
+      when(m10 === 1, id - 1).when(m10 === 2, id - 2).otherwise(id)
+    else when(m10 === 1, id - 1).otherwise(id)
+  }
+
+  /** Shared oracle CTEs: sync-sample pixel model → per-(doc, kf) dHash
+    * bit string — [[ImageQueries]]' dhashCtes with the keyframe column
+    * threaded through.
+    */
+  private def vDhashCtes(pxFilter: String, lum: String): String = {
+    s"""px AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(kf.range AS INTEGER) AS kf,
+       |         CAST(r.range % 16 AS BIGINT) AS x,
+       |         CAST(r.range // 16 AS BIGINT) AS y,
+       |         $lum AS lum
+       |  FROM documents, range(3) kf, range(256) r
+       |  $pxFilter),
+       |mapx9(mx, cx) AS (VALUES ${ImageQueries.gridMapValues(9)}),
+       |g9 AS MATERIALIZED (
+       |  SELECT doc_id, kf, y // 2 AS cy, cx,
+       |         CAST(sum(lum) AS BIGINT) // count(*) AS g
+       |  FROM px JOIN mapx9 ON px.x = mapx9.mx
+       |  GROUP BY 1, 2, 3, 4),
+       |dbits AS MATERIALIZED (
+       |  SELECT doc_id, kf,
+       |         string_agg(CASE WHEN gr > gl THEN '1' ELSE '0' END, ''
+       |                    ORDER BY cy, cx) AS dhash_bits
+       |  FROM (SELECT l.doc_id, l.kf, l.cy, l.cx, l.g AS gl, r.g AS gr
+       |        FROM g9 l JOIN g9 r
+       |          ON l.doc_id = r.doc_id AND l.kf = r.kf
+       |         AND l.cy = r.cy AND r.cx = l.cx + 1
+       |        WHERE l.cx < 8) cmp
+       |  GROUP BY doc_id, kf)""".stripMargin
+  }
+
+  /** Per-keyframe dHash + aHash + pHash over real synthesized MP4s vs
+    * the oracle's direct replay of the hash math on the sync-sample
+    * pixel models. One fifth of the documents keeps the oracle's DCT
+    * join bounded (the [[ImageQueries.qImagePhash]] convention).
+    */
+  val qVideoPhash = QueryDef(
+    "q_video_phash",
+    (s, d) => {
+      val media = QueryDef.table(s, d, "documents")
+        .filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id").as("media_id"),
+          mp4Payload((smp, p) => lumCol(col("doc_id"), smp, p)).as("payload"))
+      VideoFingerprint.videoKeyframeHashes(s, media)
+        .select(col("media_id").as("doc_id"), col("kf"),
+          lpad(bin(col("dhash")), 64, "0").as("dhash_bits"),
+          lpad(bin(col("ahash")), 64, "0").as("ahash_bits"),
+          lpad(bin(col("phash")), 64, "0").as("phash_bits"))
+        .orderBy("doc_id", "kf")
+    },
+    Some(s"""WITH ${vDhashCtes("WHERE doc_id % 5 = 0", PlainVLum)},
+            |g8 AS MATERIALIZED (
+            |  SELECT doc_id, kf, y // 2 AS cy, x // 2 AS cx,
+            |         CAST(sum(lum) AS BIGINT) // count(*) AS g
+            |  FROM px GROUP BY 1, 2, 3, 4),
+            |amean AS (SELECT doc_id, kf, CAST(sum(g) AS BIGINT) // 64 AS m
+            |          FROM g8 GROUP BY doc_id, kf),
+            |abits AS (
+            |  SELECT g8.doc_id, g8.kf,
+            |         string_agg(CASE WHEN g > m THEN '1' ELSE '0' END, ''
+            |                    ORDER BY cy, cx) AS ahash_bits
+            |  FROM g8 JOIN amean ON g8.doc_id = amean.doc_id
+            |                    AND g8.kf = amean.kf
+            |  GROUP BY g8.doc_id, g8.kf),
+            |ct(k, n, c) AS (VALUES ${ImageQueries.cosValues}),
+            |f AS MATERIALIZED (
+            |  SELECT doc_id, kf, cv.k AS v, cu.k AS u,
+            |         CAST(sum(lum * cu.c * cv.c) AS BIGINT) AS fv
+            |  FROM px
+            |  JOIN ct cu ON cu.n = px.x
+            |  JOIN ct cv ON cv.n = px.y
+            |  GROUP BY 1, 2, 3, 4),
+            |med AS (
+            |  SELECT doc_id, kf, fv AS m
+            |  FROM (SELECT doc_id, kf, fv,
+            |               row_number() OVER (PARTITION BY doc_id, kf
+            |                                  ORDER BY fv) AS rn
+            |        FROM f WHERE NOT (u = 0 AND v = 0)) ranked
+            |  WHERE rn = 32),
+            |pbits AS (
+            |  SELECT f.doc_id, f.kf,
+            |         string_agg(CASE WHEN u = 0 AND v = 0 THEN '0'
+            |                         WHEN fv > m THEN '1' ELSE '0' END, ''
+            |                    ORDER BY v, u) AS phash_bits
+            |  FROM f JOIN med ON f.doc_id = med.doc_id AND f.kf = med.kf
+            |  GROUP BY f.doc_id, f.kf)
+            |SELECT doc_id, kf, dhash_bits, ahash_bits, phash_bits
+            |FROM dbits
+            |JOIN abits USING (doc_id, kf)
+            |JOIN pbits USING (doc_id, kf)
+            |ORDER BY doc_id, kf""".stripMargin))
+
+  /** Video near-dup census over the full corpus with planted structure:
+    * per decade, doc ≡ 1 (mod 10) is a full perceptual twin of doc − 1
+    * (all three keyframes match, kf0 at Hamming ≤ 1) and MUST pair,
+    * while doc ≡ 2 (mod 10) shares exactly ONE keyframe with the decade
+    * base — below the matched-keyframe threshold, it must NOT pair.
+    * Both engines band (Spark: 4 × 16-bit low-first over the long;
+    * oracle: 8 × 8-bit MSB-first over the bit string — both guarantee
+    * recall at Hamming ≤ 3), verify exactly, and aggregate the
+    * per-video-pair matched-keyframe census.
+    */
+  val qDedupVideo = QueryDef(
+    "q_dedup_video",
+    (s, d) => {
+      val id = col("doc_id")
+      val media = QueryDef.table(s, d, "documents")
+        .select(id.as("media_id"),
+          mp4Payload((smp, p) => pmod(
+            lumCol(twinVid(id, smp), smp, p) +
+              (if (smp == 0)
+                when(pmod(id, lit(10)) === 1 && (p === 0), lit(8))
+                  .otherwise(lit(0))
+              else lit(0)),
+            lit(256))).as("payload"))
+      VideoFingerprint.videoNearDupPairs(s, media)
+        .orderBy("id1", "id2")
+    },
+    Some(s"""WITH ${vDhashCtes("", TwinVLum)},
+            |bands AS (
+            |  SELECT doc_id, kf, dhash_bits,
+            |         CAST(b.range AS INTEGER) AS band,
+            |         substr(dhash_bits, CAST(b.range * 8 + 1 AS INTEGER), 8) AS bk
+            |  FROM dbits, range(8) b),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS id1, a.kf AS kf1,
+            |         b.doc_id AS id2, b.kf AS kf2,
+            |         a.dhash_bits AS h1, b.dhash_bits AS h2
+            |  FROM bands a
+            |  JOIN bands b ON a.band = b.band AND a.bk = b.bk
+            |               AND a.doc_id < b.doc_id),
+            |vkf AS MATERIALIZED (
+            |  SELECT id1, kf1, id2, kf2 FROM (
+            |    SELECT id1, kf1, id2, kf2,
+            |           sum(CASE WHEN substr(h1, CAST(j.range AS INTEGER), 1)
+            |                      <> substr(h2, CAST(j.range AS INTEGER), 1)
+            |               THEN 1 ELSE 0 END) AS hamming
+            |    FROM cand, range(1, 65) j
+            |    GROUP BY 1, 2, 3, 4) h
+            |  WHERE hamming <= 3),
+            |nkf AS (SELECT doc_id, count(*) AS nkf FROM dbits GROUP BY 1),
+            |census AS (
+            |  SELECT id1, id2,
+            |         count(DISTINCT kf1) AS matched1,
+            |         count(DISTINCT kf2) AS matched2
+            |  FROM vkf GROUP BY 1, 2
+            |  HAVING least(count(DISTINCT kf1), count(DISTINCT kf2)) >= 2)
+            |SELECT c.id1, c.id2, c.matched1, c.matched2,
+            |       n1.nkf AS nkf1, n2.nkf AS nkf2
+            |FROM census c
+            |JOIN nkf n1 ON n1.doc_id = c.id1
+            |JOIN nkf n2 ON n2.doc_id = c.id2
+            |ORDER BY c.id1, c.id2""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qVideoPhash, qDedupVideo)
+}

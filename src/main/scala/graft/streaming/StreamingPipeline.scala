@@ -407,14 +407,63 @@ object StreamingPipeline {
       k: Int = 10, windowDur: String = "1 hour",
       watermark: String = "1 hour"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    events
-      .withWatermark(tsCol, watermark)
+    heavyHittersCore(events.withWatermark(tsCol, watermark),
+      valueCol, tsCol, k, windowDur)
+  }
+
+  /** The windowed SpaceSaving aggregation over an ALREADY-watermarked
+    * stream — split out so composers that filter AFTER the watermark
+    * (e.g. [[watchlistOffendersStream]]) keep event time advancing on
+    * the rows their screen drops.
+    */
+  private def heavyHittersCore(
+      watermarked: DataFrame, valueCol: String, tsCol: String,
+      k: Int, windowDur: String): DataFrame = {
+    watermarked
       .groupBy(window(col(tsCol), windowDur))
       .agg(graft.ext.Sketches.spaceSaving(k)(col(valueCol)).as("hitters"))
       .select(col("window.start").as("window_start"),
         explode(col("hitters")).as("h"))
       .select(col("window_start"), col("h.value").as("value"),
         col("h.count").as("count"), col("h.error").as("error"))
+  }
+
+  /** Windowed watchlist top-offender stream — the natural SOC deploy of
+    * the Aho–Corasick IOC screen: every event's text is scanned ONCE by
+    * the native automaton ([[graft.functions.MultiMatchCount]],
+    * O(len + matches) per row regardless of watchlist size, map-side,
+    * zero shuffles), and the entities behind matching events feed the
+    * windowed SpaceSaving sketch ([[heavyHittersStream]]) — "who
+    * triggered the watchlist most, per window" with O(k) state per
+    * window no matter how many distinct entities the feed carries. With
+    * k ≥ the window's distinct flagged entities the counts are EXACT
+    * (batch-parity hook in StreamingSpec); `count` is the number of
+    * FLAGGED EVENTS per entity (not total term occurrences — an event
+    * mentioning ten IOCs is one incident, which is the triage
+    * semantics).
+    *
+    * Shape note: clean events are NOT filtered out before the
+    * aggregation — they carry a NULL offender entity that the sketch
+    * skips. A pre-aggregation filter looks equivalent but is not: the
+    * optimizer pushes a deterministic text predicate BELOW the
+    * watermark node, so a watchlist-quiet stream would never advance
+    * event time and its windows would never close (measured: the
+    * watermark froze at the first batch). Clean rows must reach the
+    * event-time tracker; only the sketch ignores them.
+    */
+  def watchlistOffendersStream(
+      events: DataFrame, textCol: String, entityCol: String,
+      patterns: Seq[String], tsCol: String = "timestamp",
+      k: Int = 10, windowDur: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    require(patterns.nonEmpty, "watchlistOffendersStream needs patterns")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val scored = events
+      .withColumn("_wl_offender",
+        when(graft.functions.MultiMatchFunctions
+          .multi_match_count(col(textCol), patterns) > 0, col(entityCol)))
+      .withWatermark(tsCol, watermark)
+    heavyHittersCore(scored, "_wl_offender", tsCol, k, windowDur)
   }
 
   /** Continuous keyed merge: maintain a SERVING TABLE from a change
@@ -535,6 +584,45 @@ object StreamingPipeline {
         // write targets a FRESH prefix, so the lazy merged plan reads
         // the old snapshot while writing the new one.
         graft.operators.ManifestTable.commit(merged, tablePath, batchId)
+        ()
+    }
+  }
+
+  /** [[manifestUpsertSink]] with DELTA commits: each micro-batch writes
+    * only its own (within-batch keep-last deduped) rows as a new
+    * snapshot prefix — O(batch) I/O per commit where the full-snapshot
+    * sink rewrites the whole table every batch — and every
+    * `compactEvery` commits the prefix chain is rewritten into one
+    * snapshot ([[graft.operators.ManifestTable.compact]]), bounding
+    * read fan-in at `compactEvery` prefixes. Readers use
+    * `ManifestTable.readMerged(key)`: per key, the latest prefix wins,
+    * which IS the upsert contract, so replay parity with the
+    * full-snapshot sink holds across compactions (spec-asserted). This
+    * is the 100 TB serving shape: per-batch write cost scales with the
+    * CHANGE rate, not the table size; only the periodic compaction pays
+    * a table-sized job.
+    */
+  def manifestDeltaUpsertSink(
+      changes: DataFrame, tablePath: String, key: String, orderCol: String,
+      compactEvery: Int = 8)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(compactEvery >= 2, s"compactEvery must be >= 2, got $compactEvery")
+    import org.apache.spark.sql.expressions.Window
+    changes.writeStream.outputMode("update").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val w = Window.partitionBy(key).orderBy(col(orderCol).desc)
+        // within-batch keep-last: delta prefixes must be key-unique so
+        // the reader's latest-prefix-wins merge is deterministic
+        val updates = batch
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        graft.operators.ManifestTable.commitDelta(updates, tablePath, batchId)
+        if (graft.operators.ManifestTable
+            .currentSnapshots(tablePath).size >= compactEvery) {
+          graft.operators.ManifestTable.compact(
+            spark, tablePath, key, batchId): Unit
+        }
         ()
     }
   }

@@ -195,6 +195,14 @@ object ScaleProbe {
         graft.SparkEntry.queries("q_fuzzy_multi")(spark, sfDir)),
       "fk_orphans" -> (() =>
         graft.SparkEntry.queries("q_fk_orphans")(spark, sfDir)),
+      // round-14 additions: video keyframe fingerprinting (container
+      // synthesis + real box walk + 3 decodes/hashes per row) and the
+      // banded matched-keyframe video near-dup census at the wide-band
+      // default — both through the exact gate plans
+      "video_phash" -> (() =>
+        graft.SparkEntry.queries("q_video_phash")(spark, sfDir)),
+      "dedup_video" -> (() =>
+        graft.SparkEntry.queries("q_dedup_video")(spark, sfDir)),
       // watchlist scaling: the AC automaton's one-pass scan vs the
       // regex-alternation blocklist, at growing watchlist sizes (the
       // generated indicators never match — the probe measures pure scan

@@ -731,6 +731,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watchlist offenders stream: AC screen + SpaceSaving equals batch flagged counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val watchlist = Seq("evil.example", "bad-actor", "dropper.bin")
+    val t0 = ts("2025-01-01 10:00:00")
+    // alice: 3 flagged events (one mentions TWO terms — still one
+    // incident), bob: 1 flagged, carol: clean chatter only
+    val rows = Seq(
+      ("alice", "beacon to evil.example observed", t0),
+      ("alice", "payload dropper.bin from evil.example", t0),
+      ("alice", "bad-actor login attempt", t0),
+      ("bob", "fetched dropper.bin", t0),
+      ("carol", "routine heartbeat ok", t0),
+      ("carol", "routine heartbeat ok again", t0))
+    val input = MemoryStream[(String, String, Timestamp)]
+    val q = StreamingPipeline.watchlistOffendersStream(
+        input.toDF().toDF("entity", "text", "timestamp"),
+        "text", "entity", watchlist, k = 10, windowDur = "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wl_out").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      // far-future CLEAN row closes the window deterministically — it
+      // advances the watermark even though the screen drops it
+      input.addData(("zz", "noop", ts("2025-01-02 00:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("wl_out")
+        .select("value", "count", "error").as[(String, Long, Long)]
+        .collect().toSet
+      // batch truth: count of flagged EVENTS per entity, exact (k covers
+      // the cardinality), zero admission error
+      assert(got === Set(("alice", 3L, 0L), ("bob", 1L, 0L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: windowed SpaceSaving counts exact when k covers cardinality") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp)]
@@ -811,6 +846,103 @@ class StreamingSpec extends SparkSpec {
     val empty = java.nio.file.Files
       .createTempDirectory("graft_manifest_empty_").toString
     assert(graft.operators.ManifestTable.read(spark, empty).isEmpty)
+  }
+
+  test("manifest delta sink: replay parity across a compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_delta_").toString + "/table"
+    new java.io.File(tableDir).mkdirs()
+    val input = MemoryStream[(Long, Long, String)] // (key, seq, value)
+    val q = StreamingPipeline.manifestDeltaUpsertSink(
+        input.toDF().toDF("k", "seq", "v"), tableDir, "k", "seq",
+        compactEvery = 3)
+      .start()
+    try {
+      input.addData((1L, 1L, "a"), (1L, 2L, "b"), (2L, 1L, "c"))
+      q.processAllAvailable() // delta 1 (chain size 1)
+      input.addData((2L, 5L, "d"), (3L, 1L, "e"))
+      q.processAllAvailable() // delta 2 (chain size 2)
+      input.addData((3L, 9L, "f"), (4L, 1L, "g"))
+      q.processAllAvailable() // delta 3 -> chain hits 3 -> compaction
+      input.addData((4L, 9L, "h"), (5L, 1L, "i"))
+      q.processAllAvailable() // delta on top of the compacted base
+      val table = graft.operators.ManifestTable
+        .readMerged(spark, tableDir, "k").get
+        .select("k", "v").as[(Long, String)].collect().toMap
+      // exactly the batch keep-last result across all four batches
+      assert(table === Map(1L -> "b", 2L -> "d", 3L -> "f",
+        4L -> "h", 5L -> "i"))
+      // the chain is bounded: compacted base + one delta
+      assert(graft.operators.ManifestTable.currentSnapshots(tableDir).size === 2)
+    } finally q.stop()
+  }
+
+  test("manifest compaction: crash between pointer write and GC is recovered") {
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_compact_crash_").toString + "/table"
+    new java.io.File(tableDir).mkdirs()
+    val d1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val d2 = Seq((1L, "a2"), (3L, "c")).toDF("k", "v")
+    graft.operators.ManifestTable.commitDelta(d1, tableDir, batchId = 0L)
+    graft.operators.ManifestTable.commitDelta(d2, tableDir, batchId = 1L)
+    val preCompact = graft.operators.ManifestTable.currentSnapshots(tableDir)
+    assert(preCompact.size === 2)
+    // merged view: latest prefix wins per key
+    val merged = graft.operators.ManifestTable
+      .readMerged(spark, tableDir, "k").get
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(merged === Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+    // compact: the pointer swings to the single compacted snapshot, and
+    // the superseded prefixes are RETAINED one commit interval (the
+    // in-flight-reader window) — exactly the state a crash between the
+    // pointer write and a delayed GC would leave
+    graft.operators.ManifestTable.compact(spark, tableDir, "k", batchId = 2L)
+    val compacted = graft.operators.ManifestTable.currentSnapshots(tableDir)
+    assert(compacted.size === 1)
+    val afterCompact = new java.io.File(tableDir).listFiles().map(_.getName).toSet
+    assert(preCompact.forall(afterCompact.contains),
+      s"superseded prefixes reclaimed too early: $afterCompact")
+    // a reader resolving the NEW pointer sees only the compacted table
+    val read1 = graft.operators.ManifestTable
+      .readMerged(spark, tableDir, "k").get
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(read1 === Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+    // the next commit reclaims the now-unreferenced leftovers
+    graft.operators.ManifestTable.commitDelta(
+      Seq((4L, "d")).toDF("k", "v"), tableDir, batchId = 3L)
+    val names = new java.io.File(tableDir).listFiles().map(_.getName).toSet
+    assert(preCompact.forall(p => !names.contains(p)),
+      s"leftovers survived: $names")
+    val read2 = graft.operators.ManifestTable
+      .readMerged(spark, tableDir, "k").get
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(read2 === Map(1L -> "a2", 2L -> "b", 3L -> "c", 4L -> "d"))
+  }
+
+  test("manifest GC: the retention window keeps young unreferenced prefixes") {
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_retain_").toString + "/table"
+    new java.io.File(tableDir).mkdirs()
+    graft.operators.ManifestTable.commit(
+      Seq((1L, "a")).toDF("k", "v"), tableDir, batchId = 0L)
+    val orphanDir = new java.io.File(tableDir, "snap-000000009-cafecafe")
+    Seq((9L, "x")).toDF("k", "v").write.parquet(orphanDir.getPath)
+    // a just-written orphan survives a retained commit...
+    graft.operators.ManifestTable.commit(
+      Seq((1L, "b")).toDF("k", "v"), tableDir, batchId = 1L,
+      retainMs = 3600000L)
+    assert(orphanDir.exists(), "young orphan reclaimed inside the window")
+    // ...and is reclaimed once it ages past the window
+    def ageTree(f: java.io.File): Unit = {
+      f.setLastModified(System.currentTimeMillis() - 7200000L): Unit
+      if (f.isDirectory) f.listFiles().foreach(ageTree)
+    }
+    ageTree(orphanDir)
+    graft.operators.ManifestTable.commit(
+      Seq((1L, "c")).toDF("k", "v"), tableDir, batchId = 2L,
+      retainMs = 3600000L)
+    assert(!orphanDir.exists(), "aged orphan not reclaimed")
   }
 
   test("upsert sink: serving table equals batch keep-last after multi-batch replay") {
