@@ -204,16 +204,7 @@ object BpeTrainer {
     val pairs = merges.map { m =>
       val Array(a, b) = m.split(" ", 2); (a, b)
     }
-    val enc = udf((w: String) => encodeWord(w, pairs))
-    val tok = docs.where(col(textCol).isNotNull)
-      .select(col(id), explode(TextAnalysis.tokens(col(textCol))).as("w"))
-      .where(length(col("w")) > 0)
-    val dict = tok.select("w").distinct()
-      .withColumn("_ns", size(enc(col("w"))))
-    tok.join(dict, "w")
-      .groupBy(col(id))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("_ns")).as("n_subwords"))
-      .withColumn("fertility",
-        col("n_subwords").cast("double") / col("n_tokens").cast("double"))
+    SubwordEncode.fertility(docs, id, textCol,
+      w => (encodeWord(w, pairs).length, 0), emitUnk = false)
   }
 }

@@ -221,19 +221,12 @@ object UnigramTrainer {
   def encode(
       docs: DataFrame, id: String, textCol: String, model: DataFrame,
       maxWordLen: Int = DefaultMaxWordLen): DataFrame = {
+    // the model is vocabulary-bounded by the train contract — a driver
+    // map is the same shape as BPE's merges / WordPiece's vocab literal
     val lpq: Map[String, Long] = model.select("piece", "lpq")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val wl = maxWordLen
-    val nPieces = udf((w: String) => viterbi(w, lpq, wl).length)
-    val tok = docs.where(col(textCol).isNotNull)
-      .select(col(id), explode(TextAnalysis.tokens(col(textCol))).as("w"))
-      .where(length(col("w")) > 0)
-    val dict = tok.select("w").distinct()
-      .withColumn("_ns", nPieces(col("w")))
-    tok.join(dict, "w")
-      .groupBy(col(id))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("_ns")).as("n_subwords"))
-      .withColumn("fertility",
-        col("n_subwords").cast("double") / col("n_tokens").cast("double"))
+    SubwordEncode.fertility(docs, id, textCol,
+      w => (viterbi(w, lpq, wl).length, 0), emitUnk = false)
   }
 }

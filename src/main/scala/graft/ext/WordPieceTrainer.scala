@@ -261,23 +261,11 @@ object WordPieceTrainer {
     require(vocab.nonEmpty, "vocabulary must not be empty")
     val maxPieceLen = vocab.iterator.map(_.length).max
     val wl = maxWordLen
-    val enc = udf((w: String) =>
-      encodeWord(w, vocab, maxPieceLen, wl) match {
-        case Some(pieces) => Array(pieces.length, 0)
-        case None => Array(1, 1) // UNK: one piece, flagged
-      })
-    val tok = docs.where(col(textCol).isNotNull)
-      .select(col(id), explode(TextAnalysis.tokens(col(textCol))).as("w"))
-      .where(length(col("w")) > 0)
-    val dict = tok.select("w").distinct()
-      .withColumn("_e", enc(col("w")))
-      .select(col("w"), col("_e")(0).as("_ns"), col("_e")(1).as("_unk"))
-    tok.join(dict, "w")
-      .groupBy(col(id))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("_ns").cast("long")).as("n_subwords"),
-        sum(col("_unk").cast("long")).as("n_unk"))
-      .withColumn("fertility",
-        col("n_subwords").cast("double") / col("n_tokens").cast("double"))
+    SubwordEncode.fertility(docs, id, textCol,
+      w => encodeWord(w, vocab, maxPieceLen, wl) match {
+        case Some(pieces) => (pieces.length, 0)
+        case None => (1, 1) // UNK: one piece, flagged
+      },
+      emitUnk = true)
   }
 }
