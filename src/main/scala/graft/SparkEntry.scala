@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{AudioQueries, BitextQueries, BloomQueries, DimReductionQueries, EnrichmentQueries, ExtensionQueries, ImageQueries, ParityQueries, PipelineQuery, QueryDef, SecurityQueries, UnigramQueries, UnimaxQueries, UrlQueries, VideoQueries, WordPieceQueries}
+import graft.queries.{AudioQueries, BitextQueries, BloomQueries, DimReductionQueries, EnrichmentQueries, ExtensionQueries, ImageQueries, ParityQueries, PipelineQuery, QueryDef, SecurityQueries, TemplateQueries, UnigramQueries, UnimaxQueries, UrlQueries, VideoQueries, WordPieceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,7 +12,8 @@ object SparkEntry {
         PipelineQuery.all ++ UrlQueries.all ++ DimReductionQueries.all ++
         ImageQueries.all ++ UnigramQueries.all ++ WordPieceQueries.all ++
         UnimaxQueries.all ++ BloomQueries.all ++ AudioQueries.all ++
-        BitextQueries.all ++ SecurityQueries.all ++ VideoQueries.all
+        BitextQueries.all ++ SecurityQueries.all ++ VideoQueries.all ++
+        TemplateQueries.all
     // A duplicate name would silently shadow a query when `.toMap` keeps
     // the last entry, shrinking the correctness gate without any failure.
     val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }

@@ -1152,6 +1152,46 @@ object StreamingPipeline {
 
   case class GapEvent(key: String, timestamp: java.sql.Timestamp, event_id: Long)
   case class GapState(lastTsMillis: Long)
+
+  case class TemplateEvent(
+      template: String, timestamp: java.sql.Timestamp, event_id: Long,
+      message: String)
+
+  /** Live novel-template alerting — the streaming twin of
+    * [[graft.ext.LogTemplates.novelTemplates]]: every template emits
+    * EXACTLY ONE alert row, at its first arrival, carrying the raw
+    * message that introduced it (the "this system just started saying
+    * something new" page). Input rows must carry a pre-masked
+    * `template` column ([[graft.ext.LogTemplates.templateOf]] — a
+    * stateless map-side projection on the way in), plus `timestamp`,
+    * `event_id`, `message`.
+    *
+    * State is one boolean per DISTINCT TEMPLATE — bounded by the
+    * emitting software's format-string count (10²–10⁴), NOT the event
+    * volume, so it never needs a TTL: dropping a template's state
+    * would re-alert on a pattern that isn't new. Batch parity: the
+    * emitted template SET equals the batch distinct-template set
+    * (spec-asserted); the representative row is the first ARRIVAL,
+    * which over an event-time-ordered replay is the batch min-ts row.
+    */
+  def novelTemplateStream(events: DataFrame): Dataset[TemplateEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .selectExpr("template", "timestamp", "event_id", "message")
+      .as[TemplateEvent]
+      .groupByKey(_.template)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (template: String, rows: Iterator[TemplateEvent],
+            state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            // first arrival in (event-time, id) order within the batch
+            Iterator.single(rows.minBy(e => (e.timestamp.getTime, e.event_id)))
+          }
+        })
+  }
   case class GapRow(key: String, timestamp: java.sql.Timestamp,
       event_id: Long, gap: Long)
 
