@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Privacy auditing for release/training corpora: k-anonymity and
@@ -61,5 +61,81 @@ object Privacy {
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col(sensitive)).as("n_sensitive"))
       .withColumn("is_violating", col("n_sensitive") < l)
+  }
+
+  // --- differentially private release (Dwork et al. 2006) -------------
+  //
+  // The Laplace mechanism with SEEDED, group-keyed noise: u derives from
+  // an md5 of (seed, group key), so a release is reproducible — rerun
+  // the pipeline, publish the same numbers — and engine-replayable (the
+  // correctness oracle recomputes the identical noise). Privacy comes
+  // from the SECRECY OF THE SEED, exactly as in any PRG-based DP
+  // deployment: an adversary without the seed faces the Laplace
+  // distribution; never publish the seed with the release. Noise is
+  // integerized as floor(x + 0.5) — nearest integer via a boundary set
+  // (half-integers) unreachable from ln() doubles, the established
+  // cross-engine-exact rounding idiom.
+
+  /** u ∈ (0,1) \ {0.5} from the first 48 bits of md5(seed|key):
+    * (h + 0.5) / 2^48 — never exactly 0 / 0.5 / 1, so the inverse CDF
+    * below never sees ln(0) or a sign ambiguity.
+    */
+  private def unitUniform(seed: String, key: Column): Column =
+    (conv(substring(md5(concat(lit(seed), lit("|"), key)), 1, 12), 16, 10)
+      .cast("double") + lit(0.5)) / lit(281474976710656.0)
+
+  /** Integer Laplace(b) noise by inverse CDF on the seeded uniform:
+    * x = −b · sgn(u − ½) · ln(1 − 2·|u − ½|), released as
+    * floor(x + 0.5).
+    */
+  private def laplaceNoise(seed: String, key: Column, b: Column): Column = {
+    val u = unitUniform(seed, key)
+    val centered = u - lit(0.5)
+    val x = -b * signum(centered) * log(lit(1.0) - lit(2.0) * abs(centered))
+    floor(x + lit(0.5)).cast("long")
+  }
+
+  /** ε-DP noisy group counts (sensitivity 1, Laplace b = 1/ε): one hash
+    * aggregate, then map-side noise — the exact count never leaves the
+    * plan. `suppressBelow` drops groups whose NOISY count falls under a
+    * publication floor (thresholding on the released value is
+    * DP-safe post-processing).
+    */
+  def dpCounts(
+      df: DataFrame, groupCols: Seq[String], epsilon: Double, seed: String,
+      suppressBelow: Long = Long.MinValue): DataFrame = {
+    require(groupCols.nonEmpty, "dpCounts needs at least one group column")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val key = concat_ws("|", groupCols.map(c => col(c).cast("string")): _*)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("released",
+        col("_n") + laplaceNoise(seed, key, lit(1.0 / epsilon)))
+      .where(col("released") >= suppressBelow)
+      .drop("_n")
+  }
+
+  /** ε-DP noisy sum of an INTEGER measure clamped to [lo, hi]
+    * (sensitivity max(|lo|, |hi|), Laplace b = Δ/ε). The clamp is part
+    * of the mechanism — without it one row could move the sum
+    * unboundedly — and the integer domain keeps the exact sum
+    * order-independent (a double sum would be merge-order-dependent
+    * and unreplayable).
+    */
+  def dpSum(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      lo: Long, hi: Long, epsilon: Double, seed: String): DataFrame = {
+    require(groupCols.nonEmpty, "dpSum needs at least one group column")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    val sensitivity = math.max(math.abs(lo), math.abs(hi))
+    require(sensitivity > 0, "a [0, 0] clamp releases nothing")
+    val key = concat_ws("|", groupCols.map(c => col(c).cast("string")): _*)
+    val clamped = least(greatest(col(valueCol).cast("long"), lit(lo)), lit(hi))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sum(clamped).as("_s"))
+      .withColumn("released",
+        col("_s") + laplaceNoise(seed, key, lit(sensitivity.toDouble / epsilon)))
+      .drop("_s")
   }
 }
