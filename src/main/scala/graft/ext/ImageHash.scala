@@ -717,4 +717,73 @@ object ImageHash {
     }
     labels
   }
+
+  /** Persisted bucket index of an ACCEPTED image corpus — the
+    * [[graft.ext.Dedup.minhashBucketIndex]] role for the perceptual
+    * fingerprint. Unlike MinHash (where a bucket collision IS the
+    * match), Hamming dedup VERIFIES candidates exactly, so the index
+    * must carry every member's hash per bucket, not just a
+    * representative: `(bucket, media_id, dhash)` — n·bands rows,
+    * written once per accepted corpus and re-read by every crawl cycle.
+    */
+  def imageBucketIndex(
+      spark: SparkSession, df: DataFrame, maxHamming: Int = 3,
+      bands: Int = 0): DataFrame = {
+    val nBands = HammingBands.resolveBands(maxHamming, bands, 64)
+    val sigs = imageHashes(spark, df)
+      .where(col("dhash").isNotNull)
+      .select(col("media_id"), col("dhash"))
+    sigs.select(col("media_id"), col("dhash"),
+      explode(array(HammingBands.bandKeys(col("dhash"), 64, nBands): _*))
+        .as("bucket"))
+  }
+
+  /** Incremental near-dup ADMISSION for images — the recurring crawl
+    * cycle: screen each new-batch image against the accepted corpus'
+    * bucket index ([[imageBucketIndex]]; the corpus is never re-decoded
+    * or re-hashed), then against its own batch peers. Output: one row
+    * per batch image with `rep_id` / `is_dup` — `rep_id` is the
+    * smallest corpus id within `maxHamming` (corpus is authoritative:
+    * an admitted image always wins over a batch peer), else the
+    * smallest batch id within `maxHamming` (self included, Hamming 0),
+    * else the image itself. Undecodable payloads carry no hash, hence
+    * no buckets, and pass through admitted — the near-dup screen has
+    * no evidence about them (the [[graft.ext.Dedup.minhashDedup]]
+    * omission contract).
+    *
+    * The `bands` parameterization must MATCH the index's — the recall
+    * guarantee spans the two sides jointly.
+    */
+  def incrementalImageDedup(
+      spark: SparkSession, batch: DataFrame, bucketIndex: DataFrame,
+      maxHamming: Int = 3, bands: Int = 0): DataFrame = {
+    val nBands = HammingBands.resolveBands(maxHamming, bands, 64)
+    // Pinned: the batch signature table feeds the corpus join, the peer
+    // self-join, AND the output spine (decode is the costly stage).
+    val sigs = imageHashes(spark, batch)
+      .select(col("media_id"), col("dhash"))
+      .localCheckpoint(true)
+    val bucketed = sigs.where(col("dhash").isNotNull)
+      .select(col("media_id"), col("dhash"),
+        explode(array(HammingBands.bandKeys(col("dhash"), 64, nBands): _*))
+          .as("bucket"))
+      .localCheckpoint(true)
+    val vsCorpus = bucketed
+      .join(bucketIndex.select(col("bucket"),
+        col("media_id").as("_cid"), col("dhash").as("_chash")), Seq("bucket"))
+      .where(bit_count(col("dhash").bitwiseXOR(col("_chash"))) <= maxHamming)
+      .groupBy("media_id").agg(min(col("_cid")).as("_crep"))
+    val vsBatch = bucketed
+      .join(bucketed.select(col("bucket"),
+        col("media_id").as("_bid"), col("dhash").as("_bhash")), Seq("bucket"))
+      .where(bit_count(col("dhash").bitwiseXOR(col("_bhash"))) <= maxHamming)
+      .groupBy("media_id").agg(min(col("_bid")).as("_brep"))
+    sigs.select("media_id")
+      .join(vsCorpus, Seq("media_id"), "left")
+      .join(vsBatch, Seq("media_id"), "left")
+      .withColumn("rep_id",
+        coalesce(col("_crep"), col("_brep"), col("media_id")))
+      .withColumn("is_dup", col("rep_id") =!= col("media_id"))
+      .drop("_crep", "_brep")
+  }
 }

@@ -180,6 +180,32 @@ object VideoFingerprint {
       .toDF()
   }
 
+  /** Scene-cut detection over the keyframe sequence: a cut is a
+    * consecutive-keyframe pair whose perceptual distance exceeds
+    * `cutHamming` — visually continuous footage moves a dHash a few
+    * bits between keyframes, a hard cut re-rolls roughly half of them.
+    * Emits `(media_id, cut_kf, hamming)` — the keyframe that OPENS the
+    * new scene. One window over (video, kf) after the partition-local
+    * decode; per-video state is the keyframe list, bounded by
+    * `maxKeyframes`.
+    */
+  def sceneCuts(
+      spark: SparkSession, df: DataFrame, cutHamming: Int = 16,
+      maxKeyframes: Int = 8): DataFrame = {
+    require(cutHamming >= 1 && cutHamming <= 64,
+      s"cutHamming must be in [1, 64], got $cutHamming")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("media_id").orderBy("kf")
+    videoKeyframeHashes(spark, df, maxKeyframes)
+      .where(col("dhash").isNotNull)
+      .select(col("media_id"), col("kf"), col("dhash"))
+      .withColumn("_prev", lag(col("dhash"), 1).over(w))
+      .where(col("_prev").isNotNull)
+      .withColumn("hamming", bit_count(col("dhash").bitwiseXOR(col("_prev"))))
+      .where(col("hamming") >= cutHamming)
+      .select(col("media_id"), col("kf").as("cut_kf"), col("hamming"))
+  }
+
   /** Video near-duplicate pairs: banded per-keyframe dHash candidates
     * ([[HammingBands]] wide-band default), exact `bit_count` verify per
     * keyframe pair, then a per-video-pair census — two videos pair when

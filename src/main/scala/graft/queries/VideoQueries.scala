@@ -284,5 +284,46 @@ object VideoQueries {
             |JOIN nkf n2 ON n2.doc_id = c.id2
             |ORDER BY c.id1, c.id2""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qVideoPhash, qDedupVideo)
+  /** Scene-cut model: even doc_ids are STATIC videos (every sync sample
+    * reuses the sample-0 pixel model → consecutive keyframes identical,
+    * no cuts); odd doc_ids use per-sample models (independent md5
+    * patterns sit near Hamming 32 → every keyframe transition is a
+    * cut). One line (stripMargin rule).
+    */
+  private val SceneVLum =
+    "CAST(('0x' || substr(md5(doc_id::VARCHAR || '_' || (CASE WHEN doc_id % 2 = 0 THEN 0 ELSE kf.range * 2 END)::VARCHAR || '_' || r.range::VARCHAR), 1, 2)) AS BIGINT)"
+
+  /** Scene-cut detection ([[graft.ext.VideoFingerprint.sceneCuts]]):
+    * the oracle replays the consecutive-keyframe Hamming distances on
+    * the sync-sample pixel models and applies the same threshold.
+    */
+  val qVideoScenecut = QueryDef(
+    "q_video_scenecut",
+    (s, d) => {
+      val id = col("doc_id")
+      // static evens reuse sample 0's model; odds vary per sample
+      val media = QueryDef.table(s, d, "documents")
+        .select(id.as("media_id"),
+          mp4Payload((smp, p) =>
+            when(pmod(id, lit(2)) === 0, lumCol(id, 0, p))
+              .otherwise(lumCol(id, smp, p))).as("payload"))
+      VideoFingerprint.sceneCuts(s, media, cutHamming = 16)
+        .orderBy("media_id", "cut_kf")
+    },
+    Some(s"""WITH ${vDhashCtes("", SceneVLum)},
+            |cuts AS (
+            |  SELECT cur.doc_id AS media_id, cur.kf AS cut_kf,
+            |         CAST(sum(CASE WHEN substr(cur.dhash_bits, CAST(j.range AS INTEGER), 1)
+            |                         <> substr(prv.dhash_bits, CAST(j.range AS INTEGER), 1)
+            |                  THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+            |  FROM dbits cur
+            |  JOIN dbits prv ON prv.doc_id = cur.doc_id
+            |                AND prv.kf = cur.kf - 1,
+            |       range(1, 65) j
+            |  GROUP BY 1, 2)
+            |SELECT media_id, cut_kf, hamming
+            |FROM cuts WHERE hamming >= 16
+            |ORDER BY media_id, cut_kf""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qVideoPhash, qDedupVideo, qVideoScenecut)
 }

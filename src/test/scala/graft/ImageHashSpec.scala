@@ -468,6 +468,32 @@ class ImageHashSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L)) // 30 pairs with nothing -> absent
   }
 
+  test("incrementalImageDedup: corpus wins, then batch peers, else admit") {
+    import spark.implicits._
+    def img(seed: Int, perturb: Boolean): Array[Byte] =
+      bmp(16, 16, (x, y) => {
+        val base = ((x * 7 + y * 11) * seed) % 256
+        val v = if (perturb && x == 0 && y == 0) (base + 8) % 256 else base
+        (v, v, v)
+      }, topDown = true)
+    val corpus = Seq((10L, img(31, perturb = false)),
+      (20L, img(97, perturb = false))).toDF("media_id", "payload")
+    val batch = Seq(
+      (101L, img(31, perturb = true)), // near-dup of corpus 10
+      (103L, img(151, perturb = false)), // stranger -> admits
+      (105L, img(151, perturb = true)), // near-dup of batch peer 103
+      (107L, Array[Byte](1, 2, 3))) // undecodable -> admits
+      .toDF("media_id", "payload")
+    val idx = graft.ext.ImageHash.imageBucketIndex(spark, corpus)
+    val got = graft.ext.ImageHash
+      .incrementalImageDedup(spark, batch, idx)
+      .select("media_id", "rep_id", "is_dup")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === Set(
+      (101L, 10L, true), (103L, 103L, false),
+      (105L, 103L, true), (107L, 107L, false)))
+  }
+
   test("imageNearDupPairs: planted twin surfaces, strangers do not") {
     import spark.implicits._
     def img(seed: Int, perturb: Boolean): Array[Byte] =

@@ -159,6 +159,23 @@ class VideoFingerprintSpec extends SparkSpec {
     assert(loose == Set((10L, 11L), (10L, 20L), (11L, 20L)))
   }
 
+  test("sceneCuts: hard cuts flagged, continuous footage silent") {
+    // video A: three visually distinct scenes -> cuts at kf 1 and 2;
+    // video B: the same frame three times -> no cuts
+    def video(seeds: Seq[Int]): Array[Byte] = {
+      val kfs = seeds.map(s => gray(s, -1))
+      val all = Seq(kfs(0), gray(9991, -1), kfs(1), gray(9992, -1), kfs(2))
+      mp4(Some(Seq(1, 3, 5)), Left(all.head.length.toLong), 5,
+        Seq((1, 5)), Seq(0L), all.flatten.toArray)
+    }
+    val df = Seq(
+      (1L, video(Seq(31, 97, 151))),
+      (2L, video(Seq(31, 31, 31)))).toDF("media_id", "payload")
+    val cuts = VideoFingerprint.sceneCuts(spark, df, cutHamming = 10)
+      .select("media_id", "cut_kf").as[(Long, Int)].collect().toSet
+    assert(cuts === Set((1L, 1), (1L, 2)))
+  }
+
   test("videoNearDupPairs: band join, never an all-pairs stage") {
     val frames = Seq(gray(31, -1), gray(57, -1), gray(97, -1))
     val sz = frames.head.length.toLong
