@@ -869,8 +869,50 @@ object SecurityQueries {
                 (SELECT count(*) FROM customer WHERE c_nationkey IS NOT NULL)
             ) t ORDER BY relation"""))
 
+  /** Pairwise association rules ([[graft.ext.AssocRules.pairRules]])
+    * over (user, day) baskets of the `props.k` item domain — "which
+    * signals co-fire". Counts and support/confidence are exact integer
+    * arithmetic; lift's double expression tree has a fixed shape on
+    * both engines.
+    */
+  val qAssocRules = QueryDef(
+    "q_assoc_rules",
+    (s, d) => {
+      val bi = events(s, d).where(col("user_id").isNotNull)
+        .select(concat_ws("_", col("user_id"),
+            expr("ts div 86400000000000")).as("basket"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+      graft.ext.AssocRules.pairRules(bi, "basket", "item", minSupport = 2L)
+        .orderBy("i1", "i2")
+    },
+    Some("""WITH bi AS (
+              SELECT DISTINCT
+                user_id::VARCHAR || '_'
+                  || (epoch_ns(ts) // 86400000000000)::VARCHAR AS b,
+                CAST(json_extract_string(props, '$.k') AS BIGINT) AS i
+              FROM events WHERE user_id IS NOT NULL),
+            n AS (SELECT count(DISTINCT b) AS nb FROM bi),
+            ic AS (SELECT i, count(*) AS ni FROM bi GROUP BY 1
+                   HAVING count(*) >= 2),
+            f AS (SELECT bi.b, bi.i FROM bi JOIN ic ON ic.i = bi.i),
+            p AS (SELECT l.i AS i1, r.i AS i2, count(*) AS n12
+                  FROM f l JOIN f r ON l.b = r.b AND l.i < r.i
+                  GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT p.i1, p.i2, p.n12, c1.ni AS n1, c2.ni AS n2,
+              n.nb AS n_baskets,
+              1000000 * p.n12 // n.nb AS support_q,
+              1000000 * p.n12 // c1.ni AS conf12_q,
+              1000000 * p.n12 // c2.ni AS conf21_q,
+              (CAST(p.n12 AS DOUBLE) * CAST(n.nb AS DOUBLE))
+                / (CAST(c1.ni AS DOUBLE) * CAST(c2.ni AS DOUBLE)) AS lift
+            FROM p
+            JOIN ic c1 ON c1.i = p.i1
+            JOIN ic c2 ON c2.i = p.i2, n
+            ORDER BY i1, i2"""))
+
   val all: Seq[QueryDef] = Seq(qRangeJoinBinned, qTriangleCount,
     qTriangleNodes, qKmvDistinct, qKmvJaccard, qBeaconing, qFunnel,
     qCharEntropy, qKcore, qPathSurprise, qFuzzyMatch, qFuzzyMulti,
-    qKAnonymity, qPrivacyRisk, qLDiversity, qFkOrphans, qKmvWindow, qGraphComponents, qDecayActivity, qIocMatch, qTrendSlope)
+    qKAnonymity, qPrivacyRisk, qLDiversity, qFkOrphans, qKmvWindow,
+    qGraphComponents, qDecayActivity, qIocMatch, qTrendSlope, qAssocRules)
 }
