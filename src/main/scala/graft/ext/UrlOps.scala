@@ -15,11 +15,12 @@ import org.apache.spark.sql.functions._
   * columns the same way before keying on them — src/pipeline.py:40-52 —
   * this extends that normalize-before-key discipline to URLs.)
   *
-  * Everything here is pure `Column` composition over built-in string and
-  * higher-order array functions — whole-stage-codegen'd, no UDFs, and
-  * exactly replayable in ANSI SQL for the oracle gate. Canonicalization
-  * is per-row and embarrassingly parallel: at 100 TB it fuses into the
-  * scan with zero shuffle; only the keyed aggregations after it shuffle.
+  * The four URL functions are native codegen'd Catalyst expressions
+  * ([[graft.functions.UrlImpl]]) — no UDFs, one generated static call per
+  * row regardless of composition depth, and exactly replayable in ANSI
+  * SQL for the oracle gate. Canonicalization is per-row and
+  * embarrassingly parallel: at 100 TB it fuses into the scan with zero
+  * shuffle; only the keyed aggregations after it shuffle.
   *
   * The canonical form (documented contract, applied in this order):
   *   1. drop the fragment (`#…`);
@@ -72,83 +73,41 @@ object UrlOps {
     } finally in.close()
   }
 
-  /** `str` up to (excluding) the first `delim`, or all of `str` when
-    * absent — `substring_index(str, delim, 1)`, which matches DuckDB's
-    * `split_part(str, delim, 1)` including the no-delimiter case.
+  /** Lowercased host (authority minus port) of a `scheme://…` URL.
     *
-    * IMPORTANT (tree discipline): every helper here references its input
-    * Column exactly ONCE. `Column`s are immutable trees, so a helper that
-    * mentions its argument k times embeds k copies of the argument's
-    * whole subtree — across the 6 nested stages of [[canonicalizeUrl]]
-    * that compounds multiplicatively (the first draft hit ~300 copies of
-    * the input and OOM'd the analyzer when the canonicalization was
-    * composed with itself). Single-reference helpers keep canon(X) at
-    * ~12·|X|, so composition stays linear.
+    * Backed by the native [[graft.functions.UrlHostExpr]] expression (as
+    * are [[canonicalizeUrl]], [[urlPath]], [[registeredDomain]]). The
+    * original `Column`-composition form referenced its input ~12× across
+    * nested stages; because `Column`s are immutable trees, each reference
+    * embeds a COPY of the input subtree, so composing the chain over a
+    * derived-URL expression inside one collapsed projection generated a
+    * ~16,500-line `processNext()` that janino refused to compile — Spark
+    * silently fell back to interpreted execution on the highest-volume
+    * crawl-curation path. The native expressions generate ONE static call
+    * each, so the chain stays whole-stage-codegen'd at any composition
+    * depth (gated: the test session runs with
+    * `spark.sql.codegen.fallback=false`, turning any future fallback into
+    * a hard failure).
     */
-  private def before(str: Column, delim: String): Column =
-    substring_index(str, delim, 1)
-
-  /** `str` strictly after the first `delim`, or '' when absent.
-    * `split(str, quoted, 2)` splits at the first occurrence only;
-    * `get(…, 1)` is NULL when the delimiter is absent (never an ANSI
-    * error), coalesced to ''. References `str` once — see [[before]].
-    */
-  private def after(str: Column, delim: String): Column =
-    coalesce(get(split(str, java.util.regex.Pattern.quote(delim), 2), lit(1)), lit(""))
-
-  /** Lowercased host (authority minus port) of a `scheme://…` URL. */
-  def urlHost(url: Column): Column = {
-    val rest = after(before(url, "#"), "://")
-    lower(before(before(rest, "/"), ":"))
-  }
+  def urlHost(url: Column): Column = graft.functions.UrlFunctions.url_host(url)
 
   /** The canonical form of `url` per the object contract. Input must be
     * absolute (`scheme://…`); anything else passes through unchanged
     * (canonicalizing garbage into a plausible URL would silently merge
-    * junk rows into real dedup classes).
+    * junk rows into real dedup classes). Native expression — see
+    * [[urlHost]] and [[graft.functions.UrlImpl.canonical]].
     */
-  def canonicalizeUrl(url: Column): Column = {
-    val noFrag = before(url, "#")
-    val scheme = lower(before(noFrag, "://"))
-    val rest = after(noFrag, "://")
-    val auth = before(rest, "/")
-    // path+query INCLUDING the leading '/': '' when the authority ends the
-    // URL. concat(NULL) is NULL, coalesced to '' — one reference to rest.
-    val pathq = coalesce(concat(lit("/"), after(rest, "/")), lit(""))
-    val host = lower(before(auth, ":"))
-    val port = after(auth, ":")
-    val keepPort = (port =!= "") &&
-      !((scheme === "http" && port === "80") ||
-        (scheme === "https" && port === "443"))
-    val authCanon = concat(host, when(keepPort, concat(lit(":"), port)).otherwise(lit("")))
-    val path = rtrim(before(pathq, "?"), "/")
-    val qs = after(pathq, "?")
-    // '' splits to [''], whose param name '' is never tracking, and the
-    // rejoin restores '' — so the empty query string needs no special case.
-    val kept = filter(split(qs, "&"), p => {
-      val name = substring_index(p, "=", 1)
-      !(name.isin(TrackingParams: _*) || substring(name, 1, 4) === "utm_")
-    })
-    val qsCanon = array_join(array_sort(kept), "&")
-    when(instr(url, "://") === 0, url).otherwise(concat(
-      scheme, lit("://"), authCanon, path,
-      when(qsCanon === "", lit("")).otherwise(concat(lit("?"), qsCanon))))
-  }
+  def canonicalizeUrl(url: Column): Column =
+    graft.functions.UrlFunctions.canonicalize_url(url)
 
   /** Registered (pay-level) domain of a lowercase host: the last two
     * labels, or three when the two-label suffix is a second-level
     * registry in [[MultiLevelTlds]]. Single-label hosts (`localhost`)
-    * pass through.
+    * pass through. Native expression — see
+    * [[graft.functions.UrlImpl.registeredDomain]].
     */
-  def registeredDomain(host: Column): Column = {
-    val labels = split(host, "\\.")
-    val n = size(labels)
-    val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
-    when(n <= 1, host)
-      .when(last2.isin(MultiLevelTlds: _*) && n >= 3,
-        concat_ws(".", element_at(labels, -3), last2))
-      .otherwise(last2)
-  }
+  def registeredDomain(host: Column): Column =
+    graft.functions.UrlFunctions.registered_domain(host)
 
   /** Exact-URL dedup after canonicalization: one row per canonical URL
     * with the smallest `id` as the keeper and the class size. The
@@ -168,12 +127,10 @@ object UrlOps {
   final case class UrlRule(domain: String, pathPrefix: String, allow: Boolean)
 
   /** Canonical path (after [[canonicalizeUrl]]'s trailing-slash trim) of
-    * an absolute URL — '' for the bare root.
+    * an absolute URL — '' for the bare root. Native expression — see
+    * [[graft.functions.UrlImpl.path]].
     */
-  def urlPath(url: Column): Column = {
-    val rest = after(before(url, "#"), "://")
-    rtrim(before(coalesce(concat(lit("/"), after(rest, "/")), lit("")), "?"), "/")
-  }
+  def urlPath(url: Column): Column = graft.functions.UrlFunctions.url_path(url)
 
   /** Apply a robots-style allow/deny rule set: adds `allowed` (longest
     * matching rule's decision; `defaultAllow` when nothing matches) and

@@ -16,6 +16,21 @@ class QueriesSpec extends SparkSpec {
     assert(empties.isEmpty, s"queries with empty results: $empties")
   }
 
+  test("no codegen fallback anywhere: every query fully materializes " +
+      "with spark.sql.codegen.fallback=false") {
+    // count() lets Catalyst PRUNE unconsumed projections, so a janino
+    // blowup in a derived column can hide from the rows>0 test. The noop
+    // sink consumes every output column, and the shared session runs with
+    // codegen fallback disabled (SparkSpec) — any generated code that
+    // stops compiling throws here instead of silently running interpreted
+    // (the r14 URL-family defect, gated forever).
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      withClue(s"query $name: ") {
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+      }
+    }
+  }
+
   test("every oracle key has a matching query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle entries without queries: $missing")

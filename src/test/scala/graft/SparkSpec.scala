@@ -16,6 +16,13 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Suite-wide no-fallback audit (advice r14): a janino compile
+      // failure normally makes Spark run the stage INTERPRETED with only
+      // a log-line warning — correct results, several-fold slower at
+      // scale, invisible to the correctness gate. With fallback disabled
+      // the failure throws, so any query whose generated code stops
+      // compiling fails `sbt test` instead of silently degrading.
+      .config("spark.sql.codegen.fallback", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
