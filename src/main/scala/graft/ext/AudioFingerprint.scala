@@ -211,4 +211,70 @@ object AudioFingerprint {
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming").distinct()
   }
+
+  /** Persisted bucket index of an ACCEPTED audio corpus — the
+    * [[ImageHash.imageBucketIndex]] role for the 56-bit fingerprint:
+    * `(bucket, media_id, fp)` rows, one per band per decodable clip,
+    * written once per accepted corpus and re-read by every crawl cycle
+    * (Hamming dedup verifies candidates exactly, so the index carries
+    * every member's fingerprint, not just a representative).
+    */
+  def audioBucketIndex(
+      spark: SparkSession, df: DataFrame, maxHamming: Int = 3,
+      bands: Int = 0): DataFrame = {
+    val fpBits = (Frames - 1) * (Bands - 1)
+    val nBands = HammingBands.resolveBands(maxHamming, bands, fpBits)
+    audioFingerprints(spark, df)
+      .where(col("fp").isNotNull)
+      .select(col("media_id"), col("fp"),
+        explode(array(HammingBands.bandKeys(col("fp"), fpBits, nBands): _*))
+          .as("bucket"))
+      .select("bucket", "media_id", "fp")
+  }
+
+  /** Incremental near-dup ADMISSION for audio — the
+    * [[ImageHash.incrementalImageDedup]] recurring-crawl contract on the
+    * 56-bit fingerprint: screen each new clip against the accepted
+    * corpus' bucket index (the corpus is never re-decoded), then against
+    * its own batch peers. One row per batch clip with `rep_id` /
+    * `is_dup` — the smallest corpus id within `maxHamming` (corpus is
+    * authoritative), else the smallest batch id within `maxHamming`
+    * (self included, Hamming 0), else the clip itself. Undecodable
+    * payloads carry no fingerprint, hence no buckets, and pass through
+    * admitted. The `bands` parameterization must MATCH the index's —
+    * the recall guarantee spans the two sides jointly.
+    */
+  def incrementalAudioDedup(
+      spark: SparkSession, batch: DataFrame, bucketIndex: DataFrame,
+      maxHamming: Int = 3, bands: Int = 0): DataFrame = {
+    val fpBits = (Frames - 1) * (Bands - 1)
+    val nBands = HammingBands.resolveBands(maxHamming, bands, fpBits)
+    // Pinned: the batch signature table feeds the corpus join, the peer
+    // self-join, AND the output spine (decode is the costly stage).
+    val sigs = audioFingerprints(spark, batch)
+      .select(col("media_id"), col("fp"))
+      .localCheckpoint(true)
+    val bucketed = sigs.where(col("fp").isNotNull)
+      .select(col("media_id"), col("fp"),
+        explode(array(HammingBands.bandKeys(col("fp"), fpBits, nBands): _*))
+          .as("bucket"))
+      .localCheckpoint(true)
+    val vsCorpus = bucketed
+      .join(bucketIndex.select(col("bucket"),
+        col("media_id").as("_cid"), col("fp").as("_cfp")), Seq("bucket"))
+      .where(bit_count(col("fp").bitwiseXOR(col("_cfp"))) <= maxHamming)
+      .groupBy("media_id").agg(min(col("_cid")).as("_crep"))
+    val vsBatch = bucketed
+      .join(bucketed.select(col("bucket"),
+        col("media_id").as("_bid"), col("fp").as("_bfp")), Seq("bucket"))
+      .where(bit_count(col("fp").bitwiseXOR(col("_bfp"))) <= maxHamming)
+      .groupBy("media_id").agg(min(col("_bid")).as("_brep"))
+    sigs.select("media_id")
+      .join(vsCorpus, Seq("media_id"), "left")
+      .join(vsBatch, Seq("media_id"), "left")
+      .withColumn("rep_id",
+        coalesce(col("_crep"), col("_brep"), col("media_id")))
+      .withColumn("is_dup", col("rep_id") =!= col("media_id"))
+      .drop("_crep", "_brep")
+  }
 }

@@ -71,7 +71,14 @@ object VideoFingerprint {
         val uniform = w.u32(p + 4)
         val n = w.u32(p + 8).toInt
         if (n < 0) return Nil
-        if (uniform != 0) Array.fill(n)(uniform)
+        // Bound the uniform path like the per-sample path (advice r14):
+        // sample_count is an untrusted u32, and every sample needs ≥ 1
+        // byte of file, so n > bytes.length is provably corrupt — fail
+        // closed instead of allocating up to ~16 GB for the size table.
+        if (uniform != 0) {
+          if (n > bytes.length) return Nil
+          Array.fill(n)(uniform)
+        }
         else {
           if (p + 12 + 4L * n > e) return Nil
           Array.tabulate(n)(i => w.u32(p + 12 + 4 * i))
@@ -253,5 +260,84 @@ object VideoFingerprint {
       .join(nkf.select(col("media_id").as("id1"), col("nkf").as("nkf1")), Seq("id1"))
       .join(nkf.select(col("media_id").as("id2"), col("nkf").as("nkf2")), Seq("id2"))
       .select("id1", "id2", "matched1", "matched2", "nkf1", "nkf2")
+  }
+
+  /** Persisted bucket index of an ACCEPTED video corpus — the
+    * [[ImageHash.imageBucketIndex]] role for the per-keyframe
+    * fingerprint: `(bucket, media_id, kf, dhash)` rows, one per band per
+    * decodable keyframe, written once per accepted corpus and re-read by
+    * every crawl cycle. The keyframe index rides along because video
+    * admission is a matched-keyframe CENSUS, not a single-hash verify —
+    * the screen must count distinct matched keyframes on BOTH sides.
+    */
+  def videoBucketIndex(
+      spark: SparkSession, df: DataFrame, maxHamming: Int = 3,
+      bands: Int = 0, maxKeyframes: Int = 8): DataFrame = {
+    val nBands = HammingBands.resolveBands(maxHamming, bands, 64)
+    videoKeyframeHashes(spark, df, maxKeyframes)
+      .where(col("dhash").isNotNull)
+      .select(col("media_id"), col("kf"), col("dhash"),
+        explode(array(HammingBands.bandKeys(col("dhash"), 64, nBands): _*))
+          .as("bucket"))
+      .select("bucket", "media_id", "kf", "dhash")
+  }
+
+  /** Incremental near-dup ADMISSION for video — the
+    * [[ImageHash.incrementalImageDedup]] recurring-crawl contract with
+    * [[videoNearDupPairs]]' census semantics: a batch video is a
+    * duplicate of another video when each side has ≥
+    * `minMatchedKeyframes` DISTINCT keyframes matched (exact per-pair
+    * `bit_count` verify on banded candidates). Corpus is authoritative —
+    * `rep_id` is the smallest qualifying corpus id (the corpus is never
+    * re-decoded; its per-keyframe hashes come from the persisted
+    * [[videoBucketIndex]]), else the smallest qualifying batch id (self
+    * included — a video with ≥ `minMatchedKeyframes` decodable keyframes
+    * matches itself at Hamming 0), else the video itself. Containers
+    * yielding no decodable keyframes produce no candidates and pass
+    * through admitted (the no-evidence omission contract). The `bands`
+    * and `maxKeyframes` parameterization must MATCH the index's.
+    */
+  def incrementalVideoDedup(
+      spark: SparkSession, batch: DataFrame, bucketIndex: DataFrame,
+      maxHamming: Int = 3, minMatchedKeyframes: Int = 2, bands: Int = 0,
+      maxKeyframes: Int = 8): DataFrame = {
+    require(minMatchedKeyframes >= 1,
+      s"minMatchedKeyframes must be >= 1, got $minMatchedKeyframes")
+    val nBands = HammingBands.resolveBands(maxHamming, bands, 64)
+    // the spine must be the BATCH videos (a container yielding zero
+    // keyframes has no signature rows but still needs an admit row);
+    // payload is pruned out of this scan — only media_id is read
+    val spine = batch.select(col("media_id").cast("long").as("media_id"))
+      .distinct()
+    // Pinned: the signature table feeds the corpus join and both sides
+    // of the peer self-join (decode + hash is the costly stage).
+    val bucketed = videoKeyframeHashes(spark, batch, maxKeyframes)
+      .where(col("dhash").isNotNull)
+      .select(col("media_id"), col("kf"), col("dhash"),
+        explode(array(HammingBands.bandKeys(col("dhash"), 64, nBands): _*))
+          .as("bucket"))
+      .localCheckpoint(true)
+    def census(other: DataFrame, idCol: String): DataFrame =
+      bucketed.join(other, Seq("bucket"))
+        .where(bit_count(col("dhash").bitwiseXOR(col("_ohash"))) <= maxHamming)
+        .select("media_id", "kf", idCol, "_okf").distinct()
+        .groupBy(col("media_id"), col(idCol))
+        .agg(countDistinct(col("kf")).as("_m1"),
+          countDistinct(col("_okf")).as("_m2"))
+        .where(least(col("_m1"), col("_m2")) >= minMatchedKeyframes)
+        .groupBy("media_id").agg(min(col(idCol)).as(s"_rep$idCol"))
+    val vsCorpus = census(
+      bucketIndex.select(col("bucket"), col("media_id").as("_cid"),
+        col("kf").as("_okf"), col("dhash").as("_ohash")), "_cid")
+    val vsBatch = census(
+      bucketed.select(col("bucket"), col("media_id").as("_bid"),
+        col("kf").as("_okf"), col("dhash").as("_ohash")), "_bid")
+    spine
+      .join(vsCorpus, Seq("media_id"), "left")
+      .join(vsBatch, Seq("media_id"), "left")
+      .withColumn("rep_id",
+        coalesce(col("_rep_cid"), col("_rep_bid"), col("media_id")))
+      .withColumn("is_dup", col("rep_id") =!= col("media_id"))
+      .drop("_rep_cid", "_rep_bid")
   }
 }

@@ -190,5 +190,80 @@ object AudioQueries {
             |FROM ham WHERE hamming <= 3
             |ORDER BY id1, id2""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qAudioFingerprint, qDedupAudio)
+  /** Incremental-admission model (q_dedup_inc_audio) — the
+    * [[ImageQueries.qDedupIncImage]] scenario for sound: the accepted
+    * corpus is the EVEN doc_ids (plain waveforms); the arriving batch is
+    * the ODD ones, where doc ≡ 1 (mod 10) perturbs the in-corpus
+    * predecessor (must be flagged dup vs the CORPUS) and doc ≡ 5
+    * (mod 10) perturbs its batch peer doc − 2 (must be flagged dup vs
+    * the BATCH with the peer as representative); the remaining odds are
+    * strangers and admit. One line (stripMargin rule).
+    */
+  private val IncS =
+    "(((('0x' || substr(md5((CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 WHEN doc_id % 10 = 5 THEN doc_id - 2 ELSE doc_id END)::VARCHAR || '_' || (t.range // 16)::VARCHAR), CAST((t.range % 16) * 2 + 1 AS INTEGER), 2))::BIGINT + CASE WHEN doc_id % 10 IN (1, 5) AND t.range = 0 THEN 1 ELSE 0 END) % 256) - 128)"
+
+  /** Incremental admission of a batch of clips against a persisted
+    * corpus bucket index
+    * ([[graft.ext.AudioFingerprint.incrementalAudioDedup]]). The oracle
+    * replays the verified-pair semantics through its own 7 × 8-bit
+    * banding (both sides guarantee recall at Hamming ≤ 3), takes the
+    * smallest in-corpus neighbor as authoritative, else the smallest
+    * batch peer (self included via the least() fold).
+    */
+  val qDedupIncAudio = QueryDef(
+    "q_dedup_inc_audio",
+    (s, d) => {
+      val id = col("doc_id")
+      val m10 = pmod(id, lit(10))
+      val base = when(m10 === 1, id - 1).when(m10 === 5, id - 2).otherwise(id)
+      def media(parity: Int) = QueryDef.table(s, d, "documents")
+        .filter(pmod(id, lit(2)) === parity)
+        .select(id.as("media_id"),
+          wavPayload(t => pmod(byteCol(base, t) +
+              when(m10.isin(1, 5) && (t === 0), lit(1)).otherwise(lit(0)),
+            lit(256)) - 128)
+            .as("payload"))
+      val index = AudioFingerprint.audioBucketIndex(s, media(0), maxHamming = 3)
+      AudioFingerprint.incrementalAudioDedup(s, media(1), index, maxHamming = 3)
+        .orderBy("media_id")
+    },
+    Some(s"""WITH ${fpCtes("", IncS)},
+            |bands AS (
+            |  SELECT doc_id, fp_bits,
+            |         CAST(b.range AS INTEGER) AS band,
+            |         substr(fp_bits, CAST(b.range * 8 + 1 AS INTEGER), 8) AS bk
+            |  FROM fps, range(7) b),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+            |         a.fp_bits AS h1, b.fp_bits AS h2
+            |  FROM bands a
+            |  JOIN bands b ON a.band = b.band AND a.bk = b.bk
+            |               AND a.doc_id < b.doc_id),
+            |vpairs AS MATERIALIZED (
+            |  SELECT id1, id2 FROM (
+            |    SELECT id1, id2,
+            |           sum(CASE WHEN substr(h1, CAST(j.range AS INTEGER), 1)
+            |                      <> substr(h2, CAST(j.range AS INTEGER), 1)
+            |               THEN 1 ELSE 0 END) AS hamming
+            |    FROM cand, range(1, 57) j
+            |    GROUP BY 1, 2) h
+            |  WHERE hamming <= 3),
+            |sym AS (
+            |  SELECT id1 AS src, id2 AS dst FROM vpairs
+            |  UNION ALL SELECT id2 AS src, id1 AS dst FROM vpairs),
+            |crep AS (SELECT src, min(dst) AS c FROM sym
+            |         WHERE src % 2 = 1 AND dst % 2 = 0 GROUP BY src),
+            |brep AS (SELECT src, min(dst) AS b FROM sym
+            |         WHERE src % 2 = 1 AND dst % 2 = 1 GROUP BY src)
+            |SELECT o.doc_id AS media_id,
+            |       COALESCE(c.c, least(COALESCE(b.b, o.doc_id), o.doc_id))
+            |         AS rep_id,
+            |       COALESCE(c.c, least(COALESCE(b.b, o.doc_id), o.doc_id))
+            |         <> o.doc_id AS is_dup
+            |FROM (SELECT doc_id FROM fps WHERE doc_id % 2 = 1) o
+            |LEFT JOIN crep c ON c.src = o.doc_id
+            |LEFT JOIN brep b ON b.src = o.doc_id
+            |ORDER BY media_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qAudioFingerprint, qDedupAudio, qDedupIncAudio)
 }

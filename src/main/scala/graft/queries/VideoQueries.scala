@@ -325,5 +325,101 @@ object VideoQueries {
             |FROM cuts WHERE hamming >= 16
             |ORDER BY media_id, cut_kf""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qVideoPhash, qDedupVideo, qVideoScenecut)
+  /** Incremental-admission model (q_dedup_inc_video) — the
+    * [[ImageQueries.qDedupIncImage]] scenario with census semantics:
+    * the accepted corpus is the EVEN doc_ids (plain models); the
+    * arriving batch is the ODD ones, where doc ≡ 1 (mod 10) is a full
+    * perceptual twin of the in-corpus doc − 1 (dup vs the CORPUS),
+    * doc ≡ 5 (mod 10) is a full twin of batch peer doc − 2 (dup vs the
+    * BATCH), and doc ≡ 7 (mod 10) copies ONLY keyframe 0 of the
+    * in-corpus doc − 3 — one shared scene, below the
+    * matched-keyframe threshold, must ADMIT. One line (stripMargin
+    * rule).
+    */
+  private val IncVLum =
+    "(CAST(('0x' || substr(md5((CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 WHEN doc_id % 10 = 5 THEN doc_id - 2 WHEN doc_id % 10 = 7 AND kf.range = 0 THEN doc_id - 3 ELSE doc_id END)::VARCHAR || '_' || (kf.range * 2)::VARCHAR || '_' || r.range::VARCHAR), 1, 2)) AS BIGINT) + CASE WHEN doc_id % 10 IN (1, 5) AND kf.range = 0 AND r.range = 0 THEN 8 ELSE 0 END) % 256"
+
+  /** Spark-side source-video id per sync sample for the incremental
+    * model (mirrors [[IncVLum]]).
+    */
+  private def incVid(id: Column, s: Int): Column = {
+    val m10 = pmod(id, lit(10))
+    val common = when(m10 === 1, id - 1).when(m10 === 5, id - 2)
+    if (s == 0) common.when(m10 === 7, id - 3).otherwise(id)
+    else common.otherwise(id)
+  }
+
+  /** Incremental admission of a video batch against a persisted corpus
+    * bucket index
+    * ([[graft.ext.VideoFingerprint.incrementalVideoDedup]]): banded
+    * per-keyframe candidates, exact verify, matched-keyframe census ≥ 2
+    * on both sides, corpus representative first. The oracle replays the
+    * census through its own 8 × 8-bit banding (both sides guarantee
+    * recall at Hamming ≤ 3) over corpus and peer edges symmetrically.
+    */
+  val qDedupIncVideo = QueryDef(
+    "q_dedup_inc_video",
+    (s, d) => {
+      val id = col("doc_id")
+      val m10 = pmod(id, lit(10))
+      def media(parity: Int) = QueryDef.table(s, d, "documents")
+        .filter(pmod(id, lit(2)) === parity)
+        .select(id.as("media_id"),
+          mp4Payload((smp, p) => pmod(
+            lumCol(incVid(id, smp), smp, p) +
+              (if (smp == 0)
+                when(m10.isin(1, 5) && (p === 0), lit(8)).otherwise(lit(0))
+              else lit(0)),
+            lit(256))).as("payload"))
+      val index = VideoFingerprint.videoBucketIndex(s, media(0), maxHamming = 3)
+      VideoFingerprint.incrementalVideoDedup(s, media(1), index,
+          maxHamming = 3, minMatchedKeyframes = 2)
+        .orderBy("media_id")
+    },
+    Some(s"""WITH ${vDhashCtes("", IncVLum)},
+            |bands AS (
+            |  SELECT doc_id, kf, dhash_bits,
+            |         CAST(b.range AS INTEGER) AS band,
+            |         substr(dhash_bits, CAST(b.range * 8 + 1 AS INTEGER), 8) AS bk
+            |  FROM dbits, range(8) b),
+            |cand AS (
+            |  SELECT DISTINCT a.doc_id AS id1, a.kf AS kf1,
+            |         b.doc_id AS id2, b.kf AS kf2,
+            |         a.dhash_bits AS h1, b.dhash_bits AS h2
+            |  FROM bands a
+            |  JOIN bands b ON a.band = b.band AND a.bk = b.bk
+            |               AND a.doc_id < b.doc_id),
+            |vkf AS MATERIALIZED (
+            |  SELECT id1, kf1, id2, kf2 FROM (
+            |    SELECT id1, kf1, id2, kf2,
+            |           sum(CASE WHEN substr(h1, CAST(j.range AS INTEGER), 1)
+            |                      <> substr(h2, CAST(j.range AS INTEGER), 1)
+            |               THEN 1 ELSE 0 END) AS hamming
+            |    FROM cand, range(1, 65) j
+            |    GROUP BY 1, 2, 3, 4) h
+            |  WHERE hamming <= 3),
+            |sym AS (
+            |  SELECT id1 AS src, kf1 AS skf, id2 AS dst, kf2 AS dkf FROM vkf
+            |  UNION ALL SELECT id2, kf2, id1, kf1 FROM vkf),
+            |census AS MATERIALIZED (
+            |  SELECT src, dst,
+            |         count(DISTINCT skf) AS m1, count(DISTINCT dkf) AS m2
+            |  FROM sym GROUP BY 1, 2
+            |  HAVING least(count(DISTINCT skf), count(DISTINCT dkf)) >= 2),
+            |crep AS (SELECT src, min(dst) AS c FROM census
+            |         WHERE src % 2 = 1 AND dst % 2 = 0 GROUP BY src),
+            |brep AS (SELECT src, min(dst) AS b FROM census
+            |         WHERE src % 2 = 1 AND dst % 2 = 1 GROUP BY src)
+            |SELECT o.doc_id AS media_id,
+            |       COALESCE(c.c, least(COALESCE(b.b, o.doc_id), o.doc_id))
+            |         AS rep_id,
+            |       COALESCE(c.c, least(COALESCE(b.b, o.doc_id), o.doc_id))
+            |         <> o.doc_id AS is_dup
+            |FROM (SELECT DISTINCT doc_id FROM dbits WHERE doc_id % 2 = 1) o
+            |LEFT JOIN crep c ON c.src = o.doc_id
+            |LEFT JOIN brep b ON b.src = o.doc_id
+            |ORDER BY media_id""".stripMargin))
+
+  val all: Seq[QueryDef] =
+    Seq(qVideoPhash, qDedupVideo, qVideoScenecut, qDedupIncVideo)
 }

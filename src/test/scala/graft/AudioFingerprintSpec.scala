@@ -158,4 +158,45 @@ class AudioFingerprintSpec extends SparkSpec {
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.sorted.toSeq == Seq((0L, 1L), (10L, 11L)))
   }
+  test("incrementalAudioDedup: corpus rep wins, batch peer second, strangers admit") {
+    import spark.implicits._
+    // corpus: even ids, plain waveforms; batch: odd ids — %10==1 perturbs
+    // the in-corpus predecessor, %10==5 perturbs batch peer id-2,
+    // everything else is a stranger
+    val corpus = (0 until 40 by 2)
+      .map(i => (i.toLong, wav(noise(i).toSeq, 8))).toDF("media_id", "payload")
+    val batch = (1 until 40 by 2).map { i =>
+      val base =
+        if (i % 10 == 1) noise(i - 1)
+        else if (i % 10 == 5) noise(i - 2)
+        else noise(i)
+      val s = base.clone()
+      if (i % 10 == 1 || i % 10 == 5) s(0) = ((s(0) + 129) % 256) - 128
+      (i.toLong, wav(s.toSeq, 8))
+    }.toDF("media_id", "payload")
+    val index = AudioFingerprint.audioBucketIndex(spark, corpus, maxHamming = 5)
+    val got = AudioFingerprint
+      .incrementalAudioDedup(spark, batch, index, maxHamming = 5)
+      .select("media_id", "rep_id", "is_dup")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.length == 20)
+    got.foreach { case (id, rep, dup) =>
+      if (id % 10 == 1) assert(rep == id - 1 && dup, s"corpus twin $id -> $rep")
+      else if (id % 10 == 5) assert(rep == id - 2 && dup, s"batch twin $id -> $rep")
+      else assert(rep == id && !dup, s"stranger $id -> $rep")
+    }
+  }
+
+  test("incrementalAudioDedup: undecodable payloads admit (no evidence)") {
+    import spark.implicits._
+    val corpus = Seq((0L, wav(noise(0).toSeq, 8))).toDF("media_id", "payload")
+    val batch = Seq(
+      (1L, Array[Byte](1, 2, 3)),
+      (3L, wav(noise(3).toSeq, 8))).toDF("media_id", "payload")
+    val index = AudioFingerprint.audioBucketIndex(spark, corpus)
+    val got = AudioFingerprint.incrementalAudioDedup(spark, batch, index)
+      .select("media_id", "rep_id", "is_dup")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, false), (3L, 3L, false)))
+  }
 }

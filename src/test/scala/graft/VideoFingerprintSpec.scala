@@ -187,4 +187,69 @@ class VideoFingerprintSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+  test("keyframes: corrupt uniform stsz sample_count fails closed") {
+    // an adversarial u32 sample_count in the UNIFORM stsz path must be
+    // rejected before allocating the size table (advice r14): every
+    // sample needs >= 1 byte of file, so count > file size is corrupt
+    val frames = Seq(gray(31, -1))
+    val v = mp4(Some(Seq(1)), Left(frames.head.length.toLong),
+      Int.MaxValue - 5, Seq((1, 1)), Seq(0L), frames.flatten.toArray)
+    assert(VideoFingerprint.keyframePayloads(v, 8).isEmpty)
+  }
+
+  test("incrementalVideoDedup: census-gated reps; one-scene overlap admits") {
+    import spark.implicits._
+    def video(kfSeeds: Seq[Int], perturbKf0: Boolean): Array[Byte] = {
+      val kfs = kfSeeds.zipWithIndex.map { case (s, i) =>
+        gray(s, if (perturbKf0 && i == 0) 0 else -1)
+      }
+      val all = Seq(kfs(0), gray(9991, -1), kfs(1), gray(9992, -1), kfs(2))
+      val sz = all.head.length.toLong
+      mp4(Some(Seq(1, 3, 5)), Left(sz), 5, Seq((1, 5)), Seq(0L),
+        all.flatten.toArray)
+    }
+    def seeds(id: Int): Seq[Int] = Seq(id * 6 + 31, id * 6 + 33, id * 6 + 35)
+    // corpus: even ids, plain; batch: odd ids — %10==1 full twin of the
+    // in-corpus id-1, %10==5 full twin of batch peer id-2, %10==7 shares
+    // ONLY keyframe 0 with in-corpus id-3 (below the census threshold)
+    val corpus = (0 until 20 by 2)
+      .map(i => (i.toLong, video(seeds(i), perturbKf0 = false)))
+      .toDF("media_id", "payload")
+    val batch = (1 until 20 by 2).map { i =>
+      val payload =
+        if (i % 10 == 1) video(seeds(i - 1), perturbKf0 = true)
+        else if (i % 10 == 5) video(seeds(i - 2), perturbKf0 = true)
+        else if (i % 10 == 7)
+          video(seeds(i - 3).head +: seeds(i).tail, perturbKf0 = false)
+        else video(seeds(i), perturbKf0 = false)
+      (i.toLong, payload)
+    }.toDF("media_id", "payload")
+    val index = VideoFingerprint.videoBucketIndex(spark, corpus)
+    val got = VideoFingerprint.incrementalVideoDedup(spark, batch, index)
+      .select("media_id", "rep_id", "is_dup")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(got.length == 10)
+    got.foreach { case (id, rep, dup) =>
+      if (id % 10 == 1) assert(rep == id - 1 && dup, s"corpus twin $id -> $rep")
+      else if (id % 10 == 5) assert(rep == id - 2 && dup, s"batch twin $id -> $rep")
+      else assert(rep == id && !dup, s"admit $id -> $rep")
+    }
+  }
+
+  test("incrementalVideoDedup: unparseable containers admit (no evidence)") {
+    import spark.implicits._
+    val frames = Seq(gray(31, -1), gray(57, -1), gray(97, -1))
+    val ok = mp4(Some(Seq(1, 2, 3)), Left(frames.head.length.toLong), 3,
+      Seq((1, 3)), Seq(0L), frames.flatten.toArray)
+    val corpus = Seq((0L, ok)).toDF("media_id", "payload")
+    val batch = Seq(
+      (1L, Array[Byte](0, 0, 0)),
+      (3L, ok)).toDF("media_id", "payload")
+    val index = VideoFingerprint.videoBucketIndex(spark, corpus)
+    val got = VideoFingerprint.incrementalVideoDedup(spark, batch, index)
+      .select("media_id", "rep_id", "is_dup")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // id 3 is a byte-identical copy of the accepted corpus video 0
+    assert(got == Seq((1L, 1L, false), (3L, 0L, true)))
+  }
 }
