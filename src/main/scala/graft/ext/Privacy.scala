@@ -66,33 +66,89 @@ object Privacy {
   // --- differentially private release (Dwork et al. 2006) -------------
   //
   // The Laplace mechanism with SEEDED, group-keyed noise: u derives from
-  // an md5 of (seed, group key), so a release is reproducible — rerun
-  // the pipeline, publish the same numbers — and engine-replayable (the
-  // correctness oracle recomputes the identical noise). Privacy comes
-  // from the SECRECY OF THE SEED, exactly as in any PRG-based DP
-  // deployment: an adversary without the seed faces the Laplace
-  // distribution; never publish the seed with the release. Noise is
-  // integerized as floor(x + 0.5) — nearest integer via a boundary set
-  // (half-integers) unreachable from ln() doubles, the established
-  // cross-engine-exact rounding idiom.
+  // an md5 of (seed, mechanism tag, noise scale, group key), so a
+  // release is reproducible — rerun the pipeline, publish the same
+  // numbers — and engine-replayable (the correctness oracle recomputes
+  // the identical noise).
+  //
+  // PRIVACY CONTRACT (read before publishing anything):
+  //
+  //  1. The seed is a SECRET, exactly as in any PRG-based DP deployment.
+  //     An adversary without the seed faces the Laplace distribution; an
+  //     adversary WITH it faces the exact counts. Never publish, log, or
+  //     check in the seed of a real release; discard it after
+  //     publication.
+  //  2. The PRG input is DOMAIN-SEPARATED per release: the preimage is
+  //     seed|mech|b|key ([[releaseTag]]), so two different releases over
+  //     the same groups (e.g. a count at b = 2 and a sum at b = 100 000)
+  //     draw INDEPENDENT-looking noise. Without the mech/b fold the two
+  //     draws come from the same uniform and are perfectly correlated —
+  //     50 000·count − sum would cancel the Laplace noise down to
+  //     integer-rounding error (advice r14) — which silently voids the
+  //     ε-composition accounting.
+  //  3. ε COMPOSES. Every release over the same underlying data spends
+  //     budget: k releases at ε each are (k·ε)-DP jointly, whether they
+  //     reuse the seed or not. Track the spend with [[EpsilonLedger]];
+  //     nothing in the mechanism itself stops an over-budget release.
+  //
+  // Noise is integerized as floor(x + 0.5) — nearest integer via a
+  // boundary set (half-integers) unreachable from ln() doubles, the
+  // established cross-engine-exact rounding idiom.
 
-  /** u ∈ (0,1) \ {0.5} from the first 48 bits of md5(seed|key):
+  /** The domain-separation tag folded in front of the group key:
+    * `seed|mech|b`. Public so oracle generators embed the IDENTICAL
+    * preimage prefix ([[graft.queries.DpQueries]]).
+    */
+  def releaseTag(seed: String, mech: String, b: Double): String =
+    s"$seed|$mech|$b"
+
+  /** u ∈ (0,1) \ {0.5} from the first 48 bits of md5(tag|key):
     * (h + 0.5) / 2^48 — never exactly 0 / 0.5 / 1, so the inverse CDF
     * below never sees ln(0) or a sign ambiguity.
     */
-  private def unitUniform(seed: String, key: Column): Column =
-    (conv(substring(md5(concat(lit(seed), lit("|"), key)), 1, 12), 16, 10)
+  private def unitUniform(tag: String, key: Column): Column =
+    (conv(substring(md5(concat(lit(tag), lit("|"), key)), 1, 12), 16, 10)
       .cast("double") + lit(0.5)) / lit(281474976710656.0)
 
-  /** Integer Laplace(b) noise by inverse CDF on the seeded uniform:
-    * x = −b · sgn(u − ½) · ln(1 − 2·|u − ½|), released as
-    * floor(x + 0.5).
+  /** Integer Laplace(b) noise by inverse CDF on the seeded,
+    * domain-separated uniform: x = −b · sgn(u − ½) · ln(1 − 2·|u − ½|),
+    * released as floor(x + 0.5).
     */
-  private def laplaceNoise(seed: String, key: Column, b: Column): Column = {
-    val u = unitUniform(seed, key)
+  private def laplaceNoise(
+      seed: String, mech: String, b: Double, key: Column): Column = {
+    val u = unitUniform(releaseTag(seed, mech, b), key)
     val centered = u - lit(0.5)
-    val x = -b * signum(centered) * log(lit(1.0) - lit(2.0) * abs(centered))
+    val x = -lit(b) * signum(centered) * log(lit(1.0) - lit(2.0) * abs(centered))
     floor(x + lit(0.5)).cast("long")
+  }
+
+  /** Driver-side ε-budget accounting for a release pipeline: one
+    * cumulative spend per dataset key, charged BEFORE each release;
+    * an over-budget charge throws and the release never runs. This is
+    * bookkeeping for the composition rule (contract note 3) — it keeps
+    * an honest pipeline honest, it does not make the mechanism enforce
+    * anything about data it never sees. Thread-safe; bounded by the
+    * number of distinct datasets released.
+    */
+  final class EpsilonLedger(val budget: Double) {
+    require(budget > 0, s"budget must be positive, got $budget")
+    private val spentBy = scala.collection.mutable.Map.empty[String, Double]
+
+    /** Record an ε-spend against `dataset`; throws when the cumulative
+      * spend would exceed the budget.
+      */
+    def charge(dataset: String, epsilon: Double): Unit = synchronized {
+      require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+      val s = spentBy.getOrElse(dataset, 0.0)
+      require(s + epsilon <= budget + 1e-12,
+        f"epsilon budget exceeded for '$dataset': spent $s%.6g + " +
+          f"requested $epsilon%.6g > budget $budget%.6g")
+      spentBy(dataset) = s + epsilon
+    }
+
+    def spent(dataset: String): Double =
+      synchronized(spentBy.getOrElse(dataset, 0.0))
+    def remaining(dataset: String): Double = budget - spent(dataset)
   }
 
   /** ε-DP noisy group counts (sensitivity 1, Laplace b = 1/ε): one hash
@@ -110,7 +166,7 @@ object Privacy {
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("_n"))
       .withColumn("released",
-        col("_n") + laplaceNoise(seed, key, lit(1.0 / epsilon)))
+        col("_n") + laplaceNoise(seed, "count", 1.0 / epsilon, key))
       .where(col("released") >= suppressBelow)
       .drop("_n")
   }
@@ -135,7 +191,27 @@ object Privacy {
     df.groupBy(groupCols.map(col): _*)
       .agg(sum(clamped).as("_s"))
       .withColumn("released",
-        col("_s") + laplaceNoise(seed, key, lit(sensitivity.toDouble / epsilon)))
+        col("_s") +
+          laplaceNoise(seed, "sum", sensitivity.toDouble / epsilon, key))
       .drop("_s")
+  }
+
+  /** ε-DP noisy WINDOWED group counts — the streaming-release shape
+    * (each window's publication is one release; the window start is
+    * folded into the noise key so every window draws fresh noise). The
+    * expression tree is identical to [[dpCounts]]' and stream-safe: one
+    * windowed aggregate, then map-side noise — usable verbatim under
+    * `groupBy(window(...))` in Structured Streaming
+    * ([[graft.streaming.StreamingPipeline.dpCountStream]]). Composition
+    * caveat: releasing EVERY window over the same users still composes —
+    * charge the ledger per window.
+    */
+  def dpWindowedCountsColumn(
+      seed: String, epsilon: Double, groupKey: Column,
+      windowStart: Column, n: Column): Column = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val key = concat_ws("|", groupKey.cast("string"),
+      windowStart.cast("long").cast("string"))
+    n + laplaceNoise(seed, "count", 1.0 / epsilon, key)
   }
 }

@@ -18,11 +18,18 @@ object DpQueries {
 
   private val Seed = "graft-r14"
 
-  /** Shared oracle noise expression over a key column `k` and scale
-    * literal `b` — one line (generated SQL must never start with '|').
+  /** Shared oracle noise expression over a key column `k`, a mechanism
+    * tag, and scale `b` — one line (generated SQL must never start with
+    * '|'). The preimage prefix comes from [[Privacy.releaseTag]], the
+    * SAME routine the mechanism folds (domain separation per
+    * release/mechanism/scale, advice r14 — correlated noise across
+    * releases over the same groups would cancel), so the two sides
+    * cannot drift.
     */
-  private def oNoise(k: String, b: String): String =
-    s"CAST(floor(-($b) * sign(((('0x' || substr(md5('$Seed' || '|' || $k), 1, 12))::BIGINT::DOUBLE + 0.5) / 281474976710656.0) - 0.5) * ln(1.0 - 2.0 * abs(((('0x' || substr(md5('$Seed' || '|' || $k), 1, 12))::BIGINT::DOUBLE + 0.5) / 281474976710656.0) - 0.5)) + 0.5) AS BIGINT)"
+  private def oNoise(k: String, mech: String, b: Double): String = {
+    val tag = Privacy.releaseTag(Seed, mech, b)
+    s"CAST(floor(-($b) * sign(((('0x' || substr(md5('$tag' || '|' || $k), 1, 12))::BIGINT::DOUBLE + 0.5) / 281474976710656.0) - 0.5) * ln(1.0 - 2.0 * abs(((('0x' || substr(md5('$tag' || '|' || $k), 1, 12))::BIGINT::DOUBLE + 0.5) / 281474976710656.0) - 0.5)) + 0.5) AS BIGINT)"
+  }
 
   /** ε-DP noisy event counts per event type (sensitivity 1, b = 2.0). */
   val qDpCounts = QueryDef(
@@ -32,7 +39,7 @@ object DpQueries {
       Seq("event_type"), epsilon = 0.5, seed = Seed)
       .orderBy("event_type"),
     Some(s"""SELECT event_type,
-            |       count(*) + ${oNoise("event_type", "2.0")} AS released
+            |       count(*) + ${oNoise("event_type", "count", 2.0)} AS released
             |FROM events WHERE user_id IS NOT NULL
             |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
@@ -50,7 +57,7 @@ object DpQueries {
       .orderBy("event_type"),
     Some(s"""SELECT event_type,
             |       CAST(sum(least(greatest(CAST(floor(value * 100) AS BIGINT), 0), 50000)) AS BIGINT)
-            |         + ${oNoise("event_type", "100000.0")} AS released
+            |         + ${oNoise("event_type", "sum", 100000.0)} AS released
             |FROM events WHERE user_id IS NOT NULL
             |GROUP BY event_type ORDER BY event_type""".stripMargin))
 

@@ -466,6 +466,32 @@ object StreamingPipeline {
     heavyHittersCore(scored, "_wl_offender", tsCol, k, windowDur)
   }
 
+  /** Windowed ε-DP count release at the stream edge — the streaming twin
+    * of [[graft.ext.Privacy.dpCounts]]: one watermark-bounded windowed
+    * aggregate per (window, group), then the map-side seeded Laplace
+    * noise with the WINDOW START folded into the noise key
+    * ([[graft.ext.Privacy.dpWindowedCountsColumn]]), so every window's
+    * publication draws fresh, domain-separated noise while staying
+    * bit-reproducible against a batch replay (StreamingSpec parity).
+    * The exact count never leaves the plan; `suppressBelow` thresholds
+    * on the NOISY value (DP-safe post-processing). Composition caveat
+    * carried from the batch contract: every published window spends ε —
+    * charge an [[graft.ext.Privacy.EpsilonLedger]] per window, and keep
+    * the seed secret.
+    */
+  def dpCountStream(
+      events: DataFrame, groupCol: String, epsilon: Double, seed: String,
+      tsCol: String = "timestamp", windowDur: String = "1 hour",
+      watermark: String = "1 hour",
+      suppressBelow: Long = Long.MinValue): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col(groupCol))
+      .agg(count(lit(1)).as("_n"))
+      .select(col("window.start").as("window_start"), col(groupCol),
+        graft.ext.Privacy.dpWindowedCountsColumn(seed, epsilon,
+          col(groupCol), col("window.start"), col("_n")).as("released"))
+      .where(col("released") >= suppressBelow)
+
   /** Continuous keyed merge: maintain a SERVING TABLE from a change
     * stream — each micro-batch upserts into the table via
     * [[graft.operators.Upsert]] inside `foreachBatch` (the standard

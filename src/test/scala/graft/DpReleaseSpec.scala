@@ -69,4 +69,55 @@ class DpReleaseSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Privacy.dpSum(df, Seq("g"), "v", 5L, 5L, 0.5, "s"))
   }
+  test("count and sum noise over the same groups are DOMAIN-SEPARATED") {
+    // advice r14: with noise keyed on (seed, group) alone, a count at
+    // b=2 and a sum at b=100000 draw from the SAME uniform, so
+    // 50000*count_noise - sum_noise cancels the Laplace noise down to
+    // rounding error. With the mechanism/scale fold the draws decorrelate.
+    val df = groups(50).withColumn("v", lit(10L))
+    val cNoise = Privacy.dpCounts(df, Seq("g"), epsilon = 0.5, seed = "s")
+      .select(col("g"), (col("released") - 100).as("nc"))
+      .as[(String, Long)].collect().toMap
+    val sNoise = Privacy.dpSum(df, Seq("g"), "v", lo = 0L, hi = 50000L,
+        epsilon = 0.5, seed = "s")
+      .select(col("g"), (col("released") - 1000).as("ns"))
+      .as[(String, Long)].collect().toMap
+    // the r14 attack statistic: residual after the scale-ratio cancel;
+    // correlated draws leave |residual| <= ~25000 on EVERY group, while
+    // independent Laplace(100000) draws scatter far beyond it
+    val residuals = cNoise.keys.toSeq.map(g => 50000L * cNoise(g) - sNoise(g))
+    assert(residuals.exists(r => math.abs(r) > 25000L),
+      s"count/sum noise still correlated: residuals ${residuals.take(5)}...")
+  }
+
+  test("epsilon ledger: charges accumulate, over-budget release rejected") {
+    val ledger = new Privacy.EpsilonLedger(budget = 1.0)
+    ledger.charge("events", 0.5)
+    ledger.charge("events", 0.3)
+    assert(math.abs(ledger.spent("events") - 0.8) < 1e-9)
+    assert(math.abs(ledger.remaining("events") - 0.2) < 1e-9)
+    // a DIFFERENT dataset has its own budget line
+    ledger.charge("documents", 1.0)
+    // the over-budget release never runs
+    intercept[IllegalArgumentException](ledger.charge("events", 0.3))
+    assert(math.abs(ledger.spent("events") - 0.8) < 1e-9)
+    intercept[IllegalArgumentException](ledger.charge("events", -0.1))
+    intercept[IllegalArgumentException](new Privacy.EpsilonLedger(0.0))
+  }
+
+  test("windowed release column: fresh noise per window, reproducible") {
+    val df = Seq(
+      ("a", 100L, 100L), ("a", 200L, 100L), ("b", 100L, 100L))
+      .toDF("g", "w", "n")
+    def rel = df.select(col("g"), col("w"),
+      Privacy.dpWindowedCountsColumn("s", 0.5, col("g"), col("w"),
+        col("n")).as("released"))
+    val a = rel.as[(String, Long, Long)].collect().toSet
+    assert(a == rel.as[(String, Long, Long)].collect().toSet)
+    // the window start participates in the key: same group, different
+    // windows, identical exact counts -> different draws
+    val byKey = a.map { case (g, w, r) => (g, w) -> (r - 100L) }.toMap
+    assert(byKey(("a", 100L)) != byKey(("a", 200L)) ||
+      byKey(("a", 100L)) != byKey(("b", 100L)))
+  }
 }

