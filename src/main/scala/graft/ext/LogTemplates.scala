@@ -24,13 +24,22 @@ import org.apache.spark.sql.functions._
   * UUID before HEX (a UUID's 8-char groups are valid hex runs), IP
   * before NUM (an IPv4's octets are digit runs), HEX before NUM (a
   * hex run can be all-digits).
+  *
+  * Case policy (advice r14): hex runs and UUIDs match CASE-INSENSITIVELY
+  * ([0-9a-fA-F]) — real logs carry uppercase Windows GUIDs, MACs, and
+  * hex dumps, and an unmasked variable field makes template cardinality
+  * grow with the VALUES, breaking the "state bounded by format-string
+  * count" guarantee the census and the never-expiring
+  * novel-template-stream state rely on. Pure-alpha hex-range words of
+  * length ≥ 8 ("deadbeef"-like English is rare; "accede", "efface" are
+  * shorter) are the accepted false-positive trade, same as Drain's.
   */
 object LogTemplates {
 
   private val UuidRe =
-    "\\b[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}\\b"
+    "\\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\\b"
   private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  private val HexRe = "\\b[0-9a-f]{8,}\\b"
+  private val HexRe = "\\b[0-9a-fA-F]{8,}\\b"
   private val NumRe = "\\d+"
 
   /** The masked template of a raw message — pure column expression. */

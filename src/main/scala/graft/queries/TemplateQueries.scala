@@ -17,9 +17,14 @@ import graft.ext.LogTemplates
   */
 object TemplateQueries {
 
+  /** value feeds the <NUM> field of every format string, so a NULL value
+    * would NULL the whole synthesized message on the Spark side while
+    * the oracle's event_type-keyed template literal would still count
+    * the row (advice r14) — filter it symmetrically in BOTH engines.
+    */
   private def events(s: SparkSession, d: String): DataFrame =
     QueryDef.eventsTable(s, d)
-      .where(col("user_id").isNotNull)
+      .where(col("user_id").isNotNull && col("value").isNotNull)
       .withColumn("tu", expr("ts div 1000"))
 
   /** The variable fields, shared by every format string. */
@@ -68,7 +73,7 @@ object TemplateQueries {
             |  SELECT $OBaseTemplate AS template,
             |         $OBaseMsg AS msg,
             |         epoch_us(ts) AS tu
-            |  FROM events WHERE user_id IS NOT NULL)
+            |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL)
             |SELECT template, count(*) AS n_events,
             |       min(tu) AS first_us, max(tu) AS last_us,
             |       min(msg) AS example
@@ -99,7 +104,7 @@ object TemplateQueries {
     },
     Some(s"""WITH b AS (
             |  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
-            |  FROM events WHERE user_id IS NOT NULL),
+            |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
             |m AS (
             |  SELECT CASE WHEN epoch_us(ts) > hi - (hi - lo) // 5
             |                   AND event_id % 50 = 7
@@ -111,7 +116,7 @@ object TemplateQueries {
             |              ELSE $OBaseMsg END AS msg,
             |         epoch_us(ts) AS tu,
             |         hi - (hi - lo) // 5 AS cutoff
-            |  FROM events, b WHERE user_id IS NOT NULL)
+            |  FROM events, b WHERE user_id IS NOT NULL AND value IS NOT NULL)
             |SELECT template, count(*) AS n_events,
             |       min(tu) AS first_us, max(tu) AS last_us,
             |       min(msg) AS example

@@ -85,4 +85,15 @@ class LogTemplatesSpec extends SparkSpec {
         Set("user <NUM> login", "ERR <NUM>", "breach at <IP>"))
     } finally q.stop()
   }
+  test("uppercase hex runs and Windows-style GUIDs are masked (advice r14)") {
+    assert(tpl("trace DEADBEEF01 done") == "trace <HEX> done")
+    assert(tpl("guid {A1B2C3D4-E5F6-0718-293A-4B5C6D7E8F90} ok")
+      == "guid {<UUID>} ok")
+    assert(tpl("mixed AbCdEf1234 run") == "mixed <HEX> run")
+    // an 0x prefix glues onto the run (no word boundary), so the run
+    // itself is not hex-masked; the digits still collapse to <NUM>
+    assert(tpl("raw 0xAbCdEf1234") == "raw <NUM>xAbCdEf<NUM>")
+    // short hex-range WORDS stay words (the documented trade)
+    assert(tpl("efface accede") == "efface accede")
+  }
 }
