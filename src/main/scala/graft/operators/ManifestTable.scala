@@ -41,6 +41,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * readers that resolved the pointer just before a commit may still be
   * scanning the previous one) and deletes anything older plus orphans
   * from crashed attempts.
+  *
+  * TIME TRAVEL (round-15): each commit writes an immutable VERSION file
+  * `ver-<batchId>-<nonce>` recording (commit ms, snapshot chain), and
+  * `MANIFEST` points at the version file instead of inlining the chain —
+  * the Iceberg metadata-file indirection reduced to the same
+  * single-writer pointer. [[readAsOf]] resolves "the table as of batch
+  * B / time T" from the retained version history; [[commit]]/
+  * [[commitDelta]]/[[compact]] take `retainVersions` (default 2): the
+  * last N versions' snapshots survive GC, everything older is
+  * reclaimed, so the audit window is an explicit, bounded policy rather
+  * than "whatever GC hasn't caught yet". Legacy inline-chain manifests
+  * still read (one table format version behind, auto-upgraded by the
+  * next commit).
   */
 object ManifestTable {
 
@@ -49,19 +62,51 @@ object ManifestTable {
   private def manifestPath(tablePath: String) =
     new java.io.File(tablePath, ManifestName)
 
+  private def readSmall(f: java.io.File): Seq[String] =
+    new String(
+      java.nio.file.Files.readAllBytes(f.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** One committed table version: its immutable metadata file name, the
+    * committing batch id, the commit wall-clock, and the snapshot chain
+    * it pointed at.
+    */
+  final case class Version(
+      file: String, batchId: Long, commitMs: Long, snapshots: Seq[String])
+
+  private def parseVersion(tablePath: String, name: String): Version = {
+    val lines = readSmall(new java.io.File(tablePath, name))
+    val meta = lines.takeWhile(_.contains("="))
+      .map(_.split("=", 2)).map(a => a(0) -> a(1)).toMap
+    Version(name, meta("batch_id").toLong, meta("commit_ms").toLong,
+      lines.dropWhile(_.contains("=")))
+  }
+
+  /** All retained versions, oldest first (batch id, then commit ms). */
+  def versions(tablePath: String): Seq[Version] = {
+    val dir = new java.io.File(tablePath)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("ver-"))
+      .map(f => parseVersion(tablePath, f.getName))
+      .sortBy(v => (v.batchId, v.commitMs, v.file)).toSeq
+  }
+
   /** Every snapshot prefix composing the current table, in commit order
     * (oldest first; later prefixes override earlier ones per key under
     * the delta protocol). Empty for a never-committed table. The
-    * manifest is one prefix name per line — a single-line manifest is
-    * exactly the original full-snapshot protocol.
+    * manifest is either one `ver-*` line (version-file indirection) or
+    * the legacy inline chain — a single-line inline manifest is exactly
+    * the original full-snapshot protocol.
     */
   def currentSnapshots(tablePath: String): Seq[String] = {
     val mf = manifestPath(tablePath)
     if (!mf.exists()) Nil
-    else new String(
-      java.nio.file.Files.readAllBytes(mf.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-      .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+    else readSmall(mf) match {
+      case Seq(one) if one.startsWith("ver-") =>
+        parseVersion(tablePath, one).snapshots
+      case legacy => legacy
+    }
   }
 
   /** The current snapshot directory name, or None for an empty table.
@@ -94,46 +139,95 @@ object ManifestTable {
     snap
   }
 
-  /** Commit point: one small-object write holding the snapshot list.
-    * Local-FS replay of the atomic single-key PUT: write a temp file,
-    * then an atomic same-directory file rename.
+  /** Atomic small-object write (local-FS replay of the single-key PUT):
+    * write a temp file, then an atomic same-directory rename.
     */
-  private def writePointer(tablePath: String, snaps: Seq[String]): Unit = {
-    val mf = manifestPath(tablePath)
-    val tmp = new java.io.File(tablePath, ManifestName + ".tmp")
+  private def atomicWrite(tablePath: String, name: String, content: String): Unit = {
+    val dst = new java.io.File(tablePath, name)
+    val tmp = new java.io.File(tablePath, name + ".tmp")
     java.nio.file.Files.write(tmp.toPath,
-      snaps.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath, mf.toPath,
+      content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath, dst.toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
+  /** Commit point: one small-object write of the pointer. */
+  private def writePointer(tablePath: String, lines: Seq[String]): Unit =
+    atomicWrite(tablePath, ManifestName, lines.mkString("\n"))
+
+  /** Write the immutable version-metadata file for a commit (BEFORE the
+    * pointer swing — the pointer must never name a missing file). A
+    * crash in the window between this write and the pointer write
+    * leaves a phantom `ver-*` that sorts AFTER the current version;
+    * [[pruneVersions]] reclaims it on the next successful commit.
+    */
+  private def writeVersion(
+      tablePath: String, batchId: Long, snaps: Seq[String]): String = {
+    val name =
+      f"ver-$batchId%09d-${java.util.UUID.randomUUID().toString.take(8)}"
+    atomicWrite(tablePath, name,
+      (Seq(s"batch_id=$batchId",
+        s"commit_ms=${System.currentTimeMillis()}") ++ snaps).mkString("\n"))
+    name
+  }
+
+  /** Apply the retention policy after a pointer swing: keep the current
+    * version plus the `retainVersions − 1` versions before it, delete
+    * every other version file (older history AND crashed-attempt
+    * phantoms that sort after the current pointer). Returns the
+    * snapshot names the retained versions still reference — the GC
+    * keep-set that makes [[readAsOf]] work for the whole retained
+    * window.
+    */
+  private def pruneVersions(
+      tablePath: String, currentVer: String, retainVersions: Int): Set[String] = {
+    val all = versions(tablePath)
+    val idx = all.indexWhere(_.file == currentVer)
+    val retained =
+      if (idx < 0) all.takeRight(retainVersions)
+      else all.slice(math.max(0, idx - (retainVersions - 1)), idx + 1)
+    val retainedNames = retained.map(_.file).toSet
+    all.filterNot(v => retainedNames.contains(v.file))
+      .foreach(v => new java.io.File(tablePath, v.file).delete())
+    retained.flatMap(_.snapshots).toSet
+  }
+
   /** Commit `df` as the table's next FULL snapshot: write the fresh
-    * snapshot prefix, atomically swing the pointer, GC superseded
-    * snapshots. Returns the committed snapshot name.
+    * snapshot prefix, record the immutable version file, atomically
+    * swing the pointer, prune history to `retainVersions`, GC
+    * unreferenced snapshots. Returns the committed snapshot name.
     */
   def commit(df: DataFrame, tablePath: String, batchId: Long,
-      retainMs: Long = 0L): String = {
+      retainMs: Long = 0L, retainVersions: Int = 2): String = {
+    require(retainVersions >= 1,
+      s"retainVersions must be >= 1, got $retainVersions")
     val prev = currentSnapshots(tablePath)
     val snap = writeSnapshot(df, tablePath, batchId)
-    writePointer(tablePath, Seq(snap))
-    gc(tablePath, keep = prev.toSet + snap, retainMs = retainMs)
+    val ver = writeVersion(tablePath, batchId, Seq(snap))
+    writePointer(tablePath, Seq(ver))
+    val kept = pruneVersions(tablePath, ver, retainVersions)
+    gc(tablePath, keep = kept ++ prev + snap, retainMs = retainMs)
     snap
   }
 
   /** Commit `updates` as a DELTA snapshot: only the batch's rows are
     * written — O(batch) I/O per commit instead of the full-table
-    * rewrite [[commit]] pays — and the manifest grows by one line.
-    * Readers merge the prefix chain per key ([[readMerged]]); call
-    * [[compact]] periodically to bound the chain. Returns the new
+    * rewrite [[commit]] pays — and the version's chain grows by one
+    * prefix. Readers merge the prefix chain per key ([[readMerged]]);
+    * call [[compact]] periodically to bound the chain. Returns the new
     * snapshot name.
     */
   def commitDelta(updates: DataFrame, tablePath: String, batchId: Long,
-      retainMs: Long = 0L): String = {
+      retainMs: Long = 0L, retainVersions: Int = 2): String = {
+    require(retainVersions >= 1,
+      s"retainVersions must be >= 1, got $retainVersions")
     val prev = currentSnapshots(tablePath)
     val snap = writeSnapshot(updates, tablePath, batchId)
-    writePointer(tablePath, prev :+ snap)
-    gc(tablePath, keep = prev.toSet + snap, retainMs = retainMs)
+    val ver = writeVersion(tablePath, batchId, prev :+ snap)
+    writePointer(tablePath, Seq(ver))
+    val kept = pruneVersions(tablePath, ver, retainVersions)
+    gc(tablePath, keep = kept ++ prev + snap, retainMs = retainMs)
     snap
   }
 
@@ -145,9 +239,15 @@ object ManifestTable {
   def readMerged(spark: SparkSession, tablePath: String, key: String)
       : Option[DataFrame] = {
     val snaps = currentSnapshots(tablePath)
-    if (snaps.isEmpty) None
-    else if (snaps.size == 1)
-      Some(spark.read.parquet(new java.io.File(tablePath, snaps.head).getPath))
+    if (snaps.isEmpty) None else Some(mergeChain(spark, tablePath, snaps, key))
+  }
+
+  /** Per-key last-writer merge over an explicit snapshot chain. */
+  private def mergeChain(
+      spark: SparkSession, tablePath: String, snaps: Seq[String],
+      key: String): DataFrame = {
+    if (snaps.size == 1)
+      spark.read.parquet(new java.io.File(tablePath, snaps.head).getPath)
     else {
       import org.apache.spark.sql.expressions.Window
       val stacked = snaps.zipWithIndex.map { case (snap, i) =>
@@ -156,13 +256,34 @@ object ManifestTable {
       }.reduce(_.unionByName(_))
       val w = Window.partitionBy(key)
         .orderBy(org.apache.spark.sql.functions.col("_seq").desc)
-      Some(stacked
+      stacked
         .withColumn("_rn",
           org.apache.spark.sql.functions.row_number().over(w))
         .filter(org.apache.spark.sql.functions.col("_rn") === 1)
-        .drop("_rn", "_seq"))
+        .drop("_rn", "_seq")
     }
   }
+
+  /** Time travel: the table as of a historical commit — the newest
+    * retained version with `batchId ≤ asOfBatchId` (or, via
+    * [[readAsOfTime]], `commitMs ≤` the timestamp). None when the
+    * history retained under `retainVersions` no longer reaches back
+    * that far (or the table never committed) — an audit beyond the
+    * retention window fails EXPLICITLY rather than silently reading a
+    * newer state.
+    */
+  def readAsOf(spark: SparkSession, tablePath: String, key: String,
+      asOfBatchId: Long): Option[DataFrame] =
+    versions(tablePath).filter(_.batchId <= asOfBatchId).lastOption
+      .map(v => mergeChain(spark, tablePath, v.snapshots, key))
+
+  /** [[readAsOf]] by commit wall-clock: "what did the serving table say
+    * last Tuesday".
+    */
+  def readAsOfTime(spark: SparkSession, tablePath: String, key: String,
+      asOfMs: Long): Option[DataFrame] =
+    versions(tablePath).filter(_.commitMs <= asOfMs).lastOption
+      .map(v => mergeChain(spark, tablePath, v.snapshots, key))
 
   /** Rewrite the current prefix chain into ONE snapshot and commit it
     * via the same pointer swap — the maintenance operation that bounds
@@ -174,12 +295,17 @@ object ManifestTable {
     * the compacted snapshot name, or None for an empty table.
     */
   def compact(spark: SparkSession, tablePath: String, key: String,
-      batchId: Long, retainMs: Long = 0L): Option[String] = {
+      batchId: Long, retainMs: Long = 0L,
+      retainVersions: Int = 2): Option[String] = {
+    require(retainVersions >= 1,
+      s"retainVersions must be >= 1, got $retainVersions")
     val prev = currentSnapshots(tablePath)
     readMerged(spark, tablePath, key).map { merged =>
       val snap = writeSnapshot(merged, tablePath, batchId)
-      writePointer(tablePath, Seq(snap))
-      gc(tablePath, keep = prev.toSet + snap, retainMs = retainMs)
+      val ver = writeVersion(tablePath, batchId, Seq(snap))
+      writePointer(tablePath, Seq(ver))
+      val kept = pruneVersions(tablePath, ver, retainVersions)
+      gc(tablePath, keep = kept ++ prev + snap, retainMs = retainMs)
       snap
     }
   }

@@ -1726,4 +1726,58 @@ class StreamingSpec extends SparkSpec {
       }, "equal exact counts released identical noise across windows/groups")
     } finally q.stop()
   }
+  test("manifest time travel: readAsOf over retained versions, bounded history") {
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_asof_").toString + "/table"
+    new java.io.File(tableDir).mkdirs()
+    val M = graft.operators.ManifestTable
+    def tbl(df: Option[org.apache.spark.sql.DataFrame]): Map[Long, String] =
+      df.get.select("k", "v").as[(Long, String)].collect().toMap
+    M.commitDelta(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), tableDir,
+      batchId = 0L, retainVersions = 3)
+    M.commitDelta(Seq((1L, "a2"), (3L, "c")).toDF("k", "v"), tableDir,
+      batchId = 1L, retainVersions = 3)
+    // audit: the table as of batch 0, after a later commit superseded it
+    assert(tbl(M.readAsOf(spark, tableDir, "k", asOfBatchId = 0L))
+      === Map(1L -> "a", 2L -> "b"))
+    assert(tbl(M.readAsOf(spark, tableDir, "k", asOfBatchId = 1L))
+      === Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+    // compaction is itself a version; history still reaches through it
+    M.compact(spark, tableDir, "k", batchId = 2L, retainVersions = 3)
+    assert(tbl(M.readAsOf(spark, tableDir, "k", asOfBatchId = 0L))
+      === Map(1L -> "a", 2L -> "b"))
+    assert(tbl(M.readAsOf(spark, tableDir, "k", asOfBatchId = 99L))
+      === Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+    // wall-clock variant resolves the same states
+    val vs = M.versions(tableDir)
+    assert(vs.size === 3)
+    assert(tbl(M.readAsOfTime(spark, tableDir, "k", vs.head.commitMs))
+      === Map(1L -> "a", 2L -> "b"))
+    // before the first commit there is no table to read
+    assert(M.readAsOf(spark, tableDir, "k", asOfBatchId = -1L).isEmpty)
+    assert(M.readAsOfTime(spark, tableDir, "k", vs.head.commitMs - 1).isEmpty)
+    // retention: retainVersions = 1 prunes history to the current
+    // version — the audit beyond the window fails EXPLICITLY (None),
+    // and the pruned versions' snapshots are GC'd from disk
+    M.commit(Seq((9L, "z")).toDF("k", "v"), tableDir, batchId = 3L,
+      retainVersions = 1)
+    assert(M.versions(tableDir).map(_.batchId) === Seq(3L))
+    assert(M.readAsOf(spark, tableDir, "k", asOfBatchId = 1L).isEmpty)
+    assert(tbl(M.readAsOf(spark, tableDir, "k", asOfBatchId = 3L))
+      === Map(9L -> "z"))
+    val liveSnaps = new java.io.File(tableDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
+    // current chain (1 snapshot) + the immediately-previous chain kept
+    // for in-flight readers; everything older reclaimed
+    assert(liveSnaps.length <= 2, s"retention left ${liveSnaps.map(_.getName).toSeq}")
+    // a phantom version file from a crashed attempt (written after the
+    // current pointer) is reclaimed by the next successful commit
+    val phantom = new java.io.File(tableDir, "ver-000000009-deadbeef")
+    java.nio.file.Files.write(phantom.toPath,
+      "batch_id=9\ncommit_ms=99\nsnap-nonexistent".getBytes)
+    M.commit(Seq((9L, "z2")).toDF("k", "v"), tableDir, batchId = 4L,
+      retainVersions = 1)
+    assert(!phantom.exists())
+    assert(M.versions(tableDir).map(_.batchId) === Seq(4L))
+  }
 }
