@@ -466,6 +466,72 @@ object StreamingPipeline {
     heavyHittersCore(scored, "_wl_offender", tsCol, k, windowDur)
   }
 
+  /** Windowed co-occurrence top pairs — the streaming edge twin of
+    * [[graft.ext.AssocRules.pairRules]]' discovery layer: each arriving
+    * event IS a transaction carrying its item array (the natural edge
+    * shape — a purchase with its line items, an alert with its rule
+    * hits), so pair generation is a stateless map-side projection
+    * (sorted-distinct items, all i < j pairs — quadratic in the EVENT's
+    * own basket, never across events) feeding the windowed SpaceSaving
+    * sketch ([[heavyHittersCore]]): "which item pairs co-fired most,
+    * per window", O(k) state per window regardless of item-space size.
+    * With k ≥ the window's distinct pairs the counts are EXACT
+    * (batch-parity spec). Full Apriori metrics (confidence/lift against
+    * item marginals) stay batch's job at rest — two chained stateful
+    * aggregates would leave append mode (the documented budget-twin
+    * divergence class).
+    *
+    * Shape note ([[watchlistOffendersStream]]'s lesson): sub-2-item
+    * events are NOT filtered out — they carry a NULL pair (explode_outer
+    * of an empty array) that the sketch skips, so a pair-quiet stream
+    * still advances event time and closes its windows.
+    */
+  def coOccurrenceStream(
+      events: DataFrame, itemsCol: String, tsCol: String = "timestamp",
+      k: Int = 10, windowDur: String = "1 hour",
+      watermark: String = "1 hour"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val its = array_sort(array_distinct(
+      filter(col(itemsCol), x => x.isNotNull)))
+    val pairs = flatten(transform(its, (x, i) =>
+      transform(
+        slice(its, i + lit(2), greatest(size(its) - i - lit(1), lit(0))),
+        y => concat(x, lit("|"), y))))
+    val exploded = events
+      .withColumn("_pairs", pairs)
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), explode_outer(col("_pairs")).as("_pair"))
+    heavyHittersCore(exploded, "_pair", tsCol, k, windowDur)
+  }
+
+  /** Windowed log-template census — the streaming twin of
+    * [[graft.ext.LogTemplates.mine]]: mask each raw message map-side
+    * (the codegen'd regexp_replace chain, stateless) and aggregate one
+    * census row per (window, template) — count, first/last sighting,
+    * lexicographically-smallest example — "what is this system saying,
+    * per hour". State per window is bounded by the TEMPLATE set
+    * (format strings, 10²–10⁴), not event volume, exactly like the
+    * batch census's aggregate key domain. Liveness contract: rows with
+    * a NULL message do not advance event time (the masking filter sits
+    * below the watermark after pushdown) — a feed whose message column
+    * can be sparse should coalesce upstream.
+    */
+  def templateCensusStream(
+      events: DataFrame, msgCol: String, tsCol: String = "timestamp",
+      windowDur: String = "1 hour", watermark: String = "1 hour"): DataFrame =
+    events
+      .where(col(msgCol).isNotNull)
+      .withColumn("_template", graft.ext.LogTemplates.templateOf(col(msgCol)))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col("_template"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("first_ts"),
+        max(col(tsCol)).as("last_ts"),
+        min(col(msgCol)).as("example"))
+      .select(col("window.start").as("window_start"),
+        col("_template").as("template"),
+        col("n_events"), col("first_ts"), col("last_ts"), col("example"))
+
   /** Windowed ε-DP count release at the stream edge — the streaming twin
     * of [[graft.ext.Privacy.dpCounts]]: one watermark-bounded windowed
     * aggregate per (window, group), then the map-side seeded Laplace
@@ -1155,6 +1221,32 @@ object StreamingPipeline {
   def imageHashStream(
       spark: org.apache.spark.sql.SparkSession, media: DataFrame): DataFrame =
     graft.ext.ImageHash.imageHashes(spark, media)
+
+  /** Streaming twin of [[graft.ext.AudioFingerprint.audioFingerprints]]:
+    * the 56-bit perceptual fingerprint at the media-ingest edge — decode
+    * + integer DFT as a stateless per-row `mapPartitions` projection
+    * (no join, no state, no watermark, valid in append mode), so an
+    * arriving clip can be screened against a frozen corpus bucket index
+    * ([[graft.ext.AudioFingerprint.audioBucketIndex]]) with the
+    * broadcast-join shape before paying storage (spec: parity AND the
+    * index screen).
+    */
+  def audioFingerprintStream(
+      spark: org.apache.spark.sql.SparkSession, media: DataFrame): DataFrame =
+    graft.ext.AudioFingerprint.audioFingerprints(spark, media)
+
+  /** Streaming twin of
+    * [[graft.ext.VideoFingerprint.videoKeyframeHashes]]: per-keyframe
+    * perceptual hashing at the media-ingest edge — container walk +
+    * decode + hash as a stateless per-row flatMap projection (≤
+    * maxKeyframes small rows out per video, append-mode valid), the
+    * front half of an edge screen against a frozen
+    * [[graft.ext.VideoFingerprint.videoBucketIndex]].
+    */
+  def videoKeyframeHashStream(
+      spark: org.apache.spark.sql.SparkSession, media: DataFrame,
+      maxKeyframes: Int = 8): DataFrame =
+    graft.ext.VideoFingerprint.videoKeyframeHashes(spark, media, maxKeyframes)
 
   def blocklistStream(
       docs: DataFrame, blocklist: Seq[String],

@@ -1780,4 +1780,197 @@ class StreamingSpec extends SparkSpec {
     assert(!phantom.exists())
     assert(M.versions(tableDir).map(_.batchId) === Seq(4L))
   }
+  test("streaming co-occurrence top pairs match the batch pair census per window") {
+    implicit val sqlCtx = spark.sqlContext
+    // transactions: (alert-rule baskets) with planted frequent pairs
+    val rows: Seq[(Seq[String], Timestamp)] = Seq(
+      (Seq("brute", "geo"), ts("2025-01-01 01:05:00")),
+      (Seq("geo", "brute", "brute"), ts("2025-01-01 01:15:00")), // dup item
+      (Seq("brute", "exfil", "geo"), ts("2025-01-01 01:25:00")),
+      (Seq("lonely"), ts("2025-01-01 01:35:00")),                 // no pair
+      (Seq.empty[String], ts("2025-01-01 01:45:00")),             // no items
+      (Seq("geo", "exfil"), ts("2025-01-01 02:05:00")),
+      (Seq("exfil", "geo"), ts("2025-01-01 02:15:00")))
+    val input = MemoryStream[(Seq[String], Timestamp)]
+    val q = StreamingPipeline.coOccurrenceStream(
+        input.toDF().toDF("items", "timestamp"), "items", k = 16)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("coocc_out").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((Seq("zz"), ts("2025-03-01 00:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("coocc_out")
+        .select("window_start", "value", "count")
+        .as[(Timestamp, String, Long)].collect().toSet
+      // batch replay: sorted-distinct per-basket pairs, windowed count
+      val batch = rows.zipWithIndex
+        .flatMap { case ((items, t), b) =>
+          val d = items.distinct.sorted
+          for (i <- d.indices; j <- (i + 1) until d.length)
+            yield (s"${d(i)}|${d(j)}", t)
+        }
+        .toDF("pair", "timestamp")
+        .groupBy(window(col("timestamp"), "1 hour"), col("pair"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start"), col("pair"), col("n"))
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(streamed === batch,
+        s"stream-only ${streamed -- batch}; batch-only ${batch -- streamed}")
+      // error column is 0 everywhere: k exceeded distinct pairs -> exact
+      assert(spark.table("coocc_out").where(col("error") =!= 0).isEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming template census is bit-identical to the batch census per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows: Seq[(String, Timestamp)] = Seq(
+      ("user 17 clicked item 4", ts("2025-01-01 01:05:00")),
+      ("user 99 clicked item 12", ts("2025-01-01 01:25:00")),
+      ("ERR 500 trace deadbeef99", ts("2025-01-01 01:35:00")),
+      ("user 3 clicked item 7", ts("2025-01-01 02:10:00")),
+      ("ERR 404 trace CAFEBABE01", ts("2025-01-01 02:20:00"))) // uppercase hex
+    val input = MemoryStream[(String, Timestamp)]
+    val q = StreamingPipeline.templateCensusStream(
+        input.toDF().toDF("message", "timestamp"), "message")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tplcensus_out").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData(("closer 1", ts("2025-03-01 00:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("tplcensus_out")
+        .as[(Timestamp, String, Long, Timestamp, Timestamp, String)]
+        .collect().toSet
+      val batch = rows.toDF("message", "timestamp")
+        .groupBy(window(col("timestamp"), "1 hour"),
+          graft.ext.LogTemplates.templateOf(col("message")).as("template"))
+        .agg(count(lit(1)).as("n"), min(col("timestamp")).as("f"),
+          max(col("timestamp")).as("l"), min(col("message")).as("e"))
+        .select(col("window.start"), col("template"), col("n"),
+          col("f"), col("l"), col("e"))
+        .as[(Timestamp, String, Long, Timestamp, Timestamp, String)]
+        .collect().toSet
+      assert(streamed === batch,
+        s"stream-only ${streamed -- batch}; batch-only ${batch -- streamed}")
+      // both masking branches actually exercised per window
+      val tpls = streamed.map(_._2)
+      assert(tpls.contains("user <NUM> clicked item <NUM>"))
+      assert(tpls.contains("ERR <NUM> trace <HEX>"))
+    } finally q.stop()
+  }
+  test("audio fingerprint stream: edge hashing + frozen-index screen match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    // minimal 8-bit mono PCM WAV builder (the AudioFingerprintSpec layout)
+    def wav8(seed: Int): Array[Byte] = {
+      val r = new java.util.Random(seed)
+      val data = Array.fill(512)((r.nextInt(256) & 0xff).toByte)
+      val out = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = (0 until 4).foreach(i => out.write((v >> (8 * i)) & 0xff))
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      out.write("RIFF".getBytes); le32(36 + data.length); out.write("WAVE".getBytes)
+      out.write("fmt ".getBytes); le32(16); le16(1); le16(1)
+      le32(8000); le32(8000); le16(1); le16(8)
+      out.write("data".getBytes); le32(data.length); out.write(data)
+      out.toByteArray
+    }
+    val corpus = Seq((100L, wav8(1))).toDF("media_id", "payload")
+    val index = graft.ext.AudioFingerprint.audioBucketIndex(spark, corpus)
+      .localCheckpoint(true)
+    val rows = Seq((1L, wav8(1)), (2L, wav8(2)), (3L, Array[Byte](9, 9)))
+    val batch = graft.ext.AudioFingerprint.audioFingerprints(
+        spark, rows.toDF("media_id", "payload"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))).toSet
+    val input = MemoryStream[(Long, Array[Byte])]
+    // edge shape: stateless fingerprints -> broadcast frozen-index screen
+    val screened = StreamingPipeline.audioFingerprintStream(
+        spark, input.toDF().toDF("media_id", "payload"))
+      .join(broadcast(index.select(col("media_id").as("rep_id"), col("fp"))),
+        Seq("fp"))
+    val q = StreamingPipeline.audioFingerprintStream(
+        spark, input.toDF().toDF("media_id", "payload"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("afp_out").start()
+    val q2 = screened.writeStream.outputMode("append")
+      .format("memory").queryName("afp_screen").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable(); q2.processAllAvailable()
+      val streamedByName = spark.table("afp_out")
+        .select("media_id", "fmt", "fp")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2))).toSet
+      assert(streamedByName === batch)
+      // the known corpus duplicate (same waveform as corpus id 100) is
+      // flagged at the edge; the stranger and the undecodable are not
+      val hits = spark.table("afp_screen")
+        .select("media_id", "rep_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits === Set((1L, 100L)))
+    } finally { q.stop(); q2.stop() }
+  }
+  test("video keyframe hash stream: edge hashing matches batch bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    // minimal single-chunk uniform-stsz ISO-BMFF builder around 16x16 BMPs
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(t: String, p: Array[Byte]): Array[Byte] =
+      be32(p.length + 8L) ++ t.getBytes("US-ASCII") ++ p
+    def full(t: String, b: Array[Byte]): Array[Byte] = box(t, be32(0) ++ b)
+    def bmp16(seed: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def le32(v: Int): Unit = (0 until 4).foreach(i => out.write((v >> (8 * i)) & 0xff))
+      out.write('B'); out.write('M'); le32(54 + 768); le32(0); le32(54)
+      le32(40); le32(16); le32(-16); out.write(1); out.write(0)
+      out.write(24); out.write(0); le32(0); le32(768)
+      le32(0); le32(0); le32(0); le32(0)
+      (0 until 256).foreach { i =>
+        val v = (i * seed + 7) % 256
+        out.write(v); out.write(v); out.write(v)
+      }
+      out.toByteArray
+    }
+    def mp4of(seeds: Seq[Int]): Array[Byte] = {
+      val frames = seeds.map(bmp16)
+      val sz = frames.head.length.toLong
+      val ftyp = box("ftyp", "isom".getBytes ++ be32(0))
+      def moov(off: Long): Array[Byte] = {
+        val stss = full("stss", be32(frames.length.toLong) ++
+          (1 to frames.length).flatMap(i => be32(i.toLong)).toArray)
+        val stsz = full("stsz", be32(sz) ++ be32(frames.length.toLong))
+        val stsc = full("stsc", be32(1L) ++ be32(1L) ++
+          be32(frames.length.toLong) ++ be32(1L))
+        val stco = full("stco", be32(1L) ++ be32(off))
+        box("moov", box("trak", box("mdia", box("minf",
+          box("stbl", stss ++ stsz ++ stsc ++ stco)))))
+      }
+      val probe = ftyp ++ moov(0L) ++ be32(0) ++ "mdat".getBytes
+      ftyp ++ moov(probe.length.toLong) ++
+        box("mdat", frames.flatten.toArray)
+    }
+    val rows = Seq((1L, mp4of(Seq(31, 97))), (2L, Array[Byte](0, 1)))
+    val batch = graft.ext.VideoFingerprint.videoKeyframeHashes(
+        spark, rows.toDF("media_id", "payload"))
+      .select("media_id", "kf", "dhash")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))).toSet
+    assert(batch.map(_._1) === Set(1L)) // 2 keyframes; garbage emits none
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingPipeline.videoKeyframeHashStream(
+        spark, input.toDF().toDF("media_id", "payload"))
+      .select("media_id", "kf", "dhash")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vkf_out").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("vkf_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
