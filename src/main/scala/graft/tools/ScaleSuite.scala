@@ -1,0 +1,116 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Full-suite scale-regression tier (round-15 verdict item 8): run EVERY
+  * declared query (noop-write, min over N concurrent suite passes — the
+  * BENCH_FULL contention-robust method) against the 1× gate directory
+  * AND a ScaleGen-scaled directory, and report the per-query wall
+  * ratio. The per-op ScaleProbe sweeps are targeted at each round's new
+  * operators; this tier is the harness-side catch-all so the next
+  * saturation-shaped defect (the r13 image-banding class: fine at gate
+  * scale, quadratic at 10×) is caught by a machine diff, not by a judge
+  * reading timings.
+  *
+  * Env: SPARK_GRAFT_BASE_DIR (default /root/testdata/sf0.1),
+  * SPARK_GRAFT_SCALE_DIR (default /tmp/sfx10), SPARK_GRAFT_SCALE_FACTOR
+  * (label only, default 10), SPARK_GRAFT_CPUS, SPARK_GRAFT_SUITE_PASSES
+  * (default 2), SPARK_GRAFT_SUITE_PAR (default 4),
+  * SPARK_GRAFT_SUITE_OUT (default SCALE_SUITE.json),
+  * SPARK_GRAFT_SUITE_FLAG_RATIO (default 8.0 — queries whose
+  * scaled/base ratio exceeds it land in `flagged`).
+  *
+  * Prints one JSON line and writes it to the output file.
+  */
+object ScaleSuite {
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_BASE_DIR", "/root/testdata/sf0.1")
+    val scaled = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/sfx10")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_SUITE_PASSES", "2").toInt.max(1)
+    val par = sys.env.getOrElse("SPARK_GRAFT_SUITE_PAR", "4").toInt.max(1)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SUITE_OUT", "SCALE_SUITE.json")
+    val flagRatio =
+      sys.env.getOrElse("SPARK_GRAFT_SUITE_FLAG_RATIO", "8.0").toDouble
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+
+    def onePass(dir: String): Map[String, Double] = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futures = names.map { name =>
+        scala.concurrent.Future {
+          val t0 = System.nanoTime()
+          try {
+            graft.SparkEntry.queries(name)(spark, dir)
+              .write.format("noop").mode("overwrite").save()
+            name -> (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[scalesuite] $name failed on $dir: " +
+                e.toString.take(300))
+              name -> Double.NaN
+          }
+        }
+      }
+      val res = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration.Inf).toMap
+      pool.shutdown()
+      res
+    }
+
+    def minOfPasses(dir: String): Map[String, Double] = {
+      val all = (1 to passes).map { p =>
+        System.err.println(s"[scalesuite] pass $p/$passes on $dir")
+        onePass(dir)
+      }
+      names.map(n => n -> all.map(_(n)).min).toMap
+    }
+
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val t1 = minOfPasses(base)
+    val tN = minOfPasses(scaled)
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+    def ratio(n: String): Double = {
+      val a = t1(n); val b = tN(n)
+      if (a.isNaN || b.isNaN || a <= 0) Double.NaN else b / a
+    }
+    val flagged = names.filter { n =>
+      val r = ratio(n); !r.isNaN && r > flagRatio
+    }
+    val failed = names.filter(n => t1(n).isNaN || tN(n).isNaN)
+
+    def f(d: Double): String =
+      if (d.isNaN) "null" else BigDecimal(d).setScale(3,
+        BigDecimal.RoundingMode.HALF_UP).toString
+    def m(vals: Map[String, Double]): String =
+      names.map(n => s""""$n":${f(vals(n))}""").mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"scale_suite","factor":$factor,""" +
+        s""""passes":$passes,"parallelism":$par,""" +
+        s""""base_dir":"$base","scale_dir":"$scaled",""" +
+        s""""load_avg_start":$loadStart,"load_avg_end":$loadEnd,""" +
+        s""""flag_ratio":$flagRatio,""" +
+        s""""flagged":${flagged.map(n => s""""$n"""").mkString("[", ",", "]")},""" +
+        s""""failed":${failed.map(n => s""""$n"""").mkString("[", ",", "]")},""" +
+        s""""base_sec":${m(t1)},"scaled_sec":${m(tN)},""" +
+        s""""ratio":${m(names.map(n => n -> ratio(n)).toMap)}}"""
+    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line)
+    spark.stop()
+  }
+}
