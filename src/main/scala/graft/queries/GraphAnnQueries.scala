@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.GraphAnn
+
+/** Graph-ANN gate queries: NN-Descent k-NN-graph construction and
+  * neighborhood-expansion search ([[graft.ext.GraphAnn]]), both
+  * bit-exact DuckDB-replayed — the build is a FIXED number of
+  * candidate-expand/score/top-k rounds from the deterministic two-salt
+  * md5-bucket init, every cosine is the ordered-fold double (the
+  * [[ExtensionQueries.vecListCtes]] bit-identity recipe), and every
+  * rank breaks ties by id, so the oracle unrolls the rounds as chained
+  * MATERIALIZED CTEs (the Lloyd/label-propagation technique) and the
+  * hash compare pins the whole trajectory.
+  */
+object GraphAnnQueries {
+
+  private val K = 12
+  private val Iters = 3
+  private val SearchK = 10
+
+  private def embs(s: org.apache.spark.sql.SparkSession, d: String) =
+    QueryDef.table(s, d, "embeddings")
+
+  /** The chained-CTE replay of [[GraphAnn.nnDescentGraph]] up to
+    * `g$Iters` (the final graph). Expects [[ExtensionQueries.vecListCtes]]
+    * upstream providing `vl`/`vnorms`.
+    */
+  private def graphCtes: String = {
+    def score(pairs: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT p.node, p.nb,
+         |         ${ExtensionQueries.dotSql("x", "y")} / (n1.nrm * n2.nrm) AS c
+         |  FROM $pairs p
+         |  JOIN vl x ON x.vec_id = p.node
+         |  JOIN vl y ON y.vec_id = p.nb
+         |  JOIN vnorms n1 ON n1.vec_id = p.node
+         |  JOIN vnorms n2 ON n2.vec_id = p.nb)""".stripMargin
+    def topk(src: String, out: String): String =
+      s"""$out AS MATERIALIZED (
+         |  SELECT node, nb, c, rn FROM (
+         |    SELECT node, nb, c, row_number() OVER (
+         |      PARTITION BY node ORDER BY c DESC, nb) AS rn
+         |    FROM $src) r
+         |  WHERE rn <= $K)""".stripMargin
+    val rounds = (1 to Iters).map { r =>
+      s"""u$r AS MATERIALIZED (
+         |  SELECT node, nb FROM g${r - 1}
+         |  UNION SELECT nb AS node, node AS nb FROM g${r - 1}),
+         |c$r AS (
+         |  SELECT node, nb FROM u$r
+         |  UNION SELECT a.node, b.nb FROM u$r a
+         |        JOIN u$r b ON a.nb = b.node WHERE b.nb <> a.node),
+         |${score(s"c$r", s"s$r")},
+         |${topk(s"s$r", s"g$r")}""".stripMargin
+    }.mkString(",\n")
+    s"""nn AS (SELECT greatest(count(*) // ${K + 1}, 1) AS nbk FROM vl),
+       |ba AS MATERIALIZED (
+       |  SELECT vec_id, ('0x' || substr(md5('a|' || vec_id::VARCHAR), 1, 12))::BIGINT
+       |           % (SELECT nbk FROM nn) AS bk
+       |  FROM vl),
+       |bb AS MATERIALIZED (
+       |  SELECT vec_id, ('0x' || substr(md5('b|' || vec_id::VARCHAR), 1, 12))::BIGINT
+       |           % (SELECT nbk FROM nn) AS bk
+       |  FROM vl),
+       |p0 AS (
+       |  SELECT a.vec_id AS node, b.vec_id AS nb
+       |  FROM ba a JOIN ba b ON a.bk = b.bk AND a.vec_id <> b.vec_id
+       |  UNION
+       |  SELECT a.vec_id AS node, b.vec_id AS nb
+       |  FROM bb a JOIN bb b ON a.bk = b.bk AND a.vec_id <> b.vec_id),
+       |${score("p0", "s0")},
+       |${topk("s0", "g0")},
+       |$rounds""".stripMargin
+  }
+
+  /** The built k-NN graph itself — every node's ranked neighbor list
+    * after the fixed NN-Descent rounds, raw bit-identical cosines
+    * included.
+    */
+  val qAnnNndescent = QueryDef(
+    "q_ann_nndescent",
+    (s, d) => GraphAnn.nnDescentGraph(
+        embs(s, d).select("vec_id", "embedding"), "vec_id", "embedding",
+        k = K, iters = Iters)
+      .orderBy("vec_id", "nb_rank"),
+    Some(s"""WITH ${ExtensionQueries.vecListCtes()},
+            |$graphCtes
+            |SELECT node AS vec_id, CAST(rn AS INTEGER) AS nb_rank,
+            |       nb AS nb_id, c AS sim
+            |FROM g$Iters ORDER BY vec_id, nb_rank""".stripMargin))
+
+  /** Neighborhood-expansion search over the built graph: one- and
+    * two-hop undirected neighbors of each probe, exact cosine rerank,
+    * top-10 — constant candidates per query regardless of corpus size.
+    */
+  val qAnnGraphSearch = QueryDef(
+    "q_ann_graph_search",
+    (s, d) => {
+      val e = embs(s, d).select("vec_id", "embedding")
+      val graph = GraphAnn.nnDescentGraph(e, "vec_id", "embedding",
+        k = K, iters = Iters)
+      val probes = e.select(col("vec_id").as("q_id"))
+        .filter(pmod(col("q_id"), lit(41)) === 0)
+      GraphAnn.graphSearch(e, "vec_id", "embedding", graph,
+          probes, "q_id", k = SearchK)
+        .orderBy("q_id", "vec_id")
+    },
+    Some(s"""WITH ${ExtensionQueries.vecListCtes()},
+            |$graphCtes,
+            |gu AS MATERIALIZED (
+            |  SELECT node, nb FROM g$Iters
+            |  UNION SELECT nb AS node, node AS nb FROM g$Iters),
+            |h1 AS (SELECT q.vec_id AS node, gu.nb
+            |       FROM (SELECT vec_id FROM vl WHERE vec_id % 41 = 0) q
+            |       JOIN gu ON gu.node = q.vec_id),
+            |h2 AS (SELECT a.node, b.nb FROM h1 a JOIN gu b ON b.node = a.nb),
+            |cand AS (
+            |  SELECT node, nb FROM (
+            |    SELECT node, nb FROM h1 UNION SELECT node, nb FROM h2) u
+            |  WHERE nb <> node),
+            |scored AS (
+            |  SELECT p.node, p.nb,
+            |         ${ExtensionQueries.dotSql("x", "y")} / (n1.nrm * n2.nrm) AS c
+            |  FROM cand p
+            |  JOIN vl x ON x.vec_id = p.node
+            |  JOIN vl y ON y.vec_id = p.nb
+            |  JOIN vnorms n1 ON n1.vec_id = p.node
+            |  JOIN vnorms n2 ON n2.vec_id = p.nb)
+            |SELECT node AS q_id, nb AS vec_id, c AS sim FROM (
+            |  SELECT node, nb, c, row_number() OVER (
+            |    PARTITION BY node ORDER BY c DESC, nb) AS rn
+            |  FROM scored) r
+            |WHERE rn <= $SearchK ORDER BY q_id, vec_id""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qAnnNndescent, qAnnGraphSearch)
+}

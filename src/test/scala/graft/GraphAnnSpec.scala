@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{GraphAnn, Similarity}
+
+/** NN-Descent graph-ANN invariants: convergence toward the true k-NN
+  * graph, monotone improvement over the init (the top-k-over-superset
+  * property), search recall against brute force on real embeddings,
+  * plan shape, and parameter guards.
+  */
+class GraphAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Three well-separated clusters in 8-d: intra-cluster cosine ~1,
+    * cross-cluster ~0 — the true k-NN graph is cluster-local.
+    */
+  private def clustered(perCluster: Int) = {
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until perCluster
+    } yield {
+      val base = Array.fill(8)(0.05f)
+      base(c * 2) = 1f
+      base(c * 2 + 1) = 0.5f + 0.01f * i // small intra-cluster spread
+      ((c * perCluster + i).toLong, base.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
+
+  test("nnDescentGraph converges to cluster-local neighbors") {
+    val df = clustered(12) // 36 nodes, 3 clusters of 12
+    val g = GraphAnn.nnDescentGraph(df, "vec_id", "embedding", k = 6, iters = 3)
+      .select("vec_id", "nb_id").as[(Long, Long)].collect()
+    assert(g.nonEmpty)
+    // after refinement every reported neighbor is in the node's cluster
+    val wrong = g.filter { case (a, b) => a / 12 != b / 12 }
+    assert(wrong.isEmpty, s"cross-cluster neighbors survived: ${wrong.take(5).toSeq}")
+    // and nodes report a full (or near-full) neighbor list
+    val counts = g.groupBy(_._1).map(_._2.length)
+    assert(counts.min >= 5, s"under-filled neighbor lists: min ${counts.min}")
+  }
+
+  test("each round only improves: neighbor quality is monotone in iters") {
+    val df = clustered(10)
+    def sumByNode(iters: Int): Map[Long, Double] =
+      GraphAnn.nnDescentGraph(df, "vec_id", "embedding", k = 4, iters = iters)
+        .groupBy("vec_id").agg(sum("sim").as("s"))
+        .as[(Long, Double)].collect().toMap
+    // candidates ⊇ current neighbors each round and every cosine in this
+    // fixture is positive, so each node's top-k sim SUM can only grow
+    val s1 = sumByNode(1)
+    val s3 = sumByNode(3)
+    s1.foreach { case (node, v1) =>
+      assert(s3.getOrElse(node, 0.0) >= v1 - 1e-9,
+        s"node $node regressed: ${s3.get(node)} < $v1")
+    }
+  }
+
+  test("graphSearch recall@10 vs brute force on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val graph = GraphAnn.nnDescentGraph(e, "vec_id", "embedding", k = 12, iters = 3)
+    val probes = e.select(col("vec_id").as("q_id"))
+      .filter(pmod(col("q_id"), lit(41)) === 0)
+    val got = GraphAnn.graphSearch(e, "vec_id", "embedding", graph,
+        probes, "q_id", k = 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        e.filter(pmod(col("vec_id"), lit(41)) === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        "q_id", "q_emb", 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet === exact.keySet)
+    val recall = exact.keys.toSeq.map { q =>
+      (got(q) intersect exact(q)).size.toDouble / exact(q).size
+    }
+    val mean = recall.sum / recall.size
+    assert(mean >= 0.75, s"graph-search recall@10 $mean below floor")
+  }
+
+  test("no cartesian stage anywhere in build or search") {
+    val df = clustered(8)
+    val g = GraphAnn.nnDescentGraph(df, "vec_id", "embedding", k = 4, iters = 1)
+    val plan = GraphAnn.graphSearch(df, "vec_id", "embedding", g,
+        df.select(col("vec_id").as("q_id")).limit(3), "q_id", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("parameter guards") {
+    val df = clustered(2)
+    intercept[IllegalArgumentException](
+      GraphAnn.nnDescentGraph(df, "vec_id", "embedding", k = 0, iters = 1))
+    intercept[IllegalArgumentException](
+      GraphAnn.nnDescentGraph(df, "vec_id", "embedding", k = 2, iters = 0))
+    intercept[IllegalArgumentException](
+      GraphAnn.graphSearch(df, "vec_id", "embedding", df.limit(0),
+        df.select(col("vec_id").as("q_id")), "q_id", k = 0))
+  }
+}
