@@ -71,7 +71,7 @@ object Relevance {
   /** Integer micro-score used for ranking: exact BIGINT comparison in
     * every engine, immune to sub-1e-6 float divergence.
     */
-  private def microScore(score: Column): Column =
+  private[graft] def microScore(score: Column): Column =
     round(score * 1e6, 0).cast("long")
 
   /** Top-`k` TF-IDF terms per document: `tf * ln(N / df)` over whitespace
