@@ -200,10 +200,27 @@ object Bench {
       val exact = pairs("q_embed_cosine_topk")
       val fams = Seq("lsh" -> "q_ann_lsh", "ivf" -> "q_ann_ivf",
         "pq" -> "q_ann_pq", "ivfpq" -> "q_ann_ivfpq", "sq8" -> "q_ann_sq8")
-      fams.map { case (fam, q) =>
+      // the graph family probes vec_id % 41 == 0 (not the < 3 probe set
+      // the exact baseline query uses), so its recall needs its own
+      // brute-force baseline over the same probes
+      val graphRecall = {
+        import org.apache.spark.sql.functions.{col, pmod, lit}
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val gExact = graft.ext.Similarity.bruteForceTopK(
+            e, "vec_id", "embedding",
+            e.filter(pmod(col("vec_id"), lit(41)) === 0)
+              .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+            "q_id", "q_emb", 10)
+          .select("q_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (pairs("q_ann_graph_search") & gExact).size.toDouble / gExact.size
+      }
+      (fams.map { case (fam, q) =>
         val r = (pairs(q) & exact).size.toDouble / exact.size
         "\"" + fam + "\":" + r
-      }.mkString("{", ",", s""","k":10,"n_exact_pairs":${exact.size}}""")
+      } :+ s""""graph":$graphRecall""")
+        .mkString("{", ",", s""","k":10,"n_exact_pairs":${exact.size}}""")
     } catch { case scala.util.control.NonFatal(_) => "{}" }
 
     // "value" = parallel-suite wall clock; "solo_wall_sec" = the serial

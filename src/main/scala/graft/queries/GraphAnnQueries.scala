@@ -15,8 +15,8 @@ import graft.ext.GraphAnn
   */
 object GraphAnnQueries {
 
-  private val K = 12
-  private val Iters = 3
+  private val K = 16
+  private val Iters = 4
   private val SearchK = 10
 
   private def embs(s: org.apache.spark.sql.SparkSession, d: String) =

@@ -61,7 +61,7 @@ class GraphAnnSpec extends SparkSpec {
   test("graphSearch recall@10 vs brute force on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
-    val graph = GraphAnn.nnDescentGraph(e, "vec_id", "embedding", k = 12, iters = 3)
+    val graph = GraphAnn.nnDescentGraph(e, "vec_id", "embedding", k = 16, iters = 4)
     val probes = e.select(col("vec_id").as("q_id"))
       .filter(pmod(col("q_id"), lit(41)) === 0)
     val got = GraphAnn.graphSearch(e, "vec_id", "embedding", graph,
