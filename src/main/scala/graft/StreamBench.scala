@@ -116,7 +116,28 @@ object StreamBench {
       run("beacon_windowed", "append", df =>
         StreamingPipeline.beaconScoreStream(
           df.select(col("user_id").as("key"), col("timestamp"), col("event_id")),
-          windowDur = "1 hour", watermark = "1 hour", minGaps = 5))
+          windowDur = "1 hour", watermark = "1 hour", minGaps = 5)),
+      // r15 twins under the same replay: windowed DP release (state =
+      // one row per (user, window)), co-occurrence top pairs (map-side
+      // pair explode into the SpaceSaving sketch, O(k) state/window),
+      // and the masked template census (state = templates/window).
+      run("dp_counts_windowed", "append", df =>
+        StreamingPipeline.dpCountStream(df, "user_id",
+          epsilon = 0.5, seed = "streambench",
+          windowDur = "1 hour", watermark = "1 hour")),
+      run("cooccurrence_pairs", "append", df =>
+        StreamingPipeline.coOccurrenceStream(
+          df.withColumn("items", array(col("user_id"),
+            concat(lit("b"), pmod(col("event_id"), lit(16))),
+            concat(lit("c"), pmod(col("event_id"), lit(7))))),
+          "items", k = 16, windowDur = "1 hour", watermark = "1 hour")),
+      run("template_census", "append", df =>
+        StreamingPipeline.templateCensusStream(
+          df.withColumn("message",
+            concat(lit("user "), col("user_id"), lit(" clicked item "),
+              col("event_id"), lit(" trace "),
+              substring(md5(col("event_id").cast("string")), 1, 12))),
+          "message", windowDur = "1 hour", watermark = "1 hour"))
     ) :+ runAnn(spark, sfDir, nTriggers) :+ runCurate(spark, sfDir, nTriggers) :+
       runCurateHot(spark, sfDir, nTriggers) :+ runDsir(spark, sfDir, nTriggers) :+
       runLangId(spark, sfDir, nTriggers) :+ runKn(spark, sfDir, nTriggers) :+
