@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Robust (median/MAD) anomaly detection over grouped numeric signals —
@@ -228,4 +228,67 @@ object Anomaly {
       .agg(count(lit(1)).as("n_steps"), sum(col("_sq")).as("surprise_q"))
       .withColumn("avg_surprise_q", expr("surprise_q div n_steps"))
   }
+  /** Population-stability-index drift (the credit-risk industry's
+    * standard distribution-shift metric, here for feed/corpus
+    * monitoring): per dimension group, bin a numeric column into
+    * `bins` equal-width buckets over the GLOBAL [min, max], compare
+    * the two snapshots' bin shares, and report
+    * PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i). Rule of thumb:
+    * < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+    *
+    * Exactness contract (hash-gated): bin shares are Laplace-smoothed
+    * — p_i = (c_i + 1) / (n + bins) — so ln never sees 0 and a
+    * snapshot with zero rows degrades to the uniform distribution;
+    * each share is ONE division of identical longs cast to double;
+    * each bin's term is floor-quantized to 10⁻¹² BEFORE summation
+    * (ln near 1.0 differs by a ulp between libm builds — measured on
+    * this very metric — and a double sum would carry the ulp into the
+    * hash; the integer sum is order-independent AND ulp-immune), so
+    * `psi_q` is the exact pico-scaled PSI. One scan + two bounded
+    * aggregates (bounds, totals) + one grid join; the (dims × bins)
+    * grid left-join densifies missing bins so both engines sum the
+    * same bin set.
+    *
+    * @param snap 0/1 column splitting rows into the two snapshots
+    */
+  def psiDrift(
+      df: DataFrame, valueCol: String, snap: Column, dims: Seq[String],
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(dims.nonEmpty, "psiDrift needs at least one dimension column")
+    val v = col(valueCol)
+    val base = df.where(v.isNotNull)
+      .select((dims.map(col) :+ v.as("_v") :+ snap.cast("int").as("_snap")): _*)
+    val bounds = base.agg(min(col("_v")).as("_lo"), max(col("_v")).as("_hi"))
+    val binned = base.crossJoin(broadcast(bounds))
+      .withColumn("_bin",
+        when(col("_hi") === col("_lo"), lit(0L)).otherwise(
+          least(floor((col("_v") - col("_lo")) /
+            ((col("_hi") - col("_lo")) / bins.toDouble)), lit(bins - 1L)))
+        .cast("int"))
+    val counts = binned
+      .groupBy((dims.map(col) :+ col("_bin")): _*)
+      .agg(sum(when(col("_snap") === 0, 1L).otherwise(0L)).as("_c0"),
+        sum(when(col("_snap") =!= 0, 1L).otherwise(0L)).as("_c1"))
+    val grid = base.select(dims.map(col): _*).distinct()
+      .crossJoin(broadcast(
+        df.sparkSession.range(bins).select(col("id").cast("int").as("_bin"))))
+    val dense = grid.join(counts, dims :+ "_bin", "left")
+      .select((dims.map(col) :+ col("_bin")
+        :+ coalesce(col("_c0"), lit(0L)).as("_c0")
+        :+ coalesce(col("_c1"), lit(0L)).as("_c1")): _*)
+    val tot = dense.groupBy(dims.map(col): _*)
+      .agg(sum(col("_c0")).as("_n0"), sum(col("_c1")).as("_n1"))
+    val p = (col("_c0") + 1).cast("double") /
+      (col("_n0") + bins).cast("double")
+    val q = (col("_c1") + 1).cast("double") /
+      (col("_n1") + bins).cast("double")
+    dense.join(tot, dims)
+      .withColumn("_termq",
+        floor((p - q) * log(p / q) * lit(1e12)).cast("long"))
+      .groupBy((dims.map(col) :+ col("_n0").as("n0") :+ col("_n1").as("n1"))
+        .map(c => c): _*)
+      .agg(sum(col("_termq")).as("psi_q"))
+  }
+
 }

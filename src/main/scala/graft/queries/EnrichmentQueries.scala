@@ -1145,6 +1145,65 @@ object EnrichmentQueries {
             SELECT event_type, n_gaps, ps[1] AS p50, ps[2] AS p90, ps[3] AS p99
             FROM q ORDER BY event_type"""))
 
+
+  /** Population-stability-index drift of the value distribution between
+    * the stream's two halves, per event_type
+    * ([[graft.etl.Anomaly.psiDrift]], 10 equal-width bins over the
+    * global range, Laplace-smoothed shares, pico-quantized integer PSI
+    * sum — ln near 1.0 drifts a ulp between libm builds, so each term
+    * floors to 10⁻¹² before the order-independent long sum). The oracle
+    * replays binning, the (type × bin) grid densify, and the identical
+    * quantization.
+    */
+  val qPsiDrift = QueryDef(
+    "q_psi_drift",
+    (s, d) => {
+      val e = events(s, d).where(col("value").isNotNull)
+        .withColumn("day", tsEpochDay)
+      val pivot = e.agg(expr("(min(day) + max(day) + 1) div 2").as("_cut"))
+      val withSnap = e.crossJoin(broadcast(pivot))
+        .withColumn("_s", (col("day") >= col("_cut")).cast("int"))
+      graft.etl.Anomaly.psiDrift(withSnap, "value", col("_s"),
+          Seq("event_type"), bins = 10)
+        .orderBy("event_type")
+    },
+    Some("""WITH d AS (SELECT event_type, value,
+              epoch_ns(ts) // 86400000000000 AS day
+            FROM events WHERE value IS NOT NULL),
+            p AS (SELECT (min(day) + max(day) + 1) // 2 AS cut FROM d),
+            b AS (SELECT min(value) AS lo, max(value) AS hi FROM d),
+            binned AS (SELECT event_type,
+                CASE WHEN day >= cut THEN 1 ELSE 0 END AS snap,
+                CASE WHEN hi = lo THEN 0
+                     ELSE CAST(least(floor((value - lo) / ((hi - lo) / 10.0)), 9) AS INT)
+                END AS bin
+              FROM d, p, b),
+            counts AS (SELECT event_type, bin,
+                sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS c0,
+                sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS c1
+              FROM binned GROUP BY 1, 2),
+            grid AS (SELECT g.event_type, CAST(r.range AS INT) AS bin
+                     FROM (SELECT DISTINCT event_type FROM d) g, range(10) r),
+            dense AS (SELECT grid.event_type, grid.bin,
+                coalesce(c0, 0) AS c0, coalesce(c1, 0) AS c1
+              FROM grid LEFT JOIN counts
+                ON counts.event_type = grid.event_type
+               AND counts.bin = grid.bin),
+            tot AS (SELECT event_type, CAST(sum(c0) AS BIGINT) AS n0,
+                      CAST(sum(c1) AS BIGINT) AS n1
+                    FROM dense GROUP BY 1),
+            terms AS (SELECT dense.event_type, bin, n0, n1,
+                (CAST(c0 + 1 AS DOUBLE) / CAST(n0 + 10 AS DOUBLE)
+                 - CAST(c1 + 1 AS DOUBLE) / CAST(n1 + 10 AS DOUBLE))
+                * ln((CAST(c0 + 1 AS DOUBLE) / CAST(n0 + 10 AS DOUBLE))
+                     / (CAST(c1 + 1 AS DOUBLE) / CAST(n1 + 10 AS DOUBLE)))
+                  AS term
+              FROM dense JOIN tot USING (event_type))
+            SELECT event_type, n0, n1,
+              CAST(sum(CAST(floor(term * 1e12) AS BIGINT)) AS BIGINT) AS psi_q
+            FROM terms GROUP BY event_type, n0, n1
+            ORDER BY event_type"""))
+
   val all: Seq[QueryDef] =
     Seq(qCidrMatch, qZorderKey, qEventTransitions, qBinEquidepth,
       qSessionPaths, qDriftReport, qPercentRank, qWeekdayProfile,
@@ -1152,5 +1211,5 @@ object EnrichmentQueries {
       qActiveUsers7d, qStickiness, qNewVsReturning,
       qCountMin, qGini, qBenford, qStarRevenue, qParetoFront,
       qPricingSummary, qTopOrders, qLargeOrders, qShipDelay, qRfm,
-      qEntryExit, qGapPercentiles)
+      qEntryExit, qGapPercentiles, qPsiDrift)
 }

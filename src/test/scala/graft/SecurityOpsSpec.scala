@@ -218,4 +218,33 @@ class SecurityOpsSpec extends SparkSpec {
       .select("n_entities", "conv_q").as[(Long, Long)].collect()
     assert(out.toSeq === Seq((0L, 0L), (0L, 0L)))
   }
+  test("psiDrift: planted shift scores high, identical halves near zero") {
+    import org.apache.spark.sql.functions._
+    // snapshot 0 ~ low values, snapshot 1 ~ shifted high: PSI must cross
+    // the industry 'shifted' threshold (0.25); a no-shift control stays
+    // in the stable band (< 0.1)
+    val shifted = ((1 to 400).map(i => ("feed", 0, (i % 50).toDouble)) ++
+      (1 to 400).map(i => ("feed", 1, 50.0 + (i % 50))))
+      .toDF("k", "snap", "v")
+    val hi = Anomaly.psiDrift(shifted, "v", col("snap"), Seq("k"), bins = 10)
+      .select("psi_q").as[Long].head()
+    assert(hi > 250000000000L, s"shifted PSI ${hi / 1e12} not flagged")
+    val same = ((1 to 400).map(i => ("feed", 0, (i % 50).toDouble)) ++
+      (1 to 400).map(i => ("feed", 1, (i % 50).toDouble)))
+      .toDF("k", "snap", "v")
+    val lo = Anomaly.psiDrift(same, "v", col("snap"), Seq("k"), bins = 10)
+      .select("psi_q").as[Long].head()
+    assert(math.abs(lo) < 100000000000L, s"identical halves PSI ${lo / 1e12}")
+    // missing bins densify: a snapshot missing entirely degrades to the
+    // smoothed uniform rather than crashing or NaN-ing
+    val oneSided = (1 to 100).map(i => ("feed", 0, (i % 10).toDouble))
+      .toDF("k", "snap", "v")
+    val os = Anomaly.psiDrift(oneSided, "v", col("snap"), Seq("k"))
+      .select("n0", "n1", "psi_q").as[(Long, Long, Long)].head()
+    assert(os._1 === 100L && os._2 === 0L)
+    intercept[IllegalArgumentException](
+      Anomaly.psiDrift(same, "v", col("snap"), Seq.empty))
+    intercept[IllegalArgumentException](
+      Anomaly.psiDrift(same, "v", col("snap"), Seq("k"), bins = 1))
+  }
 }
