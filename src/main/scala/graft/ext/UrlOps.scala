@@ -25,8 +25,10 @@ import org.apache.spark.sql.functions._
   * The canonical form (documented contract, applied in this order):
   *   1. drop the fragment (`#…`);
   *   2. lowercase the scheme;
-  *   3. lowercase the host; drop the port iff it is the scheme default
-  *      (`http:80`, `https:443`);
+  *   3. split the authority at the first `/` OR `?` (RFC 3986 §3.2 —
+  *      `scheme://host?q` has a query and no path); lowercase the
+  *      host; drop the port iff it is the scheme default (`http:80`,
+  *      `https:443`);
   *   4. strip tracking parameters (`utm_*` + [[UrlOps.TrackingParams]]),
   *      sort the survivors bytewise, and drop the `?` when none survive;
   *   5. strip trailing slashes from the path (`/docs/` ≡ `/docs`, and the

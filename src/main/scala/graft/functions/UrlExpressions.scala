@@ -84,6 +84,20 @@ object UrlImpl {
     if (e == s.length) s else s.substring(0, e)
   }
 
+  /** The authority of `rest` (= everything after `scheme://`): ends at
+    * the first `/` OR `?` (RFC 3986 §3.2) — splitting on `/` alone
+    * misparses `scheme://host?q` (no path), leaking the query string
+    * into the port compare and past the tracking-param strip (found by
+    * the round-15 property suite; the original Column implementation
+    * had the same defect).
+    */
+  private def authorityOf(rest: String): String = {
+    var i = 0
+    while (i < rest.length && rest.charAt(i) != '/' && rest.charAt(i) != '?')
+      i += 1
+    rest.substring(0, i)
+  }
+
   /** Bytewise UTF-8 order — `array_sort`'s string ordering. */
   private val utf8Order: java.util.Comparator[String] =
     (a: String, b: String) =>
@@ -100,8 +114,10 @@ object UrlImpl {
     val noFrag = before(url, "#")
     val scheme = lowerLikeSpark(before(noFrag, "://"))
     val rest = after(noFrag, "://")
-    val auth = before(rest, "/")
-    val pathq = "/" + after(rest, "/")
+    val auth = authorityOf(rest)
+    // path+query: starts with '/', '?', or '' when the authority ends
+    // the URL
+    val pathq = rest.substring(auth.length)
     val host = lowerLikeSpark(before(auth, ":"))
     val port = after(auth, ":")
     val keepPort = port.nonEmpty &&
@@ -128,13 +144,14 @@ object UrlImpl {
   /** Lowercased host (authority minus port) of a `scheme://…` URL. */
   def host(u: UTF8String): UTF8String = {
     val rest = after(before(u.toString, "#"), "://")
-    UTF8String.fromString(lowerLikeSpark(before(before(rest, "/"), ":")))
+    UTF8String.fromString(lowerLikeSpark(before(authorityOf(rest), ":")))
   }
 
   /** Canonical path (trailing slashes trimmed) — '' for the bare root. */
   def path(u: UTF8String): UTF8String = {
     val rest = after(before(u.toString, "#"), "://")
-    UTF8String.fromString(rtrimSlash(before("/" + after(rest, "/"), "?")))
+    val pathq = rest.substring(authorityOf(rest).length)
+    UTF8String.fromString(rtrimSlash(before(pathq, "?")))
   }
 
   /** Registered (pay-level) domain of a lowercase host: last two labels,

@@ -88,9 +88,10 @@ object UrlQueries {
          CASE WHEN strpos(nofrag, '://') > 0
            THEN substr(nofrag, strpos(nofrag, '://') + 3) ELSE '' END AS rest
          FROM s1),
-       s3 AS (SELECT *, split_part(rest, '/', 1) AS auth,
-         CASE WHEN strpos(rest, '/') > 0
-           THEN substr(rest, strpos(rest, '/')) ELSE '' END AS pathq
+       s3 AS (SELECT *,
+         split_part(split_part(rest, '/', 1), '?', 1) AS auth,
+         substr(rest,
+           length(split_part(split_part(rest, '/', 1), '?', 1)) + 1) AS pathq
          FROM s2),
        s4 AS (SELECT *, lower(split_part(auth, ':', 1)) AS host,
          CASE WHEN strpos(auth, ':') > 0

@@ -469,4 +469,69 @@ class PropertySpec extends SparkSpec {
     assert(sigs(embs.repartition(64, col("vec_id") % 7)) === base)
     assert(sigs(embs.orderBy(col("vec_id").desc)) === base)
   }
+  /** Messy-URL generator: random case, ports (default and not), tracking
+    * and real params in random order, trailing slashes, fragments, and
+    * some non-absolute garbage.
+    */
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "HTTP", "https", "HTTPS", "hTTps")
+    host <- Gen.oneOf("Example.COM", "a.b.co.uk", "localhost",
+      "WWW.Site.com.au", "x.y.z.io", "sub.domain.ORG")
+    port <- Gen.oneOf("", ":80", ":443", ":8080")
+    path <- Gen.oneOf("", "/", "/a/B", "/a/B/", "/docs///", "/p%2Fq")
+    params <- Gen.someOf(Seq("b=2", "a=1", "utm_source=x", "fbclid=9",
+      "z=", "gclid=g", "utm_campaign=c", "ref=r"))
+    frag <- Gen.oneOf("", "#sec", "#a#b")
+    abs <- Gen.frequency(9 -> Gen.const(true), 1 -> Gen.const(false))
+  } yield
+    if (!abs) s"relative/$path?$frag"
+    else {
+      val qs = if (params.isEmpty) "" else "?" + params.mkString("&")
+      s"$scheme://$host$port$path$qs$frag"
+    }
+
+  test("URL canonicalization invariants over generated messy URLs") {
+    import graft.ext.UrlOps
+    forAll(Gen.listOfN(40, urlGen), n = 6) { urls =>
+      val rows = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+        .toDF("id", "url")
+        .select(col("id"), col("url"),
+          UrlOps.canonicalizeUrl(col("url")).as("c"))
+        .select(col("id"), col("url"), col("c"),
+          UrlOps.canonicalizeUrl(col("c")).as("cc"),
+          UrlOps.urlHost(col("c")).as("h"))
+        .collect()
+      rows.foreach { r =>
+        val (u, c, cc, h) = (r.getString(1), r.getString(2),
+          r.getString(3), r.getString(4))
+        // idempotence: a canonical form is its own canonical form
+        assert(cc == c, s"not idempotent: $u -> $c -> $cc")
+        if (u.contains("://")) {
+          // no fragment survives; no tracking params survive
+          assert(!c.contains("#"), s"fragment survived: $u -> $c")
+          assert(!c.contains("utm_") && !c.contains("fbclid") &&
+            !c.contains("gclid"), s"tracking param survived: $u -> $c")
+          // scheme and host are lowercase
+          val scheme = c.takeWhile(_ != ':')
+          assert(scheme == scheme.toLowerCase, s"scheme case: $c")
+          assert(h == h.toLowerCase, s"host case: $h")
+          // SCHEME-default ports are gone (http:80, https:443); a
+          // non-default port (http:443, any:8080) must survive
+          val scheme0 = c.takeWhile(_ != ':')
+          val defPort = if (scheme0 == "http") ":80" else ":443"
+          assert(!c.contains(defPort + "/") && !c.endsWith(defPort) &&
+            !c.contains(defPort + "?"), s"default port: $u -> $c")
+          if (u.toLowerCase.startsWith("http://") && u.contains(":8080"))
+            assert(c.contains(":8080"), s"real port lost: $u -> $c")
+          // no trailing slash on the path
+          assert(!c.split("\\?")(0).stripPrefix(scheme + "://").contains("//") ||
+            u.contains("//"), s"slash runs: $u -> $c")
+          assert(!c.split("\\?")(0).endsWith("/"), s"trailing slash: $u -> $c")
+        } else {
+          // non-absolute input passes through byte-identical
+          assert(c == u, s"garbage rewritten: $u -> $c")
+        }
+      }
+    }
+  }
 }

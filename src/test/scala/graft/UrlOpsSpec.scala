@@ -40,6 +40,22 @@ class UrlOpsSpec extends SparkSpec {
       Seq("https://h.com/docs", "https://h.com", "https://h.com"))
   }
 
+  test("query with no path: authority ends at '?' (RFC 3986)") {
+    // found by the round-15 property suite: splitting the authority on
+    // '/' alone leaked the query into the port compare and past the
+    // tracking-param strip
+    assert(canon(
+      "HTTPS://Host.com?utm_source=x&a=1",
+      "https://h.com:443?b=2&utm_campaign=c",
+      "http://h.com:8080?z=1") ==
+      Seq("https://host.com?a=1", "https://h.com?b=2",
+        "http://h.com:8080?z=1"))
+    val hostPath = Seq("https://H.com?x=1").toDF("url")
+      .select(UrlOps.urlHost(col("url")), UrlOps.urlPath(col("url")))
+      .as[(String, String)].head()
+    assert(hostPath == ("h.com", ""))
+  }
+
   test("non-absolute input passes through unchanged") {
     assert(canon("not a url", "relative/path?utm_source=x") ==
       Seq("not a url", "relative/path?utm_source=x"))
