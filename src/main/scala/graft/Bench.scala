@@ -202,8 +202,11 @@ object Bench {
         "pq" -> "q_ann_pq", "ivfpq" -> "q_ann_ivfpq", "sq8" -> "q_ann_sq8")
       // the graph family probes vec_id % 41 == 0 (not the < 3 probe set
       // the exact baseline query uses), so its recall needs its own
-      // brute-force baseline over the same probes
-      val graphRecall = {
+      // brute-force baseline over the same probes. Guarded in its OWN
+      // try and against an empty probe set: a failure here must neither
+      // emit NaN (invalid JSON) nor blank the five established families'
+      // regression signal (review r15).
+      val graphRecall: Option[Double] = try {
         import org.apache.spark.sql.functions.{col, pmod, lit}
         val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
           .select("vec_id", "embedding")
@@ -214,12 +217,14 @@ object Bench {
             "q_id", "q_emb", 10)
           .select("q_id", "vec_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        (pairs("q_ann_graph_search") & gExact).size.toDouble / gExact.size
-      }
+        if (gExact.isEmpty) None
+        else Some((pairs("q_ann_graph_search") & gExact).size.toDouble /
+          gExact.size)
+      } catch { case scala.util.control.NonFatal(_) => None }
       (fams.map { case (fam, q) =>
         val r = (pairs(q) & exact).size.toDouble / exact.size
         "\"" + fam + "\":" + r
-      } :+ s""""graph":$graphRecall""")
+      } ++ graphRecall.map(r => s""""graph":$r"""))
         .mkString("{", ",", s""","k":10,"n_exact_pairs":${exact.size}}""")
     } catch { case scala.util.control.NonFatal(_) => "{}" }
 

@@ -86,10 +86,16 @@ object Privacy {
   //     50 000·count − sum would cancel the Laplace noise down to
   //     integer-rounding error (advice r14) — which silently voids the
   //     ε-composition accounting.
-  //  3. ε COMPOSES. Every release over the same underlying data spends
-  //     budget: k releases at ε each are (k·ε)-DP jointly, whether they
-  //     reuse the seed or not. Track the spend with [[EpsilonLedger]];
-  //     nothing in the mechanism itself stops an over-budget release.
+  //  3. ε COMPOSES, and the SEED IS THE RELEASE NONCE. k releases at ε
+  //     each are (k·ε)-DP jointly ONLY when each uses a fresh seed (or
+  //     differs in mechanism/scale): determinism means two releases
+  //     with the same (seed, mech, b) over the same groups draw
+  //     IDENTICAL noise — that is what reproducing a publication IS —
+  //     so re-releasing refreshed data under an old seed lets the
+  //     difference of the two releases cancel the noise exactly
+  //     (review r15). One seed per release, tracked together with the
+  //     spend in [[EpsilonLedger]]; nothing in the mechanism itself
+  //     stops an over-budget or seed-reusing release.
   //
   // Noise is integerized as floor(x + 0.5) — nearest integer via a
   // boundary set (half-integers) unreachable from ln() doubles, the

@@ -110,8 +110,12 @@ object UrlImpl {
     */
   def canonical(u: UTF8String): UTF8String = {
     val url = u.toString
-    if (!url.contains("://")) return u
     val noFrag = before(url, "#")
+    // absoluteness is judged AFTER the fragment strip: "see notes#x://y"
+    // is not an absolute URL, and rewriting garbage into a plausible URL
+    // would merge junk rows into real dedup classes (review r15; the
+    // original Column form tested the full string and mutated these)
+    if (!noFrag.contains("://")) return u
     val scheme = lowerLikeSpark(before(noFrag, "://"))
     val rest = after(noFrag, "://")
     val auth = authorityOf(rest)

@@ -83,13 +83,51 @@ object ManifestTable {
       lines.dropWhile(_.contains("=")))
   }
 
-  /** All retained versions, oldest first (batch id, then commit ms). */
+  /** All retained COMMITTED versions, oldest first (batch id, then
+    * commit ms). Hygiene contract (review r15):
+    *  - `.tmp` leftovers from a crashed atomic write never qualify;
+    *  - a file that fails to parse or disappears mid-read (a crashed
+    *    attempt's truncation, or the single writer pruning concurrently
+    *    with this reader) is SKIPPED, not thrown — one orphan must not
+    *    brick every later read and commit;
+    *  - versions sorting AFTER the current pointer's target are
+    *    phantoms from a crash between the version write and the
+    *    pointer swing — they were never committed and are not history.
+    */
   def versions(tablePath: String): Seq[Version] = {
+    val parsed = rawVersions(tablePath)
+    currentVersionFile(tablePath) match {
+      case Some(cur) =>
+        val i = parsed.indexWhere(_.file == cur)
+        if (i >= 0) parsed.take(i + 1) else parsed
+      case None => parsed
+    }
+  }
+
+  /** Every parseable `ver-*` file INCLUDING post-pointer phantoms — the
+    * maintenance view [[pruneVersions]] reclaims from ([[versions]] is
+    * the committed-history view readers use).
+    */
+  private def rawVersions(tablePath: String): Seq[Version] = {
     val dir = new java.io.File(tablePath)
     Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("ver-"))
-      .map(f => parseVersion(tablePath, f.getName))
+      .filter(f => f.isFile && f.getName.startsWith("ver-") &&
+        !f.getName.endsWith(".tmp"))
+      .flatMap(f =>
+        scala.util.Try(parseVersion(tablePath, f.getName)).toOption)
       .sortBy(v => (v.batchId, v.commitMs, v.file)).toSeq
+  }
+
+  /** The `ver-*` file the MANIFEST currently points at, if the table is
+    * on the version-pointer protocol.
+    */
+  private def currentVersionFile(tablePath: String): Option[String] = {
+    val mf = manifestPath(tablePath)
+    if (!mf.exists()) None
+    else readSmall(mf) match {
+      case Seq(one) if one.startsWith("ver-") => Some(one)
+      case _ => None
+    }
   }
 
   /** Every snapshot prefix composing the current table, in commit order
@@ -182,14 +220,19 @@ object ManifestTable {
     */
   private def pruneVersions(
       tablePath: String, currentVer: String, retainVersions: Int): Set[String] = {
-    val all = versions(tablePath)
+    val all = rawVersions(tablePath)
     val idx = all.indexWhere(_.file == currentVer)
     val retained =
       if (idx < 0) all.takeRight(retainVersions)
       else all.slice(math.max(0, idx - (retainVersions - 1)), idx + 1)
     val retainedNames = retained.map(_.file).toSet
-    all.filterNot(v => retainedNames.contains(v.file))
-      .foreach(v => new java.io.File(tablePath, v.file).delete())
+    // reclaim by FILENAME, not by the parsed view: truncated/unparsable
+    // orphans and .tmp leftovers are crashed-attempt garbage too (the
+    // committed pointer target always parses, so it is never here)
+    Option(new java.io.File(tablePath).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("ver-") &&
+        !retainedNames.contains(f.getName))
+      .foreach(f => f.delete(): Unit)
     retained.flatMap(_.snapshots).toSet
   }
 

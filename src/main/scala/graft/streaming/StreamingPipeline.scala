@@ -493,10 +493,14 @@ object StreamingPipeline {
     require(k >= 1, s"k must be >= 1, got $k")
     val its = array_sort(array_distinct(
       filter(col(itemsCol), x => x.isNotNull)))
+    // pair key separator is the ASCII unit separator, not '|': free-form
+    // items routinely CONTAIN '|' (["a|b","c"] and ["a","b|c"] must not
+    // collide into one "a|b|c" pair key — review r15); \u001F appearing
+    // inside an item remains the documented residual caveat
     val pairs = flatten(transform(its, (x, i) =>
       transform(
         slice(its, i + lit(2), greatest(size(its) - i - lit(1), lit(0))),
-        y => concat(x, lit("|"), y))))
+        y => concat(x, lit("\u001f"), y))))
     val exploded = events
       .withColumn("_pairs", pairs)
       .withWatermark(tsCol, watermark)

@@ -1775,15 +1775,32 @@ class StreamingSpec extends SparkSpec {
     val phantom = new java.io.File(tableDir, "ver-000000009-deadbeef")
     java.nio.file.Files.write(phantom.toPath,
       "batch_id=9\ncommit_ms=99\nsnap-nonexistent".getBytes)
+    // BEFORE any further commit, the phantom (sorts after the pointer
+    // target) is already invisible to readers: it was never committed
+    assert(M.versions(tableDir).map(_.batchId) === Seq(3L))
+    assert(tbl(M.readAsOf(spark, tableDir, "k", asOfBatchId = 9L))
+      === Map(9L -> "z"))
+    // a truncated .tmp leftover from a crashed atomic write neither
+    // surfaces nor bricks reads/commits
+    val tmp = new java.io.File(tableDir, "ver-000000010-cafe.tmp")
+    java.nio.file.Files.write(tmp.toPath, "batch_id=".getBytes)
+    // and a truncated REAL-named orphan is skipped, not thrown
+    val torn = new java.io.File(tableDir, "ver-000000011-torn")
+    java.nio.file.Files.write(torn.toPath, "garbage".getBytes)
+    assert(M.versions(tableDir).map(_.batchId) === Seq(3L))
     M.commit(Seq((9L, "z2")).toDF("k", "v"), tableDir, batchId = 4L,
       retainVersions = 1)
-    assert(!phantom.exists())
+    assert(!phantom.exists() && !tmp.exists() && !torn.exists())
     assert(M.versions(tableDir).map(_.batchId) === Seq(4L))
   }
   test("streaming co-occurrence top pairs match the batch pair census per window") {
     implicit val sqlCtx = spark.sqlContext
     // transactions: (alert-rule baskets) with planted frequent pairs
     val rows: Seq[(Seq[String], Timestamp)] = Seq(
+      // planted separator collision: {"a|b","c"} and {"a","b|c"} must
+      // stay DISTINCT pairs (review r15)
+      (Seq("a|b", "c"), ts("2025-01-01 01:01:00")),
+      (Seq("a", "b|c"), ts("2025-01-01 01:02:00")),
       (Seq("brute", "geo"), ts("2025-01-01 01:05:00")),
       (Seq("geo", "brute", "brute"), ts("2025-01-01 01:15:00")), // dup item
       (Seq("brute", "exfil", "geo"), ts("2025-01-01 01:25:00")),
@@ -1809,7 +1826,7 @@ class StreamingSpec extends SparkSpec {
         .flatMap { case ((items, t), b) =>
           val d = items.distinct.sorted
           for (i <- d.indices; j <- (i + 1) until d.length)
-            yield (s"${d(i)}|${d(j)}", t)
+            yield (s"${d(i)}\u001f${d(j)}", t)
         }
         .toDF("pair", "timestamp")
         .groupBy(window(col("timestamp"), "1 hour"), col("pair"))
@@ -1818,6 +1835,9 @@ class StreamingSpec extends SparkSpec {
         .as[(Timestamp, String, Long)].collect().toSet
       assert(streamed === batch,
         s"stream-only ${streamed -- batch}; batch-only ${batch -- streamed}")
+      // the planted collision stayed two distinct pairs
+      assert(streamed.count(p => p._2.contains("a") && p._2.contains("c")
+        && p._2.contains("b")) == 2)
       // error column is 0 everywhere: k exceeded distinct pairs -> exact
       assert(spark.table("coocc_out").where(col("error") =!= 0).isEmpty)
     } finally q.stop()

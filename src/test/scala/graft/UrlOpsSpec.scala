@@ -59,6 +59,9 @@ class UrlOpsSpec extends SparkSpec {
   test("non-absolute input passes through unchanged") {
     assert(canon("not a url", "relative/path?utm_source=x") ==
       Seq("not a url", "relative/path?utm_source=x"))
+    // absoluteness is judged after the fragment strip (review r15):
+    // a '#' BEFORE the '://' means the '://' is inside the fragment
+    assert(canon("see notes#https://x.com") == Seq("see notes#https://x.com"))
   }
 
   test("canonicalize is idempotent over the messy derived corpus") {
