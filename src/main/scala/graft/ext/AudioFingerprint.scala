@@ -247,34 +247,12 @@ object AudioFingerprint {
   def incrementalAudioDedup(
       spark: SparkSession, batch: DataFrame, bucketIndex: DataFrame,
       maxHamming: Int = 3, bands: Int = 0): DataFrame = {
-    val fpBits = (Frames - 1) * (Bands - 1)
-    val nBands = HammingBands.resolveBands(maxHamming, bands, fpBits)
     // Pinned: the batch signature table feeds the corpus join, the peer
     // self-join, AND the output spine (decode is the costly stage).
     val sigs = audioFingerprints(spark, batch)
       .select(col("media_id"), col("fp"))
       .localCheckpoint(true)
-    val bucketed = sigs.where(col("fp").isNotNull)
-      .select(col("media_id"), col("fp"),
-        explode(array(HammingBands.bandKeys(col("fp"), fpBits, nBands): _*))
-          .as("bucket"))
-      .localCheckpoint(true)
-    val vsCorpus = bucketed
-      .join(bucketIndex.select(col("bucket"),
-        col("media_id").as("_cid"), col("fp").as("_cfp")), Seq("bucket"))
-      .where(bit_count(col("fp").bitwiseXOR(col("_cfp"))) <= maxHamming)
-      .groupBy("media_id").agg(min(col("_cid")).as("_crep"))
-    val vsBatch = bucketed
-      .join(bucketed.select(col("bucket"),
-        col("media_id").as("_bid"), col("fp").as("_bfp")), Seq("bucket"))
-      .where(bit_count(col("fp").bitwiseXOR(col("_bfp"))) <= maxHamming)
-      .groupBy("media_id").agg(min(col("_bid")).as("_brep"))
-    sigs.select("media_id")
-      .join(vsCorpus, Seq("media_id"), "left")
-      .join(vsBatch, Seq("media_id"), "left")
-      .withColumn("rep_id",
-        coalesce(col("_crep"), col("_brep"), col("media_id")))
-      .withColumn("is_dup", col("rep_id") =!= col("media_id"))
-      .drop("_crep", "_brep")
+    HammingBands.incrementalScreen(sigs, bucketIndex, "fp",
+      (Frames - 1) * (Bands - 1), maxHamming, bands)
   }
 }

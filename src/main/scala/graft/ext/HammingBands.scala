@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Shared banding for Hamming-ball candidate generation over integral
@@ -67,4 +67,50 @@ object HammingBands {
     require(nb <= fpBits, s"bands must be <= $fpBits, got $nb")
     nb
   }
+  /** Shared single-fingerprint incremental-admission screen — the
+    * common core of [[ImageHash.incrementalImageDedup]] and
+    * [[AudioFingerprint.incrementalAudioDedup]] (review r15: the two
+    * bodies were verbatim twins modulo the hash column and width, and
+    * had already begun to drift). Screens a PINNED batch signature
+    * frame against the persisted corpus index, then against batch
+    * peers: `rep_id` = smallest corpus id within `maxHamming` (corpus
+    * authoritative), else smallest batch id (self included, Hamming 0),
+    * else the asset itself; NULL-hash rows ride the spine and admit
+    * (no evidence). Video keeps its own screen — its census semantics
+    * (distinct matched KEYFRAMES on both sides) do not reduce to a
+    * single-hash min.
+    *
+    * @param sigs  (media_id, hashCol) — one row per batch asset,
+    *              localCheckpoint'd by the caller (it feeds three
+    *              consumers here)
+    * @param index (bucket, media_id, hashCol) persisted corpus rows
+    */
+  def incrementalScreen(
+      sigs: DataFrame, index: DataFrame, hashCol: String, fpBits: Int,
+      maxHamming: Int, bands: Int): DataFrame = {
+    val nBands = resolveBands(maxHamming, bands, fpBits)
+    val bucketed = sigs.where(col(hashCol).isNotNull)
+      .select(col("media_id"), col(hashCol),
+        explode(array(bandKeys(col(hashCol), fpBits, nBands): _*))
+          .as("bucket"))
+      .localCheckpoint(true)
+    val vsCorpus = bucketed
+      .join(index.select(col("bucket"),
+        col("media_id").as("_cid"), col(hashCol).as("_chash")), Seq("bucket"))
+      .where(bit_count(col(hashCol).bitwiseXOR(col("_chash"))) <= maxHamming)
+      .groupBy("media_id").agg(min(col("_cid")).as("_crep"))
+    val vsBatch = bucketed
+      .join(bucketed.select(col("bucket"),
+        col("media_id").as("_bid"), col(hashCol).as("_bhash")), Seq("bucket"))
+      .where(bit_count(col(hashCol).bitwiseXOR(col("_bhash"))) <= maxHamming)
+      .groupBy("media_id").agg(min(col("_bid")).as("_brep"))
+    sigs.select("media_id")
+      .join(vsCorpus, Seq("media_id"), "left")
+      .join(vsBatch, Seq("media_id"), "left")
+      .withColumn("rep_id",
+        coalesce(col("_crep"), col("_brep"), col("media_id")))
+      .withColumn("is_dup", col("rep_id") =!= col("media_id"))
+      .drop("_crep", "_brep")
+  }
+
 }

@@ -757,33 +757,12 @@ object ImageHash {
   def incrementalImageDedup(
       spark: SparkSession, batch: DataFrame, bucketIndex: DataFrame,
       maxHamming: Int = 3, bands: Int = 0): DataFrame = {
-    val nBands = HammingBands.resolveBands(maxHamming, bands, 64)
     // Pinned: the batch signature table feeds the corpus join, the peer
     // self-join, AND the output spine (decode is the costly stage).
     val sigs = imageHashes(spark, batch)
       .select(col("media_id"), col("dhash"))
       .localCheckpoint(true)
-    val bucketed = sigs.where(col("dhash").isNotNull)
-      .select(col("media_id"), col("dhash"),
-        explode(array(HammingBands.bandKeys(col("dhash"), 64, nBands): _*))
-          .as("bucket"))
-      .localCheckpoint(true)
-    val vsCorpus = bucketed
-      .join(bucketIndex.select(col("bucket"),
-        col("media_id").as("_cid"), col("dhash").as("_chash")), Seq("bucket"))
-      .where(bit_count(col("dhash").bitwiseXOR(col("_chash"))) <= maxHamming)
-      .groupBy("media_id").agg(min(col("_cid")).as("_crep"))
-    val vsBatch = bucketed
-      .join(bucketed.select(col("bucket"),
-        col("media_id").as("_bid"), col("dhash").as("_bhash")), Seq("bucket"))
-      .where(bit_count(col("dhash").bitwiseXOR(col("_bhash"))) <= maxHamming)
-      .groupBy("media_id").agg(min(col("_bid")).as("_brep"))
-    sigs.select("media_id")
-      .join(vsCorpus, Seq("media_id"), "left")
-      .join(vsBatch, Seq("media_id"), "left")
-      .withColumn("rep_id",
-        coalesce(col("_crep"), col("_brep"), col("media_id")))
-      .withColumn("is_dup", col("rep_id") =!= col("media_id"))
-      .drop("_crep", "_brep")
+    HammingBands.incrementalScreen(sigs, bucketIndex, "dhash", 64,
+      maxHamming, bands)
   }
 }
