@@ -263,4 +263,76 @@ object UrlOps {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("_curl")).as("n_urls"),
         sum(col("_chars")).as("total_chars"))
+  /** Parse a robots.txt body into the [[UrlRule]] set for one
+    * user-agent — the missing front half of [[applyUrlPolicy]] (which
+    * already implements REP's longest-prefix-wins precedence): fetch a
+    * domain's robots.txt once, parse it here, apply the rules to every
+    * crawled URL of that domain map-side. Driver-side string parsing on
+    * a BOUNDED policy input (robots bodies are kilobytes), like the
+    * threat-feed loaders.
+    *
+    * Implements the RFC 9309 core:
+    *  - `field: value` lines, case-insensitive field names, `#`
+    *    comments stripped, blank-line tolerant;
+    *  - groups = consecutive `User-agent` lines followed by rules; a
+    *    group applies when any UA line token-matches `userAgent`
+    *    (case-insensitive) or is `*`;
+    *  - the MOST SPECIFIC agent wins: when any exact-agent group
+    *    exists, `*` groups are ignored entirely;
+    *  - `Allow`/`Disallow` values are path prefixes; an empty
+    *    `Disallow` means "allow all" (no rule emitted);
+    *  - duplicate (prefix) rules collapse with ALLOW winning the tie
+    *    (RFC 9309 §2.2.2's least-restrictive tiebreak).
+    * Documented simplification: `*`/`$` wildcards inside paths are
+    * truncated at the first `*` and matched as plain prefixes (`$` is
+    * dropped) — a conservative approximation that errs toward the rule
+    * applying more broadly, never toward crawling a disallowed tree
+    * more deeply than a literal reading would.
+    */
+  def parseRobots(
+      robotsTxt: String, domain: String,
+      userAgent: String = "*"): Seq[UrlRule] = {
+    require(domain.nonEmpty, "parseRobots needs the rules' domain")
+    val ua = userAgent.toLowerCase(java.util.Locale.ROOT)
+    final case class Group(agents: Vector[String], rules: Vector[(String, Boolean)])
+    val lines = robotsTxt.split("\\r?\\n").iterator
+      .map(l => (if (l.indexOf('#') >= 0) l.substring(0, l.indexOf('#')) else l).trim)
+      .filter(_.nonEmpty)
+      .flatMap { l =>
+        val i = l.indexOf(':')
+        if (i <= 0) None
+        else Some((l.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT),
+          l.substring(i + 1).trim))
+      }.toVector
+    // group splitting: a user-agent line AFTER any rule line starts a
+    // new group; consecutive user-agent lines share one group
+    val groups = lines.foldLeft(Vector.empty[Group]) {
+      case (gs, ("user-agent", v)) =>
+        val agent = v.toLowerCase(java.util.Locale.ROOT)
+        gs.lastOption match {
+          case Some(g) if g.rules.isEmpty =>
+            gs.init :+ g.copy(agents = g.agents :+ agent)
+          case _ => gs :+ Group(Vector(agent), Vector.empty)
+        }
+      case (gs, (field, v)) if field == "allow" || field == "disallow" =>
+        gs.lastOption match {
+          case Some(g) =>
+            val prefix = v.takeWhile(_ != '*').stripSuffix("$")
+            val rule =
+              if (field == "disallow" && v.isEmpty) None // allow-all
+              else Some((prefix, field == "allow"))
+            rule.fold(gs)(r => gs.init :+ g.copy(rules = g.rules :+ r))
+          case None => gs // rules before any user-agent line: ignored
+        }
+      case (gs, _) => gs // crawl-delay / sitemap / unknown fields
+    }
+    val exact = groups.filter(_.agents.contains(ua))
+    val chosen = if (exact.nonEmpty) exact else groups.filter(_.agents.contains("*"))
+    chosen.flatMap(_.rules)
+      .groupBy(_._1)
+      .map { case (prefix, rs) => UrlRule(domain, prefix, rs.exists(_._2)) }
+      .toSeq
+      .sortBy(r => (r.pathPrefix, r.allow))
+  }
+
 }

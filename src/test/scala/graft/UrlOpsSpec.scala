@@ -179,4 +179,48 @@ class UrlOpsSpec extends SparkSpec {
       .orderBy("domain").as[(String, Long, Long, Long)].collect().toSeq
     assert(got == Seq(("other.com", 1L, 1L, 5L), ("x.co.uk", 3L, 2L, 60L)))
   }
+  test("parseRobots: groups, comments, precedence, wildcard truncation") {
+    val robots = """
+      |# our crawl policy
+      |User-agent: *
+      |Disallow: /private
+      |Allow: /private/ok   # carve-out
+      |Disallow: /tmp*junk$
+      |
+      |User-agent: GraftBot
+      |User-agent: OtherBot
+      |Disallow: /graft-only
+      |Allow:
+      |
+      |Sitemap: https://a.com/sitemap.xml
+      |Crawl-delay: 10
+      |""".stripMargin
+    // wildcard-agent group for an unknown agent
+    val star = UrlOps.parseRobots(robots, "a.com", "somebot")
+    assert(star.toSet === Set(
+      UrlOps.UrlRule("a.com", "/private", allow = false),
+      UrlOps.UrlRule("a.com", "/private/ok", allow = true),
+      UrlOps.UrlRule("a.com", "/tmp", allow = false))) // truncated at '*'
+    // the exact-agent group SUPERSEDES '*' entirely (RFC 9309)
+    val bot = UrlOps.parseRobots(robots, "a.com", "graftbot")
+    assert(bot.toSet === Set(
+      UrlOps.UrlRule("a.com", "/graft-only", allow = false),
+      UrlOps.UrlRule("a.com", "", allow = true))) // empty Allow = root allow
+    // parsed rules drive the existing policy engine end-to-end
+    val df = Seq(
+      (1L, "https://www.a.com/private/x"),
+      (2L, "https://www.a.com/private/ok/y"),
+      (3L, "https://www.a.com/public")).toDF("doc_id", "url")
+    val got = UrlOps.applyUrlPolicy(df, "url", star)
+      .select("doc_id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> true))
+    // duplicate prefixes collapse, allow winning the tie
+    val dup = UrlOps.parseRobots(
+      "User-agent: *\nDisallow: /p\nAllow: /p", "a.com")
+    assert(dup === Seq(UrlOps.UrlRule("a.com", "/p", allow = true)))
+    // empty Disallow emits no rule; rule lines before any UA are ignored
+    assert(UrlOps.parseRobots("Disallow: /x\nUser-agent: *\nDisallow:", "a.com")
+      .isEmpty)
+    intercept[IllegalArgumentException](UrlOps.parseRobots("", ""))
+  }
 }
