@@ -895,37 +895,131 @@ object Dedup {
     agg.select(col(id), sim.as("sim"))
   }
 
-  /** SimHash near-dup candidates with GUARANTEED recall at Hamming <= 3:
-    * the fingerprint splits into 4 disjoint 16-bit bands; a pair
-    * within Hamming distance 3 differs in at most 3 bands (pigeonhole), so
-    * it MUST agree exactly on at least one band and surfaces in that
-    * band's bucket. Candidates are the union over bands (each row explodes
-    * to 4 (band, key) buckets — O(n·4), no pairwise stage), then verified
-    * with full Hamming distance. More generally, b bands guarantee recall
-    * for maxHamming <= b-1; the default 4 bands cover the default 3.
+  /** The 4 disjoint 16-bit band-bucket keys of a simhash fingerprint:
+    * band b is bits [16b, 16b+16); the band index is part of the key so
+    * band 0's bucket space never collides with band 1's. Pigeonhole: a
+    * pair within Hamming distance 3 differs in at most 3 bands, so it
+    * MUST agree exactly on at least one band and surfaces in that band's
+    * bucket. More generally, b bands guarantee recall for
+    * maxHamming <= b-1; the fixed 4 bands cover the default 3.
     */
-  def simhashPairs(df: DataFrame, id: String, text: String, maxHamming: Int = 3): DataFrame = {
-    val bands = 4
-    require(maxHamming <= bands - 1,
-      s"$bands bands only guarantee recall for Hamming <= ${bands - 1}, got $maxHamming")
-    val sigs = simhashTable(df, id, text)
-    // bucket key = (band index, that band's 16 bits): band b is bits
-    // [16b, 16b+16). The band index is part of the key so band 0's bucket
-    // space never collides with band 1's.
-    val bandKeys = (0 until bands).map { bnd =>
+  private val SimhashBandCount = 4
+  private def simhashBandKeys(sim: Column): Seq[Column] =
+    (0 until SimhashBandCount).map { bnd =>
       struct(lit(bnd).as("band"),
-        shiftright(col("sim"), 16 * bnd).bitwiseAND(0xFFFFL).as("bits"))
+        shiftright(sim, 16 * bnd).bitwiseAND(0xFFFFL).as("bits"))
     }
-    val bucketed = sigs.select(col(id), col("sim"),
-      explode(array(bandKeys: _*)).as("bucket"))
-    val a = bucketed.select(col(id).as("id1"), col("sim").as("sim1"), col("bucket"))
-    val b = bucketed.select(col(id).as("id2"), col("sim").as("sim2"), col("bucket"))
+
+  /** Distinct-fingerprint CLASSES of a corpus: one row per distinct
+    * simhash value with its representative (smallest doc id) and member
+    * count. The collapse that makes the pairs/assignment APIs safe on
+    * duplicate-heavy corpora: every downstream banding/joining stage
+    * works on classes, whose count is bounded by the number of DISTINCT
+    * fingerprints, not documents — a corpus that is 90% boilerplate
+    * mirrors collapses 10x here before anything self-joins.
+    */
+  private def simhashClasses(df: DataFrame, id: String, text: String): DataFrame =
+    simhashTable(df, id, text)
+      .groupBy("sim")
+      .agg(min(col(id)).as("crep"), count(lit(1)).as("cnt"))
+
+  /** Cross-class near-dup edges: pairs of DISTINCT fingerprints within
+    * `maxHamming`, surfaced via the band buckets (union over bands —
+    * O(classes · 4), no all-pairs stage) and verified with full Hamming
+    * distance. One row per unordered class pair, carrying both reps and
+    * counts. Shared by [[simhashPairs]] and [[simhashDedup]].
+    */
+  private def simhashClassEdges(classes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= SimhashBandCount - 1,
+      s"$SimhashBandCount bands only guarantee recall for Hamming <= " +
+        s"${SimhashBandCount - 1}, got $maxHamming")
+    val banded = classes.select(col("sim"), col("crep"), col("cnt"),
+      explode(array(simhashBandKeys(col("sim")): _*)).as("bucket"))
+    val a = banded.select(col("sim").as("sim1"), col("crep").as("rep1"),
+      col("cnt").as("cnt1"), col("bucket"))
+    val b = banded.select(col("sim").as("sim2"), col("crep").as("rep2"),
+      col("cnt").as("cnt2"), col("bucket"))
     a.join(b, Seq("bucket"))
-      .filter(col("id1") < col("id2"))
+      .filter(col("sim1") < col("sim2")) // unordered pair, once
       .withColumn("hamming", bit_count(col("sim1").bitwiseXOR(col("sim2"))))
       .filter(col("hamming") <= maxHamming)
-      // a pair can match in several bands — dedup across bands
-      .select("id1", "id2", "hamming").distinct()
+      // a class pair can match in several bands — dedup across bands;
+      // reps/counts are functions of the sims, so they ride the distinct
+      .select("sim1", "sim2", "rep1", "rep2", "cnt1", "cnt2", "hamming")
+      .distinct()
+  }
+
+  /** SimHash near-dup pairs, COLLAPSED to fingerprint classes so the
+    * output is never quadratic in duplicate-class size. Identical
+    * fingerprints are grouped BEFORE banding; the result has one row per
+    * near-dup CLASS PAIR rather than one per document pair:
+    *
+    *  - intra-class rows (`id1 == id2` = the class representative,
+    *    `hamming = 0`): all `n_pairs = cnt·(cnt−1)/2` document pairs
+    *    inside one identical-fingerprint class;
+    *  - cross-class rows (`id1 < id2` = the two class representatives,
+    *    `hamming` in [1, maxHamming]): all `n_pairs = cnt1·cnt2` document
+    *    pairs across the two classes.
+    *
+    * Sum of `n_pairs` equals the exact document-pair count the exploded
+    * form would emit, but the row count is linear in distinct
+    * fingerprints plus class edges — on a crawl corpus where mirrored
+    * boilerplate forms classes of millions of documents, the exploded
+    * list is O(c²) per class and unwritable at 100 TB, while this shape
+    * stays one row per class. (Recall guarantee: see
+    * [[simhashBandKeys]].)
+    */
+  def simhashPairs(df: DataFrame, id: String, text: String, maxHamming: Int = 3): DataFrame = {
+    val classes = simhashClasses(df, id, text)
+    val intra = classes.filter(col("cnt") >= 2)
+      .select(col("crep").as("id1"), col("crep").as("id2"),
+        lit(0).as("hamming"),
+        // cnt·(cnt−1) is even, so the shift is exact integer C(cnt,2) —
+        // no double-division roundtrip for huge classes
+        shiftright(col("cnt") * (col("cnt") - 1), 1).as("n_pairs"))
+    val cross = simhashClassEdges(classes, maxHamming)
+      .select(least(col("rep1"), col("rep2")).as("id1"),
+        greatest(col("rep1"), col("rep2")).as("id2"),
+        col("hamming"),
+        (col("cnt1") * col("cnt2")).cast("long").as("n_pairs"))
+    intra.unionByName(cross)
+  }
+
+  /** SimHash deduplication as a KEEP/DROP assignment (the
+    * [[minhashDedup]] shape, with simhash's exact Hamming verify): each
+    * document's `rep_id` is the smallest doc id among its own
+    * identical-fingerprint class and every class within `maxHamming` of
+    * it (one-step label propagation toward the neighborhood minimum).
+    * Documents with `rep_id != id` are near-dup candidates to drop.
+    *
+    * This is the 100 TB-safe shape the pair list can never be: identical
+    * fingerprints collapse to one class row before banding, the band
+    * self-join runs over DISTINCT fingerprints only, and the per-document
+    * output is exactly one row. Unlike the LSH bucket-min of
+    * [[minhashDedup]], every propagation edge here is Hamming-VERIFIED —
+    * two classes sharing a band but differing in > maxHamming bits never
+    * merge. Full transitive closure would iterate the propagation
+    * ([[minhashDedupClusters]]' loop applied to class edges).
+    *
+    * Documents absent from [[simhashTable]] (NULL text — no tokens, no
+    * fingerprint) keep themselves: `rep_id = id`, `is_dup = false`.
+    */
+  def simhashDedup(df: DataFrame, id: String, text: String, maxHamming: Int = 3): DataFrame = {
+    val classes = simhashClasses(df, id, text)
+    // smallest neighboring-class rep per fingerprint, from BOTH edge
+    // directions (edges carry each unordered pair once)
+    val edges = simhashClassEdges(classes, maxHamming)
+    val neigh = edges.select(col("sim1").as("sim"), col("rep2").as("nrep"))
+      .unionByName(edges.select(col("sim2").as("sim"), col("rep1").as("nrep")))
+      .groupBy("sim").agg(min(col("nrep")).as("nrep"))
+    val classRep = classes.join(neigh, Seq("sim"), "left")
+      .select(col("sim"),
+        least(col("crep"), coalesce(col("nrep"), col("crep"))).as("_rep"))
+    val sigs = simhashTable(df, id, text)
+    df.select(col(id))
+      .join(sigs.join(classRep, "sim").select(col(id), col("_rep")), Seq(id), "left")
+      .select(col(id), coalesce(col("_rep"), col(id)).as("rep_id"))
+      .withColumn("is_dup", col(id) =!= col("rep_id"))
   }
 
   /** Embedding-cosine near-duplicates: LSH-bucketed candidate pairs

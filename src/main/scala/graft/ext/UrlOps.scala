@@ -275,19 +275,25 @@ object UrlOps {
     *  - `field: value` lines, case-insensitive field names, `#`
     *    comments stripped, blank-line tolerant;
     *  - groups = consecutive `User-agent` lines followed by rules; a
-    *    group applies when any UA line token-matches `userAgent`
-    *    (case-insensitive) or is `*`;
+    *    group applies when the UA line's PRODUCT TOKEN (the value up to
+    *    the first `/` or whitespace, per RFC 9309 §2.2.1 — so
+    *    `User-agent: graftbot/1.0` matches `graftbot`) equals
+    *    `userAgent` case-insensitively, or is `*`;
     *  - the MOST SPECIFIC agent wins: when any exact-agent group
     *    exists, `*` groups are ignored entirely;
     *  - `Allow`/`Disallow` values are path prefixes; an empty
     *    `Disallow` means "allow all" (no rule emitted);
     *  - duplicate (prefix) rules collapse with ALLOW winning the tie
     *    (RFC 9309 §2.2.2's least-restrictive tiebreak).
-    * Documented simplification: `*`/`$` wildcards inside paths are
-    * truncated at the first `*` and matched as plain prefixes (`$` is
-    * dropped) — a conservative approximation that errs toward the rule
-    * applying more broadly, never toward crawling a disallowed tree
-    * more deeply than a literal reading would.
+    * Documented simplification — ASYMMETRIC by decision polarity so the
+    * approximation never errs toward crawling a disallowed tree:
+    * `Disallow` values are truncated at the first `*` (and `$`
+    * stripped) and matched as plain prefixes, which only BROADENS the
+    * deny; `Allow` values containing `*` or anchored with `$` are
+    * DROPPED entirely, because the same truncation would broaden the
+    * allow (e.g. `Disallow: /` + `Allow: /$` — allow the homepage
+    * only — must not collapse into an allow-all prefix `/`). A dropped
+    * allow errs toward not crawling, never the reverse.
     */
   def parseRobots(
       robotsTxt: String, domain: String,
@@ -317,16 +323,24 @@ object UrlOps {
       case (gs, (field, v)) if field == "allow" || field == "disallow" =>
         gs.lastOption match {
           case Some(g) =>
-            val prefix = v.takeWhile(_ != '*').stripSuffix("$")
+            val allow = field == "allow"
             val rule =
-              if (field == "disallow" && v.isEmpty) None // allow-all
-              else Some((prefix, field == "allow"))
+              if (v.isEmpty) {
+                if (allow) Some(("", true)) else None // empty Disallow = allow-all
+              } else if (allow && (v.contains('*') || v.endsWith("$"))) {
+                None // truncating an Allow would broaden crawling: drop it
+              } else {
+                Some((v.takeWhile(_ != '*').stripSuffix("$"), allow))
+              }
             rule.fold(gs)(r => gs.init :+ g.copy(rules = g.rules :+ r))
           case None => gs // rules before any user-agent line: ignored
         }
       case (gs, _) => gs // crawl-delay / sitemap / unknown fields
     }
-    val exact = groups.filter(_.agents.contains(ua))
+    // RFC 9309 §2.2.1: match on the UA line's product token, so
+    // "User-agent: graftbot/1.0" still selects the graftbot group
+    def token(agent: String): String = agent.split("[/\\s]", 2)(0)
+    val exact = groups.filter(_.agents.exists(a => a != "*" && token(a) == ua))
     val chosen = if (exact.nonEmpty) exact else groups.filter(_.agents.contains("*"))
     chosen.flatMap(_.rules)
       .groupBy(_._1)

@@ -235,12 +235,16 @@ object ExtensionQueries {
             FROM l$maxIter ORDER BY doc_id"""
   }
 
-  /** The DuckDB replay of simhash near-dup pairing: the 60-bit md5-based
+  /** The shared CTE chain of the simhash oracles: the 60-bit md5-based
     * fingerprint ([[Dedup.simhashTable]] — bit votes as conditional sums,
-    * fingerprint reassembled from vote signs), 4 16-bit band buckets, and
-    * full-Hamming verification, all in exact integer arithmetic.
+    * fingerprint reassembled from vote signs), COLLAPSED to distinct-
+    * fingerprint classes (rep = min doc id, member count), then the 4
+    * 16-bit band buckets over the classes — the exact replay of
+    * [[Dedup]]'s collapse-before-banding discipline, all in exact
+    * integer arithmetic. Ends at CTE `banded(sim, crep, cnt, bk)` with
+    * `sig(doc_id, sim)` and `classes(sim, crep, cnt)` also in scope.
     */
-  private def simhashPairsOracle(maxHamming: Int): String = {
+  private def simhashClassCtes: String = {
     val bitSums = (0 until Dedup.SimhashBits).map { i =>
       s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i"
     }.mkString(",\n                    ")
@@ -250,7 +254,7 @@ object ExtensionQueries {
     val bandKeys = (0 until 4).map { b =>
       s"'$b:' || CAST((sim >> ${16 * b}) & 65535 AS VARCHAR)"
     }.mkString(",\n                      ")
-    s"""WITH tok AS MATERIALIZED (
+    s"""tok AS MATERIALIZED (
        |              SELECT DISTINCT doc_id, u.term AS tok
        |              FROM (SELECT doc_id,
        |                           regexp_split_to_array(trim(text), '\\s+') AS t
@@ -266,16 +270,74 @@ object ExtensionQueries {
        |            sig AS MATERIALIZED (SELECT doc_id,
        |                    $sim AS sim
        |                    FROM bits),
-       |            banded AS MATERIALIZED (SELECT doc_id, sim, u.bk
-       |                      FROM sig,
-       |                      unnest([$bandKeys]) AS u(bk))
-       |            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
-       |                   bit_count(xor(a.sim, b.sim)) AS hamming
-       |            FROM banded a JOIN banded b
-       |              ON a.bk = b.bk AND a.doc_id < b.doc_id
-       |            WHERE bit_count(xor(a.sim, b.sim)) <= $maxHamming
-       |            ORDER BY id1, id2""".stripMargin
+       |            classes AS MATERIALIZED (
+       |              SELECT sim, min(doc_id) AS crep,
+       |                     CAST(count(*) AS BIGINT) AS cnt
+       |              FROM sig GROUP BY sim),
+       |            banded AS MATERIALIZED (SELECT sim, crep, cnt, u.bk
+       |                      FROM classes,
+       |                      unnest([$bandKeys]) AS u(bk))""".stripMargin
   }
+
+  /** Hamming-verified DISTINCT-fingerprint class edges (one row per
+    * unordered class pair surfaced by a shared band) — the cross-class
+    * half of both simhash oracles.
+    */
+  private def simhashEdgesCte(maxHamming: Int): String =
+    s"""edges AS MATERIALIZED (
+       |              SELECT DISTINCT a.sim AS sim1, b.sim AS sim2,
+       |                     a.crep AS rep1, b.crep AS rep2,
+       |                     a.cnt AS cnt1, b.cnt AS cnt2,
+       |                     CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER)
+       |                       AS hamming
+       |              FROM banded a JOIN banded b
+       |                ON a.bk = b.bk AND a.sim < b.sim
+       |              WHERE bit_count(xor(a.sim, b.sim)) <= $maxHamming)""".stripMargin
+
+  /** [[Dedup.simhashPairs]]' collapsed class-pair output: intra-class
+    * rows (id1 = id2 = rep, hamming 0, C(cnt,2) pairs) unioned with
+    * cross-class rows (rep pair, verified hamming, cnt1·cnt2 pairs).
+    */
+  private def simhashPairsOracle(maxHamming: Int): String =
+    s"""WITH $simhashClassCtes,
+       |            ${simhashEdgesCte(maxHamming)}
+       |            SELECT crep AS id1, crep AS id2,
+       |                   CAST(0 AS INTEGER) AS hamming,
+       |                   (cnt * (cnt - 1)) // 2 AS n_pairs
+       |            FROM classes WHERE cnt >= 2
+       |            UNION ALL
+       |            SELECT least(rep1, rep2) AS id1,
+       |                   greatest(rep1, rep2) AS id2,
+       |                   hamming, cnt1 * cnt2 AS n_pairs
+       |            FROM edges
+       |            ORDER BY id1, id2""".stripMargin
+
+  /** [[Dedup.simhashDedup]]'s keep/drop replay: per-fingerprint
+    * neighborhood minimum over both edge directions, least() with the
+    * class's own rep, mapped back to documents (NULL-text documents keep
+    * themselves via the left join).
+    */
+  private def simhashDedupOracle(maxHamming: Int): String =
+    s"""WITH $simhashClassCtes,
+       |            ${simhashEdgesCte(maxHamming)},
+       |            neigh AS (
+       |              SELECT sim, min(nrep) AS nrep FROM (
+       |                SELECT sim1 AS sim, rep2 AS nrep FROM edges
+       |                UNION ALL
+       |                SELECT sim2 AS sim, rep1 AS nrep FROM edges)
+       |              GROUP BY sim),
+       |            rep AS (
+       |              SELECT c.sim,
+       |                     least(c.crep, coalesce(n.nrep, c.crep)) AS rep_id
+       |              FROM classes c LEFT JOIN neigh n USING (sim)),
+       |            assigned AS (
+       |              SELECT s.doc_id, r.rep_id
+       |              FROM sig s JOIN rep r USING (sim))
+       |            SELECT d.doc_id,
+       |                   coalesce(a.rep_id, d.doc_id) AS rep_id,
+       |                   d.doc_id <> coalesce(a.rep_id, d.doc_id) AS is_dup
+       |            FROM documents d LEFT JOIN assigned a USING (doc_id)
+       |            ORDER BY doc_id""".stripMargin
 
   /** MinHash+LSH dedup as a per-document keep/drop assignment (the
     * pairwise candidate list is quadratic on this corpus — ~8M pairs from
@@ -624,15 +686,31 @@ object ExtensionQueries {
                   FROM documents)
             GROUP BY lang ORDER BY lang"""))
 
-  /** SimHash near-dup pairs (Hamming <= 3 within 16-bit band buckets).
-    * Hash-checked via [[simhashPairsOracle]] — the md5-based fingerprint
-    * makes the whole band-bucket-verify pipeline an exact integer replay.
+  /** SimHash near-dup pairs (Hamming <= 3 within 16-bit band buckets),
+    * COLLAPSED to fingerprint-class rows so duplicate-heavy corpora never
+    * materialize a quadratic pair list (one row per identical-fingerprint
+    * class + one per verified class pair, each carrying its exact
+    * document-pair multiplicity `n_pairs`). Hash-checked via
+    * [[simhashPairsOracle]] — the md5-based fingerprint makes the whole
+    * collapse-band-verify pipeline an exact integer replay.
     */
   val qDedupSimhash = QueryDef(
     "q_dedup_simhash",
     (s, d) => Dedup.simhashPairs(docs(s, d), "doc_id", "text")
       .orderBy("id1", "id2"),
     Some(simhashPairsOracle(maxHamming = 3)))
+
+  /** SimHash dedup as a per-document KEEP/DROP assignment
+    * ([[Dedup.simhashDedup]] — the minhashDedup shape with Hamming-
+    * verified propagation edges): output is exactly one row per document
+    * regardless of duplicate-class size, the 100 TB shape the pair list
+    * cannot be. Hash-checked via [[simhashDedupOracle]].
+    */
+  val qDedupSimhashAssign = QueryDef(
+    "q_dedup_simhash_assign",
+    (s, d) => Dedup.simhashDedup(docs(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(simhashDedupOracle(maxHamming = 3)))
 
   /** The DuckDB replay of the hyperplane-LSH near-dup pipeline: the plane
     * components derive from `xxhash64(bit, dim)` over INT inputs, whose
@@ -4387,7 +4465,8 @@ object ExtensionQueries {
     qDsirScore, qDsirSelect, qDsirSample, qEmbedDrift,
     qDedupExact, qDedupExactHash, qNgramJaccard, qFuzzyPairs, qDedupMinhash,
     qDedupClusters,
-    qDedupSimhash, qDedupEmbed, qDedupSemdedup, qDedupIncremental,
+    qDedupSimhash, qDedupSimhashAssign, qDedupEmbed, qDedupSemdedup,
+    qDedupIncremental,
     qDedupIncMinhash, qDedupPriority,
     qDecontaminate,
     qEmbedCosineTopk, qEmbedMeanpool, qAnnLsh, qAnnIvf, qAnnIvfLowid,

@@ -122,10 +122,43 @@ class ExtSpec extends SparkSpec {
     assert(fromCol(0L) === fromCol(1L)) // identical docs, identical fingerprint
   }
 
-  test("simhash pairs: identical docs at hamming 0") {
+  test("simhash pairs: identical docs collapse to one intra-class row") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text")
-      .as[(Long, Long, Int)].collect()
-    assert(pairs.exists { case (a, b, h) => a == 0L && b == 1L && h == 0 })
+      .as[(Long, Long, Int, Long)].collect()
+    // docs 0 and 1 share a fingerprint: ONE row (rep, rep, 0, C(2,2)=1),
+    // never an exploded (0, 1) document pair
+    assert(pairs.exists { case (a, b, h, n) => a == 0L && b == 0L && h == 0 && n == 1L })
+    assert(!pairs.exists { case (a, b, _, _) => a == 0L && b == 1L })
+  }
+
+  test("simhash dedup assignment: keep/drop with identical-class collapse") {
+    val got = Dedup.simhashDedup(docs, "doc_id", "text")
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, rep, dup) => id -> ((rep, dup)) }.toMap
+    assert(got.size === 6) // one row per document, always
+    assert(got(0L) === ((0L, false))) // class rep keeps itself
+    assert(got(1L) === ((0L, true))) // identical twin drops to the rep
+    // every rep is itself kept (one-step propagation invariant)
+    got.values.foreach { case (rep, _) => assert(got(rep)._1 === rep) }
+  }
+
+  test("simhash dedup: output rows stay LINEAR when a class is replicated") {
+    // 40 copies of one text + 3 distinct docs: the exploded pair list
+    // would be C(40,2) = 780 rows; the collapsed pairs API emits ONE
+    // intra-class row for the clones and the assignment stays 43 rows.
+    val clones = (0 until 40).map(i => (i.toLong, "same boilerplate page body"))
+    val rest = Seq((100L, "unique document alpha content"),
+      (101L, "another very different beta body"),
+      (102L, "gamma text unlike the others entirely"))
+    val corpus = (clones ++ rest).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text")
+      .as[(Long, Long, Int, Long)].collect()
+    val intra = pairs.filter(p => p._1 == 0L && p._2 == 0L)
+    assert(intra.length === 1 && intra.head._4 === 780L) // C(40,2) as ONE row
+    val assign = Dedup.simhashDedup(corpus, "doc_id", "text")
+      .as[(Long, Long, Boolean)].collect()
+    assert(assign.length === 43)
+    assert(assign.count { case (id, rep, dup) => rep == 0L && dup == (id != 0L) } >= 40)
   }
 
   test("simhash pairs: ALL hamming<=3 pairs found (4-band pigeonhole recall)") {
@@ -142,19 +175,36 @@ class ExtSpec extends SparkSpec {
 
     val sims = Dedup.simhashTable(corpus, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
-    val expected = (for {
-      a <- sims.keys; b <- sims.keys if a < b
-      h = java.lang.Long.bitCount(sims(a) ^ sims(b)) if h <= 3
-    } yield (a, b, h)).toSet
+    // the fixture naturally contains identical-fingerprint classes (a
+    // one-word swap does not always flip a bit), so this exercises BOTH
+    // the collapse and the cross-class banding
+    val classes = sims.groupBy(_._2).map { case (sim, m) =>
+      sim -> ((m.keys.min, m.size.toLong))
+    }
+    val expIntra = classes.values.collect { case (rep, cnt) if cnt >= 2 =>
+      (rep, rep, 0, cnt * (cnt - 1) / 2)
+    }.toSet
+    val expCross = (for {
+      (sa, (ra, ca)) <- classes; (sb, (rb, cb)) <- classes if sa < sb
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (math.min(ra, rb), math.max(ra, rb), h, ca * cb)).toSet
+    val expected = expIntra ++ expCross
     val found = Dedup.simhashPairs(corpus, "doc_id", "text")
-      .as[(Long, Long, Int)].collect().toSet
+      .as[(Long, Long, Int, Long)].collect().toSet
 
-    assert(expected.nonEmpty, "corpus must contain hamming<=3 pairs")
+    assert(expIntra.nonEmpty && expCross.nonEmpty,
+      "fixture must exercise both intra-class and cross-class rows")
     assert(found === expected) // exact recall AND precision within the radius
+    // pair-count conservation: sum of n_pairs equals the exploded count
+    val exploded = (for {
+      a <- sims.keys.toSeq; b <- sims.keys.toSeq if a < b
+      if java.lang.Long.bitCount(sims(a) ^ sims(b)) <= 3
+    } yield 1).sum
+    assert(found.toSeq.map(_._4).sum === exploded.toLong)
     // witness that single-band (high-16-bit) bucketing was lossy: at least
     // one recovered pair disagrees on the high band, so the pre-fix code
     // would have missed it
-    assert(expected.exists { case (a, b, h) =>
+    assert(expected.exists { case (a, b, h, _) =>
       h >= 1 && (sims(a) >>> 48) != (sims(b) >>> 48)
     })
   }

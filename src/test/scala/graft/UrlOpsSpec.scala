@@ -218,6 +218,23 @@ class UrlOpsSpec extends SparkSpec {
     val dup = UrlOps.parseRobots(
       "User-agent: *\nDisallow: /p\nAllow: /p", "a.com")
     assert(dup === Seq(UrlOps.UrlRule("a.com", "/p", allow = true)))
+    // ASYMMETRIC wildcard handling: 'Allow: /$' (homepage only) must NOT
+    // truncate into an allow-all '/' that collapses over 'Disallow: /' —
+    // the anchored allow is dropped and the site stays disallowed
+    val anchored = UrlOps.parseRobots(
+      "User-agent: *\nDisallow: /\nAllow: /$\nAllow: /pub*lic", "a.com")
+    assert(anchored === Seq(UrlOps.UrlRule("a.com", "/", allow = false)))
+    // Disallow wildcards still truncate (broadening the deny is safe)
+    val denyStar = UrlOps.parseRobots(
+      "User-agent: *\nDisallow: /a*b\nDisallow: /c$", "a.com")
+    assert(denyStar.toSet === Set(
+      UrlOps.UrlRule("a.com", "/a", allow = false),
+      UrlOps.UrlRule("a.com", "/c", allow = false)))
+    // UA lines match on the product token (RFC 9309 §2.2.1)
+    val versioned = UrlOps.parseRobots(
+      "User-agent: GraftBot/1.0\nDisallow: /v\n\nUser-agent: *\nDisallow: /w",
+      "a.com", "graftbot")
+    assert(versioned === Seq(UrlOps.UrlRule("a.com", "/v", allow = false)))
     // empty Disallow emits no rule; rule lines before any UA are ignored
     assert(UrlOps.parseRobots("Disallow: /x\nUser-agent: *\nDisallow:", "a.com")
       .isEmpty)
