@@ -118,12 +118,22 @@ object GraphAnn {
     * regardless of corpus size, which is the entire point of a graph
     * index at 100 TB.
     *
+    * `ef` is the SEARCH-TIME quality knob (the HNSW ef_search idea in
+    * batch form): when `ef > k`, the top-`ef` scored candidates per
+    * probe become a beam whose undirected neighbors are expanded one
+    * more hop, scored, and merged before the final top-k — recall
+    * rises without touching the built graph or paying more build
+    * rounds. Cost is ≤ ef·g NEW candidates per probe per beam round
+    * (already-scored candidates are anti-joined out, never rescored);
+    * `ef <= k` (the default 0) keeps the plain two-hop search.
+    *
     * @param graph  [[nnDescentGraph]] output (vec_id, nb_rank, nb_id, sim)
     * @param probes (qId) one column of probe node ids
+    * @param ef     beam width for one extra expansion round; <= k disables
     */
   def graphSearch(
       df: DataFrame, id: String, vec: String, graph: DataFrame,
-      probes: DataFrame, qId: String, k: Int): DataFrame = {
+      probes: DataFrame, qId: String, k: Int, ef: Int = 0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val vecs = df.select(col(id).cast("long").as("_id"), col(vec).as("_v"))
     val und = graph.select(col("vec_id").as("_node"), col("nb_id").as("_nb"))
@@ -131,18 +141,38 @@ object GraphAnn {
       .distinct()
       .localCheckpoint(true) // one-hop frontier AND the two-hop expansion
     val q = probes.select(col(qId).cast("long").as("_q"))
-    val hop1 = q.join(und.select(col("_node").as("_q"), col("_nb")), Seq("_q"))
-    val hop2 = hop1.select(col("_q"), col("_nb").as("_mid"))
-      .join(und.select(col("_node").as("_mid"), col("_nb")), Seq("_mid"))
-      .select("_q", "_nb")
-    val cand = hop1.union(hop2).where(col("_nb") =!= col("_q")).distinct()
-    val scored = cand
+    def score(cand: DataFrame): DataFrame = cand
       .join(vecs.select(col("_id").as("_q"), col("_v").as("_qv")), "_q")
       .join(vecs.select(col("_id").as("_nb"), col("_v").as("_nv")), "_nb")
       .select(col("_q"), col("_nb"),
         Similarity.cosine(col("_qv"), col("_nv")).as("_c"))
     val w = Window.partitionBy("_q").orderBy(col("_c").desc, col("_nb"))
-    scored.withColumn("_rn", row_number().over(w))
+    val hop1 = q.join(und.select(col("_node").as("_q"), col("_nb")), Seq("_q"))
+    val hop2 = hop1.select(col("_q"), col("_nb").as("_mid"))
+      .join(und.select(col("_node").as("_mid"), col("_nb")), Seq("_mid"))
+      .select("_q", "_nb")
+    val cand = hop1.union(hop2).where(col("_nb") =!= col("_q")).distinct()
+    val scored = score(cand)
+    val merged =
+      if (ef <= k) scored
+      else {
+        // beam round: the top-ef already-scored candidates seed one more
+        // undirected hop; only candidates never seen before are scored
+        // (the anti-join both avoids rescoring and keeps the final
+        // window duplicate-free). scored feeds three consumers — pin it.
+        val pinned = scored.localCheckpoint(true)
+        val seeds = pinned.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= ef)
+          .select("_q", "_nb")
+        val hop3 = seeds.select(col("_q"), col("_nb").as("_mid"))
+          .join(und.select(col("_node").as("_mid"), col("_nb")), Seq("_mid"))
+          .where(col("_nb") =!= col("_q"))
+          .select("_q", "_nb")
+          .distinct()
+        val fresh = hop3.join(cand, Seq("_q", "_nb"), "left_anti")
+        pinned.union(score(fresh))
+      }
+    merged.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .select(col("_q").as("q_id"), col("_nb").as("vec_id"), col("_c").as("sim"))
   }

@@ -1,0 +1,50 @@
+// Recall/cost sweep for the graph-ANN search-time beam knob (ef).
+// The graph is built ONCE (k=16, iters=4 — the q_ann_nndescent point);
+// each ef point pays only the search. Fill measured numbers into the
+// header of GraphAnnQueries when re-pinning the exported operating point.
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.ext.{GraphAnn, Similarity}
+
+object GraphAnnSweep {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val probes = e.filter(pmod(col("vec_id"), lit(41)) === 0)
+      .select(col("vec_id").as("q_id"))
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        e.filter(pmod(col("vec_id"), lit(41)) === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        "q_id", "q_emb", 10)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val tBuild0 = System.nanoTime()
+    val graph = GraphAnn.nnDescentGraph(e, "vec_id", "embedding",
+        k = 16, iters = 4)
+      .localCheckpoint(true)
+    println(f"SWEEP graph build wall=${(System.nanoTime() - tBuild0) / 1e9}%.2f")
+
+    for (ef <- Seq(96, 128, 160, 224)) {
+      val t0 = System.nanoTime()
+      val got = GraphAnn.graphSearch(e, "vec_id", "embedding", graph,
+          probes, "q_id", k = 10, ef = ef)
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall = (got & exact).size.toDouble / exact.size
+      println(f"SWEEP graph ef=$ef recall=$recall%.3f wall=$sec%.2f")
+    }
+    spark.stop()
+  }
+}

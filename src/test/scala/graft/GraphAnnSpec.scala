@@ -80,6 +80,23 @@ class GraphAnnSpec extends SparkSpec {
     }
     val mean = recall.sum / recall.size
     assert(mean >= 0.75, s"graph-search recall@10 $mean below floor")
+
+    // the search-time beam knob lifts recall WITHOUT rebuilding: ef=160
+    // (the exported q_ann_graph_search point) must clear the >=0.95
+    // family bar here and never lose to the plain two-hop search
+    val gotEf = GraphAnn.graphSearch(e, "vec_id", "embedding", graph,
+        probes, "q_id", k = 10, ef = 160)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(gotEf.keySet === exact.keySet)
+    val recallEf = exact.keys.toSeq.map { q =>
+      (gotEf(q) intersect exact(q)).size.toDouble / exact(q).size
+    }
+    val meanEf = recallEf.sum / recallEf.size
+    assert(meanEf >= 0.95, s"beam-search recall@10 $meanEf below the family bar")
+    assert(meanEf >= mean - 1e-9, s"ef widened the beam but recall fell: $meanEf < $mean")
+    // beam results are a superset-refinement: every probe still gets k rows
+    assert(gotEf.values.forall(_.size == 10))
   }
 
   test("no cartesian stage anywhere in build or search") {
