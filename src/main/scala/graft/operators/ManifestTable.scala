@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
 
 /** Manifest-pointer table commits — the object-store-safe successor to
   * the rename-aside directory swap (`StreamingPipeline.upsertSink`'s
@@ -194,11 +195,39 @@ object ManifestTable {
   private def writePointer(tablePath: String, lines: Seq[String]): Unit =
     atomicWrite(tablePath, ManifestName, lines.mkString("\n"))
 
+  /** Reclaim phantom `ver-*` files from a crash between [[writeVersion]]
+    * and the pointer swing — MUST run at the START of every commit,
+    * while phantoms are still identifiable: right now they are exactly
+    * the version files sorting after the current pointer's target (or
+    * ALL version files when no pointer exists / the table is on the
+    * legacy inline protocol). Waiting until after the next pointer
+    * swing is too late — a phantom with a lower batch id than the new
+    * commit would sort INSIDE the committed history and [[versions]]/
+    * [[readAsOf]] would serve a never-committed table state while the
+    * retention window evicted a real version (advice r15).
+    */
+  private def reclaimPhantoms(tablePath: String): Unit = {
+    val all = rawVersions(tablePath)
+    val phantoms = currentVersionFile(tablePath) match {
+      case Some(cur) =>
+        val i = all.indexWhere(_.file == cur)
+        // pointer target unparsable/missing: can't identify phantoms —
+        // leave everything for manual inspection rather than guessing
+        if (i >= 0) all.drop(i + 1) else Nil
+      case None => all // never-committed (or legacy) table: all phantoms
+    }
+    phantoms.foreach(v =>
+      new java.io.File(tablePath, v.file).delete(): Unit)
+  }
+
   /** Write the immutable version-metadata file for a commit (BEFORE the
     * pointer swing — the pointer must never name a missing file). A
     * crash in the window between this write and the pointer write
     * leaves a phantom `ver-*` that sorts AFTER the current version;
-    * [[pruneVersions]] reclaims it on the next successful commit.
+    * [[reclaimPhantoms]] deletes it at the start of the next commit
+    * (before that commit's own version write), and [[pruneVersions]]
+    * additionally reclaims any unparsable/`.tmp` leftovers after the
+    * swing.
     */
   private def writeVersion(
       tablePath: String, batchId: Long, snaps: Seq[String]): String = {
@@ -236,17 +265,111 @@ object ManifestTable {
     retained.flatMap(_.snapshots).toSet
   }
 
+  /** Per-file min/max stats sidecar — the Delta/Iceberg data-skipping
+    * core, reduced to the same write-once discipline as the snapshot
+    * itself: after the snapshot write (and BEFORE anything points at
+    * it), one pass over the fresh prefix records min/max of each
+    * declared stat column per physical file into `_stats` parquet
+    * INSIDE the snapshot directory. The underscore prefix makes it
+    * invisible to every plain `spark.read.parquet` of the snapshot
+    * (Hadoop's default hidden-path filter), it is immutable because the
+    * snapshot is, and it lives and dies with the snapshot — GC needs no
+    * new bookkeeping. One row per file (bounded by file count, the same
+    * cardinality a Delta manifest holds), so the extra commit cost is
+    * one O(batch) scan.
+    */
+  private def writeSnapshotStats(
+      spark: SparkSession, tablePath: String, snap: String,
+      statsCols: Seq[String]): Unit = {
+    val snapPath = new java.io.File(tablePath, snap).getPath
+    val data = spark.read.parquet(snapPath)
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    data.groupBy(input_file_name().as("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("error").parquet(new java.io.File(snapPath, "_stats").getPath)
+  }
+
+  /** File-level pruning for a range predicate on `column` over the
+    * current FULL snapshot: returns (surviving files, total files), or
+    * None when the table never committed or carries no `_stats` sidecar
+    * for pruning. A file survives unless its stats PROVE no row can
+    * match: `min_c` NULL means every value in the file is NULL (no row
+    * passes a range predicate — prunable); otherwise the file's
+    * [min, max] envelope must intersect [lower, upper].
+    *
+    * Full-snapshot protocol ONLY (enforced via [[currentSnapshot]]):
+    * pruning files of a delta CHAIN before the per-key last-writer
+    * merge is unsound — dropping the file holding a key's newest
+    * (non-matching) row would resurrect its older matching row.
+    * Compact first; [[compact]]'s `layout` option range-clusters the
+    * rewrite so the envelopes are actually narrow.
+    */
+  def pruneFiles(
+      spark: SparkSession, tablePath: String, column: String,
+      lower: Option[Any], upper: Option[Any]): Option[(Seq[String], Int)] = {
+    require(lower.nonEmpty || upper.nonEmpty,
+      "pruneFiles needs at least one bound")
+    currentSnapshot(tablePath).flatMap { snap =>
+      val statsDir = new java.io.File(
+        new java.io.File(tablePath, snap), "_stats")
+      if (!statsDir.isDirectory) None
+      else {
+        val st = spark.read.parquet(statsDir.getPath)
+        val keep = (lower.map(b => col(s"max_$column") >= lit(b)) ++
+          upper.map(b => col(s"min_$column") <= lit(b)))
+          .reduce(_ && _) // NULL stats → NULL predicate → filtered: pruned
+        val total = st.count().toInt
+        val files = st.filter(keep).select("_file")
+          .collect().map(_.getString(0)).toSeq.sorted
+        Some((files, total))
+      }
+    }
+  }
+
+  /** Read the current table with file skipping: resolve the pruned file
+    * list from the `_stats` sidecar, scan ONLY those files, and apply
+    * the row-level range filter on top (stats prune whole files; the
+    * residual filter is still pushed into the parquet scan). Falls back
+    * to a plain filtered scan when no stats exist. None for a
+    * never-committed table. At 100 TB this is the difference between
+    * scanning the table and scanning the slice — file skipping is the
+    * single biggest scan saver on a served table.
+    */
+  def scanWithPredicate(
+      spark: SparkSession, tablePath: String, column: String,
+      lower: Option[Any] = None, upper: Option[Any] = None): Option[DataFrame] =
+    currentSnapshot(tablePath).map { snap =>
+      val rowPred = (lower.map(b => col(column) >= lit(b)) ++
+        upper.map(b => col(column) <= lit(b))).reduce(_ && _)
+      val snapPath = new java.io.File(tablePath, snap).getPath
+      pruneFiles(spark, tablePath, column, lower, upper) match {
+        case Some((files, _)) =>
+          if (files.isEmpty)
+            spark.read.parquet(snapPath).filter(lit(false))
+          else spark.read.parquet(files: _*).filter(rowPred)
+        case None => spark.read.parquet(snapPath).filter(rowPred)
+      }
+    }
+
   /** Commit `df` as the table's next FULL snapshot: write the fresh
     * snapshot prefix, record the immutable version file, atomically
     * swing the pointer, prune history to `retainVersions`, GC
-    * unreferenced snapshots. Returns the committed snapshot name.
+    * unreferenced snapshots. `statsCols` declares the data-skipping
+    * stat columns ([[writeSnapshotStats]]). Returns the committed
+    * snapshot name.
     */
   def commit(df: DataFrame, tablePath: String, batchId: Long,
-      retainMs: Long = 0L, retainVersions: Int = 2): String = {
+      retainMs: Long = 0L, retainVersions: Int = 2,
+      statsCols: Seq[String] = Nil): String = {
     require(retainVersions >= 1,
       s"retainVersions must be >= 1, got $retainVersions")
+    reclaimPhantoms(tablePath)
     val prev = currentSnapshots(tablePath)
     val snap = writeSnapshot(df, tablePath, batchId)
+    if (statsCols.nonEmpty)
+      writeSnapshotStats(df.sparkSession, tablePath, snap, statsCols)
     val ver = writeVersion(tablePath, batchId, Seq(snap))
     writePointer(tablePath, Seq(ver))
     val kept = pruneVersions(tablePath, ver, retainVersions)
@@ -265,6 +388,7 @@ object ManifestTable {
       retainMs: Long = 0L, retainVersions: Int = 2): String = {
     require(retainVersions >= 1,
       s"retainVersions must be >= 1, got $retainVersions")
+    reclaimPhantoms(tablePath)
     val prev = currentSnapshots(tablePath)
     val snap = writeSnapshot(updates, tablePath, batchId)
     val ver = writeVersion(tablePath, batchId, prev :+ snap)
@@ -334,17 +458,36 @@ object ManifestTable {
     * rows. Readers are never disturbed: the compacted snapshot is a
     * fresh prefix, and the pointer swing is atomic. A crash between the
     * pointer write and the GC leaves the old prefixes as orphans that
-    * the NEXT commit or compaction reclaims (spec-asserted). Returns
-    * the compacted snapshot name, or None for an empty table.
+    * the NEXT commit or compaction reclaims (spec-asserted). `statsCols`
+    * records data-skipping stats on the rewrite; `layout` range-clusters
+    * it so those stats prune (see inline note). Returns the compacted
+    * snapshot name, or None for an empty table.
     */
   def compact(spark: SparkSession, tablePath: String, key: String,
       batchId: Long, retainMs: Long = 0L,
-      retainVersions: Int = 2): Option[String] = {
+      retainVersions: Int = 2, statsCols: Seq[String] = Nil,
+      layout: Seq[String] = Nil, layoutFiles: Int = 0): Option[String] = {
     require(retainVersions >= 1,
       s"retainVersions must be >= 1, got $retainVersions")
+    reclaimPhantoms(tablePath)
     val prev = currentSnapshots(tablePath)
-    readMerged(spark, tablePath, key).map { merged =>
+    readMerged(spark, tablePath, key).map { merged0 =>
+      // `layout` range-clusters the rewrite on the named columns so the
+      // per-file min/max envelopes become narrow and disjoint — the
+      // OPTIMIZE-style clustering that makes [[pruneFiles]] actually
+      // skip files (a hash-partitioned rewrite spreads every key range
+      // across every file and nothing ever prunes). `layoutFiles` pins
+      // the file count; 0 lets AQE size the rewrite (which may coalesce
+      // a small table into ONE file — correct for file sizing at scale,
+      // useless for skipping on tiny tables).
+      val merged =
+        if (layout.isEmpty) merged0
+        else if (layoutFiles > 0)
+          merged0.repartitionByRange(layoutFiles, layout.map(col): _*)
+        else merged0.repartitionByRange(layout.map(col): _*)
       val snap = writeSnapshot(merged, tablePath, batchId)
+      if (statsCols.nonEmpty)
+        writeSnapshotStats(spark, tablePath, snap, statsCols)
       val ver = writeVersion(tablePath, batchId, Seq(snap))
       writePointer(tablePath, Seq(ver))
       val kept = pruneVersions(tablePath, ver, retainVersions)

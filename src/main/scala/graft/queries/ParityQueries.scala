@@ -1501,6 +1501,53 @@ object ParityQueries {
                                 WHERE u.o_orderkey = b.o_orderkey)) t
             ORDER BY o_orderkey"""))
 
+  /** The serving-table data-skipping path end-to-end
+    * ([[graft.operators.ManifestTable]]): commit a full batch with
+    * per-file min/max stats, upsert a delta, COMPACT with stats + range
+    * layout (the OPTIMIZE-style clustering that makes envelopes narrow),
+    * then read a selective key range through [[ManifestTable
+    * .scanWithPredicate]] — files whose [min,max] cannot intersect the
+    * range are never opened. The oracle replays the upsert-then-filter
+    * semantics straight from the source table, so a pruning bug that
+    * drops or resurrects rows breaks the hash. Fresh temp table per
+    * invocation (bench reruns must not stack versions).
+    */
+  val qManifestPrune = QueryDef(
+    "q_manifest_prune",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get(ExtensionQueries.jsonlTempRoot),
+        "mprune_").toString + "/table"
+      new java.io.File(dir).mkdirs()
+      val M = graft.operators.ManifestTable
+      val base = table(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      M.commit(
+        base.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+          .repartitionByRange(8, col("o_orderkey")),
+        dir, batchId = 0L, statsCols = Seq("o_orderkey"))
+      M.commitDelta(
+        base.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+          .withColumn("o_orderstatus", lit("D"))
+          .withColumn("o_totalprice", col("o_totalprice") + lit(1.0)),
+        dir, batchId = 1L)
+      M.compact(s, dir, "o_orderkey", batchId = 2L,
+        statsCols = Seq("o_orderkey"), layout = Seq("o_orderkey"),
+        layoutFiles = 8)
+      M.scanWithPredicate(s, dir, "o_orderkey",
+          lower = Some(100L), upper = Some(2500L)).get
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+              CASE WHEN o_orderkey % 5 = 0 THEN 'D'
+                   ELSE o_orderstatus END AS o_orderstatus,
+              CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+                   ELSE o_totalprice END AS o_totalprice
+            FROM orders
+            WHERE (o_orderkey % 3 <> 0 OR o_orderkey % 5 = 0)
+              AND o_orderkey BETWEEN 100 AND 2500
+            ORDER BY o_orderkey"""))
+
   /** Second-moment statistics — variance, stddev, correlation, and the
     * least-squares slope of json k on value — per event_type, built from
     * EXACT decimal power sums rather than the built-in double aggregates
@@ -1644,6 +1691,6 @@ object ParityQueries {
     qLag, qRollingCount, qSessionId, qSessionAgg, qSessionize,
     qPivot, qUnpivot, qCube, qJsonExtract,
     qRankFamily, qFfill, qScd2,
-    qFunnel, qCohortRetention, qAnomalyMad, qUpsert,
+    qFunnel, qCohortRetention, qAnomalyMad, qUpsert, qManifestPrune,
     qStatsMoments, qTopkPerGroup, qProfile)
 }

@@ -1793,6 +1793,103 @@ class StreamingSpec extends SparkSpec {
     assert(!phantom.exists() && !tmp.exists() && !torn.exists())
     assert(M.versions(tableDir).map(_.batchId) === Seq(4L))
   }
+
+  test("manifest phantoms never become history when later commits outsort them") {
+    // the advice-r15 scenario: a crash between the version write and the
+    // pointer swing leaves a phantom ver-* whose batch id is LOWER than
+    // the next successful commit's — after that commit the phantom would
+    // sort INSIDE committed history, evicting a real version from the
+    // retention window and serving a never-committed state. The fix
+    // reclaims phantoms at the START of every commit, while they still
+    // sort after the old pointer and are identifiable.
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_phantom_").toString + "/table"
+    new java.io.File(tableDir).mkdirs()
+    val M = graft.operators.ManifestTable
+    M.commit(Seq((1L, "a")).toDF("k", "v"), tableDir, batchId = 0L,
+      retainVersions = 3)
+    M.commit(Seq((1L, "b")).toDF("k", "v"), tableDir, batchId = 1L,
+      retainVersions = 3)
+    // crashed attempt of batch 2: version file written, pointer never swung
+    val phantom = new java.io.File(tableDir, "ver-000000002-deadbeef")
+    java.nio.file.Files.write(phantom.toPath,
+      "batch_id=2\ncommit_ms=9999999999999\nsnap-nonexistent".getBytes)
+    assert(M.versions(tableDir).map(_.batchId) === Seq(0L, 1L))
+    // batch 3 commits successfully — WITHOUT reclamation the phantom
+    // (batch 2 < 3) would now sort inside history
+    M.commit(Seq((1L, "c")).toDF("k", "v"), tableDir, batchId = 3L,
+      retainVersions = 3)
+    assert(!phantom.exists(), "phantom survived the next commit")
+    assert(M.versions(tableDir).map(_.batchId) === Seq(0L, 1L, 3L),
+      "retention window lost a real version to the phantom")
+    // the audit contract holds: as-of batch 2 resolves to batch 1's
+    // state (the newest REAL commit <= 2), never the phantom's
+    assert(M.readAsOf(spark, tableDir, "k", asOfBatchId = 2L).get
+      .select("k", "v").as[(Long, String)].collect().toMap
+      === Map(1L -> "b"))
+  }
+
+  test("manifest data skipping: per-file stats prune; pruned scan equals full filter") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_stats_").toString + "/table"
+    new java.io.File(tableDir).mkdirs()
+    val M = graft.operators.ManifestTable
+    // batch 0: 1000 keys range-laid-out into 8 files so the per-file
+    // [min,max] envelopes are narrow and a selective range CAN prune
+    val base = spark.range(0, 1000).toDF("k")
+      .withColumn("v", col("k") * 2)
+      .repartitionByRange(8, col("k"))
+    M.commit(base, tableDir, batchId = 0L, statsCols = Seq("k"))
+    val (files1, total1) = M.pruneFiles(spark, tableDir, "k",
+      lower = Some(100L), upper = Some(220L)).get
+    assert(total1 >= 8)
+    assert(files1.nonEmpty && files1.size < total1,
+      s"stats pruned nothing: ${files1.size} of $total1")
+    val pruned1 = M.scanWithPredicate(spark, tableDir, "k",
+        lower = Some(100L), upper = Some(220L)).get
+      .select("k", "v").as[(Long, Long)].collect().toSet
+    assert(pruned1 === (100L to 220L).map(k => (k, k * 2)).toSet)
+    // delta commit, then compaction with stats + range layout: the
+    // pruned scan stays correct ACROSS the upsert (the delta overrode
+    // half the range) and still reads strictly fewer files
+    val updates = spark.range(0, 1000).toDF("k")
+      .filter(pmod(col("k"), lit(2)) === 0)
+      .withColumn("v", col("k") * 10)
+    M.commitDelta(updates, tableDir, batchId = 1L)
+    // file pruning on a delta CHAIN is unsound (per-key override) and
+    // must refuse via the single-snapshot contract
+    intercept[IllegalStateException](
+      M.pruneFiles(spark, tableDir, "k", Some(0L), Some(10L)))
+    M.compact(spark, tableDir, "k", batchId = 2L,
+      statsCols = Seq("k"), layout = Seq("k"), layoutFiles = 8)
+    val (files2, total2) = M.pruneFiles(spark, tableDir, "k",
+      lower = Some(100L), upper = Some(220L)).get
+    assert(files2.nonEmpty && files2.size < total2,
+      s"post-compaction stats pruned nothing: ${files2.size} of $total2")
+    val pruned2 = M.scanWithPredicate(spark, tableDir, "k",
+        lower = Some(100L), upper = Some(220L)).get
+      .select("k", "v").as[(Long, Long)].collect().toSet
+    val expected2 = (100L to 220L)
+      .map(k => (k, if (k % 2 == 0) k * 10 else k * 2)).toSet
+    assert(pruned2 === expected2)
+    // an out-of-range predicate prunes EVERY file and returns empty
+    val (files3, _) = M.pruneFiles(spark, tableDir, "k",
+      lower = Some(5000L), upper = None).get
+    assert(files3.isEmpty)
+    assert(M.scanWithPredicate(spark, tableDir, "k",
+      lower = Some(5000L)).get.count() === 0L)
+    // stats sidecar is invisible to plain snapshot readers
+    assert(M.read(spark, tableDir).get.count() === 1000L)
+    // a table committed WITHOUT stats falls back to a filtered full scan
+    val plainDir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_nostats_").toString + "/table"
+    new java.io.File(plainDir).mkdirs()
+    M.commit(base, plainDir, batchId = 0L)
+    assert(M.pruneFiles(spark, plainDir, "k", Some(0L), Some(10L)).isEmpty)
+    assert(M.scanWithPredicate(spark, plainDir, "k",
+        lower = Some(0L), upper = Some(10L)).get.count() === 11L)
+  }
   test("streaming co-occurrence top pairs match the batch pair census per window") {
     implicit val sqlCtx = spark.sqlContext
     // transactions: (alert-rule baskets) with planted frequent pairs
