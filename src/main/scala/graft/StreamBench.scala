@@ -137,7 +137,23 @@ object StreamBench {
             concat(lit("user "), col("user_id"), lit(" clicked item "),
               col("event_id"), lit(" trace "),
               substring(md5(col("event_id").cast("string")), 1, 12))),
-          "message", windowDur = "1 hour", watermark = "1 hour"))
+          "message", windowDur = "1 hour", watermark = "1 hour")),
+      // r16 twin: windowed PSI drift vs a frozen per-user-bucket
+      // reference (state = windows x dims x (bins+1) longs — the
+      // bounded-by-construction shape, independent of event volume)
+      run("psi_drift_windowed", "append", { df =>
+        val reference = graft.queries.QueryDef.eventsTable(spark, sfDir)
+          .where(col("user_id").isNotNull)
+          .select(pmod(col("user_id"), lit(8)).cast("string").as("dim"),
+            col("value"))
+        StreamingPipeline.psiDriftStream(
+          df.select(pmod(col("user_id").cast("long"), lit(8)).cast("string")
+              .as("dim"),
+            (col("event_id") % 1000).cast("double").as("value"),
+            col("timestamp")),
+          reference, "value", Seq("dim"), bins = 10,
+          windowDur = "1 hour", watermark = "1 hour")
+      })
     ) :+ runAnn(spark, sfDir, nTriggers) :+ runCurate(spark, sfDir, nTriggers) :+
       runCurateHot(spark, sfDir, nTriggers) :+ runDsir(spark, sfDir, nTriggers) :+
       runLangId(spark, sfDir, nTriggers) :+ runKn(spark, sfDir, nTriggers) :+

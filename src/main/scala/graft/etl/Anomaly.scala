@@ -291,4 +291,92 @@ object Anomaly {
       .agg(sum(col("_termq")).as("psi_q"))
   }
 
+  /** Equal-width bin index over FROZEN [lo, hi] bounds, clamped into
+    * [0, bins) — unlike [[psiDrift]]'s global-bounds bin (where values
+    * can never undershoot the global min), frozen-baseline monitoring
+    * sees current values OUTSIDE the reference range; they land in the
+    * edge bins rather than producing a negative index.
+    */
+  private[graft] def clampedBin(
+      v: Column, lo: Double, hi: Double, bins: Int): Column =
+    if (hi == lo) lit(0)
+    else least(greatest(
+      floor((v - lit(lo)) / lit((hi - lo) / bins)), lit(0L)),
+      lit(bins - 1L)).cast("int")
+
+  /** Per-dim DENSE bin counts as `bins` conditional-sum columns
+    * `_<prefix><i>` plus the total `_n<prefix>` — one hash aggregate,
+    * no grid join (bins is a small fixed constant, so densification is
+    * free in the aggregate itself). The shape both [[psiDriftFrozen]]
+    * sides and the streaming twin share: state per group is exactly
+    * bins+1 longs.
+    */
+  private[graft] def denseBinCounts(
+      df: DataFrame, valueCol: String, dims: Seq[String], bins: Int,
+      lo: Double, hi: Double, prefix: String): DataFrame = {
+    val binned = df.where(col(valueCol).isNotNull)
+      .withColumn("_bin", clampedBin(col(valueCol), lo, hi, bins))
+    val sums = (0 until bins).map(i =>
+      sum(when(col("_bin") === i, 1L).otherwise(0L)).as(s"_$prefix$i"))
+    binned.groupBy(dims.map(col): _*)
+      .agg(sums.head, sums.tail: _*)
+      .withColumn(s"_n$prefix",
+        (0 until bins).map(i => col(s"_$prefix$i")).reduce(_ + _))
+  }
+
+  /** The pico-quantized PSI sum over dense bin-count columns — the
+    * identical expression tree on the batch frozen op and the stream
+    * twin, and the same per-term quantization contract as [[psiDrift]]
+    * (floor to 10⁻¹² before an order-fixed integer sum).
+    */
+  private[graft] def psiQColumn(
+      bins: Int, c0: Int => Column, n0: Column,
+      c1: Int => Column, n1: Column): Column =
+    (0 until bins).map { i =>
+      val p = (c0(i) + 1).cast("double") / (n0 + bins).cast("double")
+      val q = (c1(i) + 1).cast("double") / (n1 + bins).cast("double")
+      floor((p - q) * log(p / q) * lit(1e12)).cast("long")
+    }.reduce(_ + _)
+
+  /** PSI drift of `current` against a FROZEN `reference` baseline — the
+    * deployable monitoring shape of [[psiDrift]]: bins are anchored to
+    * the reference's [min, max] (the baseline is an immutable artifact;
+    * current values outside it clamp into the edge bins), and the
+    * reference side aggregates to a BOUNDED (dims × (bins+1)) count
+    * frame that broadcasts. Same smoothing + pico-quantization contract
+    * as [[psiDrift]]. Documented divergences from the two-snapshot op:
+    * the monitored dim universe is CURRENT-driven (a dim with reference
+    * data but no current rows emits nothing — no data, no release; a
+    * current-only dim scores against the uniform smoothed reference),
+    * and `n0` is 0 for such current-only dims.
+    */
+  def psiDriftFrozen(
+      current: DataFrame, reference: DataFrame, valueCol: String,
+      dims: Seq[String], bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(dims.nonEmpty, "psiDriftFrozen needs at least one dimension column")
+    val (lo, hi) = referenceBounds(reference, valueCol)
+    val ref = denseBinCounts(reference, valueCol, dims, bins, lo, hi, "c0_")
+    val cur = denseBinCounts(current, valueCol, dims, bins, lo, hi, "c1_")
+    cur.join(broadcast(ref), dims, "left")
+      .select((dims.map(col)
+        :+ coalesce(col("_nc0_"), lit(0L)).as("n0")
+        :+ col("_nc1_").as("n1")
+        :+ psiQColumn(bins,
+          i => coalesce(col(s"_c0_$i"), lit(0L)), coalesce(col("_nc0_"), lit(0L)),
+          i => col(s"_c1_$i"), col("_nc1_")).as("psi_q")): _*)
+  }
+
+  /** The frozen baseline's global [min, max] — one bounded driver-side
+    * row; throws on an all-null/empty reference (no bounds, no bins).
+    */
+  private[graft] def referenceBounds(
+      reference: DataFrame, valueCol: String): (Double, Double) = {
+    val b = reference.where(col(valueCol).isNotNull)
+      .agg(min(col(valueCol)).cast("double"), max(col(valueCol)).cast("double"))
+      .head()
+    require(!b.isNullAt(0), "reference has no non-null values to bin")
+    (b.getDouble(0), b.getDouble(1))
+  }
+
 }

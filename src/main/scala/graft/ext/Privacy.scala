@@ -135,25 +135,76 @@ object Privacy {
     * an honest pipeline honest, it does not make the mechanism enforce
     * anything about data it never sees. Thread-safe; bounded by the
     * number of distinct datasets released.
+    *
+    * DURABILITY contract: without `path` the ledger is PROCESS-LOCAL
+    * (an in-JVM map) — a second driver, or the same pipeline restarted,
+    * starts from zero spend and can release past the budget. Supplying
+    * `path` backs every charge with a small `LEDGER` file under the
+    * ManifestTable discipline (read fresh state, check, atomic
+    * temp+rename write), so spends survive restarts and two Ledger
+    * instances SHARING the path see each other's charges. Same
+    * single-writer contract as [[graft.operators.ManifestTable]]:
+    * charges from concurrent processes are read-check-write, not
+    * compare-and-swap — one release pipeline owns a ledger path at a
+    * time; true multi-writer needs a conditional-put/lock on top.
     */
-  final class EpsilonLedger(val budget: Double) {
+  final class EpsilonLedger(
+      val budget: Double, val path: Option[String] = None) {
     require(budget > 0, s"budget must be positive, got $budget")
-    private val spentBy = scala.collection.mutable.Map.empty[String, Double]
+    path.foreach(p => new java.io.File(p).mkdirs(): Unit)
+    private val memSpent = scala.collection.mutable.Map.empty[String, Double]
+    private def ledgerFile = new java.io.File(path.get, "LEDGER")
+
+    /** Current per-dataset spends — the durable file when backed, the
+      * in-memory map otherwise. Doubles round-trip via the shortest
+      * string repr (exact parse-back).
+      */
+    private def load(): Map[String, Double] = path match {
+      case None => memSpent.toMap
+      case Some(_) =>
+        if (!ledgerFile.exists()) Map.empty
+        else new String(
+          java.nio.file.Files.readAllBytes(ledgerFile.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split('\n').filter(_.nonEmpty)
+          .map { l =>
+            val i = l.lastIndexOf('\t')
+            l.substring(0, i) -> l.substring(i + 1).toDouble
+          }.toMap
+    }
+
+    private def store(m: Map[String, Double]): Unit = path match {
+      case None =>
+        memSpent.clear(); memSpent ++= m: Unit
+      case Some(p) =>
+        val tmp = new java.io.File(p, "LEDGER.tmp")
+        java.nio.file.Files.write(tmp.toPath,
+          m.toSeq.sorted.map { case (k, v) => s"$k\t$v" }.mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp.toPath, ledgerFile.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
 
     /** Record an ε-spend against `dataset`; throws when the cumulative
-      * spend would exceed the budget.
+      * spend would exceed the budget. Durable-backed ledgers re-read
+      * the file on every charge, so a restart (or a second instance on
+      * the same path) can never slip past spends it didn't make.
       */
     def charge(dataset: String, epsilon: Double): Unit = synchronized {
       require(epsilon > 0, s"epsilon must be positive, got $epsilon")
-      val s = spentBy.getOrElse(dataset, 0.0)
+      require(!dataset.contains('\n') && !dataset.contains('\t'),
+        "dataset keys must not contain tab/newline (ledger-file delimiters)")
+      val all = load()
+      val s = all.getOrElse(dataset, 0.0)
       require(s + epsilon <= budget + 1e-12,
         f"epsilon budget exceeded for '$dataset': spent $s%.6g + " +
           f"requested $epsilon%.6g > budget $budget%.6g")
-      spentBy(dataset) = s + epsilon
+      store(all.updated(dataset, s + epsilon))
     }
 
     def spent(dataset: String): Double =
-      synchronized(spentBy.getOrElse(dataset, 0.0))
+      synchronized(load().getOrElse(dataset, 0.0))
     def remaining(dataset: String): Double = budget - spent(dataset)
   }
 

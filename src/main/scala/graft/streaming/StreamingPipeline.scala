@@ -562,6 +562,54 @@ object StreamingPipeline {
           col(groupCol), col("window.start"), col("_n")).as("released"))
       .where(col("released") >= suppressBelow)
 
+  /** Windowed PSI drift against a FROZEN reference baseline — the
+    * streaming twin of [[graft.etl.Anomaly.psiDriftFrozen]]: the
+    * reference's bounds and per-dim dense bin counts are computed ONCE
+    * batch-side (a bounded dims × (bins+1) frame, pinned and
+    * broadcast), the stream bins each value map-side against the frozen
+    * bounds (stateless, values outside clamp to the edge bins), and ONE
+    * watermark-bounded windowed aggregate emits the bins+1 conditional
+    * sums per (window, dims) — so streaming state is bounded by
+    * windows × dims × (bins+1) longs, independent of event volume. The
+    * PSI itself is the shared pico-quantized expression
+    * ([[graft.etl.Anomaly.psiQColumn]]) over the stream-static join,
+    * bit-reproducible against the batch frozen op per closed window
+    * (StreamingSpec parity). Dims with no current rows in a window emit
+    * nothing (no data, no release — the batch frozen op's documented
+    * contract).
+    */
+  def psiDriftStream(
+      events: DataFrame, reference: DataFrame, valueCol: String,
+      dims: Seq[String], bins: Int = 10, tsCol: String = "timestamp",
+      windowDur: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    require(dims.nonEmpty, "psiDriftStream needs at least one dimension column")
+    val A = graft.etl.Anomaly
+    val (lo, hi) = A.referenceBounds(reference, valueCol)
+    // bounded (dims x bins+1) baseline, pinned so micro-batches never
+    // replay the reference aggregation
+    val ref = A.denseBinCounts(reference, valueCol, dims, bins, lo, hi, "c0_")
+      .localCheckpoint(true)
+    val sums = (0 until bins).map(i =>
+      sum(when(col("_bin") === i, 1L).otherwise(0L)).as(s"_c1_$i"))
+    events
+      .where(col(valueCol).isNotNull)
+      .withColumn("_bin", A.clampedBin(col(valueCol), lo, hi, bins))
+      .withWatermark(tsCol, watermark)
+      .groupBy((window(col(tsCol), windowDur) +: dims.map(col)): _*)
+      .agg(sums.head, sums.tail: _*)
+      .withColumn("_nc1_",
+        (0 until bins).map(i => col(s"_c1_$i")).reduce(_ + _))
+      .join(broadcast(ref), dims, "left")
+      .select((col("window.start").as("window_start") +: dims.map(col)
+        :+ coalesce(col("_nc0_"), lit(0L)).as("n0")
+        :+ col("_nc1_").as("n1")
+        :+ A.psiQColumn(bins,
+          i => coalesce(col(s"_c0_$i"), lit(0L)),
+          coalesce(col("_nc0_"), lit(0L)),
+          i => col(s"_c1_$i"), col("_nc1_")).as("psi_q")): _*)
+  }
+
   /** Continuous keyed merge: maintain a SERVING TABLE from a change
     * stream — each micro-batch upserts into the table via
     * [[graft.operators.Upsert]] inside `foreachBatch` (the standard

@@ -105,6 +105,35 @@ class DpReleaseSpec extends SparkSpec {
     intercept[IllegalArgumentException](new Privacy.EpsilonLedger(0.0))
   }
 
+  test("durable epsilon ledger: spends survive across instances sharing a path") {
+    // the r15 advisory: a process-local ledger lets a SECOND driver (a
+    // restart, or another pipeline on the same served data) release past
+    // the budget because it never saw the first driver's spends. A
+    // path-backed ledger reads the durable state on every charge.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dp_ledger_").toString
+    val first = new Privacy.EpsilonLedger(budget = 1.0, path = Some(dir))
+    first.charge("events", 0.7)
+    assert(math.abs(first.spent("events") - 0.7) < 1e-9)
+    // a SECOND instance on the same path (the restarted driver) sees the
+    // first's spend and rejects the over-budget release
+    val second = new Privacy.EpsilonLedger(budget = 1.0, path = Some(dir))
+    assert(math.abs(second.spent("events") - 0.7) < 1e-9)
+    intercept[IllegalArgumentException](second.charge("events", 0.5))
+    // within budget still goes through, and the FIRST instance sees it too
+    second.charge("events", 0.3)
+    assert(math.abs(first.remaining("events") - 0.0) < 1e-9)
+    intercept[IllegalArgumentException](first.charge("events", 0.01))
+    // per-dataset lines are independent in the durable file as well
+    second.charge("documents", 1.0)
+    intercept[IllegalArgumentException](second.charge("documents", 0.1))
+    // delimiter hygiene: keys that would corrupt the file are refused
+    intercept[IllegalArgumentException](second.charge("a\tb", 0.1))
+    // a rejected charge leaves the durable state untouched
+    val third = new Privacy.EpsilonLedger(budget = 1.0, path = Some(dir))
+    assert(math.abs(third.spent("events") - 1.0) < 1e-9)
+  }
+
   test("windowed release column: fresh noise per window, reproducible") {
     val df = Seq(
       ("a", 100L, 100L), ("a", 200L, 100L), ("b", 100L, 100L))

@@ -1726,6 +1726,58 @@ class StreamingSpec extends SparkSpec {
       }, "equal exact counts released identical noise across windows/groups")
     } finally q.stop()
   }
+  test("streaming PSI drift vs frozen reference matches the batch frozen op per window") {
+    implicit val sqlCtx = spark.sqlContext
+    // frozen baseline: two dims with different value distributions
+    val reference = (for {
+      g <- Seq("auth", "net"); i <- 0 until 60
+    } yield (g, if (g == "auth") (i % 20).toDouble else (i % 50).toDouble + 40.0))
+      .toDF("g", "value")
+    // stream: window 1 roughly on-distribution, window 2 shifted hard,
+    // including values OUTSIDE the reference bounds (edge-bin clamping),
+    // plus a dim the reference never saw (uniform smoothed baseline)
+    val rows: Seq[(String, Double, Timestamp)] =
+      (0 until 40).map(i => ("auth", (i % 20).toDouble, ts("2025-01-01 01:10:00"))) ++
+      (0 until 40).map(i => ("auth", 500.0 + i, ts("2025-01-01 02:10:00"))) ++
+      (0 until 30).map(i => ("net", -100.0 - i, ts("2025-01-01 02:20:00"))) ++
+      (0 until 10).map(i => ("newdim", i.toDouble, ts("2025-01-01 02:30:00")))
+    val input = MemoryStream[(String, Double, Timestamp)]
+    val q = StreamingPipeline.psiDriftStream(
+        input.toDF().toDF("g", "value", "timestamp"), reference,
+        "value", Seq("g"), bins = 10)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("psi_out").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData(("zz", 0.0, ts("2025-03-01 00:00:00"))) // close windows
+      q.processAllAvailable()
+      val streamed = spark.table("psi_out")
+        .as[(Timestamp, String, Long, Long, Long)].collect()
+        .map { case (w, g, n0, n1, psi) => (w, g) -> ((n0, n1, psi)) }.toMap
+      // batch replay: the frozen op per closed window's rows, keyed by
+      // the hour-window start the stream reports
+      def wstart(t: Timestamp): Timestamp = Timestamp.from(
+        t.toInstant.truncatedTo(java.time.temporal.ChronoUnit.HOURS))
+      val byWindow = rows.groupBy(r => wstart(r._3))
+      val expected = byWindow.flatMap { case (w, wr) =>
+        graft.etl.Anomaly.psiDriftFrozen(
+            wr.map(r => (r._1, r._2)).toDF("g", "value"), reference,
+            "value", Seq("g"), bins = 10)
+          .as[(String, Long, Long, Long)].collect().toSeq
+          .map { case (g, n0, n1, psi) => (w, g) -> ((n0, n1, psi)) }
+      }.toMap
+      assert(streamed === expected,
+        s"stream-only: ${streamed.keySet -- expected.keySet}; " +
+          s"diff: ${expected.collect { case (k, v) if streamed.get(k).exists(_ != v) => (k, v, streamed(k)) }}")
+      // drift actually registered: the shifted window scores FAR above
+      // the on-distribution window (PSI > 0.25 rule of thumb, pico-scale)
+      val w1 = streamed((ts("2025-01-01 01:00:00"), "auth"))
+      val w2 = streamed((ts("2025-01-01 02:00:00"), "auth"))
+      assert(w2._3 > 250000000000L && w2._3 > w1._3 * 5)
+    } finally q.stop()
+  }
+
   test("manifest time travel: readAsOf over retained versions, bounded history") {
     val tableDir = java.nio.file.Files
       .createTempDirectory("graft_manifest_asof_").toString + "/table"
