@@ -65,36 +65,96 @@ object Dedup {
     * different block) for a corpus-size-independent candidate set — the
     * same contract as the LSH/SimHash band families above.
     */
+  /** Per-document normalized 40-char signature table, NULL-text rows
+    * excluded (they can never pair — a NULL signature neither
+    * equi-joins nor groups meaningfully).
+    */
+  private def editSigs(
+      df: DataFrame, id: String, text: String, sigLen: Int): DataFrame =
+    df.select(col(id),
+        substring(regexp_replace(lower(col(text)), "\\s+", " "), 1, sigLen)
+          .as("_sig"))
+      .where(col("_sig").isNotNull)
+
+  /** Identical-signature classes: one row per distinct signature with
+    * its representative (smallest doc id) and member count — the same
+    * collapse-before-anything discipline as [[simhashClasses]].
+    */
+  private def editSigClasses(
+      df: DataFrame, id: String, text: String, sigLen: Int): DataFrame =
+    editSigs(df, id, text, sigLen)
+      .groupBy("_sig")
+      .agg(min(col(id)).as("_rep"), count(lit(1)).as("_cnt"))
+
+  /** Verified cross-class edges: DISTINCT signature pairs sharing the
+    * `blockLen`-char prefix block within Levenshtein `maxDist` — the DP
+    * runs once per distinct-signature pair, never per doc pair, so the
+    * work is scale-INVARIANT under duplicate-class replication.
+    */
+  private def editClassEdges(
+      classes: DataFrame, blockLen: Int, maxDist: Int): DataFrame = {
+    val da = classes.select(col("_sig").as("_sig1"), col("_rep").as("_rep1"),
+      col("_cnt").as("_cnt1"), substring(col("_sig"), 1, blockLen).as("_blk"))
+    val db = classes.select(col("_sig").as("_sig2"), col("_rep").as("_rep2"),
+      col("_cnt").as("_cnt2"), substring(col("_sig"), 1, blockLen).as("_blk"))
+    da.join(db, Seq("_blk"))
+      .filter(col("_sig1") < col("_sig2"))
+      .withColumn("dist", levenshtein(col("_sig1"), col("_sig2")))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Blocked edit-distance near-dup pairs, COLLAPSED to signature
+    * classes (the [[simhashPairs]] output contract, r16): one row per
+    * identical-signature class (`id1 = id2 = rep, dist 0,
+    * n_pairs = cnt·(cnt−1)/2`) plus one per verified class pair
+    * (`id1 < id2` reps, `n_pairs = cnt1·cnt2`). Sum of `n_pairs` equals
+    * the exploded doc-pair count, but the row count is linear in
+    * DISTINCT signatures — the r16 10× tier measured the exploded
+    * contract emitting 10,024× the rows for 10× replicated data (25 →
+    * 250,600): on a boilerplate-heavy crawl corpus the pair LIST, not
+    * the plan, was the scale-killer, exactly as with simhash.
+    */
   def editDistancePairs(
       df: DataFrame, id: String, text: String,
       sigLen: Int = 40, blockLen: Int = 8, maxDist: Int = 5): DataFrame = {
     require(blockLen <= sigLen, s"blockLen $blockLen must be <= sigLen $sigLen")
-    val sigs = df.select(col(id),
-      substring(regexp_replace(lower(col(text)), "\\s+", " "), 1, sigLen).as("_sig"))
-    // DP only on DISTINCT signature pairs: a dup-heavy corpus multiplies
-    // signature-class sizes, not distinct signatures, and a naive doc-pair
-    // join pays the O(sigLen²) Levenshtein on every doc pair — measured
-    // 7.8× time on 10× data (duplicate classes square). Verifying the
-    // distinct-sig pairs keeps DP work scale-INVARIANT under replication;
-    // the fan-out back to doc pairs is pure row generation (it IS the
-    // output, which is inherently quadratic in duplicate-class size).
-    val ds = sigs.select(col("_sig")).distinct()
-    val da = ds.select(col("_sig").as("_sig1"),
-      substring(col("_sig"), 1, blockLen).as("_blk"))
-    val db = ds.select(col("_sig").as("_sig2"),
-      substring(col("_sig"), 1, blockLen).as("_blk"))
-    val classPairs = da.join(db, Seq("_blk"))
-      .filter(col("_sig1") <= col("_sig2"))
-      .withColumn("dist", levenshtein(col("_sig1"), col("_sig2")))
-      .filter(col("dist") <= maxDist)
-    val m1 = sigs.select(col(id).as("_m1"), col("_sig").as("_sig1"))
-    val m2 = sigs.select(col(id).as("_m2"), col("_sig").as("_sig2"))
-    classPairs.join(m1, Seq("_sig1")).join(m2, Seq("_sig2"))
-      // cross-class (sig1 < sig2): every member pair, once; same-class:
-      // order the ids so each unordered pair appears exactly once
-      .filter(col("_sig1") < col("_sig2") || col("_m1") < col("_m2"))
-      .select(least(col("_m1"), col("_m2")).as("id1"),
-        greatest(col("_m1"), col("_m2")).as("id2"), col("dist"))
+    val classes = editSigClasses(df, id, text, sigLen)
+    val intra = classes.filter(col("_cnt") >= 2)
+      .select(col("_rep").as("id1"), col("_rep").as("id2"),
+        lit(0).as("dist"),
+        shiftright(col("_cnt") * (col("_cnt") - 1), 1).as("n_pairs"))
+    val cross = editClassEdges(classes, blockLen, maxDist)
+      .select(least(col("_rep1"), col("_rep2")).as("id1"),
+        greatest(col("_rep1"), col("_rep2")).as("id2"),
+        col("dist"), (col("_cnt1") * col("_cnt2")).as("n_pairs"))
+    intra.unionByName(cross)
+  }
+
+  /** Edit-distance dedup as a KEEP/DROP assignment (the
+    * [[simhashDedup]]/[[minhashDedup]] shape): each document's `rep_id`
+    * is the smallest doc id among its identical-signature class and
+    * every Levenshtein-verified neighboring class (one-step propagation
+    * toward the neighborhood minimum); exactly one output row per
+    * document regardless of duplicate-class size. NULL-text documents
+    * keep themselves.
+    */
+  def editDistanceDedup(
+      df: DataFrame, id: String, text: String,
+      sigLen: Int = 40, blockLen: Int = 8, maxDist: Int = 5): DataFrame = {
+    require(blockLen <= sigLen, s"blockLen $blockLen must be <= sigLen $sigLen")
+    val classes = editSigClasses(df, id, text, sigLen)
+    val edges = editClassEdges(classes, blockLen, maxDist)
+    val neigh = edges.select(col("_sig1").as("_sig"), col("_rep2").as("_nrep"))
+      .unionByName(edges.select(col("_sig2").as("_sig"), col("_rep1").as("_nrep")))
+      .groupBy("_sig").agg(min(col("_nrep")).as("_nrep"))
+    val classRep = classes.join(neigh, Seq("_sig"), "left")
+      .select(col("_sig"),
+        least(col("_rep"), coalesce(col("_nrep"), col("_rep"))).as("_crep"))
+    df.select(col(id))
+      .join(editSigs(df, id, text, sigLen).join(classRep, "_sig")
+        .select(col(id), col("_crep")), Seq(id), "left")
+      .select(col(id), coalesce(col("_crep"), col(id)).as("rep_id"))
+      .withColumn("is_dup", col(id) =!= col("rep_id"))
   }
 
   /** 31-bit Mersenne prime — the modulus of the affine permutation

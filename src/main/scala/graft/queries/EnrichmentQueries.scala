@@ -1204,6 +1204,77 @@ object EnrichmentQueries {
             FROM terms GROUP BY event_type, n0, n1
             ORDER BY event_type"""))
 
+  /** PSI drift against a FROZEN baseline ([[graft.etl.Anomaly
+    * .psiDriftFrozen]] — the deployable monitoring shape behind the
+    * r16 streaming twin): the stream's FIRST half is the immutable
+    * reference (bins anchored to ITS [min,max]; later values outside
+    * clamp to the edge bins), the second half is the monitored current
+    * batch. Same smoothing + pico-quantization as [[qPsiDrift]]; the
+    * oracle replays the frozen bounds, the clamped binning, and the
+    * current-driven dim universe (reference counts left-joined, 0 when
+    * a dim is current-only).
+    */
+  val qPsiDriftFrozen = QueryDef(
+    "q_psi_drift_frozen",
+    (s, d) => {
+      val e = events(s, d).where(col("value").isNotNull)
+        .withColumn("day", tsEpochDay)
+      val pivot = e.agg(expr("(min(day) + max(day) + 1) div 2").as("_cut"))
+      val halves = e.crossJoin(broadcast(pivot))
+      graft.etl.Anomaly.psiDriftFrozen(
+          halves.where(col("day") >= col("_cut")),
+          halves.where(col("day") < col("_cut")),
+          "value", Seq("event_type"), bins = 10)
+        .orderBy("event_type")
+    },
+    Some("""WITH d AS (SELECT event_type, value,
+              epoch_ns(ts) // 86400000000000 AS day
+            FROM events WHERE value IS NOT NULL),
+            p AS (SELECT (min(day) + max(day) + 1) // 2 AS cut FROM d),
+            ref AS (SELECT event_type, value FROM d, p WHERE day < cut),
+            cur AS (SELECT event_type, value FROM d, p WHERE day >= cut),
+            b AS (SELECT CAST(min(value) AS DOUBLE) AS lo,
+                         CAST(max(value) AS DOUBLE) AS hi FROM ref),
+            rb AS (SELECT event_type,
+                CASE WHEN hi = lo THEN 0
+                     ELSE CAST(least(greatest(
+                       floor((value - lo) / ((hi - lo) / 10.0)), 0), 9) AS INT)
+                END AS bin
+              FROM ref, b),
+            cb AS (SELECT event_type,
+                CASE WHEN hi = lo THEN 0
+                     ELSE CAST(least(greatest(
+                       floor((value - lo) / ((hi - lo) / 10.0)), 0), 9) AS INT)
+                END AS bin
+              FROM cur, b),
+            rcounts AS (SELECT event_type, bin, count(*) AS c0
+                        FROM rb GROUP BY 1, 2),
+            ccounts AS (SELECT event_type, bin, count(*) AS c1
+                        FROM cb GROUP BY 1, 2),
+            grid AS (SELECT g.event_type, CAST(r.range AS INT) AS bin
+                     FROM (SELECT DISTINCT event_type FROM cb) g, range(10) r),
+            dense AS (SELECT grid.event_type, grid.bin,
+                coalesce(c0, 0) AS c0, coalesce(c1, 0) AS c1
+              FROM grid
+              LEFT JOIN rcounts ON rcounts.event_type = grid.event_type
+                               AND rcounts.bin = grid.bin
+              LEFT JOIN ccounts ON ccounts.event_type = grid.event_type
+                               AND ccounts.bin = grid.bin),
+            tot AS (SELECT event_type, CAST(sum(c0) AS BIGINT) AS n0,
+                      CAST(sum(c1) AS BIGINT) AS n1
+                    FROM dense GROUP BY 1),
+            terms AS (SELECT dense.event_type, bin, n0, n1,
+                (CAST(c0 + 1 AS DOUBLE) / CAST(n0 + 10 AS DOUBLE)
+                 - CAST(c1 + 1 AS DOUBLE) / CAST(n1 + 10 AS DOUBLE))
+                * ln((CAST(c0 + 1 AS DOUBLE) / CAST(n0 + 10 AS DOUBLE))
+                     / (CAST(c1 + 1 AS DOUBLE) / CAST(n1 + 10 AS DOUBLE)))
+                  AS term
+              FROM dense JOIN tot USING (event_type))
+            SELECT event_type, n0, n1,
+              CAST(sum(CAST(floor(term * 1e12) AS BIGINT)) AS BIGINT) AS psi_q
+            FROM terms GROUP BY event_type, n0, n1
+            ORDER BY event_type"""))
+
   val all: Seq[QueryDef] =
     Seq(qCidrMatch, qZorderKey, qEventTransitions, qBinEquidepth,
       qSessionPaths, qDriftReport, qPercentRank, qWeekdayProfile,
@@ -1211,5 +1282,5 @@ object EnrichmentQueries {
       qActiveUsers7d, qStickiness, qNewVsReturning,
       qCountMin, qGini, qBenford, qStarRevenue, qParetoFront,
       qPricingSummary, qTopOrders, qLargeOrders, qShipDelay, qRfm,
-      qEntryExit, qGapPercentiles, qPsiDrift)
+      qEntryExit, qGapPercentiles, qPsiDrift, qPsiDriftFrozen)
 }

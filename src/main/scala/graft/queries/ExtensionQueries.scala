@@ -113,11 +113,37 @@ object ExtensionQueries {
             WHERE shared / CAST(s1.n + s2.n - shared AS DOUBLE) >= 0.8
             ORDER BY id1, id2"""))
 
-  /** Blocked edit-distance near-dup pairs ([[Dedup.editDistancePairs]]):
-    * prefix-blocked candidate join + exact Levenshtein verify on a
-    * 40-char normalized signature — the record-linkage shape (quadratic
-    * only within a block; `levenshtein` is a codegen'd built-in in both
-    * engines and integer-exact, so the oracle replays it verbatim).
+  /** The shared signature-class CTEs of the fuzzy-pair oracles: the
+    * 40-char normalized signature, identical-signature classes
+    * (rep = min doc id, member count), and the prefix-blocked
+    * Levenshtein-verified DISTINCT-signature edges — the exact replay
+    * of [[Dedup]]'s collapse-before-blocking discipline.
+    */
+  private def fuzzyClassCtes: String =
+    """s AS MATERIALIZED (SELECT doc_id,
+      |              substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 40)
+      |                AS sig
+      |            FROM documents WHERE text IS NOT NULL),
+      |            fclasses AS MATERIALIZED (
+      |              SELECT sig, min(doc_id) AS rep,
+      |                     CAST(count(*) AS BIGINT) AS cnt
+      |              FROM s GROUP BY sig),
+      |            fedges AS MATERIALIZED (
+      |              SELECT a.sig AS sig1, b.sig AS sig2,
+      |                     a.rep AS rep1, b.rep AS rep2,
+      |                     a.cnt AS cnt1, b.cnt AS cnt2,
+      |                     CAST(levenshtein(a.sig, b.sig) AS BIGINT) AS dist
+      |              FROM fclasses a JOIN fclasses b
+      |                ON substr(a.sig, 1, 8) = substr(b.sig, 1, 8)
+      |               AND a.sig < b.sig
+      |              WHERE levenshtein(a.sig, b.sig) <= 5)""".stripMargin
+
+  /** Blocked edit-distance near-dup pairs ([[Dedup.editDistancePairs]]),
+    * COLLAPSED to signature-class rows (one per identical-signature
+    * class + one per verified class pair, each with its exact doc-pair
+    * multiplicity) — the exploded contract emitted 10,024× the rows on
+    * the 10× replicated tier. `levenshtein` is a codegen'd built-in in
+    * both engines and integer-exact, so the oracle replays it verbatim.
     */
   val qFuzzyPairs = QueryDef(
     "q_fuzzy_pairs",
@@ -125,16 +151,47 @@ object ExtensionQueries {
         docs(s, d), "doc_id", "text", sigLen = 40, blockLen = 8, maxDist = 5)
       .withColumn("dist", col("dist").cast("long"))
       .orderBy("id1", "id2"),
-    Some("""WITH s AS (SELECT doc_id,
-              substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 40) AS sig
-            FROM documents)
-            SELECT a.doc_id AS id1, b.doc_id AS id2,
-              levenshtein(a.sig, b.sig) AS dist
-            FROM s a JOIN s b
-              ON substr(a.sig, 1, 8) = substr(b.sig, 1, 8)
-             AND a.doc_id < b.doc_id
-            WHERE levenshtein(a.sig, b.sig) <= 5
-            ORDER BY id1, id2"""))
+    Some(s"""WITH $fuzzyClassCtes
+            |            SELECT rep AS id1, rep AS id2,
+            |              CAST(0 AS BIGINT) AS dist,
+            |              (cnt * (cnt - 1)) // 2 AS n_pairs
+            |            FROM fclasses WHERE cnt >= 2
+            |            UNION ALL
+            |            SELECT least(rep1, rep2) AS id1,
+            |              greatest(rep1, rep2) AS id2, dist,
+            |              cnt1 * cnt2 AS n_pairs
+            |            FROM fedges
+            |            ORDER BY id1, id2""".stripMargin))
+
+  /** Edit-distance dedup as a per-document KEEP/DROP assignment
+    * ([[Dedup.editDistanceDedup]] — the simhash/minhash assignment
+    * shape on the record-linkage operator): one row per document,
+    * rep = neighborhood minimum over Levenshtein-verified class edges.
+    */
+  val qFuzzyAssign = QueryDef(
+    "q_fuzzy_assign",
+    (s, d) => Dedup.editDistanceDedup(
+        docs(s, d), "doc_id", "text", sigLen = 40, blockLen = 8, maxDist = 5)
+      .orderBy("doc_id"),
+    Some(s"""WITH $fuzzyClassCtes,
+            |            fneigh AS (
+            |              SELECT sig, min(nrep) AS nrep FROM (
+            |                SELECT sig1 AS sig, rep2 AS nrep FROM fedges
+            |                UNION ALL
+            |                SELECT sig2 AS sig, rep1 AS nrep FROM fedges)
+            |              GROUP BY sig),
+            |            frep AS (
+            |              SELECT c.sig,
+            |                     least(c.rep, coalesce(n.nrep, c.rep)) AS rep_id
+            |              FROM fclasses c LEFT JOIN fneigh n USING (sig)),
+            |            fassigned AS (
+            |              SELECT s.doc_id, r.rep_id
+            |              FROM s JOIN frep r USING (sig))
+            |            SELECT d.doc_id,
+            |              coalesce(a.rep_id, d.doc_id) AS rep_id,
+            |              d.doc_id <> coalesce(a.rep_id, d.doc_id) AS is_dup
+            |            FROM documents d LEFT JOIN fassigned a USING (doc_id)
+            |            ORDER BY doc_id""".stripMargin))
 
   /** The DuckDB replay of the MinHash-LSH keep/drop assignment: the
     * signature family is md5-based affine permutations precisely so this
@@ -4463,7 +4520,8 @@ object ExtensionQueries {
 
   val all: Seq[QueryDef] = Seq(
     qDsirScore, qDsirSelect, qDsirSample, qEmbedDrift,
-    qDedupExact, qDedupExactHash, qNgramJaccard, qFuzzyPairs, qDedupMinhash,
+    qDedupExact, qDedupExactHash, qNgramJaccard, qFuzzyPairs, qFuzzyAssign,
+    qDedupMinhash,
     qDedupClusters,
     qDedupSimhash, qDedupSimhashAssign, qDedupEmbed, qDedupSemdedup,
     qDedupIncremental,

@@ -1,7 +1,11 @@
 // Recall/cost sweep for the graph-ANN search-time beam knob (ef).
 // The graph is built ONCE (k=16, iters=4 — the q_ann_nndescent point);
-// each ef point pays only the search. Fill measured numbers into the
-// header of GraphAnnQueries when re-pinning the exported operating point.
+// each ef point pays only the search. Round-16 measured frontier at
+// sf0.1 (recall@10 / search wall s, build 8.1 s):
+//   ef=0 0.851/1.3 | 20 0.857 | 32 0.876 | 48 0.914 | 64 0.933
+//   ef=96 0.959/1.1-2.1 | 128 0.971/1.7 | 160 0.984/1.6 | 224 0.988/1.5
+// Exported point in GraphAnnQueries: ef=160 (>=0.95 bar with margin,
+// wall within 1.3x of the ef=0 two-hop search).
 package graft.tools
 
 import org.apache.spark.sql.functions._
@@ -35,7 +39,7 @@ object GraphAnnSweep {
       .localCheckpoint(true)
     println(f"SWEEP graph build wall=${(System.nanoTime() - tBuild0) / 1e9}%.2f")
 
-    for (ef <- Seq(96, 128, 160, 224)) {
+    for (ef <- Seq(0, 48, 96, 160, 224)) {
       val t0 = System.nanoTime()
       val got = GraphAnn.graphSearch(e, "vec_id", "embedding", graph,
           probes, "q_id", k = 10, ef = ef)

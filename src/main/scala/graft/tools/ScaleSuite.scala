@@ -17,8 +17,10 @@ import org.apache.spark.sql.SparkSession
   * (label only, default 10), SPARK_GRAFT_CPUS, SPARK_GRAFT_SUITE_PASSES
   * (default 2), SPARK_GRAFT_SUITE_PAR (default 4),
   * SPARK_GRAFT_SUITE_OUT (default SCALE_SUITE.json),
-  * SPARK_GRAFT_SUITE_FLAG_RATIO (default 8.0 — queries whose
-  * scaled/base ratio exceeds it land in `flagged`).
+  * SPARK_GRAFT_SUITE_FLAG_RATIO (default 4.0 — queries whose
+  * scaled/base ratio exceeds it land in `flagged`; tightened from the
+  * r15 8.0 after every adjudicated r15 flag pinned ≤4.3× solo — a real
+  * superlinearity now trips the tier before it doubles past linear).
   *
   * Prints one JSON line and writes it to the output file.
   */
@@ -32,7 +34,7 @@ object ScaleSuite {
     val par = sys.env.getOrElse("SPARK_GRAFT_SUITE_PAR", "4").toInt.max(1)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SUITE_OUT", "SCALE_SUITE.json")
     val flagRatio =
-      sys.env.getOrElse("SPARK_GRAFT_SUITE_FLAG_RATIO", "8.0").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_SUITE_FLAG_RATIO", "4.0").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -436,18 +436,39 @@ class PropertySpec extends SparkSpec {
     val sigs = raw.map { case (id, t) =>
       (id, t.toLowerCase.replaceAll("\\s+", " ").take(40))
     }
-    val expected = (for {
-      (i1, s1) <- sigs; (i2, s2) <- sigs
-      if i1 < i2 && s1.take(8) == s2.take(8)
-      d = lev(s1, s2) if d <= 5
-    } yield (i1, i2, d.toLong)).toSet
+    // collapsed reference: identical-signature classes, then class pairs
+    val classes = sigs.groupBy(_._2).map { case (sg, m) =>
+      sg -> ((m.map(_._1).min, m.size.toLong))
+    }
+    val expIntra = classes.values.collect { case (rep, cnt) if cnt >= 2 =>
+      (rep, rep, 0L, cnt * (cnt - 1) / 2)
+    }.toSet
+    val expCross = (for {
+      (sa, (ra, ca)) <- classes; (sb, (rb, cb)) <- classes
+      if sa < sb && sa.take(8) == sb.take(8)
+      d = lev(sa, sb) if d <= 5
+    } yield (math.min(ra, rb), math.max(ra, rb), d.toLong, ca * cb)).toSet
     val got = graft.ext.Dedup.editDistancePairs(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
         "doc_id", "text", sigLen = 40, blockLen = 8, maxDist = 5)
-      .as[(Long, Long, Int)].collect()
-      .map { case (a, b, d) => (a, b, d.toLong) }.toSet
-    assert(got === expected)
+      .as[(Long, Long, Int, Long)].collect()
+      .map { case (a, b, d, n) => (a, b, d.toLong, n) }.toSet
+    assert(got === expIntra ++ expCross)
     assert(got.nonEmpty)
+    // pair-count conservation vs the exploded all-pairs reference
+    val exploded = (for {
+      (i1, s1) <- sigs.toSeq; (i2, s2) <- sigs.toSeq
+      if i1 < i2 && s1.take(8) == s2.take(8) && lev(s1, s2) <= 5
+    } yield 1).sum
+    assert(got.toSeq.map(_._4).sum === exploded.toLong)
+    // and the assignment shape: one row per doc, reps keep themselves
+    val assign = graft.ext.Dedup.editDistanceDedup(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "doc_id", "text", sigLen = 40, blockLen = 8, maxDist = 5)
+      .as[(Long, Long, Boolean)].collect()
+    assert(assign.length === raw.length)
+    val repOf = assign.map(a => a._1 -> a._2).toMap
+    assign.foreach { case (_, rep, _) => assert(repOf(rep) === rep) }
   }
 
   test("hyperplaneSignatures are partitioning-invariant (exact integer sums)") {
