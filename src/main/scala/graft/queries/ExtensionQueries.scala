@@ -1068,9 +1068,12 @@ object ExtensionQueries {
     * the two knobs that let q_ann_lsh and q_corpus_pipeline share this
     * generator.
     */
-  private def lshTopKOracle(
-      prefix: String, probeIds: String,
-      bits: Int, tables: Int, k: Int, dim: Int = 64): String = {
+  /** The CTE chain computing the multi-table hyperplane signatures
+    * (`lsigs(vec_id, t, lsig)`) over a `corpusrel(vec_id, embedding)`
+    * relation — the exact-integer xxhash64 plane replay, extracted (r16)
+    * so [[lshTopKOracle]] and the LSH bitext oracle share one generator.
+    */
+  private[queries] def lshSigCtes(bits: Int, tables: Int): String = {
     val M = "18446744073709551616::HUGEINT"
     val S = "9223372036854775808::HUGEINT"
     def mulmod(a: String, p: String): String =
@@ -1106,10 +1109,7 @@ object ExtensionQueries {
         s"$name${i + 1} AS (SELECT $carry, inp, sd, $e AS v FROM $from)"
       }.mkString(",\n            ")
     }
-    val flips = ("lsig" +: (0 until bits).map(b => s"xor(lsig, ${1L << b})"))
-      .mkString(", ")
-    s"""WITH $prefix,
-       |            elems AS MATERIALIZED (SELECT vec_id,
+    s"""elems AS MATERIALIZED (SELECT vec_id,
        |              generate_subscripts(embedding, 1) - 1 AS i0,
        |              CAST(unnest(embedding) AS DOUBLE) AS v
        |              FROM corpusrel),
@@ -1140,7 +1140,16 @@ object ExtensionQueries {
        |            lsigs AS MATERIALIZED (SELECT vec_id, t,
        |              CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << b)
        |                       ELSE 0 END) AS BIGINT) AS lsig
-       |              FROM lprojs GROUP BY 1, 2),
+       |              FROM lprojs GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def lshTopKOracle(
+      prefix: String, probeIds: String,
+      bits: Int, tables: Int, k: Int, dim: Int = 64): String = {
+    val flips = ("lsig" +: (0 until bits).map(b => s"xor(lsig, ${1L << b})"))
+      .mkString(", ")
+    s"""WITH $prefix,
+       |            ${lshSigCtes(bits, tables)},
        |            probe_ids AS ($probeIds),
        |            lprobes AS (SELECT p.q_id, s.t, s.lsig
        |                        FROM probe_ids p
