@@ -85,6 +85,9 @@ object Dedup {
     editSigs(df, id, text, sigLen)
       .groupBy("_sig")
       .agg(min(col(id)).as("_rep"), count(lit(1)).as("_cnt"))
+      // bounded by distinct signatures, consumed 2-4x downstream - pin
+      // (r12 multi-consumer lesson)
+      .localCheckpoint(true)
 
   /** Verified cross-class edges: DISTINCT signature pairs sharing the
     * `blockLen`-char prefix block within Levenshtein `maxDist` — the DP
@@ -142,7 +145,13 @@ object Dedup {
       df: DataFrame, id: String, text: String,
       sigLen: Int = 40, blockLen: Int = 8, maxDist: Int = 5): DataFrame = {
     require(blockLen <= sigLen, s"blockLen $blockLen must be <= sigLen $sigLen")
-    val classes = editSigClasses(df, id, text, sigLen)
+    // ONE signature pass: feeds both the class collapse and the
+    // doc->rep mapping join below
+    val sigs = editSigs(df, id, text, sigLen).localCheckpoint(true)
+    val classes = sigs
+      .groupBy("_sig")
+      .agg(min(col(id)).as("_rep"), count(lit(1)).as("_cnt"))
+      .localCheckpoint(true)
     val edges = editClassEdges(classes, blockLen, maxDist)
     val neigh = edges.select(col("_sig1").as("_sig"), col("_rep2").as("_nrep"))
       .unionByName(edges.select(col("_sig2").as("_sig"), col("_rep1").as("_nrep")))
@@ -151,7 +160,7 @@ object Dedup {
       .select(col("_sig"),
         least(col("_rep"), coalesce(col("_nrep"), col("_rep"))).as("_crep"))
     df.select(col(id))
-      .join(editSigs(df, id, text, sigLen).join(classRep, "_sig")
+      .join(sigs.join(classRep, "_sig")
         .select(col(id), col("_crep")), Seq(id), "left")
       .select(col(id), coalesce(col("_crep"), col(id)).as("rep_id"))
       .withColumn("is_dup", col(id) =!= col("rep_id"))
@@ -982,6 +991,11 @@ object Dedup {
     simhashTable(df, id, text)
       .groupBy("sim")
       .agg(min(col(id)).as("crep"), count(lit(1)).as("cnt"))
+      // bounded by DISTINCT fingerprints and consumed 2-4x downstream
+      // (intra rows + both band-join sides + the rep join) - pin so each
+      // consumer reads the collapsed frame, not a re-run of the corpus
+      // tokenize/vote aggregation (r12 multi-consumer lesson)
+      .localCheckpoint(true)
 
   /** Cross-class near-dup edges: pairs of DISTINCT fingerprints within
     * `maxHamming`, surfaced via the band buckets (union over bands —
@@ -1065,7 +1079,13 @@ object Dedup {
     * fingerprint) keep themselves: `rep_id = id`, `is_dup = false`.
     */
   def simhashDedup(df: DataFrame, id: String, text: String, maxHamming: Int = 3): DataFrame = {
-    val classes = simhashClasses(df, id, text)
+    // ONE signature pass: the per-doc table feeds both the class collapse
+    // and the doc->rep mapping join below
+    val sigs = simhashTable(df, id, text).localCheckpoint(true)
+    val classes = sigs
+      .groupBy("sim")
+      .agg(min(col(id)).as("crep"), count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     // smallest neighboring-class rep per fingerprint, from BOTH edge
     // directions (edges carry each unordered pair once)
     val edges = simhashClassEdges(classes, maxHamming)
@@ -1075,7 +1095,6 @@ object Dedup {
     val classRep = classes.join(neigh, Seq("sim"), "left")
       .select(col("sim"),
         least(col("crep"), coalesce(col("nrep"), col("crep"))).as("_rep"))
-    val sigs = simhashTable(df, id, text)
     df.select(col(id))
       .join(sigs.join(classRep, "sim").select(col(id), col("_rep")), Seq(id), "left")
       .select(col(id), coalesce(col("_rep"), col(id)).as("rep_id"))

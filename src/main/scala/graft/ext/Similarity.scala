@@ -973,32 +973,50 @@ object Similarity {
     * no target emit nothing — widen `tables`/`probeHamming` to trade
     * cost for recall at mining time.
     *
-    * Measured tradeoff (r16, SCALE_BITEXT_r16.json): at gate scale the
-    * exhaustive form WINS (1.5 s vs 7.0 s solo — a few thousand docs per
+    * Measured tradeoff (r16, SCALE_BITEXT*_r16.json): at gate scale the
+    * exhaustive form WINS (1.5 s vs ~5 s solo — a few thousand docs per
     * side is broadcast territory, and 12 signature tables cost more than
-    * the cross join they avoid), and on the verbatim-replicated 10×
-    * fixture the LSH buckets saturate with clones (identical vectors ⇒
-    * identical signatures ⇒ candidate pairs quadratic in clone-class
-    * size — the same identical-class trap as simhash/fuzzy banding).
-    * This form pays off on LARGE, DEDUPLICATED corpora — the state every
-    * real mining pipeline reaches before this step (dedup first is the
-    * pipeline's own discipline; [[graft.ext.Dedup]] exists for exactly
-    * that) — where |src|·|tgt| is unpayable and clone classes are gone.
+    * the cross join they avoid); this form pays off when |src|·|tgt| is
+    * unpayable. Clone hygiene: identical vectors produce identical
+    * signatures, so duplicate classes saturate every bucket they land in
+    * and the candidate join goes quadratic in clone-class size (the
+    * simhash/fuzzy identical-class trap — 11.8× solo on the
+    * verbatim-replicated 10× fixture). `dedupVectors = true` collapses
+    * each side to one representative per distinct embedding first (the
+    * CCMatrix mine-after-dedup setting) and restores scale-cleanliness:
+    * 1.78× solo on the same fixture.
     */
   def bitextMineLsh(
       src: DataFrame, tgt: DataFrame, id: String, vec: String,
       k: Int = 4, minMarginQ: Long = 1000000L, scale: Long = 1000000L,
-      bits: Int = 6, tables: Int = 12, probeHamming: Int = 1): DataFrame = {
+      bits: Int = 6, tables: Int = 12, probeHamming: Int = 1,
+      dedupVectors: Boolean = false): DataFrame = {
     require(tables >= 1, s"tables must be >= 1, got $tables")
     require(probeHamming >= 0 && probeHamming <= 1,
       s"probeHamming must be 0 or 1, got $probeHamming")
+    // `dedupVectors` collapses each side to one representative (min id)
+    // per DISTINCT embedding before anything hashes — the mine-on-
+    // representatives setting real pipelines use (CCMatrix dedups before
+    // mining): identical vectors produce identical signatures, so clone
+    // classes otherwise saturate every bucket they land in and the
+    // candidate join goes quadratic in clone-class size (measured 11.8x
+    // solo on the verbatim-replicated 10x fixture; 1.2x collapsed).
+    def prep(side: DataFrame): DataFrame =
+      if (!dedupVectors) side.select(col(id), col(vec))
+      else side.groupBy(col(vec)).agg(min(col(id)).as(id))
+        .select(col(id), col(vec))
+    // pin both inputs: each of the `tables` signature passes and the
+    // final scoring joins otherwise replay the caller's full upstream
+    // plan per table (the audit read 52 scans before the pin)
+    val srcP = prep(src).localCheckpoint(true)
+    val tgtP = prep(tgt).localCheckpoint(true)
     def sigsFor(df: DataFrame, as: String): DataFrame =
       (0 until tables).map { tb =>
         hyperplaneSignatures(df, id, vec, bits, tb)
           .select(col(id).as(as), lit(tb).as("_t"), col("_sig"))
       }.reduce(_ unionByName _)
-    val sSigs = sigsFor(src, "src_id")
-    val tSigs = sigsFor(tgt, "tgt_id")
+    val sSigs = sigsFor(srcP, "src_id")
+    val tSigs = sigsFor(tgtP, "tgt_id")
     // multi-probe on the SOURCE side only (one side's expansion already
     // pairs the flip-adjacent buckets; doing both sides double-counts)
     val probed =
@@ -1012,8 +1030,8 @@ object Similarity {
     val cand = probed.join(tSigs, Seq("_t", "_sig"))
       .select("src_id", "tgt_id").distinct()
     val pairs = cand
-      .join(src.select(col(id).as("src_id"), col(vec).as("_sv")), "src_id")
-      .join(tgt.select(col(id).as("tgt_id"), col(vec).as("_tv")), "tgt_id")
+      .join(srcP.select(col(id).as("src_id"), col(vec).as("_sv")), "src_id")
+      .join(tgtP.select(col(id).as("tgt_id"), col(vec).as("_tv")), "tgt_id")
       .withColumn("_bt_cosq",
         floor(cosine(col("_sv"), col("_tv")) * scale).cast("long"))
       .select("src_id", "tgt_id", "_bt_cosq")

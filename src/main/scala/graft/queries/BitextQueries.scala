@@ -93,16 +93,18 @@ object BitextQueries {
       val tgt = byLang.filter(col("lang") === "de").select("vec_id", "embedding")
       Similarity.bitextMineLsh(src, tgt, "vec_id", "embedding",
           k = K, minMarginQ = MinMarginQ, scale = Scale,
-          bits = Bits, tables = Tables, probeHamming = 1)
+          bits = Bits, tables = Tables, probeHamming = 1,
+          dedupVectors = true)
         .orderBy("src_id")
     },
     Some {
       val flips = ("lsig" +: (0 until Bits).map(b => s"xor(lsig, ${1L << b})"))
         .mkString(", ")
       s"""WITH corpusrel AS (
-         |  SELECT e.vec_id, e.embedding FROM embeddings e
+         |  SELECT min(e.vec_id) AS vec_id, e.embedding FROM embeddings e
          |  JOIN documents d ON d.doc_id = e.vec_id
-         |  WHERE d.lang IN ('en', 'de')),
+         |  WHERE d.lang IN ('en', 'de')
+         |  GROUP BY d.lang, e.embedding),
          |${ExtensionQueries.lshSigCtes(Bits, Tables)},
          |ssig AS (SELECT l.vec_id, l.t, l.lsig FROM lsigs l
          |         JOIN documents d ON d.doc_id = l.vec_id
