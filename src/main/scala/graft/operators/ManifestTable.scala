@@ -308,18 +308,40 @@ object ManifestTable {
     */
   def pruneFiles(
       spark: SparkSession, tablePath: String, column: String,
-      lower: Option[Any], upper: Option[Any]): Option[(Seq[String], Int)] = {
+      lower: Option[Any], upper: Option[Any]): Option[(Seq[String], Int)] =
+    pruneFilesMulti(spark, tablePath, Seq(ColumnRange(column, lower, upper)))
+
+  /** One conjunct of a multi-column skipping predicate: an inclusive
+    * range (either bound optional, not both absent) on a stat column.
+    */
+  final case class ColumnRange(
+      column: String, lower: Option[Any] = None, upper: Option[Any] = None) {
     require(lower.nonEmpty || upper.nonEmpty,
-      "pruneFiles needs at least one bound")
+      s"ColumnRange($column) needs at least one bound")
+  }
+
+  /** [[pruneFiles]] over a CONJUNCTION of column ranges: a file is read
+    * only when EVERY range's [min, max] envelope can intersect it — the
+    * multi-dimensional skipping that pays off under a Z-ORDER layout
+    * (`compact(layout = ...)` on an interleaved key, or several range
+    * columns): each added selective conjunct prunes multiplicatively
+    * when the layout clusters it. Every named column must have been in
+    * `statsCols` at commit time.
+    */
+  def pruneFilesMulti(
+      spark: SparkSession, tablePath: String,
+      ranges: Seq[ColumnRange]): Option[(Seq[String], Int)] = {
+    require(ranges.nonEmpty, "pruneFilesMulti needs at least one range")
     currentSnapshot(tablePath).flatMap { snap =>
       val statsDir = new java.io.File(
         new java.io.File(tablePath, snap), "_stats")
       if (!statsDir.isDirectory) None
       else {
         val st = spark.read.parquet(statsDir.getPath)
-        val keep = (lower.map(b => col(s"max_$column") >= lit(b)) ++
-          upper.map(b => col(s"min_$column") <= lit(b)))
-          .reduce(_ && _) // NULL stats → NULL predicate → filtered: pruned
+        val keep = ranges.flatMap { r =>
+          (r.lower.map(b => col(s"max_${r.column}") >= lit(b)) ++
+            r.upper.map(b => col(s"min_${r.column}") <= lit(b))).toSeq
+        }.reduce(_ && _) // NULL stats → NULL predicate → filtered: pruned
         val total = st.count().toInt
         val files = st.filter(keep).select("_file")
           .collect().map(_.getString(0)).toSeq.sorted
@@ -340,11 +362,23 @@ object ManifestTable {
   def scanWithPredicate(
       spark: SparkSession, tablePath: String, column: String,
       lower: Option[Any] = None, upper: Option[Any] = None): Option[DataFrame] =
+    scanWithPredicates(spark, tablePath,
+      Seq(ColumnRange(column, lower, upper)))
+
+  /** [[scanWithPredicate]] for a conjunction of ranges: prune via
+    * [[pruneFilesMulti]], scan only surviving files, apply the
+    * conjunctive row filter on top (still pushed into the scan).
+    */
+  def scanWithPredicates(
+      spark: SparkSession, tablePath: String,
+      ranges: Seq[ColumnRange]): Option[DataFrame] =
     currentSnapshot(tablePath).map { snap =>
-      val rowPred = (lower.map(b => col(column) >= lit(b)) ++
-        upper.map(b => col(column) <= lit(b))).reduce(_ && _)
+      val rowPred = ranges.flatMap { r =>
+        (r.lower.map(b => col(r.column) >= lit(b)) ++
+          r.upper.map(b => col(r.column) <= lit(b))).toSeq
+      }.reduce(_ && _)
       val snapPath = new java.io.File(tablePath, snap).getPath
-      pruneFiles(spark, tablePath, column, lower, upper) match {
+      pruneFilesMulti(spark, tablePath, ranges) match {
         case Some((files, _)) =>
           if (files.isEmpty)
             spark.read.parquet(snapPath).filter(lit(false))

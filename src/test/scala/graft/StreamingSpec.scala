@@ -1942,6 +1942,43 @@ class StreamingSpec extends SparkSpec {
     assert(M.scanWithPredicate(spark, plainDir, "k",
         lower = Some(0L), upper = Some(10L)).get.count() === 11L)
   }
+
+  test("manifest multi-column skipping: conjunctive ranges prune under a z-order layout") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val tableDir = java.nio.file.Files
+      .createTempDirectory("graft_manifest_zorder_").toString + "/table"
+    new java.io.File(tableDir).mkdirs()
+    val M = graft.operators.ManifestTable
+    // two independent dimensions on a 40x40 grid; z-order interleave as
+    // the layout key so BOTH dims cluster per file and each conjunct
+    // prunes multiplicatively
+    val base = spark.range(0, 1600).toDF("id")
+      .withColumn("a", pmod(col("id"), lit(40)))
+      .withColumn("b", (col("id") / lit(40)).cast("long"))
+      .withColumn("_z",
+        graft.functions.ZOrderFunctions.zorder16(col("a"), col("b")))
+    M.commit(base.repartitionByRange(16, col("_z")).drop("_z"),
+      tableDir, batchId = 0L, statsCols = Seq("a", "b"))
+    val R = M.ColumnRange
+    // single-dim prunes
+    val (fa, total) = M.pruneFilesMulti(spark, tableDir,
+      Seq(R("a", Some(0L), Some(9L)))).get
+    val (fb, _) = M.pruneFilesMulti(spark, tableDir,
+      Seq(R("b", Some(0L), Some(9L)))).get
+    // the conjunction prunes to at most the intersection — strictly
+    // fewer files than either single range on this clustered layout
+    val (fab, _) = M.pruneFilesMulti(spark, tableDir,
+      Seq(R("a", Some(0L), Some(9L)), R("b", Some(0L), Some(9L)))).get
+    assert(total >= 8)
+    assert(fab.toSet.subsetOf(fa.toSet intersect fb.toSet))
+    assert(fab.nonEmpty && fab.size < math.min(fa.size, fb.size),
+      s"conjunction did not prune past either dim: ${fab.size} vs ${fa.size}/${fb.size} of $total")
+    // and the pruned conjunctive scan equals the full filter
+    val got = M.scanWithPredicates(spark, tableDir,
+        Seq(R("a", Some(0L), Some(9L)), R("b", Some(0L), Some(9L)))).get
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got === (for (a <- 0L to 9L; b <- 0L to 9L) yield (a, b)).toSet)
+  }
   test("streaming co-occurrence top pairs match the batch pair census per window") {
     implicit val sqlCtx = spark.sqlContext
     // transactions: (alert-rule baskets) with planted frequent pairs
