@@ -396,6 +396,52 @@ object ExtensionQueries {
        |            FROM documents d LEFT JOIN assigned a USING (doc_id)
        |            ORDER BY doc_id""".stripMargin
 
+  /** [[Dedup.simhashDedupClusters]]' replay: the bounded label
+    * propagation over the CLASS graph unrolls exactly (the
+    * [[minhashClustersOracle]] technique) — each round one neighbor-min
+    * join + one least() merge; early convergence needs no special
+    * casing because converged rounds are least()-identity no-ops.
+    */
+  private def simhashClustersOracle(maxHamming: Int, maxIter: Int): String = {
+    val iters = (1 to maxIter).map { i =>
+      val prev = s"l${i - 1}"
+      s"""nm$i AS MATERIALIZED (
+         |              SELECT e.s AS sim, min(l.label) AS prop
+         |              FROM und e JOIN $prev l ON l.sim = e.d
+         |              GROUP BY 1),
+         |            l$i AS MATERIALIZED (
+         |              SELECT l.sim,
+         |                     least(l.label, coalesce(n.prop, l.label)) AS label
+         |              FROM $prev l LEFT JOIN nm$i n USING (sim))""".stripMargin
+    }.mkString(",\n            ")
+    s"""WITH $simhashClassCtes,
+       |            ${simhashEdgesCte(maxHamming)},
+       |            und AS MATERIALIZED (
+       |              SELECT sim1 AS s, sim2 AS d FROM edges
+       |              UNION ALL SELECT sim2 AS s, sim1 AS d FROM edges),
+       |            l0 AS MATERIALIZED (SELECT sim, crep AS label FROM classes),
+       |            $iters,
+       |            mapped AS (
+       |              SELECT s.doc_id, l.label
+       |              FROM sig s JOIN l$maxIter l USING (sim))
+       |            SELECT d.doc_id,
+       |                   coalesce(m.label, d.doc_id) AS cluster_id
+       |            FROM documents d LEFT JOIN mapped m USING (doc_id)
+       |            ORDER BY doc_id""".stripMargin
+  }
+
+  /** Full transitive simhash clusters (connected components over the
+    * Hamming-verified DISTINCT-fingerprint class graph — see
+    * [[Dedup.simhashDedupClusters]]): completes the simhash trio
+    * (pairs / assignment / clusters) at class-graph cost.
+    */
+  val qDedupSimhashClusters = QueryDef(
+    "q_dedup_simhash_clusters",
+    (s, d) => Dedup.simhashDedupClusters(docs(s, d), "doc_id", "text",
+        maxHamming = 3, maxIter = 10)
+      .orderBy("doc_id"),
+    Some(simhashClustersOracle(maxHamming = 3, maxIter = 10)))
+
   /** MinHash+LSH dedup as a per-document keep/drop assignment (the
     * pairwise candidate list is quadratic on this corpus — ~8M pairs from
     * 5k docs — so the scalable operator emits cluster representatives
@@ -4532,8 +4578,8 @@ object ExtensionQueries {
     qDedupExact, qDedupExactHash, qNgramJaccard, qFuzzyPairs, qFuzzyAssign,
     qDedupMinhash,
     qDedupClusters,
-    qDedupSimhash, qDedupSimhashAssign, qDedupEmbed, qDedupSemdedup,
-    qDedupIncremental,
+    qDedupSimhash, qDedupSimhashAssign, qDedupSimhashClusters, qDedupEmbed,
+    qDedupSemdedup, qDedupIncremental,
     qDedupIncMinhash, qDedupPriority,
     qDecontaminate,
     qEmbedCosineTopk, qEmbedMeanpool, qAnnLsh, qAnnIvf, qAnnIvfLowid,

@@ -209,6 +209,37 @@ class ExtSpec extends SparkSpec {
     })
   }
 
+  test("simhash clusters: transitive closure over Hamming-verified class components") {
+    // reuse the word-swap corpus: chains of near-identical fingerprints
+    // must merge transitively even when the endpoints exceed maxHamming
+    val base = (1 to 300).map(i => s"w$i")
+    val corpus = (0 until 24).map { i =>
+      val words = if (i == 0) base else base.updated((i * 13) % 300, s"X$i")
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sims = Dedup.simhashTable(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    // expected components: union-find over class pairs within hamming<=3
+    // that share at least one of the 4 16-bit bands (the operator's own
+    // candidate guarantee covers hamming<=3 by pigeonhole)
+    val parent = scala.collection.mutable.Map(sims.values.toSeq.distinct.map(s => s -> s): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      a <- sims.values.toSeq.distinct; b <- sims.values.toSeq.distinct
+      if a < b && java.lang.Long.bitCount(a ^ b) <= 3
+    } { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    val expected = sims.map { case (id, sim) =>
+      val root = find(sim)
+      val members = sims.collect { case (i2, s2) if find(s2) == root => i2 }
+      id -> members.min
+    }
+    val got = Dedup.simhashDedupClusters(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got === expected)
+    // sanity: the closure actually merged something beyond one class
+    assert(got.values.toSet.size < sims.values.toSet.size)
+  }
+
   test("cosine: identical=1, orthogonal=0; brute-force top-k ranks correctly") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
