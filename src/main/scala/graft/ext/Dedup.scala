@@ -1106,6 +1106,46 @@ object Dedup {
       .withColumn("is_dup", col(id) =!= col("rep_id"))
   }
 
+  /** Persisted simhash band index of the accepted corpus — the simhash
+    * analogue of [[minhashBucketIndex]], built ONCE per corpus state and
+    * reused by every [[incrementalSimhash]] admission batch. Rows carry
+    * the full fingerprint (unlike the minhash index's bucket-min): the
+    * incremental screen Hamming-VERIFIES every candidate, so band
+    * collisions beyond `maxHamming` never merge.
+    */
+  def simhashBandIndex(
+      corpus: DataFrame, id: String, text: String,
+      maxHamming: Int = 3, bands: Int = 0): DataFrame = {
+    val nb = HammingBands.resolveBands(maxHamming, bands, SimhashBits)
+    simhashTable(corpus, id, text)
+      .select(col(id).as("media_id"), col("sim"),
+        explode(array(
+          HammingBands.bandKeys(col("sim"), SimhashBits, nb): _*)).as("bucket"))
+      .select("bucket", "media_id", "sim")
+  }
+
+  /** Incremental simhash admission: screen a new batch against the
+    * persisted corpus band index, then against batch peers — the
+    * recurring-crawl shape (corpus never re-hashed) on the SIMHASH
+    * fingerprint, wired through the shared
+    * [[HammingBands.incrementalScreen]] core exactly like the
+    * image/audio admissions (one screen implementation, four
+    * modalities). NULL-text documents ride the spine and admit
+    * (`rep_id = id` — no fingerprint, no evidence).
+    */
+  def incrementalSimhash(
+      batch: DataFrame, bandIndex: DataFrame, id: String, text: String,
+      maxHamming: Int = 3, bands: Int = 0): DataFrame = {
+    val nb = HammingBands.resolveBands(maxHamming, bands, SimhashBits)
+    val spine = batch.select(col(id).as("media_id"))
+      .join(simhashTable(batch, id, text)
+        .select(col(id).as("media_id"), col("sim")), Seq("media_id"), "left")
+      .localCheckpoint(true) // incrementalScreen's caller contract
+    HammingBands.incrementalScreen(spine, bandIndex, "sim",
+        SimhashBits, maxHamming, nb)
+      .withColumnRenamed("media_id", id)
+  }
+
   /** Full TRANSITIVE simhash clusters — [[simhashDedup]]'s one-step
     * propagation iterated to a fixed point, completing the simhash trio
     * (pairs / assignment / clusters) exactly as minhash has

@@ -396,6 +396,56 @@ object ExtensionQueries {
        |            FROM documents d LEFT JOIN assigned a USING (doc_id)
        |            ORDER BY doc_id""".stripMargin
 
+  /** Incremental SIMHASH admission ([[Dedup.incrementalSimhash]] — the
+    * shared [[graft.ext.HammingBands]] screen on the text fingerprint,
+    * same shape as the image/audio/video admissions): the new batch
+    * (doc_id >= 250) screens against the accepted corpus' (doc_id <
+    * 250) persisted band index with full Hamming verification, then
+    * against its own peers. The oracle computes every document's
+    * fingerprint once, splits the 60 bits into the HammingBands 4×15
+    * layout, and replays both screens with the bit_count verify.
+    */
+  val qDedupIncSimhash = QueryDef(
+    "q_dedup_inc_simhash",
+    (s, d) => {
+      val all = docs(s, d)
+      val corpus = all.filter(col("doc_id") < 250)
+      val batch = all.filter(col("doc_id") >= 250)
+      Dedup.incrementalSimhash(
+          batch, Dedup.simhashBandIndex(corpus, "doc_id", "text"),
+          "doc_id", "text")
+        .select("doc_id", "rep_id", "is_dup")
+        .orderBy("doc_id")
+    },
+    Some {
+      // HammingBands.widths(60, 4) = 15 bits per band, offsets 0/15/30/45
+      val bandKeys = (0 until 4).map { b =>
+        s"'$b:' || CAST((sim >> ${15 * b}) & 32767 AS VARCHAR)"
+      }.mkString(", ")
+      s"""WITH $simhashClassCtes,
+         |            hb AS MATERIALIZED (SELECT doc_id, sim, u.bk
+         |                   FROM sig, unnest([$bandKeys]) AS u(bk)),
+         |            cb AS (SELECT * FROM hb WHERE doc_id < 250),
+         |            bb AS MATERIALIZED (SELECT * FROM hb WHERE doc_id >= 250),
+         |            vc AS (SELECT b.doc_id, min(c.doc_id) AS crep
+         |                   FROM bb b JOIN cb c USING (bk)
+         |                   WHERE bit_count(xor(b.sim, c.sim)) <= 3
+         |                   GROUP BY 1),
+         |            vb AS (SELECT b.doc_id, min(p.doc_id) AS brep
+         |                   FROM bb b JOIN bb p USING (bk)
+         |                   WHERE bit_count(xor(b.sim, p.sim)) <= 3
+         |                   GROUP BY 1)
+         |            SELECT d.doc_id,
+         |              coalesce(vc.crep, vb.brep, d.doc_id) AS rep_id,
+         |              (coalesce(vc.crep, vb.brep, d.doc_id) <> d.doc_id)
+         |                AS is_dup
+         |            FROM documents d
+         |            LEFT JOIN vc USING (doc_id)
+         |            LEFT JOIN vb USING (doc_id)
+         |            WHERE d.doc_id >= 250
+         |            ORDER BY d.doc_id""".stripMargin
+    })
+
   /** [[Dedup.simhashDedupClusters]]' replay: the bounded label
     * propagation over the CLASS graph unrolls exactly (the
     * [[minhashClustersOracle]] technique) — each round one neighbor-min
@@ -4578,7 +4628,8 @@ object ExtensionQueries {
     qDedupExact, qDedupExactHash, qNgramJaccard, qFuzzyPairs, qFuzzyAssign,
     qDedupMinhash,
     qDedupClusters,
-    qDedupSimhash, qDedupSimhashAssign, qDedupSimhashClusters, qDedupEmbed,
+    qDedupSimhash, qDedupSimhashAssign, qDedupSimhashClusters,
+    qDedupIncSimhash, qDedupEmbed,
     qDedupSemdedup, qDedupIncremental,
     qDedupIncMinhash, qDedupPriority,
     qDecontaminate,
