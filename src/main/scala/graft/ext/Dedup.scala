@@ -1319,4 +1319,115 @@ object Dedup {
     assigned.join(dropped, Seq(id), "left_anti")
       .withColumnRenamed("_c_id", "cluster_id")
   }
+
+  /** Persisted SEMANTIC dedup index of the accepted corpus — the
+    * [[semDeDup]] analogue of [[simhashBandIndex]] /
+    * [[minhashBucketIndex]], built ONCE per corpus state so a new crawl
+    * batch can be admitted WITHOUT recomputing anything on the corpus
+    * side (at 100 TB the corpus must never re-cluster). One DataFrame,
+    * two row kinds:
+    *
+    *  - `kind = 'centroid'`: the frozen coarse quantizer — `cid` plus
+    *    the centroid float vector in `v` (`member_id` NULL). Bounded by
+    *    the same ≤64-centroid clamp as [[semDeDup]], so reading them
+    *    back is a bounded driver-side collect.
+    *  - `kind = 'member'`: one row per corpus vector — its assigned
+    *    `cid`, its id in `member_id`, and its UNIT vector (float, the
+    *    [[semDeDup]] normalize-once contract) in `v`, ready for the
+    *    native dot kernel at screen time.
+    *
+    * The quantizer and the unit-normalization are byte-identical to
+    * [[semDeDup]]'s, so admitting a batch against this index reproduces
+    * exactly what re-running semDeDup over (corpus ∪ batch) would decide
+    * for the batch rows whenever batch vectors assign to the same
+    * clusters (the SemDeDup within-cluster approximation, now frozen at
+    * corpus-build time).
+    */
+  def semDedupIndex(
+      corpus: DataFrame, id: String, vec: String,
+      nCentroids: Int = 32, quantizer: String = "kmeans"): DataFrame = {
+    val cents = Similarity.centroidsFor(corpus, id, vec, nCentroids, quantizer)
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("cid", LongType, nullable = false),
+      StructField("member_id", LongType, nullable = true),
+      StructField("v", ArrayType(FloatType), nullable = true)))
+    val centRows = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cents.toSeq.map { case (cid, cv) =>
+          Row("centroid", cid, null, cv.toSeq) }, 1),
+      schema)
+    val members = Similarity.assignToCentroids(corpus, vec, cents)
+      .withColumn("_n", Similarity.l2Norm(col(vec)))
+      .select(lit("member").as("kind"), col("_c_id").as("cid"),
+        col(id).cast("long").as("member_id"),
+        transform(col(vec), x => x.cast("double") / col("_n"))
+          .cast("array<float>").as("v"))
+    centRows.unionByName(members)
+  }
+
+  /** Incremental SEMANTIC admission: screen a new embedding batch
+    * against the persisted [[semDedupIndex]], then against batch peers —
+    * the [[graft.ext.HammingBands.incrementalScreen]] contract for the
+    * embedding modality (the one modality r16 left out). The corpus side
+    * is NEVER recomputed: centroids are read back as plan literals (a
+    * bounded ≤64-row collect, the same class as the quantizer build),
+    * batch vectors assign via the native argmax kernel (no shuffle), and
+    * the only exchanges are the two cluster-keyed joins — batch×corpus
+    * members and batch×batch — each verified by the codegen'd float unit
+    * dot ≥ eps.
+    *
+    * `rep_id` = smallest corpus member id within eps in the batch row's
+    * assigned cluster (corpus authoritative), else the smallest batch id
+    * within eps in-cluster (self included — every vector is within eps
+    * of itself, so a clone group collapses onto its min id), else the
+    * row itself. Batch rows with NULL embeddings ride the spine and
+    * admit (`rep_id = id` — no vector, no evidence), mirroring the
+    * NULL-hash rule of the other three modalities.
+    */
+  def incrementalSemDedup(
+      batch: DataFrame, index: DataFrame, id: String, vec: String,
+      eps: Double): DataFrame = {
+    require(eps > 0 && eps <= 1, s"eps must be in (0, 1], got $eps")
+    // bounded driver-side read of the frozen quantizer (<= 64 rows by
+    // the semDeDup centroid clamp)
+    val cents = index.filter(col("kind") === "centroid")
+      .select(col("cid"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "index has no centroid rows")
+    val members = index.filter(col("kind") === "member")
+      .select(col("cid").as("_c_id"), col("member_id").as("_mid"),
+        col("v").as("_mu"))
+    val assigned = Similarity.assignToCentroids(batch, vec, cents)
+      .withColumn("_n", Similarity.l2Norm(col(vec)))
+      .select(col("_c_id"), col(id),
+        transform(col(vec), x => x.cast("double") / col("_n"))
+          .cast("array<float>").as("_bu"))
+      // explicit partition count on the cluster key — the semDeDup
+      // lesson: AQE sizes by exchange bytes and cannot see the
+      // O(cluster²) pair fan-out, so a bare repartition coalesces to 1
+      .repartition(cents.length, col("_c_id"))
+      .localCheckpoint(true) // feeds both screens AND the spine join
+    val vsCorpus = assigned.join(members, Seq("_c_id"))
+      .filter(graft.functions.VectorFunctions.float_vector_dot(
+        col("_bu"), col("_mu")) >= eps)
+      .groupBy(col(id)).agg(min(col("_mid")).as("_crep"))
+    val vsBatch = assigned.join(
+        assigned.select(col("_c_id"), col(id).as("_bid"),
+          col("_bu").as("_pu")), Seq("_c_id"))
+      .filter(graft.functions.VectorFunctions.float_vector_dot(
+        col("_bu"), col("_pu")) >= eps)
+      .groupBy(col(id)).agg(min(col("_bid")).as("_brep"))
+    batch.select(col(id))
+      .join(vsCorpus, Seq(id), "left")
+      .join(vsBatch, Seq(id), "left")
+      .withColumn("rep_id",
+        coalesce(col("_crep"), col("_brep"), col(id)))
+      .withColumn("is_dup", col("rep_id") =!= col(id))
+      .drop("_crep", "_brep")
+  }
 }

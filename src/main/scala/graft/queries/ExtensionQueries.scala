@@ -1013,6 +1013,35 @@ object ExtensionQueries {
     },
     Some(LloydOracles.semdedupOracle(iters = 8, dim = 64, eps = 0.4)))
 
+  /** Incremental SEMANTIC admission ([[Dedup.incrementalSemDedup]] —
+    * the embedding modality joining the minhash/simhash/image/audio/
+    * video incremental family): the accepted corpus (vec_id < 250)
+    * freezes its quantizer + per-cluster unit members as a persisted
+    * [[Dedup.semDedupIndex]]; the new batch (vec_id >= 250) assigns to
+    * the frozen centroids with the native argmax kernel and screens
+    * in-cluster against corpus members first, then batch peers, each
+    * verified by float-unit dot >= eps. The corpus side is never
+    * recomputed — the 100 TB admission contract. The oracle replays the
+    * corpus-only fixed-point kmeans, the frozen argmax assignment of
+    * BOTH halves, and the two screens.
+    */
+  val qDedupIncSem = QueryDef(
+    "q_dedup_inc_sem",
+    (s, d) => {
+      val e = embs(s, d)
+      val corpus = e.filter(col("vec_id") < 250)
+      val batch = e.filter(col("vec_id") >= 250)
+      val k = math.max(8L, math.min(64L, corpus.count() / 500L)).toInt
+      Dedup.incrementalSemDedup(
+          batch,
+          Dedup.semDedupIndex(corpus, "vec_id", "embedding", nCentroids = k),
+          "vec_id", "embedding", eps = 0.4)
+        .select("vec_id", "rep_id", "is_dup")
+        .orderBy("vec_id")
+    },
+    Some(LloydOracles.incrementalSemOracle(
+      iters = 8, dim = 64, eps = 0.4, splitId = 250)))
+
   /** Audio-header decode ([[Multimodal.decodeHeader]] WAV branch):
     * deterministic doc_id-derived WAV payloads — PCM fmt chunks with
     * varying channels/rate/bit-depth, an optional leading JUNK chunk (so
@@ -4630,7 +4659,7 @@ object ExtensionQueries {
     qDedupClusters,
     qDedupSimhash, qDedupSimhashAssign, qDedupSimhashClusters,
     qDedupIncSimhash, qDedupEmbed,
-    qDedupSemdedup, qDedupIncremental,
+    qDedupSemdedup, qDedupIncSem, qDedupIncremental,
     qDedupIncMinhash, qDedupPriority,
     qDecontaminate,
     qEmbedCosineTopk, qEmbedMeanpool, qAnnLsh, qAnnIvf, qAnnIvfLowid,

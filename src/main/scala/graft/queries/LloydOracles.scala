@@ -480,4 +480,65 @@ private[queries] object LloydOracles {
     SELECT a.vec_id, a.cid AS cluster_id
     FROM assigned a ANTI JOIN dropped d ON a.vec_id = d.vec_id
     ORDER BY a.vec_id"""
+
+  /** q_dedup_inc_sem: the incremental SemDeDup admission replay — the
+    * fixed-point kmeans trains on the CORPUS half only (vec_id <
+    * splitId, exactly what [[graft.ext.Dedup.semDedupIndex]] freezes),
+    * every vector assigns to the frozen centroids by the same argmax,
+    * and the batch half (vec_id >= splitId) screens against corpus
+    * members first (min corpus id within eps in-cluster), then against
+    * batch peers (min batch id within eps in-cluster, self included),
+    * the [[graft.ext.Dedup.incrementalSemDedup]] coalesce contract.
+    */
+  private[queries] def incrementalSemOracle(
+      iters: Int, dim: Int, eps: Double, splitId: Long): String =
+    s"""WITH vecs AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id < $splitId),
+    $hashLongSampleCtes,
+    kparam AS (SELECT GREATEST(8, LEAST(64, count(*) // 500)) AS k,
+      GREATEST(8, LEAST(64, count(*) // 500)) * ${graft.ext.Similarity.KmeansSamplesPerCentroid} AS n
+      FROM embeddings WHERE vec_id < $splitId),
+    ${kmeansSphericalCtes("(SELECT k FROM kparam)", "(SELECT n FROM kparam)", iters)},
+    ${centroidFloatCtes(iters, 1000000L)},
+    allv AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dl
+      FROM embeddings WHERE embedding IS NOT NULL),
+    vdots AS (SELECT v.vec_id, c.cid, ${dotn("v.dl", "c.ul", dim)} AS d
+              FROM allv v, kcu c),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM vdots) WHERE rn = 1),
+    unitv AS MATERIALIZED (
+      SELECT vec_id, list_transform(dl, x ->
+        CAST(CAST(x / sqrt(${sq("dl")}) AS FLOAT) AS DOUBLE)) AS ul
+      FROM allv),
+    vc AS (
+      SELECT b.vec_id, min(c.vec_id) AS crep
+      FROM assigned b
+      JOIN assigned c ON c.cid = b.cid AND c.vec_id < $splitId
+      JOIN unitv u1 ON u1.vec_id = b.vec_id
+      JOIN unitv u2 ON u2.vec_id = c.vec_id
+      WHERE b.vec_id >= $splitId
+        AND ${dotn("u1.ul", "u2.ul", dim)} >= $eps
+      GROUP BY 1),
+    vb AS (
+      SELECT b.vec_id, min(p.vec_id) AS brep
+      FROM assigned b
+      JOIN assigned p ON p.cid = b.cid AND p.vec_id >= $splitId
+      JOIN unitv u1 ON u1.vec_id = b.vec_id
+      JOIN unitv u2 ON u2.vec_id = p.vec_id
+      WHERE b.vec_id >= $splitId
+        AND ${dotn("u1.ul", "u2.ul", dim)} >= $eps
+      GROUP BY 1)
+    SELECT e.vec_id,
+      coalesce(vc.crep, vb.brep, e.vec_id) AS rep_id,
+      (coalesce(vc.crep, vb.brep, e.vec_id) <> e.vec_id) AS is_dup
+    FROM embeddings e
+    LEFT JOIN vc ON vc.vec_id = e.vec_id
+    LEFT JOIN vb ON vb.vec_id = e.vec_id
+    WHERE e.vec_id >= $splitId
+    ORDER BY e.vec_id"""
 }

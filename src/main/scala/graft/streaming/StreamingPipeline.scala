@@ -1253,6 +1253,50 @@ object StreamingPipeline {
       .agg(min(col("rep_id")).as("rep_id"))
       .select(col(idCol), col("rep_id"))
 
+  /** Streaming twin of [[graft.ext.Dedup.incrementalSemDedup]]'s
+    * corpus screen: semantic near-dup detection at the embedding-ingest
+    * edge against a FROZEN [[graft.ext.Dedup.semDedupIndex]]. The frozen
+    * quantizer is read once at plan-build time (bounded ≤64-row collect
+    * on the BATCH index frame — never the stream), each arriving vector
+    * assigns via the native argmax kernel (stateless projection),
+    * unit-normalizes, and broadcast-joins its cluster's corpus members
+    * with the float-dot ≥ eps verify; the windowed min collapses
+    * multi-member hits to the smallest corpus rep. Emits one row per
+    * arriving vector that collides with the corpus (the admission
+    * filter's drop list); batch-peer screening stays a batch concern —
+    * in a streaming admission the corpus index is re-frozen per
+    * accepted batch, exactly like [[corpusDupStream]].
+    */
+  def semDedupStream(
+      vecs: DataFrame, index: DataFrame, eps: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tsCol: String = "ingest_ts",
+      windowDur: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
+    val cents = index.filter(col("kind") === "centroid")
+      .select(col("cid"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "index has no centroid rows")
+    val members = index.filter(col("kind") === "member")
+      .select(col("cid").as("_c_id"), col("member_id").as("_mid"),
+        col("v").as("_mu"))
+    val assigned = graft.ext.Similarity.assignToCentroids(
+        vecs.withWatermark(tsCol, watermark)
+          .where(col(vecCol).isNotNull)
+          .select(col(idCol), col(tsCol), col(vecCol)),
+        vecCol, cents)
+      .withColumn("_n", graft.ext.Similarity.l2Norm(col(vecCol)))
+      .select(col(idCol), col(tsCol), col("_c_id"),
+        transform(col(vecCol), x => x.cast("double") / col("_n"))
+          .cast("array<float>").as("_bu"))
+    assigned.join(broadcast(members), Seq("_c_id"))
+      .filter(graft.functions.VectorFunctions.float_vector_dot(
+        col("_bu"), col("_mu")) >= eps)
+      .groupBy(col(idCol), window(col(tsCol), windowDur))
+      .agg(min(col("_mid")).as("rep_id"))
+      .select(col(idCol), col("rep_id"))
+  }
+
   /** Streaming twin of [[graft.ext.TextAnalysis.blocklistScreen]]: the
     * C4/UT1 banned-word gate at the ingest edge. The batch operator is
     * already stream-safe — the blocklist compiles to one codegen'd

@@ -681,6 +681,89 @@ class ExtSpec extends SparkSpec {
     assert(keptIds.nonEmpty && keptIds.size < planted.count())
   }
 
+  test("incrementalSemDedup: screen rule exact vs local replay; index survives parquet") {
+    val d = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val (corpusRows, batchTail) = e.partition(_._1 < 250)
+    // plant: a batch clone of a corpus vector (must dup onto the corpus
+    // id) and a pair of batch-only clones (must collapse onto the lower
+    // batch id when no corpus neighbor wins)
+    val batchRows = batchTail ++ Seq(
+      (900000L, corpusRows.head._2.clone()),
+      (900001L, batchTail.head._2.clone()))
+    val corpus = corpusRows.toSeq.toDF("vec_id", "embedding")
+    val batch = batchRows.toSeq.toDF("vec_id", "embedding")
+    val eps = 0.4
+    val index = Dedup.semDedupIndex(corpus, "vec_id", "embedding", nCentroids = 8)
+    val out = Dedup.incrementalSemDedup(batch, index, "vec_id", "embedding", eps)
+      .select("vec_id", "rep_id", "is_dup")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // local replay of the whole admission: frozen corpus quantizer,
+    // argmax assignment of both halves, float-unit dot screens
+    val cents = Similarity.centroidsFor(corpus, "vec_id", "embedding", 8, "kmeans")
+    def unit(v: Array[Float]): Array[Float] = {
+      var n2 = 0.0
+      for (x <- v) n2 += x.toDouble * x.toDouble
+      val n = math.sqrt(n2)
+      v.map(x => (x.toDouble / n).toFloat)
+    }
+    def fdot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0
+      for (i <- a.indices) s += a(i).toDouble * b(i).toDouble
+      s
+    }
+    val assignAll = Similarity.assignToCentroids(
+        (corpusRows ++ batchRows).toSeq.toDF("vec_id", "embedding"),
+        "embedding", cents)
+      .select(col("vec_id"), col("_c_id")).as[(Long, Long)].collect().toMap
+    val corpusByC = corpusRows.groupBy(r => assignAll(r._1))
+    val batchByC = batchRows.groupBy(r => assignAll(r._1))
+    val expected = batchRows.map { case (bid, bv) =>
+      val c = assignAll(bid)
+      val bu = unit(bv)
+      val crep = corpusByC.getOrElse(c, Array.empty)
+        .filter(m => fdot(bu, unit(m._2)) >= eps).map(_._1)
+        .minOption
+      val brep = batchByC(c)
+        .filter(p => fdot(bu, unit(p._2)) >= eps).map(_._1)
+        .minOption
+      val rep = crep.orElse(brep).getOrElse(bid)
+      bid -> ((rep, rep != bid))
+    }.toMap
+    assert(out === expected, "operator diverges from the admission rule")
+    // the planted rows behave as designed
+    assert(out(900000L) === ((corpusRows.head._1, true)),
+      "corpus clone must drop onto its corpus representative")
+    assert(out(900001L)._1 <= batchTail.head._1 && out(900001L)._2,
+      "batch clone must drop onto a batch representative")
+    assert(out.exists(!_._2._2), "some batch rows must admit")
+
+    // persistence contract: the index round-trips through parquet and
+    // screens identically (the recurring-crawl shape)
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-semidx")
+      .resolve("index.parquet").toString
+    index.write.mode("overwrite").parquet(idxPath)
+    val out2 = Dedup.incrementalSemDedup(
+        batch, spark.read.parquet(idxPath), "vec_id", "embedding", eps)
+      .select("vec_id", "rep_id", "is_dup")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out2 === out, "persisted index screens differently")
+
+    // NULL-embedding batch rows ride the spine and admit
+    val withNull = batch.unionByName(
+      Seq((999999L, null.asInstanceOf[Array[Float]]))
+        .toDF("vec_id", "embedding"))
+    val nullRow = Dedup.incrementalSemDedup(
+        withNull, index, "vec_id", "embedding", eps)
+      .filter(col("vec_id") === 999999L)
+      .select("rep_id", "is_dup").as[(Long, Boolean)].collect()
+    assert(nullRow.toSeq === Seq((999999L, false)))
+  }
+
   test("corpus pipeline: each dedup stage's invariant holds on real testdata") {
     val d = "/root/testdata/sf0.001"
     val corpus = spark.read.parquet(s"$d/documents.parquet").select("doc_id", "text")

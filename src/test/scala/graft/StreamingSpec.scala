@@ -1146,6 +1146,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sem dedup stream: frozen-index edge screen matches batch corpus collisions") {
+    implicit val sqlCtx = spark.sqlContext
+    val all = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val corpusRows = all.filter(_._1 < 250)
+    val corpus = corpusRows.toSeq.toDF("vec_id", "embedding")
+    val idx = graft.ext.Dedup.semDedupIndex(
+        corpus, "vec_id", "embedding", nCentroids = 8)
+      .localCheckpoint(true)
+    val eps = 0.4
+    // arriving: one corpus clone (must collide onto its corpus rep), a
+    // handful of real batch vectors (collide iff a corpus member sits
+    // within eps in their cluster)
+    val arriving = (900L, corpusRows.head._2.clone()) +:
+      all.filter(_._1 >= 250).take(20).toSeq
+    // batch truth: incrementalSemDedup's corpus component on the same data
+    val batchTruth = graft.ext.Dedup.incrementalSemDedup(
+        arriving.toDF("vec_id", "embedding"), idx, "vec_id", "embedding", eps)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    // keep only corpus-rep collisions (rep < 250): the stream emits
+    // exactly the corpus screen, not the batch-peer fallback
+    val corpusHits = batchTruth.collect {
+      case (id, (rep, true)) if rep < 250 => id -> rep
+    }
+    val input = MemoryStream[(Long, Array[Float], Timestamp)]
+    val q = StreamingPipeline.semDedupStream(
+        input.toDF().toDF("vec_id", "embedding", "ingest_ts"), idx, eps)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("semdedup_out").start()
+    try {
+      input.addData(arriving.map { case (id, v) =>
+        (id, v, ts("2025-01-01 10:00:00")) }: _*)
+      q.processAllAvailable()
+      input.addData((99999L, arriving.head._2, ts("2025-01-02 10:00:00")))
+      q.processAllAvailable(); q.processAllAvailable()
+      val streamed = spark.table("semdedup_out")
+        .where(col("vec_id") < 99999L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed === corpusHits,
+        s"stream $streamed diverges from batch corpus screen $corpusHits")
+      assert(streamed.contains(900L) && streamed(900L) === corpusRows.head._1,
+        "planted corpus clone must collide onto its corpus representative")
+    } finally q.stop()
+  }
+
   test("lang id stream: frozen-model prediction is bit-identical to batch") {
     implicit val sqlCtx = spark.sqlContext
     val labeled = Seq(
