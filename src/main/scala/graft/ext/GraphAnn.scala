@@ -176,4 +176,134 @@ object GraphAnn {
       .filter(col("_rn") <= k)
       .select(col("_q").as("q_id"), col("_nb").as("vec_id"), col("_c").as("sim"))
   }
+
+  /** Incremental insertion: admit a `batch` of NEW vectors into a built
+    * k-NN graph WITHOUT rebuilding it — the search-then-link shape every
+    * graph index uses for growth (HNSW insert, DiskANN streaming merge),
+    * in batch-parallel form. [[nnDescentGraph]] from scratch is O(corpus)
+    * per admitted crawl batch; at 100 TB the corpus side must never
+    * recompute, so insertion touches only (a) the batch, (b) the frozen
+    * graph's edge list, and (c) the corpus rows the batch actually links
+    * to.
+    *
+    * Three fixed, deterministic phases (everything the oracle replays):
+    *  1. SEARCH — each batch vector seeds from its two-salt md5
+    *     bucket-mates (same init contract as the builder, buckets sized
+    *     over corpus+batch so seed cost per new node is ~2(k+1) scored
+    *     pairs), then runs `hops` beam rounds over the UNDIRECTED frozen
+    *     graph: the top-`ef` scored candidates per node expand one hop,
+    *     never-seen pairs are anti-joined in and scored, nothing is ever
+    *     rescored. Top-k of all scored pairs = the provisional new edges.
+    *  2. BACK-LINK (the repair round, touched nodes ONLY) — every
+    *     provisional edge (b → x) contributes the reverse candidate
+    *     (x → b) at the same cosine (the fold is symmetric, so the score
+    *     is reused bit-exactly); each TOUCHED corpus node re-ranks its
+    *     existing edges against the reverse candidates and keeps top-k.
+    *     Untouched corpus rows pass through byte-identical — the
+    *     sublinearity contract.
+    *  3. BATCH-PEER REPAIR — one NN-Descent-style round restricted to
+    *     the batch: nodes sharing a provisional neighbor become
+    *     candidates of each other (plus the reversed batch→batch
+    *     provisional edges), fresh pairs are scored, and the batch lists
+    *     re-rank. Candidate count is Σ_x deg_batch(x)² over shared
+    *     neighbors — bounded by batch mass, independent of corpus size.
+    *
+    * @param graph frozen [[nnDescentGraph]] output over `corpus`
+    * @param batch new (id, vec) rows, ids disjoint from the corpus
+    * @param ef    beam width of the search phase (≥ k)
+    * @param hops  fixed beam rounds over the frozen graph
+    * @return the merged graph (vec_id, nb_rank, nb_id, sim) over
+    *         corpus ∪ batch
+    */
+  def graphInsert(
+      corpus: DataFrame, id: String, vec: String, graph: DataFrame,
+      batch: DataFrame, k: Int, ef: Int, hops: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(ef >= k, s"ef must be >= k, got ef=$ef k=$k")
+    require(hops >= 1, s"hops must be >= 1, got $hops")
+    val cv = corpus.select(col(id).cast("long").as("_id"), col(vec).as("_v"))
+      .where(col("_id").isNotNull && col("_v").isNotNull)
+    val bv = batch.select(col(id).cast("long").as("_id"), col(vec).as("_v"))
+      .where(col("_id").isNotNull && col("_v").isNotNull)
+    val all = cv.union(bv).localCheckpoint(true) // feeds every scoring join
+    // the frozen edge list feeds four consumers (both und directions,
+    // the touched re-rank, the untouched pass-through) — pin it
+    val g = graph.localCheckpoint(true)
+    val n = all.count() // bounded scalar action: the bucket count
+    val buckets = math.max(n / (k + 1), 1L)
+    def bucketOf(salt: String) =
+      conv(substring(md5(concat(lit(s"$salt|"), col("_id").cast("string"))),
+        1, 12), 16, 10).cast("long") % buckets
+    def score(cand: DataFrame): DataFrame = cand
+      .join(all.select(col("_id").as("_node"), col("_v").as("_va")), "_node")
+      .join(all.select(col("_id").as("_nb"), col("_v").as("_vb")), "_nb")
+      .select(col("_node"), col("_nb"),
+        Similarity.cosine(col("_va"), col("_vb")).as("_c"))
+    val w = Window.partitionBy("_node").orderBy(col("_c").desc, col("_nb"))
+    def topK(scored: DataFrame, limit: Int): DataFrame =
+      scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= limit)
+
+    // 1. SEARCH: bucket seeds, then `hops` beam rounds over the frozen graph
+    def seedsFor(salt: String) = {
+      val b = all.select(col("_id"), bucketOf(salt).as("_bk"))
+      bv.select(col("_id").as("_node"))
+        .join(b.withColumnRenamed("_id", "_node"), Seq("_node"))
+        .join(b.select(col("_id").as("_nb"), col("_bk")), Seq("_bk"))
+        .where(col("_node") =!= col("_nb"))
+        .select("_node", "_nb")
+    }
+    val und = g.select(col("vec_id").as("_node"), col("nb_id").as("_nb"))
+      .union(g.select(col("nb_id").as("_node"), col("vec_id").as("_nb")))
+      .distinct()
+      .localCheckpoint(true) // one consumer per hop round
+    var scored = score(seedsFor("a").union(seedsFor("b")).distinct())
+      .localCheckpoint(true)
+    var h = 0
+    while (h < hops) {
+      val beam = topK(scored, ef).select("_node", "_nb")
+      val expand = beam.select(col("_node"), col("_nb").as("_mid"))
+        .join(und.select(col("_node").as("_mid"), col("_nb")), Seq("_mid"))
+        .where(col("_nb") =!= col("_node"))
+        .select("_node", "_nb").distinct()
+      val fresh =
+        expand.join(scored.select("_node", "_nb"), Seq("_node", "_nb"), "left_anti")
+      scored = scored.union(score(fresh)).localCheckpoint(true)
+      h += 1
+    }
+    // provisional new edges feed four consumers (rev, touched, peers, anti)
+    val prov = topK(scored, k).select("_node", "_nb", "_c").localCheckpoint(true)
+
+    // 2. BACK-LINK touched corpus nodes only (reverse scores reused:
+    //    the cosine fold is symmetric, bit-exactly)
+    val corpusIds = cv.select(col("_id").as("_node"))
+    val rev = prov.select(col("_nb").as("_node"), col("_node").as("_nb"), col("_c"))
+    val revCorpus = rev.join(corpusIds, Seq("_node"), "left_semi")
+      .localCheckpoint(true) // touched set AND the re-rank union
+    val touched = revCorpus.select("_node").distinct()
+      .localCheckpoint(true) // semi-join AND final anti-join
+    val existingTouched = g
+      .select(col("vec_id").as("_node"), col("nb_id").as("_nb"), col("sim").as("_c"))
+      .join(touched, Seq("_node"), "left_semi")
+    val touchedRows = topK(existingTouched.union(revCorpus), k)
+
+    // 3. BATCH-PEER REPAIR: shared provisional neighbors + reversed
+    //    batch→batch edges, fresh pairs only
+    val batchIds = bv.select(col("_id").as("_node"))
+    val shared = prov.select(col("_node"), col("_nb").as("_mid"))
+      .join(prov.select(col("_node").as("_peer"), col("_nb").as("_mid")), Seq("_mid"))
+      .where(col("_node") =!= col("_peer"))
+      .select(col("_node"), col("_peer").as("_nb"))
+    val revBatch = rev.select("_node", "_nb")
+      .join(batchIds, Seq("_node"), "left_semi")
+    val peerCand = shared.union(revBatch).distinct()
+      .join(scored.select("_node", "_nb"), Seq("_node", "_nb"), "left_anti")
+    val batchRows = topK(scored.union(score(peerCand)), k)
+
+    val untouched = g
+      .join(touched.withColumnRenamed("_node", "vec_id"), Seq("vec_id"), "left_anti")
+      .select("vec_id", "nb_rank", "nb_id", "sim")
+    def shape(df: DataFrame) = df.select(col("_node").as("vec_id"),
+      col("_rn").as("nb_rank"), col("_nb").as("nb_id"), col("_c").as("sim"))
+    untouched.union(shape(touchedRows)).union(shape(batchRows))
+  }
 }

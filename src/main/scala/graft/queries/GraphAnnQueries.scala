@@ -28,20 +28,26 @@ object GraphAnnQueries {
   private def embs(s: org.apache.spark.sql.SparkSession, d: String) =
     QueryDef.table(s, d, "embeddings")
 
-  /** The chained-CTE replay of [[GraphAnn.nnDescentGraph]] up to
-    * `g$Iters` (the final graph). Expects [[ExtensionQueries.vecListCtes]]
+  /** One scored-pairs CTE: exact ordered-fold cosine of every (node, nb)
+    * pair in `pairs` (joins the GLOBAL `vl`/`vnorms`, so restricted node
+    * universes still score — corpus subsets, insert batches).
+    */
+  private def scoreCte(pairs: String, out: String): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT p.node, p.nb,
+       |         ${ExtensionQueries.dotSql("x", "y")} / (n1.nrm * n2.nrm) AS c
+       |  FROM $pairs p
+       |  JOIN vl x ON x.vec_id = p.node
+       |  JOIN vl y ON y.vec_id = p.nb
+       |  JOIN vnorms n1 ON n1.vec_id = p.node
+       |  JOIN vnorms n2 ON n2.vec_id = p.nb)""".stripMargin
+
+  /** The chained-CTE replay of [[GraphAnn.nnDescentGraph]] over the node
+    * universe `nodeSrc` (a CTE with one `vec_id` column) up to `g$iters`
+    * (the final graph). Expects [[ExtensionQueries.vecListCtes]]
     * upstream providing `vl`/`vnorms`.
     */
-  private def graphCtes: String = {
-    def score(pairs: String, out: String): String =
-      s"""$out AS MATERIALIZED (
-         |  SELECT p.node, p.nb,
-         |         ${ExtensionQueries.dotSql("x", "y")} / (n1.nrm * n2.nrm) AS c
-         |  FROM $pairs p
-         |  JOIN vl x ON x.vec_id = p.node
-         |  JOIN vl y ON y.vec_id = p.nb
-         |  JOIN vnorms n1 ON n1.vec_id = p.node
-         |  JOIN vnorms n2 ON n2.vec_id = p.nb)""".stripMargin
+  private def graphCtes(nodeSrc: String = "vl", iters: Int = Iters): String = {
     def topk(src: String, out: String): String =
       s"""$out AS MATERIALIZED (
          |  SELECT node, nb, c, rn FROM (
@@ -49,7 +55,7 @@ object GraphAnnQueries {
          |      PARTITION BY node ORDER BY c DESC, nb) AS rn
          |    FROM $src) r
          |  WHERE rn <= $K)""".stripMargin
-    val rounds = (1 to Iters).map { r =>
+    val rounds = (1 to iters).map { r =>
       s"""u$r AS MATERIALIZED (
          |  SELECT node, nb FROM g${r - 1}
          |  UNION SELECT nb AS node, node AS nb FROM g${r - 1}),
@@ -57,25 +63,25 @@ object GraphAnnQueries {
          |  SELECT node, nb FROM u$r
          |  UNION SELECT a.node, b.nb FROM u$r a
          |        JOIN u$r b ON a.nb = b.node WHERE b.nb <> a.node),
-         |${score(s"c$r", s"s$r")},
+         |${scoreCte(s"c$r", s"s$r")},
          |${topk(s"s$r", s"g$r")}""".stripMargin
     }.mkString(",\n")
-    s"""nn AS (SELECT greatest(count(*) // ${K + 1}, 1) AS nbk FROM vl),
+    s"""nn AS (SELECT greatest(count(*) // ${K + 1}, 1) AS nbk FROM $nodeSrc),
        |ba AS MATERIALIZED (
        |  SELECT vec_id, ('0x' || substr(md5('a|' || vec_id::VARCHAR), 1, 12))::BIGINT
        |           % (SELECT nbk FROM nn) AS bk
-       |  FROM vl),
+       |  FROM $nodeSrc),
        |bb AS MATERIALIZED (
        |  SELECT vec_id, ('0x' || substr(md5('b|' || vec_id::VARCHAR), 1, 12))::BIGINT
        |           % (SELECT nbk FROM nn) AS bk
-       |  FROM vl),
+       |  FROM $nodeSrc),
        |p0 AS (
        |  SELECT a.vec_id AS node, b.vec_id AS nb
        |  FROM ba a JOIN ba b ON a.bk = b.bk AND a.vec_id <> b.vec_id
        |  UNION
        |  SELECT a.vec_id AS node, b.vec_id AS nb
        |  FROM bb a JOIN bb b ON a.bk = b.bk AND a.vec_id <> b.vec_id),
-       |${score("p0", "s0")},
+       |${scoreCte("p0", "s0")},
        |${topk("s0", "g0")},
        |$rounds""".stripMargin
   }
@@ -91,7 +97,7 @@ object GraphAnnQueries {
         k = K, iters = Iters)
       .orderBy("vec_id", "nb_rank"),
     Some(s"""WITH ${ExtensionQueries.vecListCtes()},
-            |$graphCtes
+            |${graphCtes()}
             |SELECT node AS vec_id, CAST(rn AS INTEGER) AS nb_rank,
             |       nb AS nb_id, c AS sim
             |FROM g$Iters ORDER BY vec_id, nb_rank""".stripMargin))
@@ -116,7 +122,7 @@ object GraphAnnQueries {
         .orderBy("q_id", "vec_id")
     },
     Some(s"""WITH ${ExtensionQueries.vecListCtes()},
-            |$graphCtes,
+            |${graphCtes()},
             |gu AS MATERIALIZED (
             |  SELECT node, nb FROM g$Iters
             |  UNION SELECT nb AS node, node AS nb FROM g$Iters),
@@ -164,5 +170,126 @@ object GraphAnnQueries {
             |  FROM merged) r
             |WHERE rn <= $SearchK ORDER BY q_id, vec_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qAnnNndescent, qAnnGraphSearch)
+  // Incremental-insertion gate parameters: the corpus graph is built at
+  // fewer rounds than the q_ann_nndescent point (the insert phases are
+  // what this gate pins; the build is shared fixed cost), the batch is
+  // the vec_id % 7 == 0 slice (~14% new mass), and the search phase runs
+  // a 2-hop ef=32 beam — the GraphAnnSweep insert mode measured the
+  // merged graph's search recall at this config (see SCALE artifacts).
+  private val InsertIters = 2
+  private val InsertEf = 32
+  private val InsertHops = 2
+
+  /** The chained-CTE replay of [[GraphAnn.graphInsert]]'s three phases
+    * (bucket-seeded beam search over the frozen graph, reverse-edge
+    * re-rank of touched corpus nodes, one batch-peer repair round) on
+    * top of `g$InsertIters` from [[graphCtes]]. */
+  private def insertCtes: String = {
+    val gI = s"g$InsertIters"
+    val hops = (1 to InsertHops).map { h =>
+      s"""sd$h AS (
+         |  SELECT node, nb FROM (
+         |    SELECT node, nb, row_number() OVER (
+         |      PARTITION BY node ORDER BY c DESC, nb) AS rn
+         |    FROM is${h - 1}) r
+         |  WHERE rn <= $InsertEf),
+         |ex$h AS (
+         |  SELECT DISTINCT s.node, g.nb FROM sd$h s
+         |  JOIN igu g ON g.node = s.nb WHERE g.nb <> s.node),
+         |fr$h AS MATERIALIZED (
+         |  SELECT node, nb FROM ex$h EXCEPT SELECT node, nb FROM is${h - 1}),
+         |${scoreCte(s"fr$h", s"fs$h")},
+         |is$h AS MATERIALIZED (
+         |  SELECT node, nb, c FROM is${h - 1}
+         |  UNION ALL SELECT node, nb, c FROM fs$h)""".stripMargin
+    }.mkString(",\n")
+    val isH = s"is$InsertHops"
+    s"""bat AS MATERIALIZED (SELECT vec_id FROM vl WHERE vec_id % 7 = 0),
+       |nn2 AS (SELECT greatest(count(*) // ${K + 1}, 1) AS nbk FROM vl),
+       |ba2 AS MATERIALIZED (
+       |  SELECT vec_id, ('0x' || substr(md5('a|' || vec_id::VARCHAR), 1, 12))::BIGINT
+       |           % (SELECT nbk FROM nn2) AS bk
+       |  FROM vl),
+       |bb2 AS MATERIALIZED (
+       |  SELECT vec_id, ('0x' || substr(md5('b|' || vec_id::VARCHAR), 1, 12))::BIGINT
+       |           % (SELECT nbk FROM nn2) AS bk
+       |  FROM vl),
+       |sp AS (
+       |  SELECT b.vec_id AS node, m.vec_id AS nb
+       |  FROM bat b JOIN ba2 x ON x.vec_id = b.vec_id
+       |  JOIN ba2 m ON m.bk = x.bk AND m.vec_id <> b.vec_id
+       |  UNION
+       |  SELECT b.vec_id AS node, m.vec_id AS nb
+       |  FROM bat b JOIN bb2 x ON x.vec_id = b.vec_id
+       |  JOIN bb2 m ON m.bk = x.bk AND m.vec_id <> b.vec_id),
+       |${scoreCte("sp", "is0")},
+       |igu AS MATERIALIZED (
+       |  SELECT node, nb FROM $gI
+       |  UNION SELECT nb AS node, node AS nb FROM $gI),
+       |$hops,
+       |prov AS MATERIALIZED (
+       |  SELECT node, nb, c FROM (
+       |    SELECT node, nb, c, row_number() OVER (
+       |      PARTITION BY node ORDER BY c DESC, nb) AS rn
+       |    FROM $isH) r
+       |  WHERE rn <= $K),
+       |revc AS MATERIALIZED (
+       |  SELECT p.nb AS node, p.node AS nb, p.c
+       |  FROM prov p JOIN corp c ON c.vec_id = p.nb),
+       |tchd AS MATERIALIZED (SELECT DISTINCT node FROM revc),
+       |trows AS (
+       |  SELECT node, nb, c, row_number() OVER (
+       |    PARTITION BY node ORDER BY c DESC, nb) AS rn
+       |  FROM (
+       |    SELECT g.node, g.nb, g.c FROM $gI g JOIN tchd t ON t.node = g.node
+       |    UNION ALL SELECT node, nb, c FROM revc) u),
+       |pc AS MATERIALIZED (
+       |  SELECT node, nb FROM (
+       |    SELECT a.node AS node, b.node AS nb
+       |    FROM prov a JOIN prov b ON a.nb = b.nb AND a.node <> b.node
+       |    UNION
+       |    SELECT p.nb AS node, p.node AS nb
+       |    FROM prov p JOIN bat x ON x.vec_id = p.nb) u
+       |  EXCEPT SELECT node, nb FROM $isH),
+       |${scoreCte("pc", "psc")},
+       |fsc AS (
+       |  SELECT node, nb, c FROM $isH
+       |  UNION ALL SELECT node, nb, c FROM psc),
+       |brows AS (
+       |  SELECT node, nb, c, row_number() OVER (
+       |    PARTITION BY node ORDER BY c DESC, nb) AS rn
+       |  FROM fsc)""".stripMargin
+  }
+
+  /** Incremental graph-index growth: a new embedding batch is admitted
+    * into the frozen corpus k-NN graph via bucket-seeded beam search +
+    * back-linking + one batch-peer repair round — only touched corpus
+    * neighborhoods recompute, everything else passes through
+    * byte-identical ([[GraphAnn.graphInsert]]).
+    */
+  val qAnnGraphInsert = QueryDef(
+    "q_ann_graph_insert",
+    (s, d) => {
+      val e = embs(s, d).select("vec_id", "embedding")
+      val corpus = e.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+      val batch = e.filter(pmod(col("vec_id"), lit(7)) === 0)
+      val graph = GraphAnn.nnDescentGraph(corpus, "vec_id", "embedding",
+        k = K, iters = InsertIters)
+      GraphAnn.graphInsert(corpus, "vec_id", "embedding", graph, batch,
+          k = K, ef = InsertEf, hops = InsertHops)
+        .orderBy("vec_id", "nb_rank")
+    },
+    Some(s"""WITH ${ExtensionQueries.vecListCtes()},
+            |corp AS MATERIALIZED (SELECT vec_id FROM vl WHERE vec_id % 7 <> 0),
+            |${graphCtes("corp", InsertIters)},
+            |$insertCtes
+            |SELECT node AS vec_id, CAST(rn AS INTEGER) AS nb_rank,
+            |       nb AS nb_id, c AS sim FROM (
+            |  SELECT node, rn, nb, c FROM g$InsertIters
+            |  WHERE node NOT IN (SELECT node FROM tchd)
+            |  UNION ALL SELECT node, rn, nb, c FROM trows WHERE rn <= $K
+            |  UNION ALL SELECT node, rn, nb, c FROM brows WHERE rn <= $K) f
+            |ORDER BY vec_id, nb_rank""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qAnnNndescent, qAnnGraphSearch, qAnnGraphInsert)
 }

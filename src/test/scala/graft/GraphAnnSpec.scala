@@ -99,6 +99,76 @@ class GraphAnnSpec extends SparkSpec {
     assert(gotEf.values.forall(_.size == 10))
   }
 
+  test("graphInsert links a new batch cluster-locally and leaves untouched rows byte-identical") {
+    val corpus = clustered(12) // 36 nodes, clusters of 12 by id/12
+    val graph = GraphAnn.nnDescentGraph(corpus, "vec_id", "embedding",
+      k = 6, iters = 3).localCheckpoint(true)
+    // four NEW vectors in cluster 0's direction, INTERLEAVED into the
+    // corpus spread (0.505, 0.515, …) so each is some corpus node's true
+    // nearest neighbor — the back-link must then crack that node's top-k
+    val batch = (0 until 4).map { i =>
+      val base = Array.fill(8)(0.05f)
+      base(0) = 1f
+      base(1) = 0.505f + 0.01f * i
+      ((100 + i).toLong, base.toSeq)
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val merged = GraphAnn.graphInsert(corpus, "vec_id", "embedding",
+        graph, batch, k = 6, ef = 12, hops = 2)
+      .localCheckpoint(true)
+    def cluster(id: Long): Long = if (id >= 100) 0L else id / 12
+    val edges = merged.select("vec_id", "nb_id").as[(Long, Long)].collect()
+    // every batch node is present with a full cluster-local list
+    val batchEdges = edges.filter(_._1 >= 100)
+    assert(batchEdges.groupBy(_._1).size === 4)
+    assert(batchEdges.groupBy(_._1).forall(_._2.length == 6))
+    assert(batchEdges.forall { case (_, nb) => cluster(nb) == 0L },
+      s"batch linked cross-cluster: ${batchEdges.filter(e => cluster(e._2) != 0L).take(5).toSeq}")
+    // back-link: some corpus node in cluster 0 now lists a batch neighbor
+    assert(edges.exists { case (n, nb) => n < 100 && nb >= 100 },
+      "no corpus node back-linked the batch")
+    // sublinearity observable: nodes outside cluster 0 were never touched —
+    // their rows (ranks and sims included) are byte-identical to the input
+    val before = graph.filter(col("vec_id") >= 12)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val after = merged.filter(col("vec_id") >= 12 && col("vec_id") < 100)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(after === before, "untouched corpus rows changed")
+    // k-bound everywhere
+    assert(edges.groupBy(_._1).forall(_._2.length <= 6))
+  }
+
+  test("graphInsert merged-graph search recall on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val corpus = e.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+    val batch = e.filter(pmod(col("vec_id"), lit(7)) === 0)
+    val graph = GraphAnn.nnDescentGraph(corpus, "vec_id", "embedding",
+      k = 16, iters = 4).localCheckpoint(true)
+    val merged = GraphAnn.graphInsert(corpus, "vec_id", "embedding",
+        graph, batch, k = 16, ef = 32, hops = 2)
+      .localCheckpoint(true)
+    val probes = e.select(col("vec_id").as("q_id"))
+      .filter(pmod(col("q_id"), lit(41)) === 0)
+    val got = GraphAnn.graphSearch(e, "vec_id", "embedding", merged,
+        probes, "q_id", k = 10, ef = 160)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        e.filter(pmod(col("vec_id"), lit(41)) === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        "q_id", "q_emb", 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet === exact.keySet)
+    val recall = exact.keys.toSeq.map { q =>
+      (got(q) intersect exact(q)).size.toDouble / exact(q).size
+    }
+    val mean = recall.sum / recall.size
+    assert(mean >= 0.95,
+      s"merged-graph recall@10 $mean below the family bar (batch probes included)")
+  }
+
   test("no cartesian stage anywhere in build or search") {
     val df = clustered(8)
     val g = GraphAnn.nnDescentGraph(df, "vec_id", "embedding", k = 4, iters = 1)
@@ -118,5 +188,10 @@ class GraphAnnSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       GraphAnn.graphSearch(df, "vec_id", "embedding", df.limit(0),
         df.select(col("vec_id").as("q_id")), "q_id", k = 0))
+    val g = GraphAnn.nnDescentGraph(df, "vec_id", "embedding", k = 2, iters = 1)
+    intercept[IllegalArgumentException]( // ef below k
+      GraphAnn.graphInsert(df, "vec_id", "embedding", g, df, k = 4, ef = 2))
+    intercept[IllegalArgumentException]( // zero hops
+      GraphAnn.graphInsert(df, "vec_id", "embedding", g, df, k = 2, ef = 4, hops = 0))
   }
 }
