@@ -241,8 +241,9 @@ object AudioFingerprint {
     * authoritative), else the smallest batch id within `maxHamming`
     * (self included, Hamming 0), else the clip itself. Undecodable
     * payloads carry no fingerprint, hence no buckets, and pass through
-    * admitted. The `bands` parameterization must MATCH the index's —
-    * the recall guarantee spans the two sides jointly.
+    * admitted. The banding is DERIVED from the index (advice r16): an
+    * explicit `bands` that contradicts the index fails loudly, and the
+    * recall guarantee spans the two sides jointly by construction.
     */
   def incrementalAudioDedup(
       spark: SparkSession, batch: DataFrame, bucketIndex: DataFrame,

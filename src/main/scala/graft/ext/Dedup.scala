@@ -1136,13 +1136,15 @@ object Dedup {
   def incrementalSimhash(
       batch: DataFrame, bandIndex: DataFrame, id: String, text: String,
       maxHamming: Int = 3, bands: Int = 0): DataFrame = {
-    val nb = HammingBands.resolveBands(maxHamming, bands, SimhashBits)
     val spine = batch.select(col(id).as("media_id"))
       .join(simhashTable(batch, id, text)
         .select(col(id).as("media_id"), col("sim")), Seq("media_id"), "left")
       .localCheckpoint(true) // incrementalScreen's caller contract
+    // banding derives from the index itself (HammingBands.bandsFromIndex,
+    // advice r16) — a layout mismatch fails loudly instead of silently
+    // joining disjoint bucket structs and admitting every duplicate
     HammingBands.incrementalScreen(spine, bandIndex, "sim",
-        SimhashBits, maxHamming, nb)
+        SimhashBits, maxHamming, bands)
       .withColumnRenamed("media_id", id)
   }
 

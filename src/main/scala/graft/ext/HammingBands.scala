@@ -67,6 +67,41 @@ object HammingBands {
     require(nb <= fpBits, s"bands must be <= $fpBits, got $nb")
     nb
   }
+  /** Resolve the screen's banding FROM the persisted index (advice r16):
+    * the index's bucket structs carry their band ordinal, so the build
+    * layout is recoverable as max(band) + 1 — and for a fixed fpBits the
+    * per-band widths follow deterministically ([[widths]]). Deriving
+    * (instead of trusting the caller to repeat the build-time
+    * parameters) makes a layout mismatch IMPOSSIBLE rather than a silent
+    * empty candidate join that admits every duplicate: an explicit
+    * `bands` request that contradicts the index, or a `maxHamming`
+    * beyond the index banding's recall guarantee, fails loudly. An empty
+    * index falls back to [[resolveBands]] (there is nothing to screen
+    * against, and a first batch must still self-screen). Cost: one
+    * map-side max over the index's band ordinal per admission batch —
+    * dwarfed by the screen's own index join.
+    */
+  def bandsFromIndex(
+      index: DataFrame, maxHamming: Int, bands: Int, fpBits: Int): Int = {
+    val head = index.agg(max(col("bucket.band"))).head()
+    if (head.isNullAt(0)) resolveBands(maxHamming, bands, fpBits)
+    else {
+      val ib = head.getInt(0) + 1
+      require(bands == 0 || bands == ib,
+        s"screen requested $bands bands but the index was built with $ib — " +
+          "the screen derives its banding from the index; pass bands = 0 " +
+          "(or rebuild the index at the new layout)")
+      require(ib >= maxHamming + 1,
+        s"index built with $ib bands only guarantees recall for Hamming <= " +
+          s"${ib - 1}, got maxHamming=$maxHamming — rebuild the index with " +
+          "more bands or lower the screen threshold")
+      require(ib <= fpBits,
+        s"index band count $ib exceeds fingerprint width $fpBits — " +
+          "this index belongs to a different modality")
+      ib
+    }
+  }
+
   /** Shared single-fingerprint incremental-admission screen — the
     * common core of [[ImageHash.incrementalImageDedup]] and
     * [[AudioFingerprint.incrementalAudioDedup]] (review r15: the two
@@ -88,7 +123,7 @@ object HammingBands {
   def incrementalScreen(
       sigs: DataFrame, index: DataFrame, hashCol: String, fpBits: Int,
       maxHamming: Int, bands: Int): DataFrame = {
-    val nBands = resolveBands(maxHamming, bands, fpBits)
+    val nBands = bandsFromIndex(index, maxHamming, bands, fpBits)
     val bucketed = sigs.where(col(hashCol).isNotNull)
       .select(col("media_id"), col(hashCol),
         explode(array(bandKeys(col(hashCol), fpBits, nBands): _*))

@@ -751,8 +751,9 @@ object ImageHash {
     * no evidence about them (the [[graft.ext.Dedup.minhashDedup]]
     * omission contract).
     *
-    * The `bands` parameterization must MATCH the index's — the recall
-    * guarantee spans the two sides jointly.
+    * The banding is DERIVED from the index (advice r16): an explicit
+    * `bands` that contradicts the index fails loudly, and the recall
+    * guarantee spans the two sides jointly by construction.
     */
   def incrementalImageDedup(
       spark: SparkSession, batch: DataFrame, bucketIndex: DataFrame,

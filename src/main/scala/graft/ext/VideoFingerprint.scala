@@ -294,8 +294,9 @@ object VideoFingerprint {
     * included — a video with ≥ `minMatchedKeyframes` decodable keyframes
     * matches itself at Hamming 0), else the video itself. Containers
     * yielding no decodable keyframes produce no candidates and pass
-    * through admitted (the no-evidence omission contract). The `bands`
-    * and `maxKeyframes` parameterization must MATCH the index's.
+    * through admitted (the no-evidence omission contract). The banding
+    * is DERIVED from the index (a contradicting explicit `bands` fails
+    * loudly); `maxKeyframes` must still match the index's.
     */
   def incrementalVideoDedup(
       spark: SparkSession, batch: DataFrame, bucketIndex: DataFrame,
@@ -303,7 +304,10 @@ object VideoFingerprint {
       maxKeyframes: Int = 8): DataFrame = {
     require(minMatchedKeyframes >= 1,
       s"minMatchedKeyframes must be >= 1, got $minMatchedKeyframes")
-    val nBands = HammingBands.resolveBands(maxHamming, bands, 64)
+    // banding derives from the index itself (HammingBands.bandsFromIndex,
+    // advice r16) — a layout mismatch fails loudly instead of silently
+    // joining disjoint bucket structs and admitting every duplicate
+    val nBands = HammingBands.bandsFromIndex(bucketIndex, maxHamming, bands, 64)
     // the spine must be the BATCH videos (a container yielding zero
     // keyframes has no signature rows but still needs an admit row);
     // payload is pruned out of this scan — only media_id is read

@@ -138,8 +138,24 @@ class ExtSpec extends SparkSpec {
     assert(got.size === 6) // one row per document, always
     assert(got(0L) === ((0L, false))) // class rep keeps itself
     assert(got(1L) === ((0L, true))) // identical twin drops to the rep
-    // every rep is itself kept (one-step propagation invariant)
-    got.values.foreach { case (rep, _) => assert(got(rep)._1 === rep) }
+    // the documented ONE-STEP semantics against an explicit model
+    // (advice r16: "every rep is itself kept" is NOT implied by one-step
+    // propagation — a rep chain A–B, B–C with no A–C edge leaves C at B
+    // while B itself drops to A — so assert the actual contract instead
+    // of a chain-free fixture coincidence): rep(doc) = min of its own
+    // class rep and the reps of every class within Hamming <= 3
+    val sigs = Dedup.simhashTable(docs, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    val crep = sigs.groupBy(_._2).map { case (s, xs) => s -> xs.map(_._1).min }
+    val model = sigs.map { case (id, s) =>
+      val nbr = crep.keys.filter(t =>
+        t != s && java.lang.Long.bitCount(s ^ t) <= 3).map(crep)
+      id -> (crep(s) +: nbr.toSeq).min
+    }.toMap
+    got.foreach { case (id, (rep, dup)) =>
+      assert(rep === model.getOrElse(id, id), s"doc $id rep")
+      assert(dup === (rep != id), s"doc $id is_dup")
+    }
   }
 
   test("simhash dedup: output rows stay LINEAR when a class is replicated") {

@@ -494,6 +494,36 @@ class ImageHashSpec extends SparkSpec {
       (105L, 103L, true), (107L, 107L, false)))
   }
 
+  test("incremental screen derives its banding from the index; mismatches fail loudly") {
+    import spark.implicits._
+    def img(seed: Int, perturb: Boolean): Array[Byte] =
+      bmp(16, 16, (x, y) => {
+        val base = ((x * 7 + y * 11) * seed) % 256
+        val v = if (perturb && x == 0 && y == 0) (base + 8) % 256 else base
+        (v, v, v)
+      }, topDown = true)
+    val corpus = Seq((10L, img(31, perturb = false))).toDF("media_id", "payload")
+    val batch = Seq((101L, img(31, perturb = true))).toDF("media_id", "payload")
+    // index at a NON-default layout (8 bands); a bare screen (bands = 0)
+    // must derive 8 from the index and still surface the near-dup —
+    // before advice r16 it silently banded at 4, joined nothing, and
+    // ADMITTED the duplicate
+    val idx8 = graft.ext.ImageHash.imageBucketIndex(spark, corpus,
+      maxHamming = 3, bands = 8)
+    val got = graft.ext.ImageHash.incrementalImageDedup(spark, batch, idx8)
+      .select("media_id", "rep_id", "is_dup")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === Set((101L, 10L, true)))
+    // an explicit band count contradicting the index fails loudly...
+    intercept[IllegalArgumentException](
+      graft.ext.ImageHash.incrementalImageDedup(spark, batch, idx8,
+        maxHamming = 3, bands = 4))
+    // ...and so does a threshold beyond the index banding's recall bound
+    intercept[IllegalArgumentException](
+      graft.ext.ImageHash.incrementalImageDedup(spark, batch, idx8,
+        maxHamming = 8))
+  }
+
   test("imageNearDupPairs: planted twin surfaces, strangers do not") {
     import spark.implicits._
     def img(seed: Int, perturb: Boolean): Array[Byte] =
