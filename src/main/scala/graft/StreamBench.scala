@@ -158,7 +158,7 @@ object StreamBench {
       runCurateHot(spark, sfDir, nTriggers) :+ runDsir(spark, sfDir, nTriggers) :+
       runLangId(spark, sfDir, nTriggers) :+ runKn(spark, sfDir, nTriggers) :+
       runManifest(spark, sfDir, nTriggers) :+
-      runWatchlist(spark, sfDir, nTriggers)
+      runWatchlist(spark, sfDir, nTriggers) :+ runSem(spark, sfDir, nTriggers)
 
     val twinJs = twins.map { case (n, js) => "\"" + n + "\":" + js }
       .mkString("{", ",", "}")
@@ -569,7 +569,67 @@ object StreamBench {
       val rps = if (sumSec > 0) totalRows / sumSec else 0.0
       val served = graft.operators.ManifestTable.read(spark, tableDir)
         .map(_.count()).getOrElse(0L)
-      "manifest_upsert" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"served_rows":$served}"""
+      // foreachBatch holds no state store; the serving-table row count IS
+      // this twin's bounded state, reported under the same key every
+      // other twin uses so the per-twin state bound is always numeric
+      // (verdict r16)
+      "manifest_upsert" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"served_rows":$served,"final_state_rows":$served}"""
+    } finally q.stop()
+  }
+
+  /** The r16/r17 frozen-SEMANTIC-index admission twin under the same
+    * harness: the accepted corpus (6/7 of the embeddings) freezes into a
+    * semDedupIndex (centroids + unit members); the 1/7 batch slice
+    * replays as the intake stream through [[StreamingPipeline
+    * .semDedupStream]]. Per-trigger cost is the native centroid argmax +
+    * the broadcast cluster-member verify; state is the one windowed
+    * per-vector aggregate, watermark-bounded — the corpus side is never
+    * recomputed.
+    */
+  private def runSem(
+      spark: SparkSession, sfDir: String, nTriggers: Int): (String, String) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val index = graft.ext.Dedup.semDedupIndex(
+        e.filter(pmod(col("vec_id"), lit(7)) =!= 0), "vec_id", "embedding")
+      .localCheckpoint(true) // freeze the corpus artifact once, pre-stream
+    val probeRows = e.filter(pmod(col("vec_id"), lit(7)) === 0)
+      .as[(Long, Array[Float])].collect()
+      .map { case (i, v) => (i, v, new java.sql.Timestamp(base + i * 1000L)) }
+    val chunkSize = math.max(1, (probeRows.length + nTriggers - 1) / nTriggers)
+    val input = MemoryStream[(Long, Array[Float], java.sql.Timestamp)]
+    val q: StreamingQuery = StreamingPipeline.semDedupStream(
+        input.toDF().toDF("vec_id", "embedding", "ingest_ts"), index,
+        eps = 0.9)
+      .writeStream.outputMode("append").format("noop").start()
+    val wall0 = System.nanoTime()
+    try {
+      probeRows.grouped(chunkSize).foreach { c =>
+        input.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - wall0) / 1e9
+      val progress = q.recentProgress.filter(_.numInputRows > 0)
+      val triggers = progress.map { p =>
+        val sec = p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3
+        val (srows, sbytes) =
+          if (p.stateOperators.nonEmpty)
+            (p.stateOperators.map(_.numRowsTotal).sum,
+             p.stateOperators.map(_.memoryUsedBytes).sum)
+          else (0L, 0L)
+        s"""{"rows":${p.numInputRows},"sec":$sec,"state_rows":$srows,"state_bytes":$sbytes}"""
+      }
+      val totalRows = progress.map(_.numInputRows).sum
+      val sumSec = progress
+        .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum / 1e3
+      val rps = if (sumSec > 0) totalRows / sumSec else 0.0
+      val finalState =
+        progress.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
+          .getOrElse(0L)
+      "sem_intake" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"final_state_rows":$finalState}"""
     } finally q.stop()
   }
 }

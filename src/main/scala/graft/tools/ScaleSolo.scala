@@ -91,6 +91,21 @@ object ScaleSolo {
         s""""solo_ratio":${m(ratios)}}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line)
+    // Supersession markers (verdict r16): when this run invalidates an
+    // earlier artifact's reading (a fix re-pinned after the earlier file
+    // recorded the pre-fix number), stamp the EARLIER file so a future
+    // reader diffing artifacts never resurrects a fixed defect.
+    // SPARK_GRAFT_SUPERSEDES = comma list of artifact paths to stamp.
+    sys.env.getOrElse("SPARK_GRAFT_SUPERSEDES", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).foreach { old =>
+        val p = java.nio.file.Paths.get(old)
+        val txt = java.nio.file.Files.readString(p).trim
+        if (!txt.contains("\"superseded_by\"") && txt.endsWith("}")) {
+          java.nio.file.Files.writeString(p,
+            txt.dropRight(1) + s""","superseded_by":"$outFile"}""")
+          System.err.println(s"[scalesolo] stamped $old superseded_by $outFile")
+        }
+      }
     spark.stop()
   }
 }
