@@ -1360,6 +1360,38 @@ object ExtensionQueries {
       iters = 8, dim = 64, nProbe = 8, k = 10,
       spillDelta = 0.4, spillCap = 6)))
 
+  /** Incremental IVF admission: the index (SPANN centroids + posting
+    * lists + build config) freezes on the 6/7 corpus slice, the % 7
+    * batch appends against the FROZEN quantizer via
+    * [[Similarity.ivfAppend]] (config derived from the index — nothing
+    * to repeat wrong), and the search reads the merged index through
+    * [[Similarity.ivfSearchIndex]] — the corpus side never retrains or
+    * re-scans. The oracle trains the fixed-point Lloyd on the corpus
+    * slice only and assigns/probes/reranks over all vectors — exactly
+    * the build+append semantics.
+    */
+  val qAnnIvfAppend = QueryDef(
+    "q_ann_ivf_append",
+    (s, d) => {
+      val e = embs(s, d).select("vec_id", "embedding")
+      val corpus = e.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+      val batch = e.filter(pmod(col("vec_id"), lit(7)) === 0)
+      val index = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+        nCentroids = 32).localCheckpoint(true) // centroid collect + postings
+      val merged = Similarity.ivfAppend(index, batch, "vec_id", "embedding")
+      val probes = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.ivfSearchIndex(merged, probes, "q_id", "q_emb",
+          k = 10, nProbe = 8)
+        .select(col("q_id"), col("vec_id"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("q_id", "vec_id")
+    },
+    Some(LloydOracles.ivfAppendOracle(
+      nCentroids = 32,
+      samplesPerCentroid = Similarity.KmeansSamplesPerCentroid,
+      iters = 8, dim = 64, nProbe = 8, k = 10,
+      spillDelta = 0.4, spillCap = 6)))
+
   /** IVF with the DETERMINISTIC lowid coarse quantizer, as an
     * oracle-checked twin of q_ann_ivf: the k-means path's float centroid
     * means are summation-order-dependent cross-engine (structurally
@@ -4662,7 +4694,8 @@ object ExtensionQueries {
     qDedupSemdedup, qDedupIncSem, qDedupIncremental,
     qDedupIncMinhash, qDedupPriority,
     qDecontaminate,
-    qEmbedCosineTopk, qEmbedMeanpool, qAnnLsh, qAnnIvf, qAnnIvfLowid,
+    qEmbedCosineTopk, qEmbedMeanpool, qAnnLsh, qAnnIvf, qAnnIvfAppend,
+    qAnnIvfLowid,
     qAnnPq, qAnnPqInit, qAnnIvfPq, qAnnIvfPqInit,
     qTextTokens, qTextSubword, qTextQuality, qQualityGate, qCorpusReport,
     qTextRepetition, qLangId, qLangIdNgram,

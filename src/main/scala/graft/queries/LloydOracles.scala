@@ -154,7 +154,8 @@ private[queries] object LloydOracles {
     * division + float downcast per element), their kernel-normalized
     * unit rows (`kcu`), and the corpus as double lists (`vl`).
     */
-  private def centroidFloatCtes(iters: Int, centScale: Long): String =
+  private def centroidFloatCtes(
+      iters: Int, centScale: Long, vlSrc: String = "vecs"): String =
     s"""kcf AS MATERIALIZED (
       SELECT cid, list_transform(list(cv ORDER BY i0), x ->
         CAST(CAST(CAST(x AS DOUBLE) / $centScale.0 AS FLOAT) AS DOUBLE)) AS fl
@@ -164,7 +165,7 @@ private[queries] object LloydOracles {
       FROM kcf),
     vl AS MATERIALIZED (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dl
-      FROM vecs)"""
+      FROM $vlSrc)"""
 
   /** SPANN closure-spill membership replay ([[graft.functions
     * .SpilledCentroidIds]]): per-vector kernel cosines against the unit
@@ -225,6 +226,34 @@ private[queries] object LloydOracles {
     $hashLongSampleCtes,
     ${kmeansSphericalCtes(nCentroids.toString, (nCentroids * samplesPerCentroid).toString, iters)},
     ${centroidFloatCtes(iters, 1000000L)},
+    ${spillAssignCtes(dim, spillDelta, spillCap)},
+    ${probeListCtes(dim, nProbe)},
+    cand AS (SELECT DISTINCT p.q_id, a.vec_id
+             FROM plists p JOIN assigned a USING (cid)
+             WHERE a.vec_id <> p.q_id),
+    ${rerankTail(dim, k)}"""
+
+  /** q_ann_ivf_append: the quantizer trains on the CORPUS slice only
+    * (vec_id % 7 <> 0 — `vecs` drives both the sample hash and the
+    * Lloyd chain), while assignment, probing, and rerank run over ALL
+    * vectors — exactly [[graft.ext.Similarity.ivfIndex]] on the corpus
+    * followed by [[graft.ext.Similarity.ivfAppend]] of the % 7 batch:
+    * both sides assign against the same frozen centroids with the same
+    * kernel, so build+append postings equal one frozen-centroid pass
+    * over the union.
+    */
+  private[queries] def ivfAppendOracle(
+      nCentroids: Int, samplesPerCentroid: Int, iters: Int, dim: Int,
+      nProbe: Int, k: Int, spillDelta: Double, spillCap: Int): String =
+    s"""WITH vecs AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id % 7 <> 0),
+    allv AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL),
+    $hashLongSampleCtes,
+    ${kmeansSphericalCtes(nCentroids.toString, (nCentroids * samplesPerCentroid).toString, iters)},
+    ${centroidFloatCtes(iters, 1000000L, "allv")},
     ${spillAssignCtes(dim, spillDelta, spillCap)},
     ${probeListCtes(dim, nProbe)},
     cand AS (SELECT DISTINCT p.q_id, a.vec_id

@@ -293,6 +293,69 @@ class ScaleFeaturesSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF default-config recall too low: $recall")
   }
 
+  test("persisted IVF index: search parity with ivfTopK; append derives config; corpus never retrains") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val probes = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // 1. the index round-trips the quantizer EXACTLY: searching the
+    //    persisted index equals the in-one-call ivfTopK, row for row
+    val direct = Similarity.ivfTopK(e, "vec_id", "embedding",
+        probes, "q_id", "q_emb", 10, nCentroids = 32)
+      .select(col("q_id"), col("vec_id"), round(col("cosine"), 6).as("c"))
+      .as[(Long, Long, Double)].collect().toSet
+    val idxAll = Similarity.ivfIndex(e, "vec_id", "embedding", nCentroids = 32)
+      .localCheckpoint(true)
+    val viaIndex = Similarity.ivfSearchIndex(idxAll, probes, "q_id", "q_emb",
+        k = 10, nProbe = 8)
+      .select(col("q_id"), col("vec_id"), round(col("cosine"), 6).as("c"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaIndex === direct, "index search diverged from ivfTopK")
+    // 2. append assigns against the FROZEN quantizer: corpus postings
+    //    pass through untouched, batch postings arrive, and searching the
+    //    merged index now surfaces batch vectors (vec 0's exact clone
+    //    class includes batch members at these ids when present, so use
+    //    recall vs brute force over the union as the semantic check)
+    val corpus = e.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+    val batch = e.filter(pmod(col("vec_id"), lit(7)) === 0)
+    val idxCorpus = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+      nCentroids = 32).localCheckpoint(true)
+    val merged = Similarity.ivfAppend(idxCorpus, batch, "vec_id", "embedding")
+      .localCheckpoint(true)
+    val corpusPostings = idxCorpus.filter(col("kind") === "posting")
+      .select("cid", "member_id").as[(Long, Long)].collect().toSet
+    val mergedPostings = merged.filter(col("kind") === "posting")
+      .select("cid", "member_id").as[(Long, Long)].collect().toSet
+    assert(corpusPostings.subsetOf(mergedPostings),
+      "append disturbed existing corpus postings")
+    assert(mergedPostings.exists { case (_, m) => m % 7 == 0 },
+      "no batch postings appended")
+    val exact = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        probes, "q_id", "q_emb", 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val gotMerged = Similarity.ivfSearchIndex(merged, probes, "q_id", "q_emb",
+        k = 10, nProbe = 8)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(gotMerged.exists { case (_, m) => m % 7 == 0 },
+      "search over the appended index never returns a batch vector")
+    val recall = (gotMerged & exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"appended-index recall too low: $recall")
+    // 3. the build config is DERIVED from the index: a lowid index hard-
+    //    assigns (exactly one posting per vector) and append must follow
+    val lowIdx = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+      nCentroids = 32, quantizer = "lowid").localCheckpoint(true)
+    val lowMerged = Similarity.ivfAppend(lowIdx, batch, "vec_id", "embedding")
+    val nCorpus = corpus.count()
+    val nBatch = batch.count()
+    assert(lowMerged.filter(col("kind") === "posting").count()
+      === nCorpus + nBatch,
+      "lowid append did not hard-assign one posting per vector")
+    // 4. an index without centroid rows fails loudly
+    intercept[IllegalArgumentException](
+      Similarity.ivfAppend(
+        lowIdx.filter(col("kind") === "posting"), batch, "vec_id", "embedding"))
+  }
+
   test("bench config: kmeans and lowid quantizers produce DIFFERENT centroids") {
     // BENCH_r4..r6 reported bit-identical max/mean list skew (1.264) for
     // both quantizers at the bench configuration, raising the suspicion
