@@ -274,8 +274,14 @@ object GraphAnn {
     val prov = topK(scored, k).select("_node", "_nb", "_c").localCheckpoint(true)
 
     // 2. BACK-LINK touched corpus nodes only (reverse scores reused:
-    //    the cosine fold is symmetric, bit-exactly)
-    val corpusIds = cv.select(col("_id").as("_node"))
+    //    the cosine fold is symmetric, bit-exactly). Membership tables
+    //    derive from the PINNED union (id column only) rather than
+    //    re-scanning the corpus input — at 100 TB the corpus parquet is
+    //    scanned exactly once, by the checkpoint above.
+    val batchIds = bv.select(col("_id").as("_node"))
+      .localCheckpoint(true) // batch is small; two semi-join consumers
+    val corpusIds = all.select(col("_id").as("_node"))
+      .join(batchIds, Seq("_node"), "left_anti")
     val rev = prov.select(col("_nb").as("_node"), col("_node").as("_nb"), col("_c"))
     val revCorpus = rev.join(corpusIds, Seq("_node"), "left_semi")
       .localCheckpoint(true) // touched set AND the re-rank union
@@ -288,7 +294,6 @@ object GraphAnn {
 
     // 3. BATCH-PEER REPAIR: shared provisional neighbors + reversed
     //    batch→batch edges, fresh pairs only
-    val batchIds = bv.select(col("_id").as("_node"))
     val shared = prov.select(col("_node"), col("_nb").as("_mid"))
       .join(prov.select(col("_node").as("_peer"), col("_nb").as("_mid")), Seq("_mid"))
       .where(col("_node") =!= col("_peer"))
