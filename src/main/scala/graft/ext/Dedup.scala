@@ -1390,20 +1390,50 @@ object Dedup {
     * admit (`rep_id = id` — no vector, no evidence), mirroring the
     * NULL-hash rule of the other three modalities.
     */
+  /** Bounded driver-side read of a semantic index's frozen quantizer
+    * (<= 64 rows by the semDeDup centroid clamp) — shared by the batch
+    * admission and the streaming twin so the two cannot diverge on the
+    * index layout (review r17).
+    */
+  private[graft] def semIndexCentroids(
+      index: DataFrame): Array[(Long, Array[Float])] =
+    index.filter(col("kind") === "centroid")
+      .select(col("cid"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** The index's per-cluster UNIT member vectors, projected to the
+    * screen's join columns — the other half of the shared layout.
+    */
+  private[graft] def semIndexMembers(index: DataFrame): DataFrame =
+    index.filter(col("kind") === "member")
+      .select(col("cid").as("_c_id"), col("member_id").as("_mid"),
+        col("v").as("_mu"))
+
   def incrementalSemDedup(
       batch: DataFrame, index: DataFrame, id: String, vec: String,
       eps: Double): DataFrame = {
     require(eps > 0 && eps <= 1, s"eps must be in (0, 1], got $eps")
-    // bounded driver-side read of the frozen quantizer (<= 64 rows by
-    // the semDeDup centroid clamp)
-    val cents = index.filter(col("kind") === "centroid")
-      .select(col("cid"), col("v")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
-    require(cents.nonEmpty, "index has no centroid rows")
-    val members = index.filter(col("kind") === "member")
-      .select(col("cid").as("_c_id"), col("member_id").as("_mid"),
-        col("v").as("_mu"))
+    val frozen = semIndexCentroids(index)
+    // EMPTY-INDEX BOOTSTRAP (review r17): every other incremental
+    // modality self-screens a first batch against an empty corpus index
+    // (bandsFromIndex's documented fallback); the semantic modality now
+    // does the same by training a batch-local quantizer so the peer
+    // screen has clusters to scope by — vsCorpus is vacuous (no member
+    // rows) and rep_id degrades to the batch-peer/self contract. A batch
+    // with no usable vectors short-circuits to all-admit.
+    val cents =
+      if (frozen.nonEmpty) frozen
+      else {
+        val usable = batch.where(col(id).isNotNull && col(vec).isNotNull)
+        if (usable.isEmpty) Array.empty[(Long, Array[Float])]
+        else Similarity.centroidsFor(usable, id, vec, 32, "kmeans")
+      }
+    if (cents.isEmpty)
+      return batch.select(col(id))
+        .withColumn("rep_id", col(id))
+        .withColumn("is_dup", lit(false))
+    val members = semIndexMembers(index)
     val assigned = Similarity.assignToCentroids(batch, vec, cents)
       .withColumn("_n", Similarity.l2Norm(col(vec)))
       .select(col("_c_id"), col(id),

@@ -158,26 +158,15 @@ object Privacy {
     private val memSpent = scala.collection.mutable.Map.empty[String, Double]
     private def ledgerFile = new java.io.File(path.get, "LEDGER")
 
-    /** Serialize a durable read-check-write against every other writer:
-      * per-path JVM monitor (nio FileLocks are held per-JVM) + OS file
-      * lock for cross-process exclusion. In-memory ledgers skip it —
+    /** Serialize a durable read-check-write against every other writer
+      * (the shared [[graft.operators.ManifestTable.withFileLock]]
+      * cross-process + in-JVM exclusion). In-memory ledgers skip it —
       * the instance `synchronized` in [[charge]] already covers them.
       */
     private def withLedgerLock[T](body: => T): T = path match {
       case None => body
       case Some(p) =>
-        val monitor = EpsilonLedger.pathMonitors.computeIfAbsent(
-          new java.io.File(p).getAbsolutePath, _ => new Object)
-        monitor.synchronized {
-          val ch = java.nio.channels.FileChannel.open(
-            new java.io.File(p, "LEDGER_LOCK").toPath,
-            java.nio.file.StandardOpenOption.CREATE,
-            java.nio.file.StandardOpenOption.WRITE)
-          try {
-            val lock = ch.lock()
-            try body finally lock.release()
-          } finally ch.close()
-        }
+        graft.operators.ManifestTable.withFileLock(p, "LEDGER_LOCK")(body)
     }
 
     /** Current per-dataset spends — the durable file when backed, the
@@ -235,11 +224,6 @@ object Privacy {
     def remaining(dataset: String): Double = budget - spent(dataset)
   }
 
-  object EpsilonLedger {
-    /** One monitor per ledger path: the in-JVM half of the charge lock. */
-    private[ext] val pathMonitors =
-      new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  }
 
   /** ε-DP noisy group counts (sensitivity 1, Laplace b = 1/ε): one hash
     * aggregate, then map-side noise — the exact count never leaves the

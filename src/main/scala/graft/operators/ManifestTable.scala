@@ -91,11 +91,19 @@ object ManifestTable {
   private val pathMonitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  private def withCommitLock[T](tablePath: String)(body: => T): T = {
+  /** Cross-process + in-JVM mutual exclusion on `dir/lockName`: a
+    * per-(dir, lock) JVM monitor (nio FileLocks are held per-JVM — two
+    * holders in one JVM would hit OverlappingFileLockException instead
+    * of waiting) around an OS file lock. Shared with the durable
+    * [[graft.ext.Privacy.EpsilonLedger]] (review r17: the two had
+    * verbatim twin implementations).
+    */
+  private[graft] def withFileLock[T](
+      dir: String, lockName: String)(body: => T): T = {
+    val lockFile = new java.io.File(dir, lockName)
     val monitor = pathMonitors.computeIfAbsent(
-      new java.io.File(tablePath).getAbsolutePath, _ => new Object)
+      lockFile.getAbsolutePath, _ => new Object)
     monitor.synchronized {
-      val lockFile = new java.io.File(tablePath, "COMMIT_LOCK")
       Option(lockFile.getParentFile).foreach(_.mkdirs(): Unit)
       val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
         java.nio.file.StandardOpenOption.CREATE,
@@ -107,6 +115,9 @@ object ManifestTable {
     }
   }
 
+  private def withCommitLock[T](tablePath: String)(body: => T): T =
+    withFileLock(tablePath, "COMMIT_LOCK")(body)
+
   /** The raw manifest content, or None when the table never committed —
     * the token the optimistic-concurrency check compares. Raw text (not
     * the parsed view) so legacy inline-chain manifests compare too.
@@ -116,18 +127,31 @@ object ManifestTable {
     if (mf.exists()) Some(readSmall(mf).mkString("\n")) else None
   }
 
-  /** The commit point under optimistic concurrency: inside the lock,
-    * re-read the pointer and compare against the token captured at
-    * commit start; verify this attempt's version file still exists (a
+  /** The commit point under optimistic concurrency: inside ONE lock
+    * section, re-read the pointer and compare against the token captured
+    * at commit start; verify this attempt's version file still exists (a
     * concurrent committer's phantom reclaim may have deleted it while it
-    * was in flight); only then swing the pointer. On mismatch the
-    * attempt's own snapshot and version file are removed and a
-    * [[ConcurrentCommitException]] is thrown — exactly one of two racing
-    * committers wins, the loser fails loudly with nothing leaked.
+    * was in flight); swing the pointer; and run the retention
+    * maintenance (version prune + snapshot GC) before releasing. On
+    * mismatch the attempt's own snapshot and version file are removed
+    * and a [[ConcurrentCommitException]] is thrown — exactly one of two
+    * racing committers wins, the loser fails loudly with nothing leaked.
+    *
+    * Maintenance MUST stay inside the same lock section as the swing
+    * (review r17): run after release with a keep-set captured at commit
+    * start, a winner that stalls between its swing and its maintenance
+    * can wake after ANOTHER committer has swung again and delete that
+    * committer's version file and snapshot — corrupting exactly the
+    * table the protocol protects. Holding the lock serializes
+    * swing+maintenance as one atomic step, so the retained set computed
+    * from `ver` (the pointer this section just wrote) is authoritative
+    * for its whole lifetime. The file operations are small-metadata
+    * work; data writes stay unlocked.
     */
   private def casPointer(
       tablePath: String, expected: Option[String], ver: String,
-      ownSnap: String): Unit =
+      ownSnap: String, prevSnaps: Seq[String], retainVersions: Int,
+      retainMs: Long): Unit =
     withCommitLock(tablePath) {
       val cur = manifestToken(tablePath)
       val verAlive = new java.io.File(tablePath, ver).isFile
@@ -144,6 +168,8 @@ object ManifestTable {
               "this attempt lost")
       }
       writePointer(tablePath, Seq(ver))
+      val kept = pruneVersions(tablePath, ver, retainVersions)
+      gc(tablePath, keep = kept ++ prevSnaps + ownSnap, retainMs = retainMs)
     }
 
   private def readSmall(f: java.io.File): Seq[String] =
@@ -446,7 +472,12 @@ object ManifestTable {
       val total = st.count().toInt
       val files = st.filter(keep).select("_file")
         .collect().map(_.getString(0)).toSeq.sorted
-        .map(name => new java.io.File(snapDir, name).getPath)
+        // pre-r17 sidecars stored absolute input_file_name() URIs; a
+        // path-like value is already resolved — only bare names (the
+        // current snapshot-relative format) re-resolve (review r17)
+        .map(name =>
+          if (name.contains("/")) name
+          else new java.io.File(snapDir, name).getPath)
       Some((files, total))
     }
   }
@@ -510,9 +541,7 @@ object ManifestTable {
     if (statsCols.nonEmpty)
       writeSnapshotStats(df.sparkSession, tablePath, snap, statsCols)
     val ver = writeVersion(tablePath, batchId, Seq(snap))
-    casPointer(tablePath, expected, ver, snap)
-    val kept = pruneVersions(tablePath, ver, retainVersions)
-    gc(tablePath, keep = kept ++ prev + snap, retainMs = retainMs)
+    casPointer(tablePath, expected, ver, snap, prev, retainVersions, retainMs)
     snap
   }
 
@@ -533,9 +562,7 @@ object ManifestTable {
     }
     val snap = writeSnapshot(updates, tablePath, batchId)
     val ver = writeVersion(tablePath, batchId, prev :+ snap)
-    casPointer(tablePath, expected, ver, snap)
-    val kept = pruneVersions(tablePath, ver, retainVersions)
-    gc(tablePath, keep = kept ++ prev + snap, retainMs = retainMs)
+    casPointer(tablePath, expected, ver, snap, prev, retainVersions, retainMs)
     snap
   }
 
@@ -632,9 +659,7 @@ object ManifestTable {
       if (statsCols.nonEmpty)
         writeSnapshotStats(spark, tablePath, snap, statsCols)
       val ver = writeVersion(tablePath, batchId, Seq(snap))
-      casPointer(tablePath, expected, ver, snap)
-      val kept = pruneVersions(tablePath, ver, retainVersions)
-      gc(tablePath, keep = kept ++ prev + snap, retainMs = retainMs)
+      casPointer(tablePath, expected, ver, snap, prev, retainVersions, retainMs)
       snap
     }
   }

@@ -1272,14 +1272,9 @@ object StreamingPipeline {
       idCol: String = "vec_id", vecCol: String = "embedding",
       tsCol: String = "ingest_ts",
       windowDur: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
-    val cents = index.filter(col("kind") === "centroid")
-      .select(col("cid"), col("v")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
+    val cents = graft.ext.Dedup.semIndexCentroids(index)
     require(cents.nonEmpty, "index has no centroid rows")
-    val members = index.filter(col("kind") === "member")
-      .select(col("cid").as("_c_id"), col("member_id").as("_mid"),
-        col("v").as("_mu"))
+    val members = graft.ext.Dedup.semIndexMembers(index)
     val assigned = graft.ext.Similarity.assignToCentroids(
         vecs.withWatermark(tsCol, watermark)
           .where(col(vecCol).isNotNull)

@@ -778,6 +778,29 @@ class ExtSpec extends SparkSpec {
       .filter(col("vec_id") === 999999L)
       .select("rep_id", "is_dup").as[(Long, Boolean)].collect()
     assert(nullRow.toSeq === Seq((999999L, false)))
+
+    // EMPTY-INDEX BOOTSTRAP (review r17): a first crawl batch screens
+    // against an empty corpus index by self-screening through a
+    // batch-local quantizer — the bandsFromIndex fallback contract for
+    // the semantic modality. Clone pairs collapse onto the lower batch
+    // id; an all-NULL batch admits everything.
+    val emptyIdx = index.filter(col("kind") === "nothing")
+    val boot = Dedup.incrementalSemDedup(
+        batch, emptyIdx, "vec_id", "embedding", eps)
+      .select("vec_id", "rep_id", "is_dup")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(boot(900001L)._1 <= batchTail.head._1 && boot(900001L)._2,
+      "bootstrap: batch clone must still collapse onto a batch rep")
+    assert(boot.exists(!_._2._2), "bootstrap: some batch rows must admit")
+    assert(boot.forall { case (bid, (rep, _)) => rep <= bid },
+      "bootstrap rep must be a min-id representative")
+    val allNull = Seq((1L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val nullBoot = Dedup.incrementalSemDedup(
+        allNull, emptyIdx, "vec_id", "embedding", eps)
+      .select("vec_id", "rep_id", "is_dup").as[(Long, Long, Boolean)].collect()
+    assert(nullBoot.toSeq === Seq((1L, 1L, false)))
   }
 
   test("corpus pipeline: each dedup stage's invariant holds on real testdata") {
