@@ -158,7 +158,8 @@ object StreamBench {
       runCurateHot(spark, sfDir, nTriggers) :+ runDsir(spark, sfDir, nTriggers) :+
       runLangId(spark, sfDir, nTriggers) :+ runKn(spark, sfDir, nTriggers) :+
       runManifest(spark, sfDir, nTriggers) :+
-      runWatchlist(spark, sfDir, nTriggers) :+ runSem(spark, sfDir, nTriggers)
+      runWatchlist(spark, sfDir, nTriggers) :+ runSem(spark, sfDir, nTriggers) :+
+      runIvfIndex(spark, sfDir, nTriggers)
 
     val twinJs = twins.map { case (n, js) => "\"" + n + "\":" + js }
       .mkString("{", ",", "}")
@@ -630,6 +631,60 @@ object StreamBench {
         progress.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
           .getOrElse(0L)
       "sem_intake" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"final_state_rows":$finalState}"""
+    } finally q.stop()
+  }
+
+  /** The frozen-IVF-INDEX serving twin (round 17): the persisted SPANN
+    * index freezes on the 6/7 corpus slice (built + appended offline),
+    * the 1/7 slice replays as the probe stream through
+    * [[StreamingPipeline.ivfIndexScoreStream]]. Per-trigger cost is the
+    * probe-side nProbe list selection + the stream-static posting join;
+    * state is the windowed per-probe top-k aggregate, watermark-bounded;
+    * the corpus side is never re-scanned or re-trained.
+    */
+  private def runIvfIndex(
+      spark: SparkSession, sfDir: String, nTriggers: Int): (String, String) = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val index = graft.ext.Similarity.ivfIndex(
+        e.filter(pmod(col("vec_id"), lit(7)) =!= 0), "vec_id", "embedding")
+      .localCheckpoint(true) // freeze the offline artifact once, pre-stream
+    val probeRows = e.filter(pmod(col("vec_id"), lit(7)) === 0)
+      .as[(Long, Array[Float])].collect()
+      .map { case (i, v) => (i, v, new java.sql.Timestamp(base + i * 1000L)) }
+    val chunkSize = math.max(1, (probeRows.length + nTriggers - 1) / nTriggers)
+    val input = MemoryStream[(Long, Array[Float], java.sql.Timestamp)]
+    val q: StreamingQuery = StreamingPipeline.ivfIndexScoreStream(
+        input.toDF().toDF("q_id", "q_emb", "ingest_ts"), index)
+      .writeStream.outputMode("append").format("noop").start()
+    val wall0 = System.nanoTime()
+    try {
+      probeRows.grouped(chunkSize).foreach { c =>
+        input.addData(c.toIndexedSeq); q.processAllAvailable()
+      }
+      val wall = (System.nanoTime() - wall0) / 1e9
+      val progress = q.recentProgress.filter(_.numInputRows > 0)
+      val triggers = progress.map { p =>
+        val sec = p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3
+        val (srows, sbytes) =
+          if (p.stateOperators.nonEmpty)
+            (p.stateOperators.map(_.numRowsTotal).sum,
+             p.stateOperators.map(_.memoryUsedBytes).sum)
+          else (0L, 0L)
+        s"""{"rows":${p.numInputRows},"sec":$sec,"state_rows":$srows,"state_bytes":$sbytes}"""
+      }
+      val totalRows = progress.map(_.numInputRows).sum
+      val sumSec = progress
+        .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum / 1e3
+      val rps = if (sumSec > 0) totalRows / sumSec else 0.0
+      val finalState =
+        progress.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
+          .getOrElse(0L)
+      "ivf_index_intake" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"final_state_rows":$finalState}"""
     } finally q.stop()
   }
 }

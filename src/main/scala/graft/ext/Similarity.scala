@@ -547,7 +547,7 @@ object Similarity {
   /** The frozen quantizer + build config read back from an index —
     * bounded collect (≤ nCentroids rows), shared by append and search.
     */
-  private def ivfIndexCentroids(index: DataFrame)
+  private[graft] def ivfIndexCentroids(index: DataFrame)
       : (Array[(Long, Array[Float])], String, Double, Int) = {
     val rows = index.filter(col("kind") === "centroid")
       .select("cid", "v", "quantizer", "spill_delta", "spill_cap")

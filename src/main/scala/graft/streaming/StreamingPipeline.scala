@@ -1080,6 +1080,49 @@ object StreamingPipeline {
       .select(col(qId), col("_t._nid").as(id), (-col("_t._negc")).as("cosine"))
   }
 
+  /** [[annScoreStream]] against a PERSISTED
+    * [[graft.ext.Similarity.ivfIndex]] instead of an in-stream corpus
+    * build — the recurring-crawl serving shape for the IVF family
+    * (round 17): the index artifact is built and [[graft.ext.Similarity
+    * .ivfAppend]]-grown OFFLINE, the stream reads its centroid rows
+    * back as plan literals and pins its posting lists once, and per
+    * micro-batch the only work is the probe-side nProbe list selection
+    * plus the stream-static posting join + windowed top-k. The corpus
+    * is never re-scanned, re-assigned, or re-trained by the stream —
+    * the same frozen-artifact contract as the semantic, DSIR, KN, and
+    * lang-id intake twins.
+    */
+  def ivfIndexScoreStream(
+      probes: DataFrame, index: DataFrame,
+      qId: String = "q_id", qVec: String = "q_emb",
+      tsCol: String = "ingest_ts",
+      windowDur: String = "1 hour", watermark: String = "1 hour",
+      k: Int = 10, nProbe: Int = 8): DataFrame = {
+    import graft.ext.Similarity
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cents = Similarity.ivfIndexCentroids(index)._1
+    val postings = index.filter(col("kind") === "posting")
+      .select(col("cid").as("_c_id"), col("member_id"), col("v"))
+      .localCheckpoint(true) // pin once; every micro-batch joins it
+    val probeLists = probes
+      .withWatermark(tsCol, watermark)
+      .where(col(qVec).isNotNull)
+      .withColumn("_cands", slice(Similarity.rankedSims(col(qVec), cents),
+        1, nProbe))
+      .withColumn("_cand", explode(col("_cands")))
+      .withColumn("_c_id", -col("_cand.negid"))
+      .select(col(qId), col(qVec), col(tsCol), col("_c_id"))
+    probeLists.join(postings, Seq("_c_id"))
+      .filter(col("member_id") =!= col(qId))
+      .withColumn("_negc", -Similarity.cosine(col(qVec), col("v")))
+      .groupBy(col(qId), window(col(tsCol), windowDur))
+      .agg(slice(array_sort(collect_set(
+          struct(col("_negc"), col("member_id").as("_nid")))), 1, k).as("_top"))
+      .select(col(qId), explode(col("_top")).as("_t"))
+      .select(col(qId), col("_t._nid").as("vec_id"),
+        (-col("_t._negc")).as("cosine"))
+  }
+
   /** Streaming twin of [[graft.ext.UrlOps.urlDedup]]: canonicalize the
     * URL at the ingest edge — the SAME stateless
     * [[graft.ext.UrlOps.canonicalizeUrl]] Column expression batch uses,

@@ -1044,6 +1044,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN intake against the PERSISTED IVF index: parity with ivfSearchIndex") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").where(col("embedding").isNotNull)
+    val probeRows = corpus.where(col("vec_id") < 3)
+      .as[(Long, Array[Float])].collect().toSeq
+    val k = 10; val nProbe = 4
+    // the offline artifact: built once, grown by append, then SERVED by
+    // the stream — round-trip through parquet like a real deployment
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_ivfidx_stream_").toString + "/index.parquet"
+    val third = corpus.where(pmod(col("vec_id"), lit(3)) === 0)
+    graft.ext.Similarity.ivfAppend(
+        graft.ext.Similarity.ivfIndex(
+          corpus.except(third), "vec_id", "embedding", nCentroids = 16),
+        third, "vec_id", "embedding")
+      .write.mode("overwrite").parquet(idxPath)
+    val index = spark.read.parquet(idxPath)
+
+    val input = MemoryStream[(Long, Array[Float], Timestamp)]
+    val q = StreamingPipeline.ivfIndexScoreStream(
+        input.toDF().toDF("q_id", "q_emb", "ingest_ts"), index,
+        k = k, nProbe = nProbe)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ivfidx_out").start()
+    try {
+      input.addData(probeRows.map { case (i, v) =>
+        (i, v, ts("2025-01-01 10:00:00")) }: _*)
+      q.processAllAvailable()
+      input.addData((-1L, probeRows.head._2, ts("2025-02-01 00:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("ivfidx_out").where(col("q_id") >= 0)
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = graft.ext.Similarity.ivfSearchIndex(
+          index, probeRows.toDF("q_id", "q_emb"), "q_id", "q_emb",
+          k = k, nProbe = nProbe)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed === batch,
+        "stream results diverge from batch ivfSearchIndex over the same index")
+      assert(streamed.size === 3 * k)
+    } finally q.stop()
+  }
+
   test("embedding drift stream: window centroid cosine matches batch") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
