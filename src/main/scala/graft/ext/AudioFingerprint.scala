@@ -229,7 +229,10 @@ object AudioFingerprint {
       .select(col("media_id"), col("fp"),
         explode(array(HammingBands.bandKeys(col("fp"), fpBits, nBands): _*))
           .as("bucket"))
-      .select("bucket", "media_id", "fp")
+      // stamped AFTER the explode: the analyzer's generator extraction
+      // drops alias metadata on a generator expression itself
+      .select(HammingBands.withLayoutMeta(col("bucket"), nBands),
+        col("media_id"), col("fp"))
   }
 
   /** Incremental near-dup ADMISSION for audio — the

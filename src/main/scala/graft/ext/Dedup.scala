@@ -1121,7 +1121,10 @@ object Dedup {
       .select(col(id).as("media_id"), col("sim"),
         explode(array(
           HammingBands.bandKeys(col("sim"), SimhashBits, nb): _*)).as("bucket"))
-      .select("bucket", "media_id", "sim")
+      // stamped AFTER the explode: the analyzer's generator extraction
+      // drops alias metadata on a generator expression itself
+      .select(HammingBands.withLayoutMeta(col("bucket"), nb),
+        col("media_id"), col("sim"))
   }
 
   /** Incremental simhash admission: screen a new batch against the

@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MetadataBuilder
 
 /** Shared banding for Hamming-ball candidate generation over integral
   * fingerprints (image dHash, audio fingerprints): split the fp into
@@ -67,26 +68,50 @@ object HammingBands {
     require(nb <= fpBits, s"bands must be <= $fpBits, got $nb")
     nb
   }
+  /** Column-metadata key under which every `*BucketIndex` /
+    * `simhashBandIndex` builder stamps its band COUNT onto the `bucket`
+    * column. Schema metadata survives both plan composition (the alias'
+    * attribute carries it through selects) and a parquet round-trip
+    * (Spark writes the full StructType, metadata included, into the
+    * footer and restores it on read), so [[bandsFromIndex]] can recover
+    * the layout from `index.schema` alone — a driver-side lookup, zero
+    * Spark jobs.
+    */
+  val BandsMetaKey = "graft.bands"
+
+  /** Alias `bucket` with the build layout stamped as column metadata —
+    * applied by every index builder so consumers never pay a scan to
+    * recover the band count.
+    */
+  def withLayoutMeta(bucket: Column, nBands: Int): Column =
+    bucket.as("bucket",
+      new MetadataBuilder().putLong(BandsMetaKey, nBands.toLong).build())
+
   /** Resolve the screen's banding FROM the persisted index (advice r16):
-    * the index's bucket structs carry their band ordinal, so the build
-    * layout is recoverable as max(band) + 1 — and for a fixed fpBits the
-    * per-band widths follow deterministically ([[widths]]). Deriving
-    * (instead of trusting the caller to repeat the build-time
+    * the build layout is stamped into the `bucket` column's metadata at
+    * build time ([[withLayoutMeta]], round 18), so recovery is a
+    * driver-side schema lookup — NO job over the index. This matters
+    * beyond hygiene: the index argument is often an unpinned lineage
+    * whose dominant cost is the media decode + fingerprint, and the r17
+    * max-scan probe re-executed that whole lineage once per admission
+    * batch before the screen's own join ran it again (measured 1.4–1.55×
+    * on the three media admission gates). For pre-r18 indexes without
+    * the metadata (e.g. hand-built frames), the max-over-band-ordinal
+    * scan remains as the legacy fallback — for a fixed fpBits the
+    * per-band widths follow deterministically ([[widths]]).
+    *
+    * Deriving (instead of trusting the caller to repeat the build-time
     * parameters) makes a layout mismatch IMPOSSIBLE rather than a silent
     * empty candidate join that admits every duplicate: an explicit
     * `bands` request that contradicts the index, or a `maxHamming`
     * beyond the index banding's recall guarantee, fails loudly. An empty
-    * index falls back to [[resolveBands]] (there is nothing to screen
-    * against, and a first batch must still self-screen). Cost: one
-    * map-side max over the index's band ordinal per admission batch —
-    * dwarfed by the screen's own index join.
+    * metadata-free index falls back to [[resolveBands]] (there is
+    * nothing to screen against, and a first batch must still
+    * self-screen).
     */
   def bandsFromIndex(
       index: DataFrame, maxHamming: Int, bands: Int, fpBits: Int): Int = {
-    val head = index.agg(max(col("bucket.band"))).head()
-    if (head.isNullAt(0)) resolveBands(maxHamming, bands, fpBits)
-    else {
-      val ib = head.getInt(0) + 1
+    def validate(ib: Int): Int = {
       require(bands == 0 || bands == ib,
         s"screen requested $bands bands but the index was built with $ib — " +
           "the screen derives its banding from the index; pass bands = 0 " +
@@ -99,6 +124,16 @@ object HammingBands {
         s"index band count $ib exceeds fingerprint width $fpBits — " +
           "this index belongs to a different modality")
       ib
+    }
+    val stamped = index.schema.fields.find(_.name == "bucket")
+      .filter(_.metadata.contains(BandsMetaKey))
+      .map(_.metadata.getLong(BandsMetaKey).toInt)
+    stamped match {
+      case Some(ib) => validate(ib)
+      case None =>
+        val head = index.agg(max(col("bucket.band"))).head()
+        if (head.isNullAt(0)) resolveBands(maxHamming, bands, fpBits)
+        else validate(head.getInt(0) + 1)
     }
   }
 

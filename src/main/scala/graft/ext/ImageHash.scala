@@ -734,8 +734,12 @@ object ImageHash {
       .where(col("dhash").isNotNull)
       .select(col("media_id"), col("dhash"))
     sigs.select(col("media_id"), col("dhash"),
-      explode(array(HammingBands.bandKeys(col("dhash"), 64, nBands): _*))
-        .as("bucket"))
+        explode(array(HammingBands.bandKeys(col("dhash"), 64, nBands): _*))
+          .as("bucket"))
+      // stamped AFTER the explode: the analyzer's generator extraction
+      // drops alias metadata on a generator expression itself
+      .select(col("media_id"), col("dhash"),
+        HammingBands.withLayoutMeta(col("bucket"), nBands))
   }
 
   /** Incremental near-dup ADMISSION for images — the recurring crawl

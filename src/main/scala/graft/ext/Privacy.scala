@@ -205,11 +205,11 @@ object Privacy {
       * the file on every charge, so a restart (or a second instance on
       * the same path) can never slip past spends it didn't make.
       */
-    def charge(dataset: String, epsilon: Double): Unit = synchronized {
+    def charge(dataset: String, epsilon: Double): Unit = {
       require(epsilon > 0, s"epsilon must be positive, got $epsilon")
       require(!dataset.contains('\n') && !dataset.contains('\t'),
         "dataset keys must not contain tab/newline (ledger-file delimiters)")
-      withLedgerLock {
+      def chargeLocked(): Unit = {
         val all = load()
         val s = all.getOrElse(dataset, 0.0)
         require(s + epsilon <= budget + 1e-12,
@@ -217,10 +217,25 @@ object Privacy {
             f"requested $epsilon%.6g > budget $budget%.6g")
         store(all.updated(dataset, s + epsilon))
       }
+      path match {
+        // in-memory: the instance monitor is the only exclusion needed
+        case None => synchronized(chargeLocked())
+        // durable: the cross-process file lock already serializes both
+        // processes AND in-JVM threads (withFileLock's path monitor) —
+        // taking the instance monitor around the BLOCKING OS lock would
+        // stall spent()/remaining() for as long as a foreign process
+        // holds the ledger (advice r17)
+        case Some(_) => withLedgerLock(chargeLocked())
+      }
     }
 
-    def spent(dataset: String): Double =
-      synchronized(load().getOrElse(dataset, 0.0))
+    def spent(dataset: String): Double = path match {
+      case None => synchronized(load().getOrElse(dataset, 0.0))
+      // durable stores are temp-file + atomic-rename writes: a read can
+      // never see a torn file, so probes stay lock-free and never stall
+      // behind another process's in-flight charge
+      case Some(_) => load().getOrElse(dataset, 0.0)
+    }
     def remaining(dataset: String): Double = budget - spent(dataset)
   }
 

@@ -279,7 +279,10 @@ object VideoFingerprint {
       .select(col("media_id"), col("kf"), col("dhash"),
         explode(array(HammingBands.bandKeys(col("dhash"), 64, nBands): _*))
           .as("bucket"))
-      .select("bucket", "media_id", "kf", "dhash")
+      // stamped AFTER the explode: the analyzer's generator extraction
+      // drops alias metadata on a generator expression itself
+      .select(HammingBands.withLayoutMeta(col("bucket"), nBands),
+        col("media_id"), col("kf"), col("dhash"))
   }
 
   /** Incremental near-dup ADMISSION for video — the

@@ -158,6 +158,7 @@ object ManifestTable {
       if (cur != expected || !verAlive) {
         new java.io.File(tablePath, ver).delete(): Unit
         rmTree(new java.io.File(tablePath, ownSnap))
+        inflightMarker(tablePath, ownSnap).delete(): Unit
         throw new ConcurrentCommitException(
           if (!verAlive)
             s"$tablePath: version file $ver reclaimed by a concurrent " +
@@ -168,6 +169,7 @@ object ManifestTable {
               "this attempt lost")
       }
       writePointer(tablePath, Seq(ver))
+      inflightMarker(tablePath, ownSnap).delete(): Unit // committed now
       val kept = pruneVersions(tablePath, ver, retainVersions)
       gc(tablePath, keep = kept ++ prevSnaps + ownSnap, retainMs = retainMs)
     }
@@ -276,13 +278,34 @@ object ManifestTable {
       spark.read.parquet(new java.io.File(tablePath, snap).getPath)
     }
 
+  /** How long an in-flight attempt's `.inflight` marker shields its
+    * snapshot from a concurrent winner's GC (advice r17): snapshot
+    * writes are intentionally unlocked, so without the marker a
+    * `retainMs = 0` winner could reclaim a racing committer's
+    * HALF-WRITTEN snapshot and surface an arbitrary Spark/IO error in
+    * that committer instead of the documented retryable
+    * [[ConcurrentCommitException]]. A marker older than this window
+    * belongs to a crashed attempt and ages out (dir + marker reclaimed
+    * together).
+    */
+  private[graft] val InflightGraceMs = 15 * 60 * 1000L
+
+  private def inflightMarker(tablePath: String, snap: String): java.io.File =
+    new java.io.File(tablePath, snap + ".inflight")
+
   /** Write `df` to a fresh snapshot prefix (unique per ATTEMPT: a
     * crashed attempt's half-written files can never be read — nothing
-    * points at them — or collided with) and return its name.
+    * points at them — or collided with) and return its name. A side-car
+    * `.inflight` marker is created FIRST so a concurrent winner's GC
+    * skips the attempt while it is being written ([[InflightGraceMs]]);
+    * [[casPointer]] removes the marker on both the win and the loss
+    * path.
     */
   private def writeSnapshot(
       df: DataFrame, tablePath: String, batchId: Long): String = {
     val snap = f"snap-$batchId%09d-${java.util.UUID.randomUUID().toString.take(8)}"
+    new java.io.File(tablePath).mkdirs(): Unit
+    java.nio.file.Files.createFile(inflightMarker(tablePath, snap).toPath): Unit
     df.write.mode("error").parquet(new java.io.File(tablePath, snap).getPath)
     snap
   }
@@ -675,6 +698,16 @@ object ManifestTable {
     * readers may scan longer set `retainMs` > 0: an unreferenced prefix
     * is reclaimed only once its last write is older than `retainMs`
     * (crash-orphaned prefixes age out the same way).
+    *
+    * A snapshot carrying a FRESH `.inflight` marker is a racing
+    * committer's attempt currently being written (markers are created
+    * before the parquet write and removed at the CAS, win or lose) — it
+    * is skipped so the loser always fails with the named retryable
+    * [[ConcurrentCommitException]] rather than an arbitrary IO error
+    * from under a reclaimed directory (advice r17). Markers older than
+    * [[InflightGraceMs]] are crashed attempts: dir and marker are
+    * reclaimed together, as are stale markers whose dir is already
+    * gone.
     */
   private[graft] def gc(tablePath: String, keep: Set[String],
       retainMs: Long = 0L): Unit = {
@@ -683,8 +716,22 @@ object ManifestTable {
     val snaps = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
     snaps.filterNot(f => keep.contains(f.getName))
+      .filter { f =>
+        val marker = new java.io.File(dir, f.getName + ".inflight")
+        if (!marker.isFile) true
+        else if (now - marker.lastModified() < InflightGraceMs) false
+        else { marker.delete(); true } // crashed attempt, aged out
+      }
       .filter(f => now - f.lastModified() >= retainMs)
       .foreach(rmTree)
+    // stale markers whose attempt dir never materialized (a crash
+    // between the marker create and the parquet write)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("snap-") &&
+        f.getName.endsWith(".inflight") &&
+        now - f.lastModified() >= InflightGraceMs &&
+        !new java.io.File(dir, f.getName.stripSuffix(".inflight")).exists())
+      .foreach(_.delete(): Unit)
   }
 
   private def rmTree(f: java.io.File): Unit = {

@@ -99,11 +99,26 @@ object ScaleSolo {
     sys.env.getOrElse("SPARK_GRAFT_SUPERSEDES", "")
       .split(",").map(_.trim).filter(_.nonEmpty).foreach { old =>
         val p = java.nio.file.Paths.get(old)
-        val txt = java.nio.file.Files.readString(p).trim
-        if (!txt.contains("\"superseded_by\"") && txt.endsWith("}")) {
-          java.nio.file.Files.writeString(p,
-            txt.dropRight(1) + s""","superseded_by":"$outFile"}""")
-          System.err.println(s"[scalesolo] stamped $old superseded_by $outFile")
+        // a missing/typo'd path must not fail the run AFTER the main
+        // artifact write (advice r17) — warn and skip
+        if (!java.nio.file.Files.exists(p)) {
+          System.err.println(s"[scalesolo] SPARK_GRAFT_SUPERSEDES path " +
+            s"$old does not exist — skipped")
+        } else {
+          val txt = java.nio.file.Files.readString(p).trim
+          if (!txt.contains("\"superseded_by\"") && txt.endsWith("}")) {
+            // temp + atomic rename (the artifact-write discipline used
+            // elsewhere): a crash mid-write can't truncate the record
+            val tmp = java.nio.file.Files.createTempFile(
+              p.toAbsolutePath.getParent, ".stamp_", ".json")
+            java.nio.file.Files.writeString(tmp,
+              txt.dropRight(1) + s""","superseded_by":"$outFile"}""")
+            java.nio.file.Files.move(tmp, p,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            System.err.println(
+              s"[scalesolo] stamped $old superseded_by $outFile")
+          }
         }
       }
     spark.stop()

@@ -23,6 +23,57 @@ class HammingBandsSpec extends SparkSpec {
     intercept[IllegalArgumentException](HammingBands.resolveBands(64, 0, 64))
   }
 
+  test("bandsFromIndex reads the stamped layout without evaluating the index") {
+    import org.apache.spark.sql.types.Metadata
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "sphinx of black quartz judge my vow")).toDF("doc_id", "text")
+    // non-default layout: 8 bands over the 60-bit simhash
+    val idx = graft.ext.Dedup.simhashBandIndex(docs, "doc_id", "text",
+      maxHamming = 3, bands = 8)
+    // poison the lineage: ANY evaluation of the index throws. The
+    // metadata path must resolve the layout from the schema alone —
+    // this is the r17 fix (the max-scan probe re-executed the full
+    // fingerprint lineage once per admission batch).
+    val poisoned = idx.where(raise_error(lit("index lineage evaluated")).isNull)
+    assert(HammingBands.bandsFromIndex(poisoned, 3, 0, 60) == 8)
+    // the mismatch/recall requires still fire on the metadata path
+    intercept[IllegalArgumentException](
+      HammingBands.bandsFromIndex(poisoned, 3, 4, 60))
+    intercept[IllegalArgumentException](
+      HammingBands.bandsFromIndex(poisoned, 8, 0, 60))
+    // stripping the stamp forces the legacy max-scan, which evaluates
+    // the lineage — proving the metadata path above really skipped it
+    val stripped = poisoned.select(col("media_id"), col("sim"),
+      col("bucket").as("bucket", Metadata.empty))
+    intercept[Exception](HammingBands.bandsFromIndex(stripped, 3, 0, 60))
+    // and on a clean lineage the legacy scan still recovers the layout
+    val legacy = idx.select(col("media_id"), col("sim"),
+      col("bucket").as("bucket", Metadata.empty))
+    assert(HammingBands.bandsFromIndex(legacy, 3, 0, 60) == 8)
+    // an EMPTY stamped index keeps the build layout (the scan path
+    // could only fall back to resolveBands)
+    val emptyIdx = graft.ext.Dedup.simhashBandIndex(
+      docs.where(col("doc_id") < 0), "doc_id", "text",
+      maxHamming = 3, bands = 8)
+    assert(HammingBands.bandsFromIndex(emptyIdx, 3, 0, 60) == 8)
+  }
+
+  test("the layout stamp survives a parquet round-trip") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val idx = graft.ext.Dedup.simhashBandIndex(docs, "doc_id", "text",
+      maxHamming = 3, bands = 8)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bandmeta_").toString
+    idx.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    // poison the read to prove the round-tripped stamp is used, not a scan
+    val poisoned = back.where(raise_error(lit("parquet index scanned")).isNull)
+    assert(HammingBands.bandsFromIndex(poisoned, 3, 0, 60) == 8)
+  }
+
   test("band-bucket candidates achieve exact recall at Hamming <= bands - 1") {
     // deterministic pseudo-random 64-bit hashes plus planted near-pairs
     def mix(x: Long): Long = {

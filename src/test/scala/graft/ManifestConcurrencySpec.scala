@@ -70,6 +70,33 @@ class ManifestConcurrencySpec extends SparkSpec {
       .as[(Long, String)].collect().toSet === Set((3L, "from-A-retry")))
   }
 
+  test("gc shields a racing committer's in-flight snapshot behind its marker") {
+    val dir = tmpTable("graft_occ_inflight_")
+    ManifestTable.commit(Seq((1L, "v0")).toDF("k", "v"), dir, batchId = 0L)
+    // stage a racing attempt's in-flight state: a half-written snapshot
+    // dir with a FRESH .inflight marker (exactly what writeSnapshot
+    // creates before the unlocked parquet write begins)
+    val attempt = new java.io.File(dir, "snap-000000007-aaaaaaaa")
+    attempt.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(attempt, "part-half-written.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    val marker = new java.io.File(dir, attempt.getName + ".inflight")
+    java.nio.file.Files.createFile(marker.toPath)
+    // a winner committing with retainMs = 0 must NOT reclaim it
+    ManifestTable.commit(Seq((1L, "v1")).toDF("k", "v"), dir, batchId = 1L)
+    assert(attempt.exists(),
+      "in-flight attempt reclaimed from under its racing committer")
+    // once the marker ages past the grace window the attempt is a
+    // crashed orphan: dir and marker reclaimed together
+    val old = System.currentTimeMillis() - ManifestTable.InflightGraceMs - 1000L
+    marker.setLastModified(old): Unit
+    attempt.setLastModified(old): Unit
+    ManifestTable.commit(Seq((1L, "v2")).toDF("k", "v"), dir, batchId = 2L)
+    assert(!attempt.exists(), "crashed attempt not reclaimed after the grace")
+    assert(!marker.exists(), "stale inflight marker leaked")
+  }
+
   test("durable epsilon ledger: concurrent chargers serialize, budget never oversubscribed") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_ledger_occ_").toString
