@@ -311,4 +311,96 @@ object GraphAnn {
       col("_rn").as("nb_rank"), col("_nb").as("nb_id"), col("_c").as("sim"))
     untouched.union(shape(touchedRows)).union(shape(batchRows))
   }
+
+  // --- persisted graph index + search-only serving (round 18) -----------
+
+  private val GraphIndexSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("vec_id", LongType, nullable = true),
+      StructField("nb_rank", IntegerType, nullable = true),
+      StructField("nb_id", LongType, nullable = true),
+      StructField("sim", DoubleType, nullable = true),
+      StructField("k", IntegerType, nullable = true),
+      StructField("iters", IntegerType, nullable = true)))
+  }
+
+  private def configRow(spark: org.apache.spark.sql.SparkSession,
+      k: Int, iters: Int): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row("config", null, null, null, null, k, iters)), 1),
+      GraphIndexSchema)
+
+  private def tagEdges(graph: DataFrame): DataFrame =
+    graph.select(lit("edge").as("kind"),
+      col("vec_id").cast("long").as("vec_id"),
+      col("nb_rank").cast("int").as("nb_rank"),
+      col("nb_id").cast("long").as("nb_id"),
+      col("sim").cast("double").as("sim"),
+      lit(null).cast("int").as("k"),
+      lit(null).cast("int").as("iters"))
+
+  /** Persisted k-NN-graph index of an ACCEPTED corpus, as one DataFrame
+    * — the [[Similarity.ivfIndex]] shape for the graph family:
+    * `kind='config'` carries the build parameters (k, iters) and
+    * `kind='edge'` rows are the [[nnDescentGraph]] edge list itself.
+    * Built once per corpus state and written like any table;
+    * [[graphSearchIndex]] queries and [[graphInsertIndex]] admissions
+    * serve from the artifact without re-running a single build round —
+    * before this, both graph gates rebuilt the base graph in-query,
+    * which is why they flagged ~25× at 100× data (the BUILD is
+    * linear-by-design; the search is candidate-bounded per probe). The
+    * build config rides IN the index so growth derives it instead of
+    * trusting the caller to repeat it (the band-layout rule).
+    */
+  def graphIndex(
+      corpus: DataFrame, id: String, vec: String, k: Int, iters: Int): DataFrame =
+    configRow(corpus.sparkSession, k, iters)
+      .unionByName(tagEdges(nnDescentGraph(corpus, id, vec, k, iters)))
+
+  /** The frozen build config read back from an index — bounded collect
+    * (exactly one config row).
+    */
+  private[graft] def graphIndexConfig(index: DataFrame): (Int, Int) = {
+    val rows = index.filter(col("kind") === "config")
+      .select("k", "iters").collect()
+    require(rows.length == 1,
+      s"graph index must carry exactly one config row, found ${rows.length}")
+    (rows.head.getInt(0), rows.head.getInt(1))
+  }
+
+  /** The edge list view of a persisted index — the exact
+    * [[nnDescentGraph]] output shape every existing consumer takes.
+    */
+  def graphIndexEdges(index: DataFrame): DataFrame =
+    index.filter(col("kind") === "edge")
+      .select("vec_id", "nb_rank", "nb_id", "sim")
+
+  /** [[graphSearch]] over a PERSISTED index: the frozen edge list is
+    * read back from the artifact; nothing rebuilds. Per probe the
+    * candidate set stays ≤ g + g² (+ ef·g with a beam) regardless of
+    * corpus size — search cost is decoupled from build cost, which is
+    * the entire point of persisting the graph.
+    */
+  def graphSearchIndex(
+      df: DataFrame, id: String, vec: String, index: DataFrame,
+      probes: DataFrame, qId: String, k: Int, ef: Int = 0): DataFrame =
+    graphSearch(df, id, vec, graphIndexEdges(index), probes, qId, k, ef)
+
+  /** [[graphInsert]] against a PERSISTED index: `k` derives from the
+    * index's own config row (no parameter to get wrong — the
+    * [[Similarity.ivfAppend]] contract), and the result is a NEW index
+    * carrying the same config and the merged edge list, ready to be
+    * written back. Untouched corpus edges pass through byte-identical.
+    */
+  def graphInsertIndex(
+      corpus: DataFrame, id: String, vec: String, index: DataFrame,
+      batch: DataFrame, ef: Int, hops: Int = 2): DataFrame = {
+    val (k, iters) = graphIndexConfig(index)
+    configRow(corpus.sparkSession, k, iters).unionByName(tagEdges(
+      graphInsert(corpus, id, vec, graphIndexEdges(index), batch,
+        k = k, ef = ef, hops = hops)))
+  }
 }

@@ -1123,6 +1123,61 @@ object StreamingPipeline {
         (-col("_t._negc")).as("cosine"))
   }
 
+  /** Graph-ANN serving from a PERSISTED [[graft.ext.GraphAnn.graphIndex]]
+    * — the round-18 symmetry to [[ivfIndexScoreStream]]: the k-NN graph
+    * is built (and [[graft.ext.GraphAnn.graphInsertIndex]]-grown)
+    * OFFLINE; the stream pins the frozen UNDIRECTED edge list and the
+    * corpus vector table once, and per micro-batch each arriving probe
+    * id expands its one- and two-hop neighborhood through two
+    * stream-static joins, exact-cosine reranks, and keeps the windowed
+    * top-k. With graph degree g the candidate set is ≤ g + g² per probe
+    * — per-probe serving cost is independent of corpus size, and the
+    * corpus is never re-scanned or re-built by the stream.
+    *
+    * Results are BIT-IDENTICAL to batch [[graft.ext.GraphAnn
+    * .graphSearch]] at `ef = 0` over the same probes (asserted in
+    * StreamingSpec): candidates duplicated across the two hops collapse
+    * inside `collect_set` (same pair ⇒ same deterministic cosine ⇒ one
+    * struct), and the (−cosine, id) sort is the batch window's
+    * (cosine DESC, id ASC) order exactly. State is the one windowed
+    * per-probe top-k aggregate, watermark-bounded.
+    */
+  def graphSearchStream(
+      probes: DataFrame, corpus: DataFrame, index: DataFrame,
+      id: String = "vec_id", vec: String = "embedding",
+      qId: String = "q_id", tsCol: String = "ingest_ts",
+      windowDur: String = "1 hour", watermark: String = "1 hour",
+      k: Int = 10): DataFrame = {
+    import graft.ext.{GraphAnn, Similarity}
+    require(k >= 1, s"k must be >= 1, got $k")
+    val edges = GraphAnn.graphIndexEdges(index)
+    val und = edges.select(col("vec_id").as("_node"), col("nb_id").as("_nb"))
+      .union(edges.select(col("nb_id").as("_node"), col("vec_id").as("_nb")))
+      .distinct()
+      .localCheckpoint(true) // pinned once; both hops join it per batch
+    val vecs = corpus.select(col(id).cast("long").as("_id"), col(vec).as("_v"))
+      .localCheckpoint(true) // probe-vec AND candidate-vec joins
+    val q = probes.withWatermark(tsCol, watermark)
+      .select(col(qId).cast("long").as("_q"), col(tsCol))
+    val hop1 = q.join(und.select(col("_node").as("_q"), col("_nb")), Seq("_q"))
+    val hop2 = hop1.select(col("_q"), col(tsCol), col("_nb").as("_mid"))
+      .join(und.select(col("_node").as("_mid"), col("_nb")), Seq("_mid"))
+      .select(col("_q"), col(tsCol), col("_nb"))
+    val cand = hop1.select(col("_q"), col(tsCol), col("_nb"))
+      .union(hop2)
+      .where(col("_nb") =!= col("_q"))
+    cand
+      .join(vecs.select(col("_id").as("_q"), col("_v").as("_qv")), Seq("_q"))
+      .join(vecs.select(col("_id").as("_nb"), col("_v").as("_nv")), Seq("_nb"))
+      .withColumn("_negc", -Similarity.cosine(col("_qv"), col("_nv")))
+      .groupBy(col("_q"), window(col(tsCol), windowDur))
+      .agg(slice(array_sort(collect_set(
+          struct(col("_negc"), col("_nb").as("_nid")))), 1, k).as("_top"))
+      .select(col("_q").as(qId), explode(col("_top")).as("_t"))
+      .select(col(qId), col("_t._nid").as("vec_id"),
+        (-col("_t._negc")).as("sim"))
+  }
+
   /** Streaming twin of [[graft.ext.UrlOps.urlDedup]]: canonicalize the
     * URL at the ingest edge — the SAME stateless
     * [[graft.ext.UrlOps.canonicalizeUrl]] Column expression batch uses,

@@ -169,6 +169,48 @@ class GraphAnnSpec extends SparkSpec {
       s"merged-graph recall@10 $mean below the family bar (batch probes included)")
   }
 
+  test("graphIndex round-trips through parquet; search and insert serve from the artifact") {
+    val df = clustered(12)
+    val corpus = df.where(col("vec_id") % 7 =!= 0)
+    val batch = df.where(col("vec_id") % 7 === 0)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_graphidx_").toString + "/index.parquet"
+    GraphAnn.graphIndex(corpus, "vec_id", "embedding", k = 4, iters = 2)
+      .write.mode("overwrite").parquet(idxPath)
+    val index = spark.read.parquet(idxPath)
+    // the edge view IS the raw builder output (config row filtered out)
+    val edges = GraphAnn.graphIndexEdges(index)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val direct = GraphAnn.nnDescentGraph(corpus, "vec_id", "embedding",
+        k = 4, iters = 2)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(edges === direct, "persisted edge list diverges from the builder")
+    // search from the artifact = search over the raw graph
+    val probes = corpus.where(col("vec_id") < 3).select(col("vec_id").as("q_id"))
+    val viaIndex = GraphAnn.graphSearchIndex(corpus, "vec_id", "embedding",
+        index, probes, "q_id", k = 3, ef = 0)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaGraph = GraphAnn.graphSearch(corpus, "vec_id", "embedding",
+        GraphAnn.graphIndexEdges(index), probes, "q_id", k = 3, ef = 0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaIndex === viaGraph)
+    // insertion derives k from the config row and returns a NEW index
+    // whose edge view equals raw graphInsert at the same parameters
+    val grown = GraphAnn.graphInsertIndex(corpus, "vec_id", "embedding",
+      index, batch, ef = 8, hops = 2)
+    val grownEdges = GraphAnn.graphIndexEdges(grown)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val rawInsert = GraphAnn.graphInsert(corpus, "vec_id", "embedding",
+        GraphAnn.graphIndexEdges(index), batch, k = 4, ef = 8, hops = 2)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(grownEdges === rawInsert)
+    // the grown index keeps the build config for the NEXT growth cycle
+    assert(GraphAnn.graphIndexConfig(grown) === ((4, 2)))
+    // a frame with no config row fails loudly
+    intercept[IllegalArgumentException](
+      GraphAnn.graphIndexConfig(index.filter(col("kind") === "edge")))
+  }
+
   test("no cartesian stage anywhere in build or search") {
     val df = clustered(8)
     val g = GraphAnn.nnDescentGraph(df, "vec_id", "embedding", k = 4, iters = 1)

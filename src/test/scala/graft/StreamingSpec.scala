@@ -1087,6 +1087,85 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graph-ANN serving stream: frozen graph index matches batch graphSearch") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").where(col("embedding").isNotNull)
+    val k = 10
+    // the offline artifact round-trips through parquet like a deployment
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_graphidx_stream_").toString + "/index.parquet"
+    graft.ext.GraphAnn.graphIndex(corpus, "vec_id", "embedding",
+        k = 8, iters = 2)
+      .write.mode("overwrite").parquet(idxPath)
+    val index = spark.read.parquet(idxPath)
+    val probeIds = corpus.where(col("vec_id") < 3)
+      .select("vec_id").as[Long].collect().toSeq
+
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = StreamingPipeline.graphSearchStream(
+        input.toDF().toDF("q_id", "ingest_ts"), corpus, index, k = k)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gserve_out").start()
+    try {
+      input.addData(probeIds.map(i => (i, ts("2025-01-01 10:00:00"))): _*)
+      q.processAllAvailable()
+      // close the window (the sentinel probe is not a graph node — it
+      // advances the watermark upstream of the hop joins and drops out)
+      input.addData((-1L, ts("2025-02-01 00:00:00")))
+      q.processAllAvailable()
+      val streamed = spark.table("gserve_out")
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = graft.ext.GraphAnn.graphSearchIndex(
+          corpus, "vec_id", "embedding", index,
+          probeIds.toDF("q_id"), "q_id", k = k, ef = 0)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(streamed === batch,
+        "stream results diverge from batch graphSearchIndex over the same index")
+      assert(streamed.size === 3 * k)
+    } finally q.stop()
+  }
+
+  test("ivf index serving stream: windowed top-k state EVICTS past the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").where(col("embedding").isNotNull)
+    val index = graft.ext.Similarity.ivfIndex(
+        corpus, "vec_id", "embedding", nCentroids = 16)
+      .localCheckpoint(true)
+    val probes = corpus.where(col("vec_id") < 12)
+      .as[(Long, Array[Float])].collect().toSeq
+    val (wave1, wave2) = probes.splitAt(6)
+
+    val input = MemoryStream[(Long, Array[Float], Timestamp)]
+    val q = StreamingPipeline.ivfIndexScoreStream(
+        input.toDF().toDF("q_id", "q_emb", "ingest_ts"), index,
+        k = 5, nProbe = 4, windowDur = "1 hour", watermark = "1 hour")
+      .writeStream.outputMode("append").format("noop").start()
+    try {
+      def stateRows: Long = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      input.addData(wave1.map { case (i, v) =>
+        (i, v, ts("2025-01-01 10:00:00")) }: _*)
+      q.processAllAvailable()
+      val afterWave1 = stateRows
+      assert(afterWave1 >= wave1.size,
+        s"window state missing wave-1 probes: $afterWave1")
+      // wave 2 lands 10 hours later: the watermark crosses wave 1's
+      // window end, so its per-probe state rows must be DROPPED — the
+      // retention contract is in-horizon windows, not probes-ever-seen
+      input.addData(wave2.map { case (i, v) =>
+        (i, v, ts("2025-01-01 20:00:00")) }: _*)
+      q.processAllAvailable()
+      // one more (empty-data) cycle lets the eviction commit land
+      input.addData((-1L, wave2.head._2, ts("2025-01-01 20:00:01")))
+      q.processAllAvailable()
+      val afterWave2 = stateRows
+      assert(afterWave2 <= wave2.size + 1 && afterWave2 < afterWave1 + wave2.size,
+        s"state did not evict wave 1: wave1=$afterWave1 final=$afterWave2")
+    } finally q.stop()
+  }
+
   test("embedding drift stream: window centroid cosine matches batch") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
