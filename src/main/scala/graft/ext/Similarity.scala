@@ -577,6 +577,48 @@ object Similarity {
       ivfPostingRows(batch, id, vec, cents, quantizer, spillDelta, spillCap))
   }
 
+  /** Index-health gauge for a persisted IVF index (round 18 — the
+    * rebuild-trigger instrument the frozen-quantizer contract needs):
+    * one row per centroid with the posting count and the quantized
+    * assignment-quality mass `simsum6 = Σ floor(cos(member, centroid)
+    * · 10⁶)`. [[ivfAppend]] deliberately never retrains (the FAISS
+    * `add` model), so sustained growth degrades silently in exactly two
+    * measurable ways: posting-list SKEW (hot lists grow past the
+    * balanced share) and assignment-distance DRIFT (appended members
+    * sit farther from their frozen centroid than build members did).
+    * Comparing health(base) with health(appended) — the q_index_health
+    * gate shape — turns "rebuild now?" from a guess into a gauge.
+    * Empty lists emit n_members = 0 (a starved list is itself a skew
+    * signal). The quantization keeps the mass an exact integer, so the
+    * gauge is engine-replayable; the means derive as one double
+    * division at read time.
+    *
+    * Plan shape: centroids are a bounded collect (≤ nCentroids rows)
+    * broadcast into the posting scan — one pass over the index, one
+    * 32-ish-row aggregate, no corpus re-scan.
+    */
+  def ivfIndexHealth(index: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val (cents, _, _, _) = ivfIndexCentroids(index)
+    val spark = index.sparkSession
+    val centDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(cents.toIndexedSeq.map { case (c, v) =>
+        org.apache.spark.sql.Row(c, v.toIndexedSeq) }, 1),
+      StructType(Seq(StructField("cid", LongType, nullable = false),
+        StructField("_cv", ArrayType(FloatType), nullable = true))))
+    val perList = index.filter(col("kind") === "posting")
+      .select(col("cid"), col("v"))
+      .join(broadcast(centDf), Seq("cid"))
+      .withColumn("_q6",
+        floor(cosine(col("v"), col("_cv")) * lit(1000000.0)).cast("long"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"), sum(col("_q6")).as("simsum6"))
+    centDf.select("cid").join(perList, Seq("cid"), "left")
+      .select(col("cid"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("simsum6"), lit(0L)).as("simsum6"))
+  }
+
   /** ANN top-k over a persisted IVF index — [[ivfTopK]]'s probe plan
     * (nProbe list selection from the frozen centroids as plan literals,
     * broadcast probes into the posting lists, exact-cosine rerank with

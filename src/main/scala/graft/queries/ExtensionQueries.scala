@@ -1392,6 +1392,58 @@ object ExtensionQueries {
       iters = 8, dim = 64, nProbe = 8, k = 10,
       spillDelta = 0.4, spillCap = 6)))
 
+  /** Index health / rebuild-trigger gauge (round 18): build the IVF
+    * index on the 6/7 corpus slice, append the % 7 batch against the
+    * FROZEN quantizer, then measure what freezing costs — per centroid:
+    * posting counts split build/appended, the balanced-share list load
+    * (`n_total · nLists / Σ n_total`; a hot list reads ≫ 1), and the
+    * appended-vs-build mean assignment-cosine drift (appended members
+    * assigned farther from the frozen centroids than build members =
+    * the quantizer no longer fits the data). These are the two numbers
+    * the 100 TB operator watches to decide "rebuild now" instead of
+    * guessing ([[Similarity.ivfIndexHealth]]). Quantized integer masses
+    * make the gauge hash-checkable; the means are single bit-identical
+    * double divisions.
+    */
+  val qIndexHealth = QueryDef(
+    "q_index_health",
+    (s, d) => {
+      val e = embs(s, d).select("vec_id", "embedding")
+      val corpus = e.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+      val batch = e.filter(pmod(col("vec_id"), lit(7)) === 0)
+      val base = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+        nCentroids = 32).localCheckpoint(true) // health(base) + append
+      val merged = Similarity.ivfAppend(base, batch, "vec_id", "embedding")
+      val hb = Similarity.ivfIndexHealth(base)
+        .withColumnRenamed("n_members", "n_build")
+        .withColumnRenamed("simsum6", "s_build")
+      val ha = Similarity.ivfIndexHealth(merged)
+        .withColumnRenamed("n_members", "n_total")
+        .withColumnRenamed("simsum6", "s_total")
+      val joined = ha.join(hb, Seq("cid"))
+      val tot = joined.agg(sum(col("n_total")).as("_tt"),
+        count(lit(1)).as("_nl"))
+      val meanBuild = when(col("n_build") > 0,
+        col("s_build").cast("double") /
+          (col("n_build") * lit(1000000L)).cast("double"))
+      val meanApp = when(col("n_total") > col("n_build"),
+        (col("s_total") - col("s_build")).cast("double") /
+          ((col("n_total") - col("n_build")) * lit(1000000L)).cast("double"))
+      joined.crossJoin(broadcast(tot))
+        .select(col("cid"), col("n_build"), col("n_total"),
+          (col("n_total") - col("n_build")).as("n_appended"),
+          ((col("n_total") * col("_nl")).cast("double") /
+            col("_tt").cast("double")).as("list_load"),
+          meanBuild.as("mean_sim_build"),
+          meanApp.as("mean_sim_appended"),
+          (meanApp - meanBuild).as("sim_drift"))
+        .orderBy("cid")
+    },
+    Some(LloydOracles.ivfHealthOracle(
+      nCentroids = 32,
+      samplesPerCentroid = Similarity.KmeansSamplesPerCentroid,
+      iters = 8, dim = 64, spillDelta = 0.4, spillCap = 6)))
+
   /** IVF with the DETERMINISTIC lowid coarse quantizer, as an
     * oracle-checked twin of q_ann_ivf: the k-means path's float centroid
     * means are summation-order-dependent cross-engine (structurally
@@ -4695,6 +4747,7 @@ object ExtensionQueries {
     qDedupIncMinhash, qDedupPriority,
     qDecontaminate,
     qEmbedCosineTopk, qEmbedMeanpool, qAnnLsh, qAnnIvf, qAnnIvfAppend,
+    qIndexHealth,
     qAnnIvfLowid,
     qAnnPq, qAnnPqInit, qAnnIvfPq, qAnnIvfPqInit,
     qTextTokens, qTextSubword, qTextQuality, qQualityGate, qCorpusReport,

@@ -261,6 +261,49 @@ private[queries] object LloydOracles {
              WHERE a.vec_id <> p.q_id),
     ${rerankTail(dim, k)}"""
 
+  /** q_index_health: the [[ivfAppendOracle]] setup (corpus-trained
+    * frozen quantizer, spill assignment over ALL vectors = the appended
+    * index's postings) followed by the health gauge — per-centroid
+    * posting counts, quantized assignment-quality mass
+    * `floor(cos(member, centroid)·10⁶)` split build/appended, the
+    * balanced-share list load, and the appended-vs-build mean-sim
+    * drift. All double outputs derive from exact integers by one
+    * bit-identical division/subtraction per value.
+    */
+  private[queries] def ivfHealthOracle(
+      nCentroids: Int, samplesPerCentroid: Int, iters: Int, dim: Int,
+      spillDelta: Double, spillCap: Int): String =
+    s"""WITH vecs AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id % 7 <> 0),
+    allv AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL),
+    $hashLongSampleCtes,
+    ${kmeansSphericalCtes(nCentroids.toString, (nCentroids * samplesPerCentroid).toString, iters)},
+    ${centroidFloatCtes(iters, 1000000L, "allv")},
+    ${spillAssignCtes(dim, spillDelta, spillCap)},
+    hsim AS MATERIALIZED (
+      SELECT a.cid, a.vec_id,
+             CAST(floor((${dotn("v.dl", "c.fl", dim)} / (sqrt(${sq("v.dl")}) * sqrt(${sq("c.fl")}))) * 1000000.0) AS BIGINT) AS q6
+      FROM assigned a JOIN vl v USING (vec_id) JOIN kcf c USING (cid)),
+    hbld AS (SELECT cid, count(*) AS nb, CAST(sum(q6) AS BIGINT) AS sb
+             FROM hsim WHERE vec_id % 7 <> 0 GROUP BY cid),
+    hall AS (SELECT cid, count(*) AS nt, CAST(sum(q6) AS BIGINT) AS st
+             FROM hsim GROUP BY cid),
+    hj AS (SELECT c.cid,
+             COALESCE(b.nb, 0) AS nb, COALESCE(b.sb, 0) AS sb,
+             COALESCE(a.nt, 0) AS nt, COALESCE(a.st, 0) AS st
+           FROM (SELECT DISTINCT cid FROM kcf) c
+           LEFT JOIN hbld b USING (cid) LEFT JOIN hall a USING (cid)),
+    htot AS (SELECT CAST(sum(nt) AS BIGINT) AS tt, count(*) AS nl FROM hj)
+    SELECT cid, nb AS n_build, nt AS n_total, nt - nb AS n_appended,
+           CAST(nt * t.nl AS DOUBLE) / CAST(t.tt AS DOUBLE) AS list_load,
+           CASE WHEN nb > 0 THEN CAST(sb AS DOUBLE) / CAST(nb * 1000000 AS DOUBLE) END AS mean_sim_build,
+           CASE WHEN nt > nb THEN CAST(st - sb AS DOUBLE) / CAST((nt - nb) * 1000000 AS DOUBLE) END AS mean_sim_appended,
+           (CASE WHEN nt > nb THEN CAST(st - sb AS DOUBLE) / CAST((nt - nb) * 1000000 AS DOUBLE) END) - (CASE WHEN nb > 0 THEN CAST(sb AS DOUBLE) / CAST(nb * 1000000 AS DOUBLE) END) AS sim_drift
+    FROM hj, htot t ORDER BY cid"""
+
   // --- fixed-point L2 Lloyd (PQ codebooks) --------------------------------
 
   /** CTE chain `ssubs … cb{iters}`: per-subspace fixed-point L2 Lloyd
