@@ -1413,6 +1413,45 @@ object Dedup {
       .select(col("cid").as("_c_id"), col("member_id").as("_mid"),
         col("v").as("_mu"))
 
+  /** Grow a semantic index by a new batch: assign against the index's
+    * OWN frozen centroids (nothing to repeat wrong — the
+    * [[graft.ext.Similarity.ivfAppend]] contract) and append the unit
+    * member rows, byte-identical in shape to [[semDedupIndex]]'s. The
+    * recurring-cycle step AFTER [[incrementalSemDedup]] admits a batch:
+    * accepted vectors join the corpus state so the NEXT cycle screens
+    * against them, with the corpus never re-clustered. O(batch); the
+    * centroid rows pass through untouched. Centroid drift under
+    * sustained growth is a REBUILD decision — [[semIndexHealth]] is its
+    * gauge.
+    */
+  def semIndexAppend(
+      index: DataFrame, batch: DataFrame, id: String, vec: String): DataFrame = {
+    val cents = semIndexCentroids(index)
+    require(cents.nonEmpty,
+      "cannot append to an empty semantic index — build it first " +
+        "(semDedupIndex), or bootstrap via incrementalSemDedup")
+    val members = Similarity.assignToCentroids(batch, vec, cents)
+      .withColumn("_n", Similarity.l2Norm(col(vec)))
+      .select(lit("member").as("kind"), col("_c_id").as("cid"),
+        col(id).cast("long").as("member_id"),
+        transform(col(vec), x => x.cast("double") / col("_n"))
+          .cast("array<float>").as("v"))
+    index.unionByName(members)
+  }
+
+  /** Per-cluster health gauge of a semantic index — the
+    * [[graft.ext.Similarity.ivfIndexHealth]] twin for the SemDeDup
+    * family, through the same shared core: one row per centroid with
+    * the member count and the quantized assignment-quality mass
+    * `Σ floor(cos(member, centroid)·10⁶)`. Comparing health(base) to
+    * health([[semIndexAppend]]ed) exposes the two rebuild triggers —
+    * cluster-size skew and appended-vs-build assignment-cosine drift
+    * (see q_index_health / q_index_health_sem for the thresholds).
+    */
+  def semIndexHealth(index: DataFrame): DataFrame =
+    Similarity.indexHealthFrom(index.sparkSession, semIndexCentroids(index),
+      index.filter(col("kind") === "member").select(col("cid"), col("v")))
+
   def incrementalSemDedup(
       batch: DataFrame, index: DataFrame, id: String, vec: String,
       eps: Double): DataFrame = {

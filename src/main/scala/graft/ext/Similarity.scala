@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -597,17 +597,26 @@ object Similarity {
     * broadcast into the posting scan — one pass over the index, one
     * 32-ish-row aggregate, no corpus re-scan.
     */
-  def ivfIndexHealth(index: DataFrame): DataFrame = {
+  def ivfIndexHealth(index: DataFrame): DataFrame =
+    indexHealthFrom(index.sparkSession, ivfIndexCentroids(index)._1,
+      index.filter(col("kind") === "posting").select(col("cid"), col("v")))
+
+  /** The shared health core behind [[ivfIndexHealth]] and
+    * [[graft.ext.Dedup.semIndexHealth]]: members `(cid, v)` scored
+    * against their own centroid via one broadcast join, quantized, and
+    * aggregated per list. Shared so the two gauges cannot diverge on
+    * the quantization or the empty-list contract.
+    */
+  private[graft] def indexHealthFrom(
+      spark: SparkSession, cents: Array[(Long, Array[Float])],
+      members: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
-    val (cents, _, _, _) = ivfIndexCentroids(index)
-    val spark = index.sparkSession
     val centDf = spark.createDataFrame(
       spark.sparkContext.parallelize(cents.toIndexedSeq.map { case (c, v) =>
         org.apache.spark.sql.Row(c, v.toIndexedSeq) }, 1),
       StructType(Seq(StructField("cid", LongType, nullable = false),
         StructField("_cv", ArrayType(FloatType), nullable = true))))
-    val perList = index.filter(col("kind") === "posting")
-      .select(col("cid"), col("v"))
+    val perList = members
       .join(broadcast(centDf), Seq("cid"))
       .withColumn("_q6",
         floor(cosine(col("v"), col("_cv")) * lit(1000000.0)).cast("long"))

@@ -1414,35 +1414,74 @@ object ExtensionQueries {
       val base = Similarity.ivfIndex(corpus, "vec_id", "embedding",
         nCentroids = 32).localCheckpoint(true) // health(base) + append
       val merged = Similarity.ivfAppend(base, batch, "vec_id", "embedding")
-      val hb = Similarity.ivfIndexHealth(base)
-        .withColumnRenamed("n_members", "n_build")
-        .withColumnRenamed("simsum6", "s_build")
-      val ha = Similarity.ivfIndexHealth(merged)
-        .withColumnRenamed("n_members", "n_total")
-        .withColumnRenamed("simsum6", "s_total")
-      val joined = ha.join(hb, Seq("cid"))
-      val tot = joined.agg(sum(col("n_total")).as("_tt"),
-        count(lit(1)).as("_nl"))
-      val meanBuild = when(col("n_build") > 0,
-        col("s_build").cast("double") /
-          (col("n_build") * lit(1000000L)).cast("double"))
-      val meanApp = when(col("n_total") > col("n_build"),
-        (col("s_total") - col("s_build")).cast("double") /
-          ((col("n_total") - col("n_build")) * lit(1000000L)).cast("double"))
-      joined.crossJoin(broadcast(tot))
-        .select(col("cid"), col("n_build"), col("n_total"),
-          (col("n_total") - col("n_build")).as("n_appended"),
-          ((col("n_total") * col("_nl")).cast("double") /
-            col("_tt").cast("double")).as("list_load"),
-          meanBuild.as("mean_sim_build"),
-          meanApp.as("mean_sim_appended"),
-          (meanApp - meanBuild).as("sim_drift"))
-        .orderBy("cid")
+      healthDrift(Similarity.ivfIndexHealth(base),
+        Similarity.ivfIndexHealth(merged))
     },
     Some(LloydOracles.ivfHealthOracle(
       nCentroids = 32,
       samplesPerCentroid = Similarity.KmeansSamplesPerCentroid,
       iters = 8, dim = 64, spillDelta = 0.4, spillCap = 6)))
+
+  /** Build-vs-appended drift join shared by q_index_health and
+    * q_index_health_sem: per centroid the count split, the
+    * balanced-share list load (rebuild trigger #1: a hot list reads
+    * ≫ 1 — operationally, rebuild when max list_load exceeds ~3), and
+    * the appended-vs-build mean assignment-cosine drift (rebuild
+    * trigger #2: appended members systematically farther from their
+    * frozen centroid — rebuild when the posting-mass-weighted drift
+    * falls below ~−0.05). All doubles derive from exact integers by one
+    * bit-identical division/subtraction.
+    */
+  private def healthDrift(
+      hbRaw: org.apache.spark.sql.DataFrame,
+      haRaw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val hb = hbRaw.withColumnRenamed("n_members", "n_build")
+      .withColumnRenamed("simsum6", "s_build")
+    val ha = haRaw.withColumnRenamed("n_members", "n_total")
+      .withColumnRenamed("simsum6", "s_total")
+    val joined = ha.join(hb, Seq("cid"))
+    val tot = joined.agg(sum(col("n_total")).as("_tt"),
+      count(lit(1)).as("_nl"))
+    val meanBuild = when(col("n_build") > 0,
+      col("s_build").cast("double") /
+        (col("n_build") * lit(1000000L)).cast("double"))
+    val meanApp = when(col("n_total") > col("n_build"),
+      (col("s_total") - col("s_build")).cast("double") /
+        ((col("n_total") - col("n_build")) * lit(1000000L)).cast("double"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_build"), col("n_total"),
+        (col("n_total") - col("n_build")).as("n_appended"),
+        ((col("n_total") * col("_nl")).cast("double") /
+          col("_tt").cast("double")).as("list_load"),
+        meanBuild.as("mean_sim_build"),
+        meanApp.as("mean_sim_appended"),
+        (meanApp - meanBuild).as("sim_drift"))
+      .orderBy("cid")
+  }
+
+  /** [[qIndexHealth]]'s twin for the SEMANTIC index: the corpus slice
+    * (vec_id < 250, the q_dedup_inc_sem split) freezes its quantizer +
+    * unit members ([[Dedup.semDedupIndex]]), the batch appends against
+    * the frozen centroids ([[Dedup.semIndexAppend]] — the recurring
+    * cycle's accept step), and [[Dedup.semIndexHealth]] gauges what
+    * freezing costs: cluster-size skew and appended-vs-build
+    * assignment-cosine drift, same shape and thresholds as the IVF
+    * gauge (one shared core, one shared drift join).
+    */
+  val qIndexHealthSem = QueryDef(
+    "q_index_health_sem",
+    (s, d) => {
+      val e = embs(s, d)
+      val corpus = e.filter(col("vec_id") < 250)
+      val batch = e.filter(col("vec_id") >= 250)
+      val k = math.max(8L, math.min(64L, corpus.count() / 500L)).toInt
+      val base = Dedup.semDedupIndex(corpus, "vec_id", "embedding",
+          nCentroids = k)
+        .localCheckpoint(true) // health(base) + append both read it
+      val grown = Dedup.semIndexAppend(base, batch, "vec_id", "embedding")
+      healthDrift(Dedup.semIndexHealth(base), Dedup.semIndexHealth(grown))
+    },
+    Some(LloydOracles.semHealthOracle(iters = 8, dim = 64, splitId = 250)))
 
   /** IVF with the DETERMINISTIC lowid coarse quantizer, as an
     * oracle-checked twin of q_ann_ivf: the k-means path's float centroid
@@ -4747,7 +4786,7 @@ object ExtensionQueries {
     qDedupIncMinhash, qDedupPriority,
     qDecontaminate,
     qEmbedCosineTopk, qEmbedMeanpool, qAnnLsh, qAnnIvf, qAnnIvfAppend,
-    qIndexHealth,
+    qIndexHealth, qIndexHealthSem,
     qAnnIvfLowid,
     qAnnPq, qAnnPqInit, qAnnIvfPq, qAnnIvfPqInit,
     qTextTokens, qTextSubword, qTextQuality, qQualityGate, qCorpusReport,

@@ -287,8 +287,16 @@ private[queries] object LloydOracles {
       SELECT a.cid, a.vec_id,
              CAST(floor((${dotn("v.dl", "c.fl", dim)} / (sqrt(${sq("v.dl")}) * sqrt(${sq("c.fl")}))) * 1000000.0) AS BIGINT) AS q6
       FROM assigned a JOIN vl v USING (vec_id) JOIN kcf c USING (cid)),
-    hbld AS (SELECT cid, count(*) AS nb, CAST(sum(q6) AS BIGINT) AS sb
-             FROM hsim WHERE vec_id % 7 <> 0 GROUP BY cid),
+    ${healthTail("vec_id % 7 <> 0")}"""
+
+  /** Shared health aggregation + drift SELECT over a `hsim (cid,
+    * vec_id, q6)` CTE — the build/total split, the balanced-share list
+    * load, and the bit-identical double means/drift. `buildPred`
+    * selects the BUILD-side members.
+    */
+  private def healthTail(buildPred: String): String =
+    s"""hbld AS (SELECT cid, count(*) AS nb, CAST(sum(q6) AS BIGINT) AS sb
+             FROM hsim WHERE $buildPred GROUP BY cid),
     hall AS (SELECT cid, count(*) AS nt, CAST(sum(q6) AS BIGINT) AS st
              FROM hsim GROUP BY cid),
     hj AS (SELECT c.cid,
@@ -303,6 +311,44 @@ private[queries] object LloydOracles {
            CASE WHEN nt > nb THEN CAST(st - sb AS DOUBLE) / CAST((nt - nb) * 1000000 AS DOUBLE) END AS mean_sim_appended,
            (CASE WHEN nt > nb THEN CAST(st - sb AS DOUBLE) / CAST((nt - nb) * 1000000 AS DOUBLE) END) - (CASE WHEN nb > 0 THEN CAST(sb AS DOUBLE) / CAST(nb * 1000000 AS DOUBLE) END) AS sim_drift
     FROM hj, htot t ORDER BY cid"""
+
+  /** q_index_health_sem: the [[incrementalSemOracle]] setup (corpus-
+    * trained kmeans at the data-dependent k, frozen argmax assignment
+    * of ALL vectors = the appended index's member rows, float-unit
+    * member vectors) followed by the same health tail — assignment
+    * quality is `floor(cos(unit member, raw float centroid)·10⁶)`,
+    * exactly [[graft.ext.Dedup.semIndexHealth]]'s quantization.
+    */
+  private[queries] def semHealthOracle(
+      iters: Int, dim: Int, splitId: Long): String =
+    s"""WITH vecs AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id < $splitId),
+    $hashLongSampleCtes,
+    kparam AS (SELECT GREATEST(8, LEAST(64, count(*) // 500)) AS k,
+      GREATEST(8, LEAST(64, count(*) // 500)) * ${graft.ext.Similarity.KmeansSamplesPerCentroid} AS n
+      FROM embeddings WHERE vec_id < $splitId),
+    ${kmeansSphericalCtes("(SELECT k FROM kparam)", "(SELECT n FROM kparam)", iters)},
+    ${centroidFloatCtes(iters, 1000000L)},
+    allv AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dl
+      FROM embeddings WHERE embedding IS NOT NULL),
+    vdots AS (SELECT v.vec_id, c.cid, ${dotn("v.dl", "c.ul", dim)} AS d
+              FROM allv v, kcu c),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM vdots) WHERE rn = 1),
+    unitv AS MATERIALIZED (
+      SELECT vec_id, list_transform(dl, x ->
+        CAST(CAST(x / sqrt(${sq("dl")}) AS FLOAT) AS DOUBLE)) AS ul
+      FROM allv),
+    hsim AS MATERIALIZED (
+      SELECT a.cid, a.vec_id,
+             CAST(floor((${dotn("u.ul", "c.fl", dim)} / (sqrt(${sq("u.ul")}) * sqrt(${sq("c.fl")}))) * 1000000.0) AS BIGINT) AS q6
+      FROM assigned a JOIN unitv u USING (vec_id) JOIN kcf c USING (cid)),
+    ${healthTail(s"vec_id < $splitId")}"""
 
   // --- fixed-point L2 Lloyd (PQ codebooks) --------------------------------
 

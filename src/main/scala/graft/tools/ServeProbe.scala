@@ -1,0 +1,107 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Search-ONLY scale pins for the persisted ANN indexes (round 18): the
+  * index artifacts build UNTIMED (and pin), then the probe times just
+  * the serving path — [[graft.ext.GraphAnn.graphSearchIndex]] and
+  * [[graft.ext.Similarity.ivfSearchIndex]] — at a FIXED probe-batch
+  * size across corpus scales. This is the measurement the gate queries
+  * cannot give: they are self-contained, so their walls include the
+  * one-off index build, which is linear-by-design and dominated the r17
+  * 100× tier (q_ann_graph_search flagged 25.6× — all build). A serving
+  * deployment pays the build once offline; what must stay flat as the
+  * corpus grows 100× is the per-query-batch search wall, because per
+  * probe the graph candidate set is ≤ g + g² and the IVF candidate set
+  * is nProbe posting lists.
+  *
+  * [[ScaleProbe]] is unsuitable here: it unpersists every cached RDD
+  * between runs, which would tear down the pinned index mid-probe.
+  *
+  * Env: SPARK_GRAFT_BASE_DIR, SPARK_GRAFT_SCALE_DIR,
+  * SPARK_GRAFT_SCALE_FACTOR (label), SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_RUNS (default 3), SPARK_GRAFT_PROBE_N (default 200),
+  * SPARK_GRAFT_SERVE_OUT (artifact path). Prints one JSON line.
+  */
+object ServeProbe {
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_BASE_DIR", "/root/testdata/sf0.1")
+    val scaled = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/sfx10")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    val probeN = sys.env.getOrElse("SPARK_GRAFT_PROBE_N", "200").toInt
+    val outFile =
+      sys.env.getOrElse("SPARK_GRAFT_SERVE_OUT", "SCALE_GRAPHSERVE.json")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def load(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+    /** min-of-N noop-write seconds of `mk()`'s plan (the index inputs are
+      * pinned by the caller, so repeated runs re-execute only the search).
+      */
+    def timed(mk: () => DataFrame): Double =
+      (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        mk().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+
+    /** (corpus_rows, graph_search_sec, ivf_search_sec) for one dir. */
+    def probeDir(dir: String): (Long, Double, Double) = {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true) // corpus side of every search join
+      val n = e.count()
+      // fixed probe batch: the FIRST probeN node ids — identical batch
+      // size at every scale, so the ratio isolates corpus-side growth
+      val probes = e.select(col("vec_id").as("q_id"))
+        .orderBy("q_id").limit(probeN)
+        .localCheckpoint(true)
+      System.err.println(s"[serveprobe] $dir: building graph index (untimed)")
+      val gIdx = graft.ext.GraphAnn.graphIndex(e, "vec_id", "embedding",
+        k = 16, iters = 2).localCheckpoint(true)
+      val gSec = timed(() => graft.ext.GraphAnn.graphSearchIndex(
+        e, "vec_id", "embedding", gIdx, probes, "q_id", k = 10, ef = 160))
+      System.err.println(s"[serveprobe] $dir: building ivf index (untimed)")
+      val iIdx = graft.ext.Similarity.ivfIndex(e, "vec_id", "embedding",
+        nCentroids = 64).localCheckpoint(true)
+      val vecProbes = probes
+        .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+          Seq("q_id"))
+        .localCheckpoint(true)
+      val iSec = timed(() => graft.ext.Similarity.ivfSearchIndex(
+        iIdx, vecProbes, "q_id", "q_emb", k = 10, nProbe = 8))
+      (n, gSec, iSec)
+    }
+
+    val load0 = load()
+    val (n1, g1, i1) = probeDir(base)
+    val loadMid = load()
+    val (nN, gN, iN) = probeDir(scaled)
+    val loadEnd = load()
+    def f(d: Double): String = BigDecimal(d).setScale(3,
+      BigDecimal.RoundingMode.HALF_UP).toString
+    val line =
+      s"""{"metric":"ann_serve_search_only","factor":$factor,""" +
+        s""""method":"index built+pinned untimed, search noop-written, min of $runs runs, FIXED $probeN-probe batch at both scales","""+
+        s""""base_dir":"$base","scale_dir":"$scaled",""" +
+        s""""load_avg_start":$load0,"load_avg_mid":$loadMid,"load_avg_end":$loadEnd,""" +
+        s""""corpus_rows":{"base":$n1,"scaled":$nN},""" +
+        s""""graph_search_sec":{"base":${f(g1)},"scaled":${f(gN)},"ratio":${f(gN / g1)}},""" +
+        s""""ivf_search_sec":{"base":${f(i1)},"scaled":${f(iN)},"ratio":${f(iN / i1)}}}"""
+    println(line)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line)
+    spark.stop()
+  }
+}
