@@ -33,6 +33,40 @@ object StreamBench {
   /** The session twin's input row shape (event-time + the two id cols). */
   case class Ev(event_id: Long, timestamp: Timestamp, user_id: String)
 
+  /** Per-twin metrics JSON shared by EVERY twin (review r18 — the block
+    * had been copy-pasted a dozen times and the r18 additions
+    * max_state_rows/final_state_rows had to stay in lockstep by hand):
+    * the per-trigger array, totals, rows/sec, and the state peak/final
+    * pair that makes watermark EVICTION visible. `finalStateOverride`
+    * lets a stateless-sink twin (manifest upsert) report its
+    * serving-table size under the same numeric-state-bound key; `extra`
+    * carries twin-specific trailing fields (must start with a comma).
+    */
+  private def twinJson(
+      progress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress],
+      wall: Double, extra: String = "",
+      finalStateOverride: Option[Long] = None): String = {
+    val triggers = progress.map { p =>
+      val sec = p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3
+      val (srows, sbytes) =
+        if (p.stateOperators.nonEmpty)
+          (p.stateOperators.map(_.numRowsTotal).sum,
+           p.stateOperators.map(_.memoryUsedBytes).sum)
+        else (0L, 0L)
+      s"""{"rows":${p.numInputRows},"sec":$sec,"state_rows":$srows,"state_bytes":$sbytes}"""
+    }
+    val totalRows = progress.map(_.numInputRows).sum
+    val sumSec = progress
+      .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum / 1e3
+    val rps = if (sumSec > 0) totalRows / sumSec else 0.0
+    val states = progress.map(_.stateOperators.map(_.numRowsTotal).sum)
+    val finalState =
+      finalStateOverride.getOrElse(states.lastOption.getOrElse(0L))
+    val maxState =
+      finalStateOverride.getOrElse(if (states.isEmpty) 0L else states.max)
+    s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"max_state_rows":$maxState,"final_state_rows":$finalState$extra}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -46,6 +80,8 @@ object StreamBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
 
     // Event-time-ordered replay: ns → µs timestamps, numeric user ids as
     // the string key the session twin groups on. NULL users are dropped
@@ -77,24 +113,8 @@ object StreamBench {
       try {
         chunks.foreach { c => input.addData(c.toIndexedSeq); q.processAllAvailable() }
         val wall = (System.nanoTime() - wall0) / 1e9
-        val progress = q.recentProgress.filter(_.numInputRows > 0)
-        val triggers = progress.map { p =>
-          val sec = p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3
-          val (srows, sbytes) =
-            if (p.stateOperators.nonEmpty)
-              (p.stateOperators.map(_.numRowsTotal).sum,
-               p.stateOperators.map(_.memoryUsedBytes).sum)
-            else (0L, 0L)
-          s"""{"rows":${p.numInputRows},"sec":$sec,"state_rows":$srows,"state_bytes":$sbytes}"""
-        }
-        val totalRows = progress.map(_.numInputRows).sum
-        val sumSec = progress
-          .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum / 1e3
-        val rps = if (sumSec > 0) totalRows / sumSec else 0.0
-        val finalState =
-          progress.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
-            .getOrElse(0L)
-        name -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"final_state_rows":$finalState}"""
+        val progress = q.recentProgress.filter(_.numInputRows > 0).toSeq
+        name -> twinJson(progress, wall)
       } finally q.stop()
     }
 
@@ -163,7 +183,12 @@ object StreamBench {
 
     val twinJs = twins.map { case (n, js) => "\"" + n + "\":" + js }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"streambench","n_triggers":$nTriggers,"input_rows":${rows.length},"twins":$twinJs,"sf":"$sfDir"}""")
+    val loadEnd = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // rows/sec swings ±3x run-to-run under ambient co-tenant load; the
+    // STATE columns are the stable signal. The load stamps make a hot
+    // run self-describing (the BENCH_FULL lesson, applied here).
+    println(s"""{"metric":"streambench","n_triggers":$nTriggers,"input_rows":${rows.length},"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"twins":$twinJs,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -194,24 +219,8 @@ object StreamBench {
         input.addData(c.toIndexedSeq); q.processAllAvailable()
       }
       val wall = (System.nanoTime() - wall0) / 1e9
-      val progress = q.recentProgress.filter(_.numInputRows > 0)
-      val triggers = progress.map { p =>
-        val sec = p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3
-        val (srows, sbytes) =
-          if (p.stateOperators.nonEmpty)
-            (p.stateOperators.map(_.numRowsTotal).sum,
-             p.stateOperators.map(_.memoryUsedBytes).sum)
-          else (0L, 0L)
-        s"""{"rows":${p.numInputRows},"sec":$sec,"state_rows":$srows,"state_bytes":$sbytes}"""
-      }
-      val totalRows = progress.map(_.numInputRows).sum
-      val sumSec = progress
-        .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum / 1e3
-      val rps = if (sumSec > 0) totalRows / sumSec else 0.0
-      val finalState =
-        progress.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
-          .getOrElse(0L)
-      "ann_intake" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"final_state_rows":$finalState}"""
+      val progress = q.recentProgress.filter(_.numInputRows > 0).toSeq
+"ann_intake" -> twinJson(progress, wall)
     } finally q.stop()
   }
 
@@ -242,24 +251,8 @@ object StreamBench {
         input.addData(c.toIndexedSeq); q.processAllAvailable()
       }
       val wall = (System.nanoTime() - wall0) / 1e9
-      val progress = q.recentProgress.filter(_.numInputRows > 0)
-      val triggers = progress.map { p =>
-        val sec = p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3
-        val (srows, sbytes) =
-          if (p.stateOperators.nonEmpty)
-            (p.stateOperators.map(_.numRowsTotal).sum,
-             p.stateOperators.map(_.memoryUsedBytes).sum)
-          else (0L, 0L)
-        s"""{"rows":${p.numInputRows},"sec":$sec,"state_rows":$srows,"state_bytes":$sbytes}"""
-      }
-      val totalRows = progress.map(_.numInputRows).sum
-      val sumSec = progress
-        .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum / 1e3
-      val rps = if (sumSec > 0) totalRows / sumSec else 0.0
-      val finalState =
-        progress.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
-          .getOrElse(0L)
-      "crawl_curate" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"final_state_rows":$finalState}"""
+      val progress = q.recentProgress.filter(_.numInputRows > 0).toSeq
+"crawl_curate" -> twinJson(progress, wall)
     } finally q.stop()
   }
 
@@ -298,24 +291,8 @@ object StreamBench {
         input.addData(c.toIndexedSeq); q.processAllAvailable()
       }
       val wall = (System.nanoTime() - wall0) / 1e9
-      val progress = q.recentProgress.filter(_.numInputRows > 0)
-      val triggers = progress.map { p =>
-        val sec = p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3
-        val (srows, sbytes) =
-          if (p.stateOperators.nonEmpty)
-            (p.stateOperators.map(_.numRowsTotal).sum,
-             p.stateOperators.map(_.memoryUsedBytes).sum)
-          else (0L, 0L)
-        s"""{"rows":${p.numInputRows},"sec":$sec,"state_rows":$srows,"state_bytes":$sbytes}"""
-      }
-      val totalRows = progress.map(_.numInputRows).sum
-      val sumSec = progress
-        .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum / 1e3
-      val rps = if (sumSec > 0) totalRows / sumSec else 0.0
-      val finalState =
-        progress.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
-          .getOrElse(0L)
-      "crawl_curate_hot_domain" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"final_state_rows":$finalState}"""
+      val progress = q.recentProgress.filter(_.numInputRows > 0).toSeq
+"crawl_curate_hot_domain" -> twinJson(progress, wall)
     } finally q.stop()
   }
 
@@ -349,24 +326,8 @@ object StreamBench {
         input.addData(c.toIndexedSeq); q.processAllAvailable()
       }
       val wall = (System.nanoTime() - wall0) / 1e9
-      val progress = q.recentProgress.filter(_.numInputRows > 0)
-      val triggers = progress.map { p =>
-        val sec = p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3
-        val (srows, sbytes) =
-          if (p.stateOperators.nonEmpty)
-            (p.stateOperators.map(_.numRowsTotal).sum,
-             p.stateOperators.map(_.memoryUsedBytes).sum)
-          else (0L, 0L)
-        s"""{"rows":${p.numInputRows},"sec":$sec,"state_rows":$srows,"state_bytes":$sbytes}"""
-      }
-      val totalRows = progress.map(_.numInputRows).sum
-      val sumSec = progress
-        .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum / 1e3
-      val rps = if (sumSec > 0) totalRows / sumSec else 0.0
-      val finalState =
-        progress.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
-          .getOrElse(0L)
-      "dsir_intake" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"final_state_rows":$finalState}"""
+      val progress = q.recentProgress.filter(_.numInputRows > 0).toSeq
+"dsir_intake" -> twinJson(progress, wall)
     } finally q.stop()
   }
 
@@ -399,24 +360,8 @@ object StreamBench {
         input.addData(c.toIndexedSeq); q.processAllAvailable()
       }
       val wall = (System.nanoTime() - wall0) / 1e9
-      val progress = q.recentProgress.filter(_.numInputRows > 0)
-      val triggers = progress.map { p =>
-        val sec = p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3
-        val (srows, sbytes) =
-          if (p.stateOperators.nonEmpty)
-            (p.stateOperators.map(_.numRowsTotal).sum,
-             p.stateOperators.map(_.memoryUsedBytes).sum)
-          else (0L, 0L)
-        s"""{"rows":${p.numInputRows},"sec":$sec,"state_rows":$srows,"state_bytes":$sbytes}"""
-      }
-      val totalRows = progress.map(_.numInputRows).sum
-      val sumSec = progress
-        .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum / 1e3
-      val rps = if (sumSec > 0) totalRows / sumSec else 0.0
-      val finalState =
-        progress.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
-          .getOrElse(0L)
-      "lang_id_intake" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"final_state_rows":$finalState}"""
+      val progress = q.recentProgress.filter(_.numInputRows > 0).toSeq
+"lang_id_intake" -> twinJson(progress, wall)
     } finally q.stop()
   }
 
@@ -457,24 +402,8 @@ object StreamBench {
         input.addData(c.toIndexedSeq); q.processAllAvailable()
       }
       val wall = (System.nanoTime() - wall0) / 1e9
-      val progress = q.recentProgress.filter(_.numInputRows > 0)
-      val triggers = progress.map { p =>
-        val sec = p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3
-        val (srows, sbytes) =
-          if (p.stateOperators.nonEmpty)
-            (p.stateOperators.map(_.numRowsTotal).sum,
-             p.stateOperators.map(_.memoryUsedBytes).sum)
-          else (0L, 0L)
-        s"""{"rows":${p.numInputRows},"sec":$sec,"state_rows":$srows,"state_bytes":$sbytes}"""
-      }
-      val totalRows = progress.map(_.numInputRows).sum
-      val sumSec = progress
-        .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum / 1e3
-      val rps = if (sumSec > 0) totalRows / sumSec else 0.0
-      val finalState =
-        progress.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
-          .getOrElse(0L)
-      "watchlist_offenders" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"final_state_rows":$finalState}"""
+      val progress = q.recentProgress.filter(_.numInputRows > 0).toSeq
+"watchlist_offenders" -> twinJson(progress, wall)
     } finally q.stop()
   }
 
@@ -507,24 +436,8 @@ object StreamBench {
         input.addData(c.toIndexedSeq); q.processAllAvailable()
       }
       val wall = (System.nanoTime() - wall0) / 1e9
-      val progress = q.recentProgress.filter(_.numInputRows > 0)
-      val triggers = progress.map { p =>
-        val sec = p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3
-        val (srows, sbytes) =
-          if (p.stateOperators.nonEmpty)
-            (p.stateOperators.map(_.numRowsTotal).sum,
-             p.stateOperators.map(_.memoryUsedBytes).sum)
-          else (0L, 0L)
-        s"""{"rows":${p.numInputRows},"sec":$sec,"state_rows":$srows,"state_bytes":$sbytes}"""
-      }
-      val totalRows = progress.map(_.numInputRows).sum
-      val sumSec = progress
-        .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum / 1e3
-      val rps = if (sumSec > 0) totalRows / sumSec else 0.0
-      val finalState =
-        progress.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
-          .getOrElse(0L)
-      "kn_intake" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"final_state_rows":$finalState}"""
+      val progress = q.recentProgress.filter(_.numInputRows > 0).toSeq
+"kn_intake" -> twinJson(progress, wall)
     } finally q.stop()
   }
 
@@ -559,22 +472,16 @@ object StreamBench {
         input.addData(c.toIndexedSeq); q.processAllAvailable()
       }
       val wall = (System.nanoTime() - wall0) / 1e9
-      val progress = q.recentProgress.filter(_.numInputRows > 0)
-      val triggers = progress.map { p =>
-        val sec = p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3
-        s"""{"rows":${p.numInputRows},"sec":$sec}"""
-      }
-      val totalRows = progress.map(_.numInputRows).sum
-      val sumSec = progress
-        .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum / 1e3
-      val rps = if (sumSec > 0) totalRows / sumSec else 0.0
+      val progress = q.recentProgress.filter(_.numInputRows > 0).toSeq
       val served = graft.operators.ManifestTable.read(spark, tableDir)
         .map(_.count()).getOrElse(0L)
       // foreachBatch holds no state store; the serving-table row count IS
       // this twin's bounded state, reported under the same key every
       // other twin uses so the per-twin state bound is always numeric
       // (verdict r16)
-      "manifest_upsert" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"served_rows":$served,"final_state_rows":$served}"""
+      "manifest_upsert" -> twinJson(progress, wall,
+        extra = s""","served_rows":$served""",
+        finalStateOverride = Some(served))
     } finally q.stop()
   }
 
@@ -613,27 +520,12 @@ object StreamBench {
         input.addData(c.toIndexedSeq); q.processAllAvailable()
       }
       val wall = (System.nanoTime() - wall0) / 1e9
-      val progress = q.recentProgress.filter(_.numInputRows > 0)
-      val triggers = progress.map { p =>
-        val sec = p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3
-        val (srows, sbytes) =
-          if (p.stateOperators.nonEmpty)
-            (p.stateOperators.map(_.numRowsTotal).sum,
-             p.stateOperators.map(_.memoryUsedBytes).sum)
-          else (0L, 0L)
-        s"""{"rows":${p.numInputRows},"sec":$sec,"state_rows":$srows,"state_bytes":$sbytes}"""
-      }
-      val totalRows = progress.map(_.numInputRows).sum
-      val sumSec = progress
-        .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum / 1e3
-      val rps = if (sumSec > 0) totalRows / sumSec else 0.0
-      val finalState =
-        progress.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum)
-          .getOrElse(0L)
-      // the low rows/sec is per-trigger FIXED COST over ~25-30-row
+      val progress = q.recentProgress.filter(_.numInputRows > 0).toSeq
+// the low rows/sec is per-trigger FIXED COST over ~25-30-row
       // micro-batches (planning + broadcast-verify setup), not a
       // throughput defect — verdict r17 asked the artifact to say so
-      "sem_intake" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"final_state_rows":$finalState,"fixed_cost_dominated":true,"note":"tiny triggers: rows_per_sec reads as per-trigger fixed cost, not throughput"}"""
+      "sem_intake" -> twinJson(progress, wall,
+        extra = ""","fixed_cost_dominated":true,"note":"tiny triggers: rows_per_sec reads as per-trigger fixed cost, not throughput"""")
     } finally q.stop()
   }
 
@@ -680,28 +572,13 @@ object StreamBench {
       }
       val wall = (System.nanoTime() - wall0) / 1e9
       val progress = q.recentProgress.filter(_.numInputRows > 0)
-      val triggers = progress.map { p =>
-        val sec = p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3
-        val (srows, sbytes) =
-          if (p.stateOperators.nonEmpty)
-            (p.stateOperators.map(_.numRowsTotal).sum,
-             p.stateOperators.map(_.memoryUsedBytes).sum)
-          else (0L, 0L)
-        s"""{"rows":${p.numInputRows},"sec":$sec,"state_rows":$srows,"state_bytes":$sbytes}"""
-      }
-      val totalRows = progress.map(_.numInputRows).sum
-      val sumSec = progress
-        .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum / 1e3
-      val rps = if (sumSec > 0) totalRows / sumSec else 0.0
-      val states = progress.map(_.stateOperators.map(_.numRowsTotal).sum)
-      val finalState = states.lastOption.getOrElse(0L)
-      val maxState = if (states.isEmpty) 0L else states.max
       // rows/sec here is 2-3 orders below the event twins BY SHAPE, not
       // by defect: each micro-batch carries ~25-30 probes but pays the
       // same fixed planning + stream-static-join setup a 100k-row batch
       // would, so the quotient reads as per-TRIGGER cost (verdict r17
       // asked the artifact to say so)
-      "ivf_index_intake" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"max_state_rows":$maxState,"final_state_rows":$finalState,"fixed_cost_dominated":true,"note":"tiny triggers: rows_per_sec reads as per-trigger fixed cost, not throughput; probes 60s apart span several 1h watermark horizons so final_state_rows < max_state_rows demonstrates eviction"}"""
+      "ivf_index_intake" -> twinJson(progress, wall,
+        extra = ""","fixed_cost_dominated":true,"note":"tiny triggers: rows_per_sec reads as per-trigger fixed cost, not throughput; probes 60s apart span several 1h watermark horizons so final_state_rows < max_state_rows demonstrates eviction"""")
     } finally q.stop()
   }
 
@@ -743,23 +620,8 @@ object StreamBench {
       }
       val wall = (System.nanoTime() - wall0) / 1e9
       val progress = q.recentProgress.filter(_.numInputRows > 0)
-      val triggers = progress.map { p =>
-        val sec = p.durationMs.getOrDefault("triggerExecution", 0L) / 1e3
-        val (srows, sbytes) =
-          if (p.stateOperators.nonEmpty)
-            (p.stateOperators.map(_.numRowsTotal).sum,
-             p.stateOperators.map(_.memoryUsedBytes).sum)
-          else (0L, 0L)
-        s"""{"rows":${p.numInputRows},"sec":$sec,"state_rows":$srows,"state_bytes":$sbytes}"""
-      }
-      val totalRows = progress.map(_.numInputRows).sum
-      val sumSec = progress
-        .map(_.durationMs.getOrDefault("triggerExecution", 0L).longValue).sum / 1e3
-      val rps = if (sumSec > 0) totalRows / sumSec else 0.0
-      val states = progress.map(_.stateOperators.map(_.numRowsTotal).sum)
-      val finalState = states.lastOption.getOrElse(0L)
-      val maxState = if (states.isEmpty) 0L else states.max
-      "graph_index_serve" -> s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"max_state_rows":$maxState,"final_state_rows":$finalState,"fixed_cost_dominated":true,"note":"tiny triggers: rows_per_sec reads as per-trigger fixed cost; probes 60s apart cross watermark horizons so state stays bounded by in-horizon windows"}"""
+      "graph_index_serve" -> twinJson(progress, wall,
+        extra = ""","fixed_cost_dominated":true,"note":"tiny triggers: rows_per_sec reads as per-trigger fixed cost; probes 60s apart cross watermark horizons so state stays bounded by in-horizon windows"""")
     } finally q.stop()
   }
 }

@@ -1365,14 +1365,25 @@ object Dedup {
         cents.toSeq.map { case (cid, cv) =>
           Row("centroid", cid, null, cv.toSeq) }, 1),
       schema)
-    val members = Similarity.assignToCentroids(corpus, vec, cents)
+    centRows.unionByName(semMemberRows(corpus, id, vec, cents))
+  }
+
+  /** The semantic index's member-row construction — assign to the given
+    * (frozen) centroids, unit-normalize with the semDeDup contract —
+    * shared by [[semDedupIndex]] and [[semIndexAppend]] so build-time
+    * and append-time rows can never drift apart (the health gauge's
+    * build-vs-appended comparison depends on them being byte-identical
+    * in shape; review r18).
+    */
+  private def semMemberRows(
+      df: DataFrame, id: String, vec: String,
+      cents: Array[(Long, Array[Float])]): DataFrame =
+    Similarity.assignToCentroids(df, vec, cents)
       .withColumn("_n", Similarity.l2Norm(col(vec)))
       .select(lit("member").as("kind"), col("_c_id").as("cid"),
         col(id).cast("long").as("member_id"),
         transform(col(vec), x => x.cast("double") / col("_n"))
           .cast("array<float>").as("v"))
-    centRows.unionByName(members)
-  }
 
   /** Incremental SEMANTIC admission: screen a new embedding batch
     * against the persisted [[semDedupIndex]], then against batch peers —
@@ -1430,13 +1441,7 @@ object Dedup {
     require(cents.nonEmpty,
       "cannot append to an empty semantic index — build it first " +
         "(semDedupIndex), or bootstrap via incrementalSemDedup")
-    val members = Similarity.assignToCentroids(batch, vec, cents)
-      .withColumn("_n", Similarity.l2Norm(col(vec)))
-      .select(lit("member").as("kind"), col("_c_id").as("cid"),
-        col(id).cast("long").as("member_id"),
-        transform(col(vec), x => x.cast("double") / col("_n"))
-          .cast("array<float>").as("v"))
-    index.unionByName(members)
+    index.unionByName(semMemberRows(batch, id, vec, cents))
   }
 
   /** Per-cluster health gauge of a semantic index — the

@@ -131,15 +131,35 @@ object GraphAnn {
     * @param probes (qId) one column of probe node ids
     * @param ef     beam width for one extra expansion round; <= k disables
     */
+  /** The UNDIRECTED edge view of a built graph — both edge directions,
+    * deduped. NOT pinned here: [[graphSearch]] pins it per call; a
+    * serving harness that reuses one graph across many query batches
+    * should derive + pin it ONCE and call [[searchOverUnd]] (the
+    * union+distinct is O(n·k) — per-batch it would dominate a
+    * candidate-bounded search).
+    */
+  private[graft] def undirected(graph: DataFrame): DataFrame =
+    graph.select(col("vec_id").as("_node"), col("nb_id").as("_nb"))
+      .union(graph.select(col("nb_id").as("_node"), col("vec_id").as("_nb")))
+      .distinct()
+
   def graphSearch(
       df: DataFrame, id: String, vec: String, graph: DataFrame,
       probes: DataFrame, qId: String, k: Int, ef: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k") // before touching the graph
+    searchOverUnd(df, id, vec,
+      undirected(graph)
+        .localCheckpoint(true), // one-hop frontier AND the two-hop expansion
+      probes, qId, k, ef)
+  }
+
+  /** [[graphSearch]] over a PRE-DERIVED (and caller-pinned) undirected
+    * edge list. */
+  private[graft] def searchOverUnd(
+      df: DataFrame, id: String, vec: String, und: DataFrame,
+      probes: DataFrame, qId: String, k: Int, ef: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val vecs = df.select(col(id).cast("long").as("_id"), col(vec).as("_v"))
-    val und = graph.select(col("vec_id").as("_node"), col("nb_id").as("_nb"))
-      .union(graph.select(col("nb_id").as("_node"), col("vec_id").as("_nb")))
-      .distinct()
-      .localCheckpoint(true) // one-hop frontier AND the two-hop expansion
     val q = probes.select(col(qId).cast("long").as("_q"))
     def score(cand: DataFrame): DataFrame = cand
       .join(vecs.select(col("_id").as("_q"), col("_v").as("_qv")), "_q")
@@ -402,5 +422,47 @@ object GraphAnn {
     configRow(corpus.sparkSession, k, iters).unionByName(tagEdges(
       graphInsert(corpus, id, vec, graphIndexEdges(index), batch,
         k = k, ef = ef, hops = hops)))
+  }
+
+  /** Rebuild-trigger gauge for a GROWN graph index — the graph-family
+    * member of the health trio (IVF [[Similarity.ivfIndexHealth]],
+    * semantic [[Dedup.semIndexHealth]]). [[graphInsertIndex]]
+    * deliberately never re-runs build rounds, so sustained growth
+    * degrades in the graph's own two ways: inserted nodes' neighbor
+    * QUALITY (the beam search finds worse neighbors than a full
+    * rebuild's global rounds would — watch `mean_sim` of the inserted
+    * origin fall below the build origin's) and back-link COVERAGE (an
+    * inserted node nobody links back to is unreachable by graph search
+    * from the corpus side — watch `n_backlinked / n_nodes` of the
+    * inserted row fall ≪ 1). One row per origin (build / inserted):
+    * node count, edge count, quantized edge-sim mass
+    * `Σ floor(sim·10⁶)`, its mean, and (on the inserted row) how many
+    * inserted nodes some BUILD node lists as a neighbor. Exact-integer
+    * masses keep the gauge engine-replayable.
+    *
+    * @param batch the inserted ids (the caller knows what it admitted)
+    */
+  def graphIndexHealth(
+      index: DataFrame, batch: DataFrame, id: String): DataFrame = {
+    val bIds = batch.select(col(id).cast("long").as("_bid")).distinct()
+      .localCheckpoint(true) // origin tag AND the back-link semi-join
+    val tagged = graphIndexEdges(index)
+      .join(bIds.select(col("_bid").as("vec_id"), lit(true).as("_isb")),
+        Seq("vec_id"), "left")
+      .withColumn("origin",
+        when(col("_isb"), lit("inserted")).otherwise(lit("build")))
+      .localCheckpoint(true) // per-origin agg AND the back-link census
+    val agg = tagged.groupBy("origin").agg(
+      countDistinct(col("vec_id")).as("n_nodes"),
+      count(lit(1)).as("n_edges"),
+      sum(floor(col("sim") * lit(1000000.0)).cast("long")).as("simsum6"))
+    val backlinked = tagged.where(col("origin") === "build")
+      .join(bIds, col("nb_id") === col("_bid"), "left_semi")
+      .agg(countDistinct(col("nb_id")).as("_nbl"))
+    agg.crossJoin(broadcast(backlinked))
+      .select(col("origin"), col("n_nodes"), col("n_edges"), col("simsum6"),
+        (col("simsum6").cast("double") /
+          (col("n_edges") * lit(1000000L)).cast("double")).as("mean_sim"),
+        when(col("origin") === "inserted", col("_nbl")).as("n_backlinked"))
   }
 }

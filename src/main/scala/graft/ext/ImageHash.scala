@@ -737,9 +737,11 @@ object ImageHash {
         explode(array(HammingBands.bandKeys(col("dhash"), 64, nBands): _*))
           .as("bucket"))
       // stamped AFTER the explode: the analyzer's generator extraction
-      // drops alias metadata on a generator expression itself
-      .select(col("media_id"), col("dhash"),
-        HammingBands.withLayoutMeta(col("bucket"), nBands))
+      // drops alias metadata on a generator expression itself. Column
+      // order stays the documented (bucket, media_id, dhash) for
+      // positional consumers of persisted indexes (review r18).
+      .select(HammingBands.withLayoutMeta(col("bucket"), nBands),
+        col("media_id"), col("dhash"))
   }
 
   /** Incremental near-dup ADMISSION for images — the recurring crawl

@@ -307,6 +307,11 @@ object ManifestTable {
     new java.io.File(tablePath).mkdirs(): Unit
     java.nio.file.Files.createFile(inflightMarker(tablePath, snap).toPath): Unit
     df.write.mode("error").parquet(new java.io.File(tablePath, snap).getPath)
+    // re-arm the shield after the (arbitrarily long) data write: the
+    // marker's age must cover the write-end → CAS gap, not the write
+    // itself — gc's tree-recency check covers the in-write window
+    inflightMarker(tablePath, snap)
+      .setLastModified(System.currentTimeMillis()): Unit
     snap
   }
 
@@ -704,10 +709,12 @@ object ManifestTable {
     * before the parquet write and removed at the CAS, win or lose) — it
     * is skipped so the loser always fails with the named retryable
     * [[ConcurrentCommitException]] rather than an arbitrary IO error
-    * from under a reclaimed directory (advice r17). Markers older than
-    * [[InflightGraceMs]] are crashed attempts: dir and marker are
-    * reclaimed together, as are stale markers whose dir is already
-    * gone.
+    * from under a reclaimed directory (advice r17). A marker older than
+    * [[InflightGraceMs]] is reclaimed (dir and marker together) only
+    * once the dir TREE has also been quiet for a full grace window — a
+    * single data write can legitimately outlive the grace, and an
+    * in-flight write keeps producing files (review r18). Stale markers
+    * whose dir is already gone age out the same way.
     */
   private[graft] def gc(tablePath: String, keep: Set[String],
       retainMs: Long = 0L): Unit = {
@@ -720,6 +727,13 @@ object ManifestTable {
         val marker = new java.io.File(dir, f.getName + ".inflight")
         if (!marker.isFile) true
         else if (now - marker.lastModified() < InflightGraceMs) false
+        // an aged marker alone is not proof of death: a single parquet
+        // write can legitimately run longer than the grace (review r18).
+        // A write in progress keeps producing files, so the dir tree's
+        // newest mtime is the liveness signal; only a tree quiet for a
+        // full grace window is a crashed attempt. The walk is bounded:
+        // it runs only for unreferenced snapshots with aged markers.
+        else if (now - newestMtime(f) < InflightGraceMs) false
         else { marker.delete(); true } // crashed attempt, aged out
       }
       .filter(f => now - f.lastModified() >= retainMs)
@@ -737,5 +751,15 @@ object ManifestTable {
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
     f.delete(): Unit
+  }
+
+  /** Newest mtime anywhere in a tree — the liveness signal [[gc]] uses
+    * to avoid reclaiming a long-running attempt whose marker aged out.
+    */
+  private def newestMtime(f: java.io.File): Long = {
+    val own = f.lastModified()
+    if (!f.isDirectory) own
+    else Option(f.listFiles()).getOrElse(Array.empty)
+      .foldLeft(own)((m, c) => math.max(m, newestMtime(c)))
   }
 }

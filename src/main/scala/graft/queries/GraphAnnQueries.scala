@@ -300,5 +300,59 @@ object GraphAnnQueries {
             |  UNION ALL SELECT node, rn, nb, c FROM brows WHERE rn <= $K) f
             |ORDER BY vec_id, nb_rank""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(qAnnNndescent, qAnnGraphSearch, qAnnGraphInsert)
+  /** Rebuild-trigger gauge for the grown graph index
+    * ([[GraphAnn.graphIndexHealth]] — the graph member of the health
+    * trio): per origin (build / inserted) node and edge counts, the
+    * quantized edge-sim mass and its mean (inserted mean_sim falling
+    * below build's = the beam-insert quality decay that says rebuild),
+    * and the back-link census (inserted nodes some BUILD node lists —
+    * coverage ≪ 1 means inserted rows are unreachable from the corpus
+    * side). The oracle replays the full insert trajectory (the
+    * q_ann_graph_insert CTEs) and aggregates the same exact-integer
+    * masses; every double is one bit-identical division.
+    */
+  val qIndexHealthGraph = QueryDef(
+    "q_index_health_graph",
+    (s, d) => {
+      val e = embs(s, d).select("vec_id", "embedding")
+      val corpus = e.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+      val batch = e.filter(pmod(col("vec_id"), lit(7)) === 0)
+      val index = GraphAnn.graphIndex(corpus, "vec_id", "embedding",
+        k = K, iters = InsertIters)
+      val grown = GraphAnn.graphInsertIndex(corpus, "vec_id", "embedding",
+        index, batch, ef = InsertEf, hops = InsertHops)
+      GraphAnn.graphIndexHealth(grown, batch.select("vec_id"), "vec_id")
+        .orderBy("origin")
+    },
+    Some(s"""WITH ${ExtensionQueries.vecListCtes()},
+            |corp AS MATERIALIZED (SELECT vec_id FROM vl WHERE vec_id % 7 <> 0),
+            |${graphCtes("corp", InsertIters)},
+            |$insertCtes,
+            |mrg AS MATERIALIZED (
+            |  SELECT node AS vec_id, nb AS nb_id, c AS sim FROM (
+            |    SELECT node, nb, c FROM g$InsertIters
+            |    WHERE node NOT IN (SELECT node FROM tchd)
+            |    UNION ALL SELECT node, nb, c FROM trows WHERE rn <= $K
+            |    UNION ALL SELECT node, nb, c FROM brows WHERE rn <= $K) f),
+            |tagm AS (
+            |  SELECT vec_id, nb_id,
+            |         CAST(floor(sim * 1000000.0) AS BIGINT) AS q6,
+            |         CASE WHEN vec_id % 7 = 0 THEN 'inserted'
+            |              ELSE 'build' END AS origin
+            |  FROM mrg),
+            |aggm AS (
+            |  SELECT origin, count(DISTINCT vec_id) AS n_nodes,
+            |         count(*) AS n_edges, CAST(sum(q6) AS BIGINT) AS simsum6
+            |  FROM tagm GROUP BY origin),
+            |bl AS (SELECT count(DISTINCT nb_id) AS nbl FROM tagm
+            |       WHERE origin = 'build' AND nb_id % 7 = 0)
+            |SELECT origin, n_nodes, n_edges, simsum6,
+            |       CAST(simsum6 AS DOUBLE) / CAST(n_edges * 1000000 AS DOUBLE)
+            |         AS mean_sim,
+            |       CASE WHEN origin = 'inserted' THEN (SELECT nbl FROM bl) END
+            |         AS n_backlinked
+            |FROM aggm ORDER BY origin""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(qAnnNndescent, qAnnGraphSearch, qAnnGraphInsert,
+    qIndexHealthGraph)
 }

@@ -87,12 +87,23 @@ class ManifestConcurrencySpec extends SparkSpec {
     ManifestTable.commit(Seq((1L, "v1")).toDF("k", "v"), dir, batchId = 1L)
     assert(attempt.exists(),
       "in-flight attempt reclaimed from under its racing committer")
-    // once the marker ages past the grace window the attempt is a
-    // crashed orphan: dir and marker reclaimed together
     val old = System.currentTimeMillis() - ManifestTable.InflightGraceMs - 1000L
+    def ageTree(f: java.io.File): Unit = {
+      f.setLastModified(old): Unit
+      if (f.isDirectory) f.listFiles().foreach(ageTree)
+    }
+    // an aged marker alone is NOT proof of death: while the attempt's
+    // tree shows recent writes (a data write can outlive the grace),
+    // the shield must hold (review r18)
     marker.setLastModified(old): Unit
-    attempt.setLastModified(old): Unit
-    ManifestTable.commit(Seq((1L, "v2")).toDF("k", "v"), dir, batchId = 2L)
+    ManifestTable.commit(Seq((1L, "v1b")).toDF("k", "v"), dir, batchId = 2L)
+    assert(attempt.exists(),
+      "long-running attempt reclaimed despite fresh writes in its tree")
+    // once the marker AND the whole tree age past the grace window the
+    // attempt is a crashed orphan: dir and marker reclaimed together
+    marker.setLastModified(old): Unit
+    ageTree(attempt)
+    ManifestTable.commit(Seq((1L, "v2")).toDF("k", "v"), dir, batchId = 3L)
     assert(!attempt.exists(), "crashed attempt not reclaimed after the grace")
     assert(!marker.exists(), "stale inflight marker leaked")
   }
