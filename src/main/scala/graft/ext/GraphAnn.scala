@@ -167,8 +167,15 @@ object GraphAnn {
       .select(col("_q"), col("_nb"),
         Similarity.cosine(col("_qv"), col("_nv")).as("_c"))
     val w = Window.partitionBy("_q").orderBy(col("_c").desc, col("_nb"))
-    val hop1 = q.join(und.select(col("_node").as("_q"), col("_nb")), Seq("_q"))
-    val hop2 = hop1.select(col("_q"), col("_nb").as("_mid"))
+    // The probe frontier is the QUERY BATCH side — small by the serving
+    // contract (the corpus-sized frame is `und`). Broadcasting it pins
+    // the scale-right plan: every hop is a broadcast hash join that
+    // SCANS the big edge list and never shuffles it. Left to stats, a
+    // checkpointed 100×-corpus und was planned into the exchange, and
+    // the measured search-only wall tripled (SCALE_GRAPHSERVE_r18).
+    val hop1 = broadcast(q)
+      .join(und.select(col("_node").as("_q"), col("_nb")), Seq("_q"))
+    val hop2 = broadcast(hop1.select(col("_q"), col("_nb").as("_mid")))
       .join(und.select(col("_node").as("_mid"), col("_nb")), Seq("_mid"))
       .select("_q", "_nb")
     val cand = hop1.union(hop2).where(col("_nb") =!= col("_q")).distinct()
@@ -184,7 +191,7 @@ object GraphAnn {
         val seeds = pinned.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") <= ef)
           .select("_q", "_nb")
-        val hop3 = seeds.select(col("_q"), col("_nb").as("_mid"))
+        val hop3 = broadcast(seeds.select(col("_q"), col("_nb").as("_mid")))
           .join(und.select(col("_node").as("_mid"), col("_nb")), Seq("_mid"))
           .where(col("_nb") =!= col("_q"))
           .select("_q", "_nb")
