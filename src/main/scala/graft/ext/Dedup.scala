@@ -1444,6 +1444,25 @@ object Dedup {
     index.unionByName(semMemberRows(batch, id, vec, cents))
   }
 
+  /** Execute the rebuild [[semIndexHealth]] calls for: retrain the
+    * coarse quantizer on the index's CURRENT member vectors (the
+    * build + every append) and re-cluster them — the lifecycle closer
+    * (build → grow → gauge → REBUILD), needing only the index artifact,
+    * never the original corpus table. Members are stored UNIT (the
+    * semDeDup normalize-once contract) and the quantizer is spherical,
+    * so retraining on them preserves the cosine semantics exactly;
+    * the re-normalization inside [[semDedupIndex]] is a no-op up to one
+    * float ulp per rebuild (÷‖v‖ with ‖v‖ ≈ 1). Exactly
+    * `semDedupIndex` over the member table, which is what the spec
+    * asserts.
+    */
+  def semIndexRebuild(
+      index: DataFrame, nCentroids: Int = 32,
+      quantizer: String = "kmeans"): DataFrame =
+    semDedupIndex(
+      index.filter(col("kind") === "member").select(col("member_id"), col("v")),
+      "member_id", "v", nCentroids, quantizer)
+
   /** Per-cluster health gauge of a semantic index — the
     * [[graft.ext.Similarity.ivfIndexHealth]] twin for the SemDeDup
     * family, through the same shared core: one row per centroid with

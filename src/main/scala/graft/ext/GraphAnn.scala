@@ -431,6 +431,19 @@ object GraphAnn {
         k = k, ef = ef, hops = hops)))
   }
 
+  /** Execute the rebuild [[graphIndexHealth]] calls for: a fresh
+    * [[graphIndex]] under the OLD index's own build config (k and iters
+    * derive from the config row — nothing to repeat wrong). Unlike the
+    * IVF/semantic rebuilds the graph index carries no vectors, so the
+    * corpus table is a parameter: pass the current member set
+    * (original corpus plus every admitted batch).
+    */
+  def graphRebuild(
+      corpus: DataFrame, id: String, vec: String, index: DataFrame): DataFrame = {
+    val (k, iters) = graphIndexConfig(index)
+    graphIndex(corpus, id, vec, k, iters)
+  }
+
   /** Rebuild-trigger gauge for a GROWN graph index — the graph-family
     * member of the health trio (IVF [[Similarity.ivfIndexHealth]],
     * semantic [[Dedup.semIndexHealth]]). [[graphInsertIndex]]

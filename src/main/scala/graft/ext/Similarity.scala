@@ -628,6 +628,25 @@ object Similarity {
         coalesce(col("simsum6"), lit(0L)).as("simsum6"))
   }
 
+  /** Execute the rebuild the health gauge calls for: retrain the coarse
+    * quantizer on the index's CURRENT posting vectors (build + every
+    * append, deduped per member — spilled postings carry a member once
+    * per list) and re-assign them, producing a fresh index under the
+    * same build configuration. This closes the index lifecycle — build
+    * ([[ivfIndex]]) → grow ([[ivfAppend]]) → gauge ([[ivfIndexHealth]])
+    * → REBUILD — without the operator ever needing the original corpus
+    * table: at 100 TB the index artifact IS the corpus of record for
+    * its members' vectors. Equivalent to `ivfIndex` over the member
+    * set, which is what the spec asserts.
+    */
+  def ivfRebuild(index: DataFrame, nCentroids: Int = 64): DataFrame = {
+    val (_, quantizer, spillDelta, spillCap) = ivfIndexCentroids(index)
+    val members = index.filter(col("kind") === "posting")
+      .groupBy(col("member_id")).agg(first(col("v")).as("v"))
+    ivfIndex(members, "member_id", "v", nCentroids, quantizer,
+      spillDelta, spillCap)
+  }
+
   /** ANN top-k over a persisted IVF index — [[ivfTopK]]'s probe plan
     * (nProbe list selection from the frozen centroids as plan literals,
     * broadcast probes into the posting lists, exact-cosine rerank with

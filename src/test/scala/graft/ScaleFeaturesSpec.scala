@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.etl.Skew
-import graft.ext.Similarity
+import graft.ext.{Dedup, GraphAnn, Similarity}
 import graft.functions.GraftFunctions
 import graft.sources.Sources
 
@@ -354,6 +354,63 @@ class ScaleFeaturesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.ivfAppend(
         lowIdx.filter(col("kind") === "posting"), batch, "vec_id", "embedding"))
+  }
+
+  test("index lifecycle closes: rebuild from the artifact alone") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").where(col("embedding").isNotNull)
+    val corpus = e.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+    val batch = e.filter(pmod(col("vec_id"), lit(7)) === 0)
+    // IVF: rebuild(append(build(corpus), batch)) crosses the append path
+    // and must equal ONE fresh build over the union, row for row — the
+    // index artifact alone carries everything a rebuild needs
+    val grown = Similarity.ivfAppend(
+        Similarity.ivfIndex(corpus, "vec_id", "embedding", nCentroids = 32)
+          .localCheckpoint(true),
+        batch, "vec_id", "embedding")
+      .localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("kind"), col("cid"), col("member_id"),
+        col("v").cast("array<double>"), col("quantizer"),
+        col("spill_delta"), col("spill_cap"))
+      .collect().map(_.toSeq.map {
+        case s: Seq[_] => s.toList
+        case x => x
+      }).toSet
+    val rebuilt = Similarity.ivfRebuild(grown, nCentroids = 32)
+    val fresh = Similarity.ivfIndex(e, "vec_id", "embedding", nCentroids = 32)
+    assert(rows(rebuilt) === rows(fresh),
+      "ivfRebuild diverged from a fresh build over the member set")
+    // SEMANTIC: rebuild retrains on the index's own (unit) members;
+    // internal consistency — every member row sits in its argmax
+    // cluster under the REBUILT centroids (the same-kernel contract)
+    val semGrown = Dedup.semIndexAppend(
+      Dedup.semDedupIndex(corpus, "vec_id", "embedding", nCentroids = 8)
+        .localCheckpoint(true),
+      batch, "vec_id", "embedding")
+    val semRebuilt = Dedup.semIndexRebuild(semGrown, nCentroids = 8)
+      .localCheckpoint(true)
+    val semCents = Dedup.semIndexCentroids(semRebuilt)
+    val reassigned = Similarity.assignToCentroids(
+        Dedup.semIndexMembers(semRebuilt)
+          .select(col("_mid").as("member_id"), col("_mu").as("v")),
+        "v", semCents)
+      .select(col("member_id"), col("_c_id"))
+      .as[(Long, Long)].collect().toMap
+    val stored = Dedup.semIndexMembers(semRebuilt)
+      .select(col("_mid"), col("_c_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(stored === reassigned,
+      "rebuilt semantic index members not in their argmax clusters")
+    assert(stored.keySet === e.select("vec_id").as[Long].collect().toSet,
+      "rebuild lost members")
+    // GRAPH: rebuild derives (k, iters) from the index's own config row
+    val gIdx = GraphAnn.graphIndex(corpus, "vec_id", "embedding",
+      k = 4, iters = 1)
+    val gRebuilt = GraphAnn.graphRebuild(e, "vec_id", "embedding", gIdx)
+    assert(GraphAnn.graphIndexConfig(gRebuilt) === ((4, 1)))
+    assert(GraphAnn.graphIndexEdges(gRebuilt)
+      .select("vec_id").distinct().count() === e.count())
   }
 
   test("bench config: kmeans and lowid quantizers produce DIFFERENT centroids") {
