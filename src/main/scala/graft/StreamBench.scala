@@ -39,8 +39,9 @@ object StreamBench {
     * the per-trigger array, totals, rows/sec, and the state peak/final
     * pair that makes watermark EVICTION visible. `finalStateOverride`
     * lets a stateless-sink twin (manifest upsert) report its
-    * serving-table size under the same numeric-state-bound key; `extra`
-    * carries twin-specific trailing fields (must start with a comma).
+    * serving-table size as the FINAL numeric state bound (the peak stays
+    * the state-store max from progress); `extra` carries twin-specific
+    * trailing fields (must start with a comma).
     */
   private def twinJson(
       progress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress],
@@ -62,8 +63,11 @@ object StreamBench {
     val states = progress.map(_.stateOperators.map(_.numRowsTotal).sum)
     val finalState =
       finalStateOverride.getOrElse(states.lastOption.getOrElse(0L))
-    val maxState =
-      finalStateOverride.getOrElse(if (states.isEmpty) 0L else states.max)
+    // max_state_rows is always the state-store PEAK from progress (0 for a
+    // stateless sink) — the override only stands in for the FINAL bound,
+    // so cross-twin consumers comparing peaks never read a serving-table
+    // size as a peak (advice r18); served_rows stays the serving signal.
+    val maxState = if (states.isEmpty) 0L else states.max
     s"""{"triggers":[${triggers.mkString(",")}],"total_rows":$totalRows,"sum_trigger_sec":$sumSec,"wall_sec":$wall,"rows_per_sec":$rps,"max_state_rows":$maxState,"final_state_rows":$finalState$extra}"""
   }
 

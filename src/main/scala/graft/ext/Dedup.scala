@@ -1457,11 +1457,15 @@ object Dedup {
     * asserts.
     */
   def semIndexRebuild(
-      index: DataFrame, nCentroids: Int = 32,
-      quantizer: String = "kmeans"): DataFrame =
+      index: DataFrame, nCentroids: Int = 0,
+      quantizer: String = "kmeans"): DataFrame = {
+    // nCentroids <= 0 derives the index's OWN centroid count (advice
+    // r18 — the derive-don't-repeat rule the config row exists for).
+    val n = if (nCentroids > 0) nCentroids else semIndexCentroids(index).length
     semDedupIndex(
       index.filter(col("kind") === "member").select(col("member_id"), col("v")),
-      "member_id", "v", nCentroids, quantizer)
+      "member_id", "v", n, quantizer)
+  }
 
   /** Per-cluster health gauge of a semantic index — the
     * [[graft.ext.Similarity.ivfIndexHealth]] twin for the SemDeDup

@@ -110,6 +110,18 @@ object GraphAnn {
       col("_nb").as("nb_id"), col("_c").as("sim"))
   }
 
+  /** The UNDIRECTED edge view of a built graph — both edge directions,
+    * deduped. NOT pinned here: [[graphSearch]] pins it per call; a
+    * serving harness that reuses one graph across many query batches
+    * should derive + pin it ONCE and call [[searchOverUnd]] (the
+    * union+distinct is O(n·k) — per-batch it would dominate a
+    * candidate-bounded search).
+    */
+  private[graft] def undirected(graph: DataFrame): DataFrame =
+    graph.select(col("vec_id").as("_node"), col("nb_id").as("_nb"))
+      .union(graph.select(col("nb_id").as("_node"), col("vec_id").as("_nb")))
+      .distinct()
+
   /** ANN search over a built graph without re-touching the corpus scan:
     * for each probe node, expand its one- and two-hop UNDIRECTED
     * neighborhood in `graph`, exact-rerank by cosine, keep top-k
@@ -131,18 +143,6 @@ object GraphAnn {
     * @param probes (qId) one column of probe node ids
     * @param ef     beam width for one extra expansion round; <= k disables
     */
-  /** The UNDIRECTED edge view of a built graph — both edge directions,
-    * deduped. NOT pinned here: [[graphSearch]] pins it per call; a
-    * serving harness that reuses one graph across many query batches
-    * should derive + pin it ONCE and call [[searchOverUnd]] (the
-    * union+distinct is O(n·k) — per-batch it would dominate a
-    * candidate-bounded search).
-    */
-  private[graft] def undirected(graph: DataFrame): DataFrame =
-    graph.select(col("vec_id").as("_node"), col("nb_id").as("_nb"))
-      .union(graph.select(col("nb_id").as("_node"), col("vec_id").as("_nb")))
-      .distinct()
-
   def graphSearch(
       df: DataFrame, id: String, vec: String, graph: DataFrame,
       probes: DataFrame, qId: String, k: Int, ef: Int = 0): DataFrame = {
@@ -173,9 +173,18 @@ object GraphAnn {
     // SCANS the big edge list and never shuffles it. Left to stats, a
     // checkpointed 100×-corpus und was planned into the exchange, and
     // the measured search-only wall tripled (SCALE_GRAPHSERVE_r18).
-    val hop1 = broadcast(q)
+    // The hint is CONDITIONAL on the frontier actually being bounded
+    // (advice r18): the widest derived frontier is ~|probes|·max(ef, 2k)
+    // two-long rows, and a corpus-proportional probe set would push a
+    // FORCED broadcast into Spark's 8 GB hard cap / driver memory where
+    // the free planner merely slows down. One bounded count decides;
+    // 8M frontier rows ≈ a few hundred MB broadcast, far under the cap.
+    val hintFrontier =
+      q.count() * math.max(ef.toLong, 2L * k) <= 8000000L
+    def hinted(f: DataFrame): DataFrame = if (hintFrontier) broadcast(f) else f
+    val hop1 = hinted(q)
       .join(und.select(col("_node").as("_q"), col("_nb")), Seq("_q"))
-    val hop2 = broadcast(hop1.select(col("_q"), col("_nb").as("_mid")))
+    val hop2 = hinted(hop1.select(col("_q"), col("_nb").as("_mid")))
       .join(und.select(col("_node").as("_mid"), col("_nb")), Seq("_mid"))
       .select("_q", "_nb")
     val cand = hop1.union(hop2).where(col("_nb") =!= col("_q")).distinct()
@@ -191,7 +200,7 @@ object GraphAnn {
         val seeds = pinned.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") <= ef)
           .select("_q", "_nb")
-        val hop3 = broadcast(seeds.select(col("_q"), col("_nb").as("_mid")))
+        val hop3 = hinted(seeds.select(col("_q"), col("_nb").as("_mid")))
           .join(und.select(col("_node").as("_mid"), col("_nb")), Seq("_mid"))
           .where(col("_nb") =!= col("_q"))
           .select("_q", "_nb")

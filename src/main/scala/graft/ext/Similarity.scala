@@ -639,11 +639,15 @@ object Similarity {
     * its members' vectors. Equivalent to `ivfIndex` over the member
     * set, which is what the spec asserts.
     */
-  def ivfRebuild(index: DataFrame, nCentroids: Int = 64): DataFrame = {
-    val (_, quantizer, spillDelta, spillCap) = ivfIndexCentroids(index)
+  def ivfRebuild(index: DataFrame, nCentroids: Int = 0): DataFrame = {
+    val (cents, quantizer, spillDelta, spillCap) = ivfIndexCentroids(index)
+    // nCentroids <= 0 derives the index's OWN centroid count — a caller
+    // rebuilding a 32-list index must not silently get 64 lists from a
+    // fixed literal default (advice r18; the derive-don't-repeat rule).
+    val n = if (nCentroids > 0) nCentroids else cents.length
     val members = index.filter(col("kind") === "posting")
       .groupBy(col("member_id")).agg(first(col("v")).as("v"))
-    ivfIndex(members, "member_id", "v", nCentroids, quantizer,
+    ivfIndex(members, "member_id", "v", n, quantizer,
       spillDelta, spillCap)
   }
 
