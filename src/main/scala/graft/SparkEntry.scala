@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{AudioQueries, BitextQueries, BloomQueries, DimReductionQueries, DpQueries, EnrichmentQueries, ExtensionQueries, GraphAnnQueries, ImageQueries, ParityQueries, PipelineQuery, QueryDef, RerankQueries, SecurityQueries, TemplateQueries, UnigramQueries, UnimaxQueries, UrlQueries, VideoQueries, WordPieceQueries}
+import graft.queries.{AudioQueries, BitextQueries, BloomQueries, DimReductionQueries, DpQueries, EnrichmentQueries, ExtensionQueries, GraphAnnQueries, ImageQueries, IngestQueries, ParityQueries, PipelineQuery, QueryDef, RerankQueries, SecurityQueries, TemplateQueries, UnigramQueries, UnimaxQueries, UrlQueries, VideoQueries, WordPieceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,7 +14,7 @@ object SparkEntry {
         UnimaxQueries.all ++ BloomQueries.all ++ AudioQueries.all ++
         BitextQueries.all ++ SecurityQueries.all ++ VideoQueries.all ++
         TemplateQueries.all ++ DpQueries.all ++ GraphAnnQueries.all ++
-        RerankQueries.all
+        RerankQueries.all ++ IngestQueries.all
     // A duplicate name would silently shadow a query when `.toMap` keeps
     // the last entry, shrinking the correctness gate without any failure.
     val dups = defs.groupBy(_.name).collect { case (n, ds) if ds.size > 1 => n }

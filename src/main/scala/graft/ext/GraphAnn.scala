@@ -494,4 +494,112 @@ object GraphAnn {
           (col("n_edges") * lit(1000000L)).cast("double")).as("mean_sim"),
         when(col("origin") === "inserted", col("_nbl")).as("n_backlinked"))
   }
+
+  // --- bucket-pruned serving (round 19) ---------------------------------
+
+  /** Serving-batch bound for the point-lookup search path: every driver
+    * collect in [[graphSearchServing]] is ≤ |probes|·max(ef, 2k) ids —
+    * the same frontier bound the [[searchOverUnd]] broadcast hint uses.
+    * 8M longs ≈ 64 MB driver-side, far inside driver memory; a caller
+    * with a corpus-proportional probe set belongs on [[graphSearch]],
+    * not on a point-lookup serving path.
+    */
+  private val MaxServeFrontier = 8000000L
+
+  /** Persist a graph index's SERVING layout: the undirected edge view,
+    * bucketed AND sorted by source node ([[graft.sources.Sources
+    * .writeBucketed]]). This is the storage shape a deployment serves
+    * from at 100 TB — the per-batch hop lookups of
+    * [[graphSearchServing]] filter on `_node`, so the scan prunes to the
+    * buckets the frontier actually hashes into (`SelectedBucketsCount`
+    * in the plan; ServeBucketedSpec pins it) and row groups stay sorted
+    * for min/max skipping — the edge frame is never re-shuffled or
+    * fully probed per query batch. The O(n·k) undirected derivation is
+    * paid ONCE here, at write time, like the build itself.
+    */
+  def graphWriteServing(
+      index: DataFrame, table: String, path: String, buckets: Int = 32): Unit =
+    graft.sources.Sources.writeBucketed(
+      undirected(graphIndexEdges(index)), table, path, "_node", buckets)
+
+  /** [[graphSearch]] restructured as driver-orchestrated POINT LOOKUPS
+    * over a bucketed serving table ([[graphWriteServing]] output read
+    * back as `edges`): each hop collects its bounded frontier id set
+    * (≤ |probes|·max(ef, 2k) — the serving contract) and filters the
+    * edge table with an InSet predicate BEFORE any join, so
+    *
+    *  - on disk, the scan prunes to the frontier's buckets (plan-visible
+    *    as `SelectedBucketsCount x out of y`) — the 100 TB property: a
+    *    200-probe batch against a 10⁹-node index reads only the touched
+    *    buckets, not the frame;
+    *  - in memory, the hop joins probe frontier-sized inputs instead of
+    *    streaming the whole edge list through a broadcast-hash probe —
+    *    which the r19 ServeBreakdown measured as the actual local
+    *    residual (full-frame scan 0.04 s, full-frame JOIN traffic ~2 s
+    *    per batch at 100× corpus).
+    *
+    * Results are row-identical to [[graphSearch]] over the same graph
+    * (ServeBucketedSpec asserts it): same candidate construction, same
+    * ordered-fold cosine, same (sim DESC, id) top-k.
+    */
+  def graphSearchServing(
+      df: DataFrame, id: String, vec: String, edges: DataFrame,
+      probes: DataFrame, qId: String, k: Int, ef: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // Spark's DisableUnnecessaryBucketedScan rule strips the bucketed
+    // scan — and with it ALL bucket pruning — from point lookups (no
+    // join needs the hash distribution, so the planner prints
+    // "Bucketed: false (disabled by query planner)" and reads every
+    // bucket). A serving session exists to do point lookups; pin the
+    // conf so the pruned scan survives planning.
+    df.sparkSession.conf
+      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val vecs = df.select(col(id).cast("long").as("_id"), col(vec).as("_v"))
+    val q = probes.select(col(qId).cast("long").as("_q"))
+    def collectIds(f: DataFrame): Seq[Long] = {
+      val ids = f.distinct().collect().map(_.getLong(0)).toSeq
+      require(ids.length.toLong <= MaxServeFrontier,
+        s"serving frontier ${ids.length} exceeds the point-lookup bound " +
+          s"$MaxServeFrontier — use graphSearch for corpus-scale probe sets")
+      ids
+    }
+    def lookup(ids: Seq[Long]): DataFrame =
+      edges.where(col("_node").isInCollection(ids))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(vecs.select(col("_id").as("_q"), col("_v").as("_qv")), "_q")
+      .join(vecs.select(col("_id").as("_nb"), col("_v").as("_nv")), "_nb")
+      .select(col("_q"), col("_nb"),
+        Similarity.cosine(col("_qv"), col("_nv")).as("_c"))
+    val w = Window.partitionBy("_q").orderBy(col("_c").desc, col("_nb"))
+    val probeIds = collectIds(q)
+    val e1 = lookup(probeIds).select(col("_node").as("_q"), col("_nb"))
+      .localCheckpoint(true) // hop2 frontier collect AND the candidate set
+    val hop2 = broadcast(e1.select(col("_q"), col("_nb").as("_mid")))
+      .join(lookup(collectIds(e1.select("_nb")))
+        .select(col("_node").as("_mid"), col("_nb")), Seq("_mid"))
+      .select("_q", "_nb")
+    val cand = e1.union(hop2).where(col("_nb") =!= col("_q")).distinct()
+      .localCheckpoint(true) // scored AND the beam anti-join
+    val scored = score(cand)
+    val merged =
+      if (ef <= k) scored
+      else {
+        val pinned = scored.localCheckpoint(true)
+        val seeds = pinned.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= ef)
+          .select("_q", "_nb")
+          .localCheckpoint(true) // mid-frontier collect AND the hop3 join
+        val hop3 = broadcast(seeds.select(col("_q"), col("_nb").as("_mid")))
+          .join(lookup(collectIds(seeds.select("_nb")))
+            .select(col("_node").as("_mid"), col("_nb")), Seq("_mid"))
+          .where(col("_nb") =!= col("_q"))
+          .select("_q", "_nb")
+          .distinct()
+        val fresh = hop3.join(cand, Seq("_q", "_nb"), "left_anti")
+        pinned.union(score(fresh))
+      }
+    merged.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("_q").as("q_id"), col("_nb").as("vec_id"), col("_c").as("sim"))
+  }
 }

@@ -680,6 +680,63 @@ object Similarity {
       .select(col(qId), col("member_id").as("vec_id"), col("cosine"))
   }
 
+  /** Persist an IVF index's SERVING layout: the whole index frame
+    * (centroid + posting rows) bucketed AND sorted by list id
+    * ([[graft.sources.Sources.writeBucketed]]). At 100 TB the posting
+    * frame is the corpus — [[ivfSearchServing]] filters it on the probed
+    * list ids, so the per-batch scan prunes to the touched buckets
+    * (`SelectedBucketsCount` in the plan) instead of streaming every
+    * posting row through the probe join. Centroid rows ride in the same
+    * table (they carry `cid` too) and are read once per serve session,
+    * not per batch.
+    */
+  def ivfWriteServing(
+      index: DataFrame, table: String, path: String, buckets: Int = 32): Unit =
+    graft.sources.Sources.writeBucketed(index, table, path, "cid", buckets)
+
+  /** [[ivfSearchIndex]] over a bucketed serving table
+    * ([[ivfWriteServing]] output read back as `index`): the batch's
+    * probed list ids are resolved first (one bounded job — ≤
+    * |probes|·nProbe ids, ≤ nLists distinct) and pushed into the posting
+    * scan as an InSet predicate, so the scan reads ONLY the probed
+    * lists' buckets. Results are row-identical to [[ivfSearchIndex]]
+    * (same frozen quantizer, same probe plan, same rerank window —
+    * ServeBucketedSpec asserts it); only the storage access pattern
+    * changes, which is the entire point: per-batch cost follows the
+    * probed-list mass, not the corpus.
+    */
+  def ivfSearchServing(
+      index: DataFrame, probes: DataFrame, qId: String, qVec: String,
+      k: Int, nProbe: Int = 8): DataFrame = {
+    // see GraphAnn.graphSearchServing: without this, the
+    // DisableUnnecessaryBucketedScan rule silently drops bucket pruning
+    // from point lookups and the scan reads every bucket
+    index.sparkSession.conf
+      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val (cents, _, _, _) = ivfIndexCentroids(index)
+    val probeLists = probes
+      .withColumn("_cands", slice(rankedSims(col(qVec), cents), 1, nProbe))
+      .withColumn("_cand", explode(col("_cands")))
+      .withColumn("_c_id", -col("_cand.negid"))
+      .select(col(qId), col(qVec), col("_c_id"))
+      .localCheckpoint(true) // the probed-list collect AND the probe join
+    val probedCids = probeLists.select("_c_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val postings = index.filter(
+        col("kind") === "posting" && col("cid").isInCollection(probedCids))
+      .select(col("cid").as("_c_id"), col("member_id"), col("v"))
+    val candidates = postings.join(broadcast(probeLists), Seq("_c_id"))
+      .filter(col("member_id") =!= col(qId))
+      .withColumn("cosine", cosine(col(qVec), col("v")))
+    val w = Window.partitionBy(qId).orderBy(col("cosine").desc, col("member_id"))
+    candidates
+      .withColumn("_dup", lag(col("member_id"), 1).over(w) === col("member_id"))
+      .filter(col("_dup").isNull || !col("_dup"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qId), col("member_id").as("vec_id"), col("cosine"))
+  }
+
   // --- int8 scalar quantization (SQ8) -----------------------------------
 
   /** Per-vector symmetric int8 scalar quantization: `scale = max|x|/127`,

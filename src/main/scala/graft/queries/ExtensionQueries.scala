@@ -200,7 +200,7 @@ object ExtensionQueries {
     * hash, k permutation minimums, band buckets, bucket-min reps, and the
     * per-doc min-rep assignment are all replayed exactly.
     */
-  private def minhashCtes(
+  private[queries] def minhashCtes(
       bands: Int, rowsPerBand: Int, src: String = "documents"): String = {
     val k = bands * rowsPerBand
     val sigCols = (0 until k).map { i =>

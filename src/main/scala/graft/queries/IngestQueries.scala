@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Ingest, Similarity, TextAnalysis}
+
+/** The composed incremental-ingest gate ([[graft.ext.Ingest.ingestBatch]]
+  * — verdict r18 "What's missing #3"): one declared query driving a crawl
+  * batch (doc_id >= 250) through URL policy → blocklist → quality gate →
+  * exact + MinHash + semantic incremental screens against FROZEN corpus
+  * (doc_id < 250) indexes → [[graft.ext.Dedup.semIndexAppend]] +
+  * [[graft.ext.Similarity.ivfAppend]] → a
+  * [[graft.operators.ManifestTable]] OCC commit, with the committed table
+  * read BACK into the output. The oracle replays every stage in one CTE
+  * chain: the URL canonicalization/policy replay (UrlQueries), the
+  * blocklist/token-count expressions, fingerprint screening, the banded
+  * MinHash machinery (ExtensionQueries.minhashCtes), the fixed-point
+  * corpus Lloyd + frozen argmax + unit-dot screens and the lowid IVF
+  * assignment (LloydOracles.ingestSemCtes/ingestIvfCtes) — so the hash
+  * compare pins the COMPOSITION: which peers each screen saw, which rows
+  * reached the appends, and what the manifest committed.
+  */
+object IngestQueries {
+
+  private val Split = 250L
+  private val BlockTerms = Seq("slow", "big", "merge")
+  private val MaxBannedPerMille = 150L
+  private val MinTokens = 5L
+  private val Eps = 0.4
+  private val SemCentroids = 8
+  private val SemIters = 8
+  private val IvfCentroids = 16
+  private val Dim = 64
+
+  private def docs(s: SparkSession, d: String) = QueryDef.table(s, d, "documents")
+  private def embs(s: SparkSession, d: String) = QueryDef.table(s, d, "embeddings")
+
+  val qIngestE2e = QueryDef(
+    "q_ingest_e2e",
+    (s, d) => {
+      val all = docs(s, d)
+      val corpus = all.filter(col("doc_id") < Split)
+      val batch = all.filter(col("doc_id") >= Split)
+        .withColumn("url", UrlQueries.deriveUrl)
+      val e = embs(s, d)
+      val corpusVecs = e.filter(col("vec_id") < Split)
+        .where(col("embedding").isNotNull)
+      val batchVecs = e.filter(col("vec_id") >= Split)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val fpIdx = corpus
+        .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .where(col("fp").isNotNull).distinct()
+      val mhIdx = Dedup.minhashBucketIndex(corpus, "doc_id", "text")
+      val semIdx = Dedup.semDedupIndex(corpusVecs, "vec_id", "embedding",
+        nCentroids = SemCentroids)
+      val ivfIdx = Similarity.ivfIndex(corpusVecs, "vec_id", "embedding",
+        nCentroids = IvfCentroids, quantizer = "lowid")
+      val mdir = java.nio.file.Files.createTempDirectory("graft_ingest")
+        .toString
+      val r = Ingest.ingestBatch(batch, "doc_id", "text", "url",
+        batchVecs, "embedding", fpIdx, mhIdx, semIdx, ivfIdx,
+        UrlQueries.PolicyRules, BlockTerms, MaxBannedPerMille, MinTokens,
+        Eps, mdir, batchId = 1L)
+      r.fates.select("doc_id", "url_allowed", "block_keep", "quality_ok",
+          "exact_new", "mh_rep", "mh_dup", "sem_rep", "sem_dup",
+          "sem_cid", "ivf_cid", "admitted", "in_manifest")
+        .orderBy("doc_id")
+    },
+    Some {
+      val arms = UrlQueries.policyArms(_.allow.toString)
+      val blockRe = s"\\b(${BlockTerms.mkString("|")})\\b"
+      val tokCnt =
+        s"CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)"
+      s"""WITH u AS (SELECT doc_id, text, source,
+            ${UrlQueries.deriveUrlSql} AS url
+            FROM documents WHERE doc_id >= $Split),
+          ${UrlQueries.canonCtes},
+          gat AS MATERIALIZED (
+            SELECT doc_id, text,
+              CASE $arms ELSE true END AS url_allowed
+            FROM s7),
+          gat2 AS (
+            SELECT doc_id, text, url_allowed,
+              CASE WHEN NOT url_allowed THEN NULL
+                   WHEN text IS NULL THEN NULL
+                   ELSE CAST(len(regexp_extract_all(lower(text),
+                          '$blockRe')) AS BIGINT) * 1000
+                        <= $MaxBannedPerMille * $tokCnt END AS block_keep
+            FROM gat),
+          gat3 AS MATERIALIZED (
+            SELECT *, CASE WHEN url_allowed AND block_keep
+              THEN $tokCnt >= $MinTokens END AS quality_ok
+            FROM gat2),
+          cfp AS (SELECT DISTINCT md5(lower(trim(text))) AS fp
+                  FROM documents WHERE doc_id < $Split AND text IS NOT NULL),
+          exa AS MATERIALIZED (
+            SELECT doc_id, (NOT hit) AND rn = 1 AS exact_new
+            FROM (
+              SELECT doc_id, fp IN (SELECT fp FROM cfp) AS hit,
+                     row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM gat3
+                    WHERE url_allowed AND block_keep AND quality_ok))),
+          s2all AS (SELECT doc_id FROM exa WHERE exact_new),
+          ${ExtensionQueries.minhashCtes(
+            Dedup.MinhashBands, Dedup.MinhashRowsPerBand)},
+          mhidx AS (SELECT bucket, min(doc_id) AS crep FROM banded
+                    WHERE doc_id < $Split GROUP BY 1),
+          bb AS MATERIALIZED (
+            SELECT b.* FROM banded b JOIN s2all s USING (doc_id)),
+          mvc AS (SELECT b.doc_id, min(i.crep) AS crep
+                  FROM bb b JOIN mhidx i USING (bucket) GROUP BY 1),
+          mbrp AS (SELECT bucket, min(doc_id) AS brep FROM bb GROUP BY 1),
+          mvb AS (SELECT b.doc_id, min(r.brep) AS brep
+                  FROM bb b JOIN mbrp r USING (bucket) GROUP BY 1),
+          mh AS MATERIALIZED (
+            SELECT s.doc_id,
+              coalesce(mvc.crep, mvb.brep, s.doc_id) AS mh_rep,
+              coalesce(mvc.crep, mvb.brep, s.doc_id) <> s.doc_id AS mh_dup
+            FROM s2all s
+            LEFT JOIN mvc USING (doc_id)
+            LEFT JOIN mvb USING (doc_id)),
+          s3all AS MATERIALIZED (SELECT doc_id FROM mh WHERE NOT mh_dup),
+          ${LloydOracles.ingestSemCtes(SemCentroids, SemIters, Dim, Eps, Split)},
+          ${LloydOracles.ingestIvfCtes(IvfCentroids, Dim, Split)},
+          adm AS MATERIALIZED (SELECT doc_id FROM semf WHERE NOT sem_dup)
+          SELECT g.doc_id, g.url_allowed, g.block_keep, g.quality_ok,
+            e.exact_new, m.mh_rep, m.mh_dup, f.sem_rep, f.sem_dup,
+            CASE WHEN a.doc_id IS NOT NULL THEN asg.cid END AS sem_cid,
+            CASE WHEN a.doc_id IS NOT NULL THEN iv.cid END AS ivf_cid,
+            a.doc_id IS NOT NULL AS admitted,
+            a.doc_id IS NOT NULL AS in_manifest
+          FROM gat3 g
+          LEFT JOIN exa e USING (doc_id)
+          LEFT JOIN mh m USING (doc_id)
+          LEFT JOIN semf f USING (doc_id)
+          LEFT JOIN adm a USING (doc_id)
+          LEFT JOIN assigned asg ON asg.vec_id = g.doc_id
+          LEFT JOIN ivfa iv ON iv.vec_id = g.doc_id
+          ORDER BY g.doc_id"""
+    })
+
+  val all: Seq[QueryDef] = Seq(qIngestE2e)
+}

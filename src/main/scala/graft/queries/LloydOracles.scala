@@ -29,10 +29,10 @@ private[queries] object LloydOracles {
   private def fold(ex: String): String =
     s"list_reduce($ex, (a, b) -> a + b)"
 
-  private def sq(a: String): String =
+  private[queries] def sq(a: String): String =
     fold(s"list_transform($a, x -> x * x)")
 
-  private def dotn(a: String, b: String, n: Int): String =
+  private[queries] def dotn(a: String, b: String, n: Int): String =
     fold(s"list_transform(range($n), t -> $a[t + 1] * $b[t + 1])")
 
   /** Round-half-away-from-zero integer division — sign-magnitude so
@@ -659,4 +659,91 @@ private[queries] object LloydOracles {
     LEFT JOIN vb ON vb.vec_id = e.vec_id
     WHERE e.vec_id >= $splitId
     ORDER BY e.vec_id"""
+
+  /** q_ingest_e2e semantic-screen FRAGMENT (no WITH, no final select):
+    * the [[incrementalSemOracle]] machinery — corpus-trained (vec_id <
+    * splitId) fixed-point quantizer, frozen argmax assignment of every
+    * vector, float-unit member vectors — with the two screens restricted
+    * to a caller-defined survivor CTE `s3all(doc_id)` (the rows that
+    * reached the semantic stage): corpus members stay authoritative, but
+    * batch PEERS must themselves have survived every earlier stage.
+    * Exposes `semf(doc_id, sem_rep, sem_dup)` over all of `s3all`
+    * (vector-less rows admit themselves — no vector, no evidence) and
+    * `assigned(vec_id, cid)` — the frozen argmax, which IS the `sem_cid`
+    * of every member [[graft.ext.Dedup.semIndexAppend]] records.
+    */
+  private[queries] def ingestSemCtes(
+      k: Int, iters: Int, dim: Int, eps: Double, splitId: Long): String =
+    s"""vecs AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id < $splitId),
+    $hashLongSampleCtes,
+    ${kmeansSphericalCtes(k.toString,
+        (k * graft.ext.Similarity.KmeansSamplesPerCentroid).toString, iters)},
+    ${centroidFloatCtes(iters, 1000000L)},
+    allv AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dl
+      FROM embeddings WHERE embedding IS NOT NULL),
+    svdots AS (SELECT v.vec_id, c.cid, ${dotn("v.dl", "c.ul", dim)} AS d
+              FROM allv v, kcu c),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM svdots) WHERE rn = 1),
+    unitv AS MATERIALIZED (
+      SELECT vec_id, list_transform(dl, x ->
+        CAST(CAST(x / sqrt(${sq("dl")}) AS FLOAT) AS DOUBLE)) AS ul
+      FROM allv),
+    vcrep AS (
+      SELECT b.vec_id, min(c.vec_id) AS crep
+      FROM assigned b
+      JOIN s3all s ON s.doc_id = b.vec_id
+      JOIN assigned c ON c.cid = b.cid AND c.vec_id < $splitId
+      JOIN unitv u1 ON u1.vec_id = b.vec_id
+      JOIN unitv u2 ON u2.vec_id = c.vec_id
+      WHERE ${dotn("u1.ul", "u2.ul", dim)} >= $eps
+      GROUP BY 1),
+    vbrep AS (
+      SELECT b.vec_id, min(p.vec_id) AS brep
+      FROM assigned b
+      JOIN s3all s ON s.doc_id = b.vec_id
+      JOIN assigned p ON p.cid = b.cid
+      JOIN s3all s2 ON s2.doc_id = p.vec_id
+      JOIN unitv u1 ON u1.vec_id = b.vec_id
+      JOIN unitv u2 ON u2.vec_id = p.vec_id
+      WHERE ${dotn("u1.ul", "u2.ul", dim)} >= $eps
+      GROUP BY 1),
+    semf AS MATERIALIZED (
+      SELECT s.doc_id,
+        coalesce(vcrep.crep, vbrep.brep, s.doc_id) AS sem_rep,
+        (coalesce(vcrep.crep, vbrep.brep, s.doc_id) <> s.doc_id) AS sem_dup
+      FROM s3all s
+      LEFT JOIN vcrep ON vcrep.vec_id = s.doc_id
+      LEFT JOIN vbrep ON vbrep.vec_id = s.doc_id)"""
+
+  /** q_ingest_e2e IVF-append FRAGMENT: the `"lowid"` coarse quantizer —
+    * centroids are the `nCentroids` lowest-id non-null corpus vectors
+    * (ids = the vec_ids themselves, [[graft.ext.Similarity
+    * .lowestIdCentroids]]), kernel-normalized to unit doubles — and the
+    * hard argmax-dot assignment of [[graft.functions.NearestCentroidId]]
+    * (ties → lowest matrix index = lowest cid). Expects `allv` from
+    * [[ingestSemCtes]]; exposes `ivfa(vec_id, cid)` — the posting list
+    * [[graft.ext.Similarity.ivfAppend]] records for each appended row.
+    */
+  private[queries] def ingestIvfCtes(
+      nCentroids: Int, dim: Int, splitId: Long): String =
+    s"""icent AS MATERIALIZED (
+      SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cl
+      FROM (SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL AND vec_id < $splitId
+            ORDER BY vec_id LIMIT $nCentroids)),
+    icu AS MATERIALIZED (
+      SELECT cid, list_transform(cl, x -> x / sqrt(${sq("cl")})) AS ul
+      FROM icent),
+    ivfa AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid, row_number() OVER (
+          PARTITION BY v.vec_id ORDER BY ${dotn("v.dl", "c.ul", dim)} DESC, c.cid) AS rn
+        FROM allv v, icu c) r WHERE rn = 1)"""
 }

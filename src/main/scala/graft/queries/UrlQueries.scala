@@ -192,7 +192,7 @@ object UrlQueries {
     * canonCtes `domain`/`path` columns — shared by the policy and
     * composed-curation oracles.
     */
-  private def policyArms(sel: UrlOps.UrlRule => String): String = {
+  private[queries] def policyArms(sel: UrlOps.UrlRule => String): String = {
     val ordered = PolicyRules.sortBy(r => (-r.pathPrefix.length, r.domain, r.pathPrefix))
     ordered.map { r =>
       val m =
