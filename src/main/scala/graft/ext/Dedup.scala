@@ -1480,6 +1480,22 @@ object Dedup {
     Similarity.indexHealthFrom(index.sparkSession, semIndexCentroids(index),
       index.filter(col("kind") === "member").select(col("cid"), col("v")))
 
+  /** Gauge-to-action wiring for the semantic index (the
+    * [[graft.ext.Similarity.ivfRebuildIfDue]] twin): rebuild the grown
+    * index under its own derived config when
+    * [[graft.ext.Similarity.indexRebuildDecision]] over
+    * health(base)/health(grown) trips a documented threshold; pass the
+    * grown index through untouched otherwise.
+    */
+  def semIndexRebuildIfDue(
+      base: DataFrame, grown: DataFrame,
+      maxListLoad: Double = 3.0, driftFloor: Double = -0.05): DataFrame = {
+    val due = Similarity.indexRebuildDecision(
+        semIndexHealth(base), semIndexHealth(grown), maxListLoad, driftFloor)
+      .select("rebuild_due").collect().head.getBoolean(0)
+    if (due) semIndexRebuild(grown) else grown
+  }
+
   def incrementalSemDedup(
       batch: DataFrame, index: DataFrame, id: String, vec: String,
       eps: Double): DataFrame = {

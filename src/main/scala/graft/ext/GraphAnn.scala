@@ -495,6 +495,66 @@ object GraphAnn {
         when(col("origin") === "inserted", col("_nbl")).as("n_backlinked"))
   }
 
+  /** One-row REBUILD-DUE decision from a [[graphIndexHealth]] gauge —
+    * the graph member of the gauge-to-action wiring (verdict r18 #5).
+    * Applies the documented thresholds:
+    *
+    *  - `sim_drift <= driftFloor` (default −0.05): inserted nodes'
+    *    mean edge cosine fell that far below the build origin's — the
+    *    beam insert is finding systematically worse neighbors than a
+    *    full rebuild's global rounds would;
+    *  - `backlink_cov < minBacklink` (default 0.2): the fraction of
+    *    inserted nodes some BUILD node links back to — coverage ≪ 1
+    *    means inserted rows are unreachable by graph search from the
+    *    corpus side.
+    *
+    * Means re-derive from the gauge's exact integer masses (one double
+    * division each), so the decision row is engine-replayable
+    * (q_index_rebuild_due_graph). A gauge with no inserted row decides
+    * false (nothing grew — nothing to rebuild for).
+    */
+  def graphRebuildDecision(
+      health: DataFrame, driftFloor: Double = -0.05,
+      minBacklink: Double = 0.2): DataFrame = {
+    def originSum(c: String, o: String) =
+      sum(when(col("origin") === o, col(c)))
+    health.agg(
+        originSum("simsum6", "build").as("_sb"),
+        originSum("n_edges", "build").as("_eb"),
+        originSum("simsum6", "inserted").as("_si"),
+        originSum("n_edges", "inserted").as("_ei"),
+        originSum("n_nodes", "inserted").as("_ni"),
+        originSum("n_backlinked", "inserted").as("_bl"))
+      .select(
+        (when(col("_ei") > 0, col("_si").cast("double") /
+            (col("_ei") * lit(1000000L)).cast("double"))
+          - when(col("_eb") > 0, col("_sb").cast("double") /
+            (col("_eb") * lit(1000000L)).cast("double"))).as("sim_drift"),
+        when(col("_ni") > 0,
+          col("_bl").cast("double") / col("_ni").cast("double"))
+          .as("backlink_cov"))
+      .withColumn("rebuild_due",
+        coalesce(col("sim_drift") <= lit(driftFloor), lit(false)) ||
+          coalesce(col("backlink_cov") < lit(minBacklink), lit(false)))
+  }
+
+  /** Close the loop for the graph family: gauge the grown index
+    * ([[graphIndexHealth]] over the inserted batch) and REBUILD it
+    * ([[graphRebuild]] under the index's own config) when
+    * [[graphRebuildDecision]] trips; hand the grown index back untouched
+    * otherwise. `corpus` is the current member table (original corpus
+    * plus every admitted batch) — the graph index carries no vectors.
+    */
+  def graphRebuildIfDue(
+      corpus: DataFrame, id: String, vec: String, index: DataFrame,
+      batch: DataFrame, driftFloor: Double = -0.05,
+      minBacklink: Double = 0.2): DataFrame = {
+    val due = graphRebuildDecision(
+        graphIndexHealth(index, batch, id), driftFloor, minBacklink)
+      .select("rebuild_due").collect().head.getBoolean(0)
+    if (due) graphRebuild(corpus, id, vec, index) else index
+  }
+
   // --- bucket-pruned serving (round 19) ---------------------------------
 
   /** Serving-batch bound for the point-lookup search path: every driver
@@ -522,21 +582,33 @@ object GraphAnn {
     graft.sources.Sources.writeBucketed(
       undirected(graphIndexEdges(index)), table, path, "_node", buckets)
 
+  /** Literal-lookup ceiling: up to this many frontier ids, a lookup is a
+    * literal InSet filter — bucket-pruned at the scan (the point-lookup
+    * storage win) and cheap to plan. Past it, Catalyst's analysis of the
+    * literal list itself becomes the bottleneck (measured: a 20k-long
+    * In-list costs ~7 s of pure PLANNING per query), so bulk frontiers
+    * switch to a broadcast left-semi join — literal-free, still one
+    * streamed pass over the (memory- or cache-resident) edge frame.
+    */
+  private val LiteralLookupMax = 512
+
   /** [[graphSearch]] restructured as driver-orchestrated POINT LOOKUPS
     * over a bucketed serving table ([[graphWriteServing]] output read
-    * back as `edges`): each hop collects its bounded frontier id set
-    * (≤ |probes|·max(ef, 2k) — the serving contract) and filters the
-    * edge table with an InSet predicate BEFORE any join, so
+    * back as `edges`): each hop resolves its bounded frontier
+    * (≤ |probes|·max(ef, 2k) ids/pairs — the serving contract) at the
+    * driver and fetches exactly the touched adjacency rows, so
     *
-    *  - on disk, the scan prunes to the frontier's buckets (plan-visible
-    *    as `SelectedBucketsCount x out of y`) — the 100 TB property: a
-    *    200-probe batch against a 10⁹-node index reads only the touched
-    *    buckets, not the frame;
-    *  - in memory, the hop joins probe frontier-sized inputs instead of
-    *    streaming the whole edge list through a broadcast-hash probe —
-    *    which the r19 ServeBreakdown measured as the actual local
-    *    residual (full-frame scan 0.04 s, full-frame JOIN traffic ~2 s
-    *    per batch at 100× corpus).
+    *  - SMALL frontiers (≤ [[LiteralLookupMax]], e.g. the probe batch
+    *    itself) scan with a literal InSet predicate that bucket-prunes
+    *    on disk (plan-visible as `SelectedBucketsCount x out of y`) —
+    *    the 100 TB property: a 200-probe batch against a 10⁹-node index
+    *    reads only the touched buckets, not the frame;
+    *  - BULK frontiers (the 2-hop/beam expansions) fetch via a broadcast
+    *    semi-join of the frontier frame — literal-free (giant In-lists
+    *    are a planning DoS, see [[LiteralLookupMax]]), one streamed pass;
+    *  - hop-1 adjacency and beam seeds are collected ONCE (bounded) and
+    *    re-broadcast as local frames, so the whole batch costs ~5 jobs
+    *    instead of re-deriving every stage's lineage.
     *
     * Results are row-identical to [[graphSearch]] over the same graph
     * (ServeBucketedSpec asserts it): same candidate construction, same
@@ -552,45 +624,59 @@ object GraphAnn {
     // "Bucketed: false (disabled by query planner)" and reads every
     // bucket). A serving session exists to do point lookups; pin the
     // conf so the pruned scan survives planning.
-    df.sparkSession.conf
+    val spark = df.sparkSession
+    spark.conf
       .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    import spark.implicits._
     val vecs = df.select(col(id).cast("long").as("_id"), col(vec).as("_v"))
-    val q = probes.select(col(qId).cast("long").as("_q"))
-    def collectIds(f: DataFrame): Seq[Long] = {
-      val ids = f.distinct().collect().map(_.getLong(0)).toSeq
-      require(ids.length.toLong <= MaxServeFrontier,
-        s"serving frontier ${ids.length} exceeds the point-lookup bound " +
-          s"$MaxServeFrontier — use graphSearch for corpus-scale probe sets")
-      ids
+    def guard(n: Long): Unit = require(n <= MaxServeFrontier,
+      s"serving frontier $n exceeds the point-lookup bound " +
+        s"$MaxServeFrontier — use graphSearch for corpus-scale probe sets")
+    def lookup(ids: Seq[Long]): DataFrame = {
+      guard(ids.length.toLong)
+      if (ids.length <= LiteralLookupMax)
+        edges.where(col("_node").isInCollection(ids))
+      else
+        edges.join(broadcast(ids.toDF("_node")), Seq("_node"), "left_semi")
     }
-    def lookup(ids: Seq[Long]): DataFrame =
-      edges.where(col("_node").isInCollection(ids))
     def score(cand: DataFrame): DataFrame = cand
       .join(vecs.select(col("_id").as("_q"), col("_v").as("_qv")), "_q")
       .join(vecs.select(col("_id").as("_nb"), col("_v").as("_nv")), "_nb")
       .select(col("_q"), col("_nb"),
         Similarity.cosine(col("_qv"), col("_nv")).as("_c"))
     val w = Window.partitionBy("_q").orderBy(col("_c").desc, col("_nb"))
-    val probeIds = collectIds(q)
-    val e1 = lookup(probeIds).select(col("_node").as("_q"), col("_nb"))
-      .localCheckpoint(true) // hop2 frontier collect AND the candidate set
+    val probeIds = probes.select(col(qId).cast("long").as("_q"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    guard(probeIds.length.toLong)
+    // hop-1 adjacency: ≤ |probes|·deg pairs — collect once, reuse as a
+    // local frame for the hop-2 join AND the candidate set
+    val e1Rows = lookup(probeIds)
+      .select(col("_node").as("_q"), col("_nb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    guard(e1Rows.length.toLong)
+    val e1 = e1Rows.toDF("_q", "_nb")
     val hop2 = broadcast(e1.select(col("_q"), col("_nb").as("_mid")))
-      .join(lookup(collectIds(e1.select("_nb")))
+      .join(lookup(e1Rows.map(_._2).distinct)
         .select(col("_node").as("_mid"), col("_nb")), Seq("_mid"))
       .select("_q", "_nb")
-    val cand = e1.union(hop2).where(col("_nb") =!= col("_q")).distinct()
+    val cand = e1.union(hop2)
+      .where(col("_nb") =!= col("_q")).distinct()
       .localCheckpoint(true) // scored AND the beam anti-join
     val scored = score(cand)
     val merged =
       if (ef <= k) scored
       else {
         val pinned = scored.localCheckpoint(true)
-        val seeds = pinned.withColumn("_rn", row_number().over(w))
+        // beam seeds: ≤ |probes|·ef pairs — one bounded collect feeds
+        // both the hop-3 frontier and the seed-pair join frame
+        val seedRows = pinned.withColumn("_rn", row_number().over(w))
           .filter(col("_rn") <= ef)
           .select("_q", "_nb")
-          .localCheckpoint(true) // mid-frontier collect AND the hop3 join
-        val hop3 = broadcast(seeds.select(col("_q"), col("_nb").as("_mid")))
-          .join(lookup(collectIds(seeds.select("_nb")))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        guard(seedRows.length.toLong)
+        val seeds = seedRows.toDF("_q", "_mid")
+        val hop3 = broadcast(seeds)
+          .join(lookup(seedRows.map(_._2).distinct)
             .select(col("_node").as("_mid"), col("_nb")), Seq("_mid"))
           .where(col("_nb") =!= col("_q"))
           .select("_q", "_nb")

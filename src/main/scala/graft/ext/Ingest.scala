@@ -75,6 +75,11 @@ object Ingest {
     * @param ivfIndex   frozen [[Similarity.ivfIndex]] artifact
     * @param manifestDir the serving [[graft.operators.ManifestTable]] dir
     * @param batchId    the commit's batch id (monotone per cycle)
+    * @param deltaCommit commit the admitted set as a DELTA prefix
+    *                    ([[graft.operators.ManifestTable.commitDelta]] —
+    *                    O(admitted) I/O per cycle, the recurring-stream
+    *                    shape) instead of a full snapshot; read-back then
+    *                    merges the prefix chain per id
     */
   def ingestBatch(
       batch: DataFrame, id: String, text: String, urlCol: String,
@@ -84,7 +89,8 @@ object Ingest {
       rules: Seq[UrlOps.UrlRule],
       blockTerms: Seq[String], maxBannedPerMille: Long,
       minTokens: Long, eps: Double,
-      manifestDir: String, batchId: Long): IngestResult = {
+      manifestDir: String, batchId: Long,
+      deltaCommit: Boolean = false): IngestResult = {
     val reserved = Seq("url_allowed", "block_keep", "quality_ok",
       "exact_new", "mh_rep", "mh_dup", "sem_rep", "sem_dup", "sem_cid",
       "ivf_cid", "admitted", "in_manifest", "_fp", "_corpus_hit", "_rn")
@@ -143,10 +149,16 @@ object Ingest {
       .join(batchVecs.where(col(vec).isNotNull), Seq(id))
     val semGrown = Dedup.semIndexAppend(semIndex, admittedVecs, id, vec)
     val ivfGrown = Similarity.ivfAppend(ivfIndex, admittedVecs, id, vec)
-    val snap = graft.operators.ManifestTable.commit(
-      admittedIds.select(col(id)), manifestDir, batchId)
     val spark = batch.sparkSession
-    val served = graft.operators.ManifestTable.read(spark, manifestDir)
+    val snap =
+      if (deltaCommit) graft.operators.ManifestTable.commitDelta(
+        admittedIds.select(col(id)), manifestDir, batchId)
+      else graft.operators.ManifestTable.commit(
+        admittedIds.select(col(id)), manifestDir, batchId)
+    val served =
+      (if (deltaCommit)
+         graft.operators.ManifestTable.readMerged(spark, manifestDir, id)
+       else graft.operators.ManifestTable.read(spark, manifestDir))
       .getOrElse(spark.emptyDataFrame.withColumn(id, lit(null).cast("long")))
       .select(col(id)).withColumn("in_manifest", lit(true))
 

@@ -651,6 +651,61 @@ object Similarity {
       spillDelta, spillCap)
   }
 
+  /** One-row REBUILD-DUE decision from a base and a grown index gauge
+    * ([[ivfIndexHealth]] / [[graft.ext.Dedup.semIndexHealth]] outputs) —
+    * the wiring from gauge to action the health trio was built for
+    * (verdict r18 #5). Applies the documented thresholds:
+    *
+    *  - `max_list_load >= maxListLoad` (default 3): some list holds ≥ 3×
+    *    its balanced share — probe cost concentrates on hot lists;
+    *  - `sim_drift <= driftFloor` (default −0.05): appended members are
+    *    assigned systematically farther from their frozen centroid than
+    *    build members were — the quantizer no longer fits the data.
+    *
+    * All aggregates stay exact integers until two final double
+    * divisions, so the decision row is engine-replayable
+    * (q_index_rebuild_due). A grown index with no appended mass has NULL
+    * drift and decides on load alone.
+    */
+  def indexRebuildDecision(
+      base: DataFrame, grown: DataFrame,
+      maxListLoad: Double = 3.0, driftFloor: Double = -0.05): DataFrame = {
+    val b = base.select(col("cid"),
+      col("n_members").as("_nb"), col("simsum6").as("_sb"))
+    val g = grown.select(col("cid"),
+      col("n_members").as("_nt"), col("simsum6").as("_st"))
+    g.join(b, Seq("cid"))
+      .agg(max(col("_nt")).as("_maxnt"), count(lit(1)).as("_nl"),
+        sum(col("_nt")).as("_tt"), sum(col("_nb")).as("_nbs"),
+        sum(col("_sb")).as("_sbs"), sum(col("_st")).as("_sts"))
+      .select(
+        ((col("_maxnt") * col("_nl")).cast("double") /
+          col("_tt").cast("double")).as("max_list_load"),
+        (when(col("_tt") > col("_nbs"),
+          (col("_sts") - col("_sbs")).cast("double") /
+            ((col("_tt") - col("_nbs")) * lit(1000000L)).cast("double"))
+          - when(col("_nbs") > 0,
+            col("_sbs").cast("double") /
+              (col("_nbs") * lit(1000000L)).cast("double"))).as("sim_drift"))
+      .withColumn("rebuild_due",
+        col("max_list_load") >= lit(maxListLoad) ||
+          coalesce(col("sim_drift") <= lit(driftFloor), lit(false)))
+  }
+
+  /** Close the loop: gauge the grown index against its pre-growth base
+    * and REBUILD it ([[ivfRebuild]] under its own derived config) when
+    * [[indexRebuildDecision]] says so; hand the grown index back
+    * untouched otherwise. One bounded collect (the one-row decision).
+    */
+  def ivfRebuildIfDue(
+      base: DataFrame, grown: DataFrame,
+      maxListLoad: Double = 3.0, driftFloor: Double = -0.05): DataFrame = {
+    val due = indexRebuildDecision(
+        ivfIndexHealth(base), ivfIndexHealth(grown), maxListLoad, driftFloor)
+      .select("rebuild_due").collect().head.getBoolean(0)
+    if (due) ivfRebuild(grown) else grown
+  }
+
   /** ANN top-k over a persisted IVF index — [[ivfTopK]]'s probe plan
     * (nProbe list selection from the frozen centroids as plan literals,
     * broadcast probes into the posting lists, exact-cosine rerank with
@@ -711,19 +766,37 @@ object Similarity {
     // see GraphAnn.graphSearchServing: without this, the
     // DisableUnnecessaryBucketedScan rule silently drops bucket pruning
     // from point lookups and the scan reads every bucket
-    index.sparkSession.conf
+    val spark = index.sparkSession
+    spark.conf
       .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    import spark.implicits._
     val (cents, _, _, _) = ivfIndexCentroids(index)
+    // top-nProbe list selection through the k-INDEPENDENT native kernel
+    // (cosine delta 2.0 spans the whole range, so "within delta of best,
+    // best-first, capped" IS the top-nProbe ranking): at deployment
+    // geometry (nLists ∝ √n) the struct-array rankedSims form embeds
+    // nLists·dim float literals into the plan and analysis/codegen —
+    // not execution — dominates the probe wall (measured: the r19
+    // serving pin's ivf residual). Same (cos desc, cid) order.
     val probeLists = probes
-      .withColumn("_cands", slice(rankedSims(col(qVec), cents), 1, nProbe))
-      .withColumn("_cand", explode(col("_cands")))
-      .withColumn("_c_id", -col("_cand.negid"))
+      .withColumn("_c_id", explode(
+        graft.functions.CentroidFunctions.spilled_centroid_ids(
+          col(qVec), cents, delta = 2.0, cap = nProbe)))
       .select(col(qId), col(qVec), col("_c_id"))
       .localCheckpoint(true) // the probed-list collect AND the probe join
     val probedCids = probeLists.select("_c_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    val postings = index.filter(
-        col("kind") === "posting" && col("cid").isInCollection(probedCids))
+    // probed lists: a literal InSet while small (cheap to plan AND
+    // bucket-prunes the posting scan); a broadcast semi-join past the
+    // literal ceiling (giant In-lists are a planning DoS — see
+    // GraphAnn.LiteralLookupMax)
+    val posting0 = index.filter(col("kind") === "posting")
+    val postings = (
+      if (probedCids.length <= 512)
+        posting0.where(col("cid").isInCollection(probedCids))
+      else
+        posting0.join(broadcast(probedCids.toDF("cid")), Seq("cid"),
+          "left_semi"))
       .select(col("cid").as("_c_id"), col("member_id"), col("v"))
     val candidates = postings.join(broadcast(probeLists), Seq("_c_id"))
       .filter(col("member_id") =!= col(qId))

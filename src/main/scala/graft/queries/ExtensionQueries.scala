@@ -1483,6 +1483,54 @@ object ExtensionQueries {
     },
     Some(LloydOracles.semHealthOracle(iters = 8, dim = 64, splitId = 250)))
 
+  /** Gauge-to-action wiring for the IVF index (verdict r18 #5): the
+    * q_index_health setup (corpus-built index, frozen-quantizer append
+    * of the % 7 batch) reduced to the ONE-ROW rebuild decision
+    * ([[Similarity.indexRebuildDecision]]) at the documented thresholds
+    * — max balanced-share list load ≥ 3, posting-mass-weighted
+    * appended-vs-build cosine drift ≤ −0.05. [[Similarity
+    * .ivfRebuildIfDue]] executes the rebuild this row calls for;
+    * RebuildDueSpec proves a degraded index trips it and a healthy one
+    * doesn't.
+    */
+  val qIndexRebuildDue = QueryDef(
+    "q_index_rebuild_due",
+    (s, d) => {
+      val e = embs(s, d).select("vec_id", "embedding")
+      val corpus = e.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+      val batch = e.filter(pmod(col("vec_id"), lit(7)) === 0)
+      val base = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+        nCentroids = 32).localCheckpoint(true) // health(base) + append
+      val grown = Similarity.ivfAppend(base, batch, "vec_id", "embedding")
+      Similarity.indexRebuildDecision(
+        Similarity.ivfIndexHealth(base), Similarity.ivfIndexHealth(grown))
+    },
+    Some(LloydOracles.ivfRebuildDueOracle(
+      nCentroids = 32,
+      samplesPerCentroid = Similarity.KmeansSamplesPerCentroid,
+      iters = 8, dim = 64, spillDelta = 0.4, spillCap = 6,
+      maxListLoad = 3.0, driftFloor = -0.05)))
+
+  /** The semantic-index twin of q_index_rebuild_due: q_index_health_sem's
+    * setup reduced to the one-row decision, same shared thresholds.
+    */
+  val qIndexRebuildDueSem = QueryDef(
+    "q_index_rebuild_due_sem",
+    (s, d) => {
+      val e = embs(s, d)
+      val corpus = e.filter(col("vec_id") < 250)
+      val batch = e.filter(col("vec_id") >= 250)
+      val k = math.max(8L, math.min(64L, corpus.count() / 500L)).toInt
+      val base = Dedup.semDedupIndex(corpus, "vec_id", "embedding",
+          nCentroids = k)
+        .localCheckpoint(true) // health(base) + append both read it
+      val grown = Dedup.semIndexAppend(base, batch, "vec_id", "embedding")
+      Similarity.indexRebuildDecision(
+        Dedup.semIndexHealth(base), Dedup.semIndexHealth(grown))
+    },
+    Some(LloydOracles.semRebuildDueOracle(iters = 8, dim = 64, splitId = 250,
+      maxListLoad = 3.0, driftFloor = -0.05)))
+
   /** IVF with the DETERMINISTIC lowid coarse quantizer, as an
     * oracle-checked twin of q_ann_ivf: the k-means path's float centroid
     * means are summation-order-dependent cross-engine (structurally
@@ -4786,7 +4834,7 @@ object ExtensionQueries {
     qDedupIncMinhash, qDedupPriority,
     qDecontaminate,
     qEmbedCosineTopk, qEmbedMeanpool, qAnnLsh, qAnnIvf, qAnnIvfAppend,
-    qIndexHealth, qIndexHealthSem,
+    qIndexHealth, qIndexHealthSem, qIndexRebuildDue, qIndexRebuildDueSem,
     qAnnIvfLowid,
     qAnnPq, qAnnPqInit, qAnnIvfPq, qAnnIvfPqInit,
     qTextTokens, qTextSubword, qTextQuality, qQualityGate, qCorpusReport,

@@ -395,6 +395,65 @@ object GraphAnnQueries {
             |         AS n_backlinked
             |FROM aggm ORDER BY origin""".stripMargin))
 
+  /** Gauge-to-action wiring for the graph family (verdict r18 #5):
+    * [[GraphAnn.graphRebuildDecision]] over the grown index's health
+    * gauge — one row with the inserted-vs-build mean edge-cosine drift,
+    * the back-link coverage, and the rebuild verdict at the documented
+    * thresholds (drift ≤ −0.05, coverage < 0.2).
+    * [[GraphAnn.graphRebuildIfDue]] executes the rebuild this row calls
+    * for; RebuildDueSpec proves degraded trips / healthy doesn't. The
+    * oracle replays the insert trajectory (the q_index_health_graph
+    * CTEs) and reduces the same exact-integer masses to the decision.
+    */
+  val qIndexRebuildDueGraph = QueryDef(
+    "q_index_rebuild_due_graph",
+    (s, d) => {
+      val batch = embs(s, d).select("vec_id")
+        .filter(pmod(col("vec_id"), lit(7)) === 0)
+      GraphAnn.graphRebuildDecision(
+        GraphAnn.graphIndexHealth(grownIndex(s, d), batch, "vec_id"))
+    },
+    Some(s"""WITH ${ExtensionQueries.vecListCtes()},
+            |corp AS MATERIALIZED (SELECT vec_id FROM vl WHERE vec_id % 7 <> 0),
+            |${graphCtes("corp", InsertIters)},
+            |$insertCtes,
+            |mrg AS MATERIALIZED (
+            |  SELECT node AS vec_id, nb AS nb_id, c AS sim FROM (
+            |    SELECT node, nb, c FROM g$InsertIters
+            |    WHERE node NOT IN (SELECT node FROM tchd)
+            |    UNION ALL SELECT node, nb, c FROM trows WHERE rn <= $K
+            |    UNION ALL SELECT node, nb, c FROM brows WHERE rn <= $K) f),
+            |tagm AS (
+            |  SELECT vec_id, nb_id,
+            |         CAST(floor(sim * 1000000.0) AS BIGINT) AS q6,
+            |         CASE WHEN vec_id % 7 = 0 THEN 'inserted'
+            |              ELSE 'build' END AS origin
+            |  FROM mrg),
+            |aggm AS (
+            |  SELECT
+            |    CAST(sum(q6) FILTER (origin = 'build') AS BIGINT) AS sb,
+            |    count(*) FILTER (origin = 'build') AS eb,
+            |    CAST(sum(q6) FILTER (origin = 'inserted') AS BIGINT) AS si,
+            |    count(*) FILTER (origin = 'inserted') AS ei,
+            |    count(DISTINCT vec_id) FILTER (origin = 'inserted') AS ni
+            |  FROM tagm),
+            |bl AS (SELECT count(DISTINCT nb_id) AS nbl FROM tagm
+            |       WHERE origin = 'build' AND nb_id % 7 = 0),
+            |dec AS (SELECT
+            |    (CASE WHEN ei > 0
+            |       THEN CAST(si AS DOUBLE) / CAST(ei * 1000000 AS DOUBLE) END)
+            |    - (CASE WHEN eb > 0
+            |         THEN CAST(sb AS DOUBLE) / CAST(eb * 1000000 AS DOUBLE) END)
+            |      AS sim_drift,
+            |    CASE WHEN ni > 0
+            |      THEN CAST((SELECT nbl FROM bl) AS DOUBLE) / CAST(ni AS DOUBLE)
+            |    END AS backlink_cov
+            |  FROM aggm)
+            |SELECT sim_drift, backlink_cov,
+            |  COALESCE(sim_drift <= -0.05, false)
+            |    OR COALESCE(backlink_cov < 0.2, false) AS rebuild_due
+            |FROM dec""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(qAnnNndescent, qAnnGraphSearch, qAnnGraphInsert,
-    qIndexHealthGraph)
+    qIndexHealthGraph, qIndexRebuildDueGraph)
 }

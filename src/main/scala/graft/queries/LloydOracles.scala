@@ -289,6 +289,99 @@ private[queries] object LloydOracles {
       FROM assigned a JOIN vl v USING (vec_id) JOIN kcf c USING (cid)),
     ${healthTail("vec_id % 7 <> 0")}"""
 
+  /** The one-row REBUILD-DUE decision over a `hsim (cid, vec_id, q6)`
+    * CTE — the replay of [[graft.ext.Similarity.indexRebuildDecision]]
+    * fed by health(base)/health(grown): exact integer masses aggregated
+    * across all lists, two double divisions, the documented threshold
+    * comparisons. `buildPred` selects the BUILD-side members (= the
+    * base index's postings, which append passes through untouched).
+    */
+  private def decisionTail(
+      buildPred: String, maxListLoad: Double, driftFloor: Double): String =
+    s"""hbld AS (SELECT cid, count(*) AS nb, CAST(sum(q6) AS BIGINT) AS sb
+             FROM hsim WHERE $buildPred GROUP BY cid),
+    hall AS (SELECT cid, count(*) AS nt, CAST(sum(q6) AS BIGINT) AS st
+             FROM hsim GROUP BY cid),
+    hj AS (SELECT c.cid,
+             COALESCE(b.nb, 0) AS nb, COALESCE(b.sb, 0) AS sb,
+             COALESCE(a.nt, 0) AS nt, COALESCE(a.st, 0) AS st
+           FROM (SELECT DISTINCT cid FROM kcf) c
+           LEFT JOIN hbld b USING (cid) LEFT JOIN hall a USING (cid)),
+    hagg AS (SELECT max(nt) AS maxnt, count(*) AS nl,
+               CAST(sum(nt) AS BIGINT) AS tt, CAST(sum(nb) AS BIGINT) AS nbs,
+               CAST(sum(sb) AS BIGINT) AS sbs, CAST(sum(st) AS BIGINT) AS sts
+             FROM hj),
+    hdec AS (SELECT
+        CAST(maxnt * nl AS DOUBLE) / CAST(tt AS DOUBLE) AS max_list_load,
+        (CASE WHEN tt > nbs
+           THEN CAST(sts - sbs AS DOUBLE) / CAST((tt - nbs) * 1000000 AS DOUBLE) END)
+        - (CASE WHEN nbs > 0
+             THEN CAST(sbs AS DOUBLE) / CAST(nbs * 1000000 AS DOUBLE) END)
+          AS sim_drift
+      FROM hagg)
+    SELECT max_list_load, sim_drift,
+      max_list_load >= $maxListLoad
+        OR COALESCE(sim_drift <= $driftFloor, false) AS rebuild_due
+    FROM hdec"""
+
+  /** q_index_rebuild_due: the [[ivfHealthOracle]] setup followed by the
+    * decision tail — one row, engine-replayable thresholds.
+    */
+  private[queries] def ivfRebuildDueOracle(
+      nCentroids: Int, samplesPerCentroid: Int, iters: Int, dim: Int,
+      spillDelta: Double, spillCap: Int,
+      maxListLoad: Double, driftFloor: Double): String =
+    s"""WITH vecs AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id % 7 <> 0),
+    allv AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL),
+    $hashLongSampleCtes,
+    ${kmeansSphericalCtes(nCentroids.toString, (nCentroids * samplesPerCentroid).toString, iters)},
+    ${centroidFloatCtes(iters, 1000000L, "allv")},
+    ${spillAssignCtes(dim, spillDelta, spillCap)},
+    hsim AS MATERIALIZED (
+      SELECT a.cid, a.vec_id,
+             CAST(floor((${dotn("v.dl", "c.fl", dim)} / (sqrt(${sq("v.dl")}) * sqrt(${sq("c.fl")}))) * 1000000.0) AS BIGINT) AS q6
+      FROM assigned a JOIN vl v USING (vec_id) JOIN kcf c USING (cid)),
+    ${decisionTail("vec_id % 7 <> 0", maxListLoad, driftFloor)}"""
+
+  /** q_index_rebuild_due_sem: the [[semHealthOracle]] setup followed by
+    * the decision tail.
+    */
+  private[queries] def semRebuildDueOracle(
+      iters: Int, dim: Int, splitId: Long,
+      maxListLoad: Double, driftFloor: Double): String =
+    s"""WITH vecs AS MATERIALIZED (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE embedding IS NOT NULL AND vec_id < $splitId),
+    $hashLongSampleCtes,
+    kparam AS (SELECT GREATEST(8, LEAST(64, count(*) // 500)) AS k,
+      GREATEST(8, LEAST(64, count(*) // 500)) * ${graft.ext.Similarity.KmeansSamplesPerCentroid} AS n
+      FROM embeddings WHERE vec_id < $splitId),
+    ${kmeansSphericalCtes("(SELECT k FROM kparam)", "(SELECT n FROM kparam)", iters)},
+    ${centroidFloatCtes(iters, 1000000L)},
+    allv AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dl
+      FROM embeddings WHERE embedding IS NOT NULL),
+    vdots AS (SELECT v.vec_id, c.cid, ${dotn("v.dl", "c.ul", dim)} AS d
+              FROM allv v, kcu c),
+    assigned AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d DESC, cid) AS rn
+        FROM vdots) WHERE rn = 1),
+    unitv AS MATERIALIZED (
+      SELECT vec_id, list_transform(dl, x ->
+        CAST(CAST(x / sqrt(${sq("dl")}) AS FLOAT) AS DOUBLE)) AS ul
+      FROM allv),
+    hsim AS MATERIALIZED (
+      SELECT a.cid, a.vec_id,
+             CAST(floor((${dotn("u.ul", "c.fl", dim)} / (sqrt(${sq("u.ul")}) * sqrt(${sq("c.fl")}))) * 1000000.0) AS BIGINT) AS q6
+      FROM assigned a JOIN unitv u USING (vec_id) JOIN kcf c USING (cid)),
+    ${decisionTail(s"vec_id < $splitId", maxListLoad, driftFloor)}"""
+
   /** Shared health aggregation + drift SELECT over a `hsim (cid,
     * vec_id, q6)` CTE — the build/total split, the balanced-share list
     * load, and the bit-identical double means/drift. `buildPred`

@@ -106,7 +106,15 @@ object Sources {
   def writeBucketed(
       df: DataFrame, table: String, path: String,
       key: String, buckets: Int = 32): Unit =
-    df.write
+    // Repartition on the bucket key FIRST: bucketBy writes one file per
+    // (writer task × bucket present in it), so an N-partition input
+    // yields up to N files per bucket — measured in r19 as a ~3 s
+    // constant on EVERY scan of a 141-bucket serving table (4.5k file
+    // opens). HashPartitioning(key, buckets) is the same Murmur3 layout
+    // bucketBy uses, so after this shuffle each task holds exactly one
+    // bucket → exactly one file per bucket.
+    df.repartition(buckets, col(key))
+      .write
       .bucketBy(buckets, key)
       .sortBy(key)
       .option("path", path)

@@ -732,6 +732,42 @@ object StreamingPipeline {
     }
   }
 
+  /** The composed-ingest admission cycle as a STREAM (the
+    * [[graft.ext.Ingest.ingestBatch]] twin, verdict r18 #4): each
+    * micro-batch of crawl rows runs the full sequential admission —
+    * URL policy → blocklist → quality → exact/MinHash/semantic screens
+    * against the FROZEN corpus indexes (pinned once, pre-stream) — and
+    * the admitted set delta-commits to the serving
+    * [[graft.operators.ManifestTable]] (O(admitted) I/O per trigger).
+    * Peer screens see the micro-batch, which IS the streaming batch
+    * semantics; the corpus side never recomputes. foreachBatch holds no
+    * state store — the manifest row count is the numeric state bound
+    * StreamBench reports (the manifest-twin convention).
+    */
+  def ingestStream(
+      crawl: DataFrame, batchVecs: DataFrame,
+      fpIndex: DataFrame, mhIndex: DataFrame,
+      semIndex: DataFrame, ivfIndex: DataFrame,
+      rules: Seq[graft.ext.UrlOps.UrlRule],
+      blockTerms: Seq[String], maxBannedPerMille: Long,
+      minTokens: Long, eps: Double, manifestDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    crawl.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val r = graft.ext.Ingest.ingestBatch(
+            batch.localCheckpoint(true), // every stage fans out of it
+            "doc_id", "text", "url", batchVecs, "embedding",
+            fpIndex, mhIndex, semIndex, ivfIndex,
+            rules, blockTerms, maxBannedPerMille, minTokens, eps,
+            manifestDir, batchId, deltaCommit = true)
+          // the commit already ran inside ingestBatch; materializing the
+          // fate frame is the per-trigger observable work
+          r.fates.write.format("noop").mode("overwrite").save()
+        }
+        ()
+    }
+
   /** [[manifestUpsertSink]] with DELTA commits: each micro-batch writes
     * only its own (within-batch keep-last deduped) rows as a new
     * snapshot prefix — O(batch) I/O per commit where the full-snapshot

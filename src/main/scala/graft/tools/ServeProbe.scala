@@ -60,6 +60,70 @@ object ServeProbe {
         (System.nanoTime() - t0) / 1e9
       }.min
 
+    // "legacy": the r18 methodology — pinned in-memory und/index frames.
+    // "bucketed": the r19 serving layout — indexes WRITTEN via
+    // graphWriteServing/ivfWriteServing (bucketed+sorted by node/list
+    // id), search served by the point-lookup paths
+    // (graphSearchServing/ivfSearchServing) whose per-hop InSet filters
+    // bucket-prune the scan. IVF additionally applies deployment
+    // geometry — nLists = max(64, min(1024, 4·√n)) (the FAISS sizing
+    // guideline) — because a frozen 64-list quantizer makes per-batch
+    // candidate mass grow LINEARLY with the corpus no matter how the
+    // postings are stored.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SERVE_MODE", "legacy")
+
+    /** (corpus_rows, graph_search_sec, ivf_search_sec) for one dir —
+      * the bucketed-layout serving probe.
+      */
+    def probeDirBucketed(dir: String, tag: String): (Long, Double, Double) = {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint(true) // corpus side of every search join
+      val n = e.count()
+      val probes = e.select(col("vec_id").as("q_id"))
+        .orderBy("q_id").limit(probeN)
+        .localCheckpoint(true)
+      val art = java.nio.file.Files
+        .createTempDirectory(s"graft_serve_$tag").toString
+      System.err.println(s"[serveprobe] $dir: graph index + serving layout" +
+        " (untimed)")
+      val gIdx = graft.ext.GraphAnn.graphIndex(e, "vec_id", "embedding",
+        k = 16, iters = 2).localCheckpoint(true)
+      val gBuckets = math.max(32L, n / 200L).toInt
+      graft.ext.GraphAnn.graphWriteServing(gIdx, s"g_serve_$tag",
+        s"$art/edges", gBuckets)
+      val edges = spark.table(s"g_serve_$tag")
+      System.gc(); Thread.sleep(settleSec * 1000L)
+      val gSec = timed(() => graft.ext.GraphAnn.graphSearchServing(
+        e, "vec_id", "embedding", edges, probes, "q_id", k = 10, ef = 160))
+      val nLists = math.max(64, math.min(1024, (4 * math.sqrt(n.toDouble)).toInt))
+      System.err.println(s"[serveprobe] $dir: ivf index nLists=$nLists" +
+        " + serving layout (untimed)")
+      val iIdx = graft.ext.Similarity.ivfIndex(e, "vec_id", "embedding",
+        nCentroids = nLists)
+      graft.ext.Similarity.ivfWriteServing(iIdx, s"ivf_serve_$tag",
+        s"$art/ivf", buckets = math.max(32, nLists / 4))
+      val iTable = spark.table(s"ivf_serve_$tag")
+      val vecProbes = probes
+        .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+          Seq("q_id"))
+        .localCheckpoint(true)
+      System.gc(); Thread.sleep(settleSec * 1000L)
+      val iSec = timed(() => graft.ext.Similarity.ivfSearchServing(
+        iTable, vecProbes, "q_id", "q_emb", k = 10, nProbe = 8))
+      // pruning evidence for the record: the hop-1 probe lookup's plan
+      val h1 = edges.where(col("_node").isInCollection(
+        probes.collect().map(_.getLong(0)).toSeq))
+      h1.write.format("noop").mode("overwrite").save()
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(h1.queryExecution.executedPlan.toString)
+        .map(m => s"${m.group(1)}/${m.group(2)}").getOrElse("none")
+      System.err.println(s"[serveprobe] $dir hop1 buckets: $sel " +
+        s"(gBuckets=$gBuckets nLists=$nLists)")
+      (n, gSec, iSec)
+    }
+
     /** (corpus_rows, graph_search_sec, ivf_search_sec) for one dir. */
     def probeDir(dir: String): (Long, Double, Double) = {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -100,15 +164,26 @@ object ServeProbe {
     }
 
     val load0 = load()
-    val (n1, g1, i1) = probeDir(base)
+    val (n1, g1, i1) =
+      if (mode == "bucketed") probeDirBucketed(base, "base") else probeDir(base)
     val loadMid = load()
-    val (nN, gN, iN) = probeDir(scaled)
+    val (nN, gN, iN) =
+      if (mode == "bucketed") probeDirBucketed(scaled, "x") else probeDir(scaled)
     val loadEnd = load()
     def f(d: Double): String = BigDecimal(d).setScale(3,
       BigDecimal.RoundingMode.HALF_UP).toString
+    val methodDesc =
+      if (mode == "bucketed")
+        "bucketed serving layout (graphWriteServing/ivfWriteServing) written untimed; " +
+          "search via the point-lookup paths (graphSearchServing/ivfSearchServing, " +
+          "per-hop InSet bucket pruning; ivf nLists=max(64,min(1024,4*sqrt(n)))), " +
+          s"noop-written, min of $runs runs, FIXED $probeN-probe batch at both scales"
+      else
+        "index built+pinned untimed, search noop-written, min of " +
+          s"$runs runs, FIXED $probeN-probe batch at both scales"
     val line =
-      s"""{"metric":"ann_serve_search_only","factor":$factor,""" +
-        s""""method":"index built+pinned untimed, search noop-written, min of $runs runs, FIXED $probeN-probe batch at both scales","""+
+      s"""{"metric":"ann_serve_search_only${if (mode == "bucketed") "_bucketed" else ""}","factor":$factor,""" +
+        s""""method":"$methodDesc","""+
         s""""base_dir":"$base","scale_dir":"$scaled",""" +
         s""""load_avg_start":$load0,"load_avg_mid":$loadMid,"load_avg_end":$loadEnd,""" +
         s""""corpus_rows":{"base":$n1,"scaled":$nN},""" +
