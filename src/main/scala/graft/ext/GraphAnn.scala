@@ -174,13 +174,17 @@ object GraphAnn {
     // checkpointed 100×-corpus und was planned into the exchange, and
     // the measured search-only wall tripled (SCALE_GRAPHSERVE_r18).
     // The hint is CONDITIONAL on the frontier actually being bounded
-    // (advice r18): the widest derived frontier is ~|probes|·max(ef, 2k)
-    // two-long rows, and a corpus-proportional probe set would push a
-    // FORCED broadcast into Spark's 8 GB hard cap / driver memory where
-    // the free planner merely slows down. One bounded count decides;
-    // 8M frontier rows ≈ a few hundred MB broadcast, far under the cap.
+    // (advice r18): the broadcast frames scale with |probes|·degree.
+    // AVERAGE undirected degree is ≤ 2k by construction (the graph has
+    // n·k edges total), but hub IN-degree is unbounded, so the gate
+    // bounds the EXPECTED frontier |probes|·max(ef, 2k) against 2M rows
+    // — 4× headroom under the ~8M-row/8 GB-cap line for hub skew
+    // (review r19). The probe count comes from an output-BOUNDED job
+    // (limit cap+1, not a full count — review r19): past the cap the
+    // exact count is irrelevant, the planner is left free either way.
+    val cap = 2000000L / math.max(ef.toLong, 2L * k)
     val hintFrontier =
-      q.count() * math.max(ef.toLong, 2L * k) <= 8000000L
+      q.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count() <= cap
     def hinted(f: DataFrame): DataFrame = if (hintFrontier) broadcast(f) else f
     val hop1 = hinted(q)
       .join(und.select(col("_node").as("_q"), col("_nb")), Seq("_q"))
@@ -566,6 +570,21 @@ object GraphAnn {
     */
   private val MaxServeFrontier = 8000000L
 
+  /** Bounded collect for the serving paths: the guard must bind BEFORE
+    * rows land on the driver (review r19 — a post-collect require fires
+    * after the OOM it exists to prevent), so the job is output-capped at
+    * the bound + 1 and the overflow detected from the capped result.
+    */
+  private def boundedCollect(f: DataFrame, what: String)
+      : Array[org.apache.spark.sql.Row] = {
+    val rows = f.limit(
+      math.min(MaxServeFrontier + 1, Int.MaxValue.toLong).toInt).collect()
+    require(rows.length.toLong <= MaxServeFrontier,
+      s"serving $what exceeds the point-lookup bound $MaxServeFrontier — " +
+        "use graphSearch for corpus-scale probe sets")
+    rows
+  }
+
   /** Persist a graph index's SERVING layout: the undirected edge view,
     * bucketed AND sorted by source node ([[graft.sources.Sources
     * .writeBucketed]]). This is the storage shape a deployment serves
@@ -590,7 +609,7 @@ object GraphAnn {
     * switch to a broadcast left-semi join — literal-free, still one
     * streamed pass over the (memory- or cache-resident) edge frame.
     */
-  private val LiteralLookupMax = 512
+  private[graft] val LiteralLookupMax = 512
 
   /** [[graphSearch]] restructured as driver-orchestrated POINT LOOKUPS
     * over a bucketed serving table ([[graphWriteServing]] output read
@@ -623,37 +642,35 @@ object GraphAnn {
     // join needs the hash distribution, so the planner prints
     // "Bucketed: false (disabled by query planner)" and reads every
     // bucket). A serving session exists to do point lookups; pin the
-    // conf so the pruned scan survives planning.
+    // conf so the pruned scan survives planning. NOTE this is a
+    // SESSION-WIDE setting that stays set (it must be live at action
+    // time, after this function returns) — a mixed batch/serving
+    // workload should serve from a dedicated session (newSession()).
     val spark = df.sparkSession
     spark.conf
       .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     import spark.implicits._
     val vecs = df.select(col(id).cast("long").as("_id"), col(vec).as("_v"))
-    def guard(n: Long): Unit = require(n <= MaxServeFrontier,
-      s"serving frontier $n exceeds the point-lookup bound " +
-        s"$MaxServeFrontier — use graphSearch for corpus-scale probe sets")
-    def lookup(ids: Seq[Long]): DataFrame = {
-      guard(ids.length.toLong)
+    def lookup(ids: Seq[Long]): DataFrame =
       if (ids.length <= LiteralLookupMax)
         edges.where(col("_node").isInCollection(ids))
       else
         edges.join(broadcast(ids.toDF("_node")), Seq("_node"), "left_semi")
-    }
     def score(cand: DataFrame): DataFrame = cand
       .join(vecs.select(col("_id").as("_q"), col("_v").as("_qv")), "_q")
       .join(vecs.select(col("_id").as("_nb"), col("_v").as("_nv")), "_nb")
       .select(col("_q"), col("_nb"),
         Similarity.cosine(col("_qv"), col("_nv")).as("_c"))
     val w = Window.partitionBy("_q").orderBy(col("_c").desc, col("_nb"))
-    val probeIds = probes.select(col(qId).cast("long").as("_q"))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    guard(probeIds.length.toLong)
+    val probeIds = boundedCollect(
+        probes.select(col(qId).cast("long").as("_q")).distinct(), "probe set")
+      .map(_.getLong(0)).toSeq
     // hop-1 adjacency: ≤ |probes|·deg pairs — collect once, reuse as a
     // local frame for the hop-2 join AND the candidate set
-    val e1Rows = lookup(probeIds)
-      .select(col("_node").as("_q"), col("_nb"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    guard(e1Rows.length.toLong)
+    val e1Rows = boundedCollect(
+        lookup(probeIds).select(col("_node").as("_q"), col("_nb")),
+        "hop-1 adjacency")
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val e1 = e1Rows.toDF("_q", "_nb")
     val hop2 = broadcast(e1.select(col("_q"), col("_nb").as("_mid")))
       .join(lookup(e1Rows.map(_._2).distinct)
@@ -669,11 +686,11 @@ object GraphAnn {
         val pinned = scored.localCheckpoint(true)
         // beam seeds: ≤ |probes|·ef pairs — one bounded collect feeds
         // both the hop-3 frontier and the seed-pair join frame
-        val seedRows = pinned.withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") <= ef)
-          .select("_q", "_nb")
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-        guard(seedRows.length.toLong)
+        val seedRows = boundedCollect(
+            pinned.withColumn("_rn", row_number().over(w))
+              .filter(col("_rn") <= ef)
+              .select("_q", "_nb"), "beam seed set")
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
         val seeds = seedRows.toDF("_q", "_mid")
         val hop3 = broadcast(seeds)
           .join(lookup(seedRows.map(_._2).distinct)

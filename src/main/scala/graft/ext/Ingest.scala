@@ -54,7 +54,8 @@ object Ingest {
 
   /** Everything one ingest cycle produces: the per-row fate frame (one
     * row per batch document), the two grown index artifacts (ready to be
-    * written back), and the committed manifest snapshot name.
+    * written back), and the committed manifest snapshot name (empty when
+    * a delta cycle admitted nothing and therefore committed nothing).
     */
   final case class IngestResult(
       fates: DataFrame, semIndex: DataFrame, ivfIndex: DataFrame,
@@ -150,8 +151,15 @@ object Ingest {
     val semGrown = Dedup.semIndexAppend(semIndex, admittedVecs, id, vec)
     val ivfGrown = Similarity.ivfAppend(ivfIndex, admittedVecs, id, vec)
     val spark = batch.sparkSession
+    // An empty admitted set appends NO delta prefix (review r19): a
+    // long-running intake stream whose quiet triggers each grew the
+    // chain would pay chain-length merge cost every trigger for
+    // nothing. (Snapshot mode still commits — an empty FULL snapshot is
+    // the correct table state there.)
+    val skipEmpty = deltaCommit && admittedIds.isEmpty
     val snap =
-      if (deltaCommit) graft.operators.ManifestTable.commitDelta(
+      if (skipEmpty) ""
+      else if (deltaCommit) graft.operators.ManifestTable.commitDelta(
         admittedIds.select(col(id)), manifestDir, batchId)
       else graft.operators.ManifestTable.commit(
         admittedIds.select(col(id)), manifestDir, batchId)
@@ -169,10 +177,16 @@ object Ingest {
     val semCid = Dedup.semIndexMembers(semGrown)
       .join(admittedIds.select(col(id).as("_mid")), Seq("_mid"), "left_semi")
       .select(col("_mid").as(id), col("_c_id").as("sem_cid"))
-    val ivfCid = ivfGrown.filter(col("kind") === "posting")
-      .groupBy(col("member_id").as(id))
-      .agg(min(col("cid")).as("ivf_cid"))
-      .join(admittedIds.select(col(id)), Seq(id), "left_semi")
+    // the member's ASSIGNED (best) list, from the grown artifact's own
+    // quantizer — NOT min over its posting rows: a kmeans-quantized
+    // index closure-SPILLS members into adjacent lists, and min(cid)
+    // would report an arbitrary spill neighbor (review r19). Spilled
+    // memberships live in the index itself; the fate frame reports the
+    // assignment.
+    val ivfCid = admittedVecs.withColumn("ivf_cid",
+        graft.functions.CentroidFunctions.nearest_centroid_id(
+          col(vec), Similarity.ivfIndexCentroids(ivfGrown)._1))
+      .select(col(id), col("ivf_cid"))
     val fates = gated
       .join(exact.select(col(id), col("exact_new")), Seq(id), "left")
       .join(mh.select(col(id), col("mh_rep"), col("mh_dup")), Seq(id), "left")

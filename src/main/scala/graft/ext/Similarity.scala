@@ -788,11 +788,10 @@ object Similarity {
       .collect().map(_.getLong(0)).toSeq
     // probed lists: a literal InSet while small (cheap to plan AND
     // bucket-prunes the posting scan); a broadcast semi-join past the
-    // literal ceiling (giant In-lists are a planning DoS — see
-    // GraphAnn.LiteralLookupMax)
+    // shared literal ceiling (giant In-lists are a planning DoS)
     val posting0 = index.filter(col("kind") === "posting")
     val postings = (
-      if (probedCids.length <= 512)
+      if (probedCids.length <= GraphAnn.LiteralLookupMax)
         posting0.where(col("cid").isInCollection(probedCids))
       else
         posting0.join(broadcast(probedCids.toDF("cid")), Seq("cid"),

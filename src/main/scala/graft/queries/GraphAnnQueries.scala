@@ -46,11 +46,16 @@ object GraphAnnQueries {
     */
   private object IndexMemo {
     private val m = scala.collection.mutable.Map.empty[
-      (Int, String, String), org.apache.spark.sql.DataFrame]
+      (String, String, String), org.apache.spark.sql.DataFrame]
     def apply(s: org.apache.spark.sql.SparkSession, d: String, tag: String)(
         build: => org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame = synchronized {
-      m.getOrElseUpdate((System.identityHashCode(s.sparkContext), d, tag),
+      // applicationId is unique per context (identityHashCode can be
+      // reused after GC and would hand a new context another context's
+      // dead checkpoint blocks — review r19); entries of stopped
+      // contexts are dropped eagerly so the memo never outlives them.
+      m.filterInPlace((_, df) => !df.sparkSession.sparkContext.isStopped)
+      m.getOrElseUpdate((s.sparkContext.applicationId, d, tag),
         build.localCheckpoint(true))
     }
   }

@@ -764,6 +764,12 @@ object StreamingPipeline {
           // the commit already ran inside ingestBatch; materializing the
           // fate frame is the per-trigger observable work
           r.fates.write.format("noop").mode("overwrite").save()
+          // bound the delta-prefix chain (review r19): without periodic
+          // compaction the per-trigger merged read-back grows linearly
+          // with trigger count — quadratic total over a long stream
+          if (batchId > 0 && batchId % 8 == 0)
+            graft.operators.ManifestTable.compact(
+              batch.sparkSession, manifestDir, "doc_id", batchId): Unit
         }
         ()
     }
