@@ -634,12 +634,16 @@ object StreamBench {
   /** The composed-ingest twin (round 19, verdict r18 #4): the crawl
     * batch (doc_id >= 250, with the synthetic URL derived pre-stream)
     * replays in micro-batches through [[StreamingPipeline.ingestStream]]
-    * against corpus indexes FROZEN once before the stream starts —
-    * exactly the q_ingest_e2e composition, with each trigger's admitted
-    * set delta-committed to one serving ManifestTable. foreachBatch
-    * holds no state store; the manifest's merged row count is the
-    * numeric state bound (the manifest-twin convention), reported as
-    * served_rows / final_state_rows.
+    * seeded with corpus indexes built once before the stream starts.
+    * The stream THREADS the grown indexes across triggers (round 20,
+    * advice r19), so it is a sequential chain of ingestBatch cycles —
+    * duplicates split across micro-batches are screened against the
+    * earlier trigger's admissions, exactly like running q_ingest_e2e's
+    * composition one chunk at a time; each trigger's admitted set
+    * delta-commits to one serving ManifestTable. foreachBatch holds no
+    * state store; the manifest's merged row count is the numeric state
+    * bound (the manifest-twin convention), reported as served_rows /
+    * final_state_rows.
     */
   private def runIngest(
       spark: SparkSession, sfDir: String, nTriggers: Int): (String, String) = {

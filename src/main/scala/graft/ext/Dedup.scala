@@ -336,6 +336,25 @@ object Dedup {
     bandedBuckets(corpus, id, text, bands, rowsPerBand)
       .groupBy("bucket").agg(min(col(id)).as("rep_id"))
 
+  /** O(batch) growth of a [[minhashBucketIndex]] artifact (round 20 —
+    * the cross-trigger ingest state, advice r19): the admitted batch's
+    * per-bucket minima are UNION'd onto the index without re-reducing
+    * the corpus side, so a recurring intake stream appends instead of
+    * re-aggregating a 100 TB bucket table every cycle. Buckets may
+    * therefore repeat across appends — which every consumer already
+    * tolerates by construction: [[incrementalMinhash]] min-reduces ALL
+    * matched reps per document, so a duplicate bucket row can only
+    * re-assert the same (or an older, smaller) representative. The
+    * bands/rowsPerBand MUST match the index's build (the screens derive
+    * theirs from the same shared constants).
+    */
+  def minhashIndexAppend(
+      index: DataFrame, batch: DataFrame, id: String, text: String,
+      bands: Int = MinhashBands, rowsPerBand: Int = MinhashRowsPerBand): DataFrame =
+    index.unionByName(
+      bandedBuckets(batch, id, text, bands, rowsPerBand)
+        .groupBy("bucket").agg(min(col(id)).as("rep_id")))
+
   /** Incremental NEAR-DUP admission — the LSH companion to
     * [[incrementalDedup]]'s exact-fingerprint anti-join, the shape of a
     * recurring crawl cycle: screen each new-batch document against the

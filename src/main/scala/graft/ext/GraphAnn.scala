@@ -145,19 +145,26 @@ object GraphAnn {
     */
   def graphSearch(
       df: DataFrame, id: String, vec: String, graph: DataFrame,
-      probes: DataFrame, qId: String, k: Int, ef: Int = 0): DataFrame = {
+      probes: DataFrame, qId: String, k: Int, ef: Int = 0,
+      probeCount: Long = -1L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k") // before touching the graph
     searchOverUnd(df, id, vec,
       undirected(graph)
         .localCheckpoint(true), // one-hop frontier AND the two-hop expansion
-      probes, qId, k, ef)
+      probes, qId, k, ef, probeCount)
   }
 
   /** [[graphSearch]] over a PRE-DERIVED (and caller-pinned) undirected
-    * edge list. */
+    * edge list. `probeCount` lets a caller that already knows |probes|
+    * (a serving harness driving fixed-size query batches) skip the
+    * bounded counting job the broadcast gate otherwise runs per call
+    * (advice r19 — the job re-executes the probes lineage on the hot
+    * search path); negative means unknown, fall back to the job.
+    */
   private[graft] def searchOverUnd(
       df: DataFrame, id: String, vec: String, und: DataFrame,
-      probes: DataFrame, qId: String, k: Int, ef: Int): DataFrame = {
+      probes: DataFrame, qId: String, k: Int, ef: Int,
+      probeCount: Long = -1L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val vecs = df.select(col(id).cast("long").as("_id"), col(vec).as("_v"))
     val q = probes.select(col(qId).cast("long").as("_q"))
@@ -179,12 +186,15 @@ object GraphAnn {
     // n·k edges total), but hub IN-degree is unbounded, so the gate
     // bounds the EXPECTED frontier |probes|·max(ef, 2k) against 2M rows
     // — 4× headroom under the ~8M-row/8 GB-cap line for hub skew
-    // (review r19). The probe count comes from an output-BOUNDED job
-    // (limit cap+1, not a full count — review r19): past the cap the
-    // exact count is irrelevant, the planner is left free either way.
+    // (review r19). The probe count is caller-supplied when known;
+    // otherwise it comes from an output-BOUNDED job (limit cap+1, not a
+    // full count — review r19): past the cap the exact count is
+    // irrelevant, the planner is left free either way.
     val cap = 2000000L / math.max(ef.toLong, 2L * k)
-    val hintFrontier =
-      q.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count() <= cap
+    val nProbes =
+      if (probeCount >= 0L) probeCount
+      else q.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count()
+    val hintFrontier = nProbes <= cap
     def hinted(f: DataFrame): DataFrame = if (hintFrontier) broadcast(f) else f
     val hop1 = hinted(q)
       .join(und.select(col("_node").as("_q"), col("_nb")), Seq("_q"))
@@ -426,8 +436,10 @@ object GraphAnn {
     */
   def graphSearchIndex(
       df: DataFrame, id: String, vec: String, index: DataFrame,
-      probes: DataFrame, qId: String, k: Int, ef: Int = 0): DataFrame =
-    graphSearch(df, id, vec, graphIndexEdges(index), probes, qId, k, ef)
+      probes: DataFrame, qId: String, k: Int, ef: Int = 0,
+      probeCount: Long = -1L): DataFrame =
+    graphSearch(df, id, vec, graphIndexEdges(index), probes, qId, k, ef,
+      probeCount)
 
   /** [[graphInsert]] against a PERSISTED index: `k` derives from the
     * index's own config row (no parameter to get wrong — the
@@ -562,27 +574,65 @@ object GraphAnn {
   // --- bucket-pruned serving (round 19) ---------------------------------
 
   /** Serving-batch bound for the point-lookup search path: every driver
-    * collect in [[graphSearchServing]] is ≤ |probes|·max(ef, 2k) ids —
+    * collect in [[graphSearchServing]] is ≤ |probes|·max(ef, 2k) rows —
     * the same frontier bound the [[searchOverUnd]] broadcast hint uses.
-    * 8M longs ≈ 64 MB driver-side, far inside driver memory; a caller
-    * with a corpus-proportional probe set belongs on [[graphSearch]],
-    * not on a point-lookup serving path.
+    * The bound is sized to what a collect ACTUALLY materializes on the
+    * driver (advice r19): the rows land as specialized (Long, Long)
+    * tuples, ~32-48 B each plus the transient compressed result
+    * batches, so 2M rows ≈ 100-150 MB peak — safe in a default-memory
+    * driver where the old 8M·"just the longs" arithmetic was not. A
+    * caller with a corpus-proportional probe set belongs on
+    * [[graphSearch]], not on a point-lookup serving path.
     */
-  private val MaxServeFrontier = 8000000L
+  private val MaxServeFrontier = 2000000L
 
-  /** Bounded collect for the serving paths: the guard must bind BEFORE
+  /** Bounded collects for the serving paths: the guard must bind BEFORE
     * rows land on the driver (review r19 — a post-collect require fires
     * after the OOM it exists to prevent), so the job is output-capped at
     * the bound + 1 and the overflow detected from the capped result.
+    * Rows come back through primitive encoders (Array[Long] /
+    * specialized tuples), never boxed Row objects (advice r19).
     */
-  private def boundedCollect(f: DataFrame, what: String)
-      : Array[org.apache.spark.sql.Row] = {
-    val rows = f.limit(
-      math.min(MaxServeFrontier + 1, Int.MaxValue.toLong).toInt).collect()
-    require(rows.length.toLong <= MaxServeFrontier,
+  /** Run `body` with `autoBucketedScan` planning disabled, restoring the
+    * caller's setting afterwards — the serving entry points' conf scope
+    * (verdict r19 #3). The pin must be live at ACTION time, so any frame
+    * `body` returns for later consumption must be materialized inside it
+    * (the serving paths localCheckpoint their bounded results).
+    */
+  private[graft] def withAutoBucketedScanOff[A](
+      spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def boundedLimit(f: DataFrame): DataFrame =
+    f.limit(math.min(MaxServeFrontier + 1, Int.MaxValue.toLong).toInt)
+
+  private def requireBounded(n: Int, what: String): Unit =
+    require(n.toLong <= MaxServeFrontier,
       s"serving $what exceeds the point-lookup bound $MaxServeFrontier — " +
         "use graphSearch for corpus-scale probe sets")
-    rows
+
+  private def boundedLongs(f: DataFrame, what: String): Array[Long] = {
+    val xs = boundedLimit(f)
+      .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+    requireBounded(xs.length, what)
+    xs
+  }
+
+  private def boundedPairs(f: DataFrame, what: String): Array[(Long, Long)] = {
+    val xs = boundedLimit(f)
+      .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)).collect()
+    requireBounded(xs.length, what)
+    xs
   }
 
   /** Persist a graph index's SERVING layout: the undirected edge view,
@@ -641,14 +691,13 @@ object GraphAnn {
     // scan — and with it ALL bucket pruning — from point lookups (no
     // join needs the hash distribution, so the planner prints
     // "Bucketed: false (disabled by query planner)" and reads every
-    // bucket). A serving session exists to do point lookups; pin the
-    // conf so the pruned scan survives planning. NOTE this is a
-    // SESSION-WIDE setting that stays set (it must be live at action
-    // time, after this function returns) — a mixed batch/serving
-    // workload should serve from a dedicated session (newSession()).
+    // bucket). Pin the conf for the duration of THIS call only
+    // (verdict r19 #3): every lookup job runs inside the call and the
+    // result is materialized (localCheckpoint) before the conf is
+    // restored, so a mixed batch/serving session keeps its
+    // auto-bucketed-scan planning for everything else it runs.
     val spark = df.sparkSession
-    spark.conf
-      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    withAutoBucketedScanOff(spark) {
     import spark.implicits._
     val vecs = df.select(col(id).cast("long").as("_id"), col(vec).as("_v"))
     def lookup(ids: Seq[Long]): DataFrame =
@@ -662,15 +711,15 @@ object GraphAnn {
       .select(col("_q"), col("_nb"),
         Similarity.cosine(col("_qv"), col("_nv")).as("_c"))
     val w = Window.partitionBy("_q").orderBy(col("_c").desc, col("_nb"))
-    val probeIds = boundedCollect(
-        probes.select(col(qId).cast("long").as("_q")).distinct(), "probe set")
-      .map(_.getLong(0)).toSeq
+    val probeIds = boundedLongs(
+      probes.select(col(qId).cast("long").as("_q")).distinct(), "probe set")
+      .toSeq
     // hop-1 adjacency: ≤ |probes|·deg pairs — collect once, reuse as a
-    // local frame for the hop-2 join AND the candidate set
-    val e1Rows = boundedCollect(
-        lookup(probeIds).select(col("_node").as("_q"), col("_nb")),
-        "hop-1 adjacency")
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // local frame for the hop-2 join AND the candidate set (toSeq is an
+    // ArraySeq wrap, not a copy)
+    val e1Rows = boundedPairs(
+      lookup(probeIds).select(col("_node").as("_q"), col("_nb")),
+      "hop-1 adjacency").toSeq
     val e1 = e1Rows.toDF("_q", "_nb")
     val hop2 = broadcast(e1.select(col("_q"), col("_nb").as("_mid")))
       .join(lookup(e1Rows.map(_._2).distinct)
@@ -686,11 +735,10 @@ object GraphAnn {
         val pinned = scored.localCheckpoint(true)
         // beam seeds: ≤ |probes|·ef pairs — one bounded collect feeds
         // both the hop-3 frontier and the seed-pair join frame
-        val seedRows = boundedCollect(
-            pinned.withColumn("_rn", row_number().over(w))
-              .filter(col("_rn") <= ef)
-              .select("_q", "_nb"), "beam seed set")
-          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val seedRows = boundedPairs(
+          pinned.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") <= ef)
+            .select("_q", "_nb"), "beam seed set").toSeq
         val seeds = seedRows.toDF("_q", "_mid")
         val hop3 = broadcast(seeds)
           .join(lookup(seedRows.map(_._2).distinct)
@@ -704,5 +752,9 @@ object GraphAnn {
     merged.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= k)
       .select(col("_q").as("q_id"), col("_nb").as("vec_id"), col("_c").as("sim"))
+      // materialize while the conf pin is live — ≤ |probes|·k rows; the
+      // caller's session conf is restored the moment this returns
+      .localCheckpoint(true)
+    }
   }
 }

@@ -53,13 +53,20 @@ import org.apache.spark.sql.functions._
 object Ingest {
 
   /** Everything one ingest cycle produces: the per-row fate frame (one
-    * row per batch document), the two grown index artifacts (ready to be
-    * written back), and the committed manifest snapshot name (empty when
-    * a delta cycle admitted nothing and therefore committed nothing).
+    * row per batch document), ALL FOUR grown index artifacts — the next
+    * cycle's frozen state, so sequential cycles chain by construction
+    * (round 20; before that only sem/IVF grew and cross-cycle exact/
+    * MinHash duplicates slipped the screens) — and the committed
+    * manifest snapshot name (empty when a delta cycle admitted nothing
+    * and therefore committed nothing). `semRebuilt`/`ivfRebuilt` report
+    * whether the cycle's gauge check (opt-in, `checkRebuild`) tripped
+    * and the returned artifact was retrained rather than just grown.
     */
   final case class IngestResult(
-      fates: DataFrame, semIndex: DataFrame, ivfIndex: DataFrame,
-      manifestSnapshot: String)
+      fates: DataFrame, fpIndex: DataFrame, mhIndex: DataFrame,
+      semIndex: DataFrame, ivfIndex: DataFrame,
+      manifestSnapshot: String,
+      semRebuilt: Boolean, ivfRebuilt: Boolean)
 
   /** Run one admission cycle of `batch` against the frozen corpus state.
     *
@@ -81,6 +88,25 @@ object Ingest {
     *                    O(admitted) I/O per cycle, the recurring-stream
     *                    shape) instead of a full snapshot; read-back then
     *                    merges the prefix chain per id
+    * @param checkRebuild consult the index-health gauges after the
+    *                    appends (verdict r19 #2 — the last unclosed
+    *                    lifecycle loop): reduce base vs grown through
+    *                    [[Similarity.indexRebuildDecision]] for BOTH
+    *                    vector indexes and retrain the ones that trip
+    *                    ([[Dedup.semIndexRebuild]] /
+    *                    [[Similarity.ivfRebuild]] under each index's own
+    *                    derived config). Gauging is one pass over each
+    *                    index — O(index), not O(batch) — so a recurring
+    *                    stream should check every N cycles
+    *                    (`rebuildCheckEvery` on the streaming twin), not
+    *                    every trigger. When a rebuild fires, the fate
+    *                    frame's `sem_cid`/`ivf_cid` report the RETRAINED
+    *                    assignments (the returned artifact's recorded
+    *                    state, same as the no-rebuild path).
+    * @param maxListLoad rebuild when some list holds ≥ this × its
+    *                    balanced share ([[Similarity.indexRebuildDecision]])
+    * @param driftFloor  rebuild when appended-member assignment cosine
+    *                    drifts ≤ this below the build members'
     */
   def ingestBatch(
       batch: DataFrame, id: String, text: String, urlCol: String,
@@ -91,7 +117,9 @@ object Ingest {
       blockTerms: Seq[String], maxBannedPerMille: Long,
       minTokens: Long, eps: Double,
       manifestDir: String, batchId: Long,
-      deltaCommit: Boolean = false): IngestResult = {
+      deltaCommit: Boolean = false,
+      checkRebuild: Boolean = false, maxListLoad: Double = 3.0,
+      driftFloor: Double = -0.05): IngestResult = {
     val reserved = Seq("url_allowed", "block_keep", "quality_ok",
       "exact_new", "mh_rep", "mh_dup", "sem_rep", "sem_dup", "sem_cid",
       "ivf_cid", "admitted", "in_manifest", "_fp", "_corpus_hit", "_rn")
@@ -150,6 +178,37 @@ object Ingest {
       .join(batchVecs.where(col(vec).isNotNull), Seq(id))
     val semGrown = Dedup.semIndexAppend(semIndex, admittedVecs, id, vec)
     val ivfGrown = Similarity.ivfAppend(ivfIndex, admittedVecs, id, vec)
+    // the text-side indexes grow too (round 20): admitted fingerprints
+    // are unique by construction (exact_new ⇒ not in the frozen set AND
+    // first per fp within the batch), so a plain union preserves the fp
+    // set's uniqueness contract; the MinHash append is the O(batch)
+    // union shape ([[Dedup.minhashIndexAppend]]). Both are what the
+    // NEXT cycle screens against — sequential cycles chain exactly.
+    val fpGrown = fpIndex.unionByName(
+      admittedIds.select(TextAnalysis.fingerprint(col(text)).as("fp"))
+        .where(col("fp").isNotNull))
+    val mhGrown = Dedup.minhashIndexAppend(mhIndex, admittedIds, id, text)
+    // gauge-to-action (verdict r19 #2): health(base) vs health(grown)
+    // through the shared decision row; a tripped gauge retrains the
+    // grown index under its own derived config before it is returned.
+    val (semFinal, semRebuilt) =
+      if (!checkRebuild) (semGrown, false)
+      else {
+        val due = Similarity.indexRebuildDecision(
+            Dedup.semIndexHealth(semIndex), Dedup.semIndexHealth(semGrown),
+            maxListLoad, driftFloor)
+          .select("rebuild_due").collect().head.getBoolean(0)
+        if (due) (Dedup.semIndexRebuild(semGrown), true) else (semGrown, false)
+      }
+    val (ivfFinal, ivfRebuilt) =
+      if (!checkRebuild) (ivfGrown, false)
+      else {
+        val due = Similarity.indexRebuildDecision(
+            Similarity.ivfIndexHealth(ivfIndex),
+            Similarity.ivfIndexHealth(ivfGrown), maxListLoad, driftFloor)
+          .select("rebuild_due").collect().head.getBoolean(0)
+        if (due) (Similarity.ivfRebuild(ivfGrown), true) else (ivfGrown, false)
+      }
     val spark = batch.sparkSession
     // An empty admitted set appends NO delta prefix (review r19): a
     // long-running intake stream whose quiet triggers each grew the
@@ -174,7 +233,7 @@ object Ingest {
     // Assigned cluster ids come from the GROWN artifacts themselves (the
     // appended member/posting rows), so the fate frame reports what the
     // indexes actually recorded, not a re-derivation.
-    val semCid = Dedup.semIndexMembers(semGrown)
+    val semCid = Dedup.semIndexMembers(semFinal)
       .join(admittedIds.select(col(id).as("_mid")), Seq("_mid"), "left_semi")
       .select(col("_mid").as(id), col("_c_id").as("sem_cid"))
     // the member's ASSIGNED (best) list, from the grown artifact's own
@@ -185,7 +244,7 @@ object Ingest {
     // assignment.
     val ivfCid = admittedVecs.withColumn("ivf_cid",
         graft.functions.CentroidFunctions.nearest_centroid_id(
-          col(vec), Similarity.ivfIndexCentroids(ivfGrown)._1))
+          col(vec), Similarity.ivfIndexCentroids(ivfFinal)._1))
       .select(col(id), col("ivf_cid"))
     val fates = gated
       .join(exact.select(col(id), col("exact_new")), Seq(id), "left")
@@ -198,6 +257,7 @@ object Ingest {
       .join(ivfCid, Seq(id), "left")
       .join(served, Seq(id), "left")
       .withColumn("in_manifest", coalesce(col("in_manifest"), lit(false)))
-    IngestResult(fates, semGrown, ivfGrown, snap)
+    IngestResult(fates, fpGrown, mhGrown, semFinal, ivfFinal, snap,
+      semRebuilt, ivfRebuilt)
   }
 }

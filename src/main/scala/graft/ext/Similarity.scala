@@ -765,10 +765,12 @@ object Similarity {
       k: Int, nProbe: Int = 8): DataFrame = {
     // see GraphAnn.graphSearchServing: without this, the
     // DisableUnnecessaryBucketedScan rule silently drops bucket pruning
-    // from point lookups and the scan reads every bucket
+    // from point lookups and the scan reads every bucket. The pin is
+    // scoped to THIS call (verdict r19 #3): the probe collect and the
+    // final top-k both materialize inside it, and the caller session's
+    // conf is restored on return.
     val spark = index.sparkSession
-    spark.conf
-      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    GraphAnn.withAutoBucketedScanOff(spark) {
     import spark.implicits._
     val (cents, _, _, _) = ivfIndexCentroids(index)
     // top-nProbe list selection through the k-INDEPENDENT native kernel
@@ -807,6 +809,10 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col(qId), col("member_id").as("vec_id"), col("cosine"))
+      // materialize while the conf pin is live — ≤ |probes|·k rows; the
+      // caller's session conf is restored the moment this returns
+      .localCheckpoint(true)
+    }
   }
 
   // --- int8 scalar quantization (SQ8) -----------------------------------

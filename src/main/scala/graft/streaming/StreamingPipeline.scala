@@ -735,14 +735,40 @@ object StreamingPipeline {
   /** The composed-ingest admission cycle as a STREAM (the
     * [[graft.ext.Ingest.ingestBatch]] twin, verdict r18 #4): each
     * micro-batch of crawl rows runs the full sequential admission —
-    * URL policy → blocklist → quality → exact/MinHash/semantic screens
-    * against the FROZEN corpus indexes (pinned once, pre-stream) — and
-    * the admitted set delta-commits to the serving
+    * URL policy → blocklist → quality → exact/MinHash/semantic screens —
+    * and the admitted set delta-commits to the serving
     * [[graft.operators.ManifestTable]] (O(admitted) I/O per trigger).
-    * Peer screens see the micro-batch, which IS the streaming batch
-    * semantics; the corpus side never recomputes. foreachBatch holds no
-    * state store — the manifest row count is the numeric state bound
-    * StreamBench reports (the manifest-twin convention).
+    *
+    * The four index artifacts THREAD across triggers (round 20, advice
+    * r19): each trigger screens against the state every earlier trigger
+    * grew, so the stream is exactly a sequential chain of
+    * [[graft.ext.Ingest.ingestBatch]] cycles — a duplicate pair SPLIT
+    * across micro-batches is caught (the earlier row is in the grown
+    * fp/MinHash/semantic indexes by the time the later one arrives),
+    * where screening only the pre-stream frozen state would admit both.
+    * The corpus-side build is still never recomputed: every per-trigger
+    * growth is O(batch) rows appended over the already-pinned previous
+    * state. Per trigger the grown artifacts are re-pinned
+    * (localCheckpoint) so lineage never chains across triggers (the
+    * r16 iterative-loop lesson); a deployment would instead append the
+    * delta rows to the persisted bucketed serving tables
+    * ([[graft.sources.Sources.writeBucketed]]) and re-read them.
+    *
+    * `rebuildCheckEvery` closes the LAST lifecycle loop (verdict r19
+    * #2): every Nth trigger the cycle gauges the grown vector indexes
+    * against their pre-append base and retrains the ones whose
+    * [[graft.ext.Similarity.indexRebuildDecision]] trips — a drifting
+    * intake stream rebuilds mid-stream instead of growing a degrading
+    * index forever. 0 (the default) never checks; gauging is O(index),
+    * so pick N to taste the amortization.
+    *
+    * foreachBatch holds no state store — the manifest row count is the
+    * numeric state bound StreamBench reports (the manifest-twin
+    * convention); the threaded frames live in the closure, sequenced by
+    * the micro-batch execution order foreachBatch guarantees. `onCycle`
+    * observes each trigger's [[graft.ext.Ingest.IngestResult]] (with
+    * the pinned grown artifacts substituted in) — the metrics surface
+    * for admission counts and rebuild flags.
     */
   def ingestStream(
       crawl: DataFrame, batchVecs: DataFrame,
@@ -750,20 +776,41 @@ object StreamingPipeline {
       semIndex: DataFrame, ivfIndex: DataFrame,
       rules: Seq[graft.ext.UrlOps.UrlRule],
       blockTerms: Seq[String], maxBannedPerMille: Long,
-      minTokens: Long, eps: Double, manifestDir: String)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      minTokens: Long, eps: Double, manifestDir: String,
+      rebuildCheckEvery: Int = 0,
+      rebuildMaxListLoad: Double = 3.0, rebuildDriftFloor: Double = -0.05,
+      onCycle: graft.ext.Ingest.IngestResult => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var fpIdx = fpIndex
+    var mhIdx = mhIndex
+    var semIdx = semIndex
+    var ivfIdx = ivfIndex
     crawl.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          val check = rebuildCheckEvery > 0 &&
+            batchId % rebuildCheckEvery == (rebuildCheckEvery - 1).toLong
           val r = graft.ext.Ingest.ingestBatch(
             batch.localCheckpoint(true), // every stage fans out of it
             "doc_id", "text", "url", batchVecs, "embedding",
-            fpIndex, mhIndex, semIndex, ivfIndex,
+            fpIdx, mhIdx, semIdx, ivfIdx,
             rules, blockTerms, maxBannedPerMille, minTokens, eps,
-            manifestDir, batchId, deltaCommit = true)
+            manifestDir, batchId, deltaCommit = true,
+            checkRebuild = check, maxListLoad = rebuildMaxListLoad,
+            driftFloor = rebuildDriftFloor)
           // the commit already ran inside ingestBatch; materializing the
           // fate frame is the per-trigger observable work
           r.fates.write.format("noop").mode("overwrite").save()
+          // thread the grown state into the next trigger's screens
+          fpIdx = r.fpIndex.localCheckpoint(true)
+          mhIdx = r.mhIndex.localCheckpoint(true)
+          semIdx = r.semIndex.localCheckpoint(true)
+          ivfIdx = r.ivfIndex.localCheckpoint(true)
+          // per-cycle observer (metrics surface: admission counts,
+          // rebuild flags) — called after the state is pinned
+          onCycle(r.copy(
+            fpIndex = fpIdx, mhIndex = mhIdx,
+            semIndex = semIdx, ivfIndex = ivfIdx))
           // bound the delta-prefix chain (review r19): without periodic
           // compaction the per-trigger merged read-back grows linearly
           // with trigger count — quadratic total over a long stream
@@ -773,6 +820,7 @@ object StreamingPipeline {
         }
         ()
     }
+  }
 
   /** [[manifestUpsertSink]] with DELTA commits: each micro-batch writes
     * only its own (within-batch keep-last deduped) rows as a new

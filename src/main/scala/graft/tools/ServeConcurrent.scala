@@ -1,0 +1,168 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CONCURRENT-serving pin (round 20, verdict r19 "What's missing #3"):
+  * the ServeProbe pins measure one probe batch at a time, but a serving
+  * deployment runs many batches against the same session at once —
+  * where the driver-sequenced hops (~5 jobs/batch) and the shared hot
+  * replica contend. This probe runs B disjoint fixed-size probe batches
+  * through [[graft.ext.GraphAnn.graphSearchServing]] /
+  * [[graft.ext.Similarity.ivfSearchServing]] from B driver threads
+  * simultaneously (FAIR scheduler — the deployment shape) over ONE
+  * pinned serving replica, and reports per-batch latency against the
+  * same-session solo wall.
+  *
+  * The serving session's `autoBucketedScan` conf is pinned false for
+  * the probe's lifetime: the entry points' per-call save/restore is
+  * then a no-op, so concurrent calls cannot race the session conf —
+  * which is also the dedicated-serving-session contract the API
+  * documents for mixed workloads.
+  *
+  * Env: SPARK_GRAFT_SCALE_DIR (corpus), SPARK_GRAFT_SCALE_FACTOR
+  * (label), SPARK_GRAFT_CPUS, SPARK_GRAFT_BATCHES (default 4),
+  * SPARK_GRAFT_PROBE_N (default 200), SPARK_GRAFT_RUNS (default 3,
+  * min-of for the solo pin), SPARK_GRAFT_SETTLE_SEC,
+  * SPARK_GRAFT_SERVE_OUT. Prints one JSON line.
+  */
+object ServeConcurrent {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/sfx10")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "4").toInt.max(2)
+    val probeN = sys.env.getOrElse("SPARK_GRAFT_PROBE_N", "200").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    val settleSec = sys.env.getOrElse("SPARK_GRAFT_SETTLE_SEC", "60").toInt
+    val outFile = sys.env.getOrElse(
+      "SPARK_GRAFT_SERVE_OUT", "SCALE_SERVE_CONCURRENT.json")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf
+      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+
+    def load(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    def f(d: Double): String = BigDecimal(d).setScale(3,
+      BigDecimal.RoundingMode.HALF_UP).toString
+
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+      .localCheckpoint(true)
+    val n = e.count()
+    // B DISJOINT fixed-size batches: consecutive id ranges of the
+    // ordered corpus — same per-batch size as the solo ServeProbe pins
+    val allProbes = e.select(col("vec_id").as("q_id"))
+      .orderBy("q_id").limit(probeN * nBatches)
+      .localCheckpoint(true)
+    val batches = (0 until nBatches).map { i =>
+      allProbes.orderBy("q_id")
+        .offset(i * probeN).limit(probeN).localCheckpoint(true)
+    }
+    val art = java.nio.file.Files
+      .createTempDirectory("graft_serve_conc").toString
+
+    System.err.println(s"[serveconc] $dir: graph index + serving layout" +
+      " (untimed)")
+    val gIdx = graft.ext.GraphAnn.graphIndex(e, "vec_id", "embedding",
+      k = 16, iters = 2).localCheckpoint(true)
+    val gBuckets = math.max(32L, n / 200L).toInt
+    graft.ext.GraphAnn.graphWriteServing(gIdx, "g_serve_conc",
+      s"$art/edges", gBuckets)
+    val edges = spark.table("g_serve_conc").coalesce(2 * cpus.toInt).persist()
+    edges.count(): Unit
+
+    val nLists = math.max(64, math.min(1024, (4 * math.sqrt(n.toDouble)).toInt))
+    System.err.println(s"[serveconc] $dir: ivf index nLists=$nLists" +
+      " + serving layout (untimed)")
+    val iIdx = graft.ext.Similarity.ivfIndex(e, "vec_id", "embedding",
+      nCentroids = nLists)
+    graft.ext.Similarity.ivfWriteServing(iIdx, "ivf_serve_conc",
+      s"$art/ivf", buckets = math.max(32, nLists / 4))
+    val iTable = spark.table("ivf_serve_conc").coalesce(2 * cpus.toInt)
+      .persist()
+    iTable.count(): Unit
+    def vecProbes(p: DataFrame): DataFrame = p
+      .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        Seq("q_id"))
+      .localCheckpoint(true)
+    val vBatches = batches.map(vecProbes)
+
+    def gSearch(p: DataFrame): Unit =
+      graft.ext.GraphAnn.graphSearchServing(e, "vec_id", "embedding",
+        edges, p, "q_id", k = 10, ef = 160)
+        .write.format("noop").mode("overwrite").save()
+    def iSearch(p: DataFrame): Unit =
+      graft.ext.Similarity.ivfSearchServing(iTable, p, "q_id", "q_emb",
+        k = 10, nProbe = 8)
+        .write.format("noop").mode("overwrite").save()
+
+    def timedSolo(run: () => Unit): Double = (1 to runs).map { _ =>
+      val t0 = System.nanoTime(); run(); (System.nanoTime() - t0) / 1e9
+    }.min
+
+    /** All batches at once, one driver thread each; returns
+      * (wall, per-batch latencies). One measured round — concurrency IS
+      * the condition under test, min-of-N would cherry-pick the round
+      * with the least self-contention.
+      */
+    def timedConcurrent(run: DataFrame => Unit, ps: Seq[DataFrame])
+        : (Double, Seq[Double]) = {
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val lat = new Array[Double](ps.length)
+      val threads = ps.zipWithIndex.map { case (p, i) =>
+        val t = new Thread(() => {
+          start.await()
+          val t0 = System.nanoTime()
+          run(p)
+          lat(i) = (System.nanoTime() - t0) / 1e9
+        })
+        t.start(); t
+      }
+      val w0 = System.nanoTime()
+      start.countDown()
+      threads.foreach(_.join())
+      ((System.nanoTime() - w0) / 1e9, lat.toSeq)
+    }
+
+    System.gc(); Thread.sleep(settleSec * 1000L)
+    val load0 = load()
+    val gSolo = timedSolo(() => gSearch(batches.head))
+    val (gWall, gLat) = timedConcurrent(gSearch, batches)
+    val loadMid = load()
+    val iSolo = timedSolo(() => iSearch(vBatches.head))
+    val (iWall, iLat) = timedConcurrent(iSearch, vBatches)
+    val loadEnd = load()
+
+    def arr(xs: Seq[Double]) = xs.map(f).mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"ann_serve_concurrent","factor":$factor,""" +
+        s""""method":"bucketed serving layout, hot replica pinned once; solo = min of $runs runs of one $probeN-probe batch; concurrent = $nBatches disjoint $probeN-probe batches from $nBatches driver threads at once (FAIR scheduler, one measured round), per-batch latency + total wall; serving-session conf pinned (autoBucketedScan=false) so per-call restores are no-ops under concurrency","""+
+        s""""dir":"$dir","corpus_rows":$n,"batches":$nBatches,"probe_n":$probeN,""" +
+        s""""load_avg_start":$load0,"load_avg_mid":$loadMid,"load_avg_end":$loadEnd,""" +
+        s""""graph":{"solo_sec":${f(gSolo)},"concurrent_wall_sec":${f(gWall)},""" +
+        s""""per_batch_sec":${arr(gLat)},""" +
+        s""""throughput_x":${f(gSolo * nBatches / gWall)}},""" +
+        s""""ivf":{"solo_sec":${f(iSolo)},"concurrent_wall_sec":${f(iWall)},""" +
+        s""""per_batch_sec":${arr(iLat)},""" +
+        s""""throughput_x":${f(iSolo * nBatches / iWall)}}}"""
+    println(line)
+    val out = java.nio.file.Paths.get(outFile).toAbsolutePath
+    val tmp = java.nio.file.Files.createTempFile(
+      out.getParent, ".serve_", ".json")
+    java.nio.file.Files.writeString(tmp, line)
+    java.nio.file.Files.move(tmp, out,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    spark.stop()
+  }
+}

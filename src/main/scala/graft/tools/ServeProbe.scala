@@ -164,8 +164,11 @@ object ServeProbe {
           graft.ext.GraphAnn.graphIndexEdges(gIdx))
         .localCheckpoint(true)
       System.gc(); Thread.sleep(settleSec * 1000L)
+      // probeCount is KNOWN here (a fixed serving batch), so the
+      // broadcast gate skips its bounded counting job (advice r19)
       val gSec = timed(() => graft.ext.GraphAnn.searchOverUnd(
-        e, "vec_id", "embedding", und, probes, "q_id", k = 10, ef = 160))
+        e, "vec_id", "embedding", und, probes, "q_id", k = 10, ef = 160,
+        probeCount = probeN.toLong))
       System.err.println(s"[serveprobe] $dir: building ivf index (untimed)")
       val iIdx = graft.ext.Similarity.ivfIndex(e, "vec_id", "embedding",
         nCentroids = 64).localCheckpoint(true)

@@ -56,9 +56,20 @@ class ServeBucketedSpec extends SparkSpec {
       assert(sel.forall { case (x, y) => x <= 3 && y == 32 },
         s"3-id frontier should touch <= 3 of 32 buckets, got $sel")
 
-      // the full serving search: identical rows to the reference path
+      // the full serving search: identical rows to the reference path.
+      // Conf scoping (verdict r19 #3): the call pins
+      // autoBucketedScan=false internally, materializes under the pin,
+      // and must RESTORE the caller's setting — a mixed-workload
+      // session keeps its auto-bucketed-scan planning.
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
       val served = GraphAnn.graphSearchServing(e, "vec_id", "embedding",
         edges, probes, "q_id", k = 5, ef = 24)
+      assert(spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled") == "true",
+        "serving call must not leak its conf pin into the caller session")
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       val reference = GraphAnn.graphSearch(e, "vec_id", "embedding",
         GraphAnn.graphIndexEdges(index), probes, "q_id", k = 5, ef = 24)
       val s = served.as[(Long, Long, Double)].collect().toSet
@@ -89,8 +100,16 @@ class ServeBucketedSpec extends SparkSpec {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         .localCheckpoint(true)
 
+      // conf scoping: same restore contract as the graph path
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
       val served = Similarity.ivfSearchServing(table, probes, "q_id", "q_emb",
         k = 5, nProbe = 2)
+      assert(spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled") == "true",
+        "serving call must not leak its conf pin into the caller session")
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       val reference = Similarity.ivfSearchIndex(index, probes, "q_id", "q_emb",
         k = 5, nProbe = 2)
       val s = served.as[(Long, Long, Double)].collect().toSet
