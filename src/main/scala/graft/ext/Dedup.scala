@@ -1508,11 +1508,19 @@ object Dedup {
     */
   def semIndexRebuildIfDue(
       base: DataFrame, grown: DataFrame,
-      maxListLoad: Double = 3.0, driftFloor: Double = -0.05): DataFrame = {
+      maxListLoad: Double = 3.0, driftFloor: Double = -0.05): DataFrame =
+    semIndexRebuildIfDueFlagged(base, grown, maxListLoad, driftFloor)._1
+
+  /** [[semIndexRebuildIfDue]] plus whether it fired — see
+    * [[graft.ext.Similarity.ivfRebuildIfDueFlagged]] (review r20).
+    */
+  private[graft] def semIndexRebuildIfDueFlagged(
+      base: DataFrame, grown: DataFrame,
+      maxListLoad: Double, driftFloor: Double): (DataFrame, Boolean) = {
     val due = Similarity.indexRebuildDecision(
         semIndexHealth(base), semIndexHealth(grown), maxListLoad, driftFloor)
       .select("rebuild_due").collect().head.getBoolean(0)
-    if (due) semIndexRebuild(grown) else grown
+    if (due) (semIndexRebuild(grown), true) else (grown, false)
   }
 
   def incrementalSemDedup(

@@ -598,16 +598,36 @@ object GraphAnn {
     * (verdict r19 #3). The pin must be live at ACTION time, so any frame
     * `body` returns for later consumption must be materialized inside it
     * (the serving paths localCheckpoint their bounded results).
+    *
+    * REENTRANT per session (review r20): overlapping serving calls from
+    * concurrent threads share one refcounted scope — the first entrant
+    * saves the prior value and pins, the LAST exit restores it — so a
+    * naive save/restore race can neither leak the pin nor re-enable the
+    * conf under a still-running call. (A concurrent non-serving query
+    * that mutates this conf itself mid-call is outside the contract.)
     */
+  private val scanOffScopes = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.SparkSession, (Int, Option[String])]()
+
   private[graft] def withAutoBucketedScanOff[A](
       spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
     val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
+    scanOffScopes.synchronized {
+      val (depth, prior) = Option(scanOffScopes.get(spark))
+        .getOrElse((0, spark.conf.getOption(key)))
+      scanOffScopes.put(spark, (depth + 1, prior))
+      if (depth == 0) spark.conf.set(key, "false")
+    }
     try body
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    finally scanOffScopes.synchronized {
+      val (depth, prior) = scanOffScopes.get(spark)
+      if (depth == 1) {
+        scanOffScopes.remove(spark)
+        prior match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      } else scanOffScopes.put(spark, (depth - 1, prior))
     }
   }
 

@@ -188,27 +188,16 @@ object Ingest {
       admittedIds.select(TextAnalysis.fingerprint(col(text)).as("fp"))
         .where(col("fp").isNotNull))
     val mhGrown = Dedup.minhashIndexAppend(mhIndex, admittedIds, id, text)
-    // gauge-to-action (verdict r19 #2): health(base) vs health(grown)
-    // through the shared decision row; a tripped gauge retrains the
-    // grown index under its own derived config before it is returned.
+    // gauge-to-action (verdict r19 #2): the families' own
+    // rebuild-if-due wiring, flagged form — one decision path repo-wide
     val (semFinal, semRebuilt) =
       if (!checkRebuild) (semGrown, false)
-      else {
-        val due = Similarity.indexRebuildDecision(
-            Dedup.semIndexHealth(semIndex), Dedup.semIndexHealth(semGrown),
-            maxListLoad, driftFloor)
-          .select("rebuild_due").collect().head.getBoolean(0)
-        if (due) (Dedup.semIndexRebuild(semGrown), true) else (semGrown, false)
-      }
+      else Dedup.semIndexRebuildIfDueFlagged(
+        semIndex, semGrown, maxListLoad, driftFloor)
     val (ivfFinal, ivfRebuilt) =
       if (!checkRebuild) (ivfGrown, false)
-      else {
-        val due = Similarity.indexRebuildDecision(
-            Similarity.ivfIndexHealth(ivfIndex),
-            Similarity.ivfIndexHealth(ivfGrown), maxListLoad, driftFloor)
-          .select("rebuild_due").collect().head.getBoolean(0)
-        if (due) (Similarity.ivfRebuild(ivfGrown), true) else (ivfGrown, false)
-      }
+      else Similarity.ivfRebuildIfDueFlagged(
+        ivfIndex, ivfGrown, maxListLoad, driftFloor)
     val spark = batch.sparkSession
     // An empty admitted set appends NO delta prefix (review r19): a
     // long-running intake stream whose quiet triggers each grew the

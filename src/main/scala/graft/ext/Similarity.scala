@@ -699,11 +699,21 @@ object Similarity {
     */
   def ivfRebuildIfDue(
       base: DataFrame, grown: DataFrame,
-      maxListLoad: Double = 3.0, driftFloor: Double = -0.05): DataFrame = {
+      maxListLoad: Double = 3.0, driftFloor: Double = -0.05): DataFrame =
+    ivfRebuildIfDueFlagged(base, grown, maxListLoad, driftFloor)._1
+
+  /** [[ivfRebuildIfDue]] plus whether it fired — the form compositions
+    * that must REPORT the rebuild use ([[Ingest.ingestBatch]]'s
+    * `ivfRebuilt`); one decision path, no re-inlined gauge logic
+    * (review r20).
+    */
+  private[graft] def ivfRebuildIfDueFlagged(
+      base: DataFrame, grown: DataFrame,
+      maxListLoad: Double, driftFloor: Double): (DataFrame, Boolean) = {
     val due = indexRebuildDecision(
         ivfIndexHealth(base), ivfIndexHealth(grown), maxListLoad, driftFloor)
       .select("rebuild_due").collect().head.getBoolean(0)
-    if (due) ivfRebuild(grown) else grown
+    if (due) (ivfRebuild(grown), true) else (grown, false)
   }
 
   /** ANN top-k over a persisted IVF index — [[ivfTopK]]'s probe plan

@@ -746,13 +746,24 @@ object StreamingPipeline {
     * across micro-batches is caught (the earlier row is in the grown
     * fp/MinHash/semantic indexes by the time the later one arrives),
     * where screening only the pre-stream frozen state would admit both.
-    * The corpus-side build is still never recomputed: every per-trigger
-    * growth is O(batch) rows appended over the already-pinned previous
-    * state. Per trigger the grown artifacts are re-pinned
-    * (localCheckpoint) so lineage never chains across triggers (the
-    * r16 iterative-loop lesson); a deployment would instead append the
-    * delta rows to the persisted bucketed serving tables
-    * ([[graft.sources.Sources.writeBucketed]]) and re-read them.
+    * The corpus-side build is never recomputed — each GROWTH is
+    * O(batch) appended rows — but the per-trigger re-pin of the grown
+    * frames (localCheckpoint, so lineage never chains across triggers —
+    * the r16 iterative-loop lesson) re-materializes the WHOLE index,
+    * O(index) per trigger: an in-memory-twin simplification. A
+    * deployment appends just the delta rows to the persisted bucketed
+    * serving tables ([[graft.sources.Sources.writeBucketed]]) and
+    * re-reads them, keeping per-trigger I/O O(batch).
+    *
+    * The threaded frames live in DRIVER closure state: they do NOT
+    * survive a streaming-query restart from a checkpoint — a restarted
+    * query screens against the constructor's indexes again until its
+    * own triggers re-grow them. A restart-safe deployment passes the
+    * PERSISTED index tables (the durable artifacts the appends target)
+    * as the frozen state at (re)start; a re-processed trigger that
+    * re-commits the same admitted set adds a prefix whose rows the
+    * reader's latest-prefix-wins merge already carries — a no-op for
+    * readers.
     *
     * `rebuildCheckEvery` closes the LAST lifecycle loop (verdict r19
     * #2): every Nth trigger the cycle gauges the grown vector indexes

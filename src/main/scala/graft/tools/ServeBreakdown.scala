@@ -112,8 +112,7 @@ object ServeBreakdown {
     val tIvf = timed(() => graft.ext.Similarity.ivfSearchIndex(
       iIdx, vecProbes, "q_id", "q_emb", k = 10, nProbe = 8))
 
-    def f(d: Double): String = BigDecimal(d).setScale(3,
-      BigDecimal.RoundingMode.HALF_UP).toString
+    def f(d: Double): String = ToolIO.f3(d)
     println(
       s"""{"metric":"serve_breakdown","dir":"$dir","n":$n,"und_rows":$undRows,""" +
       s""""n_cand":$nCand,"n_hop3":$nHop3,"n_fresh":$nFresh,""" +

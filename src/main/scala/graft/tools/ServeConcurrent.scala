@@ -49,10 +49,8 @@ object ServeConcurrent {
     spark.conf
       .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
 
-    def load(): Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    def f(d: Double): String = BigDecimal(d).setScale(3,
-      BigDecimal.RoundingMode.HALF_UP).toString
+    def load(): Double = ToolIO.load()
+    def f(d: Double): String = ToolIO.f3(d)
 
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
       .where(col("embedding").isNotNull)
@@ -119,18 +117,27 @@ object ServeConcurrent {
         : (Double, Seq[Double]) = {
       val start = new java.util.concurrent.CountDownLatch(1)
       val lat = new Array[Double](ps.length)
+      // a failed search must FAIL the benchmark, not leave a 0.0
+      // latency slot that reads as a great result (review r20)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
       val threads = ps.zipWithIndex.map { case (p, i) =>
         val t = new Thread(() => {
           start.await()
           val t0 = System.nanoTime()
-          run(p)
-          lat(i) = (System.nanoTime() - t0) / 1e9
+          try {
+            run(p)
+            lat(i) = (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable => errs.add(e): Unit }
         })
         t.start(); t
       }
       val w0 = System.nanoTime()
       start.countDown()
       threads.foreach(_.join())
+      if (!errs.isEmpty)
+        throw new RuntimeException(
+          s"${errs.size} of ${ps.length} concurrent batches failed",
+          errs.peek())
       ((System.nanoTime() - w0) / 1e9, lat.toSeq)
     }
 
@@ -156,13 +163,7 @@ object ServeConcurrent {
         s""""per_batch_sec":${arr(iLat)},""" +
         s""""throughput_x":${f(iSolo * nBatches / iWall)}}}"""
     println(line)
-    val out = java.nio.file.Paths.get(outFile).toAbsolutePath
-    val tmp = java.nio.file.Files.createTempFile(
-      out.getParent, ".serve_", ".json")
-    java.nio.file.Files.writeString(tmp, line)
-    java.nio.file.Files.move(tmp, out,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    ToolIO.writeAtomic(outFile, line)
     spark.stop()
   }
 }

@@ -47,8 +47,7 @@ object ServeProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def load(): Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    def load(): Double = ToolIO.load()
 
     /** min-of-N noop-write seconds of `mk()`'s plan (the index inputs are
       * pinned by the caller, so repeated runs re-execute only the search).
@@ -189,8 +188,7 @@ object ServeProbe {
     val (nN, gN, iN) =
       if (mode == "bucketed") probeDirBucketed(scaled, "x") else probeDir(scaled)
     val loadEnd = load()
-    def f(d: Double): String = BigDecimal(d).setScale(3,
-      BigDecimal.RoundingMode.HALF_UP).toString
+    def f(d: Double): String = ToolIO.f3(d)
     val methodDesc =
       if (mode == "bucketed")
         "bucketed serving layout (graphWriteServing/ivfWriteServing) written untimed, " +
@@ -211,15 +209,7 @@ object ServeProbe {
         s""""graph_search_sec":{"base":${f(g1)},"scaled":${f(gN)},"ratio":${f(gN / g1)}},""" +
         s""""ivf_search_sec":{"base":${f(i1)},"scaled":${f(iN)},"ratio":${f(iN / i1)}}}"""
     println(line)
-    // temp + atomic rename — the artifact-write discipline (a crash
-    // mid-write must not truncate the record of an expensive probe)
-    val out = java.nio.file.Paths.get(outFile).toAbsolutePath
-    val tmp = java.nio.file.Files.createTempFile(
-      out.getParent, ".serve_", ".json")
-    java.nio.file.Files.writeString(tmp, line)
-    java.nio.file.Files.move(tmp, out,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    ToolIO.writeAtomic(outFile, line)
     spark.stop()
   }
 }

@@ -37,6 +37,26 @@ class ServeBucketedSpec extends SparkSpec {
   spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
     "false")
 
+  test("conf pin is reentrant: overlapping serve scopes restore once") {
+    // review r20: overlapping serving calls share one refcounted scope —
+    // the inner exit must NOT restore early (which would strip pruning
+    // from the outer call's remaining jobs), and the last exit restores
+    // the true prior value
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    spark.conf.set(key, "true")
+    GraphAnn.withAutoBucketedScanOff(spark) {
+      assert(spark.conf.get(key) == "false")
+      GraphAnn.withAutoBucketedScanOff(spark) {
+        assert(spark.conf.get(key) == "false")
+      }
+      assert(spark.conf.get(key) == "false",
+        "inner exit must not restore while the outer scope is live")
+    }
+    assert(spark.conf.get(key) == "true",
+      "last exit must restore the pre-scope value")
+    spark.conf.set(key, "false") // back to the spec-wide setting
+  }
+
   test("graph serving: bucketed lookups prune buckets, results identical") {
     val dir = Files.createTempDirectory("graft-gserve").toString
     val index = GraphAnn.graphIndex(e, "vec_id", "embedding", k = 8, iters = 2)
