@@ -48,25 +48,26 @@ object AudioQueries {
     * whose per-doc difference is a CONSTANT offset invisible to the
     * k ≥ 1 bins), signed by − 128.
     */
-  private def byteCol(docId: Column, t: Column): Column =
-    conv(md5(concat(docId.cast("string"), lit("_"),
-        call_function("div", t.cast("long"), lit(16L)).cast("string")))
-      .substr((t % 16) * 2 + 1, lit(2)), 16, 10).cast("long")
-
-  private def sampleCol(docId: Column, t: Column): Column =
-    byteCol(docId, t) - 128
-
-  private def wavPayload(s: Column => Column): Column = {
-    val raster8 = array_join(
-      transform(sequence(lit(0), lit(511)),
-        t => lpad(hex(s(t) + 128), 2, "0")), "")
-    val raster16 = array_join(
-      transform(sequence(lit(0), lit(511)),
-        t => concat(lit("00"), lpad(hex(pmod(s(t) + 256, lit(256))), 2, "0"))),
-      "")
+  /** WAV payload under the md5 waveform model: sample byte `t` of
+    * source `base` is byte `t mod 16` of md5("<base>_<t div 16>"),
+    * optionally perturbed (+`perturbDelta` mod 256) at ONE sample
+    * `perturbIdx` (−1 = none) — the planted-twin device; docs ≡ 0
+    * (mod 3) encode 16-bit PCM, the rest 8-bit. Rendered by the native
+    * one-call codegen raster expression
+    * ([[graft.functions.SynthRasterImpl]], optimization r20 — replaces
+    * two interpreted 512-element `transform` lambdas per row;
+    * bit-equivalence pinned by SynthRasterSpec).
+    */
+  private def wavPayload(
+      base: Column, perturbIdx: Column, perturbDelta: Column): Column = {
+    val prefix = concat(base.cast("string"), lit("_"))
     unhex(when(pmod(col("doc_id"), lit(3)) === 0,
-        concat(lit(headerHex(16)), raster16))
-      .otherwise(concat(lit(headerHex(8)), raster8)))
+        concat(lit(headerHex(16)),
+          graft.functions.SynthRasterFunctions.wav16_raster_hex(
+            prefix, perturbIdx, perturbDelta)))
+      .otherwise(concat(lit(headerHex(8)),
+        graft.functions.SynthRasterFunctions.wav8_raster_hex(
+          prefix, perturbIdx, perturbDelta))))
   }
 
   /** The quantized DFT tables as SQL VALUES rows — the exact longs the
@@ -134,7 +135,7 @@ object AudioQueries {
       val media = QueryDef.table(s, d, "documents")
         .filter(pmod(col("doc_id"), lit(5)) === 0)
         .select(col("doc_id").as("media_id"),
-          wavPayload(t => sampleCol(col("doc_id"), t)).as("payload"))
+          wavPayload(col("doc_id"), lit(-1), lit(0)).as("payload"))
       AudioFingerprint.audioFingerprints(s, media)
         .select(col("media_id").as("doc_id"),
           lpad(bin(col("fp")), 56, "0").as("fp_bits"))
@@ -160,10 +161,8 @@ object AudioQueries {
       val base = when(isTwin, id - 1).otherwise(id)
       val media = QueryDef.table(s, d, "documents")
         .select(id.as("media_id"),
-          wavPayload(t => pmod(byteCol(base, t) +
-              when(isTwin && (t === 0), lit(1)).otherwise(lit(0)),
-            lit(256)) - 128)
-            .as("payload"))
+          wavPayload(base,
+            when(isTwin, lit(0)).otherwise(lit(-1)), lit(1)).as("payload"))
       AudioFingerprint.audioNearDupPairs(s, media, maxHamming = 3)
         .orderBy("id1", "id2")
     },
@@ -219,9 +218,8 @@ object AudioQueries {
       def media(parity: Int) = QueryDef.table(s, d, "documents")
         .filter(pmod(id, lit(2)) === parity)
         .select(id.as("media_id"),
-          wavPayload(t => pmod(byteCol(base, t) +
-              when(m10.isin(1, 5) && (t === 0), lit(1)).otherwise(lit(0)),
-            lit(256)) - 128)
+          wavPayload(base,
+            when(m10.isin(1, 5), lit(0)).otherwise(lit(-1)), lit(1))
             .as("payload"))
       val index = AudioFingerprint.audioBucketIndex(s, media(0), maxHamming = 3)
       AudioFingerprint.incrementalAudioDedup(s, media(1), index, maxHamming = 3)

@@ -43,23 +43,23 @@ object ImageQueries {
       "00000000" + "00000000" + // x/y pixels-per-metre
       "00000000" + "00000000"   // colors used / important
 
-  /** Luma of pixel `i` for document `docId`: first md5 byte of
-    * "<docId>_<i>" — replayed verbatim in the oracle.
+  /** The generative pixel model: luma of pixel `i` for source id `base`
+    * is the first md5 byte of "<base>_<i>" — replayed verbatim in the
+    * oracle — optionally perturbed (+`perturbDelta` mod 256) at ONE
+    * pixel `perturbIdx` (−1 = none), the planted-twin device. Rendered
+    * by the native one-call codegen raster expression
+    * ([[graft.functions.SynthRasterImpl]], optimization r20 — the
+    * interpreted `transform(sequence(...))` lambda it replaces
+    * dominated the media gates; bit-equivalence pinned by
+    * SynthRasterSpec).
     */
-  private def lumCol(docId: org.apache.spark.sql.Column,
-      i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(concat(docId.cast("string"), lit("_"),
-      i.cast("string"))), 1, 2), 16, 10).cast("int")
-
-  /** Hex raster: 256 pixels, 3 identical BGR bytes each (gray). */
-  private def rasterHex(lum: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-    array_join(
-      transform(sequence(lit(0), lit(255)),
-        p => repeat(lpad(hex(lum(p)), 2, "0"), 3)),
-      "")
-
-  private def bmpPayload(lum: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-    unhex(concat(lit(BmpHeaderHex), rasterHex(lum)))
+  private def bmpPayload(
+      base: org.apache.spark.sql.Column,
+      perturbIdx: org.apache.spark.sql.Column,
+      perturbDelta: org.apache.spark.sql.Column) =
+    unhex(concat(lit(BmpHeaderHex),
+      graft.functions.SynthRasterFunctions.bmp_raster_hex(
+        concat(base.cast("string"), lit("_")), perturbIdx, perturbDelta)))
 
   /** x → cx mapping for the 16 → `t` floor-boundary area grid, as SQL
     * VALUES rows — generated from the same formula
@@ -139,7 +139,7 @@ object ImageQueries {
       val media = QueryDef.table(s, d, "documents")
         .filter(pmod(col("doc_id"), lit(5)) === 0)
         .select(col("doc_id").as("media_id"),
-          bmpPayload(p => lumCol(col("doc_id"), p)).as("payload"))
+          bmpPayload(col("doc_id"), lit(-1), lit(0)).as("payload"))
       ImageHash.imageHashes(s, media)
         .select(col("media_id").as("doc_id"),
           lpad(bin(col("dhash")), 64, "0").as("dhash_bits"),
@@ -209,10 +209,8 @@ object ImageQueries {
       val base = when(isTwin, id - 1).otherwise(id)
       val media = QueryDef.table(s, d, "documents")
         .select(id.as("media_id"),
-          bmpPayload(p => pmod(
-            lumCol(base, p) +
-              when(isTwin && (p === 0), lit(8)).otherwise(lit(0)),
-            lit(256))).as("payload"))
+          bmpPayload(base,
+            when(isTwin, lit(0)).otherwise(lit(-1)), lit(8)).as("payload"))
       ImageHash.imageNearDupPairs(s, media, maxHamming = 3)
         .orderBy("id1", "id2")
     },
@@ -256,12 +254,9 @@ object ImageQueries {
       val base = when(isPerturbed, id - m10).otherwise(id)
       val media = QueryDef.table(s, d, "documents")
         .select(id.as("media_id"),
-          bmpPayload(p => pmod(
-            lumCol(base, p) +
-              when(m10 === 1 && (p === 0), lit(8))
-                .when(m10 === 2 && (p === 1), lit(8))
-                .otherwise(lit(0)),
-            lit(256))).as("payload"))
+          bmpPayload(base,
+            when(m10 === 1, lit(0)).when(m10 === 2, lit(1)).otherwise(lit(-1)),
+            lit(8)).as("payload"))
       ImageHash.imageDupClusters(s, media, maxHamming = 3, iters = 4)
         .orderBy("media_id")
     },
@@ -334,10 +329,9 @@ object ImageQueries {
       def media(parity: Int) = QueryDef.table(s, d, "documents")
         .filter(pmod(id, lit(2)) === parity)
         .select(id.as("media_id"),
-          bmpPayload(p => pmod(
-            lumCol(base, p) +
-              when(m10.isin(1, 5) && (p === 0), lit(8)).otherwise(lit(0)),
-            lit(256))).as("payload"))
+          bmpPayload(base,
+            when(m10.isin(1, 5), lit(0)).otherwise(lit(-1)),
+            lit(8)).as("payload"))
       val index = ImageHash.imageBucketIndex(s, media(0), maxHamming = 3)
       ImageHash.incrementalImageDedup(s, media(1), index, maxHamming = 3)
         .orderBy("media_id")

@@ -66,15 +66,20 @@ object VideoQueries {
     ftyp + moov(probeLen.toLong) + mdatHdr
   }
 
-  /** Hex raster of one 16×16 gray BMP frame under a pixel→luma model. */
-  private def rasterHex(lum: Column => Column): Column =
-    array_join(
-      transform(sequence(lit(0), lit(255)),
-        p => repeat(lpad(hex(lum(p)), 2, "0"), 3)),
-      "")
-
-  private def frameHex(lum: Column => Column): Column =
-    concat(lit(ImageQueries.BmpHeaderHex), rasterHex(lum))
+  /** Hex of one 16×16 gray BMP frame under the md5 generative model:
+    * `prefix` is the md5 input prefix (e.g. "<vid>_<sample>_"),
+    * `perturbIdx`/`perturbDelta` the planted-twin single-pixel
+    * perturbation (−1 = none). Native one-call codegen expression
+    * ([[graft.functions.SynthRasterImpl]]) — the interpreted
+    * `transform(sequence(...))` lambda this replaces was 70%+ of the
+    * video gates' wall time (optimization r20; bit-equivalence pinned
+    * by SynthRasterSpec).
+    */
+  private def frameHex(
+      prefix: Column, perturbIdx: Column, perturbDelta: Column): Column =
+    concat(lit(ImageQueries.BmpHeaderHex),
+      graft.functions.SynthRasterFunctions.bmp_raster_hex(
+        prefix, perturbIdx, perturbDelta))
 
   /** The constant filler frame for non-sync samples: luma = (7x + 11y)
     * mod 256 — decodable, identical across all videos, built ONCE here
@@ -87,21 +92,25 @@ object VideoQueries {
     }.mkString
 
   /** Full MP4 payload column: the constant prefix + five frames, sync
-    * samples (0-based indices 0/2/4) from `lum(sampleIdx, pixel)`.
+    * samples (0-based indices 0/2/4) from the md5 model
+    * `model(sampleIdx) = (md5 prefix, perturbIdx, perturbDelta)` —
+    * pixel luma = first md5 byte of `prefix || pixel`, the model the
+    * oracles replay verbatim.
     */
-  private def mp4Payload(lum: (Int, Column) => Column): Column =
+  private def mp4Payload(model: Int => (Column, Column, Column)): Column =
     unhex(concat(lit(ContainerPrefixHex) +:
       (0 until NumSamples).map { s =>
-        if (SyncSamples.contains(s + 1)) frameHex(p => lum(s, p))
-        else lit(FillerFrameHex)
+        if (SyncSamples.contains(s + 1)) {
+          val (pre, pIdx, pDelta) = model(s)
+          frameHex(pre, pIdx, pDelta)
+        } else lit(FillerFrameHex)
       }: _*))
 
-  /** md5-byte luma for (videoId, 0-based sample, pixel) — the generative
-    * model, replayed verbatim in the oracle.
+  /** md5-input prefix for (videoId, 0-based sample): luma of pixel p is
+    * the first byte of md5("<vid>_<s>_<p>").
     */
-  private def lumCol(vid: Column, s: Int, p: Column): Column =
-    conv(substring(md5(concat(vid.cast("string"), lit(s"_${s}_"),
-      p.cast("string"))), 1, 2), 16, 10).cast("int")
+  private def lumPrefix(vid: Column, s: Int): Column =
+    concat(vid.cast("string"), lit(s"_${s}_"))
 
   // ---- oracle SQL fragments -------------------------------------------
 
@@ -172,7 +181,8 @@ object VideoQueries {
       val media = QueryDef.table(s, d, "documents")
         .filter(pmod(col("doc_id"), lit(5)) === 0)
         .select(col("doc_id").as("media_id"),
-          mp4Payload((smp, p) => lumCol(col("doc_id"), smp, p)).as("payload"))
+          mp4Payload(smp =>
+            (lumPrefix(col("doc_id"), smp), lit(-1), lit(0))).as("payload"))
       VideoFingerprint.videoKeyframeHashes(s, media)
         .select(col("media_id").as("doc_id"), col("kf"),
           lpad(bin(col("dhash")), 64, "0").as("dhash_bits"),
@@ -238,13 +248,12 @@ object VideoQueries {
       val id = col("doc_id")
       val media = QueryDef.table(s, d, "documents")
         .select(id.as("media_id"),
-          mp4Payload((smp, p) => pmod(
-            lumCol(twinVid(id, smp), smp, p) +
-              (if (smp == 0)
-                when(pmod(id, lit(10)) === 1 && (p === 0), lit(8))
-                  .otherwise(lit(0))
-              else lit(0)),
-            lit(256))).as("payload"))
+          mp4Payload(smp => (
+            lumPrefix(twinVid(id, smp), smp),
+            if (smp == 0)
+              when(pmod(id, lit(10)) === 1, lit(0)).otherwise(lit(-1))
+            else lit(-1),
+            lit(8))).as("payload"))
       VideoFingerprint.videoNearDupPairs(s, media)
         .orderBy("id1", "id2")
     },
@@ -293,6 +302,21 @@ object VideoQueries {
   private val SceneVLum =
     "CAST(('0x' || substr(md5(doc_id::VARCHAR || '_' || (CASE WHEN doc_id % 2 = 0 THEN 0 ELSE kf.range * 2 END)::VARCHAR || '_' || r.range::VARCHAR), 1, 2)) AS BIGINT)"
 
+  /** Probe accessor (tools/Scratch): the scenecut query's media
+    * synthesis frame alone, for stage-decomposition timing.
+    */
+  private[graft] def scenecutMediaProbe(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val id = col("doc_id")
+    QueryDef.table(s, d, "documents")
+      .select(id.as("media_id"),
+        mp4Payload(smp => (
+          when(pmod(id, lit(2)) === 0, lumPrefix(id, 0))
+            .otherwise(lumPrefix(id, smp)),
+          lit(-1), lit(0))).as("payload"))
+  }
+
   /** Scene-cut detection ([[graft.ext.VideoFingerprint.sceneCuts]]):
     * the oracle replays the consecutive-keyframe Hamming distances on
     * the sync-sample pixel models and applies the same threshold.
@@ -304,9 +328,10 @@ object VideoQueries {
       // static evens reuse sample 0's model; odds vary per sample
       val media = QueryDef.table(s, d, "documents")
         .select(id.as("media_id"),
-          mp4Payload((smp, p) =>
-            when(pmod(id, lit(2)) === 0, lumCol(id, 0, p))
-              .otherwise(lumCol(id, smp, p))).as("payload"))
+          mp4Payload(smp => (
+            when(pmod(id, lit(2)) === 0, lumPrefix(id, 0))
+              .otherwise(lumPrefix(id, smp)),
+            lit(-1), lit(0))).as("payload"))
       VideoFingerprint.sceneCuts(s, media, cutHamming = 16)
         .orderBy("media_id", "cut_kf")
     },
@@ -365,12 +390,12 @@ object VideoQueries {
       def media(parity: Int) = QueryDef.table(s, d, "documents")
         .filter(pmod(id, lit(2)) === parity)
         .select(id.as("media_id"),
-          mp4Payload((smp, p) => pmod(
-            lumCol(incVid(id, smp), smp, p) +
-              (if (smp == 0)
-                when(m10.isin(1, 5) && (p === 0), lit(8)).otherwise(lit(0))
-              else lit(0)),
-            lit(256))).as("payload"))
+          mp4Payload(smp => (
+            lumPrefix(incVid(id, smp), smp),
+            if (smp == 0)
+              when(m10.isin(1, 5), lit(0)).otherwise(lit(-1))
+            else lit(-1),
+            lit(8))).as("payload"))
       val index = VideoFingerprint.videoBucketIndex(s, media(0), maxHamming = 3)
       VideoFingerprint.incrementalVideoDedup(s, media(1), index,
           maxHamming = 3, minMatchedKeyframes = 2)

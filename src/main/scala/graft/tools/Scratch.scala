@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc stage-decomposition timings for optimization rounds. Not part
+  * of any gate; SPARK_GRAFT_SCRATCH selects the probe.
+  */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def timeIt(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[scratch] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    sys.env.getOrElse("SPARK_GRAFT_SCRATCH", "video") match {
+      case "video" =>
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        // replicate VideoQueries.qVideoScenecut's payload synthesis
+        val q = graft.SparkEntry.queries
+        // 1. full query (warm)
+        timeIt("q_video_scenecut full #1") { noop(q("q_video_scenecut")(spark, sfDir)) }
+        timeIt("q_video_scenecut full #2") { noop(q("q_video_scenecut")(spark, sfDir)) }
+        // 2. synthesis only: payload built but only its length consumed
+        //    (forces full expression eval, skips decode)
+        val mediaQ = graft.queries.VideoQueries.scenecutMediaProbe(spark, sfDir)
+        timeIt("synthesis only (length) #1") { noop(mediaQ.select(length(col("payload")))) }
+        timeIt("synthesis only (length) #2") { noop(mediaQ.select(length(col("payload")))) }
+        // 3. decode+hash only: synthesis pinned first, then hashes
+        val pinned = mediaQ.localCheckpoint(true)
+        timeIt("decode+hash over pinned #1") {
+          noop(graft.ext.VideoFingerprint.videoKeyframeHashes(spark, pinned))
+        }
+        timeIt("decode+hash over pinned #2") {
+          noop(graft.ext.VideoFingerprint.videoKeyframeHashes(spark, pinned))
+        }
+      case "components" =>
+        val q = graft.SparkEntry.queries
+        timeIt("q_graph_components #1") { noop(q("q_graph_components")(spark, sfDir)) }
+        timeIt("q_graph_components #2") { noop(q("q_graph_components")(spark, sfDir)) }
+      case other => sys.error(s"unknown probe $other")
+    }
+    spark.stop()
+  }
+}
