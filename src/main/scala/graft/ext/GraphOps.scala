@@ -120,13 +120,28 @@ object GraphOps {
       e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg"))
     var e = edges.localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    // Early fixed-point exit (optimization r20): each round only FILTERS
+    // the edge set (e' ⊆ e), so an unchanged edge COUNT means an
+    // unchanged edge SET, hence unchanged degrees, hence every later
+    // round is the identity — the output after `rounds` rounds is
+    // bit-identical whether or not the identity rounds actually execute
+    // (GraphOpsSpec pins this against the full unroll). The count is a
+    // cheap scan of the round's already-checkpointed blocks; a skipped
+    // round saves a degree aggregate plus two shuffled joins.
+    var prevCount = e.count()
+    var converged = false
+    for (r <- 1 to rounds if !converged) {
       val keep = degrees(e).where(col("deg") >= k).select("n")
         .localCheckpoint(true)
       e = e.join(keep.withColumnRenamed("n", "u"), Seq("u"))
         .join(keep.withColumnRenamed("n", "v"), Seq("v"))
         .select("u", "v")
         .localCheckpoint(true)
+      if (r < rounds) { // the final round's probe gates nothing
+        val c = e.count()
+        converged = c == prevCount
+        prevCount = c
+      }
     }
     degrees(e).where(col("deg") >= k)
       .select(col("n").as("node"), col("deg"))
@@ -157,7 +172,18 @@ object GraphOps {
     var lbl = both.select(col("a").as("n")).distinct()
       .withColumn("lbl", col("n"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    // Early fixed-point exit (optimization r20): the step is a
+    // deterministic function of the label state over the static edge
+    // list, so a round that changes NO label has reached the fixed
+    // point and every later round is the identity — the output after
+    // `rounds` rounds is bit-identical whether or not the identity
+    // rounds execute (GraphOpsSpec pins this against the full unroll).
+    // Influence doubles per round (pointer jumping), so real graphs
+    // converge well before a worst-case-sized round budget; the changed-
+    // label probe is a cheap scan of the round's checkpointed blocks,
+    // a skipped round saves two shuffled joins plus an aggregate.
+    var converged = false
+    for (r <- 1 to rounds if !converged) {
       val nbrMin = both
         .join(lbl.select(col("n").as("b"), col("lbl").as("_nl")), Seq("b"))
         .groupBy(col("a").as("n")).agg(min(col("_nl")).as("_nm"))
@@ -166,8 +192,13 @@ object GraphOps {
           col("lbl") === col("_ln"), "left")
         .select(col("n"),
           least(col("lbl"), coalesce(col("_nm"), col("lbl")),
-            coalesce(col("_ll"), col("lbl"))).as("lbl"))
-      lbl = stepped.localCheckpoint(true)
+            coalesce(col("_ll"), col("lbl"))).as("lbl"),
+          col("lbl").as("_prev"))
+      val pinned = stepped.localCheckpoint(true)
+      // the final round's probe is dead weight — its answer gates nothing
+      converged = r < rounds &&
+        pinned.where(col("lbl") =!= col("_prev")).isEmpty
+      lbl = pinned.drop("_prev")
     }
     lbl.select(col("n").as("node"), col("lbl").as("comp"))
   }

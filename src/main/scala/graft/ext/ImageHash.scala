@@ -702,17 +702,27 @@ object ImageHash {
       .withColumn("cluster_id", col("media_id"))
       .localCheckpoint(true)
     var i = 0
-    while (i < iters) {
+    var converged = false
+    // Early fixed-point exit (optimization r20, the GraphOps rule): the
+    // step is a deterministic min-fold over the static edge list, so a
+    // round that changes no label has converged and every later round
+    // is the identity — output identical to the full unroll.
+    while (i < iters && !converged) {
       val viaNb = edges
         .join(labels.select(col("media_id").as("id2"),
           col("cluster_id").as("_nb")), "id2")
         .groupBy(col("id1").as("media_id"))
         .agg(min(col("_nb")).as("_m"))
-      labels = labels.join(viaNb, Seq("media_id"), "left")
+      val next = labels.join(viaNb, Seq("media_id"), "left")
         .select(col("media_id"),
           least(col("cluster_id"),
-            coalesce(col("_m"), col("cluster_id"))).as("cluster_id"))
+            coalesce(col("_m"), col("cluster_id"))).as("cluster_id"),
+          col("cluster_id").as("_prev"))
         .localCheckpoint(true)
+      // the final round's probe is dead weight — its answer gates nothing
+      converged = i < iters - 1 &&
+        next.where(col("cluster_id") =!= col("_prev")).isEmpty
+      labels = next.drop("_prev")
       i += 1
     }
     labels

@@ -162,6 +162,40 @@ object Similarity {
     agg.select(col(id), sig.as("_sig"))
   }
 
+  /** ALL `tables` hyperplane signatures in ONE pass: one explode + one
+    * aggregation computing every table's `bits` integer projection sums
+    * (tables×bits sum columns — keep under the ~100-column codegen
+    * budget), then `posexplode` to `(id, _t, _sig)` rows. Emits exactly
+    * the union of [[hyperplaneSignatures]] over t = 0..tables−1 (the
+    * projections are order-independent integer sums and the plane
+    * components are the same per-(table, bit) literals), but with ONE
+    * shuffle of the exploded elements instead of `tables` — the r20
+    * optimization for the multi-table LSH paths, which paid 12 separate
+    * explode+groupBy exchanges per side (guide §2.4: two operations
+    * keyed the same way share one exchange).
+    */
+  def hyperplaneSignaturesMulti(
+      df: DataFrame, id: String, vec: String, bits: Int,
+      tables: Int): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    require(bits * tables <= 96,
+      s"bits*tables must be <= 96 (codegen field budget), got ${bits * tables}")
+    val elems = df.select(col(id), posexplode(col(vec)).as(Seq("i", "v")))
+      .withColumn("vq",
+        (col("v").cast("double").cast("decimal(18,5)") * lit(ElemScale))
+          .cast("long"))
+    val projs = for { t <- 0 until tables; b <- 0 until bits }
+      yield sum(col("vq") * planeComponentQ(b, col("i"), t)).as(s"p${t}_$b")
+    val agg = elems.groupBy(id).agg(projs.head, projs.tail: _*)
+    val sigPerTable = (0 until tables).map { t =>
+      (0 until bits).map { b =>
+        when(col(s"p${t}_$b") >= 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce((a, b) => a + b)
+    }
+    agg.select(col(id),
+      posexplode(array(sigPerTable: _*)).as(Seq("_t", "_sig")))
+  }
+
   /** All multi-probe consumers share this expansion: the signature itself
     * plus every 1-bit flip (the near-miss buckets of borderline hyperplane
     * projections). One definition so the probing scheme cannot diverge
@@ -1197,15 +1231,19 @@ object Similarity {
     // projection lands in (Lv et al., VLDB 2007). The flips are bitwise ops
     // on the already-computed signature, so recall rises WITHOUT another
     // corpus-wide signature pass — the whole point vs adding tables.
-    val candidateIds = (0 until tables).map { t =>
-      val probeSig = hyperplaneSignatures(probes, qId, qVec, bits, t)
-      val probed =
-        if (probeHamming == 0) probeSig
-        else probeSig.select(col(qId), expandSig(col("_sig"), bits).as("_sig"))
-      hyperplaneSignatures(corpus, id, vec, bits, t)
-        .join(broadcast(probed), Seq("_sig"))
-        .select(col(qId), col(id))
-    }.reduce(_ unionByName _).distinct()
+    // one explode+aggregate for ALL tables per side (r20) — the
+    // per-table loop paid `tables` corpus-wide explode+groupBy
+    // exchanges; joining on (_t, _sig) is the same union of per-table
+    // bucket matches in one join
+    val probeSig = hyperplaneSignaturesMulti(probes, qId, qVec, bits, tables)
+    val probed =
+      if (probeHamming == 0) probeSig
+      else probeSig.select(col(qId), col("_t"),
+        expandSig(col("_sig"), bits).as("_sig"))
+    val candidateIds =
+      hyperplaneSignaturesMulti(corpus, id, vec, bits, tables)
+        .join(broadcast(probed), Seq("_t", "_sig"))
+        .select(col(qId), col(id)).distinct()
 
     val candidates = candidateIds
       .join(corpus, id)
@@ -1394,11 +1432,11 @@ object Similarity {
     // plan per table (the audit read 52 scans before the pin)
     val srcP = prep(src, "_scnt").localCheckpoint(true)
     val tgtP = prep(tgt, "_tcnt").localCheckpoint(true)
+    // one explode+aggregate for ALL tables (r20) — the per-table union
+    // form paid `tables` exchanges per side
     def sigsFor(df: DataFrame, as: String): DataFrame =
-      (0 until tables).map { tb =>
-        hyperplaneSignatures(df, id, vec, bits, tb)
-          .select(col(id).as(as), lit(tb).as("_t"), col("_sig"))
-      }.reduce(_ unionByName _)
+      hyperplaneSignaturesMulti(df, id, vec, bits, tables)
+        .select(col(id).as(as), col("_t"), col("_sig"))
     val sSigs = sigsFor(srcP, "src_id")
     val tSigs = sigsFor(tgtP, "tgt_id")
     // multi-probe on the SOURCE side only (one side's expansion already

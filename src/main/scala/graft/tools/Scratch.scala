@@ -50,6 +50,44 @@ object Scratch {
         val q = graft.SparkEntry.queries
         timeIt("q_graph_components #1") { noop(q("q_graph_components")(spark, sfDir)) }
         timeIt("q_graph_components #2") { noop(q("q_graph_components")(spark, sfDir)) }
+      case "ccrounds" =>
+        // replicate connectedComponents with per-round walls + changed
+        // counts over the q_graph_components contact graph
+        val c = spark.read.parquet(s"$sfDir/customer.parquet").select("c_custkey")
+        val e0 = c
+          .withColumn("off", explode(array(lit(1L), lit(2L), lit(3L), lit(5L))))
+          .select(col("c_custkey").as("u"), (col("c_custkey") + col("off")).as("v"))
+          .join(c.withColumnRenamed("c_custkey", "v"), Seq("v"))
+          .where(substring(md5(concat(col("u").cast("string"), lit(":"),
+            col("v").cast("string"), lit("graft:tri"))), 1, 1) =!= lit("0"))
+          .select("u", "v")
+        val edges = graft.ext.GraphOps.canonicalEdges(e0, "u", "v")
+          .localCheckpoint(true)
+        println(s"[scratch] edges = ${edges.count()}")
+        val both = edges.select(col("u").as("a"), col("v").as("b"))
+          .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+          .localCheckpoint(true)
+        var lbl = both.select(col("a").as("n")).distinct()
+          .withColumn("lbl", col("n")).localCheckpoint(true)
+        for (r <- 1 to 16) {
+          val t0 = System.nanoTime()
+          val nbrMin = both
+            .join(lbl.select(col("n").as("b"), col("lbl").as("_nl")), Seq("b"))
+            .groupBy(col("a").as("n")).agg(min(col("_nl")).as("_nm"))
+          val stepped = lbl.join(nbrMin, Seq("n"), "left")
+            .join(lbl.select(col("n").as("_ln"), col("lbl").as("_ll")),
+              col("lbl") === col("_ln"), "left")
+            .select(col("n"),
+              least(col("lbl"), coalesce(col("_nm"), col("lbl")),
+                coalesce(col("_ll"), col("lbl"))).as("lbl"),
+              col("lbl").as("_prev"))
+          val pinned = stepped.localCheckpoint(true)
+          val t1 = System.nanoTime()
+          val changed = pinned.where(col("lbl") =!= col("_prev")).count()
+          val t2 = System.nanoTime()
+          lbl = pinned.drop("_prev")
+          println(f"[scratch] round $r%2d step ${(t1-t0)/1e9}%6.3f s probe ${(t2-t1)/1e9}%6.3f s changed $changed")
+        }
       case other => sys.error(s"unknown probe $other")
     }
     spark.stop()

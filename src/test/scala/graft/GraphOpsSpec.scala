@@ -108,6 +108,32 @@ class GraphOpsSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
   }
 
+  test("early fixed-point exit returns the full unroll's output (r20)") {
+    // A 40-node path converges (pointer jumping) well inside 16 rounds;
+    // any round budget PAST convergence must return the identical
+    // labeling — that's the proof obligation of the early-exit
+    // optimization (a round that changes nothing is the identity, so
+    // skipping the remaining rounds cannot change the output).
+    val path = (0L until 39L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = GraphOps.canonicalEdges(path, "a", "b")
+    val atConvergence = GraphOps.connectedComponents(e, rounds = 8)
+      .as[(Long, Long)].collect().toSet
+    val bigBudget = GraphOps.connectedComponents(e, rounds = 16)
+      .as[(Long, Long)].collect().toSet
+    assert(bigBudget === atConvergence)
+    assert(bigBudget === (0L until 40L).map(_ -> 0L).toSet)
+
+    // kCore: K4 + a pendant chain peels in 2 rounds; budgets 2 and 6
+    // must agree (edge count stable => edge set stable => identity).
+    val k4chain = (for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)) ++
+      Seq((3L, 4L), (4L, 5L))
+    val ke = GraphOps.canonicalEdges(k4chain.toDF("a", "b"), "a", "b")
+    val r2 = GraphOps.kCore(ke, 3, 2).as[(Long, Long)].collect().toSet
+    val r6 = GraphOps.kCore(ke, 3, 6).as[(Long, Long)].collect().toSet
+    assert(r6 === r2)
+    assert(r6 === (0L to 3L).map(_ -> 3L).toSet)
+  }
+
   test("orientation bounds hub out-degree: star hub keeps out-degree 0") {
     // In a star the hub has max degree, so every edge orients leaf->hub:
     // the hub is never a wedge pivot — the scale guarantee in miniature.

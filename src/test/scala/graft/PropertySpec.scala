@@ -490,6 +490,29 @@ class PropertySpec extends SparkSpec {
     assert(sigs(embs.repartition(64, col("vec_id") % 7)) === base)
     assert(sigs(embs.orderBy(col("vec_id").desc)) === base)
   }
+  test("hyperplaneSignaturesMulti equals the per-table union (r20)") {
+    // the one-pass multi-table form must emit EXACTLY the union of the
+    // single-table signatures over t = 0..tables-1 — the equivalence the
+    // r20 LSH-path optimization (one exchange instead of `tables`)
+    // depends on. Integer projection sums make this exact, not
+    // approximate.
+    val embs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val bits = 6
+    val tables = 12
+    val multi = graft.ext.Similarity.hyperplaneSignaturesMulti(
+        embs, "vec_id", "embedding", bits, tables)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val single = (0 until tables).flatMap { t =>
+      graft.ext.Similarity.hyperplaneSignatures(
+          embs, "vec_id", "embedding", bits, t)
+        .collect().map(r => (r.getLong(0), t, r.getLong(1)))
+    }.toSet
+    assert(multi === single)
+    assert(multi.nonEmpty)
+  }
+
   /** Messy-URL generator: random case, ports (default and not), tracking
     * and real params in random order, trailing slashes, fragments, and
     * some non-absolute garbage.
