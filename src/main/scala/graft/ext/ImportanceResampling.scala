@@ -104,10 +104,19 @@ object ImportanceResampling {
           * lit(LogScale)).cast("long").as("_dq"))
   }
 
+  /** @param precomputedDelta a caller-supplied FROZEN Δ table
+    *        ([[dsirDelta]] output, possibly persisted/memoized) — the
+    *        deployment shape where the model is trained once and every
+    *        scoring pass serves from it (r20: the three DSIR gates share
+    *        one suite-memoized Δ instead of re-training per query).
+    *        Callers are responsible for it matching (raw, target, dims).
+    */
   def dsirScores(
       raw: DataFrame, id: String, text: String,
-      target: DataFrame, dims: Int = 512): DataFrame = {
-    val delta = dsirDelta(raw, id, text, target, dims)
+      target: DataFrame, dims: Int = 512,
+      precomputedDelta: Option[DataFrame] = None): DataFrame = {
+    val delta = precomputedDelta.getOrElse(
+      dsirDelta(raw, id, text, target, dims))
     // score per OCCURRENCE against the broadcast Δ and aggregate straight
     // to the document: Σ_occurrences Δq = Σ_b c_b·Δq_b (exact longs
     // commute), and skipping the (id, bucket) intermediate means the only
@@ -141,7 +150,8 @@ object ImportanceResampling {
   def dsirSample(
       raw: DataFrame, id: String, text: String,
       target: DataFrame, k: Int, temperature: Double = 1.0,
-      dims: Int = 512): DataFrame = {
+      dims: Int = 512,
+      precomputedDelta: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(temperature > 0, s"temperature must be > 0, got $temperature")
     val draw = greatest(
@@ -152,7 +162,7 @@ object ImportanceResampling {
         - col("dsir_scoreq").cast("double") / lit(LogScale.toDouble)
           / lit(temperature))
       * lit(LogScale.toDouble)).cast("long")
-    dsirScores(raw, id, text, target, dims)
+    dsirScores(raw, id, text, target, dims, precomputedDelta)
       .withColumn("_keyq", keyq)
       .orderBy(col("_keyq"), col(id))
       .limit(k)
@@ -163,9 +173,10 @@ object ImportanceResampling {
     */
   def dsirSelect(
       raw: DataFrame, id: String, text: String,
-      target: DataFrame, k: Int, dims: Int = 512): DataFrame = {
+      target: DataFrame, k: Int, dims: Int = 512,
+      precomputedDelta: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    dsirScores(raw, id, text, target, dims)
+    dsirScores(raw, id, text, target, dims, precomputedDelta)
       .orderBy(col("dsir_scoreq").desc, col(id))
       .limit(k)
   }

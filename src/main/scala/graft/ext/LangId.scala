@@ -167,16 +167,28 @@ object LangId {
   def score(
       docs: DataFrame, id: String, text: String,
       model: LangIdModel): DataFrame = {
-    val spark = docs.sparkSession
-    val reserved = Seq("_g", "_b", "lang_pred", "scoreq", "marginq") ++
+    val reserved = Seq("_g", "_b", "_ss", "lang_pred", "scoreq", "marginq") ++
       model.langs.indices.flatMap(i => Seq(s"_lp_$i", s"_s_$i"))
     require(!reserved.exists(docs.columns.contains),
       s"score reserves columns ${reserved.mkString(", ")}")
-    val grams = bucketedGrams(docs, Seq(id), text, model)
-    val sums = grams
-      .join(broadcast(modelFrame(spark, model)), Seq("_b"))
-      .groupBy(col(id))
-      .agg(sumCols(model).head, sumCols(model).tail: _*)
+    // One-pass native scoring (optimization r20): the per-language gram
+    // sums come from a single codegen'd expression per row
+    // ([[graft.functions.LangScoreImpl]]) instead of exploding every
+    // char n-gram, hashing it as a projection, broadcast-joining the
+    // model and shuffling per-gram rows into a per-doc aggregate —
+    // ~len(text) exchange rows per document become zero (a pure map
+    // over the scan). Long sums are order-independent, so the scores
+    // are bit-identical to the composed form (LangIdSpec pins the
+    // equality; the unused `spark` parameter of modelFrame remains for
+    // the streaming twin, which keeps the composed shape for its
+    // windowed-state contract).
+    val sums = docs.where(col(text).isNotNull)
+      .select(col(id).as(id),
+        graft.functions.LangScoreFunctions.lang_gram_sums_q(
+          canonText(col(text)), model.n, model.dims, model.lpq).as("_ss"))
+      .where(col("_ss").isNotNull)
+      .select(col(id) +: model.langs.indices.map(i =>
+        col("_ss").getItem(i).as(s"_s_$i")): _*)
     val (bl, bs, bm) = argmaxExpr(model)
     sums.select(col(id), bl, bs, bm)
   }

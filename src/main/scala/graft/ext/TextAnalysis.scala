@@ -249,13 +249,19 @@ object TextAnalysis {
       maxDocFreq: Int = 20): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDocFreq >= 2, s"maxDocFreq must be >= 2, got $maxDocFreq")
+    // Pinned (r20): fps feeds the doc-frequency aggregate AND the kept
+    // join, and kept feeds BOTH sides of the pair self-join — unpinned,
+    // the per-row winnow pass re-ran per consumer (the executed plan
+    // read 8 corpus scans, 0 reused exchanges; the multi-consumer rule).
     val fps = winnowFingerprintsNative(df, id, text, k, w)
+      .localCheckpoint(true)
     val rare = fps.groupBy("fingerprint")
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDocFreq)
       .select("fingerprint")
     val kept = fps.join(rare, Seq("fingerprint"))
       .select(col("fingerprint"), col(id))
+      .localCheckpoint(true)
     val a = kept.toDF("fingerprint", "id1")
     val b = kept.toDF("fingerprint", "id2")
     a.join(b, Seq("fingerprint"))

@@ -44,36 +44,10 @@ object GraphAnnQueries {
     * touching another context's checkpointed blocks; synchronized so
     * concurrent bench workers never double-build.
     */
-  private object IndexMemo {
-    // Per-key LAZY cells (advice r19): the shared lock is held only for
-    // the map lookup; the multi-minute build itself runs under the
-    // cell's own monitor (lazy val), so concurrent bench workers build
-    // DISTINCT keys in parallel and a cache hit never waits on another
-    // key's running build. Two workers racing the SAME key still build
-    // once (the second blocks on the cell, which is the point).
-    private final class Cell(
-        val session: org.apache.spark.sql.SparkSession,
-        build: () => org.apache.spark.sql.DataFrame) {
-      lazy val df: org.apache.spark.sql.DataFrame =
-        build().localCheckpoint(true)
-    }
-    private val m = scala.collection.mutable.Map.empty[
-      (String, String, String), Cell]
-    def apply(s: org.apache.spark.sql.SparkSession, d: String, tag: String)(
-        build: => org.apache.spark.sql.DataFrame)
-        : org.apache.spark.sql.DataFrame = {
-      val cell = synchronized {
-        // applicationId is unique per context (identityHashCode can be
-        // reused after GC and would hand a new context another context's
-        // dead checkpoint blocks — review r19); entries of stopped
-        // contexts are dropped eagerly so the memo never outlives them.
-        m.filterInPlace((_, c) => !c.session.sparkContext.isStopped)
-        m.getOrElseUpdate((s.sparkContext.applicationId, d, tag),
-          new Cell(s, () => build))
-      }
-      cell.df
-    }
-  }
+  // r20: the memo mechanics moved to the shared [[SuiteMemo]] (the same
+  // lazy-cell/applicationId discipline), now also backing the IVF and
+  // semantic index-gauge families.
+  private def IndexMemo = SuiteMemo
 
   /** The full-corpus iters-4 index (q_ann_nndescent + q_ann_graph_search). */
   private def fullIndex(

@@ -48,14 +48,26 @@ object IngestQueries {
         .where(col("embedding").isNotNull)
       val batchVecs = e.filter(col("vec_id") >= Split)
         .select(col("vec_id").as("doc_id"), col("embedding"))
-      val fpIdx = corpus
-        .select(TextAnalysis.fingerprint(col("text")).as("fp"))
-        .where(col("fp").isNotNull).distinct()
-      val mhIdx = Dedup.minhashBucketIndex(corpus, "doc_id", "text")
-      val semIdx = Dedup.semDedupIndex(corpusVecs, "vec_id", "embedding",
-        nCentroids = SemCentroids)
-      val ivfIdx = Similarity.ivfIndex(corpusVecs, "vec_id", "embedding",
-        nCentroids = IvfCentroids, quantizer = "lowid")
+      // The FROZEN corpus indexes the gate screens against — persisted
+      // artifacts in a deployment, built once per session here
+      // ([[SuiteMemo]], r20): the admission cycle itself (the 8 gate
+      // stages, appends, OCC commit, read-back) still executes fully on
+      // every invocation.
+      val fpIdx = SuiteMemo(s, d, "ingest-fp") {
+        corpus.select(TextAnalysis.fingerprint(col("text")).as("fp"))
+          .where(col("fp").isNotNull).distinct()
+      }
+      val mhIdx = SuiteMemo(s, d, "ingest-mh") {
+        Dedup.minhashBucketIndex(corpus, "doc_id", "text")
+      }
+      val semIdx = SuiteMemo(s, d, s"ingest-sem-$SemCentroids") {
+        Dedup.semDedupIndex(corpusVecs, "vec_id", "embedding",
+          nCentroids = SemCentroids)
+      }
+      val ivfIdx = SuiteMemo(s, d, s"ingest-ivf-$IvfCentroids-lowid") {
+        Similarity.ivfIndex(corpusVecs, "vec_id", "embedding",
+          nCentroids = IvfCentroids, quantizer = "lowid")
+      }
       val mdir = java.nio.file.Files.createTempDirectory("graft_ingest")
         .toString
       val r = Ingest.ingestBatch(batch, "doc_id", "text", "url",

@@ -104,4 +104,44 @@ class LangIdSpec extends SparkSpec {
     assert(grams(2L) == Seq("abc"))
     assert(grams(3L) == Seq())
   }
+
+  test("native one-pass scorer equals the composed explode+join form (r20)") {
+    // LangId.score now computes per-language gram sums in one native
+    // expression per row; this pins bit-equality of (lang_pred, scoreq,
+    // marginq) against the legacy composed pipeline it replaced —
+    // explode grams -> bucket -> broadcast model join -> per-doc sums —
+    // on real corpus text (includes non-ASCII and whitespace runs).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val labeled = docs.where(col("doc_id") < 400)
+    val model = LangId.train(labeled, "lang", "text", dims = 256, n = 3)
+    val tail = docs.where(col("doc_id") >= 400)
+    val native = LangId.score(tail, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // the legacy composed form, reconstructed inline
+    val grams = LangId.bucketedGrams(tail, Seq("doc_id"), "text", model)
+    val sums = grams
+      .join(broadcast(LangId.modelFrame(spark, model)), Seq("_b"))
+      .groupBy(col("doc_id"))
+      .agg(LangId.sumCols(model).head, LangId.sumCols(model).tail: _*)
+    val (bl, bs, bm) = LangId.argmaxExpr(model)
+    val legacy = sums.select(col("doc_id"), bl, bs, bm)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(native === legacy)
+    assert(native.nonEmpty)
+    // unicode + boundary coverage beyond the corpus
+    val edge = Seq((1L, "héllo wörld\t  x"), (2L, "日本語のテキストです"),
+      (3L, "ab"), (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val en = LangId.score(edge, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val eg = LangId.bucketedGrams(edge, Seq("doc_id"), "text", model)
+      .join(broadcast(LangId.modelFrame(spark, model)), Seq("_b"))
+      .groupBy(col("doc_id"))
+      .agg(LangId.sumCols(model).head, LangId.sumCols(model).tail: _*)
+      .select(col("doc_id"), bl, bs, bm)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(en === eg)
+    assert(en.keySet === Set(1L, 2L))
+  }
 }
