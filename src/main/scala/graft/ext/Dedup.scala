@@ -797,10 +797,16 @@ object Dedup {
     val reserved = Seq("_span_idx", "_span", "_span_df", "clean_text")
     reserved.foreach(c => require(!df.columns.contains(c),
       s"input must not already contain reserved column $c"))
-    val spans = df
+    // Pinned (r20): df feeds the span explode AND the final rebuild
+    // join; spans feeds the frequency aggregate AND the survivor join —
+    // unpinned, each consumer replays the caller's upstream plan (the
+    // multi-consumer rule).
+    val dfP = df.localCheckpoint(true)
+    val spans = dfP
       .where(col(text).isNotNull)
       .select(col(id),
         posexplode(docSpans(col(text), n)).as(Seq("_span_idx", "_span")))
+      .localCheckpoint(true)
     val freq = spans
       .groupBy("_span").agg(countDistinct(col(id)).as("_span_df"))
       .where(col("_span_df") <= dfCap)
@@ -811,7 +817,7 @@ object Dedup {
         transform(
           array_sort(collect_list(struct(col("_span_idx"), col("_span")))),
           s => s("_span")), " ").as("clean_text"))
-    df.join(rebuilt, Seq(id), "left")
+    dfP.join(rebuilt, Seq(id), "left")
       .withColumn("clean_text",
         when(col(text).isNull, lit(null).cast("string"))
           .otherwise(coalesce(col("clean_text"), lit(""))))
@@ -863,12 +869,17 @@ object Dedup {
       "clean_text", "n_removed")
     reserved.foreach(c => require(!df.columns.contains(c),
       s"input must not already contain reserved column $c"))
-    val toks = df.where(col(text).isNotNull)
+    // Pinned (r20): the input feeds the token explode, the gram-window
+    // explode, AND the final rebuild join — unpinned, each consumer
+    // replayed the caller's full upstream plan (the q_dedup_substring
+    // plan read 12 source scans; the multi-consumer rule).
+    val dfP = df.localCheckpoint(true)
+    val toks = dfP.where(col(text).isNotNull)
       .select(col(id),
         posexplode(TextAnalysis.tokens(col(text))).as(Seq("_pos", "_tok")))
       .where(col("_tok") =!= "")
     // overlapping windows: md5 of the N-token slice starting at _pos
-    val grams = df.where(col(text).isNotNull)
+    val grams = dfP.where(col(text).isNotNull)
       .select(col(id), TextAnalysis.tokens(col(text)).as("_t"))
       .select(col(id),
         posexplode(when(size(col("_t")) >= minTokens,
@@ -914,7 +925,7 @@ object Dedup {
           array_sort(collect_list(struct(col("_pos"), col("_tok")))),
           s => s("_tok")), " ").as("clean_text"),
         count(lit(1)).as("_kept"))
-    df.join(rebuilt, Seq(id), "left")
+    dfP.join(rebuilt, Seq(id), "left")
       .withColumn("clean_text",
         when(col(text).isNull, lit(null).cast("string"))
           .otherwise(coalesce(col("clean_text"), lit(""))))

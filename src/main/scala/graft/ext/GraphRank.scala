@@ -92,11 +92,16 @@ object GraphRank {
     require(dampingPerMille >= 0 && dampingPerMille <= 1000,
       s"dampingPerMille must be in [0, 1000], got $dampingPerMille")
     require(teleportTo.forall(_.nonEmpty), "teleportTo must be non-empty")
+    // Pinned (r20): e is scanned by the node derivation, the out-degree
+    // aggregate, the dangling set, AND every iteration's contribution
+    // join — unpinned, each iteration re-derived the edge list from the
+    // raw input (a source scan + distinct exchange per iteration).
     val e = edges
       .select(col(src).cast("string").as("_src"),
         col(dst).cast("string").as("_dst"))
       .where(col("_src").isNotNull && col("_dst").isNotNull)
       .distinct()
+      .localCheckpoint(true)
     val spark = edges.sparkSession
     val graphNodes = e.select(col("_src").as("node"))
       .unionByName(e.select(col("_dst").as("node")))
@@ -110,7 +115,12 @@ object GraphRank {
     // ONE bounded scalar action — the same class as the trainers' counts
     val nNodes = nodes.count()
     require(nNodes > 0, "pageRank: empty graph")
-    val outDeg = e.groupBy("_src").agg(count(lit(1)).as("_deg"))
+    // loop-invariant (r20): (edge, out-degree) is static across
+    // iterations — join it ONCE and pin, so each iteration is one join
+    // against the current ranks plus the contribution aggregate instead
+    // of re-running the degree aggregate and a second join
+    val eDeg = e.join(e.groupBy("_src").agg(count(lit(1)).as("_deg")), "_src")
+      .localCheckpoint(true)
     // per-node teleport and initial mass: uniform over the graph, or
     // uniform over the teleport set (0 elsewhere) when personalized
     val (tele, r0) = teleportTo match {
@@ -144,9 +154,8 @@ object GraphRank {
     }
     var ranks = nodes.withColumn("_r", r0)
     for (_ <- 1 to iters) {
-      val contribs = e
+      val contribs = eDeg
         .join(ranks.withColumnRenamed("node", "_src"), "_src")
-        .join(outDeg, "_src")
         .select(col("_dst").as("node"),
           halfUpCol(col("_r"), col("_deg")).as("_c"))
         .groupBy("node").agg(sum("_c").as("_in"))
