@@ -987,17 +987,17 @@ object Dedup {
     * whereas [[simhash64]] returns a NULL fingerprint row for them —
     * either way they never participate in near-dup pairing.
     */
-  def simhashTable(df: DataFrame, id: String, text: String): DataFrame = {
-    val hashed = docTokens(df, id, text).withColumn("h", md5Hash60(col("tok")))
-    val bitSums = (0 until SimhashBits).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$i")
-    }
-    val agg = hashed.groupBy(id).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until SimhashBits).map { i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a + b)
-    agg.select(col(id), sim.as("sim"))
-  }
+  def simhashTable(df: DataFrame, id: String, text: String): DataFrame =
+    // One-pass native fingerprint (optimization r20,
+    // [[graft.functions.SimhashImpl]]): the explode + 60-conditional-sum
+    // aggregate this replaces shuffled ~tokens-per-doc rows per document;
+    // the native expression makes the signature stage a pure map over
+    // the scan. Bit-equivalence vs both legacy forms is pinned by
+    // SimhashNativeSpec; the NULL-text row absence (explode emitted no
+    // rows) is preserved by the isNotNull filter.
+    df.where(col(text).isNotNull)
+      .select(col(id),
+        graft.functions.SimhashFunctions.simhash60(col(text)).as("sim"))
 
   /** The 4 disjoint 16-bit band-bucket keys of a simhash fingerprint:
     * band b is bits [16b, 16b+16); the band index is part of the key so
